@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Raster-grid operators over long-format pixel tables
+  * (`scene, line:int, sample:int, value…`).
+  *
+  * Re-expresses the reference's dense-array resizes/pads
+  * (`/root/reference/asip_v2/archive.py:40-48,88-104`,
+  * `tests/test_archive.py:27-57,76-97,345-395`) as shuffle-lean
+  * DataFrame transforms. All index math is row-local (codegen'd
+  * projections); only the block aggregations shuffle, and those are
+  * partial+final hash aggs keyed by (scene, block) so they scale with
+  * output cells, not input pixels.
+  */
+object GridOps {
+
+  /** Rows to keep along one axis after numpy `a[::step]` + ragged trim
+    * (`archive.py:40-48`): slice keeps ceil(extent/step) indices; if that
+    * count is not divisible by `step` the last kept index is dropped.
+    * Golden: 5×5 step 2 keeps indices {0,2} (`tests/test_archive.py:36-44`).
+    */
+  private def keptCount(extent: Column, step: Int): Column = {
+    val sliced = ceil(extent.cast("double") / step).cast("long")
+    when(sliced % step =!= 0, sliced - 1).otherwise(sliced)
+  }
+
+  /** W2 — decimating resize: keep every `step`-th row/col, re-index by
+    * /step, drop the ragged edge. `extentL`/`extentS` are the grid dims
+    * (columns so they can come from a per-scene metadata join).
+    */
+  def decimate(df: DataFrame, step: Int,
+               extentL: Column, extentS: Column,
+               line: String = "line", sample: String = "sample"): DataFrame = {
+    if (step == 1) return df
+    val l = col(line); val s = col(sample)
+    df.filter(l % step === 0 && s % step === 0 &&
+        l / step < keptCount(extentL, step) &&
+        s / step < keptCount(extentS, step))
+      .withColumn(line, (l / step).cast("int"))
+      .withColumn(sample, (s / step).cast("int"))
+  }
+
+  /** W3 — box-mean downsample: mean over each step×step tile anchored at
+    * the decimation-kept positions (`archive.py:88-104`: `uniform_filter`
+    * with top-left origin, then W2 slice). Float semantics (real SAR data
+    * is float32); the reference unit test's integer-truncation artifact is
+    * a SciPy int-dtype quirk we do not replicate. Tiles that stick out
+    * past the grid edge (SciPy reflect-mode) are averaged over their
+    * in-grid pixels only — boundary tiles are already trimmed for all
+    * extents the trim rule removes (SURVEY.md §7.4.3).
+    */
+  def blockMean(df: DataFrame, step: Int, valueCols: Seq[String],
+                extentL: Column, extentS: Column,
+                line: String = "line", sample: String = "sample"): DataFrame = {
+    if (step == 1) return df
+    val groupKeys = df.columns
+      .filterNot(c => c == line || c == sample || valueCols.contains(c))
+      .map(col)
+    val l = col(line); val s = col(sample)
+    df.filter(l / step < keptCount(extentL, step) &&
+              s / step < keptCount(extentS, step))
+      .groupBy(groupKeys ++ Seq(
+        (l / step).cast("int").as(line), (s / step).cast("int").as(sample)): _*)
+      .agg(avg(valueCols.head).as(valueCols.head),
+           valueCols.tail.map(c => avg(c).as(c)): _*)
+  }
+
+  /** W4 — block any-true downsample for boolean masks
+    * (`tests/test_archive.py:379-395`): the coarse cell is true iff any
+    * covered fine pixel is true. `bool_or` ≡ max over 0/1.
+    */
+  def blockAny(df: DataFrame, step: Int, maskCol: String,
+               line: String = "line", sample: String = "sample"): DataFrame = {
+    val groupKeys = df.columns
+      .filterNot(c => c == line || c == sample || c == maskCol)
+      .map(col)
+    df.groupBy(groupKeys ++ Seq(
+        (col(line) / step).cast("int").as(line),
+        (col(sample) / step).cast("int").as(sample)): _*)
+      .agg(max(col(maskCol).cast("int")).cast("boolean").as(maskCol))
+  }
+
+  /** W5 — constant-pad to a dense target grid
+    * (`tests/test_archive.py:46-57,345-375`): produce every cell of
+    * `[0,targetL) × [0,targetS)`, place the input shifted by
+    * (`padTop`,`padLeft`), fill the rest with `fill`.
+    *
+    * The dense frame is built by exploding per-scene coordinate ranges —
+    * no crossJoin node, and the explode fans out linearly with output
+    * cells. At scale the subsequent join co-partitions on (scene, line),
+    * so padding a 100 TB pixel table stays a single hash join.
+    */
+  def padConstant(df: DataFrame, scenes: DataFrame,
+                  targetL: Column, targetS: Column,
+                  padTop: Column, padLeft: Column,
+                  valueCols: Seq[String], fill: Double,
+                  sceneCol: String = "scene",
+                  line: String = "line", sample: String = "sample"): DataFrame = {
+    val grid = scenes
+      .select(col(sceneCol), targetL.as("_tl"), targetS.as("_ts"),
+              padTop.as("_pt"), padLeft.as("_pl"))
+      .withColumn(line, explode(sequence(lit(0), col("_tl") - 1)))
+      .withColumn(sample, explode(sequence(lit(0), col("_ts") - 1)))
+    val shifted = df.select(
+      col(sceneCol).as("_sc2") +: col(line).as("_l2") +: col(sample).as("_s2") +:
+        valueCols.map(col): _*)
+    grid.join(shifted,
+        grid(sceneCol) === col("_sc2") &&
+          col(line) === col("_l2") + col("_pt") &&
+          col(sample) === col("_s2") + col("_pl"),
+        "left")
+      .select(col(sceneCol) +: col(line) +: col(sample) +:
+        valueCols.map(c => coalesce(col(c), lit(fill)).as(c)): _*)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** W8 — scene reconstruction (inverse tiling).
+  *
+  * The reference scatters predicted patches back onto a zero-initialized
+  * full-scene canvas: `img[loc0*w : loc0*w+w, loc1*w : loc1*w+w] = patch`
+  * (`/root/reference/asip_v2/apply_model.py:58-83,115-122`, pinned by
+  * `tests/test_apply_model.py:49-72`). Long-format embodiment: explode
+  * each patch to absolute pixel coords, then left-join onto the dense
+  * target grid with zero fill. Both steps are linear in output pixels;
+  * the join co-partitions on (scene, line) — no broadcast of the big side,
+  * scales to arbitrarily many scenes in parallel (vs the reference's
+  * sequential per-scene loop).
+  */
+object Reconstruct {
+
+  /** Patches as (scene, pi, pj, patch: array<array<double>>) → pixel rows
+    * at absolute coordinates. */
+  def explodePatches(patches: DataFrame, window: Int,
+                     patchCol: String = "patch",
+                     sceneCol: String = "scene"): DataFrame =
+    patches
+      .select(col(sceneCol), col("pi"), col("pj"),
+        posexplode(col(patchCol)).as(Seq("r", "rowvals")))
+      .select(col(sceneCol), col("pi"), col("pj"), col("r"),
+        posexplode(col("rowvals")).as(Seq("c", "value")))
+      .select(col(sceneCol),
+        (col("pi") * window + col("r")).cast("int").as("line"),
+        (col("pj") * window + col("c")).cast("int").as("sample"),
+        col("value"))
+
+  /** Scatter per-patch scalar values (one value per patch, e.g. a patch
+    * prediction) to every covered pixel. */
+  def scatterScalar(patches: DataFrame, window: Int,
+                    valueCol: String, sceneCol: String = "scene"): DataFrame =
+    patches
+      .withColumn("r", explode(sequence(lit(0), lit(window - 1))))
+      .withColumn("c", explode(sequence(lit(0), lit(window - 1))))
+      .select(col(sceneCol),
+        (col("pi") * window + col("r")).cast("int").as("line"),
+        (col("pj") * window + col("c")).cast("int").as("sample"),
+        col(valueCol).as("value"))
+
+  /** Zero-fill onto the dense canvas sized per scene
+    * (`apply_model.py:62-70`: canvas = zeros(shape), patches overwrite).
+    * `scenes` must carry (scene, extentL, extentS). */
+  def onCanvas(pixels: DataFrame, scenes: DataFrame,
+               extentL: Column, extentS: Column,
+               sceneCol: String = "scene"): DataFrame = {
+    val grid = scenes
+      .select(col(sceneCol), extentL.as("_el"), extentS.as("_es"))
+      .withColumn("line", explode(sequence(lit(0), col("_el") - 1)))
+      .withColumn("sample", explode(sequence(lit(0), col("_es") - 1)))
+      .drop("_el", "_es")
+    grid.join(pixels, Seq(sceneCol, "line", "sample"), "left")
+      .withColumn("value", coalesce(col("value"), lit(0.0)))
+  }
+}

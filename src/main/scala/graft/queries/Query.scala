@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A driver-contract query: a Spark build function plus (optionally) the
+  * equivalent DuckDB SQL oracle over the same parquet tables.
+  *
+  * Oracle-parity conventions (see SURVEY.md §7.1):
+  *  - fp-order-sensitive aggregates go through DECIMAL so partial-agg
+  *    order can't skew the result: `CAST(sum(CAST(x AS DECIMAL(18,s))) AS
+  *    DOUBLE)` is exact and engine-independent;
+  *  - permutations use integer arithmetic (`(key*2654435761) % 2^32`),
+  *    never engine RNG;
+  *  - every aggregate/computed column is aliased identically in the Spark
+  *    plan and the SQL (the driver compares columns by name).
+  */
+final case class Query(build: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
+object Q {
+  /** Exact engine-independent sum of a double column (via decimal). */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact engine-independent mean (decimal sum / count). */
+  def davg(c: Column, scale: Int = 6): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** SQL fragment mirroring [[dsum]]. */
+  def sqlSum(expr: String, scale: Int = 2): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** SQL fragment mirroring [[davg]]. */
+  def sqlAvg(expr: String, scale: Int = 6): String =
+    s"(${sqlSum(expr, scale)} / count(*))"
+
+  /** The synthetic raster grid over `events` (event_id is dense 0..n-1):
+    * a (n/100)×100 grid. Spark side. */
+  def grid(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir).select(
+      (col("event_id") / 100).cast("long").as("line"),
+      (col("event_id") % 100).cast("long").as("sample"),
+      col("value"))
+
+  /** DuckDB fragment for the same grid. */
+  val sqlGrid: String =
+    "SELECT CAST(event_id//100 AS BIGINT) AS line, " +
+      "CAST(event_id%100 AS BIGINT) AS sample, value FROM events"
+
+  /** Grid height (rows/100) — eager metadata count, engine-identical. */
+  def gridHeight(spark: SparkSession, dir: String): Long =
+    graft.Tables.events(spark, dir).count() / 100
+
+  val sqlH: String = "(SELECT count(*)//100 FROM events)"
+}
