@@ -36,18 +36,19 @@ object IceCodes {
     * `f[icetype-1]`, so an ice-free component (`icetype==0`) credits
     * `f[-1]` — the multi-year slot (SURVEY.md §2.8 F9).
     */
+  // f[j] collects ci from components whose (icetype - 1) mod 3 == j.
+  private def binContrib(ci: Column, si: Column, slot: Int): Column = {
+    val t = iceType(si)
+    val hits = if (slot == 2) (t === 3) || (t === 0) else t === (slot + 1)
+    when((ci =!= -9) && hits, ci).otherwise(0)
+  }
+
   def oneHotBinary(ct: Column, ca: Column, sa: Column,
                    cb: Column, sb: Column,
                    cc: Column, sc: Column,
                    minCt: Int = 10): Column = {
-    // f[j] collects ci from components whose (icetype - 1) mod 3 == j.
-    def contrib(ci: Column, si: Column, slot: Int): Column = {
-      val t = iceType(si)
-      val hits = if (slot == 2) (t === 3) || (t === 0) else t === (slot + 1)
-      when((ci =!= -9) && hits, ci).otherwise(0)
-    }
     val f = (0 to 2).map(j =>
-      contrib(ca, sa, j) + contrib(cb, sb, j) + contrib(cc, sc, j))
+      binContrib(ca, sa, j) + binContrib(cb, sb, j) + binContrib(cc, sc, j))
     val maxF = greatest(f(0), f(1), f(2))
     // np.argmax keeps the FIRST maximum (hot_encoding_utils.py:91).
     val argmaxPlus1 =
@@ -58,6 +59,37 @@ object IceCodes {
     val slots = (0 to 3).map(k => when(icetype === k, 1).otherwise(0))
     when(ct < minCt, array(lit(1), lit(0), lit(0), lit(0)))
       .otherwise(array(slots: _*))
+  }
+
+  /** [[oneHotBinary]] as a DataFrame transform emitting int columns
+    * `r0..r3` — the codegen-friendly form. The single-Column variant
+    * duplicates the `f` sums into `greatest`, the argmax chain, and all
+    * four slot indicators; subexpression elimination then pools the whole
+    * forest into ONE generated method, which exceeds janino's 64 KB limit
+    * and drops the stage to interpreted execution (VERDICT r1 perf q20).
+    * Materializing `f0..f2` and `itype` as real columns keeps project
+    * boundaries (CollapseProject won't inline non-cheap, multiply-
+    * referenced expressions), so every generated method stays small.
+    */
+  def withOneHotBinary(df: DataFrame,
+                       ct: Column, ca: Column, sa: Column,
+                       cb: Column, sb: Column,
+                       cc: Column, sc: Column,
+                       minCt: Int = 10): DataFrame = {
+    val withF = df
+      .withColumn("_f0", binContrib(ca, sa, 0) + binContrib(cb, sb, 0) + binContrib(cc, sc, 0))
+      .withColumn("_f1", binContrib(ca, sa, 1) + binContrib(cb, sb, 1) + binContrib(cc, sc, 1))
+      .withColumn("_f2", binContrib(ca, sa, 2) + binContrib(cb, sb, 2) + binContrib(cc, sc, 2))
+    val maxF = greatest(col("_f0"), col("_f1"), col("_f2"))
+    val argmaxPlus1 = when(col("_f0") === maxF, 1)
+      .when(col("_f1") === maxF, 2).otherwise(3)
+    val withT = withF.withColumn("_itype",
+      when(maxF === 0, iceType(sa)).otherwise(argmaxPlus1))
+    (0 to 3).foldLeft(withT) { (d, k) =>
+      d.withColumn(s"r$k",
+        when(ct < minCt, if (k == 0) 1 else 0)
+          .otherwise(when(col("_itype") === k, 1).otherwise(0)))
+    }.drop("_f0", "_f1", "_f2", "_itype")
   }
 
   /** One-hot continuous encoding (F10), `hot_encoding_utils.py:98-145`.

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Raster-grid operators over long-format pixel tables
   * (`scene, line:int, sample:int, value…`).
@@ -16,14 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object GridOps {
 
-  /** Rows to keep along one axis after numpy `a[::step]` + ragged trim
-    * (`archive.py:40-48`): slice keeps ceil(extent/step) indices; if that
-    * count is not divisible by `step` the last kept index is dropped.
+  /** Kept index counts per axis after numpy `a[::step, ::step]` + ragged
+    * trim (`archive.py:40-48`): the slice keeps ceil(extent/step) indices
+    * per axis; then — gated on the LINE axis count only — `array[:-1,:-1]`
+    * drops the last kept index of BOTH axes iff the line-axis count is not
+    * divisible by `step`. (The reference checks `shape[0] % step` alone;
+    * trimming each axis on its own count diverges whenever exactly one
+    * axis is ragged — VERDICT r1 #3.)
     * Golden: 5×5 step 2 keeps indices {0,2} (`tests/test_archive.py:36-44`).
     */
-  private def keptCount(extent: Column, step: Int): Column = {
-    val sliced = ceil(extent.cast("double") / step).cast("long")
-    when(sliced % step =!= 0, sliced - 1).otherwise(sliced)
+  private def keptCounts(extentL: Column, extentS: Column,
+                         step: Int): (Column, Column) = {
+    val sl = ceil(extentL.cast("double") / step).cast("long")
+    val ss = ceil(extentS.cast("double") / step).cast("long")
+    val ragged = sl % step =!= 0
+    (when(ragged, sl - 1).otherwise(sl), when(ragged, ss - 1).otherwise(ss))
   }
 
   /** W2 — decimating resize: keep every `step`-th row/col, re-index by
@@ -35,9 +43,9 @@ object GridOps {
                line: String = "line", sample: String = "sample"): DataFrame = {
     if (step == 1) return df
     val l = col(line); val s = col(sample)
+    val (kl, ks) = keptCounts(extentL, extentS, step)
     df.filter(l % step === 0 && s % step === 0 &&
-        l / step < keptCount(extentL, step) &&
-        s / step < keptCount(extentS, step))
+        l / step < kl && s / step < ks)
       .withColumn(line, (l / step).cast("int"))
       .withColumn(sample, (s / step).cast("int"))
   }
@@ -59,12 +67,16 @@ object GridOps {
       .filterNot(c => c == line || c == sample || valueCols.contains(c))
       .map(col)
     val l = col(line); val s = col(sample)
-    df.filter(l / step < keptCount(extentL, step) &&
-              s / step < keptCount(extentS, step))
+    val (kl, ks) = keptCounts(extentL, extentS, step)
+    // Decimal-sum/count mean (not plain double avg): partial-agg order
+    // must not skew the result, matching the fp-order convention in
+    // graft.queries.Q (sqlAvg scale 6) so oracle hashes stay bit-exact.
+    def dmean(c: String) =
+      (sum(col(c).cast(DecimalType(18, 6))).cast("double") / count(lit(1))).as(c)
+    df.filter(l / step < kl && s / step < ks)
       .groupBy(groupKeys ++ Seq(
         (l / step).cast("int").as(line), (s / step).cast("int").as(sample)): _*)
-      .agg(avg(valueCols.head).as(valueCols.head),
-           valueCols.tail.map(c => avg(c).as(c)): _*)
+      .agg(dmean(valueCols.head), valueCols.tail.map(dmean): _*)
   }
 
   /** W4 — block any-true downsample for boolean masks

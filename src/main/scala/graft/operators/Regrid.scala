@@ -33,9 +33,8 @@ object Regrid {
   def targetAxis(scenes: DataFrame, extent: Column, step: Int,
                  sceneCol: String = "scene", out: String = "pos"): DataFrame =
     scenes.select(col(sceneCol), extent.as("_e"))
-      .withColumn(out,
-        explode(sequence(lit(step / 2), col("_e") - 1, lit(step))).cast("double"))
-      .drop("_e")
+      .withColumn("_p", explode(sequence(lit(step / 2), col("_e") - 1, lit(step))))
+      .select(col(sceneCol), col("_p").cast("double").as(out))
 
   /** Axis nodes (scene, pos ascending) → covering intervals
     * (scene, idx, lo, hi, cover_lo, cover_hi): interval idx spans

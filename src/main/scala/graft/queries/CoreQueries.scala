@@ -80,7 +80,7 @@ object CoreQueries {
         FROM g, k
         WHERE line % 3 = 0 AND sample % 3 = 0
           AND line//3 < (CASE WHEN sl % 3 <> 0 THEN sl - 1 ELSE sl END)
-          AND sample//3 < (CASE WHEN ss % 3 <> 0 THEN ss - 1 ELSE ss END)""")),
+          AND sample//3 < (CASE WHEN sl % 3 <> 0 THEN ss - 1 ELSE ss END)""")),
 
     // W3/A1 — box-mean downsample, step 4: partial+final hash agg keyed by
     // (block) — scales with output cells.
@@ -99,7 +99,7 @@ object CoreQueries {
                ${sqlAvg("value")} AS mean_value
         FROM g, k
         WHERE line//4 < (CASE WHEN sl % 4 <> 0 THEN sl - 1 ELSE sl END)
-          AND sample//4 < (CASE WHEN ss % 4 <> 0 THEN ss - 1 ELSE ss END)
+          AND sample//4 < (CASE WHEN sl % 4 <> 0 THEN ss - 1 ELSE ss END)
         GROUP BY line//4, sample//4""")),
 
     // W4/A2 — block any-true mask downsample (bool_or ≡ max over 0/1).

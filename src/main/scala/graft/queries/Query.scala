@@ -20,8 +20,13 @@ final case class Query(build: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
 
 object Q {
-  /** Exact engine-independent sum of a double column (via decimal). */
-  def dsum(c: Column, scale: Int = 2): Column =
+  /** Exact engine-independent sum of a double column (via decimal).
+    * Default scale 4: TPC-H money columns carry 2 decimals, so products of
+    * two of them (price × (1-discount)) carry exactly 4 — scale 4 makes
+    * the per-row decimal cast exact, where scale 2 forced a double→decimal
+    * ROUNDING that Spark (HALF_UP) and DuckDB (half-even) disagree on for
+    * .xx5 boundary products (VERDICT r1 #2: q01/q02 hash mismatch). */
+  def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** Exact engine-independent mean (decimal sum / count). */
@@ -29,7 +34,7 @@ object Q {
     dsum(c, scale) / count(lit(1))
 
   /** SQL fragment mirroring [[dsum]]. */
-  def sqlSum(expr: String, scale: Int = 2): String =
+  def sqlSum(expr: String, scale: Int = 4): String =
     s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
 
   /** SQL fragment mirroring [[davg]]. */
