@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, LlmQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{CoreQueries, PipelineQueries}
 object SparkEntry {
 
   private def registry: Map[String, graft.queries.Query] =
-    CoreQueries.all ++ PipelineQueries.all
+    CoreQueries.all ++ PipelineQueries.all ++ LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Dimension-decode join + aggregation — the J1 broadcast-hash-join core

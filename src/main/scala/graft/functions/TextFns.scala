@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable text primitives for the LLM-data-pipeline operators
+  * (dedup, near-dup, fingerprinting, text stats — builder brief; design
+  * rationale in SURVEY.md §7.2 step 11).
+  *
+  * Every primitive here has a DuckDB SQL mirror (the `sql*` members) that
+  * is bit-identical to the Spark column expression, so the driver's
+  * DuckDB-oracle gate can verify the full chain:
+  *
+  *  - hashing goes through md5 (identical hex output on both engines) and
+  *    parses a 15-hex-digit prefix into a 60-bit non-negative long —
+  *    avoiding Spark's murmur `hash`/`xxhash64` and DuckDB's `hash`,
+  *    which are different algorithms;
+  *  - MinHash permutations are `(a·h + b) mod P` with `P = 2^31-1` and
+  *    `a,b < P` generated once in Scala and interpolated into BOTH the
+  *    Spark plan and the SQL text — products stay < 2^62 (no overflow);
+  *  - double accumulation is a LEFT FOLD on both sides (Spark `aggregate`
+  *    with 0.0 init vs DuckDB `list_reduce`; `0.0 + v == v` exactly in
+  *    IEEE, so the two fold shapes agree bit-for-bit).
+  *
+  * All of it is per-row column work (whole-stage codegen, no UDFs, no
+  * shuffles) — at 100 TB the only shuffles in the dedup/similarity
+  * pipelines are the band-bucket joins downstream.
+  */
+object TextFns {
+
+  /** Modulus for MinHash permutations: the Mersenne prime 2^31-1. */
+  val HashMod: Long = 2147483647L
+
+  // ---------------------------------------------------------------- hash
+
+  /** 60-bit portable hash: value of the first 15 hex digits of md5. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def sqlHash60(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** [[hash60]] reduced mod P — the MinHash base hash. */
+  def hashMod(c: Column): Column = hash60(c) % HashMod
+
+  def sqlHashMod(x: String): String = s"(${sqlHash60(x)} % $HashMod)"
+
+  // ------------------------------------------------------------- tokens
+
+  /** Whitespace tokenization (reference-free; mirrors the usual LLM-prep
+    * `text.split()` convention). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def sqlTokens(x: String): String =
+    s"string_split_regex(trim($x), '\\s+')"
+
+  /** Token n-gram shingles as strings ("tok1 tok2 tok3"). Empty array when
+    * the doc has fewer than n tokens (guards sequence() against negative
+    * spans). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  def sqlShingles(toksExpr: String, n: Int): String =
+    s"""list_transform(range(0, greatest(len($toksExpr) - ${n - 1}, 0)),
+        i -> array_to_string(list_slice($toksExpr, i + 1, i + $n), ' '))"""
+
+  /** Shingle hashes mod P (the MinHash input universe). */
+  def shingleHashes(toks: Column, n: Int): Column =
+    transform(shingles(toks, n), s => hash60(s) % HashMod)
+
+  def sqlShingleHashes(toksExpr: String, n: Int): String =
+    s"""list_transform(${sqlShingles(toksExpr, n)}, s -> ${sqlHashMod("s")})"""
+
+  // ------------------------------------------------------------ minhash
+
+  /** Deterministic permutation constants (a_i odd-ish, b_i arbitrary, both
+    * in [1, P)). Generated once here; interpolated into SQL by the query
+    * layer so both engines share the exact numbers. */
+  def permA(i: Int): Long = ((2L * i + 1) * 1299721L + 15485863L) % HashMod
+  def permB(i: Int): Long = ((i + 1L) * 7919L * 104729L + 32452843L) % HashMod
+
+  /** MinHash signature: array of numHashes minima of permuted shingle
+    * hashes. Null-free input required (caller filters empty docs). */
+  def minhashSignature(shingleHs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleHs,
+        h => (lit(permA(i)) * h + lit(permB(i))) % HashMod))
+    }: _*)
+
+  def sqlMinhashSignature(hsExpr: String, numHashes: Int): String =
+    (0 until numHashes).map { i =>
+      s"""list_aggregate(list_transform($hsExpr,
+          h -> (${permA(i)} * h + ${permB(i)}) % $HashMod), 'min')"""
+    }.mkString("[", ", ", "]")
+
+  // ------------------------------------------------------------ simhash
+
+  /** 32-bit SimHash over a precomputed token-hash array column: bit j is
+    * set iff the signed count of hashes with bit j set exceeds the count
+    * of those without. Pure per-row integer folds (32 of them, unrolled at
+    * plan-build time so the bit masks are literals — Spark's shift
+    * functions only take literal counts). */
+  def simhash32(hs: Column): Column =
+    (0 until 32).map { j =>
+      val mask = 1L << j
+      when(aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(h.bitwiseAND(lit(mask)) =!= 0, 1L).otherwise(-1L)) > 0,
+        lit(mask)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def sqlSimhash32(hsExpr: String): String =
+    (0 until 32).map { j =>
+      val mask = 1L << j
+      s"""CASE WHEN list_sum(list_transform($hsExpr,
+          h -> CASE WHEN (h & $mask) <> 0 THEN 1 ELSE -1 END)) > 0
+          THEN $mask ELSE 0 END"""
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
+
+  // -------------------------------------------------------- fingerprint
+
+  /** Winnowing document fingerprint: min shingle-hash per sliding window
+    * of w consecutive shingle positions, deduplicated and sorted. The
+    * classic Schleimer/Wilkerson/Aiken scheme, per-row. */
+  def winnow(shingleHs: Column, w: Int): Column =
+    when(size(shingleHs) >= w,
+      array_sort(array_distinct(
+        transform(sequence(lit(0), size(shingleHs) - w),
+          i => array_min(slice(shingleHs, i + 1, lit(w)))))))
+      .otherwise(when(size(shingleHs) > 0,
+        array(array_min(shingleHs))).otherwise(array().cast("array<bigint>")))
+
+  def sqlWinnow(hsExpr: String, w: Int): String =
+    s"""CASE WHEN len($hsExpr) >= $w THEN
+          list_sort(list_distinct(list_transform(range(0, len($hsExpr) - ${w - 1}),
+            i -> list_aggregate(list_slice($hsExpr, i + 1, i + $w), 'min'))))
+        WHEN len($hsExpr) > 0 THEN [list_aggregate($hsExpr, 'min')]
+        ELSE [] END"""
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deduplication operators for LLM training-data prep (builder brief;
+  * SURVEY.md §7.2 step 11): exact, MinHash-LSH banded near-dup, SimHash,
+  * and n-gram Jaccard — all as declarative DataFrame transforms.
+  *
+  * 100 TB design notes:
+  *  - exact dedup is ONE hash-shuffle keyed on the content digest (never
+  *    `dropDuplicates()` on raw text — the digest is 32 bytes, the text
+  *    can be megabytes; shuffle the digest, not the document);
+  *  - MinHash-LSH joins only WITHIN band buckets — the shuffle key is
+  *    (band_idx, band_key), so candidate generation is linear in corpus
+  *    size plus the (small) bucket-pair blow-up; all-pairs O(n²) never
+  *    happens. Bucket skew (a degenerate band key shared by a huge doc
+  *    cluster) is handled by AQE skew-join splitting; at 16 hashes / 4
+  *    bands the collision probability for Jaccard-s pairs is
+  *    1-(1-s⁴)⁴ (s=0.5 → 23%, s=0.8 → 87%, s=0.95 → 99.8%);
+  *  - signatures/simhashes are per-row column folds (codegen'd, no UDF) —
+  *    computed in the scan stage, map-side.
+  */
+object Dedup {
+
+  /** Exact dedup via content-digest group: one row per distinct key with
+    * the keeper (min id) and the duplicate count. `key` defaults to the
+    * md5 of the normalized token-set, which also catches order/whitespace
+    * permutations of the same bag of words. */
+  def exactGroups(docs: DataFrame, idCol: Column, key: Column): DataFrame =
+    docs.groupBy(key.as("dup_key"))
+      .agg(min(idCol).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  /** Canonical content key: md5 over the sorted distinct token set. */
+  def contentKey(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(TextFns.tokens(text)))))
+
+  /** Per-doc MinHash signature frame: (id, sig array<long>). Docs with no
+    * shingles (shorter than the shingle width) are dropped — they cannot
+    * participate in near-dup detection. */
+  def minhashSignatures(docs: DataFrame, idCol: Column, text: Column,
+                        shingleN: Int, numHashes: Int): DataFrame =
+    docs.select(idCol.as("doc_id"),
+        TextFns.shingleHashes(TextFns.tokens(text), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        TextFns.minhashSignature(col("hs"), numHashes).as("sig"))
+
+  /** Banded-LSH candidate pairs (doc_a < doc_b, distinct): explode each
+    * signature into `numBands` band keys and self-join per bucket. The
+    * join is equi on (band, band_key) — hash-partitioned, never all-pairs. */
+  def lshCandidatePairs(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until numBands).map { b =>
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+      }: _*)).as(Seq("band", "band_key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for a pair frame (doc_a, doc_b) given per-doc
+    * distinct shingle sets (id, shset). Intersection/union sizes are
+    * integers; the ratio is an exact small-int division — engine-portable. */
+  def jaccardVerify(pairs: DataFrame, shingleSets: DataFrame): DataFrame =
+    pairs
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), "doc_a")
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_union", size(col("sa")) + size(col("sb")) - col("n_common"))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union"))
+      .drop("sa", "sb")
+
+  /** Per-doc distinct shingle sets (id, shset). */
+  def shingleSets(docs: DataFrame, idCol: Column, text: Column, shingleN: Int): DataFrame =
+    docs.select(idCol.as("doc_id"),
+      array_distinct(TextFns.shingles(TextFns.tokens(text), shingleN)).as("shset"))
+
+  /** Per-doc 32-bit SimHash (id, simhash). Near-dup pairs are then found
+    * by banding the simhash bits (e.g. 4 bytes → 4 sub-keys) — same LSH
+    * join shape as MinHash; hamming distance ≤ 3 pairs share ≥1 byte. */
+  def simhashes(docs: DataFrame, idCol: Column, text: Column): DataFrame =
+    docs.select(idCol.as("doc_id"),
+        transform(TextFns.tokens(text), t => TextFns.hash60(t)).as("hs"))
+      .select(col("doc_id"), TextFns.simhash32(col("hs")).as("simhash"))
+}

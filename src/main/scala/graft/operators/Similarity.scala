@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Embedding similarity search (builder brief; SURVEY.md §7.2 step 11):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane-LSH bucketed variant as the 100 TB scale path.
+  *
+  * Scale notes:
+  *  - the probe set is broadcast (it is small by construction); the corpus
+  *    side is NEVER shuffled for brute force — each corpus partition
+  *    scores its rows against the broadcast probes map-side, and only the
+  *    per-probe top-k survive into the (tiny) final shuffle. The rank
+  *    window partitions by probe id, so there is no global sort;
+  *  - the LSH variant buckets corpus AND probes by an 8-bit hyperplane
+  *    sign signature: the join is equi on the bucket id (256 buckets →
+  *    ~n/256 candidates per probe instead of n). Recall is tuned by the
+  *    number of planes (fewer planes → bigger buckets → higher recall);
+  *    multi-probe (flipping low-margin bits) is the standard extension;
+  *  - all dot products are per-row left folds in double precision
+  *    (engine-portable, codegen'd, no UDF).
+  */
+object Similarity {
+
+  /** Left-fold double dot product of two float array columns. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def sqlDotD(a: String, b: String, dim: Int): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+        i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"""
+
+  /** Cosine similarity in double precision: dot / sqrt(|a|²·|b|²). */
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / sqrt(dotD(a, a) * dotD(b, b))
+
+  def sqlCosine(a: String, b: String, dim: Int): String =
+    s"(${sqlDotD(a, b, dim)} / sqrt(${sqlDotD(a, a, dim)} * ${sqlDotD(b, b, dim)}))"
+
+  /** Brute-force cosine top-k: for each probe row, the k nearest corpus
+    * rows (excluding self), ranked (cos desc, id asc) for determinism. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .join(broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))),
+        col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        cosine(col("pe"), col("ce")).as("cos"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for plane p, dim j:
+    * integer in [-504, 504], identical on both engines. */
+  def planeWeight(p: Int, j: Column): Column =
+    (lit(planeA(p)) * (j + 1) + lit(planeB(p))) % 1009 - 504
+
+  def planeA(p: Int): Long = 2L * p * 104729L + 15485867L
+  def planeB(p: Int): Long = (p + 1L) * 7927L
+
+  /** 8-bit hyperplane-sign bucket id for an embedding column. */
+  def lshBucket(emb: Column, numPlanes: Int, dim: Int): Column =
+    (0 until numPlanes).map { p =>
+      val dot = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, j) => acc + element_at(emb, j + 1).cast("double") * planeWeight(p, j).cast("double"))
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def sqlLshBucket(emb: String, numPlanes: Int, dim: Int): String =
+    (0 until numPlanes).map { p =>
+      val dot = s"""list_reduce(list_transform(range(0, $dim),
+          j -> $emb[j + 1]::DOUBLE * (((${planeA(p)} * (j + 1) + ${planeB(p)}) % 1009 - 504))::DOUBLE),
+          (x, y) -> x + y)"""
+      s"CASE WHEN $dot > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
+
+  /** Bucketed ANN: probes join corpus within their hyperplane bucket only,
+    * then exact cosine ranks the (small) candidate set. The scale path:
+    * the join key is the bucket id, so the corpus shuffles once by bucket
+    * and each probe touches ~n/2^planes rows. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              numPlanes: Int, dim: Int): DataFrame = {
+    val cb = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+    val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+    cb.join(broadcast(pb), Seq("bucket"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("bucket"), col("cand_id"),
+        cosine(col("pe"), col("ce")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rk") <= k)
+  }
+}

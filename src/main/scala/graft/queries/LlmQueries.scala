@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{Dedup, Multimodal, Similarity}
+import TextFns._
+
+/** Driver-contract queries for the LLM-data-pipeline operator family
+  * (builder brief; SURVEY.md §7.2 step 11): dedup (exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard), embedding similarity (brute force + LSH
+  * ANN), text analysis (stats, language ID, winnowing fingerprints) and
+  * multimodal binary plumbing — each with a bit-exact DuckDB oracle
+  * (shared constants are interpolated into both sides from one Scala
+  * value; see [[graft.functions.TextFns]] for the parity rules).
+  */
+object LlmQueries {
+
+  private val ShingleN = 3
+  private val NumHashes = 16
+  private val NumBands = 4
+  private val RowsPerBand = 4
+  private val WinnowW = 5
+  private val TopK = 5
+  private val Dim = 64
+  private val NumPlanes = 8
+
+  /** Language keyword profiles (first-max order is the tie-break). */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value", "query", "fast"),
+    "de" -> Seq("window", "batch", "group", "merge"),
+    "fr" -> Seq("table", "join", "line", "sort"),
+    "es" -> Seq("data", "row", "stream", "filter"),
+    "zh" -> Seq("spark", "scan", "big", "small"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+
+  private val sqlToks = sqlTokens("text")
+
+  val all: Map[String, Query] = Map(
+
+    // ---- exact dedup: ONE shuffle keyed on the 32-byte content digest,
+    // never on the text itself (the 100 TB rule: shuffle digests, not
+    // documents). Catches word-order/whitespace permutations too.
+    "q24_exact_dedup" -> Query(
+      (s, dir) => Dedup.exactGroups(docs(s, dir), col("doc_id"),
+          Dedup.contentKey(col("text")))
+        .select(col("dup_key"), col("keeper_id"), col("n_docs")),
+      Some(s"""SELECT md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS dup_key,
+          min(doc_id) AS keeper_id, count(*) AS n_docs
+        FROM documents
+        GROUP BY 1""")),
+
+    // ---- MinHash-LSH near-dup: banded signatures, join only within
+    // (band, band_key) buckets, then exact shingle-set Jaccard on the
+    // candidates. 16 hashes / 4 bands / 4 rows.
+    "q25_minhash_lsh" -> Query(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sigs = Dedup.minhashSignatures(d, col("doc_id"), col("text"),
+          ShingleN, NumHashes)
+        val pairs = Dedup.lshCandidatePairs(sigs, NumBands, RowsPerBand)
+        val sets = Dedup.shingleSets(d, col("doc_id"), col("text"), ShingleN)
+        Dedup.jaccardVerify(pairs, sets)
+          .select(col("doc_a"), col("doc_b"),
+            col("n_common").cast("long").as("n_common"),
+            col("n_union").cast("long").as("n_union"), col("jaccard"))
+      },
+      Some {
+        val hs = sqlShingleHashes("toks", ShingleN)
+        val bandSelects = (0 until NumBands).map { b =>
+          val key = (0 until RowsPerBand)
+            .map(r => s"CAST(sig[${b * RowsPerBand + r + 1}] AS VARCHAR)")
+            .mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $key AS band_key FROM s"
+        }.mkString(" UNION ALL ")
+        s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          h AS (SELECT doc_id, $hs AS hs FROM t),
+          s AS (SELECT doc_id, ${sqlMinhashSignature("hs", NumHashes)} AS sig
+                FROM h WHERE len(hs) > 0),
+          bands AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id),
+          sets AS (SELECT doc_id, list_distinct(${sqlShingles("toks", ShingleN)}) AS shset
+                   FROM t)
+          SELECT doc_a, doc_b,
+            CAST(len(list_intersect(sa.shset, sb.shset)) AS BIGINT) AS n_common,
+            CAST(len(sa.shset) + len(sb.shset)
+                 - len(list_intersect(sa.shset, sb.shset)) AS BIGINT) AS n_union,
+            len(list_intersect(sa.shset, sb.shset))::DOUBLE
+              / (len(sa.shset) + len(sb.shset)
+                 - len(list_intersect(sa.shset, sb.shset))) AS jaccard
+          FROM pairs JOIN sets sa ON pairs.doc_a = sa.doc_id
+                     JOIN sets sb ON pairs.doc_b = sb.doc_id"""
+      }),
+
+    // ---- SimHash: per-row 32-bit signature (map-side only; near-dup
+    // banding then reuses the LSH join shape on signature bytes).
+    "q26_simhash" -> Query(
+      (s, dir) => Dedup.simhashes(docs(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id"), col("simhash")),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          h AS (SELECT doc_id,
+                  list_transform(toks, t -> ${sqlHash60("t")}) AS hs FROM t)
+          SELECT doc_id, ${sqlSimhash32("hs")} AS simhash FROM h""")),
+
+    // ---- blocked all-pairs n-gram Jaccard: pairs only WITHIN a blocking
+    // key (source) — the quadratic stays bounded per block; cross-block
+    // near-dups are MinHash-LSH's job (q25).
+    "q27_ngram_jaccard" -> Query(
+      (s, dir) => {
+        val sets = docs(s, dir).select(col("doc_id"), col("source"),
+          array_distinct(shingles(tokens(col("text")), 2)).as("shset"))
+        sets.as("a").join(sets.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            size(array_intersect(col("a.shset"), col("b.shset"))).as("ni"),
+            (size(col("a.shset")) + size(col("b.shset"))).as("nab"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("ni").cast("double") / (col("nab") - col("ni"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.05)
+      },
+      Some(s"""WITH sets AS (SELECT doc_id, source,
+            list_distinct(${sqlShingles(sqlToks, 2)}) AS shset FROM documents),
+          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  len(list_intersect(a.shset, b.shset)) AS ni,
+                  len(a.shset) + len(b.shset) AS nab
+                FROM sets a JOIN sets b
+                  ON a.source = b.source AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, ni::DOUBLE / (nab - ni) AS jaccard
+          FROM p WHERE ni::DOUBLE / (nab - ni) >= 0.05""")),
+
+    // ---- brute-force cosine top-k: broadcast probes, map-side scoring,
+    // per-probe rank window (no global sort). The correctness baseline
+    // for q29's bucketed ANN.
+    "q28_cosine_topk" -> Query(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), TopK)
+          .select(col("probe_id"), col("rk").cast("long").as("rk"),
+            col("cand_id"), col("cos"))
+      },
+      Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+                FROM embeddings WHERE vec_id % 100 = 0),
+          scored AS (SELECT probe_id, vec_id AS cand_id,
+                ${Similarity.sqlCosine("pe", "embedding", Dim)} AS cos
+              FROM p, embeddings WHERE vec_id <> probe_id),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
+                FROM scored)
+          SELECT probe_id, rk, cand_id, cos FROM r WHERE rk <= $TopK""")),
+
+    // ---- LSH-bucketed ANN: 8 hyperplane sign bits → 256 buckets; probes
+    // meet only their bucket's corpus rows (~n/256 candidates at scale).
+    "q29_ann_lsh" -> Query(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+            3, NumPlanes, Dim)
+          .select(col("probe_id"), col("bucket"),
+            col("rk").cast("long").as("rk"), col("cand_id"), col("cos"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
+               ${Similarity.sqlLshBucket("embedding", NumPlanes, Dim)} AS bucket
+             FROM embeddings),
+          p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
+                FROM b WHERE vec_id % 100 = 0),
+          cand AS (SELECT p.probe_id, p.bucket, b.vec_id AS cand_id,
+                ${Similarity.sqlCosine("p.pe", "b.embedding", Dim)} AS cos
+              FROM p JOIN b ON p.bucket = b.bucket AND b.vec_id <> p.probe_id),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
+                FROM cand)
+          SELECT probe_id, bucket, rk, cand_id, cos FROM r WHERE rk <= 3""")),
+
+    // ---- text stats + quality score: pure per-row column math; every
+    // ratio is an exact small-int division (engine-portable doubles).
+    "q30_text_stats" -> Query(
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks)
+        val nChars = length(col("text"))
+        val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+        val stop = size(filter(toks, t => t.isin("the", "a", "of", "and")))
+        docs(s, dir).select(
+          col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          nChars.cast("long").as("n_chars_m"),
+          (sumLen.cast("double") / nTok).as("avg_token_len"),
+          (stop.cast("double") / nTok).as("stop_ratio"),
+          (least(nTok, lit(100)).cast("double") / 100
+            + stop.cast("double") / nTok).as("quality"))
+      },
+      Some(s"""SELECT doc_id,
+          CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_m,
+          list_sum(list_transform($sqlToks, t -> length(t)))::DOUBLE
+            / len($sqlToks) AS avg_token_len,
+          len(list_filter($sqlToks, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+            / len($sqlToks) AS stop_ratio,
+          least(len($sqlToks), 100)::DOUBLE / 100
+            + len(list_filter($sqlToks, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+              / len($sqlToks) AS quality
+        FROM documents""")),
+
+    // ---- language ID: keyword-profile scores + first-max argmax. The
+    // profiles are config (Scala literals interpolated into both sides).
+    "q31_langid" -> Query(
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val scores = LangProfiles.map { case (_, words) =>
+          size(filter(toks, t => t.isin(words: _*)))
+        }
+        val best = greatest(scores: _*)
+        // reversed foldLeft of when-chains gives FIRST max in profile order
+        val predFirst = LangProfiles.map(_._1).zip(scores)
+          .reverse
+          .foldLeft(lit(null).cast("string")) { case (acc, (name, sc)) =>
+            when(sc === best, lit(name)).otherwise(acc)
+          }
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          predFirst.as("pred_lang"),
+          (col("lang") === predFirst).cast("long").as("is_match"))
+      },
+      Some {
+        val scoreSql = LangProfiles.map { case (name, words) =>
+          val in = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(toks, t -> t IN ($in))) AS s_$name"
+        }.mkString(", ")
+        val names = LangProfiles.map(_._1)
+        val bestSql = s"greatest(${names.map("s_" + _).mkString(", ")})"
+        val predSql = names.init.foldRight(s"'${names.last}'") { (n, acc) =>
+          s"CASE WHEN s_$n = best THEN '$n' ELSE $acc END"
+        }
+        s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+          sc AS (SELECT doc_id, lang, $scoreSql FROM t),
+          b AS (SELECT *, $bestSql AS best FROM sc)
+          SELECT doc_id, lang, $predSql AS pred_lang,
+            CAST(CASE WHEN lang = $predSql THEN 1 ELSE 0 END AS BIGINT) AS is_match
+          FROM b"""
+      }),
+
+    // ---- winnowing fingerprints: min shingle-hash per sliding window,
+    // deduped + sorted — per-row, zero shuffle; downstream near-dup =
+    // explode(fps) + self-join on fp (same banded-join shape as LSH).
+    "q32_fingerprint" -> Query(
+      (s, dir) => {
+        val hs = shingleHashes(tokens(col("text")), ShingleN)
+        docs(s, dir).select(col("doc_id"), winnow(hs, WinnowW).as("fps"))
+          .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"), col("fps"))
+      },
+      Some {
+        val hs = sqlShingleHashes("toks", ShingleN)
+        s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          h AS (SELECT doc_id, $hs AS hs FROM t),
+          w AS (SELECT doc_id, ${sqlWinnow("hs", WinnowW)} AS fps FROM h)
+          SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, fps FROM w"""
+      }),
+
+    // ---- multimodal binary plumbing: payload as opaque bytes + typed
+    // metadata; digest, header probe, and strided byte sampling all stay
+    // in codegen. (The imperative decode stub lives in
+    // operators/Multimodal.decodeFeatures, pinned by MultimodalSpec.)
+    "q33_multimodal" -> Query(
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(docs(s, dir))
+        media.select(
+          col("media_id"),
+          col("meta.width").cast("long").as("width"),
+          length(col("payload")).cast("long").as("byte_len"),
+          sha2(col("payload"), 256).as("digest"),
+          lower(hex(substring(col("payload"), 1, 8))).as("header"),
+          expr("concat_ws('', transform(sequence(0, CAST((length(payload)-1)/16 AS INT)), " +
+            "i -> substr(CAST(payload AS STRING), i*16+1, 1)))").as("thumb"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(n_chars AS BIGINT) AS width,
+          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          sha256(text) AS digest,
+          lower(hex(encode(substr(text, 1, 8)))) AS header,
+          array_to_string(list_transform(range(0, (length(text) - 1) // 16 + 1),
+            i -> substr(text, CAST(i * 16 + 1 AS BIGINT), 1)), '') AS thumb
+        FROM documents"""))
+  )
+}
