@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   * All of it is per-row column work (whole-stage codegen, no UDFs, no
   * shuffles) — at 100 TB the only shuffles in the dedup/similarity
   * pipelines are the band-bucket joins downstream.
+  *
+  * PERFORMANCE CONTRACT: pass ATTRIBUTE columns (staged through a
+  * `select(... .as("toks"))` projection), not expression trees, into the
+  * array-consuming functions here. Spark's higher-order functions are
+  * interpreted and re-evaluate any expression subtree embedded in a
+  * lambda once per array element; an attribute reference is a O(1)
+  * bound-reference lookup, and CollapseProject will not inline an
+  * expensive alias that is referenced more than once. Violating this
+  * turns a linear winnow into O(n²) md5 evaluations (measured 242 s vs
+  * 1.5 s at sf0.1 — see Dedup.minhashSignatures / q32).
   */
 object TextFns {
 
@@ -82,14 +92,10 @@ object TextFns {
   def permA(i: Int): Long = ((2L * i + 1) * 1299721L + 15485863L) % HashMod
   def permB(i: Int): Long = ((i + 1L) * 7919L * 104729L + 32452843L) % HashMod
 
-  /** MinHash signature: array of numHashes minima of permuted shingle
-    * hashes. Null-free input required (caller filters empty docs). */
-  def minhashSignature(shingleHs: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleHs,
-        h => (lit(permA(i)) * h + lit(permB(i))) % HashMod))
-    }: _*)
-
+  /** DuckDB mirror of the MinHash signature (the Spark side lives in
+    * [[graft.operators.Dedup.minhashSignatures]] as an explode+min-agg —
+    * see the scale note there; the per-row fold form is only efficient in
+    * the oracle, which evaluates each list once). */
   def sqlMinhashSignature(hsExpr: String, numHashes: Int): String =
     (0 until numHashes).map { i =>
       s"""list_aggregate(list_transform($hsExpr,
@@ -98,18 +104,23 @@ object TextFns {
 
   // ------------------------------------------------------------ simhash
 
-  /** 32-bit SimHash over a precomputed token-hash array column: bit j is
-    * set iff the signed count of hashes with bit j set exceeds the count
-    * of those without. Pure per-row integer folds (32 of them, unrolled at
-    * plan-build time so the bit masks are literals — Spark's shift
-    * functions only take literal counts). */
-  def simhash32(hs: Column): Column =
-    (0 until 32).map { j =>
-      val mask = 1L << j
-      when(aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(h.bitwiseAND(lit(mask)) =!= 0, 1L).otherwise(-1L)) > 0,
-        lit(mask)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** 32-bit SimHash over a token-hash array column: bit j is set iff the
+    * signed count of hashes with bit j set exceeds the count of those
+    * without.
+    *
+    * ONE fold over the hash array building a 32-counter vector (then a
+    * tiny fold over the counters): the input column is referenced exactly
+    * once, so Catalyst's projection collapsing cannot duplicate the
+    * upstream tokenize+md5 tree into per-bit copies (32 unrolled folds
+    * would). Per-row and shuffle-free — the right shape at 100 TB. */
+  def simhash32(hs: Column): Column = {
+    val masks = array((0 until 32).map(j => lit(1L << j)): _*)
+    val counts = aggregate(hs, array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)))
+    aggregate(zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+  }
 
   def sqlSimhash32(hsExpr: String): String =
     (0 until 32).map { j =>
@@ -123,14 +134,26 @@ object TextFns {
 
   /** Winnowing document fingerprint: min shingle-hash per sliding window
     * of w consecutive shingle positions, deduplicated and sorted. The
-    * classic Schleimer/Wilkerson/Aiken scheme, per-row. */
-  def winnow(shingleHs: Column, w: Int): Column =
-    when(size(shingleHs) >= w,
-      array_sort(array_distinct(
-        transform(sequence(lit(0), size(shingleHs) - w),
-          i => array_min(slice(shingleHs, i + 1, lit(w)))))))
-      .otherwise(when(size(shingleHs) > 0,
-        array(array_min(shingleHs))).otherwise(array().cast("array<bigint>")))
+    * classic Schleimer/Wilkerson/Aiken scheme, per-row.
+    *
+    * Shape matters: the obvious `transform(sequence(0, n-w), i ->
+    * array_min(slice(hs, i+1, w)))` embeds `hs` INSIDE the lambda, and
+    * interpreted higher-order functions re-evaluate the embedded subtree
+    * per element — O(n²) md5 evaluations per document (measured 242 s at
+    * sf0.1). Instead: element-wise min of the w shifted copies of hs via
+    * a zip_with chain — hs is referenced w+1 times total (per ROW, not
+    * per element), each zip_with is one linear pass. */
+  def winnow(shingleHs: Column, w: Int): Column = {
+    val n = size(shingleHs)
+    val span = n - (w - 1)
+    val chain = (1 until w).foldLeft(slice(shingleHs, lit(1), span)) {
+      (acc, k) => zip_with(acc, slice(shingleHs, lit(k + 1), span),
+        (a, b) => least(a, b))
+    }
+    when(n >= w, array_sort(array_distinct(chain)))
+      .otherwise(when(n > 0, array(array_min(shingleHs)))
+        .otherwise(array().cast("array<bigint>")))
+  }
 
   def sqlWinnow(hsExpr: String, w: Int): String =
     s"""CASE WHEN len($hsExpr) >= $w THEN
