@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Ledger, MLFeed, Regrid}
+
+/** ML-feed, ledger, and regrid semantics
+  * (`/root/reference/asip_v2/utility.py:167-179`,
+  * `data_generator.py:20-35`, `archive.py:180-203,250-263`). */
+class MLFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactSplit: exact head/tail sizes, not Bernoulli (utility.py:167-179)") {
+    val df = (1 to 10).toDF("id")
+    val out = MLFeed.exactSplit(df, Seq(MLFeed.permuteKey(col("id")), col("id")), 0.7)
+    val sizes = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes("train") shouldBe 7
+    sizes("valid") shouldBe 3
+  }
+
+  test("scale-safe global rank matches the single-window formulation") {
+    val df = (1 to 500).map(i => (i * 37) % 501).toDF("k")
+    val viaOp = MLFeed.batchIds(df, Seq(col("k")), 100)
+    val viaWindow = df
+      .withColumn("_r", row_number().over(Window.orderBy(col("k"))) - 1)
+      .withColumn("batch_id", (col("_r") / 100).cast("long"))
+      .filter(col("batch_id") < 5).drop("_r")
+    viaOp.exceptAll(viaWindow).count() shouldBe 0
+    viaWindow.exceptAll(viaOp).count() shouldBe 0
+  }
+
+  test("no single-partition exchange in the global-rank plan (VERDICT r1 perf)") {
+    val df = (1 to 100).toDF("k")
+    val plan = MLFeed.batchIds(df, Seq(col("k")), 10)
+      .queryExecution.executedPlan.toString
+    // the data-bearing path must flow through a range-partitioned
+    // exchange (distributed sort), and the row-bearing window must be
+    // keyed by partition id — never a global (empty-key) window
+    plan should include("rangepartitioning")
+    plan should include("windowspecdefinition(_pid")
+  }
+
+  test("batchIds drops the ragged tail (data_generator.py:20-35)") {
+    val df = (1 to 25).toDF("id")
+    val out = MLFeed.batchIds(df, Seq(col("id")), 10)
+    out.count() shouldBe 20 // floor(25/10) = 2 batches
+    out.groupBy("batch_id").count().select("count").as[Long]
+      .collect().toSet shouldBe Set(10L)
+  }
+
+  test("epoch shuffle keys differ across epochs but are reproducible") {
+    val df = (1 to 20).toDF("id")
+    def order(e: Int) = df
+      .orderBy(MLFeed.epochShuffleKey(col("id"), e), col("id"))
+      .select("id").as[Int].collect().toSeq
+    order(0) should not be order(1)
+    order(1) shouldBe order(1)
+  }
+
+  test("dayOfYearFilter: days-since-Jan-1 bounds inclusive (train_model.py:69-81)") {
+    val df = Seq("2020-01-01", "2020-01-31", "2020-02-01", "2020-03-01")
+      .toDF("d").select(to_date(col("d")).as("d"))
+    // doy-1 in [0, 30]: Jan 1 (0) .. Jan 31 (30); Feb 1 is 31 -> out
+    MLFeed.dayOfYearFilter(df, "d", 0, 30).count() shouldBe 2
+  }
+
+  test("ledger: unprocessed = dir \\ ledger; append is idempotent (archive.py:180-203)") {
+    val candidates = Seq("a", "b", "c", "d").toDF("name")
+    val ledger = Seq("b", "d").toDF("name")
+    Ledger.unprocessed(candidates, ledger, Seq("name"))
+      .as[String].collect().sorted shouldBe Array("a", "c")
+    val appended = Ledger.appendProcessed(ledger, Seq("a", "b").toDF("name"), Seq("name"))
+    appended.as[String].collect().sorted shouldBe Array("a", "b", "d")
+  }
+
+  test("regrid bilinear: interior interpolation + linear extrapolation (archive.py:250-263)") {
+    // source grid: values v(l, s) = 10*l + s at positions {0, 10} x {0, 10}
+    val src = Seq(
+      ("s0", 0.0, 0.0, 0.0), ("s0", 0.0, 10.0, 10.0),
+      ("s0", 10.0, 0.0, 100.0), ("s0", 10.0, 10.0, 110.0)
+    ).toDF("scene", "line", "sample", "value")
+    val tl = Seq(("s0", 5.0), ("s0", 15.0)).toDF("scene", "pos")
+    val ts = Seq(("s0", 2.0), ("s0", -3.0)).toDF("scene", "pos")
+    val out = Regrid.bilinear(src, tl, ts)
+      .collect().map(r => ((r.getDouble(1), r.getDouble(2)), r.getDouble(3))).toMap
+    // linear field -> exact everywhere, including beyond the hull
+    out((5.0, 2.0)) shouldBe 52.0 +- 1e-9
+    out((5.0, -3.0)) shouldBe 47.0 +- 1e-9   // extrapolated sample
+    out((15.0, 2.0)) shouldBe 152.0 +- 1e-9  // extrapolated line
+    out((15.0, -3.0)) shouldBe 147.0 +- 1e-9 // both axes extrapolated
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** LLM-data-pipeline operators: portable hashing, MinHash/SimHash/
+  * winnowing determinism, dedup + similarity semantics. Expected values
+  * are computed independently in plain Scala (MessageDigest md5) — the
+  * same derivation the DuckDB oracle uses, so these tests pin the
+  * cross-engine contract. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reimplementation of TextFns.hash60. */
+  private def h60(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("hash60 matches an independent md5-prefix derivation") {
+    val words = Seq("hello", "spark table join", "a", "")
+    val got = words.toDF("s").select(TextFns.hash60(col("s")).as("h"))
+      .as[Long].collect()
+    got shouldBe words.map(h60).toArray
+  }
+
+  test("tokens + shingles: 'a b c d' -> 3-gram shingles [a b c, b c d]") {
+    val out = Seq("  a b  c d ").toDF("text")
+      .select(TextFns.shingles(TextFns.tokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].head()
+    out shouldBe Seq("a b c", "b c d")
+  }
+
+  test("shingles: doc shorter than n yields empty array") {
+    Seq("a b").toDF("text")
+      .select(TextFns.shingles(TextFns.tokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].head() shouldBe Seq.empty
+  }
+
+  test("minhashSignatures equals brute-force min over permuted shingle hashes") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "x y z w v")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def expected(text: String): Seq[Long] = {
+      val toks = text.trim.split("\\s+")
+      val hs = toks.sliding(3).map(_.mkString(" ")).map(h60(_) % TextFns.HashMod).toSeq
+      (0 until 4).map(i => hs.map(h =>
+        (TextFns.permA(i) * h + TextFns.permB(i)) % TextFns.HashMod).min)
+    }
+    sigs(1L) shouldBe expected("a b c d e f")
+    sigs(2L) shouldBe expected("x y z w v")
+  }
+
+  test("exactGroups: bag-of-words permutations share a dup_key") {
+    val docs = Seq((1L, "spark is fast"), (2L, "fast is spark"),
+      (3L, "fast is  spark "), (4L, "something else"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs, col("doc_id"), Dedup.contentKey(col("text")))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    groups.toSet shouldBe Set((1L, 3L), (4L, 1L)) // keeper 1 w/ 3 dups; keeper 4 alone
+  }
+
+  test("LSH candidate pairs: identical docs always collide; disjoint docs never") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "completely different words with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 3, 16)
+    val pairs = Dedup.lshCandidatePairs(sigs, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+  }
+
+  test("jaccardVerify: identical docs -> 1.0; half-overlap computed exactly") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"))
+      .toDF("doc_id", "text")
+    val sets = Dedup.shingleSets(docs, col("doc_id"), col("text"), 2)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.jaccardVerify(pairs, sets)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    out((1L, 2L)) shouldBe 1.0
+    // 2-gram sets {ab,bc,cd} vs {ab,bc,ce}: 2 common, 4 union
+    out((1L, 3L)) shouldBe 0.5
+  }
+
+  test("simhash: single-token doc -> low 32 bits of the token hash") {
+    val out = Dedup.simhashes(Seq((1L, "hello")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).as[(Long, Long)].head()
+    out._2 shouldBe (h60("hello") & 0xffffffffL)
+  }
+
+  test("simhash: near-identical docs agree on most bits, disjoint docs do not") {
+    val docs = Seq(
+      (1L, "spark query engine with fast joins and aggregation pipelines"),
+      (2L, "spark query engine with fast joins and aggregation pipeline"),
+      (3L, "zebra yak xylophone wombat vulture unicorn tapir snake rabbit"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhashes(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    hamming(sh(1L), sh(2L)) should be < hamming(sh(1L), sh(3L))
+  }
+
+  test("winnow: hand-computed window minima, deduped + sorted") {
+    // hs = [5, 3, 9, 1, 7], w = 3 -> window mins [3, 1, 1] -> [1, 3]
+    val hs = Seq((1L, Seq(5L, 3L, 9L, 1L, 7L))).toDF("id", "hs")
+    hs.select(TextFns.winnow(col("hs"), 3).as("fps"))
+      .as[Seq[Long]].head() shouldBe Seq(1L, 3L)
+  }
+
+  test("winnow: fewer shingles than the window -> global min; empty -> empty") {
+    Seq((1L, Seq(9L, 4L))).toDF("id", "hs")
+      .select(TextFns.winnow(col("hs"), 5).as("f")).as[Seq[Long]].head() shouldBe Seq(4L)
+    Seq((1L, Seq.empty[Long])).toDF("id", "hs")
+      .select(TextFns.winnow(col("hs"), 5).as("f")).as[Seq[Long]].head() shouldBe Seq.empty
+  }
+
+  test("cosine: identical vectors -> 1, orthogonal -> 0") {
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("c")).as[Double].collect()
+    out(0) shouldBe 1.0 +- 1e-12
+    out(1) shouldBe 0.0
+  }
+
+  test("bruteForceTopK: correct neighbours, rank order, self excluded") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.1f)), (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 3)
+      .orderBy("rk").select("cand_id").as[Long].collect()
+    out shouldBe Array(1L, 2L, 3L) // by descending cosine to (1,0)
+  }
+
+  test("lshTopK: bucketed results carry correct exact cosines (vs brute force)") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 7 + j * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 3)
+    val lsh = Similarity.lshTopK(vecs, probes, 3, 4, 8)
+      .select("probe_id", "cand_id", "cos")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = Similarity.bruteForceTopK(vecs, probes, 49)
+      .select("probe_id", "cand_id", "cos")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    lsh should not be empty
+    lsh.foreach { case (k, c) => c shouldBe brute(k) +- 1e-12 }
+  }
+
+  test("multimodal decode stub: byte histogram is normalized and deterministic") {
+    val media = Seq((1L, Array[Byte](0, 0, 16, 32, -1))).toDS()
+    val out = Multimodal.decodeFeatures(media).collect().head
+    out.media_id shouldBe 1L
+    out.byte_len shouldBe 5
+    out.features.sum shouldBe 1.0f +- 1e-6f
+    out.features(0) shouldBe 0.4f // two 0x0* bytes of five
+    out.features(15) shouldBe 0.2f // 0xff
+  }
+
+  test("asMediaTable: payload bytes + typed metadata struct") {
+    val docs = Seq((7L, "abc", 3L)).toDF("doc_id", "text", "n_chars")
+    val m = Multimodal.asMediaTable(docs).collect().head
+    m.getAs[Array[Byte]]("payload") shouldBe "abc".getBytes("UTF-8")
+    m.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") shouldBe 3
+  }
+}
