@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CoreQueries, LlmQueries, PipelineQueries}
+import graft.queries.{CoreQueries, LlmQueries, PipelineQueries, SceneQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{CoreQueries, LlmQueries, PipelineQueries}
 object SparkEntry {
 
   private def registry: Map[String, graft.queries.Query] =
-    CoreQueries.all ++ PipelineQueries.all ++ LlmQueries.all
+    CoreQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++ SceneQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Dimension-decode join + aggregation — the J1 broadcast-hash-join core

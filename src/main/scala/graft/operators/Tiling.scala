@@ -74,6 +74,30 @@ object Tiling {
       .drop("_n", "_nulls")
   }
 
+  /** W7/B4 — dense per-patch matrix assembly: one `array<array<double>>`
+    * per patch, row-major — the `.npz`-sample / tensor hand-off shape
+    * (`archive.py:66-70`). Long format everywhere else; this runs only at
+    * the sink (SURVEY.md §7.4.1). Requires complete patches (exactly
+    * window² cells — run after [[aggregatePatches]]-style filtering);
+    * `element_at` over the sorted cell list is O(1) per cell, so assembly
+    * is linear in output pixels.
+    */
+  def patchMatrix(tiled: DataFrame, window: Int, valueCol: String = "value",
+                  keys: Seq[String] = Seq("scene", "pi", "pj"),
+                  line: String = "line", sample: String = "sample"): DataFrame = {
+    val cells = sort_array(collect_list(struct(
+      (col(line) % window).cast("int").as("r"),
+      (col(sample) % window).cast("int").as("c"),
+      col(valueCol).cast("double").as("v"))))
+    tiled.groupBy(keys.map(col): _*)
+      .agg(cells.as("_cells"))
+      .select(keys.map(col) :+
+        transform(sequence(lit(0), lit(window - 1)), r =>
+          transform(sequence(lit(0), lit(window - 1)), c =>
+            element_at(col("_cells"), (r * window + c + 1).cast("int")).getField("v")))
+          .as("patch"): _*)
+  }
+
   /** O2/F6/S6 — deterministic sample naming: row-major (pi, pj) order per
     * scene, 6-digit zero-padded sequence, `{scene}_{seq:06d}`
     * (`archive.py:286-292`). The window sort is per-scene (partitioned),

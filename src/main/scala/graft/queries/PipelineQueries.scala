@@ -17,7 +17,7 @@ object PipelineQueries {
   /** Deterministic ice-code derivation over `part` — identical integer
     * arithmetic on both engines; covers ct<10 open water, -9 sentinels,
     * all stage classes incl. unclassified (43) and missing (-9). */
-  private def codes(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def codes(s: SparkSession, dir: String): DataFrame = {
     val k = col("p_partkey")
     def stage(i: org.apache.spark.sql.Column) =
       when(i === 0, 0).when(i === 1, 81).when(i === 2, 84).when(i === 3, 86)
@@ -39,7 +39,7 @@ object PipelineQueries {
         WHEN 4 THEN 91 WHEN 5 THEN 95 WHEN 6 THEN 97 WHEN 7 THEN 43
         ELSE -9 END"""
 
-  private val sqlCodes =
+  private[queries] val sqlCodes =
     s"""SELECT p_partkey AS poly_id,
       CAST(p_partkey % 110 AS INT) AS ct,
       CAST(CASE WHEN p_partkey % 11 = 0 THEN -9 ELSE p_partkey % 40 END AS INT) AS ca,
@@ -58,7 +58,7 @@ object PipelineQueries {
     * hot_encoding_utils.py:44-95 incl. the f[icetype-1] negative-index
     * quirk: icetype 0 credits slot f2). Final table `bin(poly_id, ct,
     * r0..r3)`. */
-  private val sqlBinaryCte =
+  private[queries] val sqlBinaryCte =
     s"""codes AS ($sqlCodes),
       ice AS (SELECT poly_id, ct, ca, cb, cc, sa,
         ${sqlIceType("sa")} AS ta, ${sqlIceType("sb")} AS tb,

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+import graft.Tables
+import graft.functions.IceCodes
+import graft.operators.{Masking, Tiling}
+import graft.sources.Catalog
+import graft.streaming.IncrementalPipeline
+import Q._
+
+/** Driver-contract queries completing the scene-pipeline surface:
+  * the flagship end-to-end chain (build_dataset.py:26-34 composed from
+  * F1→F9→J1→S2/P7→W1/P8→O2/F6), the streaming incremental ledger
+  * (§2.10), dense patch-matrix assembly (W7/B4 + J4/A4), and the input
+  * catalog (S3/O1/F2).
+  */
+object SceneQueries {
+
+  /** The per-scene pixel grid: horizontal 10-line bands of the events
+    * grid become scenes; polygon ids map into `part`'s key domain so the
+    * decode join has a real dimension table. A sparse deterministic mask
+    * (event_id % 1003) stands in for invalid SAR pixels. */
+  private def scenePixels(s: SparkSession, dir: String): DataFrame =
+    Q.grid(s, dir).select(
+      concat(lit("sc"), (col("line") / 10).cast("long")).as("scene"),
+      (col("line") % 10).cast("long").as("line"),
+      col("sample"),
+      (col("line") * 100 + col("sample")).as("event_id"),
+      col("value"))
+      .withColumn("poly_id", (col("event_id") % 200 + 1).cast("long"))
+
+  private val sqlScenePixels =
+    """SELECT 'sc' || (event_id//100//10) AS scene,
+        (event_id//100) % 10 AS line, event_id % 100 AS sample,
+        event_id, value, event_id % 200 + 1 AS poly_id
+      FROM events"""
+
+  val all: Map[String, Query] = Map(
+
+    // ---- the FLAGSHIP end-to-end scene pipeline: polygon-codes text
+    // parse (F1) → one-hot encode (F9) → broadcast decode join (J1) →
+    // mask union + NaN-materialize (P7/S2) → tumbling tile + NULL-patch
+    // reject (W1/P8) → deterministic sample naming (O2/F6). One shuffle
+    // for the tiling agg + one tiny window per scene — build_dataset.py's
+    // whole per-file loop as a single declarative plan.
+    "q34_scene_pipeline" -> Query(
+      (s, dir) => {
+        // synthesize the raw `polygon_codes` TEXT rows from the part-
+        // derived codes, then parse them back (F1 round-trip on real text)
+        val rawText = PipelineQueries.codes(s, dir).select(
+          lit("s0").as("scene"),
+          concat_ws(";", col("poly_id"), col("ct"), col("ca"), col("sa"),
+            lit(-9), col("cb"), col("sb"), lit(-9), col("cc"), col("sc"),
+            lit(-9)).as("row"))
+        val parsed = IceCodes.parsePolygonCodes(rawText).drop("scene")
+        val encoded = IceCodes.withOneHotBinary(parsed,
+          col("ct"), col("ca"), col("sa"), col("cb"), col("sb"),
+          col("cc"), col("sc"))
+          .select(col("poly_id"), col("r0"), col("r1"), col("r2"), col("r3"))
+        val masked = Masking.applyMask(scenePixels(s, dir),
+          Masking.unionMasks(col("event_id") % 1003 === 0), Seq("value"))
+        val decoded = masked.join(broadcast(encoded), Seq("poly_id"))
+        val tiled = Tiling.tumbling(decoded, 5, lit(10), lit(100L))
+        val patches = Tiling.aggregatePatches(tiled, 5, Seq("value"),
+          Seq(dsum(col("value"), 6).as("sum_value"),
+            sum(col("r1") + col("r2") + col("r3")).as("n_ice")))
+        Tiling.sampleNames(patches)
+          .select(col("scene"), col("pi").cast("long").as("pi"),
+            col("pj").cast("long").as("pj"),
+            col("sample_name"), col("sum_value"),
+            col("n_ice").cast("long").as("n_ice"))
+      },
+      Some(s"""WITH ${PipelineQueries.sqlBinaryCte},
+        px AS ($sqlScenePixels),
+        masked AS (SELECT scene, line, sample, poly_id,
+            CASE WHEN event_id % 1003 = 0 THEN NULL ELSE value END AS value
+          FROM px),
+        joined AS (SELECT m.*, b.r1 + b.r2 + b.r3 AS ice
+          FROM masked m JOIN bin b ON m.poly_id = b.poly_id),
+        p AS (SELECT scene, line//5 AS pi, sample//5 AS pj,
+            count(*) AS n_px,
+            sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+            ${sqlSum("value", 6)} AS sum_value,
+            sum(ice) AS n_ice
+          FROM joined GROUP BY scene, line//5, sample//5),
+        ok AS (SELECT * FROM p WHERE n_px = 25 AND n_null = 0),
+        r AS (SELECT *, row_number() OVER
+                (PARTITION BY scene ORDER BY pi, pj) - 1 AS seq FROM ok)
+        SELECT scene, pi, pj,
+          scene || '_' || lpad(CAST(seq AS VARCHAR), 6, '0') AS sample_name,
+          sum_value, CAST(n_ice AS BIGINT) AS n_ice
+        FROM r""")),
+
+    // ---- §2.10 streaming incremental ledger: file source + AvailableNow
+    // + checkpoint = the processed-files contract of archive.py:180-203.
+    // The aggregate over the streamed output must equal the batch
+    // aggregate — which is exactly what the oracle checks.
+    "q35_stream_ledger" -> Query(
+      (s, dir) => {
+        val schema = new StructType()
+          .add("event_id", LongType).add("event_type", StringType)
+          .add("value", DoubleType)
+        val runId = java.util.UUID.randomUUID().toString
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$runId"
+        IncrementalPipeline.runOnce(s, dir, schema,
+          df => df, s"$base/out", s"$base/ckpt", glob = "events.parquet")
+        s.read.parquet(s"$base/out")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+          ${sqlSum("value")} AS sum_value
+        FROM events GROUP BY event_type""")),
+
+    // ---- W7/B4 dense patch matrices + J4 sample-by-id lookup + A4 max
+    // patch location: the .npz tensor hand-off shape.
+    "q36_patch_matrix" -> Query(
+      (s, dir) => {
+        val band = scenePixels(s, dir).filter(col("scene") === "sc0")
+        val tiled = Tiling.tumbling(band, 5, lit(10), lit(100L))
+        val mats = Tiling.patchMatrix(tiled, 5)
+        // J4: lookup a deterministic id subset (the reference's per-ID
+        // sample fetch, data_generator.py:76-89) — broadcast equi join
+        val ids = s.range(0, 20, 2).select(col("id").cast("long").as("pj"))
+        val dims = mats.agg(max(col("pi")).as("max_pi"), max(col("pj")).as("max_pj"))
+        mats.join(broadcast(ids), Seq("pj"))
+          .crossJoin(broadcast(dims)) // A4: dims probe rides along
+          .select(col("scene"), col("pi").cast("long").as("pi"),
+            col("pj").cast("long").as("pj"),
+            col("max_pi").cast("long").as("max_pi"),
+            col("max_pj").cast("long").as("max_pj"), col("patch"))
+      },
+      Some(s"""WITH px AS ($sqlScenePixels),
+        band AS (SELECT * FROM px WHERE scene = 'sc0'),
+        rows_ AS (SELECT scene, line//5 AS pi, sample//5 AS pj, line,
+            list(value ORDER BY sample) AS rowv
+          FROM band GROUP BY scene, line//5, sample//5, line),
+        mats AS (SELECT scene, pi, pj,
+            list(rowv ORDER BY line) AS patch
+          FROM rows_ GROUP BY scene, pi, pj),
+        dims AS (SELECT max(pi) AS max_pi, max(pj) AS max_pj FROM mats)
+        SELECT scene, pi, pj, max_pi, max_pj, patch
+        FROM mats, dims
+        WHERE pj % 2 = 0 AND pj < 20""")),
+
+    // ---- S3/O1/F2: REAL directory listing (metadata-only binaryFile
+    // scan — content column pruned, no bytes read), suffix filter,
+    // lexicographic seq, scene-id extraction. The oracle pins the known
+    // driver-table catalog.
+    "q37_catalog" -> Query(
+      (s, dir) => {
+        val files = Catalog.listFiles(s, dir, ".parquet")
+        Catalog.ordered(files)
+          .select(col("name"), Catalog.sceneId(col("name"), ".").as("stem"),
+            col("seq").cast("long").as("seq"))
+      },
+      Some {
+        val names = Tables.names.sorted
+          .map(n => s"'$n.parquet'").mkString(", ")
+        s"""WITH f AS (SELECT unnest([$names]) AS name)
+          SELECT name, string_split(name, '.')[1] AS stem,
+            row_number() OVER (ORDER BY name) - 1 AS seq
+          FROM f"""
+      })
+  )
+}

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1/S3/O1/F2/P10 — input-catalog operators: directory listing with a
+  * suffix filter, lexicographic ordering, scene-id extraction from file
+  * names, scene-prefix selection.
+  *
+  * The reference does `sorted(os.listdir(dir))` + `endswith(".nc")` +
+  * `f.split("_")[0]` (`/root/reference/asip_v2/archive.py:193-195,229`,
+  * `apply_model.py:30-42`, `train_model_simple.py:19`). Spark mapping:
+  * the `binaryFile` source's file index does the distributed listing;
+  * selecting only metadata columns prunes the content column, so no file
+  * bytes are read (the scan is listing-only — cheap at any scale). The
+  * NetCDF ingestion boundary (S1): a production reader would decode
+  * `content` per file in a `flatMap` into the §1.4 pixel tables; here
+  * the catalog stops at metadata, which is all the driver tables need.
+  */
+object Catalog {
+
+  /** S3 — list files under `dir` matching `*suffix`, metadata only. */
+  def listFiles(spark: SparkSession, dir: String, suffix: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*$suffix")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+        col("length"))
+
+  /** F2 — scene id = file-name prefix before the first separator
+    * (`archive.py:229`: `filename.split("_")[0]`). */
+  def sceneId(name: org.apache.spark.sql.Column, sep: String = "_"): org.apache.spark.sql.Column =
+    split(name, java.util.regex.Pattern.quote(sep)).getItem(0)
+
+  /** O1 — lexicographic catalog order with a deterministic sequence
+    * (`sorted(...)`): per the whole catalog, rank by name. Small frame
+    * (file metadata), so a single window is fine; for billion-file
+    * catalogs use MLFeed-style range-partitioned ranking. */
+  def ordered(files: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("name"))
+    files.withColumn("seq", row_number().over(w) - 1)
+  }
+
+  /** P10 — keep files of one scene (`apply_model.py:30-42`). */
+  def forScene(files: DataFrame, scene: String): DataFrame =
+    files.filter(sceneId(col("name")) === scene)
+}
