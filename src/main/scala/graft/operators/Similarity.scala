@@ -80,6 +80,24 @@ object Similarity {
       s"CASE WHEN $dot > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("CAST((", " + ", ") AS BIGINT)")
 
+  /** Embedding-cosine near-duplicate pairs: corpus self-joined WITHIN
+    * hyperplane buckets only (equi join on the bucket id — the corpus
+    * shuffles once by bucket, candidate pairs are ~n²/2^planes instead of
+    * n²), then the exact cosine threshold keeps true near-dups. The
+    * embedding-space analog of MinHash-LSH dedup. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         numPlanes: Int, dim: Int): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.bucket").as("bucket"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Bucketed ANN: probes join corpus within their hyperplane bucket only,
     * then exact cosine ranks the (small) candidate set. The scale path:
     * the join key is the bucket id, so the corpus shuffles once by bucket

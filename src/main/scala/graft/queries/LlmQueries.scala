@@ -191,8 +191,25 @@ object LlmQueries {
                 FROM cand)
           SELECT probe_id, bucket, rk, cand_id, cos FROM r WHERE rk <= 3""")),
 
+    // ---- embedding-cosine near-dup: bucketed self-join (the LSH shape
+    // again) + exact cosine threshold — the embedding analog of q25.
+    "q38_embed_neardup" -> Query(
+      (s, dir) => Similarity.cosineNearDupPairs(
+          Tables.embeddings(s, dir), 0.25, NumPlanes, Dim)
+        .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos")),
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
+               ${Similarity.sqlLshBucket("embedding", NumPlanes, Dim)} AS bucket
+             FROM embeddings),
+          p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket,
+                  ${Similarity.sqlCosine("x.embedding", "y.embedding", Dim)} AS cos
+                FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+          SELECT vec_a, vec_b, bucket, cos FROM p WHERE cos >= 0.25""")),
+
     // ---- text stats + quality score: pure per-row column math; every
     // ratio is an exact small-int division (engine-portable doubles).
+    // Token counts both ways: whitespace split AND a BPE-ish regex
+    // (word pieces + standalone non-word glyphs — the usual pre-tokenizer
+    // shape; identical RE semantics on ASCII in both engines).
     "q30_text_stats" -> Query(
       (s, dir) => {
         val toks = col("toks")
@@ -201,10 +218,13 @@ object LlmQueries {
         val stop = size(filter(toks, t => t.isin("the", "a", "of", "and")))
         docs(s, dir)
           .select(col("doc_id"), length(col("text")).as("len_c"),
-            tokens(col("text")).as("toks"))
+            tokens(col("text")).as("toks"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("n_bpeish"))
           .select(
             col("doc_id"),
             nTok.cast("long").as("n_tokens"),
+            col("n_bpeish").cast("long").as("n_bpeish"),
             col("len_c").cast("long").as("n_chars_m"),
             (sumLen.cast("double") / nTok).as("avg_token_len"),
             (stop.cast("double") / nTok).as("stop_ratio"),
@@ -213,6 +233,7 @@ object LlmQueries {
       },
       Some(s"""SELECT doc_id,
           CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpeish,
           CAST(length(text) AS BIGINT) AS n_chars_m,
           list_sum(list_transform($sqlToks, t -> length(t)))::DOUBLE
             / len($sqlToks) AS avg_token_len,
