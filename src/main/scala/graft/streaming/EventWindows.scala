@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming over the `events` stream shape
+  * (ts, user_id, event_type, value) — the watermark/window competence
+  * extension of SURVEY.md §2.10 (the reference has no event-time
+  * semantics; this is engine capability beyond it).
+  *
+  * Scale notes: watermarked windowed aggregation keeps state only for
+  * open windows (late data beyond the watermark is dropped, bounding
+  * state); session windows merge per key; the stateful-dedup operator
+  * holds one boolean per key with an idle timeout so state is evicted —
+  * all three run as incremental partial aggregations over the shuffle
+  * keyed by (window/key), the same hash-partitioning story as batch.
+  */
+object EventWindows {
+
+  /** Watermarked tumbling (or sliding, if `slide` is given) window stats
+    * per event type. Append-mode compatible: results finalize when the
+    * watermark passes the window end. */
+  def windowedStats(events: DataFrame, tsCol: String, watermark: String,
+                    windowDur: String, slide: Option[String] = None): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(
+        window(col(tsCol), windowDur, slide.getOrElse(windowDur)),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user: events within `gap` of each other merge
+    * into one session (state merges across micro-batches). */
+  def sessionStats(events: DataFrame, tsCol: String, watermark: String,
+                   gap: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  /** Streaming first-occurrence dedup via flatMapGroupsWithState: one
+    * boolean of state per key — the streaming analog of the exact-dedup
+    * keeper (Dedup.exactGroups) and the custom-state
+    * (`KeyValueGroupedDataset`) extension point.
+    *
+    * `idleTimeout = Some(duration)` evicts state for keys idle that long
+    * (bounds state at 100 TB key cardinality; a re-arriving evicted key
+    * is emitted again — the usual TTL'd-dedup trade-off). NOTE the
+    * timeout keeps the micro-batch engine ticking even with no input
+    * (pending timers schedule empty batches), so drain-style tests and
+    * AvailableNow runs should pass None. */
+  def dedupFirstSeen[T](events: Dataset[T], key: T => String,
+                        idleTimeout: Option[String] = None)
+                       (implicit enc: Encoder[T]): Dataset[T] = {
+    implicit val stringEnc: Encoder[String] = Encoders.STRING
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    val timeoutConf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
+    events
+      .groupByKey(key)
+      .flatMapGroupsWithState[Boolean, T](OutputMode.Append(), timeoutConf) {
+        (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            rows.take(1)
+          }
+      }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventWindows
+
+/** Event-time semantics: watermark finalization + late-data drop,
+  * session-window merging, stateful first-seen dedup. */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class EventWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(sec: Int, user: Long, typ: String, v: Double) =
+    Ev(new Timestamp(sec * 1000L), user, typ, v)
+
+  test("watermarked tumbling windows finalize once the watermark passes; late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventWindows.windowedStats(in.toDF(), "ts", "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(ev(5, 1, "a", 1.0), ev(10, 1, "a", 2.0), ev(35, 2, "b", 5.0))
+    q.processAllAvailable()
+    // advance watermark far past window [0,30): 100s - 10s wm >> 30
+    in.addData(ev(100, 3, "c", 0.0))
+    q.processAllAvailable()
+    // a LATE event for the closed [0,30) window must be dropped
+    in.addData(ev(7, 9, "a", 100.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_out")
+      .select("event_type", "n", "sum_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows should contain(("a", 2L, 3.0)) // late 100.0 NOT included
+    rows.map(_._1) should not contain "c" // its window never finalized
+  }
+
+  test("session windows merge events within the gap per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventWindows.sessionStats(in.toDF(), "ts", "5 seconds", "10 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: events at 0s and 8s (gap 8 < 10 -> ONE session),
+    // user 2: events at 0s and 25s (gap 25 > 10 -> TWO sessions)
+    in.addData(ev(0, 1, "a", 1.0), ev(8, 1, "a", 2.0),
+      ev(0, 2, "b", 3.0), ev(25, 2, "b", 4.0))
+    q.processAllAvailable()
+    in.addData(ev(200, 9, "z", 0.0)) // push the watermark, finalize all
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_out")
+      .select("user_id", "n", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.filter(_._1 == 1L) shouldBe Array((1L, 2L, 3.0))
+    rows.filter(_._1 == 2L).toSet shouldBe Set((2L, 1L, 3.0), (2L, 1L, 4.0))
+  }
+
+  test("stateful first-seen dedup emits each key once across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventWindows.dedupFirstSeen[Ev](in.toDS(), e => s"${e.user_id}")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(ev(1, 1, "a", 1.0), ev(2, 1, "a", 2.0), ev(3, 2, "b", 3.0))
+    q.processAllAvailable()
+    in.addData(ev(4, 1, "a", 4.0), ev(5, 3, "c", 5.0)) // user 1 again + new user 3
+    q.processAllAvailable()
+    q.stop()
+
+    val users = spark.table("dedup_out").select("user_id").as[Long].collect().sorted
+    users shouldBe Array(1L, 2L, 3L) // each exactly once
+  }
+}
