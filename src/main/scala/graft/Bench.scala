@@ -23,6 +23,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up outside timing: JIT of the vectorized parquet reader,
+    // whole-stage-codegen compile path, shuffle machinery, and noop sink
+    // otherwise land on whichever query runs first (~5.5 s of the r1/r2
+    // totals was q01 absorbing it). A small scan→agg→shuffle→sink chain
+    // touches all four; results are discarded.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .limit(50000)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

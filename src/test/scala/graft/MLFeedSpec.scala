@@ -74,6 +74,34 @@ class MLFeedSpec extends SparkSpec {
     appended.as[String].collect().sorted shouldBe Array("a", "b", "d")
   }
 
+  test("assembleBatches: per-batch sample lists ordered by the batch key (B4)") {
+    val df = Seq((0L, 3, "c"), (0L, 1, "a"), (0L, 2, "b"), (1L, 5, "e"), (1L, 4, "d"))
+      .toDF("batch_id", "ord", "name")
+    val out = MLFeed.assembleBatches(df, col("ord"), Seq("name"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(1))
+      }.toMap
+    out(0L) shouldBe Seq("a", "b", "c")
+    out(1L) shouldBe Seq("d", "e")
+  }
+
+  test("patch <-> mask-patch alignment joins on (scene, pi, pj) (J5, test_archive.py:449-464)") {
+    // data and mask tiled INDEPENDENTLY must align by patch key
+    val data = Seq(("s0", 0, 0, 1.0), ("s0", 0, 1, 2.0), ("s0", 1, 0, 3.0), ("s0", 1, 1, 4.0))
+      .toDF("scene", "line", "sample", "value")
+    val mask = Seq(("s0", 0, 0, false), ("s0", 0, 1, true), ("s0", 1, 0, false), ("s0", 1, 1, false))
+      .toDF("scene", "line", "sample", "masked")
+    val dt = graft.operators.Tiling.tumbling(data, 1, lit(2), lit(2))
+      .groupBy("scene", "pi", "pj").agg(sum("value").as("v"))
+    val mt = graft.operators.Tiling.tumbling(mask, 1, lit(2), lit(2))
+      .groupBy("scene", "pi", "pj").agg(max(col("masked")).as("m"))
+    val aligned = dt.join(mt, Seq("scene", "pi", "pj"))
+    aligned.count() shouldBe 4
+    // the masked patch is (0,1), carrying data value 2.0
+    val bad = aligned.filter(col("m")).select("v").as[Double].collect()
+    bad shouldBe Array(2.0)
+  }
+
   test("regrid bilinear: interior interpolation + linear extrapolation (archive.py:250-263)") {
     // source grid: values v(l, s) = 10*l + s at positions {0, 10} x {0, 10}
     val src = Seq(
