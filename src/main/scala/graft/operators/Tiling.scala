@@ -98,6 +98,19 @@ object Tiling {
           .as("patch"): _*)
   }
 
+  /** [[patchMatrix]] via the custom [[graft.plans.DenseMatrixAgg]]
+    * TypedImperativeAggregate: a flat double buffer scatter-filled in
+    * place (no per-row struct boxing, no O(n log n) sort) — the
+    * 256×256-patch scale path. Missing cells are NaN (F14 canvas). */
+  def patchMatrixDense(tiled: DataFrame, window: Int, valueCol: String = "value",
+                       keys: Seq[String] = Seq("scene", "pi", "pj"),
+                       line: String = "line", sample: String = "sample"): DataFrame =
+    tiled.groupBy(keys.map(col): _*)
+      .agg(graft.plans.DenseMatrixAgg.dense_matrix(
+        (col(line) % window).cast("int"),
+        (col(sample) % window).cast("int"),
+        col(valueCol).cast("double"), window).as("patch"))
+
   /** O2/F6/S6 — deterministic sample naming: row-major (pi, pj) order per
     * scene, 6-digit zero-padded sequence, `{scene}_{seq:06d}`
     * (`archive.py:286-292`). The window sort is per-scene (partitioned),

@@ -115,12 +115,15 @@ object SceneQueries {
         FROM events GROUP BY event_type""")),
 
     // ---- W7/B4 dense patch matrices + J4 sample-by-id lookup + A4 max
-    // patch location: the .npz tensor hand-off shape.
+    // patch location: the .npz tensor hand-off shape, assembled by the
+    // custom DenseMatrixAgg (TypedImperativeAggregate — in-place buffer
+    // scatter, no collect_list sort; equivalence with the built-in path
+    // is pinned by TilingSpec).
     "q36_patch_matrix" -> Query(
       (s, dir) => {
         val band = scenePixels(s, dir).filter(col("scene") === "sc0")
         val tiled = Tiling.tumbling(band, 5, lit(10), lit(100L))
-        val mats = Tiling.patchMatrix(tiled, 5)
+        val mats = Tiling.patchMatrixDense(tiled, 5)
         // J4: lookup a deterministic id subset (the reference's per-ID
         // sample fetch, data_generator.py:76-89) — broadcast equi join
         val ids = s.range(0, 20, 2).select(col("id").cast("long").as("pj"))

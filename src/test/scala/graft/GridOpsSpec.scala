@@ -90,6 +90,15 @@ class GridOpsSpec extends SparkSpec {
     out(3) shouldBe false  // nothing set
   }
 
+  test("requireColumns fails fast at plan-build time (archive.py:205-214)") {
+    val df = Seq((1, "a")).toDF("id", "name")
+    graft.plans.Checks.requireColumns(df, "id", "name") shouldBe df
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.Checks.requireColumns(df, "id", "polygon_icechart")
+    }
+    e.getMessage should include("polygon_icechart")
+  }
+
   test("healthy: AOI span must fit a window after swath clamp (archive.py:205-221)") {
     val scenes = Seq(
       ("ok", 0, 100, 0, 100),

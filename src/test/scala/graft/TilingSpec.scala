@@ -89,6 +89,31 @@ class TilingSpec extends SparkSpec {
     m(2)(2) shouldBe 0.0; m(0)(3) shouldBe 0.0
   }
 
+  test("patchMatrix and DenseMatrixAgg produce identical dense matrices (W7)") {
+    val g = grid(10, 10)
+    val tiled = Tiling.tumbling(g, 5, lit(10), lit(10))
+    val viaList = Tiling.patchMatrix(tiled, 5)
+    val viaAgg = Tiling.patchMatrixDense(tiled, 5)
+    viaList.exceptAll(viaAgg).count() shouldBe 0
+    viaAgg.exceptAll(viaList).count() shouldBe 0
+    // row-major content check on one patch
+    val p = viaAgg.filter(col("pi") === 1 && col("pj") === 0)
+      .select("patch").as[Seq[Seq[Double]]].head()
+    p(0) shouldBe (50 to 54).map(_.toDouble)
+    p(4) shouldBe (90 to 94).map(_.toDouble)
+  }
+
+  test("DenseMatrixAgg leaves missing cells NaN (F14 canvas init)") {
+    val sparse = Seq(("s0", 0, 0, 1.0), ("s0", 1, 1, 2.0))
+      .toDF("scene", "line", "sample", "value")
+      .withColumn("pi", lit(0)).withColumn("pj", lit(0))
+    val m = Tiling.patchMatrixDense(sparse, 2)
+      .select("patch").as[Seq[Seq[Double]]].head()
+    m(0)(0) shouldBe 1.0
+    m(1)(1) shouldBe 2.0
+    assert(m(0)(1).isNaN && m(1)(0).isNaN)
+  }
+
   test("sampleNames: per-scene row-major sequence, zero-padded (archive.py:286-292)") {
     val patches = Seq(("a", 1, 0), ("a", 0, 1), ("a", 0, 0), ("b", 0, 0))
       .toDF("scene", "pi", "pj")
