@@ -116,13 +116,17 @@ object LlmQueries {
     // Blocking key = source; cross-block near-dups are MinHash-LSH (q25).
     "q27_ngram_jaccard" -> Query(
       (s, dir) => {
-        val sets = docs(s, dir)
+        // distinct (doc, source, shingle) rows end in an Exchange; every
+        // downstream branch (both self-join sides AND the size agg)
+        // references the identical subtree, so ReuseExchange computes the
+        // tokenize+md5 pipeline exactly ONCE (vs 3-4 recomputations when
+        // the branches each re-derived the shingle sets).
+        val ex = docs(s, dir)
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("source"),
-            array_distinct(shingleHashes(col("toks"), 2)).as("shset"))
-        val ex = sets.select(col("doc_id"), col("source"),
-          explode(col("shset")).as("h"))
-        val sizes = sets.select(col("doc_id"), size(col("shset")).as("nset"))
+            explode(shingleHashes(col("toks"), 2)).as("h"))
+          .distinct()
+        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nset"))
         val ni = ex.as("a").join(ex.as("b"),
             col("a.source") === col("b.source") && col("a.h") === col("b.h") &&
               col("a.doc_id") < col("b.doc_id"))
