@@ -129,8 +129,12 @@ object IceCodes {
     val fields = Seq("poly_id", "ct", "ca", "sa", "fa",
                      "cb", "sb", "fb", "cc", "sc", "fc")
     val parts = split(col(rowCol), ";")
+    // try_cast, not cast: under ANSI a malformed field would fail the
+    // whole job (and constant folding can even evaluate the cast over a
+    // not-yet-filtered literal header row at plan time). A robust parser
+    // yields NULL for junk — at 100 TB one bad line must not kill the run.
     val typed = fields.zipWithIndex.map { case (f, i) =>
-      element_at(parts, i + 1).cast("int").as(f)
+      element_at(parts, i + 1).try_cast("int").as(f)
     }
     raw.filter(!col(rowCol).startsWith("id;")) // drop header row
       .select(col(sceneCol) +: typed: _*)
