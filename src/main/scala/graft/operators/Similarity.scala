@@ -42,14 +42,18 @@ object Similarity {
     s"(${sqlDotD(a, b, dim)} / sqrt(${sqlDotD(a, a, dim)} * ${sqlDotD(b, b, dim)}))"
 
   /** Brute-force cosine top-k: for each probe row, the k nearest corpus
-    * rows (excluding self), ranked (cos desc, id asc) for determinism. */
+    * rows (excluding self), ranked (cos desc, id asc) for determinism.
+    * Norms are precomputed once per row (an interpreted-HOF fold per PAIR
+    * would redo each |v|² n times; same left-fold expression, so values —
+    * and oracle hashes — are bit-identical). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
-      .join(broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))),
-        col("cand_id") =!= col("probe_id"))
+    val cands = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      .withColumn("cn", dotD(col("ce"), col("ce")))
+    val pr = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .withColumn("pn", dotD(col("pe"), col("pe")))
+    cands.join(broadcast(pr), col("cand_id") =!= col("probe_id"))
       .select(col("probe_id"), col("cand_id"),
-        cosine(col("pe"), col("ce")).as("cos"))
-    scored
+        (dotD(col("pe"), col("ce")) / sqrt(col("pn") * col("cn"))).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cos").desc, col("cand_id"))))
@@ -88,13 +92,15 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          numPlanes: Int, dim: Int): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"),
+      dotD(col("embedding"), col("embedding")).as("nn"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.bucket").as("bucket"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        (dotD(col("a.embedding"), col("b.embedding"))
+          / sqrt(col("a.nn") * col("b.nn"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -105,13 +111,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               numPlanes: Int, dim: Int): DataFrame = {
     val cb = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"),
+      dotD(col("embedding"), col("embedding")).as("cn"))
     val pb = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-      lshBucket(col("embedding"), numPlanes, dim).as("bucket"))
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"),
+      dotD(col("embedding"), col("embedding")).as("pn"))
     cb.join(broadcast(pb), Seq("bucket"))
       .filter(col("cand_id") =!= col("probe_id"))
       .select(col("probe_id"), col("bucket"), col("cand_id"),
-        cosine(col("pe"), col("ce")).as("cos"))
+        (dotD(col("pe"), col("ce")) / sqrt(col("pn") * col("cn"))).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cos").desc, col("cand_id"))))
