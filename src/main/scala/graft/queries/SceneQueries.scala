@@ -148,6 +148,29 @@ object SceneQueries {
         FROM mats, dims
         WHERE pj % 2 = 0 AND pj < 20""")),
 
+    // ---- B6: class-weighted loss preparation — the A7 histogram turned
+    // into balanced class weights (total / (nClasses * freq), the
+    // standard sklearn-style formula; `analyze_netcdfs.ipynb` cells 2-3).
+    // The weights frame is 4 rows: at scale it broadcasts back onto the
+    // training set for the loss join.
+    "q39_class_weights" -> Query(
+      (s, dir) => {
+        val hist = PipelineQueries.all("q20_class_histogram").build(s, dir)
+        val total = hist.agg(sum(col("n_hot")).as("_t"))
+        hist.crossJoin(broadcast(total))
+          .select(col("cls"), col("n_hot"),
+            (col("_t").cast("double") / (lit(4.0) * col("n_hot"))).as("weight"))
+      },
+      Some(s"""WITH ${PipelineQueries.sqlBinaryCte},
+        u AS (SELECT 0 AS cls, r0 AS ind FROM bin
+              UNION ALL SELECT 1, r1 FROM bin
+              UNION ALL SELECT 2, r2 FROM bin
+              UNION ALL SELECT 3, r3 FROM bin),
+        h AS (SELECT CAST(cls AS BIGINT) AS cls, CAST(sum(ind) AS BIGINT) AS n_hot
+              FROM u GROUP BY cls),
+        t AS (SELECT sum(n_hot) AS tt FROM h)
+        SELECT cls, n_hot, tt::DOUBLE / (4.0 * n_hot) AS weight FROM h, t""")),
+
     // ---- S3/O1/F2: REAL directory listing (metadata-only binaryFile
     // scan — content column pruned, no bytes read), suffix filter,
     // lexicographic seq, scene-id extraction. The oracle pins the known

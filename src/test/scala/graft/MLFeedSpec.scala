@@ -102,6 +102,15 @@ class MLFeedSpec extends SparkSpec {
     bad shouldBe Array(2.0)
   }
 
+  test("catalog: scene-id extraction + scene-prefix selection (F2/P10, apply_model.py:30-42)") {
+    import graft.sources.Catalog
+    val files = Seq("20180410T084537_S1B_x.nc", "20180410T084537_S1B_y.nc",
+      "20190501T120000_S1A_z.nc").toDF("name")
+    files.select(Catalog.sceneId(col("name")).as("s")).distinct()
+      .as[String].collect().sorted shouldBe Array("20180410T084537", "20190501T120000")
+    Catalog.forScene(files, "20180410T084537").count() shouldBe 2
+  }
+
   test("regrid bilinear: interior interpolation + linear extrapolation (archive.py:250-263)") {
     // source grid: values v(l, s) = 10*l + s at positions {0, 10} x {0, 10}
     val src = Seq(
