@@ -104,6 +104,43 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF-style ANN: a deterministic subset of corpus rows acts as the
+    * coarse-quantizer centroid set (a trained k-means would slot in the
+    * same place); every vector is assigned to its nearest centroid cell,
+    * probes search their `nProbe` nearest cells only. The inverted-file
+    * shape: the corpus shuffles once by cell id, probe work is
+    * ~nProbe·n/nCells. Complements [[lshTopK]] (hyperplane buckets) as
+    * the second scale path the training-data brief names.
+    */
+  def ivfTopK(corpus: DataFrame, isProbe: Column, isCentroid: Column,
+              k: Int, nProbe: Int): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      dotD(col("embedding"), col("embedding")).as("nn"))
+    val cents = corpus.filter(isCentroid).select(
+      col("vec_id").as("cent_id"), col("embedding").as("cemb"))
+      .withColumn("cn", dotD(col("cemb"), col("cemb")))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nn"), col("cent_id"),
+        (dotD(col("embedding"), col("cemb")) / sqrt(col("nn") * col("cn"))).as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id"))))
+    val cells = assigned.filter(col("crk") === 1)
+      .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"),
+        col("embedding").as("ce"), col("nn").as("cn2"))
+    val probeCells = assigned.filter(isProbe && col("crk") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("cent_id").as("cell"),
+        col("embedding").as("pe"), col("nn").as("pn"))
+    cells.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cell"), col("cand_id"),
+        (dotD(col("pe"), col("ce")) / sqrt(col("pn") * col("cn2"))).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Bucketed ANN: probes join corpus within their hyperplane bucket only,
     * then exact cosine ranks the (small) candidate set. The scale path:
     * the join key is the bucket id, so the corpus shuffles once by bucket

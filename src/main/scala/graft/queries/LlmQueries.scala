@@ -195,6 +195,45 @@ object LlmQueries {
                 FROM cand)
           SELECT probe_id, bucket, rk, cand_id, cos FROM r WHERE rk <= 3""")),
 
+    // ---- IVF-style ANN: deterministic coarse-quantizer cells (corpus
+    // rows vec_id%125==7 stand in for trained centroids), nearest-cell
+    // assignment, probes search their 2 nearest cells. The second scale
+    // path next to q29's hyperplane LSH.
+    "q40_ann_ivf" -> Query(
+      (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir),
+          isProbe = col("vec_id") % 100 === 0,
+          isCentroid = col("vec_id") % 125 === 7,
+          k = TopK, nProbe = 2)
+        .select(col("probe_id"), col("cell"),
+          col("rk").cast("long").as("rk"), col("cand_id"), col("cos")),
+      Some {
+        val simEC = s"(${Similarity.sqlDotD("e.embedding", "c.cemb", Dim)} / sqrt(e.nn * c.cn))"
+        val simPC = s"(${Similarity.sqlDotD("p.pe", "cl.ce", Dim)} / sqrt(p.pn * cl.cn2))"
+        s"""WITH e AS (SELECT vec_id, embedding,
+               ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+             FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, embedding AS cemb, nn AS cn
+                FROM e WHERE vec_id % 125 = 7),
+          a0 AS (SELECT e.vec_id, e.embedding, e.nn, c.cent_id,
+                   $simEC AS csim
+                 FROM e, c),
+          a AS (SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crk
+                FROM a0),
+          cl AS (SELECT vec_id AS cand_id, cent_id AS cell,
+                   embedding AS ce, nn AS cn2 FROM a WHERE crk = 1),
+          p AS (SELECT vec_id AS probe_id, cent_id AS cell,
+                  embedding AS pe, nn AS pn
+                FROM a WHERE vec_id % 100 = 0 AND crk <= 2),
+          cand AS (SELECT p.probe_id, p.cell, cl.cand_id, $simPC AS cos
+                   FROM p JOIN cl ON p.cell = cl.cell
+                    AND cl.cand_id <> p.probe_id),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
+                FROM cand)
+          SELECT probe_id, cell, rk, cand_id, cos FROM r WHERE rk <= $TopK"""
+      }),
+
     // ---- embedding-cosine near-dup: bucketed self-join (the LSH shape
     // again) + exact cosine threshold — the embedding analog of q25.
     "q38_embed_neardup" -> Query(

@@ -148,6 +148,31 @@ object SceneQueries {
         FROM mats, dims
         WHERE pj % 2 = 0 AND pj < 20""")),
 
+    // ---- event-time session windows in BATCH mode (the §2.10 extension
+    // surfaced through the oracle gate; the streaming variant with
+    // watermark state lives in streaming/EventWindows + its spec):
+    // per-user sessions with a 4-hour gap; session end = last event + gap.
+    "q41_session_windows" -> Query(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("n"), col("sum_value")),
+      Some(s"""WITH o AS (SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 4 HOUR
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        g AS (SELECT *, sum(new_s) OVER
+                (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM o)
+        SELECT min(ts) AS s_start, max(ts) + INTERVAL 4 HOUR AS s_end,
+          user_id, count(*) AS n, ${sqlSum("value")} AS sum_value
+        FROM g GROUP BY user_id, sid""")),
+
     // ---- B6: class-weighted loss preparation — the A7 histogram turned
     // into balanced class weights (total / (nClasses * freq), the
     // standard sklearn-style formula; `analyze_netcdfs.ipynb` cells 2-3).
