@@ -157,6 +157,22 @@ class TextDedupSpec extends SparkSpec {
     lsh.foreach { case (k, c) => c shouldBe brute(k) +- 1e-12 }
   }
 
+  test("ivfTopK: cell-restricted results carry exact cosines (vs brute force)") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.tabulate(8)(j => math.cos(i * 5 + j * 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(vecs,
+        isProbe = col("vec_id") < 3, isCentroid = col("vec_id") % 20 === 1,
+        k = 3, nProbe = 2)
+      .select("probe_id", "cand_id", "cos")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 3), 59)
+      .select("probe_id", "cand_id", "cos")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivf should not be empty
+    ivf.foreach { case (k2, c) => c shouldBe brute(k2) +- 1e-12 }
+  }
+
   test("multimodal decode stub: byte histogram is normalized and deterministic") {
     val media = Seq((1L, Array[Byte](0, 0, 16, 32, -1))).toDS()
     val out = Multimodal.decodeFeatures(media).collect().head
