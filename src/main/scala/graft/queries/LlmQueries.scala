@@ -121,10 +121,16 @@ object LlmQueries {
         // references the identical subtree, so ReuseExchange computes the
         // tokenize+md5 pipeline exactly ONCE (vs 3-4 recomputations when
         // the branches each re-derived the shingle sets).
+        // the explicit isnotnull(h) filter (a no-op: shingle hashes are
+        // never null) makes this subtree IDENTICAL to what the join
+        // branches infer from their equi condition — without it the size
+        // aggregate's exchange differs by that one filter and AQE cannot
+        // share the shuffle stage between all four consumers.
         val ex = docs(s, dir)
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("source"),
             explode(shingleHashes(col("toks"), 2)).as("h"))
+          .filter(col("h").isNotNull)
           .distinct()
         val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nset"))
         val ni = ex.as("a").join(ex.as("b"),
