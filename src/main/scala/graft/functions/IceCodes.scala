@@ -154,7 +154,7 @@ object IceCodes {
         s"unknown encoding '$other' (expected binary|continous)")
     }
     codes.withColumn("ice_vec", vec)
-      .select(codes.columns.map(col) ++
+      .select(codes.columns.toIndexedSeq.map(col) ++
         (0 to 3).map(k => element_at(col("ice_vec"), k + 1).as(s"r$k")): _*)
   }
 }

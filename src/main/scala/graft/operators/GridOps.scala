@@ -74,7 +74,7 @@ object GridOps {
     def dmean(c: String) =
       (sum(col(c).cast(DecimalType(18, 6))).cast("double") / count(lit(1))).as(c)
     df.filter(l / step < kl && s / step < ks)
-      .groupBy(groupKeys ++ Seq(
+      .groupBy(groupKeys.toIndexedSeq ++ Seq(
         (l / step).cast("int").as(line), (s / step).cast("int").as(sample)): _*)
       .agg(dmean(valueCols.head), valueCols.tail.map(dmean): _*)
   }
@@ -88,7 +88,7 @@ object GridOps {
     val groupKeys = df.columns
       .filterNot(c => c == line || c == sample || c == maskCol)
       .map(col)
-    df.groupBy(groupKeys ++ Seq(
+    df.groupBy(groupKeys.toIndexedSeq ++ Seq(
         (col(line) / step).cast("int").as(line),
         (col(sample) / step).cast("int").as(sample)): _*)
       .agg(max(col(maskCol).cast("int")).cast("boolean").as(maskCol))
