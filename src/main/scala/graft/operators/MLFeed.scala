@@ -33,25 +33,40 @@ object MLFeed {
     * through ONE task twice (rank pass + unpartitioned count pass —
     * VERDICT r1 perf: q15 13.3 s at sf0.1, serial at 100×). Instead:
     *
-    *  1. range-repartition on the order keys — Spark's distributed sort
-    *     shuffle; partition p holds a contiguous key range, ranges
-    *     ascending with partition id;
-    *  2. rank *within* partitions (parallel) via a window keyed on the
-    *     materialized partition id;
-    *  3. global rank = within-partition rank + exclusive prefix sum of
-    *     per-partition counts — a numPartitions-row aggregate (tiny),
+    *  1. DETERMINISTIC range buckets on the first order key, from
+    *     driver-side `approxQuantile` split points baked in as literals.
+    *     NOT `repartitionByRange`: Spark's RangePartitioner seeds its
+    *     sampler with the RDD id, so two evaluations of the same subtree
+    *     (the rank branch and the counts branch below) can land on
+    *     DIFFERENT bounds, silently corrupting the offsets — caught only
+    *     at sf0.1 (at sf0.01 the sample covers the data and both
+    *     evaluations coincide). Literal bounds make the bucket id a pure
+    *     function of the row, identical on every evaluation;
+    *  2. rank *within* buckets (parallel) via a bucket-keyed window;
+    *  3. global rank = within-bucket rank + exclusive prefix sum of
+    *     per-bucket counts — a numBuckets-row aggregate (tiny),
     *     broadcast back. Total row count rides along for free.
     *
-    * Adds `_rank` (1-based) and `_n` (total rows). Rank values are
-    * identical to the single-window formulation for unique keys.
+    * Adds `_rank` (1-based) and `_n` (total rows). Requires a numeric
+    * first order key (both call sites rank on integer permutation keys).
+    * Equal first-key values share a bucket (no order split); heavy skew
+    * on one value serializes that bucket only.
     */
   private def withGlobalRank(df: DataFrame, orderKeys: Seq[Column]): DataFrame = {
-    val parted = df.repartitionByRange(orderKeys: _*)
-      .withColumn("_pid", spark_partition_id())
+    val numBuckets = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+    val bounds = df.select(orderKeys.head.cast("double").as("_k"))
+      .stat.approxQuantile("_k", probs, 0.001).distinct.sorted
+    val k = orderKeys.head.cast("double")
+    val bucket = bounds.zipWithIndex.reverse.foldLeft(lit(bounds.length)) {
+      case (acc, (b, i)) => when(k <= b, i).otherwise(acc)
+    }
+    val parted = df.withColumn("_pid", bucket)
     val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
     val cum = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = counts // numPartitions rows — single-partition windows are fine
+    val offsets = counts // numBuckets rows — single-partition windows are fine
       .withColumn("_off", sum(col("_cnt")).over(cum) - col("_cnt"))
       .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
       .select(col("_pid"), col("_off"), col("_n"))

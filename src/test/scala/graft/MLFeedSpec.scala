@@ -34,11 +34,12 @@ class MLFeedSpec extends SparkSpec {
     val df = (1 to 100).toDF("k")
     val plan = MLFeed.batchIds(df, Seq(col("k")), 10)
       .queryExecution.executedPlan.toString
-    // the data-bearing path must flow through a range-partitioned
-    // exchange (distributed sort), and the row-bearing window must be
-    // keyed by partition id — never a global (empty-key) window
-    plan should include("rangepartitioning")
+    // the row-bearing window must be keyed by the deterministic bucket
+    // id — never a global (empty-key) window over the data, and never a
+    // sampled RangePartitioning (whose rdd-id-seeded bounds differ
+    // between evaluations of the same subtree)
     plan should include("windowspecdefinition(_pid")
+    plan should not include "rangepartitioning"
   }
 
   test("batchIds drops the ragged tail (data_generator.py:20-35)") {
