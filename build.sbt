@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked run's stdout/stderr directly to the console instead
+// of routing through sbt's logger: the driver parses graft.Bench's single
+// JSON stdout line, and the "[info] " prefix sbt's logger adds broke that
+// parse in rounds 1-2 (BENCH_r0{1,2}.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

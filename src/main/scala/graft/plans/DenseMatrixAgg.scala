@@ -38,9 +38,15 @@ case class DenseMatrixAgg(
     val c = second.eval(input)
     val v = third.eval(input)
     if (r != null && c != null && v != null) {
-      val idx = r.asInstanceOf[Number].intValue() * window +
-        c.asInstanceOf[Number].intValue()
-      buf(idx) = v.asInstanceOf[Number].doubleValue()
+      val ri = r.asInstanceOf[Number].intValue()
+      val ci = c.asInstanceOf[Number].intValue()
+      // fail fast with a descriptive error: out-of-window indices would
+      // otherwise throw a bare AIOOBE (ri too large) or silently scatter
+      // into the wrong cell (negative ci wraps into the previous row).
+      if (ri < 0 || ri >= window || ci < 0 || ci >= window)
+        throw new IllegalArgumentException(
+          s"dense_matrix cell ($ri, $ci) outside window $window x $window")
+      buf(ri * window + ci) = v.asInstanceOf[Number].doubleValue()
     }
     buf
   }

@@ -335,18 +335,24 @@ object LlmQueries {
     // ---- winnowing fingerprints: min shingle-hash per sliding window,
     // deduped + sorted — per-row, zero shuffle; downstream near-dup =
     // explode(fps) + self-join on fp (same banded-join shape as LSH).
+    // The fingerprint set is emitted as a ','-joined string: the driver's
+    // compare harness sorts/hashes cell values and cannot hash ndarray
+    // cells (CORRECTNESS_r02 err on the bare array column); longs
+    // serialize identically in both engines, so the join is bit-exact.
     "q32_fingerprint" -> Query(
       (s, dir) => docs(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), shingleHashes(col("toks"), ShingleN).as("hs"))
         .select(col("doc_id"), winnow(col("hs"), WinnowW).as("fps"))
-        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"), col("fps")),
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+          array_join(transform(col("fps"), _.cast("string")), ",").as("fps_s")),
       Some {
         val hs = sqlShingleHashes("toks", ShingleN)
         s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
           h AS (SELECT doc_id, $hs AS hs FROM t),
           w AS (SELECT doc_id, ${sqlWinnow("hs", WinnowW)} AS fps FROM h)
-          SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, fps FROM w"""
+          SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+            array_to_string(fps, ',') AS fps_s FROM w"""
       }),
 
     // ---- multimodal binary plumbing: payload as opaque bytes + typed

@@ -66,7 +66,13 @@ object EventWindows {
       .flatMapGroupsWithState[Boolean, T](OutputMode.Append(), timeoutConf) {
         (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) Iterator.empty
+          else if (state.exists) {
+            // refresh on every arrival so this is a true IDLE timeout:
+            // without it, hot keys are evicted a fixed TTL after first
+            // sight and then wrongly re-emitted as "first seen".
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          }
           else {
             state.update(true)
             idleTimeout.foreach(state.setTimeoutDuration)
