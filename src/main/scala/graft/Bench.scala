@@ -41,7 +41,13 @@ object Bench {
         .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
         .write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset (comma-separated substrings) for perf bisection:
+    // SPARK_GRAFT_ONLY=q27,q33 runs just the matching queries.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    val results = selected.map { case (name, fn) =>
+      System.err.println(s"[bench] >>> $name")
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -62,14 +62,25 @@ object MLFeed {
     val bucket = bounds.zipWithIndex.reverse.foldLeft(lit(bounds.length)) {
       case (acc, (b, i)) => when(k <= b, i).otherwise(acc)
     }
+    rankByBucket(df, bucket, orderKeys)
+  }
+
+  /** Global rank given a DETERMINISTIC bucket id that sorts consistently
+    * with `orderKeys` (same-bucket rows ordered by the keys; buckets
+    * ordered by id). The per-bucket offsets come from a cross join of the
+    * tiny per-bucket count frame with itself (numBuckets² rows) — an
+    * aggregate, NOT an unpartitioned window, so no stage ever funnels
+    * real data through one task and the plan carries zero
+    * "No Partition Defined for Window" hazards. Adds `_rank` (1-based,
+    * global) and `_n` (total row count). */
+  def rankByBucket(df: DataFrame, bucket: Column, orderKeys: Seq[Column]): DataFrame = {
     val parted = df.withColumn("_pid", bucket)
     val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-    val cum = Window.orderBy(col("_pid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = counts // numBuckets rows — single-partition windows are fine
-      .withColumn("_off", sum(col("_cnt")).over(cum) - col("_cnt"))
-      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
-      .select(col("_pid"), col("_off"), col("_n"))
+    val offsets = counts.as("a").crossJoin(counts.as("b"))
+      .groupBy(col("a._pid"))
+      .agg(sum(when(col("b._pid") < col("a._pid"), col("b._cnt"))
+          .otherwise(lit(0L))).as("_off"),
+        sum(col("b._cnt")).as("_n"))
     val wInPart = Window.partitionBy(col("_pid")).orderBy(orderKeys: _*)
     parted.join(broadcast(offsets), Seq("_pid"))
       .withColumn("_rank", col("_off") + row_number().over(wInPart))

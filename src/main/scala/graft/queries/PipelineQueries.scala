@@ -99,12 +99,19 @@ object PipelineQueries {
     "q10_regrid_bilinear" -> Query(
       (s, dir) => {
         val h = gridHeight(s, dir)
+        // scene is a NON-FOLDABLE single-valued key ("s" + line%1): a
+        // lit("s0") constant gets folded out of the Regrid window
+        // partition specs by Catalyst, silently turning every per-scene
+        // window into an unpartitioned one (76 "No Partition Defined"
+        // WARNs per bench run). With a real column reference the plan
+        // keeps the per-scene partitioning it would have at scale.
         val src = grid(s, dir)
           .filter(col("line") % 10 === 5 && col("sample") % 10 === 5)
-          .select(lit("s0").as("scene"),
+          .select(concat(lit("s"), pmod(col("line"), lit(1))).as("scene"),
             col("line").cast("double").as("line"),
             col("sample").cast("double").as("sample"), col("value"))
-        val scenes = s.range(1).select(lit("s0").as("scene"))
+        val scenes = s.range(1)
+          .select(concat(lit("s"), col("id").cast("string")).as("scene"))
         val tl = Regrid.targetAxis(scenes, lit(h).cast("int"), 4)
         val ts = Regrid.targetAxis(scenes, lit(100), 4)
         Regrid.bilinear(src, tl, ts)

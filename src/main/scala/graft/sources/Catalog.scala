@@ -34,13 +34,16 @@ object Catalog {
     split(name, java.util.regex.Pattern.quote(sep)).getItem(0)
 
   /** O1 — lexicographic catalog order with a deterministic sequence
-    * (`sorted(...)`): per the whole catalog, rank by name. Small frame
-    * (file metadata), so a single window is fine; for billion-file
-    * catalogs use MLFeed-style range-partitioned ranking. */
-  def ordered(files: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("name"))
-    files.withColumn("seq", row_number().over(w) - 1)
-  }
+    * (`sorted(...)`). Scale-safe even for billion-file catalogs: ranks
+    * within name-prefix buckets (a pure function of the row — identical
+    * on every subtree evaluation) and stitches global offsets from the
+    * tiny per-bucket counts, so no unpartitioned window ever funnels the
+    * listing through one task. */
+  def ordered(files: DataFrame): DataFrame =
+    graft.operators.MLFeed.rankByBucket(
+        files, substring(col("name"), 1, 2), Seq(col("name")))
+      .withColumn("seq", col("_rank") - 1)
+      .drop("_rank", "_n")
 
   /** P10 — keep files of one scene (`apply_model.py:30-42`). */
   def forScene(files: DataFrame, scene: String): DataFrame =
