@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VecDot
+
+/** `SparkSessionExtensions` installer for graft's native SQL surface.
+  *
+  * Wire up with either
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  * or `--conf spark.sql.extensions=graft.GraftExtensions` — the latter
+  * works on a cluster where the session builder is not under our
+  * control. Registration makes the native expressions callable from
+  * `spark.sql` / `expr(...)` text, not just the Column API in
+  * [[graft.functions.VecFns]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
+        VecDot(args.head, args(1))
+      }))
+  }
+}

@@ -25,8 +25,16 @@ import graft.functions.TextFns
   */
 object Similarity {
 
-  /** Left-fold double dot product of two float array columns. */
-  def dotD(a: Column, b: Column): Column =
+  /** Double dot product of two numeric array columns — the native
+    * codegen'd [[graft.functions.VecDot]] expression. Bit-identical to
+    * [[dotFold]] (same left-fold order, same float→double widening);
+    * the HOF fold stays only as the parity-test witness. */
+  def dotD(a: Column, b: Column): Column = graft.functions.VecFns.vecDot(a, b)
+
+  /** The higher-order-function formulation dotD replaced (interpreted —
+    * `aggregate`/`zip_with` are CodegenFallback). Kept as the
+    * independent witness for VecDot's bit-parity spec. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -60,19 +68,20 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane weight for plane p, dim j:
-    * integer in [-504, 504], identical on both engines. */
-  def planeWeight(p: Int, j: Column): Column =
-    (lit(planeA(p)) * (j + 1) + lit(planeB(p))) % 1009 - 504
+  /** Deterministic pseudo-random hyperplane weights for plane p:
+    * integers in [-504, 504], identical on both engines. */
+  def planeWeights(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => ((planeA(p) * (j + 1) + planeB(p)) % 1009 - 504).toDouble)
 
   def planeA(p: Int): Long = 2L * p * 104729L + 15485867L
   def planeB(p: Int): Long = (p + 1L) * 7927L
 
-  /** 8-bit hyperplane-sign bucket id for an embedding column. */
+  /** 8-bit hyperplane-sign bucket id for an embedding column. Each
+    * plane's projection is one codegen'd VecDot against a literal
+    * weight array (the weights fold into the plan as a constant). */
   def lshBucket(emb: Column, numPlanes: Int, dim: Int): Column =
     (0 until numPlanes).map { p =>
-      val dot = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
-        (acc, j) => acc + element_at(emb, j + 1).cast("double") * planeWeight(p, j).cast("double"))
+      val dot = graft.functions.VecFns.vecDot(emb, typedLit(planeWeights(p, dim)))
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

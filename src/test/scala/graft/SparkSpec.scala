@@ -24,6 +24,7 @@ trait SparkSpec extends AnyFunSuite with Matchers {
 
 object SparkSpec {
   lazy val session: SparkSession = SparkSession.builder()
+    .withExtensions(new GraftExtensions)
     .master("local[2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "2")
