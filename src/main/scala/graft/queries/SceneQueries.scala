@@ -212,6 +212,38 @@ object SceneQueries {
         t AS (SELECT sum(n_hot) AS tt FROM h)
         SELECT cls, n_hot, tt::DOUBLE / (4.0 * n_hot) AS weight FROM h, t""")),
 
+    // ---- S1 as a REAL DataSource V2 connector: `format("graft-scene")`
+    // with banded partition planning, scene/line partition pruning and
+    // column pruning (SceneSource). The oracle regenerates the same
+    // grid in SQL — only exact-arithmetic columns (ints; distance sums
+    // are exact small-integer doubles), since trig bit-parity across
+    // engines is not a contract we rely on (the SAR fields are pinned
+    // Spark-side in SceneSourceSpec instead).
+    "q42_scene_source" -> Query(
+      (s, dir) => s.read.format("graft-scene")
+        .option("scenes", 4).option("height", 32).option("width", 32)
+        .option("bandLines", 8)
+        .load()
+        .filter(col("line").between(6, 27) &&
+          col("scene").isin("sc1", "sc2"))
+        .groupBy(col("scene"))
+        .agg(count(lit(1)).as("n_px"),
+          sum(col("polygon_id")).cast("long").as("sum_poly"),
+          sum(col("distance_map")).as("sum_dist")),
+      Some("""WITH l AS (SELECT unnest(range(0, 32)) AS line),
+          sm AS (SELECT unnest(range(0, 32)) AS sample),
+          sc AS (SELECT unnest(range(0, 4)) AS si),
+          px AS (SELECT 'sc' || si AS scene, line, sample,
+                 (line // 4) * 10 + (sample // 4) % 10 + 1 AS polygon_id,
+                 sample * 3.0 AS distance_map
+               FROM sc, l, sm)
+        SELECT scene, count(*) AS n_px,
+          CAST(sum(polygon_id) AS BIGINT) AS sum_poly,
+          sum(distance_map) AS sum_dist
+        FROM px
+        WHERE line BETWEEN 6 AND 27 AND scene IN ('sc1', 'sc2')
+        GROUP BY scene""")),
+
     // ---- S3/O1/F2: REAL directory listing (metadata-only binaryFile
     // scan — content column pruned, no bytes read), suffix filter,
     // lexicographic seq, scene-id extraction. The oracle pins the known
