@@ -51,7 +51,15 @@ object Tiling {
                      floor((extent - window).cast("double") / stride).cast("int"))
       sequence(lo, hi) // empty when lo > hi is not allowed -> guard below
     }
-    df.filter(col(line) < (floor((extentL - window).cast("double") / stride) * stride + window) &&
+    // The extent >= window guard is load-bearing: without it a scene
+    // smaller than the window passes the edge filter (the bound
+    // floor((extent-window)/stride)*stride + window stays positive) and
+    // cover()'s sequence(lo, hi) runs with lo > hi — which Spark
+    // evaluates as a DESCENDING sequence, silently emitting bogus
+    // negative-index partial patches. view_as_windows yields zero
+    // windows for that shape (TilingLawsSpec pins it).
+    df.filter(extentL >= window && extentS >= window &&
+              col(line) < (floor((extentL - window).cast("double") / stride) * stride + window) &&
               col(sample) < (floor((extentS - window).cast("double") / stride) * stride + window))
       .withColumn("pi", explode(cover(col(line), extentL)))
       .withColumn("pj", explode(cover(col(sample), extentS)))
