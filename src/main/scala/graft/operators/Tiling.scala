@@ -65,6 +65,29 @@ object Tiling {
       .withColumn("pj", explode(cover(col(sample), extentS)))
   }
 
+  /** J5 — patch ↔ mask-patch alignment
+    * (`/root/reference/asip_v2/tests/test_archive.py:449-464`): the mask
+    * raster is windowed with the SAME (window, stride) as the data, so
+    * mask windows and data windows share the patch index; per-mask-window
+    * any() reduces the mask side to one row per patch, and data patches
+    * align to their mask patch by an equi join on the patch key. Patches
+    * whose mask window contains any true pixel are rejected.
+    *
+    * Scale shape: the aggregated mask side is ~1/window² of the raster
+    * (one row per patch), the join is equi on the patch key — AQE picks
+    * broadcast when the per-scene patch count allows, shuffle-hash
+    * otherwise; no hint is forced.
+    */
+  def alignWithMask(dataPatches: DataFrame, tiledMask: DataFrame,
+                    maskCol: String,
+                    keys: Seq[String] = Seq("scene", "pi", "pj")): DataFrame = {
+    val maskAny = tiledMask.groupBy(keys.map(col): _*)
+      .agg(max(col(maskCol).cast("int")).as("_mask_any"))
+    dataPatches.join(maskAny, keys)
+      .filter(col("_mask_any") === 0)
+      .drop("_mask_any")
+  }
+
   /** P8/A3 — reject patches containing any NULL in any of `valueCols`,
     * and (dense-grid check) patches not fully populated: surviving groups
     * have exactly window² rows and zero nulls (`archive.py:62-65`).

@@ -212,6 +212,44 @@ object SceneQueries {
         t AS (SELECT sum(n_hot) AS tt FROM h)
         SELECT cls, n_hot, tt::DOUBLE / (4.0 * n_hot) AS weight FROM h, t""")),
 
+    // ---- J5: patch ↔ mask-patch alignment — the mask raster tiled
+    // with the same window as the data, reduced to per-patch any(),
+    // aligned by equi join on the shared patch key, rejecting patches
+    // whose mask window contains any masked pixel
+    // (tests/test_archive.py:449-464).
+    "q43_mask_align" -> Query(
+      (s, dir) => {
+        val h = Q.gridHeight(s, dir)
+        val px = Q.grid(s, dir)
+        val mask = px.select(col("line"), col("sample"),
+          ((col("line") * 100 + col("sample")) % 997 === 0).as("mask"))
+        val dataPatches = Tiling.aggregatePatches(
+          Tiling.tumbling(px, 10, lit(h), lit(100L)), 10, Seq("value"),
+          Seq(dsum(col("value"), 6).as("sum_value")), keys = Seq("pi", "pj"))
+        val tiledMask = Tiling.tumbling(mask, 10, lit(h), lit(100L))
+        Tiling.alignWithMask(dataPatches, tiledMask, "mask",
+            keys = Seq("pi", "pj"))
+          .select(col("pi").cast("long").as("pi"),
+            col("pj").cast("long").as("pj"), col("sum_value"))
+      },
+      Some(s"""WITH g AS (${Q.sqlGrid}),
+          p AS (SELECT line//10 AS pi, sample//10 AS pj, count(*) AS n_px,
+                  ${sqlSum("value", 6)} AS sum_value
+                FROM g
+                WHERE (line//10 + 1) * 10 <= ${Q.sqlH}
+                  AND (sample//10 + 1) * 10 <= 100
+                GROUP BY 1, 2),
+          m AS (SELECT line//10 AS pi, sample//10 AS pj,
+                  max(CASE WHEN (line*100 + sample) % 997 = 0
+                      THEN 1 ELSE 0 END) AS mask_any
+                FROM g
+                WHERE (line//10 + 1) * 10 <= ${Q.sqlH}
+                  AND (sample//10 + 1) * 10 <= 100
+                GROUP BY 1, 2)
+        SELECT p.pi, p.pj, p.sum_value
+        FROM p JOIN m ON p.pi = m.pi AND p.pj = m.pj
+        WHERE m.mask_any = 0 AND p.n_px = 100""")),
+
     // ---- S1 as a REAL DataSource V2 connector: `format("graft-scene")`
     // with banded partition planning, scene/line partition pruning and
     // column pruning (SceneSource). The oracle regenerates the same

@@ -114,6 +114,27 @@ class TilingSpec extends SparkSpec {
     assert(m(0)(1).isNaN && m(1)(0).isNaN)
   }
 
+  test("alignWithMask rejects exactly the patches whose mask window has any true (J5)") {
+    val g = grid(6, 6)
+    // mask true only at (0,1) and (4,5) -> patches (0,0) and (1,1) rejected
+    val mask = g.select(col("scene"), col("line"), col("sample"),
+      ((col("line") === 0 && col("sample") === 1) ||
+        (col("line") === 4 && col("sample") === 5)).as("mask"))
+    val data = Tiling.aggregatePatches(
+      Tiling.tumbling(g, 3, lit(6), lit(6)), 3, Seq("value"),
+      Seq(Q.dsum(col("value"), 6).as("s")))
+    val aligned = Tiling.alignWithMask(data,
+      Tiling.tumbling(mask, 3, lit(6), lit(6)), "mask")
+    aligned.count() shouldBe 2
+    aligned.select("pi", "pj").as[(Int, Int)].collect().toSet shouldBe
+      Set((0, 1), (1, 0))
+    // all-false mask aligns everything (the join drops nothing)
+    val clean = Tiling.alignWithMask(data,
+      Tiling.tumbling(mask.withColumn("mask", lit(false)), 3, lit(6), lit(6)),
+      "mask")
+    clean.count() shouldBe 4
+  }
+
   test("sampleNames: per-scene row-major sequence, zero-padded (archive.py:286-292)") {
     val patches = Seq(("a", 1, 0), ("a", 0, 1), ("a", 0, 0), ("b", 0, 0))
       .toDF("scene", "pi", "pj")
