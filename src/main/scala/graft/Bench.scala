@@ -35,10 +35,19 @@ object Bench {
     // touches all four; results are discarded.
     locally {
       import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .limit(50000)
+      import org.apache.spark.sql.expressions.Window
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(50000)
+      // decimal aggregation + rank window + broadcast join: the codegen
+      // paths q01/q14/q02 would otherwise JIT inside their timed run.
+      val dim = spark.range(10).select(col("id").as("k"), (col("id") * 2).as("v"))
+      li.select(col("l_returnflag"), col("l_orderkey"),
+          col("l_quantity"), (col("l_orderkey") % 10).as("k"))
+        .join(broadcast(dim), Seq("k"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))))
         .groupBy(col("l_returnflag"))
-        .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("dq"),
+          sum(col("l_quantity")).as("q"), max(col("rk")).as("m"), count(lit(1)).as("n"))
         .write.format("noop").mode("overwrite").save()
     }
     // Optional subset (comma-separated substrings) for perf bisection:
