@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,11 +67,12 @@ final class SceneTable(options: CaseInsensitiveStringMap)
   val height: Int = options.getInt("height", 32)
   val width: Int = options.getInt("width", 32)
   val bandLines: Int = options.getInt("bandLines", 4096)
+  val scenesPerTrigger: Int = options.getInt("scenesPerTrigger", 1)
 
   override def name(): String = s"graft-scene($nScenes x ${height}x$width)"
   override def schema(): StructType = SceneSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new SceneScanBuilder(this)
@@ -143,6 +145,58 @@ final class SceneScan(table: SceneTable, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SceneReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SceneMicroBatchStream(table, required)
+}
+
+/** Streaming face of the connector — the reference's incremental
+  * per-file arrival (`archive.py:180-203`: new `.nc` files land in the
+  * directory between runs) modeled as scenes becoming available over
+  * time. The offset is simply "scenes 0..n have arrived"; each micro
+  * batch plans the newly arrived scenes' line bands and nothing else,
+  * and the engine's checkpoint replaces the reference's hand-rolled
+  * `processed_files.json` ledger (exactly-once per scene). Column
+  * pruning flows through unchanged — a streaming query projecting two
+  * fields generates two fields.
+  */
+final class SceneMicroBatchStream(table: SceneTable, required: StructType)
+    extends MicroBatchStream {
+  private var available = 0
+
+  override def initialOffset(): Offset = SceneOffset(0)
+
+  /** Up to `scenesPerTrigger` new scenes "arrive" per trigger until the
+    * catalog is exhausted — deterministic, so tests can drain with
+    * processAllAvailable(). */
+  override def latestOffset(): Offset = {
+    available = math.min(available + table.scenesPerTrigger, table.nScenes)
+    SceneOffset(available)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SceneOffset].scenesArrived
+    val e = end.asInstanceOf[SceneOffset].scenesArrived
+    (for {
+      scene <- s until e
+      bandStart <- 0 until table.height by table.bandLines
+    } yield ScenePartition(scene, bandStart,
+        math.min(bandStart + table.bandLines - 1, table.height - 1),
+        table.width): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SceneReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset =
+    SceneOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class SceneOffset(scenesArrived: Int) extends Offset {
+  override def json(): String = scenesArrived.toString
 }
 
 final case class ScenePartition(scene: Int, lineStart: Int, lineEnd: Int,

@@ -51,6 +51,27 @@ class SceneSourceSpec extends SparkSpec {
     df.distinct().count() shouldBe 64
   }
 
+  test("micro-batch stream delivers every scene exactly once across triggers") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scene_stream").toString
+    val stream = spark.readStream.format("graft-scene")
+      .option("scenes", 3).option("height", 8).option("width", 8)
+      .option("bandLines", 4).option("scenesPerTrigger", 1)
+      .load()
+      .groupBy("scene").count()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    val q = stream.writeStream.format("memory").queryName("scene_stream")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally { q.stop(); rm(new java.io.File(ckpt)) }
+    val got = spark.table("scene_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("sc0" -> 64L, "sc1" -> 64L, "sc2" -> 64L)
+    // one scene per trigger -> at least 3 non-empty micro batches ran
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+
   test("pruned + banded read still reconstructs the full grid") {
     val got = scenes(3).filter(col("scene") === "sc0")
       .select("line", "sample", "sar_primary")
