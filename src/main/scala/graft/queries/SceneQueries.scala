@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import graft.Tables
 import graft.functions.IceCodes
-import graft.operators.{Masking, Tiling}
+import graft.operators.{Masking, Skew, Tiling}
 import graft.sources.Catalog
 import graft.streaming.IncrementalPipeline
 import Q._
@@ -211,6 +211,41 @@ object SceneQueries {
               FROM u GROUP BY cls),
         t AS (SELECT sum(n_hot) AS tt FROM h)
         SELECT cls, n_hot, tt::DOUBLE / (4.0 * n_hot) AS weight FROM h, t""")),
+
+    // ---- skew salting: a 70%-hot join/group key spread over 8 salts —
+    // dimension exploded x8, fact salted deterministically, two-phase
+    // (key, salt) partial aggregation then a tiny final merge. The
+    // oracle is the PLAIN join+group: salting must never change results
+    // (decimal partial sums stay decimal until the final cast, so fp
+    // order cannot differ either).
+    "q44_skew_salted" -> Query(
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val fact = Tables.lineitem(s, dir).select(
+          when(col("l_orderkey") % 10 < 7, lit(0L))
+            .otherwise((col("l_orderkey") % 100).cast("long")).as("kk"),
+          col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        val dim = s.range(0, 100).select(col("id").as("kk"),
+          ((col("id") * 7) % 13).as("dv"))
+        val joined = Skew.saltedJoin(fact, dim, Seq("kk"), 8,
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        Skew.saltedAgg(joined, Seq("kk"), 8,
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          partialAggs = Seq(
+            sum(col("l_quantity").cast(DecimalType(18, 4))).as("_ps"),
+            count(lit(1)).as("_pc"), max(col("dv")).as("_pd")),
+          finalAggs = Seq(
+            sum(col("_ps")).cast("double").as("sum_qty"),
+            sum(col("_pc")).as("n"), max(col("_pd")).as("dv")))
+      },
+      Some("""WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+                ELSE l_orderkey % 100 END AS kk, l_quantity FROM lineitem),
+          d AS (SELECT range AS kk, (range * 7) % 13 AS dv FROM range(0, 100))
+        SELECT f.kk,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          count(*) AS n, max(dv) AS dv
+        FROM f JOIN d ON f.kk = d.kk
+        GROUP BY f.kk""")),
 
     // ---- J5: patch ↔ mask-patch alignment — the mask raster tiled
     // with the same window as the data, reduced to per-patch any(),
