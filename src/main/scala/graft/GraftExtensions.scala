@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VecDot
+import graft.functions.{SimHash32, VecDot}
 
 /** `SparkSessionExtensions` installer for graft's native SQL surface.
   *
@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
         VecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"simhash32 expects 1 argument, got ${args.length}")
+        SimHash32(args.head)
       }))
   }
 }

@@ -108,12 +108,18 @@ object TextFns {
     * signed count of hashes with bit j set exceeds the count of those
     * without.
     *
-    * ONE fold over the hash array building a 32-counter vector (then a
-    * tiny fold over the counters): the input column is referenced exactly
-    * once, so Catalyst's projection collapsing cannot duplicate the
-    * upstream tokenize+md5 tree into per-bit copies (32 unrolled folds
-    * would). Per-row and shuffle-free — the right shape at 100 TB. */
-  def simhash32(hs: Column): Column = {
+    * The native codegen'd [[graft.functions.SimHash32]] expression: one
+    * loop, one on-stack counter array per row, the input column
+    * referenced exactly once. Per-row and shuffle-free — the right shape
+    * at 100 TB. */
+  def simhash32(hs: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SimHash32(org.apache.spark.sql.graft.Bridge.expression(hs)))
+
+  /** The HOF formulation simhash32 replaced (interpreted; allocates a
+    * 32-element counter array per token). Kept as the independent
+    * witness for SimHash32's parity spec. */
+  def simhash32Fold(hs: Column): Column = {
     val masks = array((0 until 32).map(j => lit(1L << j)): _*)
     val counts = aggregate(hs, array_repeat(lit(0L), 32),
       (acc, h) => zip_with(acc, masks,
