@@ -77,8 +77,16 @@ object TextFns {
     s"""list_transform(range(0, greatest(len($toksExpr) - ${n - 1}, 0)),
         i -> array_to_string(list_slice($toksExpr, i + 1, i + $n), ' '))"""
 
-  /** Shingle hashes mod P (the MinHash input universe). */
+  /** Shingle hashes mod P (the MinHash input universe) — the native
+    * fused [[graft.functions.ShingleHashes]] expression (bit-identical
+    * to [[shingleHashesFold]], the parity witness). */
   def shingleHashes(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      ShingleHashes(org.apache.spark.sql.graft.Bridge.expression(toks), n, HashMod))
+
+  /** The HOF formulation shingleHashes replaced (interpreted transform
+    * + hex-string hash). Kept as the parity-spec witness. */
+  def shingleHashesFold(toks: Column, n: Int): Column =
     transform(shingles(toks, n), s => hash60(s) % HashMod)
 
   def sqlShingleHashes(toksExpr: String, n: Int): String =
