@@ -75,13 +75,18 @@ object ShingleHashes {
 
   private val empty = new GenericArrayData(Array.empty[Any])
 
+  // One digest per executor thread: getInstance("MD5") is a JCA provider
+  // lookup + allocation, too heavy for a once-per-row kernel.
+  private val digest = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("MD5"))
+
   /** Static kernel shared by interpreted eval and generated code. */
   def compute(tokens: ArrayData, n: Int, mod: Long): ArrayData = {
     if (tokens == null) return empty
     val len = tokens.numElements()
     if (len < n) return empty
-    val md = MessageDigest.getInstance("MD5")
-    val out = new Array[Any](len - n + 1)
+    val md = digest.get()
+    val out = new Array[Long](len - n + 1)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= len - n) {
@@ -106,6 +111,7 @@ object ShingleHashes {
       out(i) = if (mod > 0) h % mod else h
       i += 1
     }
-    new GenericArrayData(out)
+    // primitive-array path: no per-element boxing
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 }

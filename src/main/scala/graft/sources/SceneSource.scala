@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -161,18 +161,31 @@ final class SceneScan(table: SceneTable, required: StructType,
   * fields generates two fields.
   */
 final class SceneMicroBatchStream(table: SceneTable, required: StructType)
-    extends MicroBatchStream {
-  private var available = 0
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = SceneOffset(0)
 
-  /** Up to `scenesPerTrigger` new scenes "arrive" per trigger until the
-    * catalog is exhausted — deterministic, so tests can drain with
-    * processAllAvailable(). */
-  override def latestOffset(): Offset = {
-    available = math.min(available + table.scenesPerTrigger, table.nScenes)
-    SceneOffset(available)
-  }
+  /** Availability is a PURE FUNCTION of the engine-supplied start
+    * offset (`SupportsAdmissionControl`): up to `scenesPerTrigger` new
+    * scenes per trigger until the catalog is exhausted. A mutable
+    * per-instance arrival counter here would reset on checkpoint
+    * restart and hand the engine a REGRESSED offset — the engine calls
+    * latestOffset before any deserializeOffset/commit callback, so
+    * already-committed scenes would replay (caught by the restart spec;
+    * the admission-control signature is how Spark's own rate source
+    * stays restart-safe). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    SceneOffset(math.min(
+      start.asInstanceOf[SceneOffset].scenesArrived + table.scenesPerTrigger,
+      table.nScenes))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Unreachable for SupportsAdmissionControl sources (the engine calls
+    * the two-argument form); Spark requires the override regardless. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SceneOffset].scenesArrived
