@@ -10,4 +10,12 @@ object VecFns {
     * See [[VecDot]] for exact null/precision semantics. */
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd map-side IVF cell assignment: the `k` nearest centroid
+    * ids (cosine, ties to lowest id) against a literal centroid table.
+    * See [[NearestCells]] for the parity contract. */
+  def nearestCells(emb: Column, centIds: Array[Long], centFlat: Array[Double],
+                   centNorms: Array[Double], dim: Int, k: Int): Column =
+    Bridge.column(NearestCells(Bridge.expression(emb), centIds, centFlat,
+      centNorms, dim, k))
 }

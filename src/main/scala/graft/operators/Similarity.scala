@@ -120,25 +120,48 @@ object Similarity {
     * shape: the corpus shuffles once by cell id, probe work is
     * ~nProbe·n/nCells. Complements [[lshTopK]] (hyperplane buckets) as
     * the second scale path the training-data brief names.
+    *
+    * Cell assignment is MAP-SIDE: centroids are a small driver-side
+    * artifact (exactly like a trained k-means codebook), collected once
+    * and baked into the codegen'd [[graft.functions.NearestCells]]
+    * argmax — the corpus is never row-multiplied by the centroid count
+    * and never shuffles for assignment (the r3 formulation paired every
+    * vector with every centroid through a full `row_number` shuffle:
+    * n×nCells intermediate rows — 4×10¹² at 10⁹ vectors × 4096 cells).
+    * The only remaining exchange carries candidate pairs for the final
+    * per-probe rank window.
     */
   def ivfTopK(corpus: DataFrame, isProbe: Column, isCentroid: Column,
               k: Int, nProbe: Int): DataFrame = {
+    val centRows = corpus.filter(isCentroid)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val vec = r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+        }.toArray
+        (r.getLong(0), vec)
+      }.sortBy(_._1) // ascending id = the tie-break order of the rank it replaces
+    require(centRows.nonEmpty, "ivfTopK needs at least one centroid row")
+    val dim = centRows.head._2.length
+    val centIds = centRows.map(_._1)
+    val centFlat = centRows.flatMap(_._2)
+    // same left fold as VecDot(emb, emb) — bit-identical to the oracle's nn
+    val centNorms = centRows.map { case (_, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      acc
+    }
+    def cellsOf(emb: Column, kk: Int): Column =
+      graft.functions.VecFns.nearestCells(emb, centIds, centFlat, centNorms, dim, kk)
     val e = corpus.select(col("vec_id"), col("embedding"),
       dotD(col("embedding"), col("embedding")).as("nn"))
-    val cents = corpus.filter(isCentroid).select(
-      col("vec_id").as("cent_id"), col("embedding").as("cemb"))
-      .withColumn("cn", dotD(col("cemb"), col("cemb")))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nn"), col("cent_id"),
-        (dotD(col("embedding"), col("cemb")) / sqrt(col("nn") * col("cn"))).as("csim"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cent_id"))))
-    val cells = assigned.filter(col("crk") === 1)
-      .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"),
-        col("embedding").as("ce"), col("nn").as("cn2"))
-    val probeCells = assigned.filter(isProbe && col("crk") <= nProbe)
-      .select(col("vec_id").as("probe_id"), col("cent_id").as("cell"),
+    val cells = e.select(col("vec_id").as("cand_id"),
+      element_at(cellsOf(col("embedding"), 1), 1).as("cell"),
+      col("embedding").as("ce"), col("nn").as("cn2"))
+    val probeCells = e.filter(isProbe)
+      .select(col("vec_id").as("probe_id"),
+        explode(cellsOf(col("embedding"), nProbe)).as("cell"),
         col("embedding").as("pe"), col("nn").as("pn"))
     cells.join(broadcast(probeCells), Seq("cell"))
       .filter(col("cand_id") =!= col("probe_id"))

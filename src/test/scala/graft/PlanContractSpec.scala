@@ -67,6 +67,16 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("In(scene"), p)
   }
 
+  test("q40 ivf: cell assignment is map-side — no exchange carries the corpus") {
+    val p = plan("q40_ann_ivf")
+    // the native argmax kernel, not a crossJoin+row_number assignment
+    assert(p.contains("nearest_cells"), p)
+    // the only hash exchanges ship candidate pairs for the per-probe rank
+    // window; nothing keyed on vec_id (the r3 scale-killer) may remain
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("probe_id")), ex.mkString("\n"))
+  }
+
   test("q44 salted agg: partial exchange keys on (kk, _salt)") {
     val p = plan("q44_skew_salted")
     assert(p.linesIterator.exists(l =>
