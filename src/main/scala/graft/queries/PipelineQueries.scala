@@ -202,7 +202,8 @@ object PipelineQueries {
     // (odd multiplier → bijective mod 2^32 → no rank ties).
     "q14_exact_split" -> Query(
       (s, dir) => MLFeed.exactSplit(Tables.customer(s, dir),
-          Seq(MLFeed.permuteKey(col("c_custkey")), col("c_custkey")), 0.7)
+          Seq(MLFeed.permuteKey(col("c_custkey")), col("c_custkey")), 0.7,
+          keyDomain = Some(MLFeed.PermuteKeyDomain))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal")),
       Some(s"""WITH r AS (SELECT c_acctbal,
@@ -212,15 +213,23 @@ object PipelineQueries {
           count(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
         FROM r GROUP BY 1""")),
 
-    // B3 — batch slicing with ragged-tail drop (floor(n/bs) batches).
+    // B2+B3 — batch slicing with ragged-tail drop (floor(n/bs) batches)
+    // over the deterministic epoch permutation (the reference shuffles
+    // indexes, THEN slices — data_generator.py:20-47). The permuted key
+    // is uniform on [0, 2^32) by construction, so the global rank uses
+    // closed-form equal-width buckets: no quantile pass, no extra job.
     "q15_batches" -> Query(
       (s, dir) => MLFeed.batchIds(Tables.lineitem(s, dir),
-          Seq(col("l_orderkey"), col("l_linenumber")), 1000)
+          Seq(MLFeed.permuteKey(col("l_orderkey") * 8 + col("l_linenumber")),
+            col("l_orderkey"), col("l_linenumber")), 1000,
+          keyDomain = Some(MLFeed.PermuteKeyDomain))
         .groupBy(col("batch_id"))
         .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
              dsum(col("l_extendedprice")).as("sum_price")),
       Some(s"""WITH r AS (SELECT l_quantity, l_extendedprice,
-          row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rk,
+          row_number() OVER (ORDER BY
+            ((l_orderkey*8 + l_linenumber)*2654435761) % 4294967296,
+            l_orderkey, l_linenumber) - 1 AS rk,
           count(*) OVER () AS n FROM lineitem)
         SELECT rk//1000 AS batch_id, count(*) AS n_rows,
           sum(l_quantity) AS sum_qty, ${sqlSum("l_extendedprice")} AS sum_price

@@ -30,6 +30,21 @@ class MLFeedSpec extends SparkSpec {
     viaWindow.exceptAll(viaOp).count() shouldBe 0
   }
 
+  test("closed-form keyDomain buckets match the approxQuantile path") {
+    val df = (1 to 500).toDF("id")
+    val keys = Seq(MLFeed.permuteKey(col("id")), col("id"))
+    val viaQuantile = MLFeed.batchIds(df, keys, 100)
+    val viaDomain = MLFeed.batchIds(df, keys, 100,
+      keyDomain = Some(MLFeed.PermuteKeyDomain))
+    viaDomain.exceptAll(viaQuantile).count() shouldBe 0
+    viaQuantile.exceptAll(viaDomain).count() shouldBe 0
+    // skewed domain declaration (all keys land near bucket 0) must still
+    // rank correctly — buckets only need monotonicity, not balance
+    val viaSkewed = MLFeed.batchIds(df, keys, 100,
+      keyDomain = Some((0L, Long.MaxValue / 64)))
+    viaSkewed.exceptAll(viaQuantile).count() shouldBe 0
+  }
+
   test("no single-partition exchange in the global-rank plan (VERDICT r1 perf)") {
     val df = (1 to 100).toDF("k")
     val plan = MLFeed.batchIds(df, Seq(col("k")), 10)
