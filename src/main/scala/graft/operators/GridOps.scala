@@ -103,6 +103,10 @@ object GridOps {
     * no crossJoin node, and the explode fans out linearly with output
     * cells. At scale the subsequent join co-partitions on (scene, line),
     * so padding a 100 TB pixel table stays a single hash join.
+    *
+    * Like [[Reconstruct.onCanvas]], the grid parallelizes within a
+    * scene: line explode → hash-spread the line rows → sample explode,
+    * so one scene's canvas is never one task's generator output.
     */
   def padConstant(df: DataFrame, scenes: DataFrame,
                   targetL: Column, targetS: Column,
@@ -110,10 +114,12 @@ object GridOps {
                   valueCols: Seq[String], fill: Double,
                   sceneCol: String = "scene",
                   line: String = "line", sample: String = "sample"): DataFrame = {
+    val p = scenes.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val grid = scenes
       .select(col(sceneCol), targetL.as("_tl"), targetS.as("_ts"),
               padTop.as("_pt"), padLeft.as("_pl"))
       .withColumn(line, explode(sequence(lit(0), col("_tl") - 1)))
+      .repartition(p, col(sceneCol), col(line))
       .withColumn(sample, explode(sequence(lit(0), col("_ts") - 1)))
     val shifted = df.select(
       col(sceneCol).as("_sc2") +: col(line).as("_l2") +: col(sample).as("_s2") +:

@@ -46,13 +46,25 @@ object Reconstruct {
 
   /** Zero-fill onto the dense canvas sized per scene
     * (`apply_model.py:62-70`: canvas = zeros(shape), patches overwrite).
-    * `scenes` must carry (scene, extentL, extentS). */
+    * `scenes` must carry (scene, extentL, extentS).
+    *
+    * Canvas generation parallelizes WITHIN a scene: Spark cannot split
+    * one row's generator output across tasks, so a straight double
+    * explode from the one-row-per-scene frame would build a 10⁴×10⁴
+    * scene's 10⁸ cells in a single task (VERDICT r3 #2 — the exact
+    * serialization the reference's per-scene `np.zeros` loop has,
+    * `apply_model.py:58-83`). Instead the line axis explodes first
+    * (extentL rows — cheap), those rows hash-spread over the shuffle
+    * width, and only then does each line explode its samples — the
+    * same banding the DSv2 scene source uses. */
   def onCanvas(pixels: DataFrame, scenes: DataFrame,
                extentL: Column, extentS: Column,
                sceneCol: String = "scene"): DataFrame = {
+    val p = scenes.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val grid = scenes
       .select(col(sceneCol), extentL.as("_el"), extentS.as("_es"))
       .withColumn("line", explode(sequence(lit(0), col("_el") - 1)))
+      .repartition(p, col(sceneCol), col("line"))
       .withColumn("sample", explode(sequence(lit(0), col("_es") - 1)))
       .drop("_el", "_es")
     grid.join(pixels, Seq(sceneCol, "line", "sample"), "left")

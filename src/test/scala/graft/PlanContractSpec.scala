@@ -67,6 +67,33 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("In(scene"), p)
   }
 
+  test("canvas generation parallelizes within a scene (exchange between the explodes)") {
+    // one row's generator output cannot be split across tasks: without
+    // the line-band repartition, a single scene's whole H×W canvas is
+    // generated inside ONE task (VERDICT r3 #2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val scenes = Seq(("s0", 40, 30)).toDF("scene", "el", "es")
+    val pixels = Seq(("s0", 1, 2, 5.0)).toDF("scene", "line", "sample", "value")
+    val out = graft.operators.Reconstruct.onCanvas(pixels, scenes, col("el"), col("es"))
+    assert(out.count() == 1200)
+    val lines = out.queryExecution.executedPlan.toString.linesIterator.toIndexedSeq
+    val gens = lines.zipWithIndex.filter(_._1.contains("Generate explode")).map(_._2)
+    val exs = lines.zipWithIndex.filter(_._1.contains("Exchange")).map(_._2)
+    assert(gens.size == 2, lines.mkString("\n"))
+    assert(exs.exists(i => gens.min < i && i < gens.max), lines.mkString("\n"))
+
+    val padded = graft.operators.GridOps.padConstant(
+      pixels, scenes, col("el"), col("es"),
+      org.apache.spark.sql.functions.lit(1), org.apache.spark.sql.functions.lit(1),
+      Seq("value"), 0.0)
+    assert(padded.count() == 1200)
+    val pl = padded.queryExecution.executedPlan.toString.linesIterator.toIndexedSeq
+    val pg = pl.zipWithIndex.filter(_._1.contains("Generate explode")).map(_._2)
+    val pe = pl.zipWithIndex.filter(_._1.contains("Exchange")).map(_._2)
+    assert(pg.size == 2 && pe.exists(i => pg.min < i && i < pg.max), pl.mkString("\n"))
+  }
+
   test("q40 ivf: cell assignment is map-side — no exchange carries the corpus") {
     val p = plan("q40_ann_ivf")
     // the native argmax kernel, not a crossJoin+row_number assignment
