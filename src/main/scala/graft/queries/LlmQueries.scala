@@ -23,6 +23,11 @@ object LlmQueries {
   private val NumBands = 4
   private val RowsPerBand = 4
   private val WinnowW = 5
+  /** q27 stop-shingle cap: a shingle present in more than this many docs
+    * of one source block is dropped before the inverted-index self-join
+    * (bounds per-shingle co-occurrence fanout at 100 TB; block-ubiquitous
+    * shingles carry no near-dup signal). */
+  private val MaxShingleDf = 25
   private val TopK = 5
   private val Dim = 64
   private val NumPlanes = 8
@@ -109,31 +114,42 @@ object LlmQueries {
           SELECT doc_id, ${sqlSimhash32("hs")} AS simhash FROM h""")),
 
     // ---- blocked n-gram Jaccard via the INVERTED-INDEX join (never
-    // pairwise array intersection): explode distinct shingles, equi-join
-    // on (block, shingle) to count co-occurrences, derive Jaccard from
-    // set sizes. Linear in corpus + co-occurrence rows — the quadratic
-    // all-pairs set intersection (measured 26 s at sf0.1) never runs.
+    // pairwise array intersection): explode distinct shingles, drop
+    // stop-shingles (doc frequency > MaxShingleDf within the block),
+    // equi-join on (block, shingle) to count co-occurrences, derive
+    // Jaccard from the capped set sizes. Linear in corpus +
+    // co-occurrence rows — the quadratic all-pairs set intersection
+    // (measured 26 s at sf0.1) never runs, and the frequency cap bounds
+    // the remaining hazard: a shingle shared by every doc in a block
+    // would still make co-occurrence quadratic WITHIN the block; capped,
+    // each (block, shingle) contributes at most MaxShingleDf·(D-1)/2
+    // pairs (VERDICT r3 #5). Dropping block-ubiquitous shingles is the
+    // standard stop-word move — they carry no near-dup signal anyway.
     // Blocking key = source; cross-block near-dups are MinHash-LSH (q25).
     "q27_ngram_jaccard" -> Query(
       (s, dir) => {
-        // distinct (doc, source, shingle) rows end in an Exchange; every
-        // downstream branch (both self-join sides AND the size agg)
-        // references the identical subtree, so ReuseExchange computes the
-        // tokenize+md5 pipeline exactly ONCE (vs 3-4 recomputations when
-        // the branches each re-derived the shingle sets).
-        // the explicit isnotnull(h) filter (a no-op: shingle hashes are
-        // never null) makes this subtree IDENTICAL to what the join
-        // branches infer from their equi condition — without it the size
-        // aggregate's exchange differs by that one filter and AQE cannot
-        // share the shuffle stage between all four consumers.
+        // distinct (doc, source, shingle) rows end in an Exchange; the
+        // doc-frequency window then re-keys on (source, h) — exactly the
+        // self-join's key, so both join sides read the SAME window
+        // subtree (one exchange, reused) and need no further shuffle.
+        // the explicit isnotnull(h/source) filters (no-ops: shingle
+        // hashes and sources are never null) make this subtree IDENTICAL
+        // to what the join branches infer from their equi condition —
+        // without them the size aggregate's subtree differs by those
+        // pushed filters and AQE cannot share the shuffle stages between
+        // the consumers.
         val ex = docs(s, dir)
           .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
           .select(col("doc_id"), col("source"),
             explode(shingleHashes(col("toks"), 2)).as("h"))
-          .filter(col("h").isNotNull)
+          .filter(col("h").isNotNull && col("source").isNotNull)
           .distinct()
-        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("nset"))
-        val ni = ex.as("a").join(ex.as("b"),
+        val capped = ex
+          .withColumn("_df", count(lit(1)).over(
+            Window.partitionBy(col("source"), col("h"))))
+          .filter(col("_df") <= MaxShingleDf).drop("_df")
+        val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("nset"))
+        val ni = capped.as("a").join(capped.as("b"),
             col("a.source") === col("b.source") && col("a.h") === col("b.h") &&
               col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -147,9 +163,12 @@ object LlmQueries {
       Some(s"""WITH sets AS (SELECT doc_id, source,
             list_distinct(${sqlShingleHashes(sqlToks, 2)}) AS shset FROM documents),
           ex AS (SELECT doc_id, source, unnest(shset) AS h FROM sets),
-          sizes AS (SELECT doc_id, len(shset) AS nset FROM sets),
+          capped AS (SELECT doc_id, source, h FROM
+            (SELECT *, count(*) OVER (PARTITION BY source, h) AS df FROM ex)
+            WHERE df <= $MaxShingleDf),
+          sizes AS (SELECT doc_id, count(*) AS nset FROM capped GROUP BY doc_id),
           ni AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-                 FROM ex a JOIN ex b
+                 FROM capped a JOIN capped b
                    ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
                  GROUP BY 1, 2)
           SELECT doc_a, doc_b,

@@ -94,6 +94,20 @@ class PlanContractSpec extends SparkSpec {
     assert(pg.size == 2 && pe.exists(i => pg.min < i && i < pg.max), pl.mkString("\n"))
   }
 
+  test("q27 jaccard: df-cap window keys on the join key; shuffle stages shared") {
+    val df = SparkEntry.queries("q27_ngram_jaccard")(spark, dir)
+    df.collect() // AQE stage reuse is a runtime fact — need the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toIndexedSeq
+    // the stop-shingle cap runs as a (source, h) count window — the SAME
+    // key the self-join uses, so the join adds no exchange of its own
+    assert(lines.exists(l => l.contains("Window") && l.contains("source")), p)
+    // the tokenize+shingle+md5 pipeline is computed once: every further
+    // consumer (2nd join side, size agg) reads a REUSED shuffle stage
+    val reuses = lines.count(_.contains("ReusedExchange"))
+    assert(reuses >= 2, s"expected the distinct/window stages to be reused:\n$p")
+  }
+
   test("q40 ivf: cell assignment is map-side — no exchange carries the corpus") {
     val p = plan("q40_ann_ivf")
     // the native argmax kernel, not a crossJoin+row_number assignment
