@@ -317,6 +317,35 @@ object SceneQueries {
         WHERE line BETWEEN 6 AND 27 AND scene IN ('sc1', 'sc2')
         GROUP BY scene""")),
 
+    // ---- F7: legacy sample-name round-trip — names synthesized in the
+    // reference's legacy `{scene}_{seq:06d}_{noise}-{i}_{j}.npz` format
+    // (tests/test_archive.py:433-447), then parsed back with the
+    // split-on-last-dash contract of train_model.py:93-95. The oracle
+    // emits the TRUTH fields directly, so the gate proves the parser
+    // recovers exactly what the name encodes.
+    "q45_legacy_names" -> Query(
+      (s, dir) => {
+        val patches = Tables.events(s, dir).select(
+            concat(lit("sc"), (col("user_id") % 5).cast("string")).as("sc0"),
+            ((col("event_id") / 100).cast("long") / 20).cast("long").as("i0"),
+            ((col("event_id") % 100) / 20).cast("long").as("j0"),
+            (col("event_id") % 1000).cast("long").as("s0"))
+          .distinct()
+        val named = patches.select(concat(col("sc0"), lit("_"),
+          format_string("%06d", col("s0")), lit("_nersc_-"),
+          col("i0"), lit("_"), col("j0"), lit(".npz")).as("name"))
+        Catalog.parseLegacySampleName(named)
+          .select(col("name"), col("scene"), col("seq").cast("long").as("seq"),
+            col("pi").cast("long").as("pi"), col("pj").cast("long").as("pj"))
+      },
+      Some("""WITH g AS (SELECT DISTINCT 'sc' || (user_id % 5) AS sc0,
+            (event_id//100)//20 AS i0, (event_id%100)//20 AS j0,
+            event_id % 1000 AS s0 FROM events)
+        SELECT sc0 || '_' || lpad(CAST(s0 AS VARCHAR), 6, '0')
+                 || '_nersc_-' || i0 || '_' || j0 || '.npz' AS name,
+          sc0 AS scene, s0 AS seq, i0 AS pi, j0 AS pj
+        FROM g""")),
+
     // ---- S3/O1/F2: REAL directory listing (metadata-only binaryFile
     // scan — content column pruned, no bytes read), suffix filter,
     // lexicographic seq, scene-id extraction. The oracle pins the known

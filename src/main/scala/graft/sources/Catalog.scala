@@ -48,4 +48,24 @@ object Catalog {
   /** P10 — keep files of one scene (`apply_model.py:30-42`). */
   def forScene(files: DataFrame, scene: String): DataFrame =
     files.filter(sceneId(col("name")) === scene)
+
+  /** F7 — legacy sample-name parse. The reference's legacy `.npz` sample
+    * files carry the patch location at the END of the name —
+    * `{scene}_{seq:06d}_{noise}-{i}_{j}[.npz]`, e.g.
+    * `20180410T084537_000000_nersc_-11_12`
+    * (`tests/test_archive.py:433-447`) — and `train_model.py:93-95`
+    * recovers `(i, j)` as `(x.split("-")[-1].split(".")[0]).split("_")`.
+    * This mirrors that contract exactly (everything after the LAST '-',
+    * truncated at the first '.', split on '_'), so ingesting a
+    * reference-produced legacy sample store keeps `(pi, pj)` as real
+    * columns instead of losing them with the filename. Adds
+    * `scene, seq, pi, pj`. */
+  def parseLegacySampleName(df: DataFrame, nameCol: String = "name"): DataFrame = {
+    val tail = element_at(split(col(nameCol), "-"), -1) // x.split("-")[-1]
+    val loc = element_at(split(tail, "\\."), 1)         // .split(".")[0]
+    df.withColumn("scene", sceneId(col(nameCol)))       // name.split("_")[0]
+      .withColumn("seq", element_at(split(col(nameCol), "_"), 2).cast("int"))
+      .withColumn("pi", element_at(split(loc, "_"), 1).cast("int"))
+      .withColumn("pj", element_at(split(loc, "_"), 2).cast("int"))
+  }
 }

@@ -127,6 +127,19 @@ class MLFeedSpec extends SparkSpec {
     Catalog.forScene(files, "20180410T084537").count() shouldBe 2
   }
 
+  test("legacy sample-name parse recovers scene/seq/(i,j) (F7, train_model.py:93-95)") {
+    import graft.sources.Catalog
+    // exact strings from tests/test_archive.py:433-447 (savez adds .npz;
+    // train_model lists the extensioned form — both must parse)
+    val names = Seq("20180410T084537_000000_nersc_-11_12",
+      "20180410T084537_000002_nersc_-15_16.npz").toDF("name")
+    val out = Catalog.parseLegacySampleName(names)
+      .select("scene", "seq", "pi", "pj")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    out should contain theSameElementsAs Seq(
+      ("20180410T084537", 0, 11, 12), ("20180410T084537", 2, 15, 16))
+  }
+
   test("regrid bilinear: interior interpolation + linear extrapolation (archive.py:250-263)") {
     // source grid: values v(l, s) = 10*l + s at positions {0, 10} x {0, 10}
     val src = Seq(
