@@ -374,10 +374,43 @@ object LlmQueries {
             array_to_string(fps, ',') AS fps_s FROM w"""
       }),
 
+    // ---- the imperative decode stage (mapPartitions over raw payload
+    // bytes — the real-decoder integration point) oracle-gated: the
+    // decoder's L1-normalized float32 16-bin byte histogram is inverted
+    // back to exact integer counts (round(f_j · byte_len) — the float
+    // division's relative error is ≤ 2⁻²⁴·count, far below the 0.5
+    // rounding margin), which DuckDB reproduces by counting high-nibble
+    // hex chars of the same payload. Proves the Dataset/mapPartitions
+    // plumbing end to end, not just the codegen'd columns of q33.
+    "q46_decode_features" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.asMediaTable(docs(s, dir))
+        val ds = media.select(col("media_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+        Multimodal.decodeFeatures(ds).toDF()
+          .select(col("media_id") +: col("byte_len").cast("long").as("byte_len") +:
+            (0 until 16).map(j =>
+              round(element_at(col("features"), j + 1).cast("double") * col("byte_len"))
+                .cast("long").as("h%02d".format(j))): _*)
+      },
+      Some {
+        val bins = (0 until 16).map { j =>
+          val c = "0123456789abcdef"(j)
+          s"""CAST(len(list_filter(range(0, byte_len),
+              i -> substr(hx, CAST(2*i + 1 AS BIGINT), 1) = '$c')) AS BIGINT)
+              AS h${"%02d".format(j)}"""
+        }.mkString(", ")
+        s"""WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+              CAST(octet_length(encode(text)) AS BIGINT) AS byte_len FROM documents)
+          SELECT media_id, byte_len, $bins FROM m"""
+      }),
+
     // ---- multimodal binary plumbing: payload as opaque bytes + typed
     // metadata; digest, header probe, and strided byte sampling all stay
     // in codegen. (The imperative decode stub lives in
-    // operators/Multimodal.decodeFeatures, pinned by MultimodalSpec.)
+    // operators/Multimodal.decodeFeatures — oracle-gated by
+    // q46_decode_features, unit-pinned in TextDedupSpec.)
     "q33_multimodal" -> Query(
       (s, dir) => {
         val media = Multimodal.asMediaTable(docs(s, dir))
