@@ -90,7 +90,7 @@ case class DenseMatrixAgg(
 object DenseMatrixAgg {
   /** Column-API entry: `dense_matrix(r, c, v, window)` aggregate. */
   def dense_matrix(r: Column, c: Column, v: Column, window: Int): Column = {
-    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
     column(DenseMatrixAgg(expression(r), expression(c), expression(v), window)
       .toAggregateExpression())
   }

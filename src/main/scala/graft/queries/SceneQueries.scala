@@ -196,7 +196,12 @@ object SceneQueries {
     // training set for the loss join.
     "q39_class_weights" -> Query(
       (s, dir) => {
+        // the 4-row histogram feeds BOTH the total and the weights —
+        // localCheckpoint materializes it once so the one-hot forest over
+        // `part` is scanned a single time instead of per consumer
+        // (VERDICT r3 #8)
         val hist = PipelineQueries.all("q20_class_histogram").build(s, dir)
+          .localCheckpoint()
         val total = hist.agg(sum(col("n_hot")).as("_t"))
         hist.crossJoin(broadcast(total))
           .select(col("cls"), col("n_hot"),
