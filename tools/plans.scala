@@ -3,6 +3,7 @@ import java.io.PrintWriter
 val dir = "/root/testdata/sf0.01"
 val names = Seq("q02_decode_join", "q07_tile_tumbling", "q24_exact_dedup",
   "q25_minhash_lsh", "q27_ngram_jaccard", "q28_cosine_topk", "q34_scene_pipeline", "q15_batches",
+  "q40_ann_ivf",
   "q42_scene_source")
 val pw = new PrintWriter("/tmp/plans_raw.txt")
 for (name <- names) {
