@@ -57,6 +57,12 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] >>> $name")
+      // Collect the previous query's garbage OUTSIDE the timed region:
+      // at 32 in-process executor threads a heavy query's debris
+      // otherwise lands as multi-second GC pauses inside whichever query
+      // runs next (the r3 q21 7.4 s mystery — a plain scan-agg timed
+      // right after the rank queries' quantile passes).
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
