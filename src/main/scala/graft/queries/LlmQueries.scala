@@ -420,16 +420,20 @@ object LlmQueries {
           length(col("payload")).cast("long").as("byte_len"),
           sha2(col("payload"), 256).as("digest"),
           lower(hex(substring(col("payload"), 1, 8))).as("header"),
-          expr("concat_ws('', transform(sequence(0, CAST((length(payload)-1)/16 AS INT)), " +
-            "i -> substr(CAST(payload AS STRING), i*16+1, 1)))").as("thumb"))
+          // strided 1-in-16 byte sampling as ONE codegen'd regex pass
+          // (every 16-char block → its first char). The transform() HOF
+          // it replaces was CodegenFallback AND re-evaluated the
+          // payload→string cast inside the lambda per element — the
+          // quadratic embedded-subtree trap TextFns documents.
+          regexp_replace(col("payload").cast("string"),
+            "(?s)(.).{0,15}", "$1").as("thumb"))
       },
       Some("""SELECT doc_id AS media_id,
           CAST(n_chars AS BIGINT) AS width,
           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
           sha256(text) AS digest,
           lower(hex(encode(substr(text, 1, 8)))) AS header,
-          array_to_string(list_transform(range(0, (length(text) - 1) // 16 + 1),
-            i -> substr(text, CAST(i * 16 + 1 AS BIGINT), 1)), '') AS thumb
+          regexp_replace(text, '(?s)(.).{0,15}', '\1', 'g') AS thumb
         FROM documents"""))
   )
 }
