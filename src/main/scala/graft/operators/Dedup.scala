@@ -105,4 +105,67 @@ object Dedup {
     docs.select(idCol.as("doc_id"),
         transform(TextFns.tokens(text), t => TextFns.hash60(t)).as("hs"))
       .select(col("doc_id"), TextFns.simhash32(col("hs")).as("simhash"))
+
+  /** Connected components over an undirected pair list — the cluster-
+    * resolution stage that turns near-dup PAIRS (L2/L3/L7 output) into
+    * dedup CLUSTERS with a canonical keeper per cluster (the component
+    * minimum). Alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * the standard MapReduce CC algorithm): O(log n) rounds on ANY graph
+    * shape — a length-n duplicate chain converges in ~log n rounds where
+    * naive label propagation needs n.
+    *
+    * Input: a DataFrame whose first two columns are node ids (one row
+    * per edge, direction irrelevant, self-loops/dups tolerated).
+    * Output: (node, component) for every node incident to an edge, with
+    * `component` = the minimum node id in that node's component —
+    * deterministic, independent of round count or partitioning.
+    *
+    * 100 TB shape: each round is two hash-shuffles (a groupBy-min and an
+    * equi-join) over the contracted edge set, which only shrinks; edges
+    * are (id, id) pairs, never payloads. `localCheckpoint` truncates the
+    * lineage per round so round r+1 does not replay rounds 1..r, and the
+    * fixpoint test is an exact set compare (two `except`s) on the
+    * contracted frame — cheap once the forest has collapsed. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // canonical directed form (hi > lo); self-loops and dup edges dropped
+    var e = edges.toDF("eu", "ev")
+      .where(col("eu") =!= col("ev"))
+      .select(greatest(col("eu"), col("ev")).as("hi"),
+        least(col("eu"), col("ev")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    var done = e.isEmpty
+    var round = 0
+    while (!done && round < maxRounds) {
+      // large-star: m(a) = min over a's full neighborhood ∪ {a}; every
+      // neighbor LARGER than a re-links to m(a).
+      val sym = e.select(col("hi").as("a"), col("lo").as("b"))
+        .union(e.select(col("lo").as("a"), col("hi").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val ls = sym.join(mins, "a")
+        .where(col("b") > col("a"))
+        .select(col("b").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star: within each node's smaller-neighborhood ∪ {self},
+      // link everything to the minimum.
+      val mins2 = ls.groupBy("hi").agg(min("lo").as("m"))
+      val joined = ls.join(mins2, "hi")
+      val ss = joined.select(col("lo"), col("m"))
+        .where(col("lo") =!= col("m"))
+        .union(joined.select(col("hi"), col("m")).distinct())
+        .toDF("hi", "lo")
+        .distinct()
+        .localCheckpoint()
+      done = ss.except(e).isEmpty && e.except(ss).isEmpty
+      e = ss
+      round += 1
+    }
+    require(done, s"connectedComponents: no fixpoint after $maxRounds rounds")
+    // fixpoint is a star forest (node → root); roots label themselves
+    e.select(col("hi").as("node"), col("lo").as("component"))
+      .union(e.select(col("lo").as("node"), col("lo").as("component")))
+      .distinct()
+  }
 }

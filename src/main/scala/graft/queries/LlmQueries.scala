@@ -45,6 +45,30 @@ object LlmQueries {
 
   private val sqlToks = sqlTokens("text")
 
+  /** Shared DuckDB CTE prefix for the MinHash-LSH pipeline (tokens →
+    * shingle hashes → signatures → bands → candidate pairs → shingle
+    * sets) — interpolated into both the q25 and q47 oracles so the two
+    * stay definitionally identical. */
+  private lazy val sqlLshPairsCtes: String = {
+    val hs = sqlShingleHashes("toks", ShingleN)
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(sig[${b * RowsPerBand + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM s"
+    }.mkString(" UNION ALL ")
+    s"""t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          h AS (SELECT doc_id, $hs AS hs FROM t),
+          s AS (SELECT doc_id, ${sqlMinhashSignature("hs", NumHashes)} AS sig
+                FROM h WHERE len(hs) > 0),
+          bands AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id),
+          sets AS (SELECT doc_id, list_distinct(hs) AS shset FROM h)"""
+  }
+
   val all: Map[String, Query] = Map(
 
     // ---- exact dedup: ONE shuffle keyed on the 32-byte content digest,
@@ -75,23 +99,7 @@ object LlmQueries {
             col("n_union").cast("long").as("n_union"), col("jaccard"))
       },
       Some {
-        val hs = sqlShingleHashes("toks", ShingleN)
-        val bandSelects = (0 until NumBands).map { b =>
-          val key = (0 until RowsPerBand)
-            .map(r => s"CAST(sig[${b * RowsPerBand + r + 1}] AS VARCHAR)")
-            .mkString(" || '_' || ")
-          s"SELECT doc_id, $b AS band, $key AS band_key FROM s"
-        }.mkString(" UNION ALL ")
-        s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-          h AS (SELECT doc_id, $hs AS hs FROM t),
-          s AS (SELECT doc_id, ${sqlMinhashSignature("hs", NumHashes)} AS sig
-                FROM h WHERE len(hs) > 0),
-          bands AS ($bandSelects),
-          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.band_key = b.band_key
-                     AND a.doc_id < b.doc_id),
-          sets AS (SELECT doc_id, list_distinct(hs) AS shset FROM h)
+        s"""WITH $sqlLshPairsCtes
           SELECT doc_a, doc_b,
             CAST(len(list_intersect(sa.shset, sb.shset)) AS BIGINT) AS n_common,
             CAST(len(sa.shset) + len(sb.shset)
@@ -434,6 +442,55 @@ object LlmQueries {
           sha256(text) AS digest,
           lower(hex(encode(substr(text, 1, 8)))) AS header,
           regexp_replace(text, '(?s)(.).{0,15}', '\1', 'g') AS thumb
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- dedup-cluster resolution (L17): near-dup PAIRS (the q25
+    // MinHash-LSH output, Jaccard >= 1/2 as the integer-pure
+    // 2·|∩| >= |∪|) → connected components via alternating
+    // large-star/small-star → one (doc, cluster, cluster size) row per
+    // clustered doc, keeper = the component-min id. The oracle computes
+    // the same components by recursive-CTE transitive closure — a
+    // different algorithm entirely, so the fixpoint contraction is
+    // cross-checked, not mirrored.
+    "q47_dedup_clusters" -> Query(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sigs = Dedup.minhashSignatures(d, col("doc_id"), col("text"),
+          ShingleN, NumHashes)
+        val pairs = Dedup.lshCandidatePairs(sigs, NumBands, RowsPerBand)
+        val sets = Dedup.shingleSets(d, col("doc_id"), col("text"), ShingleN)
+        val nearDup = Dedup.jaccardVerify(pairs, sets)
+          .where(lit(2) * col("n_common") >= col("n_union"))
+          .select(col("doc_a"), col("doc_b"))
+        val comp = Dedup.connectedComponents(nearDup)
+        val sizes = comp.groupBy("component")
+          .agg(count(lit(1)).as("n_members"))
+        comp.join(broadcast(sizes), "component")
+          .select(col("node").as("doc_id"), col("component"),
+            col("n_members"))
+      },
+      Some {
+        s"""WITH RECURSIVE $sqlLshPairsCtes,
+          verified AS (SELECT doc_a, doc_b,
+              len(list_intersect(sa.shset, sb.shset)) AS n_common,
+              len(sa.shset) + len(sb.shset)
+                - len(list_intersect(sa.shset, sb.shset)) AS n_union
+            FROM pairs JOIN sets sa ON pairs.doc_a = sa.doc_id
+                       JOIN sets sb ON pairs.doc_b = sb.doc_id),
+          edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
+                    WHERE 2 * n_common >= n_union),
+          sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+          nodes AS (SELECT DISTINCT u AS node FROM sym),
+          reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.node, s2.v FROM reach r JOIN sym s2 ON s2.u = r.lbl),
+          comp AS (SELECT node, min(lbl) AS component FROM reach
+                   GROUP BY node)
+          SELECT c.node AS doc_id, c.component, n.n_members
+          FROM comp c JOIN (SELECT component, count(*) AS n_members
+                            FROM comp GROUP BY component) n
+            USING (component)"""
+      })
   )
 }

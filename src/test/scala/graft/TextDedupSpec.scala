@@ -189,4 +189,36 @@ class TextDedupSpec extends SparkSpec {
     m.getAs[Array[Byte]]("payload") shouldBe "abc".getBytes("UTF-8")
     m.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") shouldBe 3
   }
+
+  test("connectedComponents: chain + clique + pair, dup/self edges tolerated") {
+    // chain 1-2-3-4-5 (worst case for naive propagation), clique
+    // {10,11,12}, pair {20,21} given in both directions, self-loop 7.
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L), (20L, 21L), (7L, 7L))
+      .toDF("u", "v")
+    val got = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+  }
+
+  test("connectedComponents matches union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // reference union-find; attaching the larger root under the smaller
+    // keeps every root the minimum of its component.
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .filter(v => edges.exists(e => (e._1 == v || e._2 == v) && e._1 != e._2))
+      .map(v => v -> find(v.toInt).toLong).toMap
+    val got = Dedup.connectedComponents(edges.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe expected
+  }
 }
