@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Deterministic sampling for training-data curation: per-stratum
+  * Bernoulli rates and exact-n-per-stratum picks, both keyed on the
+  * engine-portable 60-bit md5 hash ([[TextFns.hash60]]) instead of an
+  * RNG — so a sample is reproducible across runs, partitionings and
+  * engines, and the DuckDB oracle can recompute it bit-exactly.
+  * (The reference's feed stage shuffles with an in-memory NumPy
+  * permutation, `data_generator.py:46-47`; a keyed hash is the
+  * distributed-safe equivalent — no driver-held RNG state.)
+  *
+  * 100 TB notes: rate-based sampling is a pure map-side filter — no
+  * shuffle, and the predicate sits directly on the scan so column
+  * pruning/pushdown still apply. Exact-n ranks by the same hash within
+  * each stratum — one hash-shuffle on the stratum key; at very large
+  * scale, pre-filter with a generous rate (~ a few × n/|stratum|) so
+  * the rank window sees ~n rows per stratum rather than the full
+  * table.
+  */
+object Sampling {
+
+  /** Per-mille rate denominator (rates are integers in [0, 1000]). */
+  val Mille = 1000L
+
+  /** Uniform [0, Mille) slot for a row key — salted md5, portable. */
+  def slot(key: Column, salt: String): Column =
+    TextFns.hash60(concat(key.cast("string"), lit(":" + salt))) % Mille
+
+  /** DuckDB rendering of [[slot]] (same md5 derivation). */
+  def sqlSlot(key: String, salt: String): String =
+    s"(${TextFns.sqlHash60(s"CAST($key AS VARCHAR) || ':$salt'")} % $Mille)"
+
+  /** Bernoulli-per-stratum sample: keep a row iff its slot falls below
+    * the stratum's per-mille rate (unknown strata get `defaultPerMille`). */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       ratesPerMille: Seq[(String, Int)],
+                       defaultPerMille: Int, salt: String): DataFrame = {
+    val rate = ratesPerMille.reverse.foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, v)) => when(stratum === lit(k), lit(v)).otherwise(acc)
+    }
+    df.where(slot(key, salt) < rate)
+  }
+
+  /** Exact-n-per-stratum sample: the n smallest salted hashes in each
+    * stratum — "random" without replacement, yet fully deterministic.
+    * Hash ties are broken by the key itself, so the pick is a total
+    * order. */
+  def exactNPerStratum(df: DataFrame, stratum: Column, key: Column,
+                       n: Int, salt: String): DataFrame =
+    df.withColumn("_slot",
+        TextFns.hash60(concat(key.cast("string"), lit(":" + salt))))
+      .withColumn("_rk",
+        row_number().over(Window.partitionBy(stratum).orderBy(col("_slot"), key)))
+      .where(col("_rk") <= n)
+      .drop("_slot", "_rk")
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -31,6 +31,11 @@ object LlmQueries {
   private val TopK = 5
   private val Dim = 64
   private val NumPlanes = 8
+
+  /** q48 per-stratum sample rates (per mille, by `lang`); order is the
+    * CASE/when chain order on both sides. */
+  private val SampleRates = Seq("en" -> 900, "de" -> 500, "fr" -> 250)
+  private val SampleDefault = 100
 
   /** Language keyword profiles (first-max order is the tie-break). */
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
@@ -491,6 +496,39 @@ object LlmQueries {
           FROM comp c JOIN (SELECT component, count(*) AS n_members
                             FROM comp GROUP BY component) n
             USING (component)"""
+      }),
+
+    // ---- deterministic stratified sample (L18a): per-lang Bernoulli
+    // rates keyed on the salted md5 slot — a pure map-side filter (no
+    // shuffle, no RNG state), reproducible across engines; the oracle
+    // recomputes the identical slot.
+    "q48_stratified_sample" -> Query(
+      (s, dir) => Sampling.stratifiedSample(docs(s, dir), col("lang"),
+          col("doc_id"), SampleRates, SampleDefault, "s42")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      Some {
+        val cases = SampleRates.map { case (k, v) => s"WHEN '$k' THEN $v" }
+          .mkString(" ")
+        s"""SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE ${Sampling.sqlSlot("doc_id", "s42")}
+            < CASE lang $cases ELSE $SampleDefault END"""
+      }),
+
+    // ---- exact-n-per-stratum sample (L18b): the 7 smallest salted
+    // hashes per lang — deterministic sampling without replacement; one
+    // hash-shuffle on the stratum key, rank window over ~n rows after
+    // the (optional) rate pre-filter at scale.
+    "q49_sample_exact_n" -> Query(
+      (s, dir) => Sampling.exactNPerStratum(docs(s, dir), col("lang"),
+          col("doc_id"), 7, "s7")
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some {
+        s"""WITH r AS (SELECT doc_id, lang, n_chars,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY ${sqlHash60("CAST(doc_id AS VARCHAR) || ':s7'")},
+                       doc_id) AS rk
+          FROM documents)
+          SELECT doc_id, lang, n_chars FROM r WHERE rk <= 7"""
       })
   )
 }
