@@ -124,10 +124,24 @@ object Dedup {
     * 100 TB shape: each round is two hash-shuffles (a groupBy-min and an
     * equi-join) over the contracted edge set, which only shrinks; edges
     * are (id, id) pairs, never payloads. `localCheckpoint` truncates the
-    * lineage per round so round r+1 does not replay rounds 1..r, and the
-    * fixpoint test is an exact set compare (two `except`s) on the
-    * contracted frame — cheap once the forest has collapsed. */
+    * lineage per round so round r+1 does not replay rounds 1..r. The
+    * fixpoint test is structural, not a compare against the previous
+    * round: a canonical (hi→lo) edge set is stable under both star
+    * transforms iff it is a proper star forest — no node is both a
+    * child and a parent, and every child has exactly one parent. (Both
+    * transforms preserve the component partition, so each star then
+    * spans a full component and its root is the component minimum.)
+    * Checking the OUTPUT directly saves the confirmation round a
+    * previous-vs-next set compare would need. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // stable under both stars iff a proper star forest (see scaladoc)
+    def isStarForest(e: DataFrame): Boolean = {
+      val multiParent = e.groupBy("hi").agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+      val chained = e.as("x")
+        .join(e.as("y"), col("x.lo") === col("y.hi"), "left_semi")
+      multiParent.isEmpty && chained.isEmpty
+    }
     // canonical directed form (hi > lo); self-loops and dup edges dropped
     var e = edges.toDF("eu", "ev")
       .where(col("eu") =!= col("ev"))
@@ -135,7 +149,7 @@ object Dedup {
         least(col("eu"), col("ev")).as("lo"))
       .distinct()
       .localCheckpoint()
-    var done = e.isEmpty
+    var done = isStarForest(e)
     var round = 0
     while (!done && round < maxRounds) {
       // large-star: m(a) = min over a's full neighborhood ∪ {a}; every
@@ -158,8 +172,8 @@ object Dedup {
         .toDF("hi", "lo")
         .distinct()
         .localCheckpoint()
-      done = ss.except(e).isEmpty && e.except(ss).isEmpty
       e = ss
+      done = isStarForest(e)
       round += 1
     }
     require(done, s"connectedComponents: no fixpoint after $maxRounds rounds")
