@@ -64,6 +64,29 @@ object TextFns {
   def sqlTokens(x: String): String =
     s"string_split_regex(trim($x), '\\s+')"
 
+  // -------------------------------------------------------------- scrub
+
+  private def denyRe(terms: Seq[String]): String =
+    terms.mkString("\\b(", "|", ")\\b")
+
+  /** Denylist entity scrub: replace whole-word occurrences of `terms`
+    * with `token` (regexp word boundaries — Java regex and RE2 agree on
+    * `\b` for alphanumeric terms, so the DuckDB mirror is exact). A
+    * single-token replacement keeps downstream whitespace token counts
+    * comparable. Pure map — no shuffle, pushdown-safe. */
+  def redactDenylist(text: Column, terms: Seq[String], token: String): Column =
+    regexp_replace(text, denyRe(terms), token)
+
+  /** Number of denylist hits in the unscubbed text. */
+  def redactCount(text: Column, terms: Seq[String]): Column =
+    size(regexp_extract_all(text, lit(denyRe(terms)), lit(0)))
+
+  def sqlRedactDenylist(x: String, terms: Seq[String], token: String): String =
+    s"regexp_replace($x, '${denyRe(terms)}', '$token', 'g')"
+
+  def sqlRedactCount(x: String, terms: Seq[String]): String =
+    s"len(regexp_extract_all($x, '${denyRe(terms)}'))"
+
   /** Token n-gram shingles as strings ("tok1 tok2 tok3"). Empty array when
     * the doc has fewer than n tokens (guards sequence() against negative
     * spans). */

@@ -37,6 +37,14 @@ object LlmQueries {
   private val SampleRates = Seq("en" -> 900, "de" -> 500, "fr" -> 250)
   private val SampleDefault = 100
 
+  /** q50 curation config: denylist terms scrubbed to a single token,
+    * quality gate (min tokens + a stopword floor as the integer-pure
+    * `stops·50 >= n_tokens`), then keeper-dedup and the q48 sample. */
+  private val DenyTerms = Seq("customer", "supplier")
+  private val ScrubToken = "<ent>"
+  private val CurateMinTokens = 30
+  private val StopWords = Seq("the", "a", "of", "and")
+
   /** Language keyword profiles (first-max order is the tie-break). */
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "query", "fast"),
@@ -529,6 +537,62 @@ object LlmQueries {
                        doc_id) AS rk
           FROM documents)
           SELECT doc_id, lang, n_chars FROM r WHERE rk <= 7"""
+      }),
+
+    // ---- end-to-end corpus curation flagship (the LLM-side analogue of
+    // q34's scene pipeline): denylist scrub → token/quality gate →
+    // exact-dedup keeper (single window shuffle on the content key) →
+    // deterministic stratified sample. One scan, two shuffles total
+    // (ckey window + none for the map-side scrub/gate/sample).
+    "q50_curate_corpus" -> Query(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scrub = docs(s, dir).select(
+          col("doc_id"), col("lang"), col("source"),
+          Dedup.contentKey(col("text")).as("ckey"),
+          TextFns.redactCount(col("text"), DenyTerms).as("n_redacted"),
+          tokens(TextFns.redactDenylist(col("text"), DenyTerms, ScrubToken))
+            .as("toks"))
+        val stats = scrub.select(
+          col("doc_id"), col("lang"), col("source"), col("ckey"),
+          col("n_redacted"), size(col("toks")).as("n_tokens"),
+          size(filter(col("toks"), t => t.isin(StopWords: _*))).as("stops"))
+        val gated = stats.where(col("n_tokens") >= CurateMinTokens &&
+          col("stops") * 50 >= col("n_tokens"))
+        val keepers = gated
+          .withColumn("_keep",
+            min(col("doc_id")).over(Window.partitionBy(col("ckey"))))
+          .where(col("doc_id") === col("_keep"))
+        Sampling.stratifiedSample(keepers, col("lang"), col("doc_id"),
+            SampleRates, SampleDefault, "cur")
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("n_redacted").cast("long").as("n_redacted"))
+      },
+      Some {
+        val stopsIn = StopWords.map(w => s"'$w'").mkString(", ")
+        val cases = SampleRates.map { case (k, v) => s"WHEN '$k' THEN $v" }
+          .mkString(" ")
+        s"""WITH s0 AS (SELECT doc_id, lang, source,
+              md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS ckey,
+              ${sqlRedactCount("text", DenyTerms)} AS n_redacted,
+              string_split_regex(trim(${sqlRedactDenylist("text", DenyTerms, ScrubToken)}),
+                '\\s+') AS toks
+            FROM documents),
+          s1 AS (SELECT doc_id, lang, source, ckey, n_redacted,
+              len(toks) AS n_tokens,
+              len(list_filter(toks, t -> t IN ($stopsIn))) AS stops
+            FROM s0),
+          s2 AS (SELECT * FROM s1
+            WHERE n_tokens >= $CurateMinTokens AND stops * 50 >= n_tokens),
+          s3 AS (SELECT *, min(doc_id) OVER (PARTITION BY ckey) AS keep
+            FROM s2)
+          SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+            CAST(n_redacted AS BIGINT) AS n_redacted
+          FROM s3
+          WHERE doc_id = keep
+            AND ${Sampling.sqlSlot("doc_id", "cur")}
+              < CASE lang $cases ELSE $SampleDefault END"""
       })
   )
 }
