@@ -123,4 +123,28 @@ class PlanContractSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("Exchange hashpartitioning") && l.contains("_salt")), p)
   }
+
+  test("q48 stratified sample: a pure map-side filter — zero exchanges") {
+    val p = plan("q48_stratified_sample")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q50 curation: the keeper window is the only exchange (keyed on ckey)") {
+    val p = plan("q50_curate_corpus")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("ckey")), ex.mkString("\n"))
+  }
+
+  test("connectedComponents output reads the checkpoint, not its input lineage") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
+      .withColumn("u", org.apache.spark.sql.functions.col("u") * 1)
+    val out = graft.operators.Dedup.connectedComponents(edges)
+    val p = out.queryExecution.executedPlan.toString
+    // the iterative rounds are severed by localCheckpoint: the returned
+    // frame scans the materialized RDD and must not replay the edge
+    // derivation (here a LocalTableScan; in q47 the whole LSH pipeline)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("LocalTableScan"), p)
+  }
 }
