@@ -593,6 +593,26 @@ object LlmQueries {
           WHERE doc_id = keep
             AND ${Sampling.sqlSlot("doc_id", "cur")}
               < CASE lang $cases ELSE $SampleDefault END"""
-      })
+      }),
+
+    // ---- exact per-stratum length quantiles (curation cut-points).
+    // Spark `percentile` and DuckDB `quantile_cont` share the same
+    // (n-1)·p linear-interpolation definition, so the doubles match
+    // bit-for-bit (verified — no trig-style libm divergence). Scale
+    // note: Spark's exact percentile buffers a value→count map per
+    // group, so state is O(distinct lengths), not O(rows) — fine at
+    // 100 TB for bounded measures like document length; for unbounded
+    // ones swap in approx_percentile (same plan shape).
+    "q51_length_quantiles" -> Query(
+      (s, dir) => docs(s, dir).groupBy(col("lang")).agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99"),
+        count(lit(1)).as("n")),
+      Some("""SELECT lang, quantile_cont(n_chars, 0.5) AS p50,
+          quantile_cont(n_chars, 0.9) AS p90,
+          quantile_cont(n_chars, 0.99) AS p99,
+          count(*) AS n
+        FROM documents GROUP BY lang"""))
   )
 }

@@ -190,6 +190,19 @@ class TextDedupSpec extends SparkSpec {
     m.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") shouldBe 3
   }
 
+  test("redactDenylist: word-boundary scrub and hit count") {
+    val terms = Seq("customer", "supplier")
+    val out = Seq("customer a customers supplier customer")
+      .toDF("text")
+      .select(
+        TextFns.redactDenylist(col("text"), terms, "<ent>").as("s"),
+        TextFns.redactCount(col("text"), terms).as("n"))
+      .as[(String, Int)].head()
+    // "customers" survives: \b requires a non-word char after the term
+    out._1 shouldBe "<ent> a customers <ent> <ent>"
+    out._2 shouldBe 3
+  }
+
   test("connectedComponents: chain + clique + pair, dup/self edges tolerated") {
     // chain 1-2-3-4-5 (worst case for naive propagation), clique
     // {10,11,12}, pair {20,21} given in both directions, self-loop 7.
