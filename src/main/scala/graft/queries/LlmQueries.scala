@@ -45,6 +45,9 @@ object LlmQueries {
   private val CurateMinTokens = 30
   private val StopWords = Seq("the", "a", "of", "and")
 
+  /** q52 token budget per packed training chunk. */
+  private val PackBudget = 10000
+
   /** Language keyword profiles (first-max order is the tie-break). */
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "query", "fast"),
@@ -613,6 +616,42 @@ object LlmQueries {
           quantile_cont(n_chars, 0.9) AS p90,
           quantile_cont(n_chars, 0.99) AS p99,
           count(*) AS n
-        FROM documents GROUP BY lang"""))
+        FROM documents GROUP BY lang""")),
+
+    // ---- sequence packing (L21): assign docs to fixed-token-budget
+    // training chunks — concatenation order is the salted hash (the
+    // deterministic shuffle), chunk id and intra-chunk offset fall out
+    // of a per-stratum cumulative token sum. Docs straddle chunk
+    // boundaries exactly as pretraining packing does (concat then split
+    // at budget multiples). One partitioned window shuffle; never a
+    // global (SinglePartition) cumsum — packing is per-stratum by
+    // construction, which is also what a mixture-weighted loader wants.
+    "q52_pack_chunks" -> Query(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).as("n_toks"),
+          TextFns.hash60(concat(col("doc_id").cast("string"), lit(":pack")))
+            .as("h"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("cum", sum(col("n_toks")).over(w))
+          .select(col("doc_id"), col("lang"),
+            col("n_toks").cast("long").as("n_toks"),
+            ((col("cum") - col("n_toks")) / PackBudget).cast("long").as("chunk_id"),
+            ((col("cum") - col("n_toks")) % PackBudget).cast("long").as("chunk_off"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+            len($sqlToks) AS n_toks,
+            ${sqlHash60("CAST(doc_id AS VARCHAR) || ':pack'")} AS h
+          FROM documents),
+        c AS (SELECT *, sum(n_toks) OVER (PARTITION BY lang
+            ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+          CAST((cum - n_toks) // $PackBudget AS BIGINT) AS chunk_id,
+          CAST((cum - n_toks) % $PackBudget AS BIGINT) AS chunk_off
+        FROM c"""))
   )
 }
