@@ -134,13 +134,15 @@ object Dedup {
     * Checking the OUTPUT directly saves the confirmation round a
     * previous-vs-next set compare would need. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
-    // stable under both stars iff a proper star forest (see scaladoc)
+    // stable under both stars iff a proper star forest (see scaladoc);
+    // both violation probes union into ONE action per round
     def isStarForest(e: DataFrame): Boolean = {
       val multiParent = e.groupBy("hi").agg(count(lit(1)).as("c"))
-        .where(col("c") > 1)
+        .where(col("c") > 1).select(lit(1).as("viol"))
       val chained = e.as("x")
         .join(e.as("y"), col("x.lo") === col("y.hi"), "left_semi")
-      multiParent.isEmpty && chained.isEmpty
+        .select(lit(1).as("viol"))
+      multiParent.union(chained).isEmpty
     }
     // canonical directed form (hi > lo); self-loops and dup edges dropped
     var e = edges.toDF("eu", "ev")
