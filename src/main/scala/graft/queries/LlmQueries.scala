@@ -48,6 +48,10 @@ object LlmQueries {
   /** q52 token budget per packed training chunk. */
   private val PackBudget = 10000
 
+  /** q53 contamination threshold: an eval doc is contaminated by a train
+    * doc when they share at least this many distinct shingles. */
+  private val ContamMinShared = 5
+
   /** Language keyword profiles (first-max order is the tie-break). */
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "query", "fast"),
@@ -652,6 +656,51 @@ object LlmQueries {
         SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
           CAST((cum - n_toks) // $PackBudget AS BIGINT) AS chunk_id,
           CAST((cum - n_toks) % $PackBudget AS BIGINT) AS chunk_off
-        FROM c"""))
+        FROM c""")),
+
+    // ---- eval-set decontamination (L22): which eval docs (source src0)
+    // share >= ContamMinShared distinct shingles with a train doc? The
+    // same inverted-index equi-join shape as q27 — explode distinct
+    // shingle hashes, df-cap the train posting lists (a stop-shingle
+    // carries no contamination signal but makes the join quadratic),
+    // join on the hash, count per (eval, train) pair. Never an all-pairs
+    // set intersection.
+    "q53_contamination" -> Query(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+        val ev = Dedup.shingleSets(d.where(col("source") === "src0"),
+            col("doc_id"), col("text"), ShingleN)
+          .select(col("doc_id").as("e_id"), explode(col("shset")).as("h"))
+        val tra = Dedup.shingleSets(d.where(col("source") =!= "src0"),
+            col("doc_id"), col("text"), ShingleN)
+          .select(col("doc_id").as("t_id"), explode(col("shset")).as("h"))
+        val tr = tra
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .where(col("df") <= MaxShingleDf).drop("df")
+        ev.join(tr, "h")
+          .groupBy(col("e_id"), col("t_id"))
+          .agg(count(lit(1)).as("n_common"))
+          .where(col("n_common") >= ContamMinShared)
+          .groupBy(col("e_id"))
+          .agg(count(lit(1)).as("n_contaminated"),
+            max(col("n_common")).as("max_common"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks FROM documents),
+          hh AS (SELECT doc_id, source,
+              ${sqlShingleHashes("toks", ShingleN)} AS hs FROM t),
+          sets AS (SELECT doc_id, source, list_distinct(hs) AS shset FROM hh),
+          ev AS (SELECT doc_id AS e_id, unnest(shset) AS h FROM sets
+                 WHERE source = 'src0'),
+          tra AS (SELECT doc_id AS t_id, unnest(shset) AS h FROM sets
+                  WHERE source <> 'src0'),
+          tr AS (SELECT t_id, h FROM (SELECT t_id, h,
+                   count(*) OVER (PARTITION BY h) AS df FROM tra)
+                 WHERE df <= $MaxShingleDf),
+          p AS (SELECT e_id, t_id, count(*) AS n_common
+                FROM ev JOIN tr USING (h)
+                GROUP BY e_id, t_id HAVING count(*) >= $ContamMinShared)
+          SELECT e_id, count(*) AS n_contaminated, max(n_common) AS max_common
+          FROM p GROUP BY e_id"""))
   )
 }
