@@ -106,6 +106,33 @@ object Dedup {
         transform(TextFns.tokens(text), t => TextFns.hash60(t)).as("hs"))
       .select(col("doc_id"), TextFns.simhash32(col("hs")).as("simhash"))
 
+  /** Eval-set decontamination report (which eval docs share at least
+    * `minShared` distinct shingles with a train doc, and with how many
+    * train docs): the inverted-index equi-join shape — explode distinct
+    * shingle hashes on both sides, cap train posting lists at `maxDf`
+    * docs (a stop-shingle carries no contamination signal but makes the
+    * join quadratic), join on the hash, count per (eval, train) pair.
+    * Never an all-pairs set intersection. Output: (e_id,
+    * n_contaminated, max_common). */
+  def contaminationReport(evalDocs: DataFrame, trainDocs: DataFrame,
+                          idCol: Column, text: Column, shingleN: Int,
+                          maxDf: Int, minShared: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = shingleSets(evalDocs, idCol, text, shingleN)
+      .select(col("doc_id").as("e_id"), explode(col("shset")).as("h"))
+    val tr = shingleSets(trainDocs, idCol, text, shingleN)
+      .select(col("doc_id").as("t_id"), explode(col("shset")).as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("df") <= maxDf).drop("df")
+    ev.join(tr, "h")
+      .groupBy(col("e_id"), col("t_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minShared)
+      .groupBy(col("e_id"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(col("n_common")).as("max_common"))
+  }
+
   /** Connected components over an undirected pair list — the cluster-
     * resolution stage that turns near-dup PAIRS (L2/L3/L7 output) into
     * dedup CLUSTERS with a canonical keeper per cluster (the component

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -632,18 +632,13 @@ object LlmQueries {
     // construction, which is also what a mixture-weighted loader wants.
     "q52_pack_chunks" -> Query(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val d = docs(s, dir).select(col("doc_id"), col("lang"),
-          size(tokens(col("text"))).as("n_toks"),
-          TextFns.hash60(concat(col("doc_id").cast("string"), lit(":pack")))
-            .as("h"))
-        val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        d.withColumn("cum", sum(col("n_toks")).over(w))
+          size(tokens(col("text"))).as("n_toks"))
+        Packing.packChunks(d, col("lang"), col("doc_id"), col("n_toks"),
+            PackBudget, "pack")
           .select(col("doc_id"), col("lang"),
             col("n_toks").cast("long").as("n_toks"),
-            ((col("cum") - col("n_toks")) / PackBudget).cast("long").as("chunk_id"),
-            ((col("cum") - col("n_toks")) % PackBudget).cast("long").as("chunk_off"))
+            col("chunk_id"), col("chunk_off"))
       },
       Some(s"""WITH t AS (SELECT doc_id, lang,
             len($sqlToks) AS n_toks,
@@ -667,24 +662,12 @@ object LlmQueries {
     // set intersection.
     "q53_contamination" -> Query(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val d = docs(s, dir)
-        val ev = Dedup.shingleSets(d.where(col("source") === "src0"),
-            col("doc_id"), col("text"), ShingleN)
-          .select(col("doc_id").as("e_id"), explode(col("shset")).as("h"))
-        val tra = Dedup.shingleSets(d.where(col("source") =!= "src0"),
-            col("doc_id"), col("text"), ShingleN)
-          .select(col("doc_id").as("t_id"), explode(col("shset")).as("h"))
-        val tr = tra
-          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-          .where(col("df") <= MaxShingleDf).drop("df")
-        ev.join(tr, "h")
-          .groupBy(col("e_id"), col("t_id"))
-          .agg(count(lit(1)).as("n_common"))
-          .where(col("n_common") >= ContamMinShared)
-          .groupBy(col("e_id"))
-          .agg(count(lit(1)).as("n_contaminated"),
-            max(col("n_common")).as("max_common"))
+        Dedup.contaminationReport(
+          d.where(col("source") === "src0"),
+          d.where(col("source") =!= "src0"),
+          col("doc_id"), col("text"), ShingleN, MaxShingleDf,
+          ContamMinShared)
       },
       Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks FROM documents),
           hh AS (SELECT doc_id, source,

@@ -46,4 +46,50 @@ class SamplingSpec extends SparkSpec {
     Sampling.exactNPerStratum(tiny, col("grp"), col("id"), 10, "t")
       .count() shouldBe 3
   }
+
+  test("packChunks: offsets are consistent with a sequential per-stratum pack") {
+    import graft.operators.Packing
+    val weighted = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      (i % 7 + 1).toInt)).toDF("id", "grp", "w")
+    val out = Packing.packChunks(weighted, col("grp"), col("id"), col("w"),
+        budget = 10L, salt = "p")
+      .select("id", "grp", "w", "chunk_id", "chunk_off")
+      .as[(Long, String, Int, Long, Long)].collect()
+    out.length shouldBe 100
+    // within each stratum, (chunk_id, chunk_off) must equal the running
+    // pre-sum of weights in the hash order the operator defines — verify
+    // against an independent sequential pack over the same order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._5)) // chunk, offset = pack order
+      var cum = 0L
+      ordered.foreach { case (_, _, w, cid, coff) =>
+        cid shouldBe cum / 10
+        coff shouldBe cum % 10
+        cum += w
+      }
+    }
+    // determinism
+    val again = Packing.packChunks(weighted, col("grp"), col("id"), col("w"),
+        budget = 10L, salt = "p")
+      .select("id", "chunk_id", "chunk_off")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    again shouldBe out.map(r => (r._1, r._4, r._5)).sortBy(_._1)
+  }
+
+  test("contaminationReport finds the planted overlap and honors the cap") {
+    import graft.operators.Dedup
+    // eval doc 100 shares a 6-token run with train doc 1 (-> 4 common
+    // 3-shingles); eval doc 101 is disjoint
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique1 unique2"),
+      (2L, "totally different train content here")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta other tail words"),
+      (101L, "nothing shared with anyone at all")).toDF("doc_id", "text")
+    val full = Dedup.contaminationReport(eval_, train, col("doc_id"),
+        col("text"), shingleN = 3, maxDf = 25, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    full.length shouldBe 1
+    full.head shouldBe ((100L, 1L, 4L))
+  }
 }
