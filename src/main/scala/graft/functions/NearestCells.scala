@@ -32,6 +32,13 @@ import org.apache.spark.sql.types._
   * Null semantics: null input → null; any null element → null; an
   * embedding whose length differs from the centroid dimension → null.
   * Returns `array<bigint>` of min(k, nCells) cell ids, nearest first.
+  *
+  * Degenerate rows: a zero vector (or zero-norm centroids) makes every
+  * csim NaN, which the strict `>` comparison never inserts — the
+  * result falls back to the first min(k, nCells) cells in cent_id
+  * order, matching the NaN-first descending sort of the row_number
+  * formulation this kernel replaced, and guaranteeing a NON-empty
+  * array (so `element_at(cells, 1)` is ANSI-safe downstream).
   */
 case class NearestCells(
     child: Expression,
@@ -95,6 +102,12 @@ case class NearestCells(
       }
       c += 1
     }
+    if (filled == 0 && nC > 0) {
+      // all-NaN similarities (zero vector): first kEff cells, in order
+      var j = 0
+      while (j < bestId.length) { bestId(j) = centIds(j); j += 1 }
+      filled = bestId.length
+    }
     new GenericArrayData(java.util.Arrays.copyOf(bestId, filled))
   }
 
@@ -149,6 +162,10 @@ case class NearestCells(
          |        $bi[$p] = $ids[$c];
          |        if ($filled < $kEff) $filled++;
          |      }
+         |    }
+         |    if ($filled == 0 && $ids.length > 0) {
+         |      for (int $q = 0; $q < $kEff; $q++) $bi[$q] = $ids[$q];
+         |      $filled = $kEff;
          |    }
          |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |      java.util.Arrays.copyOf($bi, $filled));

@@ -66,8 +66,14 @@ object TextFns {
 
   // -------------------------------------------------------------- scrub
 
+  /** Terms are regex-quoted (`\Q…\E`, honored by both Java regex and
+    * RE2) so metacharacters in a denylist entry ("c++", "acme.com")
+    * can't break or widen the pattern. */
   private def denyRe(terms: Seq[String]): String =
-    terms.mkString("\\b(", "|", ")\\b")
+    terms.map(java.util.regex.Pattern.quote).mkString("\\b(", "|", ")\\b")
+
+  /** Escape a string for interpolation into a single-quoted SQL literal. */
+  private def sqlQuote(s: String): String = s.replace("'", "''")
 
   /** Denylist entity scrub: replace whole-word occurrences of `terms`
     * with `token` (regexp word boundaries — Java regex and RE2 agree on
@@ -82,10 +88,10 @@ object TextFns {
     size(regexp_extract_all(text, lit(denyRe(terms)), lit(0)))
 
   def sqlRedactDenylist(x: String, terms: Seq[String], token: String): String =
-    s"regexp_replace($x, '${denyRe(terms)}', '$token', 'g')"
+    s"regexp_replace($x, '${sqlQuote(denyRe(terms))}', '${sqlQuote(token)}', 'g')"
 
   def sqlRedactCount(x: String, terms: Seq[String]): String =
-    s"len(regexp_extract_all($x, '${denyRe(terms)}'))"
+    s"len(regexp_extract_all($x, '${sqlQuote(denyRe(terms))}'))"
 
   /** Token n-gram shingles as strings ("tok1 tok2 tok3"). Empty array when
     * the doc has fewer than n tokens (guards sequence() against negative

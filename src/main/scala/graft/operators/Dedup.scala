@@ -143,10 +143,14 @@ object Dedup {
     * naive label propagation needs n.
     *
     * Input: a DataFrame whose first two columns are node ids (one row
-    * per edge, direction irrelevant, self-loops/dups tolerated).
-    * Output: (node, component) for every node incident to an edge, with
-    * `component` = the minimum node id in that node's component —
-    * deterministic, independent of round count or partitioning.
+    * per edge, direction irrelevant, self-loops/dups tolerated; any
+    * further columns are ignored). Output: (node, component) for every
+    * node incident to at least one NON-self edge — a node appearing
+    * only in self-loops is its own singleton and is omitted, like any
+    * other edge-free node; left-join and coalesce to the node's own id
+    * to label singletons. `component` = the minimum node id in the
+    * node's component — deterministic, independent of round count or
+    * partitioning.
     *
     * 100 TB shape: each round is two hash-shuffles (a groupBy-min and an
     * equi-join) over the contracted edge set, which only shrinks; edges
@@ -172,7 +176,7 @@ object Dedup {
       multiParent.union(chained).isEmpty
     }
     // canonical directed form (hi > lo); self-loops and dup edges dropped
-    var e = edges.toDF("eu", "ev")
+    var e = edges.select(edges.columns.take(2).map(col): _*).toDF("eu", "ev")
       .where(col("eu") =!= col("ev"))
       .select(greatest(col("eu"), col("ev")).as("hi"),
         least(col("eu"), col("ev")).as("lo"))

@@ -18,9 +18,28 @@ object MLFeed {
 
   /** Knuth-style multiplicative mix — a deterministic, engine-portable
     * stand-in for `random.shuffle`. Same arithmetic is expressible in
-    * ANSI SQL, which is what makes the split/batch oracles exact. */
-  def permuteKey(key: Column): Column =
-    pmod(key.cast("long") * 2654435761L, lit(4294967296L))
+    * ANSI SQL, which is what makes the split/batch oracles exact.
+    *
+    * Computed as a split 16/16-bit multiply so no intermediate exceeds
+    * 2⁴⁸: the naive `key * 2654435761` overflows a signed long once
+    * key > ~3.4e9 (≈ TPC-H sf 55 for composite lineitem keys), which
+    * throws under default-on ANSI mode and errors the DuckDB mirror.
+    * The value is identical to `(key * 2654435761) mod 2³²` for every
+    * non-negative key: with k = key mod 2³² = hi·2¹⁶ + lo,
+    * (k·c) mod 2³² = ((hi·c mod 2¹⁶)·2¹⁶ + lo·c) mod 2³². */
+  def permuteKey(key: Column): Column = {
+    val k = key.cast("long")
+    val hi = pmod(shiftright(k, 16), lit(65536L))
+    val lo = k.bitwiseAND(lit(65535L))
+    pmod(pmod(hi * 2654435761L, lit(65536L)) * 65536L + lo * 2654435761L,
+      lit(4294967296L))
+  }
+
+  /** DuckDB rendering of [[permuteKey]] (same split-multiply identity;
+    * interpolate into oracle SQL so both engines share one formula). */
+  def sqlPermuteKey(expr: String): String =
+    s"((((($expr) // 65536) % 65536) * 2654435761) % 65536 * 65536" +
+      s" + (($expr) % 65536) * 2654435761) % 4294967296"
 
   /** The value domain of [[permuteKey]] outputs. Pass as `keyDomain` to
     * [[exactSplit]]/[[batchIds]] when the first order key is a permuted
@@ -72,6 +91,9 @@ object MLFeed {
     val bucket = keyDomain match {
       case Some((lo, hi)) =>
         require(hi > lo, s"empty key domain [$lo, $hi)")
+        require(hi - lo <= Long.MaxValue / numBuckets,
+          s"key domain span ${hi - lo} x $numBuckets buckets overflows long" +
+            " - use the approxQuantile fallback (keyDomain = None)")
         // equal-width buckets over the declared domain — monotone in the
         // key, integral arithmetic (span ≤ 2³², × numBuckets fits a
         // long), clamped so out-of-domain stragglers stay ordered.

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFns
 
 /** Sequence packing for LLM training feeds: assign rows (documents) to
   * fixed-weight-budget chunks per stratum. The concatenation order is a
@@ -30,14 +29,15 @@ object Packing {
     */
   def packChunks(df: DataFrame, stratum: Column, key: Column,
                  weight: Column, budget: Long, salt: String): DataFrame = {
-    val h = TextFns.hash60(concat(key.cast("string"), lit(":" + salt)))
-    val w = Window.partitionBy(stratum).orderBy(h, key)
+    require(budget > 0, s"chunk budget must be positive, got $budget")
+    val w = Window.partitionBy(stratum).orderBy(Sampling.saltedHash(key, salt), key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_cum", sum(weight).over(w))
-      .withColumn("chunk_id",
-        ((col("_cum") - weight) / budget).cast("long"))
-      .withColumn("chunk_off",
-        ((col("_cum") - weight) % budget).cast("long"))
-      .drop("_cum")
+    // `div`, not `/`: Spark's Divide on integrals is DOUBLE division,
+    // which loses low bits once a stratum's cumulative weight passes
+    // 2^53 — the oracle's integer floor division would then diverge.
+    df.withColumn("_start", (sum(weight).over(w) - weight).cast("long"))
+      .withColumn("chunk_id", expr(s"_start div ${budget}L"))
+      .withColumn("chunk_off", pmod(col("_start"), lit(budget)))
+      .drop("_start")
   }
 }

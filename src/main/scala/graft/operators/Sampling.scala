@@ -27,9 +27,16 @@ object Sampling {
   /** Per-mille rate denominator (rates are integers in [0, 1000]). */
   val Mille = 1000L
 
+  /** Salted portable row hash — the ONE derivation behind [[slot]],
+    * [[exactNPerStratum]] and [[Packing.packChunks]]; a cross-engine
+    * parity contract (mirrored by [[sqlSlot]] and the oracle SQL), so
+    * keep every consumer on this helper. */
+  def saltedHash(key: Column, salt: String): Column =
+    TextFns.hash60(concat(key.cast("string"), lit(":" + salt)))
+
   /** Uniform [0, Mille) slot for a row key — salted md5, portable. */
   def slot(key: Column, salt: String): Column =
-    TextFns.hash60(concat(key.cast("string"), lit(":" + salt))) % Mille
+    saltedHash(key, salt) % Mille
 
   /** DuckDB rendering of [[slot]] (same md5 derivation). */
   def sqlSlot(key: String, salt: String): String =
@@ -52,8 +59,7 @@ object Sampling {
     * order. */
   def exactNPerStratum(df: DataFrame, stratum: Column, key: Column,
                        n: Int, salt: String): DataFrame =
-    df.withColumn("_slot",
-        TextFns.hash60(concat(key.cast("string"), lit(":" + salt))))
+    df.withColumn("_slot", saltedHash(key, salt))
       .withColumn("_rk",
         row_number().over(Window.partitionBy(stratum).orderBy(col("_slot"), key)))
       .where(col("_rk") <= n)

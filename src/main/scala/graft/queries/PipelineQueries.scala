@@ -207,7 +207,7 @@ object PipelineQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal")),
       Some(s"""WITH r AS (SELECT c_acctbal,
-          row_number() OVER (ORDER BY (c_custkey*2654435761) % 4294967296, c_custkey) AS rk,
+          row_number() OVER (ORDER BY ${MLFeed.sqlPermuteKey("c_custkey")}, c_custkey) AS rk,
           count(*) OVER () AS n FROM customer)
         SELECT CASE WHEN rk <= floor(n*0.7) THEN 'train' ELSE 'valid' END AS split,
           count(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
@@ -228,7 +228,7 @@ object PipelineQueries {
              dsum(col("l_extendedprice")).as("sum_price")),
       Some(s"""WITH r AS (SELECT l_quantity, l_extendedprice,
           row_number() OVER (ORDER BY
-            ((l_orderkey*8 + l_linenumber)*2654435761) % 4294967296,
+            ${MLFeed.sqlPermuteKey("l_orderkey*8 + l_linenumber")},
             l_orderkey, l_linenumber) - 1 AS rk,
           count(*) OVER () AS n FROM lineitem)
         SELECT rk//1000 AS batch_id, count(*) AS n_rows,

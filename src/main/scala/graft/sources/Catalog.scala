@@ -63,9 +63,13 @@ object Catalog {
   def parseLegacySampleName(df: DataFrame, nameCol: String = "name"): DataFrame = {
     val tail = element_at(split(col(nameCol), "-"), -1) // x.split("-")[-1]
     val loc = element_at(split(tail, "\\."), 1)         // .split(".")[0]
+    // try_cast, not cast: a real sample directory can hold stray files
+    // (README, index.html) — under default-on ANSI mode a plain cast of
+    // a malformed field would fail the whole listing job; NULL rows are
+    // filterable instead (same rule as IceCodes' polygon parser).
     df.withColumn("scene", sceneId(col(nameCol)))       // name.split("_")[0]
-      .withColumn("seq", element_at(split(col(nameCol), "_"), 2).cast("int"))
-      .withColumn("pi", element_at(split(loc, "_"), 1).cast("int"))
-      .withColumn("pj", element_at(split(loc, "_"), 2).cast("int"))
+      .withColumn("seq", element_at(split(col(nameCol), "_"), 2).try_cast("int"))
+      .withColumn("pi", element_at(split(loc, "_"), 1).try_cast("int"))
+      .withColumn("pj", element_at(split(loc, "_"), 2).try_cast("int"))
   }
 }

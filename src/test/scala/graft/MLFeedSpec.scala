@@ -10,6 +10,19 @@ import graft.operators.{Ledger, MLFeed, Regrid}
 class MLFeedSpec extends SparkSpec {
   import spark.implicits._
 
+  test("permuteKey: split-multiply identity, and no overflow to key 2^62") {
+    // the split 16/16-bit form must equal (key * 2654435761) mod 2^32
+    // computed with BigInt (the naive long multiply overflows past
+    // ~3.4e9 — ANSI would throw), including keys far beyond 2^32
+    val keys = Seq(0L, 1L, 65535L, 65536L, 123456789L, 4294967295L,
+      4294967296L, 3470000000L, 1L << 45, (1L << 62) - 7)
+    val got = keys.toDF("id")
+      .select(MLFeed.permuteKey(col("id")).as("p")).as[Long].collect()
+    val want = keys.map(k =>
+      ((BigInt(k) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong)
+    got.toSeq shouldBe want
+  }
+
   test("exactSplit: exact head/tail sizes, not Bernoulli (utility.py:167-179)") {
     val df = (1 to 10).toDF("id")
     val out = MLFeed.exactSplit(df, Seq(MLFeed.permuteKey(col("id")), col("id")), 0.7)

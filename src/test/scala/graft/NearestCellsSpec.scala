@@ -62,6 +62,25 @@ class NearestCellsSpec extends SparkSpec {
     }
   }
 
+  test("zero vector falls back to the first cells in cent_id order (non-empty)") {
+    import spark.implicits._
+    val rows = corpus.filter(col("vec_id") % 8 === 1)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    val norms = rows.map(_._2.foldLeft(0.0)((a, x) => a + x * x))
+    val df = Seq((1L, Array.fill(6)(0f))).toDF("vec_id", "embedding")
+    for (k <- Seq(1, 3)) {
+      val got = df.select(VecFns.nearestCells(col("embedding"), rows.map(_._1),
+        rows.flatMap(_._2), norms, 6, k).as("cells"))
+        .collect().head.getSeq[Long](0)
+      // all csim are NaN: the kernel must still assign cells — the first
+      // k in ascending cent_id order, exactly what the NaN-first
+      // descending row_number sort produced (and element_at(cells, 1)
+      // must stay ANSI-safe)
+      got shouldBe rows.map(_._1).take(k).toSeq
+    }
+  }
+
   test("null / length-mismatch inputs yield null") {
     import spark.implicits._
     val df = Seq(
