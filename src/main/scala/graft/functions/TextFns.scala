@@ -106,6 +106,23 @@ object TextFns {
     s"""list_transform(range(0, greatest(len($toksExpr) - ${n - 1}, 0)),
         i -> array_to_string(list_slice($toksExpr, i + 1, i + $n), ' '))"""
 
+  /** Occurrence count of a token array's mode (its most frequent
+    * element): a nested HOF — for each distinct token, count its
+    * occurrences, take the max. O(distinct × n) per row, which is fine
+    * for natural-language token mixes (distinct ≪ n); 0 for an empty
+    * array. The repetition-quality signal `mode_count / n` is the
+    * "top word covers too much of the doc" rule of corpus curation. */
+  def modeCount(toks: Column): Column =
+    coalesce(
+      array_max(transform(array_distinct(toks),
+        d => size(filter(toks, t => t === d)))),
+      lit(0))
+
+  /** DuckDB rendering of [[modeCount]] (same nested-lambda shape). */
+  def sqlModeCount(toksExpr: String): String =
+    s"""coalesce(list_max(list_transform(list_distinct($toksExpr),
+        d -> len(list_filter($toksExpr, t -> t = d)))), 0)"""
+
   /** Shingle hashes mod P (the MinHash input universe) — the native
     * fused [[graft.functions.ShingleHashes]] expression (bit-identical
     * to [[shingleHashesFold]], the parity witness). */

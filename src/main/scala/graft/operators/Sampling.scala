@@ -64,4 +64,36 @@ object Sampling {
         row_number().over(Window.partitionBy(stratum).orderBy(col("_slot"), key)))
       .where(col("_rk") <= n)
       .drop("_slot", "_rk")
+
+  /** Temperature / importance resampling — the mixture-reweighting stage
+    * of a multilingual training feed: each stratum gets a per-mille
+    * repeat factor (1000 = keep as-is, 500 = downsample half, 2300 =
+    * 2.3× upsample), and every row is emitted `factor // 1000` times
+    * plus one more iff its [[slot]] falls below `factor % 1000` — so the
+    * EXACT expected multiplicity, with the fractional part decided by
+    * the same salted hash as the samplers (deterministic across runs,
+    * partitionings and engines; no RNG).
+    *
+    * Output = the input columns plus `copy` (1-based repeat index);
+    * rows whose multiplicity is 0 vanish. The `where` guard matters:
+    * Spark's `sequence(1, 0)` is the DESCENDING `[1, 0]`, not empty.
+    *
+    * 100 TB shape: multiplicity is map-side column math and the copies
+    * come from one generator per surviving row — no shuffle, no join,
+    * and the blow-up is exactly the configured mixture weight. */
+  def temperatureResample(df: DataFrame, stratum: Column, key: Column,
+                          factorsPerMille: Seq[(String, Int)],
+                          defaultPerMille: Int, salt: String): DataFrame = {
+    require(factorsPerMille.forall(_._2 >= 0) && defaultPerMille >= 0,
+      "repeat factors must be non-negative")
+    val factor = factorsPerMille.reverse.foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, v)) => when(stratum === lit(k), lit(v)).otherwise(acc)
+    }
+    val mult = (factor.cast("long") / Mille).cast("long") +
+      when(slot(key, salt) < pmod(factor.cast("long"), lit(Mille)), 1L).otherwise(0L)
+    df.withColumn("_mult", mult)
+      .where(col("_mult") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("_mult"))))
+      .drop("_mult")
+  }
 }

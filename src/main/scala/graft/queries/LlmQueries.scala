@@ -52,6 +52,24 @@ object LlmQueries {
     * doc when they share at least this many distinct shingles. */
   private val ContamMinShared = 5
 
+  /** q54 repetition gates, integer-pure: repetitive iff duplicate
+    * 2-grams exceed 1/Dup2Den of all 2-grams OR the mode token covers
+    * more than 1/ModeDen of the doc. */
+  private val Dup2Den = 10
+  private val ModeDen = 5
+
+  /** q55 per-stratum repeat factors (per mille: 1000 = keep, 500 =
+    * halve, 2300 = 2.3× upsample) — the multilingual temperature-mixing
+    * weights. */
+  private val ResampleFactors = Seq("en" -> 500, "de" -> 1500, "fr" -> 2300)
+  private val ResampleDefault = 1000
+
+  /** q56 vocabulary cut: a token is in-vocab (common) iff its corpus
+    * occurrence count × RareDfRatio ≥ the document count — a
+    * scale-relative threshold, so the same query is non-vacuous at
+    * every SF. */
+  private val RareDfRatio = 10
+
   /** Language keyword profiles (first-max order is the tie-break). */
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "query", "fast"),
@@ -684,6 +702,131 @@ object LlmQueries {
                 FROM ev JOIN tr USING (h)
                 GROUP BY e_id, t_id HAVING count(*) >= $ContamMinShared)
           SELECT e_id, count(*) AS n_contaminated, max(n_common) AS max_common
-          FROM p GROUP BY e_id"""))
+          FROM p GROUP BY e_id""")),
+
+    // ---- repetition / boilerplate signals (L23): the Gopher-style
+    // within-document quality rules — duplicate n-gram fraction and
+    // mode-token coverage — as pure map-side HOF math (no shuffle, no
+    // per-document grouping; the document never leaves its scan task).
+    // All ratios are exact small-int divisions; the gate itself is
+    // integer-pure (a·k > b) so the flag can't wobble on fp rounding.
+    "q54_repetition" -> Query(
+      (s, dir) => {
+        val toks = col("toks")
+        val nTok = size(toks)
+        val dup2 = size(col("g2")) - size(array_distinct(col("g2")))
+        val dup3 = size(col("g3")) - size(array_distinct(col("g3")))
+        docs(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("g2", shingles(toks, 2))
+          .withColumn("g3", shingles(toks, 3))
+          .withColumn("mode_n", modeCount(toks))
+          .select(col("doc_id"),
+            nTok.cast("long").as("n_tokens"),
+            size(col("g2")).cast("long").as("n_2grams"),
+            dup2.cast("long").as("n_dup_2grams"),
+            dup3.cast("long").as("n_dup_3grams"),
+            col("mode_n").cast("long").as("mode_tok_n"),
+            when(size(col("g2")) > 0,
+              dup2.cast("double") / size(col("g2"))).otherwise(0.0)
+              .as("dup_2gram_frac"),
+            when(nTok > 0,
+              col("mode_n").cast("double") / nTok).otherwise(0.0)
+              .as("mode_frac"),
+            when(dup2 * Dup2Den > size(col("g2"))
+              || col("mode_n") * ModeDen > nTok, 1L).otherwise(0L)
+              .as("repetitive"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          g AS (SELECT doc_id, toks,
+              ${sqlShingles("toks", 2)} AS g2,
+              ${sqlShingles("toks", 3)} AS g3,
+              ${sqlModeCount("toks")} AS mode_n FROM t)
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(g2) AS BIGINT) AS n_2grams,
+          CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS n_dup_2grams,
+          CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS n_dup_3grams,
+          CAST(mode_n AS BIGINT) AS mode_tok_n,
+          CASE WHEN len(g2) > 0 THEN
+            (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+            ELSE 0.0 END AS dup_2gram_frac,
+          CASE WHEN len(toks) > 0 THEN mode_n::DOUBLE / len(toks)
+            ELSE 0.0 END AS mode_frac,
+          CAST(CASE WHEN (len(g2) - len(list_distinct(g2))) * $Dup2Den > len(g2)
+              OR mode_n * $ModeDen > len(toks)
+            THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        FROM g""")),
+
+    // ---- temperature / importance resampling (L24): mixture
+    // reweighting of a multilingual corpus — integral copies plus a
+    // salted-hash fractional acceptance, expanded map-side by one
+    // generator per row (no shuffle, no join, no RNG; the blow-up IS
+    // the configured mixture weight). `copy_idx` is 1-based.
+    "q55_temperature_resample" -> Query(
+      (s, dir) => Sampling.temperatureResample(
+          docs(s, dir).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), ResampleFactors, ResampleDefault, "temp")
+        .select(col("doc_id"), col("lang"), col("copy").as("copy_idx")),
+      Some {
+        val cases = ResampleFactors
+          .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+        s"""WITH m AS (SELECT doc_id, lang,
+              CASE lang $cases ELSE $ResampleDefault END AS f,
+              ${Sampling.sqlSlot("doc_id", "temp")} AS sl FROM documents),
+            x AS (SELECT doc_id, lang,
+              f // 1000 + CASE WHEN sl < f % 1000 THEN 1 ELSE 0 END AS mult
+              FROM m)
+          SELECT doc_id, lang, CAST(ci AS BIGINT) AS copy_idx
+          FROM (SELECT doc_id, lang, unnest(generate_series(1, mult)) AS ci
+                FROM x WHERE mult > 0)"""
+      }),
+
+    // ---- rare-token scoring (L25): the KenLM-free quality proxy — how
+    // much of a document falls outside the corpus vocabulary. Two-pass
+    // by construction: (1) token document-frequency aggregate (map-side
+    // combinable, one shuffle on the token), cut scale-relatively at
+    // df × $RareDfRatio ≥ |docs| (the scalar doc count rides a keyless
+    // global agg — a one-row exchange, exempted by the plan contract);
+    // (2) the tiny in-vocab table broadcasts back onto the exploded
+    // token stream as a LEFT ANTI join (rare = out-of-vocab), then one
+    // per-doc count. At 100 TB the vocab cut keeps the broadcast small
+    // by construction (common tokens only); if the in-vocab set ever
+    // outgrew a broadcast, the same plan degrades gracefully to a
+    // shuffle join — or a Bloom filter on the vocab — without changing
+    // the query.
+    "q56_rare_tokens" -> Query(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val nDocs = d.agg(count(lit(1)).as("n_docs"))
+        val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .where(col("df") * RareDfRatio >= col("n_docs"))
+          .select(col("tok"))
+        val rare = tok.join(broadcast(vocab), Seq("tok"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+        // no broadcast hint on `rare`: its size tracks the corpus (one
+        // row per doc with an out-of-vocab token) — AQE promotes the
+        // join to broadcast at runtime whenever it IS small.
+        d.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .join(rare, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+            when(col("n_tokens") > 0,
+              coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_tokens"))
+              .otherwise(0.0).as("rare_frac"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+          vocab AS (SELECT tok FROM tok GROUP BY tok
+            HAVING count(*) * $RareDfRatio >= (SELECT count(*) FROM documents)),
+          rare AS (SELECT doc_id, count(*) AS n_rare FROM tok
+            WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+          CAST(coalesce(r.n_rare, 0) AS BIGINT) AS n_rare,
+          CASE WHEN len($sqlToks) > 0 THEN
+            coalesce(r.n_rare, 0)::DOUBLE / len($sqlToks)
+            ELSE 0.0 END AS rare_frac
+        FROM documents d LEFT JOIN rare r USING (doc_id)"""))
   )
 }

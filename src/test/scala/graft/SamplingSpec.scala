@@ -76,6 +76,31 @@ class SamplingSpec extends SparkSpec {
     again shouldBe out.map(r => (r._1, r._4, r._5)).sortBy(_._1)
   }
 
+  test("temperatureResample: exact integral part, hash-decided fraction") {
+    // factor 1000 = identity; 0 = drop; 2300 = 2 or 3 copies per row
+    // with contiguous 1-based copy indices and a deterministic pick
+    val out = Sampling.temperatureResample(df, col("grp"), col("id"),
+        Seq("a" -> 1000, "b" -> 0, "c" -> 2300), 1000, "t")
+      .select("id", "grp", "copy").as[(Long, String, Long)].collect()
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    df.as[(Long, String)].collect().foreach { case (id, grp) =>
+      grp match {
+        case "a" => byId(id) shouldBe Seq(1L)
+        case "b" => byId.get(id) shouldBe None
+        case "c" => assert(byId(id) == Seq(1L, 2L) || byId(id) == Seq(1L, 2L, 3L))
+      }
+    }
+    // the c stratum has 100 rows: expected 230 copies, fraction decided
+    // by a uniform per-mille slot — bound loosely but non-vacuously
+    val cCopies = out.count(_._2 == "c")
+    assert(cCopies >= 210 && cCopies <= 250, s"c copies = $cCopies")
+    // deterministic across evaluations
+    val again = Sampling.temperatureResample(df, col("grp"), col("id"),
+        Seq("a" -> 1000, "b" -> 0, "c" -> 2300), 1000, "t")
+      .select("id", "grp", "copy").as[(Long, String, Long)].collect()
+    again.sortBy(r => (r._1, r._3)) shouldBe out.sortBy(r => (r._1, r._3))
+  }
+
   test("contaminationReport finds the planted overlap and honors the cap") {
     import graft.operators.Dedup
     // eval doc 100 shares a 6-token run with train doc 1 (-> 4 common

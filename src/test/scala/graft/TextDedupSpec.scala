@@ -203,6 +203,17 @@ class TextDedupSpec extends SparkSpec {
     out._2 shouldBe 3
   }
 
+  test("modeCount: most-frequent-token occurrences; 0 on an empty array") {
+    val out = Seq(
+      Seq("a", "b", "a", "c", "a", "b"), // a×3
+      Seq("x"),                          // x×1
+      Seq.empty[String])                 // no tokens
+      .toDF("toks")
+      .select(TextFns.modeCount(col("toks")).as("m"))
+      .as[Int].collect()
+    out.toSeq shouldBe Seq(3, 1, 0)
+  }
+
   test("connectedComponents: chain + clique + pair, dup/self edges tolerated") {
     // chain 1-2-3-4-5 (worst case for naive propagation), clique
     // {10,11,12}, pair {20,21} given in both directions, self-loop 7.
