@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{SimHash32, VecDot}
+import graft.functions.{ModeCount, SimHash32, VecDot}
 
 /** `SparkSessionExtensions` installer for graft's native SQL surface.
   *
@@ -34,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"simhash32 expects 1 argument, got ${args.length}")
         SimHash32(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("mode_count"),
+      new ExpressionInfo(classOf[ModeCount].getName, "mode_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"mode_count expects 1 argument, got ${args.length}")
+        ModeCount(args.head)
       }))
   }
 }

@@ -107,12 +107,20 @@ object TextFns {
         i -> array_to_string(list_slice($toksExpr, i + 1, i + $n), ' '))"""
 
   /** Occurrence count of a token array's mode (its most frequent
-    * element): a nested HOF — for each distinct token, count its
-    * occurrences, take the max. O(distinct × n) per row, which is fine
-    * for natural-language token mixes (distinct ≪ n); 0 for an empty
-    * array. The repetition-quality signal `mode_count / n` is the
-    * "top word covers too much of the doc" rule of corpus curation. */
+    * element); 0 for an empty or null array. The repetition-quality
+    * signal `mode_count / n` is the "top word covers too much of the
+    * doc" rule of corpus curation. The native codegen'd
+    * [[graft.functions.ModeCount]] kernel — one O(n) hash-count pass
+    * per row (bit-identical to [[modeCountFold]], the parity witness,
+    * which is O(distinct × n) interpreted). */
   def modeCount(toks: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      ModeCount(org.apache.spark.sql.graft.Bridge.expression(toks)))
+
+  /** The nested-HOF formulation modeCount replaced (interpreted — for
+    * each distinct token, count its occurrences, take the max). Kept as
+    * the independent witness for ModeCount's parity spec. */
+  def modeCountFold(toks: Column): Column =
     coalesce(
       array_max(transform(array_distinct(toks),
         d => size(filter(toks, t => t === d)))),

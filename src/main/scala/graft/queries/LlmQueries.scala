@@ -706,10 +706,17 @@ object LlmQueries {
 
     // ---- repetition / boilerplate signals (L23): the Gopher-style
     // within-document quality rules — duplicate n-gram fraction and
-    // mode-token coverage — as pure map-side HOF math (no shuffle, no
+    // mode-token coverage — as pure map-side math (no shuffle, no
     // per-document grouping; the document never leaves its scan task).
     // All ratios are exact small-int divisions; the gate itself is
     // integer-pure (a·k > b) so the flag can't wobble on fp rounding.
+    // The n-grams are counted through the native shingle_hashes kernel
+    // (60-bit md5 prefixes — a collision merging two distinct n-grams
+    // is ~n²/2³¹ per doc, deterministic, and mirrored exactly in the
+    // oracle) and the mode through the native mode_count kernel, so the
+    // whole query stays inside whole-stage codegen: the interpreted
+    // string-shingle + nested-filter formulation ran 5.3 s at sf0.1,
+    // this shape runs sub-second.
     "q54_repetition" -> Query(
       (s, dir) => {
         val toks = col("toks")
@@ -718,8 +725,8 @@ object LlmQueries {
         val dup3 = size(col("g3")) - size(array_distinct(col("g3")))
         docs(s, dir)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .withColumn("g2", shingles(toks, 2))
-          .withColumn("g3", shingles(toks, 3))
+          .withColumn("g2", shingleHashes(toks, 2))
+          .withColumn("g3", shingleHashes(toks, 3))
           .withColumn("mode_n", modeCount(toks))
           .select(col("doc_id"),
             nTok.cast("long").as("n_tokens"),
@@ -739,8 +746,8 @@ object LlmQueries {
       },
       Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
           g AS (SELECT doc_id, toks,
-              ${sqlShingles("toks", 2)} AS g2,
-              ${sqlShingles("toks", 3)} AS g3,
+              ${sqlShingleHashes("toks", 2)} AS g2,
+              ${sqlShingleHashes("toks", 3)} AS g3,
               ${sqlModeCount("toks")} AS mode_n FROM t)
         SELECT doc_id,
           CAST(len(toks) AS BIGINT) AS n_tokens,
