@@ -131,8 +131,14 @@ object Similarity {
     * The only remaining exchange carries candidate pairs for the final
     * per-probe rank window.
     */
-  def ivfTopK(corpus: DataFrame, isProbe: Column, isCentroid: Column,
-              k: Int, nProbe: Int): DataFrame = {
+  /** Collect a (small, codebook-sized) centroid subset to the driver as
+    * the flat arrays [[graft.functions.NearestCells]] bakes into its
+    * codegen — ids ascending (the tie-break order of the rank window the
+    * kernel replaced), norms as the same left fold VecDot performs
+    * (bit-identical to the oracle's `nn`). Shared by [[ivfTopK]] and
+    * [[lloydRefine]]. */
+  private def collectCentroids(corpus: DataFrame, isCentroid: Column)
+      : (Array[Long], Array[Double], Array[Double], Int) = {
     val centRows = corpus.filter(isCentroid)
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
@@ -141,17 +147,20 @@ object Similarity {
           case d: java.lang.Double => d.doubleValue()
         }.toArray
         (r.getLong(0), vec)
-      }.sortBy(_._1) // ascending id = the tie-break order of the rank it replaces
-    require(centRows.nonEmpty, "ivfTopK needs at least one centroid row")
+      }.sortBy(_._1)
+    require(centRows.nonEmpty, "a nearest-cell assignment needs at least one centroid row")
     val dim = centRows.head._2.length
-    val centIds = centRows.map(_._1)
-    val centFlat = centRows.flatMap(_._2)
-    // same left fold as VecDot(emb, emb) — bit-identical to the oracle's nn
     val centNorms = centRows.map { case (_, v) =>
       var acc = 0.0; var i = 0
       while (i < v.length) { acc += v(i) * v(i); i += 1 }
       acc
     }
+    (centRows.map(_._1), centRows.flatMap(_._2), centNorms, dim)
+  }
+
+  def ivfTopK(corpus: DataFrame, isProbe: Column, isCentroid: Column,
+              k: Int, nProbe: Int): DataFrame = {
+    val (centIds, centFlat, centNorms, dim) = collectCentroids(corpus, isCentroid)
     def cellsOf(emb: Column, kk: Int): Column =
       graft.functions.VecFns.nearestCells(emb, centIds, centFlat, centNorms, dim, kk)
     val e = corpus.select(col("vec_id"), col("embedding"),
@@ -171,6 +180,41 @@ object Similarity {
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cos").desc, col("cand_id"))))
       .filter(col("rk") <= k)
+  }
+
+  /** One Lloyd (k-means) refinement iteration for the IVF codebook — the
+    * "train the coarse quantizer" step ahead of [[ivfTopK]]'s search.
+    *
+    * Assignment is the same map-side codegen'd nearest-cells argmax the
+    * search uses: the corpus is never row-multiplied by the cell count
+    * and never shuffles for assignment. The centroid update is a
+    * per-(cell, dim) MEAN over component values quantized to
+    * `2^-quantBits` fixed point: scaling by an exact power of two is a
+    * float-exponent shift (no rounding) and `floor` is engine-identical,
+    * so the update sum is exact integer math — immune to the partial-agg
+    * ordering that makes raw double sums engine- and partitioning-
+    * dependent. The only shuffle carries (cell, dim, quantized-long)
+    * triples, pre-combined map-side to ≤ cells×dim rows per task.
+    *
+    * Returns one row per (cell, dim): member count, exact quantized sum,
+    * and the updated component `c_new = (sum_q / n) / 2^quantBits`.
+    * Iterating = feeding `c_new` back in as the next centroid table.
+    */
+  def lloydRefine(corpus: DataFrame, isCentroid: Column,
+                  quantBits: Int = 20): DataFrame = {
+    val (centIds, centFlat, centNorms, dim) = collectCentroids(corpus, isCentroid)
+    val q = (1L << quantBits).toDouble
+    corpus
+      .select(element_at(graft.functions.VecFns.nearestCells(
+          col("embedding"), centIds, centFlat, centNorms, dim, 1), 1).as("cell"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("cell"), col("d"),
+        floor(col("x").cast("double") * q).cast("long").as("qx"))
+      .groupBy(col("cell"), col("d"))
+      .agg(count(lit(1)).as("n_members"), sum(col("qx")).as("sum_q"))
+      .select(col("cell"), col("d").cast("long").as("d"),
+        col("n_members"), col("sum_q"),
+        ((col("sum_q").cast("double") / col("n_members")) / q).as("c_new"))
   }
 
   /** Bucketed ANN: probes join corpus within their hyperplane bucket only,

@@ -70,6 +70,23 @@ object LlmQueries {
     * every SF. */
   private val RareDfRatio = 10
 
+  /** q57 BM25 parameters (the Robertson/Lucene defaults) and the fixed
+    * query-term set. Every fp constant is interpolated from ONE Scala
+    * double into both the Spark plan and the SQL text (`Double.toString`
+    * is shortest-round-trip, so both engines parse the identical bits —
+    * e.g. K1+1 may not print "2.2"). */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25K1p1 = Bm25K1 + 1.0
+  private val Bm25OneMinusB = 1.0 - Bm25B
+  private val Bm25Terms = Seq("table", "spark", "merge", "row")
+
+  /** q60 Lloyd-update quantization: component values are scaled by an
+    * exact power of two and floored to integers before the per-cell
+    * mean, so the centroid-update sum is exact integer math on both
+    * engines (a raw double sum would be partial-agg-order-sensitive). */
+  private val LloydQuantBits = 20
+
   /** Language keyword profiles (first-max order is the tie-break). */
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "query", "fast"),
@@ -834,6 +851,127 @@ object LlmQueries {
           CASE WHEN len($sqlToks) > 0 THEN
             coalesce(r.n_rare, 0)::DOUBLE / len($sqlToks)
             ELSE 0.0 END AS rare_frac
-        FROM documents d LEFT JOIN rare r USING (doc_id)"""))
+        FROM documents d LEFT JOIN rare r USING (doc_id)""")),
+
+    // ---- BM25 keyword relevance (L26): the classic probabilistic
+    // retrieval score for a fixed query-term set. Scale shape: the
+    // explode is filtered to query terms BEFORE the tf shuffle (only
+    // matching (doc, term) pairs — ≤ |terms| rows per doc — ever leave
+    // the scan task); the df/idf table is |terms| rows and broadcasts;
+    // corpus scalars (N, Σdl) ride a one-row exchange. The per-doc
+    // term-score sum is a FIXED-ORDER chain of the pivoted per-term
+    // columns — never a float sum() whose partial-agg order could vary.
+    // ln() is bit-identical across the JVM and DuckDB for these
+    // arguments (both correctly-rounded here; verified empirically by
+    // the gate at both SFs — the idf inputs are a handful of distinct
+    // rationals).
+    "q57_bm25" -> Query(
+      (s, dir) => {
+        val base = docs(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+        val tok = base
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+          .where(col("tok").isin(Bm25Terms: _*))
+        val tf = tok.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        val scal = base.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("sum_dl"))
+        val idfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(scal))
+          .select(col("tok"),
+            log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+              + lit(1.0)).as("idf"))
+        val scored = tf.join(broadcast(idfs), Seq("tok"))
+          .crossJoin(broadcast(scal))
+          .select(col("doc_id"), col("tok"), col("tf"),
+            ((col("idf") * (col("tf") * lit(Bm25K1p1)))
+              / (col("tf") + lit(Bm25K1) * (lit(Bm25OneMinusB)
+                + (lit(Bm25B) * col("dl"))
+                  / (col("sum_dl").cast("double") / col("n_docs")))))
+              .as("score"))
+        val perTerm = Bm25Terms.map(t =>
+          max(when(col("tok") === t, col("score"))).as(s"s_$t"))
+        val aggs = Seq(sum(col("tf")).as("tf_total"),
+          count(lit(1)).as("n_terms_hit")) ++ perTerm
+        scored.groupBy(col("doc_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"), col("tf_total"), col("n_terms_hit"),
+            Bm25Terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+              .reduce(_ + _).as("score"))
+      },
+      Some {
+        val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+        val pivot = Bm25Terms
+          .map(t => s"coalesce(max(CASE WHEN tok = '$t' THEN score END), CAST(0.0 AS DOUBLE))")
+          .mkString(" + ")
+        // every fp constant CAST to DOUBLE: a bare literal like 0.5 is
+        // DECIMAL in DuckDB, and decimal-promoted arithmetic rounds
+        // differently from the double math the Spark plan performs
+        // (measured: 1-ulp score drift on ~10% of docs)
+        def d(x: Double): String = s"CAST($x AS DOUBLE)"
+        s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          base AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+          tok AS (SELECT doc_id, dl, unnest(toks) AS tok FROM base),
+          tf AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+                 FROM tok WHERE tok IN ($termList) GROUP BY doc_id, tok),
+          scal AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM base),
+          idfs AS (SELECT tok,
+                     ln((n_docs - count(*) + ${d(0.5)}) / (count(*) + ${d(0.5)})
+                        + ${d(1.0)}) AS idf
+                   FROM tf, scal GROUP BY tok, n_docs),
+          sc AS (SELECT doc_id, tf.tok AS tok, tf,
+                   (idf * (tf * ${d(Bm25K1p1)}))
+                     / (tf + ${d(Bm25K1)} * (${d(Bm25OneMinusB)}
+                       + (${d(Bm25B)} * dl) / (CAST(sum_dl AS DOUBLE) / n_docs))) AS score
+                 FROM tf, idfs, scal WHERE tf.tok = idfs.tok)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_total,
+            count(*) AS n_terms_hit, ($pivot) AS score
+          FROM sc GROUP BY doc_id"""
+      }),
+
+    // ---- one Lloyd refinement iteration for the IVF codebook (L27):
+    // the missing "train the coarse quantizer" step next to q40's
+    // search. Assignment is the same map-side codegen'd nearest_cells
+    // argmax q40 uses (the corpus is never row-multiplied by the cell
+    // count); the centroid update is a per-(cell, dim) mean over
+    // component values QUANTIZED to 2^-$LloydQuantBits fixed-point —
+    // scaling by an exact power of two is a float-exponent shift (no
+    // rounding) and floor() is engine-identical, so the update sum is
+    // exact integer math that no partial-agg order can perturb (a raw
+    // double sum would be order-sensitive). The explode shuffles
+    // n×dim quantized longs pre-combined map-side to ≤ cells×dim rows
+    // per task — the classic map-combinable mean shape.
+    "q60_lloyd_refine" -> Query(
+      (s, dir) => Similarity.lloydRefine(Tables.embeddings(s, dir),
+          isCentroid = col("vec_id") % 125 === 7, LloydQuantBits)
+        .select(col("cell"), col("d"), col("n_members"), col("sum_q"),
+          col("c_new")),
+      Some {
+        val q = (1L << LloydQuantBits).toDouble
+        s"""WITH e AS (SELECT vec_id, embedding,
+               ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+             FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, embedding AS cemb, nn AS cn
+                FROM e WHERE vec_id % 125 = 7),
+          a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+                   (${Similarity.sqlDotD("e.embedding", "c.cemb", Dim)}
+                     / sqrt(e.nn * c.cn)) AS csim
+                 FROM e, c),
+          a AS (SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crk
+                FROM a0),
+          n AS (SELECT vec_id, embedding, cent_id AS cell FROM a WHERE crk = 1),
+          x AS (SELECT cell,
+                  unnest(range(0, $Dim)) AS d,
+                  unnest(list_transform(range(0, $Dim), i ->
+                    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * $q) AS BIGINT)))
+                    AS qx
+                FROM n)
+          SELECT cell, CAST(d AS BIGINT) AS d, count(*) AS n_members,
+            CAST(sum(qx) AS BIGINT) AS sum_q,
+            (CAST(sum(qx) AS DOUBLE) / count(*)) / $q AS c_new
+          FROM x GROUP BY cell, d"""
+      })
   )
 }

@@ -42,6 +42,13 @@ object SceneQueries {
         event_id, value, event_id % 200 + 1 AS poly_id
       FROM events"""
 
+  /** q58 HLL numerator α_m·m²·2⁵³ for m=256 registers, computed ONCE
+    * here and interpolated into both engines (`Double.toString` is
+    * shortest-round-trip, so both parse identical bits). 2⁵³ is the
+    * scaling that turns the harmonic sum into exact integer math. */
+  private val HllNum: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+
   val all: Map[String, Query] = Map(
 
     // ---- the FLAGSHIP end-to-end scene pipeline: polygon-codes text
@@ -369,6 +376,116 @@ object SceneQueries {
           SELECT name, string_split(name, '.')[1] AS stem,
             row_number() OVER (ORDER BY name) - 1 AS seq
           FROM f"""
-      })
+      }),
+
+    // ---- portable HyperLogLog distinct sketch (L28): approximate
+    // count-distinct users per event type with m=256 registers, built
+    // ENTIRELY from engine-portable primitives — the md5-prefix 60-bit
+    // hash (bucket = low 8 bits, rank = leading-zero position of the
+    // remaining 52), integer register maxes, and an EXACT integer
+    // harmonic sum (each register contributes 2^(53-rho), so
+    // Σ2^(-rho) is scaled by 2^53 into a lossless BIGINT — a raw
+    // double harmonic sum would be partial-agg-order-sensitive). The
+    // only fp ops are the final literal/S division — one op, both
+    // engines, identical operands. Scale shape: map-side partial max
+    // per (type, bucket) means the shuffle carries ≤ types×256 register
+    // rows regardless of input size; the exact-distinct companion
+    // column (the sketch's error witness) is the only corpus-sized agg,
+    // and it drops out in production use.
+    "q58_hll_distinct" -> Query(
+      (s, dir) => {
+        import graft.functions.TextFns
+        val ev = Tables.events(s, dir)
+        val h = TextFns.hash60(concat(lit("hll:"), col("user_id").cast("string")))
+        val w = shiftright(col("h"), 8)
+        val rho = when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w)))
+        // staged: hash once as an attribute, then bucket/rho derive from it
+        val staged = ev.select(col("event_type"), h.as("h"))
+          .select(col("event_type"), (col("h") % 256).as("bucket"),
+            rho.as("rho"))
+        val reg = staged.groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("rho")).as("mj"))
+        val sums = reg.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hit"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).as("s_present"))
+          .select(col("event_type"), col("n_hit").as("n_buckets_hit"),
+            (col("s_present") + (lit(256L) - col("n_hit")) * lit(1L << 53))
+              .as("sum_scaled"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        sums.join(broadcast(exact), Seq("event_type"))
+          .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
+            (lit(HllNum) / col("sum_scaled").cast("double")).as("est_distinct"),
+            col("exact_distinct"))
+      },
+      Some(s"""WITH h AS (SELECT event_type,
+            ${graft.functions.TextFns.sqlHash60("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+          FROM events),
+        b AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM h),
+        r AS (SELECT event_type, bucket,
+                max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mj
+              FROM b GROUP BY event_type, bucket),
+        s AS (SELECT event_type, count(*) AS n_hit,
+                sum(CAST(1 AS BIGINT) << (53 - mj)) AS s_present
+              FROM r GROUP BY event_type),
+        t AS (SELECT event_type,
+                CAST(n_hit AS BIGINT) AS n_buckets_hit,
+                CAST(s_present + (256 - n_hit) * ${1L << 53} AS BIGINT) AS sum_scaled
+              FROM s),
+        x AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+              FROM events GROUP BY event_type)
+        SELECT t.event_type, n_buckets_hit, sum_scaled,
+          CAST($HllNum AS DOUBLE) / CAST(sum_scaled AS DOUBLE) AS est_distinct,
+          CAST(exact_distinct AS BIGINT) AS exact_distinct
+        FROM t, x WHERE t.event_type = x.event_type""")),
+
+    // ---- temporal as-of join (L29): each click joined to the user's
+    // most recent purchase at-or-before it — the classic event-stream
+    // enrichment (trade↔quote, impression↔conversion). The Spark side
+    // is the union-carry formulation: purchases (deduped per (user, ts)
+    // by max event_id) and clicks interleave in ONE shuffle keyed on
+    // user_id, sorted by (ts, side) with purchases first on ties, and
+    // three `last(_, ignoreNulls)` windows carry the running purchase
+    // forward — no row multiplication, no range self-join, state is one
+    // row per user regardless of history length. The oracle is DuckDB's
+    // native ASOF LEFT JOIN — a genuinely independent implementation of
+    // the same semantics.
+    "q59_asof_join" -> Query(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val purch = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("p_event_id"),
+            max_by(col("value"), col("event_id")).as("p_value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val tagged = purch
+          .select(col("user_id"), col("ts"), lit(0).as("side"),
+            lit(null).cast("long").as("event_id"),
+            col("p_event_id"), col("ts").as("p_ts_src"), col("p_value"))
+          .unionByName(clicks.select(col("user_id"), col("ts"), lit(1).as("side"),
+            col("event_id"), lit(null).cast("long").as("p_event_id"),
+            lit(null).cast("timestamp").as("p_ts_src"),
+            lit(null).cast("double").as("p_value")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("a_event_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+          .withColumn("a_ts", last(col("p_ts_src"), ignoreNulls = true).over(w))
+          .withColumn("a_value", last(col("p_value"), ignoreNulls = true).over(w))
+          .where(col("side") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("a_event_id").as("p_event_id"), col("a_ts").as("p_ts"),
+            col("a_value").as("p_value"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id,
+              arg_max(value, event_id) AS p_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+          c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        SELECT c.event_id, c.user_id, c.ts,
+          p.p_event_id, p.ts AS p_ts, p.p_value
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""))
   )
 }
