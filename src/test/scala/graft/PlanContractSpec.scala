@@ -135,6 +135,54 @@ class PlanContractSpec extends SparkSpec {
     assert(ex.nonEmpty && ex.forall(_.contains("ckey")), ex.mkString("\n"))
   }
 
+  test("q57 bm25: query-term cut precedes the tf shuffle; idf and scalars broadcast") {
+    val p = plan("q57_bm25")
+    val lines = p.linesIterator.toIndexedSeq
+    // the IN(terms) filter must sit BELOW the first (doc_id, tok) exchange:
+    // only query-term tokens may ever leave the scan task
+    val firstEx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("doc_id") && l.contains("tok"))
+    val cut = lines.indexWhere(_.contains("tok#"), firstEx)
+    assert(firstEx >= 0, p)
+    assert(lines.drop(firstEx).exists(_.contains(" IN (table,spark,merge,row)")), p)
+    // idf table and corpus scalars are broadcast, never shuffled onto the fact
+    assert(lines.count(_.contains("BroadcastExchange")) >= 2, p)
+    assert(cut >= 0)
+  }
+
+  test("q58 hll: register exchange keys on (event_type, bucket) — never raw rows") {
+    val p = plan("q58_hll_distinct")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // every exchange is keyed on event_type (register/merge/witness stages);
+    // the register stage pre-combines map-side so at most types×256 rows
+    // per task cross the wire
+    assert(ex.nonEmpty && ex.forall(_.contains("event_type")), ex.mkString("\n"))
+    // map-side partial max of the register rank below the first exchange
+    assert(p.contains("partial_max(rho"), p)
+  }
+
+  test("q59 as-of: one user-keyed window sort, no row-multiplying join") {
+    val p = plan("q59_asof_join")
+    val lines = p.linesIterator.toIndexedSeq
+    // exactly two hash exchanges: the purchase (user, ts) dedup and the
+    // user-keyed carry window — and no join operator at all (the carry
+    // formulation replaces the range self-join)
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 2, p)
+    assert(!p.contains("Join"), p)
+    assert(lines.count(_.contains("Window")) == 1, p)
+  }
+
+  test("q60 lloyd: assignment inside the scan stage; one map-combined exchange") {
+    val p = plan("q60_lloyd_refine")
+    val lines = p.linesIterator.toIndexedSeq
+    assert(p.contains("nearest_cells"), p)
+    // a single exchange, keyed (cell, d), fed by a partial aggregate —
+    // the corpus is never shuffled raw and never row-multiplied by cells
+    val ex = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.size == 1 && ex.head.contains("cell"), ex.mkString("\n"))
+    assert(lines.exists(_.contains("partial_sum(qx")), p)
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
