@@ -452,33 +452,17 @@ object SceneQueries {
     // the same semantics.
     "q59_asof_join" -> Query(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val ev = Tables.events(s, dir)
         val purch = ev.where(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("ts"))
-          .agg(max(col("event_id")).as("p_event_id"),
-            max_by(col("value"), col("event_id")).as("p_value"))
+          .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
         val clicks = ev.where(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
-        val tagged = purch
-          .select(col("user_id"), col("ts"), lit(0).as("side"),
-            lit(null).cast("long").as("event_id"),
-            col("p_event_id"), col("ts").as("p_ts_src"), col("p_value"))
-          .unionByName(clicks.select(col("user_id"), col("ts"), lit(1).as("side"),
-            col("event_id"), lit(null).cast("long").as("p_event_id"),
-            lit(null).cast("timestamp").as("p_ts_src"),
-            lit(null).cast("double").as("p_value")))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("side"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tagged
-          .withColumn("a_event_id", last(col("p_event_id"), ignoreNulls = true).over(w))
-          .withColumn("a_ts", last(col("p_ts_src"), ignoreNulls = true).over(w))
-          .withColumn("a_value", last(col("p_value"), ignoreNulls = true).over(w))
-          .where(col("side") === 1)
+        graft.operators.AsOf.joinAsOf(clicks, purch,
+            keyCol = "user_id", tsCol = "ts", ordCol = "p_event_id",
+            payload = Seq("p_event_id", "p_ts", "p_value"))
           .select(col("event_id"), col("user_id"), col("ts"),
-            col("a_event_id").as("p_event_id"), col("a_ts").as("p_ts"),
-            col("a_value").as("p_value"))
+            col("p_event_id"), col("p_ts"), col("p_value"))
       },
       Some("""WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id,
               arg_max(value, event_id) AS p_value
