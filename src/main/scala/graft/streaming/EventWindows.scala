@@ -42,6 +42,33 @@ object EventWindows {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Watermarked stream-stream interval join — the streaming counterpart
+    * of the batch as-of join ([[graft.operators.AsOf]], q59): each left
+    * row pairs with the right rows for the same key whose event time
+    * falls in `[left.ts - maxAge, left.ts]`.
+    *
+    * Both sides MUST be watermarked and the join condition carries the
+    * time bounds — that is what lets the engine age right-side state out
+    * once the left watermark passes `rTs + maxAge` (state is bounded by
+    * watermark + maxAge, not by stream length) and, for outer joins,
+    * emit unmatched left rows once no future match is possible. The join
+    * shuffles both sides by the key column — the same hash-partitioning
+    * story as the batch shape, incrementalized.
+    *
+    * Column names must be disjoint across the two frames (rename before
+    * calling); semantics differ from as-of in that EVERY in-range right
+    * row pairs (interval join), not just the latest — compose with a
+    * downstream max_by for as-of-style enrichment. */
+  def intervalJoin(left: DataFrame, lKey: String, lTs: String, lWm: String,
+                   right: DataFrame, rKey: String, rTs: String, rWm: String,
+                   maxAge: String, joinType: String = "leftOuter"): DataFrame =
+    left.withWatermark(lTs, lWm)
+      .join(right.withWatermark(rTs, rWm),
+        col(lKey) === col(rKey) &&
+          col(rTs) >= col(lTs) - expr(s"INTERVAL $maxAge") &&
+          col(rTs) <= col(lTs),
+        joinType)
+
   /** Streaming first-occurrence dedup via flatMapGroupsWithState: one
     * boolean of state per key — the streaming analog of the exact-dedup
     * keeper (Dedup.exactGroups) and the custom-state

@@ -78,4 +78,41 @@ class EventWindowsSpec extends SparkSpec {
     val users = spark.table("dedup_out").select("user_id").as[Long].collect().sorted
     users shouldBe Array(1L, 2L, 3L) // each exactly once
   }
+
+  test("stream-stream interval join pairs in-range rows per key; out-of-range excluded") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val l = clicks.toDF().select($"ts".as("c_ts"), $"user_id".as("c_user"),
+      $"value".as("c_value"))
+    val r = purchases.toDF().select($"ts".as("p_ts"), $"user_id".as("p_user"),
+      $"value".as("p_value"))
+    // inner join (deterministic to drain): purchases within 10s before the click
+    val q = EventWindows.intervalJoin(
+        l, "c_user", "c_ts", "5 seconds",
+        r, "p_user", "p_ts", "5 seconds",
+        maxAge = "10 seconds", joinType = "inner")
+      .select($"c_user", $"c_ts", $"p_ts", $"p_value")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: purchase at 5s, clicks at 8s (in range: 8-10 <= 5 <= 8)
+    // and at 20s (out of range: 5 < 20-10); purchase at 9s AFTER the 8s
+    // click (excluded: p_ts > c_ts for the 8s click, in range for 20s? 9 < 10 -> no, 20-10=10 > 9 -> out)
+    // user 2: click with no purchase -> inner join drops it
+    purchases.addData(ev(5, 1, "purchase", 50.0), ev(9, 1, "purchase", 60.0))
+    clicks.addData(ev(8, 1, "click", 1.0), ev(20, 1, "click", 2.0),
+      ev(8, 2, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ij_out")
+      .select("c_user", "c_ts", "p_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getDouble(2)))
+      .sorted
+    // click@8 pairs with purchase@5 (in [−2, 8]) but NOT purchase@9 (future);
+    // click@20 pairs with NEITHER (window [10, 20]: 5 and 9 both too old);
+    // user 2 has no purchases at all
+    rows.toSeq shouldBe Seq((1L, 8L, 50.0))
+  }
 }
