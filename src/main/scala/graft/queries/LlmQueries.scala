@@ -87,6 +87,17 @@ object LlmQueries {
     * engines (a raw double sum would be partial-agg-order-sensitive). */
   private val LloydQuantBits = 20
 
+  /** q61 chunking geometry: `ChunkSize`-token windows every
+    * `ChunkStride` tokens (overlap = size − stride). */
+  private val ChunkSize = 40
+  private val ChunkStride = 30
+
+  /** q62 vocabulary size (top-K tokens by occurrence) — smaller than
+    * the synthetic corpus's distinct-token count at every SF, so the
+    * K-boundary cut (and its tie-break) is actually exercised by the
+    * oracle gate. */
+  private val VocabK = 20
+
   /** Language keyword profiles (first-max order is the tie-break). */
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "query", "fast"),
@@ -972,6 +983,67 @@ object LlmQueries {
             CAST(sum(qx) AS BIGINT) AS sum_q,
             (CAST(sum(qx) AS DOUBLE) / count(*)) / $q AS c_new
           FROM x GROUP BY cell, d"""
-      })
+      }),
+
+    // ---- sliding-window token chunking with overlap (L30): split each
+    // document into $ChunkSize-token windows every $ChunkStride tokens —
+    // the context-window chunking step of RAG/embedding pipelines (and
+    // of long-doc training prep). Pure map-side: one generator per doc
+    // emits ceil((n-size)/stride)+1 chunk rows; no shuffle, no join —
+    // documents never leave their scan task, and the blow-up factor is
+    // exactly size/stride. The chunk content hash gives downstream
+    // dedup/lookup a 32-char key without re-tokenizing.
+    "q61_chunk_windows" -> Query(
+      (s, dir) => {
+        val n = size(col("toks"))
+        // k_max = (n <= size) ? 0 : ceil((n - size) / stride), integer-pure
+        val kMax = when(n <= ChunkSize, lit(0))
+          .otherwise(((n - ChunkSize + (ChunkStride - 1)) / ChunkStride)
+            .cast("int"))
+        docs(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), kMax)).as("k"))
+          .select(col("doc_id"), col("k").cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("toks"), col("k") * ChunkStride + 1,
+              lit(ChunkSize))).as("chunk_text"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(tokens(col("chunk_text"))).cast("long").as("n_chunk_toks"),
+            md5(col("chunk_text")).as("chunk_key"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          g AS (SELECT doc_id, toks,
+                  CASE WHEN len(toks) <= $ChunkSize THEN 0
+                       ELSE (len(toks) - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride
+                  END AS k_max
+                FROM t),
+          x AS (SELECT doc_id, toks, unnest(range(0, k_max + 1)) AS k FROM g),
+          c AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+                  array_to_string(list_slice(toks, k * $ChunkStride + 1,
+                    k * $ChunkStride + $ChunkSize), ' ') AS chunk_text
+                FROM x)
+          SELECT doc_id, chunk_idx,
+            CAST(len(${sqlTokens("chunk_text")}) AS BIGINT) AS n_chunk_toks,
+            md5(chunk_text) AS chunk_key
+          FROM c""")),
+
+    // ---- vocabulary induction (L31): the top-$VocabK corpus tokens by
+    // occurrence with doc-frequency — the vocab-building step ahead of
+    // rare-token scoring (q56) and tokenizer training. The global top-K
+    // compiles to TakeOrderedAndProject: each task keeps its local K
+    // candidates and only those merge — there is NO single-partition
+    // sort of the full token table (the scalable top-k shape; ties at
+    // the K boundary break deterministically on the token text).
+    "q62_vocab_topk" -> Query(
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occ").desc, col("tok"))
+        .limit(VocabK),
+      Some(s"""SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+          GROUP BY tok ORDER BY n_occ DESC, tok LIMIT $VocabK"""))
   )
 }

@@ -183,6 +183,18 @@ class PlanContractSpec extends SparkSpec {
     assert(lines.exists(_.contains("partial_sum(qx")), p)
   }
 
+  test("q61 chunking: a pure map-side generator — zero exchanges") {
+    val p = plan("q61_chunk_windows")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q62 vocab: global top-K is TakeOrdered, never a single-partition sort") {
+    val p = plan("q62_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
