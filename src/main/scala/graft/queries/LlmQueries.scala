@@ -1027,6 +1027,58 @@ object LlmQueries {
             md5(chunk_text) AS chunk_key
           FROM c""")),
 
+    // ---- hierarchical corpus stats via ROLLUP (L32): per (lang,
+    // source), per lang, and grand-total document/char counts in ONE
+    // aggregation — the dataset-card reporting surface. Spark's
+    // `rollup` compiles to a single Expand + hash aggregate: the input
+    // is scanned once and each row feeds all three grouping levels as
+    // map-side partials, so the shuffle carries ≤ 3×|groups| combined
+    // rows. NULL group markers denote rolled-up levels on both engines.
+    "q63_rollup_stats" -> Query(
+      (s, dir) => docs(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(col("lang"), col("source"), col("n_docs"), col("sum_chars")),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY ROLLUP (lang, source)""")),
+
+    // ---- int8 scalar quantization of embeddings (L33): per-dimension
+    // corpus min/max → each component floored onto the [0, 254] grid —
+    // the 4× storage-compression step for 100 TB embedding tables
+    // (search then runs on the quantized codes; q40/q60 consume them
+    // unchanged). Two passes by construction: (1) the per-dim stats agg
+    // map-combines n×dim exploded rows to ≤ dim rows per task before a
+    // dim-keyed exchange; (2) the 64-row stats table broadcasts back
+    // onto the exploded stream — the corpus itself never shuffles.
+    // min/max are SELECTION aggregates (no fp accumulation), and the
+    // quantize expression `floor((x-mn)·254/(mx-mn))` is mirrored
+    // textually, so parity is exact at any partitioning.
+    "q64_quantize_embed" -> Query(
+      (s, dir) => {
+        val x = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+          .select(col("vec_id"), col("d"), col("xf").cast("double").as("xd"))
+        val st = x.groupBy(col("d"))
+          .agg(min(col("xd")).as("mn"), max(col("xd")).as("mx"))
+        x.join(broadcast(st), Seq("d"))
+          .select(col("vec_id"), col("d").cast("long").as("d"),
+            when(col("mx") === col("mn"), lit(0L))
+              .otherwise(floor((col("xd") - col("mn")) * lit(254.0)
+                / (col("mx") - col("mn"))).cast("long")).as("qx"))
+      },
+      Some(s"""WITH x AS (SELECT vec_id,
+              unnest(range(0, $Dim)) AS d,
+              unnest(list_transform(range(0, $Dim), i ->
+                CAST(embedding[i + 1] AS DOUBLE))) AS xd
+            FROM embeddings),
+          st AS (SELECT d, min(xd) AS mn, max(xd) AS mx FROM x GROUP BY d)
+          SELECT vec_id, CAST(x.d AS BIGINT) AS d,
+            CASE WHEN mx = mn THEN 0
+                 ELSE CAST(floor((xd - mn) * CAST(254.0 AS DOUBLE) / (mx - mn))
+                      AS BIGINT) END AS qx
+          FROM x, st WHERE x.d = st.d""")),
+
     // ---- vocabulary induction (L31): the top-$VocabK corpus tokens by
     // occurrence with doc-frequency — the vocab-building step ahead of
     // rare-token scoring (q56) and tokenizer training. The global top-K

@@ -195,6 +195,22 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q63 rollup: one Expand feeding one map-combined aggregate") {
+    val p = plan("q63_rollup_stats")
+    val lines = p.linesIterator.toIndexedSeq
+    assert(lines.count(_.contains("Expand [")) == 1, p)
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q64 quantize: stats agg map-combined and broadcast back — corpus never shuffles") {
+    val p = plan("q64_quantize_embed")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // the only hash exchange is the ≤ dim-row stats aggregate, keyed on d
+    assert(ex.size == 1 && ex.head.contains("(d#"), ex.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
