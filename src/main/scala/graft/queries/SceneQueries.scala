@@ -413,9 +413,21 @@ object SceneQueries {
               .as("sum_scaled"))
         val exact = ev.groupBy(col("event_type"))
           .agg(countDistinct(col("user_id")).as("exact_distinct"))
-        sums.join(broadcast(exact), Seq("event_type"))
+        // small-range (linear-counting) correction: with V empty
+        // registers and a raw estimate under 2.5m the raw harmonic
+        // estimator is biased toward α·m — the standard Flajolet
+        // correction m·ln(m/V) applies (ln is bit-identical across the
+        // JVM and DuckDB for these 256 possible rational arguments;
+        // the gate verifies it at both SFs)
+        val withRaw = sums
           .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
-            (lit(HllNum) / col("sum_scaled").cast("double")).as("est_distinct"),
+            (lit(HllNum) / col("sum_scaled").cast("double")).as("est_raw"),
+            (lit(256L) - col("n_buckets_hit")).as("v_empty"))
+        withRaw.join(broadcast(exact), Seq("event_type"))
+          .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
+            when(col("v_empty") > 0 && col("est_raw") <= lit(640.0),
+              lit(256.0) * log(lit(256.0) / col("v_empty")))
+              .otherwise(col("est_raw")).as("est_distinct"),
             col("exact_distinct"))
       },
       Some(s"""WITH h AS (SELECT event_type,
@@ -432,12 +444,18 @@ object SceneQueries {
                 CAST(n_hit AS BIGINT) AS n_buckets_hit,
                 CAST(s_present + (256 - n_hit) * ${1L << 53} AS BIGINT) AS sum_scaled
               FROM s),
+        u AS (SELECT event_type, n_buckets_hit, sum_scaled,
+                CAST($HllNum AS DOUBLE) / CAST(sum_scaled AS DOUBLE) AS est_raw,
+                256 - n_buckets_hit AS v_empty
+              FROM t),
         x AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
               FROM events GROUP BY event_type)
-        SELECT t.event_type, n_buckets_hit, sum_scaled,
-          CAST($HllNum AS DOUBLE) / CAST(sum_scaled AS DOUBLE) AS est_distinct,
+        SELECT u.event_type, n_buckets_hit, sum_scaled,
+          CASE WHEN v_empty > 0 AND est_raw <= CAST(640.0 AS DOUBLE)
+               THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v_empty)
+               ELSE est_raw END AS est_distinct,
           CAST(exact_distinct AS BIGINT) AS exact_distinct
-        FROM t, x WHERE t.event_type = x.event_type""")),
+        FROM u, x WHERE u.event_type = x.event_type""")),
 
     // ---- temporal as-of join (L29): each click joined to the user's
     // most recent purchase at-or-before it — the classic event-stream
