@@ -488,6 +488,28 @@ object SceneQueries {
           c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         SELECT c.event_id, c.user_id, c.ts,
           p.p_event_id, p.ts AS p_ts, p.p_value
-        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"""))
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""")),
+
+    // ---- semi-structured JSON extraction (L34): typed field pull from
+    // the `props` JSON-string column via the schema-full `from_json`
+    // path (not per-field `get_json_object` re-parses — ONE parse per
+    // row yields the whole struct), then a bucketed aggregate over the
+    // extracted value. Malformed rows become NULL structs, surviving as
+    // NULL groups instead of failing the job — the production JSON
+    // posture. Pure map + one map-combined aggregate exchange.
+    "q65_json_extract" -> Query(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            StructType.fromDDL("k LONG")).getField("k").as("k"))
+        .groupBy(col("event_type"), (col("k") / 10).cast("long").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .select(col("event_type"), col("k_bucket"), col("n"), col("sum_k")),
+      Some(s"""SELECT event_type, CAST(k // 10 AS BIGINT) AS k_bucket,
+            count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+          FROM (SELECT event_type,
+                  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+                FROM events)
+          GROUP BY event_type, k_bucket"""))
   )
 }
