@@ -1079,6 +1079,96 @@ object LlmQueries {
                       AS BIGINT) END AS qx
           FROM x, st WHERE x.d = st.d""")),
 
+    // ---- quantized-search recall (L35): the evaluation loop a
+    // production ANN pipeline runs after compressing its corpus — the
+    // q64 int8 quantization dequantized back onto the [mn, mx] grid,
+    // re-packed per vector (array_sort over (d, xq) structs — a
+    // DETERMINISTIC array reassembly; collect_list alone has no order),
+    // searched asymmetrically (float probes against the quantized
+    // corpus — ADC style) and scored as recall@k against the exact
+    // float search. Rank ties from the coarser quantized cosine break
+    // on cand_id identically in both engines, so recall is exact, not
+    // statistical. Scale shape: the quantize/repack passes are the q64
+    // story (dim-stats broadcast, one vec_id-keyed repack exchange);
+    // both searches are the q28 broadcast-probe story; the recall join
+    // touches only 2×k rows per probe.
+    "q66_quantized_recall" -> Query(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val x = emb
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+          .select(col("vec_id"), col("d"), col("xf").cast("double").as("xd"))
+        val st = x.groupBy(col("d"))
+          .agg(min(col("xd")).as("mn"), max(col("xd")).as("mx"))
+        val deq = x.join(broadcast(st), Seq("d"))
+          .select(col("vec_id"), col("d"),
+            when(col("mx") === col("mn"), col("mn"))
+              .otherwise(col("mn") + floor((col("xd") - col("mn")) * lit(254.0)
+                  / (col("mx") - col("mn")))
+                * (col("mx") - col("mn")) / lit(254.0)).as("xq"))
+        val packed = deq.groupBy(col("vec_id"))
+          .agg(array_sort(collect_list(struct(col("d"), col("xq")))).as("ps"))
+          .select(col("vec_id"),
+            transform(col("ps"), p => p.getField("xq")).as("embedding"))
+        val probes = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id"), col("embedding"))
+        val approx = Similarity.bruteForceTopK(packed, probes, TopK)
+          .select(col("probe_id"), col("cand_id"))
+        val exact = Similarity.bruteForceTopK(emb, probes, TopK)
+          .select(col("probe_id"), col("cand_id"))
+        val common = approx.join(exact, Seq("probe_id", "cand_id"))
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("n_common"))
+        probes.select(col("vec_id").as("probe_id"))
+          .join(common, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            (coalesce(col("n_common"), lit(0L)).cast("double") / TopK).as("recall"))
+      },
+      Some {
+        val q = "CAST(254.0 AS DOUBLE)"
+        s"""WITH x AS (SELECT vec_id, unnest(range(0, $Dim)) AS d,
+              unnest(list_transform(range(0, $Dim), i ->
+                CAST(embedding[i + 1] AS DOUBLE))) AS xd
+            FROM embeddings),
+          st AS (SELECT d, min(xd) AS mn, max(xd) AS mx FROM x GROUP BY d),
+          deq AS (SELECT vec_id, x.d AS d,
+                CASE WHEN mx = mn THEN mn
+                     ELSE mn + floor((xd - mn) * $q / (mx - mn))
+                          * (mx - mn) / $q END AS xq
+              FROM x, st WHERE x.d = st.d),
+          packed AS (SELECT vec_id, list(xq ORDER BY d) AS qe
+                     FROM deq GROUP BY vec_id),
+          cand AS (SELECT vec_id AS cand_id, qe AS ce,
+                     ${Similarity.sqlDotD("qe", "qe", Dim)} AS cn FROM packed),
+          p AS (SELECT vec_id AS probe_id, embedding AS pe,
+                  ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS pn
+                FROM embeddings WHERE vec_id % 100 = 0),
+          ax AS (SELECT probe_id, cand_id,
+                   (${Similarity.sqlDotD("pe", "ce", Dim)} / sqrt(pn * cn)) AS cos
+                 FROM p, cand WHERE cand_id <> probe_id),
+          ar AS (SELECT probe_id, cand_id, row_number() OVER
+                   (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
+                 FROM ax),
+          e0 AS (SELECT vec_id, embedding,
+                   ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+                 FROM embeddings),
+          exx AS (SELECT p.probe_id, e.vec_id AS cand_id,
+                    (${Similarity.sqlDotD("p.pe", "e.embedding", Dim)}
+                      / sqrt(p.pn * e.nn)) AS cos
+                  FROM p, e0 e WHERE e.vec_id <> p.probe_id),
+          er AS (SELECT probe_id, cand_id, row_number() OVER
+                   (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
+                 FROM exx),
+          j AS (SELECT a.probe_id, count(*) AS n_common
+                FROM (SELECT * FROM ar WHERE rk <= $TopK) a
+                JOIN (SELECT * FROM er WHERE rk <= $TopK) e
+                  ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+                GROUP BY a.probe_id)
+          SELECT p.probe_id, CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+            CAST(coalesce(n_common, 0) AS DOUBLE) / $TopK AS recall
+          FROM p LEFT JOIN j ON p.probe_id = j.probe_id"""
+      }),
+
     // ---- vocabulary induction (L31): the top-$VocabK corpus tokens by
     // occurrence with doc-frequency — the vocab-building step ahead of
     // rare-token scoring (q56) and tokenizer training. The global top-K
