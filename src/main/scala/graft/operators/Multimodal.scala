@@ -31,6 +31,39 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       struct(col("n_chars").cast("int").as("width"), lit("txt").as("fmt")).as("meta"))
 
+  /** Frame sampling over the binary payload: treat the payload as a
+    * sequence of fixed-size `frameBytes` frames and keep every
+    * `everyK`-th one — the video frame-sample step with a bytes-level
+    * frame model (a real container parser would replace the fixed
+    * stride with codec frame boundaries; the Spark-side plumbing —
+    * binary slicing, per-frame explode, content keys — is the real,
+    * tested part).
+    *
+    * Pure map-side: one generator per media row emits only the SAMPLED
+    * frames (the filter sits under the projection, so skipped frames
+    * are never materialized); payload bytes never shuffle — downstream
+    * gets (media_id, frame_idx, frame md5) plus the frame bytes for
+    * the decode stage. Partial trailing frames are dropped (floor).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
+    val nFrames = (length(col("payload")) / frameBytes).cast("int")
+    // sequence(0, n-1) defaults to step -1 when n-1 < 0 — guard the
+    // sub-frame payload with an explicit empty array
+    val frameIds = when(nFrames > 0, sequence(lit(0), nFrames - 1))
+      .otherwise(array().cast("array<int>"))
+    media
+      .select(col("media_id"), col("payload"),
+        explode(frameIds).as("f"))
+      .where(col("f") % everyK === 0)
+      .select(col("media_id"), col("f").cast("long").as("frame_idx"),
+        col("payload").substr(col("f") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_key"))
+  }
+
   /** STUB decoder: a deterministic 16-bin byte histogram, L1-normalized —
     * stands in for image decode + feature extraction. Runs per-partition
     * over the raw bytes (the real-decoder integration point: swap the

@@ -1169,6 +1169,25 @@ object LlmQueries {
           FROM p LEFT JOIN j ON p.probe_id = j.probe_id"""
       }),
 
+    // ---- binary frame sampling (L36): the video frame-sample step of
+    // the multimodal family (L11) with a bytes-level frame model —
+    // every 4th 16-byte frame of each payload, keyed by content md5.
+    // The Spark side slices the BINARY payload (real media plumbing:
+    // Column.substr on bytes, generator emits only sampled frames,
+    // payload never shuffles); the oracle mirrors on the text side,
+    // exact because the synthetic payloads are ASCII (byte positions =
+    // char positions) and md5(string) hashes the same bytes.
+    "q67_frame_sample" -> Query(
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.asMediaTable(docs(s, dir)), frameBytes = 16, everyK = 4),
+      Some("""WITH f AS (SELECT doc_id AS media_id,
+              unnest(range(0, length(text) // 16)) AS f, text
+            FROM documents)
+          SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+            CAST(16 AS BIGINT) AS frame_len,
+            md5(substring(text, f * 16 + 1, 16)) AS frame_key
+          FROM f WHERE f % 4 = 0""")),
+
     // ---- vocabulary induction (L31): the top-$VocabK corpus tokens by
     // occurrence with doc-frequency — the vocab-building step ahead of
     // rare-token scoring (q56) and tokenizer training. The global top-K
