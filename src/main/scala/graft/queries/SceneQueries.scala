@@ -490,6 +490,52 @@ object SceneQueries {
           p.p_event_id, p.ts AS p_ts, p.p_value
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""")),
 
+    // ---- ordered conversion funnel (L37): signup → first click at or
+    // after it → first purchase at or after that, per user — the
+    // classic multi-step funnel. Three stage aggregates, each keyed on
+    // user_id (min-ts per stage with the order constraint carried
+    // through the join), then left joins assemble the funnel row; every
+    // exchange in the chain shares the user_id key, so AQE reuses the
+    // partitioning instead of re-shuffling. Late stages only process
+    // users who survived the previous one (the join IS the filter) —
+    // funnel work shrinks monotonically down the chain at any scale.
+    "q68_funnel" -> Query(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val sgn = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+        val clk = ev.where(col("event_type") === "click")
+          .join(sgn, Seq("user_id"))
+          .where(col("ts") >= col("s_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val pur = ev.where(col("event_type") === "purchase")
+          .join(clk, Seq("user_id"))
+          .where(col("ts") >= col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        sgn.join(clk, Seq("user_id"), "left")
+          .join(pur, Seq("user_id"), "left")
+          .select(col("user_id"), col("s_ts"), col("c_ts"), col("p_ts"),
+            when(col("p_ts").isNotNull, lit(3L))
+              .otherwise(when(col("c_ts").isNotNull, lit(2L)).otherwise(lit(1L)))
+              .as("funnel_stage"))
+      },
+      Some("""WITH sgn AS (SELECT user_id, min(ts) AS s_ts FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+          clk AS (SELECT e.user_id, min(e.ts) AS c_ts
+                  FROM events e JOIN sgn ON e.user_id = sgn.user_id
+                  WHERE e.event_type = 'click' AND e.ts >= sgn.s_ts
+                  GROUP BY e.user_id),
+          pur AS (SELECT e.user_id, min(e.ts) AS p_ts
+                  FROM events e JOIN clk ON e.user_id = clk.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts >= clk.c_ts
+                  GROUP BY e.user_id)
+        SELECT sgn.user_id, s_ts, c_ts, p_ts,
+          CAST(CASE WHEN p_ts IS NOT NULL THEN 3
+                    WHEN c_ts IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+            AS funnel_stage
+        FROM sgn LEFT JOIN clk ON sgn.user_id = clk.user_id
+                 LEFT JOIN pur ON sgn.user_id = pur.user_id""")),
+
     // ---- semi-structured JSON extraction (L34): typed field pull from
     // the `props` JSON-string column via the schema-full `from_json`
     // path (not per-field `get_json_object` re-parses — ONE parse per
