@@ -536,6 +536,36 @@ object SceneQueries {
         FROM sgn LEFT JOIN clk ON sgn.user_id = clk.user_id
                  LEFT JOIN pur ON sgn.user_id = pur.user_id""")),
 
+    // ---- Z-order layout key (L38): Morton-interleave the grid
+    // coordinates and group by the key's high bits — each group is the
+    // row set one output file would hold after a z-sorted write, and
+    // the min/max envelope per group is the file-skipping statistic.
+    // The demonstration is quantitative: every 256-cell z-bucket spans
+    // ≤ 16 lines × 16 samples (vs a row-major bucket's full-width
+    // stripe), which is exactly why 2-D predicates prune z-laid-out
+    // files. Pure integer shift/mask math map-side; one map-combined
+    // aggregate exchange.
+    "q69_zorder_layout" -> Query(
+      (s, dir) => {
+        val z = graft.operators.Layout.zValue(col("line"), col("sample"), 10)
+        Q.grid(s, dir)
+          .select(col("line"), col("sample"), z.as("z"))
+          .groupBy(shiftright(col("z"), 8).as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("line")).as("min_l"), max(col("line")).as("max_l"),
+            min(col("sample")).as("min_s"), max(col("sample")).as("max_s"))
+          .select(col("zbucket"), col("n"), col("min_l"), col("max_l"),
+            col("min_s"), col("max_s"))
+      },
+      Some(s"""WITH g AS (${Q.sqlGrid}),
+          zt AS (SELECT line, sample,
+                   (${graft.operators.Layout.sqlZValue("line", "sample", 10)}) AS z
+                 FROM g)
+        SELECT z >> 8 AS zbucket, count(*) AS n,
+          min(line) AS min_l, max(line) AS max_l,
+          min(sample) AS min_s, max(sample) AS max_s
+        FROM zt GROUP BY zbucket""")),
+
     // ---- semi-structured JSON extraction (L34): typed field pull from
     // the `props` JSON-string column via the schema-full `from_json`
     // path (not per-field `get_json_object` re-parses — ONE parse per
