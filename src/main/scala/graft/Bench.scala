@@ -36,6 +36,15 @@ object Bench {
     locally {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
+      // touch every table once (footer parse + OS page cache) so the
+      // first query measured doesn't absorb cold-file I/O that its 68
+      // successors never pay — q01 ran ~2s two rounds running purely
+      // from first-position noise
+      Tables.names.foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // events' nanos ts: shape-only warm
+      }
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(50000)
       // decimal aggregation + rank window + broadcast join: the codegen
       // paths q01/q14/q02 would otherwise JIT inside their timed run.
