@@ -1188,6 +1188,51 @@ object LlmQueries {
             md5(substring(text, f * 16 + 1, 16)) AS frame_key
           FROM f WHERE f % 4 = 0""")),
 
+    // ---- snapshot diff (L39): the data-versioning staple — classify
+    // every document as added / removed / changed / unchanged between
+    // two corpus snapshots by FULL OUTER joining on doc_id and
+    // comparing content digests. Content keys are md5 (32 bytes), so
+    // the join carries digests, never text; the "new" snapshot here is
+    // derived deterministically from the same table (id%7==0 dropped =
+    // removed, id%5==0 text-amended = changed, ids 10000+ = added) so
+    // the gate exercises all four classes. One digest-keyed shuffle
+    // per side at any scale.
+    "q70_snapshot_diff" -> Query(
+      (s, dir) => {
+        val old = docs(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("old_key"))
+        val nw = docs(s, dir)
+          .where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("new_key"))
+          .unionByName(docs(s, dir).where(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"),
+              md5(col("text")).as("new_key")))
+        old.join(nw, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("old_key").isNull, lit("added"))
+              .otherwise(when(col("new_key").isNull, lit("removed"))
+                .otherwise(when(col("old_key") === col("new_key"), lit("unchanged"))
+                  .otherwise(lit("changed")))).as("status"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH old AS (SELECT doc_id, md5(text) AS old_key FROM documents),
+          nw AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+                     AS new_key
+                 FROM documents WHERE doc_id % 7 <> 0
+                 UNION ALL
+                 SELECT doc_id + 10000 AS doc_id, md5(text) AS new_key
+                 FROM documents WHERE doc_id % 11 = 0)
+        SELECT CASE WHEN old_key IS NULL THEN 'added'
+                    WHEN new_key IS NULL THEN 'removed'
+                    WHEN old_key = new_key THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+          count(*) AS n_docs
+        FROM old FULL OUTER JOIN nw USING (doc_id)
+        GROUP BY status""")),
+
     // ---- vocabulary induction (L31): the top-$VocabK corpus tokens by
     // occurrence with doc-frequency — the vocab-building step ahead of
     // rare-token scoring (q56) and tokenizer training. The global top-K
