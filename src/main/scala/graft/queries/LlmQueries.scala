@@ -1108,8 +1108,9 @@ object LlmQueries {
                 * (col("mx") - col("mn")) / lit(254.0)).as("xq"))
         val packed = deq.groupBy(col("vec_id"))
           .agg(array_sort(collect_list(struct(col("d"), col("xq")))).as("ps"))
-          .select(col("vec_id"),
-            transform(col("ps"), p => p.getField("xq")).as("embedding"))
+          // field access on an array<struct> is codegen'd
+          // (GetArrayStructFields) — no interpreted transform lambda
+          .select(col("vec_id"), col("ps").getField("xq").as("embedding"))
         val probes = emb.where(col("vec_id") % 100 === 0)
           .select(col("vec_id"), col("embedding"))
         val approx = Similarity.bruteForceTopK(packed, probes, TopK)
