@@ -143,6 +143,15 @@ object TextFns {
   def shingleHashesFold(toks: Column, n: Int): Column =
     transform(shingles(toks, n), s => hash60(s) % HashMod)
 
+  /** Raw (un-modded) 60-bit hash per token — `transform(toks, hash60)`
+    * as the same native kernel (n=1 shingle = the token itself; mod=0
+    * skips the reduction). NULL tokens hash as the empty string here
+    * where the transform form yields null — whitespace tokenization
+    * never produces null tokens, and the q26 gate pins the parity. */
+  def tokenHashes(toks: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      ShingleHashes(org.apache.spark.sql.graft.Bridge.expression(toks), 1, 0L))
+
   def sqlShingleHashes(toksExpr: String, n: Int): String =
     s"""list_transform(${sqlShingles(toksExpr, n)}, s -> ${sqlHashMod("s")})"""
 

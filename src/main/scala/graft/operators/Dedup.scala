@@ -103,7 +103,7 @@ object Dedup {
     * join shape as MinHash; hamming distance ≤ 3 pairs share ≥1 byte. */
   def simhashes(docs: DataFrame, idCol: Column, text: Column): DataFrame =
     docs.select(idCol.as("doc_id"),
-        transform(TextFns.tokens(text), t => TextFns.hash60(t)).as("hs"))
+        TextFns.tokenHashes(TextFns.tokens(text)).as("hs"))
       .select(col("doc_id"), TextFns.simhash32(col("hs")).as("simhash"))
 
   /** Eval-set decontamination report (which eval docs share at least
