@@ -18,4 +18,11 @@ object VecFns {
                    centNorms: Array[Double], dim: Int, k: Int): Column =
     Bridge.column(NearestCells(Bridge.expression(emb), centIds, centFlat,
       centNorms, dim, k))
+
+  /** Codegen'd per-row scalar quantize-dequantize against a literal
+    * per-dim (min, max) grid. See [[DequantizeGrid]] for the arithmetic
+    * and null contract. */
+  def dequantizeGrid(emb: Column, mins: Array[Double], maxs: Array[Double],
+                     levels: Double): Column =
+    Bridge.column(DequantizeGrid(Bridge.expression(emb), mins, maxs, levels))
 }

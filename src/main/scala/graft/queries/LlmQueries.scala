@@ -1082,35 +1082,33 @@ object LlmQueries {
     // ---- quantized-search recall (L35): the evaluation loop a
     // production ANN pipeline runs after compressing its corpus — the
     // q64 int8 quantization dequantized back onto the [mn, mx] grid,
-    // re-packed per vector (array_sort over (d, xq) structs — a
-    // DETERMINISTIC array reassembly; collect_list alone has no order),
     // searched asymmetrically (float probes against the quantized
     // corpus — ADC style) and scored as recall@k against the exact
     // float search. Rank ties from the coarser quantized cosine break
     // on cand_id identically in both engines, so recall is exact, not
-    // statistical. Scale shape: the quantize/repack passes are the q64
-    // story (dim-stats broadcast, one vec_id-keyed repack exchange);
-    // both searches are the q28 broadcast-probe story; the recall join
-    // touches only 2×k rows per probe.
+    // statistical. Scale shape: the per-dim (min, max) grid is a
+    // codebook-sized driver artifact (collected once, like the IVF
+    // centroid table) baked into the codegen'd dequantize_grid kernel,
+    // so the quantized corpus comes straight off the SCAN — no
+    // explode, no stats join, no repack shuffle (the previous
+    // formulation put every vector through a (vec_id)-keyed exchange
+    // just to reassemble arrays). Both searches are the q28
+    // broadcast-probe story; the recall join touches 2×k rows/probe.
     "q66_quantized_recall" -> Query(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val x = emb
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
-          .select(col("vec_id"), col("d"), col("xf").cast("double").as("xd"))
-        val st = x.groupBy(col("d"))
+        // per-dim stats: selection aggs (exact), 64 rows -> driver
+        val statRows = emb
+          .select(posexplode(col("embedding")).as(Seq("d", "xf")))
+          .select(col("d"), col("xf").cast("double").as("xd"))
+          .groupBy(col("d"))
           .agg(min(col("xd")).as("mn"), max(col("xd")).as("mx"))
-        val deq = x.join(broadcast(st), Seq("d"))
-          .select(col("vec_id"), col("d"),
-            when(col("mx") === col("mn"), col("mn"))
-              .otherwise(col("mn") + floor((col("xd") - col("mn")) * lit(254.0)
-                  / (col("mx") - col("mn")))
-                * (col("mx") - col("mn")) / lit(254.0)).as("xq"))
-        val packed = deq.groupBy(col("vec_id"))
-          .agg(array_sort(collect_list(struct(col("d"), col("xq")))).as("ps"))
-          // field access on an array<struct> is codegen'd
-          // (GetArrayStructFields) — no interpreted transform lambda
-          .select(col("vec_id"), col("ps").getField("xq").as("embedding"))
+          .collect()
+          .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)
+        val packed = emb.select(col("vec_id"),
+          graft.functions.VecFns.dequantizeGrid(col("embedding"),
+            statRows.map(_._2), statRows.map(_._3), 254.0).as("embedding"))
         val probes = emb.where(col("vec_id") % 100 === 0)
           .select(col("vec_id"), col("embedding"))
         val approx = Similarity.bruteForceTopK(packed, probes, TopK)

@@ -211,6 +211,15 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q66 recall: quantized corpus comes off the scan — no vec_id repack exchange") {
+    val p = plan("q66_quantized_recall")
+    assert(p.contains("dequantize_grid"), p)
+    // the explode→stats-join→groupBy repack this kernel replaced put the
+    // whole corpus through a (vec_id)-keyed exchange
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.forall(!_.contains("vec_id#")), ex.mkString("\n"))
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
