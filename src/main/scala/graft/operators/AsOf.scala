@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * The union-carry formulation, not a join: right rows (pre-deduped to
   * one per (key, ts) — latest by `ordCol` wins) and left rows
   * interleave in ONE shuffle keyed on `keyCol`, sorted by (ts, side)
-  * with right rows first on ties, and `last(_, ignoreNulls)` windows
-  * carry the running right payload forward onto every left row.
+  * with right rows first on ties, and a single `last(_, ignoreNulls)`
+  * window over a struct of the payload columns carries the running
+  * right row forward onto every left row — one struct (not one window
+  * per column) so all carried fields come from the SAME right row even
+  * when individual payload values are NULL.
   *
   * Why this shape at 100 TB:
   *  - a range self-join (`l.ts >= r.ts` + max-window) multiplies rows
@@ -48,22 +51,28 @@ object AsOf {
     val r1 = right.groupBy(key, ts).agg(dedupAggs.head, dedupAggs.tail: _*)
     val leftCols = left.columns.toSeq
     // union schema: key, ts, side, then left columns (null on right rows),
-    // then payload columns (null on left rows)
+    // then ONE `_pay` struct of the payload columns (null on left rows).
+    // A single struct carry keeps each output row's payload columns
+    // coherent — all from the same (newest) right row — even when some
+    // payload fields are legitimately NULL; per-column carries would
+    // resurrect an older row's non-null value for just those fields.
+    val payStructType = org.apache.spark.sql.types.StructType(
+      payload.map(c => r1.schema(c).copy(name = c)))
     val rSide = r1.select(
       Seq(key, ts, lit(0).as("_side")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_pay"): _*)
     val lSide = left.select(
       Seq(key, ts, lit(1).as("_side")) ++
-        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) ++
-        payload.map(c => lit(null).cast(r1.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(Seq(keyCol, tsCol).contains).map(col) :+
+        lit(null).cast(payStructType).as("_pay"): _*)
     val w = Window.partitionBy(key).orderBy(ts, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(rSide.unionByName(lSide)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.where(col("_side") === 1).drop("_side")
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+    val carried = rSide.unionByName(lSide)
+      .withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(w))
+    carried.where(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("_pay").getField(c).as(c)): _*)
   }
 }

@@ -1193,11 +1193,16 @@ object LlmQueries {
     // comparing content digests. Content keys are md5 (32 bytes), so
     // the join carries digests, never text; the "new" snapshot here is
     // derived deterministically from the same table (id%7==0 dropped =
-    // removed, id%5==0 text-amended = changed, ids 10000+ = added) so
-    // the gate exercises all four classes. One digest-keyed shuffle
-    // per side at any scale.
+    // removed, id%5==0 text-amended = changed, ids shifted past
+    // max(doc_id) = added) so the gate exercises all four classes. The
+    // added-id offset is max(doc_id)+1 FROM THE DATA (a broadcast
+    // one-row scalar, not a constant) so synthetic ids can never
+    // collide with real ones at any scale factor. One digest-keyed
+    // shuffle per side at any scale.
     "q70_snapshot_diff" -> Query(
       (s, dir) => {
+        val off = broadcast(
+          docs(s, dir).agg((max(col("doc_id")) + 1).as("_off")))
         val old = docs(s, dir)
           .select(col("doc_id"), md5(col("text")).as("old_key"))
         val nw = docs(s, dir)
@@ -1206,7 +1211,8 @@ object LlmQueries {
             md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
               .otherwise(col("text"))).as("new_key"))
           .unionByName(docs(s, dir).where(col("doc_id") % 11 === 0)
-            .select((col("doc_id") + 10000).as("doc_id"),
+            .crossJoin(off)
+            .select((col("doc_id") + col("_off")).as("doc_id"),
               md5(col("text")).as("new_key")))
         old.join(nw, Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
@@ -1222,7 +1228,9 @@ object LlmQueries {
                      AS new_key
                  FROM documents WHERE doc_id % 7 <> 0
                  UNION ALL
-                 SELECT doc_id + 10000 AS doc_id, md5(text) AS new_key
+                 SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+                     AS doc_id,
+                   md5(text) AS new_key
                  FROM documents WHERE doc_id % 11 = 0)
         SELECT CASE WHEN old_key IS NULL THEN 'added'
                     WHEN new_key IS NULL THEN 'removed'

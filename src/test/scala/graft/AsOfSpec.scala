@@ -46,6 +46,22 @@ class AsOfSpec extends SparkSpec {
     out shouldBe Seq(("a", 10L, 1L, Some(105L), Some(10L), Some(7.0)))
   }
 
+  test("null payload field in the newest right row is carried as null, " +
+      "not resurrected from an older row") {
+    // older right row has rv=1.0; newer right row has rv=NULL. The left
+    // probe at ts=20 must see the NEWER row's payload wholesale —
+    // rid=101 with rv=None — not a chimera of (rid=101, rv=1.0).
+    val l = Seq(("a", 20L, 1L)).toDF("k", "ts", "lid")
+    val r = Seq(("a", 5L, 100L, Some(1.0)), ("a", 10L, 101L, None))
+      .toDF("k", "ts", "rid", "rv")
+      .select($"k", $"ts", $"rid", $"ts".as("rts"), $"rv")
+    val out = AsOf.joinAsOf(l, r, keyCol = "k", tsCol = "ts",
+        ordCol = "rid", payload = Seq("rid", "rts", "rv"))
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Double])]
+      .collect().toSeq
+    out shouldBe Seq(("a", 20L, 1L, Some(101L), Some(10L), None))
+  }
+
   test("duplicate left rows each get the same carry") {
     val out = run(
       left = Seq(("a", 10L, 1L), ("a", 10L, 2L)),
