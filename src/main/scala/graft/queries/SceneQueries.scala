@@ -2,12 +2,13 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructType}
 import graft.Tables
 import graft.functions.IceCodes
 import graft.operators.{Masking, Skew, Tiling}
 import graft.sources.Catalog
-import graft.streaming.IncrementalPipeline
+import graft.streaming.{EventWindows, IncrementalPipeline}
 import Q._
 
 /** Driver-contract queries completing the scene-pipeline surface:
@@ -41,6 +42,45 @@ object SceneQueries {
         (event_id//100) % 10 AS line, event_id % 100 AS sample,
         event_id, value, event_id % 200 + 1 AS poly_id
       FROM events"""
+
+  /** File-source schema for streaming `events.parquet`: `ts` comes off
+    * the scan as raw nanos (legacy conf, see [[graft.Tables.events]])
+    * and is rebuilt to a micros timestamp after load. */
+  private val eventsRawSchema = new StructType()
+    .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+    .add("event_type", StringType).add("value", DoubleType)
+    .add("props", StringType)
+
+  private def streamedEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain an append-mode streaming frame with `Trigger.AvailableNow`
+    * into a per-(tag, input-dir) parquet dir (the q35 checkpoint
+    * pattern) and return the output path. The engine's final no-data
+    * micro-batch is what flushes watermark-finalized windows — that
+    * real finalization machinery is exactly what q71/q72 gate. */
+  private def drainToParquet(df: DataFrame, tag: String, dir: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    deleteRecursively(new java.io.File(base))
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // batch 0 has no finalized windows yet; writing an empty frame
+        // would leave a schemaless dir if it were the only batch
+        if (!b.isEmpty) b.write.mode("append").parquet(s"$base/out")
+      }
+      .start()
+    q.awaitTermination()
+    s"$base/out"
+  }
 
   /** q58 HLL numerator α_m·m²·2⁵³ for m=256 registers, computed ONCE
     * here and interpolated into both engines (`Double.toString` is
@@ -195,6 +235,70 @@ object SceneQueries {
         SELECT min(ts) AS s_start, max(ts) + INTERVAL 4 HOUR AS s_end,
           user_id, count(*) AS n, ${sqlSum("value")} AS sum_value
         FROM g GROUP BY user_id, sid""")),
+
+    // ---- L13 event-time STREAMING windows through the real machinery:
+    // file source → watermark 1h → tumbling 6h windows per event_type →
+    // append mode → AvailableNow drain (the q35 pattern). Append mode
+    // emits a window only once the watermark (max event time − 1h,
+    // ms-truncated) passes its end — the final no-data micro-batch is
+    // what flushes them — so the oracle is the batch aggregation
+    // restricted to exactly those finalized windows. State is bounded
+    // by open windows at any scale; late data past the watermark drops.
+    "q71_stream_windows" -> Query(
+      (s, dir) => {
+        val ev = streamedEvents(s, dir)
+          .withColumn("value", col("value").cast(DecimalType(18, 4)))
+        val out = drainToParquet(
+          EventWindows.windowedStats(ev, "ts", "1 hour", "6 hours"),
+          "swin", dir)
+        s.read.parquet(out)
+          .select(col("w_start"), col("w_end"), col("event_type"),
+            col("n"), col("sum_value").cast("double").as("sum_value"))
+      },
+      Some(s"""WITH w AS (SELECT
+            make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+              AS w_start,
+            event_type, value FROM events),
+          a AS (SELECT w_start, w_start + INTERVAL 6 HOUR AS w_end,
+              event_type, count(*) AS n, ${sqlSum("value")} AS sum_value
+            FROM w GROUP BY w_start, event_type)
+          SELECT w_start, w_end, event_type, n, sum_value FROM a
+          WHERE epoch_us(w_end) <=
+            (SELECT epoch_ms(max(ts)) * 1000 - 3600000000 FROM events)""")),
+
+    // ---- L13 event-time STREAMING session windows: watermark 1h +
+    // 4-hour-gap sessions per user (the streaming twin of batch q41,
+    // which shares the session CTE below). Sessions merge across
+    // micro-batches in the state store; append mode finalizes a session
+    // when the ms-truncated watermark passes its end (last event + gap),
+    // which the oracle mirrors with the epoch_ms cutoff.
+    "q72_stream_sessions" -> Query(
+      (s, dir) => {
+        val ev = streamedEvents(s, dir)
+          .withColumn("value", col("value").cast(DecimalType(18, 4)))
+        val out = drainToParquet(
+          EventWindows.sessionStats(ev, "ts", "1 hour", "4 hours"),
+          "ssess", dir)
+        s.read.parquet(out)
+          .select(col("s_start"), col("s_end"), col("user_id"),
+            col("n"), col("sum_value").cast("double").as("sum_value"))
+      },
+      Some(s"""WITH o AS (SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 4 HOUR
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        g AS (SELECT *, sum(new_s) OVER
+                (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM o),
+        sess AS (SELECT min(ts) AS s_start, max(ts) + INTERVAL 4 HOUR AS s_end,
+            user_id, count(*) AS n, ${sqlSum("value")} AS sum_value
+          FROM g GROUP BY user_id, sid)
+        SELECT s_start, s_end, user_id, n, sum_value FROM sess
+        WHERE epoch_us(s_end) <=
+          (SELECT epoch_ms(max(ts)) * 1000 - 3600000000 FROM events)""")),
 
     // ---- B6: class-weighted loss preparation — the A7 histogram turned
     // into balanced class weights (total / (nClasses * freq), the
