@@ -31,6 +31,10 @@ object LlmQueries {
   private val TopK = 5
   private val Dim = 64
   private val NumPlanes = 8
+  /** q73's data-sized LSH config: ≈ log2(corpus / target bucket size)
+    * planes (8 buckets for the 500-vector sf0.01 corpus), searched with
+    * Hamming-1 multi-probe. */
+  private val MpPlanes = 3
 
   /** q48 per-stratum sample rates (per mille, by `lang`); order is the
     * CASE/when chain order on both sides. */
@@ -331,6 +335,143 @@ object LlmQueries {
                   (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
                 FROM cand)
           SELECT probe_id, cell, rk, cand_id, cos FROM r WHERE rk <= $TopK"""
+      }),
+
+    // ---- retrieval QUALITY gate for the hyperplane-LSH ANN path: the
+    // q29 hash gate proves determinism (its oracle mirrors the same
+    // bucketing), not that buckets find true neighbors. This query
+    // scores the bucketed search as recall@$TopK against the exact q28
+    // search per probe (the q66 pattern), at the DATA-SIZED config:
+    // planes ≈ log2(n / target bucket size) → 3 planes for this corpus,
+    // plus Hamming-1 multi-probe. Measured floor on the driver data:
+    // min 0.6 / mean 0.64 at sf0.01. The mis-sized plain 8-plane config
+    // q29 pins (256 buckets over 500 vectors → ~2-row buckets) measures
+    // ~0 recall on this near-random corpus — random embeddings are
+    // LSH's worst case; the sizing rule and multi-probe are the knobs.
+    "q73_lsh_recall" -> Query(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.where(col("vec_id") % 100 === 0)
+        val approx = Similarity.lshTopK(emb, probes, TopK, MpPlanes, Dim,
+            multiProbe = true)
+          .select(col("probe_id"), col("cand_id"))
+        val exact = Similarity.bruteForceTopK(emb, probes, TopK)
+          .select(col("probe_id"), col("cand_id"))
+        val common = approx.join(exact, Seq("probe_id", "cand_id"))
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("n_common"))
+        probes.select(col("vec_id").as("probe_id"))
+          .join(common, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            (coalesce(col("n_common"), lit(0L)).cast("double") / TopK).as("recall"))
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding,
+               ${Similarity.sqlLshBucket("embedding", MpPlanes, Dim)} AS bucket
+             FROM embeddings),
+          p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
+                FROM b WHERE vec_id % 100 = 0),
+          px AS (SELECT probe_id, pe,
+                   unnest(list_prepend(bucket, list_transform(
+                     range(0, $MpPlanes),
+                     pl -> xor(bucket, 1::BIGINT << pl)))) AS bucket
+                 FROM p),
+          cand AS (SELECT px.probe_id, b.vec_id AS cand_id,
+                ${Similarity.sqlCosine("px.pe", "b.embedding", Dim)} AS cos
+              FROM px JOIN b ON px.bucket = b.bucket AND b.vec_id <> px.probe_id),
+          ar AS (SELECT probe_id, cand_id, row_number() OVER
+                   (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
+                 FROM cand),
+          e0 AS (SELECT vec_id, embedding,
+                   ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+                 FROM embeddings),
+          p2 AS (SELECT vec_id AS probe_id, embedding AS pe,
+                   ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS pn
+                 FROM embeddings WHERE vec_id % 100 = 0),
+          exx AS (SELECT p2.probe_id, e.vec_id AS cand_id,
+                    (${Similarity.sqlDotD("p2.pe", "e.embedding", Dim)}
+                      / sqrt(p2.pn * e.nn)) AS cos
+                  FROM p2, e0 e WHERE e.vec_id <> p2.probe_id),
+          er AS (SELECT probe_id, cand_id, row_number() OVER
+                   (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
+                 FROM exx),
+          j AS (SELECT a.probe_id, count(*) AS n_common
+                FROM (SELECT * FROM ar WHERE rk <= $TopK) a
+                JOIN (SELECT * FROM er WHERE rk <= $TopK) e
+                  ON a.probe_id = e.probe_id AND a.cand_id = e.cand_id
+                GROUP BY a.probe_id)
+          SELECT p2.probe_id, CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+            CAST(coalesce(n_common, 0) AS DOUBLE) / $TopK AS recall
+          FROM p2 LEFT JOIN j ON p2.probe_id = j.probe_id""")),
+
+    // ---- retrieval QUALITY gate for q40's IVF ANN: recall@$TopK of the
+    // nProbe=2 inverted-file search against the exact q28 search.
+    // Measured floor on the driver data: min 0.2 / mean 0.48 at sf0.01
+    // (probing 2 of the 4 cells on a near-random corpus — IVF degrades
+    // gracefully where the same-budget LSH config drops to ~0; see
+    // q73). `nProbe` and the cell count are the recall knobs; real
+    // clustered embeddings push this toward 1.0 at the same budget.
+    "q74_ivf_recall" -> Query(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.where(col("vec_id") % 100 === 0)
+        val approx = Similarity.ivfTopK(emb,
+            isProbe = col("vec_id") % 100 === 0,
+            isCentroid = col("vec_id") % 125 === 7,
+            k = TopK, nProbe = 2)
+          .select(col("probe_id"), col("cand_id"))
+        val exact = Similarity.bruteForceTopK(emb, probes, TopK)
+          .select(col("probe_id"), col("cand_id"))
+        val common = approx.join(exact, Seq("probe_id", "cand_id"))
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("n_common"))
+        probes.select(col("vec_id").as("probe_id"))
+          .join(common, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            (coalesce(col("n_common"), lit(0L)).cast("double") / TopK).as("recall"))
+      },
+      Some {
+        val simEC = s"(${Similarity.sqlDotD("e.embedding", "c.cemb", Dim)} / sqrt(e.nn * c.cn))"
+        val simPC = s"(${Similarity.sqlDotD("p.pe", "cl.ce", Dim)} / sqrt(p.pn * cl.cn2))"
+        s"""WITH e AS (SELECT vec_id, embedding,
+               ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+             FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, embedding AS cemb, nn AS cn
+                FROM e WHERE vec_id % 125 = 7),
+          a0 AS (SELECT e.vec_id, e.embedding, e.nn, c.cent_id,
+                   $simEC AS csim
+                 FROM e, c),
+          a AS (SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crk
+                FROM a0),
+          cl AS (SELECT vec_id AS cand_id, cent_id AS cell,
+                   embedding AS ce, nn AS cn2 FROM a WHERE crk = 1),
+          p AS (SELECT vec_id AS probe_id, cent_id AS cell,
+                  embedding AS pe, nn AS pn
+                FROM a WHERE vec_id % 100 = 0 AND crk <= 2),
+          cand AS (SELECT p.probe_id, cl.cand_id, $simPC AS cos
+                   FROM p JOIN cl ON p.cell = cl.cell
+                    AND cl.cand_id <> p.probe_id),
+          ar AS (SELECT probe_id, cand_id, row_number() OVER
+                   (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
+                 FROM cand),
+          exx AS (SELECT px.probe_id, e.vec_id AS cand_id,
+                    (${Similarity.sqlDotD("px.pe", "e.embedding", Dim)}
+                      / sqrt(px.pn * e.nn)) AS cos
+                  FROM (SELECT vec_id AS probe_id, embedding AS pe, nn AS pn
+                        FROM e WHERE vec_id % 100 = 0) px, e
+                  WHERE e.vec_id <> px.probe_id),
+          er AS (SELECT probe_id, cand_id, row_number() OVER
+                   (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
+                 FROM exx),
+          j AS (SELECT a.probe_id, count(*) AS n_common
+                FROM (SELECT * FROM ar WHERE rk <= $TopK) a
+                JOIN (SELECT * FROM er WHERE rk <= $TopK) x
+                  ON a.probe_id = x.probe_id AND a.cand_id = x.cand_id
+                GROUP BY a.probe_id)
+          SELECT probe_id, CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+            CAST(coalesce(n_common, 0) AS DOUBLE) / $TopK AS recall
+          FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 100 = 0) pp
+          LEFT JOIN j USING (probe_id)"""
       }),
 
     // ---- embedding-cosine near-dup: bucketed self-join (the LSH shape
