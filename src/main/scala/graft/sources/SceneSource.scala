@@ -22,11 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the file: a 10⁴×10⁴-pixel scene is ~10⁸ long-format rows, far too
   * big for one task, so [[SceneBatch.planInputPartitions]] splits every
   * scene into horizontal line bands (`bandLines` option) — scene count
-  * × band count tasks, each generating/decoding only its slice. A real
-  * NetCDF codec would slot into [[SceneReader]]'s value functions (HDF5
-  * chunked reads support exactly this banded access); the deterministic
-  * synthetic fields here are [[SceneFixtures.pixels]] bit-for-bit,
-  * which is what the spec pins.
+  * × band count tasks, each generating/decoding only its slice. Band
+  * decode goes through the injectable [[SceneCodec]] seam (`codec`
+  * option): a real netCDF4-java codec drops in without touching any
+  * planning code. The default [[SyntheticSceneCodec]] generates
+  * deterministic fields, [[SceneFixtures.pixels]] bit-for-bit, which is
+  * what the spec pins.
   *
   * Scale features a naive `binaryFile`+flatMap ingest cannot give:
   *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): a
@@ -68,6 +69,12 @@ final class SceneTable(options: CaseInsensitiveStringMap)
   val width: Int = options.getInt("width", 32)
   val bandLines: Int = options.getInt("bandLines", 4096)
   val scenesPerTrigger: Int = options.getInt("scenesPerTrigger", 1)
+  /** The decode seam (see [[SceneCodec]]): fully-qualified class name,
+    * instantiated per partition on the executor. Planning code below
+    * never consults it — swapping in a real NetCDF codec touches
+    * nothing but this option. */
+  val codecClass: String =
+    options.getOrDefault("codec", classOf[SyntheticSceneCodec].getName)
 
   override def name(): String = s"graft-scene($nScenes x ${height}x$width)"
   override def schema(): StructType = SceneSource.schema
@@ -144,7 +151,7 @@ final class SceneScan(table: SceneTable, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SceneReaderFactory(required)
+    new SceneReaderFactory(required, table.codecClass)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SceneMicroBatchStream(table, required)
@@ -199,7 +206,7 @@ final class SceneMicroBatchStream(table: SceneTable, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SceneReaderFactory(required)
+    new SceneReaderFactory(required, table.codecClass)
 
   override def deserializeOffset(json: String): Offset =
     SceneOffset(json.trim.toInt)
@@ -215,17 +222,66 @@ final case class SceneOffset(scenesArrived: Int) extends Offset {
 final case class ScenePartition(scene: Int, lineStart: Int, lineEnd: Int,
                                 width: Int) extends InputPartition
 
-final class SceneReaderFactory(required: StructType)
+final class SceneReaderFactory(required: StructType, codecClass: String)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new SceneReader(partition.asInstanceOf[ScenePartition], required)
+    new SceneReader(partition.asInstanceOf[ScenePartition], required,
+      SceneCodec.forName(codecClass))
 }
 
-/** Generates the pruned columns for one (scene, line band) slice.
-  * Field formulas are [[SceneFixtures.pixels]] verbatim — same doubles,
-  * same integer arithmetic — so DSv2 reads and fixture frames are
-  * interchangeable (pinned by SceneSourceSpec). */
-final class SceneReader(p: ScenePartition, required: StructType)
+/** The injectable decode boundary — one implementation per scene-file
+  * format. Instantiated reflectively PER PARTITION on the executor (so
+  * implementations may hold non-serializable handles: an open NetCDF
+  * file, an HDF5 chunk cache), then asked once per band slice for the
+  * field evaluators.
+  *
+  * A real netCDF4-java codec implements exactly this: `open` maps to
+  * `NetcdfFile.open(path(scene))` + per-variable
+  * `read(origin=[lineStart,0], shape=[lines,width])` (HDF5 chunked
+  * reads support banded access natively — the reference does whole-array
+  * reads at `asip_v2/archive.py:19-20`, `build_dataset.py:28`), and the
+  * returned evaluators index the materialized band arrays. Planning
+  * (partition split, column pruning, filter pushdown) never touches the
+  * codec, so swapping it in changes no query plan. */
+trait SceneCodec {
+  /** Bind one (line, sample) → value evaluator for `field` over the
+    * given band slice. Called once per required BAND field per
+    * partition — never per row. Structural fields (scene/line/sample)
+    * are handled by the reader, not the codec. */
+  def bind(p: ScenePartition, field: String): (Int, Int) => Any
+
+  /** Release any per-slice resources (file handles, chunk caches). */
+  def close(): Unit = ()
+}
+
+object SceneCodec {
+  def forName(name: String): SceneCodec =
+    Class.forName(name).getDeclaredConstructor().newInstance()
+      .asInstanceOf[SceneCodec]
+}
+
+/** Default codec: deterministic synthetic bands, formulas
+  * [[SceneFixtures.pixels]] verbatim — same doubles, same integer
+  * arithmetic — so DSv2 reads and fixture frames are interchangeable
+  * (pinned by SceneSourceSpec). */
+final class SyntheticSceneCodec extends SceneCodec {
+  override def bind(p: ScenePartition, field: String): (Int, Int) => Any =
+    field match {
+      case "sar_primary" => (l: Int, s: Int) =>
+        math.sin(l * 0.7) * math.cos(s * 0.3) + 2.0
+      case "sar_secondary" => (l: Int, s: Int) =>
+        math.cos(l * 0.2) * math.sin(s * 0.5) + 2.0
+      case "polygon_id" => (l: Int, s: Int) => (l / 4) * 10 + (s / 4) % 10 + 1
+      case "distance_map" => (_: Int, s: Int) => s * 3.0
+      case other => throw new IllegalArgumentException(s"unknown band $other")
+    }
+}
+
+/** Emits the pruned columns for one (scene, line band) slice —
+  * coordinates come from the iteration state, band values from the
+  * [[SceneCodec]]. */
+final class SceneReader(p: ScenePartition, required: StructType,
+                        codec: SceneCodec)
     extends PartitionReader[InternalRow] {
   private val sceneName = UTF8String.fromString(s"sc${p.scene}")
   private var line = p.lineStart
@@ -236,13 +292,7 @@ final class SceneReader(p: ScenePartition, required: StructType)
     case "scene" => (_: Int, _: Int) => sceneName
     case "line" => (l: Int, _: Int) => l
     case "sample" => (_: Int, s: Int) => s
-    case "sar_primary" => (l: Int, s: Int) =>
-      math.sin(l * 0.7) * math.cos(s * 0.3) + 2.0
-    case "sar_secondary" => (l: Int, s: Int) =>
-      math.cos(l * 0.2) * math.sin(s * 0.5) + 2.0
-    case "polygon_id" => (l: Int, s: Int) => (l / 4) * 10 + (s / 4) % 10 + 1
-    case "distance_map" => (_: Int, s: Int) => s * 3.0
-    case other => throw new IllegalArgumentException(s"unknown column $other")
+    case band => codec.bind(p, band)
   }
 
   override def next(): Boolean = {
@@ -254,5 +304,5 @@ final class SceneReader(p: ScenePartition, required: StructType)
   override def get(): InternalRow =
     new GenericInternalRow(fieldEval.map(f => f(line, sample)))
 
-  override def close(): Unit = ()
+  override def close(): Unit = codec.close()
 }

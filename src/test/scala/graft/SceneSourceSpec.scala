@@ -6,9 +6,24 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.SceneFixtures
 
+/** A second codec proving the [[graft.sources.SceneCodec]] seam: flat
+  * constant SAR bands + a row-major polygon id — shaped like a real
+  * decoder (band value from slice state), nothing like the synthetic
+  * default. */
+final class FlatSceneCodec extends graft.sources.SceneCodec {
+  override def bind(p: graft.sources.ScenePartition,
+                    field: String): (Int, Int) => Any = field match {
+    case "sar_primary" => (_, _) => 7.5
+    case "sar_secondary" => (_, _) => -1.25
+    case "polygon_id" => (l: Int, s: Int) => l * p.width + s
+    case "distance_map" => (l: Int, _) => l * 2.0
+    case other => throw new IllegalArgumentException(s"unknown band $other")
+  }
+}
+
 /** [[graft.sources.SceneSource]] — the DSv2 ingestion boundary: fixture
-  * parity, band partition planning, scene/line partition pruning, and
-  * column pruning reaching the reader. */
+  * parity, band partition planning, scene/line partition pruning, column
+  * pruning reaching the reader, and the injectable codec seam. */
 class SceneSourceSpec extends SparkSpec {
 
   private def scenes(bandLines: Int): DataFrame =
@@ -98,6 +113,27 @@ class SceneSourceSpec extends SparkSpec {
       // arrival counter at 0 would replay sc1/sc2 (128 extra rows)
       counts shouldBe (0 until 5).map(i => s"sc$i" -> 64L).toMap
     } finally rm(new java.io.File(base))
+  }
+
+  test("codec seam: a second codec drops in via the option, planning unchanged") {
+    // same geometry, alternate codec: band values must be the fake
+    // codec's, not SyntheticSceneCodec's
+    val df = spark.read.format("graft-scene")
+      .option("scenes", 2).option("height", 8).option("width", 8)
+      .option("bandLines", 3)
+      .option("codec", classOf[FlatSceneCodec].getName)
+      .load()
+    val rows = df.filter(col("scene") === "sc1")
+      .select("line", "sample", "sar_primary", "polygon_id").collect()
+    rows.length shouldBe 64
+    all(rows.map(_.getDouble(2))) shouldBe 7.5
+    rows.map(r => r.getInt(3) - (r.getInt(0) * 8 + r.getInt(1))).toSet shouldBe Set(0)
+    // planning code is codec-independent: pruning still plans 3 bands
+    scanPartitions(df.filter(col("scene") === "sc1")) shouldBe 3
+    // column pruning still reaches the reader through the new seam
+    val scans = df.select("sample", "distance_map").queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq }
+    scans shouldBe Seq(Seq("sample", "distance_map"))
   }
 
   test("pruned + banded read still reconstructs the full grid") {
