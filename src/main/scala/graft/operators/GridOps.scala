@@ -54,14 +54,29 @@ object GridOps {
     * the decimation-kept positions (`archive.py:88-104`: `uniform_filter`
     * with top-left origin, then W2 slice). Float semantics (real SAR data
     * is float32); the reference unit test's integer-truncation artifact is
-    * a SciPy int-dtype quirk we do not replicate. Tiles that stick out
-    * past the grid edge (SciPy reflect-mode) are averaged over their
-    * in-grid pixels only — boundary tiles are already trimmed for all
-    * extents the trim rule removes (SURVEY.md §7.4.3).
+    * a SciPy int-dtype quirk we do not replicate.
+    *
+    * `reflect = false` (default): tiles that stick out past the grid edge
+    * are averaged over their in-grid pixels only. `reflect = true`
+    * matches SciPy's reflect boundary exactly (`uniform_filter` mode
+    * 'reflect', i.e. numpy 'symmetric' padding): a window position past
+    * the edge reads the mirrored pixel `2·extent−1−j`, so each tile mean
+    * becomes a WEIGHTED mean over in-grid pixels with per-axis weight
+    * `[anchor ≤ x] + [x ≥ 2·extent − anchor − step]` and a constant
+    * denominator step² (the mirror maps every window slot to an in-grid
+    * pixel). For overhang ≥ 2 the mirror reaches pixels BEFORE the last
+    * tile's anchor, so a pixel can feed its own tile AND the last kept
+    * tile — handled by a row-local ≤2-candidate explode per axis, after
+    * which the aggregation is the same (scene, tile)-keyed hash agg.
+    * GridOpsSpec pins goldens against the symmetric-pad reference for
+    * boundary AND spill shapes; the two modes agree bit-for-bit on
+    * interior tiles and on every trimmed (ragged) config, where all kept
+    * tiles are interior.
     */
   def blockMean(df: DataFrame, step: Int, valueCols: Seq[String],
                 extentL: Column, extentS: Column,
-                line: String = "line", sample: String = "sample"): DataFrame = {
+                line: String = "line", sample: String = "sample",
+                reflect: Boolean = false): DataFrame = {
     if (step == 1) return df
     val groupKeys = df.columns
       .filterNot(c => c == line || c == sample || valueCols.contains(c))
@@ -73,10 +88,40 @@ object GridOps {
     // graft.queries.Q (sqlAvg scale 6) so oracle hashes stay bit-exact.
     def dmean(c: String) =
       (sum(col(c).cast(DecimalType(18, 6))).cast("double") / count(lit(1))).as(c)
-    df.filter(l / step < kl && s / step < ks)
-      .groupBy(groupKeys.toIndexedSeq ++ Seq(
-        (l / step).cast("int").as(line), (s / step).cast("int").as(sample)): _*)
-      .agg(dmean(valueCols.head), valueCols.tail.map(dmean): _*)
+    if (!reflect) {
+      df.filter(l / step < kl && s / step < ks)
+        .groupBy(groupKeys.toIndexedSeq ++ Seq(
+          (l / step).cast("int").as(line), (s / step).cast("int").as(sample)): _*)
+        .agg(dmean(valueCols.head), valueCols.tail.map(dmean): _*)
+    } else {
+      // candidate (tile, weight) pairs for one axis: the pixel's own
+      // tile (weight 1, +1 if the mirror folds it back into its own
+      // window) and the last kept tile (+1 when the mirror reaches this
+      // pixel from the overhang); both terms are the closed form of
+      // "how many window slots of tile `a` read pixel `x`".
+      def cands(x: Column, extent: Column, kept: Column): Column = {
+        val xl = x.cast("long"); val e = extent.cast("long")
+        // Column `/` is fractional even on longs — floor() for tile ids
+        val own = floor(xl / step).cast("long")
+        val last = kept.cast("long") - 1
+        val wOwn = (lit(1) +
+          when(xl >= lit(2) * e - (own * step + step), 1).otherwise(0)).as("w")
+        val wLast = when(own =!= last &&
+          xl >= lit(2) * e - (last * step + step), 1).otherwise(0).as("w")
+        array(struct(own.as("t"), wOwn), struct(last.as("t"), wLast))
+      }
+      val exploded = df
+        .withColumn("_lc", explode(cands(l, extentL, kl)))
+        .withColumn("_sc", explode(cands(s, extentS, ks)))
+        .filter(col("_lc.w") > 0 && col("_sc.w") > 0 &&
+          col("_lc.t") < kl && col("_sc.t") < ks)
+      def dmeanW(c: String) =
+        (sum(col(c).cast(DecimalType(18, 6)) * col("_lc.w") * col("_sc.w"))
+          .cast("double") / (step * step)).as(c)
+      exploded.groupBy(groupKeys.toIndexedSeq ++ Seq(
+          col("_lc.t").cast("int").as(line), col("_sc.t").cast("int").as(sample)): _*)
+        .agg(dmeanW(valueCols.head), valueCols.tail.map(dmeanW): _*)
+    }
   }
 
   /** W4 — block any-true downsample for boolean masks

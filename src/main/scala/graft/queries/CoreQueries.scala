@@ -102,6 +102,39 @@ object CoreQueries {
           AND sample//4 < (CASE WHEN sl % 4 <> 0 THEN ss - 1 ELSE ss END)
         GROUP BY line//4, sample//4""")),
 
+    // W3 reflect mode — SciPy's uniform_filter 'reflect' boundary on a
+    // 7×7 slice at step 3: overhang 2, so the mirror folds edge pixels
+    // back with weight 2 AND reaches pixels before the last anchor (the
+    // two-tile spill). The oracle mirrors the operator's candidate
+    // explode: per-axis (tile, weight) pairs, weighted decimal sum / 9.
+    // GridOpsSpec pins the same math against symmetric-pad goldens.
+    "q75_blockmean_reflect" -> Query(
+      (s, dir) => GridOps.blockMean(
+          grid(s, dir).filter(col("line") < 7 && col("sample") < 7),
+          3, Seq("value"), lit(7L), lit(7L), reflect = true)
+        .select(col("line").cast("long").as("line"),
+                col("sample").cast("long").as("sample"),
+                col("value").as("mean_value")),
+      Some(s"""WITH g AS ($sqlGrid),
+        px AS (SELECT line, sample, value FROM g WHERE line < 7 AND sample < 7),
+        lx AS (SELECT sample, value, unnest([
+            {'t': line//3,
+             'w': 1 + CASE WHEN line >= 14 - (line//3)*3 - 3 THEN 1 ELSE 0 END},
+            {'t': CAST(2 AS BIGINT),
+             'w': CASE WHEN line//3 <> 2 AND line >= 5 THEN 1 ELSE 0 END}]) AS lc
+          FROM px),
+        sx AS (SELECT value, lc, unnest([
+            {'t': sample//3,
+             'w': 1 + CASE WHEN sample >= 14 - (sample//3)*3 - 3 THEN 1 ELSE 0 END},
+            {'t': CAST(2 AS BIGINT),
+             'w': CASE WHEN sample//3 <> 2 AND sample >= 5 THEN 1 ELSE 0 END}]) AS sc
+          FROM lx)
+        SELECT lc.t AS line, sc.t AS sample,
+          CAST(sum(CAST(value AS DECIMAL(18,6)) * lc.w * sc.w) AS DOUBLE) / 9
+            AS mean_value
+        FROM sx WHERE lc.w > 0 AND sc.w > 0
+        GROUP BY lc.t, sc.t""")),
+
     // W4/A2 — block any-true mask downsample (bool_or ≡ max over 0/1).
     "q06_blockany" -> Query(
       (s, dir) => GridOps.blockAny(

@@ -45,6 +45,42 @@ class GridOpsSpec extends SparkSpec {
     toMatrix(out, 2, 2) shouldBe Array(Array(3.0, 5.0), Array(13.0, 15.0))
   }
 
+  test("blockMean reflect: 7x7 step 2 matches SciPy reflect boundary " +
+      "(uniform_filter mode='reflect', test_archive.py:76-97 float semantics)") {
+    // golden from np.pad(a, (0, s-1), mode='symmetric') tile means —
+    // bit-identical to scipy.ndimage.uniform_filter(origin=-(s//2))[::s]
+    val out = GridOps.blockMean(arangeGrid(7, 7), 2, Seq("value"),
+      lit(7), lit(7), reflect = true)
+    toMatrix(out, 4, 4) shouldBe Array(
+      Array(4.0, 6.0, 8.0, 9.5),
+      Array(18.0, 20.0, 22.0, 23.5),
+      Array(32.0, 34.0, 36.0, 37.5),
+      Array(42.5, 44.5, 46.5, 48.0))
+  }
+
+  test("blockMean reflect: 7x7 step 3 — overhang 2 mirrors PAST the last " +
+      "anchor, so edge pixels feed two tiles") {
+    val out = GridOps.blockMean(arangeGrid(7, 7), 3, Seq("value"),
+      lit(7), lit(7), reflect = true)
+    toMatrix(out, 3, 3) shouldBe Array(
+      Array(8.0, 11.0, 38.0 / 3.0),
+      Array(29.0, 32.0, 101.0 / 3.0),
+      Array(122.0 / 3.0, 131.0 / 3.0, 136.0 / 3.0))
+  }
+
+  test("blockMean reflect: trimmed (ragged) config equals the plain mode — " +
+      "all kept tiles are interior") {
+    val plain = GridOps.blockMean(arangeGrid(5, 5), 2, Seq("value"), lit(5), lit(5))
+    val refl = GridOps.blockMean(arangeGrid(5, 5), 2, Seq("value"), lit(5), lit(5),
+      reflect = true)
+    toMatrix(refl, 2, 2) shouldBe toMatrix(plain, 2, 2)
+    // and on an exact multiple (9x9 step 3: no overhang at all)
+    val p9 = GridOps.blockMean(arangeGrid(9, 9), 3, Seq("value"), lit(9), lit(9))
+    val r9 = GridOps.blockMean(arangeGrid(9, 9), 3, Seq("value"), lit(9), lit(9),
+      reflect = true)
+    toMatrix(r9, 3, 3) shouldBe toMatrix(p9, 3, 3)
+  }
+
   test("blockAny: 6x6 mask >18, target 3x3 golden (test_archive.py:379-395)") {
     val mask = (0 until 36).map(i => (i / 6, i % 6, i > 18)).toDF("line", "sample", "mask")
     val out = GridOps.blockAny(mask, 2, "mask")
