@@ -1006,25 +1006,31 @@ object LlmQueries {
         FROM documents d LEFT JOIN rare r USING (doc_id)""")),
 
     // ---- BM25 keyword relevance (L26): the classic probabilistic
-    // retrieval score for a fixed query-term set. Scale shape: the
-    // explode is filtered to query terms BEFORE the tf shuffle (only
-    // matching (doc, term) pairs — ≤ |terms| rows per doc — ever leave
-    // the scan task); the df/idf table is |terms| rows and broadcasts;
-    // corpus scalars (N, Σdl) ride a one-row exchange. The per-doc
-    // term-score sum is a FIXED-ORDER chain of the pivoted per-term
-    // columns — never a float sum() whose partial-agg order could vary.
-    // ln() is bit-identical across the JVM and DuckDB for these
-    // arguments (both correctly-rounded here; verified empirically by
-    // the gate at both SFs — the idf inputs are a handful of distinct
-    // rationals).
+    // retrieval score for a fixed query-term set. Scale shape: ONE scan
+    // of `documents` — the scan task reduces each doc to a narrow
+    // (doc_id, dl, query-term-filtered toks) row (≤ |terms| array
+    // entries/doc), localCheckpoint materializes that slim frame once,
+    // and tf, df/idf AND the corpus length scalars all derive from it
+    // (the r4 form re-scanned documents for the scalars and again for
+    // the idf branch — SURVEY §7.5 #4; measured at sf0.1 both forms are
+    // within run-to-run noise, ~1.4–1.6 s isolated, so the scan count —
+    // 1 vs 3 of the corpus at 100 TB — decides). The df/idf table is |terms|
+    // rows and broadcasts; corpus scalars (N, Σdl) ride a one-row
+    // exchange. The per-doc term-score sum is a FIXED-ORDER chain of
+    // the pivoted per-term columns — never a float sum() whose
+    // partial-agg order could vary. ln() is bit-identical across the
+    // JVM and DuckDB for these arguments (both correctly-rounded here;
+    // verified empirically by the gate at both SFs — the idf inputs are
+    // a handful of distinct rationals).
     "q57_bm25" -> Query(
       (s, dir) => {
         val base = docs(s, dir)
           .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+          .select(col("doc_id"), size(col("toks")).as("dl"),
+            filter(col("toks"), t => t.isin(Bm25Terms: _*)).as("toks"))
+          .localCheckpoint()
         val tok = base
           .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-          .where(col("tok").isin(Bm25Terms: _*))
         val tf = tok.groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
         val scal = base.agg(count(lit(1)).as("n_docs"),

@@ -89,6 +89,55 @@ object SceneQueries {
   private val HllNum: Double =
     0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
 
+  /** The L28 HLL sketch (see the q58 entry below for the full math
+    * notes). `withExactWitness = true` (the GATE mode) adds the exact
+    * `countDistinct` companion column so the oracle can check the
+    * sketch's error; `false` is PRODUCTION mode — the sketch alone, no
+    * corpus-sized aggregation state anywhere in the plan (register maxes
+    * partial-combine map-side to ≤ types×256 rows; pinned by
+    * PlanContractSpec). */
+  def hllDistinct(ev: DataFrame, withExactWitness: Boolean): DataFrame = {
+    import graft.functions.TextFns
+    val h = TextFns.hash60(concat(lit("hll:"), col("user_id").cast("string")))
+    val w = shiftright(col("h"), 8)
+    val rho = when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w)))
+    // staged: hash once as an attribute, then bucket/rho derive from it
+    val staged = ev.select(col("event_type"), h.as("h"))
+      .select(col("event_type"), (col("h") % 256).as("bucket"),
+        rho.as("rho"))
+    val reg = staged.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    val sums = reg.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).as("s_present"))
+      .select(col("event_type"), col("n_hit").as("n_buckets_hit"),
+        (col("s_present") + (lit(256L) - col("n_hit")) * lit(1L << 53))
+          .as("sum_scaled"))
+    // small-range (linear-counting) correction: with V empty
+    // registers and a raw estimate under 2.5m the raw harmonic
+    // estimator is biased toward α·m — the standard Flajolet
+    // correction m·ln(m/V) applies (ln is bit-identical across the
+    // JVM and DuckDB for these 256 possible rational arguments;
+    // the gate verifies it at both SFs)
+    val withRaw = sums
+      .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
+        (lit(HllNum) / col("sum_scaled").cast("double")).as("est_raw"),
+        (lit(256L) - col("n_buckets_hit")).as("v_empty"))
+    val est = withRaw
+      .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
+        when(col("v_empty") > 0 && col("est_raw") <= lit(640.0),
+          lit(256.0) * log(lit(256.0) / col("v_empty")))
+          .otherwise(col("est_raw")).as("est_distinct"))
+    if (!withExactWitness) est
+    else {
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(broadcast(exact), Seq("event_type"))
+        .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
+          col("est_distinct"), col("exact_distinct"))
+    }
+  }
+
   val all: Map[String, Query] = Map(
 
     // ---- the FLAGSHIP end-to-end scene pipeline: polygon-codes text
@@ -493,47 +542,12 @@ object SceneQueries {
     // only fp ops are the final literal/S division — one op, both
     // engines, identical operands. Scale shape: map-side partial max
     // per (type, bucket) means the shuffle carries ≤ types×256 register
-    // rows regardless of input size; the exact-distinct companion
-    // column (the sketch's error witness) is the only corpus-sized agg,
-    // and it drops out in production use.
+    // rows regardless of input size. The gate runs [[hllDistinct]] with
+    // the exact-distinct error witness ON (the only corpus-sized agg);
+    // production mode turns it off — PlanContractSpec pins that the
+    // flagged-off plan has no distinct aggregation at all.
     "q58_hll_distinct" -> Query(
-      (s, dir) => {
-        import graft.functions.TextFns
-        val ev = Tables.events(s, dir)
-        val h = TextFns.hash60(concat(lit("hll:"), col("user_id").cast("string")))
-        val w = shiftright(col("h"), 8)
-        val rho = when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w)))
-        // staged: hash once as an attribute, then bucket/rho derive from it
-        val staged = ev.select(col("event_type"), h.as("h"))
-          .select(col("event_type"), (col("h") % 256).as("bucket"),
-            rho.as("rho"))
-        val reg = staged.groupBy(col("event_type"), col("bucket"))
-          .agg(max(col("rho")).as("mj"))
-        val sums = reg.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_hit"),
-            sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).as("s_present"))
-          .select(col("event_type"), col("n_hit").as("n_buckets_hit"),
-            (col("s_present") + (lit(256L) - col("n_hit")) * lit(1L << 53))
-              .as("sum_scaled"))
-        val exact = ev.groupBy(col("event_type"))
-          .agg(countDistinct(col("user_id")).as("exact_distinct"))
-        // small-range (linear-counting) correction: with V empty
-        // registers and a raw estimate under 2.5m the raw harmonic
-        // estimator is biased toward α·m — the standard Flajolet
-        // correction m·ln(m/V) applies (ln is bit-identical across the
-        // JVM and DuckDB for these 256 possible rational arguments;
-        // the gate verifies it at both SFs)
-        val withRaw = sums
-          .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
-            (lit(HllNum) / col("sum_scaled").cast("double")).as("est_raw"),
-            (lit(256L) - col("n_buckets_hit")).as("v_empty"))
-        withRaw.join(broadcast(exact), Seq("event_type"))
-          .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
-            when(col("v_empty") > 0 && col("est_raw") <= lit(640.0),
-              lit(256.0) * log(lit(256.0) / col("v_empty")))
-              .otherwise(col("est_raw")).as("est_distinct"),
-            col("exact_distinct"))
-      },
+      (s, dir) => hllDistinct(Tables.events(s, dir), withExactWitness = true),
       Some(s"""WITH h AS (SELECT event_type,
             ${graft.functions.TextFns.sqlHash60("'hll:' || CAST(user_id AS VARCHAR)")} AS h
           FROM events),

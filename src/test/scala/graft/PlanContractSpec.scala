@@ -39,7 +39,9 @@ class PlanContractSpec extends SparkSpec {
     // rows) in q14/q15/q37, and q36's scalar dims probe (one row).
     val tinyByDesign = Set("q14_exact_split", "q15_batches", "q37_catalog",
       "q36_patch_matrix")
-    SparkEntry.queries.keys.filterNot(_ == "q35_stream_ledger") // side-effecting
+    val sideEffecting = Set( // streaming drains run at build time
+      "q35_stream_ledger", "q71_stream_windows", "q72_stream_sessions")
+    SparkEntry.queries.keys.filterNot(sideEffecting)
       .foreach { name =>
         val lines = plan(name).linesIterator.toIndexedSeq
         lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
@@ -135,19 +137,21 @@ class PlanContractSpec extends SparkSpec {
     assert(ex.nonEmpty && ex.forall(_.contains("ckey")), ex.mkString("\n"))
   }
 
-  test("q57 bm25: query-term cut precedes the tf shuffle; idf and scalars broadcast") {
+  test("q57 bm25: ONE corpus scan — tf, idf and length scalars all derive " +
+      "from the checkpointed slim frame") {
     val p = plan("q57_bm25")
     val lines = p.linesIterator.toIndexedSeq
-    // the IN(terms) filter must sit BELOW the first (doc_id, tok) exchange:
-    // only query-term tokens may ever leave the scan task
-    val firstEx = lines.indexWhere(l =>
-      l.contains("Exchange hashpartitioning") && l.contains("doc_id") && l.contains("tok"))
-    val cut = lines.indexWhere(_.contains("tok#"), firstEx)
-    assert(firstEx >= 0, p)
-    assert(lines.drop(firstEx).exists(_.contains(" IN (table,spark,merge,row)")), p)
+    // the documents parquet is scanned once, at slim-frame
+    // materialization (doc_id, dl, query-term-filtered toks — the
+    // IN(terms) cut runs inside that scan task); the final plan reads
+    // ONLY the checkpoint — no file scan of the corpus anywhere
+    assert(!p.contains("FileScan") && !p.contains("documents"), p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    // tf exchange keys on (doc_id, tok)
+    assert(lines.exists(l => l.contains("Exchange hashpartitioning") &&
+      l.contains("doc_id") && l.contains("tok")), p)
     // idf table and corpus scalars are broadcast, never shuffled onto the fact
     assert(lines.count(_.contains("BroadcastExchange")) >= 2, p)
-    assert(cut >= 0)
   }
 
   test("q58 hll: register exchange keys on (event_type, bucket) — never raw rows") {
@@ -159,6 +163,23 @@ class PlanContractSpec extends SparkSpec {
     assert(ex.nonEmpty && ex.forall(_.contains("event_type")), ex.mkString("\n"))
     // map-side partial max of the register rank below the first exchange
     assert(p.contains("partial_max(rho"), p)
+  }
+
+  test("q58 hll production mode: no distinct aggregation, no corpus-sized state") {
+    // witness OFF = production: the exact-distinct companion column (the
+    // gate's only corpus-sized aggregation) must vanish entirely — no
+    // count(distinct), no Expand, and the witness join with it
+    val prod = graft.queries.SceneQueries.hllDistinct(
+      graft.Tables.events(spark, dir), withExactWitness = false)
+    val p = prod.queryExecution.executedPlan.toString()
+    assert(!p.toLowerCase.contains("count(distinct"), p)
+    assert(!p.contains("Expand"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    prod.columns.toSeq shouldBe Seq(
+      "event_type", "n_buckets_hit", "sum_scaled", "est_distinct")
+    // gate mode still carries the witness (sanity that the flag flips it)
+    val gate = plan("q58_hll_distinct").toLowerCase
+    assert(gate.contains("count(distinct") || gate.contains("expand"), gate)
   }
 
   test("q59 as-of: one user-keyed window sort, no row-multiplying join") {
