@@ -61,10 +61,11 @@ object SceneQueries {
 
   /** Drain an append-mode streaming frame with `Trigger.AvailableNow`
     * into a per-(tag, input-dir) parquet dir (the q35 checkpoint
-    * pattern) and return the output path. The engine's final no-data
+    * pattern) and return a frame reading it back (empty with the input
+    * schema when no batch wrote). The engine's final no-data
     * micro-batch is what flushes watermark-finalized windows — that
     * real finalization machinery is exactly what q71/q72 gate. */
-  private def drainToParquet(df: DataFrame, tag: String, dir: String): String = {
+  private def drainToParquet(df: DataFrame, tag: String, dir: String): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       java.lang.Integer.toHexString(dir.hashCode)
     deleteRecursively(new java.io.File(base))
@@ -79,7 +80,10 @@ object SceneQueries {
       }
       .start()
     q.awaitTermination()
-    s"$base/out"
+    val spark = df.sparkSession
+    if (new java.io.File(s"$base/out").exists) spark.read.parquet(s"$base/out")
+    else spark.createDataFrame( // empty input -> no batch ever wrote
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
   }
 
   /** q58 HLL numerator α_m·m²·2⁵³ for m=256 registers, computed ONCE
@@ -297,10 +301,9 @@ object SceneQueries {
       (s, dir) => {
         val ev = streamedEvents(s, dir)
           .withColumn("value", col("value").cast(DecimalType(18, 4)))
-        val out = drainToParquet(
+        drainToParquet(
           EventWindows.windowedStats(ev, "ts", "1 hour", "6 hours"),
           "swin", dir)
-        s.read.parquet(out)
           .select(col("w_start"), col("w_end"), col("event_type"),
             col("n"), col("sum_value").cast("double").as("sum_value"))
       },
@@ -325,10 +328,9 @@ object SceneQueries {
       (s, dir) => {
         val ev = streamedEvents(s, dir)
           .withColumn("value", col("value").cast(DecimalType(18, 4)))
-        val out = drainToParquet(
+        drainToParquet(
           EventWindows.sessionStats(ev, "ts", "1 hour", "4 hours"),
           "ssess", dir)
-        s.read.parquet(out)
           .select(col("s_start"), col("s_end"), col("user_id"),
             col("n"), col("sum_value").cast("double").as("sum_value"))
       },
