@@ -51,11 +51,27 @@ object SceneQueries {
     .add("event_type", StringType).add("value", DoubleType)
     .add("props", StringType)
 
+  /** The events table on disk is either a single `events.parquet` FILE
+    * (the driver generator's pyarrow layout) or a DIRECTORY of
+    * `part-*.parquet` (any Spark writer, e.g. the GenScale sf1
+    * amplifier). The file-stream source needs a (root, glob) pair that
+    * matches exactly the events files under both layouts — streaming the
+    * SF root with glob `events.parquet` silently matches ZERO files when
+    * the table is a directory (the r5 sf1 q35 failure). Detection goes
+    * through the Hadoop FS API so non-local filesystems resolve too. */
+  private[graft] def eventsStreamSource(s: SparkSession, dir: String): (String, String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory) (p.toString, "*.parquet")
+    else (dir, "events.parquet")
+  }
+
   private def streamedEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (root, glob) = eventsStreamSource(s, dir)
     s.readStream.schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .option("pathGlobFilter", glob)
+      .parquet(root)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -213,8 +229,9 @@ object SceneQueries {
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
           java.lang.Integer.toHexString(dir.hashCode)
         deleteRecursively(new java.io.File(base))
-        IncrementalPipeline.runOnce(s, dir, schema,
-          df => df, s"$base/out", s"$base/ckpt", glob = "events.parquet")
+        val (root, glob) = eventsStreamSource(s, dir)
+        IncrementalPipeline.runOnce(s, root, schema,
+          df => df, s"$base/out", s"$base/ckpt", glob = glob)
         s.read.parquet(s"$base/out")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))

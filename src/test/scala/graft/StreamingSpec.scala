@@ -59,4 +59,33 @@ class StreamingSpec extends SparkSpec {
     files should have size 1
     files.head should endWith(".parquet")
   }
+
+  /** The events table arrives as a single FILE from the driver generator
+    * but as a part-file DIRECTORY from any Spark writer (the GenScale
+    * sf1 amplifier). Streaming the SF root with glob `events.parquet`
+    * matches ZERO files under the directory layout — q35 crashed and
+    * q71/q72 silently drained nothing at sf1 until the source pair
+    * became layout-aware. */
+  test("eventsStreamSource resolves both single-file and directory table layouts") {
+    val base = Files.createTempDirectory("graft_layout_test").toString
+
+    // single-file layout: <sf>/events.parquet is a file
+    val fileSf = s"$base/file_sf"
+    writeInputFile(base, fileSf, "events", 1L to 3L)
+    graft.queries.SceneQueries.eventsStreamSource(spark, fileSf) shouldBe
+      (fileSf, "events.parquet")
+
+    // directory layout: <sf>/events.parquet is a dir of part files
+    val dirSf = s"$base/dir_sf"
+    (1L to 3L).toDF("id").write.parquet(s"$dirSf/events.parquet")
+    val (root, glob) =
+      graft.queries.SceneQueries.eventsStreamSource(spark, dirSf)
+    glob shouldBe "*.parquet"
+    root should endWith("events.parquet")
+    // and the resolved pair actually matches the part files
+    val schema = new StructType().add("id", LongType)
+    IncrementalPipeline.runOnce(spark, root, schema, df => df,
+      s"$base/out2", s"$base/ckpt2", glob = glob)
+    spark.read.parquet(s"$base/out2").count() shouldBe 3
+  }
 }
