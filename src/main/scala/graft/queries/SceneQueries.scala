@@ -81,22 +81,36 @@ object SceneQueries {
     * schema when no batch wrote). The engine's final no-data
     * micro-batch is what flushes watermark-finalized windows — that
     * real finalization machinery is exactly what q71/q72 gate. */
-  private def drainToParquet(df: DataFrame, tag: String, dir: String): DataFrame = {
+  private def drainToParquet(df: DataFrame, tag: String, dir: String,
+                             statePartitions: Int = 8): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       java.lang.Integer.toHexString(dir.hashCode)
     deleteRecursively(new java.io.File(base))
-    val q = df.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        // batch 0 has no finalized windows yet; writing an empty frame
-        // would leave a schemaless dir if it were the only batch
-        if (!b.isEmpty) b.write.mode("append").parquet(s"$base/out")
-      }
-      .start()
-    q.awaitTermination()
     val spark = df.sparkSession
+    // The stateful-shuffle partition count is frozen into the checkpoint
+    // at FIRST start (state cannot be repartitioned afterwards), so it is
+    // a sizing decision the stream owner makes, not something to inherit
+    // from whatever spark.sql.shuffle.partitions happens to be: each
+    // state partition costs delta+snapshot file ops per micro-batch, so
+    // oversizing multiplies small-file I/O, while production sizes it to
+    // expected state volume. The checkpoint here is per-run (deleted
+    // above), so the setting binds afresh each drain; the session conf is
+    // restored after the drain so batch queries are untouched.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // batch 0 has no finalized windows yet; writing an empty frame
+          // would leave a schemaless dir if it were the only batch
+          if (!b.isEmpty) b.write.mode("append").parquet(s"$base/out")
+        }
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     if (new java.io.File(s"$base/out").exists) spark.read.parquet(s"$base/out")
     else spark.createDataFrame( // empty input -> no batch ever wrote
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
