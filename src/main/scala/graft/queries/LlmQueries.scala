@@ -30,6 +30,18 @@ object LlmQueries {
   private val MaxShingleDf = 25
   private val TopK = 5
   private val Dim = 64
+  /** Probe sample for the similarity/recall queries: every 100th vec_id
+    * WITHIN the first [[ProbeCap]] ids — a FIXED evaluation set (50
+    * probes at the driver embedding density) rather than a fraction of
+    * the corpus. An uncapped `% 100` probe rule grows the probe set
+    * linearly with the corpus, which turns every exact/recall arm into
+    * O(n²/100) pair work — measured super-linear at sf5 (q66 101 s,
+    * q73 19 s isolated). Retrieval recall is evaluated on a fixed query
+    * sample; the corpus is what scales. Ids below 5000 are identical at
+    * sf0.01/sf0.1, so driver-gate hashes are unchanged. */
+  private val ProbeCap = 5000
+  private def isProbeId(c: Column): Column = c % 100 === 0 && c < ProbeCap
+  private val sqlProbeId = s"vec_id % 100 = 0 AND vec_id < 5000"
   private val NumPlanes = 8
   /** q73's data-sized LSH config: ≈ log2(corpus / target bucket size)
     * planes (8 buckets for the 500-vector sf0.01 corpus), searched with
@@ -261,12 +273,12 @@ object LlmQueries {
     "q28_cosine_topk" -> Query(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), TopK)
+        Similarity.bruteForceTopK(emb, emb.filter(isProbeId(col("vec_id"))), TopK)
           .select(col("probe_id"), col("rk").cast("long").as("rk"),
             col("cand_id"), col("cos"))
       },
       Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
-                FROM embeddings WHERE vec_id % 100 = 0),
+                FROM embeddings WHERE ${sqlProbeId}),
           scored AS (SELECT probe_id, vec_id AS cand_id,
                 ${Similarity.sqlCosine("pe", "embedding", Dim)} AS cos
               FROM p, embeddings WHERE vec_id <> probe_id),
@@ -280,7 +292,7 @@ object LlmQueries {
     "q29_ann_lsh" -> Query(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        Similarity.lshTopK(emb, emb.filter(isProbeId(col("vec_id"))),
             3, NumPlanes, Dim)
           .select(col("probe_id"), col("bucket"),
             col("rk").cast("long").as("rk"), col("cand_id"), col("cos"))
@@ -289,7 +301,7 @@ object LlmQueries {
                ${Similarity.sqlLshBucket("embedding", NumPlanes, Dim)} AS bucket
              FROM embeddings),
           p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
-                FROM b WHERE vec_id % 100 = 0),
+                FROM b WHERE ${sqlProbeId}),
           cand AS (SELECT p.probe_id, p.bucket, b.vec_id AS cand_id,
                 ${Similarity.sqlCosine("p.pe", "b.embedding", Dim)} AS cos
               FROM p JOIN b ON p.bucket = b.bucket AND b.vec_id <> p.probe_id),
@@ -304,7 +316,7 @@ object LlmQueries {
     // path next to q29's hyperplane LSH.
     "q40_ann_ivf" -> Query(
       (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir),
-          isProbe = col("vec_id") % 100 === 0,
+          isProbe = isProbeId(col("vec_id")),
           isCentroid = col("vec_id") % 125 === 7,
           k = TopK, nProbe = 2)
         .select(col("probe_id"), col("cell"),
@@ -327,7 +339,7 @@ object LlmQueries {
                    embedding AS ce, nn AS cn2 FROM a WHERE crk = 1),
           p AS (SELECT vec_id AS probe_id, cent_id AS cell,
                   embedding AS pe, nn AS pn
-                FROM a WHERE vec_id % 100 = 0 AND crk <= 2),
+                FROM a WHERE ${sqlProbeId} AND crk <= 2),
           cand AS (SELECT p.probe_id, p.cell, cl.cand_id, $simPC AS cos
                    FROM p JOIN cl ON p.cell = cl.cell
                     AND cl.cand_id <> p.probe_id),
@@ -351,7 +363,7 @@ object LlmQueries {
     "q73_lsh_recall" -> Query(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val probes = emb.where(col("vec_id") % 100 === 0)
+        val probes = emb.where(isProbeId(col("vec_id")))
         val approx = Similarity.lshTopK(emb, probes, TopK, MpPlanes, Dim,
             multiProbe = true)
           .select(col("probe_id"), col("cand_id"))
@@ -369,7 +381,7 @@ object LlmQueries {
                ${Similarity.sqlLshBucket("embedding", MpPlanes, Dim)} AS bucket
              FROM embeddings),
           p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket
-                FROM b WHERE vec_id % 100 = 0),
+                FROM b WHERE ${sqlProbeId}),
           px AS (SELECT probe_id, pe,
                    unnest(list_prepend(bucket, list_transform(
                      range(0, $MpPlanes),
@@ -386,7 +398,7 @@ object LlmQueries {
                  FROM embeddings),
           p2 AS (SELECT vec_id AS probe_id, embedding AS pe,
                    ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS pn
-                 FROM embeddings WHERE vec_id % 100 = 0),
+                 FROM embeddings WHERE ${sqlProbeId}),
           exx AS (SELECT p2.probe_id, e.vec_id AS cand_id,
                     (${Similarity.sqlDotD("p2.pe", "e.embedding", Dim)}
                       / sqrt(p2.pn * e.nn)) AS cos
@@ -413,9 +425,9 @@ object LlmQueries {
     "q74_ivf_recall" -> Query(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val probes = emb.where(col("vec_id") % 100 === 0)
+        val probes = emb.where(isProbeId(col("vec_id")))
         val approx = Similarity.ivfTopK(emb,
-            isProbe = col("vec_id") % 100 === 0,
+            isProbe = isProbeId(col("vec_id")),
             isCentroid = col("vec_id") % 125 === 7,
             k = TopK, nProbe = 2)
           .select(col("probe_id"), col("cand_id"))
@@ -447,7 +459,7 @@ object LlmQueries {
                    embedding AS ce, nn AS cn2 FROM a WHERE crk = 1),
           p AS (SELECT vec_id AS probe_id, cent_id AS cell,
                   embedding AS pe, nn AS pn
-                FROM a WHERE vec_id % 100 = 0 AND crk <= 2),
+                FROM a WHERE ${sqlProbeId} AND crk <= 2),
           cand AS (SELECT p.probe_id, cl.cand_id, $simPC AS cos
                    FROM p JOIN cl ON p.cell = cl.cell
                     AND cl.cand_id <> p.probe_id),
@@ -458,7 +470,7 @@ object LlmQueries {
                     (${Similarity.sqlDotD("px.pe", "e.embedding", Dim)}
                       / sqrt(px.pn * e.nn)) AS cos
                   FROM (SELECT vec_id AS probe_id, embedding AS pe, nn AS pn
-                        FROM e WHERE vec_id % 100 = 0) px, e
+                        FROM e WHERE ${sqlProbeId}) px, e
                   WHERE e.vec_id <> px.probe_id),
           er AS (SELECT probe_id, cand_id, row_number() OVER
                    (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rk
@@ -470,7 +482,7 @@ object LlmQueries {
                 GROUP BY a.probe_id)
           SELECT probe_id, CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
             CAST(coalesce(n_common, 0) AS DOUBLE) / $TopK AS recall
-          FROM (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 100 = 0) pp
+          FROM (SELECT vec_id AS probe_id FROM embeddings WHERE ${sqlProbeId}) pp
           LEFT JOIN j USING (probe_id)"""
       }),
 
@@ -1256,7 +1268,7 @@ object LlmQueries {
         val packed = emb.select(col("vec_id"),
           graft.functions.VecFns.dequantizeGrid(col("embedding"),
             statRows.map(_._2), statRows.map(_._3), 254.0).as("embedding"))
-        val probes = emb.where(col("vec_id") % 100 === 0)
+        val probes = emb.where(isProbeId(col("vec_id")))
           .select(col("vec_id"), col("embedding"))
         val approx = Similarity.bruteForceTopK(packed, probes, TopK)
           .select(col("probe_id"), col("cand_id"))
@@ -1288,7 +1300,7 @@ object LlmQueries {
                      ${Similarity.sqlDotD("qe", "qe", Dim)} AS cn FROM packed),
           p AS (SELECT vec_id AS probe_id, embedding AS pe,
                   ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS pn
-                FROM embeddings WHERE vec_id % 100 = 0),
+                FROM embeddings WHERE ${sqlProbeId}),
           ax AS (SELECT probe_id, cand_id,
                    (${Similarity.sqlDotD("pe", "ce", Dim)} / sqrt(pn * cn)) AS cos
                  FROM p, cand WHERE cand_id <> probe_id),

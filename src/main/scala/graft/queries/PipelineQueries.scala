@@ -219,7 +219,12 @@ object PipelineQueries {
     // is uniform on [0, 2^32) by construction, so the global rank uses
     // closed-form equal-width buckets: no quantile pass, no extra job.
     "q15_batches" -> Query(
-      (s, dir) => MLFeed.batchIds(Tables.lineitem(s, dir),
+      (s, dir) => MLFeed.batchIds(Tables.lineitem(s, dir)
+          // rank only the columns the batch aggregate needs: the global
+          // sort carries every byte of the row through shuffle + sort,
+          // so a wide fact row multiplies the rank cost for nothing
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice")),
           Seq(MLFeed.permuteKey(col("l_orderkey") * 8 + col("l_linenumber")),
             col("l_orderkey"), col("l_linenumber")), 1000,
           keyDomain = Some(MLFeed.PermuteKeyDomain))

@@ -26,7 +26,22 @@ object Q {
     * the per-row decimal cast exact, where scale 2 forced a double→decimal
     * ROUNDING that Spark (HALF_UP) and DuckDB (half-even) disagree on for
     * .xx5 boundary products (VERDICT r1 #2: q01/q02 hash mismatch). */
-  def dsum(c: Column, scale: Int = 4): Column =
+  def dsum(c: Column, scale: Int = 4): Column = {
+    // Same value as sum(cast(decimal(18,s))) — integer addition of the
+    // unscaled longs is order-independent and exact — but through the
+    // native 128-bit Sum128 aggregate: the built-in decimal sum's
+    // BigDecimal buffer costs µs/row (see graft.functions.Sum128 and
+    // tools/ProfileAgg; q01 at sf5: 14.7 → ~3 s).
+    import org.apache.spark.sql.graft.Bridge
+    val unscaled = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+        Bridge.expression(c.cast(DecimalType(18, scale)))))
+    Bridge.column(graft.functions.Sum128(
+      Bridge.expression(unscaled), scale).toAggregateExpression()).cast("double")
+  }
+
+  /** The pre-Sum128 embodiment, kept for differential testing. */
+  private[graft] def dsumBuiltin(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** Exact engine-independent mean (decimal sum / count). */

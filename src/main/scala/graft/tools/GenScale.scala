@@ -88,8 +88,13 @@ object GenScale {
     write("documents") { r =>
       val base = tbl("documents")
         .withColumn("doc_id", col("doc_id") + lit(r * dStr))
+      // base-26 letter suffix so any rep count stays alphabetic
+      // (single chars walk past 'z' into punctuation at r > 26)
+      def suffix(n: Int): String =
+        if (n < 26) ('a' + n).toChar.toString
+        else suffix(n / 26 - 1) + ('a' + n % 26).toChar
       val t = if (r == 0) col("text")
-        else regexp_replace(col("text"), "(\\S+)", "$1" + ('a' + r - 1).toChar)
+        else regexp_replace(col("text"), "(\\S+)", "$1" + suffix(r - 1))
       base.withColumn("text", t).withColumn("n_chars", length(col("text")))
     }
 
