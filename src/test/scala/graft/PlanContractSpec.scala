@@ -96,18 +96,24 @@ class PlanContractSpec extends SparkSpec {
     assert(pg.size == 2 && pe.exists(i => pg.min < i && i < pg.max), pl.mkString("\n"))
   }
 
-  test("q27 jaccard: df-cap window keys on the join key; shuffle stages shared") {
+  test("q27 jaccard: single set-building exchange; no window; no self-join") {
     val df = SparkEntry.queries("q27_ngram_jaccard")(spark, dir)
-    df.collect() // AQE stage reuse is a runtime fact — need the FINAL plan
+    df.collect() // materialize so the localCheckpoint plan is final
     val p = df.queryExecution.executedPlan.toString
     val lines = p.linesIterator.toIndexedSeq
-    // the stop-shingle cap runs as a (source, h) count window — the SAME
-    // key the self-join uses, so the join adds no exchange of its own
-    assert(lines.exists(l => l.contains("Window") && l.contains("source")), p)
-    // the tokenize+shingle+md5 pipeline is computed once: every further
-    // consumer (2nd join side, size agg) reads a REUSED shuffle stage
-    val reuses = lines.count(_.contains("ReusedExchange"))
-    assert(reuses >= 2, s"expected the distinct/window stages to be reused:\n$p")
+    // the capped inverted index is ONE collect_set aggregation keyed on
+    // (source, h) — computed once behind a localCheckpoint (an RDD scan
+    // in the plan), then pairs come from exploding the doc sets: no df
+    // window, no (source, h) equi self-join, no second documents scan
+    assert(!lines.exists(_.contains("Window")), p)
+    assert(!lines.exists(_.contains("SortMergeJoin [source")), p)
+    assert(lines.exists(_.contains("Scan ExistingRDD")), p)
+    assert(!lines.exists(_.contains("documents.parquet")),
+      s"documents must be read only behind the checkpoint:\n$p")
+    // pair counting shuffles only (doc_a, doc_b)-keyed aggregates
+    val ex = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.nonEmpty && ex.forall(l =>
+      l.contains("doc_a") || l.contains("doc_id")), ex.mkString("\n"))
   }
 
   test("q40 ivf: cell assignment is map-side — no exchange carries the corpus") {
