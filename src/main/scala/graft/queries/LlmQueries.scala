@@ -29,6 +29,9 @@ object LlmQueries {
     * shingles carry no near-dup signal). */
   private val MaxShingleDf = 25
   private val TopK = 5
+  /** q76 collocations: keep bigrams seen ≥ this often; report the top K. */
+  private val MinBigramCount = 3
+  private val BigramK = 30
   private val Dim = 64
   /** Probe sample for the similarity/recall queries: every 100th vec_id
     * WITHIN the first [[ProbeCap]] ids — a FIXED evaluation set (50
@@ -1431,6 +1434,58 @@ object LlmQueries {
       Some(s"""SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,
             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
           FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
-          GROUP BY tok ORDER BY n_occ DESC, tok LIMIT $VocabK"""))
+          GROUP BY tok ORDER BY n_occ DESC, tok LIMIT $VocabK""")),
+
+    // ---- bigram collocation mining (phrase-vocabulary induction): the
+    // top adjacent token pairs by LIFT = P(w1,w2) / (P(w1)·P(w2)) =
+    // c_ab·N / (c_a·c_b) — the association score behind phrase merging
+    // in tokenizer/vocab pipelines (pointwise mutual information is
+    // log(lift); log is monotone, so ranking by the RATIONAL lift keeps
+    // the ordering while avoiding libm log() parity risk: every value
+    // here is one integer product divided by another, and IEEE division
+    // of exactly-representable integers is correctly rounded in both
+    // engines). Scale shape: bigrams via a length-guarded slice zip
+    // (NEVER sequence(1, size-1) — Spark's sequence DESCENDS when
+    // size = 1, fabricating bogus pairs), one shuffle each for bigram
+    // and unigram counts, unigram/total frames broadcast (vocabulary-
+    // sized; a natural-language vocab is millions of rows at 100 TB —
+    // still broadcastable; beyond that drop the hint and let the
+    // planner shuffle-join), global top-K via orderBy+limit =
+    // TakeOrderedAndProject (local K per task, no global sort).
+    "q76_bigram_lift" -> Query(
+      (s, dir) => {
+        val toks = docs(s, dir).select(tokens(col("text")).as("t"))
+        val bi = toks
+          .select(explode(expr(
+            "transform(slice(t, 2, size(t) - 1), (w, i) -> struct(t[i] AS w1, w AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+        val uni = toks.select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val n = toks.agg(sum(size(col("t"))).as("n_tok"))
+        bi
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+          .crossJoin(broadcast(n))
+          .filter(col("c_ab") >= MinBigramCount)
+          .select(col("w1"), col("w2"), col("c_ab"),
+            ((col("c_ab") * col("n_tok")).cast("double") /
+              (col("c_a") * col("c_b")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(BigramK)
+      },
+      Some(s"""WITH t AS (SELECT $sqlToks AS t FROM documents),
+          bi AS (SELECT unnest(list_transform(range(1, len(t)),
+                   i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b FROM t),
+          bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_ab
+                 FROM bi GROUP BY 1, 2),
+          u AS (SELECT unnest(t) AS w FROM t),
+          uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+          n AS (SELECT count(*) AS n_tok FROM u)
+        SELECT w1, w2, c_ab,
+          CAST(c_ab * n_tok AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift
+        FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, n
+        WHERE c_ab >= $MinBigramCount
+        ORDER BY lift DESC, w1, w2 LIMIT $BigramK"""))
   )
 }

@@ -126,6 +126,21 @@ class PlanContractSpec extends SparkSpec {
     assert(ex.nonEmpty && ex.forall(_.contains("probe_id")), ex.mkString("\n"))
   }
 
+  test("q01 pricing agg: decimal sums lower to the native sum128 kernel") {
+    val p = plan("q01_pricing_agg")
+    // the BigDecimal-buffer built-in sum is the 4-14 µs/row scale
+    // constant Sum128 exists to remove (SCALE.md) — it must not come back
+    assert(p.contains("sum128"), p)
+    assert(!p.contains("sum(cast(l_extendedprice"), p)
+  }
+
+  test("q76 bigram lift: distributed top-K; vocabulary joins broadcast") {
+    val p = plan("q76_bigram_lift")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q44 salted agg: partial exchange keys on (kk, _salt)") {
     val p = plan("q44_skew_salted")
     assert(p.linesIterator.exists(l =>
