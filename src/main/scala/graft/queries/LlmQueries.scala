@@ -32,6 +32,8 @@ object LlmQueries {
   /** q76 collocations: keep bigrams seen ≥ this often; report the top K. */
   private val MinBigramCount = 3
   private val BigramK = 30
+  /** q77 mixture schedule: rows in the emitted schedule head. */
+  private val MixN = 200
   private val Dim = 64
   /** Probe sample for the similarity/recall queries: every 100th vec_id
     * WITHIN the first [[ProbeCap]] ids — a FIXED evaluation set (50
@@ -1486,6 +1488,40 @@ object LlmQueries {
           CAST(c_ab * n_tok AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift
         FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, n
         WHERE c_ab >= $MinBigramCount
-        ORDER BY lift DESC, w1, w2 LIMIT $BigramK"""))
+        ORDER BY lift DESC, w1, w2 LIMIT $BigramK""")),
+
+    // ---- deterministic mixture scheduling (data mixing): interleave
+    // sources into one training order so that at every prefix each
+    // source's share tracks its weight — classic weighted round-robin
+    // by VIRTUAL TIME (the k-th doc of source s runs at vt = (k+1)/w_s;
+    // emitting by ascending vt yields the weighted interleave, the same
+    // scheme fair queueing uses). Weights derive deterministically from
+    // the source id (1 + num % 3). Scale shape: the per-source sequence
+    // is a window PARTITIONED BY source (parallel across sources — no
+    // global rank), vt is exact double arithmetic (small-integer
+    // divisors, correctly-rounded IEEE division on both engines), and
+    // the schedule head is orderBy+limit = TakeOrderedAndProject. A
+    // whole-corpus schedule at 100 TB would range-partition by vt and
+    // write sorted files instead of taking a head.
+    "q77_mixture_schedule" -> Query(
+      (s, dir) => {
+        val w = (lit(1) + regexp_extract(col("source"), "([0-9]+)", 1)
+          .cast("int") % 3).cast("double")
+        docs(s, dir)
+          .select(col("doc_id"), col("source"), w.as("w"))
+          .withColumn("k", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+          .select(col("doc_id"), col("source"),
+            (col("k").cast("double") / col("w")).as("vt"))
+          .orderBy(col("vt"), col("source"), col("doc_id"))
+          .limit(MixN)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+            CAST(1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3
+              AS DOUBLE) AS w,
+            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS k
+          FROM documents)
+        SELECT doc_id, source, CAST(k AS DOUBLE) / w AS vt
+        FROM d ORDER BY vt, source, doc_id LIMIT $MixN"""))
   )
 }

@@ -141,6 +141,15 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q77 mixture schedule: per-source windows only; distributed head") {
+    val p = plan("q77_mixture_schedule")
+    // the per-source sequence must stay a source-partitioned window —
+    // a global rank here would funnel the corpus through one task
+    assert(p.contains("Window") && p.contains("partitionBy" ) ||
+      p.linesIterator.exists(l => l.contains("windowspecdefinition(source")), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q44 salted agg: partial exchange keys on (kk, _salt)") {
     val p = plan("q44_skew_salted")
     assert(p.linesIterator.exists(l =>
