@@ -382,6 +382,23 @@ object SceneQueries {
         WHERE epoch_us(s_end) <=
           (SELECT epoch_ms(max(ts)) * 1000 - 3600000000 FROM events)""")),
 
+    // ---- L13 custom-state streaming dedup: first-occurrence keeper via
+    // flatMapGroupsWithState (one boolean of state per key), drained with
+    // AvailableNow — the KeyValueGroupedDataset extension point, gated by
+    // an oracle like its window/session siblings (q71/q72). WHICH row
+    // wins per key is arrival-order-dependent, so the gated result is
+    // the emitted KEY SET (exactly one row per key — precisely the
+    // operator's contract); the oracle is batch DISTINCT.
+    "q78_stream_dedup" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val ev = streamedEvents(s, dir).select(col("user_id")).as[Long]
+        val deduped = EventWindows.dedupFirstSeen[Long](ev, _.toString)
+          .toDF("user_id")
+        drainToParquet(deduped, "sdedup", dir).select(col("user_id"))
+      },
+      Some("SELECT DISTINCT user_id FROM events")),
+
     // ---- B6: class-weighted loss preparation — the A7 histogram turned
     // into balanced class weights (total / (nClasses * freq), the
     // standard sklearn-style formula; `analyze_netcdfs.ipynb` cells 2-3).
