@@ -155,6 +155,19 @@ object TextFns {
   def sqlShingleHashes(toksExpr: String, n: Int): String =
     s"""list_transform(${sqlShingles(toksExpr, n)}, s -> ${sqlHashMod("s")})"""
 
+  /** Un-modded 60-bit shingle hashes, position-ordered — for operators
+    * that key on shingle IDENTITY (duplicate-span detection) rather
+    * than feed a MinHash universe: P = 2^31-1 birthday-collides at
+    * ~10^5 shingles per equality domain, far below corpus scale, while
+    * 2^60 holds to ~10^9. Same native kernel, mod=0 skips the
+    * reduction. */
+  def shingleHashes60(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      ShingleHashes(org.apache.spark.sql.graft.Bridge.expression(toks), n, 0L))
+
+  def sqlShingleHashes60(toksExpr: String, n: Int): String =
+    s"""list_transform(${sqlShingles(toksExpr, n)}, s -> ${sqlHash60("s")})"""
+
   // ------------------------------------------------------------ minhash
 
   /** Deterministic permutation constants (a_i odd-ish, b_i arbitrary, both

@@ -215,4 +215,42 @@ object Dedup {
       .union(e.select(col("lo").as("node"), col("lo").as("component")))
       .distinct()
   }
+
+  /** Duplicate-span detection (substring-level dedup, the Lee et al.
+    * 2022 signal): the maximal token spans of each doc whose every
+    * `n`-token shingle occurs at least `minOccurrences` times in the
+    * corpus (another doc, or another position of the same doc).
+    * Returns (doc_id, span_start, span_end, n_shingles) with 1-based
+    * inclusive token indices.
+    *
+    * Shape: position-ordered 60-bit shingle hashes off the native
+    * kernel (the 31-bit MinHash universe would birthday-collide at
+    * corpus scale — duplicate-span keys on shingle IDENTITY), one
+    * hash-keyed map-combined count to find duplicated shingles, an
+    * equi-join back on the 8-byte hash (digests shuffle, text never
+    * does), then gaps-and-islands per doc: adjacent duplicated
+    * positions merge into maximal spans via the p − row_number()
+    * island key — a doc-partitioned window, no global sort. */
+  def duplicateSpans(docs: DataFrame, idCol: Column, text: Column,
+                     n: Int, minOccurrences: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(idCol.as("doc_id"), TextFns.tokens(text).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextFns.shingleHashes60(col("toks"), n)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+    val dup = sh.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minOccurrences).select(col("h"))
+    sh.join(dup, Seq("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p"))))
+      .withColumn("grp", col("p") - col("rn"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_shingles"))
+  }
 }

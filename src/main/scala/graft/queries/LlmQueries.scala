@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Pii, Sampling, Similarity}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -34,6 +34,15 @@ object LlmQueries {
   private val BigramK = 30
   /** q77 mixture schedule: rows in the emitted schedule head. */
   private val MixN = 200
+  /** q80 unigram-LM quality gate: flag a doc when its summed negative
+    * log-likelihood exceeds this many nats per token (the synthetic
+    * vocabulary is ~uniform at ln(V) ≈ 3.7 nats, so the flag cuts
+    * through the actual score distribution instead of being vacuous). */
+  private val NllFlagNats = 3.7
+  /** q81 duplicate-span shingle width (tokens). */
+  private val DupSpanN = 5
+  /** q82 tokens reported per source. */
+  private val TopTokK = 8
   private val Dim = 64
   /** Probe sample for the similarity/recall queries: every 100th vec_id
     * WITHIN the first [[ProbeCap]] ids — a FIXED evaluation set (50
@@ -1522,6 +1531,156 @@ object LlmQueries {
             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS k
           FROM documents)
         SELECT doc_id, source, CAST(k AS DOUBLE) / w AS vt
-        FROM d ORDER BY vt, source, doc_id LIMIT $MixN"""))
+        FROM d ORDER BY vt, source, doc_id LIMIT $MixN""")),
+
+    // ---- PII detection + redaction (L42): the scrub stage ahead of
+    // every other curation step. The synthetic corpus carries no PII,
+    // so the query PLANTS it deterministically from doc_id (emails on
+    // id%3, one or two IPv4s on id%4/id%8, phones on id%5 — the q70
+    // derive-from-the-data pattern) and then detects/redacts with the
+    // shared Java∩RE2 patterns in [[graft.operators.Pii]]. The planted
+    // mix exercises 0-, 1- and 2-match rows per category and overlap
+    // of all three in one doc (id%120). Pure per-row regex column work
+    // — scan-speed at 100 TB, no shuffle; output carries counts + the
+    // redacted-text digest, never the text.
+    "q79_pii_scrub" -> Query(
+      (s, dir) => {
+        val aug = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+              lit(".0."), (col("doc_id") % 250).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 8 === 0,
+            concat(lit(" and 192.168."), (col("doc_id") % 100).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" tel 555-"),
+              (lit(1000) + col("doc_id") % 9000).cast("string")))
+            .otherwise(lit("")))
+        val staged = docs(s, dir).select(col("doc_id"), aug.as("aug_text"))
+        Pii.report(staged, col("aug_text"))
+          .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+            md5(col("redacted")).as("red_key"))
+      },
+      Some(s"""WITH a AS (SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                 || CAST(doc_id AS VARCHAR) || '@mail.example' ELSE '' END
+            || CASE WHEN doc_id % 4 = 0 THEN ' from 10.'
+                 || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                 || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+            || CASE WHEN doc_id % 8 = 0 THEN ' and 192.168.'
+                 || CAST(doc_id % 100 AS VARCHAR) || '.7' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-'
+                 || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+            AS aug_text FROM documents)
+        SELECT doc_id,
+          ${Pii.sqlCount("aug_text", Pii.EmailPattern)} AS n_email,
+          ${Pii.sqlCount("aug_text", Pii.Ipv4Pattern)} AS n_ip,
+          ${Pii.sqlCount("aug_text", Pii.PhonePattern)} AS n_phone,
+          md5(${Pii.sqlRedact("aug_text")}) AS red_key
+        FROM a""")),
+
+    // ---- unigram-LM quality scoring (L43): the perplexity-style
+    // filter — train a unigram LM on the corpus itself (token counts /
+    // total), score each doc by mean negative log-likelihood, flag the
+    // high-NLL tail. Production swaps in a KenLM-grade model; the
+    // unigram embodiment keeps the exact plan shape: ONE token-keyed
+    // map-combined count aggregate (vocabulary-sized result), log-probs
+    // broadcast back onto the token stream (the corpus never shuffles),
+    // one doc-keyed aggregate. Parity: ln on both engines (the q57
+    // precedent), per-token values quantized to DECIMAL(18,9) before
+    // the per-doc sum so partial-agg order can't perturb it (the dsum
+    // rule; a raw double sum would be order-sensitive).
+    "q80_unigram_nll" -> Query(
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val uc = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val n = uc.agg(sum(col("c")).as("n_tok"))
+        val lp = uc.crossJoin(broadcast(n))
+          .select(col("tok"),
+            (log(col("c").cast("double")) - log(col("n_tok").cast("double")))
+              .as("lp"))
+        tok.join(broadcast(lp), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"), (-Q.dsum(col("lp"), 9)).as("nll"))
+          .select(col("doc_id"), col("n_toks"), col("nll"),
+            (col("nll") / col("n_toks")).as("nll_per_tok"),
+            when(col("nll") > col("n_toks") * lit(NllFlagNats), 1L)
+              .otherwise(0L).as("low_quality"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok
+              FROM documents),
+          uc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+          n AS (SELECT sum(c) AS n_tok FROM uc),
+          lp AS (SELECT tok, ln(CAST(c AS DOUBLE)) - ln(CAST(n_tok AS DOUBLE))
+                   AS lp FROM uc, n),
+          d AS (SELECT doc_id, count(*) AS n_toks,
+                  -(CAST(sum(CAST(lp AS DECIMAL(18,9))) AS DOUBLE)) AS nll
+                FROM tok JOIN lp USING (tok) GROUP BY doc_id)
+        SELECT doc_id, n_toks, nll, nll / n_toks AS nll_per_tok,
+          CAST(CASE WHEN nll > n_toks * CAST($NllFlagNats AS DOUBLE)
+            THEN 1 ELSE 0 END AS BIGINT) AS low_quality
+        FROM d""")),
+
+    // ---- duplicate-span detection (L44): substring-level dedup (the
+    // Lee et al. 2022 "Deduplicating Training Data" signal) — find the
+    // maximal token spans whose every $DupSpanN-gram occurs elsewhere
+    // in the corpus (another doc OR another position of the same doc).
+    // Shape: position-ordered 60-bit shingle hashes off the native
+    // kernel (the 31-bit MinHash universe would birthday-collide at
+    // corpus scale), ONE hash-keyed map-combined count to find
+    // duplicated shingles, an equi-join back on the 8-byte hash
+    // (digests shuffle, text never does), then gaps-and-islands per
+    // doc — adjacent duplicated positions merge into maximal spans via
+    // the p − row_number() island key, a doc-partitioned window (no
+    // global sort). The span list is what surgical span-removal (vs
+    // whole-doc drop) consumes downstream.
+    "q81_dup_spans" -> Query(
+      (s, dir) => Dedup.duplicateSpans(docs(s, dir), col("doc_id"),
+        col("text"), DupSpanN),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          hh AS (SELECT doc_id, ${sqlShingleHashes60("toks", DupSpanN)} AS hs
+                 FROM t),
+          sh AS (SELECT doc_id, unnest(range(1, len(hs) + 1)) AS p,
+                   unnest(hs) AS h FROM hh),
+          dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+          g AS (SELECT doc_id, p,
+                  p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                    AS grp
+                FROM sh JOIN dup USING (h))
+        SELECT doc_id, min(p) AS span_start,
+          max(p) + ${DupSpanN - 1} AS span_end, count(*) AS n_shingles
+        FROM g GROUP BY doc_id, grp""")),
+
+    // ---- per-source token profiles (L45): the top-$TopTokK tokens of
+    // every source — the per-domain vocabulary fingerprint that drives
+    // mixture design and source-level drift monitoring. ONE
+    // map-combined (source, token) count aggregate; the rank window
+    // partitions by source over the VOCABULARY-sized count frame
+    // (parallel across sources, never a global sort; ties break on the
+    // token text).
+    "q82_source_toptok" -> Query(
+      (s, dir) => docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n_occ"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_occ").desc, col("tok"))))
+        .where(col("rk") <= TopTokK)
+        .select(col("source"), col("tok"), col("n_occ"),
+          col("rk").cast("long").as("rk")),
+      Some(s"""WITH c AS (SELECT source, tok, count(*) AS n_occ
+            FROM (SELECT source, unnest($sqlToks) AS tok FROM documents)
+            GROUP BY source, tok),
+          r AS (SELECT source, tok, n_occ,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY n_occ DESC, tok) AS rk
+                FROM c)
+        SELECT source, tok, n_occ, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= $TopTokK"""))
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructType}
@@ -754,6 +755,69 @@ object SceneQueries {
           FROM (SELECT event_type,
                   CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
                 FROM events)
-          GROUP BY event_type, k_bucket"""))
+          GROUP BY event_type, k_bucket""")),
+
+    // ---- cohort retention (L46): the user-lifecycle staple — bucket
+    // every user by first-seen week, count distinct users active at
+    // each week offset. Week index is INTEGER epoch division on both
+    // engines (`sec div 604800` ≡ `epoch_ns // (604800·10^9)` by the
+    // nested-floor identity — no fp division anywhere near a bucket
+    // boundary). Shape: distinct (user, week) pairs (one map-combined
+    // exchange), per-user min week (user-keyed agg), equi-join back on
+    // user_id, final map-combined (cohort, offset) count — count(*)
+    // suffices because (user, week) is already distinct. Three narrow
+    // user/pair-keyed exchanges, no window, no collect; the classic
+    // cohort shape at any scale.
+    "q83_cohort_retention" -> Query(
+      (s, dir) => {
+        val uw = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("cast(ts as long) div 604800").as("wk"))
+          .distinct()
+        val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("c_wk"))
+        uw.join(cohort, Seq("user_id"))
+          .groupBy(col("c_wk").as("cohort_week"),
+            (col("wk") - col("c_wk")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .select(col("cohort_week"), col("week_offset"), col("n_users"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+              epoch_ns(ts) // 604800000000000 AS wk FROM events),
+          c AS (SELECT user_id, min(wk) AS c_wk FROM uw GROUP BY user_id)
+        SELECT c_wk AS cohort_week, wk - c_wk AS week_offset,
+          count(*) AS n_users
+        FROM uw JOIN c USING (user_id)
+        GROUP BY c_wk, week_offset""")),
+
+    // ---- rolling event-time aggregates (L47): per-user trailing-7-day
+    // sum/count at every event — the feature-engineering staple next
+    // to the tumbling/session windows (q41/q71/q72). A RANGE frame
+    // over INTEGER epoch seconds (both engines include equal-key peers
+    // per the SQL standard, so ties are deterministic), value summed
+    // through DECIMAL so the frame's accumulation order can't perturb
+    // the double (the q41 dsum rule). ONE user-keyed window exchange;
+    // frame state is bounded by each user's 7-day event count. A
+    // pathologically hot user serializes one task — the L16 salting /
+    // two-pass bucketed fallback applies; ordinary skew rides AQE.
+    "q84_rolling_window" -> Query(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+          .rangeBetween(-604800L, 0L)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("cast(ts as long)").as("sec"), col("value"))
+          .select(col("event_id"), col("user_id"), col("sec"),
+            count(lit(1)).over(w).as("roll_n"),
+            sum(col("value").cast(DecimalType(18, 4))).over(w)
+              .cast("double").as("roll_sum"))
+      },
+      Some("""SELECT event_id, user_id, sec,
+            count(*) OVER win AS roll_n,
+            CAST(sum(CAST(value AS DECIMAL(18,4))) OVER win AS DOUBLE)
+              AS roll_sum
+          FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec,
+                  value FROM events)
+          WINDOW win AS (PARTITION BY user_id ORDER BY sec
+            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)"""))
   )
 }

@@ -245,4 +245,40 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     got shouldBe expected
   }
+
+  test("duplicateSpans: cross-doc shared run merges into one maximal span") {
+    // docs 1 and 2 share the 5-token run "p q r s t" (positions 3..7 in
+    // doc 1, 1..5 in doc 2); with n=3 the duplicated shingles are the
+    // three 3-grams inside the run — adjacent positions, one island.
+    val docs = Seq(
+      (1L, "a b p q r s t u v w"),
+      (2L, "p q r s t x y z zz"),
+      (3L, "m n o mm nn oo pp qq")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: shingle positions 3,4,5 -> span tokens 3..7; doc 2: 1,2,3
+    // -> tokens 1..5; doc 3: nothing duplicated.
+    got shouldBe Array((1L, 3L, 7L, 3L), (2L, 1L, 5L, 3L))
+  }
+
+  test("duplicateSpans: within-doc repetition counts as duplication") {
+    val docs = Seq(
+      (1L, "x y z k1 k2 x y z k3"),
+      (2L, "totally different words here")).toDF("doc_id", "text")
+    // "x y z" occurs twice inside doc 1 (positions 1 and 6).
+    val got = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    got shouldBe Array((1L, 1L, 3L, 1L), (1L, 6L, 8L, 1L))
+  }
+
+  test("duplicateSpans: disjoint duplicated runs stay separate islands") {
+    val docs = Seq(
+      (1L, "a b c GAP1 GAP2 d e f"),
+      (2L, "a b c OTHER d e f")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    got shouldBe Array(
+      (1L, 1L, 3L, 1L), (1L, 6L, 8L, 1L),
+      (2L, 1L, 3L, 1L), (2L, 5L, 7L, 1L))
+  }
 }
