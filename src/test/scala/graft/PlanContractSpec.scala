@@ -271,6 +271,45 @@ class PlanContractSpec extends SparkSpec {
     assert(ex.forall(!_.contains("vec_id#")), ex.mkString("\n"))
   }
 
+  test("q79 pii: pure per-row regex column work — zero exchanges") {
+    val p = plan("q79_pii_scrub")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q80 unigram LM: corpus never shuffles — exchanges only on tok/doc_id, LM broadcast") {
+    val p = plan("q80_unigram_nll")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // the vocabulary count (tok) and the per-doc aggregate (doc_id) are
+    // the only hash exchanges; the token stream reaches the doc agg via
+    // a BroadcastHashJoin against the vocabulary-sized log-prob frame
+    assert(ex.nonEmpty && ex.forall(l => l.contains("tok#") || l.contains("doc_id#")),
+      ex.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q81 dup spans: digests shuffle on h, islands window on doc_id — text never shuffles") {
+    val p = plan("q81_dup_spans")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(l => l.contains("h#") || l.contains("doc_id#")),
+      ex.mkString("\n"))
+  }
+
+  test("q83 cohort: every exchange keys on the user/pair/cohort grain") {
+    val p = plan("q83_cohort_retention")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // grains: (user_id, wk) distinct, user_id min-agg/join, and the
+    // final (c_wk, offset) count — offset prints as _groupingexpression
+    assert(ex.nonEmpty && ex.forall(l =>
+      l.contains("user_id#") || l.contains("c_wk#")), ex.mkString("\n"))
+  }
+
+  test("q84 rolling window: ONE user-keyed exchange feeds the range frame") {
+    val p = plan("q84_rolling_window")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.size == 1 && ex.head.contains("user_id#"), ex.mkString("\n"))
+    assert(p.contains("RangeFrame"), p)
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
