@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over an edge frame — the graph-centrality operator
+  * behind TextRank keyword extraction (PageRank on the token
+  * co-occurrence graph) and crawl-quality weighting (PageRank on a URL
+  * link graph) in training-data pipelines.
+  *
+  * Determinism contract (the DuckDB oracle unrolls the same
+  * iterations): every per-node sum quantizes its contributions FIRST —
+  * `floor((r·frac) · 2^quantBits)` is exact integer math (the
+  * power-of-two scale is a float-exponent shift, floor is
+  * engine-identical, the long sum is order-independent), so no
+  * partial-aggregation order can perturb the rank. The remaining
+  * per-iteration arithmetic ((1−d)/N + d·s) is a chain of
+  * correctly-rounded IEEE double ops on identical inputs —
+  * bit-identical on both engines. A decimal CAST here would carry a
+  * half-up-vs-half-even tie hazard on dyadic products (e.g. r = 2^-5,
+  * frac = 2^-10); the floor form has no rounding step at all.
+  *
+  * Scale shape: one (u,v)-keyed aggregate for edge weights, one
+  * u-keyed aggregate for out-weights, then per iteration ONE v-keyed
+  * map-combined aggregate; the rank frame joins the edge frame by
+  * BROADCAST (node-sized — a vocabulary for TextRank). For a
+  * corpus-scale node set (URL graphs) drop the broadcast hint and the
+  * same plan shuffle-joins on u — no other change. `localCheckpoint`
+  * truncates the per-iteration lineage exactly as the connected-
+  * components loop does.
+  */
+object GraphRank {
+
+  /** `edges`: (u, v, w) directed weighted edges (already symmetrized by
+    * the caller if an undirected walk is wanted). Returns (node, r). */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+               quantBits: Int = 40): DataFrame = {
+    require(iters >= 1 && quantBits > 0 && quantBits < 53)
+    val q = (1L << quantBits).toDouble
+    val agg = edges.groupBy(col("u"), col("v"))
+      .agg(sum(col("w")).as("w"))
+    val outw = agg.groupBy(col("u")).agg(sum(col("w")).as("wout"))
+    val frac = agg.join(outw, Seq("u"))
+      .select(col("u"), col("v"),
+        (col("w").cast("double") / col("wout").cast("double")).as("frac"))
+      .localCheckpoint()
+    val nodes = frac.select(col("u").as("node")).distinct().localCheckpoint()
+    val nn = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    val oneMinusD = 1.0 - damping
+    var r = nodes.crossJoin(nn)
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = frac
+        .join(broadcast(r.withColumnRenamed("node", "u")), Seq("u"))
+        .select(col("v"),
+          floor((col("r") * col("frac")) * lit(q)).cast("long").as("c"))
+        .groupBy(col("v"))
+        .agg((sum(col("c")).cast("double") / lit(q)).as("s"))
+      r = nodes.join(broadcast(contrib), col("node") === col("v"), "left")
+        .crossJoin(nn)
+        .select(col("node"),
+          (lit(oneMinusD) / col("n_nodes")
+            + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    r
+  }
+
+  /** DuckDB mirror: CTE text computing the same `iters` unrolled
+    * PageRank over `symCte` (a CTE named `sym` with columns u, v, w
+    * must precede this fragment). Emits CTEs `frac`, `nodes`, `nn`,
+    * `r0..r{iters}`; the final rank relation is `r{iters}(node, r)`. */
+  def sqlPageRank(iters: Int, damping: Double, quantBits: Int = 40): String = {
+    val q = (1L << quantBits).toString + ".0"
+    val oneMinusD = (1.0 - damping).toString
+    val d = damping.toString
+    val head =
+      s"""frac AS (SELECT e.u, e.v,
+              CAST(e.w AS DOUBLE) / CAST(o.wout AS DOUBLE) AS frac
+            FROM sym e JOIN (SELECT u, sum(w) AS wout FROM sym GROUP BY u) o
+              ON e.u = o.u),
+          nodes AS (SELECT DISTINCT u AS node FROM frac),
+          nn AS (SELECT count(*) AS n_nodes FROM nodes),
+          r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS r
+                 FROM nodes, nn)"""
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT f.v,
+              CAST(sum(CAST(floor((p.r * f.frac) * $q) AS BIGINT)) AS DOUBLE)
+                / $q AS s
+            FROM frac f JOIN r${i - 1} p ON f.u = p.node GROUP BY f.v),
+          r$i AS (SELECT n.node,
+              CAST($oneMinusD AS DOUBLE) / nn.n_nodes
+                + CAST($d AS DOUBLE) * coalesce(c$i.s, CAST(0.0 AS DOUBLE)) AS r
+            FROM nodes n LEFT JOIN c$i ON n.node = c$i.v, nn)"""
+    }
+    (head +: steps).mkString(",\n          ")
+  }
+}

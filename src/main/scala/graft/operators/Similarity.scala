@@ -251,4 +251,49 @@ object Similarity {
           .orderBy(col("cos").desc, col("cand_id"))))
       .filter(col("rk") <= k)
   }
+
+  /** Label-purity diagnostics: score every labeled vector by the cosine
+    * margin between its OWN label's centroid and the best other-label
+    * centroid — negative margin = the embedding sits closer to another
+    * class (a mislabel / boundary candidate, the embedding-level data-
+    * quality signal label-noise audits run). Returns one row per vector:
+    * (id, label, own_cos, best_other, margin, misaligned).
+    *
+    * Centroids use the q60 quantized-mean rule (floor to 2^-quantBits
+    * fixed point; the per-(label,dim) sum is exact integer math no
+    * partial-agg order can perturb), assembled into per-label arrays by
+    * an order-pinned sort on the dim index, and broadcast — the corpus
+    * never shuffles for the scoring pass; its only exchange is the
+    * (label, dim)-keyed map-combined centroid aggregate (≤ labels×dim
+    * rows per task). Cosines ride the native left-fold `vec_dot`. */
+  def labelPurity(vectors: DataFrame, idCol: Column, labelCol: Column,
+                  embCol: Column, quantBits: Int = 20): DataFrame = {
+    val q = (1L << quantBits).toDouble
+    val cd = vectors
+      .select(labelCol.as("c_label"), posexplode(embCol).as(Seq("d", "x")))
+      .select(col("c_label"), col("d"),
+        floor(col("x").cast("double") * q).cast("long").as("qx"))
+      .groupBy(col("c_label"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("qx")).as("sum_q"))
+      .select(col("c_label"), col("d"),
+        ((col("sum_q").cast("double") / col("n")) / q).as("cd"))
+    val cent = cd.groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cd")))),
+        s => s.getField("cd")).as("cvec"))
+      .select(col("c_label"), col("cvec"),
+        dotD(col("cvec"), col("cvec")).as("cn"))
+    vectors
+      .select(idCol.as("id"), labelCol.as("label"), embCol.as("e"),
+        dotD(embCol, embCol).as("vn"))
+      .crossJoin(broadcast(cent))
+      .select(col("id"), col("label"), col("c_label"),
+        (dotD(col("e"), col("cvec")) / sqrt(col("vn") * col("cn"))).as("cos"))
+      .groupBy(col("id"), col("label"))
+      .agg(max(when(col("c_label") === col("label"), col("cos"))).as("own_cos"),
+        max(when(col("c_label") =!= col("label"), col("cos"))).as("best_other"))
+      .select(col("id"), col("label"), col("own_cos"), col("best_other"),
+        (col("own_cos") - col("best_other")).as("margin"),
+        when(col("best_other") > col("own_cos"), 1L).otherwise(0L)
+          .as("misaligned"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Packing, Pii, Sampling, Similarity}
+import graft.operators.{Dedup, GraphRank, Multimodal, Packing, Pii, Sampling, Similarity}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -43,6 +43,12 @@ object LlmQueries {
   private val DupSpanN = 5
   /** q82 tokens reported per source. */
   private val TopTokK = 8
+  /** q85 TextRank: power-iteration count, damping, reported head. */
+  private val TextRankIters = 3
+  private val TextRankDamping = 0.85
+  private val TextRankK = 25
+  /** q86 centroid quantization (the q60 Lloyd rule). */
+  private val PurityQuantBits = 20
   private val Dim = 64
   /** Probe sample for the similarity/recall queries: every 100th vec_id
     * WITHIN the first [[ProbeCap]] ids — a FIXED evaluation set (50
@@ -1681,6 +1687,94 @@ object LlmQueries {
                     ORDER BY n_occ DESC, tok) AS rk
                 FROM c)
         SELECT source, tok, n_occ, CAST(rk AS BIGINT) AS rk
-        FROM r WHERE rk <= $TopTokK"""))
+        FROM r WHERE rk <= $TopTokK""")),
+
+    // ---- TextRank keyword extraction (L48): weighted PageRank over
+    // the symmetrized token-adjacency graph — the graph-centrality
+    // keyword/quality signal (the same operator ranks a URL link graph
+    // for crawl-quality weighting). Ranks are DETERMINISTIC: every
+    // per-node sum floors its contributions to 2^-40 fixed point first
+    // (exact integer math, order-independent — see GraphRank's
+    // determinism contract; a decimal CAST would tie-break differently
+    // across engines on dyadic products). Per iteration: ONE v-keyed
+    // map-combined aggregate; the node-sized rank frame broadcasts
+    // onto the edge frame (drop the hint for corpus-scale node sets —
+    // same plan, shuffle join). Head via TakeOrderedAndProject.
+    "q85_textrank" -> Query(
+      (s, dir) => {
+        val toks = docs(s, dir).select(tokens(col("text")).as("t"))
+        val bi = toks
+          .select(explode(expr(
+            "transform(slice(t, 2, size(t) - 1), (w, i) -> struct(t[i] AS w1, w AS w2))")).as("b"))
+          .select(col("b.w1").as("u"), col("b.w2").as("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        val sym = bi.unionByName(
+          bi.select(col("v").as("u"), col("u").as("v"), col("w")))
+        GraphRank.pageRank(sym, TextRankIters, TextRankDamping)
+          .orderBy(col("r").desc, col("node"))
+          .limit(TextRankK)
+          .select(col("node").as("tok"), col("r").as("rank"))
+      },
+      Some(s"""WITH t AS (SELECT $sqlToks AS t FROM documents),
+          bi0 AS (SELECT unnest(list_transform(range(1, len(t)),
+                    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS b
+                  FROM t),
+          bc AS (SELECT b.w1 AS u, b.w2 AS v, count(*) AS w
+                 FROM bi0 GROUP BY 1, 2),
+          sym0 AS (SELECT u, v, w FROM bc
+                   UNION ALL SELECT v AS u, u AS v, w FROM bc),
+          sym AS (SELECT u, v, sum(w) AS w FROM sym0 GROUP BY u, v),
+          ${GraphRank.sqlPageRank(TextRankIters, TextRankDamping)}
+        SELECT node AS tok, r AS rank FROM r$TextRankIters
+        ORDER BY rank DESC, tok LIMIT $TextRankK""")),
+
+    // ---- embedding label-purity diagnostics (L49): per-vector cosine
+    // margin between the own-label centroid and the best other-label
+    // centroid — negative margin = mislabel/boundary candidate, the
+    // embedding-level label-noise audit a labeled training set runs.
+    // Centroids follow the q60 quantized-mean rule (exact integer
+    // sums), assemble into per-label arrays on an order-pinned dim
+    // sort, and BROADCAST — the scoring pass never shuffles the
+    // corpus; cosines ride the native left-fold vec_dot kernel.
+    "q86_label_purity" -> Query(
+      (s, dir) => Similarity.labelPurity(Tables.embeddings(s, dir),
+          col("vec_id"), col("label"), col("embedding"), PurityQuantBits)
+        .select(col("id").as("vec_id"), col("label"), col("own_cos"),
+          col("best_other"), col("margin"), col("misaligned")),
+      Some {
+        val q = (1L << PurityQuantBits).toDouble.toString
+        s"""WITH x AS (SELECT label AS c_label,
+              unnest(range(0, $Dim)) AS d,
+              unnest(list_transform(range(0, $Dim), i ->
+                CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * $q) AS BIGINT)))
+                AS qx
+            FROM embeddings),
+          cl AS (SELECT c_label, d, count(*) AS n, sum(qx) AS sum_q
+                 FROM x GROUP BY c_label, d),
+          cdt AS (SELECT c_label, d, (CAST(sum_q AS DOUBLE) / n) / $q AS cd
+                  FROM cl),
+          cent AS (SELECT c_label,
+                     list_transform(list_sort(list(struct_pack(d := d, cd := cd))),
+                       s2 -> s2.cd) AS cvec
+                   FROM cdt GROUP BY c_label),
+          cc AS (SELECT c_label, cvec,
+                   ${Similarity.sqlDotD("cvec", "cvec", Dim)} AS cn FROM cent),
+          v AS (SELECT vec_id, label, embedding AS e,
+                  ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS vn
+                FROM embeddings),
+          sc AS (SELECT vec_id, label, c_label,
+                   ${Similarity.sqlDotD("e", "cvec", Dim)} / sqrt(vn * cn)
+                     AS cos
+                 FROM v, cc),
+          p AS (SELECT vec_id, label,
+                  max(CASE WHEN c_label = label THEN cos END) AS own_cos,
+                  max(CASE WHEN c_label <> label THEN cos END) AS best_other
+                FROM sc GROUP BY vec_id, label)
+        SELECT vec_id, label, own_cos, best_other,
+          own_cos - best_other AS margin,
+          CAST(CASE WHEN best_other > own_cos THEN 1 ELSE 0 END AS BIGINT)
+            AS misaligned
+        FROM p"""
+      })
   )
 }

@@ -310,6 +310,27 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("RangeFrame"), p)
   }
 
+  test("q85 textrank: rank frame broadcasts onto edges; exchanges on graph keys only") {
+    val p = plan("q85_textrank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // edge-weight/out-weight/contribution aggregates: u / (u,v) / v keys
+    assert(ex.nonEmpty && ex.forall(l => l.contains("u#") || l.contains("v#")),
+      ex.mkString("\n"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q86 label purity: centroids broadcast; corpus shuffles only pre-combined per-id rows") {
+    val p = plan("q86_label_purity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("vec_dot"), p)
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // (c_label, d) centroid partials (≤ labels×dim rows) and the
+    // (id, label) margin pivot (map-combined to ≤ one row per vector)
+    assert(ex.nonEmpty && ex.forall(l =>
+      l.contains("c_label#") || l.contains("id#")), ex.mkString("\n"))
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
