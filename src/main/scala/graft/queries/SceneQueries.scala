@@ -400,6 +400,43 @@ object SceneQueries {
       },
       Some("SELECT DISTINCT user_id FROM events")),
 
+    // ---- L13d: watermarked stream-stream INTERVAL join through the
+    // real streaming machinery — clicks pair with the same user's
+    // purchases from the trailing 2 hours (EventWindows.intervalJoin,
+    // the streaming counterpart of the q59 batch as-of join). INNER
+    // join: matches emit as both sides arrive, so the drained result is
+    // the full batch interval join — the oracle — independent of where
+    // the final watermark lands (an OUTER arm would gate on
+    // watermark-finalized unmatched rows, the q71 pattern; inner is
+    // the deterministic-everywhere contract). State on each side is
+    // bounded by watermark + the 2 h bound, keyed by user — the same
+    // hash-partitioning story as batch, incrementalized.
+    "q87_stream_interval_join" -> Query(
+      (s, dir) => {
+        val ev = streamedEvents(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("c_event_id"),
+            col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+        val joined = EventWindows.intervalJoin(
+          clicks, "c_user_id", "c_ts", "1 hour",
+          purchases, "p_user_id", "p_ts", "1 hour",
+          maxAge = "2 hours", joinType = "inner")
+          .select(col("c_event_id"), col("p_event_id"),
+            col("c_user_id").as("user_id"), col("p_value"))
+        drainToParquet(joined, "sij", dir)
+          .select(col("c_event_id"), col("p_event_id"), col("user_id"),
+            col("p_value"))
+      },
+      Some("""SELECT c.event_id AS c_event_id, p.event_id AS p_event_id,
+            c.user_id, p.value AS p_value
+          FROM events c JOIN events p ON c.user_id = p.user_id
+          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts""")),
+
     // ---- B6: class-weighted loss preparation — the A7 histogram turned
     // into balanced class weights (total / (nClasses * freq), the
     // standard sklearn-style formula; `analyze_netcdfs.ipynb` cells 2-3).
