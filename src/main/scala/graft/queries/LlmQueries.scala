@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Dedup, GraphRank, Multimodal, Packing, Pii, Sampling, Similarity}
+import graft.operators.{BloomPrune, Dedup, GraphRank, Multimodal, Packing, Pii, Sampling, Similarity}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -1775,6 +1775,35 @@ object LlmQueries {
           CAST(CASE WHEN best_other > own_cos THEN 1 ELSE 0 END AS BIGINT)
             AS misaligned
         FROM p"""
-      })
+      }),
+
+    // ---- bloom-pruned reverse decontamination (L50): which TRAIN docs
+    // carry eval (src0) content? The eval shingle set is aggregated into
+    // a BloomFilterAggregate sketch (one map-combined agg over the small
+    // side; numBits/8 bytes on the driver regardless of cardinality) and
+    // probed with might_contain in the TRAIN scan stage, so the confirm
+    // join's corpus-side shuffle carries only bloom-surviving shingles.
+    // Exact output — the sketch has no false negatives and the confirm
+    // join removes the false positives — so the oracle is the plain
+    // exact overlap SQL with no bloom anywhere.
+    "q88_bloom_decontam" -> Query(
+      (s, dir) => {
+        val d = docs(s, dir)
+        BloomPrune.contaminatedTrainDocs(
+          d.where(col("source") === "src0"),
+          d.where(col("source") =!= "src0"),
+          col("doc_id"), col("text"), ShingleN, ContamMinShared)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks FROM documents),
+          hh AS (SELECT doc_id, source,
+              list_distinct(${sqlShingleHashes("toks", ShingleN)}) AS shset
+            FROM t),
+          ev AS (SELECT DISTINCT unnest(shset) AS h FROM hh
+                 WHERE source = 'src0'),
+          tr AS (SELECT doc_id AS t_id, unnest(shset) AS h FROM hh
+                 WHERE source <> 'src0')
+        SELECT t_id, count(*) AS n_shared
+        FROM tr JOIN ev USING (h)
+        GROUP BY t_id HAVING count(*) >= $ContamMinShared"""))
   )
 }

@@ -40,7 +40,8 @@ class PlanContractSpec extends SparkSpec {
     val tinyByDesign = Set("q14_exact_split", "q15_batches", "q37_catalog",
       "q36_patch_matrix")
     val sideEffecting = Set( // streaming drains run at build time
-      "q35_stream_ledger", "q71_stream_windows", "q72_stream_sessions")
+      "q35_stream_ledger", "q71_stream_windows", "q72_stream_sessions",
+      "q78_stream_dedup", "q87_stream_interval_join")
     SparkEntry.queries.keys.filterNot(sideEffecting)
       .foreach { name =>
         val lines = plan(name).linesIterator.toIndexedSeq
@@ -329,6 +330,23 @@ class PlanContractSpec extends SparkSpec {
     // (id, label) margin pivot (map-combined to ≤ one row per vector)
     assert(ex.nonEmpty && ex.forall(l =>
       l.contains("c_label#") || l.contains("id#")), ex.mkString("\n"))
+  }
+
+  test("q88 bloom decontam: subquery sketch probes the train scan stage") {
+    val p = plan("q88_bloom_decontam")
+    // the sketch is a one-row scalar subquery, not an inlined hex literal
+    assert(p.contains("might_contain(Subquery subquery"), p.take(2000))
+    assert(p.length < 200000, s"plan bloat: ${p.length} chars")
+    // the probe sits BELOW the first exchange of the train branch: every
+    // might_contain line is deeper in the tree than any exchange line
+    // that follows it upward — cheap structural proxy: the filter lines
+    // mentioning might_contain must not be root-level (indented), and at
+    // least one exchange exists above (the confirm join / final agg).
+    val lines = p.linesIterator.toIndexedSeq
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(probeIdx > 0, "no might_contain in plan")
+    assert(lines.take(probeIdx).exists(_.contains("Exchange")),
+      "bloom probe must be below the shuffles it prunes")
   }
 
   test("connectedComponents output reads the checkpoint, not its input lineage") {
