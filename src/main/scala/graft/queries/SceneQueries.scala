@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructType}
 import graft.Tables
 import graft.functions.IceCodes
-import graft.operators.{Masking, Skew, Tiling}
+import graft.operators.{History, Masking, Skew, Tiling}
 import graft.sources.Catalog
 import graft.streaming.{EventWindows, IncrementalPipeline}
 import Q._
@@ -436,6 +436,35 @@ object SceneQueries {
           FROM events c JOIN events p ON c.user_id = p.user_id
           WHERE c.event_type = 'click' AND p.event_type = 'purchase'
             AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts""")),
+
+    // ---- L52: SCD2 history build — each user's event_type timeline
+    // collapsed into validity intervals (run-start rows + lead() close;
+    // ONE key-hashed exchange feeds both windows — see History.scd2).
+    // Interval bounds exported as epoch micros: Spark's ts is already
+    // micro-truncated by Tables.events, DuckDB's epoch_us truncates the
+    // ns parquet value the same way, so the integers agree exactly.
+    "q89_scd2_history" -> Query(
+      (s, dir) => History.scd2(Tables.events(s, dir),
+          col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .select(col("key").as("user_id"), col("attr").as("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current")),
+      Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+              CASE WHEN lag(event_id) OVER w IS NULL
+                     OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                   THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          s AS (SELECT user_id, event_type, ts,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS ts_to
+            FROM c WHERE chg = 1)
+        SELECT user_id, event_type,
+          epoch_us(ts) AS valid_from_us, epoch_us(ts_to) AS valid_to_us,
+          CAST(CASE WHEN ts_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS is_current
+        FROM s""")),
 
     // ---- B6: class-weighted loss preparation — the A7 histogram turned
     // into balanced class weights (total / (nClasses * freq), the
