@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Dedup, GraphRank, Multimodal, Packing, Pii, Sampling, Similarity}
+import graft.operators.{BloomPrune, Dedup, GraphRank, HeavyHitters, Multimodal, Packing, Pii, Sampling, Similarity}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -1804,6 +1804,23 @@ object LlmQueries {
                  WHERE source <> 'src0')
         SELECT t_id, count(*) AS n_shared
         FROM tr JOIN ev USING (h)
-        GROUP BY t_id HAVING count(*) >= $ContamMinShared"""))
+        GROUP BY t_id HAVING count(*) >= $ContamMinShared""")),
+
+    // ---- two-pass exact heavy hitters (L51): tokens covering ≥ 1% of
+    // all occurrences. Pass 1 is the Misra-Gries sketch (a GLOBAL agg
+    // whose shuffled partials are ≤capacity entries per map task — the
+    // key universe never shuffles); pass 2 broadcast-joins the ≤capacity
+    // candidates into the scan and exactly counts only those. Output is
+    // exact (capacity+1 > den ⇒ the sketch can't lose a qualifying key),
+    // so the oracle is the plain groupBy-having SQL with no sketch.
+    "q90_heavy_hitters" -> Query(
+      (s, dir) => HeavyHitters.heavyHitters(
+        docs(s, dir).select(explode(tokens(col("text"))).as("k")),
+        col("k"), capacity = 128, minFracDen = 100L),
+      Some(s"""WITH tk AS (SELECT unnest($sqlToks) AS k FROM documents),
+          tot AS (SELECT count(*) AS n_total FROM tk)
+        SELECT k AS token, count(*) AS n_occ
+        FROM tk, tot GROUP BY k, n_total
+        HAVING count(*) * 100 >= n_total"""))
   )
 }
