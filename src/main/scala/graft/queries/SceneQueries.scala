@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructType}
 import graft.Tables
 import graft.functions.IceCodes
-import graft.operators.{History, Masking, Skew, Tiling}
+import graft.operators.{Drift, History, Masking, Skew, Tiling}
 import graft.sources.Catalog
 import graft.streaming.{EventWindows, IncrementalPipeline}
 import Q._
@@ -465,6 +465,43 @@ object SceneQueries {
           CAST(CASE WHEN ts_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
             AS is_current
         FROM s""")),
+
+    // ---- L53: snapshot distribution drift — the event-type mix of the
+    // early half of the stream vs the late half, scored with the
+    // integer-exact cross-multiplied total-variation numerator
+    // |c_a·N_b − c_b·N_a| (see Drift.histogramDrift: no ln/division —
+    // PSI-style scores aren't bit-stable across engines, this is). The
+    // time midpoint is data-derived via a scalar agg (integer epoch
+    // micros, floor-div — identical on both engines).
+    "q91_snapshot_drift" -> Query(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+          .select(expr("(mn + mx) div 2").as("mid"))
+        val split = ev.crossJoin(broadcast(mid))
+        Drift.histogramDrift(
+            split.where(col("us") < col("mid")),
+            split.where(col("us") >= col("mid")),
+            col("event_type"))
+          .select(col("bin").as("event_type"), col("c_a"), col("c_b"),
+            col("n_a"), col("n_b"),
+            col("drift_num").cast("long").as("drift_num"))
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+          m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+          a AS (SELECT event_type, count(*) AS c_a FROM e, m
+                WHERE us < mid GROUP BY event_type),
+          b AS (SELECT event_type, count(*) AS c_b FROM e, m
+                WHERE us >= mid GROUP BY event_type),
+          na AS (SELECT CAST(COALESCE(sum(c_a), 0) AS BIGINT) AS n_a FROM a),
+          nb AS (SELECT CAST(COALESCE(sum(c_b), 0) AS BIGINT) AS n_b FROM b)
+        SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+          COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b, n_a, n_b,
+          CAST(abs(CAST(COALESCE(c_a, 0) AS DECIMAL(38,0)) * n_b
+                 - CAST(COALESCE(c_b, 0) AS DECIMAL(38,0)) * n_a)
+            AS BIGINT) AS drift_num
+        FROM a FULL OUTER JOIN b ON a.event_type = b.event_type, na, nb""")),
 
     // ---- B6: class-weighted loss preparation — the A7 histogram turned
     // into balanced class weights (total / (nClasses * freq), the
