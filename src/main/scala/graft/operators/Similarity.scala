@@ -296,4 +296,34 @@ object Similarity {
         when(col("best_other") > col("own_cos"), 1L).otherwise(0L)
           .as("misaligned"))
   }
+
+  /** Hard-negative mining for contrastive training (L54): per anchor
+    * vector, the most-similar vector with a DIFFERENT label among its
+    * LSH-bucket peers — the "hardest" in-batch negative, found without
+    * an all-pairs scan. Anchors whose bucket holds no other-label
+    * vector produce no row (widen by lowering `numPlanes`, the standard
+    * recall/cost dial; multi-probe would slot in like [[lshTopK]]'s).
+    *
+    * 100 TB shape: the corpus shuffles ONCE by bucket id (the bucket
+    * equi-join — candidate volume is ~n²/2^planes, never n²); the
+    * per-anchor argmax is a rank-1 window that compiles to
+    * WindowGroupLimit, so each task keeps one candidate per anchor
+    * before the anchor-keyed exchange. Tie-break (cos desc, neg_id
+    * asc) makes the pick deterministic. */
+  def hardNegatives(vectors: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("label"), col("embedding"),
+      lshBucket(col("embedding"), numPlanes, dim).as("bucket"),
+      dotD(col("embedding"), col("embedding")).as("nn"))
+    val cand = v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("neg_id"), col("b.label").as("neg_label"),
+        (dotD(col("a.embedding"), col("b.embedding"))
+          / sqrt(col("a.nn") * col("b.nn"))).as("neg_cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("neg_cos").desc, col("neg_id"))
+    cand.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
 }

@@ -63,6 +63,9 @@ object LlmQueries {
   private def isProbeId(c: Column): Column = c % 100 === 0 && c < ProbeCap
   private val sqlProbeId = s"vec_id % 100 = 0 AND vec_id < 5000"
   private val NumPlanes = 8
+
+  /** q92 hard-negative bucket planes: wider buckets than near-dup. */
+  private val HnPlanes = 4
   /** q73's data-sized LSH config: ≈ log2(corpus / target bucket size)
     * planes (8 buckets for the 500-vector sf0.01 corpus), searched with
     * Hamming-1 multi-probe. */
@@ -1821,6 +1824,31 @@ object LlmQueries {
           tot AS (SELECT count(*) AS n_total FROM tk)
         SELECT k AS token, count(*) AS n_occ
         FROM tk, tot GROUP BY k, n_total
-        HAVING count(*) * 100 >= n_total"""))
+        HAVING count(*) * 100 >= n_total""")),
+
+    // ---- hard-negative mining (L54): per anchor, the max-cosine
+    // OTHER-label vector among its LSH-bucket peers — contrastive
+    // training-pair prep without an all-pairs scan (bucketed self-join,
+    // rank-1 WindowGroupLimit; see Similarity.hardNegatives). Fewer
+    // planes than q38 (4 vs 8): negatives want wider buckets than
+    // near-dup detection.
+    "q92_hard_negatives" -> Query(
+      (s, dir) => Similarity.hardNegatives(
+        Tables.embeddings(s, dir), HnPlanes, Dim),
+      Some(s"""WITH v AS (SELECT vec_id, label, embedding AS e,
+              ${Similarity.sqlLshBucket("embedding", HnPlanes, Dim)} AS bucket,
+              ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+            FROM embeddings),
+          c AS (SELECT a.vec_id, a.label, b.vec_id AS neg_id,
+                  b.label AS neg_label,
+                  ${Similarity.sqlDotD("a.e", "b.e", Dim)} / sqrt(a.nn * b.nn)
+                    AS neg_cos
+                FROM v a JOIN v b
+                  ON a.bucket = b.bucket AND a.label <> b.label),
+          r AS (SELECT *, row_number() OVER
+                  (PARTITION BY vec_id ORDER BY neg_cos DESC, neg_id) AS rn
+                FROM c)
+        SELECT vec_id, label, neg_id, neg_label, neg_cos
+        FROM r WHERE rn = 1"""))
   )
 }

@@ -349,6 +349,14 @@ class PlanContractSpec extends SparkSpec {
       "bloom probe must be below the shuffles it prunes")
   }
 
+  test("q92 hard negatives: rank-1 pushes below the anchor shuffle; exchanges on bucket/anchor only") {
+    val p = plan("q92_hard_negatives")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(l =>
+      l.contains("bucket#") || l.contains("vec_id#")), ex.mkString("\n"))
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
