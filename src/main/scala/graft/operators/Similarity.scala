@@ -326,4 +326,64 @@ object Similarity {
     cand.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
   }
+
+  /** LSH plane count for a corpus of `n` vectors targeting
+    * `targetBucket` rows per bucket: the smallest p with
+    * n / 2^p ≤ targetBucket (integer bit-search — no float log2 edge
+    * cases), min 1. The q73 sizing rule as a function: candidate volume
+    * in any bucketed self-join is ~n·bucketSize, so a FIXED plane count
+    * turns quadratic as the corpus grows — the round-5 sf5 curve
+    * measured exactly that for a pinned 4-plane config (n²/16 pairs:
+    * 1.6 s → 7.7 s → 428 s at 1×/10×/50×; re-sized per this rule the
+    * 50× point is linear again, see SCALE.md). */
+  def planesFor(n: Long, targetBucket: Long): Int = {
+    var p = 1
+    while ((n >> p) > targetBucket && p < 62) p += 1
+    p
+  }
+
+  /** [[hardNegatives]] with the plane count auto-sized from the corpus
+    * row count (one cheap count job — the codebook-collect precedent)
+    * via [[planesFor]]. */
+  def hardNegativesAutoSized(vectors: DataFrame, dim: Int,
+                             targetBucket: Long = 125L): DataFrame =
+    hardNegatives(vectors, planesFor(vectors.count(), targetBucket), dim)
+
+  /** SemDeDup-style semantic dedup (L55; Abbas et al. 2023,
+    * arXiv:2303.09540): cluster-then-prune — assign every vector to its
+    * nearest coarse-quantizer cell, connect within-cell pairs whose
+    * cosine clears `threshold`, resolve the pair graph to semantic
+    * groups, keep the group minimum. Output: every vector with its
+    * cell, semantic `group_id` (component min; own id for singletons)
+    * and `is_keeper` flag — filtering `is_keeper = 1` IS the deduped
+    * corpus.
+    *
+    * 100 TB shape: cell assignment is the map-side codegen'd
+    * [[graft.functions.NearestCells]] argmax (the corpus never shuffles
+    * for assignment, never row-multiplies by the cell count); the pair
+    * join is cell-bucketed (ONE shuffle on the cell id, ~n²/cells
+    * candidates — the paper's reason for clustering first); component
+    * resolution is the O(log n) large-star/small-star contraction of
+    * [[Dedup.connectedComponents]] over (id, id) edges only. */
+  def semanticDedup(vectors: DataFrame, isCentroid: Column,
+                    threshold: Double): DataFrame = {
+    val (centIds, centFlat, centNorms, dim) = collectCentroids(vectors, isCentroid)
+    val cells = vectors.select(col("vec_id"), col("embedding"),
+      dotD(col("embedding"), col("embedding")).as("nn"),
+      element_at(graft.functions.VecFns.nearestCells(col("embedding"),
+        centIds, centFlat, centNorms, dim, 1), 1).as("cell"))
+    val edges = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where((dotD(col("a.embedding"), col("b.embedding"))
+        / sqrt(col("a.nn") * col("b.nn"))) >= threshold)
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+    val comp = Dedup.connectedComponents(edges)
+      .withColumnRenamed("node", "vec_id")
+    cells.select(col("vec_id"), col("cell"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("component"), col("vec_id")).as("group_id"),
+        when(coalesce(col("component"), col("vec_id")) === col("vec_id"), 1L)
+          .otherwise(0L).as("is_keeper"))
+  }
 }

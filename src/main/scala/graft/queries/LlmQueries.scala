@@ -1849,6 +1849,51 @@ object LlmQueries {
                   (PARTITION BY vec_id ORDER BY neg_cos DESC, neg_id) AS rn
                 FROM c)
         SELECT vec_id, label, neg_id, neg_label, neg_cos
-        FROM r WHERE rn = 1"""))
+        FROM r WHERE rn = 1""")),
+
+    // ---- SemDeDup semantic dedup (L55): cluster-then-prune — map-side
+    // nearest-cell assignment (q40's codegen'd kernel + centroid
+    // convention), within-cell cosine-threshold pairs (one cell-keyed
+    // shuffle, never all-pairs — the paper's reason for clustering
+    // first), connected components (q47's machinery) → group keepers.
+    // The oracle mirrors assignment with the all-pairs crk=1 rank and
+    // components with the recursive-CTE reachability closure.
+    "q93_semantic_dedup" -> Query(
+      (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir),
+        isCentroid = col("vec_id") % 125 === 7, threshold = 0.4),
+      Some {
+        val simEC = s"(${Similarity.sqlDotD("e.embedding", "c.cemb", Dim)} / sqrt(e.nn * c.cn))"
+        val simXY = s"(${Similarity.sqlDotD("x.embedding", "y.embedding", Dim)} / sqrt(x.nn * y.nn))"
+        s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
+               ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+             FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, embedding AS cemb, nn AS cn
+                FROM e WHERE vec_id % 125 = 7),
+          a0 AS (SELECT e.vec_id, e.embedding, e.nn, c.cent_id,
+                   $simEC AS csim
+                 FROM e, c),
+          asn AS (SELECT vec_id, embedding, nn, cent_id AS cell FROM
+                  (SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY csim DESC, cent_id)
+                     AS crk FROM a0)
+                  WHERE crk = 1),
+          edges AS (SELECT x.vec_id AS u, y.vec_id AS v
+                    FROM asn x JOIN asn y
+                      ON x.cell = y.cell AND x.vec_id < y.vec_id
+                    WHERE $simXY >= 0.4),
+          sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+          nodes AS (SELECT DISTINCT u AS node FROM sym),
+          reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT r.node, s2.v FROM reach r JOIN sym s2 ON s2.u = r.lbl),
+          comp AS (SELECT node, min(lbl) AS component FROM reach
+                   GROUP BY node)
+        SELECT a.vec_id, a.cell,
+          COALESCE(c2.component, a.vec_id) AS group_id,
+          CAST(CASE WHEN COALESCE(c2.component, a.vec_id) = a.vec_id
+               THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+        FROM asn a LEFT JOIN comp c2 ON a.vec_id = c2.node"""
+      })
   )
 }
