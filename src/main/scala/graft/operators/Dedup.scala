@@ -77,6 +77,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental corpus-append triage (L56): classify each NEW-batch
+    * document against the existing corpus as `exact_dup` (content
+    * digest already present), `near_dup` (MinHash-LSH candidate that
+    * passes the Jaccard ≥ 1/2 gate against ≥1 existing doc) or `clean`
+    * — the nightly-crawl admission decision, composed from the S5/L1/L2
+    * machinery.
+    *
+    * 100 TB shape: the exact arm is a digest SEMI join (32-byte keys
+    * both ways, never text); the near arm reuses the banded-LSH
+    * candidate join and keeps only CROSS pairs (exactly one endpoint
+    * new), so candidate volume is the usual band-bucket blow-up, never
+    * new×old. In production the old side's signatures/digests come from
+    * the S5-style ledger instead of being recomputed — the plan from
+    * the band join onward is identical.
+    *
+    * Output: one row per new doc — (doc_id, is_exact_dup, n_near_dup,
+    * verdict), exact-dup precedence over near-dup. */
+  def appendTriage(docs: DataFrame, isNew: Column, idCol: Column,
+                   text: Column, shingleN: Int, numHashes: Int,
+                   numBands: Int, rowsPerBand: Int): DataFrame = {
+    val keyed = docs.select(idCol.as("doc_id"), isNew.as("is_new"),
+      contentKey(text).as("ckey"))
+    val exact = keyed.where(col("is_new"))
+      .join(keyed.where(!col("is_new")).select(col("ckey")).distinct(),
+        Seq("ckey"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("is_exact_dup"))
+    val sigs = minhashSignatures(docs, idCol, text, shingleN, numHashes)
+    val pairs = lshCandidatePairs(sigs, numBands, rowsPerBand)
+    val sets = shingleSets(docs, idCol, text, shingleN)
+    val newIds = docs.select(idCol.as("doc_id"), isNew.as("is_new"))
+    val flagged = jaccardVerify(pairs, sets)
+      .where(lit(2) * col("n_common") >= col("n_union"))
+      .join(newIds.select(col("doc_id").as("doc_a"), col("is_new").as("na")), "doc_a")
+      .join(newIds.select(col("doc_id").as("doc_b"), col("is_new").as("nb")), "doc_b")
+      .where(col("na") =!= col("nb"))
+    val near = flagged
+      .select(when(col("na"), col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near_dup"))
+    newIds.where(col("is_new")).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("n_near_dup"), lit(0L)).as("n_near_dup"),
+        when(coalesce(col("is_exact_dup"), lit(0L)) === 1L, "exact_dup")
+          .when(coalesce(col("n_near_dup"), lit(0L)) > 0L, "near_dup")
+          .otherwise("clean").as("verdict"))
+  }
+
   /** Exact n-gram Jaccard for a pair frame (doc_a, doc_b) given per-doc
     * distinct shingle sets (id, shset). Intersection/union sizes are
     * integers; the ratio is an exact small-int division — engine-portable. */

@@ -1894,6 +1894,49 @@ object LlmQueries {
           CAST(CASE WHEN COALESCE(c2.component, a.vec_id) = a.vec_id
                THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
         FROM asn a LEFT JOIN comp c2 ON a.vec_id = c2.node"""
+      }),
+
+    // ---- incremental corpus-append triage (L56): the nightly-crawl
+    // admission decision — each new-batch doc (doc_id % 5 == 4 stands in
+    // for the arriving batch) classified exact_dup / near_dup / clean
+    // against the existing corpus. Digest SEMI join for the exact arm
+    // (32-byte keys both ways); the near arm reuses the banded-LSH
+    // candidate join + Jaccard ≥ 1/2 gate and keeps CROSS pairs only.
+    "q94_append_triage" -> Query(
+      (s, dir) => Dedup.appendTriage(docs(s, dir),
+        isNew = col("doc_id") % 5 === 4, col("doc_id"), col("text"),
+        ShingleN, NumHashes, NumBands, RowsPerBand),
+      Some {
+        s"""WITH $sqlLshPairsCtes,
+          verified AS (SELECT doc_a, doc_b,
+              len(list_intersect(sa.shset, sb.shset)) AS n_common,
+              len(sa.shset) + len(sb.shset)
+                - len(list_intersect(sa.shset, sb.shset)) AS n_union
+            FROM pairs JOIN sets sa ON pairs.doc_a = sa.doc_id
+                       JOIN sets sb ON pairs.doc_b = sb.doc_id),
+          cross_p AS (SELECT CASE WHEN doc_a % 5 = 4 THEN doc_a
+                             ELSE doc_b END AS doc_id
+                      FROM verified
+                      WHERE 2 * n_common >= n_union
+                        AND ((doc_a % 5 = 4) <> (doc_b % 5 = 4))),
+          near AS (SELECT doc_id, count(*) AS n_near FROM cross_p
+                   GROUP BY doc_id),
+          k AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct($sqlToks)), ' '))
+                    AS ckey
+                FROM documents),
+          ex AS (SELECT doc_id FROM k WHERE doc_id % 5 = 4 AND ckey IN
+                 (SELECT ckey FROM k WHERE doc_id % 5 <> 4))
+        SELECT d.doc_id,
+          CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS is_exact_dup,
+          CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near_dup,
+          CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+               WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+               ELSE 'clean' END AS verdict
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+        LEFT JOIN ex e ON d.doc_id = e.doc_id
+        LEFT JOIN near n ON d.doc_id = n.doc_id"""
       })
   )
 }
