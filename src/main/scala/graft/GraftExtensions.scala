@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ModeCount, SimHash32, VecDot}
+import graft.functions.{MisraGriesAgg, ModeCount, SimHash32, VecDot}
 
 /** `SparkSessionExtensions` installer for graft's native SQL surface.
   *
@@ -41,6 +41,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"mode_count expects 1 argument, got ${args.length}")
         ModeCount(args.head)
+      }))
+    // aggregate functions registered this way are wrapped in an
+    // AggregateExpression by the analyzer, same as built-in aggregates
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"misra_gries expects (key, capacity), got ${args.length} arguments")
+        require(args(1).foldable, "misra_gries capacity must be a literal")
+        MisraGriesAgg(args.head,
+          args(1).eval().asInstanceOf[Number].intValue())
       }))
   }
 }

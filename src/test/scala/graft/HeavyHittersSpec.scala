@@ -85,6 +85,15 @@ class HeavyHittersSpec extends SparkSpec {
     sk._2 should contain("H")
   }
 
+  test("misra_gries is callable from SQL text (GraftExtensions)") {
+    (Seq.fill(30)("hot") ++ Seq("c1", "c2")).toDF("k")
+      .createOrReplaceTempView("mg_in")
+    val r = spark.sql("SELECT misra_gries(k, 4) AS s FROM mg_in")
+      .select("s.n_total", "s.keys").as[(Long, Seq[String])].head()
+    r._1 shouldBe 32L
+    r._2 should contain("hot")
+  }
+
   test("confirm pass broadcasts the candidates (plan contract)") {
     val p = HeavyHitters.heavyHitters(
       (1 to 100).map(i => s"k${i % 5}").toDF("k"), col("k"), 16, 10L)
