@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Corpus-curation operators for LLM training-data prep (builder brief;
+  * SURVEY.md §2.9b L57–L61): boilerplate n-gram detection, per-source
+  * document caps, dedup-aware token accounting, and balanced shard
+  * planning — the admission/reporting layer that sits between the dedup
+  * family ([[Dedup]]) and the sampling family ([[Sampling]]).
+  */
+object Curation {
+
+  /** L57 — boilerplate n-gram report (the C4/RefinedWeb template-removal
+    * signal generalized to n-grams). A gram is boilerplate WITHIN a
+    * source when it appears in ≥ dfFracNum/dfFracDen of that source's
+    * documents; each doc reports how much of its gram stream that
+    * boilerplate set covers. The threshold compare is pure integer
+    * cross-multiplication (`df·den ≥ n_src·num`) — no float ratio.
+    *
+    * 100 TB shape: gram occurrences shuffle once as 8-byte hash60 keys
+    * for the (source, gram) doc-frequency aggregate (two-phase distinct,
+    * map-combined); the boilerplate set — by definition the ubiquitous
+    * tail, orders of magnitude smaller than the gram vocabulary — is
+    * BROADCAST back onto the gram stream, so the per-doc coverage pass
+    * never re-shuffles gram occurrences; the final aggregate is one
+    * doc-keyed map-combined exchange. Documents shorter than the gram
+    * width carry no signal and are dropped (the [[Dedup]] convention). */
+  def boilerplateReport(docs: DataFrame, idCol: Column, sourceCol: Column,
+                        text: Column, gramN: Int,
+                        dfFracNum: Int, dfFracDen: Int): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), sourceCol.as("source"),
+        TextFns.shingleHashes60(TextFns.tokens(text), gramN).as("hs"))
+      .where(size(col("hs")) > 0)
+    val grams = base.select(col("doc_id"), col("source"),
+      size(col("hs")).cast("long").as("n_grams"), explode(col("hs")).as("h"))
+    val srcCounts = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("_n_src"))
+    val boiler = grams.groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .join(broadcast(srcCounts), Seq("source"))
+      .where(col("_df") * dfFracDen >= col("_n_src") * dfFracNum)
+      .select(col("source"), col("h"), lit(1).as("_bp"))
+    grams.join(broadcast(boiler), Seq("source", "h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        sum(when(col("_bp").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_grams"))
+  }
+
+  /** L58 — per-group document cap (RefinedWeb/FineWeb-style domain caps):
+    * keep at most `k` rows per group, best-first by `orderKeys` (which
+    * MUST end in a unique tie-breaker for a deterministic cut). Emits the
+    * kept rows with their 1-based `rnk`.
+    *
+    * 100 TB shape: `row_number ≤ k` compiles to WindowGroupLimit — every
+    * map task keeps only its local top-k per group BEFORE the single
+    * group-keyed exchange, so the shuffle carries ≤ k·groups·tasks rows,
+    * not the corpus. Hot groups (one domain = half the crawl) bound at k
+    * per task the same way. */
+  def capPerGroup(df: DataFrame, group: Column, orderKeys: Seq[Column],
+                  k: Int): DataFrame =
+    df.withColumn("rnk",
+        row_number().over(Window.partitionBy(group).orderBy(orderKeys: _*)))
+      .where(col("rnk") <= k)
+
+  /** L60 — dedup-weighted token accounting: per source, raw vs effective
+    * (dedup-once) document and token counts. Clusters are exact-dup
+    * groups under [[Dedup.contentKey]]; each cluster is counted once, at
+    * its keeper (min doc id), and attributed to the keeper's source —
+    * the "how many unique tokens do I actually have" number that drives
+    * epoch math for training runs. All counters are integers; nothing
+    * here can drift under partial-agg reordering.
+    *
+    * 100 TB shape: the cluster frame is ONE digest-keyed map-combined
+    * aggregate (32-byte keys — the L1 rule: shuffle digests, never
+    * documents); the keeper join re-shuffles only (digest, id, n_toks)
+    * triples on the same key; the per-source rollup is one map-combined
+    * exchange of ≤ sources rows per task. */
+  def effectiveTokens(docs: DataFrame, idCol: Column, text: Column,
+                      sourceCol: Column): DataFrame = {
+    val d = docs.select(idCol.as("doc_id"), sourceCol.as("source"),
+      Dedup.contentKey(text).as("ckey"),
+      size(TextFns.tokens(text)).cast("long").as("n_toks"))
+    val keepers = d.groupBy(col("ckey")).agg(min(col("doc_id")).as("keeper_id"))
+    d.join(keepers, Seq("ckey"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("raw_tokens"),
+        sum(when(col("doc_id") === col("keeper_id"), 1L).otherwise(0L))
+          .as("n_unique_docs"),
+        sum(when(col("doc_id") === col("keeper_id"), col("n_toks"))
+          .otherwise(0L)).as("unique_tokens"))
+  }
+
+  /** L61 — balanced shard plan: assign every row to one of `nShards`
+    * output shards by round-robin over the size-descending global rank
+    * (longest-processing-time-first — the classic balance heuristic for
+    * writing training shards with ~equal token budgets). Returns the
+    * per-row assignment (id, size, rank, shard).
+    *
+    * 100 TB shape: the global rank is the q15 two-pass — per-bucket
+    * row_number + broadcast per-bucket offsets ([[MLFeed.rankByBucket]]),
+    * never an unpartitioned window; buckets are equal-width over the
+    * [min,max] size domain measured by one two-scalar aggregate (the
+    * codebook-collect pattern). Shard assignment and the downstream
+    * per-shard rollup are map-side arithmetic on the rank. */
+  def shardPlan(df: DataFrame, sizeCol: Column, idCol: Column,
+                nShards: Int): DataFrame = {
+    val base = df.select(idCol.as("doc_id"), sizeCol.cast("long").as("sz"))
+    val mm = base.agg(min(col("sz")).as("lo"), max(col("sz")).as("hi")).head()
+    // empty input → null domain; any constant keeps the bucket expression
+    // well-formed (there are no rows for it to misplace)
+    val (lo, hi) = if (mm.isNullAt(0)) (0L, 0L)
+      else (mm.getLong(0), mm.getLong(1))
+    val nb = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val key = lit(hi) - col("sz") // ascending key == size-descending order
+    val bucket = least(greatest((key * nb / (hi - lo + 1)).cast("int"),
+      lit(0)), lit(nb - 1))
+    MLFeed.rankByBucket(base.withColumn("_key", key), bucket,
+        Seq(col("_key"), col("doc_id")))
+      .select(col("doc_id"), col("sz"),
+        col("_rank").as("g_rank"),
+        ((col("_rank") - 1) % nShards).as("shard"))
+  }
+}

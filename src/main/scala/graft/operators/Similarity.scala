@@ -386,4 +386,44 @@ object Similarity {
         when(coalesce(col("component"), col("vec_id")) === col("vec_id"), 1L)
           .otherwise(0L).as("is_keeper"))
   }
+
+  /** L62 — cluster quality metrics: per-cell member count and inertia
+    * (sum of squared euclidean distance to the assigned centroid) — the
+    * number that tunes the IVF/SemDeDup codebook (elbow curves, split
+    * decisions, drift alarms on a retrained quantizer).
+    *
+    * Assignment is the cosine-nearest rule every other cell operator
+    * uses (q40/q60/q93 — one convention, one kernel). The distance is
+    * the closed form ‖x‖² − 2·x·c + ‖c‖² from terms already on hand;
+    * per-point d² is quantized to 2^-quantBits fixed point before the
+    * cell sum (the [[lloydRefine]] rule), so the aggregate is exact
+    * integer math — immune to partial-agg ordering.
+    *
+    * 100 TB shape: assignment is the map-side codegen'd kernel; the
+    * centroid payload join is a BROADCAST of the codebook-sized frame;
+    * the only exchange carries (cell, count, sum_q) partials map-combined
+    * to ≤ cells rows per task. The corpus never shuffles. */
+  def clusterMetrics(vectors: DataFrame, isCentroid: Column,
+                     quantBits: Int = 20): DataFrame = {
+    val (centIds, centFlat, centNorms, dim) = collectCentroids(vectors, isCentroid)
+    val q = (1L << quantBits).toDouble
+    val cents = vectors.filter(isCentroid)
+      .select(col("vec_id").as("cell"), col("embedding").as("cemb"),
+        dotD(col("embedding"), col("embedding")).as("cn"))
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        dotD(col("embedding"), col("embedding")).as("nn"),
+        element_at(graft.functions.VecFns.nearestCells(col("embedding"),
+          centIds, centFlat, centNorms, dim, 1), 1).as("cell"))
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("cell"),
+        floor((col("nn") - lit(2.0) * dotD(col("embedding"), col("cemb"))
+          + col("cn")) * q).cast("long").as("dq"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("dq")).as("inertia_q"))
+      .select(col("cell"), col("n_vectors"), col("inertia_q"),
+        (col("inertia_q").cast("double") / q).as("inertia"),
+        ((col("inertia_q").cast("double") / q) / col("n_vectors"))
+          .as("mean_sq_dist"))
+  }
 }

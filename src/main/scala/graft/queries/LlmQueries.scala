@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Dedup, GraphRank, HeavyHitters, Multimodal, Packing, Pii, Sampling, Similarity}
+import graft.operators.{BloomPrune, Curation, Dedup, GraphRank, HeavyHitters, Multimodal, Packing, Pii, Sampling, Similarity}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -125,6 +125,19 @@ object LlmQueries {
     * mean, so the centroid-update sum is exact integer math on both
     * engines (a raw double sum would be partial-agg-order-sensitive). */
   private val LloydQuantBits = 20
+
+  /** q95 boilerplate grams: width and the within-source doc-frequency
+    * threshold (a gram in ≥ num/den of a source's docs is boilerplate).
+    * 1/10 measured non-vacuous at BOTH driver SFs: the synthetic 2-gram
+    * df tail tops out at ~13% of a source block at sf0.1, ~30% at
+    * sf0.01 — a 15% line would select nothing at sf0.1. */
+  private val BoilerN = 2
+  private val BoilerNum = 1
+  private val BoilerDen = 10
+  /** q96 per-source document cap. */
+  private val CapK = 10
+  /** q99 shard-plan fan-out. */
+  private val NumShards = 8
 
   /** q61 chunking geometry: `ChunkSize`-token windows every
     * `ChunkStride` tokens (overlap = size − stride). */
@@ -1937,6 +1950,133 @@ object LlmQueries {
         FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
         LEFT JOIN ex e ON d.doc_id = e.doc_id
         LEFT JOIN near n ON d.doc_id = n.doc_id"""
+      }),
+
+    // ---- boilerplate n-gram report (L57): the C4/RefinedWeb template
+    // signal — a gram in ≥ 1/10 of a source's docs is boilerplate; each
+    // doc reports its boilerplate-gram coverage. Gram occurrences shuffle
+    // ONCE as 8-byte hash60 keys for the df aggregate; the (by
+    // construction tiny) boilerplate set broadcasts back onto the gram
+    // stream, so the coverage pass never re-shuffles it. Threshold
+    // compare is integer cross-multiplication on both engines.
+    "q95_boilerplate" -> Query(
+      (s, dir) => Curation.boilerplateReport(docs(s, dir), col("doc_id"),
+        col("source"), col("text"), BoilerN, BoilerNum, BoilerDen),
+      Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks
+              FROM documents),
+          b AS (SELECT doc_id, source,
+                  ${sqlShingleHashes60("toks", BoilerN)} AS hs FROM t),
+          bb AS (SELECT * FROM b WHERE len(hs) > 0),
+          g AS (SELECT doc_id, source, CAST(len(hs) AS BIGINT) AS n_grams,
+                  unnest(hs) AS h FROM bb),
+          sc AS (SELECT source, count(*) AS n_src FROM bb GROUP BY source),
+          bp AS (SELECT g.source, g.h
+                 FROM g JOIN sc USING (source)
+                 GROUP BY g.source, g.h, sc.n_src
+                 HAVING count(DISTINCT g.doc_id) * $BoilerDen
+                        >= n_src * $BoilerNum)
+        SELECT g.doc_id, max(g.n_grams) AS n_grams,
+          CAST(sum(CASE WHEN bp.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_boiler,
+          CAST(sum(CASE WHEN bp.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / max(g.n_grams) AS boiler_frac
+        FROM g LEFT JOIN bp ON g.source = bp.source AND g.h = bp.h
+        GROUP BY g.doc_id""")),
+
+    // ---- per-source document cap (L58): keep the best $CapK docs per
+    // source (n_chars desc, doc_id tie-break) — the RefinedWeb/FineWeb
+    // domain-cap step. `row_number ≤ k` compiles to WindowGroupLimit:
+    // each task keeps its local top-k per source BEFORE the single
+    // source-keyed exchange, so the shuffle carries ≤ k·sources·tasks
+    // rows — a hot domain is bounded at k per task, not its crawl share.
+    "q96_source_caps" -> Query(
+      (s, dir) => Curation.capPerGroup(
+          docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+          col("source"), Seq(col("n_chars").desc, col("doc_id")), CapK)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("rnk").cast("long").as("rnk")),
+      Some(s"""SELECT doc_id, source, n_chars, rnk FROM (
+          SELECT doc_id, source, n_chars, row_number() OVER
+              (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+          FROM documents) WHERE rnk <= $CapK""")),
+
+    // ---- dedup-weighted token accounting (L60): per source, raw vs
+    // effective (each exact-dup cluster counted once, at its min-id
+    // keeper) doc and token counts — the "how many unique tokens do I
+    // actually have" number behind epoch math. One digest-keyed
+    // map-combined aggregate + a digest-keyed join carrying (digest, id,
+    // n_toks) triples; every counter is an integer.
+    "q98_effective_tokens" -> Query(
+      (s, dir) => Curation.effectiveTokens(docs(s, dir), col("doc_id"),
+        col("text"), col("source")),
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              md5(array_to_string(list_sort(list_distinct($sqlToks)), ' '))
+                AS ckey,
+              CAST(len($sqlToks) AS BIGINT) AS n_toks FROM documents),
+          k AS (SELECT ckey, min(doc_id) AS keeper_id FROM d GROUP BY ckey)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS raw_tokens,
+          CAST(sum(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unique_docs,
+          CAST(sum(CASE WHEN doc_id = keeper_id THEN n_toks ELSE 0 END)
+            AS BIGINT) AS unique_tokens
+        FROM d JOIN k USING (ckey) GROUP BY source""")),
+
+    // ---- balanced shard plan (L61): round-robin over the size-
+    // descending global rank (longest-first — the classic balance
+    // heuristic for writing ~equal-budget training shards). The rank is
+    // the q15 two-pass (per-bucket row_number + broadcast offsets over
+    // equal-width size buckets), never an unpartitioned window; the
+    // oracle's single-window ORDER BY is the semantics, not the plan.
+    "q99_shard_plan" -> Query(
+      (s, dir) => Curation.shardPlan(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        col("n_chars"), col("doc_id"), NumShards),
+      Some(s"""SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
+          row_number() OVER (ORDER BY n_chars DESC, doc_id) AS g_rank,
+          (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1)
+            % $NumShards AS shard
+        FROM documents""")),
+
+    // ---- cluster quality metrics (L62): per-cell member count and
+    // inertia under the shared cosine-nearest assignment (q40/q60/q93's
+    // one kernel, one convention) — the codebook-tuning number for
+    // IVF/SemDeDup (elbow curves, split decisions, retrain drift).
+    // Per-point d² = ‖x‖² − 2x·c + ‖c‖² is quantized to 2^-20 fixed
+    // point before the cell sum (the q60 rule) so the aggregate is exact
+    // integer math; assignment is map-side, the centroid payload is a
+    // broadcast codebook, and the only exchange carries ≤ cells
+    // map-combined partial rows per task.
+    "q100_cluster_metrics" -> Query(
+      (s, dir) => Similarity.clusterMetrics(Tables.embeddings(s, dir),
+        isCentroid = col("vec_id") % 125 === 7, LloydQuantBits),
+      Some {
+        val q = (1L << LloydQuantBits).toDouble
+        s"""WITH e AS (SELECT vec_id, embedding,
+               ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+             FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, embedding AS cemb, nn AS cn
+                FROM e WHERE vec_id % 125 = 7),
+          a0 AS (SELECT e.vec_id, e.embedding, e.nn, c.cent_id, c.cemb,
+                   c.cn,
+                   (${Similarity.sqlDotD("e.embedding", "c.cemb", Dim)}
+                     / sqrt(e.nn * c.cn)) AS csim
+                 FROM e, c),
+          asn AS (SELECT * FROM
+                  (SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY csim DESC, cent_id)
+                     AS crk FROM a0)
+                  WHERE crk = 1),
+          dd AS (SELECT cent_id AS cell,
+                   CAST(floor((nn - 2 *
+                     ${Similarity.sqlDotD("embedding", "cemb", Dim)}
+                     + cn) * $q) AS BIGINT) AS dq
+                 FROM asn)
+        SELECT cell, count(*) AS n_vectors,
+          CAST(sum(dq) AS BIGINT) AS inertia_q,
+          CAST(sum(dq) AS DOUBLE) / $q AS inertia,
+          (CAST(sum(dq) AS DOUBLE) / $q) / count(*) AS mean_sq_dist
+        FROM dd GROUP BY cell"""
       })
   )
 }

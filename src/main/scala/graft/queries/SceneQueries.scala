@@ -921,6 +921,34 @@ object SceneQueries {
           FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec,
                   value FROM events)
           WINDOW win AS (PARTITION BY user_id ORDER BY sec
-            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)"""))
+            RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""")),
+
+    // ---- trajectory assembly (L59): collapse the event stream into
+    // per-session ordered action paths — the "build interaction
+    // trajectories from raw logs" step that turns each session into one
+    // sequence example. Gap-based sessions (the q41 semantics), path
+    // ordered by (ts, event_id) so the assembled string is deterministic
+    // under any partitioning. ONE user-keyed exchange; per-session state
+    // bounded by the session's own event count; the sort is a per-group
+    // array_sort, never a global order-by.
+    "q97_trajectories" -> Query(
+      (s, dir) => graft.operators.Trajectory.sessionPaths(
+        Tables.events(s, dir), col("ts"), col("user_id"),
+        col("event_type"), col("event_id"), "4 hours"),
+      Some("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                   OR ts - lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                      >= INTERVAL 4 HOUR
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        g AS (SELECT *, sum(new_s) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM o)
+        SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+          string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM g GROUP BY user_id, sid"""))
   )
 }

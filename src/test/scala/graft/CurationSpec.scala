@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** [[graft.operators.Curation]] — boilerplate detection thresholds,
+  * cap determinism + the WindowGroupLimit plan shape, integer-exact
+  * dedup accounting, and the two-pass shard rank vs a single-window
+  * reference. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("boilerplateReport flags grams at the df threshold, drops short docs") {
+    // source "a": 10 docs; "x y" opens 5 of them (df 5/10 ≥ 1/2 → boiler
+    // at num=1 den=2); every other 2-gram appears once. One 1-token doc
+    // must be dropped (no 2-grams).
+    val rows = (0 until 5).map(i => (i.toLong, "a", s"x y t$i u$i")) ++
+      (5 until 10).map(i => (i.toLong, "a", s"p$i q$i r$i s$i")) :+
+      (10L, "a", "solo")
+    val out = Curation.boilerplateReport(rows.toDF("doc_id", "source", "text"),
+        col("doc_id"), col("source"), col("text"), 2, 1, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out.size shouldBe 10 // the 1-token doc is gone
+    (0 until 5).foreach { i =>
+      out(i.toLong) shouldBe ((3L, 1L)) // 3 grams, "x y" flagged
+    }
+    (5 until 10).foreach { i => out(i.toLong) shouldBe ((3L, 0L)) }
+  }
+
+  test("boilerplateReport counts every occurrence of a boiler gram") {
+    // "x y" df = 2/2 docs → boiler at any threshold; doc 0 contains the
+    // gram twice ("x y x y" → grams [x y, y x, x y]).
+    val df = Seq((0L, "a", "x y x y"), (1L, "a", "x y end")).toDF("doc_id", "source", "text")
+    val out = Curation.boilerplateReport(df, col("doc_id"), col("source"),
+        col("text"), 2, 1, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out(0L) shouldBe 2L
+    out(1L) shouldBe 1L
+  }
+
+  test("capPerGroup keeps exactly k per group with a deterministic cut") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L), (4L, "a", 5L),
+      (5L, "b", 7L)).toDF("id", "grp", "sz")
+    val kept = Curation.capPerGroup(df, col("grp"),
+      Seq(col("sz").desc, col("id")), 2)
+    kept.count() shouldBe 3
+    // ties on sz broken by id: group a keeps ids 1, 2
+    kept.where(col("grp") === "a").select("id").as[Long]
+      .collect().sorted shouldBe Array(1L, 2L)
+    kept.where(col("id") === 2L).select("rnk").as[Int].head() shouldBe 2
+  }
+
+  test("capPerGroup compiles to WindowGroupLimit (top-k before the exchange)") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 9L)).toDF("id", "grp", "sz")
+    val plan = Curation.capPerGroup(df, col("grp"),
+      Seq(col("sz").desc, col("id")), 1).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("effectiveTokens counts each cluster once, at its keeper's source") {
+    // docs 0/2 share content (keeper 0, source a); doc 3 in source b is
+    // the same bag of words again — cross-source cluster, still keeper 0.
+    val df = Seq(
+      (0L, "a", "w1 w2 w3"), (1L, "a", "w4 w5"),
+      (2L, "a", "w3 w2 w1"), (3L, "b", "w1 w1 w2 w3")).toDF("doc_id", "source", "text")
+    val out = Curation.effectiveTokens(df, col("doc_id"), col("text"),
+        col("source"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // source a: 3 docs, 3+2+3=8 raw tokens; clusters {0,2,3} (keeper 0)
+    // and {1} → 2 unique docs, 3+2=5 unique tokens.
+    out("a") shouldBe ((3L, 8L, 2L, 5L))
+    // source b: 1 doc, 4 raw tokens, its cluster's keeper lives in a →
+    // nothing counted as unique here.
+    out("b") shouldBe ((1L, 4L, 0L, 0L))
+  }
+
+  test("shardPlan's two-pass rank equals the single-window reference") {
+    val df = (1 to 40).map(i => (i.toLong, ((i * 37) % 13 + 3).toLong))
+      .toDF("doc_id", "sz")
+    val got = Curation.shardPlan(df, col("sz"), col("doc_id"), 4)
+    val ref = df.withColumn("g_rank",
+        row_number().over(Window.orderBy(col("sz").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("sz").as("sz"), col("g_rank"),
+        ((col("g_rank") - 1) % 4).as("shard"))
+    got.exceptAll(ref).count() shouldBe 0
+    ref.exceptAll(got).count() shouldBe 0
+    // round-robin over size-descending rank ⇒ shard doc counts differ by ≤1
+    val counts = got.groupBy("shard").count().select("count").as[Long].collect()
+    (counts.max - counts.min) should be <= 1L
+  }
+}

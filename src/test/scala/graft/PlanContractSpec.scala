@@ -357,6 +357,39 @@ class PlanContractSpec extends SparkSpec {
       l.contains("bucket#") || l.contains("vec_id#")), ex.mkString("\n"))
   }
 
+  test("q95 boilerplate: boiler set broadcasts back; gram exchanges on (source, h)/doc_id only") {
+    val p = plan("q95_boilerplate")
+    // the coverage pass must re-meet the gram stream via broadcast —
+    // re-shuffling gram occurrences for it is the regression this pins
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(l =>
+      l.contains("h#") || l.contains("doc_id#") || l.contains("source#")),
+      ex.mkString("\n"))
+  }
+
+  test("q97 trajectories: ONE user-keyed exchange (session agg state)") {
+    val p = plan("q97_trajectories")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.size == 1 && ex.head.contains("user_id"), ex.mkString("\n"))
+  }
+
+  test("q98 effective tokens: digest-keyed exchanges only (plus the source rollup)") {
+    val p = plan("q98_effective_tokens")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(l =>
+      l.contains("ckey#") || l.contains("source#")), ex.mkString("\n"))
+  }
+
+  test("q100 cluster metrics: map-side assignment, broadcast codebook, one cell exchange") {
+    val p = plan("q100_cluster_metrics")
+    assert(p.contains("nearest_cells"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the only hash exchange carries (cell, count, sum) partials
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.size == 1 && ex.head.contains("cell#"), ex.mkString("\n"))
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
