@@ -182,6 +182,49 @@ object Dedup {
         max(col("n_common")).as("max_common"))
   }
 
+  /** L65 — cross-source shingle-overlap matrix: for every source pair,
+    * how many distinct shingles they share — the leakage heat-map that
+    * generalizes eval-vs-train decontamination to all corpus slices
+    * (mirror detection, license-pool overlap, "is src7 just src3
+    * re-crawled"). `overlap` is the overlap coefficient
+    * |A∩B| / min(|A|, |B|) over the CAPPED shingle universe.
+    *
+    * `maxSources` is the q27 df-cap one level up: a shingle present in
+    * more than that many sources is corpus-ubiquitous — it carries no
+    * pairing signal but contributes O(sources²) join rows — and is
+    * dropped before the pair join (on both engines, so the oracle
+    * matches by definition).
+    *
+    * 100 TB shape: the (source, shingle) frame is ONE distinct
+    * aggregate over 8-byte hash60 keys (documents never shuffle); the
+    * pair join is shingle-keyed with per-key fanout ≤ maxSources²; the
+    * matrix aggregate map-combines to ≤ sources² rows per task, and the
+    * per-source size frame broadcasts. */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: Column, text: Column,
+                          shingleN: Int, maxSources: Int): DataFrame = {
+    val sets = docs.select(sourceCol.as("source"),
+        explode(TextFns.shingleHashes60(TextFns.tokens(text), shingleN)).as("h"))
+      .distinct()
+    val kept = sets.join(
+      sets.groupBy(col("h")).agg(count(lit(1)).as("_ns"))
+        .where(col("_ns") >= 2 && col("_ns") <= maxSources)
+        .select(col("h")),
+      Seq("h"))
+    val sizes = sets.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"))
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_shingles").as("_na"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_shingles").as("_nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("_na"), col("_nb")))
+          .as("overlap"))
+  }
+
   /** Connected components over an undirected pair list — the cluster-
     * resolution stage that turns near-dup PAIRS (L2/L3/L7 output) into
     * dedup CLUSTERS with a canonical keeper per cluster (the component

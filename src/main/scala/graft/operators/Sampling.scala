@@ -65,6 +65,25 @@ object Sampling {
       .where(col("_rk") <= n)
       .drop("_slot", "_rk")
 
+  /** L64 — leakage-safe split: assign train/heldout by the CONTENT key,
+    * not the row id, so exact duplicates (and anything else sharing the
+    * key — url, cluster id) can never straddle the boundary and leak
+    * eval content into training. The assignment is the same salted-hash
+    * [[slot]] every sampler uses — deterministic across runs, engines
+    * and partitionings, and purely map-side: no shuffle, no join, no
+    * RNG. Pass a near-dup cluster id as `key` to harden the guarantee
+    * from exact-dup to near-dup level (the q47/q93 component).
+    *
+    * Adds `split` ∈ {"train", "heldout"}; ~trainPerMille/1000 of
+    * DISTINCT keys (not rows) land in train. */
+  def leakageSafeSplit(df: DataFrame, key: Column, trainPerMille: Int,
+                       salt: String): DataFrame = {
+    require(trainPerMille >= 0 && trainPerMille <= Mille,
+      s"trainPerMille must be in [0, $Mille]")
+    df.withColumn("split",
+      when(slot(key, salt) < trainPerMille, "train").otherwise("heldout"))
+  }
+
   /** Temperature / importance resampling — the mixture-reweighting stage
     * of a multilingual training feed: each stratum gets a per-mille
     * repeat factor (1000 = keep as-is, 500 = downsample half, 2300 =

@@ -68,6 +68,35 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** L63 — dimension-truncation recall (Matryoshka-style compression
+    * eval): recall@k of exact search over the first `truncDim` embedding
+    * components against exact search over the full vector — the number
+    * that decides how hard an embedding column can be truncated before
+    * retrieval degrades (storage/IO at 100 TB scales linearly with the
+    * kept dims). Ranks tie-break on cand_id, so recall is exact, not
+    * statistical.
+    *
+    * 100 TB shape: both searches are the q28 broadcast-probe shape (the
+    * corpus never shuffles; probes are a fixed evaluation sample); the
+    * intersection join touches k rows per probe per side; the rank
+    * windows compile to WindowGroupLimit. */
+  def truncatedRecall(corpus: DataFrame, isProbe: Column, k: Int,
+                      truncDim: Int): DataFrame = {
+    val full = bruteForceTopK(corpus, corpus.filter(isProbe), k)
+      .select(col("probe_id"), col("cand_id"))
+    val tr = corpus.select(col("vec_id"),
+      slice(col("embedding"), 1, truncDim).as("embedding"))
+    val trunc = bruteForceTopK(tr, tr.filter(isProbe), k)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = full.join(trunc, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+    corpus.filter(isProbe).select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), lit(truncDim.toLong).as("trunc_dim"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplane weights for plane p:
     * integers in [-504, 504], identical on both engines. */
   def planeWeights(p: Int, dim: Int): Seq[Double] =

@@ -138,6 +138,16 @@ object LlmQueries {
   private val CapK = 10
   /** q99 shard-plan fan-out. */
   private val NumShards = 8
+  /** q101 truncation-recall dims (of the full [[Dim]]). */
+  private val TruncDims = Seq(16, 32)
+  /** q102 leakage-safe split: train share (per mille) and salt. */
+  private val SplitPerMille = 900
+  private val SplitSalt = "split42"
+  /** q103 overlap matrix: shingles in more sources than this are
+    * corpus-ubiquitous — no pairing signal, O(sources²) join rows —
+    * and are dropped (the q27 df-cap one level up). Non-vacuous at
+    * sf0.1 (3-shingle spread tops out at 17 sources). */
+  private val MaxOverlapSources = 10
 
   /** q61 chunking geometry: `ChunkSize`-token windows every
     * `ChunkStride` tokens (overlap = size − stride). */
@@ -2077,6 +2087,93 @@ object LlmQueries {
           CAST(sum(dq) AS DOUBLE) / $q AS inertia,
           (CAST(sum(dq) AS DOUBLE) / $q) / count(*) AS mean_sq_dist
         FROM dd GROUP BY cell"""
-      })
+      }),
+
+    // ---- dimension-truncation recall (L63): exact search over the
+    // first 16/32 of 64 embedding components vs the full-dim exact
+    // search — the Matryoshka-compression eval that decides how hard an
+    // embedding column can be truncated (storage/IO at 100 TB is linear
+    // in kept dims). Both searches are the q28 broadcast-probe shape;
+    // ranks tie-break on cand_id so recall is exact.
+    "q101_trunc_recall" -> Query(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        TruncDims.map(d => Similarity.truncatedRecall(emb,
+          isProbeId(col("vec_id")), TopK, d)).reduce(_ unionAll _)
+      },
+      Some {
+        def topkCte(tag: String, d: Int) =
+          s"""s$tag AS (SELECT probe_id, vec_id AS cand_id,
+                ${Similarity.sqlCosine("pe", "embedding", d)} AS cos
+              FROM p, embeddings WHERE vec_id <> probe_id),
+            t$tag AS (SELECT probe_id, cand_id FROM
+                (SELECT *, row_number() OVER
+                   (PARTITION BY probe_id ORDER BY cos DESC, cand_id)
+                   AS rk FROM s$tag)
+                WHERE rk <= $TopK)"""
+        val arms = TruncDims.map { d =>
+          s"""SELECT p.probe_id, CAST($d AS BIGINT) AS trunc_dim,
+              CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+              CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / $TopK AS recall
+            FROM p LEFT JOIN
+              (SELECT f.probe_id, count(*) AS n_hit
+               FROM tfull f JOIN td$d t
+                 ON f.probe_id = t.probe_id AND f.cand_id = t.cand_id
+               GROUP BY f.probe_id) h
+              ON p.probe_id = h.probe_id"""
+        }.mkString(" UNION ALL ")
+        s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+                FROM embeddings WHERE ${sqlProbeId}),
+          ${topkCte("full", Dim)},
+          ${TruncDims.map(d => topkCte(s"d$d", d)).mkString(",\n          ")}
+        $arms"""
+      }),
+
+    // ---- leakage-safe split (L64): train/heldout assigned by the
+    // CONTENT digest, not the row id — exact duplicates can never
+    // straddle the boundary and leak eval text into training. Pure
+    // map-side salted-hash math (the shared slot derivation); pass a
+    // near-dup cluster id instead to harden to near-dup level.
+    "q102_leakage_split" -> Query(
+      (s, dir) => Sampling.leakageSafeSplit(
+        docs(s, dir).select(col("doc_id"),
+          Dedup.contentKey(col("text")).as("ckey")),
+        col("ckey"), SplitPerMille, SplitSalt),
+      Some {
+        val ckey = s"md5(array_to_string(list_sort(list_distinct($sqlToks)), ' '))"
+        s"""SELECT doc_id, $ckey AS ckey,
+            CASE WHEN ${Sampling.sqlSlot(ckey, SplitSalt)} < $SplitPerMille
+                 THEN 'train' ELSE 'heldout' END AS split
+          FROM documents"""
+      }),
+
+    // ---- cross-source overlap matrix (L65): distinct shared shingles
+    // per source pair — the leakage heat-map generalizing eval-vs-train
+    // decontamination to all corpus slices (mirror/re-crawl detection).
+    // The (source, shingle) frame is ONE distinct aggregate over 8-byte
+    // keys; ubiquitous shingles (> $MaxOverlapSources sources) drop
+    // before the shingle-keyed pair join, bounding per-key fanout; the
+    // matrix aggregate map-combines to ≤ sources² rows per task.
+    "q103_source_overlap" -> Query(
+      (s, dir) => Dedup.sourceOverlapMatrix(docs(s, dir), col("source"),
+        col("text"), ShingleN, MaxOverlapSources),
+      Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks
+              FROM documents),
+          g AS (SELECT DISTINCT source, h FROM
+                (SELECT source, unnest(${sqlShingleHashes60("toks", ShingleN)})
+                   AS h FROM t)),
+          ns AS (SELECT h FROM g GROUP BY h
+                 HAVING count(*) BETWEEN 2 AND $MaxOverlapSources),
+          k AS (SELECT g.source, g.h FROM g JOIN ns USING (h)),
+          sz AS (SELECT source, count(*) AS n_shingles FROM g
+                 GROUP BY source)
+        SELECT a.source AS source_a, b.source AS source_b,
+          count(*) AS n_shared,
+          CAST(count(*) AS DOUBLE) / least(za.n_shingles, zb.n_shingles)
+            AS overlap
+        FROM k a JOIN k b ON a.h = b.h AND a.source < b.source
+        JOIN sz za ON za.source = a.source
+        JOIN sz zb ON zb.source = b.source
+        GROUP BY a.source, b.source, za.n_shingles, zb.n_shingles"""))
   )
 }

@@ -390,6 +390,32 @@ class PlanContractSpec extends SparkSpec {
     assert(ex.size == 1 && ex.head.contains("cell#"), ex.mkString("\n"))
   }
 
+  test("q101 truncation recall: both searches broadcast probes, k below the shuffle") {
+    val p = plan("q101_trunc_recall")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("vec_dot"), p.take(3000))
+    // rank/intersection exchanges key on probe_id; the corpus never
+    // shuffles by vec_id
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(l =>
+      l.contains("probe_id#") || l.contains("cand_id#")), ex.mkString("\n"))
+  }
+
+  test("q102 leakage split: pure map-side hash math — zero exchanges") {
+    val p = plan("q102_leakage_split")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q103 overlap matrix: shingle/source exchanges only; size frames broadcast") {
+    val p = plan("q103_source_overlap")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(l =>
+      l.contains("h#") || l.contains("source")), ex.mkString("\n"))
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
