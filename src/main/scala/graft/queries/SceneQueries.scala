@@ -949,6 +949,42 @@ object SceneQueries {
               FROM o)
         SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-        FROM g GROUP BY user_id, sid"""))
+        FROM g GROUP BY user_id, sid""")),
+
+    // ---- STREAMING trajectory assembly (L59s): the q97 operator on the
+    // live stream — the same Trajectory.sessionPaths plan over a
+    // watermarked readStream, drained with AvailableNow (the q72
+    // machinery: session state merges across micro-batches; the final
+    // no-data batch flushes watermark-finalized sessions). The oracle is
+    // the batch gap-session derivation restricted to sessions the
+    // watermark has finalized.
+    "q104_stream_trajectories" -> Query(
+      (s, dir) => {
+        val ev = streamedEvents(s, dir).withWatermark("ts", "1 hour")
+        drainToParquet(
+          graft.operators.Trajectory.sessionPaths(ev, col("ts"),
+            col("user_id"), col("event_type"), col("event_id"), "4 hours"),
+          "straj", dir)
+          .select(col("user_id"), col("s_start"), col("n_events"), col("path"))
+      },
+      Some("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                   OR ts - lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                      >= INTERVAL 4 HOUR
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        g AS (SELECT *, sum(new_s) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM o),
+        sess AS (SELECT user_id, min(ts) AS s_start,
+            max(ts) + INTERVAL 4 HOUR AS s_end, count(*) AS n_events,
+            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM g GROUP BY user_id, sid)
+        SELECT user_id, s_start, n_events, path FROM sess
+        WHERE epoch_us(s_end) <=
+          (SELECT epoch_ms(max(ts)) * 1000 - 3600000000 FROM events)"""))
   )
 }
