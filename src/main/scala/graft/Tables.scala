@@ -24,17 +24,39 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
-    * nanos as a raw long (legacy conf) and rebuild a proper timestamp at
-    * micros precision — `div` keeps the arithmetic integral (a double
-    * round-trip would lose precision above 2^53 ns ≈ 1970+104 days).
-    */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  /** `events.ts` has shipped in two disk encodings across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) — which the vectorized reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL) unless read as a raw long
+    * behind the legacy conf — and plain TIMESTAMP(MICROS), which reads
+    * natively. The loader probes the footer and follows the data rather
+    * than assuming a generator layout: the round-5 regeneration to
+    * micros turned the hard-coded nanos rebuild into an analysis error
+    * on 28 queries. Always set the legacy conf BEFORE probing so a nanos
+    * file probes as LongType instead of failing the probe itself. */
+  private[graft] def eventsTsDiskType(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    load(spark, dir, "events").schema("ts").dataType
   }
+
+  /** Normalize a loaded events frame so `ts` is always a session-TZ
+    * `TimestampType` at micros precision, whatever the disk encoding:
+    *  - INT64 nanos (legacy layout): integral `div` keeps precision
+    *    above 2^53 ns ≈ 1970+104 days where a double round-trip loses it;
+    *  - TIMESTAMP(MICROS) with isAdjustedToUTC=false (the pyarrow
+    *    layout): arrives as TimestampNTZType; the cast is value-exact
+    *    because every entry point pins `spark.sql.session.timeZone=UTC`;
+    *  - already TimestampType: pass through. */
+  private[graft] def normalizeTs(df: DataFrame,
+      disk: org.apache.spark.sql.types.DataType): DataFrame = disk match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"), eventsTsDiskType(spark, dir))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -44,13 +44,19 @@ object SceneQueries {
         event_id, value, event_id % 200 + 1 AS poly_id
       FROM events"""
 
-  /** File-source schema for streaming `events.parquet`: `ts` comes off
-    * the scan as raw nanos (legacy conf, see [[graft.Tables.events]])
-    * and is rebuilt to a micros timestamp after load. */
-  private val eventsRawSchema = new StructType()
-    .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-    .add("event_type", StringType).add("value", DoubleType)
-    .add("props", StringType)
+  /** File-source schema for streaming `events.parquet`, parameterized by
+    * the ts disk encoding probed from the batch footer
+    * ([[graft.Tables.eventsTsDiskType]]). Hard-coding `ts: LongType`
+    * here was the round-5 silent failure: micros INT64 read into a
+    * LongType field doesn't throw — it yields micros reinterpreted as
+    * nanos, the rebuild divides by 1000 again, the time axis collapses
+    * 1000× and watermarked windows never finalize (0 rows). The stream
+    * schema must follow the same probe as the batch loader. */
+  private def eventsRawSchema(tsDisk: org.apache.spark.sql.types.DataType) =
+    new StructType()
+      .add("event_id", LongType).add("ts", tsDisk).add("user_id", LongType)
+      .add("event_type", StringType).add("value", DoubleType)
+      .add("props", StringType)
 
   /** The events table on disk is either a single `events.parquet` FILE
     * (the driver generator's pyarrow layout) or a DIRECTORY of
@@ -67,13 +73,14 @@ object SceneQueries {
     else (dir, "events.parquet")
   }
 
-  private def streamedEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private[graft] def streamedEvents(s: SparkSession, dir: String): DataFrame = {
+    val tsDisk = Tables.eventsTsDiskType(s, dir) // also sets the legacy conf
     val (root, glob) = eventsStreamSource(s, dir)
-    s.readStream.schema(eventsRawSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(root)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(
+      s.readStream.schema(eventsRawSchema(tsDisk))
+        .option("pathGlobFilter", glob)
+        .parquet(root),
+      tsDisk)
   }
 
   /** Drain an append-mode streaming frame with `Trigger.AvailableNow`
