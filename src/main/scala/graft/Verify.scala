@@ -22,11 +22,19 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
+    // Every failure is RECORDED, not just logged: round 5 lost 28 queries
+    // to a data-contract change and nothing downstream noticed until the
+    // driver's numbers came back. failed.json in the output dir makes a
+    // partial dump self-describing; SPARK_GRAFT_STRICT=1 additionally
+    // exits non-zero for local gating (the driver's invocation stays
+    // tolerant so a partial dump still gets its DuckDB compare).
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
@@ -46,6 +54,13 @@ object Verify {
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/failed.json"),
+      failed.sorted.map(q).mkString("[", ",", "]"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] *** ${failed.size} QUERIES FAILED: " +
+        failed.sorted.mkString(", ") + " ***")
     spark.stop()
+    if (failed.nonEmpty && sys.env.get("SPARK_GRAFT_STRICT").contains("1"))
+      sys.exit(2)
   }
 }
