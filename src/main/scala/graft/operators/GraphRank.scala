@@ -22,19 +22,26 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one (u,v)-keyed aggregate for edge weights, one
   * u-keyed aggregate for out-weights, then per iteration ONE v-keyed
-  * map-combined aggregate; the rank frame joins the edge frame by
-  * BROADCAST (node-sized — a vocabulary for TextRank). For a
-  * corpus-scale node set (URL graphs) drop the broadcast hint and the
-  * same plan shuffle-joins on u — no other change. `localCheckpoint`
-  * truncates the per-iteration lineage exactly as the connected-
-  * components loop does.
+  * map-combined aggregate. The rank frame is node-sized, so the
+  * operator — not the caller — decides the join strategy from an
+  * actual node count: at or below `broadcastMaxNodes` the per-iteration
+  * joins carry a broadcast hint (a vocabulary for TextRank — one
+  * executor-local map, zero shuffles of the edge frame); above it the
+  * hints are omitted and the same plan shuffle-joins on u/v (a URL
+  * graph would otherwise re-broadcast a corpus-sized rank table every
+  * iteration from the driver). `localCheckpoint` truncates the
+  * per-iteration lineage exactly as the connected-components loop does.
   */
 object GraphRank {
 
   /** `edges`: (u, v, w) directed weighted edges (already symmetrized by
-    * the caller if an undirected walk is wanted). Returns (node, r). */
+    * the caller if an undirected walk is wanted). Returns (node, r).
+    * `broadcastMaxNodes` is the rank-table broadcast ceiling: ~24 bytes
+    * a row puts the default 4M at ~100 MB per executor — above it the
+    * iteration joins flip to shuffle joins with no other plan change. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
-               quantBits: Int = 40): DataFrame = {
+               quantBits: Int = 40,
+               broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(iters >= 1 && quantBits > 0 && quantBits < 53)
     val q = (1L << quantBits).toDouble
     val agg = edges.groupBy(col("u"), col("v"))
@@ -45,18 +52,22 @@ object GraphRank {
         (col("w").cast("double") / col("wout").cast("double")).as("frac"))
       .localCheckpoint()
     val nodes = frac.select(col("u").as("node")).distinct().localCheckpoint()
+    // the count is free: nodes is already localCheckpointed for the
+    // iteration lineage, so this reads the checkpoint, not the graph
+    val smallGraph = nodes.count() <= broadcastMaxNodes
+    def hinted(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
     val nn = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     val oneMinusD = 1.0 - damping
     var r = nodes.crossJoin(nn)
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
     for (_ <- 1 to iters) {
       val contrib = frac
-        .join(broadcast(r.withColumnRenamed("node", "u")), Seq("u"))
+        .join(hinted(r.withColumnRenamed("node", "u")), Seq("u"))
         .select(col("v"),
           floor((col("r") * col("frac")) * lit(q)).cast("long").as("c"))
         .groupBy(col("v"))
         .agg((sum(col("c")).cast("double") / lit(q)).as("s"))
-      r = nodes.join(broadcast(contrib), col("node") === col("v"), "left")
+      r = nodes.join(hinted(contrib), col("node") === col("v"), "left")
         .crossJoin(nn)
         .select(col("node"),
           (lit(oneMinusD) / col("n_nodes")

@@ -416,6 +416,32 @@ object Similarity {
           .otherwise(0L).as("is_keeper"))
   }
 
+  /** Deterministic auto-sized codebook election: a vector is a centroid
+    * iff `xxhash64(vec_id) % targetCell == 0`. Expected cell population
+    * is `targetCell` INDEPENDENT of corpus size — the cell count grows
+    * linearly with n, so the ~n²/cells within-cell pair join of
+    * [[semanticDedup]] stays ~n·targetCell/2 (linear) no matter what n
+    * the caller brings. This is the [[planesFor]] lesson applied to the
+    * quantizer: a codebook pinned by the caller turns the pair join
+    * quadratic as the corpus grows past its design point (the sf5
+    * 4-plane incident, SCALE.md).
+    *
+    * The dial it exposes: the codebook is collected + broadcast
+    * ([[collectCentroids]]), so at extreme n the broadcast budget sets a
+    * floor on `targetCell` — raising it shrinks the codebook n/targetCell
+    * linearly while the pair volume grows only linearly in targetCell.
+    * Hash election (not `vec_id % k`) keeps the size law when ids are
+    * sparse or clustered. */
+  def autoCodebook(targetCell: Long = 125L): Column =
+    pmod(xxhash64(col("vec_id")), lit(targetCell)) === 0
+
+  /** [[semanticDedup]] with the codebook auto-elected by
+    * [[autoCodebook]] — the scale-safe entry point: cells ∝ n, pair
+    * volume ∝ n. */
+  def semanticDedupAutoSized(vectors: DataFrame, threshold: Double,
+                             targetCell: Long = 125L): DataFrame =
+    semanticDedup(vectors, autoCodebook(targetCell), threshold)
+
   /** L62 — cluster quality metrics: per-cell member count and inertia
     * (sum of squared euclidean distance to the assigned centroid) — the
     * number that tunes the IVF/SemDeDup codebook (elbow curves, split
@@ -455,4 +481,11 @@ object Similarity {
         ((col("inertia_q").cast("double") / q) / col("n_vectors"))
           .as("mean_sq_dist"))
   }
+
+  /** [[clusterMetrics]] over an [[autoCodebook]]-elected quantizer —
+    * audits a codebook whose size follows the corpus instead of a
+    * caller-pinned cell count. */
+  def clusterMetricsAutoSized(vectors: DataFrame, quantBits: Int = 20,
+                              targetCell: Long = 125L): DataFrame =
+    clusterMetrics(vectors, autoCodebook(targetCell), quantBits)
 }

@@ -59,6 +59,29 @@ class GraphRankSpec extends SparkSpec {
     r1 shouldBe r7
   }
 
+  test("pageRank: broadcast hint flips to shuffle join above the node ceiling") {
+    // URL-graph guard: below broadcastMaxNodes the per-iteration rank
+    // join is hint-forced BroadcastHashJoin; above it the hints vanish
+    // and the SAME code plans shuffle joins. autoBroadcastJoinThreshold
+    // is disabled so only the hint can produce a broadcast — the flip is
+    // the operator's decision, not the planner's size estimate.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (0L until 20L).map(i => (i, (i + 1) % 20, 1L))
+        .toDF("u", "v", "w")
+      val small = GraphRank.pageRank(edges, iters = 2, damping = 0.85)
+      val large = GraphRank.pageRank(edges, iters = 2, damping = 0.85,
+        broadcastMaxNodes = 0L)
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "hint must force broadcast below ceiling")
+      assert(!large.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "no broadcast above ceiling")
+      // strategy must not change the math
+      small.orderBy("node").collect() shouldBe large.orderBy("node").collect()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("labelPurity: separated clusters -> positive margins; planted swap flags") {
     // two tight clusters on orthogonal axes; vector 99 carries cluster-B
     // coordinates but label 0 — the mislabel the margin must catch.

@@ -68,6 +68,33 @@ class SemanticDedupSpec extends SparkSpec {
     result.select("vec_id").distinct().count() shouldBe 7L
   }
 
+  test("autoCodebook: cell count follows the corpus (linear pair volume)") {
+    // the quadratic failure mode this pins out: a caller-pinned codebook
+    // keeps cells constant while n grows, so ~n²/cells pairs go
+    // quadratic. Hash election at a fixed stride keeps expected cell
+    // POPULATION constant — centroid count must scale ~linearly with n.
+    def centroids(n: Int): Long =
+      (0L until n.toLong).map(i => (i, Array.fill(4)(0.1f)))
+        .toDF("vec_id", "embedding")
+        .where(Similarity.autoCodebook(targetCell = 64L)).count()
+    val c1k = centroids(1000)
+    val c10k = centroids(10000)
+    assert(c1k > 0, "a 1k corpus must elect at least one centroid")
+    // 10× the corpus → ~10× the cells (Poisson tolerance, seed-free)
+    assert(c10k > c1k * 5 && c10k < c1k * 20,
+      s"cells must grow with n: $c1k @1k vs $c10k @10k")
+  }
+
+  test("semanticDedupAutoSized matches semanticDedup on its own election") {
+    val auto = Similarity.semanticDedupAutoSized(corpus, threshold = 0.95,
+      targetCell = 3L).orderBy("vec_id").collect()
+    val manual = Similarity.semanticDedup(corpus,
+      Similarity.autoCodebook(3L), threshold = 0.95)
+      .orderBy("vec_id").collect()
+    auto shouldBe manual
+    auto.length shouldBe 7
+  }
+
   test("planesFor: bit-search sizing rule") {
     Similarity.planesFor(500L, 125L) shouldBe 2
     Similarity.planesFor(5000L, 125L) shouldBe 6
