@@ -6,12 +6,91 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
 /** Corpus-curation operators for LLM training-data prep (builder brief;
-  * SURVEY.md §2.9b L57–L61): boilerplate n-gram detection, per-source
-  * document caps, dedup-aware token accounting, and balanced shard
-  * planning — the admission/reporting layer that sits between the dedup
+  * SURVEY.md §2.9b L57–L61, L66–L67): boilerplate n-gram detection,
+  * per-source document caps, dedup-aware token accounting, balanced
+  * shard planning, corpus-wide block dedup, and vocabulary-coverage
+  * audits — the admission/reporting layer that sits between the dedup
   * family ([[Dedup]]) and the sampling family ([[Sampling]]).
   */
 object Curation {
+
+  /** L66 — corpus-wide block-level dedup with document reassembly (the
+    * C4 / RefinedWeb line-dedup step generalized to fixed-width token
+    * blocks): split every document into `blockTokens`-token blocks,
+    * keep only the globally FIRST occurrence of each distinct block
+    * (ordered by (doc_id, block_idx) — deterministic), and rebuild each
+    * document from its surviving blocks in order. Returns one row per
+    * input document: (doc_id, n_blocks, n_kept, text_dedup) — a doc
+    * whose every block appeared earlier elsewhere survives with
+    * n_kept = 0 and empty text, which is exactly the boilerplate-only
+    * page the step exists to delete.
+    *
+    * 100 TB shape: first-occurrence election is ONE row_number over the
+    * 8-byte block hash (hash keys are uniform, so the exchange is
+    * skew-free by construction; no corpus-wide sort, no driver state);
+    * reassembly is one doc-keyed exchange whose per-group state is a
+    * single document's surviving blocks. Block text rides each exchange
+    * once — there is no all-pairs comparison anywhere (dedup is
+    * equality-on-hash, the L1 rule applied at block granularity). */
+  def blockDedup(docs: DataFrame, idCol: Column, text: Column,
+                 blockTokens: Int): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    val base = docs.select(idCol.as("doc_id"),
+      TextFns.tokens(text).as("toks"))
+    val blocks = base.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0L), floor((size(col("toks")) - 1) / lit(blockTokens))),
+        i => array_join(
+          slice(col("toks"), (i * blockTokens + 1).cast("int"),
+            lit(blockTokens)), " "))))
+      .toDF("doc_id", "block_idx", "btext")
+    val kept = blocks
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(TextFns.hash60(col("btext")))
+          .orderBy(col("doc_id"), col("block_idx"))))
+      .where(col("rk") === 1)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("block_idx"), col("btext")))),
+          x => x("btext")), " ").as("text_dedup"))
+    base.select(col("doc_id"),
+        (floor((size(col("toks")) - 1) / lit(blockTokens)) + 1)
+          .cast("long").as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** L67 — vocabulary coverage / OOV audit: induce the top-`vocabK`
+    * corpus vocabulary (by count desc, token asc — the q62 boundary
+    * tie-break) and report, per document, its token count, OOV token
+    * count, OOV rate, and distinct OOV types — the "how much of this
+    * corpus does my tokenizer actually cover" number that decides vocab
+    * size and flags out-of-domain ingest.
+    *
+    * 100 TB shape: vocabulary induction is one map-combined token
+    * aggregate cut by TakeOrderedAndProject (top-K never sorts the
+    * vocabulary globally); the vocabulary — vocabK rows by definition —
+    * BROADCASTS onto the token stream, so the per-doc audit is one
+    * doc-keyed map-combined aggregate; the corpus shuffles once (token
+    * agg) plus once keyed by doc id. */
+  def vocabCoverage(docs: DataFrame, idCol: Column, text: Column,
+                    vocabK: Int): DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"),
+      explode(TextFns.tokens(text)).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("tok")).limit(vocabK)
+      .select(col("tok"), lit(1).as("_in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("_in_vocab").isNull, col("tok")))
+          .as("n_oov_types"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_toks"))
+  }
 
   /** L57 — boilerplate n-gram report (the C4/RefinedWeb template-removal
     * signal generalized to n-grams). A gram is boilerplate WITHIN a

@@ -23,6 +23,66 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** L68 — per-source token-mix drift vs the whole corpus: for each
+    * source s, the total-variation distance between its unigram
+    * distribution and the corpus's,
+    * `TV(s) = Σ_t |c_st·N − c_t·n_s| / (2·n_s·N)`, with the numerator
+    * in integer-exact DECIMAL(38,0) (the [[histogramDrift]] stance —
+    * no ln(), no order-sensitive float sum). Tokens the source never
+    * emits contribute `c_t·n_s` without being materialized: their sum
+    * telescopes to `n_s·(N − Σ_{t∈s} c_t)`, so the operator only ever
+    * touches (source, token) pairs that exist. Also reports the
+    * present token with the largest drift term (tie → token asc) — the
+    * "what changed" pointer next to the "how much" score.
+    *
+    * Output: (source, n_toks_src, tv_num, tv, top_tok, top_tok_num).
+    *
+    * 100 TB shape: ONE (source, token)-keyed map-combined aggregate
+    * over the token stream; corpus totals derive from those partials
+    * (no second scan) and broadcast back; the top-term election is a
+    * rank-1 window over the vocab-sized pair frame (WindowGroupLimit
+    * keeps one row per source per task). The corpus never shuffles
+    * twice. */
+  def sourceMixDrift(docs: DataFrame, sourceCol: Column,
+                     text: Column): DataFrame = {
+    import graft.functions.TextFns
+    val st = docs.select(sourceCol.as("source"),
+        explode(TextFns.tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = ct.agg(sum(col("c_t")).as("n_tot"))
+    val terms = st.join(ct, Seq("tok")).join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("num",
+        abs(col("c_st").cast("decimal(38,0)") * col("n_tot")
+          - col("c_t").cast("decimal(38,0)") * col("n_s")))
+    val top = terms
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("num").desc, col("tok"))))
+      .where(col("rk") === 1)
+      .select(col("source"), col("tok").as("top_tok"),
+        col("num").cast("long").as("top_tok_num"))
+    // _cov is the CORPUS mass of the source's present tokens (Σ c_t over
+    // t∈s — each (source, tok) row carries c_t exactly once), so the
+    // absent-token terms Σ_{t∉s} c_t·n_s telescope to n_s·(N − _cov).
+    // Summing c_st here instead would under-count sources whose tokens
+    // are corpus-common (caught by the zero-self-drift spec).
+    terms.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_toks_src"), max(col("n_tot")).as("_n"),
+        sum(col("num")).as("_present"), sum(col("c_t")).as("_cov"))
+      .withColumn("tv_num",
+        (col("_present") + col("n_toks_src").cast("decimal(38,0)")
+          * (col("_n") - col("_cov"))).cast("decimal(38,0)"))
+      .withColumn("tv", col("tv_num").cast("double")
+        / ((lit(2.0) * col("n_toks_src")) * col("_n")))
+      .join(top, Seq("source"))
+      .select(col("source"), col("n_toks_src"),
+        col("tv_num").cast("long").as("tv_num"), col("tv"),
+        col("top_tok"), col("top_tok_num"))
+  }
+
   /** Per-bin drift frame: (bin, c_a, c_b, n_a, n_b, drift_num), where
     * drift_num = |c_a·n_b − c_b·n_a| exactly. Bins absent on one side
     * count 0 there (full-outer). Null bins form their own bin. */

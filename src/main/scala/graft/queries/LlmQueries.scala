@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Curation, Dedup, GraphRank, HeavyHitters, Multimodal, Packing, Pii, Sampling, Similarity}
+import graft.operators.{BloomPrune, Curation, Dedup, Drift, GraphRank, HeavyHitters, Multimodal, Packing, Pii, Sampling, Similarity}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -153,6 +153,14 @@ object LlmQueries {
     * `ChunkStride` tokens (overlap = size − stride). */
   private val ChunkSize = 40
   private val ChunkStride = 30
+
+  /** q105 block-dedup width (tokens per block). 16 keeps multiple
+    * blocks per synthetic doc at every SF, so reassembly is exercised
+    * with real drops. */
+  private val BlockTok = 16
+  /** q106 coverage vocabulary size — small enough that the synthetic
+    * corpus has real OOV mass at both driver SFs. */
+  private val OovVocabK = 25
 
   /** q62 vocabulary size (top-K tokens by occurrence) — smaller than
     * the synthetic corpus's distinct-token count at every SF, so the
@@ -2174,6 +2182,103 @@ object LlmQueries {
         FROM k a JOIN k b ON a.h = b.h AND a.source < b.source
         JOIN sz za ON za.source = a.source
         JOIN sz zb ON zb.source = b.source
-        GROUP BY a.source, b.source, za.n_shingles, zb.n_shingles"""))
+        GROUP BY a.source, b.source, za.n_shingles, zb.n_shingles""")),
+
+    // ---- corpus-wide block dedup + reassembly (L66): the C4/RefinedWeb
+    // line-dedup step at fixed token-block granularity — first global
+    // occurrence of each block survives, documents are rebuilt from
+    // their surviving blocks. Election is ONE rank over the 8-byte
+    // block hash (uniform keys, skew-free); reassembly one doc-keyed
+    // exchange. Both engines partition by the SAME hash60, so even a
+    // hash collision (merging two distinct blocks) stays definitionally
+    // identical across the gate.
+    "q105_block_dedup" -> Query(
+      (s, dir) => Curation.blockDedup(docs(s, dir), col("doc_id"),
+        col("text"), BlockTok),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          bi AS (SELECT doc_id, toks,
+                   unnest(range((len(toks) - 1) // $BlockTok + 1)) AS i
+                 FROM t),
+          b AS (SELECT doc_id, CAST(i AS BIGINT) AS block_idx,
+                  array_to_string(
+                    toks[(CAST(i AS BIGINT) * $BlockTok + 1):
+                         (CAST(i AS BIGINT) * $BlockTok + $BlockTok)],
+                    ' ') AS btext
+                FROM bi),
+          r AS (SELECT doc_id, block_idx, btext, row_number() OVER
+                  (PARTITION BY ${sqlHash60("btext")}
+                   ORDER BY doc_id, block_idx) AS rk
+                FROM b),
+          k AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(btext, ' ' ORDER BY block_idx) AS text_dedup
+                FROM r WHERE rk = 1 GROUP BY doc_id)
+        SELECT t.doc_id,
+          CAST((len(t.toks) - 1) // $BlockTok + 1 AS BIGINT) AS n_blocks,
+          CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+          coalesce(k.text_dedup, '') AS text_dedup
+        FROM t LEFT JOIN k ON t.doc_id = k.doc_id""")),
+
+    // ---- vocabulary coverage / OOV audit (L67): top-K corpus vocab
+    // (count desc, token asc — the q62 boundary tie-break) broadcast
+    // back over the token stream; per-doc OOV mass and type counts.
+    "q106_vocab_coverage" -> Query(
+      (s, dir) => Curation.vocabCoverage(docs(s, dir), col("doc_id"),
+        col("text"), OovVocabK),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok
+              FROM documents),
+          v AS (SELECT tok FROM
+                  (SELECT tok, count(*) AS c FROM tok GROUP BY tok
+                   ORDER BY c DESC, tok LIMIT $OovVocabK)),
+          j AS (SELECT tok.doc_id, tok.tok, v.tok AS vtok
+                FROM tok LEFT JOIN v ON tok.tok = v.tok)
+        SELECT doc_id, count(*) AS n_toks,
+          CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_oov,
+          count(DISTINCT CASE WHEN vtok IS NULL THEN tok END)
+            AS n_oov_types,
+          CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*) AS oov_rate
+        FROM j GROUP BY doc_id""")),
+
+    // ---- per-source mix drift (L68): total-variation distance of each
+    // source's unigram distribution vs the corpus, integer-exact
+    // numerator (the L53 stance — no ln, no float sum); absent-token
+    // mass telescopes so only existing (source, token) pairs
+    // materialize. One token-keyed exchange; top drifted term via
+    // rank-1 window.
+    "q107_source_drift" -> Query(
+      (s, dir) => Drift.sourceMixDrift(docs(s, dir), col("source"),
+        col("text")),
+      Some(s"""WITH tok AS (SELECT source, unnest($sqlToks) AS tok
+              FROM documents),
+          st AS (SELECT source, tok, count(*) AS c_st FROM tok
+                 GROUP BY source, tok),
+          ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st
+                 GROUP BY tok),
+          ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st
+                 GROUP BY source),
+          n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_tot FROM ct),
+          terms AS (SELECT st.source, st.tok, st.c_st, ct.c_t, ns.n_s,
+                  n.n_tot,
+                  abs(CAST(st.c_st AS DECIMAL(38,0)) * n.n_tot
+                    - CAST(ct.c_t AS DECIMAL(38,0)) * ns.n_s) AS num
+                FROM st JOIN ct USING (tok) JOIN ns USING (source), n),
+          top AS (SELECT source, tok AS top_tok,
+                  CAST(num AS BIGINT) AS top_tok_num FROM
+                    (SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY num DESC, tok) AS rk FROM terms)
+                  WHERE rk = 1),
+          agg AS (SELECT source, max(n_s) AS n_toks_src, max(n_tot) AS _n,
+                  CAST(sum(num) AS DECIMAL(38,0)) AS _present,
+                  CAST(sum(c_t) AS BIGINT) AS _cov
+                FROM terms GROUP BY source)
+        SELECT a.source, a.n_toks_src,
+          CAST(a._present + CAST(a.n_toks_src AS DECIMAL(38,0))
+               * (a._n - a._cov) AS BIGINT) AS tv_num,
+          CAST(a._present + CAST(a.n_toks_src AS DECIMAL(38,0))
+               * (a._n - a._cov) AS DOUBLE)
+            / ((CAST(2.0 AS DOUBLE) * a.n_toks_src) * a._n) AS tv,
+          t.top_tok, t.top_tok_num
+        FROM agg a JOIN top t USING (source)"""))
   )
 }

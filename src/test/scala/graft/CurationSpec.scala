@@ -29,6 +29,46 @@ class CurationSpec extends SparkSpec {
     (5 until 10).foreach { i => out(i.toLong) shouldBe ((3L, 0L)) }
   }
 
+  test("blockDedup keeps first global occurrence and reassembles in order") {
+    // 2-token blocks. doc 0 = [a b][c d]; doc 1 repeats [a b] (dropped,
+    // earlier global occurrence) then contributes [e f]; doc 2 is
+    // entirely made of already-seen blocks -> empty survivor.
+    val df = Seq(
+      (0L, "a b c d"),
+      (1L, "a b e f"),
+      (2L, "c d a b")).toDF("doc_id", "text")
+    val out = Curation.blockDedup(df, col("doc_id"), col("text"), 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(0L) shouldBe ((2L, 2L, "a b c d"))
+    out(1L) shouldBe ((2L, 1L, "e f"))
+    out(2L) shouldBe ((2L, 0L, ""))
+  }
+
+  test("blockDedup: intra-document repeats collapse; ragged tail is its own block") {
+    // doc 0 repeats its own opening block; 5 tokens at width 2 -> 3
+    // blocks with a 1-token tail ("e").
+    val df = Seq((0L, "a b a b e")).toDF("doc_id", "text")
+    val out = Curation.blockDedup(df, col("doc_id"), col("text"), 2).collect()
+    out.length shouldBe 1
+    out.head.getLong(1) shouldBe 3L   // n_blocks
+    out.head.getLong(2) shouldBe 2L   // [a b] once + tail [e]
+    out.head.getString(3) shouldBe "a b e"
+  }
+
+  test("vocabCoverage: boundary tie-break and per-doc OOV accounting") {
+    // corpus counts: x=3, y=2, z=2, w=1. K=2 vocabulary is {x, y}
+    // (count desc, token asc breaks the y/z tie toward y).
+    val df = Seq(
+      (0L, "x x y z"),
+      (1L, "x y z w")).toDF("doc_id", "text")
+    val out = Curation.vocabCoverage(df, col("doc_id"), col("text"), 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out(0L) shouldBe ((4L, 1L, 1L))          // z OOV
+    out(1L) shouldBe ((4L, 2L, 2L))          // z, w OOV
+  }
+
   test("boilerplateReport counts every occurrence of a boiler gram") {
     // "x y" df = 2/2 docs → boiler at any threshold; doc 0 contains the
     // gram twice ("x y x y" → grams [x y, y x, x y]).

@@ -50,6 +50,35 @@ class DriftSpec extends SparkSpec {
     d shouldBe Array((2L, 0L))
   }
 
+  test("sourceMixDrift: hand-computed TV, telescoped absent mass, top term") {
+    // source A: "x x y" (n_s=3), source B: "z" (n_s=1). Corpus: x=2,
+    // y=1, z=1, N=4. Present terms A: x |2·4−2·3|=2, y |1·4−1·3|=1;
+    // absent mass A = 3·(4−3)=3 → tv_num=6, tv=6/(2·3·4)=0.25.
+    // B: z |1·4−1·1|=3; absent = 1·(4−1)=3 → tv_num=6, tv=6/8=0.75.
+    val df = Seq((0L, "A", "x x y"), (1L, "B", "z"))
+      .toDF("doc_id", "source", "text")
+    val out = Drift.sourceMixDrift(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4),
+          r.getLong(5)))).toMap
+    out("A") shouldBe ((3L, 6L, 0.25, "x", 2L))
+    out("B") shouldBe ((1L, 6L, 0.75, "z", 3L))
+  }
+
+  test("sourceMixDrift: a source matching the corpus mix has zero drift") {
+    // both sources carry the identical distribution {x, y} -> TV = 0;
+    // the top-term tie then breaks toward the alphabetically first token
+    val df = Seq((0L, "A", "x y"), (1L, "B", "x y"))
+      .toDF("doc_id", "source", "text")
+    val out = Drift.sourceMixDrift(df, col("source"), col("text"))
+      .collect()
+    out.foreach { r =>
+      r.getLong(2) shouldBe 0L     // tv_num
+      r.getDouble(3) shouldBe 0.0
+      r.getString(4) shouldBe "x"
+    }
+  }
+
   test("uneven totals: cross-multiplied form stays exact") {
     // a: x×2 (N=2); b: x×3 y×3 (N=6) — same x-share 1/1 vs 1/2
     val l = Seq("x", "x").toDF("bin0")
