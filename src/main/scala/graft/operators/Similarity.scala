@@ -122,6 +122,29 @@ object Similarity {
       s"CASE WHEN $dot > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString("CAST((", " + ", ") AS BIGINT)")
 
+  /** DuckDB mirror of [[planesFor]]: the smallest p in [1, 62] with
+    * `n >> p ≤ targetBucket` (bit-shift loop as a min over a range scan
+    * — integer-exact, no float log2). `nExpr` is any scalar BIGINT SQL
+    * expression (typically `(SELECT count(*) FROM t)`). */
+  def sqlPlanesFor(nExpr: String, targetBucket: Long): String =
+    s"""(SELECT coalesce(min(range), 62) FROM range(1, 63)
+        WHERE ($nExpr >> range) <= $targetBucket)"""
+
+  /** [[sqlLshBucket]] with a RUNTIME plane count: emits `maxPlanes`
+    * masked plane terms (`p < planesExpr` guards each), so one static
+    * SQL text implements the [[planesFor]]-sized bucket at any corpus
+    * size up to targetBucket·2^maxPlanes rows — the oracle-side twin of
+    * [[hardNegativesAutoSized]]. Cost is maxPlanes dot folds per row,
+    * which is why maxPlanes stays a deliberate ceiling rather than 62. */
+  def sqlLshBucketDyn(emb: String, maxPlanes: Int, dim: Int,
+                      planesExpr: String): String =
+    (0 until maxPlanes).map { p =>
+      val dot = s"""list_reduce(list_transform(range(0, $dim),
+          j -> $emb[j + 1]::DOUBLE * (((${planeA(p)} * (j + 1) + ${planeB(p)}) % 1009 - 504))::DOUBLE),
+          (x, y) -> x + y)"""
+      s"CASE WHEN $p < $planesExpr AND $dot > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString("CAST((", " + ", ") AS BIGINT)")
+
   /** Embedding-cosine near-duplicate pairs: corpus self-joined WITHIN
     * hyperplane buckets only (equi join on the bucket id — the corpus
     * shuffles once by bucket, candidate pairs are ~n²/2^planes instead of

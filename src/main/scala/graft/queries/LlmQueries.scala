@@ -64,8 +64,10 @@ object LlmQueries {
   private val sqlProbeId = s"vec_id % 100 = 0 AND vec_id < 5000"
   private val NumPlanes = 8
 
-  /** q92 hard-negative bucket planes: wider buckets than near-dup. */
-  private val HnPlanes = 4
+  /** q92 hard-negative target bucket population: negatives want wider
+    * buckets than near-dup (q38's 8 fixed planes), so the auto-sizer
+    * aims for ~125 peers per bucket at every SF. */
+  private val HnTargetBucket = 125L
   /** q73's data-sized LSH config: ≈ log2(corpus / target bucket size)
     * planes (8 buckets for the 500-vector sf0.01 corpus), searched with
     * Hamming-1 multi-probe. */
@@ -1860,14 +1862,21 @@ object LlmQueries {
     // ---- hard-negative mining (L54): per anchor, the max-cosine
     // OTHER-label vector among its LSH-bucket peers — contrastive
     // training-pair prep without an all-pairs scan (bucketed self-join,
-    // rank-1 WindowGroupLimit; see Similarity.hardNegatives). Fewer
-    // planes than q38 (4 vs 8): negatives want wider buckets than
-    // near-dup detection.
+    // rank-1 WindowGroupLimit; see Similarity.hardNegatives). The plane
+    // count is AUTO-SIZED from the corpus row count (planesFor — the
+    // r6 sf5 gate measured the old pinned-4-plane config at 50× for 5×
+    // data: 16 buckets over 250k vectors is ~n²/16 pair work); the
+    // oracle computes the identical count with the bit-shift-loop
+    // mirror and masks its plane terms, so one static SQL text tracks
+    // the dynamic sizing at any SF up to 125·2^16 rows.
     "q92_hard_negatives" -> Query(
-      (s, dir) => Similarity.hardNegatives(
-        Tables.embeddings(s, dir), HnPlanes, Dim),
-      Some(s"""WITH v AS (SELECT vec_id, label, embedding AS e,
-              ${Similarity.sqlLshBucket("embedding", HnPlanes, Dim)} AS bucket,
+      (s, dir) => Similarity.hardNegativesAutoSized(
+        Tables.embeddings(s, dir), Dim, HnTargetBucket),
+      Some(s"""WITH pl AS (SELECT ${Similarity.sqlPlanesFor(
+                "(SELECT count(*) FROM embeddings)", HnTargetBucket)} AS np),
+          v AS (SELECT vec_id, label, embedding AS e,
+              ${Similarity.sqlLshBucketDyn("embedding", 16, Dim,
+                "(SELECT np FROM pl)")} AS bucket,
               ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
             FROM embeddings),
           c AS (SELECT a.vec_id, a.label, b.vec_id AS neg_id,
