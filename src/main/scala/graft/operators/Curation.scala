@@ -205,4 +205,122 @@ object Curation {
         col("_rank").as("g_rank"),
         ((col("_rank") - 1) % nShards).as("shard"))
   }
+
+  /** L70 — quality-classifier ROC-AUC audit: the Mann-Whitney AUC of an
+    * integer score against a binary label, with exact tie correction —
+    * the number that validates a quality/toxicity/language classifier
+    * before its threshold gates a 100 TB corpus. Uses the average-rank
+    * formulation: every member of a tied score group takes rank
+    * (min_rank + max_rank)/2, so 2·U = Σ_s n_pos(s)·(min_rk(s)+max_rk(s))
+    * − n_pos·(n_pos+1) — all integer until the final division. Returns
+    * ONE row: (n_pos, n_neg, u2, auc).
+    *
+    * 100 TB shape: the global rank is the q15 two-pass
+    * ([[MLFeed.rankByBucket]] — per-bucket row_number + broadcast
+    * offsets over equal-width score buckets, never an unpartitioned
+    * window); the per-score tie aggregate is one map-combined
+    * score-keyed exchange; u2 accumulates in DECIMAL(38,0) (rank sums
+    * are O(n²) — a long overflows near 4 B rows). */
+  def rocAuc(df: DataFrame, score: Column, label: Column,
+             idCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.select(score.cast("long").as("s"),
+      label.cast("long").as("y"), idCol.as("_id"))
+    val mm = base.agg(min(col("s")).as("lo"), max(col("s")).as("hi")).head()
+    val (lo, hi) = if (mm.isNullAt(0)) (0L, 0L)
+      else (mm.getLong(0), mm.getLong(1))
+    val nb = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val bucket = least(greatest(((col("s") - lo) * nb / (hi - lo + 1))
+      .cast("int"), lit(0)), lit(nb - 1))
+    val ranked = MLFeed.rankByBucket(base, bucket, Seq(col("s"), col("_id")))
+    val perScore = ranked.groupBy(col("s"))
+      .agg(sum(col("y")).as("n_pos_s"), min(col("_rank")).as("min_rk"),
+        max(col("_rank")).as("max_rk"))
+    perScore.agg(
+        sum(col("n_pos_s")).as("n_pos_l"),
+        sum(col("max_rk") - col("min_rk") + 1 - col("n_pos_s")).as("n_neg_l"),
+        sum((col("min_rk") + col("max_rk")).cast(DecimalType(38, 0))
+          * col("n_pos_s")).as("rk2_sum"))
+      .select(col("n_pos_l").as("n_pos"), col("n_neg_l").as("n_neg"),
+        (col("rk2_sum") - col("n_pos_l").cast(DecimalType(38, 0))
+          * (col("n_pos_l") + 1)).as("u2"))
+      .withColumn("auc", col("u2").cast("double")
+        / (lit(2.0) * col("n_pos") * col("n_neg")))
+  }
+
+  /** L71 — calibration audit (reliability bins): bucket a predicted
+    * probability into `bins` equal-width bins and report, per bin, the
+    * support, positive count, exact mean prediction, empirical positive
+    * rate, and |gap| — the reliability diagram + per-bin ECE contribution
+    * that decides whether a quality classifier's scores can be used as
+    * sampling weights (vs mere ranks). The mean prediction goes through
+    * the decimal-exact [[graft.queries.Q.dsum]] path so partial-agg
+    * order cannot skew it.
+    *
+    * 100 TB shape: ONE map-combined groupBy on the bin id (≤ bins rows
+    * per task) — nothing else touches the corpus. */
+  def calibrationReport(df: DataFrame, prob: Column, label: Column,
+                        bins: Int): DataFrame = {
+    val b = least(floor(prob * bins).cast("long"), lit(bins - 1L)).as("bin")
+    df.select(b, prob.as("p"), label.cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        graft.queries.Q.dsum(col("p"), 6).as("_sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("_sp") / col("n")).as("mean_pred"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"),
+        abs(col("_sp") / col("n") - col("n_pos").cast("double") / col("n"))
+          .as("gap"))
+  }
+
+  /** L72 — hashed n-gram importance weights (the DSIR recipe, Xie et al.
+    * 2023, arXiv:2302.03169): score every document by how much its token
+    * distribution looks like a TARGET slice of the corpus vs the raw
+    * corpus, via hashed unigram buckets. Per bucket b the weight is the
+    * smoothed probability ratio  ((c_tgt(b)+1)·(N+B)) / ((c_all(b)+1)·(T+B))
+    * quantized by integer floor division at `Scale` — exact, log-free
+    * arithmetic (ln differs in the last ulp across libm builds; an
+    * engine-portable score cannot contain it), monotone in the true
+    * ratio. A document's score is the sum of its tokens' bucket weights;
+    * resampling keeps the top mass (rank or threshold — caller's cut).
+    * Returns (doc_id, n_toks, dsir_score, dsir_mean).
+    *
+    * 100 TB shape: bucket counts are ONE map-combined aggregate onto ≤
+    * `buckets` rows; the weight table (buckets rows by construction)
+    * BROADCASTS back onto the token stream; the per-doc score is one
+    * doc-keyed map-combined exchange. The corpus shuffles exactly twice,
+    * both times as 8-byte keys. Weight products run in DECIMAL(38,0):
+    * c·N at corpus scale overflows a long. */
+  def importanceWeights(docs: DataFrame, idCol: Column, text: Column,
+                        isTarget: Column, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val Scale = 1000000L
+    val tok = docs.select(idCol.as("doc_id"),
+        isTarget.cast("long").as("_t"), explode(TextFns.tokens(text)).as("tok"))
+      .select(col("doc_id"), col("_t"),
+        pmod(TextFns.hash60(col("tok")), lit(buckets.toLong)).as("b"))
+    val counts = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_all"), sum(col("_t")).as("c_tgt"))
+    val totals = counts.agg(sum(col("c_all")).as("n_all"),
+      sum(col("c_tgt")).as("n_tgt"))
+    // Integer floor division (`div`), not `/`: the quantized weight must
+    // be the same integer in every engine — fractional decimal division
+    // rounds at an engine-chosen scale.
+    def idiv(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(a), Bridge.expression(b)))
+    }
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        idiv((col("c_tgt") + 1).cast(DecimalType(38, 0))
+            * (col("n_all") + buckets) * Scale,
+          (col("c_all") + 1).cast(DecimalType(38, 0))
+            * (col("n_tgt") + buckets)).as("w"))
+    tok.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("dsir_score"))
+      .withColumn("dsir_mean",
+        col("dsir_score").cast("double") / col("n_toks"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFns
 
 /** Embedding similarity search (builder brief; SURVEY.md §7.2 step 11):
@@ -511,4 +512,56 @@ object Similarity {
   def clusterMetricsAutoSized(vectors: DataFrame, quantBits: Int = 20,
                               targetCell: Long = 125L): DataFrame =
     clusterMetrics(vectors, autoCodebook(targetCell), quantBits)
+
+  /** L69 — cluster-agreement audit (Adjusted Rand Index): how well the
+    * quantizer's cell assignment reproduces a ground-truth labeling —
+    * the retrain-regression gate for the IVF/SemDeDup codebook (did the
+    * new codebook move documents across semantic groups?) and the
+    * label-noise probe for weakly-supervised corpora. Complements
+    * [[labelPurity]] (majority-vote precision): ARI is symmetric,
+    * chance-corrected, and insensitive to cluster-id permutation.
+    *
+    * Returns ONE row: n, the three pair-concordance sums
+    * (`sum_comb_cells` = Σ_ij C(n_ij,2), `sum_comb_truth` = Σ_i C(a_i,2),
+    * `sum_comb_assigned` = Σ_j C(b_j,2)) as exact integers, and `ari` =
+    * (Σ_ij − E)/(½(Σ_i+Σ_j) − E) with E = Σ_i·Σ_j / C(n,2) — the only
+    * float step, computed from exact integer inputs.
+    *
+    * 100 TB shape: assignment is the map-side [[graft.functions.NearestCells]]
+    * kernel (the corpus never shuffles for it); the ONLY data-bearing
+    * exchange is the (truth, cell) contingency aggregate, map-combined
+    * to ≤ labels·cells rows per task; the row/column/pair sums all
+    * derive from that contingency frame (labels·cells rows — re-aggregated
+    * without touching the corpus again), and the three resulting scalars
+    * cross-join into the final row. C(x,2) products go through
+    * DECIMAL(38,0) so Σ_i·Σ_j cannot overflow at corpus scale. */
+  def clusterAgreement(vectors: DataFrame, truthCol: Column,
+                       isCentroid: Column): DataFrame = {
+    val (centIds, centFlat, centNorms, dim) = collectCentroids(vectors, isCentroid)
+    val assigned = vectors.select(truthCol.as("truth"),
+      element_at(graft.functions.VecFns.nearestCells(col("embedding"),
+        centIds, centFlat, centNorms, dim, 1), 1).as("cell"))
+    // C(x,2) as exact decimal: x*(x-1)/2 — integral, the /2 is exact.
+    def comb2(c: Column): Column =
+      (c.cast(DecimalType(38, 0)) * (c - 1) / 2).cast(DecimalType(38, 0))
+    val cont = assigned.groupBy(col("truth"), col("cell"))
+      .agg(count(lit(1)).as("n_ij"))
+    val sij = cont.agg(sum(comb2(col("n_ij"))).as("sum_comb_cells"),
+      sum(col("n_ij")).as("n"))
+    val sa = cont.groupBy(col("truth")).agg(sum(col("n_ij")).as("a_i"))
+      .agg(sum(comb2(col("a_i"))).as("sum_comb_truth"))
+    val sb = cont.groupBy(col("cell")).agg(sum(col("n_ij")).as("b_j"))
+      .agg(sum(comb2(col("b_j"))).as("sum_comb_assigned"))
+    sij.crossJoin(sa).crossJoin(sb)
+      .select(col("n"), col("sum_comb_cells"), col("sum_comb_truth"),
+        col("sum_comb_assigned"),
+        ((col("sum_comb_cells").cast("double")
+          - col("sum_comb_truth").cast("double")
+            * col("sum_comb_assigned") / comb2(col("n")).cast("double"))
+          / ((col("sum_comb_truth").cast("double")
+              + col("sum_comb_assigned")) / 2
+            - col("sum_comb_truth").cast("double")
+              * col("sum_comb_assigned") / comb2(col("n")).cast("double")))
+          .as("ari"))
+  }
 }

@@ -164,6 +164,14 @@ object LlmQueries {
     * corpus has real OOV mass at both driver SFs. */
   private val OovVocabK = 25
 
+  /** q109 reliability-diagram bin count. */
+  private val CalibBins = 10
+
+  /** q111 DSIR hash-bucket count — small enough that every bucket is
+    * populated at sf0.001, large enough that the en/raw ratio varies
+    * across buckets. */
+  private val DsirBuckets = 256
+
   /** q62 vocabulary size (top-K tokens by occurrence) — smaller than
     * the synthetic corpus's distinct-token count at every SF, so the
     * K-boundary cut (and its tie-break) is actually exercised by the
@@ -2288,6 +2296,122 @@ object LlmQueries {
                * (a._n - a._cov) AS DOUBLE)
             / ((CAST(2.0 AS DOUBLE) * a.n_toks_src) * a._n) AS tv,
           t.top_tok, t.top_tok_num
-        FROM agg a JOIN top t USING (source)"""))
+        FROM agg a JOIN top t USING (source)""")),
+
+    // ---- ROC-AUC classifier audit (L70): Mann-Whitney AUC with exact
+    // tie correction — does doc length predict English-ness? The score
+    // (n_chars) is integer and heavily tied, so the average-rank tie
+    // path is actually exercised. Rank is the q15 two-pass, never an
+    // unpartitioned window; u2 accumulates in DECIMAL(38,0).
+    "q108_roc_auc" -> Query(
+      (s, dir) => Curation.rocAuc(docs(s, dir), col("n_chars"),
+        col("lang") === "en", col("doc_id")),
+      Some("""WITH r AS (SELECT n_chars AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+             FROM documents),
+          g AS (SELECT s, CAST(sum(y) AS BIGINT) AS n_pos_s,
+                  min(rk) AS min_rk, max(rk) AS max_rk
+                FROM r GROUP BY s),
+          a AS (SELECT CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+                  CAST(sum(max_rk - min_rk + 1 - n_pos_s) AS BIGINT) AS n_neg,
+                  CAST(sum(CAST(min_rk + max_rk AS HUGEINT) * n_pos_s)
+                    AS HUGEINT) AS rk2
+                FROM g)
+        SELECT n_pos, n_neg,
+          CAST(rk2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2,
+          CAST(rk2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+            / (2.0 * n_pos * n_neg) AS auc
+        FROM a""")),
+
+    // ---- calibration audit (L71): reliability bins of a length-based
+    // "probability of English" against the actual label — support,
+    // positive count, decimal-exact mean prediction, empirical rate,
+    // |gap| per bin. ONE map-combined groupBy.
+    "q109_calibration" -> Query(
+      (s, dir) => Curation.calibrationReport(docs(s, dir),
+        least(col("n_chars"), lit(1000L)).cast("double") / 1000.0,
+        col("lang") === "en", CalibBins),
+      Some(s"""WITH d AS (SELECT least(n_chars, 1000) / 1000.0 AS p,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             FROM documents),
+          b AS (SELECT CAST(least(floor(p * $CalibBins), ${CalibBins - 1})
+                  AS BIGINT) AS bin, p, y FROM d)
+        SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+          (${Q.sqlSum("p", 6)} / count(*)) AS mean_pred,
+          CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate,
+          abs(${Q.sqlSum("p", 6)} / count(*)
+            - CAST(sum(y) AS DOUBLE) / count(*)) AS gap
+        FROM b GROUP BY bin""")),
+
+    // ---- cluster-agreement ARI (L69): does the q100 quantizer's cell
+    // assignment reproduce the embedding labels? Chance-corrected,
+    // permutation-invariant — the codebook-retrain regression gate.
+    // Same fixed centroid election as q100 so the oracle mirrors the
+    // assignment in plain SQL.
+    "q110_cluster_ari" -> Query(
+      (s, dir) => Similarity.clusterAgreement(Tables.embeddings(s, dir),
+        col("label"), col("vec_id") % 125 === 7),
+      Some(s"""WITH e AS (SELECT vec_id, embedding, label,
+               ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+             FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, embedding AS cemb, nn AS cn
+                FROM e WHERE vec_id % 125 = 7),
+          a0 AS (SELECT e.vec_id, e.label, c.cent_id,
+                   (${Similarity.sqlDotD("e.embedding", "c.cemb", Dim)}
+                     / sqrt(e.nn * c.cn)) AS csim
+                 FROM e, c),
+          asn AS (SELECT label AS truth, cent_id AS cell FROM
+                  (SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY csim DESC, cent_id)
+                     AS crk FROM a0)
+                  WHERE crk = 1),
+          cont AS (SELECT truth, cell, count(*) AS n_ij FROM asn
+                   GROUP BY truth, cell),
+          s1 AS (SELECT CAST(sum(CAST(n_ij AS HUGEINT) * (n_ij - 1) // 2)
+                    AS HUGEINT) AS sij,
+                  CAST(sum(n_ij) AS BIGINT) AS n FROM cont),
+          s2 AS (SELECT CAST(sum(CAST(a_i AS HUGEINT) * (a_i - 1) // 2)
+                    AS HUGEINT) AS sa FROM
+                  (SELECT CAST(sum(n_ij) AS BIGINT) AS a_i FROM cont
+                   GROUP BY truth)),
+          s3 AS (SELECT CAST(sum(CAST(b_j AS HUGEINT) * (b_j - 1) // 2)
+                    AS HUGEINT) AS sb FROM
+                  (SELECT CAST(sum(n_ij) AS BIGINT) AS b_j FROM cont
+                   GROUP BY cell))
+        SELECT n, sij AS sum_comb_cells, sa AS sum_comb_truth,
+          sb AS sum_comb_assigned,
+          (CAST(sij AS DOUBLE) - CAST(sa AS DOUBLE) * sb
+             / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE))
+          / ((CAST(sa AS DOUBLE) + sb) / 2 - CAST(sa AS DOUBLE) * sb
+             / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE)) AS ari
+        FROM s1, s2, s3""")),
+
+    // ---- DSIR importance weights (L72): hashed-unigram probability
+    // ratio of the English slice vs the raw corpus, integer-quantized
+    // (log-free — ln is not bit-portable across libm builds). Bucket
+    // counts aggregate to $DsirBuckets rows, the weight table
+    // broadcasts back, per-doc score is one doc-keyed exchange.
+    "q111_dsir_weights" -> Query(
+      (s, dir) => Curation.importanceWeights(docs(s, dir), col("doc_id"),
+        col("text"), col("lang") === "en", DsirBuckets),
+      Some(s"""WITH tok AS (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+               (${sqlHash60("tk")} % $DsirBuckets) AS b
+             FROM (SELECT doc_id, lang, unnest($sqlToks) AS tk
+                   FROM documents)),
+          c AS (SELECT b, count(*) AS c_all,
+                  CAST(sum(t) AS BIGINT) AS c_tgt FROM tok GROUP BY b),
+          tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+                  CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM c),
+          w AS (SELECT b, CAST((CAST(c_tgt + 1 AS HUGEINT)
+                    * (n_all + $DsirBuckets) * 1000000)
+                  // (CAST(c_all + 1 AS HUGEINT) * (n_tgt + $DsirBuckets))
+                  AS BIGINT) AS w
+                FROM c, tot)
+        SELECT doc_id, count(*) AS n_toks,
+          CAST(sum(w.w) AS BIGINT) AS dsir_score,
+          CAST(sum(w.w) AS DOUBLE) / count(*) AS dsir_mean
+        FROM tok JOIN w USING (b) GROUP BY doc_id"""))
   )
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Similarity}
+
+/** The round-6 audit family: ROC-AUC with tie correction
+  * ([[Curation.rocAuc]]), reliability bins ([[Curation.calibrationReport]]),
+  * cluster-agreement ARI ([[Similarity.clusterAgreement]]), and DSIR
+  * importance weights ([[Curation.importanceWeights]]) — each pinned
+  * against a hand-computed fixture. */
+class AuditOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rocAuc: tied scores take average ranks (hand-computed U)") {
+    // scores 1,2,2,3 / labels 0,0,1,1. Ranks 1, 2.5, 2.5, 4.
+    // U = (2.5 + 4) - 2*3/2 = 3.5 -> u2 = 7, AUC = 3.5/(2*2) = 0.875.
+    val df = Seq((1L, 0), (2L, 0), (2L, 1), (3L, 1))
+      .toDF("s", "y").withColumn("id", monotonically_increasing_id())
+    val r = Curation.rocAuc(df, col("s"), col("y"), col("id")).head()
+    r.getLong(0) shouldBe 2L // n_pos
+    r.getLong(1) shouldBe 2L // n_neg
+    r.getDecimal(2).longValueExact() shouldBe 7L
+    r.getDouble(3) shouldBe 0.875 +- 1e-12
+  }
+
+  test("rocAuc: perfect and inverted separation hit 1.0 and 0.0") {
+    val perfect = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("s", "y").withColumn("id", monotonically_increasing_id())
+    Curation.rocAuc(perfect, col("s"), col("y"), col("id"))
+      .head().getDouble(3) shouldBe 1.0 +- 1e-12
+    val inverted = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0))
+      .toDF("s", "y").withColumn("id", monotonically_increasing_id())
+    Curation.rocAuc(inverted, col("s"), col("y"), col("id"))
+      .head().getDouble(3) shouldBe 0.0 +- 1e-12
+  }
+
+  test("rocAuc matches a single-window reference on a random-ish frame") {
+    // 200 rows, score = (i*37)%23 (many ties), label = i%3==0.
+    val df = (0 until 200).map(i => (i.toLong, (i * 37) % 23, i % 3))
+      .toDF("id", "s", "m")
+      .select(col("id"), col("s"), (col("m") === 0).cast("int").as("y"))
+    val ref = {
+      // average-rank AUC via two plain windows (test-only shape)
+      import org.apache.spark.sql.expressions.Window
+      val ranked = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("s"), col("id"))))
+      val g = ranked.groupBy("s").agg(sum("y").as("p"),
+        min("rk").as("lo"), max("rk").as("hi"))
+      val agg = g.agg(sum("p").as("np"),
+        sum(expr("hi - lo + 1 - p")).as("nn"),
+        sum(expr("(lo + hi) * p")).as("rk2")).head()
+      val (np, nn, rk2) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      (rk2 - np * (np + 1)).toDouble / (2.0 * np * nn)
+    }
+    Curation.rocAuc(df, col("s"), col("y"), col("id"))
+      .head().getDouble(3) shouldBe ref +- 1e-12
+  }
+
+  test("calibrationReport bins support, rate, and exact mean prediction") {
+    // p=1.0 lands in the LAST bin (least(floor(p*B), B-1)).
+    val df = Seq((0.05, 1), (0.05, 0), (0.95, 1), (1.0, 1))
+      .toDF("p", "y")
+    val out = Curation.calibrationReport(df, col("p"), col("y"), 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    out.keySet shouldBe Set(0L, 9L)
+    out(0L)._1 shouldBe 2L
+    out(0L)._2 shouldBe 1L
+    out(0L)._3 shouldBe 0.05 +- 1e-9
+    out(0L)._4 shouldBe 0.5 +- 1e-12
+    out(9L)._1 shouldBe 2L
+    out(9L)._2 shouldBe 2L
+    out(9L)._4 shouldBe 1.0 +- 1e-12
+  }
+
+  test("clusterAgreement: a partition agrees with itself at ARI = 1") {
+    // 3 tight groups along distinct axes; centroids = one per group.
+    // truth = the generating group -> assignment recovers it exactly.
+    val vecs = (0 until 30).map { i =>
+      val g = i % 3
+      val base = Array.fill(4)(0.01f * i)
+      base(g) = 10f
+      (i.toLong, base.toSeq, g)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.clusterAgreement(vecs, col("label"),
+      col("vec_id") < 3).head()
+    r.getLong(0) shouldBe 30L
+    r.getDouble(4) shouldBe 1.0 +- 1e-12
+  }
+
+  test("clusterAgreement: independent labeling lands near 0 (hand check)") {
+    // truth alternates 0/1 independent of the two spatial groups -> a
+    // perfectly balanced 2x2 contingency (n_ij = 10). Hand ARI:
+    // sij = 4*C(10,2) = 180, sa = sb = 2*C(20,2) = 380, C(40,2) = 780,
+    // E = 380*380/780 -> ARI = (180-E)/(380-E) = -4000/152000 = -1/38.
+    val vecs = (0 until 40).map { i =>
+      val g = i % 2 // spatial group (recovered by assignment)
+      val base = Array.fill(4)(0f)
+      base(g) = 10f
+      (i.toLong, base.toSeq, (i / 2) % 2) // truth independent of g
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.clusterAgreement(vecs, col("label"),
+      col("vec_id") < 2).head()
+    r.getDouble(4) shouldBe (-1.0 / 38.0) +- 1e-9
+  }
+
+  test("importanceWeights: target == corpus collapses to the Scale constant") {
+    // When every doc is in the target slice, c_tgt(b) == c_all(b) and
+    // T == N, so every bucket weight is exactly Scale = 1e6 and a doc's
+    // score is n_toks * 1e6.
+    val df = Seq((0L, "a b c"), (1L, "d e")).toDF("doc_id", "text")
+    val out = Curation.importanceWeights(df, col("doc_id"), col("text"),
+        lit(true), 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(0L) shouldBe ((3L, 3000000L))
+    out(1L) shouldBe ((2L, 2000000L))
+  }
+
+  test("importanceWeights favors docs made of target-heavy tokens") {
+    // 'en'-slice docs use token x; raw-only docs use token y. A doc of
+    // x-tokens must outscore a doc of y-tokens.
+    val df = (Seq((0L, "x x x", true), (1L, "x x x", true)) ++
+      Seq((2L, "y y y", false), (3L, "y y y", false), (4L, "x y y", false)))
+      .toDF("doc_id", "text", "tgt")
+    val out = Curation.importanceWeights(df, col("doc_id"), col("text"),
+        col("tgt"), 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out(0L) should be > out(2L)
+    out(4L) should be > out(2L)
+    out(4L) should be < out(0L)
+  }
+}
