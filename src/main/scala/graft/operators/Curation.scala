@@ -323,4 +323,75 @@ object Curation {
       .withColumn("dsir_mean",
         col("dsir_score").cast("double") / col("n_toks"))
   }
+
+  /** L74 — content-defined chunking (the FastCDC/rsync idea at token
+    * grain): a chunk boundary falls AFTER every token whose hash ≡ 0
+    * (mod `modulus`), so boundaries are decided by content, not
+    * position — insert a sentence into a document and every chunk
+    * except the one touched keeps its identity, where the fixed-width
+    * blocks of [[blockDedup]] all shift and re-hash. Expected chunk
+    * length is `modulus` tokens. Emits one row per chunk: (doc_id,
+    * chunk_idx, chunk_start, n_toks, chunk_key, is_first) — is_first
+    * marks the globally-first occurrence of the chunk's content
+    * (ordered (doc_id, chunk_idx)), so `is_first = 0` rows ARE the
+    * shift-resistant duplicate mass.
+    *
+    * 100 TB shape: boundary flags and chunk ids are one doc-keyed
+    * window (partition-parallel, per-group state = one document); the
+    * chunk rebuild groups by (doc, chunk) UNDER the same doc
+    * partitioning (no second exchange — HashPartitioning(doc) satisfies
+    * the (doc, chunk) clustering); first-occurrence election is one
+    * row_number over the 32-byte content key — uniform, skew-free. */
+  def cdcChunks(docs: DataFrame, idCol: Column, text: Column,
+                modulus: Int): DataFrame = {
+    require(modulus >= 1, s"modulus must be >= 1, got $modulus")
+    val toks = docs.select(idCol.as("doc_id"),
+        posexplode(TextFns.tokens(text)))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("bnd",
+        when(pmod(TextFns.hash60(col("tok")), lit(modulus.toLong)) === 0, 1L)
+          .otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk_idx", coalesce(sum(col("bnd")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("pos")).cast("long").as("chunk_start"),
+        count(lit(1)).as("n_toks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ")).as("chunk_key"))
+    chunks.withColumn("is_first",
+      when(row_number().over(Window.partitionBy(col("chunk_key"))
+        .orderBy(col("doc_id"), col("chunk_idx"))) === 1, 1L).otherwise(0L))
+  }
+
+  /** L76 — per-group exact quantiles (discrete: the element at rank
+    * ceil(q·n), never an interpolated value): p50/p90/p99 of an integer
+    * measure per group — the per-source length/quality profile that
+    * `approx_percentile` cannot give a hash-stable answer for. Exact
+    * and engine-portable because every output is an actual input value
+    * selected by integer rank.
+    *
+    * 100 TB shape: ONE group-partitioned window (partition-parallel;
+    * per-group state is the group's sort — groups here are corpus
+    * sources, i.e. dozens); the quantile election is a conditional
+    * aggregate over the ranked frame under the same partitioning. For
+    * a single-group corpus use the L20 global cut-points instead (that
+    * operator's two-pass bucketed rank exists precisely because a
+    * mono-key window cannot parallelize). */
+  def groupQuantiles(df: DataFrame, group: Column, value: Column,
+                     idCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"), col("_id"))
+    val ranked = df.select(group.as("_g"), value.cast("long").as("_v"),
+        idCol.as("_id"))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_g"))))
+    def pick(q: Double): Column =
+      max(when(col("_rk") === greatest(lit(1L),
+        ceil(lit(q) * col("_n")).cast("long")), col("_v")))
+    ranked.groupBy(col("_g").as("group_key"))
+      .agg(count(lit(1)).as("n"), pick(0.5).as("p50"),
+        pick(0.9).as("p90"), pick(0.99).as("p99"))
+  }
 }

@@ -172,6 +172,13 @@ object LlmQueries {
     * across buckets. */
   private val DsirBuckets = 256
 
+  /** q113 content-defined chunk modulus (expected chunk length in
+    * tokens) — small enough that synthetic docs carry several chunks. */
+  private val CdcModulus = 8
+
+  /** q114 bigram-LM interpolation weight on the conditional term. */
+  private val BigramLambda = 0.75
+
   /** q62 vocabulary size (top-K tokens by occurrence) — smaller than
     * the synthetic corpus's distinct-token count at every SF, so the
     * K-boundary cut (and its tie-break) is actually exercised by the
@@ -2412,6 +2419,113 @@ object LlmQueries {
         SELECT doc_id, count(*) AS n_toks,
           CAST(sum(w.w) AS BIGINT) AS dsir_score,
           CAST(sum(w.w) AS DOUBLE) / count(*) AS dsir_mean
-        FROM tok JOIN w USING (b) GROUP BY doc_id"""))
+        FROM tok JOIN w USING (b) GROUP BY doc_id""")),
+
+    // ---- content-defined chunking (L74): FastCDC/rsync boundaries at
+    // token grain — a boundary after every token whose hash ≡ 0 mod m,
+    // so chunk identity survives insertions that shift every fixed
+    // block of q105. is_first = 0 rows are the shift-resistant
+    // duplicate mass.
+    "q113_cdc_chunks" -> Query(
+      (s, dir) => Curation.cdcChunks(docs(s, dir), col("doc_id"),
+        col("text"), CdcModulus),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          tk AS (SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) - 1 AS pos FROM t),
+          b AS (SELECT doc_id, pos, tok,
+                  CASE WHEN (${sqlHash60("tok")} % $CdcModulus) = 0
+                    THEN 1 ELSE 0 END AS bnd
+                FROM tk),
+          c AS (SELECT doc_id, pos, tok,
+                  coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS chunk_idx
+                FROM b),
+          ch AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(min(pos) AS BIGINT) AS chunk_start,
+                   count(*) AS n_toks,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_key
+                 FROM c GROUP BY doc_id, chunk_idx)
+        SELECT doc_id, chunk_idx, chunk_start, n_toks, chunk_key,
+          CAST(CASE WHEN row_number() OVER (PARTITION BY chunk_key
+              ORDER BY doc_id, chunk_idx) = 1 THEN 1 ELSE 0 END AS BIGINT)
+            AS is_first
+        FROM ch""")),
+
+    // ---- interpolated bigram-LM scoring (L75): per-doc mean NLL under
+    // p(w2|w1) = λ·c12/c1 + (1-λ)·c2/N trained on the corpus itself —
+    // the KenLM-shaped upgrade of q80's unigram filter. The bigram
+    // probability table is corpus-sized, so it JOINS on the bigram key
+    // (never broadcasts); per-bigram log-probs quantize to
+    // DECIMAL(18,9) before the doc sum (the q80 parity rule).
+    "q114_bigram_nll" -> Query(
+      (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"),
+          tokens(col("text")).as("toks"))
+        val tok = base.select(explode(col("toks")).as("tok"))
+        val uc = tok.groupBy(col("tok")).agg(count(lit(1)).as("c2"))
+        val nTot = uc.agg(sum(col("c2")).as("nn"))
+        val bg = base.where(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2")))).as("pr"))
+          .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val c1t = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val lp = bc.join(c1t, Seq("w1"))
+          .join(uc.withColumnRenamed("tok", "w2"), Seq("w2"))
+          .crossJoin(broadcast(nTot))
+          .select(col("w1"), col("w2"),
+            log(lit(BigramLambda) * col("c12") / col("c1")
+              + lit(1 - BigramLambda) * col("c2") / col("nn")).as("lp"))
+        bg.join(lp, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (-Q.dsum(col("lp"), 9)).as("nll"))
+          .withColumn("nll_per_bigram", col("nll") / col("n_bigrams"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+          bg AS (SELECT doc_id, toks[CAST(i AS BIGINT)] AS w1,
+                   toks[CAST(i AS BIGINT) + 1] AS w2
+                 FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+                 WHERE len(toks) >= 2),
+          bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+          c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc
+                  GROUP BY w1),
+          uc AS (SELECT tok AS w2, count(*) AS c2 FROM
+                   (SELECT unnest($sqlToks) AS tok FROM documents)
+                 GROUP BY tok),
+          nt AS (SELECT CAST(sum(c2) AS BIGINT) AS nn FROM uc),
+          lp AS (SELECT bc.w1, bc.w2,
+                   ln($BigramLambda * c12 / c1
+                     + ${1 - BigramLambda} * c2 / nn) AS lp
+                 FROM bc JOIN c1t USING (w1) JOIN uc USING (w2), nt),
+          d AS (SELECT doc_id, count(*) AS n_bigrams,
+                  -(CAST(sum(CAST(lp AS DECIMAL(18,9))) AS DOUBLE)) AS nll
+                FROM bg JOIN lp USING (w1, w2) GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, nll, nll / n_bigrams AS nll_per_bigram
+        FROM d""")),
+
+    // ---- per-source exact quantiles (L76): discrete p50/p90/p99 of
+    // doc length per source — every output is an actual input value at
+    // integer rank ceil(q·n), so the result is hash-stable where
+    // approx_percentile is not. Partition-parallel per-source windows.
+    "q115_group_quantiles" -> Query(
+      (s, dir) => Curation.groupQuantiles(docs(s, dir), col("source"),
+        col("n_chars"), col("doc_id")),
+      Some("""WITH r AS (SELECT source AS group_key, n_chars AS v, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+             FROM documents)
+        SELECT group_key, count(*) AS n,
+          max(CASE WHEN rk = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+            THEN v END) AS p50,
+          max(CASE WHEN rk = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+            THEN v END) AS p90,
+          max(CASE WHEN rk = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+            THEN v END) AS p99
+        FROM r GROUP BY group_key"""))
   )
 }

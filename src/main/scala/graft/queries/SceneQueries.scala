@@ -992,6 +992,37 @@ object SceneQueries {
           FROM g GROUP BY user_id, sid)
         SELECT user_id, s_start, n_events, path FROM sess
         WHERE epoch_us(s_end) <=
+          (SELECT epoch_ms(max(ts)) * 1000 - 3600000000 FROM events)""")),
+
+    // ---- STREAMING stream-static enrichment join (L73s): the event
+    // firehose joined per micro-batch against the STATIC nation
+    // dimension (stateless — no join state, the dimension broadcasts),
+    // then watermarked 6h tumbling windows per nation name (the q71
+    // finalization machinery). The one stream-shape the surface lacked:
+    // q87 is stream-STREAM, this is stream-STATIC.
+    "q112_stream_enrich" -> Query(
+      (s, dir) => {
+        val ev = streamedEvents(s, dir)
+          .withColumn("value", col("value").cast(DecimalType(18, 4)))
+        val dim = Tables.nation(s, dir)
+        drainToParquet(
+          EventWindows.enrichedWindowedStats(ev, pmod(col("user_id"), lit(25L)),
+            dim, "n_nationkey", "n_name", "ts", "1 hour", "6 hours"),
+          "senrich", dir)
+          .select(col("w_start"), col("w_end"), col("n_name"),
+            col("n"), col("sum_value").cast("double").as("sum_value"))
+      },
+      Some(s"""WITH e AS (SELECT ev.ts, ev.value, n.n_name
+            FROM events ev JOIN nation n ON ev.user_id % 25 = n.n_nationkey),
+          w AS (SELECT
+              make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+                AS w_start,
+              n_name, value FROM e),
+          a AS (SELECT w_start, w_start + INTERVAL 6 HOUR AS w_end,
+              n_name, count(*) AS n, ${sqlSum("value")} AS sum_value
+            FROM w GROUP BY w_start, n_name)
+        SELECT w_start, w_end, n_name, n, sum_value FROM a
+        WHERE epoch_us(w_end) <=
           (SELECT epoch_ms(max(ts)) * 1000 - 3600000000 FROM events)"""))
   )
 }

@@ -42,6 +42,29 @@ object EventWindows {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment join + watermarked windowed aggregation:
+    * the canonical "enrich the firehose with a dimension table" shape.
+    * The dimension side is a BATCH frame — Structured Streaming
+    * re-plans the join per micro-batch with no state (a stream-static
+    * join is stateless by construction), and the broadcast hint keeps
+    * it a map-side hash join: the stream never shuffles for the
+    * enrichment, only for the windowed aggregate that follows.
+    *
+    * `streamKey` derives the dimension key from the event row; `dim`
+    * must carry `dimKey` and the `attr` column the windows group by.
+    * Append-mode compatible (watermark finalizes windows). */
+  def enrichedWindowedStats(events: DataFrame, streamKey: Column,
+                            dim: DataFrame, dimKey: String, attr: String,
+                            tsCol: String, watermark: String,
+                            windowDur: String): DataFrame =
+    events.withColumn("_k", streamKey)
+      .withWatermark(tsCol, watermark)
+      .join(broadcast(dim.select(col(dimKey).as("_k"), col(attr))), Seq("_k"))
+      .groupBy(window(col(tsCol), windowDur), col(attr))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col(attr), col("n"), col("sum_value"))
+
   /** Watermarked stream-stream interval join — the streaming counterpart
     * of the batch as-of join ([[graft.operators.AsOf]], q59): each left
     * row pairs with the right rows for the same key whose event time

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventWindows
 
@@ -60,6 +61,30 @@ class EventWindowsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     rows.filter(_._1 == 1L) shouldBe Array((1L, 2L, 3.0))
     rows.filter(_._1 == 2L).toSet shouldBe Set((2L, 1L, 3.0), (2L, 1L, 4.0))
+  }
+
+  test("stream-static enrichment joins the dimension per micro-batch, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // static dimension: user parity -> cohort name
+    val dim = Seq((0L, "even"), (1L, "odd")).toDF("k", "cohort")
+    val q = EventWindows.enrichedWindowedStats(in.toDF(),
+        pmod(col("user_id"), lit(2L)), dim, "k", "cohort",
+        "ts", "10 seconds", "30 seconds")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+
+    in.addData(ev(5, 1, "a", 1.0), ev(10, 3, "a", 2.0), ev(12, 2, "b", 5.0))
+    q.processAllAvailable()
+    in.addData(ev(100, 4, "c", 0.0)) // advance watermark, finalize [0,30)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("enrich_out")
+      .select("cohort", "n", "sum_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows should contain(("odd", 2L, 3.0)) // users 1 and 3
+    rows should contain(("even", 1L, 5.0)) // user 2
   }
 
   test("stateful first-seen dedup emits each key once across micro-batches") {
