@@ -366,6 +366,45 @@ object Curation {
         .orderBy(col("doc_id"), col("chunk_idx"))) === 1, 1L).otherwise(0L))
   }
 
+  /** L78 — reciprocal-rank fusion of two quality signals (the RRF
+    * recipe from hybrid retrieval, applied to curation): rank the
+    * corpus independently by each signal (descending, id tie-break),
+    * fuse with score = 1/(k + rank_a) + 1/(k + rank_b), keep the top
+    * `topN` — the rank-robust way to combine signals with incomparable
+    * scales (a length heuristic and an importance weight, BM25 and
+    * cosine) without normalizing either. Integer ranks make the float
+    * fusion engine-exact.
+    *
+    * 100 TB shape: each global rank is the q15 two-pass
+    * ([[MLFeed.rankByBucket]] over equal-width score buckets) — two
+    * bucketed rank passes, a co-keyed self-join on the row id, and a
+    * TakeOrderedAndProject cut at topN; no unpartitioned window
+    * anywhere. */
+  def rrfFuse(df: DataFrame, idCol: Column, scoreA: Column, scoreB: Column,
+              k: Int, topN: Int): DataFrame = {
+    def rankBy(score: Column, out: String): DataFrame = {
+      val base = df.select(idCol.as("id"), score.cast("long").as("s"))
+      val mm = base.agg(min(col("s")).as("lo"), max(col("s")).as("hi")).head()
+      val (lo, hi) = if (mm.isNullAt(0)) (0L, 0L)
+        else (mm.getLong(0), mm.getLong(1))
+      val nb = df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt
+      // descending: rank 1 = highest score (negate into the ascending
+      // two-pass machinery); id tie-break keeps it total
+      val key = lit(hi) - col("s")
+      val bucket = least(greatest((key * nb / (hi - lo + 1)).cast("int"),
+        lit(0)), lit(nb - 1))
+      MLFeed.rankByBucket(base.withColumn("_key", key), bucket,
+          Seq(col("_key"), col("id")))
+        .select(col("id"), col("_rank").as(out))
+    }
+    rankBy(scoreA, "rank_a").join(rankBy(scoreB, "rank_b"), Seq("id"))
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        (lit(1.0) / (lit(k) + col("rank_a"))
+          + lit(1.0) / (lit(k) + col("rank_b"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id")).limit(topN)
+  }
+
   /** L76 — per-group exact quantiles (discrete: the element at rank
     * ceil(q·n), never an interpolated value): p50/p90/p99 of an integer
     * measure per group — the per-source length/quality profile that

@@ -50,4 +50,48 @@ object HeavyHitters {
       .where(col("n_occ") * minFracDen >= col("n_total"))
       .select(col("k").as("token"), col("n_occ"))
   }
+
+  /** L77 — Count-Min sketch frequency audit: build a depth×width CMS
+    * over the key stream (row j hashes with salt j), then report, for
+    * the exact top-`auditK` keys, the true count next to the CMS
+    * estimate (min over the depth rows) and the overestimate — the
+    * measurement that sizes a production CMS (width vs error) before
+    * it replaces exact counting in a 100 TB pass. CMS estimates are
+    * deterministic given the hash family ([[graft.functions.TextFns.hash60]]
+    * with per-row salts), so the whole audit is oracle-exact; the CMS
+    * guarantee est ≥ true holds by construction.
+    *
+    * 100 TB shape: the counter build is ONE (row, bucket)-keyed
+    * map-combined aggregate — each occurrence expands to `depth` rows,
+    * but the exchange carries ≤ depth·width counter partials per task
+    * (the counter table is depth·width rows TOTAL, by construction);
+    * the audit join broadcasts the counter table onto the ≤ auditK
+    * candidate frame. The exact top-K pass exists only for the audit
+    * and is cut by TakeOrderedAndProject. */
+  def countMinAudit(items: DataFrame, key: Column, depth: Int, width: Int,
+                    auditK: Int): DataFrame = {
+    import graft.functions.TextFns
+    require(depth >= 1 && width >= 1, s"bad CMS geometry $depth x $width")
+    val ks = items.select(key.as("k"))
+    val counters = ks
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("k"))
+      .select(col("j"),
+        pmod(TextFns.hash60(concat(col("j").cast("string"), lit("_"),
+          col("k"))), lit(width.toLong)).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = ks.groupBy(col("k")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("k")).limit(auditK)
+    val est = (0 until depth).foldLeft(
+      top.withColumn("est", lit(Long.MaxValue))) { (acc, j) =>
+      acc.withColumn("_b", pmod(TextFns.hash60(concat(lit(s"${j}_"),
+          col("k"))), lit(width.toLong)))
+        .join(broadcast(counters.where(col("j") === j)
+          .select(col("bucket").as("_b"), col("c").as(s"_c$j"))), Seq("_b"))
+        .withColumn("est", least(col("est"), col(s"_c$j")))
+        .drop("_b", s"_c$j")
+    }
+    est.select(col("k").as("token"), col("n_true"), col("est").as("n_est"),
+      (col("est") - col("n_true")).as("overestimate"))
+  }
 }

@@ -179,6 +179,18 @@ object LlmQueries {
   /** q114 bigram-LM interpolation weight on the conditional term. */
   private val BigramLambda = 0.75
 
+  /** q116 CMS geometry + audit size: width 16 is deliberately TIGHT
+    * against the synthetic ~31-token vocabulary so bucket collisions —
+    * the thing the audit measures — actually occur at every SF (width
+    * 512 produced all-zero overestimates at sf0.01: vacuous). */
+  private val CmsDepth = 4
+  private val CmsWidth = 16
+  private val CmsAuditK = 30
+
+  /** q117 RRF constant (the canonical k=60) and fused-list size. */
+  private val RrfK = 60
+  private val RrfTopN = 100
+
   /** q62 vocabulary size (top-K tokens by occurrence) — smaller than
     * the synthetic corpus's distinct-token count at every SF, so the
     * K-boundary cut (and its tie-break) is actually exercised by the
@@ -2526,6 +2538,50 @@ object LlmQueries {
             THEN v END) AS p90,
           max(CASE WHEN rk = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
             THEN v END) AS p99
-        FROM r GROUP BY group_key"""))
+        FROM r GROUP BY group_key""")),
+
+    // ---- Count-Min sketch audit (L77): deterministic CMS (hash60 with
+    // per-row salts) vs exact counts for the top tokens — the
+    // width-vs-error measurement that sizes a production CMS. The
+    // counter table is depth*width rows by construction; est >= true
+    // always (the CMS guarantee, visible in the overestimate column).
+    "q116_cms_audit" -> Query(
+      (s, dir) => HeavyHitters.countMinAudit(
+        docs(s, dir).select(explode(tokens(col("text"))).as("tok")),
+        col("tok"), CmsDepth, CmsWidth, CmsAuditK),
+      Some {
+        def b(kExpr: String, jExpr: String) =
+          s"(${sqlHash60(s"CAST($jExpr AS VARCHAR) || '_' || $kExpr")} % $CmsWidth)"
+        s"""WITH ks AS (SELECT unnest($sqlToks) AS k FROM documents),
+          ex AS (SELECT k, CAST(j AS BIGINT) AS j FROM ks,
+                 LATERAL (SELECT unnest(range($CmsDepth)) AS j)),
+          cnt AS (SELECT j, ${b("k", "j")} AS bucket, count(*) AS c
+                  FROM ex GROUP BY j, bucket),
+          top AS (SELECT k, count(*) AS n_true FROM ks GROUP BY k
+                  ORDER BY n_true DESC, k LIMIT $CmsAuditK),
+          est AS (SELECT t.k, t.n_true, min(c.c) AS n_est
+                  FROM top t JOIN cnt c
+                    ON c.bucket = ${b("t.k", "c.j")}
+                  GROUP BY t.k, t.n_true)
+        SELECT k AS token, n_true, n_est, n_est - n_true AS overestimate
+        FROM est"""
+      }),
+
+    // ---- reciprocal-rank fusion (L78): fuse two quality signals with
+    // incomparable scales (char length, token count) by rank only —
+    // score = 1/(k+rank_a) + 1/(k+rank_b), canonical k=60. Integer
+    // ranks make the float fusion engine-exact; both global ranks are
+    // the q15 two-pass.
+    "q117_rrf_fusion" -> Query(
+      (s, dir) => Curation.rrfFuse(docs(s, dir), col("doc_id"),
+        col("n_chars"), size(tokens(col("text"))), RrfK, RrfTopN),
+      Some(s"""WITH r AS (SELECT doc_id,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_a,
+               row_number() OVER (ORDER BY len($sqlToks) DESC, doc_id)
+                 AS rank_b
+             FROM documents)
+        SELECT doc_id AS id, rank_a, rank_b,
+          1e0 / ($RrfK + rank_a) + 1e0 / ($RrfK + rank_b) AS rrf
+        FROM r ORDER BY rrf DESC, doc_id LIMIT $RrfTopN"""))
   )
 }

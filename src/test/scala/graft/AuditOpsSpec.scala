@@ -117,6 +117,45 @@ class AuditOpsSpec extends SparkSpec {
     out(1L) shouldBe ((2L, 2000000L))
   }
 
+  test("countMinAudit: est >= true always; width 1 collapses to the stream total") {
+    import graft.operators.HeavyHitters
+    val items = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("tok")
+    // ample width: every estimate exact
+    val wide = HeavyHitters.countMinAudit(items, col("tok"), 2, 4096, 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    wide("a") shouldBe ((5L, 5L))
+    wide("b") shouldBe ((3L, 3L))
+    wide("c") shouldBe ((1L, 1L))
+    // width 1: every key shares the single bucket -> est = 9 for all
+    val tight = HeavyHitters.countMinAudit(items, col("tok"), 3, 1, 3)
+      .collect()
+    tight.foreach { r =>
+      r.getLong(2) shouldBe 9L
+      r.getLong(3) shouldBe 9L - r.getLong(1) // overestimate
+    }
+  }
+
+  test("rrfFuse: hand-computed fusion of two opposed rankings") {
+    // scoreA ranks 1,2,3 as id 3,2,1; scoreB ranks them 1,2,3 ->
+    // with k=0: id1: 1/3+1/1, id2: 1/2+1/2, id3: 1/1+1/3.
+    val df = Seq((1L, 10L, 30L), (2L, 20L, 20L), (3L, 30L, 10L))
+      .toDF("id", "a", "b")
+    val out = Curation.rrfFuse(df, col("id"), col("a"), col("b"), 0, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out(1L) shouldBe (1.0 / 3 + 1.0) +- 1e-12
+    out(2L) shouldBe 1.0 +- 1e-12
+    out(3L) shouldBe (1.0 + 1.0 / 3) +- 1e-12
+  }
+
+  test("rrfFuse: topN cut is deterministic under rrf ties (id tie-break)") {
+    // identical scores -> ranks decided by id; take top 2 of 4
+    val df = (1L to 4L).map(i => (i, 5L, 5L)).toDF("id", "a", "b")
+    val out = Curation.rrfFuse(df, col("id"), col("a"), col("b"), 60, 2)
+      .collect().map(_.getLong(0)).toSeq
+    out shouldBe Seq(1L, 2L) // rank = id order on ties -> best rrf first
+  }
+
   test("importanceWeights favors docs made of target-heavy tokens") {
     // 'en'-slice docs use token x; raw-only docs use token y. A doc of
     // x-tokens must outscore a doc of y-tokens.
