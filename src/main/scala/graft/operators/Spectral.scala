@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Spectral / geometric audits over an embedding column (builder brief
+  * §2.9b L79–L80): the dominant principal direction by power iteration,
+  * and the per-label centroid-similarity matrix — the "is my embedding
+  * space collapsing / are two sources the same thing" numbers.
+  *
+  * Engine-exact arithmetic convention (the q60/L53 rule, applied to
+  * linear algebra): every float that enters a distributed SUM is first
+  * floor-quantized at 2^30 fixed point — multiplication by a power of
+  * two is EXACT in IEEE 754 (exponent shift), floor has no rounding
+  * mode, and the integer sums that follow are order-independent. The
+  * only remaining float ops (divisions, sqrt, the final cosines) are
+  * correctly-rounded IEEE primitives computed in a fixed expression
+  * order, so both engines produce bit-identical results.
+  */
+object Spectral {
+
+  /** 2^30 fixed-point scale shared by both operators and their oracles. */
+  val Q: Double = 1073741824.0
+
+  /** Fixed-point floor quantization of a double column. */
+  private def fq(c: Column): Column = floor(c * Q).cast("long")
+
+  /** L79 — dominant principal component by power iteration on the
+    * second-moment matrix M = Σ x·xᵀ (uncentered PCA — the
+    * anisotropy/collapse audit for an embedding space: a dominant
+    * direction with an outsized eigenvalue means cosine similarity is
+    * being driven by one axis). Returns one row per dimension:
+    * (d, loading, lambda) — the unit dominant vector after `iters`
+    * iterations from the deterministic start ones/√dim, and the
+    * Rayleigh estimate λ = ‖M·v‖ of its eigenvalue (per-row mean
+    * second moment — intensive, corpus-size-free).
+    *
+    * 100 TB shape: M is built in ONE corpus scan — the per-row dim×dim
+    * product expansion map-combines into ≤ dim² partial sums per task,
+    * so the single exchange carries a dim²-row frame no matter the
+    * corpus size; the iterations are driver-side arithmetic on that
+    * dim×dim matrix (the codebook-collect precedent — dim² = 4096
+    * values for dim 64), costing ZERO further scans. Per-product
+    * fixed-point quantization makes the matrix — and therefore every
+    * downstream iterate — engine-exact. */
+  def dominantComponent(vectors: DataFrame, dim: Int,
+                        iters: Int = 3): DataFrame = {
+    val spark = vectors.sparkSession
+    val pairs = vectors.select(explode(flatten(transform(col("embedding"),
+        (xi, i) => transform(col("embedding"),
+          (xj, j) => struct((i * dim + j).as("k"),
+            fq(xi.cast("double") * xj.cast("double")).as("q")))))).as("e"))
+      .select(col("e.k").as("k"), col("e.q").as("q"))
+    // dim² rows — the codebook-collect precedent (q66's 64-row stats):
+    // driver-side M is what makes the iterations scan-free.
+    // M is the MEAN second moment (sums div n): entries are O(E[x_ix_j])
+    // regardless of corpus size, so every fixed-point integer downstream
+    // stays far below 2^53 — the bound where int→double conversion is
+    // exact in any engine (DuckDB's wide-decimal→double cast is not
+    // correctly rounded above it; see centroidSimilarity).
+    val n = vectors.count()
+    val mq = new Array[Long](dim * dim)
+    pairs.groupBy(col("k"))
+      .agg(sum(col("q").cast(DecimalType(38, 0))).as("s"))
+      .collect().foreach { r =>
+        mq(r.getInt(0)) =
+          (r.getDecimal(1).toBigInteger.divide(
+            java.math.BigInteger.valueOf(n))).longValueExact()
+      }
+    val m = mq.map(_.toDouble / Q)
+    // power iteration with the SAME quantize-before-sum rule the SQL
+    // oracle applies, so every iterate is bit-identical cross-engine.
+    // Start = ones/√dim: deterministic, and not orthogonal to a planted
+    // axis the way a basis vector can be (e₀ ⊥ dominant ⇒ no progress).
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val yq = Array.tabulate(dim) { j =>
+        var s = 0L
+        var i = 0
+        while (i < dim) {
+          s += math.floor(m(j * dim + i) * v(i) * Q).toLong
+          i += 1
+        }
+        s
+      }
+      val y = yq.map(_.toDouble / Q)
+      var nq = 0L
+      y.foreach(yj => nq += math.floor(yj * yj * Q).toLong)
+      val norm = math.sqrt(nq.toDouble / Q)
+      lambda = norm
+      v = y.map(_ / norm)
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (l, d) => (d.toLong, l, lambda) }
+      .toSeq.toDF("d", "loading", "lambda")
+  }
+
+  /** SQL oracle fragment for [[dominantComponent]]: the same M build
+    * and unrolled iterations over a (k, mq) CTE — interpolated by the
+    * query registry so operator and oracle share one definition of the
+    * quantization. `emb` is the embedding column name, `tbl` the table. */
+  def sqlDominantComponent(tbl: String, emb: String, dim: Int,
+                           iters: Int): String = {
+    val qL = Q.toLong
+    val mBuild =
+      s"""pr AS (SELECT (i.d * $dim + j.d) AS k,
+              CAST(floor(CAST($emb[i.d + 1] AS DOUBLE)
+                * CAST($emb[j.d + 1] AS DOUBLE) * $qL) AS BIGINT) AS q
+            FROM $tbl,
+              LATERAL (SELECT unnest(range($dim)) AS d) i,
+              LATERAL (SELECT unnest(range($dim)) AS d) j),
+          m AS (SELECT k, CAST(CAST(sum(q) AS HUGEINT)
+                  // (SELECT count(*) FROM $tbl) AS DOUBLE) / $qL AS mv
+                FROM pr GROUP BY k)"""
+    // v0 = ones/sqrt(dim); norms/sums quantized exactly as the Scala
+    val v0 =
+      s"""v0 AS (SELECT CAST(d AS BIGINT) AS j, 1e0 / sqrt($dim) AS v
+           FROM (SELECT unnest(range($dim)) AS d))"""
+    val its = (1 to iters).map { t =>
+      val y =
+        s"""y$t AS (SELECT m.k // $dim AS j,
+               CAST(sum(CAST(floor(m.mv * v${t - 1}.v * $qL) AS BIGINT))
+                 AS DOUBLE) / $qL AS y
+             FROM m JOIN v${t - 1} ON m.k % $dim = v${t - 1}.j
+             GROUP BY m.k // $dim)"""
+      val n =
+        s"""n$t AS (SELECT sqrt(CAST(sum(CAST(floor(y * y * $qL) AS BIGINT))
+             AS DOUBLE) / $qL) AS nrm FROM y$t)"""
+      val v = s"v$t AS (SELECT j, y / nrm AS v FROM y$t, n$t)"
+      s"$y,\n          $n,\n          $v"
+    }.mkString(",\n          ")
+    s"""WITH $mBuild,
+          $v0,
+          $its
+        SELECT CAST(j AS BIGINT) AS d, v AS loading,
+          (SELECT nrm FROM n$iters) AS lambda
+        FROM v$iters"""
+  }
+
+  /** L80 — per-label centroid-similarity matrix: the cosine between the
+    * mean embeddings of every label pair (a ≤ b) plus member counts —
+    * the "are these two sources/classes the same thing in embedding
+    * space" redundancy map that decides merges and mixture weights one
+    * level above [[Dedup.sourceOverlapMatrix]]'s lexical overlap.
+    *
+    * Numeric contract: per-dim sums quantize at 2^30 (exact integer
+    * agg); the CENTROID then re-quantizes to 2^20 fixed point by
+    * integer division (truncation toward zero — Spark `div` and DuckDB
+    * `//` agree), which keeps every downstream integer — per-dim
+    * products and their 64-term sums — strictly below 2^53, where
+    * int→double conversion is EXACT in any engine. That bound is the
+    * whole design: DuckDB's wide-decimal→double cast is not correctly
+    * rounded, so no integer allowed near a double is ever wider than
+    * 53 bits. Valid while per-dim centroids stay under 8 in magnitude
+    * (then c < 2^23 and Σ₆₄ c² < 2^53); unit-ish embeddings are far
+    * inside.
+    *
+    * 100 TB shape: ONE (label, dim)-keyed map-combined aggregate —
+    * ≤ labels·dim partial rows per task; the centroid frame
+    * (labels·dim rows) self-joins into the ≤ labels² matrix. The
+    * corpus never shuffles and nothing downstream depends on its
+    * size. */
+  def centroidSimilarity(vectors: DataFrame, labelCol: Column): DataFrame = {
+    def idiv(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(a), Bridge.expression(b)))
+    }
+    val sums = vectors.select(labelCol.as("lbl"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("lbl"), col("d"))
+      .agg(sum(fq(col("x").cast("double")).cast(DecimalType(38, 0))).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("lbl"), col("d"), col("n"),
+        idiv(col("sx"), col("n").cast(DecimalType(38, 0)) * 1024).as("c"))
+    val a = sums.select(col("lbl").as("label_a"), col("d"),
+      col("c").as("ca"), col("n").as("n_a"))
+    val b = sums.select(col("lbl").as("label_b"), col("d"),
+      col("c").as("cb"), col("n").as("n_b"))
+    a.join(b, Seq("d")).where(col("label_a") <= col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("ca") * col("cb")).as("_ab"),
+        sum(col("ca") * col("ca")).as("_aa"),
+        sum(col("cb") * col("cb")).as("_bb"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (col("_ab").cast("double")
+          / sqrt(col("_aa").cast("double") * col("_bb").cast("double")))
+          .as("cos_sim"))
+  }
+}

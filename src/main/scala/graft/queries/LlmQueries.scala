@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Curation, Dedup, Drift, GraphRank, HeavyHitters, Multimodal, Packing, Pii, Sampling, Similarity}
+import graft.operators.{BloomPrune, Curation, Dedup, Drift, GraphRank, HeavyHitters, Multimodal, Packing, Pii, Sampling, Similarity, Spectral}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -2582,6 +2582,48 @@ object LlmQueries {
              FROM documents)
         SELECT doc_id AS id, rank_a, rank_b,
           1e0 / ($RrfK + rank_a) + 1e0 / ($RrfK + rank_b) AS rrf
-        FROM r ORDER BY rrf DESC, doc_id LIMIT $RrfTopN"""))
+        FROM r ORDER BY rrf DESC, doc_id LIMIT $RrfTopN""")),
+
+    // ---- dominant principal component (L79): 3-round power iteration
+    // on the second-moment matrix — the embedding-anisotropy audit.
+    // M is built in ONE corpus scan (dim² map-combined partial sums);
+    // iterations are driver-side on the 64×64 matrix. Fixed-point
+    // quantization (floor at 2^30 — exact in IEEE) before every sum
+    // makes each iterate bit-identical across engines.
+    "q118_dominant_component" -> Query(
+      (s, dir) => Spectral.dominantComponent(Tables.embeddings(s, dir),
+        Dim, iters = 3),
+      Some(Spectral.sqlDominantComponent("embeddings", "embedding",
+        Dim, iters = 3))),
+
+    // ---- per-label centroid-similarity matrix (L80): cosine between
+    // label mean-embeddings (cosine is scale-invariant, so exact
+    // quantized SUMS substitute for means) — the embedding-space
+    // redundancy map one level above q103's lexical overlap.
+    "q119_centroid_sim" -> Query(
+      (s, dir) => Spectral.centroidSimilarity(Tables.embeddings(s, dir),
+        col("label")),
+      Some {
+        val qL = Spectral.Q.toLong
+        // centroids re-quantize to 2^20 by integer division so every
+        // int near a double stays below 2^53 (exact conversion — the
+        // DuckDB wide-decimal→double cast is not correctly rounded)
+        s"""WITH s AS (SELECT label AS lbl, dd.d AS d, count(*) AS n,
+              CAST(sum(CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE)
+                * $qL) AS BIGINT)) AS HUGEINT) // (count(*) * 1024) AS c
+            FROM embeddings, LATERAL (SELECT unnest(range($Dim)) AS d) dd
+            GROUP BY label, dd.d),
+          p AS (SELECT a.lbl AS label_a, b.lbl AS label_b,
+                  a.n AS n_a, b.n AS n_b,
+                  CAST(sum(a.c * b.c) AS BIGINT) AS ab,
+                  CAST(sum(a.c * a.c) AS BIGINT) AS aa,
+                  CAST(sum(b.c * b.c) AS BIGINT) AS bb
+                FROM s a JOIN s b ON a.d = b.d AND a.lbl <= b.lbl
+                GROUP BY a.lbl, b.lbl, a.n, b.n)
+        SELECT label_a, label_b, n_a, n_b,
+          CAST(ab AS DOUBLE) / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE))
+            AS cos_sim
+        FROM p"""
+      })
   )
 }

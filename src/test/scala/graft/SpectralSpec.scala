@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Spectral
+
+/** [[graft.operators.Spectral]] — power-iteration convergence to a
+  * planted dominant axis, unit-norm output, and centroid-similarity
+  * geometry (self = 1, orthogonal = 0). */
+class SpectralSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dominantComponent recovers a planted dominant axis, unit-norm") {
+    // 200 vectors: strong component on axis 2 (+/- 5), noise elsewhere.
+    val vecs = (0 until 200).map { i =>
+      val a = Array.tabulate(8)(d => 0.01f * ((i * 7 + d) % 5 - 2))
+      a(2) = if (i % 2 == 0) 5f else -5f
+      (i.toLong, a.toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Spectral.dominantComponent(vecs, 8, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val loadings = out.sortBy(_._1).map(_._2)
+    math.abs(loadings(2)) should be > 0.99
+    loadings.map(l => l * l).sum shouldBe 1.0 +- 1e-6
+    // lambda ~ mean second moment along the axis = 25
+    out.head._3 shouldBe 25.0 +- 1.0
+  }
+
+  test("dominantComponent is invariant to row order (exact integer agg)") {
+    val base = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(4)(d => (math.sin(i * 1.7 + d) * 3).toFloat).toSeq)
+    }
+    val a = Spectral.dominantComponent(
+      base.toDF("vec_id", "embedding"), 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Spectral.dominantComponent(
+      base.reverse.toDF("vec_id", "embedding").repartition(7), 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a shouldBe b // bit-identical, not approximately equal
+  }
+
+  test("centroidSimilarity: self-pairs cosine 1, orthogonal labels cosine ~0") {
+    // label 0 along axis 0, label 1 along axis 1, label 2 = label 0 dir
+    val vecs = (0 until 90).map { i =>
+      val l = i % 3
+      val a = Array.fill(4)(0f)
+      a(if (l == 2) 0 else l) = 3f + (i % 5) * 0.1f
+      (i.toLong, a.toSeq, l)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Spectral.centroidSimilarity(vecs, col("label"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    out((0, 0)) shouldBe 1.0 +- 1e-9
+    out((0, 1)) shouldBe 0.0 +- 1e-9
+    out((0, 2)) shouldBe 1.0 +- 1e-6 // same direction, different magnitude
+    out.keySet.size shouldBe 6 // pairs with a <= b over 3 labels
+  }
+}
