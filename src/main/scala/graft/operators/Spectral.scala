@@ -47,27 +47,30 @@ object Spectral {
   def dominantComponent(vectors: DataFrame, dim: Int,
                         iters: Int = 3): DataFrame = {
     val spark = vectors.sparkSession
-    val pairs = vectors.select(explode(flatten(transform(col("embedding"),
-        (xi, i) => transform(col("embedding"),
-          (xj, j) => struct((i * dim + j).as("k"),
-            fq(xi.cast("double") * xj.cast("double")).as("q")))))).as("e"))
-      .select(col("e.k").as("k"), col("e.q").as("q"))
-    // dim² rows — the codebook-collect precedent (q66's 64-row stats):
-    // driver-side M is what makes the iterations scan-free.
-    // M is the MEAN second moment (sums div n): entries are O(E[x_ix_j])
-    // regardless of corpus size, so every fixed-point integer downstream
-    // stays far below 2^53 — the bound where int→double conversion is
-    // exact in any engine (DuckDB's wide-decimal→double cast is not
-    // correctly rounded above it; see centroidSimilarity).
-    val n = vectors.count()
-    val mq = new Array[Long](dim * dim)
-    pairs.groupBy(col("k"))
-      .agg(sum(col("q").cast(DecimalType(38, 0))).as("s"))
-      .collect().foreach { r =>
-        mq(r.getInt(0)) =
-          (r.getDecimal(1).toBigInteger.divide(
-            java.math.BigInteger.valueOf(n))).longValueExact()
-      }
+    // M in ONE pass through the native MomentMatrixAgg kernel: a tight
+    // O(dim²) per-row loop into a primitive long[dim²] buffer — the
+    // explode-dim²-structs formulation of the same sum pushed dim²·n
+    // rows through the hash aggregate and measured 11-16× slower
+    // (sf1 7.1 s → 0.66 s, sf5 14.2 s → 0.91 s; SCALE.md round 6).
+    // The shuffle carries one dim²-long buffer per task (scalar-merge
+    // shape). M is the MEAN second moment (sums div n): entries are
+    // O(E[x_ix_j]) regardless of corpus size, so every fixed-point
+    // integer downstream stays far below 2^53 — the bound where
+    // int→double conversion is exact in any engine (DuckDB's
+    // wide-decimal→double cast is not correctly rounded above it; see
+    // centroidSimilarity).
+    val row = vectors.agg(
+      graft.functions.MomentMatrixAgg.momentMatrix(col("embedding"), dim)
+        .as("m"),
+      count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    val mSums = row.getSeq[Long](0)
+    // empty input: keep the zero matrix (loadings degrade to NaN rows,
+    // no crash — the EmptyInputSpec contract)
+    val mq =
+      if (n == 0L) new Array[Long](dim * dim)
+      else mSums.map(s => java.math.BigInteger.valueOf(s)
+        .divide(java.math.BigInteger.valueOf(n)).longValueExact()).toArray
     val m = mq.map(_.toDouble / Q)
     // power iteration with the SAME quantize-before-sum rule the SQL
     // oracle applies, so every iterate is bit-identical cross-engine.

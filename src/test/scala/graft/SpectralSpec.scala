@@ -39,6 +39,31 @@ class SpectralSpec extends SparkSpec {
     a shouldBe b // bit-identical, not approximately equal
   }
 
+  test("MomentMatrixAgg matches the explode formulation of the same sum") {
+    import org.apache.spark.sql.types.DecimalType
+    val dim = 4
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (math.cos(i * 0.9 + d) * 2).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val kernel = vecs.agg(graft.functions.MomentMatrixAgg
+        .momentMatrix(col("embedding"), dim).as("m"))
+      .head().getSeq[Long](0)
+    val hof = {
+      val q = 1073741824.0
+      val pairs = vecs.select(explode(flatten(transform(col("embedding"),
+          (xi, i) => transform(col("embedding"),
+            (xj, j) => struct((i * dim + j).as("k"),
+              floor(xi.cast("double") * xj.cast("double") * q)
+                .cast("long").as("v")))))).as("e"))
+        .select(col("e.k").as("k"), col("e.v").as("v"))
+      pairs.groupBy(col("k"))
+        .agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1).longValueExact())
+        .toMap
+    }
+    kernel.zipWithIndex.foreach { case (v, k) => v shouldBe hof(k) }
+  }
+
   test("centroidSimilarity: self-pairs cosine 1, orthogonal labels cosine ~0") {
     // label 0 along axis 0, label 1 along axis 1, label 2 = label 0 dir
     val vecs = (0 until 90).map { i =>
