@@ -1023,6 +1023,37 @@ object SceneQueries {
             FROM w GROUP BY w_start, n_name)
         SELECT w_start, w_end, n_name, n, sum_value FROM a
         WHERE epoch_us(w_end) <=
-          (SELECT epoch_ms(max(ts)) * 1000 - 3600000000 FROM events)"""))
+          (SELECT epoch_ms(max(ts)) * 1000 - 3600000000 FROM events)""")),
+
+    // ---- STREAMING running tally via transformWithState (L81): the
+    // Spark-4 arbitrary-state API (StatefulProcessor + typed
+    // ValueState, RocksDB state store — a transformWithState
+    // requirement). Each micro-batch emits the key's CUMULATIVE
+    // (count, max); both are monotone, so the per-key MAX over all
+    // emissions is the stream's final answer regardless of arrival
+    // order — the contract the oracle gates (batch per-user count+max).
+    "q120_stream_tally" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val ev = streamedEvents(s, dir)
+          .select(col("user_id"), col("value"))
+          .as[EventWindows.TallyIn]
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val saved = s.conf.getOption(providerKey)
+        s.conf.set(providerKey, "org.apache.spark.sql.execution.streaming" +
+          ".state.RocksDBStateStoreProvider")
+        val drained =
+          try drainToParquet(EventWindows.runningTally(ev).toDF(),
+            "stally", dir)
+          finally saved match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case None => s.conf.unset(providerKey)
+          }
+        drained.groupBy(col("user_id"))
+          .agg(max(col("n_seen")).as("n_events"),
+            max(col("max_value")).as("max_value"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        FROM events GROUP BY user_id"""))
   )
 }

@@ -130,4 +130,43 @@ object EventWindows {
           }
       }
   }
+
+  /** Input/output rows for [[runningTally]]. */
+  case class TallyIn(user_id: Long, value: Double)
+  case class TallyOut(user_id: Long, n_seen: Long, max_value: Double)
+
+  /** Per-key running tally via `transformWithState` — the Spark-4
+    * arbitrary-state API (StatefulProcessor + typed ValueState),
+    * successor of [[dedupFirstSeen]]'s flatMapGroupsWithState. Each
+    * micro-batch emits the key's CUMULATIVE (count, max) so far; the
+    * stream's final answer is the per-key MAX over emissions — an
+    * arrival-order-insensitive contract (cumulative count and max are
+    * both monotone), which is what makes the operator oracle-gateable.
+    *
+    * Requires the RocksDB state store provider (a transformWithState
+    * constraint) — callers set
+    * `spark.sql.streaming.stateStore.providerClass` for the drain; see
+    * q120. State per key is one (long, double) pair; at 100 TB key
+    * cardinality bound state with a TTLConfig instead of NONE. */
+  def runningTally(events: Dataset[TallyIn]): Dataset[TallyOut] = {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    implicit val outEnc: Encoder[TallyOut] = Encoders.product[TallyOut]
+    val processor = new StatefulProcessor[Long, TallyIn, TallyOut] {
+      @transient private var st: ValueState[(Long, Double)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[(Long, Double)]("tally",
+          Encoders.product[(Long, Double)], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[TallyIn],
+          timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TallyOut] = {
+        var (n, mx) =
+          if (st.exists()) st.get() else (0L, Double.NegativeInfinity)
+        rows.foreach { r => n += 1L; mx = math.max(mx, r.value) }
+        st.update((n, mx))
+        Iterator.single(TallyOut(key, n, mx))
+      }
+    }
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
 }

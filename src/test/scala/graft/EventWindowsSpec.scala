@@ -87,6 +87,34 @@ class EventWindowsSpec extends SparkSpec {
     rows should contain(("even", 1L, 5.0)) // user 2
   }
 
+  test("transformWithState running tally accumulates state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventWindows.{TallyIn, TallyOut}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TallyIn]
+      val q = graft.streaming.EventWindows.runningTally(in.toDS())
+        .writeStream.format("memory").queryName("tally_out")
+        .outputMode(OutputMode.Append()).start()
+      in.addData(TallyIn(1L, 2.0), TallyIn(1L, 5.0))
+      q.processAllAvailable()
+      in.addData(TallyIn(1L, 3.0), TallyIn(2L, 7.0)) // state must carry over
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tally_out").as[TallyOut].collect()
+      rows.filter(_.user_id == 1L).map(r => (r.n_seen, r.max_value))
+        .toSet shouldBe Set((2L, 5.0), (3L, 5.0)) // cumulative, not per-batch
+      rows.filter(_.user_id == 2L).map(r => (r.n_seen, r.max_value))
+        .toSet shouldBe Set((1L, 7.0))
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("stateful first-seen dedup emits each key once across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
