@@ -115,4 +115,34 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(1L), col("_mult"))))
       .drop("_mult")
   }
+
+  /** L82 — weighted sampling without replacement by PRIORITY SAMPLING
+    * (Duffield/Lund/Thorup): each row draws a deterministic uniform
+    * u ∈ (0,1] from its salted hash, takes priority w/u, and the n
+    * largest priorities are the sample — heavier rows win
+    * proportionally more often, yet the pick is exactly reproducible
+    * across runs, engines and partitionings (no RNG anywhere, the
+    * [[saltedHash]] contract). Emits the sampled rows with their
+    * priority; ties (hash collisions) break on the key.
+    *
+    * 100 TB shape: priority is map-side column math; the top-n cut
+    * compiles to TakeOrderedAndProject (per-partition heaps of n, one
+    * n-row merge — never a global sort). */
+  def prioritySample(df: DataFrame, key: Column, weight: Column,
+                     n: Int, salt: String): DataFrame = {
+    // u = (hash+1) / 2^60 ∈ (0, 1]; priority = w/u = w * 2^60 / (hash+1)
+    // — the 2^60 scaling is a power of two (exact), and the division is
+    // one correctly-rounded fp op on identical operands in both engines.
+    val h = saltedHash(key, salt)
+    df.withColumn("priority",
+        weight.cast("double") * math.pow(2.0, 60) / (h + 1).cast("double"))
+      .orderBy(col("priority").desc, key)
+      .limit(n)
+  }
+
+  /** DuckDB rendering of [[prioritySample]]'s priority. */
+  def sqlPriority(weight: String, key: String, salt: String): String =
+    s"(CAST($weight AS DOUBLE) * 1152921504606846976e0" +
+      s" / CAST(${TextFns.sqlHash60(s"CAST($key AS VARCHAR) || ':$salt'")}" +
+      s" + 1 AS DOUBLE))"
 }

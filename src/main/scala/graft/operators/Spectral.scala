@@ -142,6 +142,68 @@ object Spectral {
         FROM v$iters"""
   }
 
+  /** Deterministic JL sign: ±1 from the parity of the [[Similarity]]
+    * plane mix REDUCED MOD 1009 first — identical in both engines by
+    * integer arithmetic. (Parity of the raw mix is useless: A_k is
+    * always odd, so `(A·(j+1)+B) % 2` depends only on j's parity and
+    * every row collapses to ± one alternating vector — a rank-1
+    * "projection". The odd-prime residue mixes properly.) */
+  def jlSign(k: Int, j: Int): Int =
+    1 - 2 * ((((Similarity.planeA(k) * (j + 1) + Similarity.planeB(k))
+      % 1009) % 2).toInt)
+
+  /** The k-th JL projection component: a codegen'd VecDot against the
+    * literal ±1/√K sign vector (folds into the plan as a constant). */
+  def jlComponent(emb: Column, dim: Int, kOut: Int, k: Int): Column =
+    graft.functions.VecFns.vecDot(emb,
+      typedLit((0 until dim).map(j =>
+        jlSign(k, j).toDouble / math.sqrt(kOut.toDouble))))
+
+  /** SQL mirror of [[jlComponent]] — the same left-fold, the same
+    * per-term sign arithmetic and 1/√K division. */
+  def sqlJlComponent(emb: String, dim: Int, kOut: Int, k: Int): String =
+    s"""list_reduce(list_transform(range(0, $dim),
+        j -> $emb[j + 1]::DOUBLE *
+          (CAST(1 - 2 * (((${Similarity.planeA(k)} * (j + 1)
+             + ${Similarity.planeB(k)}) % 1009) % 2) AS DOUBLE)
+           / sqrt(CAST($kOut AS DOUBLE)))),
+        (x, y) -> x + y)"""
+
+  /** L83 — Johnson-Lindenstrauss projection + distortion audit: project
+    * embeddings to `kOut` dims with a deterministic ±1/√K sign matrix
+    * (the database-friendly JL construction — Achlioptas 2003) and
+    * report, for every probe pair, the original vs projected squared
+    * distance and their ratio — the "how few dims can ANN run in"
+    * measurement; storage/IO at 100 TB is linear in kept dims, which is
+    * the same argument as L63's truncation but for a basis-free random
+    * projection that needs no Matryoshka training.
+    *
+    * 100 TB shape: the projection is MAP-SIDE ONLY — kOut codegen'd
+    * VecDot folds against literal sign vectors, zero shuffles, zero
+    * broadcast (the matrix is plan literals); the audit restricts to a
+    * fixed probe sample whose pair frame is probe²-bounded. Distances
+    * use the ‖a‖²−2ab+‖b‖² identity over the same left-fold dot, so
+    * every float is engine-exact. */
+  def jlDistortion(vectors: DataFrame, isProbe: Column, dim: Int,
+                   kOut: Int): DataFrame = {
+    val projCols = (0 until kOut).map(k =>
+      jlComponent(col("embedding"), dim, kOut, k).as(s"y$k"))
+    val probes = vectors.where(isProbe)
+      .select(col("vec_id") +: col("embedding") +: projCols: _*)
+    val a = probes.toDF(probes.columns.map(c => s"a_$c"): _*)
+    val b = probes.toDF(probes.columns.map(c => s"b_$c"): _*)
+    val dot = graft.functions.VecFns.vecDot(col("a_embedding"), col("b_embedding"))
+    val na = graft.functions.VecFns.vecDot(col("a_embedding"), col("a_embedding"))
+    val nb = graft.functions.VecFns.vecDot(col("b_embedding"), col("b_embedding"))
+    val d2p = (0 until kOut).map { k =>
+      val d = col(s"a_y$k") - col(s"b_y$k"); d * d
+    }.reduceLeft(_ + _)
+    a.crossJoin(b).where(col("a_vec_id") < col("b_vec_id"))
+      .select(col("a_vec_id").as("id_a"), col("b_vec_id").as("id_b"),
+        (na - lit(2.0) * dot + nb).as("d2_orig"), d2p.as("d2_proj"))
+      .withColumn("ratio", col("d2_proj") / col("d2_orig"))
+  }
+
   /** L80 — per-label centroid-similarity matrix: the cosine between the
     * mean embeddings of every label pair (a ≤ b) plus member counts —
     * the "are these two sources/classes the same thing in embedding

@@ -191,6 +191,17 @@ object LlmQueries {
   private val RrfK = 60
   private val RrfTopN = 100
 
+  /** q121 priority-sample size + salt. */
+  private val PrioN = 100
+  private val PrioSalt = "ps42"
+
+  /** q122 JL output dimensionality (64 → 8) and FIXED probe-set size —
+    * ids are dense from 0, so `vec_id < 32` is 32 probes (496 pairs) at
+    * every SF: the pair frame must not grow with the corpus (the
+    * SCALE.md corpus-fraction-probe lesson). */
+  private val JlK = 8
+  private val JlProbes = 32
+
   /** q62 vocabulary size (top-K tokens by occurrence) — smaller than
     * the synthetic corpus's distinct-token count at every SF, so the
     * K-boundary cut (and its tie-break) is actually exercised by the
@@ -2624,6 +2635,45 @@ object LlmQueries {
           CAST(ab AS DOUBLE) / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE))
             AS cos_sim
         FROM p"""
+      }),
+
+    // ---- priority sampling (L82): weighted sampling without
+    // replacement (Duffield/Lund/Thorup) — deterministic uniform from
+    // the salted hash, priority w/u, keep the n largest. No RNG; the
+    // top-n cut is TakeOrderedAndProject.
+    "q121_priority_sample" -> Query(
+      (s, dir) => Sampling.prioritySample(docs(s, dir), col("doc_id"),
+          col("n_chars"), PrioN, PrioSalt)
+        .select(col("doc_id"), col("n_chars"), col("priority")),
+      Some(s"""SELECT doc_id, n_chars, pr AS priority FROM
+          (SELECT doc_id, n_chars,
+             ${Sampling.sqlPriority("n_chars", "doc_id", PrioSalt)} AS pr
+           FROM documents ORDER BY pr DESC, doc_id LIMIT $PrioN)""")),
+
+    // ---- JL projection distortion audit (L83): Achlioptas ±1/√K sign
+    // projection 64 → 8 dims, map-side only (literal sign vectors fold
+    // into the plan); per-probe-pair original vs projected squared
+    // distance. The basis-free cousin of q101's Matryoshka truncation.
+    "q122_jl_distortion" -> Query(
+      (s, dir) => Spectral.jlDistortion(Tables.embeddings(s, dir),
+        col("vec_id") < JlProbes, Dim, JlK),
+      Some {
+        val ys = (0 until JlK).map(k =>
+          s"${Spectral.sqlJlComponent("embedding", Dim, JlK, k)} AS y$k")
+          .mkString(",\n              ")
+        val d2p = (0 until JlK).map(k =>
+          s"(a.y$k - b.y$k) * (a.y$k - b.y$k)").mkString(" + ")
+        s"""WITH pr AS (SELECT vec_id, embedding,
+              $ys,
+              ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+            FROM embeddings WHERE vec_id < $JlProbes)
+        SELECT id_a, id_b, d2_orig, d2_proj, d2_proj / d2_orig AS ratio
+        FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                (a.nn - 2.0 *
+                  ${Similarity.sqlDotD("a.embedding", "b.embedding", Dim)}
+                  + b.nn) AS d2_orig,
+                ($d2p) AS d2_proj
+              FROM pr a JOIN pr b ON a.vec_id < b.vec_id)"""
       })
   )
 }

@@ -101,6 +101,22 @@ class SamplingSpec extends SparkSpec {
     again.sortBy(r => (r._1, r._3)) shouldBe out.sortBy(r => (r._1, r._3))
   }
 
+  test("prioritySample: weight-proportional, deterministic, exact-n") {
+    import graft.operators.Sampling
+    // 500 light rows (w=1) vs 100 heavy rows (w=50): the heavy minority
+    // must dominate a 50-row sample under priority sampling.
+    val df = ((0 until 500).map(i => (i.toLong, 1L)) ++
+      (500 until 600).map(i => (i.toLong, 50L))).toDF("id", "w")
+    val out = Sampling.prioritySample(df, col("id"), col("w"), 50, "t1")
+      .collect().map(_.getLong(0))
+    out.length shouldBe 50
+    out.count(_ >= 500) should be > 35 // heavies win ~proportionally
+    // partitioning must not change the pick
+    val again = Sampling.prioritySample(df.repartition(13), col("id"),
+      col("w"), 50, "t1").collect().map(_.getLong(0))
+    again.sorted shouldBe out.sorted
+  }
+
   test("contaminationReport finds the planted overlap and honors the cap") {
     import graft.operators.Dedup
     // eval doc 100 shares a 6-token run with train doc 1 (-> 4 common

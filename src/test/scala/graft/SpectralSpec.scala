@@ -64,6 +64,24 @@ class SpectralSpec extends SparkSpec {
     kernel.zipWithIndex.foreach { case (v, k) => v shouldBe hof(k) }
   }
 
+  test("jlDistortion: projection preserves distance in expectation, deterministic") {
+    // 20 probes in 16 dims -> 190 pairs projected to 8 dims. JL says
+    // E[d2_proj] = d2_orig; with ±1/sqrt(K) signs the per-pair ratio
+    // concentrates around 1 — assert the MEAN ratio lands near 1.
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(16)(d => (math.sin(i * 2.3 + d * 0.7) * 2).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val rows = Spectral.jlDistortion(vecs, lit(true), 16, 8)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    rows.length shouldBe 190
+    val meanRatio = rows.map { case (o, p) => p / o }.sum / rows.length
+    meanRatio shouldBe 1.0 +- 0.35
+    // determinism across partitionings (no RNG anywhere)
+    val again = Spectral.jlDistortion(vecs.repartition(7), lit(true), 16, 8)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    again.sortBy(_._1) shouldBe rows.sortBy(_._1)
+  }
+
   test("centroidSimilarity: self-pairs cosine 1, orthogonal labels cosine ~0") {
     // label 0 along axis 0, label 1 along axis 1, label 2 = label 0 dir
     val vecs = (0 until 90).map { i =>
