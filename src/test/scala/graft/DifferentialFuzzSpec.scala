@@ -131,4 +131,68 @@ class DifferentialFuzzSpec extends SparkSpec {
       got shouldBe want
     }
   }
+
+  test("rocAuc matches the O(n²) pairwise reference on random scored frames") {
+    val rnd = new scala.util.Random(91)
+    (1 to 5).foreach { _ =>
+      // small score domain forces heavy ties — the hard path
+      val rows = Seq.fill(80)((rnd.nextInt(12).toLong, rnd.nextInt(2)))
+      val df = rows.zipWithIndex
+        .map { case ((s, y), i) => (i.toLong, s, y) }.toDF("id", "s", "y")
+      val got = Curation.rocAuc(df, col("s"), col("y"), col("id"))
+        .head().getDouble(3)
+      // reference: P(score_pos > score_neg) + 0.5 P(equal) over all
+      // (pos, neg) pairs — the definition rocAuc's rank algebra encodes
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val u = (for { p <- pos; n <- neg } yield
+          if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        got shouldBe (u / (pos.size.toLong * neg.size)) +- 1e-12
+      }
+    }
+  }
+
+  test("cdcChunks reassembly tiles every document on random corpora") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val docs = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(50))(s"w${rnd.nextInt(20)}")
+          .mkString(" "))
+      }
+      val out = Curation.cdcChunks(docs.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), 1 + rnd.nextInt(6))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val nToks = text.split("\\s+").length.toLong
+        val chunks = out(id).sortBy(_._2)
+        chunks.head._3 shouldBe 0L // starts at token 0
+        chunks.map(_._4).sum shouldBe nToks // sizes tile the doc
+        chunks.sliding(2).foreach {
+          case Array(a, b) => b._3 shouldBe a._3 + a._4
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("groupQuantiles matches the sorted-seq reference on random groups") {
+    val rnd = new scala.util.Random(13)
+    (1 to 4).foreach { _ =>
+      val rows = (0 until 120).map(i =>
+        (s"g${rnd.nextInt(4)}", rnd.nextInt(500).toLong, i.toLong))
+      val got = Curation.groupQuantiles(rows.toDF("g", "v", "id"),
+          col("g"), col("v"), col("id"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+        def pick(q: Double) =
+          sorted(math.max(1, math.ceil(q * sorted.length).toInt) - 1)
+        got(g) shouldBe ((pick(0.5), pick(0.9), pick(0.99)))
+      }
+    }
+  }
 }
