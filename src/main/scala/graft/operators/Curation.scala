@@ -299,8 +299,12 @@ object Curation {
         isTarget.cast("long").as("_t"), explode(TextFns.tokens(text)).as("tok"))
       .select(col("doc_id"), col("_t"),
         pmod(TextFns.hash60(col("tok")), lit(buckets.toLong)).as("b"))
+    // counts feeds both the totals scalar and the weight table;
+    // unpinned, each re-runs the token-stream scan (the q27
+    // shuffle-reuse lesson). It is ≤ buckets rows — checkpoint.
     val counts = tok.groupBy(col("b"))
       .agg(count(lit(1)).as("c_all"), sum(col("_t")).as("c_tgt"))
+      .localCheckpoint()
     val totals = counts.agg(sum(col("c_all")).as("n_all"),
       sum(col("c_tgt")).as("n_tgt"))
     // Integer floor division (`div`), not `/`: the quantized weight must

@@ -73,15 +73,19 @@ object HeavyHitters {
     import graft.functions.TextFns
     require(depth >= 1 && width >= 1, s"bad CMS geometry $depth x $width")
     val ks = items.select(key.as("k"))
+    // Both small frames are consumed once PER DEPTH ROW by the audit
+    // join chain below; unpinned, every consumer re-scans the key
+    // stream (depth+1 corpus scans — seen in the plan). Checkpoint
+    // costs depth·width + auditK rows.
     val counters = ks
       .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("k"))
       .select(col("j"),
         pmod(TextFns.hash60(concat(col("j").cast("string"), lit("_"),
           col("k"))), lit(width.toLong)).as("bucket"))
       .groupBy(col("j"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
     val top = ks.groupBy(col("k")).agg(count(lit(1)).as("n_true"))
-      .orderBy(col("n_true").desc, col("k")).limit(auditK)
+      .orderBy(col("n_true").desc, col("k")).limit(auditK).localCheckpoint()
     val est = (0 until depth).foldLeft(
       top.withColumn("est", lit(Long.MaxValue))) { (acc, j) =>
       acc.withColumn("_b", pmod(TextFns.hash60(concat(lit(s"${j}_"),

@@ -544,8 +544,13 @@ object Similarity {
     // C(x,2) as exact decimal: x*(x-1)/2 — integral, the /2 is exact.
     def comb2(c: Column): Column =
       (c.cast(DecimalType(38, 0)) * (c - 1) / 2).cast(DecimalType(38, 0))
+    // The contingency is consumed THREE times (pair/row/column sums);
+    // without pinning it, each consumer re-runs the corpus scan and the
+    // nearest-cell kernel (3 scans where 1 suffices — seen in the plan,
+    // q27's shuffle-reuse lesson). It is labels·cells rows — checkpoint
+    // is O(tiny), the saved scans are O(corpus).
     val cont = assigned.groupBy(col("truth"), col("cell"))
-      .agg(count(lit(1)).as("n_ij"))
+      .agg(count(lit(1)).as("n_ij")).localCheckpoint()
     val sij = cont.agg(sum(comb2(col("n_ij"))).as("sum_comb_cells"),
       sum(col("n_ij")).as("n"))
     val sa = cont.groupBy(col("truth")).agg(sum(col("n_ij")).as("a_i"))
