@@ -46,9 +46,16 @@ object Drift {
   def sourceMixDrift(docs: DataFrame, sourceCol: Column,
                      text: Column): DataFrame = {
     import graft.functions.TextFns
+    // st feeds ct, ns AND the terms join; terms feeds the top-term
+    // election AND the final rollup. Unpinned, every consumer re-runs
+    // the corpus tokenize+count (8 scans in the plan dump — despite the
+    // "no second scan" design intent; exchange reuse is best-effort,
+    // the q27 lesson). Both frames are (source, token)-vocabulary-sized
+    // — far smaller than the corpus they would otherwise re-scan.
     val st = docs.select(sourceCol.as("source"),
         explode(TextFns.tokens(text)).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
     val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
     val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
     val n = ct.agg(sum(col("c_t")).as("n_tot"))
@@ -57,6 +64,7 @@ object Drift {
       .withColumn("num",
         abs(col("c_st").cast("decimal(38,0)") * col("n_tot")
           - col("c_t").cast("decimal(38,0)") * col("n_s")))
+      .localCheckpoint()
     val top = terms
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))

@@ -83,15 +83,18 @@ object Similarity {
     * windows compile to WindowGroupLimit. */
   def truncatedRecall(corpus: DataFrame, isProbe: Column, k: Int,
                       truncDim: Int): DataFrame = {
-    val full = bruteForceTopK(corpus, corpus.filter(isProbe), k)
+    val probes = corpus.filter(isProbe)
+    val full = bruteForceTopK(corpus, probes, k)
       .select(col("probe_id"), col("cand_id"))
     val tr = corpus.select(col("vec_id"),
       slice(col("embedding"), 1, truncDim).as("embedding"))
-    val trunc = bruteForceTopK(tr, tr.filter(isProbe), k)
+    val trProbes = probes.select(col("vec_id"),
+      slice(col("embedding"), 1, truncDim).as("embedding"))
+    val trunc = bruteForceTopK(tr, trProbes, k)
       .select(col("probe_id"), col("cand_id"))
     val hits = full.join(trunc, Seq("probe_id", "cand_id"))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
-    corpus.filter(isProbe).select(col("vec_id").as("probe_id"))
+    probes.select(col("vec_id").as("probe_id"))
       .join(hits, Seq("probe_id"), "left")
       .select(col("probe_id"), lit(truncDim.toLong).as("trunc_dim"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),

@@ -2486,7 +2486,11 @@ object LlmQueries {
         val base = docs(s, dir).select(col("doc_id"),
           tokens(col("text")).as("toks"))
         val tok = base.select(explode(col("toks")).as("tok"))
+        // uc feeds the total AND the prob join; bc feeds the context
+        // counts AND the prob join — both vocabulary-sized, pinned so
+        // neither consumer re-tokenizes the corpus (the q27 lesson)
         val uc = tok.groupBy(col("tok")).agg(count(lit(1)).as("c2"))
+          .localCheckpoint()
         val nTot = uc.agg(sum(col("c2")).as("nn"))
         val bg = base.where(size(col("toks")) >= 2)
           .select(col("doc_id"), explode(transform(
@@ -2495,6 +2499,7 @@ object LlmQueries {
               element_at(col("toks"), i + 1).as("w2")))).as("pr"))
           .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
         val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+          .localCheckpoint()
         val c1t = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
         val lp = bc.join(c1t, Seq("w1"))
           .join(uc.withColumnRenamed("tok", "w2"), Seq("w2"))
