@@ -328,6 +328,52 @@ object Curation {
         col("dsir_score").cast("double") / col("n_toks"))
   }
 
+  /** L85 — per-source data card: the one-stop corpus summary a training
+    * run's documentation (and its mixture tuning) starts from — per
+    * source: document/token/char counts, language diversity, dominant
+    * language with its share, exact-duplicate rate (distinct content
+    * digests vs rows — the L1 measure), and mean document length.
+    *
+    * 100 TB shape: three passes over the corpus, EACH collapsing
+    * map-side to a tiny frame — a wide (source)-keyed aggregate
+    * (≤ sources rows/task), a (source, lang) count for the dominant-
+    * language election (rank-1 → WindowGroupLimit), and the digest-
+    * distinct arm (digests shuffle, documents never — the L1 rule);
+    * the three ≤ sources-row results join broadcast-small. Fusing all
+    * three into one scan would shuffle digests through the wide agg's
+    * exchange — strictly worse. */
+  def dataCard(docs: DataFrame, sourceCol: Column, idCol: Column,
+               text: Column, langCol: Column): DataFrame = {
+    val base = docs.select(sourceCol.as("source"), idCol.as("doc_id"),
+      langCol.as("lang"), text.as("text"))
+    val wide = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+    val topLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("_c").desc, col("lang"))))
+      .where(col("_rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("_c").as("top_lang_docs"))
+    val distinctDocs = base
+      .select(col("source"), Dedup.contentKey(col("text")).as("ckey"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("ckey")).as("n_distinct"))
+    wide.join(topLang, Seq("source")).join(distinctDocs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("top_lang"), col("top_lang_docs"),
+        (col("top_lang_docs").cast("double") / col("n_docs"))
+          .as("top_lang_share"),
+        col("n_distinct"),
+        ((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("mean_doc_tokens"))
+  }
+
   /** L74 — content-defined chunking (the FastCDC/rsync idea at token
     * grain): a chunk boundary falls AFTER every token whose hash ≡ 0
     * (mod `modulus`), so boundaries are decided by content, not

@@ -126,6 +126,52 @@ object Dedup {
           .otherwise("clean").as("verdict"))
   }
 
+  /** L84 — LSH candidate-pair precision/recall evaluation: on a FIXED
+    * document sample, compare the banded-LSH candidate pairs against
+    * ground truth (exact all-pairs n-gram Jaccard ≥ num/den) and report
+    * ONE row: (n_truth, n_cand, n_hit, precision, recall) — the number
+    * that tunes bands×rows before an LSH config gates a 100 TB dedup
+    * run (the near-dup twin of the q73/q74 ANN recall gates).
+    *
+    * `isSample` MUST select a corpus-size-independent set (e.g.
+    * `doc_id < 200` over dense ids): ground truth is all-pairs within
+    * the sample, so the pair frame is sample²-bounded BY CONTRACT —
+    * never corpus-fraction (the SCALE.md probe lesson).
+    *
+    * 100 TB shape: everything downstream of the sample filter touches
+    * ≤ sample rows; the LSH arm is the production band join run ON THE
+    * SAMPLE (same code path, [[lshCandidatePairs]]), so the measured
+    * precision/recall is the production operator's, not a mock's. */
+  def lshPairEval(docs: DataFrame, idCol: Column, text: Column,
+                  isSample: Column, shingleN: Int, numHashes: Int,
+                  numBands: Int, rowsPerBand: Int,
+                  jacNum: Int, jacDen: Int): DataFrame = {
+    val sample = docs.where(isSample)
+    // shingle-less docs can't near-dup (the corpus-wide convention);
+    // without the filter two empty sets would count as a truth pair
+    val sets = shingleSets(sample, idCol, text, shingleN)
+      .where(size(col("shset")) > 0)
+    val allPairs = sets.select(col("doc_id").as("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b")),
+        col("doc_a") < col("doc_b"))
+    val truth = jaccardVerify(allPairs, sets)
+      .where(col("n_common") * jacDen >= col("n_union") * jacNum)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = lshCandidatePairs(
+      minhashSignatures(sample, idCol, text, shingleN, numHashes),
+      numBands, rowsPerBand)
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    val nH = hit.agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nC).crossJoin(nH)
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") > 0,
+          col("n_hit").cast("double") / col("n_cand")).as("precision"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** Exact n-gram Jaccard for a pair frame (doc_a, doc_b) given per-doc
     * distinct shingle sets (id, shset). Intersection/union sizes are
     * integers; the ratio is an exact small-int division — engine-portable. */

@@ -202,6 +202,17 @@ object LlmQueries {
   private val JlK = 8
   private val JlProbes = 32
 
+  /** q123 LSH-eval sample (FIXED 200 dense ids → ≤ 19 900 ground-truth
+    * pairs at every SF) and truth threshold 1/4. The synthetic sample's
+    * pair-Jaccard is bimodal (3 pairs ≥ 0.5; everything else < 0.0625),
+    * so the gate pins the sharp verdict: the 16-hash/4-band config
+    * finds ALL planted near-dups with ZERO false candidates
+    * (P = R = 1.0) — any band-config regression (fewer bands, coarser
+    * rows) flips one of the five counters. */
+  private val EvalSampleN = 200L
+  private val EvalJacNum = 1
+  private val EvalJacDen = 4
+
   /** q62 vocabulary size (top-K tokens by occurrence) — smaller than
     * the synthetic corpus's distinct-token count at every SF, so the
     * K-boundary cut (and its tie-break) is actually exercised by the
@@ -225,7 +236,7 @@ object LlmQueries {
     * shingle hashes → signatures → bands → candidate pairs → shingle
     * sets) — interpolated into both the q25 and q47 oracles so the two
     * stay definitionally identical. */
-  private lazy val sqlLshPairsCtes: String = {
+  private def sqlLshPairsCtesFrom(from: String): String = {
     val hs = sqlShingleHashes("toks", ShingleN)
     val bandSelects = (0 until NumBands).map { b =>
       val key = (0 until RowsPerBand)
@@ -233,7 +244,7 @@ object LlmQueries {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $key AS band_key FROM s"
     }.mkString(" UNION ALL ")
-    s"""t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $sqlToks AS toks FROM $from),
           h AS (SELECT doc_id, $hs AS hs FROM t),
           s AS (SELECT doc_id, ${sqlMinhashSignature("hs", NumHashes)} AS sig
                 FROM h WHERE len(hs) > 0),
@@ -244,6 +255,8 @@ object LlmQueries {
                      AND a.doc_id < b.doc_id),
           sets AS (SELECT doc_id, list_distinct(hs) AS shset FROM h)"""
   }
+
+  private lazy val sqlLshPairsCtes: String = sqlLshPairsCtesFrom("documents")
 
   val all: Map[String, Query] = Map(
 
@@ -2679,6 +2692,69 @@ object LlmQueries {
                   + b.nn) AS d2_orig,
                 ($d2p) AS d2_proj
               FROM pr a JOIN pr b ON a.vec_id < b.vec_id)"""
-      })
+      }),
+
+    // ---- LSH pair precision/recall eval (L84): on a FIXED 200-doc
+    // sample, the production band join's candidate pairs vs exact
+    // all-pairs Jaccard >= 1/4 ground truth — the near-dup twin of the
+    // q73/q74 ANN recall gates, measured on the production code path.
+    "q123_lsh_pair_eval" -> Query(
+      (s, dir) => Dedup.lshPairEval(docs(s, dir), col("doc_id"),
+        col("text"), col("doc_id") < EvalSampleN, ShingleN, NumHashes,
+        NumBands, RowsPerBand, EvalJacNum, EvalJacDen),
+      Some(s"""WITH ${sqlLshPairsCtesFrom(
+            s"(SELECT * FROM documents WHERE doc_id < $EvalSampleN)")},
+          ne AS (SELECT doc_id, shset FROM sets WHERE len(shset) > 0),
+          ap AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.shset, b.shset)) AS n_common,
+                   len(a.shset) + len(b.shset)
+                     - len(list_intersect(a.shset, b.shset)) AS n_union
+                 FROM ne a JOIN ne b ON a.doc_id < b.doc_id),
+          truth AS (SELECT doc_a, doc_b FROM ap
+                    WHERE n_common * $EvalJacDen >= n_union * $EvalJacNum),
+          hit AS (SELECT t.doc_a FROM truth t
+                  JOIN pairs p ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+          nt AS (SELECT count(*) AS n_truth FROM truth),
+          nc AS (SELECT count(*) AS n_cand FROM pairs),
+          nh AS (SELECT count(*) AS n_hit FROM hit)
+        SELECT n_truth, n_cand, n_hit,
+          CASE WHEN n_cand > 0
+            THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision,
+          CASE WHEN n_truth > 0
+            THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall
+        FROM nt, nc, nh""")),
+
+    // ---- per-source data card (L85): the corpus summary a training
+    // run documents and tunes its mixture from — doc/token/char
+    // counts, language diversity + dominant language, exact-dup rate
+    // (the L1 digest measure), mean doc length. Three passes, each
+    // collapsing map-side to <= sources rows.
+    "q124_data_card" -> Query(
+      (s, dir) => Curation.dataCard(docs(s, dir), col("source"),
+        col("doc_id"), col("text"), col("lang")),
+      Some(s"""WITH base AS (SELECT source, doc_id, lang, text,
+               $sqlToks AS toks FROM documents),
+          wide AS (SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   count(DISTINCT lang) AS n_langs
+                 FROM base GROUP BY source),
+          tl AS (SELECT source, lang AS top_lang, c AS top_lang_docs FROM
+                  (SELECT source, lang, count(*) AS c, row_number() OVER
+                     (PARTITION BY source ORDER BY count(*) DESC, lang)
+                     AS rk
+                   FROM base GROUP BY source, lang)
+                 WHERE rk = 1),
+          dd AS (SELECT source, count(DISTINCT
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' ')))
+                   AS n_distinct
+                 FROM base GROUP BY source)
+        SELECT w.source, n_docs, n_tokens, n_chars, n_langs,
+          top_lang, top_lang_docs,
+          CAST(top_lang_docs AS DOUBLE) / n_docs AS top_lang_share,
+          n_distinct,
+          CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate,
+          CAST(n_tokens AS DOUBLE) / n_docs AS mean_doc_tokens
+        FROM wide w JOIN tl USING (source) JOIN dd USING (source)"""))
   )
 }

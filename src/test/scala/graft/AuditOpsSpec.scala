@@ -156,6 +156,42 @@ class AuditOpsSpec extends SparkSpec {
     out shouldBe Seq(1L, 2L) // rank = id order on ties -> best rrf first
   }
 
+  test("lshPairEval finds the planted near-dup pair; short docs excluded") {
+    import graft.operators.Dedup
+    val near = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, near), (1L, near + " iota"), // Jaccard ~ 6/8 -> truth + LSH hit
+      (2L, "totally different content one two three four"),
+      (3L, "and a third unrelated document with more words"),
+      (4L, "xy")).toDF("doc_id", "text") // < shingle width -> excluded
+    val r = Dedup.lshPairEval(docs, col("doc_id"), col("text"),
+      lit(true), 3, 16, 4, 4, 1, 4).head()
+    r.getLong(0) shouldBe 1L // n_truth: just the planted pair
+    r.getLong(2) shouldBe 1L // n_hit
+    r.getDouble(4) shouldBe 1.0 +- 1e-12 // recall
+  }
+
+  test("dataCard summarizes counts, dominant language, and dup rate") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (0L, "s1", "en", "a b c"),
+      (1L, "s1", "en", "a b c"), // exact dup of 0
+      (2L, "s1", "de", "d e"),
+      (3L, "s2", "fr", "f g h i")).toDF("doc_id", "source", "lang", "text")
+    val out = Curation.dataCard(docs, col("source"), col("doc_id"),
+        col("text"), col("lang"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    s1.getLong(1) shouldBe 3L // n_docs
+    s1.getLong(2) shouldBe 8L // n_tokens
+    s1.getLong(4) shouldBe 2L // n_langs
+    s1.getString(5) shouldBe "en" // top_lang
+    s1.getLong(8) shouldBe 2L // n_distinct (dup collapsed)
+    s1.getDouble(9) shouldBe (1.0 / 3.0) +- 1e-12 // dup_rate
+    out("s2").getLong(1) shouldBe 1L
+    out("s2").getDouble(9) shouldBe 0.0 +- 1e-12
+  }
+
   test("importanceWeights favors docs made of target-heavy tokens") {
     // 'en'-slice docs use token x; raw-only docs use token y. A doc of
     // x-tokens must outscore a doc of y-tokens.
