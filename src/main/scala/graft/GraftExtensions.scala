@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MisraGriesAgg, ModeCount, SimHash32, VecDot}
+import graft.functions.{MisraGriesAgg, ModeCount, MomentMatrixAgg, SimHash32, Sum128, VecDot}
 
 /** `SparkSessionExtensions` installer for graft's native SQL surface.
   *
@@ -53,6 +53,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args(1).foldable, "misra_gries capacity must be a literal")
         MisraGriesAgg(args.head,
           args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("moment_matrix"),
+      new ExpressionInfo(classOf[MomentMatrixAgg].getName, "moment_matrix"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"moment_matrix expects (embedding, dim), got ${args.length} arguments")
+        require(args(1).foldable, "moment_matrix dim must be a literal")
+        MomentMatrixAgg(args.head,
+          args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sum128"),
+      new ExpressionInfo(classOf[Sum128].getName, "sum128"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"sum128 expects (unscaled_long, scale), got ${args.length} arguments")
+        require(args(1).foldable, "sum128 scale must be a literal")
+        Sum128(args.head, args(1).eval().asInstanceOf[Number].intValue())
       }))
   }
 }

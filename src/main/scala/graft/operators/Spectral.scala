@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -202,6 +203,51 @@ object Spectral {
       .select(col("a_vec_id").as("id_a"), col("b_vec_id").as("id_b"),
         (na - lit(2.0) * dot + nb).as("d2_orig"), d2p.as("d2_proj"))
       .withColumn("ratio", col("d2_proj") / col("d2_orig"))
+  }
+
+  /** L86 — per-label embedding outliers: the `topK` vectors FURTHEST
+    * from their own label's centroid — the mislabel/poison/ingest-noise
+    * shortlist a labeled embedding corpus is audited with (the ranked
+    * complement of [[graft.operators.Similarity.labelPurity]]'s
+    * aggregate view). Centroids use the [[centroidSimilarity]] 2^20
+    * fixed-point derivation (exact sums, integer division, every int
+    * below 2^53); distances are the ‖x‖² − 2x·ĉ + ‖ĉ‖² identity over
+    * the left-fold dot, so ranking is engine-exact.
+    *
+    * 100 TB shape: ONE (label, dim)-keyed map-combined aggregate builds
+    * the centroid frame (≤ labels·dim rows), which pivots to ≤ labels
+    * centroid ARRAYS and broadcasts back onto the corpus — the distance
+    * pass is map-side; the per-label top-k compiles to WindowGroupLimit
+    * (every task keeps k per label before the single exchange). */
+  def centroidOutliers(vectors: DataFrame, labelCol: Column,
+                       topK: Int): DataFrame = {
+    def idiv(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(a), Bridge.expression(b)))
+    }
+    val sums = vectors.select(labelCol.as("lbl"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("lbl"), col("d"))
+      .agg(sum(fq(col("x").cast("double")).cast(DecimalType(38, 0))).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("lbl"), col("d"),
+        idiv(col("sx"), col("n").cast(DecimalType(38, 0)) * 1024).as("c"))
+    val cents = sums.groupBy(col("lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("d"),
+          (col("c").cast("double") / 1048576.0).as("cv")))),
+        x => x("cv")).as("carr"))
+    val dist = vectors.select(labelCol.as("lbl"), col("vec_id"),
+        col("embedding"))
+      .join(broadcast(cents), Seq("lbl"))
+      .select(col("lbl").as("label"), col("vec_id"),
+        (graft.functions.VecFns.vecDot(col("embedding"), col("embedding"))
+          - lit(2.0) * graft.functions.VecFns.vecDot(col("embedding"), col("carr"))
+          + graft.functions.VecFns.vecDot(col("carr"), col("carr"))).as("d2"))
+    dist.withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("d2").desc, col("vec_id"))))
+      .where(col("rk") <= topK)
   }
 
   /** L80 — per-label centroid-similarity matrix: the cosine between the

@@ -202,6 +202,9 @@ object LlmQueries {
   private val JlK = 8
   private val JlProbes = 32
 
+  /** q125 outlier-shortlist size per label. */
+  private val OutlierK = 5
+
   /** q123 LSH-eval sample (FIXED 200 dense ids → ≤ 19 900 ground-truth
     * pairs at every SF) and truth threshold 1/4. The synthetic sample's
     * pair-Jaccard is bimodal (3 pairs ≥ 0.5; everything else < 0.0625),
@@ -2755,6 +2758,35 @@ object LlmQueries {
           n_distinct,
           CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate,
           CAST(n_tokens AS DOUBLE) / n_docs AS mean_doc_tokens
-        FROM wide w JOIN tl USING (source) JOIN dd USING (source)"""))
+        FROM wide w JOIN tl USING (source) JOIN dd USING (source)""")),
+
+    // ---- per-label embedding outliers (L86): the topK vectors
+    // furthest from their own label's centroid — the mislabel/poison
+    // shortlist, ranked complement of q86's aggregate purity. Centroid
+    // broadcast, distance map-side, top-k via WindowGroupLimit.
+    "q125_centroid_outliers" -> Query(
+      (s, dir) => Spectral.centroidOutliers(Tables.embeddings(s, dir),
+        col("label"), OutlierK),
+      Some {
+        val qL = Spectral.Q.toLong
+        s"""WITH s AS (SELECT label AS lbl, dd.d AS d,
+              CAST(sum(CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE)
+                * $qL) AS BIGINT)) AS HUGEINT) // (count(*) * 1024) AS c
+            FROM embeddings, LATERAL (SELECT unnest(range($Dim)) AS d) dd
+            GROUP BY label, dd.d),
+          ca AS (SELECT lbl, list(CAST(c AS DOUBLE) / 1048576.0
+                   ORDER BY d) AS carr
+                 FROM s GROUP BY lbl),
+          dist AS (SELECT e.label, e.vec_id,
+              (${Similarity.sqlDotD("e.embedding", "e.embedding", Dim)}
+                - 2.0 * ${Similarity.sqlDotD("e.embedding", "ca.carr", Dim)}
+                + ${Similarity.sqlDotD("ca.carr", "ca.carr", Dim)}) AS d2
+            FROM embeddings e JOIN ca ON e.label = ca.lbl)
+        SELECT label, vec_id, d2, CAST(rk AS INT) AS rk FROM
+          (SELECT *, row_number() OVER
+             (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk
+           FROM dist)
+        WHERE rk <= $OutlierK"""
+      })
   )
 }

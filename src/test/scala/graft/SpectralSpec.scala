@@ -39,6 +39,20 @@ class SpectralSpec extends SparkSpec {
     a shouldBe b // bit-identical, not approximately equal
   }
 
+  test("moment_matrix and sum128 are callable from SQL text (GraftExtensions)") {
+    Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("mm_in")
+    val m = spark.sql("SELECT moment_matrix(embedding, 2) AS m FROM mm_in")
+      .head().getSeq[Long](0)
+    // m[0] = floor(1*1*2^30) + floor(3*3*2^30) = 10 * 2^30
+    m.head shouldBe 10L * (1L << 30)
+    m.length shouldBe 4
+    val s = spark.sql(
+      "SELECT CAST(sum128(CAST(vec_id * 100 AS LONG), 2) AS DOUBLE) FROM mm_in")
+      .head().getDouble(0)
+    s shouldBe 3.0 +- 1e-12 // (100 + 200) unscaled at scale 2
+  }
+
   test("MomentMatrixAgg matches the explode formulation of the same sum") {
     import org.apache.spark.sql.types.DecimalType
     val dim = 4
@@ -80,6 +94,26 @@ class SpectralSpec extends SparkSpec {
     val again = Spectral.jlDistortion(vecs.repartition(7), lit(true), 16, 8)
       .collect().map(r => (r.getDouble(2), r.getDouble(3)))
     again.sortBy(_._1) shouldBe rows.sortBy(_._1)
+  }
+
+  test("centroidOutliers ranks a planted mislabel first in its label") {
+    // label 0 clusters near axis 0 — except vec 99, which sits on axis 1
+    // (a mislabeled point). It must top label 0's outlier shortlist.
+    val vecs = ((0 until 20).map { i =>
+      val a = Array.fill(4)(0f); a(0) = 5f + 0.01f * i
+      (i.toLong, a.toSeq, 0)
+    } :+ {
+      val a = Array.fill(4)(0f); a(1) = 5f
+      (99L, a.toSeq, 0)
+    }).toDF("vec_id", "embedding", "label")
+    val top = Spectral.centroidOutliers(vecs, col("label"), 3)
+      .orderBy(col("rk")).collect()
+    top.head.getLong(1) shouldBe 99L
+    top.length shouldBe 3
+    // deterministic under repartitioning
+    val again = Spectral.centroidOutliers(vecs.repartition(5), col("label"), 3)
+      .orderBy(col("rk")).collect()
+    again.map(_.getLong(1)).toSeq shouldBe top.map(_.getLong(1)).toSeq
   }
 
   test("centroidSimilarity: self-pairs cosine 1, orthogonal labels cosine ~0") {
