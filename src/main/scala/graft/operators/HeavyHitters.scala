@@ -67,7 +67,8 @@ object HeavyHitters {
     * (the counter table is depth·width rows TOTAL, by construction);
     * the audit join broadcasts the counter table onto the ≤ auditK
     * candidate frame. The exact top-K pass exists only for the audit
-    * and is cut by TakeOrderedAndProject. */
+    * and is cut by TakeOrderedAndProject (it executes inside the
+    * eagerly-pinned checkpoint subplan). */
   def countMinAudit(items: DataFrame, key: Column, depth: Int, width: Int,
                     auditK: Int): DataFrame = {
     import graft.functions.TextFns
