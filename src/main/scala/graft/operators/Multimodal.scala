@@ -64,6 +64,47 @@ object Multimodal {
         md5(col("frame")).as("frame_key"))
   }
 
+  /** L87 — PCM window energy: interpret the binary payload as a
+    * little-endian signed 16-bit sample stream and report, per
+    * `windowSamples`-sample window, the exact integer energy Σ s² and
+    * the RMS — REAL signal-processing compute with zero codec
+    * dependency (int16 PCM is arithmetic, not a format), which makes
+    * this the multimodal path whose compute is NOT a stub: silence
+    * detection, loudness normalization, and VAD-style gating all start
+    * from exactly this number.
+    *
+    * Decode rides the hex representation (`hex(payload)` is engine-
+    * portable; `conv` accepts either case), so the oracle computes the
+    * identical samples; energies are integer-exact (≤ W·2³⁰ per
+    * window — long math), RMS is one sqrt per window.
+    *
+    * Pure map-side: one generator per media row emits one row per
+    * window; payload bytes never shuffle; the per-window fold is an
+    * integer sum (order-free). Partial trailing windows are dropped. */
+  def pcmWindowEnergy(media: DataFrame, windowSamples: Int): DataFrame = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val w = windowSamples
+    val nWin = (length(col("payload")) / (2 * w)).cast("int")
+    val winIds = when(nWin > 0, sequence(lit(0), nWin - 1))
+      .otherwise(array().cast("array<int>"))
+    // LE int16 at sample index k: hex chars [4k+1,4k+2]=lo byte,
+    // [4k+3,4k+4]=hi byte → value conv(hi||lo); signed fold below
+    media
+      .select(col("media_id"), hex(col("payload")).as("_hx"),
+        explode(winIds).as("win"))
+      .withColumn("energy", expr(
+        s"""aggregate(transform(sequence(0, ${w - 1}), i ->
+              CAST(conv(substring(_hx, (win * $w + i) * 4 + 3, 2) ||
+                        substring(_hx, (win * $w + i) * 4 + 1, 2), 16, 10)
+                AS BIGINT)),
+            CAST(0 AS BIGINT),
+            (acc, u) -> acc + CASE WHEN u >= 32768 THEN (u - 65536) * (u - 65536)
+                                   ELSE u * u END)"""))
+      .select(col("media_id"), col("win").cast("long").as("win_idx"),
+        col("energy"),
+        sqrt(col("energy").cast("double") / w).as("rms"))
+  }
+
   /** STUB decoder: a deterministic 16-bin byte histogram, L1-normalized —
     * stands in for image decode + feature extraction. Runs per-partition
     * over the raw bytes (the real-decoder integration point: swap the

@@ -205,6 +205,9 @@ object LlmQueries {
   /** q125 outlier-shortlist size per label. */
   private val OutlierK = 5
 
+  /** q126 PCM window width in samples (int16 → 8-byte windows). */
+  private val PcmWin = 4
+
   /** q123 LSH-eval sample (FIXED 200 dense ids → ≤ 19 900 ground-truth
     * pairs at every SF) and truth threshold 1/4. The synthetic sample's
     * pair-Jaccard is bimodal (3 pairs ≥ 0.5; everything else < 0.0625),
@@ -2787,6 +2790,38 @@ object LlmQueries {
              (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk
            FROM dist)
         WHERE rk <= $OutlierK"""
+      }),
+
+    // ---- PCM window energy (L87): the payload interpreted as LE
+    // int16 samples, exact integer energy + RMS per 4-sample window —
+    // the multimodal compute path that is NOT a stub (PCM is
+    // arithmetic, not a format). Decode rides hex() so both engines
+    // compute identical samples.
+    "q126_pcm_energy" -> Query(
+      (s, dir) => Multimodal.pcmWindowEnergy(
+        Multimodal.asMediaTable(docs(s, dir)), PcmWin),
+      Some {
+        val w = PcmWin
+        def nib(pos: String) =
+          s"(strpos('0123456789ABCDEF', substr(hx, CAST($pos AS INT), 1)) - 1)"
+        val u = s"""((((${nib(s"(win * $w + i) * 4 + 3")} * 16
+             + ${nib(s"(win * $w + i) * 4 + 4")}) * 16
+             + ${nib(s"(win * $w + i) * 4 + 1")}) * 16)
+             + ${nib(s"(win * $w + i) * 4 + 2")})"""
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+              octet_length(encode(text)) AS blen FROM documents),
+          wins AS (SELECT media_id, hx, CAST(wv AS BIGINT) AS win
+                   FROM m, LATERAL (SELECT unnest(range(blen // ${2 * w}))
+                     AS wv)),
+          e AS (SELECT media_id, win,
+                  CAST(list_sum(list_transform(range(0, $w), i ->
+                    CASE WHEN $u >= 32768
+                      THEN ($u - 65536) * ($u - 65536)
+                      ELSE $u * $u END)) AS BIGINT) AS energy
+                FROM wins)
+        SELECT media_id, win AS win_idx, energy,
+          sqrt(CAST(energy AS DOUBLE) / $w) AS rms
+        FROM e"""
       })
   )
 }

@@ -190,6 +190,19 @@ class TextDedupSpec extends SparkSpec {
     m.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") shouldBe 3
   }
 
+  test("pcmWindowEnergy: hand-computed LE int16 energies; tail dropped") {
+    // samples [1, -1, 256, 0] -> LE bytes 01 00 FF FF 00 01 00 00,
+    // then a 9th byte that forms no full window with w=4.
+    val payload = Array[Byte](0x01, 0x00, 0xFF.toByte, 0xFF.toByte,
+      0x00, 0x01, 0x00, 0x00, 0x7F)
+    val media = Seq((5L, payload)).toDF("media_id", "payload")
+    val out = Multimodal.pcmWindowEnergy(media, 4).collect()
+    out.length shouldBe 1 // partial tail window dropped
+    out.head.getLong(1) shouldBe 0L
+    out.head.getLong(2) shouldBe (1L + 1L + 65536L + 0L) // 1^2+(-1)^2+256^2
+    out.head.getDouble(3) shouldBe math.sqrt(65538.0 / 4) +- 1e-12
+  }
+
   test("redactDenylist: word-boundary scrub and hit count") {
     val terms = Seq("customer", "supplier")
     val out = Seq("customer a customers supplier customer")
