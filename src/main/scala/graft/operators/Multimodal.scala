@@ -84,11 +84,28 @@ object Multimodal {
   def pcmWindowEnergy(media: DataFrame, windowSamples: Int): DataFrame = {
     require(windowSamples > 0, "windowSamples must be positive")
     val w = windowSamples
+    // Native kernel: one codegen'd byte loop emits the per-window
+    // energy array (the hex + HOF-fold formulation of the same sums is
+    // CodegenFallback and measured ~9× slower at sf1 — see SCALE.md;
+    // PcmEnergiesSpec pins bit-parity between the two).
+    media
+      .select(col("media_id"),
+        posexplode(graft.functions.PcmEnergies
+          .pcmEnergies(col("payload"), w)).as(Seq("win", "energy")))
+      .select(col("media_id"), col("win").cast("long").as("win_idx"),
+        col("energy"),
+        sqrt(col("energy").cast("double") / w).as("rms"))
+  }
+
+  /** The portable hex + higher-order-fold formulation [[pcmWindowEnergy]]
+    * replaced — kept as the independent parity witness (and the exact
+    * shape of the DuckDB oracle). */
+  private[graft] def pcmWindowEnergyHof(media: DataFrame,
+                                        windowSamples: Int): DataFrame = {
+    val w = windowSamples
     val nWin = (length(col("payload")) / (2 * w)).cast("int")
     val winIds = when(nWin > 0, sequence(lit(0), nWin - 1))
       .otherwise(array().cast("array<int>"))
-    // LE int16 at sample index k: hex chars [4k+1,4k+2]=lo byte,
-    // [4k+3,4k+4]=hi byte → value conv(hi||lo); signed fold below
     media
       .select(col("media_id"), hex(col("payload")).as("_hx"),
         explode(winIds).as("win"))

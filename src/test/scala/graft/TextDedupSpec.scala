@@ -203,6 +203,19 @@ class TextDedupSpec extends SparkSpec {
     out.head.getDouble(3) shouldBe math.sqrt(65538.0 / 4) +- 1e-12
   }
 
+  test("pcmWindowEnergy kernel matches the hex+HOF witness on varied payloads") {
+    val rnd = new scala.util.Random(31)
+    val media = (0 until 40).map { i =>
+      (i.toLong, Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+    }.toDF("media_id", "payload")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    rows(Multimodal.pcmWindowEnergy(media, 4)) shouldBe
+      rows(Multimodal.pcmWindowEnergyHof(media, 4))
+    rows(Multimodal.pcmWindowEnergy(media, 7)) shouldBe
+      rows(Multimodal.pcmWindowEnergyHof(media, 7))
+  }
+
   test("redactDenylist: word-boundary scrub and hit count") {
     val terms = Seq("customer", "supplier")
     val out = Seq("customer a customers supplier customer")
