@@ -328,6 +328,30 @@ object Curation {
         col("dsir_score").cast("double") / col("n_toks"))
   }
 
+  /** L88 — per-group percentile normalization: each row's value mapped
+    * to its within-group percentile rank (rk−1)/(n−1) ∈ [0,1] — the
+    * step that makes quality scores COMPARABLE across sources whose raw
+    * scales differ (a FineWeb-style mixed corpus cannot threshold raw
+    * scores globally; it thresholds percentiles). Deterministic: rank
+    * ties break on the id, singleton groups land at 0.5, and the ratio
+    * is an exact small-int division — engine-portable.
+    *
+    * 100 TB shape: ONE group-partitioned window (partition-parallel —
+    * groups are corpus sources); no second exchange (the count rides
+    * the same partitioning). Mono-group corpora belong to the L20/L70
+    * two-pass global rank instead. */
+  def percentileNormalize(df: DataFrame, group: Column, value: Column,
+                          idCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"), col("_id"))
+    df.select(group.as("_g"), value.cast("long").as("_v"), idCol.as("_id"))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_g"))))
+      .select(col("_g").as("group_key"), col("_id").as("id"),
+        col("_v").as("value"),
+        when(col("_n") === 1, 0.5).otherwise(
+          (col("_rk") - 1).cast("double") / (col("_n") - 1)).as("pct_rank"))
+  }
+
   /** L85 — per-source data card: the one-stop corpus summary a training
     * run's documentation (and its mixture tuning) starts from — per
     * source: document/token/char counts, language diversity, dominant

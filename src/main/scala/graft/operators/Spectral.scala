@@ -205,6 +205,43 @@ object Spectral {
       .withColumn("ratio", col("d2_proj") / col("d2_orig"))
   }
 
+  /** L89 — embedding mean-pooling: collapse vector groups (passages of
+    * a document, frames of a clip, near-dup cluster members) to one
+    * mean vector each, with member count and L2 norm — the
+    * passage→document pooling step every retrieval corpus runs before
+    * indexing at document grain. Per-dim means use the [[centroidSimilarity]]
+    * fixed-point derivation (exact integer sums, integer division,
+    * every int below 2^53), so pooled vectors are bit-identical across
+    * engines and partitionings.
+    *
+    * 100 TB shape: ONE (group, dim)-keyed map-combined aggregate
+    * (≤ groups·dim partial rows per task), then a group-keyed array
+    * rebuild under the same partitioning (HashPartitioning(group, dim)
+    * does NOT satisfy (group) clustering — this one re-shuffles
+    * groups·dim rows, which is the pooled OUTPUT size, not the corpus). */
+  def meanPool(vectors: DataFrame, groupCol: Column): DataFrame = {
+    def idiv(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(a), Bridge.expression(b)))
+    }
+    val sums = vectors.select(groupCol.as("g"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("g"), col("d"))
+      .agg(sum(fq(col("x").cast("double")).cast(DecimalType(38, 0))).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("d"), col("n"),
+        (idiv(col("sx"), col("n").cast(DecimalType(38, 0)) * 1024)
+          .cast("double") / 1048576.0).as("cv"))
+    sums.groupBy(col("g"))
+      .agg(max(col("n")).as("n_members"),
+        transform(array_sort(collect_list(struct(col("d"), col("cv")))),
+          x => x("cv")).as("pooled"))
+      .select(col("g").as("group_id"), col("n_members"), col("pooled"),
+        sqrt(graft.functions.VecFns.vecDot(col("pooled"), col("pooled")))
+          .as("norm"))
+  }
+
   /** L86 — per-label embedding outliers: the `topK` vectors FURTHEST
     * from their own label's centroid — the mislabel/poison/ingest-noise
     * shortlist a labeled embedding corpus is audited with (the ranked

@@ -208,6 +208,9 @@ object LlmQueries {
   /** q126 PCM window width in samples (int16 → 8-byte windows). */
   private val PcmWin = 4
 
+  /** q128 pooling-group width (vec_id div 8 → 8 members per group). */
+  private val PoolGroup = 8
+
   /** q123 LSH-eval sample (FIXED 200 dense ids → ≤ 19 900 ground-truth
     * pairs at every SF) and truth threshold 1/4. The synthetic sample's
     * pair-Jaccard is bimodal (3 pairs ≥ 0.5; everything else < 0.0625),
@@ -2822,6 +2825,48 @@ object LlmQueries {
         SELECT media_id, win AS win_idx, energy,
           sqrt(CAST(energy AS DOUBLE) / $w) AS rms
         FROM e"""
+      }),
+
+    // ---- per-source percentile normalization (L88): raw quality
+    // scores mapped to within-source percentile ranks so thresholds
+    // compare across sources with different scales. Exact small-int
+    // ratio; singleton groups at 0.5.
+    "q127_pct_normalize" -> Query(
+      (s, dir) => Curation.percentileNormalize(docs(s, dir), col("source"),
+        col("n_chars"), col("doc_id")),
+      Some("""WITH r AS (SELECT source AS group_key, doc_id AS id,
+               n_chars AS value,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+             FROM documents)
+        SELECT group_key, id, value,
+          CASE WHEN n = 1 THEN 0.5
+               ELSE CAST(rk - 1 AS DOUBLE) / (n - 1) END AS pct_rank
+        FROM r""")),
+
+    // ---- embedding mean-pooling (L89): passage->document pooling —
+    // vector groups collapsed to fixed-point-exact mean vectors with
+    // member count and L2 norm; the L80 centroid derivation applied
+    // per group, with a group-keyed array rebuild.
+    "q128_mean_pool" -> Query(
+      (s, dir) => Spectral.meanPool(Tables.embeddings(s, dir),
+        expr(s"vec_id div $PoolGroup")),
+      Some {
+        val qL = Spectral.Q.toLong
+        s"""WITH s AS (SELECT vec_id // $PoolGroup AS g, dd.d AS d,
+              count(*) AS n,
+              CAST(CAST(sum(CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE)
+                  * $qL) AS BIGINT)) AS HUGEINT)
+                // (count(*) * 1024) AS DOUBLE) / 1048576.0 AS cv
+            FROM embeddings, LATERAL (SELECT unnest(range($Dim)) AS d) dd
+            GROUP BY g, dd.d),
+          p AS (SELECT g AS group_id, max(n) AS n_members,
+                  list(cv ORDER BY d) AS pooled
+                FROM s GROUP BY g)
+        SELECT group_id, n_members, pooled,
+          sqrt(${Similarity.sqlDotD("pooled", "pooled", Dim)}) AS norm
+        FROM p"""
       })
   )
 }

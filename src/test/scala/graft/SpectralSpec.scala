@@ -96,6 +96,33 @@ class SpectralSpec extends SparkSpec {
     again.sortBy(_._1) shouldBe rows.sortBy(_._1)
   }
 
+  test("meanPool: pooled vector is the exact member mean; norm consistent") {
+    // group 0: vectors [2,0] and [4,0] -> mean [3, 0], n=2, norm 3
+    val vecs = Seq((0L, Seq(2f, 0f)), (1L, Seq(4f, 0f)), (8L, Seq(0f, 5f)))
+      .toDF("vec_id", "embedding")
+    val out = Spectral.meanPool(vecs, expr("vec_id div 8"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getSeq[Double](2), r.getDouble(3)))).toMap
+    out(0L)._1 shouldBe 2L
+    out(0L)._2.head shouldBe 3.0 +- 1e-5 // 2^-20 quantization grain
+    out(0L)._2(1) shouldBe 0.0 +- 1e-5
+    out(0L)._3 shouldBe 3.0 +- 1e-5
+    out(1L)._1 shouldBe 1L
+    out(1L)._2(1) shouldBe 5.0 +- 1e-5
+  }
+
+  test("percentileNormalize: rank ratio per group, 0.5 for singletons") {
+    import graft.operators.Curation
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L),
+      ("b", 7L, 9L)).toDF("g", "v", "id")
+    val out = Curation.percentileNormalize(df, col("g"), col("v"), col("id"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    out(1L) shouldBe 0.0 +- 1e-12
+    out(2L) shouldBe 0.5 +- 1e-12
+    out(3L) shouldBe 1.0 +- 1e-12
+    out(9L) shouldBe 0.5 +- 1e-12 // singleton group
+  }
+
   test("centroidOutliers ranks a planted mislabel first in its label") {
     // label 0 clusters near axis 0 — except vec 99, which sits on axis 1
     // (a mislabeled point). It must top label 0's outlier shortlist.
