@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{aggregate => cagg}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
@@ -38,7 +39,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    partitions at plan time (the connector analog of parquet
   *    partition/row-group pruning). Filters are also left in the plan as
   *    residuals — Spark re-applies them, so pruning is purely an
-  *    optimization and can never change results.
+  *    optimization and can never change results;
+  *  - **aggregate pushdown** ([[SupportsPushDownAggregates]]):
+  *    COUNT(*)/MIN/MAX over the geometry columns are answered from the
+  *    planner's own pruning arithmetic — one metadata row, zero codec
+  *    invocations (the connector analog of Parquet's footer-only
+  *    count). Spark only pushes when no residual filter remains, so
+  *    the row path keeps correctness for filtered aggregates.
   */
 class SceneSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-scene"
@@ -86,10 +93,43 @@ final class SceneTable(options: CaseInsensitiveStringMap)
 }
 
 final class SceneScanBuilder(table: SceneTable)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = SceneSource.schema
   private var pruningFilters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[cagg.Aggregation] = None
+
+  /** COUNT(*) / MIN / MAX over the geometry columns are pure METADATA
+    * for this source — the answer follows from the scene/band pruning
+    * arithmetic the planner already runs, so a complete pushdown
+    * answers them without decoding a single pixel band (the DSv2
+    * analog of Parquet's footer-only count). Anything touching decoded
+    * band VALUES stays un-pushed. */
+  private def geomName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        Some(nr.fieldNames.mkString("."))
+      case _ => None
+    }
+
+  private def canPush(agg: cagg.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: cagg.CountStar => true
+        case m: cagg.Min =>
+          geomName(m.column).exists(Set("line", "sample").contains)
+        case m: cagg.Max =>
+          geomName(m.column).exists(Set("line", "sample").contains)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: cagg.Aggregation): Boolean =
+    canPush(agg)
+
+  override def pushAggregation(agg: cagg.Aggregation): Boolean = {
+    if (canPush(agg)) { pushedAgg = Some(agg); true } else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of our schema in our field order.
@@ -113,8 +153,94 @@ final class SceneScanBuilder(table: SceneTable)
 
   override def pushedFilters(): Array[Filter] = pruningFilters
 
-  override def build(): Scan = new SceneScan(table, required, pruningFilters)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new SceneAggScan(table, pruningFilters, agg)
+    case None => new SceneScan(table, required, pruningFilters)
+  }
 }
+
+/** Complete aggregate pushdown: one metadata-only partition whose
+  * single row answers COUNT(*)/MIN/MAX(line|sample) from the same
+  * scene/band pruning arithmetic [[SceneScan.planInputPartitions]]
+  * uses — zero codec invocations, zero pixel rows (the connector's
+  * footer-only count). Empty selections yield count 0 and NULL
+  * min/max (engine aggregate semantics). */
+final class SceneAggScan(table: SceneTable, filters: Array[Filter],
+                         agg: cagg.Aggregation) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: cagg.CountStar, i) =>
+        StructField(s"count_star_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", IntegerType, nullable = true)
+    })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-scene PUSHED-AGG=[${agg.aggregateExpressions.mkString(",")}] " +
+      s"pushed=[${filters.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // identical pruning arithmetic to the row scan
+    val sceneKeep: Int => Boolean = {
+      val eqs = filters.collect {
+        case EqualTo("scene", s: String) => Set(s)
+        case In("scene", vs) => vs.collect { case s: String => s }.toSet
+      }
+      if (eqs.isEmpty) _ => true
+      else { val keep = eqs.reduce(_ intersect _); i => keep.contains(s"sc$i") }
+    }
+    val (lineLo, lineHi) = filters.foldLeft((0, table.height - 1)) {
+      case ((lo, hi), GreaterThan("line", v: Int)) => (math.max(lo, v + 1), hi)
+      case ((lo, hi), GreaterThanOrEqual("line", v: Int)) => (math.max(lo, v), hi)
+      case ((lo, hi), LessThan("line", v: Int)) => (lo, math.min(hi, v - 1))
+      case ((lo, hi), LessThanOrEqual("line", v: Int)) => (lo, math.min(hi, v))
+      case (acc, _) => acc
+    }
+    val nScenesKept = (0 until table.nScenes).count(sceneKeep)
+    val linesKept = math.max(0, lineHi - lineLo + 1)
+    val n = nScenesKept.toLong * linesKept * table.width
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: cagg.CountStar => java.lang.Long.valueOf(n)
+      case m: cagg.Min =>
+        if (n == 0L) null
+        else m.column match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames.mkString(".") == "line" =>
+            java.lang.Integer.valueOf(lineLo)
+          case _ => java.lang.Integer.valueOf(0) // min sample
+        }
+      case m: cagg.Max =>
+        if (n == 0L) null
+        else m.column match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames.mkString(".") == "line" =>
+            java.lang.Integer.valueOf(lineHi)
+          case _ => java.lang.Integer.valueOf(table.width - 1) // max sample
+        }
+      case other =>
+        throw new IllegalStateException(s"unpushable aggregate $other")
+    }
+    Array(SceneAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vals = p.asInstanceOf[SceneAggPartition].values
+          private var emitted = false
+          override def next(): Boolean = !emitted
+          override def get(): InternalRow = {
+            emitted = true
+            new GenericInternalRow(vals)
+          }
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class SceneAggPartition(values: Array[Any]) extends InputPartition
 
 final class SceneScan(table: SceneTable, required: StructType,
                       filters: Array[Filter]) extends Scan with Batch {

@@ -136,6 +136,27 @@ class SceneSourceSpec extends SparkSpec {
     scans shouldBe Seq(Seq("sample", "distance_map"))
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from metadata, zero pixel rows") {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val df = scenes(4) // 2 scenes x 8x8
+    val q = df.agg(count(lit(1)).as("n"), min(col("line")).as("mn"),
+      max(col("sample")).as("mx"))
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("PUSHED-AGG") // the scan IS the aggregate
+    val r = q.head()
+    r.getLong(0) shouldBe 2L * 8 * 8
+    r.getInt(1) shouldBe 0
+    r.getInt(2) shouldBe 7
+    // with a residual filter Spark keeps the aggregate above the scan —
+    // no pushdown, same (correct) answer through the row path
+    val f = df.filter(col("line") <= 3)
+      .agg(count(lit(1)).as("n"), max(col("line")).as("mx"))
+    f.queryExecution.executedPlan.toString should not include "PUSHED-AGG"
+    val fr = f.head()
+    fr.getLong(0) shouldBe 2L * 4 * 8
+    fr.getInt(1) shouldBe 3
+  }
+
   test("pruned + banded read still reconstructs the full grid") {
     val got = scenes(3).filter(col("scene") === "sc0")
       .select("line", "sample", "sar_primary")
