@@ -45,7 +45,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    planner's own pruning arithmetic — one metadata row, zero codec
   *    invocations (the connector analog of Parquet's footer-only
   *    count). Spark only pushes when no residual filter remains, so
-  *    the row path keeps correctness for filtered aggregates.
+  *    the row path keeps correctness for filtered aggregates;
+  *  - **runtime filtering** ([[SupportsRuntimeFiltering]]): joining the
+  *    scan against a selective dimension on `scene` hands the observed
+  *    keys back at execution time and only the surviving scenes' bands
+  *    are planned — dynamic partition pruning for a connector with no
+  *    Hive partitions.
   */
 class SceneSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-scene"
@@ -243,12 +248,35 @@ final class SceneAggScan(table: SceneTable, filters: Array[Filter],
 final case class SceneAggPartition(values: Array[Any]) extends InputPartition
 
 final class SceneScan(table: SceneTable, required: StructType,
-                      filters: Array[Filter]) extends Scan with Batch {
+                      plannedFilters: Array[Filter])
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-scene pruned=[${required.fieldNames.mkString(",")}] " +
       s"pushed=[${filters.mkString(",")}]"
+
+  /** Plan-time filters plus whatever [[filter]] delivers at RUNTIME —
+    * the DSv2 dynamic-partition-pruning hook: when this scan joins a
+    * selective dimension on `scene`, Spark evaluates the build side
+    * first and hands the observed scene keys back as an IN filter, and
+    * the probe side then plans only the surviving scenes' bands (the
+    * connector analog of DPP over Hive partitions). Runtime filters
+    * narrow partitions only — results never change (Spark re-applies
+    * the join itself). */
+  @volatile private var filters: Array[Filter] = plannedFilters
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("scene"))
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    val usable = runtime.filter {
+      case EqualTo("scene", _: String) => true
+      case In("scene", _) => true
+      case _ => false
+    }
+    filters = filters ++ usable
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val sceneKeep: Int => Boolean = {

@@ -157,6 +157,32 @@ class SceneSourceSpec extends SparkSpec {
     fr.getInt(1) shouldBe 3
   }
 
+  test("runtime filtering: a selective scene join prunes band partitions dynamically") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // dim holds ONE of 4 scenes; the broadcast join should hand the
+    // observed scene key back to the scan as a runtime IN filter
+    import spark.implicits._
+    val df = spark.read.format("graft-scene")
+      .option("scenes", 4).option("height", 8).option("width", 8)
+      .option("bandLines", 4).load()
+    val dim = Seq("sc2").toDF("scene")
+    val joined = df.join(broadcast(dim), "scene")
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should include("RuntimeFilters") // the hook is wired into the plan
+    joined.count() shouldBe 64L // sc2 only: 8x8 — correctness regardless
+    // contract check on the Scan API itself: runtime IN filter narrows
+    // the planned partitions from 8 (4 scenes x 2 bands) to 2
+    val scan = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b.scan }.head
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    scan.filterAttributes().map(_.fieldNames.mkString)
+      .toSeq shouldBe Seq("scene")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("scene", Array("sc2"))))
+    scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length shouldBe 2
+  }
+
   test("pruned + banded read still reconstructs the full grid") {
     val got = scenes(3).filter(col("scene") === "sc0")
       .select("line", "sample", "sar_primary")
