@@ -328,6 +328,69 @@ object Curation {
         col("dsir_score").cast("double") / col("n_toks"))
   }
 
+  /** L90 — deterministic bootstrap confidence interval for a corpus
+    * metric: B resamples (with replacement, size = sample size) of a
+    * FIXED evaluation sample, the mean of `value` per resample, and the
+    * exact lo/hi quantiles of those B means — the error bar that turns
+    * "mean doc length = 512" into a defensible report number. No RNG:
+    * draw d of resample b picks sample index hash60(b:d:salt) % n, so
+    * the interval is reproducible across runs, engines and
+    * partitionings.
+    *
+    * Returns ONE row: (n_sample, n_resamples, mean_full, ci_lo, ci_hi).
+    * Means are decimal-exact ([[graft.queries.Q.dsum]] on the long
+    * values); the quantiles are the discrete rank-ceil elements of the
+    * B-row means frame.
+    *
+    * 100 TB shape: `isSample` must select a corpus-size-independent set
+    * (the q123 contract); everything downstream is B·n generated draws
+    * — a map-side grid join against the BROADCAST n-row sample frame,
+    * one (resample)-keyed map-combined aggregate to B rows, and a
+    * B-row quantile election. The corpus is touched once, by the
+    * sample filter. */
+  def bootstrapCi(df: DataFrame, isSample: Column, idCol: Column,
+                  value: Column, resamples: Int, loPct: Int, hiPct: Int,
+                  salt: String): DataFrame = {
+    import graft.functions.TextFns
+    require(resamples > 0 && loPct < hiPct && loPct >= 0 && hiPct <= 100,
+      "bad bootstrap config")
+    val sample = df.where(isSample)
+      .select(idCol.as("_id"), value.cast("long").as("v"))
+      .withColumn("idx", row_number().over(
+        Window.orderBy(col("_id"))) - 1) // n is sample-sized: tiny sort
+      .localCheckpoint()
+    val n = sample.count()
+    if (n == 0)
+      return sample.sparkSession.range(0).select(lit(0L).as("n_sample"),
+        lit(resamples.toLong).as("n_resamples"), lit(0.0).as("mean_full"),
+        lit(0.0).as("ci_lo"), lit(0.0).as("ci_hi"))
+    val draws = sample.sparkSession.range(resamples.toLong)
+      .select(col("id").as("b"),
+        explode(sequence(lit(0L), lit(n - 1))).as("d"))
+      .select(col("b"),
+        pmod(TextFns.hash60(concat_ws(":", col("b"), col("d"),
+          lit(salt))), lit(n)).as("idx"))
+    val means = draws.join(broadcast(sample.select(col("idx"), col("v"))),
+        Seq("idx"))
+      .groupBy(col("b"))
+      .agg((graft.queries.Q.dsum(col("v").cast("double"), 4)
+        / count(lit(1))).as("m"))
+    val ranked = means
+      .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("b"))))
+    val full = sample.agg((graft.queries.Q.dsum(col("v").cast("double"), 4)
+      / count(lit(1))).as("mean_full"))
+    // quantile ranks are compile-time constants (pct and B are
+    // literals) — no float boundary can differ between engines
+    def rankOf(pct: Int): Long =
+      math.max(1L, math.ceil(pct / 100.0 * resamples).toLong)
+    def pick(pct: Int): Column =
+      max(when(col("rk") === rankOf(pct), col("m")))
+    ranked.agg(pick(loPct).as("ci_lo"), pick(hiPct).as("ci_hi"))
+      .crossJoin(full)
+      .select(lit(n).as("n_sample"), lit(resamples.toLong).as("n_resamples"),
+        col("mean_full"), col("ci_lo"), col("ci_hi"))
+  }
+
   /** L88 — per-group percentile normalization: each row's value mapped
     * to its within-group percentile rank (rk−1)/(n−1) ∈ [0,1] — the
     * step that makes quality scores COMPARABLE across sources whose raw

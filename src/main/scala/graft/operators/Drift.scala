@@ -106,4 +106,59 @@ object Drift {
         abs(col("c_a").cast("decimal(38,0)") * col("n_b")
           - col("c_b").cast("decimal(38,0)") * col("n_a")))
   }
+
+  /** L91 — CUSUM rate-change detection: bucket events into fixed time
+    * windows (EMPTY buckets materialize — a silence is a rate change
+    * too), accumulate the one-sided CUSUM of deviations from the mean
+    * rate, and flag buckets where it crosses `thrNum/thrDen · N·T`
+    * (deviations d_t = c_t·T − N live on the N·T scale, so the
+    * threshold must too) — the
+    * ingest-monitoring alarm (crawler stall, duplicate flood, burst)
+    * computed exactly. The clamp recurrence S_t = max(0, S_{t−1}+d_t)
+    * is NOT a plain prefix sum, but it equals P_t − min_{τ≤t} P_τ over
+    * the raw prefix P — two window scans instead of a sequential loop.
+    * All integer: d_t = c_t·T − N (Σd = 0 by construction), and the
+    * threshold compare cross-multiplies.
+    *
+    * 100 TB shape: ONE map-combined bucket-count aggregate collapses
+    * the corpus to the TIME-BOUNDED bucket frame (range/bucketSec rows
+    * — a year of hourly buckets is 8 760 rows no matter how many events
+    * land in them); the prefix windows run over that frame, so the
+    * unpartitioned sort is bounded by the time axis, never the corpus
+    * (the q129 sample-bounded argument, with time as the bound). */
+  def cusumAlarms(events: DataFrame, tsCol: Column, bucketSec: Long,
+                  thrNum: Long, thrDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSec > 0 && thrDen > 0, "bad cusum config")
+    val spark = events.sparkSession
+    def idiv(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Bridge.expression(a), Bridge.expression(b)))
+    }
+    val counts = events
+      .select(idiv(tsCol.cast("long"), lit(bucketSec)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bucket-frame sized; consumed by probe + join
+    val mm = counts.agg(min(col("b")), max(col("b")), sum(col("c"))).head()
+    if (mm.isNullAt(0))
+      return spark.range(0).select(col("id").as("bucket_ts"),
+        lit(0L).as("n_events"), lit(0L).as("cusum"), lit(0L).as("is_alarm"))
+    val (bLo, bHi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    val t = bHi - bLo + 1
+    val w = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.range(bLo, bHi + 1).select(col("id").as("b"))
+      .join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("p", sum(col("c") * t - n).over(w))
+      // the virtual P₀ = 0 matters: without it a rate rise from the
+      // very first bucket would read cusum 0 (min over {P₁} = P₁)
+      .withColumn("cusum",
+        col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select((col("b") * bucketSec).as("bucket_ts"), col("c").as("n_events"),
+        col("cusum"),
+        when(col("cusum") * thrDen > lit(thrNum) * n * t, 1L).otherwise(0L)
+          .as("is_alarm"))
+  }
 }

@@ -211,6 +211,20 @@ object LlmQueries {
   /** q128 pooling-group width (vec_id div 8 → 8 members per group). */
   private val PoolGroup = 8
 
+  /** q129 bootstrap: fixed 500-doc sample, 50 resamples, 5–95% CI. */
+  private val BootSampleN = 500L
+  private val BootB = 50
+  private val BootLo = 5
+  private val BootHi = 95
+  private val BootSalt = "boot7"
+
+  /** q130 CUSUM: 1-hour buckets; alarm at 0.4% of the N·T deviation
+    * scale — flags the top ~decile of drift on the synthetic stream
+    * (non-vacuous both ways: most buckets stay quiet). */
+  private val CusumBucketSec = 3600L
+  private val CusumThrNum = 4L
+  private val CusumThrDen = 1000L
+
   /** q123 LSH-eval sample (FIXED 200 dense ids → ≤ 19 900 ground-truth
     * pairs at every SF) and truth threshold 1/4. The synthetic sample's
     * pair-Jaccard is bimodal (3 pairs ≥ 0.5; everything else < 0.0625),
@@ -2867,6 +2881,73 @@ object LlmQueries {
         SELECT group_id, n_members, pooled,
           sqrt(${Similarity.sqlDotD("pooled", "pooled", Dim)}) AS norm
         FROM p"""
-      })
+      }),
+
+    // ---- bootstrap CI for a corpus metric (L90): B deterministic
+    // with-replacement resamples of a FIXED sample, exact decimal
+    // means, rank-exact 5-95% interval — the error bar on a data-card
+    // number. Draw (b, d) picks index hash60(b:d:salt) % n: no RNG.
+    "q129_bootstrap_ci" -> Query(
+      (s, dir) => Curation.bootstrapCi(docs(s, dir),
+        col("doc_id") < BootSampleN, col("doc_id"), col("n_chars"),
+        BootB, BootLo, BootHi, BootSalt),
+      Some {
+        def rankOf(pct: Int): Long =
+          math.max(1L, math.ceil(pct / 100.0 * BootB).toLong)
+        s"""WITH s AS (SELECT doc_id AS _id, n_chars AS v,
+              row_number() OVER (ORDER BY doc_id) - 1 AS idx
+            FROM documents WHERE doc_id < $BootSampleN),
+          nn AS (SELECT count(*) AS n FROM s),
+          draws AS (SELECT t.b,
+              (${sqlHash60(s"CAST(t.b AS VARCHAR) || ':' || " +
+                s"CAST(dd.d AS VARCHAR) || ':$BootSalt'")} % nn.n) AS idx
+            FROM range($BootB) t(b), nn,
+              LATERAL (SELECT unnest(range(nn.n)) AS d) dd),
+          means AS (SELECT b,
+              CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS m
+            FROM draws JOIN s USING (idx) GROUP BY b),
+          r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk
+                FROM means),
+          f AS (SELECT CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+                  / count(*) AS mean_full FROM s)
+        SELECT (SELECT n FROM nn) AS n_sample,
+          CAST($BootB AS BIGINT) AS n_resamples, mean_full,
+          (SELECT max(CASE WHEN rk = ${rankOf(BootLo)} THEN m END) FROM r)
+            AS ci_lo,
+          (SELECT max(CASE WHEN rk = ${rankOf(BootHi)} THEN m END) FROM r)
+            AS ci_hi
+        FROM f"""
+      }),
+
+    // ---- CUSUM rate-change alarms (L91): hourly event-rate buckets
+    // (empty buckets materialize), one-sided CUSUM of integer
+    // deviations via the prefix-minus-running-min identity, alarms at
+    // 2% of total mass — the ingest monitor, exactly.
+    "q130_cusum_alarms" -> Query(
+      (s, dir) => Drift.cusumAlarms(Tables.events(s, dir), col("ts"),
+        CusumBucketSec, CusumThrNum, CusumThrDen),
+      Some(s"""WITH cc AS (SELECT epoch_ns(ts) // ${CusumBucketSec}000000000
+               AS b, count(*) AS c
+             FROM events GROUP BY b),
+          mm AS (SELECT min(b) AS lo, max(b) AS hi,
+                  CAST(sum(c) AS BIGINT) AS n FROM cc),
+          grid AS (SELECT CAST(g AS BIGINT) + mm.lo AS b FROM mm,
+                   LATERAL (SELECT unnest(range(mm.hi - mm.lo + 1)) AS g)),
+          f AS (SELECT grid.b, coalesce(cc.c, 0) AS c
+                FROM grid LEFT JOIN cc USING (b)),
+          p AS (SELECT b, c, CAST(sum(c * (SELECT hi - lo + 1 FROM mm)
+                  - (SELECT n FROM mm)) OVER (ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+                FROM f),
+          st AS (SELECT b, c, p,
+                  p - least(0, min(p) OVER (ORDER BY b
+                    ROWS UNBOUNDED PRECEDING)) AS cusum
+                 FROM p)
+        SELECT b * $CusumBucketSec AS bucket_ts,
+          CAST(c AS BIGINT) AS n_events, CAST(cusum AS BIGINT) AS cusum,
+          CAST(CASE WHEN cusum * $CusumThrDen
+              > $CusumThrNum * (SELECT n * (hi - lo + 1) FROM mm)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
+        FROM st"""))
   )
 }

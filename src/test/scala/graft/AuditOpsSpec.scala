@@ -192,6 +192,46 @@ class AuditOpsSpec extends SparkSpec {
     out("s2").getDouble(9) shouldBe 0.0 +- 1e-12
   }
 
+  test("bootstrapCi: constant values collapse the interval; interval brackets the mean") {
+    import graft.operators.Curation
+    val const = (0 until 40).map(i => (i.toLong, 7L)).toDF("id", "v")
+    val r0 = Curation.bootstrapCi(const, lit(true), col("id"), col("v"),
+      20, 5, 95, "s").head()
+    r0.getDouble(2) shouldBe 7.0 +- 1e-12 // mean_full
+    r0.getDouble(3) shouldBe 7.0 +- 1e-12 // ci_lo
+    r0.getDouble(4) shouldBe 7.0 +- 1e-12 // ci_hi
+    val varied = (0 until 60).map(i => (i.toLong, (i % 13).toLong))
+      .toDF("id", "v")
+    val r = Curation.bootstrapCi(varied, lit(true), col("id"), col("v"),
+      30, 5, 95, "s").head()
+    r.getDouble(3) should be <= r.getDouble(2)
+    r.getDouble(4) should be >= r.getDouble(2)
+    // deterministic under repartitioning (no RNG)
+    val again = Curation.bootstrapCi(varied.repartition(7), lit(true),
+      col("id"), col("v"), 30, 5, 95, "s").head()
+    again.getDouble(3) shouldBe r.getDouble(3)
+    again.getDouble(4) shouldBe r.getDouble(4)
+  }
+
+  test("cusumAlarms: a planted rate burst alarms; a uniform stream stays quiet") {
+    import graft.operators.Drift
+    import java.sql.Timestamp
+    def ev(sec: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // uniform: 5 events per 10s bucket over 20 buckets -> no alarms
+    val uniform = (0 until 200).map(i => Tuple1(ev(i))).toDF("ts")
+    val quiet = Drift.cusumAlarms(uniform, col("ts"), 10L, 1L, 100L)
+      .collect()
+    quiet.map(_.getLong(3)).sum shouldBe 0L
+    // burst: buckets 0-9 hold 1 event each, buckets 10-19 hold 20 each
+    val burst = ((0 until 10).map(b => Tuple1(ev(b * 10L))) ++
+      (10 until 20).flatMap(b => (0 until 20).map(k => Tuple1(ev(b * 10L + k % 10)))))
+      .toDF("ts")
+    val alarms = Drift.cusumAlarms(burst, col("ts"), 10L, 5L, 100L)
+      .collect().map(r => (r.getLong(0) / 10, r.getLong(3))).toMap
+    alarms.filter(_._1 < 10).values.sum shouldBe 0L // quiet half silent
+    alarms.filter(_._1 >= 12).values.sum should be >= 5L // burst accumulates
+  }
+
   test("importanceWeights favors docs made of target-heavy tokens") {
     // 'en'-slice docs use token x; raw-only docs use token y. A doc of
     // x-tokens must outscore a doc of y-tokens.

@@ -38,7 +38,15 @@ class PlanContractSpec extends SparkSpec {
     // per-bucket count frames of the global-rank helpers (numBuckets
     // rows) in q14/q15/q37, and q36's scalar dims probe (one row).
     val tinyByDesign = Set("q14_exact_split", "q15_batches", "q37_catalog",
-      "q36_patch_matrix")
+      "q36_patch_matrix",
+      // q129: every window runs over the FIXED bootstrap sample (500
+      // rows by contract) or the B-row means frame — sample-bounded,
+      // not corpus-bounded
+      "q129_bootstrap_ci",
+      // q130: the prefix windows run over the TIME-BOUNDED bucket frame
+      // (range/bucketSec rows — a year of hourly buckets is 8760 rows
+      // regardless of event volume)
+      "q130_cusum_alarms")
     val sideEffecting = Set( // streaming drains run at build time
       "q35_stream_ledger", "q71_stream_windows", "q72_stream_sessions",
       "q78_stream_dedup", "q87_stream_interval_join")
