@@ -89,6 +89,44 @@ object SceneQueries {
     * schema when no batch wrote). The engine's final no-data
     * micro-batch is what flushes watermark-finalized windows — that
     * real finalization machinery is exactly what q71/q72 gate. */
+  /** UPDATE-mode drain into a CDC-style serving table: every micro-batch
+    * appends its changed per-key rows stamped with the batch id, and the
+    * read-back takes each key's row from the LATEST batch (rank-1 per
+    * key — partition-parallel) — the materialized-view/upsert-sink
+    * pattern on a plain append-only store. The final state equals the
+    * batch aggregate regardless of how micro-batches sliced the stream,
+    * which is what makes an update-mode stream oracle-gateable. */
+  private def drainUpdateLatest(df: DataFrame, keyCols: Seq[String],
+                                tag: String, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    deleteRecursively(new java.io.File(base))
+    val spark = df.sparkSession
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("update")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) b.withColumn("_b", lit(id))
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    val raw =
+      if (new java.io.File(s"$base/out").exists) spark.read.parquet(s"$base/out")
+      else return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+    raw.withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col("_b").desc)))
+      .where(col("_rk") === 1).drop("_b", "_rk")
+  }
+
   private def drainToParquet(df: DataFrame, tag: String, dir: String,
                              statePartitions: Int = 8): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
@@ -1054,6 +1092,26 @@ object SceneQueries {
             max(col("max_value")).as("max_value"))
       },
       Some("""SELECT user_id, count(*) AS n_events, max(value) AS max_value
+        FROM events GROUP BY user_id""")),
+
+    // ---- STREAMING update-mode serving table (L92): the per-user
+    // running aggregate maintained as a materialized view — update-mode
+    // emissions upsert (latest-wins on batch id) into an append-only
+    // store, the CDC pattern for a store with no native MERGE. The
+    // final state equals the batch aggregate however the stream was
+    // sliced — the gateable contract.
+    "q131_stream_serving" -> Query(
+      (s, dir) => {
+        val ev = streamedEvents(s, dir)
+          .withColumn("value", col("value").cast(DecimalType(18, 4)))
+        val agg = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv"))
+        drainUpdateLatest(agg, Seq("user_id"), "sserve", dir)
+          .select(col("user_id"), col("n_events"),
+            col("sv").cast("double").as("sum_value"))
+      },
+      Some(s"""SELECT user_id, count(*) AS n_events,
+          ${sqlSum("value")} AS sum_value
         FROM events GROUP BY user_id"""))
   )
 }

@@ -178,6 +178,39 @@ class DifferentialFuzzSpec extends SparkSpec {
     }
   }
 
+  test("cusumAlarms matches the sequential clamp recurrence on random streams") {
+    import graft.operators.Drift
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(57)
+    (1 to 4).foreach { _ =>
+      // random counts over 30 buckets of 10s, some empty
+      val counts = Array.fill(30)(if (rnd.nextBoolean()) rnd.nextInt(12) else 0)
+      val ts = counts.zipWithIndex.flatMap { case (c, b) =>
+        Seq.fill(c)(Tuple1(Timestamp.from(
+          java.time.Instant.ofEpochSecond(b * 10L + rnd.nextInt(10)))))
+      }
+      if (ts.nonEmpty) {
+        val got = Drift.cusumAlarms(ts.toSeq.toDF("ts"), col("ts"),
+            10L, 3L, 100L)
+          .collect().map(r => r.getLong(0) / 10 -> ((r.getLong(2), r.getLong(3))))
+          .toMap
+        // sequential reference: the textbook clamp recurrence
+        val lo = counts.indexWhere(_ > 0)
+        val hi = counts.lastIndexWhere(_ > 0)
+        val slice = counts.slice(lo, hi + 1)
+        val t = slice.length.toLong
+        val n = slice.map(_.toLong).sum
+        var s = 0L
+        slice.zipWithIndex.foreach { case (c, i) =>
+          s = math.max(0L, s + (c * t - n))
+          val b = (lo + i).toLong
+          got(b)._1 shouldBe s
+          got(b)._2 shouldBe (if (s * 100L > 3L * n * t) 1L else 0L)
+        }
+      }
+    }
+  }
+
   test("groupQuantiles matches the sorted-seq reference on random groups") {
     val rnd = new scala.util.Random(13)
     (1 to 4).foreach { _ =>

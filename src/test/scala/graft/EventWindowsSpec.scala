@@ -115,6 +115,27 @@ class EventWindowsSpec extends SparkSpec {
     }
   }
 
+  test("update-mode aggregate re-emits a key's new total each micro-batch (serving contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = in.toDF().groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("memory").queryName("serve_out")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(ev(1, 1, "a", 1.0), ev(2, 1, "a", 1.0))
+    q.processAllAvailable()
+    in.addData(ev(3, 1, "a", 1.0), ev(4, 2, "b", 1.0)) // user 1 updates
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("serve_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // user 1 emitted twice — cumulative totals 2 then 3; the LATEST
+    // emission is the serving value (what q131's batch-id rank picks)
+    rows.filter(_._1 == 1L).map(_._2).toSet shouldBe Set(2L, 3L)
+    rows.filter(_._1 == 2L).map(_._2).toSet shouldBe Set(1L)
+  }
+
   test("stateful first-seen dedup emits each key once across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
