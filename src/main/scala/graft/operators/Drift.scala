@@ -107,6 +107,49 @@ object Drift {
           - col("c_b").cast("decimal(38,0)") * col("n_a")))
   }
 
+  /** L93 — exact two-sample Kolmogorov–Smirnov statistic: the maximum
+    * ECDF gap between two slices' integer value distributions,
+    * cross-multiplied so the numerator is integer-exact
+    * (D = max_v |F_a(v)·n_b − F_b(v)·n_a| / (n_a·n_b)) — the
+    * distribution-shift test that complements L53's TV (TV sees mass
+    * moved anywhere; KS sees WHERE the CDFs diverge, and its null
+    * distribution is the textbook one). Returns ONE row:
+    * (n_a, n_b, ks_num, ks, at_value) — at_value is the smallest value
+    * attaining the max (deterministic tie-break).
+    *
+    * 100 TB shape: each side collapses map-combined to its per-VALUE
+    * count frame (value-domain-bounded — a length histogram has
+    * thousands of rows at any corpus size); the ECDF prefix windows and
+    * the max election run over the merged value frame, so the
+    * unpartitioned sort is domain-bounded, never corpus-bounded (the
+    * q130 time-axis argument with the value axis as the bound). */
+  def ksStatistic(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = a.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c_a"))
+    val cb = b.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c_b"))
+    val merged = ca.join(cb, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("c_a", "c_b"))
+    val na = merged.agg(sum(col("c_a")).as("n_a"))
+    val nb = merged.agg(sum(col("c_b")).as("n_b"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("f_a", sum(col("c_a")).over(w))
+      .withColumn("f_b", sum(col("c_b")).over(w))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("num",
+        abs(col("f_a").cast("decimal(38,0)") * col("n_b")
+          - col("f_b").cast("decimal(38,0)") * col("n_a")))
+      .orderBy(col("num").desc, col("v")).limit(1)
+      .select(col("n_a"), col("n_b"),
+        col("num").cast("long").as("ks_num"),
+        (col("num").cast("double")
+          / (col("n_a").cast("double") * col("n_b"))).as("ks"),
+        col("v").as("at_value"))
+  }
+
   /** L91 — CUSUM rate-change detection: bucket events into fixed time
     * windows (EMPTY buckets materialize — a silence is a rate change
     * too), accumulate the one-sided CUSUM of deviations from the mean

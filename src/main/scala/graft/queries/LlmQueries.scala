@@ -2919,6 +2919,38 @@ object LlmQueries {
         FROM f"""
       }),
 
+    // ---- exact two-sample KS statistic (L93): the max ECDF gap
+    // between two corpus slices' length distributions, integer-exact
+    // numerator via cross-multiplication — WHERE the distributions
+    // diverge, with the textbook null distribution.
+    "q132_ks_statistic" -> Query(
+      (s, dir) => Drift.ksStatistic(
+        docs(s, dir).where(col("doc_id") % 3 === 0),
+        docs(s, dir).where(col("doc_id") % 3 =!= 0),
+        col("n_chars")),
+      Some("""WITH ca AS (SELECT n_chars AS v, count(*) AS c_a
+             FROM documents WHERE doc_id % 3 = 0 GROUP BY v),
+          cb AS (SELECT n_chars AS v, count(*) AS c_b
+             FROM documents WHERE doc_id % 3 <> 0 GROUP BY v),
+          m AS (SELECT coalesce(ca.v, cb.v) AS v,
+                  coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+                FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+          t AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+                  CAST(sum(c_b) AS BIGINT) AS n_b FROM m),
+          f AS (SELECT v,
+                  CAST(sum(c_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS f_a,
+                  CAST(sum(c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS f_b
+                FROM m),
+          g AS (SELECT v, abs(CAST(f_a AS HUGEINT) * t.n_b
+                  - CAST(f_b AS HUGEINT) * t.n_a) AS num, t.n_a, t.n_b
+                FROM f, t)
+        SELECT n_a, n_b, CAST(num AS BIGINT) AS ks_num,
+          CAST(num AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b) AS ks,
+          v AS at_value
+        FROM g ORDER BY num DESC, v LIMIT 1""")),
+
     // ---- CUSUM rate-change alarms (L91): hourly event-rate buckets
     // (empty buckets materialize), one-sided CUSUM of integer
     // deviations via the prefix-minus-running-min identity, alarms at

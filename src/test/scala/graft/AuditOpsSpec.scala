@@ -232,6 +232,25 @@ class AuditOpsSpec extends SparkSpec {
     alarms.filter(_._1 >= 12).values.sum should be >= 5L // burst accumulates
   }
 
+  test("ksStatistic: disjoint supports hit 1.0; identical samples hit 0; hand case") {
+    import graft.operators.Drift
+    val lo = (0 until 20).map(i => Tuple1((i % 5).toLong)).toDF("v")
+    val hi = (0 until 30).map(i => Tuple1((100 + i % 7).toLong)).toDF("v")
+    val r1 = Drift.ksStatistic(lo, hi, col("v")).head()
+    r1.getDouble(3) shouldBe 1.0 +- 1e-12 // disjoint supports
+    val r0 = Drift.ksStatistic(lo, lo, col("v")).head()
+    r0.getDouble(3) shouldBe 0.0 +- 1e-12 // identical distributions
+    // hand case: A = {1,1,2}, B = {1,2,2,3}
+    // F_a = 2/3, 3/3, 3/3 at v=1,2,3; F_b = 1/4, 3/4, 4/4
+    // gaps |F_a - F_b| = 5/12, 3/12, 0 -> KS = 5/12 at v = 1
+    val a = Seq(1L, 1L, 2L).map(Tuple1(_)).toDF("v")
+    val b = Seq(1L, 2L, 2L, 3L).map(Tuple1(_)).toDF("v")
+    val r = Drift.ksStatistic(a, b, col("v")).head()
+    r.getLong(2) shouldBe 5L // ks_num = |2*4 - 1*3|
+    r.getDouble(3) shouldBe (5.0 / 12.0) +- 1e-12
+    r.getLong(4) shouldBe 1L // at_value
+  }
+
   test("importanceWeights favors docs made of target-heavy tokens") {
     // 'en'-slice docs use token x; raw-only docs use token y. A doc of
     // x-tokens must outscore a doc of y-tokens.

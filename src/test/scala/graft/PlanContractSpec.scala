@@ -46,7 +46,10 @@ class PlanContractSpec extends SparkSpec {
       // q130: the prefix windows run over the TIME-BOUNDED bucket frame
       // (range/bucketSec rows — a year of hourly buckets is 8760 rows
       // regardless of event volume)
-      "q130_cusum_alarms")
+      "q130_cusum_alarms",
+      // q132: the ECDF prefix windows run over the merged per-VALUE
+      // frame — value-domain-bounded (a length histogram), not corpus
+      "q132_ks_statistic")
     val sideEffecting = Set( // streaming drains run at build time
       "q35_stream_ledger", "q71_stream_windows", "q72_stream_sessions",
       "q78_stream_dedup", "q87_stream_interval_join")
