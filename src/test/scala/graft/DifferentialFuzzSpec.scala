@@ -211,6 +211,25 @@ class DifferentialFuzzSpec extends SparkSpec {
     }
   }
 
+  test("ksStatistic matches the brute-force ECDF reference on random samples") {
+    import graft.operators.Drift
+    val rnd = new scala.util.Random(83)
+    (1 to 4).foreach { _ =>
+      val a = Seq.fill(40 + rnd.nextInt(40))(rnd.nextInt(25).toLong)
+      val b = Seq.fill(40 + rnd.nextInt(40))(rnd.nextInt(25).toLong + rnd.nextInt(3))
+      val got = Drift.ksStatistic(a.map(Tuple1(_)).toDF("v"),
+        b.map(Tuple1(_)).toDF("v"), col("v")).head()
+      val vals = (a ++ b).distinct.sorted
+      val ref = vals.map { v =>
+        val fa = a.count(_ <= v).toLong
+        val fb = b.count(_ <= v).toLong
+        (math.abs(fa * b.size - fb * a.size), v)
+      }.max(Ordering.by((x: (Long, Long)) => (x._1, -x._2)))
+      got.getLong(2) shouldBe ref._1 // ks_num
+      got.getLong(4) shouldBe ref._2 // smallest attaining value
+    }
+  }
+
   test("groupQuantiles matches the sorted-seq reference on random groups") {
     val rnd = new scala.util.Random(13)
     (1 to 4).foreach { _ =>
