@@ -20,6 +20,33 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** L94 — padding-waste audit for length-bucketed batching: assign
+    * every document to the length bucket ceil(len/width)·width and
+    * report, per bucket, the support, real token mass, padded mass, the
+    * padding overhead, and the bucket's efficiency — the number that
+    * decides bucket boundaries (or justifies sequence packing, L21)
+    * before a training run pays for pad tokens. All integer except the
+    * final ratios.
+    *
+    * 100 TB shape: ONE map-combined groupBy on the bucket id (length
+    * buckets are a few hundred rows at any corpus size); nothing else
+    * touches the corpus. */
+  def paddingWaste(docs: DataFrame, idCol: Column, text: Column,
+                   bucketWidth: Int): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val len = size(graft.functions.TextFns.tokens(text)).cast("long")
+    docs.select(idCol.as("_id"), len.as("len"))
+      .withColumn("bucket",
+        expr(s"(len + ${bucketWidth - 1}) div $bucketWidth") * bucketWidth)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("real_tokens"))
+      .select(col("bucket"), col("n_docs"), col("real_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        (col("bucket") * col("n_docs") - col("real_tokens")).as("pad_waste"),
+        (col("real_tokens").cast("double")
+          / (col("bucket") * col("n_docs"))).as("efficiency"))
+  }
+
   /** Adds `chunk_id` and `chunk_off` columns: the row's chunk within
     * its stratum and its start offset inside that chunk.
     *

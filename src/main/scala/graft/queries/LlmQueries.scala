@@ -2919,6 +2919,23 @@ object LlmQueries {
         FROM f"""
       }),
 
+    // ---- padding-waste audit (L94): length-bucketed batching
+    // efficiency — per bucket ceil(len/32)*32: support, real vs padded
+    // token mass, waste, efficiency. ONE map-combined groupBy; the
+    // number that justifies sequence packing (q52) over naive padding.
+    "q133_padding_waste" -> Query(
+      (s, dir) => Packing.paddingWaste(docs(s, dir), col("doc_id"),
+        col("text"), 32),
+      Some(s"""WITH d AS (SELECT ((len($sqlToks) + 31) // 32) * 32 AS bucket,
+               CAST(len($sqlToks) AS BIGINT) AS len
+             FROM documents)
+        SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+          CAST(sum(len) AS BIGINT) AS real_tokens,
+          CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+          CAST(bucket * count(*) - sum(len) AS BIGINT) AS pad_waste,
+          CAST(sum(len) AS DOUBLE) / (bucket * count(*)) AS efficiency
+        FROM d GROUP BY bucket""")),
+
     // ---- exact two-sample KS statistic (L93): the max ECDF gap
     // between two corpus slices' length distributions, integer-exact
     // numerator via cross-multiplication — WHERE the distributions

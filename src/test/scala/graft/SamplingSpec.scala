@@ -117,6 +117,22 @@ class SamplingSpec extends SparkSpec {
     again.sorted shouldBe out.sorted
   }
 
+  test("paddingWaste: hand-computed buckets, waste, and efficiency") {
+    import graft.operators.Packing
+    // lengths 3, 4, 5 with width 4 -> buckets 4, 4, 8
+    val docs = Seq((0L, "a b c"), (1L, "a b c d"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = Packing.paddingWaste(docs, col("doc_id"), col("text"), 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))).toMap
+    out(4L)._1 shouldBe 2L // two docs in bucket 4
+    out(4L)._2 shouldBe 7L // real tokens 3+4
+    out(4L)._3 shouldBe 1L // waste 8-7
+    out(4L)._4 shouldBe 7.0 / 8.0 +- 1e-12
+    out(8L)._1 shouldBe 1L
+    out(8L)._3 shouldBe 3L // 8-5
+  }
+
   test("contaminationReport finds the planted overlap and honors the cap") {
     import graft.operators.Dedup
     // eval doc 100 shares a 6-token run with train doc 1 (-> 4 common
