@@ -242,8 +242,12 @@ object Curation {
         sum((col("min_rk") + col("max_rk")).cast(DecimalType(38, 0))
           * col("n_pos_s")).as("rk2_sum"))
       .select(col("n_pos_l").as("n_pos"), col("n_neg_l").as("n_neg"),
+        // DECIMAL stays internal (rank-sum products can exceed long at
+        // extreme n); the OUTPUT is 2·U ≤ 2·n_pos·n_neg — long-exact to
+        // billions of rows, and the PortabilitySpec contract bans
+        // DECIMAL output columns (driver-comparator portability).
         (col("rk2_sum") - col("n_pos_l").cast(DecimalType(38, 0))
-          * (col("n_pos_l") + 1)).as("u2"))
+          * (col("n_pos_l") + 1)).cast("long").as("u2"))
       .withColumn("auc", col("u2").cast("double")
         / (lit(2.0) * col("n_pos") * col("n_neg")))
   }
@@ -360,10 +364,16 @@ object Curation {
         Window.orderBy(col("_id"))) - 1) // n is sample-sized: tiny sort
       .localCheckpoint()
     val n = sample.count()
+    // Empty sample: still ONE row (the scaladoc contract, and what the
+    // oracle's global aggregate yields over an empty sample — DuckDB's
+    // sum-over-empty/max-over-empty are NULL, count is 0), so operator
+    // and oracle agree on the degenerate shape too.
     if (n == 0)
-      return sample.sparkSession.range(0).select(lit(0L).as("n_sample"),
-        lit(resamples.toLong).as("n_resamples"), lit(0.0).as("mean_full"),
-        lit(0.0).as("ci_lo"), lit(0.0).as("ci_hi"))
+      return sample.sparkSession.range(1).select(lit(0L).as("n_sample"),
+        lit(resamples.toLong).as("n_resamples"),
+        lit(null).cast("double").as("mean_full"),
+        lit(null).cast("double").as("ci_lo"),
+        lit(null).cast("double").as("ci_hi"))
     val draws = sample.sparkSession.range(resamples.toLong)
       .select(col("id").as("b"),
         explode(sequence(lit(0L), lit(n - 1))).as("d"))

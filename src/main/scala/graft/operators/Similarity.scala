@@ -560,9 +560,16 @@ object Similarity {
       .agg(sum(comb2(col("a_i"))).as("sum_comb_truth"))
     val sb = cont.groupBy(col("cell")).agg(sum(col("n_ij")).as("b_j"))
       .agg(sum(comb2(col("b_j"))).as("sum_comb_assigned"))
+    // Output casts to BIGINT: the comb-sums are ≤ C(n,2) < 2^63 for any
+    // n under ~4.3e9 rows *per contingency cell group* — comfortably
+    // exact at every gate SF, and the driver's pandas comparator cannot
+    // canonicalize DECIMAL(38,0)-vs-HUGEINT consistently. DECIMAL stays
+    // strictly internal to the arithmetic above.
     sij.crossJoin(sa).crossJoin(sb)
-      .select(col("n"), col("sum_comb_cells"), col("sum_comb_truth"),
-        col("sum_comb_assigned"),
+      .select(col("n").cast("long").as("n"),
+        col("sum_comb_cells").cast("long").as("sum_comb_cells"),
+        col("sum_comb_truth").cast("long").as("sum_comb_truth"),
+        col("sum_comb_assigned").cast("long").as("sum_comb_assigned"),
         ((col("sum_comb_cells").cast("double")
           - col("sum_comb_truth").cast("double")
             * col("sum_comb_assigned") / comb2(col("n")).cast("double"))

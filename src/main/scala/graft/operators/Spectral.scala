@@ -66,12 +66,16 @@ object Spectral {
       count(lit(1)).as("n")).head()
     val n = row.getLong(1)
     val mSums = row.getSeq[Long](0)
-    // empty input: keep the zero matrix (loadings degrade to NaN rows,
-    // no crash — the EmptyInputSpec contract)
-    val mq =
-      if (n == 0L) new Array[Long](dim * dim)
-      else mSums.map(s => java.math.BigInteger.valueOf(s)
-        .divide(java.math.BigInteger.valueOf(n)).longValueExact()).toArray
+    // Empty input: return an EMPTY frame — the shape the SQL oracle's
+    // CTE chain yields over an empty table. (Pre-r7 this emitted dim
+    // rows of NaN loadings from the zero matrix; operator and oracle
+    // disagreed on the degenerate shape.)
+    if (n == 0L) {
+      import spark.implicits._
+      return Seq.empty[(Long, Double, Double)].toDF("d", "loading", "lambda")
+    }
+    val mq = mSums.map(s => java.math.BigInteger.valueOf(s)
+      .divide(java.math.BigInteger.valueOf(n)).longValueExact()).toArray
     val m = mq.map(_.toDouble / Q)
     // power iteration with the SAME quantize-before-sum rule the SQL
     // oracle applies, so every iterate is bit-identical cross-engine.

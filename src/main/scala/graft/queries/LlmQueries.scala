@@ -2445,8 +2445,9 @@ object LlmQueries {
                     AS HUGEINT) AS sb FROM
                   (SELECT CAST(sum(n_ij) AS BIGINT) AS b_j FROM cont
                    GROUP BY cell))
-        SELECT n, sij AS sum_comb_cells, sa AS sum_comb_truth,
-          sb AS sum_comb_assigned,
+        SELECT n, CAST(sij AS BIGINT) AS sum_comb_cells,
+          CAST(sa AS BIGINT) AS sum_comb_truth,
+          CAST(sb AS BIGINT) AS sum_comb_assigned,
           (CAST(sij AS DOUBLE) - CAST(sa AS DOUBLE) * sb
              / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE))
           / ((CAST(sa AS DOUBLE) + sb) / 2 - CAST(sa AS DOUBLE) * sb
@@ -2863,9 +2864,20 @@ object LlmQueries {
     // vector groups collapsed to fixed-point-exact mean vectors with
     // member count and L2 norm; the L80 centroid derivation applied
     // per group, with a group-keyed array rebuild.
+    // Gate shape note (r7): the operator's natural output is one
+    // array<double> vector per group, but the driver's pandas comparator
+    // cannot sort/hash multi-row array columns (r6's only harness err).
+    // The GATED projection is therefore long format — (group_id, d,
+    // component) plus the scalar n_members/norm — which is the identical
+    // computation under a comparator-safe shape; API callers still get
+    // the array from [[Spectral.meanPool]].
     "q128_mean_pool" -> Query(
       (s, dir) => Spectral.meanPool(Tables.embeddings(s, dir),
-        expr(s"vec_id div $PoolGroup")),
+          expr(s"vec_id div $PoolGroup"))
+        .select(col("group_id"), col("n_members"), col("norm"),
+          posexplode(col("pooled")).as(Seq("d", "component")))
+        .select(col("group_id"), col("d").cast("long").as("d"),
+          col("component"), col("n_members"), col("norm")),
       Some {
         val qL = Spectral.Q.toLong
         s"""WITH s AS (SELECT vec_id // $PoolGroup AS g, dd.d AS d,
@@ -2877,10 +2889,13 @@ object LlmQueries {
             GROUP BY g, dd.d),
           p AS (SELECT g AS group_id, max(n) AS n_members,
                   list(cv ORDER BY d) AS pooled
-                FROM s GROUP BY g)
-        SELECT group_id, n_members, pooled,
-          sqrt(${Similarity.sqlDotD("pooled", "pooled", Dim)}) AS norm
-        FROM p"""
+                FROM s GROUP BY g),
+          nrm AS (SELECT group_id, n_members, pooled,
+                  sqrt(${Similarity.sqlDotD("pooled", "pooled", Dim)}) AS norm
+                FROM p)
+        SELECT group_id, CAST(dd.d AS BIGINT) AS d,
+          pooled[dd.d + 1] AS component, n_members, norm
+        FROM nrm, LATERAL (SELECT unnest(range($Dim)) AS d) dd"""
       }),
 
     // ---- bootstrap CI for a corpus metric (L90): B deterministic

@@ -672,7 +672,7 @@ object SceneQueries {
           sc AS (SELECT unnest(range(0, 4)) AS si),
           px AS (SELECT 'sc' || si AS scene, line, sample,
                  (line // 4) * 10 + (sample // 4) % 10 + 1 AS polygon_id,
-                 sample * 3.0 AS distance_map
+                 sample * CAST(3.0 AS DOUBLE) AS distance_map
                FROM sc, l, sm)
         SELECT scene, count(*) AS n_px,
           CAST(sum(polygon_id) AS BIGINT) AS sum_poly,

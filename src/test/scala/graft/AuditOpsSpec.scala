@@ -20,7 +20,7 @@ class AuditOpsSpec extends SparkSpec {
     val r = Curation.rocAuc(df, col("s"), col("y"), col("id")).head()
     r.getLong(0) shouldBe 2L // n_pos
     r.getLong(1) shouldBe 2L // n_neg
-    r.getDecimal(2).longValueExact() shouldBe 7L
+    r.getLong(2) shouldBe 7L // u2 is BIGINT output (PortabilitySpec contract)
     r.getDouble(3) shouldBe 0.875 +- 1e-12
   }
 
@@ -211,6 +211,20 @@ class AuditOpsSpec extends SparkSpec {
       col("id"), col("v"), 30, 5, 95, "s").head()
     again.getDouble(3) shouldBe r.getDouble(3)
     again.getDouble(4) shouldBe r.getDouble(4)
+  }
+
+  test("bootstrapCi: empty sample still yields ONE row with NULL stats (oracle aggregate shape)") {
+    import graft.operators.Curation
+    val docs = (0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val rows = Curation.bootstrapCi(docs, lit(false), col("id"), col("v"),
+      10, 5, 95, "s").collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    r.getLong(0) shouldBe 0L  // n_sample
+    r.getLong(1) shouldBe 10L // n_resamples
+    r.isNullAt(2) shouldBe true // mean_full: NULL, like sum-over-empty
+    r.isNullAt(3) shouldBe true
+    r.isNullAt(4) shouldBe true
   }
 
   test("cusumAlarms: a planted rate burst alarms; a uniform stream stays quiet") {

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Output-portability contract: the driver's correctness gate compares
+  * query outputs with a pandas-based comparator, which
+  *
+  *  1. cannot canonicalize DECIMAL output columns consistently against
+  *     DuckDB's HUGEINT (round 6: q110 hash_match=false on values that
+  *     were bit-identical), and
+  *  2. cannot sort/hash a multi-row array column at all
+  *     (`sort_values` → "unhashable type: 'numpy.ndarray'"; round 6:
+  *     q128 harness err).
+  *
+  * This spec makes those two output shapes a COMPILE-TIME-ish failure:
+  * every gated query's schema must be free of DecimalType anywhere, and
+  * nested (array/map/struct) top-level columns are allowed ONLY when
+  * the query result is a single row (scalar-keyed frames the comparator
+  * handles). DECIMAL and arrays remain fine INSIDE a query plan — the
+  * contract binds the output projection only. Had this spec existed in
+  * round 6 it would have failed on exactly q110 and q128. */
+class PortabilitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // q35 runs a side-effecting streaming job on construction (same skip
+  // as EmptyInputSpec); its output is 5 scalar-typed rows (driver-green
+  // every round since r4), checked by the driver gate itself.
+  private val skip = Set("q35_stream_ledger")
+
+  private def hasDecimal(dt: DataType): Boolean = dt match {
+    case _: DecimalType => true
+    case s: StructType  => s.fields.exists(f => hasDecimal(f.dataType))
+    case a: ArrayType   => hasDecimal(a.elementType)
+    case m: MapType     => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+    case _              => false
+  }
+
+  private def isNested(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => true
+    case _                                         => false
+  }
+
+  test("no gated query emits DECIMAL columns or multi-row nested columns") {
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(skip).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val decFields = df.schema.fields.filter(f => hasDecimal(f.dataType))
+      if (decFields.nonEmpty)
+        violations += s"$name: DECIMAL output column(s) " +
+          decFields.map(_.name).mkString(", ")
+      val nestedFields = df.schema.fields.filter(f => isNested(f.dataType))
+      if (nestedFields.nonEmpty) {
+        // nested output is driver-safe only as a single-row frame
+        val n = df.limit(2).count()
+        if (n > 1)
+          violations += s"$name: multi-row nested column(s) " +
+            nestedFields.map(_.name).mkString(", ") +
+            " (driver comparator cannot sort these)"
+      }
+    }
+    assert(violations.isEmpty,
+      "comparator-unsafe query outputs:\n" + violations.mkString("\n"))
+  }
+}

@@ -39,6 +39,13 @@ class SpectralSpec extends SparkSpec {
     a shouldBe b // bit-identical, not approximately equal
   }
 
+  test("dominantComponent on empty input returns an EMPTY frame (oracle CTE shape)") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val out = Spectral.dominantComponent(empty, 4)
+    out.columns.toSeq shouldBe Seq("d", "loading", "lambda")
+    out.count() shouldBe 0L
+  }
+
   test("moment_matrix and sum128 are callable from SQL text (GraftExtensions)") {
     Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)))
       .toDF("vec_id", "embedding").createOrReplaceTempView("mm_in")

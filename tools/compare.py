@@ -7,7 +7,24 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 """
 import json, sys, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+def driver_unsafe(tbl, side):
+    """Mimic the driver's pandas comparator limits: it cannot hash
+    DECIMAL/HUGEINT columns consistently (r6 q110) and cannot sort a
+    multi-row nested column at all (r6 q128). Flag both shapes as
+    failures so this local gate is never greener than the driver's."""
+    reasons = []
+    for field in tbl.schema:
+        t = field.type
+        if pa.types.is_decimal(t):
+            reasons.append(f"{side} decimal column '{field.name}'")
+        if pa.types.is_nested(t) and tbl.num_rows > 1:
+            reasons.append(
+                f"{side} multi-row nested column '{field.name}'")
+    return reasons
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -35,6 +52,11 @@ def main(sf_dir, out_dir):
         try:
             spark_tbl = pq.read_table(f"{out_dir}/{name}")
             o = con.execute(sql).fetch_arrow_table()
+            unsafe = (driver_unsafe(spark_tbl, "spark")
+                      + driver_unsafe(o, "oracle"))
+            if unsafe:
+                raise RuntimeError(
+                    "driver-comparator-unsafe output: " + "; ".join(unsafe))
             s_cols = sorted(spark_tbl.column_names)
             o_cols = sorted(o.column_names)
             r["spark_rows"] = spark_tbl.num_rows
