@@ -1,14 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (builder brief): images/audio/video ride as
   * opaque `binary` payload columns with a typed metadata struct; decode /
-  * feature-extract steps are imperative per-partition stages with a
-  * STUBBED deterministic "decoder" (no codec libraries in this
-  * environment — the Spark-side schema, partitioning, and batch shape are
-  * the real, tested part).
+  * feature-extract steps are imperative per-partition stages. Two REAL
+  * arithmetic decode paths need no codec library: [[pcmWindowEnergy]]
+  * (raw int16 PCM) and [[decodeWav]] (a full RIFF/WAVE container parse —
+  * magic validation, chunk walk with the odd-size pad rule, fmt-chunk
+  * field extraction, data-chunk energy). [[decodeFeatures]] is the
+  * byte-histogram feature extractor that stands in for lossy-codec
+  * decode (JPEG/MP3 entropy coding is the one step that genuinely needs
+  * a codec library; the container/PCM layers above it are implemented
+  * for real).
   *
   * Scale notes: payloads stay columnar (Parquet binary) and are only
   * materialized inside the mapPartitions stage that needs the bytes;
@@ -122,10 +127,121 @@ object Multimodal {
         sqrt(col("energy").cast("double") / w).as("rms"))
   }
 
-  /** STUB decoder: a deterministic 16-bin byte histogram, L1-normalized —
-    * stands in for image decode + feature extraction. Runs per-partition
-    * over the raw bytes (the real-decoder integration point: swap the
-    * body, keep the signature). */
+  /** Parsed WAV container fields + data-chunk signal stats. `valid` is
+    * false (and every other field zero / data_off = -1) for payloads
+    * that are not well-formed PCM WAVE files. */
+  final case class WavInfo(media_id: Long, fmt_code: Int, channels: Int,
+                           sample_rate: Long, bits: Int, n_chunks: Int,
+                           data_off: Long, n_samples: Long, energy: Long,
+                           valid: Boolean)
+
+  /** Build a REAL RIFF/WAVE container around `data` (an even-length
+    * binary column of LE int16 PCM): `RIFF <size> WAVE`, a 16-byte PCM
+    * `fmt ` chunk, a `junkLen`-byte `LIST` chunk (odd sizes get the
+    * RIFF pad byte — present so a parser must walk declared chunk
+    * lengths, not assume the canonical 44-byte layout), then the `data`
+    * chunk. Pure codegen (hex-string assembly + one `unhex`), so the
+    * same container can be synthesized by any engine for round-trip
+    * gates ([[decodeWav]]'s q134).
+    *
+    * 100 TB shape: map-side column expression — no shuffle, no UDF. */
+  def wavPayload(data: Column, sampleRate: Column, channels: Column,
+                 junkLen: Column): Column = {
+    def b(x: Column): Column = lpad(hex(x.cast("long") % 256), 2, "0")
+    def sh(x: Column, k: Long): Column = floor(x.cast("long") / k).cast("long")
+    def le16(x: Column): Column = concat(b(x), b(sh(x, 256)))
+    def le32(x: Column): Column =
+      concat(b(x), b(sh(x, 256)), b(sh(x, 65536)), b(sh(x, 16777216)))
+    val dlen = length(data)
+    val pad = junkLen % 2
+    val riffSize = lit(44) + junkLen + pad + dlen
+    val hexAll = concat(
+      lit("52494646"), le32(riffSize), lit("57415645"),        // RIFF…WAVE
+      lit("666D7420"), le32(lit(16)),                          // "fmt " 16
+      le16(lit(1)), le16(channels), le32(sampleRate),          // PCM, ch, rate
+      le32(sampleRate * channels * 2), le16(channels * 2),     // byte rate, align
+      le16(lit(16)),                                           // bits
+      lit("4C495354"), le32(junkLen),                          // "LIST" junk
+      repeat(lit("78"), junkLen.cast("int")),
+      when(pad === 1, lit("00")).otherwise(lit("")),           // RIFF pad byte
+      lit("64617461"), le32(dlen), hex(data))                  // "data"
+    unhex(hexAll)
+  }
+
+  /** L11 — REAL media container decode: parse the payload as a
+    * RIFF/WAVE file. Validates the `RIFF`/`WAVE` magics and the
+    * declared riff size, walks the chunk list by declared lengths
+    * (honoring the odd-size pad rule), extracts the PCM format fields
+    * from `fmt ` (format code, channels, sample rate, bits), and folds
+    * the `data` chunk as LE int16 samples into the exact integer
+    * energy Σ s² — the same number [[pcmWindowEnergy]] computes for
+    * raw streams, now reached through real container structure: the
+    * data offset depends on the byte content of the length fields, so
+    * no histogram shortcut can fake this output. Malformed payloads
+    * (bad magic, truncated chunk, non-PCM format, missing data chunk)
+    * yield `valid = false` rather than an executor exception — at
+    * 100 TB a poisoned payload must never kill the stage.
+    *
+    * Pure map-side (mapPartitions — the imperative per-partition batch
+    * stage a real codec binding would occupy); payload bytes never
+    * shuffle. Gated end-to-end by q134 (oracle emits the TRUTH fields
+    * the container was synthesized from — the q45 round-trip pattern);
+    * unit edge cases in MultimodalSpec. */
+  def decodeWav(media: Dataset[(Long, Array[Byte])]): Dataset[WavInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map { case (id, bytes) => parseWav(id, bytes) })
+  }
+
+  private[graft] def parseWav(id: Long, b: Array[Byte]): WavInfo = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val invalid = WavInfo(id, 0, 0, 0L, 0, 0, -1L, 0L, 0L, valid = false)
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return invalid
+    if (u32(4) != b.length - 8L) return invalid
+    var off = 12
+    var nChunks = 0
+    var fmtCode = 0; var channels = 0; var rate = 0L; var bits = 0
+    var dataOff = -1L; var nSamples = 0L; var energy = 0L
+    var ok = true
+    while (ok && off + 8 <= b.length) {
+      val cid = tag(off)
+      val szL = u32(off + 4)
+      val body = off + 8
+      if (szL > b.length - body) ok = false
+      else {
+        val sz = szL.toInt
+        cid match {
+          case "fmt " if sz >= 16 =>
+            fmtCode = u16(body); channels = u16(body + 2)
+            rate = u32(body + 4); bits = u16(body + 14)
+          case "data" =>
+            dataOff = body.toLong
+            nSamples = sz / 2
+            var i = 0
+            while (i + 1 < sz) {
+              val s = ((b(body + i + 1) << 8) | (b(body + i) & 0xff)).toLong
+              energy += s * s
+              i += 2
+            }
+          case _ => ()
+        }
+        nChunks += 1
+        off = body + sz + (sz & 1) // RIFF: odd-size chunks carry a pad byte
+      }
+    }
+    if (!ok || dataOff < 0 || fmtCode != 1) invalid
+    else WavInfo(id, fmtCode, channels, rate, bits, nChunks, dataOff,
+      nSamples, energy, valid = true)
+  }
+
+  /** Byte-histogram feature extractor: a deterministic 16-bin byte
+    * histogram, L1-normalized — the fixed-width-vector feature stage
+    * over raw bytes (the lossy-codec integration point: swap the body,
+    * keep the signature; the container layer above it is [[decodeWav]],
+    * implemented for real). */
   def decodeFeatures(media: Dataset[(Long, Array[Byte])]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>

@@ -2842,6 +2842,70 @@ object LlmQueries {
         FROM e"""
       }),
 
+    // ---- WAV container decode (L95, the de-stubbed L11 decode): each
+    // doc's bytes are wrapped into a REAL RIFF/WAVE container (PCM fmt
+    // chunk + a variable-length junk LIST chunk + data chunk — built in
+    // pure codegen by Multimodal.wavPayload), then parsed back by the
+    // imperative mapPartitions chunk-walker Multimodal.decodeWav. The
+    // oracle emits the TRUTH fields the container was synthesized from
+    // (the q45 round-trip pattern): sample rate / channels from the
+    // doc_id formulas, data offset from the junk-chunk length (so a
+    // parser that does not actually read the length fields cannot
+    // match), and the data-chunk int16 energy via the q126 hex trick.
+    "q134_wav_decode" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val tb = col("text").cast("binary")
+        val dataBytes = tb.substr(lit(1), (length(tb) / 2).cast("int") * 2)
+        val media = docs(s, dir).select(col("doc_id").as("media_id"),
+          Multimodal.wavPayload(dataBytes,
+            lit(8000) + (col("doc_id") % 5) * 1000,
+            (lit(1) + col("doc_id") % 2).cast("int"),
+            lit(1) + col("doc_id") % 7).as("payload"))
+        Multimodal.decodeWav(media.as[(Long, Array[Byte])]).toDF()
+          .select(col("media_id"),
+            col("fmt_code").cast("long").as("fmt_code"),
+            col("channels").cast("long").as("channels"),
+            col("sample_rate"),
+            col("bits").cast("long").as("bits"),
+            col("n_chunks").cast("long").as("n_chunks"),
+            col("data_off"), col("n_samples"), col("energy"),
+            when(col("n_samples") > 0,
+              sqrt(col("energy").cast("double") / col("n_samples"))).as("rms"),
+            col("valid"))
+      },
+      Some {
+        def nib(pos: String) =
+          s"(strpos('0123456789ABCDEF', substr(hx, CAST($pos AS INT), 1)) - 1)"
+        val u = s"""((((${nib("i * 4 + 3")} * 16
+             + ${nib("i * 4 + 4")}) * 16
+             + ${nib("i * 4 + 1")}) * 16)
+             + ${nib("i * 4 + 2")})"""
+        s"""WITH m AS (SELECT doc_id AS media_id,
+              1 + doc_id % 2 AS channels,
+              8000 + (doc_id % 5) * 1000 AS sample_rate,
+              1 + doc_id % 7 AS junk,
+              hex(encode(text)) AS hx,
+              (octet_length(encode(text)) // 2) * 2 AS dlen
+            FROM documents),
+          e AS (SELECT media_id, channels, sample_rate, junk, dlen,
+              COALESCE(CAST(list_sum(list_transform(range(dlen // 2), i ->
+                CASE WHEN $u >= 32768
+                  THEN ($u - 65536) * ($u - 65536)
+                  ELSE $u * $u END)) AS BIGINT), 0) AS energy
+            FROM m)
+        SELECT media_id, CAST(1 AS BIGINT) AS fmt_code,
+          CAST(channels AS BIGINT) AS channels,
+          CAST(sample_rate AS BIGINT) AS sample_rate,
+          CAST(16 AS BIGINT) AS bits, CAST(3 AS BIGINT) AS n_chunks,
+          CAST(52 + junk + junk % 2 AS BIGINT) AS data_off,
+          CAST(dlen // 2 AS BIGINT) AS n_samples, energy,
+          CASE WHEN dlen > 0
+            THEN sqrt(CAST(energy AS DOUBLE) / (dlen // 2)) END AS rms,
+          true AS valid
+        FROM e"""
+      }),
+
     // ---- per-source percentile normalization (L88): raw quality
     // scores mapped to within-source percentile ranks so thresholds
     // compare across sources with different scales. Exact small-int

@@ -216,6 +216,58 @@ class TextDedupSpec extends SparkSpec {
       rows(Multimodal.pcmWindowEnergyHof(media, 7))
   }
 
+  test("decodeWav round-trips wavPayload: fields, chunk-walked offset, exact energy") {
+    // samples [1, -1, 256] -> LE bytes 01 00 FF FF 00 01
+    val data = Array[Byte](0x01, 0x00, 0xFF.toByte, 0xFF.toByte, 0x00, 0x01)
+    val media = Seq((9L, data)).toDF("media_id", "data")
+      .select(col("media_id"), Multimodal.wavPayload(col("data"),
+        lit(11025L), lit(2), lit(5)).as("payload")) // odd junk -> pad byte
+    val out = Multimodal.decodeWav(media.as[(Long, Array[Byte])])
+      .collect().head
+    out.valid shouldBe true
+    out.fmt_code shouldBe 1
+    out.channels shouldBe 2
+    out.sample_rate shouldBe 11025L
+    out.bits shouldBe 16
+    out.n_chunks shouldBe 3 // fmt, LIST, data — all walked
+    out.data_off shouldBe (52L + 5 + 1) // junk 5 + RIFF pad byte
+    out.n_samples shouldBe 3L
+    out.energy shouldBe (1L + 1L + 65536L)
+  }
+
+  test("parseWav: hand-assembled container (independent of wavPayload) parses") {
+    // Minimal canonical 44-byte WAV + 2 bytes of data: sample [-2]
+    def le16(x: Int) = Array[Byte]((x & 0xff).toByte, ((x >> 8) & 0xff).toByte)
+    def le32(x: Int) = Array[Byte]((x & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+      ((x >> 16) & 0xff).toByte, ((x >> 24) & 0xff).toByte)
+    val bytes = "RIFF".getBytes ++ le32(38) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(2) ++ le16(0xFFFE) // -2 as LE int16
+    val out = Multimodal.parseWav(3L, bytes)
+    out.valid shouldBe true
+    out.channels shouldBe 1
+    out.sample_rate shouldBe 8000L
+    out.n_chunks shouldBe 2
+    out.data_off shouldBe 44L
+    out.n_samples shouldBe 1L
+    out.energy shouldBe 4L
+  }
+
+  test("parseWav: malformed payloads yield valid=false, never throw") {
+    import Multimodal.parseWav
+    parseWav(1L, Array[Byte]()).valid shouldBe false            // empty
+    parseWav(2L, "RIFX1234WAVE".getBytes).valid shouldBe false  // bad magic
+    parseWav(3L, "RIFF    WAVE".getBytes)
+      .valid shouldBe false                                     // riff size lies
+    // declared chunk size overruns the buffer -> truncated, invalid
+    // (riff size field itself is consistent: 20 bytes total - 8 = 12)
+    val truncated = "RIFF".getBytes ++
+      Array[Byte](12, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](99, 0, 0, 0)
+    parseWav(4L, truncated).valid shouldBe false
+  }
+
   test("redactDenylist: word-boundary scrub and hit count") {
     val terms = Seq("customer", "supplier")
     val out = Seq("customer a customers supplier customer")
