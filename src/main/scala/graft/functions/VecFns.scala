@@ -19,6 +19,20 @@ object VecFns {
     Bridge.column(NearestCells(Bridge.expression(emb), centIds, centFlat,
       centNorms, dim, k))
 
+  /** Codegen'd TWO-LEVEL cell assignment (hierarchical-IVF rule:
+    * nearest super, then nearest member cell of that group) — the
+    * ~O(√C·dim)-per-row path for codebooks that grow with the corpus.
+    * See [[NearestCellTwoLevel]] for the parity contract; the index
+    * comes from [[NearestCellTwoLevel.buildIndex]]. */
+  def nearestCellTwoLevel(emb: Column, centIds: Array[Long],
+                          centFlat: Array[Double], centNorms: Array[Double],
+                          dim: Int): Column = {
+    val (superPos, memberStart, memberCell) =
+      NearestCellTwoLevel.buildIndex(centFlat, centNorms, dim)
+    Bridge.column(NearestCellTwoLevel(Bridge.expression(emb), centIds,
+      centFlat, centNorms, dim, superPos, memberStart, memberCell))
+  }
+
   /** Codegen'd per-row scalar quantize-dequantize against a literal
     * per-dim (min, max) grid. See [[DequantizeGrid]] for the arithmetic
     * and null contract. */

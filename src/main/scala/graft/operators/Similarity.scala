@@ -257,12 +257,26 @@ object Similarity {
     * Iterating = feeding `c_new` back in as the next centroid table.
     */
   def lloydRefine(corpus: DataFrame, isCentroid: Column,
-                  quantBits: Int = 20): DataFrame = {
+                  quantBits: Int = 20, twoLevel: Boolean = false): DataFrame = {
     val (centIds, centFlat, centNorms, dim) = collectCentroids(corpus, isCentroid)
     val q = (1L << quantBits).toDouble
+    // twoLevel = the hierarchical-IVF assignment (nearest super, then
+    // nearest member cell): per-row cost drops from O(C·dim) to
+    // ~O(√C·dim), which is what keeps total Lloyd work ~O(n) when the
+    // codebook is elected as a corpus fraction (C ∝ n made the flat
+    // assignment the one superlinear curve in the r6 scale audit). The
+    // assignment is the standard hierarchical approximation, mirrored
+    // rule-for-rule by the q60 oracle; flat stays default for small
+    // fixed codebooks (q40/q100/q110).
+    val assign =
+      if (twoLevel)
+        graft.functions.VecFns.nearestCellTwoLevel(
+          col("embedding"), centIds, centFlat, centNorms, dim)
+      else
+        element_at(graft.functions.VecFns.nearestCells(
+          col("embedding"), centIds, centFlat, centNorms, dim, 1), 1)
     corpus
-      .select(element_at(graft.functions.VecFns.nearestCells(
-          col("embedding"), centIds, centFlat, centNorms, dim, 1), 1).as("cell"),
+      .select(assign.as("cell"),
         posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("cell"), col("d"),
         floor(col("x").cast("double") * q).cast("long").as("qx"))

@@ -1257,9 +1257,19 @@ object LlmQueries {
     // double sum would be order-sensitive). The explode shuffles
     // n×dim quantized longs pre-combined map-side to ≤ cells×dim rows
     // per task — the classic map-combinable mean shape.
+    // Assignment is the TWO-LEVEL hierarchical-IVF rule since r7 (the
+    // codebook here is elected as a corpus FRACTION, so the flat
+    // O(C·dim)-per-row argmax made total Lloyd work superlinear — the
+    // steepest curve of the r6 scale audit at 18× for 50× data). The
+    // oracle mirrors the hierarchy rule-for-rule: supers = every
+    // stride-th cell of the id-ascending codebook, cells join their
+    // nearest super, rows pick nearest super then nearest member cell
+    // — every argmax `row_number() OVER (csim DESC, id)` on the same
+    // left-fold dots the kernel computes.
     "q60_lloyd_refine" -> Query(
       (s, dir) => Similarity.lloydRefine(Tables.embeddings(s, dir),
-          isCentroid = col("vec_id") % 125 === 7, LloydQuantBits)
+          isCentroid = col("vec_id") % 125 === 7, LloydQuantBits,
+          twoLevel = true)
         .select(col("cell"), col("d"), col("n_members"), col("sum_q"),
           col("c_new")),
       Some {
@@ -1267,12 +1277,37 @@ object LlmQueries {
         s"""WITH e AS (SELECT vec_id, embedding,
                ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
              FROM embeddings),
-          c AS (SELECT vec_id AS cent_id, embedding AS cemb, nn AS cn
+          c0 AS (SELECT vec_id AS cent_id, embedding AS cemb, nn AS cn
                 FROM e WHERE vec_id % 125 = 7),
-          a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
-                   (${Similarity.sqlDotD("e.embedding", "c.cemb", Dim)}
-                     / sqrt(e.nn * c.cn)) AS csim
-                 FROM e, c),
+          cpos AS (SELECT *, row_number() OVER (ORDER BY cent_id) - 1 AS pos
+                   FROM c0),
+          prm AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE)
+                    / ceil(sqrt(CAST(count(*) AS DOUBLE)))) AS BIGINT)
+                    AS stride FROM c0),
+          sup AS (SELECT cent_id AS sup_id, cemb AS semb, cn AS sn
+                  FROM cpos, prm WHERE pos % prm.stride = 0),
+          cs0 AS (SELECT cp.cent_id, s.sup_id,
+                   (${Similarity.sqlDotD("cp.cemb", "s.semb", Dim)}
+                     / sqrt(cp.cn * s.sn)) AS csim
+                 FROM cpos cp, sup s),
+          cs AS (SELECT cent_id, sup_id FROM
+                  (SELECT *, row_number() OVER
+                     (PARTITION BY cent_id ORDER BY csim DESC, sup_id) AS rk
+                   FROM cs0) WHERE rk = 1),
+          rs0 AS (SELECT e.vec_id, s.sup_id,
+                   (${Similarity.sqlDotD("e.embedding", "s.semb", Dim)}
+                     / sqrt(e.nn * s.sn)) AS csim
+                 FROM e, sup s),
+          rs AS (SELECT vec_id, sup_id FROM
+                  (SELECT *, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY csim DESC, sup_id) AS rk
+                   FROM rs0) WHERE rk = 1),
+          a0 AS (SELECT e.vec_id, e.embedding, cc.cent_id,
+                   (${Similarity.sqlDotD("e.embedding", "cc.cemb", Dim)}
+                     / sqrt(e.nn * cc.cn)) AS csim
+                 FROM e JOIN rs ON e.vec_id = rs.vec_id
+                   JOIN cs ON cs.sup_id = rs.sup_id
+                   JOIN c0 cc ON cc.cent_id = cs.cent_id),
           a AS (SELECT *, row_number() OVER
                   (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crk
                 FROM a0),
