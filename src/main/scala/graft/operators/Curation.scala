@@ -33,7 +33,7 @@ object Curation {
     * once — there is no all-pairs comparison anywhere (dedup is
     * equality-on-hash, the L1 rule applied at block granularity). */
   def blockDedup(docs: DataFrame, idCol: Column, text: Column,
-                 blockTokens: Int): DataFrame = {
+                 blockTokens: Int, skewSafe: Boolean = false): DataFrame = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
     val base = docs.select(idCol.as("doc_id"),
       TextFns.tokens(text).as("toks"))
@@ -44,11 +44,34 @@ object Curation {
           slice(col("toks"), (i * blockTokens + 1).cast("int"),
             lit(blockTokens)), " "))))
       .toDF("doc_id", "block_idx", "btext")
-    val kept = blocks
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(TextFns.hash60(col("btext")))
-          .orderBy(col("doc_id"), col("block_idx"))))
-      .where(col("rk") === 1)
+    // First-occurrence election — two plan shapes for two key regimes
+    // (measured head-to-head on a 90%-hot boilerplate fixture AND the
+    // near-unique real corpus; graft.tools.SkewStress + SCALE.md r7):
+    //  - default: row_number window over the content hash. Content keys
+    //    of a deduplicated-ish corpus are NEAR-UNIQUE, so one streaming
+    //    sort beats a hash aggregate that can't collapse anything.
+    //  - skewSafe: map-combined MIN_BY aggregate. A boilerplate-heavy
+    //    corpus concentrates one block hash on 90%+ of rows; a window
+    //    physically sorts that whole key inside ONE unsplittable task
+    //    (the cluster-death mode at 1000 executors), while the hash
+    //    aggregate collapses the hot key to one candidate per map task
+    //    before the shuffle.
+    // (doc_id, block_idx) is unique per row, so both elections pick the
+    // identical winner (spec-pinned).
+    val kept =
+      if (skewSafe)
+        blocks
+          .groupBy(TextFns.hash60(col("btext")).as("bh"))
+          .agg(min_by(struct(col("doc_id"), col("block_idx"), col("btext")),
+            struct(col("doc_id"), col("block_idx"))).as("w"))
+          .select(col("w.doc_id").as("doc_id"),
+            col("w.block_idx").as("block_idx"), col("w.btext").as("btext"))
+      else
+        blocks
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(TextFns.hash60(col("btext")))
+              .orderBy(col("doc_id"), col("block_idx"))))
+          .where(col("rk") === 1)
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
@@ -488,9 +511,13 @@ object Curation {
     * chunk rebuild groups by (doc, chunk) UNDER the same doc
     * partitioning (no second exchange — HashPartitioning(doc) satisfies
     * the (doc, chunk) clustering); first-occurrence election is one
-    * row_number over the 32-byte content key — uniform, skew-free. */
+    * row_number over the 32-byte content key — near-unique for real
+    * corpora; boilerplate-heavy corpora concentrate one key on most
+    * rows, which serializes a window in one unsplittable task — flip
+    * `skewSafe` for the map-combined MIN_BY election (identical
+    * winners, measured in SCALE.md r7 / graft.tools.SkewStress). */
   def cdcChunks(docs: DataFrame, idCol: Column, text: Column,
-                modulus: Int): DataFrame = {
+                modulus: Int, skewSafe: Boolean = false): DataFrame = {
     require(modulus >= 1, s"modulus must be >= 1, got $modulus")
     val toks = docs.select(idCol.as("doc_id"),
         posexplode(TextFns.tokens(text)))
@@ -508,9 +535,32 @@ object Curation {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x("tok")), " ")).as("chunk_key"))
-    chunks.withColumn("is_first",
-      when(row_number().over(Window.partitionBy(col("chunk_key"))
-        .orderBy(col("doc_id"), col("chunk_idx"))) === 1, 1L).otherwise(0L))
+    // First-occurrence flag — two plan shapes for two key regimes (see
+    // blockDedup's election note; measured in graft.tools.SkewStress +
+    // SCALE.md r7). Default: row_number window over chunk_key — ONE
+    // streaming sort, optimal for the near-unique chunk keys of a real
+    // corpus. skewSafe: map-combined MIN_BY winner frame + equi join
+    // back — the winner aggregate collapses a 90%-hot boilerplate key
+    // map-side and the join back is an AQE-splittable exchange (a
+    // window's per-key sort is a single unsplittable task), at the cost
+    // of re-running the chunk build for the second consumer. Both flags
+    // mark the identical (doc_id, chunk_idx)-minimal row (spec-pinned).
+    if (skewSafe) {
+      val winners = chunks
+        .groupBy(col("chunk_key"))
+        .agg(min_by(struct(col("doc_id"), col("chunk_idx")),
+          struct(col("doc_id"), col("chunk_idx"))).as("w"))
+        .select(col("chunk_key"), col("w.doc_id").as("w_doc"),
+          col("w.chunk_idx").as("w_idx"))
+      chunks.join(winners, Seq("chunk_key"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("n_toks"), col("chunk_key"),
+          when(col("doc_id") === col("w_doc") &&
+            col("chunk_idx") === col("w_idx"), 1L).otherwise(0L).as("is_first"))
+    } else
+      chunks.withColumn("is_first",
+        when(row_number().over(Window.partitionBy(col("chunk_key"))
+          .orderBy(col("doc_id"), col("chunk_idx"))) === 1, 1L).otherwise(0L))
   }
 
   /** L78 — reciprocal-rank fusion of two quality signals (the RRF

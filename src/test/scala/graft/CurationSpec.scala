@@ -56,6 +56,59 @@ class CurationSpec extends SparkSpec {
     out.head.getString(3) shouldBe "a b e"
   }
 
+  test("blockDedup/cdcChunks under a 90%-hot content key: election stays exact") {
+    // Boilerplate-heavy corpus — the adversarial shape for the
+    // first-occurrence election (graft.tools.SkewStress measures the
+    // wall-time side at scale; this pins correctness): 90% of docs are
+    // ONE disclaimer, so one block hash / chunk key carries ~90% of
+    // rows. The min_by election must behave exactly like the
+    // row_number-window rule it replaced.
+    import graft.operators.Curation
+    val disclaimer = (0 until 8).map(j => s"term$j").mkString(" ")
+    val docs = (0L until 200L).map { id =>
+      (id, if (id % 10 < 9) disclaimer
+           else (0 until 8).map(j => s"u${id}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val blocks = Curation.blockDedup(docs, col("doc_id"), col("text"), 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // both election shapes pick identical winners
+    val blocksSafe = Curation
+      .blockDedup(docs, col("doc_id"), col("text"), 4, skewSafe = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    blocksSafe shouldBe blocks
+    blocks.size shouldBe 200
+    // doc 0 (smallest hot id) keeps both disclaimer blocks; every other
+    // hot doc keeps none; unique docs keep both of theirs
+    blocks(0L) shouldBe ((2L, 2L))
+    (1L until 200L).filter(_ % 10 < 9).foreach(id => blocks(id) shouldBe ((2L, 0L)))
+    (0L until 200L).filter(_ % 10 >= 9).foreach(id => blocks(id) shouldBe ((2L, 2L)))
+    // CDC: each distinct chunk key elects exactly ONE is_first row, and
+    // it is the (doc_id, chunk_idx)-minimal occurrence; both shapes agree
+    val cdc = Curation.cdcChunks(docs, col("doc_id"), col("text"), 4)
+    val cdcSafe = Curation
+      .cdcChunks(docs, col("doc_id"), col("text"), 4, skewSafe = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).sorted.toSeq
+    rows(cdcSafe) shouldBe rows(cdc)
+    val perKey = cdc.groupBy(col("chunk_key"))
+      .agg(sum(col("is_first")).as("nf"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("mn"),
+        min_by(struct(col("doc_id"), col("chunk_idx")),
+          when(col("is_first") === 1, struct(col("doc_id"), col("chunk_idx"))))
+          .as("first"))
+      .collect()
+    perKey.foreach { r =>
+      r.getLong(1) shouldBe 1L // exactly one first per key
+    }
+    // winner == minimal occurrence, for every key
+    cdc.filter(col("is_first") === 1)
+      .select(col("chunk_key"), struct(col("doc_id"), col("chunk_idx")).as("w"))
+      .join(cdc.groupBy(col("chunk_key"))
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("mn")), Seq("chunk_key"))
+      .filter(col("w") =!= col("mn")).count() shouldBe 0L
+  }
+
   test("vocabCoverage: boundary tie-break and per-doc OOV accounting") {
     // corpus counts: x=3, y=2, z=2, w=1. K=2 vocabulary is {x, y}
     // (count desc, token asc breaks the y/z tie toward y).
