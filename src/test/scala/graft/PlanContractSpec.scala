@@ -238,7 +238,9 @@ class PlanContractSpec extends SparkSpec {
   test("q60 lloyd: assignment inside the scan stage; one map-combined exchange") {
     val p = plan("q60_lloyd_refine")
     val lines = p.linesIterator.toIndexedSeq
-    assert(p.contains("nearest_cells"), p)
+    // r7: the growing-codebook assignment is the two-level kernel
+    // (hierarchical-IVF; ~O(sqrt(C)*dim) per row), still map-side
+    assert(p.contains("nearest_cell_two_level"), p)
     // a single exchange, keyed (cell, d), fed by a partial aggregate —
     // the corpus is never shuffled raw and never row-multiplied by cells
     val ex = lines.filter(_.contains("Exchange hashpartitioning"))
