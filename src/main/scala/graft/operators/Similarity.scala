@@ -101,6 +101,97 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
 
+  /** L96 — product quantization (PQ) encode: split the `dim`-dim
+    * embedding into `m` contiguous subspaces, elect per-subspace
+    * codebooks from the same deterministic `isCentroid` rows the IVF
+    * family uses (sub-codebook s of elected row j = that row's s-th
+    * subvector; id = its vec_id), and assign every vector, per
+    * subspace, to its nearest sub-centroid by cosine — the house
+    * assignment rule (earliest strict max over id-ascending candidates,
+    * the [[graft.functions.NearestCells]] parity contract, applied to
+    * the SLICED arrays). Output carries the per-subspace code columns
+    * plus the reconstruction `recon` (concatenation of the chosen
+    * sub-centroids — the decoded PQ approximation).
+    *
+    * Why PQ at 100 TB: the compressed representation is m small ids per
+    * vector instead of dim floats (64-dim float → 4 longs here; with
+    * byte-packed codes, 16× less vector traffic) — the ANN index that
+    * SHIPS (codes shuffle/broadcast, raw vectors stay in the scan), and
+    * the standard companion of the IVF coarse level (IVF-PQ).
+    *
+    * 100 TB shape: everything is MAP-SIDE — m sliced nearest-cell
+    * kernels + a literal-map lookup per subspace to build `recon`; the
+    * codebook is a driver-side artifact (the documented IVF-codebook
+    * collect precedent); the corpus never shuffles and is never
+    * row-multiplied by K. */
+  def pqEncode(corpus: DataFrame, isCentroid: Column, m: Int): DataFrame = {
+    val (centIds, centFlat, centNorms, dim) = collectCentroids(corpus, isCentroid)
+    require(m >= 1 && dim % m == 0,
+      s"pq needs m dividing dim, got m=$m dim=$dim")
+    val subDim = dim / m
+    val kCells = centIds.length
+    def subVec(kk: Int, s: Int): Array[Double] =
+      centFlat.slice(kk * dim + s * subDim, kk * dim + (s + 1) * subDim)
+    val codeCols = (0 until m).map { s =>
+      val flatS = Array.tabulate(kCells)(kk => subVec(kk, s)).flatten
+      val normS = Array.tabulate(kCells)(kk =>
+        subVec(kk, s).foldLeft(0.0)((a, x) => a + x * x))
+      element_at(graft.functions.VecFns.nearestCells(
+        slice(col("embedding"), s * subDim + 1, subDim),
+        centIds, flatS, normS, subDim, 1), 1).as(s"code_$s")
+    }
+    val withCodes = corpus.select(
+      col("vec_id") +: col("embedding") +: codeCols: _*)
+    val reconParts = (0 until m).map { s =>
+      val mapLit = typedLit(centIds.zipWithIndex.map { case (id, kk) =>
+        id -> subVec(kk, s).toSeq
+      }.toMap)
+      element_at(mapLit, col(s"code_$s"))
+    }
+    withCodes.withColumn("recon", flatten(array(reconParts: _*)))
+  }
+
+  /** L96 recall arm — ADC-style PQ search: rank candidates for each
+    * probe by the cosine of the probe against each candidate's PQ
+    * RECONSTRUCTION (dot(p, recon) = Σ_s dot(p_s, chosen sub-centroid) —
+    * the asymmetric-distance computation, expressed on the decoded
+    * vector so both engines fold in the same order), then measure
+    * recall@k against the exact search — the eval every PQ deployment
+    * gates its compression config on.
+    *
+    * 100 TB shape: the q28 broadcast-probe shape (corpus never
+    * shuffles; probes are the fixed evaluation sample — the SCALE.md
+    * probe contract); per-probe top-k compiles to WindowGroupLimit. In
+    * production the scored side ships only (cand_id, m codes) and the
+    * dot tables are probe-local — the gate pins the SEMANTICS of that
+    * computation via the algebraically identical recon formulation. */
+  def pqRecall(corpus: DataFrame, isProbe: Column, isCentroid: Column,
+               m: Int, k: Int): DataFrame = {
+    val enc = pqEncode(corpus, isCentroid, m)
+    val cands = enc.select(col("vec_id").as("cand_id"), col("recon"))
+      .withColumn("rr", dotD(col("recon"), col("recon")))
+    val probes = corpus.filter(isProbe)
+    val pr = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .withColumn("pn", dotD(col("pe"), col("pe")))
+    val adc = cands.join(broadcast(pr), col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        (dotD(col("pe"), col("recon")) / sqrt(col("pn") * col("rr"))).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("cand_id"))
+    val exact = bruteForceTopK(corpus, probes, k)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = adc.join(exact, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+    probes.select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), lit(m.toLong).as("n_subspaces"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplane weights for plane p:
     * integers in [-504, 504], identical on both engines. */
   def planeWeights(p: Int, dim: Int): Seq[Double] =

@@ -62,6 +62,8 @@ object LlmQueries {
   private val ProbeCap = 5000
   private def isProbeId(c: Column): Column = c % 100 === 0 && c < ProbeCap
   private val sqlProbeId = s"vec_id % 100 = 0 AND vec_id < 5000"
+  /** q135/q136 PQ subspace count (Dim 64 → 4 × 16-dim subspaces). */
+  private val PqM = 4
   private val NumPlanes = 8
 
   /** q92 hard-negative target bucket population: negatives want wider
@@ -2939,6 +2941,139 @@ object LlmQueries {
             THEN sqrt(CAST(energy AS DOUBLE) / (dlen // 2)) END AS rms,
           true AS valid
         FROM e"""
+      }),
+
+    // ---- product-quantization encode (L96): per-subspace cosine
+    // assignment against sub-codebooks sliced from the q40/q60 elected
+    // rows; output = the m-part code plus the cosine between each
+    // vector and its PQ reconstruction (the compression-fidelity
+    // number). The oracle mirrors the per-subspace argmax with offset
+    // dot folds and rebuilds the same reconstruction by list-slice
+    // concatenation, so recon_cos is a continuous left fold on BOTH
+    // engines (per-subspace partial sums would round differently).
+    "q135_pq_encode" -> Query(
+      (s, dir) => {
+        val sub = Dim / PqM
+        Similarity.pqEncode(Tables.embeddings(s, dir),
+            col("vec_id") % 125 === 7, PqM)
+          .select(col("vec_id"),
+            concat_ws("-", (0 until PqM).map(i =>
+              col(s"code_$i").cast("string")): _*).as("code"),
+            (Similarity.dotD(col("embedding"), col("recon"))
+              / sqrt(Similarity.dotD(col("embedding"), col("embedding"))
+                * Similarity.dotD(col("recon"), col("recon"))))
+              .as("recon_cos"))
+          .withColumn("sub_dim", lit(sub.toLong))
+      },
+      Some {
+        val sub = Dim / PqM
+        def dotSub(a: String, b: String, off: Int) =
+          s"""list_reduce(list_transform(range(1, ${sub + 1}),
+              i -> $a[$off + i]::DOUBLE * $b[$off + i]::DOUBLE),
+              (x, y) -> x + y)"""
+        val winCtes = (0 until PqM).map { m =>
+          val off = m * sub
+          s"""a$m AS (SELECT e.vec_id, c.cent_id,
+                (${dotSub("e.embedding", "c.cemb", off)}
+                  / sqrt(${dotSub("e.embedding", "e.embedding", off)}
+                    * ${dotSub("c.cemb", "c.cemb", off)})) AS csim
+              FROM e, c),
+            w$m AS (SELECT vec_id, cent_id FROM
+              (SELECT *, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+               FROM a$m) WHERE rk = 1)"""
+        }.mkString(",\n          ")
+        val wJoins = (0 until PqM).map(m =>
+          s"JOIN w$m ON w$m.vec_id = e.vec_id " +
+            s"JOIN c c$m ON c$m.cent_id = w$m.cent_id").mkString(" ")
+        val reconExpr = (0 until PqM).map(m =>
+          s"c$m.cemb[${m * sub + 1}:${(m + 1) * sub}]").mkString(" || ")
+        val codeExpr = (0 until PqM).map(m => s"w$m.cent_id::VARCHAR")
+          .mkString(" || '-' || ")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, embedding AS cemb
+                FROM embeddings WHERE vec_id % 125 = 7),
+          $winCtes,
+          r AS (SELECT e.vec_id, e.embedding, $codeExpr AS code,
+                  $reconExpr AS recon
+                FROM e $wJoins)
+        SELECT vec_id, code,
+          (${Similarity.sqlDotD("embedding", "recon", Dim)}
+            / sqrt(${Similarity.sqlDotD("embedding", "embedding", Dim)}
+              * ${Similarity.sqlDotD("recon", "recon", Dim)})) AS recon_cos,
+          CAST($sub AS BIGINT) AS sub_dim
+        FROM r"""
+      }),
+
+    // ---- PQ ADC recall (L96 eval arm): rank candidates by the cosine
+    // of each probe against candidate PQ reconstructions (the ADC
+    // score, written on the decoded vector so both engines fold
+    // identically), recall@k vs the exact q28 search — the number a PQ
+    // compression config is accepted on (same gate pattern as
+    // q73 LSH / q74 IVF).
+    "q136_pq_recall" -> Query(
+      (s, dir) => Similarity.pqRecall(Tables.embeddings(s, dir),
+        isProbeId(col("vec_id")), col("vec_id") % 125 === 7, PqM, TopK),
+      Some {
+        val sub = Dim / PqM
+        def dotSub(a: String, b: String, off: Int) =
+          s"""list_reduce(list_transform(range(1, ${sub + 1}),
+              i -> $a[$off + i]::DOUBLE * $b[$off + i]::DOUBLE),
+              (x, y) -> x + y)"""
+        val winCtes = (0 until PqM).map { m =>
+          val off = m * sub
+          s"""a$m AS (SELECT e.vec_id, c.cent_id,
+                (${dotSub("e.embedding", "c.cemb", off)}
+                  / sqrt(${dotSub("e.embedding", "e.embedding", off)}
+                    * ${dotSub("c.cemb", "c.cemb", off)})) AS csim
+              FROM e, c),
+            w$m AS (SELECT vec_id, cent_id FROM
+              (SELECT *, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+               FROM a$m) WHERE rk = 1)"""
+        }.mkString(",\n          ")
+        val wJoins = (0 until PqM).map(m =>
+          s"JOIN w$m ON w$m.vec_id = e.vec_id " +
+            s"JOIN c c$m ON c$m.cent_id = w$m.cent_id").mkString(" ")
+        val reconExpr = (0 until PqM).map(m =>
+          s"c$m.cemb[${m * sub + 1}:${(m + 1) * sub}]").mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, embedding AS cemb
+                FROM embeddings WHERE vec_id % 125 = 7),
+          $winCtes,
+          r AS (SELECT e.vec_id, e.embedding, $reconExpr AS recon
+                FROM e $wJoins),
+          cand AS (SELECT vec_id AS cand_id, recon,
+                ${Similarity.sqlDotD("recon", "recon", Dim)} AS rr
+              FROM r),
+          p AS (SELECT vec_id AS probe_id, embedding AS pe,
+                ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS pn
+              FROM embeddings WHERE $sqlProbeId),
+          adc AS (SELECT probe_id, cand_id FROM
+              (SELECT p.probe_id, cand.cand_id, row_number() OVER
+                 (PARTITION BY p.probe_id ORDER BY
+                   (${Similarity.sqlDotD("p.pe", "cand.recon", Dim)}
+                     / sqrt(p.pn * cand.rr)) DESC, cand.cand_id) AS rk
+               FROM p, cand WHERE cand.cand_id <> p.probe_id)
+            WHERE rk <= $TopK),
+          e0 AS (SELECT vec_id, embedding,
+                ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+              FROM embeddings),
+          exx AS (SELECT probe_id, cand_id FROM
+              (SELECT p.probe_id, e0.vec_id AS cand_id, row_number() OVER
+                 (PARTITION BY p.probe_id ORDER BY
+                   (${Similarity.sqlDotD("p.pe", "e0.embedding", Dim)}
+                     / sqrt(p.pn * e0.nn)) DESC, e0.vec_id) AS rk
+               FROM p, e0 WHERE e0.vec_id <> p.probe_id)
+            WHERE rk <= $TopK),
+          hit AS (SELECT adc.probe_id, count(*) AS n_hit
+                  FROM adc JOIN exx ON adc.probe_id = exx.probe_id
+                    AND adc.cand_id = exx.cand_id
+                  GROUP BY adc.probe_id)
+        SELECT p.probe_id, CAST($PqM AS BIGINT) AS n_subspaces,
+          coalesce(hit.n_hit, 0) AS n_hit,
+          coalesce(hit.n_hit, 0) / CAST($TopK AS DOUBLE) AS recall
+        FROM p LEFT JOIN hit ON p.probe_id = hit.probe_id"""
       }),
 
     // ---- per-source percentile normalization (L88): raw quality

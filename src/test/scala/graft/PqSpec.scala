@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** [[Similarity.pqEncode]] / [[Similarity.pqRecall]] — product
+  * quantization laws: codes come from the elected codebook, the
+  * reconstruction is the concatenation of the chosen sub-centroids, a
+  * centroid row reconstructs itself exactly, and electing EVERY row
+  * degenerates ADC search to the exact search (recall = 1). */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def corpus(n: Int) = (0L until n.toLong).map { id =>
+    (id, Array.tabulate(dim)(j =>
+      (math.sin(id * 2.3 + j * 1.1) * 3 + (id % 5)).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("codes are elected ids; recon concatenates the chosen sub-centroids") {
+    val df = corpus(30)
+    val out = Similarity.pqEncode(df, col("vec_id") % 10 === 1, 2)
+    val centIds = Set(1L, 11L, 21L)
+    val rows = out.collect()
+    rows.length shouldBe 30
+    rows.foreach { r =>
+      val c0 = r.getAs[Long]("code_0"); val c1 = r.getAs[Long]("code_1")
+      centIds should contain(c0)
+      centIds should contain(c1)
+      r.getSeq[Double](r.fieldIndex("recon")).length shouldBe dim
+    }
+    // a centroid row picks itself in every subspace and reconstructs
+    // itself exactly (float-widened)
+    val cent = rows.find(_.getLong(0) == 11L).get
+    cent.getAs[Long]("code_0") shouldBe 11L
+    cent.getAs[Long]("code_1") shouldBe 11L
+    val emb = cent.getSeq[Float](1).map(_.toDouble)
+    cent.getSeq[Double](cent.fieldIndex("recon")) shouldBe emb
+  }
+
+  test("electing every row makes ADC search exact: recall = 1.0 per probe") {
+    val df = corpus(40)
+    val out = Similarity.pqRecall(df, isProbe = col("vec_id") % 13 === 0,
+        isCentroid = lit(true), m = 2, k = 3)
+      .collect()
+    out.length shouldBe 4 // probes 0, 13, 26, 39
+    out.foreach { r =>
+      r.getAs[Long]("n_hit") shouldBe 3L
+      r.getAs[Double]("recall") shouldBe 1.0
+    }
+  }
+
+  test("recall is monotone-bounded and deterministic under repartitioning") {
+    val df = corpus(60)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.pqRecall(d, col("vec_id") % 20 === 0,
+          col("vec_id") % 7 === 1, m = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    val a = run(df)
+    a.foreach { case (_, nHit, rec) =>
+      nHit should be >= 0L
+      nHit should be <= 3L
+      rec shouldBe nHit.toDouble / 3 +- 1e-15
+    }
+    run(df.repartition(7)) shouldBe a
+  }
+}
