@@ -630,4 +630,102 @@ object Curation {
       .agg(count(lit(1)).as("n"), pick(0.5).as("p50"),
         pick(0.9).as("p90"), pick(0.99).as("p99"))
   }
+
+  /** L97 — mergeable histogram-quantile sketch + error audit: the
+    * 100 TB companion of the exact-quantile family (L20/L76). An
+    * equal-width `bins`-bin histogram over [min, max] is the simplest
+    * MERGEABLE quantile sketch (per-partition counts just add — the
+    * same property t-digest/GK buy with far more machinery), with the
+    * hard guarantee |estimate − exact| ≤ bin width. Returns one row per
+    * requested percentile: the sketch estimate (upper edge of the bin
+    * holding the target rank), the exact rank-ceil value, the absolute
+    * error, and the width bound the error must respect — the audit that
+    * decides whether the sketch can replace the exact pass on the next
+    * corpus.
+    *
+    * 100 TB shape: the sketch path is two scalar-merge passes (min/max/
+    * count, then ≤ bins map-combined counts); the EXACT arm exists for
+    * the audit only (like q58's exact-distinct witness — production
+    * drops it) and runs on the distinct-VALUE frame — value-domain-
+    * bounded (a length histogram), not corpus-bounded; the q132
+    * precedent. `n`/`lo`/`hi` are driver scalars (three doubles — the
+    * codebook-collect precedent). */
+  def histogramQuantiles(df: DataFrame, value: Column, pcts: Seq[Int],
+                         bins: Int): DataFrame = {
+    require(bins >= 1 && pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "histogramQuantiles needs bins >= 1 and percentiles in [1, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // NOT checkpointed: vals is corpus-sized (the localCheckpoint policy
+    // pins sublinear frames only) — its three consumers are each one
+    // column-pruned scan of a single double column.
+    val vals = df.select(value.cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val mm = vals.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    if (mm.isNullAt(0))
+      return Seq.empty[(Long, Long, Double, Double, Double, Double, Double)]
+        .toDF("pct", "n", "lo", "hi", "est", "exact", "abs_err")
+        .withColumn("bound", lit(0.0))
+    val (lo, hi, n) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
+    val width = (hi - lo) / bins
+    val targets = pcts.map(p =>
+      (p.toLong, math.max(1L, math.ceil(p / 100.0 * n).toLong)))
+      .toDF("pct", "target")
+    val bin =
+      if (width == 0.0) lit(0L)
+      else least(floor((col("v") - lo) / width).cast("long"), lit(bins - 1L))
+    val hist = vals.groupBy(bin.as("bin")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over( // ≤ bins rows: tiny frame
+        Window.orderBy(col("bin"))))
+    val est = targets.join(hist, col("cum") >= col("target"))
+      .groupBy(col("pct"), col("target")).agg(min(col("bin")).as("ebin"))
+      .select(col("pct"), col("target"),
+        (lit(lo) + (col("ebin") + 1) * lit(width)).as("est"))
+    val distCum = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over( // value-domain-bounded
+        Window.orderBy(col("v"))))
+    val exact = targets.join(distCum, col("cum") >= col("target"))
+      .groupBy(col("pct")).agg(min(col("v")).as("exact"))
+    est.join(exact, Seq("pct"))
+      .select(col("pct"), lit(n).as("n"), lit(lo).as("lo"), lit(hi).as("hi"),
+        col("est"), col("exact"), abs(col("est") - col("exact")).as("abs_err"),
+        lit(if (width == 0.0) 0.0 else width).as("bound"))
+  }
+
+  /** L98 — precision/recall threshold sweep: one PR point per DISTINCT
+    * score threshold t — precision/recall/F1 of the rule "accept when
+    * score ≥ t" — the curve a quality-filter threshold is chosen from
+    * (the operating-point companion of [[rocAuc]]'s single summary
+    * number). Exact integer TP/FP/FN at every point; thresholds are the
+    * observed score values, the standard PR-curve definition.
+    *
+    * CONTRACT: `score` must be a quantized / bounded-cardinality column
+    * (a bucketed quality score, a capped length — like the DSIR buckets
+    * or q109's bins). The sweep frame is one row per distinct score, so
+    * the cumulative windows are value-domain-bounded, not
+    * corpus-bounded (the q132 ECDF precedent); the corpus itself is
+    * touched by ONE map-combined groupBy. */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val base = df.select(score.cast("long").as("s"),
+      label.cast("long").as("y"))
+    val perScore = base.groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("s").desc) // distinct-score frame: bounded
+    val totPos = sum(col("pos")).over(
+      Window.partitionBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    perScore
+      .withColumn("tp", sum(col("pos")).over(w))
+      .withColumn("n_ge", sum(col("cnt")).over(w))
+      .withColumn("p_all", totPos)
+      .select(col("s").as("threshold"), col("tp"),
+        (col("n_ge") - col("tp")).as("fp"),
+        (col("p_all") - col("tp")).as("fn"),
+        (col("tp").cast("double") / col("n_ge")).as("prec"),
+        (col("tp").cast("double") / col("p_all")).as("recall"))
+      .withColumn("f1",
+        when(col("prec") + col("recall") > 0.0,
+          lit(2.0) * col("prec") * col("recall")
+            / (col("prec") + col("recall"))).otherwise(lit(0.0)))
+  }
 }

@@ -3076,6 +3076,75 @@ object LlmQueries {
         FROM p LEFT JOIN hit ON p.probe_id = hit.probe_id"""
       }),
 
+    // ---- histogram-quantile sketch + error audit (L97): the MERGEABLE
+    // quantile path (per-partition bin counts just add) with its
+    // |est − exact| ≤ bin-width guarantee measured against the exact
+    // rank-ceil value — the audit that lets the sketch replace the
+    // exact pass at 100 TB. Width/estimate arithmetic is written with
+    // the identical expression shape on both engines, so the doubles
+    // are bit-equal.
+    "q137_hist_quantiles" -> Query(
+      (s, dir) => Curation.histogramQuantiles(docs(s, dir), col("n_chars"),
+        Seq(5, 25, 50, 75, 95), 64),
+      Some("""WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents),
+          mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM v),
+          t AS (SELECT CAST(p.pct AS BIGINT) AS pct,
+                  greatest(1, CAST(ceil(p.pct / 100.0 * mm.n) AS BIGINT))
+                    AS target
+                FROM (VALUES (5), (25), (50), (75), (95)) p(pct), mm),
+          h AS (SELECT CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE least(CAST(floor((v.v - mm.lo)
+                    / ((mm.hi - mm.lo) / 64.0)) AS BIGINT), 63) END AS bin,
+                  count(*) AS c
+                FROM v, mm GROUP BY 1),
+          hc AS (SELECT bin, CAST(sum(c) OVER (ORDER BY bin) AS BIGINT)
+                   AS cum FROM h),
+          est AS (SELECT t.pct, mm.lo + (min(hc.bin) + 1)
+                    * ((mm.hi - mm.lo) / 64.0) AS est
+                  FROM t, hc, mm WHERE hc.cum >= t.target
+                  GROUP BY t.pct, mm.lo, mm.hi),
+          d AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+          dc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT)
+                   AS cum FROM d),
+          ex AS (SELECT t.pct, min(dc.v) AS exact FROM t, dc
+                 WHERE dc.cum >= t.target GROUP BY t.pct)
+        SELECT est.pct, mm.n, mm.lo, mm.hi, est.est, ex.exact,
+          abs(est.est - ex.exact) AS abs_err,
+          CASE WHEN mm.hi = mm.lo THEN 0.0
+            ELSE (mm.hi - mm.lo) / 64.0 END AS bound
+        FROM est JOIN ex ON est.pct = ex.pct, mm""")),
+
+    // ---- precision/recall threshold sweep (L98): one exact PR point
+    // per distinct score threshold — the operating-point curve the L70
+    // ROC summary hides; same quality signal as q109's calibration
+    // (capped length vs lang='en'). The sweep frame is distinct-score-
+    // sized (bounded by the score quantization contract), the corpus
+    // is touched by ONE map-combined groupBy.
+    "q138_pr_curve" -> Query(
+      (s, dir) => Curation.prCurve(docs(s, dir),
+        least(col("n_chars"), lit(1000L)), col("lang") === "en"),
+      Some("""WITH b AS (SELECT least(n_chars, 1000) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             FROM documents),
+          g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+                  count(*) AS cnt FROM b GROUP BY s),
+          c AS (SELECT s,
+                  CAST(sum(pos) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+                  CAST(sum(cnt) OVER (ORDER BY s DESC) AS BIGINT) AS n_ge,
+                  CAST(sum(pos) OVER () AS BIGINT) AS p_all
+                FROM g)
+        SELECT CAST(s AS BIGINT) AS threshold, tp, n_ge - tp AS fp,
+          p_all - tp AS fn,
+          CAST(tp AS DOUBLE) / n_ge AS prec,
+          CAST(tp AS DOUBLE) / p_all AS recall,
+          CASE WHEN CAST(tp AS DOUBLE) / n_ge
+              + CAST(tp AS DOUBLE) / p_all > 0.0
+            THEN 2.0 * (CAST(tp AS DOUBLE) / n_ge)
+              * (CAST(tp AS DOUBLE) / p_all)
+              / (CAST(tp AS DOUBLE) / n_ge + CAST(tp AS DOUBLE) / p_all)
+            ELSE 0.0 END AS f1
+        FROM c""")),
+
     // ---- per-source percentile normalization (L88): raw quality
     // scores mapped to within-source percentile ranks so thresholds
     // compare across sources with different scales. Exact small-int

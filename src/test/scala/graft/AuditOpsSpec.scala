@@ -278,4 +278,60 @@ class AuditOpsSpec extends SparkSpec {
     out(4L) should be > out(2L)
     out(4L) should be < out(0L)
   }
+
+  test("histogramQuantiles: error within the bin-width bound; exact on wide bins") {
+    import graft.operators.Curation
+    val df = (1 to 1000).map(i => ((i * 37) % 500 + 1).toLong)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Curation.histogramQuantiles(df, col("v"), Seq(5, 50, 95), 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    out.keySet shouldBe Set(5L, 50L, 95L)
+    out.values.foreach { case (_, _, err, bound) =>
+      err should be <= bound + 1e-9 // the sketch guarantee
+    }
+    // bins >= value range: every value has its own bin -> est lands in
+    // the exact value's bin, err <= width < 1
+    val wide = Curation.histogramQuantiles(df, col("v"), Seq(50), 1024)
+      .head()
+    wide.getDouble(6) should be <= wide.getDouble(7) + 1e-9
+    wide.getDouble(7) should be < 1.0
+  }
+
+  test("histogramQuantiles: constant column collapses (est = exact = value, bound 0)") {
+    import graft.operators.Curation
+    val df = (0 until 50).map(i => (i.toLong, 7L)).toDF("id", "v")
+    val r = Curation.histogramQuantiles(df, col("v"), Seq(50), 64).head()
+    r.getDouble(4) shouldBe 7.0 // est
+    r.getDouble(5) shouldBe 7.0 // exact
+    r.getDouble(6) shouldBe 0.0 // abs_err
+    r.getDouble(7) shouldBe 0.0 // bound
+  }
+
+  test("histogramQuantiles: empty input yields an empty frame with the full schema") {
+    import graft.operators.Curation
+    val df = Seq.empty[(Long, Long)].toDF("id", "v")
+    val out = Curation.histogramQuantiles(df, col("v"), Seq(50), 64)
+    out.columns.toSeq shouldBe
+      Seq("pct", "n", "lo", "hi", "est", "exact", "abs_err", "bound")
+    out.count() shouldBe 0L
+  }
+
+  test("prCurve: hand-computed sweep; monotone recall; threshold=max gives precision of the top score") {
+    import graft.operators.Curation
+    // scores 3,3,2,1 labels 1,0,1,0: thresholds 3,2,1
+    // t=3: tp=1 fp=1 fn=1 -> prec .5 rec .5; t=2: tp=2 fp=1 -> prec 2/3
+    // rec 1; t=1: tp=2 fp=2 -> prec .5 rec 1
+    val df = Seq((3L, 1L), (3L, 0L), (2L, 1L), (1L, 0L)).toDF("s", "y")
+    val out = Curation.prCurve(df, col("s"), col("y") === 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    out(3L) shouldBe ((1L, 1L, 1L, 0.5, 0.5))
+    out(2L) shouldBe ((2L, 1L, 0L, 2.0 / 3, 1.0))
+    out(1L) shouldBe ((2L, 2L, 0L, 0.5, 1.0))
+    // recall is monotone non-increasing in threshold
+    val recs = out.toSeq.sortBy(_._1).map(_._2._5)
+    recs.zip(recs.tail).foreach { case (lo, hi) => lo should be >= hi }
+  }
 }

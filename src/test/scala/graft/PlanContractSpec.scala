@@ -49,7 +49,15 @@ class PlanContractSpec extends SparkSpec {
       "q130_cusum_alarms",
       // q132: the ECDF prefix windows run over the merged per-VALUE
       // frame — value-domain-bounded (a length histogram), not corpus
-      "q132_ks_statistic")
+      "q132_ks_statistic",
+      // q137: the sketch cum window runs over the ≤ bins histogram
+      // frame; the exact-audit window over the distinct-VALUE frame
+      // (value-domain-bounded, the q132 precedent; production drops
+      // the audit arm)
+      "q137_hist_quantiles",
+      // q138: the PR sweep windows run over the distinct-SCORE frame —
+      // bounded by the score-quantization contract, not the corpus
+      "q138_pr_curve")
     val sideEffecting = Set( // streaming drains run at build time
       "q35_stream_ledger", "q71_stream_windows", "q72_stream_sessions",
       "q78_stream_dedup", "q87_stream_interval_join")
