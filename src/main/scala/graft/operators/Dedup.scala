@@ -391,4 +391,59 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_shingles"))
   }
+
+  /** L99 — shingle CONTAINMENT (asymmetric near-dup): C = |A∩B| /
+    * min(|A|, |B|) over distinct shingle sets — the signal Jaccard
+    * structurally misses: a short doc pasted verbatim inside a much
+    * longer one has tiny |∩|/|∪| but containment ≈ 1 (quotation
+    * farms, boilerplate-wrapped reposts, doc-in-doc aggregation). One
+    * row per flagged pair, oriented: `doc_small` is the contained
+    * (smaller-set) side, ties broken to the lower id.
+    *
+    * Shingle sets and sizes follow the q27 capped-inverted-index
+    * convention: per-(source, h) posting sets with `maxDf` df cap —
+    * sizes count KEPT shingles, so the blow-up bound and the
+    * ubiquitous-shingle semantics are exactly q27's (the cap is the
+    * stop-shingle rule; cross-source containment belongs to MinHash).
+    *
+    * 100 TB shape: identical to q27 — ONE exchange builds the capped
+    * index (collect_set straight to posting sets), pair fan-out is
+    * bounded at maxDf·(maxDf−1)/2 per shingle, and the final frame is
+    * pair-keyed (flagged pairs only). */
+  def shingleContainment(docs: DataFrame, idCol: Column, sourceCol: Column,
+                         text: Column, shingleN: Int, maxDf: Int,
+                         minContainment: Double): DataFrame = {
+    val kept = docs
+      .select(idCol.as("doc_id"), sourceCol.as("source"),
+        TextFns.tokens(text).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(TextFns.shingleHashes(col("toks"), shingleN)).as("h"))
+      .filter(col("h").isNotNull && col("source").isNotNull)
+      .groupBy(col("source"), col("h"))
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .select(col("ds"))
+      .localCheckpoint() // slim posting-set frame, two consumers (q27 rule)
+    val sizes = kept.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nset"))
+    val ni = kept.filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+    ni.join(sizes.select(col("doc_id").as("doc_a"), col("nset").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nset").as("nb")), "doc_b")
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_small"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_big"),
+        col("ni").as("n_common"),
+        least(col("na"), col("nb")).as("n_small"),
+        greatest(col("na"), col("nb")).as("n_big"),
+        (col("ni").cast("double") / least(col("na"), col("nb")))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
 }

@@ -414,6 +414,36 @@ object LlmQueries {
                   JOIN sizes sb ON ni.doc_b = sb.doc_id
           WHERE ni::DOUBLE / (sa.nset + sb.nset - ni) >= 0.05""")),
 
+    // ---- shingle containment (L99): asymmetric near-dup — C = |∩| /
+    // min(|A|,|B|) flags a short doc pasted inside a longer one, which
+    // Jaccard structurally misses (tiny |∩|/|∪|). Same capped inverted
+    // index as q27 (one exchange, df-capped posting sets, bounded pair
+    // fan-out); output oriented small→big with low-id tie-break.
+    "q139_containment" -> Query(
+      (s, dir) => Dedup.shingleContainment(docs(s, dir), col("doc_id"),
+        col("source"), col("text"), 2, MaxShingleDf, 0.6),
+      Some(s"""WITH sets AS (SELECT doc_id, source,
+            list_distinct(${sqlShingleHashes(sqlToks, 2)}) AS shset FROM documents),
+          ex AS (SELECT doc_id, source, unnest(shset) AS h FROM sets),
+          capped AS (SELECT doc_id, source, h FROM
+            (SELECT *, count(*) OVER (PARTITION BY source, h) AS df FROM ex)
+            WHERE df <= $MaxShingleDf),
+          sizes AS (SELECT doc_id, count(*) AS nset FROM capped GROUP BY doc_id),
+          ni AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+                 FROM capped a JOIN capped b
+                   ON a.source = b.source AND a.h = b.h AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+          SELECT CASE WHEN sa.nset <= sb.nset THEN doc_a ELSE doc_b END
+              AS doc_small,
+            CASE WHEN sa.nset <= sb.nset THEN doc_b ELSE doc_a END
+              AS doc_big,
+            ni AS n_common, least(sa.nset, sb.nset) AS n_small,
+            greatest(sa.nset, sb.nset) AS n_big,
+            ni::DOUBLE / least(sa.nset, sb.nset) AS containment
+          FROM ni JOIN sizes sa ON ni.doc_a = sa.doc_id
+                  JOIN sizes sb ON ni.doc_b = sb.doc_id
+          WHERE ni::DOUBLE / least(sa.nset, sb.nset) >= 0.6""")),
+
     // ---- brute-force cosine top-k: broadcast probes, map-side scoring,
     // per-probe rank window (no global sort). The correctness baseline
     // for q29's bucketed ANN.

@@ -268,6 +268,30 @@ class TextDedupSpec extends SparkSpec {
     parseWav(4L, truncated).valid shouldBe false
   }
 
+  test("shingleContainment flags a short doc pasted inside a long one; Jaccard misses it") {
+    import graft.operators.Dedup
+    // doc 0: 40 tokens; doc 1 = doc 0's middle 8 tokens verbatim;
+    // doc 2: unrelated. Containment(1 in 0) = 1.0, Jaccard tiny.
+    val long = (0 until 40).map(i => s"w$i").mkString(" ")
+    val short = (16 until 24).map(i => s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"x$i").mkString(" ")
+    val df = Seq((0L, "s", long), (1L, "s", short), (2L, "s", other))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.shingleContainment(df, col("doc_id"), col("source"),
+        col("text"), 2, maxDf = 25, minContainment = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    out.length shouldBe 1
+    val (small, big, common, nSmall, _, c) = out.head
+    small shouldBe 1L // the contained side
+    big shouldBe 0L
+    common shouldBe nSmall // every short-doc shingle is in the long doc
+    c shouldBe 1.0
+    // the same pair under the Jaccard rule scores far below any
+    // near-dup threshold — the asymmetric signal is the point
+    (common.toDouble / (39 + nSmall - common)) should be < 0.2
+  }
+
   test("redactDenylist: word-boundary scrub and hit count") {
     val terms = Seq("customer", "supplier")
     val out = Seq("customer a customers supplier customer")
