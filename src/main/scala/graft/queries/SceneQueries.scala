@@ -807,6 +807,77 @@ object SceneQueries {
           p.p_event_id, p.ts AS p_ts, p.p_value
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""")),
 
+    // ---- as-of join, FORWARD STRICT direction (L29 surface): each
+    // click joined to the user's next purchase STRICTLY after it — the
+    // impression→conversion attribution direction. Same union-carry
+    // plan as q59 run in reverse time order (one shuffle, one window,
+    // one row of state per user); the oracle is the quadratic
+    // candidates+row_number formulation — a genuinely different
+    // algorithm for the same semantics.
+    "q140_asof_forward" -> Query(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.AsOf.joinAsOf(clicks, purch,
+            keyCol = "user_id", tsCol = "ts", ordCol = "p_event_id",
+            payload = Seq("p_event_id", "p_ts", "p_value"),
+            direction = "forward", allowExactMatches = false)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("p_event_id"), col("p_ts"), col("p_value"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id,
+              arg_max(value, event_id) AS p_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+          c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+          cand AS (SELECT c.event_id, p.p_event_id, p.ts AS p_ts, p.p_value,
+                row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts) AS rk
+              FROM c JOIN p ON c.user_id = p.user_id AND p.ts > c.ts)
+        SELECT c.event_id, c.user_id, c.ts,
+          cand.p_event_id, cand.p_ts, cand.p_value
+        FROM c LEFT JOIN cand ON cand.event_id = c.event_id AND cand.rk = 1""")),
+
+    // ---- as-of join, NEAREST direction with tolerance (L29 surface):
+    // each click joined to the user's closest purchase within one hour
+    // either way (exact-distance ties prefer the backward row — the
+    // pandas merge_asof rule). Distance arithmetic is integer
+    // MICROSECONDS on both engines (unix_micros / epoch_us) — no float
+    // epoch, so candidate ordering can never differ by a rounding ulp.
+    // Tolerance-after-selection equals tolerance-before-selection
+    // because nearest minimizes exactly the bounded quantity.
+    "q141_asof_nearest" -> Query(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.AsOf.joinAsOf(clicks, purch,
+            keyCol = "user_id", tsCol = "ts", ordCol = "p_event_id",
+            payload = Seq("p_event_id", "p_ts", "p_value"),
+            direction = "nearest",
+            toleranceMicros = Some(3600L * 1000000L))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("p_event_id"), col("p_ts"), col("p_value"))
+      },
+      Some("""WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id,
+              arg_max(value, event_id) AS p_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+          c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+          cand AS (SELECT c.event_id, p.p_event_id, p.ts AS p_ts, p.p_value,
+                row_number() OVER (PARTITION BY c.event_id ORDER BY
+                  abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                  CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END) AS rk
+              FROM c JOIN p ON c.user_id = p.user_id
+                AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000)
+        SELECT c.event_id, c.user_id, c.ts,
+          cand.p_event_id, cand.p_ts, cand.p_value
+        FROM c LEFT JOIN cand ON cand.event_id = c.event_id AND cand.rk = 1""")),
+
     // ---- ordered conversion funnel (L37): signup → first click at or
     // after it → first purchase at or after that, per user — the
     // classic multi-step funnel. Three stage aggregates, each keyed on
