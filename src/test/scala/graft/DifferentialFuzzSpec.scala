@@ -41,6 +41,99 @@ class DifferentialFuzzSpec extends SparkSpec {
     }
   }
 
+  test("joinAsOf forward/nearest/strict/tolerance match brute force on random event sets") {
+    val rnd = new scala.util.Random(61)
+    (1 to 4).foreach { _ =>
+      val keys = Vector("a", "b", "c")
+      val left = Seq.fill(50)((keys(rnd.nextInt(3)), rnd.nextInt(40).toLong,
+        rnd.nextLong().abs % 100000))
+      val right = Seq.fill(35)((keys(rnd.nextInt(3)), rnd.nextInt(40).toLong,
+        rnd.nextLong().abs % 100000, rnd.nextDouble()))
+      val l = left.toDF("k", "ts", "lid")
+      val r = right.toDF("k", "ts", "rid", "rv")
+
+      // brute-force reference shared by all arms: dedup per (k, ts) by
+      // max rid first (the operator contract), then pick per direction
+      val dedup = right.groupBy(t => (t._1, t._2)).map { case (_, g) =>
+        g.maxBy(_._3)
+      }.toSeq
+      def ref(direction: String, allowExact: Boolean, tol: Option[Long]) =
+        left.map { case (k, ts, lid) =>
+          val cands = dedup.filter(_._1 == k).filter { c =>
+            val ok = direction match {
+              case "backward" => if (allowExact) c._2 <= ts else c._2 < ts
+              case "forward"  => if (allowExact) c._2 >= ts else c._2 > ts
+              case "nearest"  => true
+            }
+            ok && tol.forall(t => math.abs(c._2 - ts) <= t)
+          }
+          if (cands.isEmpty) (k, ts, lid, None, None)
+          else {
+            val best = direction match {
+              case "backward" => cands.maxBy(_._2)
+              case "forward"  => cands.minBy(_._2)
+              case "nearest"  => cands.minBy(c =>
+                (math.abs(c._2 - ts), if (c._2 <= ts) 0 else 1))
+            }
+            (k, ts, lid, Some(best._3), Some(best._4))
+          }
+        }.sorted
+      def got(direction: String, allowExact: Boolean, tol: Option[Long]) =
+        AsOf.joinAsOf(l, r, "k", "ts", "rid", Seq("rid", "rv"),
+            direction = direction, allowExactMatches = allowExact,
+            toleranceMicros = tol)
+          .as[(String, Long, Long, Option[Long], Option[Double])]
+          .collect().toSeq.sorted
+      for {
+        dir <- Seq("backward", "forward", "nearest")
+        ae <- Seq(true, false) if !(dir == "nearest" && !ae)
+        tol <- Seq(None, Some(5L))
+      } withClue(s"direction=$dir allowExact=$ae tol=$tol: ") {
+        got(dir, ae, tol) shouldBe ref(dir, ae, tol)
+      }
+    }
+  }
+
+  test("shingleContainment matches brute-force capped set intersection") {
+    val rnd = new scala.util.Random(71)
+    (1 to 3).foreach { _ =>
+      val docs = (0L until 20L).map { id =>
+        val n = 4 + rnd.nextInt(20)
+        (id, "s", (0 until n).map(_ => s"t${rnd.nextInt(30)}").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "source", "text")
+      val maxDf = 6
+      val got = Dedup.shingleContainment(df, col("doc_id"), col("source"),
+          col("text"), 2, maxDf, minContainment = 0.3)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq.sorted
+
+      // brute force: shingle sets as distinct token bigrams, then the
+      // df cap, then pairwise containment
+      def shingles(text: String): Set[String] = {
+        val t = text.split("\\s+").toSeq
+        t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (id, _, t) => id -> shingles(t) }.toMap
+      val dfCount = sets.values.flatten.groupBy(identity).map {
+        case (s, o) => s -> o.size
+      }
+      val kept = sets.map { case (id, s) =>
+        id -> s.filter(sh => dfCount(sh) <= maxDf)
+      }
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        ni = (kept(a) & kept(b)).size if ni > 0
+        na = kept(a).size; nb = kept(b).size
+        c = ni.toDouble / math.min(na, nb) if c >= 0.3
+      } yield {
+        val (s, bgd) = if (na <= nb) (a, b) else (b, a)
+        (s, bgd, ni.toLong, math.min(na, nb).toLong,
+          math.max(na, nb).toLong, c)
+      }).sorted
+      got shouldBe want
+    }
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val rnd = new scala.util.Random(53)
     (1 to 4).foreach { _ =>
