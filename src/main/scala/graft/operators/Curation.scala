@@ -229,6 +229,35 @@ object Curation {
         ((col("_rank") - 1) % nShards).as("shard"))
   }
 
+  /** L100 — balanced shard SINK: materialize a [[shardPlan]] assignment
+    * as an actual partitioned parquet layout (`outDir/shard=K/…`) and
+    * return the MANIFEST read back from the written files — per shard:
+    * document count, total payload size, id range. The read-back (not
+    * the input) is the manifest source, so the gate proves the physical
+    * round trip: what the plan assigned is exactly what a training job
+    * reading `shard=K` will see. This is the missing last step of the
+    * q99 planner — the writer a 100 TB curation pipeline actually ends
+    * with.
+    *
+    * 100 TB shape: docs join the (doc-keyed, slim) plan on doc_id, the
+    * write repartitions BY THE SHARD COLUMN so each task writes whole
+    * shards (no shard's rows scattered across hundreds of task files),
+    * and `partitionBy(shard)` gives readers partition pruning per
+    * shard. The manifest aggregate is ≤ nShards rows, map-combined. */
+  def writeShards(docs: DataFrame, plan: DataFrame, idCol: Column,
+                  sizeCol: Column, outDir: String): DataFrame = {
+    val joined = docs.select(idCol.as("doc_id"), sizeCol.cast("long").as("sz"))
+      .join(plan.select(col("doc_id"), col("shard")), Seq("doc_id"))
+    joined.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // explicit read schema: no inference job, and an EMPTY write (no
+    // partition dirs at all) still yields a well-formed empty manifest
+    docs.sparkSession.read.schema(joined.schema).parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("sum_sz"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
   /** L70 — quality-classifier ROC-AUC audit: the Mann-Whitney AUC of an
     * integer score against a binary label, with exact tie correction —
     * the number that validates a quality/toxicity/language classifier

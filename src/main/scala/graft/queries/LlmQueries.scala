@@ -2206,6 +2206,34 @@ object LlmQueries {
             % $NumShards AS shard
         FROM documents""")),
 
+    // ---- balanced shard SINK (L100): q99's plan materialized as a
+    // real partitioned parquet layout, manifest read back FROM THE
+    // WRITTEN FILES — the gate proves the physical round trip (what the
+    // plan assigned is what a reader of shard=K sees). Deterministic
+    // per-input-dir output path, deleted before each run (the q35
+    // side-effecting precedent).
+    "q142_shard_sink" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        val plan = Curation.shardPlan(d, col("n_chars"), col("doc_id"),
+          NumShards)
+        Curation.writeShards(d, plan, col("doc_id"), col("n_chars"), base)
+      },
+      Some(s"""WITH plan AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
+            (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1)
+              % $NumShards AS shard
+          FROM documents)
+        SELECT shard, count(*) AS n_docs, CAST(sum(sz) AS BIGINT) AS sum_sz,
+          min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM plan GROUP BY shard""")),
+
     // ---- cluster quality metrics (L62): per-cell member count and
     // inertia under the shared cosine-nearest assignment (q40/q60/q93's
     // one kernel, one convention) — the codebook-tuning number for

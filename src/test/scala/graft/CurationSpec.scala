@@ -109,6 +109,39 @@ class CurationSpec extends SparkSpec {
       .filter(col("w") =!= col("mn")).count() shouldBe 0L
   }
 
+  test("writeShards: physical layout round-trips the plan; shard dirs prune") {
+    import graft.operators.Curation
+    val docs = (0L until 40L).map(id => (id, 10L + id % 7))
+      .toDF("doc_id", "n_chars")
+    val plan = Curation.shardPlan(docs, col("n_chars"), col("doc_id"), 4)
+    val out = java.nio.file.Files.createTempDirectory("graft_ws").toString
+    val manifest = Curation.writeShards(docs, plan, col("doc_id"),
+        col("n_chars"), out)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    manifest.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    manifest.values.map(_._1).sum shouldBe 40L           // nothing lost
+    manifest.values.map(_._2).sum shouldBe
+      (0L until 40L).map(id => 10L + id % 7).sum         // sizes intact
+    // round-robin over the size-descending rank balances counts exactly
+    manifest.values.map(_._1).toSet shouldBe Set(10L)
+    // physical layout: one directory per shard; reading one shard
+    // returns only that shard's docs (partition pruning surface)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    dirs.toSeq shouldBe Seq("shard=0", "shard=1", "shard=2", "shard=3")
+    val one = spark.read.parquet(s"$out/shard=2")
+    one.count() shouldBe 10L
+    val planned = plan.filter(col("shard") === 2)
+      .select("doc_id").as[Long].collect().toSet
+    one.select("doc_id").as[Long].collect().toSet shouldBe planned
+    // empty input: empty manifest, no crash
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")
+    val eplan = Curation.shardPlan(empty, col("n_chars"), col("doc_id"), 4)
+    val eout = java.nio.file.Files.createTempDirectory("graft_ws_e").toString
+    Curation.writeShards(empty, eplan, col("doc_id"), col("n_chars"), eout)
+      .count() shouldBe 0L
+  }
+
   test("vocabCoverage: boundary tie-break and per-doc OOV accounting") {
     // corpus counts: x=3, y=2, z=2, w=1. K=2 vocabulary is {x, y}
     // (count desc, token asc breaks the y/z tie toward y).
