@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MisraGriesAgg, ModeCount, MomentMatrixAgg, SimHash32, Sum128, VecDot}
+import graft.functions.{MisraGriesAgg, ModeCount, MomentMatrixAgg, PcmEnergies, ShingleHashes, SimHash32, Sum128, VecDot}
 
 /** `SparkSessionExtensions` installer for graft's native SQL surface.
   *
@@ -63,6 +63,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args(1).foldable, "moment_matrix dim must be a literal")
         MomentMatrixAgg(args.head,
           args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("pcm_energies"),
+      new ExpressionInfo(classOf[PcmEnergies].getName, "pcm_energies"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"pcm_energies expects (payload, window_samples), got ${args.length} arguments")
+        require(args(1).foldable, "pcm_energies window must be a literal")
+        PcmEnergies(args.head, args(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"shingle_hashes expects (tokens, n, mod), got ${args.length} arguments")
+        require(args(1).foldable && args(2).foldable,
+          "shingle_hashes n and mod must be literals")
+        ShingleHashes(args.head,
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Number].longValue())
       }))
     ext.injectFunction((
       new FunctionIdentifier("sum128"),

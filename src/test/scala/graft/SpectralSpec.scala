@@ -46,6 +46,25 @@ class SpectralSpec extends SparkSpec {
     out.count() shouldBe 0L
   }
 
+  test("pcm_energies and shingle_hashes are callable from SQL text (GraftExtensions)") {
+    import graft.functions.TextFns
+    Seq((1L, Array[Byte](0x01, 0x00, 0xFF.toByte, 0xFF.toByte)))
+      .toDF("media_id", "payload").createOrReplaceTempView("pcm_in")
+    val e = spark.sql("SELECT pcm_energies(payload, 2) AS e FROM pcm_in")
+      .head().getSeq[Long](0)
+    e shouldBe Seq(2L) // 1^2 + (-1)^2
+    Seq((1L, Seq("a", "b", "c")))
+      .toDF("doc_id", "toks").createOrReplaceTempView("sh_in")
+    val viaSql = spark.sql(
+      s"SELECT shingle_hashes(toks, 2, ${TextFns.HashMod}) AS hs FROM sh_in")
+      .head().getSeq[Long](0)
+    val viaCol = Seq((1L, Seq("a", "b", "c"))).toDF("doc_id", "toks")
+      .select(TextFns.shingleHashes(col("toks"), 2).as("hs"))
+      .head().getSeq[Long](0)
+    viaSql shouldBe viaCol
+    viaSql.length shouldBe 2
+  }
+
   test("moment_matrix and sum128 are callable from SQL text (GraftExtensions)") {
     Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)))
       .toDF("vec_id", "embedding").createOrReplaceTempView("mm_in")
