@@ -67,4 +67,39 @@ object Packing {
       .withColumn("chunk_off", pmod(col("_start"), lit(budget)))
       .drop("_start")
   }
+
+  /** L101 — packed-sequence SPAN manifest: the per-(doc, chunk) span
+    * table a packed-training loader actually consumes. [[packChunks]]
+    * gives each doc its start offset in the stratum's token stream; a
+    * doc whose interval crosses budget boundaries occupies SEVERAL
+    * chunks — this operator emits one row per (doc, chunk) with the
+    * span's position inside the chunk (`span_off`), the corresponding
+    * offset inside the doc (`doc_off`), and the span length — exactly
+    * what attention-mask / cross-doc-boundary construction needs.
+    * Laws (spec-pinned): per doc, spans tile [0, weight) of the doc;
+    * per (stratum, chunk), spans tile [0, budget) with no overlap
+    * (except the stratum's ragged last chunk).
+    *
+    * 100 TB shape: ONE stratum-partitioned window (same shuffle as
+    * [[packChunks]]) + a map-side generator; fan-out per doc is
+    * 1 + floor(weight/budget) — bounded by the doc/budget ratio. */
+  def packSpans(df: DataFrame, stratum: Column, key: Column,
+                weight: Column, budget: Long, salt: String): DataFrame = {
+    require(budget > 0, s"chunk budget must be positive, got $budget")
+    val w = Window.partitionBy(stratum).orderBy(Sampling.saltedHash(key, salt), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(budget)
+    df.withColumn("_w", weight.cast("long"))
+      .withColumn("_start", (sum(col("_w")).over(w) - col("_w")).cast("long"))
+      .where(col("_w") > 0)
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"_start div ${budget}L"),
+        expr(s"(_start + _w - 1) div ${budget}L"))))
+      .withColumn("_sb", greatest(col("_start"), col("chunk_id") * b))
+      .withColumn("span_off", col("_sb") - col("chunk_id") * b)
+      .withColumn("doc_off", col("_sb") - col("_start"))
+      .withColumn("span_len",
+        least(col("_start") + col("_w"), (col("chunk_id") + 1) * b) - col("_sb"))
+      .drop("_w", "_start", "_sb")
+  }
 }

@@ -1029,6 +1029,44 @@ object LlmQueries {
           CAST((cum - n_toks) % $PackBudget AS BIGINT) AS chunk_off
         FROM c""")),
 
+    // ---- packed-span manifest (L101): the q52 packing resolved to the
+    // per-(doc, chunk) span table a packed-training loader consumes —
+    // docs crossing budget boundaries emit one row per occupied chunk
+    // with in-chunk position, in-doc offset, and span length (the
+    // attention-mask construction inputs). Same single stratum window
+    // as q52 + a map-side generator.
+    "q143_pack_spans" -> Query(
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).as("n_toks"))
+        Packing.packSpans(d, col("lang"), col("doc_id"), col("n_toks"),
+            PackBudget, "pack")
+          .select(col("doc_id"), col("lang"), col("chunk_id"),
+            col("span_off"), col("doc_off"), col("span_len"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+            len($sqlToks) AS n_toks,
+            ${sqlHash60("CAST(doc_id AS VARCHAR) || ':pack'")} AS h
+          FROM documents),
+        c AS (SELECT *, sum(n_toks) OVER (PARTITION BY lang
+            ORDER BY h, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t),
+        st AS (SELECT doc_id, lang, n_toks,
+                 CAST(cum - n_toks AS BIGINT) AS s0
+               FROM c WHERE n_toks > 0),
+        sp AS (SELECT doc_id, lang, n_toks, s0,
+                 unnest(range(s0 // $PackBudget,
+                   (s0 + n_toks - 1) // $PackBudget + 1)) AS chunk_id
+               FROM st)
+        SELECT doc_id, lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+          CAST(greatest(s0, chunk_id * $PackBudget)
+            - chunk_id * $PackBudget AS BIGINT) AS span_off,
+          CAST(greatest(s0, chunk_id * $PackBudget) - s0 AS BIGINT) AS doc_off,
+          CAST(least(s0 + n_toks, (chunk_id + 1) * $PackBudget)
+            - greatest(s0, chunk_id * $PackBudget) AS BIGINT) AS span_len
+        FROM sp""")),
+
     // ---- eval-set decontamination (L22): which eval docs (source src0)
     // share >= ContamMinShared distinct shingles with a train doc? The
     // same inverted-index equi-join shape as q27 — explode distinct

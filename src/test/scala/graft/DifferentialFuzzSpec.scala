@@ -134,6 +134,37 @@ class DifferentialFuzzSpec extends SparkSpec {
     }
   }
 
+  test("decodeWav round-trips wavPayload on random payloads/rates/junk") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(83)
+    val rows = (0 until 60).map { i =>
+      val dlen = rnd.nextInt(40) * 2 // even, possibly 0
+      (i.toLong, Array.fill(dlen)(rnd.nextInt(256).toByte),
+        8000L + rnd.nextInt(40000), 1 + rnd.nextInt(4), 1L + rnd.nextInt(9))
+    }
+    val media = rows.toDF("media_id", "data", "rate", "ch", "junk")
+      .select(col("media_id"), Multimodal.wavPayload(col("data"),
+        col("rate"), col("ch"), col("junk")).as("payload"))
+    val got = Multimodal.decodeWav(media.as[(Long, Array[Byte])])
+      .collect().map(w => w.media_id -> w).toMap
+    rows.foreach { case (id, data, rate, ch, junk) =>
+      val w = got(id)
+      withClue(s"media $id: ") {
+        w.valid shouldBe true
+        w.sample_rate shouldBe rate
+        w.channels shouldBe ch
+        w.bits shouldBe 16
+        w.n_chunks shouldBe 3
+        w.data_off shouldBe 52L + junk + junk % 2
+        w.n_samples shouldBe data.length / 2
+        val energy = data.grouped(2).map { p =>
+          val s = ((p(1) << 8) | (p(0) & 0xff)).toLong; s * s
+        }.sum
+        w.energy shouldBe energy
+      }
+    }
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val rnd = new scala.util.Random(53)
     (1 to 4).foreach { _ =>
