@@ -482,6 +482,56 @@ object SceneQueries {
           WHERE c.event_type = 'click' AND p.event_type = 'purchase'
             AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts""")),
 
+    // ---- streaming interval join, LEFT OUTER arm (§2.10): unmatched
+    // clicks must surface with NULL purchase columns once the watermark
+    // passes their interval — the state-EVICTION semantics the inner
+    // arm (q87) never exercises (inner emits on match; outer emits on
+    // expiry, driven by the no-data micro-batches AvailableNow runs
+    // after the files drain). Rows whose outcome the final watermark
+    // has not yet decided (the last wm+maxAge of event time) are
+    // excluded by a cutoff computed from the SAME input on both
+    // engines, so the gate is deterministic by construction.
+    "q144_stream_outer_join" -> Query(
+      (s, dir) => {
+        val ev = streamedEvents(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("c_event_id"),
+            col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+        val joined = EventWindows.intervalJoin(
+          clicks, "c_user_id", "c_ts", "1 hour",
+          purchases, "p_user_id", "p_ts", "1 hour",
+          maxAge = "2 hours", joinType = "leftOuter")
+          .select(col("c_event_id"), col("p_event_id"),
+            col("c_user_id").as("user_id"), col("p_value"))
+        val maxTs = Tables.events(s, dir).agg(max(col("ts"))).head()
+          .getTimestamp(0)
+        // empty input: null cutoff -> typed NULL comparison -> no rows
+        val cutoff =
+          if (maxTs == null) lit(null).cast("timestamp")
+          else lit(maxTs) - expr("INTERVAL 4 HOURS")
+        drainToParquet(joined, "soj", dir)
+          .join(Tables.events(s, dir)
+            .where(col("event_type") === "click")
+            .select(col("event_id").as("c_event_id"), col("ts").as("c_ts")),
+            Seq("c_event_id"))
+          .where(col("c_ts") <= cutoff)
+          .select(col("c_event_id"), col("p_event_id"), col("user_id"),
+            col("p_value"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+                AND ts <= (SELECT max(ts) FROM events) - INTERVAL 4 HOUR),
+            p AS (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase')
+        SELECT c.event_id AS c_event_id, p.event_id AS p_event_id,
+            c.user_id, p.value AS p_value
+          FROM c LEFT JOIN p ON c.user_id = p.user_id
+            AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts""")),
+
     // ---- L52: SCD2 history build — each user's event_type timeline
     // collapsed into validity intervals (run-start rows + lead() close;
     // ONE key-hashed exchange feeds both windows — see History.scd2).

@@ -60,7 +60,8 @@ class PlanContractSpec extends SparkSpec {
       "q138_pr_curve")
     val sideEffecting = Set( // streaming drains run at build time
       "q35_stream_ledger", "q71_stream_windows", "q72_stream_sessions",
-      "q78_stream_dedup", "q87_stream_interval_join")
+      "q78_stream_dedup", "q87_stream_interval_join",
+      "q144_stream_outer_join")
     SparkEntry.queries.keys.filterNot(sideEffecting)
       .foreach { name =>
         val lines = plan(name).linesIterator.toIndexedSeq
