@@ -192,6 +192,57 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
 
+  /** L102 — IVF-PQ search (the production ANN composition: FAISS's
+    * default index shape): the coarse quantizer restricts each probe to
+    * its `nProbe` nearest cells' candidate lists ([[ivfTopK]]'s
+    * machinery), and the candidates are scored by the cosine of the
+    * probe against their PQ RECONSTRUCTIONS ([[pqRecall]]'s ADC
+    * formulation) — probe work is ~nProbe·n/nCells candidate rows and
+    * the scored side needs only (cand_id, cell, m codes): the raw
+    * vectors never leave the encode pass. Returns recall@k vs the exact
+    * search per probe (the acceptance gate for an IVF-PQ config).
+    *
+    * 100 TB shape: cell assignment and PQ encode are both map-side
+    * kernels over one corpus scan; the candidate join is equi on the
+    * cell id with the (tiny, fixed) probe frame broadcast; per-probe
+    * top-k compiles to WindowGroupLimit; the exact arm keeps the fixed
+    * probe-sample contract. */
+  def ivfPqRecall(corpus: DataFrame, isProbe: Column, isCentroid: Column,
+                  m: Int, k: Int, nProbe: Int): DataFrame = {
+    val (centIds, centFlat, centNorms, dim) = collectCentroids(corpus, isCentroid)
+    def cellsOf(emb: Column, kk: Int): Column =
+      graft.functions.VecFns.nearestCells(emb, centIds, centFlat, centNorms, dim, kk)
+    val enc = pqEncode(corpus, isCentroid, m)
+      .select(col("vec_id").as("cand_id"), col("recon"),
+        element_at(cellsOf(col("embedding"), 1), 1).as("cell"))
+      .withColumn("rr", dotD(col("recon"), col("recon")))
+    val probes = corpus.filter(isProbe)
+    val pr = probes
+      .select(col("vec_id").as("probe_id"),
+        explode(cellsOf(col("embedding"), nProbe)).as("cell"),
+        col("embedding").as("pe"))
+      .withColumn("pn", dotD(col("pe"), col("pe")))
+    val adc = enc.join(broadcast(pr), Seq("cell"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        (dotD(col("pe"), col("recon")) / sqrt(col("pn") * col("rr"))).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("cand_id"))
+    val exact = bruteForceTopK(corpus, probes, k)
+      .select(col("probe_id"), col("cand_id"))
+    val hits = adc.join(exact, Seq("probe_id", "cand_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+    probes.select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), lit(nProbe.toLong).as("n_probe_cells"),
+        lit(m.toLong).as("n_subspaces"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplane weights for plane p:
     * integers in [-504, 504], identical on both engines. */
   def planeWeights(p: Int, dim: Int): Seq[Double] =

@@ -3172,6 +3172,92 @@ object LlmQueries {
         FROM p LEFT JOIN hit ON p.probe_id = hit.probe_id"""
       }),
 
+    // ---- IVF-PQ recall (L102, the production ANN composition): the
+    // coarse quantizer restricts each probe to nProbe cells' candidate
+    // lists (q40's assignment), candidates scored by PQ-reconstruction
+    // cosine (q136's ADC formulation), recall@k vs exact — the
+    // acceptance gate for an IVF-PQ index config (FAISS's default
+    // shape). One oracle combines the q40 cell CTEs with the q135
+    // recon CTEs.
+    "q145_ivfpq_recall" -> Query(
+      (s, dir) => Similarity.ivfPqRecall(Tables.embeddings(s, dir),
+        isProbeId(col("vec_id")), col("vec_id") % 125 === 7, PqM, TopK,
+        nProbe = 2),
+      Some {
+        val sub = Dim / PqM
+        def dotSub(a: String, b: String, off: Int) =
+          s"""list_reduce(list_transform(range(1, ${sub + 1}),
+              i -> $a[$off + i]::DOUBLE * $b[$off + i]::DOUBLE),
+              (x, y) -> x + y)"""
+        val winCtes = (0 until PqM).map { mi =>
+          val off = mi * sub
+          s"""a$mi AS (SELECT e.vec_id, c.cent_id,
+                (${dotSub("e.embedding", "c.cemb", off)}
+                  / sqrt(${dotSub("e.embedding", "e.embedding", off)}
+                    * ${dotSub("c.cemb", "c.cemb", off)})) AS csim
+              FROM e, c),
+            w$mi AS (SELECT vec_id, cent_id FROM
+              (SELECT *, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+               FROM a$mi) WHERE rk = 1)"""
+        }.mkString(",\n          ")
+        val wJoins = (0 until PqM).map(mi =>
+          s"JOIN w$mi ON w$mi.vec_id = e.vec_id " +
+            s"JOIN c c$mi ON c$mi.cent_id = w$mi.cent_id").mkString(" ")
+        val reconExpr = (0 until PqM).map(mi =>
+          s"c$mi.cemb[${mi * sub + 1}:${(mi + 1) * sub}]").mkString(" || ")
+        s"""WITH e AS (SELECT vec_id, embedding,
+               ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+             FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, embedding AS cemb, nn AS cn
+                FROM e WHERE vec_id % 125 = 7),
+          $winCtes,
+          r AS (SELECT e.vec_id, $reconExpr AS recon FROM e $wJoins),
+          asn0 AS (SELECT e.vec_id, c.cent_id,
+                 (${Similarity.sqlDotD("e.embedding", "c.cemb", Dim)}
+                   / sqrt(e.nn * c.cn)) AS csim
+               FROM e, c),
+          asn AS (SELECT vec_id, cent_id AS cell FROM
+              (SELECT *, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+               FROM asn0) WHERE rk = 1),
+          cand AS (SELECT r.vec_id AS cand_id, asn.cell, r.recon,
+                ${Similarity.sqlDotD("r.recon", "r.recon", Dim)} AS rr
+              FROM r JOIN asn ON asn.vec_id = r.vec_id),
+          p0 AS (SELECT vec_id AS probe_id, embedding AS pe, nn AS pn
+              FROM e WHERE $sqlProbeId),
+          pcell AS (SELECT probe_id, pe, pn, cent_id AS cell FROM
+              (SELECT p0.probe_id, p0.pe, p0.pn, c.cent_id, row_number()
+                 OVER (PARTITION BY p0.probe_id ORDER BY
+                   (${Similarity.sqlDotD("p0.pe", "c.cemb", Dim)}
+                     / sqrt(p0.pn * c.cn)) DESC, c.cent_id) AS rk
+               FROM p0, c) WHERE rk <= 2),
+          adc AS (SELECT probe_id, cand_id FROM
+              (SELECT pc.probe_id, cand.cand_id, row_number() OVER
+                 (PARTITION BY pc.probe_id ORDER BY
+                   (${Similarity.sqlDotD("pc.pe", "cand.recon", Dim)}
+                     / sqrt(pc.pn * cand.rr)) DESC, cand.cand_id) AS rk
+               FROM pcell pc JOIN cand ON cand.cell = pc.cell
+               WHERE cand.cand_id <> pc.probe_id)
+            WHERE rk <= $TopK),
+          exx AS (SELECT probe_id, cand_id FROM
+              (SELECT p0.probe_id, e.vec_id AS cand_id, row_number() OVER
+                 (PARTITION BY p0.probe_id ORDER BY
+                   (${Similarity.sqlDotD("p0.pe", "e.embedding", Dim)}
+                     / sqrt(p0.pn * e.nn)) DESC, e.vec_id) AS rk
+               FROM p0, e WHERE e.vec_id <> p0.probe_id)
+            WHERE rk <= $TopK),
+          hit AS (SELECT adc.probe_id, count(*) AS n_hit
+                  FROM adc JOIN exx ON adc.probe_id = exx.probe_id
+                    AND adc.cand_id = exx.cand_id
+                  GROUP BY adc.probe_id)
+        SELECT p0.probe_id, CAST(2 AS BIGINT) AS n_probe_cells,
+          CAST($PqM AS BIGINT) AS n_subspaces,
+          coalesce(hit.n_hit, 0) AS n_hit,
+          coalesce(hit.n_hit, 0) / CAST($TopK AS DOUBLE) AS recall
+        FROM p0 LEFT JOIN hit ON p0.probe_id = hit.probe_id"""
+      }),
+
     // ---- histogram-quantile sketch + error audit (L97): the MERGEABLE
     // quantile path (per-partition bin counts just add) with its
     // |est − exact| ≤ bin-width guarantee measured against the exact

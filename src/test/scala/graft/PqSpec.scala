@@ -51,6 +51,32 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRecall with nProbe = nCells degenerates to plain PQ recall") {
+    val df = corpus(60)
+    val isProbe = col("vec_id") % 20 === 0
+    val isCent = col("vec_id") % 10 === 1 // 6 cells
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("probe_id", "n_hit", "recall")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val full = rows(Similarity.ivfPqRecall(df, isProbe, isCent,
+      m = 2, k = 3, nProbe = 6))
+    val pq = rows(Similarity.pqRecall(df, isProbe, isCent, m = 2, k = 3))
+    full shouldBe pq
+    // narrowing nProbe is well-formed and keeps the probe frame intact
+    // (hit counts are NOT monotone in nProbe in general — dropping a
+    // wrong high-ADC candidate can admit a right one — so only shape
+    // and bounds are law)
+    val narrow = rows(Similarity.ivfPqRecall(df, isProbe, isCent,
+      m = 2, k = 3, nProbe = 1))
+    narrow.map(_._1) shouldBe full.map(_._1)
+    narrow.foreach { case (_, h, rec) =>
+      h should be >= 0L
+      h should be <= 3L
+      rec shouldBe h.toDouble / 3 +- 1e-15
+    }
+  }
+
   test("recall is monotone-bounded and deterministic under repartitioning") {
     val df = corpus(60)
     def run(d: org.apache.spark.sql.DataFrame) =
