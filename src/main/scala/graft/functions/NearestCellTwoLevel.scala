@@ -191,6 +191,13 @@ object NearestCellTwoLevel {
       : (Array[Int], Array[Int], Array[Int]) = {
     val nC = centNorms.length
     require(nC > 0, "empty codebook")
+    // A zero-norm elected centroid makes csim NaN for EVERY input row,
+    // and engines order NaN differently (DuckDB ranks NaN first in a
+    // DESC sort; the kernel's strict '>' never inserts it) — silent
+    // oracle divergence. Reject loudly; fix the election instead.
+    require(centNorms.forall(_ > 0.0),
+      "two-level index: zero-norm elected centroid (cosine undefined); " +
+        "elect non-degenerate centroid rows")
     val nS = math.ceil(math.sqrt(nC.toDouble)).toInt
     val stride = math.ceil(nC.toDouble / nS).toInt
     val superPos = (0 until nC by stride).toArray
@@ -217,11 +224,14 @@ object NearestCellTwoLevel {
     groupOf.foreach(g => counts(g) += 1)
     // A super is its own nearest (cos=1) unless an EARLIER super is an
     // exact duplicate direction — the one way a group can end up empty.
-    // Reject that degenerate codebook rather than risk a level-1/level-2
-    // disagreement: callers fall back to the flat kernel.
+    // Reject that degenerate codebook LOUDLY rather than risk a
+    // level-1/level-2 disagreement. (No silent flat fallback on purpose:
+    // a gate whose oracle mirrors the hierarchy would then diverge —
+    // the caller must choose the flat kernel, and its oracle, for such
+    // codebooks.)
     require(counts.forall(_ > 0),
       "two-level index: duplicate elected supers produce an empty group; " +
-        "use the flat nearest-cells assignment for this codebook")
+        "use the flat nearest-cells assignment (and its oracle) for this codebook")
     val memberStart = new Array[Int](superPos.length + 1)
     var g = 0
     while (g < superPos.length) { memberStart(g + 1) = memberStart(g) + counts(g); g += 1 }

@@ -410,9 +410,22 @@ object Dedup {
     * index (collect_set straight to posting sets), pair fan-out is
     * bounded at maxDf·(maxDf−1)/2 per shingle, and the final frame is
     * pair-keyed (flagged pairs only). */
-  def shingleContainment(docs: DataFrame, idCol: Column, sourceCol: Column,
-                         text: Column, shingleN: Int, maxDf: Int,
-                         minContainment: Double): DataFrame = {
+  /** The capped inverted-index pipeline shared by q27 (Jaccard) and
+    * [[shingleContainment]] — ONE definition of the posting-set
+    * semantics (null filters, df-cap placement, checkpoint rule, a<b
+    * pair fan-out), so a cap or checkpoint-policy change cannot
+    * silently diverge the two consumers.
+    *
+    * Returns (sizes, ni): per-doc KEPT-shingle counts and per-pair
+    * shared-shingle counts. The explicit isnotnull filters and the
+    * single collect_set exchange + localCheckpoint are the measured q27
+    * shape (one exchange builds the whole index; the slim set frame
+    * feeds both consumers — see the q27 narration for the 212→40 s
+    * history). */
+  private[graft] def cappedPostingCounts(docs: DataFrame, idCol: Column,
+                                         sourceCol: Column, text: Column,
+                                         shingleN: Int, maxDf: Int)
+      : (DataFrame, DataFrame) = {
     val kept = docs
       .select(idCol.as("doc_id"), sourceCol.as("source"),
         TextFns.tokens(text).as("toks"))
@@ -423,7 +436,7 @@ object Dedup {
       .agg(collect_set(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= maxDf)
       .select(col("ds"))
-      .localCheckpoint() // slim posting-set frame, two consumers (q27 rule)
+      .localCheckpoint() // slim posting-set frame, two consumers
     val sizes = kept.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nset"))
     val ni = kept.filter(size(col("ds")) >= 2)
@@ -432,6 +445,14 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("ni"))
+    (sizes, ni)
+  }
+
+  def shingleContainment(docs: DataFrame, idCol: Column, sourceCol: Column,
+                         text: Column, shingleN: Int, maxDf: Int,
+                         minContainment: Double): DataFrame = {
+    val (sizes, ni) = cappedPostingCounts(docs, idCol, sourceCol, text,
+      shingleN, maxDf)
     ni.join(sizes.select(col("doc_id").as("doc_a"), col("nset").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("nset").as("nb")), "doc_b")
       .select(

@@ -217,7 +217,10 @@ object Multimodal {
           case "fmt " if sz >= 16 =>
             fmtCode = u16(body); channels = u16(body + 2)
             rate = u32(body + 4); bits = u16(body + 14)
-          case "data" =>
+          case "data" if dataOff < 0 =>
+            // first data chunk wins; later ones are walked but ignored
+            // (keeps stats internally consistent — energy, n_samples and
+            // data_off all describe the SAME chunk)
             dataOff = body.toLong
             nSamples = sz / 2
             var i = 0

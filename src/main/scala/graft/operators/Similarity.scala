@@ -124,8 +124,16 @@ object Similarity {
     * codebook is a driver-side artifact (the documented IVF-codebook
     * collect precedent); the corpus never shuffles and is never
     * row-multiplied by K. */
-  def pqEncode(corpus: DataFrame, isCentroid: Column, m: Int): DataFrame = {
-    val (centIds, centFlat, centNorms, dim) = collectCentroids(corpus, isCentroid)
+  def pqEncode(corpus: DataFrame, isCentroid: Column, m: Int): DataFrame =
+    pqEncodeWith(corpus, collectCentroids(corpus, isCentroid), m)
+
+  /** [[pqEncode]] over an already-collected codebook — lets composites
+    * like [[ivfPqRecall]] reuse ONE driver-side centroid collect for
+    * both the coarse level and the PQ sub-codebooks. */
+  private def pqEncodeWith(corpus: DataFrame,
+                           codebook: (Array[Long], Array[Double], Array[Double], Int),
+                           m: Int): DataFrame = {
+    val (centIds, centFlat, centNorms, dim) = codebook
     require(m >= 1 && dim % m == 0,
       s"pq needs m dividing dim, got m=$m dim=$dim")
     val subDim = dim / m
@@ -209,10 +217,13 @@ object Similarity {
     * probe-sample contract. */
   def ivfPqRecall(corpus: DataFrame, isProbe: Column, isCentroid: Column,
                   m: Int, k: Int, nProbe: Int): DataFrame = {
-    val (centIds, centFlat, centNorms, dim) = collectCentroids(corpus, isCentroid)
+    // ONE driver-side centroid collect serves both the coarse level and
+    // the PQ sub-codebooks (they are the same elected rows)
+    val codebook = collectCentroids(corpus, isCentroid)
+    val (centIds, centFlat, centNorms, dim) = codebook
     def cellsOf(emb: Column, kk: Int): Column =
       graft.functions.VecFns.nearestCells(emb, centIds, centFlat, centNorms, dim, kk)
-    val enc = pqEncode(corpus, isCentroid, m)
+    val enc = pqEncodeWith(corpus, codebook, m)
       .select(col("vec_id").as("cand_id"), col("recon"),
         element_at(cellsOf(col("embedding"), 1), 1).as("cell"))
       .withColumn("rr", dotD(col("recon"), col("recon")))

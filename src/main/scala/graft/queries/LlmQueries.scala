@@ -257,6 +257,39 @@ object LlmQueries {
 
   private val sqlToks = sqlTokens("text")
 
+  /** Shared DuckDB oracle fragments for the PQ family (q135/q136/q145):
+    * per-subspace assignment CTEs (`a0/w0 … a{m-1}/w{m-1}`), the join
+    * chain attaching each winning sub-centroid, and the list-slice
+    * reconstruction expression — ONE definition of the sub-codebook
+    * argmax so a tie-break or slice-bound fix cannot diverge across the
+    * three gates (the `Similarity.sqlDotD` precedent). Expects CTEs
+    * `e(vec_id, embedding, …)` and `c(cent_id, cemb, …)` in scope. */
+  private def sqlPqFragments: (String, String, String) = {
+    val sub = Dim / PqM
+    def dotSub(a: String, b: String, off: Int) =
+      s"""list_reduce(list_transform(range(1, ${sub + 1}),
+          i -> $a[$off + i]::DOUBLE * $b[$off + i]::DOUBLE),
+          (x, y) -> x + y)"""
+    val winCtes = (0 until PqM).map { m =>
+      val off = m * sub
+      s"""a$m AS (SELECT e.vec_id, c.cent_id,
+            (${dotSub("e.embedding", "c.cemb", off)}
+              / sqrt(${dotSub("e.embedding", "e.embedding", off)}
+                * ${dotSub("c.cemb", "c.cemb", off)})) AS csim
+          FROM e, c),
+        w$m AS (SELECT vec_id, cent_id FROM
+          (SELECT *, row_number() OVER
+             (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+           FROM a$m) WHERE rk = 1)"""
+    }.mkString(",\n          ")
+    val wJoins = (0 until PqM).map(m =>
+      s"JOIN w$m ON w$m.vec_id = e.vec_id " +
+        s"JOIN c c$m ON c$m.cent_id = w$m.cent_id").mkString(" ")
+    val reconExpr = (0 until PqM).map(m =>
+      s"c$m.cemb[${m * sub + 1}:${(m + 1) * sub}]").mkString(" || ")
+    (winCtes, wJoins, reconExpr)
+  }
+
   /** Shared DuckDB CTE prefix for the MinHash-LSH pipeline (tokens →
     * shingle hashes → signatures → bands → candidate pairs → shingle
     * sets) — interpolated into both the q25 and q47 oracles so the two
@@ -350,47 +383,16 @@ object LlmQueries {
     // Blocking key = source; cross-block near-dups are MinHash-LSH (q25).
     "q27_ngram_jaccard" -> Query(
       (s, dir) => {
-        // distinct (doc, source, shingle) rows end in an Exchange; the
-        // doc-frequency window then re-keys on (source, h) — exactly the
-        // self-join's key, so both join sides read the SAME window
-        // subtree (one exchange, reused) and need no further shuffle.
-        // the explicit isnotnull(h/source) filters (no-ops: shingle
-        // hashes and sources are never null) make this subtree IDENTICAL
-        // to what the join branches infer from their equi condition —
-        // without them the size aggregate's subtree differs by those
-        // pushed filters and AQE cannot share the shuffle stages between
-        // the consumers.
-        // ONE exchange builds the whole capped inverted index: shingles
-        // aggregate straight to per-(source, h) doc SETS (collect_set
-        // dedupes within-doc repeats — the same semantics the previous
-        // distinct() + count-window embodiment produced with two
-        // exchanges and a window sort). The slim set frame feeds both
-        // consumers (pair explode + sizes) through a localCheckpoint
-        // (the q57 pattern): AQE shuffle-stage reuse is best-effort, and
-        // when it missed here the tokenize+window re-ran per consumer —
-        // measured at sf5: 212 s (reuse missed), 90 s (reuse hit), 63 s
-        // (checkpointed window form), ~40 s (this form).
-        val kept = docs(s, dir)
-          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("source"),
-            explode(shingleHashes(col("toks"), 2)).as("h"))
-          .filter(col("h").isNotNull && col("source").isNotNull)
-          .groupBy(col("source"), col("h"))
-          .agg(collect_set(col("doc_id")).as("ds"))
-          .filter(size(col("ds")) <= MaxShingleDf)
-          .select(col("ds"))
-          .localCheckpoint()
-        val sizes = kept.select(explode(col("ds")).as("doc_id"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("nset"))
-        // pairs: unordered doc pairs within each kept set (a < b); sets
-        // are ≤ MaxShingleDf, so the explode fan-out is bounded at
-        // MaxShingleDf·(D-1)/2 pairs per shingle exactly as before
-        val ni = kept.filter(size(col("ds")) >= 2)
-          .select(explode(col("ds")).as("doc_a"), col("ds"))
-          .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("ni"))
+        // ONE exchange builds the whole capped inverted index (the slim
+        // posting-set frame feeds both consumers through a
+        // localCheckpoint — measured history at sf5: 212 s (AQE reuse
+        // missed), 90 s (reuse hit), 63 s (checkpointed window form),
+        // ~40 s (this form)); since r7 the pipeline is the SHARED
+        // Dedup.cappedPostingCounts — one definition of the posting-set
+        // semantics for q27 and q139.
+        val (sizes, ni) = graft.operators.Dedup.cappedPostingCounts(
+          docs(s, dir), col("doc_id"), col("source"), col("text"),
+          2, MaxShingleDf)
         ni.join(sizes.select(col("doc_id").as("doc_a"), col("nset").as("na")), "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("nset").as("nb")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
@@ -3063,27 +3065,7 @@ object LlmQueries {
       },
       Some {
         val sub = Dim / PqM
-        def dotSub(a: String, b: String, off: Int) =
-          s"""list_reduce(list_transform(range(1, ${sub + 1}),
-              i -> $a[$off + i]::DOUBLE * $b[$off + i]::DOUBLE),
-              (x, y) -> x + y)"""
-        val winCtes = (0 until PqM).map { m =>
-          val off = m * sub
-          s"""a$m AS (SELECT e.vec_id, c.cent_id,
-                (${dotSub("e.embedding", "c.cemb", off)}
-                  / sqrt(${dotSub("e.embedding", "e.embedding", off)}
-                    * ${dotSub("c.cemb", "c.cemb", off)})) AS csim
-              FROM e, c),
-            w$m AS (SELECT vec_id, cent_id FROM
-              (SELECT *, row_number() OVER
-                 (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
-               FROM a$m) WHERE rk = 1)"""
-        }.mkString(",\n          ")
-        val wJoins = (0 until PqM).map(m =>
-          s"JOIN w$m ON w$m.vec_id = e.vec_id " +
-            s"JOIN c c$m ON c$m.cent_id = w$m.cent_id").mkString(" ")
-        val reconExpr = (0 until PqM).map(m =>
-          s"c$m.cemb[${m * sub + 1}:${(m + 1) * sub}]").mkString(" || ")
+        val (winCtes, wJoins, reconExpr) = sqlPqFragments
         val codeExpr = (0 until PqM).map(m => s"w$m.cent_id::VARCHAR")
           .mkString(" || '-' || ")
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -3111,28 +3093,7 @@ object LlmQueries {
       (s, dir) => Similarity.pqRecall(Tables.embeddings(s, dir),
         isProbeId(col("vec_id")), col("vec_id") % 125 === 7, PqM, TopK),
       Some {
-        val sub = Dim / PqM
-        def dotSub(a: String, b: String, off: Int) =
-          s"""list_reduce(list_transform(range(1, ${sub + 1}),
-              i -> $a[$off + i]::DOUBLE * $b[$off + i]::DOUBLE),
-              (x, y) -> x + y)"""
-        val winCtes = (0 until PqM).map { m =>
-          val off = m * sub
-          s"""a$m AS (SELECT e.vec_id, c.cent_id,
-                (${dotSub("e.embedding", "c.cemb", off)}
-                  / sqrt(${dotSub("e.embedding", "e.embedding", off)}
-                    * ${dotSub("c.cemb", "c.cemb", off)})) AS csim
-              FROM e, c),
-            w$m AS (SELECT vec_id, cent_id FROM
-              (SELECT *, row_number() OVER
-                 (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
-               FROM a$m) WHERE rk = 1)"""
-        }.mkString(",\n          ")
-        val wJoins = (0 until PqM).map(m =>
-          s"JOIN w$m ON w$m.vec_id = e.vec_id " +
-            s"JOIN c c$m ON c$m.cent_id = w$m.cent_id").mkString(" ")
-        val reconExpr = (0 until PqM).map(m =>
-          s"c$m.cemb[${m * sub + 1}:${(m + 1) * sub}]").mkString(" || ")
+        val (winCtes, wJoins, reconExpr) = sqlPqFragments
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
           c AS (SELECT vec_id AS cent_id, embedding AS cemb
                 FROM embeddings WHERE vec_id % 125 = 7),
@@ -3184,28 +3145,7 @@ object LlmQueries {
         isProbeId(col("vec_id")), col("vec_id") % 125 === 7, PqM, TopK,
         nProbe = 2),
       Some {
-        val sub = Dim / PqM
-        def dotSub(a: String, b: String, off: Int) =
-          s"""list_reduce(list_transform(range(1, ${sub + 1}),
-              i -> $a[$off + i]::DOUBLE * $b[$off + i]::DOUBLE),
-              (x, y) -> x + y)"""
-        val winCtes = (0 until PqM).map { mi =>
-          val off = mi * sub
-          s"""a$mi AS (SELECT e.vec_id, c.cent_id,
-                (${dotSub("e.embedding", "c.cemb", off)}
-                  / sqrt(${dotSub("e.embedding", "e.embedding", off)}
-                    * ${dotSub("c.cemb", "c.cemb", off)})) AS csim
-              FROM e, c),
-            w$mi AS (SELECT vec_id, cent_id FROM
-              (SELECT *, row_number() OVER
-                 (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
-               FROM a$mi) WHERE rk = 1)"""
-        }.mkString(",\n          ")
-        val wJoins = (0 until PqM).map(mi =>
-          s"JOIN w$mi ON w$mi.vec_id = e.vec_id " +
-            s"JOIN c c$mi ON c$mi.cent_id = w$mi.cent_id").mkString(" ")
-        val reconExpr = (0 until PqM).map(mi =>
-          s"c$mi.cemb[${mi * sub + 1}:${(mi + 1) * sub}]").mkString(" || ")
+        val (winCtes, wJoins, reconExpr) = sqlPqFragments
         s"""WITH e AS (SELECT vec_id, embedding,
                ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
              FROM embeddings),

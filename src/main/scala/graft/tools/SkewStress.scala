@@ -63,8 +63,15 @@ object SkewStress {
     }
     val out = for ((label, hotPerTen) <- Seq("hot90" -> 9, "uniform" -> 0)) yield {
       val docs = corpus(spark, n, hotPerTen).localCheckpoint() // freeze fixture
-      // warm both paths once so JIT/order effects don't bias the A/B
+      // warm ALL FOUR code paths before timing any of them — the A/B is
+      // meaningless if one arm pays first-run JIT/plan compilation (the
+      // repo's bench-noise invariant: never act on unwarmed numbers)
       blockDigest(Curation.blockDedup(docs, col("doc_id"), col("text"), 8))
+      blockDigest(Curation.blockDedup(docs, col("doc_id"), col("text"), 8,
+        skewSafe = true))
+      cdcDigest(Curation.cdcChunks(docs, col("doc_id"), col("text"), 16))
+      cdcDigest(Curation.cdcChunks(docs, col("doc_id"), col("text"), 16,
+        skewSafe = true))
       val (bw, bwSec) = time(blockDigest(
         Curation.blockDedup(docs, col("doc_id"), col("text"), 8)))
       val (bs, bsSec) = time(blockDigest(

@@ -63,7 +63,7 @@ class DifferentialFuzzSpec extends SparkSpec {
             val ok = direction match {
               case "backward" => if (allowExact) c._2 <= ts else c._2 < ts
               case "forward"  => if (allowExact) c._2 >= ts else c._2 > ts
-              case "nearest"  => true
+              case "nearest"  => allowExact || c._2 != ts
             }
             ok && tol.forall(t => math.abs(c._2 - ts) <= t)
           }
@@ -86,7 +86,7 @@ class DifferentialFuzzSpec extends SparkSpec {
           .collect().toSeq.sorted
       for {
         dir <- Seq("backward", "forward", "nearest")
-        ae <- Seq(true, false) if !(dir == "nearest" && !ae)
+        ae <- Seq(true, false)
         tol <- Seq(None, Some(5L))
       } withClue(s"direction=$dir allowExact=$ae tol=$tol: ") {
         got(dir, ae, tol) shouldBe ref(dir, ae, tol)

@@ -1,0 +1,15 @@
+package graft
+
+/** Shared query classifications for the contract specs. */
+object QuerySets {
+
+  /** Queries whose BUILDER runs a side effect (a streaming drain with
+    * checkpoint+sink I/O, or a parquet write) — constructing the
+    * DataFrame is already the execution, so schema-only sweeps must
+    * skip them (they are gated end-to-end by the driver instead). */
+  val sideEffecting: Set[String] = Set(
+    "q35_stream_ledger", "q71_stream_windows", "q72_stream_sessions",
+    "q78_stream_dedup", "q87_stream_interval_join",
+    "q104_stream_trajectories", "q112_stream_enrich", "q120_stream_tally",
+    "q131_stream_serving", "q142_shard_sink", "q144_stream_outer_join")
+}
