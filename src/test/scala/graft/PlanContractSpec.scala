@@ -438,6 +438,48 @@ class PlanContractSpec extends SparkSpec {
       l.contains("h#") || l.contains("source")), ex.mkString("\n"))
   }
 
+  test("q135 pq encode: codes + recon are map-side — no exchange at all") {
+    // per-subspace NearestCells kernels + literal-map recon lookups run
+    // inside the scan stage; nothing about PQ encoding shuffles
+    val p = plan("q135_pq_encode")
+    assert(p.contains("nearest_cells"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q136/q145 pq search: probes broadcast, top-k is WindowGroupLimit") {
+    for (q <- Seq("q136_pq_recall", "q145_ivfpq_recall")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q:\n$p")
+      // the scored side never shuffles raw by candidate: the only hash
+      // exchanges are the tiny per-probe hit aggregates / final joins
+      assert(p.contains("vec_dot"), s"$q:\n$p")
+    }
+  }
+
+  test("q139 containment: the shared q27 index shape — one set-building exchange, no window, no self-join") {
+    val p = plan("q139_containment")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // collect_set exchange on (source, h) builds the posting sets; the
+    // checkpoint severs lineage so consumers scan the materialized RDD
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("q142 shard sink: the manifest reads the written files with shard partition columns") {
+    val p = plan("q142_shard_sink")
+    // the read-back scan carries the shard partition column (proves the
+    // manifest derives from the physical layout, not the input plan)
+    assert(p.contains("Scan parquet") && p.contains("shard"), p)
+  }
+
+  test("q143 pack spans: one stratum window + a map-side generator; no second exchange") {
+    val p = plan("q143_pack_spans")
+    assert(p.contains("Generate explode"), p)
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.size == 1 && ex.head.contains("lang"), ex.mkString("\n"))
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
