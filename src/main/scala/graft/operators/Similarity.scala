@@ -254,6 +254,37 @@ object Similarity {
         (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
   }
 
+  /** L103 — codebook persistence: a trained/elected coarse-quantizer
+    * codebook is an ARTIFACT (the thing a retrain produces and every
+    * downstream assignment job consumes) — save it once, load it
+    * everywhere. [[saveCodebook]] writes the elected (vec_id, embedding)
+    * rows as one small sorted parquet file; [[loadCodebook]] reads it
+    * back; [[assignCells]] runs the standard map-side nearest-cell
+    * kernel from ANY codebook frame — elected live or loaded from disk.
+    * The q146 gate proves the round trip is bit-exact: assignment from
+    * the persisted artifact equals assignment from the live election.
+    *
+    * 100 TB shape: the artifact is codebook-sized (one file, one
+    * driver-side collect — the documented precedent); assignment stays
+    * map-side; nothing about persistence touches the corpus. */
+  def saveCodebook(corpus: DataFrame, isCentroid: Column, path: String): Unit =
+    corpus.filter(isCentroid).select(col("vec_id"), col("embedding"))
+      .repartition(1).sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(path)
+
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path).select(col("vec_id"), col("embedding"))
+
+  /** Map-side nearest-cell assignment from an explicit codebook frame
+    * (live election or [[loadCodebook]] output): (vec_id, cell). */
+  def assignCells(corpus: DataFrame, codebook: DataFrame): DataFrame = {
+    val (centIds, centFlat, centNorms, dim) = collectCentroidRows(codebook)
+    corpus.select(col("vec_id"),
+      element_at(graft.functions.VecFns.nearestCells(col("embedding"),
+        centIds, centFlat, centNorms, dim, 1), 1).as("cell"))
+  }
+
   /** Deterministic pseudo-random hyperplane weights for plane p:
     * integers in [-504, 504], identical on both engines. */
   def planeWeights(p: Int, dim: Int): Seq[Double] =
@@ -347,8 +378,15 @@ object Similarity {
     * (bit-identical to the oracle's `nn`). Shared by [[ivfTopK]] and
     * [[lloydRefine]]. */
   private def collectCentroids(corpus: DataFrame, isCentroid: Column)
+      : (Array[Long], Array[Double], Array[Double], Int) =
+    collectCentroidRows(corpus.filter(isCentroid))
+
+  /** [[collectCentroids]] over an already-elected centroid frame — the
+    * entry point for PERSISTED codebooks ([[loadCodebook]]): any
+    * (vec_id, embedding) table whose row count is codebook-sized. */
+  private def collectCentroidRows(centroids: DataFrame)
       : (Array[Long], Array[Double], Array[Double], Int) = {
-    val centRows = corpus.filter(isCentroid)
+    val centRows = centroids
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
         val vec = r.getSeq[Any](1).map {

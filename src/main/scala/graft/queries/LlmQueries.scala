@@ -2274,6 +2274,36 @@ object LlmQueries {
           min(doc_id) AS min_doc, max(doc_id) AS max_doc
         FROM plan GROUP BY shard""")),
 
+    // ---- codebook persistence round trip (L103): the elected codebook
+    // saved as a parquet ARTIFACT, reloaded, and used for cell
+    // assignment — per-cell member counts from the PERSISTED codebook
+    // must equal the oracle's from the live election (bit-exact through
+    // the float round trip: parquet stores the same float32s). The
+    // retrain→publish→assign lifecycle every IVF deployment runs.
+    "q146_codebook_roundtrip" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_cb_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val emb = Tables.embeddings(s, dir)
+        Similarity.saveCodebook(emb, col("vec_id") % 125 === 7, base)
+        Similarity.assignCells(emb, Similarity.loadCodebook(s, base))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+               ${Similarity.sqlDotD("embedding", "embedding", Dim)} AS nn
+             FROM embeddings),
+          c AS (SELECT vec_id AS cent_id, embedding AS cemb, nn AS cn
+                FROM e WHERE vec_id % 125 = 7),
+          a0 AS (SELECT e.vec_id, c.cent_id,
+                   (${Similarity.sqlDotD("e.embedding", "c.cemb", Dim)}
+                     / sqrt(e.nn * c.cn)) AS csim
+                 FROM e, c),
+          asn AS (SELECT vec_id, cent_id AS cell FROM
+              (SELECT *, row_number() OVER
+                 (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rk
+               FROM a0) WHERE rk = 1)
+        SELECT cell, count(*) AS n_members FROM asn GROUP BY cell""")),
+
     // ---- cluster quality metrics (L62): per-cell member count and
     // inertia under the shared cosine-nearest assignment (q40/q60/q93's
     // one kernel, one convention) — the codebook-tuning number for

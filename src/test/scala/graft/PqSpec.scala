@@ -77,6 +77,21 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("codebook save/load round trip: assignment from the artifact is bit-exact") {
+    val df = corpus(50)
+    val isCent = col("vec_id") % 10 === 1
+    val path = java.nio.file.Files.createTempDirectory("graft_cb").toString
+    Similarity.saveCodebook(df, isCent, path)
+    val fromDisk = Similarity.assignCells(df, Similarity.loadCodebook(spark, path))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val live = Similarity.assignCells(df, df.filter(isCent))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fromDisk shouldBe live
+    // the artifact is ONE small parquet file
+    new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet")) shouldBe 1
+  }
+
   test("recall is monotone-bounded and deterministic under repartitioning") {
     val df = corpus(60)
     def run(d: org.apache.spark.sql.DataFrame) =
