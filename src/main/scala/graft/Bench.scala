@@ -83,7 +83,20 @@ object Bench {
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s""""$k"""" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_ok":${results.count(_._3)},"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_ok":${results.count(_._3)},"sf":"$sfDir"}"""
+    // The r6/r7 driver records captured only a bounded stdout TAIL, and
+    // the one full JSON line (146 queries ≈ 5 KB) overflowed it — the
+    // line's head fell outside the window, so "parsed" came back null
+    // two rounds running (VERDICT r7 #5). Durable copy to a file, full
+    // line for humans, then a compact line (fits any tail window, with
+    // the file pointer) as the LAST stdout this process emits.
+    val out = new java.io.File("bench/latest.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try w.println(full) finally w.close()
+    println(full)
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_ok":${results.count(_._3)},"n_failed":${results.count(!_._3)},"failed":$failed,"sf":"$sfDir","queries_file":"${out.getAbsolutePath}"}""")
+    System.out.flush()
   }
 }

@@ -61,6 +61,22 @@ object AsOf {
     require(payload.nonEmpty, "joinAsOf needs at least one payload column")
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction '$direction'")
+    // The merge machinery injects `_rts` at the head of the payload
+    // struct and stages through `_pay`/`_pick`/`_b`/`_f`/`_side`; a
+    // payload (or key/ts) column with one of those names would create a
+    // duplicate struct field and make getField("_rts") ambiguous,
+    // silently corrupting the nearest/tolerance arithmetic (ADVICE r7).
+    locally {
+      val reserved = Set("_rts", "_pay", "_pick", "_b", "_f", "_side")
+      val clash = (payload ++ Seq(keyCol, tsCol)).filter(reserved)
+      require(clash.isEmpty,
+        s"joinAsOf: column name(s) ${clash.mkString(", ")} collide with " +
+          "reserved internal names (_rts, _pay, _pick, _b, _f, _side); " +
+          "rename before joining")
+      require(!Seq(keyCol, tsCol).exists(payload.contains),
+        s"joinAsOf: payload must not repeat the key/ts columns " +
+          s"($keyCol, $tsCol) — they are already carried on the left row")
+    }
     val key = col(keyCol); val ts = col(tsCol)
     val isTimestamp = left.schema(tsCol).dataType ==
       org.apache.spark.sql.types.TimestampType

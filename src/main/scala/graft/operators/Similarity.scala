@@ -144,6 +144,15 @@ object Similarity {
       val flatS = Array.tabulate(kCells)(kk => subVec(kk, s)).flatten
       val normS = Array.tabulate(kCells)(kk =>
         subVec(kk, s).foldLeft(0.0)((a, x) => a + x * x))
+      // An all-zero SUBSPACE slice of an elected centroid makes csim NaN
+      // for every row in that subspace; the kernel's strict '>' never
+      // selects NaN while DuckDB ranks NaN first in a DESC sort — silent
+      // oracle divergence. Far more likely than an all-zero full vector
+      // (a 16-dim slice of a sparse embedding): reject loudly per
+      // subspace, mirroring NearestCellTwoLevel.buildIndex (ADVICE r7).
+      require(normS.forall(_ > 0.0),
+        s"pq encode: zero-norm sub-centroid in subspace $s (cosine " +
+          "undefined); elect centroid rows non-degenerate in every subspace")
       element_at(graft.functions.VecFns.nearestCells(
         slice(col("embedding"), s * subDim + 1, subDim),
         centIds, flatS, normS, subDim, 1), 1).as(s"code_$s")

@@ -2254,7 +2254,14 @@ object LlmQueries {
     // side-effecting precedent).
     "q142_shard_sink" -> Query(
       (s, dir) => {
+        // Keyed by (applicationId, input dir): deterministic WITHIN a
+        // run (same path on re-execution, so the delete-then-write
+        // stays idempotent) but disjoint ACROSS concurrent harness
+        // runs over the same data dir — two drivers racing on a shared
+        // delete-then-write path would corrupt each other's manifest
+        // (ADVICE r7).
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+          s.sparkContext.applicationId + "_" +
           java.lang.Integer.toHexString(dir.hashCode)
         def del(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(del)
@@ -2282,7 +2289,10 @@ object LlmQueries {
     // retrain→publish→assign lifecycle every IVF deployment runs.
     "q146_codebook_roundtrip" -> Query(
       (s, dir) => {
+        // Per-run path (q142 rationale): concurrent runs must not race
+        // on the codebook artifact's delete-then-write.
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_cb_" +
+          s.sparkContext.applicationId + "_" +
           java.lang.Integer.toHexString(dir.hashCode)
         val emb = Tables.embeddings(s, dir)
         Similarity.saveCodebook(emb, col("vec_id") % 125 === 7, base)

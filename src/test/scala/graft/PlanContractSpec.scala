@@ -58,11 +58,12 @@ class PlanContractSpec extends SparkSpec {
       // q138: the PR sweep windows run over the distinct-SCORE frame —
       // bounded by the score-quantization contract, not the corpus
       "q138_pr_curve")
-    val sideEffecting = Set( // streaming drains run at build time
-      "q35_stream_ledger", "q71_stream_windows", "q72_stream_sessions",
-      "q78_stream_dedup", "q87_stream_interval_join",
-      "q144_stream_outer_join")
-    SparkEntry.queries.keys.filterNot(sideEffecting)
+    // Derived from the ONE shared classification (ADVICE r7): a second
+    // hand-maintained list here drifted from QuerySets.sideEffecting and
+    // made the sweep execute q142's parquet write / q146's codebook save
+    // as a hidden side effect of plan(). The side-effecting queries have
+    // dedicated plan tests below where the side effect is intentional.
+    SparkEntry.queries.keys.filterNot(QuerySets.sideEffecting)
       .foreach { name =>
         val lines = plan(name).linesIterator.toIndexedSeq
         lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
