@@ -1233,6 +1233,77 @@ object SceneQueries {
       },
       Some(s"""SELECT user_id, count(*) AS n_events,
           ${sqlSum("value")} AS sum_value
-        FROM events GROUP BY user_id"""))
+        FROM events GROUP BY user_id""")),
+
+    // ---- S1 CODEC de-stubbed (VERDICT r7 #1): each doc's bytes are
+    // wrapped into a REAL NetCDF-classic container (CDF-1 for even
+    // doc_ids, CDF-2 for odd — both offset widths; dims line×3, a
+    // variable-length NC_CHAR `title` global attribute so the data
+    // offset depends on bytes the parser must actually read, one 2-D
+    // NC_BYTE variable `sig` — built in pure codegen by
+    // NcClassic.ncPayload), then parsed back by the imperative header
+    // walker NcClassic.decodeNc. The oracle emits the TRUTH fields the
+    // container was synthesized from (the q134 round-trip pattern):
+    // `begin` from the attribute padding + offset-width arithmetic,
+    // vsize from the 4-alignment rule, and the cell sums via the hex
+    // signed-byte trick. SceneSourceSpec runs the same parser against
+    // real on-disk `.nc` files through the banded DSv2 planning
+    // (NcSceneCodec).
+    "q147_nc_classic" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val tb = col("text").cast("binary")
+        val dlen3 = (length(tb) / 3).cast("int") * 3
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"),
+            graft.sources.NcClassic.ncPayload(
+              tb.substr(lit(1), dlen3),
+              lit(1) + col("doc_id") % 9,
+              (lit(1) + col("doc_id") % 2).cast("int")).as("payload"))
+        graft.sources.NcClassic.decodeNc(media.as[(Long, Array[Byte])]).toDF()
+          .select(col("media_id"),
+            col("version").cast("long").as("version"),
+            col("numrecs"),
+            col("n_dims").cast("long").as("n_dims"),
+            col("dim_line"), col("dim_sample"),
+            col("n_gatts").cast("long").as("n_gatts"),
+            col("title_len"),
+            col("n_vars").cast("long").as("n_vars"),
+            col("var_name"),
+            col("var_type").cast("long").as("var_type"),
+            col("vsize"), col("begin"), col("byte_sum"), col("energy"),
+            col("valid"))
+      },
+      Some {
+        def nib(pos: String) =
+          s"(strpos('0123456789ABCDEF', substr(hx, CAST($pos AS INT), 1)) - 1)"
+        val u = s"(${nib("i * 2 + 1")} * 16 + ${nib("i * 2 + 2")})"
+        val sb = s"(CASE WHEN $u >= 128 THEN $u - 256 ELSE $u END)"
+        s"""WITH m AS (SELECT doc_id AS media_id,
+              1 + doc_id % 2 AS version,
+              1 + doc_id % 9 AS junk,
+              hex(encode(text)) AS hx,
+              (octet_length(encode(text)) // 3) * 3 AS dlen
+            FROM documents),
+          e AS (SELECT media_id, version, junk, dlen,
+              COALESCE(CAST(list_sum(list_transform(range(dlen), i ->
+                $sb)) AS BIGINT), 0) AS byte_sum,
+              COALESCE(CAST(list_sum(list_transform(range(dlen), i ->
+                $sb * $sb)) AS BIGINT), 0) AS energy
+            FROM m)
+        SELECT media_id, CAST(version AS BIGINT) AS version,
+          CAST(0 AS BIGINT) AS numrecs, CAST(2 AS BIGINT) AS n_dims,
+          CAST(dlen // 3 AS BIGINT) AS dim_line,
+          CAST(3 AS BIGINT) AS dim_sample,
+          CAST(1 AS BIGINT) AS n_gatts,
+          CAST(junk AS BIGINT) AS title_len,
+          CAST(1 AS BIGINT) AS n_vars, 'sig' AS var_name,
+          CAST(1 AS BIGINT) AS var_type,
+          CAST(((dlen + 3) // 4) * 4 AS BIGINT) AS vsize,
+          CAST(120 + 4 * (version - 1) + ((junk + 3) // 4) * 4
+            AS BIGINT) AS begin,
+          byte_sum, energy, true AS valid
+        FROM e"""
+      })
   )
 }

@@ -88,6 +88,15 @@ final class SceneTable(options: CaseInsensitiveStringMap)
   val codecClass: String =
     options.getOrDefault("codec", classOf[SyntheticSceneCodec].getName)
 
+  /** All reader options, serialized to the executors so a real codec
+    * can read its own configuration (e.g. [[NcSceneCodec]]'s `path`)
+    * without the planning layer knowing which keys exist. */
+  val codecOptions: Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    options.entrySet().forEach(e => m += (e.getKey -> e.getValue))
+    m.toMap
+  }
+
   override def name(): String = s"graft-scene($nScenes x ${height}x$width)"
   override def schema(): StructType = SceneSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -305,7 +314,7 @@ final class SceneScan(table: SceneTable, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SceneReaderFactory(required, table.codecClass)
+    new SceneReaderFactory(required, table.codecClass, table.codecOptions)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SceneMicroBatchStream(table, required)
@@ -360,7 +369,7 @@ final class SceneMicroBatchStream(table: SceneTable, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SceneReaderFactory(required, table.codecClass)
+    new SceneReaderFactory(required, table.codecClass, table.codecOptions)
 
   override def deserializeOffset(json: String): Offset =
     SceneOffset(json.trim.toInt)
@@ -376,11 +385,12 @@ final case class SceneOffset(scenesArrived: Int) extends Offset {
 final case class ScenePartition(scene: Int, lineStart: Int, lineEnd: Int,
                                 width: Int) extends InputPartition
 
-final class SceneReaderFactory(required: StructType, codecClass: String)
+final class SceneReaderFactory(required: StructType, codecClass: String,
+                               codecOptions: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new SceneReader(partition.asInstanceOf[ScenePartition], required,
-      SceneCodec.forName(codecClass))
+      SceneCodec.forName(codecClass, codecOptions))
 }
 
 /** The injectable decode boundary — one implementation per scene-file
@@ -404,14 +414,24 @@ trait SceneCodec {
     * are handled by the reader, not the codec. */
   def bind(p: ScenePartition, field: String): (Int, Int) => Any
 
+  /** Receive the reader options before the first [[bind]] — a real
+    * codec's configuration channel (file directory, chunk-cache size…).
+    * Synthetic codecs need nothing; the default ignores them. */
+  def configure(options: Map[String, String]): Unit = {
+    val _ = options
+  }
+
   /** Release any per-slice resources (file handles, chunk caches). */
   def close(): Unit = ()
 }
 
 object SceneCodec {
-  def forName(name: String): SceneCodec =
-    Class.forName(name).getDeclaredConstructor().newInstance()
+  def forName(name: String, options: Map[String, String] = Map.empty): SceneCodec = {
+    val c = Class.forName(name).getDeclaredConstructor().newInstance()
       .asInstanceOf[SceneCodec]
+    c.configure(options)
+    c
+  }
 }
 
 /** Default codec: deterministic synthetic bands, formulas
