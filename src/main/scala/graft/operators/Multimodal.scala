@@ -260,4 +260,222 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // PNG — image container decode with zero new dependencies
+  // ------------------------------------------------------------------
+
+  /** Parsed PNG fields + unfiltered-pixel stats. `valid` is false for
+    * anything that is not a well-formed 8-bit gray/RGB non-interlaced
+    * PNG (bad signature, chunk CRC mismatch, inflate error, wrong
+    * decompressed length, unknown filter type). */
+  final case class PngInfo(media_id: Long, width: Int, height: Int,
+                           bit_depth: Int, color_type: Int, n_chunks: Int,
+                           idat_len: Long, px_sum: Long, px_energy: Long,
+                           valid: Boolean)
+
+  /** Build a REAL PNG around `gray` (a binary column of 8-bit gray
+    * pixels, length H·W with W = `width`): signature, IHDR, ONE IDAT
+    * whose zlib stream is a store-mode deflate block (BTYPE=00 — the
+    * spec's uncompressed framing, so the payload is hex-expressible)
+    * wrapping the FILTERED scanlines — row r carries filter type
+    * `r % 5`, so None/Sub/Up/Average/Paeth all appear and a parser
+    * that skips unfiltering cannot reproduce the raw-pixel sums —
+    * then IEND. Chunk CRCs are real (Spark's `crc32`), the zlib
+    * Adler-32 is computed by HOF arithmetic, and the deflate LEN/NLEN
+    * words are little-endian inside an otherwise big-endian container
+    * (both endiannesses must be honored to land on the data).
+    *
+    * 100 TB shape: map-side column expressions — filters, Adler, CRC
+    * and assembly are all codegen HOFs; no shuffle, no UDF.
+    *
+    * CONTRACT: `raw` must be a MATERIALIZED `array<int>` column (a
+    * named column from a prior projection — [[pngRawPixels]] builds
+    * one from a binary column). Passing the transform expression
+    * inline instead re-evaluates it on every `element_at` inside the
+    * filter lambdas — O(n²·n) per row (measured: a 500-row sf0.01
+    * batch went from minutes to sub-second after materializing). */
+  def pngPayload(raw: Column, width: Int): Column = {
+    require(width > 0, "width must be positive")
+    val w = width
+    def hx(x: Column): Column = lpad(hex(x.cast("long") % 256), 2, "0")
+    def be32h(x: Column): Column =
+      concat(hx(x.cast("long") / 16777216), hx(x.cast("long") / 65536),
+        hx(x.cast("long") / 256), hx(x))
+    val dlen = size(raw)
+    val h = (dlen / w).cast("int")
+    val rawArr = raw
+    // forward-filtered scanlines: row r gets filter type r % 5; a/b/c
+    // are the RAW left/up/up-left neighbors (the spec filters over
+    // reconstructed bytes, which for synthesis are the raw ones)
+    val scanArr = flatten(transform(sequence(lit(0), h - 1), r => {
+      val ft = r % 5
+      concat(array(ft),
+        transform(sequence(lit(0), lit(w - 1)), i => {
+          val x = element_at(rawArr, r * w + i + 1)
+          val a = when(i > 0, element_at(rawArr, r * w + i)).otherwise(0)
+          val b = when(r > 0, element_at(rawArr, (r - 1) * w + i + 1)).otherwise(0)
+          val c = when(r > 0 && i > 0, element_at(rawArr, (r - 1) * w + i))
+            .otherwise(0)
+          val p = a + b - c
+          val pa = abs(p - a); val pb = abs(p - b); val pc = abs(p - c)
+          val paeth = when(pa <= pb && pa <= pc, a)
+            .when(pb <= pc, b).otherwise(c)
+          val pred = when(ft === 0, 0).when(ft === 1, a).when(ft === 2, b)
+            .when(ft === 3, floor((a + b) / 2).cast("int")).otherwise(paeth)
+          ((x - pred) % 256 + 256) % 256
+        }))
+    }))
+    val scanLen = h * (w + 1)
+    val scanHex = aggregate(scanArr, lit(""), (acc, x) => concat(acc, hx(x)))
+    // Adler-32 over the scanline bytes: s1 = 1 + Σb, s2 = Σ s1-prefixes
+    // — n ≤ a few thousand here so the Long accumulators cannot
+    // overflow before the final mod 65521
+    val adler = aggregate(scanArr,
+      struct(lit(1L).as("s1"), lit(0L).as("s2")),
+      (acc, x) => struct((acc.getField("s1") + x).as("s1"),
+        (acc.getField("s2") + acc.getField("s1") + x).as("s2")),
+      acc => (acc.getField("s2") % 65521) * 65536 + acc.getField("s1") % 65521)
+    // zlib: 78 01 header | stored deflate block: 01, LEN le16, NLEN le16
+    def le16h(x: Column): Column = concat(hx(x), hx(x.cast("long") / 256))
+    val idatDataHex = concat(lit("780101"),
+      le16h(scanLen), le16h(lit(65535) - scanLen),
+      scanHex, be32h(adler))
+    val ihdrDataHex = concat(be32h(lit(w)), be32h(h), lit("08"),
+      lit("00"), lit("000000")) // bit depth 8, gray, deflate/adaptive/none
+    def chunk(typeHex: String, dataHex: Column, dataLen: Column): Column =
+      concat(be32h(dataLen), lit(typeHex), dataHex,
+        be32h(crc32(unhex(concat(lit(typeHex), dataHex)))))
+    concat(unhex(lit("89504E470D0A1A0A")),
+      unhex(chunk("49484452", ihdrDataHex, lit(13))),
+      unhex(chunk("49444154", idatDataHex, lit(11) + scanLen)),
+      unhex(chunk("49454E44", lit(""), lit(0))))
+  }
+
+  /** The pixel bytes of a binary column as `array<int>` (0–255), for
+    * [[pngPayload]] — materialize this as its own projected column
+    * (see the contract there). One HOF lambda, plan-size O(1). */
+  def pngRawPixels(gray: Column): Column =
+    transform(sequence(lit(0), length(gray) - 1),
+      i => conv(hex(gray).substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
+
+  /** L95 extended to images (VERDICT r7 #2): parse the payload as a
+    * PNG — signature, chunk walk with per-chunk CRC-32 verification,
+    * IHDR field extraction, multi-IDAT zlib inflate via the JDK
+    * `Inflater` (entropy layer included: dynamic-Huffman streams
+    * decode the same as the stored blocks the gate synthesizes), then
+    * per-scanline UNfiltering (None/Sub/Up/Average/Paeth over the
+    * reconstructed bytes — the spec's recursive definition) and exact
+    * integer pixel sums over the reconstructed raster. 8-bit gray and
+    * RGB, non-interlaced — the shapes a training-data image pipeline
+    * normalizes to; everything else yields `valid = false`, never an
+    * executor exception. JPEG/MP3 (entropy-coded formats needing a
+    * codec library) remain the documented blocked list.
+    *
+    * Pure map-side (the documented mapPartitions codec seam); payload
+    * bytes never shuffle. Gated end-to-end by q149 (the oracle emits
+    * the TRUTH pixel sums the container was synthesized from — filters
+    * 1–4 make filtered-byte sums diverge from raw sums, so skipping
+    * inflate or unfilter cannot match); unit edge cases in
+    * MultimodalSpec/PngSpec. */
+  def decodePng(media: Dataset[(Long, Array[Byte])]): Dataset[PngInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map { case (id, bytes) => parsePng(id, bytes) })
+  }
+
+  private[graft] def parsePng(id: Long, b: Array[Byte]): PngInfo = {
+    val invalid = PngInfo(id, 0, 0, 0, 0, 0, 0L, 0L, 0L, valid = false)
+    def u32(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 8 + 12 || !(0 until 8).forall(i => (b(i) & 0xff) == sig(i)))
+      return invalid
+    var off = 8
+    var nChunks = 0
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = 0
+    var interlace = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIhdr = false; var sawIend = false
+    val crc = new java.util.zip.CRC32
+    while (!sawIend && off + 12 <= b.length) {
+      val len = u32(off)
+      if (len > b.length - off - 12) return invalid
+      val sz = len.toInt
+      val ctype = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      crc.reset(); crc.update(b, off + 4, 4 + sz)
+      if (crc.getValue != u32(off + 8 + sz)) return invalid
+      ctype match {
+        case "IHDR" =>
+          if (sz != 13) return invalid
+          width = u32(off + 8).toInt; height = u32(off + 12).toInt
+          bitDepth = b(off + 16) & 0xff; colorType = b(off + 17) & 0xff
+          interlace = b(off + 20) & 0xff
+          sawIhdr = true
+        case "IDAT" => idat.write(b, off + 8, sz)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks walked (and CRC-checked), ignored
+      }
+      nChunks += 1
+      off += 12 + sz
+    }
+    if (!sawIhdr || !sawIend || width <= 0 || height <= 0) return invalid
+    if (bitDepth != 8 || interlace != 0) return invalid
+    val bpp = colorType match {
+      case 0 => 1 // gray
+      case 2 => 3 // rgb
+      case _ => return invalid
+    }
+    val stride = width * bpp
+    val expect = height.toLong * (1 + stride)
+    if (expect > Int.MaxValue) return invalid
+    val raw = new Array[Byte](expect.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return invalid // truncated stream
+        got += n
+      }
+      if (got != raw.length) return invalid
+      // a stream with MORE pixels than IHDR declares is malformed too
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0) return invalid
+    } catch {
+      case _: java.util.zip.DataFormatException => return invalid
+    } finally inf.end()
+    // unfilter in place, row-major, over RECONSTRUCTED bytes
+    var pxSum = 0L; var pxEnergy = 0L
+    val recon = new Array[Int](height * stride)
+    var r = 0
+    while (r < height) {
+      val ft = raw(r * (1 + stride)) & 0xff
+      if (ft > 4) return invalid
+      var i = 0
+      while (i < stride) {
+        val x = raw(r * (1 + stride) + 1 + i) & 0xff
+        val a = if (i >= bpp) recon(r * stride + i - bpp) else 0
+        val bUp = if (r > 0) recon((r - 1) * stride + i) else 0
+        val c = if (r > 0 && i >= bpp) recon((r - 1) * stride + i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => bUp
+          case 3 => (a + bUp) / 2
+          case 4 =>
+            val p = a + bUp - c
+            val pa = math.abs(p - a); val pb = math.abs(p - bUp)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) bUp else c
+        }
+        val v = (x + pred) & 0xff
+        recon(r * stride + i) = v
+        pxSum += v; pxEnergy += v.toLong * v
+        i += 1
+      }
+      r += 1
+    }
+    PngInfo(id, width, height, bitDepth, colorType, nChunks,
+      idat.size().toLong, pxSum, pxEnergy, valid = true)
+  }
+
 }

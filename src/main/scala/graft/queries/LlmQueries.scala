@@ -3081,6 +3081,62 @@ object LlmQueries {
         FROM e"""
       }),
 
+    // ---- PNG image decode (VERDICT r7 #2 — L95 extended to images):
+    // each doc's bytes become the 8-bit gray raster of a REAL PNG
+    // (signature, IHDR, one store-mode-deflate IDAT with real chunk
+    // CRCs + Adler-32, IEND — built in pure codegen by
+    // Multimodal.pngPayload, with scanline filter r % 5 so all five
+    // PNG filters appear), then parsed back by Multimodal.decodePng:
+    // chunk walk + CRC verify + JDK-Inflater inflate + per-scanline
+    // unfilter. The oracle emits the TRUTH pixel sums the raster was
+    // synthesized from — filters 1–4 make filtered-byte sums diverge
+    // from raw sums, so a parser that skips inflate or unfilter
+    // cannot hash-match.
+    "q149_png_decode" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val tb = col("text").cast("binary")
+        val dlen5 = (length(tb) / 5).cast("int") * 5
+        // raw pixel array MATERIALIZED in its own projection — the
+        // pngPayload contract (inline, the filter lambdas would
+        // re-evaluate the transform per element_at)
+        val media = docs(s, dir)
+          .select(col("doc_id").as("media_id"),
+            Multimodal.pngRawPixels(tb.substr(lit(1), dlen5)).as("raw"))
+          .select(col("media_id"),
+            Multimodal.pngPayload(col("raw"), 5).as("payload"))
+        Multimodal.decodePng(media.as[(Long, Array[Byte])]).toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("bit_depth").cast("long").as("bit_depth"),
+            col("color_type").cast("long").as("color_type"),
+            col("n_chunks").cast("long").as("n_chunks"),
+            col("idat_len"), col("px_sum"), col("px_energy"),
+            col("valid"))
+      },
+      Some {
+        def nib(pos: String) =
+          s"(strpos('0123456789ABCDEF', substr(hx, CAST($pos AS INT), 1)) - 1)"
+        val u = s"(${nib("i * 2 + 1")} * 16 + ${nib("i * 2 + 2")})"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+              (octet_length(encode(text)) // 5) * 5 AS dlen
+            FROM documents),
+          e AS (SELECT media_id, dlen,
+              COALESCE(CAST(list_sum(list_transform(range(dlen), i ->
+                $u)) AS BIGINT), 0) AS px_sum,
+              COALESCE(CAST(list_sum(list_transform(range(dlen), i ->
+                $u * $u)) AS BIGINT), 0) AS px_energy
+            FROM m)
+        SELECT media_id, CAST(5 AS BIGINT) AS width,
+          CAST(dlen // 5 AS BIGINT) AS height,
+          CAST(8 AS BIGINT) AS bit_depth, CAST(0 AS BIGINT) AS color_type,
+          CAST(3 AS BIGINT) AS n_chunks,
+          CAST(11 + (dlen // 5) * 6 AS BIGINT) AS idat_len,
+          px_sum, px_energy, true AS valid
+        FROM e"""
+      }),
+
     // ---- product-quantization encode (L96): per-subspace cosine
     // assignment against sub-codebooks sliced from the q40/q60 elected
     // rows; output = the m-part code plus the cosine between each
