@@ -532,6 +532,72 @@ object SceneQueries {
           FROM c LEFT JOIN p ON c.user_id = p.user_id
             AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts""")),
 
+    // ---- streaming interval join, FULL OUTER arm (VERDICT r7 #6 —
+    // completes the q87/q144 matrix): unmatched CLICKS surface with
+    // NULL purchase columns (q144's left-eviction path) AND unmatched
+    // PURCHASES surface with NULL click columns — the RIGHT-side state
+    // eviction q144 never exercises (a purchase is provably unmatched
+    // only once the watermark passes its whole candidate-click window
+    // p_ts + maxAge). Determinism: matched pairs emit on arrival and
+    // gate everywhere; null-padded rows gate only below a cutoff
+    // computed from the same input on both engines (the q144 rule,
+    // applied per SIDE). Late-drop accounting for this family is
+    // measured in EventWindowsSpec's two-phase checkpointed drain
+    // (StreamingQueryProgress.numRowsDroppedByWatermark) — arrival-
+    // order-dependent numbers are spec-gated, not oracle-gated.
+    "q148_stream_full_outer_join" -> Query(
+      (s, dir) => {
+        val ev = streamedEvents(s, dir)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("c_event_id"),
+            col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"),
+            col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+            col("value").as("p_value"))
+        val joined = EventWindows.intervalJoin(
+          clicks, "c_user_id", "c_ts", "1 hour",
+          purchases, "p_user_id", "p_ts", "1 hour",
+          maxAge = "2 hours", joinType = "fullOuter")
+          .select(col("c_event_id"), col("p_event_id"),
+            coalesce(col("c_user_id"), col("p_user_id")).as("user_id"),
+            col("p_value"))
+        val maxTs = Tables.events(s, dir).agg(max(col("ts"))).head()
+          .getTimestamp(0)
+        val cutoff =
+          if (maxTs == null) lit(null).cast("timestamp")
+          else lit(maxTs) - expr("INTERVAL 4 HOURS")
+        val cTs = Tables.events(s, dir)
+          .where(col("event_type") === "click")
+          .select(col("event_id").as("c_event_id"), col("ts").as("c_ts"))
+        val pTs = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+        drainToParquet(joined, "sfoj", dir)
+          .join(cTs, Seq("c_event_id"), "left")
+          .join(pTs, Seq("p_event_id"), "left")
+          .where((col("c_event_id").isNotNull && col("p_event_id").isNotNull) ||
+            (col("p_event_id").isNull && col("c_ts") <= cutoff) ||
+            (col("c_event_id").isNull && col("p_ts") <= cutoff))
+          .select(col("c_event_id"), col("p_event_id"), col("user_id"),
+            col("p_value"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'),
+            p AS (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase'),
+            j AS (SELECT c.event_id AS c_event_id, p.event_id AS p_event_id,
+                COALESCE(c.user_id, p.user_id) AS user_id,
+                p.value AS p_value, c.ts AS c_ts, p.ts AS p_ts
+              FROM c FULL JOIN p ON c.user_id = p.user_id
+                AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts <= c.ts)
+        SELECT c_event_id, p_event_id, user_id, p_value FROM j
+        WHERE (c_event_id IS NOT NULL AND p_event_id IS NOT NULL)
+           OR (p_event_id IS NULL AND
+               c_ts <= (SELECT max(ts) FROM events) - INTERVAL 4 HOUR)
+           OR (c_event_id IS NULL AND
+               p_ts <= (SELECT max(ts) FROM events) - INTERVAL 4 HOUR)""")),
+
     // ---- L52: SCD2 history build — each user's event_type timeline
     // collapsed into validity intervals (run-start rows + lead() close;
     // ONE key-hashed exchange feeds both windows — see History.scd2).
