@@ -35,15 +35,7 @@ object Curation {
   def blockDedup(docs: DataFrame, idCol: Column, text: Column,
                  blockTokens: Int, skewSafe: Boolean = false): DataFrame = {
     require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
-    val base = docs.select(idCol.as("doc_id"),
-      TextFns.tokens(text).as("toks"))
-    val blocks = base.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0L), floor((size(col("toks")) - 1) / lit(blockTokens))),
-        i => array_join(
-          slice(col("toks"), (i * blockTokens + 1).cast("int"),
-            lit(blockTokens)), " "))))
-      .toDF("doc_id", "block_idx", "btext")
+    val (base, blocks) = blockFrame(docs, idCol, text, blockTokens)
     // First-occurrence election — two plan shapes for two key regimes
     // (measured head-to-head on a 90%-hot boilerplate fixture AND the
     // near-unique real corpus; graft.tools.SkewStress + SCALE.md r7):
@@ -84,6 +76,55 @@ object Curation {
       .select(col("doc_id"), col("n_blocks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** (tokenized docs, exploded blocks) — shared by [[blockDedup]] and
+    * the [[blockDedupAuto]] skew probe. */
+  private def blockFrame(docs: DataFrame, idCol: Column, text: Column,
+                         blockTokens: Int): (DataFrame, DataFrame) = {
+    val base = docs.select(idCol.as("doc_id"),
+      TextFns.tokens(text).as("toks"))
+    val blocks = base.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0L), floor((size(col("toks")) - 1) / lit(blockTokens))),
+        i => array_join(
+          slice(col("toks"), (i * blockTokens + 1).cast("int"),
+            lit(blockTokens)), " "))))
+      .toDF("doc_id", "block_idx", "btext")
+    (base, blocks)
+  }
+
+  /** Plan-build-time hot-key probe (VERDICT r7 #8): the share of the
+    * single most frequent key among `keys` (a one-column frame named
+    * `k`, already bounded by the caller). 0.0 for an empty probe. */
+  private[graft] def hotKeyShare(keys: DataFrame): Double = {
+    val r = keys.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).cast("double").as("mx"),
+        sum(col("c")).cast("double").as("n"))
+      .head()
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** [[blockDedup]] with the election chosen AUTOMATICALLY (VERDICT r7
+    * #8 — the r7 decision rule "flip skewSafe for boilerplate-heavy
+    * corpora" was manual): a bounded `probeDocs`-document sample is
+    * blocked and hashed at plan-build time, and the skew-safe MIN_BY
+    * arm is chosen when one block hash carries ≥ `hotShare` of the
+    * sampled blocks — else the streaming-sort window arm (optimal for
+    * near-unique keys). Both arms produce the IDENTICAL result
+    * (spec-pinned), so the probe's sampling order only ever affects
+    * the plan, never the answer; the probe cost is one bounded action
+    * (LocalLimit stops the scan after `probeDocs` rows — O(sample),
+    * not O(corpus), at any scale). */
+  def blockDedupAuto(docs: DataFrame, idCol: Column, text: Column,
+                     blockTokens: Int, probeDocs: Int = 512,
+                     hotShare: Double = 0.25): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    val share = hotKeyShare(
+      blockFrame(docs.limit(probeDocs), idCol, text, blockTokens)._2
+        .select(TextFns.hash60(col("btext")).as("k")))
+    blockDedup(docs, idCol, text, blockTokens, skewSafe = share >= hotShare)
   }
 
   /** L67 — vocabulary coverage / OOV audit: induce the top-`vocabK`
@@ -548,22 +589,7 @@ object Curation {
   def cdcChunks(docs: DataFrame, idCol: Column, text: Column,
                 modulus: Int, skewSafe: Boolean = false): DataFrame = {
     require(modulus >= 1, s"modulus must be >= 1, got $modulus")
-    val toks = docs.select(idCol.as("doc_id"),
-        posexplode(TextFns.tokens(text)))
-      .toDF("doc_id", "pos", "tok")
-      .withColumn("bnd",
-        when(pmod(TextFns.hash60(col("tok")), lit(modulus.toLong)) === 0, 1L)
-          .otherwise(0L))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks
-      .withColumn("chunk_idx", coalesce(sum(col("bnd")).over(w), lit(0L)))
-      .groupBy(col("doc_id"), col("chunk_idx"))
-      .agg(min(col("pos")).cast("long").as("chunk_start"),
-        count(lit(1)).as("n_toks"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x("tok")), " ")).as("chunk_key"))
+    val chunks = cdcChunkFrame(docs, idCol, text, modulus)
     // First-occurrence flag — two plan shapes for two key regimes (see
     // blockDedup's election note; measured in graft.tools.SkewStress +
     // SCALE.md r7). Default: row_number window over chunk_key — ONE
@@ -590,6 +616,42 @@ object Curation {
       chunks.withColumn("is_first",
         when(row_number().over(Window.partitionBy(col("chunk_key"))
           .orderBy(col("doc_id"), col("chunk_idx"))) === 1, 1L).otherwise(0L))
+  }
+
+  /** The (doc, chunk) frame with content keys — shared by [[cdcChunks]]
+    * and the [[cdcChunksAuto]] skew probe. */
+  private def cdcChunkFrame(docs: DataFrame, idCol: Column, text: Column,
+                            modulus: Int): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"),
+        posexplode(TextFns.tokens(text)))
+      .toDF("doc_id", "pos", "tok")
+      .withColumn("bnd",
+        when(pmod(TextFns.hash60(col("tok")), lit(modulus.toLong)) === 0, 1L)
+          .otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_idx", coalesce(sum(col("bnd")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("pos")).cast("long").as("chunk_start"),
+        count(lit(1)).as("n_toks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ")).as("chunk_key"))
+  }
+
+  /** [[cdcChunks]] with the automatic election ([[blockDedupAuto]]'s
+    * probe applied to chunk content keys on a bounded document
+    * sample). Identical output either way; only the plan shape is
+    * decided. */
+  def cdcChunksAuto(docs: DataFrame, idCol: Column, text: Column,
+                    modulus: Int, probeDocs: Int = 512,
+                    hotShare: Double = 0.25): DataFrame = {
+    require(modulus >= 1, s"modulus must be >= 1, got $modulus")
+    val share = hotKeyShare(
+      cdcChunkFrame(docs.limit(probeDocs), idCol, text, modulus)
+        .select(col("chunk_key").as("k")))
+    cdcChunks(docs, idCol, text, modulus, skewSafe = share >= hotShare)
   }
 
   /** L78 — reciprocal-rank fusion of two quality signals (the RRF

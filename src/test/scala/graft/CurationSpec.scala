@@ -109,6 +109,60 @@ class CurationSpec extends SparkSpec {
       .filter(col("w") =!= col("mn")).count() shouldBe 0L
   }
 
+  test("AUTO election (VERDICT r7 #8): hot fixture picks min_by, uniform picks window, " +
+      "outputs identical either way") {
+    import graft.operators.Curation
+    val disclaimer = (0 until 8).map(j => s"term$j").mkString(" ")
+    val hotDocs = (0L until 200L).map { id =>
+      (id, if (id % 10 < 9) disclaimer
+           else (0 until 8).map(j => s"u${id}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val uniqDocs = (0L until 200L)
+      .map(id => (id, (0 until 8).map(j => s"u${id}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def hasWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .exists(_.contains("Window [")) // WindowExec; not WindowGroupLimit
+    // the probe decides the ARM (visible in the physical plan)...
+    val hotAuto = Curation.blockDedupAuto(hotDocs, col("doc_id"), col("text"), 4)
+    val uniqAuto = Curation.blockDedupAuto(uniqDocs, col("doc_id"), col("text"), 4)
+    hasWindow(hotAuto) shouldBe false // min_by aggregate, no per-key sort
+    hasWindow(uniqAuto) shouldBe true // streaming-sort window
+    // ...and never the ANSWER
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq
+    rowsOf(hotAuto) shouldBe
+      rowsOf(Curation.blockDedup(hotDocs, col("doc_id"), col("text"), 4))
+    rowsOf(uniqAuto) shouldBe
+      rowsOf(Curation.blockDedup(uniqDocs, col("doc_id"), col("text"), 4))
+    // CDC twin: the chunk-key probe flips the same way. The chunk build
+    // itself runs doc-keyed windows (both arms), so the arm check is
+    // specifically a Window PARTITIONED BY the content key.
+    def hasChunkKeyWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .exists(l => l.contains("Window [") && l.contains("chunk_key"))
+    val cdcHot = Curation.cdcChunksAuto(hotDocs, col("doc_id"), col("text"), 4)
+    val cdcUniq = Curation.cdcChunksAuto(uniqDocs, col("doc_id"), col("text"), 4)
+    hasChunkKeyWindow(cdcHot) shouldBe false
+    hasChunkKeyWindow(cdcUniq) shouldBe true
+    def cdcRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5))).sorted.toSeq
+    cdcRows(cdcHot) shouldBe
+      cdcRows(Curation.cdcChunks(hotDocs, col("doc_id"), col("text"), 4))
+    cdcRows(cdcUniq) shouldBe
+      cdcRows(Curation.cdcChunks(uniqDocs, col("doc_id"), col("text"), 4))
+    // probe share is the decision variable: ~0.9 hot, ~1/400 uniform
+    import graft.functions.TextFns
+    val hotShare = Curation.hotKeyShare(
+      hotDocs.select(TextFns.hash60(col("text")).as("k")))
+    hotShare should be > 0.8
+    Curation.hotKeyShare(
+      uniqDocs.select(TextFns.hash60(col("text")).as("k"))) should be < 0.05
+    Curation.hotKeyShare(hotDocs.limit(0)
+      .select(TextFns.hash60(col("text")).as("k"))) shouldBe 0.0
+  }
+
   test("writeShards: physical layout round-trips the plan; shard dirs prune") {
     import graft.operators.Curation
     val docs = (0L until 40L).map(id => (id, 10L + id % 7))
