@@ -118,24 +118,23 @@ class PlanContractSpec extends SparkSpec {
     assert(pg.size == 2 && pe.exists(i => pg.min < i && i < pg.max), pl.mkString("\n"))
   }
 
-  test("q27 jaccard: single set-building exchange; no window; no self-join") {
+  test("q27 jaccard: pure map+filter over the memoized pair-stats checkpoint") {
+    // r8 shape (VERDICT r7 #3): the capped index, pair fan-out and size
+    // joins all run ONCE inside Dedup.cappedPostingCounts (memoized per
+    // run, shared with q139); the consumer plan is a project+filter
+    // over the materialized pair frame — zero exchanges, zero windows,
+    // zero parquet scans of documents.
     val df = SparkEntry.queries("q27_ngram_jaccard")(spark, dir)
     df.collect() // materialize so the localCheckpoint plan is final
     val p = df.queryExecution.executedPlan.toString
     val lines = p.linesIterator.toIndexedSeq
-    // the capped inverted index is ONE collect_set aggregation keyed on
-    // (source, h) — computed once behind a localCheckpoint (an RDD scan
-    // in the plan), then pairs come from exploding the doc sets: no df
-    // window, no (source, h) equi self-join, no second documents scan
     assert(!lines.exists(_.contains("Window")), p)
-    assert(!lines.exists(_.contains("SortMergeJoin [source")), p)
+    assert(!lines.exists(_.contains("SortMergeJoin")), p)
     assert(lines.exists(_.contains("Scan ExistingRDD")), p)
     assert(!lines.exists(_.contains("documents.parquet")),
       s"documents must be read only behind the checkpoint:\n$p")
-    // pair counting shuffles only (doc_a, doc_b)-keyed aggregates
-    val ex = lines.filter(_.contains("Exchange hashpartitioning"))
-    assert(ex.nonEmpty && ex.forall(l =>
-      l.contains("doc_a") || l.contains("doc_id")), ex.mkString("\n"))
+    assert(!lines.exists(_.contains("Exchange")),
+      s"the consumer must not re-shuffle the memoized pair frame:\n$p")
   }
 
   test("q40 ivf: cell assignment is map-side — no exchange carries the corpus") {
@@ -458,13 +457,15 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
-  test("q139 containment: the shared q27 index shape — one set-building exchange, no window, no self-join") {
+  test("q139 containment: the q27 consumer shape — map+filter over the shared pair-stats checkpoint") {
     val p = plan("q139_containment")
     assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // collect_set exchange on (source, h) builds the posting sets; the
-    // checkpoint severs lineage so consumers scan the materialized RDD
+    // the memoized pair-stats frame (built once, shared with q27) is an
+    // RDD scan; the consumer adds only projection + threshold filter
     assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Exchange"),
+      s"the consumer must not re-shuffle the memoized pair frame:\n$p")
   }
 
   test("q142 shard sink: the manifest reads the written files with shard partition columns") {
