@@ -100,9 +100,13 @@ object GenScale {
 
     val vStr = stride(tbl("embeddings"), "vec_id")
     write("embeddings") { r =>
-      val rot = if (r == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), " +
-          s"slice(embedding, 1, $r))")
+      // rotate by r mod dim: above 64 reps the raw r made the slice
+      // length negative (the sf20 lesson); reps ≥ 64 reuse rotations
+      // with distinct vec_ids, which is fine for scale testing
+      val k = r % 64
+      val rot = if (k == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${k + 1}, ${64 - k}), " +
+          s"slice(embedding, 1, $k))")
       tbl("embeddings")
         .withColumn("vec_id", col("vec_id") + lit(r * vStr))
         .withColumn("embedding", rot)
