@@ -72,6 +72,31 @@ object Bpe {
     }
   }
 
+  /** Persist a merges table as ONE rank-ordered parquet file — the
+    * tokenizer-artifact lifecycle (the L103 codebook precedent): a
+    * production pipeline trains merges once, publishes the artifact,
+    * and every ingest job loads it. Rank is stored explicitly so the
+    * file's row order is irrelevant to correctness. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), k) => (k, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).sortWithinPartitions("rank")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merges artifact back into rank order. The collect is
+    * merges-table sized (tens of thousands of rows for real
+    * tokenizers) — the documented bounded-artifact precedent, never a
+    * corpus collect. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .select("rank", "left", "right").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Tokenize (doc_id, text) rows: whitespace words (the house
     * `tokens()` split), greedy BPE per word, long-format output —
     * one row per produced token. `merges` must have distinct pairs

@@ -256,6 +256,50 @@ object LlmQueries {
     "o" -> "r", "e" -> "s", "a" -> "t", "o" -> "u", "i" -> "t",
     "a" -> "l", "s" -> "t", "the" -> "r", "er" -> "s", "on" -> "g")
 
+  /** The q150/q151 DuckDB BPE replay, shared: `fin` holds each word's
+    * fixpoint token list after the identical one-merge-per-step loop. */
+  private lazy val sqlBpeFinCte: String = {
+    val rankCase = BpeMerges.zipWithIndex.map { case ((l, r), k) =>
+      s"WHEN seq[i+1]='$l' AND seq[i+2]='$r' THEN $k"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH RECURSIVE
+      w AS (SELECT doc_id, CAST(i + 1 AS INT) AS wi, toks[i + 1] AS word
+            FROM (SELECT doc_id, $sqlToks AS toks FROM documents),
+              LATERAL (SELECT unnest(range(len(toks))) AS i)
+            WHERE toks[i + 1] <> ''),
+      it AS (
+        SELECT doc_id, wi,
+          list_transform(range(length(word)),
+            i -> substr(word, CAST(i + 1 AS INT), 1)) AS seq
+        FROM w
+        UNION ALL
+        SELECT doc_id, wi,
+          list_slice(seq, 1, p - 1)
+            || [seq[p] || seq[p + 1]]
+            || list_slice(seq, p + 2, len(seq)) AS seq
+        FROM (SELECT doc_id, wi, seq,
+                list_position(rks,
+                  list_min(list_filter(rks, x -> x IS NOT NULL))) AS p
+              FROM (SELECT doc_id, wi, seq,
+                      list_transform(range(len(seq) - 1),
+                        i -> $rankCase) AS rks
+                    FROM it) rk
+              WHERE list_min(list_filter(rks, x -> x IS NOT NULL))
+                IS NOT NULL) stepped),
+      fin AS (SELECT doc_id, wi, seq FROM (
+          SELECT doc_id, wi, seq,
+            list_min(list_filter(list_transform(range(len(seq) - 1),
+              i -> $rankCase), x -> x IS NOT NULL)) AS best
+          FROM it) f
+        WHERE best IS NULL)"""
+  }
+
+  /** token string → id, mirroring Bpe's id rule (codepoint | 1000+rank). */
+  private lazy val sqlBpeIdCase: String =
+    BpeMerges.zipWithIndex.map { case ((l, r), k) =>
+      s"WHEN tok='${l + r}' THEN ${1000 + k}"
+    }.mkString("CASE ", " ", " ELSE unicode(tok) END")
+
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "query", "fast"),
     "de" -> Seq("window", "batch", "group", "merge"),
@@ -3169,47 +3213,50 @@ object LlmQueries {
             col("token"), col("token_id"))
       },
       Some {
-        val rankCase = BpeMerges.zipWithIndex.map { case ((l, r), k) =>
-          s"WHEN seq[i+1]='$l' AND seq[i+2]='$r' THEN $k"
-        }.mkString("CASE ", " ", " END")
-        val idCase = BpeMerges.zipWithIndex.map { case ((l, r), k) =>
-          s"WHEN tok='${l + r}' THEN ${1000 + k}"
-        }.mkString("CASE ", " ", " ELSE unicode(tok) END")
-        s"""WITH RECURSIVE
-          w AS (SELECT doc_id, CAST(i + 1 AS INT) AS wi, toks[i + 1] AS word
-                FROM (SELECT doc_id, $sqlToks AS toks FROM documents),
-                  LATERAL (SELECT unnest(range(len(toks))) AS i)
-                WHERE toks[i + 1] <> ''),
-          it AS (
-            SELECT doc_id, wi,
-              list_transform(range(length(word)),
-                i -> substr(word, CAST(i + 1 AS INT), 1)) AS seq
-            FROM w
-            UNION ALL
-            SELECT doc_id, wi,
-              list_slice(seq, 1, p - 1)
-                || [seq[p] || seq[p + 1]]
-                || list_slice(seq, p + 2, len(seq)) AS seq
-            FROM (SELECT doc_id, wi, seq,
-                    list_position(rks,
-                      list_min(list_filter(rks, x -> x IS NOT NULL))) AS p
-                  FROM (SELECT doc_id, wi, seq,
-                          list_transform(range(len(seq) - 1),
-                            i -> $rankCase) AS rks
-                        FROM it) rk
-                  WHERE list_min(list_filter(rks, x -> x IS NOT NULL))
-                    IS NOT NULL) stepped),
-          fin AS (SELECT doc_id, wi, seq FROM (
-              SELECT doc_id, wi, seq,
-                list_min(list_filter(list_transform(range(len(seq) - 1),
-                  i -> $rankCase), x -> x IS NOT NULL)) AS best
-              FROM it) f
-            WHERE best IS NULL)
+        s"""$sqlBpeFinCte
         SELECT doc_id, CAST(wi AS BIGINT) AS word_idx,
           CAST(i + 1 AS BIGINT) AS pos, tok AS token,
-          CAST($idCase AS BIGINT) AS token_id
+          CAST($sqlBpeIdCase AS BIGINT) AS token_id
         FROM (SELECT doc_id, wi, seq[CAST(i + 1 AS INT)] AS tok, i
               FROM fin, LATERAL (SELECT unnest(range(len(seq))) AS i))"""
+      }),
+
+    // ---- tokenizer ARTIFACT lifecycle (the L103 codebook precedent
+    // applied to BPE): the merges table saved as a rank-ordered parquet
+    // artifact, reloaded, and APPLIED — per-doc token accounting from
+    // the PERSISTED merges must equal the oracle's from the literal
+    // fixture. The train→publish→apply lifecycle every production
+    // tokenizer deployment runs; a rank permutation or string mangle in
+    // the round trip would flip merge priorities and change counts.
+    "q151_bpe_artifact" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        // per-run artifact path (the q142/q146 rule: no cross-run race)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_merges_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        Bpe.saveMerges(s, BpeMerges, base)
+        val loaded = Bpe.loadMerges(s, base)
+        Bpe.tokenize(
+          docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)],
+          loaded).toDF()
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("word_idx")).as("n_words"),
+            count(lit(1)).as("n_tokens"),
+            sum(when(length(col("token")) > 1, 1L).otherwise(0L))
+              .as("n_merged"),
+            sum(col("token_id")).as("sum_ids"))
+      },
+      Some {
+        s"""$sqlBpeFinCte,
+          tokrows AS (SELECT doc_id, wi, seq[CAST(i + 1 AS INT)] AS tok
+                FROM fin, LATERAL (SELECT unnest(range(len(seq))) AS i))
+        SELECT doc_id, CAST(count(DISTINCT wi) AS BIGINT) AS n_words,
+          CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN length(tok) > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_merged,
+          CAST(sum($sqlBpeIdCase) AS BIGINT) AS sum_ids
+        FROM tokrows GROUP BY doc_id"""
       }),
 
     // ---- product-quantization encode (L96): per-subspace cosine

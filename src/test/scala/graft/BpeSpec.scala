@@ -85,6 +85,27 @@ class BpeSpec extends SparkSpec {
     got.filter(_.doc_id == 3L).map(_.token).toSeq shouldBe Seq("x", "y")
   }
 
+  test("merges artifact: save/load round trip preserves content and rank order") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_art").toFile
+    try {
+      Bpe.saveMerges(spark, merges, dir.getAbsolutePath + "/m")
+      val loaded = Bpe.loadMerges(spark, dir.getAbsolutePath + "/m")
+      loaded shouldBe merges // exact pairs, exact order (rank column, not file order)
+      // applying the loaded artifact tokenizes identically
+      loaded.zipWithIndex.foreach { case (_, _) => () }
+      val viaLoaded = Bpe.encodeWord("thermal",
+        loaded.zipWithIndex.toMap,
+        loaded.zipWithIndex.map { case ((l, r), k) => (l + r) -> (1000L + k) }.toMap)
+      viaLoaded shouldBe enc("thermal")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
   test("guards: duplicate pair or duplicate output is rejected") {
     import spark.implicits._
     val df = Seq((1L, "ab")).toDF("doc_id", "text").as[(Long, String)]
