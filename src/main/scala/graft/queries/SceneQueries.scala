@@ -1301,6 +1301,51 @@ object SceneQueries {
           ${sqlSum("value")} AS sum_value
         FROM events GROUP BY user_id""")),
 
+    // ---- S1 end-to-end through REAL `.nc` FILES: fixture scenes are
+    // written to disk as genuine classic NetCDF containers (CDF-2 —
+    // the 64-bit-offset arm; q147 gates CDF-1 heavily), then read back
+    // through the DSv2 connector with the REAL file codec
+    // (NcSceneCodec: header prefix parse + banded seek/read per
+    // partition) — partition pruning, column pruning and the band
+    // planner all run against actual file I/O. The oracle regenerates
+    // the same grid arithmetically (the q42 rule: integer/exact
+    // columns only — trig doubles are pinned Spark-side in
+    // SceneSourceSpec instead).
+    "q152_nc_scene_files" -> Query(
+      (s, dir) => {
+        val base = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft_ncscenes_" +
+            s.sparkContext.applicationId + "_" +
+            java.lang.Integer.toHexString(dir.hashCode))
+        graft.sources.NcSceneCodec.writeFixtureScenes(base, 4, 32, 32,
+          version = 2)
+        s.read.format("graft-scene")
+          .option("scenes", 4).option("height", 32).option("width", 32)
+          .option("bandLines", 8)
+          .option("codec", classOf[graft.sources.NcSceneCodec].getName)
+          .option("path", base.getAbsolutePath)
+          .load()
+          .filter(col("line").between(6, 27) &&
+            col("scene").isin("sc1", "sc2"))
+          .groupBy(col("scene"))
+          .agg(count(lit(1)).as("n_px"),
+            sum(col("polygon_id")).cast("long").as("sum_poly"),
+            sum(col("distance_map")).as("sum_dist"))
+      },
+      Some("""WITH l AS (SELECT unnest(range(0, 32)) AS line),
+          sm AS (SELECT unnest(range(0, 32)) AS sample),
+          sc AS (SELECT unnest(range(0, 4)) AS si),
+          px AS (SELECT 'sc' || si AS scene, line, sample,
+                 (line // 4) * 10 + (sample // 4) % 10 + 1 AS polygon_id,
+                 sample * CAST(3.0 AS DOUBLE) AS distance_map
+               FROM sc, l, sm)
+        SELECT scene, count(*) AS n_px,
+          CAST(sum(polygon_id) AS BIGINT) AS sum_poly,
+          sum(distance_map) AS sum_dist
+        FROM px
+        WHERE line BETWEEN 6 AND 27 AND scene IN ('sc1', 'sc2')
+        GROUP BY scene""")),
+
     // ---- S1 CODEC de-stubbed (VERDICT r7 #1): each doc's bytes are
     // wrapped into a REAL NetCDF-classic container (CDF-1 for even
     // doc_ids, CDF-2 for odd — both offset widths; dims line×3, a
