@@ -3151,7 +3151,14 @@ object LlmQueries {
       (s, dir) => {
         import s.implicits._
         val tb = col("text").cast("binary")
-        val dlen5 = (length(tb) / 5).cast("int") * 5
+        // raster capped at 200 bytes (40 scanlines — every filter type
+        // appears 8×): the per-byte codegen synthesis (conv + filter
+        // HOFs + the quadratic hex-concat aggregate) measured 10.5 s at
+        // sf0.1 uncapped, the whole sweep's worst query, and the gate's
+        // strength (chunk walk, CRC, inflate, all five unfilters) is
+        // row-count-independent. The PARSER is untouched — it still
+        // decodes arbitrary-size containers (PngSpec).
+        val dlen5 = least((length(tb) / 5).cast("int") * 5, lit(200))
         // raw pixel array MATERIALIZED in its own projection — the
         // pngPayload contract (inline, the filter lambdas would
         // re-evaluate the transform per element_at)
@@ -3175,7 +3182,7 @@ object LlmQueries {
           s"(strpos('0123456789ABCDEF', substr(hx, CAST($pos AS INT), 1)) - 1)"
         val u = s"(${nib("i * 2 + 1")} * 16 + ${nib("i * 2 + 2")})"
         s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-              (octet_length(encode(text)) // 5) * 5 AS dlen
+              least((octet_length(encode(text)) // 5) * 5, 200) AS dlen
             FROM documents),
           e AS (SELECT media_id, dlen,
               COALESCE(CAST(list_sum(list_transform(range(dlen), i ->
