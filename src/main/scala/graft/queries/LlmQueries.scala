@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, GraphRank, HeavyHitters, Multimodal, Packing, Pii, Sampling, Similarity, Spectral}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, GraphRank, HeavyHitters, Jpeg, Multimodal, Packing, Pii, Sampling, Similarity, Spectral}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -3265,6 +3265,65 @@ object LlmQueries {
           CAST(sum($sqlBpeIdCase) AS BIGINT) AS sum_ids
         FROM tokrows GROUP BY doc_id"""
       }),
+
+    // ---- baseline JPEG decode (L107 — the format the blocked list
+    // carried since r6): fixtures are ENCODED by the JDK's own codec
+    // (javax.imageio — an independent implementation producing a real
+    // entropy-coded stream: Huffman tables, quantization, bit-stuffed
+    // scan data), then parsed by the hand-rolled Jpeg decoder (marker
+    // walk + canonical Huffman + dequant + IDCT). The oracle emits the
+    // STRUCTURAL truth the synthesis fixed (dimensions from doc_id
+    // formulas, the JDK gray-encoder's constant table/sampling layout,
+    // MCU arithmetic); pixel fidelity is differentially pinned against
+    // the JDK DECODER in JpegSpec (±1/sample — T.81 allows IDCT
+    // variance, so there is no bit-exact truth to oracle).
+    "q153_jpeg_decode" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            System.setProperty("java.awt.headless", "true")
+            it.map { case (id, text) =>
+              val w = 8 + (id % 12).toInt * 4
+              val h = 8 + (id % 7).toInt * 8
+              val tb = text.getBytes("UTF-8")
+              val px = Array.tabulate(w * h)(i =>
+                if (tb.isEmpty) 0 else tb(i % tb.length) & 0xff)
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              img.getRaster.setPixels(0, 0, w, h, px)
+              val bo = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "jpg", bo)
+              (id, bo.toByteArray)
+            }
+          }
+        Jpeg.decodeJpeg(media).toDF()
+          .select(col("media_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_components").cast("long").as("n_components"),
+            col("precision").cast("long").as("bits"),
+            col("h_max").cast("long").as("h_max"),
+            col("v_max").cast("long").as("v_max"),
+            col("n_quant_tables").cast("long").as("n_quant_tables"),
+            col("n_huff_tables").cast("long").as("n_huff_tables"),
+            col("restart_interval").cast("long").as("restart_interval"),
+            col("n_mcus"), col("valid"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(8 + (doc_id % 12) * 4 AS BIGINT) AS width,
+          CAST(8 + (doc_id % 7) * 8 AS BIGINT) AS height,
+          CAST(1 AS BIGINT) AS n_components,
+          CAST(8 AS BIGINT) AS bits,
+          CAST(1 AS BIGINT) AS h_max, CAST(1 AS BIGINT) AS v_max,
+          CAST(1 AS BIGINT) AS n_quant_tables,
+          CAST(2 AS BIGINT) AS n_huff_tables,
+          CAST(0 AS BIGINT) AS restart_interval,
+          CAST(((8 + (doc_id % 12) * 4 + 7) // 8)
+             * ((8 + (doc_id % 7) * 8 + 7) // 8) AS BIGINT) AS n_mcus,
+          true AS valid
+        FROM documents""")),
 
     // ---- product-quantization encode (L96): per-subspace cosine
     // assignment against sub-codebooks sliced from the q40/q60 elected
