@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, GraphRank, HeavyHitters, Jpeg, Multimodal, Packing, Pii, Sampling, Similarity, Spectral}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, GraphRank, HeavyHitters, Jpeg, Mp3, Multimodal, Packing, Pii, Sampling, Similarity, Spectral}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -3324,6 +3324,55 @@ object LlmQueries {
              * ((8 + (doc_id % 7) * 8 + 7) // 8) AS BIGINT) AS n_mcus,
           true AS valid
         FROM documents""")),
+
+    // ---- MP3 frame-layer walk (L108 — the blocked list's last entry,
+    // at the container level): a REAL MPEG-1 Layer III frame sequence
+    // is synthesized in pure codegen (Mp3.mp3Payload — every frame's
+    // length, and therefore every frame's OFFSET, is header arithmetic
+    // over the bitrate/samplerate/padding bits), then walked by the
+    // imperative parser Mp3.parseFrames. The oracle replays the same
+    // length arithmetic from the doc_id formulas — a parser that does
+    // not decode the header bits cannot land on frame 2, let alone
+    // match total_bytes/max_frame_len. The entropy layer (Huffman
+    // spectral data → PCM) stays documented out of scope.
+    "q154_mp3_frames" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id").as("media_id"),
+          Mp3.mp3Payload(
+            (lit(3) + col("doc_id") % 20).cast("int"),
+            (col("doc_id") % 14).cast("int"),
+            (col("doc_id") % 3).cast("int")).as("payload"))
+        Mp3.decodeMp3(media.as[(Long, Array[Byte])]).toDF()
+          .select(col("media_id"), col("n_frames"), col("total_bytes"),
+            col("n_padded"), col("n_bitrates"), col("sample_rate"),
+            col("total_samples"), col("max_frame_len"), col("valid"))
+      },
+      Some {
+        val brCase = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+          224, 256, 320).zipWithIndex
+          .map { case (br, k) => s"WHEN ${k + 1} THEN $br" }
+          .mkString("CASE ((seed + i) % 14) + 1 ", " ", " END")
+        s"""WITH m AS (SELECT doc_id, 3 + doc_id % 20 AS n,
+              doc_id % 14 AS seed, doc_id % 3 AS si FROM documents),
+          e AS (SELECT doc_id, n, seed,
+              CASE WHEN si = 0 THEN 44100 WHEN si = 1 THEN 48000
+                   ELSE 32000 END AS sr FROM m),
+          f AS (SELECT doc_id, n, seed, sr,
+              list_transform(range(n), i ->
+                (144 * ($brCase) * 1000) // sr + (seed + i) % 2) AS lens
+            FROM e)
+        SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_frames,
+          CAST(list_sum(lens) AS BIGINT) AS total_bytes,
+          CAST(list_sum(list_transform(range(n), i -> (seed + i) % 2))
+            AS BIGINT) AS n_padded,
+          CAST(least(n, 14) AS BIGINT) AS n_bitrates,
+          CAST(sr AS BIGINT) AS sample_rate,
+          CAST(n * 1152 AS BIGINT) AS total_samples,
+          CAST(list_max(lens) AS BIGINT) AS max_frame_len,
+          true AS valid
+        FROM f"""
+      }),
 
     // ---- product-quantization encode (L96): per-subspace cosine
     // assignment against sub-codebooks sliced from the q40/q60 elected
