@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructType}
 import graft.Tables
 import graft.functions.IceCodes
-import graft.operators.{Drift, History, Masking, Skew, Tiling}
+import graft.operators.{Drift, History, Masking, RangeJoin, Skew, Tiling}
 import graft.sources.Catalog
 import graft.streaming.{EventWindows, IncrementalPipeline}
 import Q._
@@ -1415,6 +1415,101 @@ object SceneQueries {
             AS BIGINT) AS begin,
           byte_sum, energy, true AS valid
         FROM e"""
-      })
+      }),
+
+    // ---- L109: binned range join — every click inside each purchase's
+    // 24-hour attribution window, per user, as an EQUI hash join on
+    // (user_id, time bucket) with the exact containment predicate
+    // re-checked inside the bucket (graft.operators.RangeJoin). A raw
+    // inequality join plans as BroadcastNestedLoopJoin — a full build-
+    // side scan per probe row, quadratic at scale; the binned shape
+    // shuffles each side once on (key, bucket) and AQE's skew split
+    // applies at the bucket grain. bucket = interval length, so every
+    // interval registers in at most 2 buckets and each qualifying pair
+    // meets exactly once (the point's bucket is unique — no dedup
+    // pass). The oracle is DuckDB's native inequality join — a
+    // genuinely different algorithm for the same pair set. lag_us is
+    // integer microseconds (the as-of rule: no float epoch).
+    "q155_range_join" -> Query(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val iv = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event_id"),
+            col("ts").as("p_start"),
+            (col("ts") + expr("INTERVAL 24 HOURS")).as("p_end"))
+        val pts = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_event_id"),
+            col("ts").as("c_ts"), col("value").as("c_value"))
+        RangeJoin.pointInInterval(pts, "c_ts", iv, "p_start", "p_end",
+            key = "user_id", bucketMicros = 24L * 3600L * 1000000L)
+          .select(col("p_event_id"), col("c_event_id"), col("user_id"),
+            (unix_micros(col("c_ts")) - unix_micros(col("p_start")))
+              .as("lag_us"),
+            col("c_value"))
+      },
+      Some("""SELECT p.event_id AS p_event_id, c.event_id AS c_event_id,
+            p.user_id AS user_id,
+            epoch_us(c.ts) - epoch_us(p.ts) AS lag_us,
+            c.value AS c_value
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND c.ts >= p.ts
+              AND c.ts < p.ts + INTERVAL 24 HOURS""")),
+
+    // ---- L110: point-in-time (temporal validity) join — the L52 SCD2
+    // history composed with the L29 as-of machinery: facts (clicks)
+    // joined to the dimension run valid at fact time. The dim is the
+    // per-user "tier" SCD2 built from purchase events (equal-ts
+    // purchases pre-deduped per (user, ts) by max event_id — the q59
+    // rule — so run starts are unique and the as-of carry is
+    // deterministic); because SCD2 runs tile time per key, a backward
+    // as-of on valid_from IS the validity match (ts ∈ [valid_from,
+    // next valid_from) = [valid_from, valid_to)) — one shuffle, one
+    // carry window, no row multiplication. The oracle is the genuinely
+    // different validity-RANGE join on the same SCD2 CTE.
+    "q156_pit_join" -> Query(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purch = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            pmod(floor(col("value")).cast("long"), lit(4L)).as("tier"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("event_id"),
+            expr("max_by(tier, event_id)").as("tier"))
+        val runs = History.scd2(purch,
+            col("user_id"), col("tier"), col("ts"), col("event_id"))
+          .select(col("key").as("user_id"), col("valid_from").as("ts"),
+            col("attr").as("tier"),
+            unix_micros(col("valid_from")).as("valid_from_us"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.AsOf.joinAsOf(clicks, runs,
+            keyCol = "user_id", tsCol = "ts", ordCol = "valid_from_us",
+            payload = Seq("tier", "valid_from_us"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("tier"), col("valid_from_us"))
+      },
+      Some("""WITH pe AS (SELECT user_id, ts, max(event_id) AS event_id,
+              arg_max(((CAST(floor(value) AS BIGINT) % 4) + 4) % 4,
+                event_id) AS tier
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts),
+          ch AS (SELECT user_id, tier, ts,
+              CASE WHEN lag(event_id) OVER w IS NULL
+                     OR lag(tier) OVER w IS DISTINCT FROM tier
+                   THEN 1 ELSE 0 END AS chg
+            FROM pe
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          runs AS (SELECT user_id, tier, ts,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS ts_to
+            FROM ch WHERE chg = 1),
+          ck AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click')
+        SELECT ck.event_id, ck.user_id, epoch_us(ck.ts) AS ts_us,
+          runs.tier, epoch_us(runs.ts) AS valid_from_us
+        FROM ck LEFT JOIN runs ON runs.user_id = ck.user_id
+          AND ck.ts >= runs.ts
+          AND (runs.ts_to IS NULL OR ck.ts < runs.ts_to)"""))
   )
 }

@@ -482,6 +482,30 @@ class PlanContractSpec extends SparkSpec {
     assert(ex.size == 1 && ex.head.contains("lang"), ex.mkString("\n"))
   }
 
+  test("q155 range join: an equi hash join on (key, bucket) — never a " +
+      "nested loop, and the containment filter stays inside the join stage") {
+    val p = plan("q155_range_join")
+    // the whole point of the binned rewrite: a raw inequality join
+    // plans as BroadcastNestedLoopJoin (build-side scan per probe row)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    // the equi keys carry the bucket column
+    assert(p.contains("_rj_b"), p)
+  }
+
+  test("q156 point-in-time join: the SCD2 dim + as-of carry — no " +
+      "row-multiplying validity join, one carry window") {
+    val p = plan("q156_pit_join")
+    val lines = p.linesIterator.toIndexedSeq
+    // no join operator anywhere: the validity match is the as-of carry
+    assert(!p.contains("Join"), p)
+    // exchanges: purchase (user, ts) dedup + scd2 user window + carry
+    // union window all hash-keyed; no SinglePartition anywhere
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(lines.count(_.contains("Exchange hashpartitioning")) <= 3, p)
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
