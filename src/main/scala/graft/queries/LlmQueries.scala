@@ -300,6 +300,63 @@ object LlmQueries {
       s"WHEN tok='${l + r}' THEN ${1000 + k}"
     }.mkString("CASE ", " ", " ELSE unicode(tok) END")
 
+  /** Merges learned by q157 (kept small: the oracle unrolls one CTE
+    * block per round). */
+  private val BpeTrainN = 6
+
+  /** q157's oracle: the ENTIRE training loop replayed in DuckDB, one
+    * unrolled CTE block per round — pc_i (pair counts over the evolving
+    * vocab tokenization, weighted by word frequency), b_i (argmax with
+    * the (cnt DESC, l, r) tie-break), a_i (recursive: merge the
+    * LEFTMOST occurrence of b_i until none — equivalent to the engine's
+    * one-pass left-to-right application, see Bpe.applyMergeCol's
+    * scaladoc for the law), t_i (the fixpoint rows feeding round i+1).
+    * LEFT JOIN ON true (not a cross join) so an exhausted b_i passes
+    * the vocab through unchanged instead of annihilating it. */
+  private def sqlBpeTrainOracle(n: Int): String = {
+    def occ = (t: String, b: String) =>
+      s"""list_position(list_transform(range(len($t.seq) - 1),
+            j -> $t.seq[CAST(j + 1 AS INT)] = $b.l
+              AND $t.seq[CAST(j + 2 AS INT)] = $b.r), true)"""
+    def stage(i: Int): String = {
+      val prev = s"t${i - 1}"
+      s""",
+      pc$i AS (SELECT seq[CAST(j + 1 AS INT)] AS l,
+            seq[CAST(j + 2 AS INT)] AS r, sum(freq) AS cnt
+          FROM $prev, LATERAL (SELECT unnest(range(len(seq) - 1)) AS j)
+          GROUP BY 1, 2),
+      b$i AS (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
+      a$i AS (
+        SELECT word, freq, seq FROM $prev
+        UNION ALL
+        SELECT word, freq,
+          list_slice(seq, 1, p - 1) || [l || r]
+            || list_slice(seq, CAST(p + 2 AS INT), len(seq)) AS seq
+        FROM (SELECT t.word, t.freq, t.seq, b.l, b.r,
+                ${occ("t", "b")} AS p
+              FROM a$i t LEFT JOIN b$i b ON true) s
+        WHERE p IS NOT NULL AND p > 0),
+      t$i AS (SELECT word, freq, seq FROM (
+          SELECT t.word, t.freq, t.seq, ${occ("t", "b")} AS p
+          FROM a$i t LEFT JOIN b$i b ON true) z
+        WHERE p IS NULL OR p = 0)"""
+    }
+    val unionAll = (1 to n).map { i =>
+      s"""SELECT CAST(${i - 1} AS BIGINT) AS merge_rank, l AS pair_left,
+        r AS pair_right, CAST(cnt AS BIGINT) AS pair_count FROM b$i"""
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+      w0 AS (SELECT toks[CAST(i + 1 AS INT)] AS word, count(*) AS freq
+          FROM (SELECT $sqlToks AS toks FROM documents),
+            LATERAL (SELECT unnest(range(len(toks))) AS i)
+          WHERE toks[CAST(i + 1 AS INT)] <> ''
+          GROUP BY 1),
+      t0 AS (SELECT word, freq,
+          list_transform(range(length(word)),
+            i -> substr(word, CAST(i + 1 AS INT), 1)) AS seq
+        FROM w0)""" + (1 to n).map(stage).mkString + "\n" + unionAll
+  }
+
   private val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "value", "query", "fast"),
     "de" -> Seq("window", "batch", "group", "merge"),
@@ -3265,6 +3322,27 @@ object LlmQueries {
           CAST(sum($sqlBpeIdCase) AS BIGINT) AS sum_ids
         FROM tokrows GROUP BY doc_id"""
       }),
+
+    // ---- L111: BPE merge TRAINING (the train side of q150/q151's
+    // apply): learn BpeTrainN merges from the documents corpus —
+    // per-round weighted pair counts over the distinct-word vocab,
+    // global argmax with the (count DESC, left, right) tie-break,
+    // incremental merge application (Bpe.trainMerges). The oracle
+    // replays the ENTIRE loop in DuckDB with one unrolled CTE block
+    // per round, so the output hash-matches only if every round's
+    // counts, tie-break, and left-to-right application agree — the
+    // train→publish→apply lifecycle is then closed end-to-end by
+    // q151's artifact gate on the apply side.
+    "q157_bpe_train" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val merges = graft.operators.Bpe.trainMerges(
+          docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)],
+          BpeTrainN)
+        merges.map { case (k, l, r, c) => (k.toLong, l, r, c) }
+          .toDF("merge_rank", "pair_left", "pair_right", "pair_count")
+      },
+      Some(sqlBpeTrainOracle(BpeTrainN))),
 
     // ---- baseline JPEG decode (L107 — the format the blocked list
     // carried since r6): fixtures are ENCODED by the JDK's own codec

@@ -106,6 +106,75 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("applyMergeCol == the Scala one-pass reference, fuzzed (incl. " +
+      "self-overlapping pairs and merged-token collisions)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "ab", "ba", "aa")
+    val seqs: Seq[Vector[String]] = (0 until 200).map { _ =>
+      Vector.fill(rnd.nextInt(9))(alphabet(rnd.nextInt(alphabet.size)))
+    }
+    for ((l, r) <- Seq("a" -> "b", "a" -> "a", "b" -> "a", "ab" -> "a", "a" -> "ab")) {
+      val got = seqs.toDF("seq")
+        .select(Bpe.applyMergeCol(col("seq"), l, r).as("m"))
+        .as[Seq[String]].collect()
+      val want = seqs.map(s => Bpe.applyMergeRef(s, l, r))
+      withClue(s"pair ($l,$r): ") {
+        got.map(_.toVector).toSeq shouldBe want
+      }
+    }
+  }
+
+  test("applyMergeRef: one-pass == repeated-leftmost (the oracle's " +
+      "formulation), fuzzed") {
+    def leftmostFix(seq: Vector[String], l: String, r: String): Vector[String] = {
+      var s = seq
+      var done = false
+      while (!done) {
+        val at = (0 until s.length - 1).find(i => s(i) == l && s(i + 1) == r)
+        at match {
+          case Some(i) => s = s.patch(i, Seq(l + r), 2)
+          case None    => done = true
+        }
+      }
+      s
+    }
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("a", "b", "c", "ab", "aa")
+    for (_ <- 0 until 500) {
+      val s = Vector.fill(rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.size)))
+      val l = alphabet(rnd.nextInt(alphabet.size))
+      val r = alphabet(rnd.nextInt(alphabet.size))
+      Bpe.applyMergeRef(s, l, r) shouldBe leftmostFix(s, l, r)
+    }
+  }
+
+  test("trainMerges: hand-computed fixture — weighted counts, " +
+      "lexicographic tie-break, incremental application") {
+    import spark.implicits._
+    // corpus: "abab" x2 docs, "aab abab" x1 -> word freqs: abab=3, aab=1
+    // round 0 pairs: abab: (a,b)x2,(b,a)x1 each x3; aab: (a,a),(a,b)
+    //   -> (a,b)=7, (b,a)=3, (a,a)=1 -> merge (a,b) cnt 7
+    // round 1: abab->[ab,ab]x3, aab->[a,ab]: (ab,ab)=3, (a,ab)=1
+    //   -> merge (ab,ab) cnt 3
+    // round 2: abab->[abab], aab->[a,ab]: only (a,ab)=1 -> merge it
+    // round 3: all words single-token -> exhausted early
+    val docs = Seq((1L, "abab"), (2L, "abab"), (3L, "aab abab"))
+      .toDS()
+    val got = Bpe.trainMerges(docs, nMerges = 10)
+    got shouldBe Seq(
+      (0, "a", "b", 7L), (1, "ab", "ab", 3L), (2, "a", "ab", 1L))
+  }
+
+  test("trainMerges tie-break is lexicographic on (left, right)") {
+    import spark.implicits._
+    // "ab" and "ba" pairs appear equally often: (a,b) wins over (b,a)
+    val docs = Seq((1L, "ab ba")).toDS()
+    val got = Bpe.trainMerges(docs, nMerges = 1)
+    got shouldBe Seq((0, "a", "b", 1L))
+  }
+
   test("guards: duplicate pair or duplicate output is rejected") {
     import spark.implicits._
     val df = Seq((1L, "ab")).toDF("doc_id", "text").as[(Long, String)]
