@@ -145,4 +145,54 @@ object Sampling {
     s"(CAST($weight AS DOUBLE) * 1152921504606846976e0" +
       s" / CAST(${TextFns.sqlHash60(s"CAST($key AS VARCHAR) || ':$salt'")}" +
       s" + 1 AS DOUBLE))"
+
+  /** L112 — EXACT-TOTAL proportional (stratified) sampling: sample
+    * exactly `total` rows overall, allocated across strata
+    * proportionally to their observed sizes with LARGEST-REMAINDER
+    * rounding (Hamilton's method: base = floor(total·n_s/N), then the
+    * (total − Σbase) strata with the largest remainders get +1, ties on
+    * the stratum value) — the allocation survey samplers and eval-set
+    * builders need when "about 10% per stratum" must land on an exact
+    * budget. Within each stratum the quota is filled by the smallest
+    * salted hashes ([[saltedHash]]): deterministic across runs, engines
+    * and partitionings, ties broken on the key. All arithmetic is
+    * integer (exact on both engines); `total` is capped at 1e6 so
+    * total·n_s can't overflow a long before strata reach ~9e12 rows.
+    *
+    * 100 TB shape: ONE corpus pass builds the per-stratum counts (a
+    * strata-bounded frame; the allocation windows over it are
+    * SinglePartition by construction but run on |strata| rows). The
+    * selection ranks within each stratum and CAPS the window at the
+    * literal `total` first — that literal bound is what compiles to
+    * WindowGroupLimit (per-task top-`total` heaps before the stratum
+    * shuffle), so the rank never materializes a full-stratum sort
+    * output; the exact per-stratum cut then applies the broadcast
+    * quota. Returns the input columns of the sampled rows. */
+  def proportionalSample(df: DataFrame, stratum: Column, key: Column,
+                         total: Long, salt: String): DataFrame = {
+    require(total > 0 && total <= 1000000L,
+      "total must be in [1, 1e6] (long-overflow bound on total * |stratum|)")
+    val everything = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = df.groupBy(stratum.as("_st")).agg(count(lit(1)).as("_n"))
+      // "_ntot", not "_N": Spark resolves column names case-insensitively
+      // by default, so a "_N" withColumn would silently REPLACE "_n"
+      .withColumn("_ntot", sum(col("_n")).over(everything))
+      .withColumn("_base", expr(s"CAST($total AS BIGINT) * _n DIV _ntot"))
+      .withColumn("_rem", expr(s"CAST($total AS BIGINT) * _n % _ntot"))
+      .withColumn("_def", lit(total) - sum(col("_base")).over(everything))
+      .withColumn("_rrk", row_number().over(
+        Window.orderBy(col("_rem").desc, col("_st").asc)))
+      .select(col("_st"),
+        (col("_base") + when(col("_rrk") <= col("_def"), 1L).otherwise(0L))
+          .as("_quota"))
+    val inCols = df.columns.map(col).toSeq
+    df.withColumn("_h", saltedHash(key, salt))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("_h"), key)))
+      .where(col("_rk") <= lit(total)) // literal cap -> WindowGroupLimit
+      .join(broadcast(quotas), stratum <=> col("_st"))
+      .where(col("_rk") <= col("_quota"))
+      .select(inCols: _*)
+  }
 }

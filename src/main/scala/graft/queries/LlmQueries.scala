@@ -1036,6 +1036,36 @@ object LlmQueries {
           SELECT doc_id, lang, n_chars FROM r WHERE rk <= 7"""
       }),
 
+    // ---- L112: EXACT-TOTAL proportional allocation (completes the
+    // sampling family: q48 is rate-based, q49 exact-n-per-stratum —
+    // this one hits an exact GLOBAL budget, allocated across langs by
+    // size with largest-remainder rounding; en's 218/500 share of 120
+    // is 52.32, so the fractional parts genuinely compete for the
+    // top-ups). All-integer arithmetic, salted-hash fill — the oracle
+    // recomputes the allocation and the pick independently.
+    "q158_proportional_sample" -> Query(
+      (s, dir) => Sampling.proportionalSample(docs(s, dir), col("lang"),
+          col("doc_id"), total = 120L, salt = "prop")
+        .select(col("doc_id"), col("lang")),
+      Some {
+        s"""WITH c AS (SELECT lang AS st, count(*) AS n
+              FROM documents GROUP BY 1),
+            tt AS (SELECT sum(n) AS ntot FROM c),
+            q0 AS (SELECT st, n, (120 * n) // ntot AS base,
+                (120 * n) % ntot AS rem FROM c, tt),
+            d AS (SELECT 120 - sum(base) AS def FROM q0),
+            q AS (SELECT st, base + CASE
+                WHEN row_number() OVER (ORDER BY rem DESC, st) <= def
+                THEN 1 ELSE 0 END AS quota FROM q0, d),
+            rk AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang ORDER BY
+                  ${sqlHash60("CAST(doc_id AS VARCHAR) || ':prop'")},
+                  doc_id) AS rk
+              FROM documents)
+          SELECT rk.doc_id, rk.lang FROM rk
+          JOIN q ON rk.lang = q.st WHERE rk.rk <= q.quota"""
+      }),
+
     // ---- end-to-end corpus curation flagship (the LLM-side analogue of
     // q34's scene pipeline): denylist scrub → token/quality gate →
     // exact-dedup keeper (single window shuffle on the content key) →

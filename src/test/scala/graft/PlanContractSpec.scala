@@ -57,7 +57,12 @@ class PlanContractSpec extends SparkSpec {
       "q137_hist_quantiles",
       // q138: the PR sweep windows run over the distinct-SCORE frame —
       // bounded by the score-quantization contract, not the corpus
-      "q138_pr_curve")
+      "q138_pr_curve",
+      // q158: the allocation windows (grand total, remainder rank) run
+      // over the per-stratum COUNTS frame — |strata| rows regardless of
+      // corpus size; the corpus-sized selection rank is stratum-
+      // partitioned and WindowGroupLimit-capped (dedicated test below)
+      "q158_proportional_sample")
     // Derived from the ONE shared classification (ADVICE r7): a second
     // hand-maintained list here drifted from QuerySets.sideEffecting and
     // made the sweep execute q142's parquet write / q146's codebook save
@@ -504,6 +509,18 @@ class PlanContractSpec extends SparkSpec {
     // union window all hash-keyed; no SinglePartition anywhere
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(lines.count(_.contains("Exchange hashpartitioning")) <= 3, p)
+  }
+
+  test("q158 proportional sample: WindowGroupLimit caps the stratum " +
+      "rank; the quota joins as a broadcast") {
+    val p = plan("q158_proportional_sample")
+    // the literal `total` cap before the quota filter is what lets the
+    // rank window prune to per-task top-N heaps instead of a full
+    // stratum sort output
+    assert(p.contains("WindowGroupLimit"), p)
+    // the strata-bounded quota frame must broadcast, never shuffle the
+    // corpus side for the join
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("connectedComponents output reads the checkpoint, not its input lineage") {

@@ -117,6 +117,56 @@ class SamplingSpec extends SparkSpec {
     again.sorted shouldBe out.sorted
   }
 
+  test("proportionalSample: exact total, largest-remainder allocation, " +
+      "determinism across partitionings") {
+    // strata sizes 100 (a), 100 (b), 100 (c): total 47 -> bases 15/15/15,
+    // remainders all equal (47*100 % 300 = 200) -> the 2 top-ups go to
+    // the lexicographically first strata: a 16, b 16, c 15
+    val out = Sampling.proportionalSample(df, col("grp"), col("id"), 47L, "p")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    out("a") shouldBe 16L
+    out("b") shouldBe 16L
+    out("c") shouldBe 15L
+    // skewed strata: 218/75/7 rows, total 60 -> bases 43/15/1 (sum 59),
+    // remainders 180/0/120 -> one top-up to the largest remainder (x)
+    val skew = ((1L to 218L).map((_, "x")) ++ (301L to 375L).map((_, "y"))
+      ++ (401L to 407L).map((_, "z"))).toDF("id", "grp")
+    val got = Sampling.proportionalSample(skew, col("grp"), col("id"), 60L, "p")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    got shouldBe Map("x" -> 44L, "y" -> 15L, "z" -> 1L)
+    // repartitioning must not change the membership
+    val a = Sampling.proportionalSample(skew, col("grp"), col("id"), 60L, "p")
+      .select("id").as[Long].collect().sorted
+    val b = Sampling.proportionalSample(skew.repartition(13), col("grp"),
+      col("id"), 60L, "p").select("id").as[Long].collect().sorted
+    b shouldBe a
+  }
+
+  test("proportionalSample: allocation never deviates from the exact " +
+      "share by a full row (Hamilton quota property), fuzzed") {
+    val rnd = new scala.util.Random(3)
+    for (trial <- 0 until 5) {
+      val sizes = (0 until 6).map(i => (s"s$i", 1 + rnd.nextInt(80)))
+      val rows = sizes.flatMap { case (g, n) =>
+        (0 until n).map(i => (trial * 100000L + g.hashCode.toLong * 1000 + i, g))
+      }
+      val n = rows.size
+      val total = 1 + rnd.nextInt(n)
+      val got = Sampling.proportionalSample(rows.toDF("id", "grp"),
+          col("grp"), col("id"), total.toLong, s"f$trial")
+        .groupBy("grp").count().as[(String, Long)].collect().toMap
+      got.values.sum shouldBe total.toLong
+      for ((g, sz) <- sizes) {
+        val exact = total.toDouble * sz / n
+        val q = got.getOrElse(g, 0L).toDouble
+        withClue(s"trial $trial stratum $g ($sz of $n, total $total): ") {
+          q should be >= math.floor(exact) - 1e-9
+          q should be <= math.ceil(exact) + 1e-9
+        }
+      }
+    }
+  }
+
   test("paddingWaste: hand-computed buckets, waste, and efficiency") {
     import graft.operators.Packing
     // lengths 3, 4, 5 with width 4 -> buckets 4, 4, 8
