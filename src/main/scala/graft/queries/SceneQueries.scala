@@ -1511,5 +1511,69 @@ object SceneQueries {
         FROM ck LEFT JOIN runs ON runs.user_id = ck.user_id
           AND ck.ts >= runs.ts
           AND (runs.ts_to IS NULL OR ck.ts < runs.ts_to)"""))
+  ,
+
+    // ---- L113: BUILT-IN watermark-TTL streaming dedup
+    // (dropDuplicatesWithinWatermark) — the q78 semantics through
+    // Spark's native operator instead of flatMapGroupsWithState: state
+    // is evicted when the watermark passes a key's first-seen event
+    // time plus the delay, so state is TTL-bounded by construction (the
+    // 100 TB story; q78's NoTimeout state grows with key cardinality).
+    // Determinism rule: the frame is projected to EXACTLY the dedup
+    // keys — (user, type, day) with the day itself as the event-time
+    // watermark column — so WHICH physical row survives is
+    // unobservable; and the delay exceeds the dataset's full time span,
+    // so no duplicate can outlive state and re-emit: the drained result
+    // is exactly batch DISTINCT, independent of micro-batch slicing.
+    "q159_stream_dedup_wm" -> Query(
+      (s, dir) => {
+        val ev = streamedEvents(s, dir)
+          .select(col("user_id"), col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .withWatermark("day", "40 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        drainToParquet(ev, "sdedupwm", dir)
+          .select(col("user_id"), col("event_type"), col("day"))
+      },
+      Some("""SELECT DISTINCT user_id, event_type,
+            CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+          FROM events""")),
+
+    // ---- L109b: interval-OVERLAP arm of the binned range join —
+    // purchase activity windows [ts, ts+12h) against click sessions
+    // [ts, ts+6h) for the same user, emitting each overlapping pair
+    // with its exact overlap length in integer microseconds. The
+    // first-shared-bucket election (`floor(max(starts)/w)` — a pure
+    // pair function) makes each pair meet EXACTLY once with no dedup
+    // pass; the oracle is the raw inequality join.
+    "q160_interval_overlap" -> Query(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val a = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event_id"),
+            col("ts").as("p_start"),
+            (col("ts") + expr("INTERVAL 12 HOURS")).as("p_end"))
+        val b = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_event_id"),
+            col("ts").as("c_start"),
+            (col("ts") + expr("INTERVAL 6 HOURS")).as("c_end"))
+        RangeJoin.intervalOverlap(a, "p_start", "p_end",
+            b, "c_start", "c_end",
+            key = "user_id", bucketMicros = 12L * 3600L * 1000000L)
+          .select(col("p_event_id"), col("c_event_id"), col("user_id"),
+            (least(unix_micros(col("p_end")), unix_micros(col("c_end"))) -
+              greatest(unix_micros(col("p_start")),
+                unix_micros(col("c_start")))).as("overlap_us"))
+      },
+      Some("""SELECT p.event_id AS p_event_id, c.event_id AS c_event_id,
+            p.user_id AS user_id,
+            least(epoch_us(p.ts + INTERVAL 12 HOURS),
+                  epoch_us(c.ts + INTERVAL 6 HOURS))
+              - greatest(epoch_us(p.ts), epoch_us(c.ts)) AS overlap_us
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id
+              AND p.ts < c.ts + INTERVAL 6 HOURS
+              AND c.ts < p.ts + INTERVAL 12 HOURS"""))
   )
 }

@@ -511,6 +511,19 @@ class PlanContractSpec extends SparkSpec {
     assert(lines.count(_.contains("Exchange hashpartitioning")) <= 3, p)
   }
 
+  test("q160 interval overlap: equi hash join, both sides exploded, " +
+      "no dedup aggregate after the join (first-shared-bucket law)") {
+    val p = plan("q160_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    // the uniqueness law means no distinct/dedup pass may follow the
+    // join: any aggregate above it would betray pair multiplication
+    val lines = p.linesIterator.toIndexedSeq
+    val joinAt = lines.indexWhere(l => l.contains("Join"))
+    assert(lines.take(joinAt).forall(l => !l.contains("HashAggregate")), p)
+  }
+
   test("q158 proportional sample: WindowGroupLimit caps the stratum " +
       "rank; the quota joins as a broadcast") {
     val p = plan("q158_proportional_sample")
