@@ -187,6 +187,22 @@ object SceneQueries {
         rho.as("rho"))
     val reg = staged.groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("mj"))
+    val est = hllEstimate(reg)
+    if (!withExactWitness) est
+    else {
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(broadcast(exact), Seq("event_type"))
+        .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
+          col("est_distinct"), col("exact_distinct"))
+    }
+  }
+
+  /** The register → estimate tail shared by [[hllDistinct]] (one-shot)
+    * and [[hllMergedDaily]] (two-level merge): harmonic estimator over
+    * the scaled register sum, with the Flajolet linear-counting
+    * correction for the small range. */
+  private def hllEstimate(reg: DataFrame): DataFrame = {
     val sums = reg.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hit"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).as("s_present"))
@@ -203,19 +219,41 @@ object SceneQueries {
       .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
         (lit(HllNum) / col("sum_scaled").cast("double")).as("est_raw"),
         (lit(256L) - col("n_buckets_hit")).as("v_empty"))
-    val est = withRaw
+    withRaw
       .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
         when(col("v_empty") > 0 && col("est_raw") <= lit(640.0),
           lit(256.0) * log(lit(256.0) / col("v_empty")))
           .otherwise(col("est_raw")).as("est_distinct"))
-    if (!withExactWitness) est
-    else {
-      val exact = ev.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_distinct"))
-      est.join(broadcast(exact), Seq("event_type"))
-        .select(col("event_type"), col("n_buckets_hit"), col("sum_scaled"),
-          col("est_distinct"), col("exact_distinct"))
-    }
+  }
+
+  /** L115 — the mergeable-sketch lifecycle (q162): build per-DAY HLL
+    * register sketches (the shape a production pipeline persists per
+    * partition/day), merge them across days by per-bucket MAX, and
+    * estimate from the merged registers. Because register max is
+    * associative and commutative, the two-level result is PROVABLY
+    * identical to [[hllDistinct]]'s one-shot sketch — which is exactly
+    * what the q162 oracle computes: the gate pins the mergeability law
+    * that makes sketches composable across partitions, days, and
+    * incremental-maintenance snapshots (the L114 companion).
+    *
+    * 100 TB shape: level 1 aggregates map-side to (type, day, bucket)
+    * registers — rows after the first partial aggregate are
+    * register-count-sized, never corpus-sized; the day→total merge and
+    * the estimate are register-frame work. */
+  def hllMergedDaily(ev: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    val h = TextFns.hash60(concat(lit("hll:"), col("user_id").cast("string")))
+    val w = shiftright(col("h"), 8)
+    val rho = when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w)))
+    val staged = ev.select(col("event_type"),
+        date_trunc("day", col("ts")).as("day"), h.as("h"))
+      .select(col("event_type"), col("day"), (col("h") % 256).as("bucket"),
+        rho.as("rho"))
+    val daily = staged.groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("mj")) // the per-day persisted sketch
+    val merged = daily.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("mj")).as("mj")) // cross-day merge = register max
+    hllEstimate(merged)
   }
 
   val all: Map[String, Query] = Map(
@@ -1574,6 +1612,75 @@ object SceneQueries {
           JOIN (SELECT * FROM events WHERE event_type = 'click') c
             ON p.user_id = c.user_id
               AND p.ts < c.ts + INTERVAL 6 HOURS
-              AND c.ts < p.ts + INTERVAL 12 HOURS"""))
+              AND c.ts < p.ts + INTERVAL 12 HOURS""")),
+
+    // ---- L114: incremental aggregate maintenance — the early half of
+    // the stream aggregated as the SNAPSHOT, the late half as the
+    // DELTA (midpoint data-derived in integer micros, the q91 rule),
+    // merged per user by Incremental.mergeStats. The oracle aggregates
+    // the WHOLE stream from scratch: the gate is the exactness law
+    // snapshot ⊕ delta == recompute, bit-exact — which holds because
+    // sums ride DECIMAL through the merge (integer unscaled addition
+    // is associative) and only the output casts to double. Both merge
+    // inputs arrive hash-partitioned by user_id from their aggregates,
+    // so the full-outer join adds NO exchange (plan-pinned: 2 total).
+    "q161_incremental_agg" -> Query(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("value"),
+            unix_micros(col("ts")).as("us"))
+        val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+          .select(expr("(mn + mx) div 2").as("mid"))
+        val split = ev.crossJoin(broadcast(mid))
+        def half(pred: org.apache.spark.sql.Column) =
+          split.where(pred).groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(18, 4))).as("sum_d"),
+              min(col("value")).as("min_value"),
+              max(col("value")).as("max_value"))
+        val merged = graft.operators.Incremental.mergeStats(
+          half(col("us") < col("mid")), half(col("us") >= col("mid")),
+          keys = Seq("user_id"), counts = Seq("n"), sums = Seq("sum_d"),
+          mins = Seq("min_value"), maxs = Seq("max_value"))
+        merged.select(col("user_id"), col("n"),
+          col("sum_d").cast("double").as("sum_value"),
+          col("min_value"), col("max_value"))
+      },
+      Some(s"""SELECT user_id, count(*) AS n,
+            ${sqlSum("value")} AS sum_value,
+            min(value) AS min_value, max(value) AS max_value
+          FROM events GROUP BY user_id""")),
+
+    // ---- L115: mergeable-sketch lifecycle — per-day HLL register
+    // sketches merged across days by per-bucket max, estimated from
+    // the merged registers (hllMergedDaily). The oracle is the
+    // ONE-SHOT sketch (q58's formulation, minus the exact witness):
+    // hashing the same, the gate pins the associativity law that
+    // makes sketches composable across partitions/days/snapshots.
+    "q162_hll_merge" -> Query(
+      (s, dir) => hllMergedDaily(Tables.events(s, dir)),
+      Some(s"""WITH h AS (SELECT event_type,
+            ${graft.functions.TextFns.sqlHash60("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+          FROM events),
+        b AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM h),
+        r AS (SELECT event_type, bucket,
+                max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mj
+              FROM b GROUP BY event_type, bucket),
+        s AS (SELECT event_type, count(*) AS n_hit,
+                sum(CAST(1 AS BIGINT) << (53 - mj)) AS s_present
+              FROM r GROUP BY event_type),
+        t AS (SELECT event_type,
+                CAST(n_hit AS BIGINT) AS n_buckets_hit,
+                CAST(s_present + (256 - n_hit) * ${1L << 53} AS BIGINT) AS sum_scaled
+              FROM s),
+        u AS (SELECT event_type, n_buckets_hit, sum_scaled,
+                CAST($HllNum AS DOUBLE) / CAST(sum_scaled AS DOUBLE) AS est_raw,
+                256 - n_buckets_hit AS v_empty
+              FROM t)
+        SELECT event_type, n_buckets_hit, sum_scaled,
+          CASE WHEN v_empty > 0 AND est_raw <= CAST(640.0 AS DOUBLE)
+               THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v_empty)
+               ELSE est_raw END AS est_distinct
+        FROM u"""))
   )
 }

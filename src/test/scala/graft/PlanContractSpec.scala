@@ -524,6 +524,30 @@ class PlanContractSpec extends SparkSpec {
     assert(lines.take(joinAt).forall(l => !l.contains("HashAggregate")), p)
   }
 
+  test("q161 incremental merge: the full-outer join reuses the " +
+      "aggregation partitioning — two exchanges for the whole pipeline") {
+    val p = plan("q161_incremental_agg")
+    val lines = p.linesIterator.toIndexedSeq
+    // one user_id exchange per half; the merge join must NOT add a
+    // third (both sides already hash-partitioned by the join key)
+    val ex = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(ex.size == 2 && ex.forall(_.contains("user_id")),
+      ex.mkString("\n"))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+  }
+
+  test("q162 sketch merge: corpus leaves the scan stage as registers " +
+      "(map-side partial max), never as raw rows") {
+    val p = plan("q162_hll_merge")
+    val lines = p.linesIterator.toIndexedSeq
+    // the first exchange must sit above a partial max aggregate — the
+    // corpus-sized frame never shuffles
+    val firstEx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(firstEx >= 0, p)
+    assert(lines.drop(firstEx).exists(_.contains("partial_max")), p)
+    assert(!p.contains("count(distinct"), p)
+  }
+
   test("q158 proportional sample: WindowGroupLimit caps the stratum " +
       "rank; the quota joins as a broadcast") {
     val p = plan("q158_proportional_sample")
