@@ -1066,6 +1066,71 @@ object LlmQueries {
           JOIN q ON rk.lang = q.st WHERE rk.rk <= q.quota"""
       }),
 
+    // ---- L116: ANALYZE-style table statistics — per-column row/null
+    // counts, lexicographic min/max over the stringified values, and an
+    // HLL distinct estimate, all from ONE corpus scan (the long-format
+    // explode + single register aggregation tree; a per-column
+    // count(distinct) would scan and shuffle the table once PER COLUMN
+    // — the CBO-stats anti-pattern at 100 TB). The oracle recomputes
+    // every column's stats independently with the q58 register replay.
+    "q163_table_stats" -> Query(
+      (s, dir) => graft.operators.Analyze.columnStats(
+        docs(s, dir), Seq("doc_id", "lang", "source", "n_chars")),
+      Some {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name,
+            (SELECT count(*) FROM documents) AS n,
+            (SELECT count(*) - count(CAST($c AS VARCHAR)) FROM documents)
+              AS n_nulls,
+            (SELECT CASE WHEN v_empty > 0 AND est_raw <= CAST(640.0 AS DOUBLE)
+                   THEN CAST(256.0 AS DOUBLE)
+                     * ln(CAST(256.0 AS DOUBLE) / v_empty)
+                   ELSE est_raw END
+             FROM (SELECT CAST(${graft.operators.Analyze.HllNum} AS DOUBLE)
+                     / CAST(sum_scaled AS DOUBLE) AS est_raw,
+                   256 - n_hit AS v_empty
+               FROM (SELECT CAST(count(*) AS BIGINT) AS n_hit,
+                     CAST(sum(CAST(1 AS BIGINT) << (53 - mj))
+                       + (256 - count(*)) * ${1L << 53} AS BIGINT)
+                       AS sum_scaled
+                 FROM (SELECT h % 256 AS bucket,
+                       max(CASE WHEN h // 256 = 0 THEN 53
+                           ELSE 53 - length(bin(h // 256)) END) AS mj
+                   FROM (SELECT ${sqlHash60(s"'an:' || CAST($c AS VARCHAR)")} AS h
+                         FROM documents WHERE $c IS NOT NULL)
+                   GROUP BY 1)))) AS n_distinct_est,
+            (SELECT min(CAST($c AS VARCHAR)) FROM documents) AS min_s,
+            (SELECT max(CAST($c AS VARCHAR)) FROM documents) AS max_s"""
+        Seq("doc_id", "lang", "source", "n_chars").map(one)
+          .mkString(" UNION ALL ")
+      }),
+
+    // ---- L117: deterministic range-shard layout (the ordered-layout
+    // sibling of q69's Z-order): shard ids from exact integer ranks
+    // over the VALUE histogram — never repartitionByRange, whose
+    // RangePartitioner samples with an RDD-id-seeded RNG (the round-2
+    // lost-rows lesson: two evaluations of one subtree saw different
+    // bounds). Gated output is the per-shard envelope (count + value
+    // range); the oracle recomputes the shard-of-value rule
+    // independently. Envelope disjointness/order is spec-pinned.
+    "q164_range_shards" -> Query(
+      (s, dir) => graft.operators.Layout.rangeShards(
+          docs(s, dir).select(col("doc_id"), col("n_chars")),
+          col("n_chars"), 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("n_chars")).as("min_key"),
+          max(col("n_chars")).as("max_key")),
+      Some {
+        val sv = graft.operators.Layout
+          .sqlRangeShardOfValue("documents", "n_chars", 16)
+        s"""WITH sv AS ($sv)
+          SELECT sv.shard, count(*) AS n_rows,
+            min(d.n_chars) AS min_key, max(d.n_chars) AS max_key
+          FROM documents d JOIN sv ON d.n_chars = sv.n_chars
+          GROUP BY 1"""
+      }),
+
     // ---- end-to-end corpus curation flagship (the LLM-side analogue of
     // q34's scene pipeline): denylist scrub → token/quality gate →
     // exact-dedup keeper (single window shuffle on the content key) →

@@ -1681,6 +1681,59 @@ object SceneQueries {
           CASE WHEN v_empty > 0 AND est_raw <= CAST(640.0 AS DOUBLE)
                THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v_empty)
                ELSE est_raw END AS est_distinct
-        FROM u"""))
+        FROM u""")),
+
+    // ---- L118: multi-touch attribution — every purchase's credit
+    // split across the user's clicks in the trailing 24 h window
+    // (linear attribution), in INTEGER parts-per-million with the
+    // largest-remainder rule (base = 1e6 div n; the 1e6 mod n earliest
+    // clicks get +1) — so each purchase distributes EXACTLY 1,000,000
+    // ppm and every credit is integer-portable (a double 1/n split is
+    // neither exact nor associative; ad-spend ledgers reconcile on
+    // integer micro-units for the same reason). Candidate pairs come
+    // from the L109 binned range join; per-purchase rank + count are
+    // one window pass; per-click totals one aggregation.
+    "q165_attribution" -> Query(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val iv = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event_id"),
+            (col("ts") - expr("INTERVAL 24 HOURS")).as("w_start"),
+            col("ts").as("w_end"))
+        val pts = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_event_id"),
+            col("ts").as("c_ts"))
+        val pairs = RangeJoin.pointInInterval(pts, "c_ts", iv,
+          "w_start", "w_end", key = "user_id",
+          bucketMicros = 24L * 3600L * 1000000L)
+        val w = Window.partitionBy(col("p_event_id"))
+        val ranked = pairs
+          .withColumn("_rk", row_number().over(
+            w.orderBy(col("c_ts"), col("c_event_id"))))
+          .withColumn("_n", count(lit(1)).over(w))
+          .withColumn("credit_ppm",
+            expr("1000000 div _n") +
+              when(col("_rk") <= expr("1000000 % _n"), 1L).otherwise(0L))
+        ranked.groupBy(col("c_event_id"), col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("credit_ppm")).as("credit_ppm"))
+      },
+      Some("""WITH pairs AS (SELECT p.event_id AS p_event_id,
+              c.event_id AS c_event_id, p.user_id, c.ts AS c_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+                AND c.ts >= p.ts - INTERVAL 24 HOURS AND c.ts < p.ts),
+          r AS (SELECT *,
+              row_number() OVER (PARTITION BY p_event_id
+                ORDER BY c_ts, c_event_id) AS rk,
+              count(*) OVER (PARTITION BY p_event_id) AS n
+            FROM pairs)
+        SELECT c_event_id, user_id,
+          count(*) AS n_purchases,
+          CAST(sum(1000000 // n
+            + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END) AS BIGINT)
+            AS credit_ppm
+        FROM r GROUP BY 1, 2"""))
   )
 }
