@@ -429,13 +429,27 @@ object Dedup {
     * costs, so the pair paid it twice. Entries are keyed by session +
     * params and matched by `LogicalPlan.sameResult` on a normalized
     * input signature (never by hashCode alone — a collision here would
-    * silently serve another corpus's index). The cached frames hang
-    * off localCheckpoint blocks that live until the session ends —
-    * bounded: one slim posting-set frame per (corpus, params) pair a
-    * run actually touches. */
+    * silently serve another corpus's index).
+    *
+    * Lifecycle (ADVICE r8): sessions are held via WEAK references and
+    * entries whose session was collected or whose context stopped are
+    * pruned on every lookup — a long-lived JVM hosting many sessions
+    * (test suites, notebook kernels) never accumulates dead
+    * checkpoint-pinning frames. The global lock covers only the list
+    * scan/insert; the Spark jobs of the build run under a PER-ENTRY
+    * lock, so concurrent sessions building different indexes never
+    * serialize on each other. Caveat (documented, not detected): the
+    * signature is the logical plan — rewriting the same input PATH
+    * with different data mid-session serves the stale frame; new data
+    * belongs in a new session or a new path. */
+  private final class IndexEntry(
+      val sessionRef: java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      val shingleN: Int, val maxDf: Int,
+      val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) {
+    @volatile var frame: DataFrame = _
+  }
   private val postingIndexCache =
-    scala.collection.mutable.ListBuffer.empty[(Int, Int, Int,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+    scala.collection.mutable.ListBuffer.empty[IndexEntry]
 
   /** The materialized PAIR-STATS frame: one row per intersecting doc
     * pair — (doc_a, doc_b, ni, na, nb) with doc_a < doc_b, ni = shared
@@ -447,18 +461,32 @@ object Dedup {
                                          shingleN: Int, maxDf: Int): DataFrame = {
     val input = docs.select(idCol.as("doc_id"), sourceCol.as("source"),
       text.as("_text"))
-    val sessionId = System.identityHashCode(docs.sparkSession)
+    val session = docs.sparkSession
     val sig = input.queryExecution.analyzed
-    postingIndexCache.synchronized {
-      postingIndexCache.find { case (s, n, df, plan, _) =>
-        s == sessionId && n == shingleN && df == maxDf && plan.sameResult(sig)
-      } match {
-        case Some((_, _, _, _, cached)) => cached
-        case None =>
-          val built = buildCappedPairStats(input, shingleN, maxDf)
-          postingIndexCache += ((sessionId, shingleN, maxDf, sig, built))
-          built
+    // find-or-insert under the global lock (list scan only — no Spark
+    // jobs run while holding it), pruning dead sessions as we pass
+    val entry = postingIndexCache.synchronized {
+      postingIndexCache.filterInPlace { e =>
+        val s = e.sessionRef.get()
+        s != null && !s.sparkContext.isStopped
       }
+      postingIndexCache.find { e =>
+        (e.sessionRef.get() eq session) && e.shingleN == shingleN &&
+          e.maxDf == maxDf && e.plan.sameResult(sig)
+      }.getOrElse {
+        val e = new IndexEntry(
+          new java.lang.ref.WeakReference(session), shingleN, maxDf, sig)
+        postingIndexCache += e
+        e
+      }
+    }
+    // the build's Spark jobs run under the entry's own lock: a second
+    // caller for the SAME index waits for it, callers for other
+    // indexes (other sessions / params) proceed concurrently
+    entry.synchronized {
+      if (entry.frame == null)
+        entry.frame = buildCappedPairStats(input, shingleN, maxDf)
+      entry.frame
     }
   }
 

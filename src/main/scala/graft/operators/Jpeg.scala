@@ -272,8 +272,13 @@ object Jpeg {
       }
       Some(result)
     } catch {
+      // OutOfMemoryError is deliberately NOT caught (ADVICE r8):
+      // mapping it to valid=false would disguise genuine executor
+      // memory pressure as a data-quality signal. Allocation size is
+      // instead bounded up front (pixel cap + Long plane-byte cap in
+      // decodeScan), so a crafted header can't reach a huge allocation.
       case e@(_: Malformed | _: ArrayIndexOutOfBoundsException |
-           _: NegativeArraySizeException | _: OutOfMemoryError) =>
+           _: NegativeArraySizeException) =>
         if (sys.props.contains("graft.jpeg.debug")) e.printStackTrace()
         None
     }
@@ -293,9 +298,16 @@ object Jpeg {
       if (quant(c.tq) == null || huffDc(c.td) == null || huffAc(c.ta) == null)
         throw new Malformed
     }
-    // per-component plane at its own sampled resolution
+    // per-component plane at its own sampled resolution; the pixel cap
+    // above does NOT bound plane sizes (a 2^26×1 image with 4×
+    // sampling has a 2^31-entry plane whose Int product wraps), so
+    // bound the per-plane element count in LONG before allocating
     val planeW = comps.map(c => mcusX * 8 * c.h)
     val planeH = comps.map(c => mcusY * 8 * c.v)
+    comps.indices.foreach { i =>
+      if (planeW(i).toLong * planeH(i) > 128L * 1024 * 1024)
+        throw new Malformed
+    }
     val planes = Array.tabulate(comps.length)(i =>
       new Array[Int](planeW(i) * planeH(i)))
     val br = new BitReader(b, start)

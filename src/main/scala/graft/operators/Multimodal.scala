@@ -302,7 +302,20 @@ object Multimodal {
       concat(hx(x.cast("long") / 16777216), hx(x.cast("long") / 65536),
         hx(x.cast("long") / 256), hx(x))
     val dlen = size(raw)
-    val h = (dlen / w).cast("int")
+    // Loud misuse guards (ADVICE r8), inside consumed expressions so
+    // the optimizer cannot prune them:
+    //  - fewer than `w` pixels → a zero-row raster, which the PARSER
+    //    rightly rejects (valid=false) while a naive oracle says
+    //    valid=true — fail the generator instead of diverging silently;
+    //  - a stored deflate block frames LEN as 16 bits — a raster whose
+    //    filtered scanlines exceed 65535 bytes would silently wrap
+    //    LEN/NLEN into a corrupt container.
+    val h = when(dlen >= w && (dlen / w) * (w + 1) <= 65535,
+        (dlen / w).cast("int"))
+      .otherwise(raise_error(concat(
+        lit(s"pngPayload: raster must have >= 1 full row of width $w " +
+          "and filtered size <= 65535 bytes (got "), dlen,
+        lit(" pixel bytes)")).cast("string")).cast("int"))
     val rawArr = raw
     // forward-filtered scanlines: row r gets filter type r % 5; a/b/c
     // are the RAW left/up/up-left neighbors (the spec filters over

@@ -110,15 +110,19 @@ object NcClassic {
       off += 8; if (v < 0) fail(); v
     }
     def pad4(n: Int): Int = (n + 3) & ~3
+    // bounds arithmetic in LONG: a crafted header with n near 2^31/sz
+    // wraps `n * sz` (and pad4) in Int, slipping past the length check
+    // into a huge allocation / out-of-bounds read (ADVICE r8)
+    def pad4L(n: Long): Long = (n + 3) & ~3L
     def name(): String = {
-      val n = i32(); if (n < 0 || off + pad4(n) > b.length) fail()
+      val n = i32(); if (n < 0 || off.toLong + pad4L(n.toLong) > b.length) fail()
       val s = new String(b, off, n, US_ASCII); off += pad4(n); s
     }
     def attr(): NcAttr = {
       val nm = name(); val t = i32(); val n = i32()
       if (n < 0) fail()
       val sz = typeSize(t)
-      if (off + pad4(n * sz) > b.length) fail()
+      if (off.toLong + pad4L(n.toLong * sz) > b.length) fail()
       val start = off
       val (text, nums) =
         if (t == NcChar) (new String(b, start, n, US_ASCII), Array.empty[Double])
@@ -162,7 +166,14 @@ object NcClassic {
         NcVar(nm, dimIds, vatts, t, vsize, begin)
       }
       Some(NcHeader(version, numRecs, dims, gatts, vars))
-    } catch { case _: Malformed | _: IllegalArgumentException => None }
+    } catch {
+      // IOOBE/NegativeArraySize as defense-in-depth behind the Long
+      // bounds checks — a malformed header must yield None, never a
+      // stage-killing throw (the q134 never-throw contract)
+      case _: Malformed | _: IllegalArgumentException |
+           _: IndexOutOfBoundsException | _: NegativeArraySizeException =>
+        None
+    }
   }
 
   /** One big-endian element at `off`, widened to double (exact for all
@@ -404,7 +415,13 @@ object NcClassic {
     def be32(x: Column): Column =
       concat(b(sh(x, 16777216)), b(sh(x, 65536)), b(sh(x, 256)), b(x))
     val dlen = length(data)            // multiple of 3 by contract
-    val h = (dlen / 3).cast("long")
+    // loud guard (ADVICE r8): < 3 bytes would synthesize a zero-length
+    // `line` dim the parser rightly rejects while a naive oracle says
+    // valid=true — fail the generator instead of diverging silently
+    val h = when(dlen >= 3, (dlen / 3).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("ncPayload: data must hold >= 1 full 3-byte row (got "),
+        dlen, lit(" bytes)")).cast("string")).cast("long"))
     val pj = (floor((junkLen + 3) / 4) * 4).cast("long")
     val begin = lit(120) + pj + (version - 1) * 4
     val hexAll = concat(
