@@ -154,6 +154,9 @@ object LlmQueries {
   /** q53 contamination threshold: an eval doc is contaminated by a train
     * doc when they share at least this many distinct shingles. */
   private val ContamMinShared = 5
+  /** q167: Jaccard threshold above which the higher-id doc of a
+    * verified near-dup pair is dropped. */
+  private val NearDupJ = 0.8
 
   /** q54 repetition gates, integer-pure: repetitive iff duplicate
     * 2-grams exceed 1/Dup2Den of all 2-grams OR the mode token covers
@@ -553,6 +556,154 @@ object LlmQueries {
     // pairs (VERDICT r3 #5). Dropping block-ubiquitous shingles is the
     // standard stop-word move — they carry no near-dup signal anyway.
     // Blocking key = source; cross-block near-dups are MinHash-LSH (q25).
+    // ---- the 100 TB DRESS-REHEARSAL flagship (VERDICT r8 #5): one DAG
+    // chaining the full curation line — L19/L42 scrub → L8 quality
+    // gate → L1 exact dedup → L2 MinHash-LSH near-dedup → L22
+    // decontamination vs the eval source → L21 sequence packing per
+    // source → L41 chunk-level weighted-round-robin mixture schedule →
+    // L117 deterministic range-shard layout over the schedule's
+    // virtual time (chunks that train together land in the same shard
+    // file). Every stage is the SAME operator the stage's own gate
+    // pins (q50/q24/q25/q88/q143/q77/q164 semantics), composed; what
+    // this gate adds is the COMPOSITION: survivors of each stage feed
+    // the next, and the oracle replays the entire line as one CTE
+    // chain — a drop lost or duplicated anywhere breaks the hash.
+    // Plan shape pinned in PlanContractSpec (total exchange budget, no
+    // SinglePartition, no NLJ).
+    "q167_curation_flagship" -> Query(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+        val evalDocs = d.where(col("source") === "src0")
+        val train = d.where(col("source") =!= "src0")
+        // scrub + quality gate (the q50 stage, minus sampling)
+        val scrub = train.select(col("doc_id"), col("lang"), col("source"),
+          col("text"), Dedup.contentKey(col("text")).as("ckey"),
+          tokens(TextFns.redactDenylist(col("text"), DenyTerms, ScrubToken))
+            .as("toks"))
+        val stats = scrub.select(col("doc_id"), col("lang"), col("source"),
+          col("text"), col("ckey"), size(col("toks")).as("n_tokens"),
+          size(filter(col("toks"), t => t.isin(StopWords: _*))).as("stops"))
+        val gated = stats.where(col("n_tokens") >= CurateMinTokens &&
+          col("stops") * 50 >= col("n_tokens"))
+        // exact dedup: keep the min doc_id per content key
+        val keepers = gated
+          .withColumn("_keep",
+            min(col("doc_id")).over(Window.partitionBy(col("ckey"))))
+          .where(col("doc_id") === col("_keep"))
+          .drop("_keep", "ckey", "stops")
+        // near-dedup: banded LSH candidates, Jaccard-verified; drop the
+        // HIGHER id of every confirmed pair (doc_a < doc_b by
+        // construction, so survivors are the per-pair minima)
+        val sigs = Dedup.minhashSignatures(keepers, col("doc_id"),
+          col("text"), ShingleN, NumHashes)
+        val cand = Dedup.lshCandidatePairs(sigs, NumBands, RowsPerBand)
+        val sets = Dedup.shingleSets(keepers, col("doc_id"), col("text"),
+          ShingleN)
+        val nearDup = Dedup.jaccardVerify(cand, sets)
+          .where(col("jaccard") >= NearDupJ)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val uniq = keepers.join(nearDup, Seq("doc_id"), "left_anti")
+        // decontamination: drop survivors sharing >= ContamMinShared
+        // distinct shingles with the eval source (the q88 stage)
+        val contaminated = BloomPrune.contaminatedTrainDocs(evalDocs, uniq,
+            col("doc_id"), col("text"), ShingleN, ContamMinShared)
+          .select(col("t_id").as("doc_id"))
+        val clean = uniq.join(contaminated, Seq("doc_id"), "left_anti")
+        // pack per source (the q143 stage), then the chunk-level
+        // weighted round-robin schedule (the q77 law lifted to chunks)
+        val spans = Packing.packSpans(
+          clean.select(col("doc_id"), col("source"), col("n_tokens")),
+          col("source"), col("doc_id"), col("n_tokens"), PackBudget, "flag")
+        val w = (lit(1) + regexp_extract(col("source"), "([0-9]+)", 1)
+          .cast("int") % 3).cast("double")
+        val chunks = spans.groupBy(col("source"), col("chunk_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("doc_off") > 0, 1L).otherwise(0L)).as("n_carried"),
+            sum(col("span_len")).as("chunk_tokens"))
+          .withColumn("sched_vt", (col("chunk_id").cast("double") + 1) / w)
+        // shard layout over the schedule's virtual time (the q164
+        // operator): disjoint ordered vt ranges per shard
+        graft.operators.Layout.rangeShards(chunks, col("sched_vt"), NumShards)
+          .select(col("source"), col("chunk_id"), col("n_spans"),
+            col("n_carried"), col("chunk_tokens"), col("sched_vt"),
+            col("shard"))
+      },
+      Some {
+        val stopsIn = StopWords.map(w => s"'$w'").mkString(", ")
+        val lsh = sqlLshPairsCtesFrom("keepers")
+        val svCte = graft.operators.Layout
+          .sqlRangeShardOfValue("shardkeys", "k", NumShards)
+        s"""WITH evd AS (SELECT * FROM documents WHERE source = 'src0'),
+          trd AS (SELECT * FROM documents WHERE source <> 'src0'),
+          s0 AS (SELECT doc_id, lang, source, text,
+              md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS ckey,
+              string_split_regex(trim(${sqlRedactDenylist("text", DenyTerms, ScrubToken)}),
+                '\\s+') AS rtoks
+            FROM trd),
+          s1 AS (SELECT doc_id, lang, source, text, ckey,
+              len(rtoks) AS n_tokens,
+              len(list_filter(rtoks, t -> t IN ($stopsIn))) AS stops
+            FROM s0),
+          gated AS (SELECT * FROM s1
+            WHERE n_tokens >= $CurateMinTokens AND stops * 50 >= n_tokens),
+          keepers AS (SELECT doc_id, lang, source, text, n_tokens FROM
+            (SELECT *, min(doc_id) OVER (PARTITION BY ckey) AS keep
+             FROM gated) WHERE doc_id = keep),
+          $lsh,
+          nd AS (SELECT DISTINCT doc_b AS doc_id
+            FROM pairs JOIN sets sa ON pairs.doc_a = sa.doc_id
+                       JOIN sets sb ON pairs.doc_b = sb.doc_id
+            WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                / (len(sa.shset) + len(sb.shset)
+                   - len(list_intersect(sa.shset, sb.shset))) >= $NearDupJ),
+          uniq AS (SELECT * FROM keepers
+            WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+          evsh AS (SELECT DISTINCT unnest(list_distinct(
+              ${sqlShingleHashes(sqlToks, ShingleN)})) AS h FROM evd),
+          trsh AS (SELECT doc_id AS t_id, unnest(list_distinct(
+              ${sqlShingleHashes(sqlToks, ShingleN)})) AS h
+            FROM uniq),
+          contaminated AS (SELECT t_id FROM trsh JOIN evsh USING (h)
+            GROUP BY t_id HAVING count(*) >= $ContamMinShared),
+          clean AS (SELECT * FROM uniq
+            WHERE doc_id NOT IN (SELECT t_id FROM contaminated)),
+          pk AS (SELECT doc_id, source, n_tokens,
+              ${sqlHash60("CAST(doc_id AS VARCHAR) || ':flag'")} AS ph
+            FROM clean),
+          pc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY ph, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM pk),
+          st AS (SELECT doc_id, source, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS st0
+                 FROM pc WHERE n_tokens > 0),
+          sp AS (SELECT doc_id, source, n_tokens, st0,
+                   unnest(range(st0 // $PackBudget,
+                     (st0 + n_tokens - 1) // $PackBudget + 1)) AS chunk_id
+                 FROM st),
+          spans AS (SELECT source, chunk_id,
+              greatest(st0, chunk_id * $PackBudget) - st0 AS doc_off,
+              least(st0 + n_tokens, (chunk_id + 1) * $PackBudget)
+                - greatest(st0, chunk_id * $PackBudget) AS span_len
+            FROM sp),
+          chunks AS (SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+              count(*) AS n_spans,
+              CAST(sum(CASE WHEN doc_off > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_carried,
+              CAST(sum(span_len) AS BIGINT) AS chunk_tokens,
+              (CAST(chunk_id AS DOUBLE) + 1)
+                / (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3)
+                AS sched_vt
+            FROM spans GROUP BY source, chunk_id),
+          shardkeys AS (SELECT sched_vt AS k FROM chunks),
+          sv AS ($svCte)
+        SELECT c.source, c.chunk_id, c.n_spans, c.n_carried,
+          c.chunk_tokens, c.sched_vt, sv.shard
+        FROM chunks c JOIN (SELECT DISTINCT k, shard FROM sv) sv
+          ON c.sched_vt = sv.k"""
+      }),
+
     // ---- the SHARED q27/q139 capped-index build as an EXPLICIT gated
     // stage (VERDICT r8 #4): the memoized pair-stats frame used to be
     // built by whichever consumer the sweep ran first (q139 by sort

@@ -1734,6 +1734,94 @@ object SceneQueries {
           CAST(sum(1000000 // n
             + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END) AS BIGINT)
             AS credit_ppm
-        FROM r GROUP BY 1, 2"""))
+        FROM r GROUP BY 1, 2""")),
+
+    // ---- S1's NetCDF-4 arm de-blocked (VERDICT r8 #3): each doc's
+    // bytes are wrapped into a REAL HDF5 container (the format behind
+    // HDF5-backed `.nc` — `build_dataset.py:28` opens them via the
+    // netCDF4 library) by the dependency-free subset writer
+    // (graft.sources.Hdf5): superblock v0 for even doc_ids (v1 B-tree
+    // + local heap + SNOD group), v2 for odd (link messages + lookup3
+    // checksums); contiguous layout except every third doc, which goes
+    // CHUNKED (4×3 chunks, v1 chunk B-tree) with deflate when odd —
+    // the structure matrix a real netCDF4-written file draws from.
+    // Parsed back by the imperative reader; the signed-byte sums are
+    // computed through TWO banded reads (row halves), so the chunk
+    // intersection / banded-seek path is inside the hash. The oracle
+    // emits the TRUTH fields the container was synthesized from (the
+    // q147 pattern, hex signed-byte trick included).
+    "q166_hdf5" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            import graft.sources.Hdf5
+            it.map { case (id, text) =>
+              val tb = text.getBytes("UTF-8")
+              val h = tb.length / 3
+              val cells = Array.tabulate(h * 3)(i => tb(i).toDouble)
+              val dist = Array.tabulate(h * 3)(i => (i % 3) * 3.0)
+              val sbVer = (id % 2).toInt * 2
+              val chunk = if (id % 3 == 0) Some((4, 3)) else None
+              val deflate = if (id % 3 == 0 && id % 2 == 1) 6 else 0
+              val bytes = Hdf5.writeBytes(Seq(
+                Hdf5.H5Var("dist", Hdf5.TFloat64, h, 3, dist, chunk, deflate),
+                Hdf5.H5Var("sig", Hdf5.TInt8, h, 3, cells, chunk, deflate)),
+                sbVer)
+              val src = new Hdf5.ArraySource(bytes)
+              Hdf5.parse(src) match {
+                case Some(f) =>
+                  val sig = f.datasets.find(_.name == "sig").get
+                  val distDs = f.datasets.find(_.name == "dist").get
+                  val h0 = h / 2
+                  val top = Hdf5.readRows(src, sig, 0, h0)
+                  val bot = Hdf5.readRows(src, sig, h0, h - h0)
+                  val byteSum = (top.iterator ++ bot.iterator)
+                    .foldLeft(0L)((a, v) => a + v.toLong)
+                  val energy = (top.iterator ++ bot.iterator)
+                    .foldLeft(0L)((a, v) => a + v.toLong * v.toLong)
+                  val distSum = Hdf5.readRows(src, distDs, 0, h)
+                    .foldLeft(0L)((a, v) => a + v.toLong)
+                  (id, f.superblockVersion.toLong,
+                    f.datasets.length.toLong, sig.layoutClass.toLong,
+                    sig.deflated, sig.chunks.length.toLong,
+                    sig.dims(0), 3L, byteSum, energy, distSum, true)
+                case None =>
+                  (id, -1L, 0L, -1L, false, 0L, 0L, 0L, 0L, 0L, 0L, false)
+              }
+            }
+          }
+          .toDF("media_id", "sb_version", "n_datasets", "layout_class",
+            "deflated", "n_chunks", "n_rows", "n_cols", "byte_sum",
+            "energy", "dist_sum", "valid")
+      },
+      Some {
+        def nib(pos: String) =
+          s"(strpos('0123456789ABCDEF', substr(hx, CAST($pos AS INT), 1)) - 1)"
+        val u = s"(${nib("i * 2 + 1")} * 16 + ${nib("i * 2 + 2")})"
+        val sb = s"(CASE WHEN $u >= 128 THEN $u - 256 ELSE $u END)"
+        s"""WITH m AS (SELECT doc_id AS media_id,
+              octet_length(encode(text)) // 3 AS h,
+              doc_id % 2 AS odd, doc_id % 3 AS m3,
+              hex(encode(text)) AS hx
+            FROM documents),
+          e AS (SELECT media_id, h, odd, m3,
+              COALESCE(CAST(list_sum(list_transform(range(h * 3), i ->
+                $sb)) AS BIGINT), 0) AS byte_sum,
+              COALESCE(CAST(list_sum(list_transform(range(h * 3), i ->
+                $sb * $sb)) AS BIGINT), 0) AS energy
+            FROM m)
+        SELECT media_id, CAST(odd * 2 AS BIGINT) AS sb_version,
+          CAST(2 AS BIGINT) AS n_datasets,
+          CAST(CASE WHEN m3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS layout_class,
+          (m3 = 0 AND odd = 1) AS deflated,
+          CAST(CASE WHEN m3 = 0 THEN (h + 3) // 4 ELSE 0 END AS BIGINT)
+            AS n_chunks,
+          CAST(h AS BIGINT) AS n_rows, CAST(3 AS BIGINT) AS n_cols,
+          byte_sum, energy, CAST(9 * h AS BIGINT) AS dist_sum,
+          true AS valid
+        FROM e"""
+      })
   )
 }

@@ -560,6 +560,39 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q167 flagship: exchanges key only on the stage keys; NLJs are " +
+      "broadcast-bounded; every SinglePartition is a scalar/sketch merge") {
+    val p = plan("q167_curation_flagship")
+    // The printed tree re-expands shared subtrees (keepers feeds four
+    // consumers), so RAW exchange-line counts are meaningless; the
+    // semantic contract is the SET of shuffle keys — the pipeline may
+    // shuffle only on: ckey (exact dedup window), doc_id (near-dup
+    // verify + anti joins), h (shingle/LSH bucket machinery), source
+    // (pack window + chunk agg), sched_vt + _rs_b + shard (the
+    // range-shard layout). A corpus-sized shuffle on anything else —
+    // text, toks, an accidental global sort — breaks the budget.
+    val keyRe = "hashpartitioning\\(([A-Za-z_0-9#]+)".r
+    val keys = keyRe.findAllMatchIn(p)
+      .map(_.group(1).replaceAll("#[0-9]+L?", "")).toSet
+    assert(keys == Set("ckey", "doc_id", "h", "source", "sched_vt",
+      "_rs_b", "shard"), s"unexpected shuffle keys: $keys")
+    // rangeShards' containment join and scalar-frame cross joins are
+    // the only nested-loop joins, and all broadcast the bounded side
+    val lines = p.linesIterator.toIndexedSeq
+    lines.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("BuildRight") || l.contains("BuildLeft"), l)
+    }
+    // every SinglePartition exchange merges keyless partials (scalar
+    // min/max frames, bloom sketch) — never data rows (the global
+    // sweep above also enforces this; restated here so the flagship's
+    // contract is self-contained)
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (l, i) =>
+        assert(lines.lift(i + 1).exists(
+          _.contains("HashAggregate(keys=[], functions=[partial_")), l)
+      }
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")

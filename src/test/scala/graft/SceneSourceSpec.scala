@@ -229,4 +229,38 @@ class SceneSourceSpec extends SparkSpec {
       .select("line", "sample", "sar_primary")
     got.collect().map(_.toSeq).toSet shouldBe want.collect().map(_.toSeq).toSet
   }
+
+  for ((label, sbVer, chunk, deflate) <- Seq(
+      ("v0 superblock, contiguous", 0, None, 0),
+      ("v2 superblock, chunked+deflate", 2, Some((3, 8)), 6)))
+    test(s"REAL HDF5 codec ($label): on-disk NetCDF-4-family scenes through " +
+        "banded DSv2 planning, bit-identical to fixtures") {
+      // VERDICT r8 #3 — the NetCDF-4 arm of the seam: scene files are
+      // genuine HDF5 bytes on disk (subset writer, NOT the parser
+      // under test), read back via option("codec", Hdf5SceneCodec).
+      // The chunked+deflate variant is what netCDF4-python writes by
+      // default; chunk rows (3) deliberately misalign with the band
+      // split (3-line bands over 8 rows) so banded reads cross chunk
+      // boundaries.
+      val dir = java.nio.file.Files.createTempDirectory(s"h5_scenes_$sbVer").toFile
+      try {
+        graft.sources.Hdf5SceneCodec.writeFixtureScenes(dir, 2, 8, 8,
+          sbVer, chunk, deflate)
+        val df = spark.read.format("graft-scene")
+          .option("scenes", 2).option("height", 8).option("width", 8)
+          .option("bandLines", 3)
+          .option("codec", classOf[graft.sources.Hdf5SceneCodec].getName)
+          .option("path", dir.getAbsolutePath)
+          .load()
+        val got = df.collect().map(_.toSeq).toSet
+        val want = SceneFixtures.pixels(spark, 2, 8, 8).collect().map(_.toSeq).toSet
+        got shouldBe want
+        scanPartitions(df.filter(col("scene") === "sc1")) shouldBe 3
+        scanPartitions(df.filter(col("line") >= 6)) shouldBe 2
+        val scans = df.select("line", "distance_map").queryExecution.executedPlan
+          .collect { case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq }
+        scans shouldBe Seq(Seq("line", "distance_map"))
+        df.select("line", "distance_map").distinct().count() shouldBe 8L * 8
+      } finally rm(dir)
+    }
 }
