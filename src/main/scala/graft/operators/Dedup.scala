@@ -126,6 +126,84 @@ object Dedup {
           .otherwise("clean").as("verdict"))
   }
 
+  /** L119 — the persisted dedup-signature LEDGER (the S5 ledger
+    * carrying dedup state, VERDICT r8 #6): one row per existing doc —
+    * (doc_id, ckey, sig) — everything the append-triage decision needs
+    * about the old side, so the nightly batch never re-reads (or even
+    * retains) old TEXT. Docs with no shingles carry a null `sig` (they
+    * cannot near-dup, the corpus-wide convention) but still contribute
+    * their digest to the exact arm. */
+  def dedupLedger(docs: DataFrame, idCol: Column, text: Column,
+                  shingleN: Int, numHashes: Int): DataFrame =
+    docs.select(idCol.as("doc_id"), contentKey(text).as("ckey"))
+      .join(minhashSignatures(docs, idCol, text, shingleN, numHashes),
+        Seq("doc_id"), "left")
+
+  /** Persist [[dedupLedger]] as a parquet artifact (the L103/L106
+    * artifact lifecycle applied to dedup state). */
+  def saveDedupLedger(docs: DataFrame, idCol: Column, text: Column,
+                      shingleN: Int, numHashes: Int, path: String): Unit =
+    dedupLedger(docs, idCol, text, shingleN, numHashes)
+      .write.mode("overwrite").parquet(path)
+
+  def loadDedupLedger(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = spark.read.parquet(path)
+
+  /** [[appendTriage]] against a PERSISTED ledger instead of the live
+    * old-side corpus: the exact arm is the same digest semi join; the
+    * near arm bands new (live) and old (ledger) signatures together and
+    * decides near-dup by SIGNATURE-component agreement —
+    * `2 · |{i : sig_a[i] = sig_b[i]}| ≥ numHashes`, the MinHash
+    * estimator of Jaccard ≥ 1/2 — because the ledger (correctly) does
+    * not retain old shingle sets, let alone text. That estimator swap
+    * is exactly what a production ledger run does; the q168 oracle
+    * replays it, and AppendTriageSpec pins persisted ≡ in-memory.
+    *
+    * Caller contract: new and ledger doc_ids are disjoint.
+    *
+    * 100 TB shape: old text never exists in the job at all — the
+    * ledger rows are (8 B id, 32 B digest, numHashes·8 B sig); band
+    * join + signature compare are the only cross-side contact, both
+    * equi-keyed. */
+  def appendTriageLedger(newDocs: DataFrame, ledger: DataFrame,
+                         idCol: Column, text: Column, shingleN: Int,
+                         numHashes: Int, numBands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val newLed = dedupLedger(newDocs, idCol, text, shingleN, numHashes)
+    val exact = newLed
+      .join(ledger.select(col("ckey")).distinct(), Seq("ckey"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("is_exact_dup"))
+    val allSigs = newLed
+      .select(col("doc_id"), col("sig"), lit(true).as("is_new"))
+      .unionByName(ledger
+        .select(col("doc_id"), col("sig"), lit(false).as("is_new")))
+      .where(col("sig").isNotNull)
+    val pairs = lshCandidatePairs(allSigs.select(col("doc_id"), col("sig")),
+      numBands, rowsPerBand)
+    val near = pairs
+      .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"),
+        col("is_new").as("na")), "doc_a")
+      .join(allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"),
+        col("is_new").as("nb")), "doc_b")
+      .where(col("na") =!= col("nb"))
+      .withColumn("n_match",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          b => b)))
+      .where(col("n_match") * 2 >= numHashes)
+      .select(when(col("na"), col("doc_a")).otherwise(col("doc_b"))
+        .as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near_dup"))
+    newLed.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(0L)).as("is_exact_dup"),
+        coalesce(col("n_near_dup"), lit(0L)).as("n_near_dup"),
+        when(coalesce(col("is_exact_dup"), lit(0L)) === 1L, "exact_dup")
+          .when(coalesce(col("n_near_dup"), lit(0L)) > 0L, "near_dup")
+          .otherwise("clean").as("verdict"))
+  }
+
   /** L84 — LSH candidate-pair precision/recall evaluation: on a FIXED
     * document sample, compare the banded-LSH candidate pairs against
     * ground truth (exact all-pairs n-gram Jaccard ≥ num/den) and report

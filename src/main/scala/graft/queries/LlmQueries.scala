@@ -2607,6 +2607,62 @@ object LlmQueries {
         LEFT JOIN near n ON d.doc_id = n.doc_id"""
       }),
 
+    // ---- persisted dedup-signature LEDGER lifecycle (L119, VERDICT
+    // r8 #6): the old side's digests + MinHash signatures are SAVED as
+    // a parquet artifact, and the nightly append-triage runs against
+    // the LOADED artifact — old TEXT never exists in the job. The near
+    // verdict is therefore the MinHash ESTIMATOR (2·matching signature
+    // components ≥ numHashes ⇒ estimated Jaccard ≥ 1/2) — exactly the
+    // swap a production ledger forces, replayed by the oracle from
+    // first principles (tokens → shingles → permuted minima →
+    // band-bucket pairs → component agreement). AppendTriageSpec pins
+    // persisted ≡ in-memory bit-equality through the parquet round
+    // trip.
+    "q168_dedup_ledger" -> Query(
+      (s, dir) => {
+        // per-run artifact path (the q142/q146 rule: no cross-run race)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_ledger_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val d = docs(s, dir)
+        Dedup.saveDedupLedger(d.where(col("doc_id") % 5 =!= 4),
+          col("doc_id"), col("text"), ShingleN, NumHashes, base)
+        Dedup.appendTriageLedger(d.where(col("doc_id") % 5 === 4),
+          Dedup.loadDedupLedger(s, base), col("doc_id"), col("text"),
+          ShingleN, NumHashes, NumBands, RowsPerBand)
+      },
+      Some {
+        s"""WITH $sqlLshPairsCtes,
+          est AS (SELECT doc_a, doc_b,
+              len(list_filter(range($NumHashes), i ->
+                sa.sig[CAST(i + 1 AS INT)] = sb.sig[CAST(i + 1 AS INT)]))
+                AS n_match
+            FROM pairs JOIN s sa ON pairs.doc_a = sa.doc_id
+                       JOIN s sb ON pairs.doc_b = sb.doc_id
+            WHERE (doc_a % 5 = 4) <> (doc_b % 5 = 4)),
+          near AS (SELECT CASE WHEN doc_a % 5 = 4 THEN doc_a
+                          ELSE doc_b END AS doc_id,
+                   count(*) AS n_near
+                   FROM est WHERE 2 * n_match >= $NumHashes
+                   GROUP BY 1),
+          k AS (SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct($sqlToks)), ' '))
+                    AS ckey
+                FROM documents),
+          ex AS (SELECT doc_id FROM k WHERE doc_id % 5 = 4 AND ckey IN
+                 (SELECT ckey FROM k WHERE doc_id % 5 <> 4))
+        SELECT d.doc_id,
+          CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS is_exact_dup,
+          CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near_dup,
+          CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+               WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+               ELSE 'clean' END AS verdict
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+        LEFT JOIN ex e ON d.doc_id = e.doc_id
+        LEFT JOIN near n ON d.doc_id = n.doc_id"""
+      }),
+
     // ---- boilerplate n-gram report (L57): the C4/RefinedWeb template
     // signal — a gram in ≥ 1/10 of a source's docs is boilerplate; each
     // doc reports its boilerplate-gram coverage. Gram occurrences shuffle

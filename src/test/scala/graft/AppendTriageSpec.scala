@@ -62,4 +62,37 @@ class AppendTriageSpec extends SparkSpec {
       .where(col("doc_id") === 16L).select("verdict").as[String].head()
     v shouldBe "exact_dup"
   }
+
+  test("ledger lifecycle (L119): triage against the LOADED parquet artifact " +
+      "is bit-equal to triage against the in-memory ledger") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_ledger").toString
+    val old = corpus.where(!col("is_new")).select(col("doc_id"), col("text"))
+    val neu = corpus.where(col("is_new")).select(col("doc_id"), col("text"))
+    Dedup.saveDedupLedger(old, col("doc_id"), col("text"), 3, 16, s"$dir/led")
+    val persisted = Dedup.appendTriageLedger(neu,
+        Dedup.loadDedupLedger(spark, s"$dir/led"),
+        col("doc_id"), col("text"), 3, 16, 4, 4)
+      .collect().map(_.toSeq).toSet
+    val live = Dedup.appendTriageLedger(neu,
+        Dedup.dedupLedger(old, col("doc_id"), col("text"), 3, 16),
+        col("doc_id"), col("text"), 3, 16, 4, 4)
+      .collect().map(_.toSeq).toSet
+    persisted shouldBe live
+    persisted.size shouldBe 5
+  }
+
+  test("ledger triage semantics match the live-corpus triage on this batch " +
+      "(the signature estimator agrees with exact Jaccard here)") {
+    // on this constructed batch the MinHash estimate and the exact
+    // Jaccard land on the same side of 1/2 for every pair, so the two
+    // formulations give identical verdicts — the estimator swap is the
+    // only semantic difference between appendTriage and the ledger arm
+    val old = corpus.where(!col("is_new")).select(col("doc_id"), col("text"))
+    val neu = corpus.where(col("is_new")).select(col("doc_id"), col("text"))
+    val ledgerVerdicts = Dedup.appendTriageLedger(neu,
+        Dedup.dedupLedger(old, col("doc_id"), col("text"), 3, 16),
+        col("doc_id"), col("text"), 3, 16, 4, 4)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    ledgerVerdicts shouldBe verdicts
+  }
 }

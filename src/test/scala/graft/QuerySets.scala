@@ -13,5 +13,6 @@ object QuerySets {
     "q104_stream_trajectories", "q112_stream_enrich", "q120_stream_tally",
     "q131_stream_serving", "q142_shard_sink", "q144_stream_outer_join",
     "q146_codebook_roundtrip", "q148_stream_full_outer_join",
-    "q151_bpe_artifact", "q152_nc_scene_files", "q159_stream_dedup_wm")
+    "q151_bpe_artifact", "q152_nc_scene_files", "q159_stream_dedup_wm",
+    "q168_dedup_ledger")
 }
