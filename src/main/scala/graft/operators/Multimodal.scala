@@ -371,6 +371,91 @@ object Multimodal {
     transform(sequence(lit(0), length(gray) - 1),
       i => conv(hex(gray).substr(i * 2 + 1, lit(2)), 16, 10).cast("int"))
 
+  /** [[pngPayload]] on the IMPERATIVE seam (VERDICT r8 #8): the
+    * byte-identical container built in plain Scala for the
+    * mapPartitions codec path — the codegen hex-assembly form measured
+    * a fixed ~2.7 s at sf0.1 even with the raster capped at 200 bytes
+    * (per-byte conv + filter HOFs + a quadratic hex-concat aggregate),
+    * the sweep's single biggest constant; this form synthesizes 10×
+    * the raster for a fraction of that. The codegen form stays in-tree
+    * as the engine-portability witness and PngSpec pins the two
+    * byte-identical on randomized inputs (the MomentMatrixAgg
+    * parity-witness convention). */
+  def pngPayloadBytes(raw: Array[Int], width: Int): Array[Byte] = {
+    require(width > 0, "width must be positive")
+    require(raw.length >= width && raw.length % width == 0,
+      s"raw length ${raw.length} must be a positive multiple of $width")
+    val w = width
+    val h = raw.length / w
+    val scanLen = h * (w + 1)
+    require(scanLen <= 65535,
+      s"filtered raster $scanLen bytes overflows the 16-bit stored-deflate LEN")
+    val scan = new Array[Byte](scanLen)
+    var r = 0
+    while (r < h) {
+      val ft = r % 5
+      scan(r * (w + 1)) = ft.toByte
+      var i = 0
+      while (i < w) {
+        val x = raw(r * w + i)
+        val a = if (i > 0) raw(r * w + i - 1) else 0
+        val b = if (r > 0) raw((r - 1) * w + i) else 0
+        val c = if (r > 0 && i > 0) raw((r - 1) * w + i - 1) else 0
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        val paeth = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth
+        }
+        scan(r * (w + 1) + 1 + i) = (((x - pred) % 256 + 256) % 256).toByte
+        i += 1
+      }
+      r += 1
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(scan)
+    val out = new java.io.ByteArrayOutputStream(64 + scanLen)
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be32(data.length.toLong)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be32(crc.getValue)
+    }
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte), 0, 8)
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    def ihdrBe32(v: Int): Unit = {
+      ihdr.write((v >> 24) & 0xff); ihdr.write((v >> 16) & 0xff)
+      ihdr.write((v >> 8) & 0xff); ihdr.write(v & 0xff)
+    }
+    ihdrBe32(w); ihdrBe32(h)
+    ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val idat = new java.io.ByteArrayOutputStream(11 + scanLen)
+    idat.write(0x78); idat.write(0x01)                      // zlib header
+    idat.write(0x01)                                        // BFINAL|stored
+    idat.write(scanLen & 0xff); idat.write((scanLen >> 8) & 0xff)
+    val nlen = 65535 - scanLen
+    idat.write(nlen & 0xff); idat.write((nlen >> 8) & 0xff)
+    idat.write(scan, 0, scanLen)
+    val ad = adler.getValue
+    idat.write(((ad >> 24) & 0xff).toInt); idat.write(((ad >> 16) & 0xff).toInt)
+    idat.write(((ad >> 8) & 0xff).toInt); idat.write((ad & 0xff).toInt)
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** L95 extended to images (VERDICT r7 #2): parse the payload as a
     * PNG — signature, chunk walk with per-chunk CRC-32 verification,
     * IHDR field extraction, multi-IDAT zlib inflate via the JDK

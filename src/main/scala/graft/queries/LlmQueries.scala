@@ -3587,35 +3587,38 @@ object LlmQueries {
     // ---- PNG image decode (VERDICT r7 #2 — L95 extended to images):
     // each doc's bytes become the 8-bit gray raster of a REAL PNG
     // (signature, IHDR, one store-mode-deflate IDAT with real chunk
-    // CRCs + Adler-32, IEND — built in pure codegen by
-    // Multimodal.pngPayload, with scanline filter r % 5 so all five
+    // CRCs + Adler-32, IEND — with scanline filter r % 5 so all five
     // PNG filters appear), then parsed back by Multimodal.decodePng:
     // chunk walk + CRC verify + JDK-Inflater inflate + per-scanline
     // unfilter. The oracle emits the TRUTH pixel sums the raster was
     // synthesized from — filters 1–4 make filtered-byte sums diverge
     // from raw sums, so a parser that skips inflate or unfilter
     // cannot hash-match.
+    //
+    // SYNTHESIS moved to the imperative seam in r9 (VERDICT r8 #8):
+    // the codegen hex-assembly form (conv + filter HOFs + a quadratic
+    // hex-concat aggregate) cost a fixed ~2.7 s at sf0.1 even with the
+    // raster capped at 200 bytes — the sweep's single biggest
+    // constant. Multimodal.pngPayloadBytes builds the byte-identical
+    // container inside the SAME mapPartitions pass the decoder already
+    // runs in (the q153/q166 pattern), which let the raster cap rise
+    // 200 → 2000 bytes (400 scanlines, every filter 80×) while
+    // CUTTING wall time. The codegen form stays in-tree as the
+    // engine-portability witness; PngSpec pins the two byte-identical.
     "q149_png_decode" -> Query(
       (s, dir) => {
         import s.implicits._
-        val tb = col("text").cast("binary")
-        // raster capped at 200 bytes (40 scanlines — every filter type
-        // appears 8×): the per-byte codegen synthesis (conv + filter
-        // HOFs + the quadratic hex-concat aggregate) measured 10.5 s at
-        // sf0.1 uncapped, the whole sweep's worst query, and the gate's
-        // strength (chunk walk, CRC, inflate, all five unfilters) is
-        // row-count-independent. The PARSER is untouched — it still
-        // decodes arbitrary-size containers (PngSpec).
-        val dlen5 = least((length(tb) / 5).cast("int") * 5, lit(200))
-        // raw pixel array MATERIALIZED in its own projection — the
-        // pngPayload contract (inline, the filter lambdas would
-        // re-evaluate the transform per element_at)
         val media = docs(s, dir)
-          .select(col("doc_id").as("media_id"),
-            Multimodal.pngRawPixels(tb.substr(lit(1), dlen5)).as("raw"))
-          .select(col("media_id"),
-            Multimodal.pngPayload(col("raw"), 5).as("payload"))
-        Multimodal.decodePng(media.as[(Long, Array[Byte])]).toDF()
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, text) =>
+              val tb = text.getBytes("UTF-8")
+              val dlen5 = math.min(tb.length / 5 * 5, 2000)
+              val raw = Array.tabulate(dlen5)(i => tb(i) & 0xff)
+              (id, Multimodal.pngPayloadBytes(raw, 5))
+            }
+          }
+        Multimodal.decodePng(media).toDF()
           .select(col("media_id"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
@@ -3630,7 +3633,7 @@ object LlmQueries {
           s"(strpos('0123456789ABCDEF', substr(hx, CAST($pos AS INT), 1)) - 1)"
         val u = s"(${nib("i * 2 + 1")} * 16 + ${nib("i * 2 + 2")})"
         s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-              least((octet_length(encode(text)) // 5) * 5, 200) AS dlen
+              least((octet_length(encode(text)) // 5) * 5, 2000) AS dlen
             FROM documents),
           e AS (SELECT media_id, dlen,
               COALESCE(CAST(list_sum(list_transform(range(dlen), i ->

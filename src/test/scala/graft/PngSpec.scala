@@ -182,4 +182,31 @@ class PngSpec extends SparkSpec {
     infos(1).height shouldBe 4
     infos(1).px_sum shouldBe "0123456789ABCDEFGHIJ".getBytes("UTF-8").map(_.toLong).sum
   }
+
+  test("imperative pngPayloadBytes is BYTE-IDENTICAL to the codegen synthesis " +
+      "(the r9 q149 seam; randomized parity witness)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val widths = Seq(3, 5, 8)
+    widths.foreach { w =>
+      val cases = (0 until 20).map { i =>
+        val rows = 1 + rnd.nextInt(40)
+        (i.toLong, Array.fill(rows * w)(rnd.nextInt(256)))
+      }
+      val codegen = cases.toDF("id", "raw")
+        .select(col("id"), Multimodal.pngPayload(col("raw"), w).as("p"))
+        .as[(Long, Array[Byte])].collect().toMap
+      cases.foreach { case (id, raw) =>
+        val imp = Multimodal.pngPayloadBytes(raw, w)
+        withClue(s"w=$w id=$id: ") {
+          imp.toSeq shouldBe codegen(id).toSeq
+        }
+      }
+    }
+    // and the imperative form's own guards are as loud as codegen's
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.pngPayloadBytes(Array(1, 2, 3), 5) // sub-row raster
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.pngPayloadBytes(Array.fill(11000 * 6)(0), 6) // LEN overflow
+  }
 }
