@@ -86,8 +86,18 @@ object MLFeed {
     */
   private def withGlobalRank(df: DataFrame, orderKeys: Seq[Column],
                              keyDomain: Option[(Long, Long)]): DataFrame = {
+    // Bucket count = shuffle.partitions × fanout (r9, the q15 sf20
+    // fix): with buckets == task count, each sort task holds n/tasks
+    // rows and the within-bucket window sort starts SPILLING once that
+    // passes executor memory (measured 4.43× wall for 4× data at
+    // sf20). More buckets + the matching explicit repartition in
+    // [[rankByBucket]] divide the per-task sort by the fanout; the
+    // global rank is bucketing-invariant (monotone buckets +
+    // within-bucket rank + offset sum), so results are unchanged at
+    // any fanout. The offsets cross-join grows as (buckets)² — at the
+    // default 4× over 32 partitions that is 16k rows, still tiny.
     val numBuckets = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
+      .get("spark.sql.shuffle.partitions", "200").toInt * rankFanout(df)
     val bucket = keyDomain match {
       case Some((lo, hi)) =>
         require(hi > lo, s"empty key domain [$lo, $hi)")
@@ -120,6 +130,15 @@ object MLFeed {
     * real data through one task and the plan carries zero
     * "No Partition Defined for Window" hazards. Adds `_rank` (1-based,
     * global) and `_n` (total row count). */
+  /** Sort-task fanout over `spark.sql.shuffle.partitions` for the
+    * two-pass rank (`spark.graft.rank.fanout`, default 4): bounds per-task
+    * sort memory at scale; see [[withGlobalRank]]. */
+  private def rankFanout(df: DataFrame): Int = {
+    val f = df.sparkSession.conf.get("spark.graft.rank.fanout", "4").toInt
+    require(f >= 1 && f <= 64, s"graft.rank.fanout must be in [1, 64], got $f")
+    f
+  }
+
   def rankByBucket(df: DataFrame, bucket: Column, orderKeys: Seq[Column]): DataFrame = {
     // Materialize the order keys as attributes BEFORE the window: the
     // window's required sort evaluates raw SortOrder EXPRESSIONS inside
@@ -137,7 +156,15 @@ object MLFeed {
           .otherwise(lit(0L))).as("_off"),
         sum(col("b._cnt")).as("_n"))
     val wInPart = Window.partitionBy(col("_pid")).orderBy(okAttrs: _*)
+    // explicit repartition to (shuffle.partitions × fanout) tasks: the
+    // window only needs ClusteredDistribution(_pid), which ANY
+    // partition count satisfies — without this, EnsureRequirements
+    // inserts the conf-width exchange and each task sorts
+    // n/shuffle.partitions rows (the sf20 spill; see withGlobalRank)
+    val sortTasks = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt * rankFanout(df)
     parted.join(broadcast(offsets), Seq("_pid"))
+      .repartition(sortTasks, col("_pid"))
       .withColumn("_rank", col("_off") + row_number().over(wInPart))
       .drop(("_pid" +: "_off" +: orderKeys.indices.map(i => s"_ok$i")): _*)
   }
