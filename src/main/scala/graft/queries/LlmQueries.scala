@@ -3756,6 +3756,11 @@ object LlmQueries {
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions { it =>
             System.setProperty("java.awt.headless", "true")
+            // ImageIO defaults to a DISK-backed stream cache — one temp
+            // file created+deleted per encoded image, which went
+            // super-linear under fs pressure at sf20 (5.8× for 4× docs
+            // isolated; in-memory streams restore linearity)
+            javax.imageio.ImageIO.setUseCache(false)
             it.map { case (id, text) =>
               val w = 8 + (id % 12).toInt * 4
               val h = 8 + (id % 7).toInt * 8
