@@ -219,7 +219,9 @@ object Hdf5 {
   }
 
   private def walkGroupBtree(src: ByteSource, addr: Long, heap: Array[Byte],
-      out: scala.collection.mutable.ArrayBuffer[(String, Long)]): Unit = {
+      out: scala.collection.mutable.ArrayBuffer[(String, Long)],
+      depth: Int = 0): Unit = {
+    if (depth > 16) throw new Malformed // crafted cycle/ladder guard
     val head = new Cursor(src.readAt(addr, 24), 0)
     if (!(head.u8() == 'T' && head.u8() == 'R' && head.u8() == 'E' && head.u8() == 'E'))
       throw new Malformed
@@ -235,7 +237,7 @@ object Hdf5 {
       val child = body.addr()
       body.u64() // key i+1
       if (child == Undef) throw new Malformed
-      if (level > 0) walkGroupBtree(src, child, heap, out)
+      if (level > 0) walkGroupBtree(src, child, heap, out, depth + 1)
       else readSnod(src, child, heap, out)
       i += 1
     }
@@ -333,7 +335,12 @@ object Hdf5 {
       creationOrder: Boolean,
       out: scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]): Unit = {
     var queue = List(block0)
+    var blocksSeen = 0
     while (queue.nonEmpty) {
+      blocksSeen += 1
+      // a continuation chain pointing back at itself would loop forever
+      // (v1 is bounded by its message COUNT; v2 has no such field)
+      if (blocksSeen > 64) throw new Malformed
       val c = new Cursor(queue.head, 0)
       queue = queue.tail
       // a trailing gap smaller than a message header terminates a block
@@ -405,6 +412,13 @@ object Hdf5 {
             chunkDims = Array.fill(dimensionality - 1)(c.u32().toInt)
             c.u32() // element-size pseudo-dim
             if (chunkDims.exists(d => d <= 0 || d > (1 << 26))) throw new Malformed
+            // chunk ELEMENT COUNT bounded in LONG before any Int
+            // product can wrap (the NcClassic ADVICE r8 lesson: a
+            // crafted header with dims near 2^26 each wraps cr*cc
+            // into a small positive Int and allocates a wrong-size
+            // buffer) — 2^26 elements ≈ 512 MB of doubles is already
+            // far beyond any sane chunk
+            if (chunkDims.map(_.toLong).product > (1L << 26)) throw new Malformed
           case _ => throw new Malformed // compact: out of subset
         }
       case (0x000B, data) => // filter pipeline
@@ -441,7 +455,9 @@ object Hdf5 {
   }
 
   private def walkChunkBtree(src: ByteSource, addr: Long, rank: Int,
-      out: scala.collection.mutable.ArrayBuffer[Chunk]): Unit = {
+      out: scala.collection.mutable.ArrayBuffer[Chunk],
+      depth: Int = 0): Unit = {
+    if (depth > 16) throw new Malformed // crafted cycle/ladder guard
     val head = new Cursor(src.readAt(addr, 24), 0)
     if (!(head.u8() == 'T' && head.u8() == 'R' && head.u8() == 'E' && head.u8() == 'E'))
       throw new Malformed
@@ -459,8 +475,9 @@ object Hdf5 {
       body.u64() // trailing 0 offset (element-size dim)
       val child = body.addr()
       if (child == Undef || size < 0) throw new Malformed
-      if (level > 0) walkChunkBtree(src, child, rank, out)
+      if (level > 0) walkChunkBtree(src, child, rank, out, depth + 1)
       else out += Chunk(offs, size, child)
+      if (out.length > (1 << 22)) throw new Malformed // chunk-count bound
       i += 1
     }
   }
@@ -505,6 +522,11 @@ object Hdf5 {
     val h = ds.dims(0).toInt; val w = ds.dims(1).toInt
     require(rowStart >= 0 && nRows >= 0 && rowStart + nRows <= h,
       s"band [$rowStart,+$nRows) outside $h rows")
+    // band byte volume bounded in LONG before the Int products below
+    // (nRows·w·elemSize wraps for dims near 2^31 — the NcClassic
+    // ADVICE r8 overflow class); callers wanting more read in bands
+    require(nRows.toLong * w * ds.elemSize <= Int.MaxValue,
+      s"band of $nRows x $w x ${ds.elemSize} B exceeds 2^31 — read in bands")
     if (ds.layoutClass == 1) {
       if (ds.dataAddr == Undef) return new Array[Double](nRows * w) // fill
       val raw = src.readAt(ds.dataAddr + rowStart.toLong * w * ds.elemSize,
@@ -569,11 +591,14 @@ object Hdf5 {
 
   /** One 2-D variable to write. `data` is row-major h×w, converted per
     * `dtype`. `chunk` = Some((rows, cols)) → chunked layout (deflate
-    * level via `deflate`, 0 = store uncompressed chunks). */
+    * level via `deflate`, 0 = store uncompressed chunks). `bigEndian`
+    * flips the datatype's byte-order bit and the element encoding —
+    * HDF5 carries either order and a reader must honor the bit. */
   final case class H5Var(name: String, dtype: H5Type, h: Int, w: Int,
                          data: Array[Double],
                          chunk: Option[(Int, Int)] = None,
-                         deflate: Int = 0) {
+                         deflate: Int = 0,
+                         bigEndian: Boolean = false) {
     require(data.length == h * w, s"$name: data length ${data.length} != $h*$w")
     require(name.nonEmpty && name.length < 200, s"bad name '$name'")
   }
@@ -822,7 +847,9 @@ object Hdf5 {
       a.le64(v.h); a.le64(v.w)
     }, 24))
     msgs += ((0x0003, { a: Assembler =>
-      a.byte(clsByte); a.byte(bits0); a.byte(bits1); a.byte(0)
+      a.byte(clsByte)
+      a.byte(bits0 | (if (v.bigEndian) 0x01 else 0x00))
+      a.byte(bits1); a.byte(0)
       a.le32(sz.toLong)
       props(a); a.pad(dtPad)
     }, dtSize))
@@ -921,7 +948,11 @@ object Hdf5 {
         case TInt8 => cells(i).toLong & 0xffL
       }
       var j = 0
-      while (j < sz) { outB(i * sz + j) = ((bits >> (8 * j)) & 0xff).toByte; j += 1 }
+      while (j < sz) {
+        val shift = if (v.bigEndian) 8 * (sz - 1 - j) else 8 * j
+        outB(i * sz + j) = ((bits >> shift) & 0xff).toByte
+        j += 1
+      }
       i += 1
     }
     outB

@@ -118,6 +118,27 @@ class Hdf5Spec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("big-endian datatypes: byte-order bit honored, values identical to LE") {
+    val data = grid(6, 4)((l, s) => (l * 31 + s * 7 - 64).toDouble)
+    val fdata = grid(6, 4)((l, s) => l * 0.5 - s * 2.25)
+    Seq(0, 2).foreach { sb =>
+      val bytes = Hdf5.writeBytes(Seq(
+        H5Var("ibe", TInt32, 6, 4, data, bigEndian = true),
+        H5Var("fbe", TFloat64, 6, 4, fdata, Some((4, 4)), 6, bigEndian = true),
+        H5Var("ile", TInt32, 6, 4, data)), sb)
+      val src = new ArraySource(bytes)
+      val f = Hdf5.parse(src).get
+      f.datasets.find(_.name == "ibe").get.littleEndian shouldBe false
+      f.datasets.find(_.name == "ile").get.littleEndian shouldBe true
+      Seq("ibe", "ile").foreach { n =>
+        Hdf5.readRows(src, f.datasets.find(_.name == n).get, 0, 6)
+          .toSeq shouldBe data.toSeq
+      }
+      Hdf5.readRows(src, f.datasets.find(_.name == "fbe").get, 0, 6)
+        .toSeq shouldBe fdata.toSeq
+    }
+  }
+
   test("lookup3 known-answer vectors (public lookup3.c)") {
     Hdf5.lookup3(Array.emptyByteArray, 0, 0) shouldBe 0xdeadbeef
     val four = "Four score and seven years ago".getBytes("US-ASCII")
