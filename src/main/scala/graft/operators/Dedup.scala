@@ -568,6 +568,33 @@ object Dedup {
     }
   }
 
+  /** Free a localCheckpoint'ed frame's storage blocks. `Dataset
+    * .unpersist` is a NO-OP here — checkpoint blocks belong to the
+    * materialized RDD (a `LogicalRDD` leaf), not the CacheManager —
+    * so walk the analyzed plan's leaves and unpersist the RDDs. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        try lr.rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      case _ => ()
+    }
+
+  /** Release every memoized pair-stats frame of `session` (unpersist
+    * the localCheckpoint blocks, drop the entries). A sweep driver
+    * calls this once the last index consumer has run — at sf20 the
+    * pinned pair frame is GBs of storage memory that every later query
+    * would otherwise pay for (the r9 q01-in-sweep-20× debris). Safe at
+    * any time: the next [[cappedPostingCounts]] call simply rebuilds. */
+  def releasePostingIndexes(session: org.apache.spark.sql.SparkSession): Unit =
+    postingIndexCache.synchronized {
+      postingIndexCache.filterInPlace { e =>
+        val owned = e.sessionRef.get() eq session
+        if (owned && e.frame != null) unpersistCheckpoint(e.frame)
+        !owned
+      }
+    }
+
   private def buildCappedPairStats(input: DataFrame, shingleN: Int,
                                    maxDf: Int): DataFrame = {
     val kept = input
@@ -609,7 +636,10 @@ object Dedup {
         "doc_b")
       .select(col("doc_a"), col("doc_b"), col("ni"), col("na"), col("nb"))
       .localCheckpoint()
-    kept.unpersist() // consumers only ever touch the pair frame
+    // consumers only ever touch the pair frame; free the posting-set
+    // checkpoint blocks NOW (r9: `Dataset.unpersist` was a silent
+    // no-op on a localCheckpoint — see unpersistCheckpoint)
+    unpersistCheckpoint(kept)
     pairs
   }
 
