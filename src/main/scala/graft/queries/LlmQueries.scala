@@ -3810,6 +3810,54 @@ object LlmQueries {
         FROM documents"""
       }),
 
+    // ---- MP3 SIDE-INFORMATION layer (r9 — one layer below q154's
+    // frame walk): each doc becomes a REAL mono MPEG-1 Layer III
+    // stream whose 17-byte side info is bit-packed from deterministic
+    // per-(frame, granule) formulas (imperative seam), then bit-DECODED
+    // by Mp3.parseSideInfo — part2_3_length, big_values, global_gain,
+    // window-switching block types, preflag, with the CRC-presence
+    // offset honored and the big_values ≤ 288 / block-type-0-forbidden
+    // validity rules a real decoder applies. A parser with any bit
+    // offset wrong in the 136-bit layout cannot match the oracle's
+    // formula replay. Only the Huffman spectral payload beyond the
+    // side info remains out of scope.
+    "q169_mp3_sideinfo" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              (id, Mp3.mp3PayloadSideInfo((3 + id % 12).toInt,
+                (id % 14).toInt, (id % 3).toInt))
+            }
+          }
+        Mp3.decodeMp3SideInfo(media).toDF()
+          .select(col("media_id"), col("n_frames"), col("sum_part23"),
+            col("sum_big_values"), col("max_gain"),
+            col("n_short_granules"), col("n_preflag"), col("valid"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+              3 + doc_id % 12 AS n, doc_id % 14 AS seed
+            FROM documents),
+          fg AS (SELECT media_id, n, seed, i, g
+            FROM m, LATERAL (SELECT unnest(range(n)) AS i),
+                 LATERAL (SELECT unnest(range(2)) AS g)),
+          v AS (SELECT media_id, n,
+              100 + ((seed + i) * 7 + g * 13) % 300 AS p23,
+              ((seed + i) * 5 + g * 11) % 288 AS bv,
+              ((seed + i) * 3 + g) % 256 AS gg,
+              CASE WHEN (i + g) % 3 = 0 THEN 1 ELSE 0 END AS sh,
+              (seed + i + g) % 2 AS pre
+            FROM fg)
+        SELECT media_id, CAST(max(n) AS BIGINT) AS n_frames,
+          CAST(sum(p23) AS BIGINT) AS sum_part23,
+          CAST(sum(bv) AS BIGINT) AS sum_big_values,
+          CAST(max(gg) AS BIGINT) AS max_gain,
+          CAST(sum(sh) AS BIGINT) AS n_short_granules,
+          CAST(sum(pre) AS BIGINT) AS n_preflag,
+          true AS valid
+        FROM v GROUP BY media_id""")),
+
     // ---- MP3 frame-layer walk (L108 — the blocked list's last entry,
     // at the container level): a REAL MPEG-1 Layer III frame sequence
     // is synthesized in pure codegen (Mp3.mp3Payload — every frame's

@@ -83,4 +83,74 @@ class Mp3Spec extends SparkSpec {
     infos.map(_.sample_rate).toSeq shouldBe Seq(0L, 1L, 5L, 13L, 19L)
       .map(id => Seq(44100L, 48000L, 32000L)((id % 3).toInt))
   }
+
+  test("side info (r9): bit-packed fields decode back to the synthesis formulas") {
+    for (seed <- 0 until 5; sr <- 0 until 3) {
+      val n = 3 + seed
+      val info = Mp3.parseSideInfo(1L, Mp3.mp3PayloadSideInfo(n, seed, sr))
+      info.valid shouldBe true
+      info.n_frames shouldBe n.toLong
+      val fg = for (i <- 0 until n; g <- 0 until 2) yield (i, g)
+      info.sum_part23 shouldBe fg.map { case (i, g) =>
+        (100 + ((seed + i) * 7 + g * 13) % 300).toLong }.sum
+      info.sum_big_values shouldBe fg.map { case (i, g) =>
+        (((seed + i) * 5 + g * 11) % 288).toLong }.sum
+      info.max_gain shouldBe fg.map { case (i, g) =>
+        (((seed + i) * 3 + g) % 256).toLong }.max
+      info.n_short_granules shouldBe fg.count { case (i, g) => (i + g) % 3 == 0 }.toLong
+      info.n_preflag shouldBe fg.count { case (i, g) => (seed + i + g) % 2 == 1 }.toLong
+    }
+  }
+
+  test("side info: CRC-present frames shift the side-info offset by two bytes") {
+    // take a protection-off stream, flip the protection bit (0xFB ->
+    // 0xFA) and splice two CRC bytes after each header — a parser
+    // ignoring the protection bit reads the CRC as side info
+    val plain = Mp3.mp3PayloadSideInfo(3, 2, 1)
+    val sr = 48000
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < plain.length) {
+      val brIdx = (plain(off + 2) >> 4) & 0xf
+      val pad = (plain(off + 2) >> 1) & 0x1
+      val len = 144 * Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320)(brIdx) * 1000 / sr + pad
+      out.write(plain(off)); out.write(0xfa) // protection ON
+      out.write(plain(off + 2)); out.write(plain(off + 3))
+      out.write(0); out.write(0)             // CRC placeholder
+      // frame length is UNCHANGED (CRC lives inside it) — drop the
+      // last two payload-zero bytes to keep the arithmetic exact
+      out.write(plain, off + 4, len - 6)
+      off += len
+    }
+    val shifted = Mp3.parseSideInfo(2L, out.toByteArray)
+    val base = Mp3.parseSideInfo(2L, plain)
+    shifted.valid shouldBe true
+    shifted.copy(media_id = base.media_id) shouldBe base
+  }
+
+  test("side info: decoder-grade validity rules reject crafted fields") {
+    val good = Mp3.mp3PayloadSideInfo(2, 1, 0)
+    // big_values > 288: frame 0 granule 0's 9-bit big_values field
+    // starts at side-info bit 30 (9+5+4+12); write 289
+    def withBits(b: Array[Byte], startBit: Int, v: Int, n: Int): Array[Byte] = {
+      val c = b.clone()
+      var i = 0
+      while (i < n) {
+        val bit = startBit + i
+        val mask = 1 << (7 - (bit & 7))
+        val set = ((v >> (n - 1 - i)) & 1) == 1
+        c(bit >> 3) = (if (set) c(bit >> 3) | mask else c(bit >> 3) & ~mask).toByte
+        i += 1
+      }
+      c
+    }
+    val siBit = 4 * 8 // side info starts right after the header (no CRC)
+    Mp3.parseSideInfo(3L, withBits(good, siBit + 30, 289, 9)).valid shouldBe false
+    // windows_switching set with block type 0 (forbidden): wsf is bit
+    // 30+9+8+4 = 51 into the side info; block type is the next 2 bits
+    val wsfPos = siBit + 18 + 12 + 9 + 8 + 4
+    val crafted = withBits(withBits(good, wsfPos, 1, 1), wsfPos + 1, 0, 2)
+    Mp3.parseSideInfo(4L, crafted).valid shouldBe false
+  }
 }
