@@ -572,7 +572,7 @@ object Dedup {
     * .unpersist` is a NO-OP here — checkpoint blocks belong to the
     * materialized RDD (a `LogicalRDD` leaf), not the CacheManager —
     * so walk the analyzed plan's leaves and unpersist the RDDs. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[operators] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         try lr.rdd.unpersist(blocking = false)

@@ -268,6 +268,283 @@ object Mp3 {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // ENTROPY layer (r9, second half): the Huffman spectral decode the
+  // blocked list carried as its last undecoded layer. Scope is the
+  // documented SUBSET a self-contained stream can use — the baseline-
+  // JPEG stance (L107): main_data_begin = 0 (no bit reservoir),
+  // scfsi = 0, all big-value regions coded with ISO/IEC 11172-3
+  // Huffman table 1 (the 2×2 table; codes 1 / 01 / 001 / 000 for
+  // (0,0) / (1,0) / (0,1) / (1,1), no linbits) and count1 coded with
+  // table B (4-bit code = 15 − (v·8+w·4+x·2+y)). Within that subset
+  // the decode is COMPLETE and real: slen-table-driven scalefactor
+  // read (long 11+10 bands, short 6+6 bands × 3 windows), sign-coded
+  // big-value pairs, count1 quadruples terminated EXACTLY at the
+  // side-info's part2_3_length boundary, and the 576-line bound.
+  // Streams outside the subset (reservoir, other tables, scfsi
+  // sharing) → valid=false, never a wrong answer.
+  // ------------------------------------------------------------------
+
+  /** ISO 11172-3 scalefac_compress → (slen1, slen2). */
+  private val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
+  private val Slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
+
+  final case class Mp3Spectral(media_id: Long, n_frames: Long,
+                               sum_scalefac: Long, sum_abs: Long,
+                               n_neg: Long, n_count1: Long,
+                               sum_part23: Long, valid: Boolean)
+
+  /** Decode one granule's Huffman table-1 big-value pair. Table 1 is a
+    * complete prefix code over {0,1}²: 1 → (0,0), 01 → (1,0),
+    * 001 → (0,1), 000 → (1,1). */
+  private def readPair1(r: BitReader): (Int, Int) =
+    if (r.read(1) == 1) (0, 0)
+    else if (r.read(1) == 1) (1, 0)
+    else if (r.read(1) == 1) (0, 1)
+    else (1, 1)
+
+  /** Walk frames and FULLY entropy-decode each mono granule within the
+    * documented subset. Malformed or out-of-subset → all-zero
+    * `valid=false`, never a throw. */
+  private[graft] def parseSpectral(id: Long, b: Array[Byte]): Mp3Spectral = {
+    val invalid = Mp3Spectral(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
+    try {
+      var off = 0
+      var nFrames = 0L; var sumSf = 0L; var sumAbs = 0L
+      var nNeg = 0L; var nC1 = 0L; var sumP23 = 0L
+      var sampleRate = -1
+      while (off < b.length) {
+        if (off + 4 > b.length) return invalid
+        val b0 = b(off) & 0xff; val b1 = b(off + 1) & 0xff
+        val b2 = b(off + 2) & 0xff; val b3 = b(off + 3) & 0xff
+        if (b0 != 0xff || (b1 & 0xfe) != 0xfa) return invalid
+        val brIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 0x3
+        val padding = (b2 >> 1) & 0x1
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return invalid
+        if (((b3 >> 6) & 0x3) != 3) return invalid // mono subset
+        val sr = SampleRates(srIdx)
+        if (sampleRate < 0) sampleRate = sr
+        else if (sampleRate != sr) return invalid
+        val frameLen = 144 * Bitrates(brIdx) * 1000 / sr + padding
+        if (off + frameLen > b.length) return invalid
+        val crcBytes = if ((b1 & 1) == 0) 2 else 0
+        val siStart = off + 4 + crcBytes
+        if (siStart + 17 > off + frameLen) return invalid
+        val frameEndBit = (off + frameLen) * 8
+
+        val r = new BitReader(b, siStart * 8)
+        if (r.read(9) != 0) return invalid // main_data_begin: reservoir out of subset
+        r.read(5)
+        if (r.read(4) != 0) return invalid // scfsi sharing out of subset
+        // side info first (both granules), THEN the main data
+        final case class Gr(p23: Int, bv: Int, sfc: Int, wsf: Int,
+                            c1tab: Int)
+        val grs = new Array[Gr](2)
+        var g = 0
+        while (g < 2) {
+          val p23 = r.read(12)
+          val bv = r.read(9)
+          r.read(8) // global_gain
+          val sfc = r.read(4)
+          val wsf = r.read(1)
+          if (wsf == 1) {
+            val blockType = r.read(2)
+            if (blockType == 0) return invalid
+            if (blockType != 2 || r.read(1) != 0) return invalid // subset: pure short
+            if (r.read(5) != 1 || r.read(5) != 1) return invalid // table 1 only
+            r.read(3); r.read(3); r.read(3)
+          } else {
+            if (r.read(5) != 1 || r.read(5) != 1 || r.read(5) != 1)
+              return invalid // table 1 only
+            r.read(4); r.read(3)
+          }
+          r.read(1) // preflag
+          r.read(1) // scalefac_scale
+          val c1tab = r.read(1)
+          if (c1tab != 1) return invalid // count1 table B only
+          if (bv > 288) return invalid
+          grs(g) = Gr(p23, bv, sfc, wsf, c1tab)
+          g += 1
+        }
+        // main data: immediately after side info (main_data_begin = 0)
+        val m = new BitReader(b, (siStart + 17) * 8)
+        g = 0
+        while (g < 2) {
+          val gr = grs(g)
+          val grStart = m.bitPos
+          // part2: scalefactors
+          val s1 = Slen1(gr.sfc); val s2 = Slen2(gr.sfc)
+          if (gr.wsf == 1) {
+            var k = 0
+            while (k < 18) { sumSf += m.read(s1); k += 1 }
+            k = 0
+            while (k < 18) { sumSf += m.read(s2); k += 1 }
+          } else {
+            var k = 0
+            while (k < 11) { sumSf += m.read(s1); k += 1 }
+            k = 0
+            while (k < 10) { sumSf += m.read(s2); k += 1 }
+          }
+          // part3: big_values pairs (table 1 + sign bits)
+          var k = 0
+          while (k < gr.bv) {
+            val (x, y) = readPair1(m)
+            if (x != 0) { sumAbs += x; nNeg += m.read(1) }
+            if (y != 0) { sumAbs += y; nNeg += m.read(1) }
+            k += 1
+          }
+          // count1: table-B quadruples until EXACTLY part2_3_length
+          var lines = gr.bv * 2
+          while (m.bitPos - grStart < gr.p23) {
+            if (m.bitPos - grStart + 4 > gr.p23) return invalid
+            val n = 15 - m.read(4)
+            val v = (n >> 3) & 1; val w = (n >> 2) & 1
+            val x = (n >> 1) & 1; val y = n & 1
+            if (v != 0) { sumAbs += v; nNeg += m.read(1) }
+            if (w != 0) { sumAbs += w; nNeg += m.read(1) }
+            if (x != 0) { sumAbs += x; nNeg += m.read(1) }
+            if (y != 0) { sumAbs += y; nNeg += m.read(1) }
+            if (m.bitPos - grStart > gr.p23) return invalid
+            lines += 4
+            nC1 += 1
+          }
+          if (lines > 576) return invalid
+          if (m.bitPos > frameEndBit) return invalid
+          sumP23 += gr.p23
+          g += 1
+        }
+        nFrames += 1
+        off += frameLen
+      }
+      if (nFrames == 0) invalid
+      else Mp3Spectral(id, nFrames, sumSf, sumAbs, nNeg, nC1, sumP23,
+        valid = true)
+    } catch {
+      case _: IndexOutOfBoundsException => invalid
+    }
+  }
+
+  /** Distributed entropy-layer decode (the codec seam). */
+  def decodeMp3Spectral(media: Dataset[(Long, Array[Byte])]): Dataset[Mp3Spectral] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map { case (id, bytes) => parseSpectral(id, bytes) })
+  }
+
+  /** Synthesize a frame sequence whose main data carries REAL
+    * Huffman-coded spectral content in the documented subset
+    * (imperative seam): granule g of frame i codes
+    *   big_values   = 2 + ((seed+i)·5 + g·7) % 24 table-1 pairs with
+    *                  x = (seed+i+g+k) % 2, y = (seed+2i+g+k) % 2,
+    *                  sign bits (seed+k) % 2 / (i+k) % 2,
+    *   scalefactors = (seed+i+g+b) % 2^slen (long: 11+10 bands;
+    *                  short: 6+6 bands × 3 windows, (i+g)%3=0 ⇒ short),
+    *   count1       = 1 + (seed+i+g) % 6 table-B quadruples with
+    *                  v,w,x,y = mod-2 mixes and per-nonzero sign bits,
+    * and the side info's part2_3_length is the EXACT bit count of what
+    * was written — a decoder with any code length wrong cannot land on
+    * the count1 boundary. */
+  def mp3PayloadSpectral(nFrames: Int, seed: Int, srIdx: Int): Array[Byte] = {
+    require(nFrames >= 1 && srIdx >= 0 && srIdx <= 2 && seed >= 0,
+      s"bad synthesis params n=$nFrames seed=$seed sr=$srIdx")
+    val sr = SampleRates(srIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < nFrames) {
+      val brIdx = 1 + (seed + i) % 14
+      val pad = (seed + i) % 2
+      val frameLen = 144 * Bitrates(brIdx) * 1000 / sr + pad
+      val frame = new Array[Byte](frameLen)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte // MPEG-1 L3, protection off
+      frame(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+      frame(3) = 0xc0.toByte // mono
+      val si = new BitWriter(17)
+      val main = new BitWriter(frameLen - 21)
+      si.write(0, 9) // main_data_begin: self-contained
+      si.write(0, 5)
+      si.write(0, 4) // scfsi
+      var g = 0
+      while (g < 2) {
+        val grStart = main.bitPos
+        val sfc = (i + g) % 16
+        val s1 = Slen1(sfc); val s2 = Slen2(sfc)
+        val wsf = if ((i + g) % 3 == 0) 1 else 0
+        // part2
+        if (wsf == 1) {
+          var k = 0
+          while (k < 18) { main.write((seed + i + g + k) % (1 << s1), s1); k += 1 }
+          k = 0
+          while (k < 18) { main.write((seed + i + g + 18 + k) % (1 << s2), s2); k += 1 }
+        } else {
+          var k = 0
+          while (k < 11) { main.write((seed + i + g + k) % (1 << s1), s1); k += 1 }
+          k = 0
+          while (k < 10) { main.write((seed + i + g + 11 + k) % (1 << s2), s2); k += 1 }
+        }
+        // part3: big values, table 1
+        val bv = 2 + ((seed + i) * 5 + g * 7) % 24
+        var k = 0
+        while (k < bv) {
+          val x = (seed + i + g + k) % 2
+          val y = (seed + 2 * i + g + k) % 2
+          (x, y) match {
+            case (0, 0) => main.write(1, 1)
+            case (1, 0) => main.write(1, 2)
+            case (0, 1) => main.write(1, 3)
+            case _      => main.write(0, 3)
+          }
+          if (x != 0) main.write((seed + k) % 2, 1)
+          if (y != 0) main.write((i + k) % 2, 1)
+          k += 1
+        }
+        // count1: table B
+        val n1 = 1 + (seed + i + g) % 6
+        k = 0
+        while (k < n1) {
+          val v = (seed + i + k) % 2; val w = (i + g + k) % 2
+          val x = (seed + g + k) % 2; val y = (seed + i + g + k) % 2
+          main.write(15 - (v * 8 + w * 4 + x * 2 + y), 4)
+          if (v != 0) main.write((seed + k) % 2, 1)
+          if (w != 0) main.write((i + k) % 2, 1)
+          if (x != 0) main.write((g + k) % 2, 1)
+          if (y != 0) main.write((k) % 2, 1)
+          k += 1
+        }
+        val p23 = main.bitPos - grStart
+        require(p23 < 4096, s"part2_3_length $p23 overflows 12 bits")
+        // side info for this granule, with the REAL part2_3_length
+        si.write(p23, 12)
+        si.write(bv, 9)
+        si.write(((seed + i) * 3 + g) % 256, 8) // global_gain
+        si.write(sfc, 4)
+        si.write(wsf, 1)
+        if (wsf == 1) {
+          si.write(2, 2) // block type 2
+          si.write(0, 1)
+          si.write(1, 5); si.write(1, 5) // table 1, both regions
+          si.write((seed + i + g) % 8, 3)
+          si.write((seed + i + g + 1) % 8, 3)
+          si.write((seed + i + g + 2) % 8, 3)
+        } else {
+          si.write(1, 5); si.write(1, 5); si.write(1, 5) // table 1 × 3
+          si.write(3, 4); si.write(3, 3) // region counts
+        }
+        si.write((seed + i + g) % 2, 1) // preflag
+        si.write((seed + g) % 2, 1)     // scalefac_scale
+        si.write(1, 1)                  // count1 table B
+        g += 1
+      }
+      require((main.bitPos + 7) / 8 <= frameLen - 21,
+        s"main data ${main.bitPos} bits overflows frame $frameLen")
+      System.arraycopy(si.buf, 0, frame, 4, 17)
+      System.arraycopy(main.buf, 0, frame, 21, frameLen - 21)
+      out.write(frame, 0, frameLen)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Synthesize a REAL MPEG-1 Layer III frame sequence in pure codegen
     * (the wavPayload pattern): `nFrames` frames where frame i carries
     * bitrate index `1 + (seed + i) % 14`, the stream-constant sample

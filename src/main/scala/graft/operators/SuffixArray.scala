@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MLFeed => Rank}
+
+/** Distributed suffix-array construction by prefix doubling — the
+  * index behind EXACT substring-level training-data dedup (the
+  * "deduplicating training data" method: find every repeated substring
+  * above a length threshold by sorting all suffixes and scanning
+  * SA-adjacent entries). L44's shingle-hash spans approximate this
+  * with fixed-width hashes; the suffix array is the exact structure.
+  *
+  * Algorithm (Manber–Myers doubling, the standard distributed
+  * formulation — each round is a SORT, which is exactly what a shuffle
+  * engine does well):
+  *
+  *   rank₀(d, p)   = code of char at (d, p)       (one scan)
+  *   rank₂ₕ(d, p)  = dense-rank of the pair (rankₕ(d,p), rankₕ(d,p+h))
+  *                   with −1 past the end           (log maxLen rounds)
+  *
+  * so after round h the rank orders suffixes by their first 2·h chars,
+  * with the −1 sentinel sorting a short suffix before every longer one
+  * sharing its prefix — i.e. exact lexicographic suffix order, capped
+  * at `maxLen` chars (the substring-dedup use case only needs order to
+  * the duplication threshold, which bounds the rounds at log₂ L).
+  *
+  * 100 TB shape: each round is (a) a per-document `lead(h)` window
+  * (document-bounded partitions), (b) a distinct over (rank, next)
+  * pairs, (c) the scale-safe bucketed two-pass rank
+  * ([[MLFeed.rankByBucket]] — NO unpartitioned window anywhere), and
+  * (d) an equi join back. Rounds are lineage-cut with per-round
+  * `localCheckpoint`s (the BPE pin rule: round k must not replay
+  * rounds 1..k−1) and the previous round's blocks are freed
+  * immediately ([[Dedup.unpersistCheckpoint]]). The driver loop runs
+  * ≤ log₂ maxLen rounds with one cheap max() job per round for the
+  * convergence exit (all ranks distinct ⇒ later rounds are no-ops).
+  *
+  * Collation is byte order over single-byte chars (the corpus
+  * contract; multi-byte text would need a byte-level explode). */
+object SuffixArray {
+
+  /** Per-position global suffix rank: (doc_id, pos, sa_rank) with
+    * `sa_rank` the 1-based position of suffix (doc, pos) — capped at
+    * `maxLen` chars — in the corpus-wide lexicographic order of all
+    * suffixes, ties (identical capped suffixes) broken by (doc_id,
+    * pos). */
+  def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
+                  maxLen: Int): DataFrame = {
+    require(maxLen >= 2 && maxLen <= 4096, s"maxLen $maxLen out of range")
+    val spark = docs.sparkSession
+    val numBuckets =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt * 4
+
+    val chars = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(substring(col(textCol), 1, maxLen), "")))
+      .filter(col("col") =!= "")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        ascii(col("col")).cast("long").as("rank"))
+
+    var cur = chars.localCheckpoint()
+    val n = cur.count()
+    // rank domain upper bound for the closed-form bucket (ascii first,
+    // then dense 1..maxRank)
+    var rankHi = 256L
+    var converged = false
+    var h = 1
+    while (h < maxLen && !converged) {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val led = cur.withColumn("_r2",
+        coalesce(lead(col("rank"), h).over(w), lit(-1L)))
+      val pairs = led.select(col("rank"), col("_r2")).distinct()
+      def bucket = least(greatest(
+        (col("rank") * numBuckets / rankHi).cast("int"), lit(0)),
+        lit(numBuckets - 1))
+      val ranked = Rank.rankByBucket(pairs, bucket,
+          Seq(col("rank"), col("_r2")))
+        .select(col("rank").as("_pr"), col("_r2").as("_pr2"),
+          col("_rank"))
+      val next = led.join(ranked,
+          led("rank") === col("_pr") && led("_r2") === col("_pr2"))
+        .select(col("doc_id"), col("pos"), col("_rank").as("rank"))
+        .localCheckpoint()
+      val maxRank = next.agg(max(col("rank"))).head.getLong(0)
+      Dedup.unpersistCheckpoint(cur)
+      cur = next
+      rankHi = maxRank + 1
+      converged = maxRank == n
+      h *= 2
+    }
+    if (converged)
+      cur.select(col("doc_id"), col("pos"), col("rank").as("sa_rank"))
+    else {
+      // identical capped suffixes remain tied — break by (doc_id, pos)
+      val bucket = least(greatest(
+        (col("rank") * numBuckets / rankHi).cast("int"), lit(0)),
+        lit(numBuckets - 1))
+      Rank.rankByBucket(cur, bucket,
+          Seq(col("rank"), col("doc_id"), col("pos")))
+        .select(col("doc_id"), col("pos"), col("_rank").as("sa_rank"))
+    }
+  }
+}

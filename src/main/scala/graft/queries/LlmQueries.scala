@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, GraphRank, HeavyHitters, Jpeg, Mp3, Multimodal, Packing, Pii, Sampling, Similarity, Spectral}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, GraphRank, HeavyHitters, Jpeg, Mp3, Multimodal, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -41,6 +41,9 @@ object LlmQueries {
   private val NllFlagNats = 3.7
   /** q81 duplicate-span shingle width (tokens). */
   private val DupSpanN = 5
+  /** q171 suffix-array cap: suffix order to 32 chars = a 32-char exact
+    * substring-dedup threshold; bounds prefix doubling at 5 rounds. */
+  private val SaCap = 32
   /** q82 tokens reported per source. */
   private val TopTokK = 8
   /** q85 TextRank: power-iteration count, damping, reported head. */
@@ -3855,6 +3858,130 @@ object LlmQueries {
           CAST(max(gg) AS BIGINT) AS max_gain,
           CAST(sum(sh) AS BIGINT) AS n_short_granules,
           CAST(sum(pre) AS BIGINT) AS n_preflag,
+          true AS valid
+        FROM v GROUP BY media_id""")),
+
+    // ---- distributed suffix array by prefix doubling (L121, r9): the
+    // EXACT index behind substring-level training-data dedup — global
+    // lexicographic rank of every suffix (capped at SaCap chars, the
+    // duplication threshold that bounds the rounds at log2 SaCap).
+    // Each round is a per-doc lead(h) window + a distinct over
+    // (rank, rank@+h) pairs + the scale-safe bucketed two-pass rank +
+    // an equi join back — NO unpartitioned window at any point. The
+    // oracle materializes every capped suffix STRING and sorts; the
+    // engine never materializes a suffix at all (the whole point at
+    // 100 TB: ranks are longs, suffixes are not).
+    "q171_suffix_array" -> Query(
+      (s, dir) => SuffixArray.suffixRanks(docs(s, dir), "doc_id", "text",
+        SaCap),
+      Some(s"""WITH c AS (SELECT doc_id, substr(text, 1, $SaCap) AS t
+              FROM documents),
+          s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                substr(t, CAST(i + 1 AS INT)) AS suf
+              FROM c, LATERAL (SELECT unnest(range(length(t))) AS i))
+        SELECT doc_id, pos,
+          CAST(row_number() OVER (ORDER BY suf, doc_id, pos) AS BIGINT)
+            AS sa_rank
+        FROM s""")),
+
+    // ---- MP3 ENTROPY layer (r9 — the blocked list's LAST undecoded
+    // layer): each doc becomes a mono stream whose main data carries
+    // REAL Huffman-coded spectral content in the documented subset
+    // (ISO table 1 for big values, table B for count1, no bit
+    // reservoir), synthesized on the imperative seam with the side
+    // info's part2_3_length set to the EXACT coded bit count — then
+    // FULLY entropy-decoded by Mp3.parseSpectral: slen-driven
+    // scalefactor read, table-1 pair walk with sign bits, table-B
+    // count1 quadruples terminated exactly at the part2_3 boundary.
+    // A decoder with any code length, sign position or slen table
+    // entry wrong cannot land on the boundary, let alone match the
+    // oracle's formula replay of every decoded value.
+    "q170_mp3_spectral" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              (id, Mp3.mp3PayloadSpectral((2 + id % 8).toInt,
+                (id % 14).toInt, (id % 3).toInt))
+            }
+          }
+        Mp3.decodeMp3Spectral(media).toDF()
+          .select(col("media_id"), col("n_frames"), col("sum_scalefac"),
+            col("sum_abs"), col("n_neg"), col("n_count1"),
+            col("sum_part23"), col("valid"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+              2 + doc_id % 8 AS n, doc_id % 14 AS seed FROM documents),
+          fg AS (SELECT media_id, n, seed, i, g,
+              (i + g) % 16 AS sfc,
+              CASE WHEN (i + g) % 3 = 0 THEN 1 ELSE 0 END AS wsf,
+              2 + ((seed + i) * 5 + g * 7) % 24 AS bv,
+              1 + (seed + i + g) % 6 AS n1
+            FROM m, LATERAL (SELECT unnest(range(n)) AS i),
+                 LATERAL (SELECT unnest(range(2)) AS g)),
+          sl AS (SELECT *,
+              CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+                WHEN 3 THEN 0 WHEN 4 THEN 3 WHEN 5 THEN 1 WHEN 6 THEN 1
+                WHEN 7 THEN 1 WHEN 8 THEN 2 WHEN 9 THEN 2 WHEN 10 THEN 2
+                WHEN 11 THEN 3 WHEN 12 THEN 3 WHEN 13 THEN 3
+                ELSE 4 END AS s1,
+              CASE sfc WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                WHEN 3 THEN 3 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 2
+                WHEN 7 THEN 3 WHEN 8 THEN 1 WHEN 9 THEN 2 WHEN 10 THEN 3
+                WHEN 11 THEN 1 WHEN 12 THEN 2 WHEN 13 THEN 3
+                WHEN 14 THEN 2 ELSE 3 END AS s2
+            FROM fg),
+          v AS (SELECT media_id, n, n1,
+              CASE WHEN wsf = 1 THEN
+                  list_sum(list_transform(range(18), k ->
+                    (seed + i + g + k) % (1 << s1)))
+                + list_sum(list_transform(range(18), k ->
+                    (seed + i + g + 18 + k) % (1 << s2)))
+                ELSE
+                  list_sum(list_transform(range(11), k ->
+                    (seed + i + g + k) % (1 << s1)))
+                + list_sum(list_transform(range(10), k ->
+                    (seed + i + g + 11 + k) % (1 << s2)))
+              END AS sf_sum,
+              list_sum(list_transform(range(bv), k ->
+                (seed + i + g + k) % 2 + (seed + 2 * i + g + k) % 2))
+                AS abs_big,
+              list_sum(list_transform(range(bv), k ->
+                  ((seed + i + g + k) % 2) * ((seed + k) % 2)
+                + ((seed + 2 * i + g + k) % 2) * ((i + k) % 2)))
+                AS neg_big,
+              list_sum(list_transform(range(bv), k ->
+                  (CASE WHEN (seed + i + g + k) % 2 = 0
+                          AND (seed + 2 * i + g + k) % 2 = 0 THEN 1
+                        WHEN (seed + i + g + k) % 2 = 1
+                          AND (seed + 2 * i + g + k) % 2 = 0 THEN 2
+                        ELSE 3 END)
+                + (seed + i + g + k) % 2 + (seed + 2 * i + g + k) % 2))
+                AS bits_big,
+              list_sum(list_transform(range(n1), k ->
+                  (seed + i + k) % 2 + (i + g + k) % 2
+                + (seed + g + k) % 2 + (seed + i + g + k) % 2))
+                AS abs_c1,
+              list_sum(list_transform(range(n1), k ->
+                  ((seed + i + k) % 2) * ((seed + k) % 2)
+                + ((i + g + k) % 2) * ((i + k) % 2)
+                + ((seed + g + k) % 2) * ((g + k) % 2)
+                + ((seed + i + g + k) % 2) * (k % 2)))
+                AS neg_c1,
+              list_sum(list_transform(range(n1), k ->
+                  4 + (seed + i + k) % 2 + (i + g + k) % 2
+                + (seed + g + k) % 2 + (seed + i + g + k) % 2))
+                AS bits_c1,
+              CASE WHEN wsf = 1 THEN 18 * (s1 + s2)
+                   ELSE 11 * s1 + 10 * s2 END AS part2
+            FROM sl)
+        SELECT media_id, CAST(max(n) AS BIGINT) AS n_frames,
+          CAST(sum(sf_sum) AS BIGINT) AS sum_scalefac,
+          CAST(sum(abs_big + abs_c1) AS BIGINT) AS sum_abs,
+          CAST(sum(neg_big + neg_c1) AS BIGINT) AS n_neg,
+          CAST(sum(n1) AS BIGINT) AS n_count1,
+          CAST(sum(part2 + bits_big + bits_c1) AS BIGINT) AS sum_part23,
           true AS valid
         FROM v GROUP BY media_id""")),
 

@@ -129,6 +129,104 @@ class Mp3Spec extends SparkSpec {
     shifted.copy(media_id = base.media_id) shouldBe base
   }
 
+  test("spectral (r9): full entropy decode matches the synthesis formulas") {
+    for (seed <- 0 until 5; sr <- 0 until 3) {
+      val n = 2 + seed
+      val info = Mp3.parseSpectral(1L, Mp3.mp3PayloadSpectral(n, seed, sr))
+      info.valid shouldBe true
+      info.n_frames shouldBe n.toLong
+      val slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
+      val slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
+      var sumSf = 0L; var sumAbs = 0L; var nNeg = 0L
+      var nC1 = 0L; var sumP23 = 0L
+      for (i <- 0 until n; g <- 0 until 2) {
+        val sfc = (i + g) % 16
+        val s1 = slen1(sfc); val s2 = slen2(sfc)
+        val wsf = (i + g) % 3 == 0
+        val (n1c, n2c, off2) = if (wsf) (18, 18, 18) else (11, 10, 11)
+        sumSf += (0 until n1c).map(k => (seed + i + g + k) % (1 << s1)).sum
+        sumSf += (0 until n2c).map(k => (seed + i + g + off2 + k) % (1 << s2)).sum
+        val bv = 2 + ((seed + i) * 5 + g * 7) % 24
+        var bitsBig = 0
+        for (k <- 0 until bv) {
+          val x = (seed + i + g + k) % 2; val y = (seed + 2 * i + g + k) % 2
+          sumAbs += x + y
+          nNeg += x * ((seed + k) % 2) + y * ((i + k) % 2)
+          bitsBig += (if (x == 0 && y == 0) 1 else if (x == 1 && y == 0) 2 else 3) + x + y
+        }
+        val n1 = 1 + (seed + i + g) % 6
+        var bitsC1 = 0
+        for (k <- 0 until n1) {
+          val v = (seed + i + k) % 2; val w = (i + g + k) % 2
+          val x = (seed + g + k) % 2; val yq = (seed + i + g + k) % 2
+          sumAbs += v + w + x + yq
+          nNeg += v * ((seed + k) % 2) + w * ((i + k) % 2) +
+            x * ((g + k) % 2) + yq * (k % 2)
+          bitsC1 += 4 + v + w + x + yq
+        }
+        nC1 += n1
+        sumP23 += (if (wsf) 18 * (s1 + s2) else 11 * s1 + 10 * s2) +
+          bitsBig + bitsC1
+      }
+      info.sum_scalefac shouldBe sumSf
+      info.sum_abs shouldBe sumAbs
+      info.n_neg shouldBe nNeg
+      info.n_count1 shouldBe nC1
+      info.sum_part23 shouldBe sumP23
+    }
+  }
+
+  test("spectral: subset boundaries and the part2_3 landing rule reject crafted streams") {
+    def withBits(b: Array[Byte], startBit: Int, v: Int, n: Int): Array[Byte] = {
+      val c = b.clone()
+      var i = 0
+      while (i < n) {
+        val bit = startBit + i
+        val mask = 1 << (7 - (bit & 7))
+        val set = ((v >> (n - 1 - i)) & 1) == 1
+        c(bit >> 3) = (if (set) c(bit >> 3) | mask else c(bit >> 3) & ~mask).toByte
+        i += 1
+      }
+      c
+    }
+    val good = Mp3.mp3PayloadSpectral(2, 3, 0)
+    Mp3.parseSpectral(1L, good).valid shouldBe true
+    val siBit = 4 * 8
+    // nonzero main_data_begin: bit reservoir is out of subset
+    Mp3.parseSpectral(1L, withBits(good, siBit, 5, 9)).valid shouldBe false
+    // nonzero scfsi: scalefactor sharing is out of subset
+    Mp3.parseSpectral(1L, withBits(good, siBit + 14, 3, 4)).valid shouldBe false
+    // part2_3_length off by one bit: count1 cannot land on the boundary
+    // (granule 0's p23 field starts at side-info bit 18)
+    val p23 = {
+      val r = (good(4 + 2) & 0xff) << 8 | (good(4 + 3) & 0xff)
+      (r >> 2) & 0xfff // bits 18..29 of the side info
+    }
+    Mp3.parseSpectral(1L, withBits(good, siBit + 18, p23 + 1, 12)).valid shouldBe false
+    Mp3.parseSpectral(1L, withBits(good, siBit + 18, p23 - 1, 12)).valid shouldBe false
+    // a table_select other than 1: granule 0 of frame 0 is SHORT
+    // ((i+g)%3=0) — fields run p23@18 bv@30 gg@39 sfc@47 wsf@51
+    // block_type@52 mixed@54, so table_select 0 starts at si bit 55
+    Mp3.parseSpectral(1L, withBits(good, siBit + 55, 7, 5)).valid shouldBe false
+    // flipping a main-data bit inside granule 0's big-value region
+    // changes decoded sums (or kills the boundary landing)
+    val mainBit = (4 + 17) * 8
+    val flipped = Mp3.parseSpectral(1L,
+      withBits(good, mainBit + 40, 1 - ((good(21 + 5) >> 7) & 1), 1))
+    val base = Mp3.parseSpectral(1L, good)
+    assert(!flipped.valid || flipped != base)
+  }
+
+  test("spectral: fuzz never throws") {
+    val rnd = new scala.util.Random(20260815)
+    (0 until 300).foreach { _ =>
+      val n = rnd.nextInt(400)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      if (rnd.nextBoolean() && n >= 2) { b(0) = 0xff.toByte; b(1) = 0xfb.toByte }
+      noException should be thrownBy Mp3.parseSpectral(0L, b)
+    }
+  }
+
   test("side info: decoder-grade validity rules reject crafted fields") {
     val good = Mp3.mp3PayloadSideInfo(2, 1, 0)
     // big_values > 288: frame 0 granule 0's 9-bit big_values field

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SuffixArray
+
+/** Suffix-array construction by prefix doubling (L121): brute-force
+  * lexicographic oracle, the shorter-suffix-first law, the capped-tie
+  * path, and convergence behavior. */
+class SuffixArraySpec extends SparkSpec {
+
+  /** Brute-force oracle: sort all capped suffixes as strings, ties by
+    * (doc, pos). */
+  private def brute(docs: Seq[(Long, String)], cap: Int): Map[(Long, Long), Long] =
+    docs.flatMap { case (id, t) =>
+      val c = t.take(cap)
+      c.indices.map(p => ((id, p.toLong), c.substring(p)))
+    }.sortBy { case ((id, p), suf) => (suf, id, p) }
+      .zipWithIndex.map { case ((k, _), i) => k -> (i + 1L) }.toMap
+
+  private def run(docs: Seq[(Long, String)], cap: Int): Map[(Long, Long), Long] = {
+    import spark.implicits._
+    SuffixArray.suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text", cap)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+  }
+
+  test("matches the brute-force suffix sort on mixed docs") {
+    val docs = Seq(1L -> "banana", 2L -> "bandana", 3L -> "an", 4L -> "a")
+    run(docs, 16) shouldBe brute(docs, 16)
+  }
+
+  test("shorter suffix sorts before every longer one sharing its prefix") {
+    // "ab" suffixes: "ab","b"; "abc": "abc","bc","c" — "ab" < "abc"
+    val docs = Seq(1L -> "ab", 2L -> "abc")
+    val r = run(docs, 8)
+    val b = brute(docs, 8)
+    r shouldBe b
+    assert(r((1L, 0L)) < r((2L, 0L))) // "ab" before "abc"
+  }
+
+  test("identical capped suffixes tie-break by (doc_id, pos) — the non-converged path") {
+    // identical docs: every suffix pair ties at ANY cap; the doubling
+    // loop can never converge and the final tie-break pass must run
+    val docs = Seq(5L -> "aaaa", 2L -> "aaaa")
+    val r = run(docs, 4)
+    r shouldBe brute(docs, 4)
+    // "aaaa" of doc 2 before "aaaa" of doc 5
+    assert(r((2L, 0L)) < r((5L, 0L)))
+  }
+
+  test("cap truncates the comparison window") {
+    // under cap 2 the suffixes of "xyz" are "xy","y" (z never seen)
+    val docs = Seq(1L -> "xyz")
+    val r = run(docs, 2)
+    r.keySet shouldBe Set((1L, 0L), (1L, 1L))
+    r shouldBe brute(docs, 2)
+  }
+
+  test("randomized differential: 40 docs of random lowercase text") {
+    val rnd = new scala.util.Random(20260815)
+    val docs = (0 until 40).map { i =>
+      val len = 1 + rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    }
+    run(docs, 16) shouldBe brute(docs, 16)
+  }
+
+  test("output is a permutation 1..n") {
+    val docs = Seq(1L -> "hello world", 2L -> "world hello")
+    val r = run(docs, 32)
+    r.values.toSeq.sorted shouldBe (1L to r.size.toLong)
+  }
+}
