@@ -102,4 +102,40 @@ object SuffixArray {
         .select(col("doc_id"), col("pos"), col("_rank").as("sa_rank"))
     }
   }
+
+  /** The dedup APPLICATION of the suffix array (Lee et al. 2021,
+    * arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    * Models Better", the exact-substring method): every position whose
+    * SA-ADJACENT suffix shares a prefix of ≥ `minLen` chars starts a
+    * substring that occurs elsewhere in the corpus. Emits those
+    * adjacent pairs with their exact LCP.
+    *
+    * Plan shape: SA from [[suffixRanks]]; ONE equi join back to the
+    * (capped) doc texts keyed on doc_id to attach each position's
+    * ≤ `maxLen`-char suffix window; ONE equi self-join on consecutive
+    * `sa_rank`; the LCP is a map-side prefix-compare HOF over the two
+    * bounded windows (≤ maxLen² char compares/row — maxLen is a small
+    * constant). Never an all-pairs product: adjacency in suffix order
+    * IS the candidate generation. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     maxLen: Int, minLen: Int): DataFrame = {
+    require(minLen >= 1 && minLen <= maxLen, s"bad minLen $minLen")
+    val sa = suffixRanks(docs, idCol, textCol, maxLen)
+    val capped = docs.select(col(idCol).cast("long").as("doc_id"),
+      substring(col(textCol), 1, maxLen).as("_t"))
+    val withSuf = sa.join(capped, "doc_id")
+      .select(col("doc_id"), col("pos"), col("sa_rank"),
+        col("_t").substr(col("pos").cast("int") + 1, lit(maxLen)).as("_suf"))
+    val nbr = withSuf.select(col("doc_id").as("nbr_doc_id"),
+      col("pos").as("nbr_pos"), (col("sa_rank") - 1).as("_rk"),
+      col("_suf").as("_nsuf"))
+    val lcp = size(filter(
+      sequence(lit(1), least(length(col("_suf")), length(col("_nsuf")))),
+      k => col("_suf").substr(lit(1), k) === col("_nsuf").substr(lit(1), k)))
+    withSuf.join(nbr, col("sa_rank") === col("_rk"))
+      .withColumn("lcp", lcp.cast("long"))
+      .filter(col("lcp") >= minLen)
+      .select(col("doc_id"), col("pos"), col("nbr_doc_id"), col("nbr_pos"),
+        col("lcp"))
+  }
 }

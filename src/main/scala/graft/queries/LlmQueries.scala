@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, GraphRank, HeavyHitters, Jpeg, Mp3, Multimodal, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Jpeg, Mp3, Multimodal, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -44,6 +44,11 @@ object LlmQueries {
   /** q171 suffix-array cap: suffix order to 32 chars = a 32-char exact
     * substring-dedup threshold; bounds prefix doubling at 5 rounds. */
   private val SaCap = 32
+  /** q172 duplicate-span threshold: a 16-char exact repeat marks a
+    * duplicated substring (567 adjacent pairs at sf0.01). */
+  private val SaDupMin = 16
+  /** q173 fuzzy-join edit-distance threshold (FastSS neighborhood k). */
+  private val FuzzyK = 2
   /** q82 tokens reported per source. */
   private val TopTokK = 8
   /** q85 TextRank: power-iteration count, damping, reported head. */
@@ -3883,6 +3888,62 @@ object LlmQueries {
           CAST(row_number() OVER (ORDER BY suf, doc_id, pos) AS BIGINT)
             AS sa_rank
         FROM s""")),
+
+    // ---- blocked fuzzy self-join (L122): all distinct word-bigram
+    // phrases within Levenshtein distance FuzzyK of each other — the
+    // entity-resolution / spelling-variant primitive. Candidates come
+    // from an EQUI join on the FastSS <=k-deletion neighborhood
+    // (complete by the edit-script decomposition), verified with the
+    // exact levenshtein; the oracle runs the O(V^2) exact product the
+    // engine exists to avoid (V is oracle-scale-bounded; the ENGINE
+    // never forms it).
+    "q173_fuzzy_join" -> Query(
+      (s, dir) => {
+        val phrases = docs(s, dir).select(tokens(col("text")).as("t"))
+          .select(explode(expr(
+            "transform(slice(t, 2, size(t) - 1), (w, i) -> concat(t[i], ' ', w))"))
+            .as("p"))
+          .distinct()
+        FuzzyJoin.selfJoin(phrases, "p", FuzzyK)
+          .select(col("s_a").as("phrase_a"), col("s_b").as("phrase_b"),
+            col("dist"))
+      },
+      Some(s"""WITH t AS (SELECT $sqlToks AS t FROM documents),
+          p AS (SELECT DISTINCT unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i + 1])) AS p FROM t)
+        SELECT a.p AS phrase_a, b.p AS phrase_b,
+          CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        FROM p a JOIN p b
+        ON a.p < b.p AND levenshtein(a.p, b.p) <= $FuzzyK""")),
+
+    // ---- suffix-array duplicate spans (L121's dedup application —
+    // the exact-substring method of arXiv:2107.06499): SA-adjacent
+    // suffix pairs sharing >= SaDupMin chars mark substrings occurring
+    // elsewhere in the corpus. Candidates come from ADJACENCY in
+    // suffix order (never an all-pairs product); the LCP is an exact
+    // map-side prefix compare over two <= SaCap-char windows. L44's
+    // q81 finds spans via fixed-width shingle hashes; this is the
+    // exact-index counterpart with per-pair exact match lengths.
+    "q172_sa_dup_spans" -> Query(
+      (s, dir) => SuffixArray.duplicateSpans(docs(s, dir), "doc_id",
+        "text", SaCap, SaDupMin),
+      Some(s"""WITH c AS (SELECT doc_id, substr(text, 1, $SaCap) AS t
+              FROM documents),
+          s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                substr(t, CAST(i + 1 AS INT)) AS suf
+              FROM c, LATERAL (SELECT unnest(range(length(t))) AS i)),
+          r AS (SELECT *, row_number() OVER (ORDER BY suf, doc_id, pos)
+                  AS rk FROM s),
+          p AS (SELECT a.doc_id, a.pos,
+                b.doc_id AS nbr_doc_id, b.pos AS nbr_pos,
+                CAST(list_sum(list_transform(
+                  range(least(length(a.suf), length(b.suf))), k ->
+                    CASE WHEN substr(a.suf, 1, CAST(k + 1 AS INT))
+                           = substr(b.suf, 1, CAST(k + 1 AS INT))
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS lcp
+              FROM r a JOIN r b ON b.rk = a.rk + 1)
+        SELECT doc_id, pos, nbr_doc_id, nbr_pos, lcp
+        FROM p WHERE lcp >= $SaDupMin""")),
 
     // ---- MP3 ENTROPY layer (r9 — the blocked list's LAST undecoded
     // layer): each doc becomes a mono stream whose main data carries

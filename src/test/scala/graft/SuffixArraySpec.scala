@@ -65,6 +65,31 @@ class SuffixArraySpec extends SparkSpec {
     run(docs, 16) shouldBe brute(docs, 16)
   }
 
+  test("duplicateSpans finds exactly the planted repeats with exact LCPs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "xxthe quick brown dog sits"),
+      (3L, "zzzz unrelated text here"))
+    // brute force: adjacent pairs in the sorted capped-suffix order
+    val cap = 32; val min = 10
+    val sufs = docs.flatMap { case (id, t) =>
+      val c = t.take(cap)
+      c.indices.map(p => (id, p.toLong, c.substring(p)))
+    }.sortBy { case (id, p, suf) => (suf, id, p) }
+    val expected = sufs.zip(sufs.tail).flatMap {
+      case ((d1, p1, s1), (d2, p2, s2)) =>
+        val lcp = s1.zip(s2).takeWhile { case (a, b) => a == b }.length
+        if (lcp >= min) Some((d1, p1, d2, p2, lcp.toLong)) else None
+    }.toSet
+    expected should not be empty // "the quick brown " repeats (16 chars)
+    val got = SuffixArray.duplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", cap, min)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    got shouldBe expected
+  }
+
   test("output is a permutation 1..n") {
     val docs = Seq(1L -> "hello world", 2L -> "world hello")
     val r = run(docs, 32)
