@@ -86,6 +86,10 @@ object Bench {
       // frame + debris showed up as q01's in-sweep 20× — SCALE.md r9)
       if (name.startsWith("q27_"))
         graft.operators.Dedup.releasePostingIndexes(spark)
+      // q172 is the last consumer of the memoized suffix array
+      // (q171 < q172 in sort order) — same release rule
+      if (name.startsWith("q172_"))
+        graft.operators.SuffixArray.releaseSuffixArrays(spark)
       (name, t, ok)
     }
     val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -42,20 +42,79 @@ import graft.operators.{MLFeed => Rank}
   * contract; multi-byte text would need a byte-level explode). */
 object SuffixArray {
 
+  /** Memoized materialized suffix arrays: the SA is an INDEX with two
+    * consumers in the gated surface (q171 emits it, q172 joins it
+    * against itself), and rebuilding the log-round doubling loop per
+    * consumer doubles the cost of the most expensive build in the
+    * suite (the q00 pair-index lesson — SCALE.md r9). Keyed on
+    * (session, maxLen, analyzed input plan) via `sameResult`;
+    * dead-session entries pruned on every lookup; builds run under the
+    * per-entry lock only (the ADVICE r8 rule: no Spark jobs while
+    * holding the global lock). Rows are three longs — the cheapest
+    * frame in the plan to pin; sweeps release via
+    * [[releaseSuffixArrays]] after the last consumer. */
+  private final class SaEntry(
+      val sessionRef: java.lang.ref.WeakReference[org.apache.spark.sql.SparkSession],
+      val maxLen: Int,
+      val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) {
+    @volatile var frame: DataFrame = _
+  }
+  private val saCache = scala.collection.mutable.ListBuffer.empty[SaEntry]
+
+  /** Release every memoized suffix array of `session` (free the
+    * checkpoint blocks, drop the entries). Safe at any time — the next
+    * [[suffixRanks]] call rebuilds. */
+  def releaseSuffixArrays(session: org.apache.spark.sql.SparkSession): Unit =
+    saCache.synchronized {
+      saCache.filterInPlace { e =>
+        val owned = e.sessionRef.get() eq session
+        if (owned && e.frame != null) Dedup.unpersistCheckpoint(e.frame)
+        !owned
+      }
+    }
+
   /** Per-position global suffix rank: (doc_id, pos, sa_rank) with
     * `sa_rank` the 1-based position of suffix (doc, pos) — capped at
     * `maxLen` chars — in the corpus-wide lexicographic order of all
     * suffixes, ties (identical capped suffixes) broken by (doc_id,
-    * pos). */
+    * pos). Returns a memoized localCheckpoint'ed frame (see
+    * [[saCache]]). */
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
                   maxLen: Int): DataFrame = {
     require(maxLen >= 2 && maxLen <= 4096, s"maxLen $maxLen out of range")
-    val spark = docs.sparkSession
+    val input = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("_text"))
+    val session = docs.sparkSession
+    val sig = input.queryExecution.analyzed
+    val entry = saCache.synchronized {
+      saCache.filterInPlace { e =>
+        val s = e.sessionRef.get()
+        s != null && !s.sparkContext.isStopped
+      }
+      saCache.find { e =>
+        (e.sessionRef.get() eq session) && e.maxLen == maxLen &&
+          e.plan.sameResult(sig)
+      }.getOrElse {
+        val e = new SaEntry(
+          new java.lang.ref.WeakReference(session), maxLen, sig)
+        saCache += e
+        e
+      }
+    }
+    entry.synchronized {
+      if (entry.frame == null)
+        entry.frame = build(input, maxLen)
+      entry.frame
+    }
+  }
+
+  private def build(input: DataFrame, maxLen: Int): DataFrame = {
+    val spark = input.sparkSession
     val numBuckets =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt * 4
 
-    val chars = docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(split(substring(col(textCol), 1, maxLen), "")))
+    val chars = input.select(col("doc_id"),
+        posexplode(split(substring(col("_text"), 1, maxLen), "")))
       .filter(col("col") =!= "")
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         ascii(col("col")).cast("long").as("rank"))
@@ -90,7 +149,7 @@ object SuffixArray {
       converged = maxRank == n
       h *= 2
     }
-    if (converged)
+    val out = (if (converged)
       cur.select(col("doc_id"), col("pos"), col("rank").as("sa_rank"))
     else {
       // identical capped suffixes remain tied — break by (doc_id, pos)
@@ -100,7 +159,10 @@ object SuffixArray {
       Rank.rankByBucket(cur, bucket,
           Seq(col("rank"), col("doc_id"), col("pos")))
         .select(col("doc_id"), col("pos"), col("_rank").as("sa_rank"))
-    }
+    }).localCheckpoint()
+    // the result copy is materialized — the last round's blocks are dead
+    Dedup.unpersistCheckpoint(cur)
+    out
   }
 
   /** The dedup APPLICATION of the suffix array (Lee et al. 2021,
@@ -120,6 +182,10 @@ object SuffixArray {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      maxLen: Int, minLen: Int): DataFrame = {
     require(minLen >= 1 && minLen <= maxLen, s"bad minLen $minLen")
+    // the SA arrives checkpointed from the memo cache: without the cut
+    // each side of the adjacency self-join replays the final rank pass
+    // (measured 49.5 s → 12.9 s at sf0.1), and without the memo this
+    // query repeats q171's whole doubling loop (87 s at sf5)
     val sa = suffixRanks(docs, idCol, textCol, maxLen)
     val capped = docs.select(col(idCol).cast("long").as("doc_id"),
       substring(col(textCol), 1, maxLen).as("_t"))
