@@ -86,9 +86,9 @@ object Bench {
       // frame + debris showed up as q01's in-sweep 20× — SCALE.md r9)
       if (name.startsWith("q27_"))
         graft.operators.Dedup.releasePostingIndexes(spark)
-      // q172 is the last consumer of the memoized suffix array
-      // (q171 < q172 in sort order) — same release rule
-      if (name.startsWith("q172_"))
+      // q174 is the last consumer of the memoized suffix array
+      // (q171 < q172 < q174 in sort order) — same release rule
+      if (name.startsWith("q174_"))
         graft.operators.SuffixArray.releaseSuffixArrays(spark)
       (name, t, ok)
     }

@@ -204,4 +204,72 @@ object SuffixArray {
       .select(col("doc_id"), col("pos"), col("nbr_doc_id"), col("nbr_pos"),
         col("lcp"))
   }
+
+  /** The REMOVAL step that completes the exact-substring dedup line
+    * (arXiv:2107.06499 §4: after marking, "remove" the duplicated
+    * spans): excise from each document the union of its marked spans,
+    * keeping the earliest occurrence of each duplicate.
+    *
+    * Policy (documented, oracle-replayed): a [[duplicateSpans]] pair
+    * marks only its LATER side — the span at the larger (doc_id, pos)
+    * — so the (doc_id, pos)-earliest copy of every repeated substring
+    * survives. Spans live in the capped `maxLen`-char prefix (the
+    * index's domain); the tail beyond the cap passes through
+    * unchanged.
+    *
+    * Plan shape: spans → ONE groupBy(doc_id) collecting the sorted
+    * interval list (≤ maxLen rows/doc — doc-bounded, never a global
+    * window), ONE left equi join back to the docs, then a pure-codegen
+    * `aggregate` HOF doing interval-union + excision in a single pass
+    * over the sorted list. Output: (doc_id, clean_text,
+    * removed_chars, n_islands) with n_islands the count of MERGED
+    * disjoint removed ranges. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           maxLen: Int, minLen: Int): DataFrame = {
+    // each adjacency row carries BOTH sides (the rank-r suffix and its
+    // rank-r+1 neighbor); the LATER side by (doc_id, pos) takes the cut
+    val later = col("doc_id") > col("nbr_doc_id") ||
+      (col("doc_id") === col("nbr_doc_id") && col("pos") > col("nbr_pos"))
+    val dup = duplicateSpans(docs, idCol, textCol, maxLen, minLen)
+    val spans = dup.select(
+        when(later, col("doc_id")).otherwise(col("nbr_doc_id")).as("doc_id"),
+        when(later, col("pos")).otherwise(col("nbr_pos")).as("s"),
+        col("lcp"))
+      .select(col("doc_id"), col("s"), (col("s") + col("lcp")).as("e"))
+    // a position can be the later side of both its SA neighbors, so
+    // (s, e) pairs may repeat — the union fold absorbs duplicates
+    val ivs = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs"))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      substring(col(textCol), 1, maxLen).as("_t"),
+      col(textCol).substr(lit(maxLen + 1), length(col(textCol))).as("_tail"))
+    // fold state: c = covered-up-to (exclusive, running max end),
+    // o = kept prefix text, k = merged-island count; an island starts
+    // on the first interval or when s clears the covered region
+    val folded = aggregate(col("_ivs"),
+      struct(lit(0L).as("c"), lit("").as("o"), lit(0L).as("k")),
+      (acc, iv) => {
+        val c = acc.getField("c"); val s = iv.getField("s")
+        struct(
+          greatest(c, iv.getField("e")).as("c"),
+          concat(acc.getField("o"),
+            when(s > c, col("_t").substr((c + 1).cast("int"),
+              (s - c).cast("int"))).otherwise(lit(""))).as("o"),
+          when(acc.getField("k") === 0 || s > c,
+            acc.getField("k") + 1).otherwise(acc.getField("k")).as("k"))
+      },
+      acc => struct(
+        concat(acc.getField("o"),
+          col("_t").substr((acc.getField("c") + 1).cast("int"),
+            length(col("_t")))).as("o"),
+        acc.getField("k").as("k")))
+    base.join(ivs, Seq("doc_id"), "left")
+      .withColumn("_f", when(col("_ivs").isNotNull, folded))
+      .select(col("doc_id"),
+        concat(coalesce(col("_f.o"), col("_t")), col("_tail"))
+          .as("clean_text"),
+        coalesce(length(col("_t")) - length(col("_f.o")), lit(0))
+          .cast("long").as("removed_chars"),
+        coalesce(col("_f.k"), lit(0L)).as("n_islands"))
+  }
 }

@@ -3945,6 +3945,61 @@ object LlmQueries {
         SELECT doc_id, pos, nbr_doc_id, nbr_pos, lcp
         FROM p WHERE lcp >= $SaDupMin""")),
 
+    // ---- duplicate-span REMOVAL (L121's closing step — the "remove"
+    // of arXiv:2107.06499 §4): excise the union of marked spans from
+    // each doc, keeping the (doc_id, pos)-earliest occurrence (only
+    // the LATER side of each SA-adjacent pair is cut). Interval union
+    // + excision run as one codegen `aggregate` HOF over the per-doc
+    // sorted span list (doc-bounded — never a global window); the
+    // oracle replays it as gaps-and-islands SQL + ordered string_agg.
+    "q174_sa_span_removal" -> Query(
+      (s, dir) => SuffixArray.removeDuplicateSpans(docs(s, dir), "doc_id",
+        "text", SaCap, SaDupMin),
+      Some(s"""WITH c AS (SELECT doc_id, substr(text, 1, $SaCap) AS t,
+                substr(text, ${SaCap + 1}) AS tail FROM documents),
+          s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                substr(t, CAST(i + 1 AS INT)) AS suf
+              FROM c, LATERAL (SELECT unnest(range(length(t))) AS i)),
+          r AS (SELECT *, row_number() OVER (ORDER BY suf, doc_id, pos)
+                  AS rk FROM s),
+          p AS (SELECT a.doc_id, a.pos,
+                b.doc_id AS nbr_doc_id, b.pos AS nbr_pos,
+                CAST(list_sum(list_transform(
+                  range(least(length(a.suf), length(b.suf))), k ->
+                    CASE WHEN substr(a.suf, 1, CAST(k + 1 AS INT))
+                           = substr(b.suf, 1, CAST(k + 1 AS INT))
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS lcp
+              FROM r a JOIN r b ON b.rk = a.rk + 1),
+          sp0 AS (SELECT CASE WHEN doc_id > nbr_doc_id
+                  OR (doc_id = nbr_doc_id AND pos > nbr_pos)
+                  THEN doc_id ELSE nbr_doc_id END AS d,
+                CASE WHEN doc_id > nbr_doc_id
+                  OR (doc_id = nbr_doc_id AND pos > nbr_pos)
+                  THEN pos ELSE nbr_pos END AS st0,
+                lcp FROM p WHERE lcp >= $SaDupMin),
+          sp AS (SELECT d AS doc_id, st0 AS st, st0 + lcp AS e FROM sp0),
+          g AS (SELECT *, CASE WHEN st > coalesce(max(e) OVER (
+                  PARTITION BY doc_id ORDER BY st, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS fresh FROM sp),
+          gi AS (SELECT *, sum(fresh) OVER (PARTITION BY doc_id
+                  ORDER BY st, e ROWS UNBOUNDED PRECEDING) AS isl
+              FROM g),
+          m AS (SELECT doc_id, isl, min(st) AS ms, max(e) AS me
+              FROM gi GROUP BY doc_id, isl),
+          kk AS (SELECT doc_id, ms, me, coalesce(lag(me) OVER (
+                  PARTITION BY doc_id ORDER BY ms), 0) AS pe FROM m),
+          cl AS (SELECT doc_id,
+                string_agg(substr(t, CAST(pe + 1 AS INT),
+                  CAST(ms - pe AS INT)), '' ORDER BY ms)
+                  || substr(t, CAST(max(me) + 1 AS INT)) AS o,
+                count(*) AS k, sum(me - ms) AS rem
+              FROM kk JOIN c USING (doc_id) GROUP BY doc_id, t)
+        SELECT c.doc_id, coalesce(cl.o, c.t) || c.tail AS clean_text,
+          CAST(coalesce(cl.rem, 0) AS BIGINT) AS removed_chars,
+          CAST(coalesce(cl.k, 0) AS BIGINT) AS n_islands
+        FROM c LEFT JOIN cl USING (doc_id)""")),
+
     // ---- MP3 ENTROPY layer (r9 — the blocked list's LAST undecoded
     // layer): each doc becomes a mono stream whose main data carries
     // REAL Huffman-coded spectral content in the documented subset

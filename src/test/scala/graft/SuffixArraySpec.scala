@@ -95,4 +95,83 @@ class SuffixArraySpec extends SparkSpec {
     val r = run(docs, 32)
     r.values.toSeq.sorted shouldBe (1L to r.size.toLong)
   }
+
+  /** Brute-force removal oracle: later side of each SA-adjacent pair
+    * with lcp >= min is a span; excise the per-doc union from the
+    * capped prefix, keep the tail. Returns doc_id -> (clean,
+    * removed_chars, n_islands). */
+  private def bruteClean(docs: Seq[(Long, String)], cap: Int,
+                         min: Int): Map[Long, (String, Long, Long)] = {
+    val sufs = docs.flatMap { case (id, t) =>
+      val c = t.take(cap)
+      c.indices.map(p => (id, p, c.substring(p)))
+    }.sortBy { case (id, p, suf) => (suf, id, p) }
+    val spans = sufs.zip(sufs.tail).flatMap {
+      case ((d1, p1, s1), (d2, p2, s2)) =>
+        val lcp = s1.zip(s2).takeWhile { case (a, b) => a == b }.length
+        if (lcp < min) None
+        else if (d1 > d2 || (d1 == d2 && p1 > p2)) Some((d1, p1, p1 + lcp))
+        else Some((d2, p2, p2 + lcp))
+    }
+    docs.map { case (id, t) =>
+      val c = t.take(cap)
+      val ivs = spans.collect { case (d, s, e) if d == id => (s, e) }
+        .sorted
+      var cov = 0; var out = new StringBuilder; var k = 0L
+      ivs.foreach { case (s, e) =>
+        if (k == 0 || s > cov) { out ++= c.substring(cov.min(s), s); k += 1 }
+        cov = cov.max(e)
+      }
+      out ++= c.substring(cov)
+      id -> (out.toString + t.drop(cap),
+        (c.length - out.length).toLong, k)
+    }.toMap
+  }
+
+  private def runClean(docs: Seq[(Long, String)], cap: Int,
+                       min: Int): Map[Long, (String, Long, Long)] = {
+    import spark.implicits._
+    SuffixArray.removeDuplicateSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", cap, min)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  test("removeDuplicateSpans excises the planted repeat's later copy only") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "xxthe quick brown dog sits"))
+    val got = runClean(docs, 32, 10)
+    got shouldBe bruteClean(docs, 32, 10)
+    // earliest occurrence (doc 1) survives untouched
+    got(1L)._1 shouldBe "the quick brown fox jumps"
+    got(1L)._2 shouldBe 0L
+    // doc 2's copy of "the quick brown " is cut
+    assert(got(2L)._2 > 0L)
+    assert(!got(2L)._1.contains("quick"))
+  }
+
+  test("removeDuplicateSpans: span-free docs pass through, tail beyond cap preserved") {
+    val long = "abcdefgh" * 10 // 80 chars, cap 8 -> tail 72 preserved
+    val docs = Seq((1L, long), (2L, "zqzqzq"))
+    val got = runClean(docs, 8, 6)
+    got shouldBe bruteClean(docs, 8, 6)
+    got(1L)._1.endsWith(long.drop(8)) shouldBe true
+  }
+
+  test("removeDuplicateSpans randomized differential (overlap-heavy small alphabet)") {
+    val rnd = new scala.util.Random(20260816)
+    val docs = (0 until 30).map { i =>
+      val len = 5 + rnd.nextInt(40)
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }
+    val got = runClean(docs, 16, 5)
+    got shouldBe bruteClean(docs, 16, 5)
+    // conservation: removed + kept-prefix == capped length
+    docs.foreach { case (id, t) =>
+      val (clean, rem, _) = got(id)
+      (clean.length + rem) shouldBe t.length.toLong
+    }
+  }
 }
