@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Jpeg, Mp3, Multimodal, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Jpeg, Mp3, Mp4, Multimodal, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -3999,6 +3999,53 @@ object LlmQueries {
           CAST(coalesce(cl.rem, 0) AS BIGINT) AS removed_chars,
           CAST(coalesce(cl.k, 0) AS BIGINT) AS n_islands
         FROM c LEFT JOIN cl USING (doc_id)""")),
+
+    // ---- MP4 / ISO-BMFF box walk + keyframe index (the media
+    // family's VIDEO entry): each doc becomes a spec-compliant minimal
+    // MP4 whose moov sample tables (stts RLE, stsz, stss, multi-entry
+    // stsc, stco) the decoder must walk and CROSS-VALIDATE — keyframe
+    // offsets are prefix sums rederived from the chunk map, keyframe
+    // byte sums read mdat through the resolved ranges, so a parser
+    // with any table walk wrong cannot match the oracle's formula
+    // replay. Frame-sampling a video corpus at 100 TB is exactly this
+    // walk: resolve stss keyframes to byte ranges, read only those.
+    "q175_mp4_index" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Mp4.mp4Payload((3 + id % 9).toInt, (id % 11).toInt))))
+        Mp4.decodeMp4(media).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+              3 + doc_id % 9 AS n, doc_id % 11 AS seed FROM documents),
+          e AS (SELECT media_id, n, seed,
+              600 + 100 * (seed % 5) AS ts,
+              2 + seed % 3 AS ke,
+              2 + (seed // 3) % 4 AS spc FROM m),
+          s AS (SELECT media_id, n, seed, ts, ke, spc, i,
+              40 + 10 * ((i // 3) % 2) AS delta,
+              20 + ((seed + 7 * i) % 50) AS sz,
+              CASE WHEN i % ke = 0 THEN 1 ELSE 0 END AS isk
+            FROM e, LATERAL (SELECT unnest(range(n)) AS i)),
+          s2 AS (SELECT *, coalesce(sum(sz) OVER (PARTITION BY media_id
+              ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS pre FROM s)
+        SELECT media_id,
+          CAST(max(n) AS BIGINT) AS n_samples,
+          CAST(max(ts) AS BIGINT) AS timescale,
+          CAST(sum(delta) AS BIGINT) AS duration,
+          CAST(sum(isk) AS BIGINT) AS n_keyframes,
+          CAST(max((n + spc - 1) // spc) AS BIGINT) AS n_chunks,
+          CAST(sum(sz) AS BIGINT) AS sum_bytes,
+          CAST(max(sz) AS BIGINT) AS max_sample,
+          CAST(sum(CASE WHEN isk = 1 THEN pre ELSE 0 END) AS BIGINT)
+            AS sum_key_rel_off,
+          CAST(sum(CASE WHEN isk = 1 THEN list_sum(list_transform(
+              range(sz), j -> (seed + i + j) % 256)) ELSE 0 END)
+            AS BIGINT) AS sum_key_bytes,
+          true AS valid
+        FROM s2 GROUP BY media_id""")),
 
     // ---- MP3 ENTROPY layer (r9 — the blocked list's LAST undecoded
     // layer): each doc becomes a mono stream whose main data carries
