@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Jpeg, Mp3, Mp4, Multimodal, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -44,6 +44,10 @@ object LlmQueries {
   /** q171 suffix-array cap: suffix order to 32 chars = a 32-char exact
     * substring-dedup threshold; bounds prefix doubling at 5 rounds. */
   private val SaCap = 32
+
+  /** q176 NB weak-supervision label: "quality" = at least this many
+    * tokens (the corpus median — both classes stay populated). */
+  private val NbMinToks = 56
   /** q172 duplicate-span threshold: a 16-char exact repeat marks a
     * duplicated substring (567 adjacent pairs at sf0.01). */
   private val SaDupMin = 16
@@ -4046,6 +4050,68 @@ object LlmQueries {
             AS BIGINT) AS sum_key_bytes,
           true AS valid
         FROM s2 GROUP BY media_id""")),
+
+    // ---- multinomial Naive Bayes quality classifier (closed-form
+    // train + apply — the CCNet/fastText quality-filter shape): train
+    // on the doc_id%3!=0 subset weak-labeled by token count >= median,
+    // score EVERY doc. NB training is exactly two aggregations (no
+    // gradient loop, no driver iteration): token-keyed map-combined
+    // counts, scalar Laplace priors, the vocabulary-sized llk table
+    // broadcast back onto the token stream — the corpus never
+    // shuffles. Scores sum per-token llks through dsum (9-decimal
+    // quantized, order-independent) and the priors land on the same
+    // grid, so the result is bit-stable under any partitioning.
+    "q176_nb_quality" -> Query(
+      (s, dir) => {
+        val lab = when(col("doc_id") % 3 =!= 0,
+          when(size(tokens(col("text"))) >= NbMinToks, 1L).otherwise(0L))
+        NaiveBayes.classify(docs(s, dir), "doc_id", tokens(col("text")),
+          lab)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          lab AS (SELECT doc_id, t, CASE WHEN doc_id % 3 <> 0 THEN
+              (CASE WHEN len(t) >= $NbMinToks THEN 1 ELSE 0 END)
+            END AS lab FROM d),
+          tok AS (SELECT doc_id, lab, unnest(t) AS tok FROM lab),
+          cnt AS (SELECT tok, lab, count(*) AS c FROM tok
+              WHERE lab IS NOT NULL GROUP BY tok, lab),
+          tot AS (SELECT lab, sum(c) AS tt FROM cnt GROUP BY lab),
+          vocab AS (SELECT DISTINCT tok FROM cnt),
+          vn AS (SELECT count(*) AS v FROM vocab),
+          grid AS (SELECT tok, l AS lab FROM vocab,
+              (SELECT unnest([0, 1]) AS l)),
+          llk AS (SELECT g.tok, g.lab,
+              ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE))
+                - ln(CAST(coalesce(tt.tt, 0) + vn.v AS DOUBLE)) AS lp
+            FROM grid g LEFT JOIN cnt c ON g.tok = c.tok AND g.lab = c.lab
+              LEFT JOIN tot tt ON g.lab = tt.lab, vn),
+          piv AS (SELECT tok, max(CASE WHEN lab = 1 THEN lp END) AS lp1,
+              max(CASE WHEN lab = 0 THEN lp END) AS lp0
+            FROM llk GROUP BY tok),
+          pri AS (SELECT
+              CAST(CAST(ln(CAST(n1 + 1 AS DOUBLE))
+                - ln(CAST(n + 2 AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+                AS p1,
+              CAST(CAST(ln(CAST(n - n1 + 1 AS DOUBLE))
+                - ln(CAST(n + 2 AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+                AS p0
+            FROM (SELECT sum(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS n1,
+                sum(CASE WHEN lab IS NOT NULL THEN 1 ELSE 0 END) AS n
+              FROM lab)),
+          sums AS (SELECT t.doc_id, count(*) AS n_known,
+              CAST(sum(CAST(lp1 AS DECIMAL(18,9))) AS DOUBLE) AS s1d,
+              CAST(sum(CAST(lp0 AS DECIMAL(18,9))) AS DOUBLE) AS s0d
+            FROM tok t JOIN piv USING (tok) GROUP BY t.doc_id)
+        SELECT l.doc_id,
+          p.p1 + coalesce(s.s1d, 0) AS s1,
+          p.p0 + coalesce(s.s0d, 0) AS s0,
+          CAST(coalesce(s.n_known, 0) AS BIGINT) AS n_known,
+          CAST(CASE WHEN p.p1 + coalesce(s.s1d, 0)
+              > p.p0 + coalesce(s.s0d, 0) THEN 1 ELSE 0 END AS BIGINT)
+            AS pred,
+          CAST(CASE WHEN l.lab IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS is_train
+        FROM lab l LEFT JOIN sums s USING (doc_id), pri p""")),
 
     // ---- MP3 ENTROPY layer (r9 — the blocked list's LAST undecoded
     // layer): each doc becomes a mono stream whose main data carries
