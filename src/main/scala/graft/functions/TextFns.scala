@@ -200,6 +200,30 @@ object TextFns {
     org.apache.spark.sql.graft.Bridge.column(
       SimHash32(org.apache.spark.sql.graft.Bridge.expression(hs)))
 
+  /** Unicode NFC normalization (native [[graft.functions.NfcNormalize]]
+    * kernel; ASCII rows pass through untouched). */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      NfcNormalize(org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** Accent stripping — NFD + drop combining marks, no recomposition
+    * (native [[graft.functions.StripAccents]] kernel, DuckDB
+    * `strip_accents` semantics). */
+  def stripAccents(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      StripAccents(org.apache.spark.sql.graft.Bridge.expression(c)))
+
+  /** Canonical dedup key: NFC → lowercase → strip accents → collapse
+    * whitespace runs → trim. Byte-distinct encodings of the same text
+    * (composed vs decomposed, case, accent, spacing variants) land on
+    * ONE key, so digest-grouping dedup stops splitting duplicate pairs
+    * across buckets. Order matters and is pinned by the oracle:
+    * `trim(regexp_replace(strip_accents(lower(nfc_normalize(x))),
+    * '\s+', ' ', 'g'))`. */
+  def canonKey(c: Column): Column =
+    trim(regexp_replace(stripAccents(lower(nfcNormalize(c))),
+      lit("\\s+"), lit(" ")))
+
   /** The HOF formulation simhash32 replaced (interpreted; allocates a
     * 32-element counter array per token). Kept as the independent
     * witness for SimHash32's parity spec. */

@@ -4113,6 +4113,56 @@ object LlmQueries {
             AS is_train
         FROM lab l LEFT JOIN sums s USING (doc_id), pri p""")),
 
+    // ---- Unicode-canonical exact dedup (the multilingual-corpus
+    // gap in digest dedup): composed U+00E1 vs decomposed a+U+0301 vs
+    // case vs spacing variants of the SAME text are byte-distinct, so
+    // L1's digest groups split real duplicates. canonKey (NFC →
+    // lower → strip accents → collapse whitespace → trim; the two
+    // Unicode steps are native codegen kernels — no Spark built-in
+    // exists) lands all of them on one key. The corpus is planted:
+    // groups of 4 consecutive ids share a base text, each id carrying
+    // a different byte-variant — any kernel/ordering mismatch splits
+    // a group and breaks the hash. Only 32-char digests + ids shuffle.
+    "q177_canon_dedup" -> Query(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val base = d.select(col("doc_id").as("base_id"),
+          col("text").as("base_text"))
+        val j = d.select(col("doc_id"),
+            (col("doc_id") - col("doc_id") % 4).as("base_id"))
+          .join(base, "base_id")
+        val aug = when(col("doc_id") % 4 === 0,
+            regexp_replace(col("base_text"), "a", "á"))
+          .when(col("doc_id") % 4 === 1,
+            regexp_replace(col("base_text"), "a", "á"))
+          .when(col("doc_id") % 4 === 2, upper(col("base_text")))
+          .otherwise(regexp_replace(col("base_text"), " ", "  "))
+        val keyed = j.select(col("doc_id"), md5(canonKey(aug)).as("ckey"))
+        val grp = keyed.groupBy(col("ckey"))
+          .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("_k"))
+        keyed.join(grp, Seq("ckey"))
+          .select(col("doc_id"), col("ckey"), col("group_size"),
+            when(col("doc_id") === col("_k"), 1L).otherwise(0L)
+              .as("is_keeper"))
+      },
+      Some("""WITH j AS (SELECT d.doc_id, b.text AS base_text
+              FROM documents d JOIN documents b
+              ON b.doc_id = d.doc_id - d.doc_id % 4),
+          a AS (SELECT doc_id, CASE doc_id % 4
+              WHEN 0 THEN replace(base_text, 'a', chr(225))
+              WHEN 1 THEN replace(base_text, 'a', 'a' || chr(769))
+              WHEN 2 THEN upper(base_text)
+              ELSE replace(base_text, ' ', '  ') END AS aug FROM j),
+          k AS (SELECT doc_id, md5(trim(regexp_replace(strip_accents(
+              lower(nfc_normalize(aug))), '\s+', ' ', 'g'))) AS ckey
+            FROM a),
+          g AS (SELECT ckey, count(*) AS group_size, min(doc_id) AS kp
+            FROM k GROUP BY ckey)
+        SELECT k.doc_id, k.ckey, g.group_size,
+          CAST(CASE WHEN k.doc_id = g.kp THEN 1 ELSE 0 END AS BIGINT)
+            AS is_keeper
+        FROM k JOIN g USING (ckey)""")),
+
     // ---- MP3 ENTROPY layer (r9 — the blocked list's LAST undecoded
     // layer): each doc becomes a mono stream whose main data carries
     // REAL Huffman-coded spectral content in the documented subset
