@@ -124,7 +124,9 @@ object SuffixArray {
     // rank domain upper bound for the closed-form bucket (ascii first,
     // then dense 1..maxRank)
     var rankHi = 256L
-    var converged = false
+    // empty corpus: no rounds, no tie-break (max() over the empty
+    // frame is NULL — the rounds must not run)
+    var converged = n == 0
     var h = 1
     while (h < maxLen && !converged) {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
