@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray, Warc}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -4050,6 +4050,44 @@ object LlmQueries {
             AS BIGINT) AS sum_key_bytes,
           true AS valid
         FROM s2 GROUP BY media_id""")),
+
+    // ---- WARC / multi-member gzip web-archive walk (the Common
+    // Crawl ingestion container — where a web-scale text corpus
+    // physically BEGINS): each doc becomes a real `.warc.gz` whose
+    // members are independently level-6-DEFLATE-compressed (file
+    // bytes ≠ record bytes — only a real inflate + CRC-32 verify
+    // reproduces the payload sums), each holding one WARC/1.0 record
+    // whose header block the parser must walk for the type, the
+    // Content-Length framing, and the target-URI host. The oracle
+    // replays the record-content formulas; a parser with the member
+    // walk, the FNAME skip, the trailer check or the record framing
+    // wrong cannot match it.
+    "q178_warc_scan" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Warc.warcPayload((2 + id % 7).toInt, (id % 13).toInt))))
+        Warc.decodeWarc(media).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+              2 + doc_id % 7 AS n, doc_id % 13 AS seed FROM documents),
+          r AS (SELECT media_id, n, seed, i,
+              CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS isresp,
+              30 + ((seed + 11 * i) % 170) AS clen,
+              (seed + i) % 5 AS host
+            FROM m, LATERAL (SELECT unnest(range(n)) AS i))
+        SELECT media_id,
+          CAST(max(n) AS BIGINT) AS n_records,
+          CAST(sum(isresp) AS BIGINT) AS n_response,
+          CAST(sum(clen) AS BIGINT) AS sum_content_len,
+          CAST(max(clen) AS BIGINT) AS max_content_len,
+          CAST(sum(list_sum(list_transform(range(clen),
+              j -> (seed + 3 * i + j) % 256))) AS BIGINT)
+            AS sum_payload_bytes,
+          CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+          true AS valid
+        FROM r GROUP BY media_id""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train

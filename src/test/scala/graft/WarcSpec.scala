@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.Warc
+
+/** WARC / multi-member gzip codec (q178): round-trip differential
+  * against an independent formula replay, member-boundary semantics,
+  * CRC/trailer enforcement, the zip-bomb guard, and the never-throw
+  * contract under truncation/corruption. */
+class WarcSpec extends SparkSpec {
+
+  /** Independent replay of the writer's documented formulas. */
+  private def expected(id: Long, n: Int, seed: Int): Warc.WarcInfo = {
+    val lens = Array.tabulate(n)(i => 30 + ((seed + 11 * i) % 170))
+    val sumPayload = (0 until n).map { i =>
+      (0 until lens(i)).map(j => ((seed + 3 * i + j) % 256).toLong).sum
+    }.sum
+    Warc.WarcInfo(id, n.toLong, (0 until n).count(_ % 3 == 0).toLong,
+      lens.map(_.toLong).sum, lens.max.toLong, sumPayload,
+      (0 until n).map(i => (seed + i) % 5).distinct.length.toLong,
+      valid = true)
+  }
+
+  test("round-trip differential over the (n, seed) grid") {
+    for (n <- Seq(1, 2, 3, 5, 7, 8, 13); seed <- 0 until 13) {
+      val b = Warc.warcPayload(n, seed)
+      Warc.parse(n * 100L + seed, b) shouldBe expected(n * 100L + seed, n, seed)
+    }
+  }
+
+  test("compression is real: file bytes differ from record bytes") {
+    // a parser that reads the file bytes as record bytes (skipping the
+    // inflate) cannot reproduce the payload sums — the member body is
+    // entropy-coded, not stored
+    val b = Warc.warcPayload(4, 3)
+    new String(b, "ISO-8859-1") should not include "WARC/1.0"
+  }
+
+  test("truncations: mid-member → invalid; member boundary → shorter valid walk") {
+    val n = 5; val seed = 2
+    val b = Warc.warcPayload(n, seed)
+    // member boundaries: prefix lengths where a clean walk ends
+    val boundaries = (1 to n).map(k =>
+      Warc.warcPayload(k, seed).length).toSet
+    // NOTE: warcPayload(k, seed) is a strict prefix of warcPayload(n,
+    // seed) for k < n — members are generated independently in order
+    for (len <- 1 until b.length) {
+      val r = Warc.parse(1L, b.take(len))
+      if (boundaries(len)) {
+        r.valid shouldBe true
+        r shouldBe expected(1L, boundaries.toSeq.sorted.indexOf(len) + 1, seed)
+      } else r.valid shouldBe false
+    }
+    Warc.parse(1L, Array.empty[Byte]).valid shouldBe false
+  }
+
+  test("corrupting the DEFLATE body or trailer is caught (CRC/ISIZE)") {
+    val b = Warc.warcPayload(1, 0)
+    // member 0: header is 10 bytes (no FNAME at i=0); body spans
+    // [10, len-8); trailer is the last 8 bytes
+    for (pos <- 10 until b.length if pos != b.length - 9) {
+      val m = b.clone()
+      m(pos) = (m(pos) ^ 0x01).toByte
+      val r = Warc.parse(1L, m)
+      // a flip may still inflate to SOME byte stream, but the CRC-32 /
+      // ISIZE verify (or the record framing) must reject it — it may
+      // never silently produce the original truth. (The LAST body byte
+      // — pos = len-9 — is exempt: its high bits are DEFLATE
+      // final-block padding, where a flip legally changes nothing.)
+      if (r.valid) r should not be expected(1L, 1, 0)
+    }
+  }
+
+  test("reserved FLG bits and non-DEFLATE CM are rejected") {
+    val b = Warc.warcPayload(2, 1)
+    val flg = b.clone(); flg(3) = 0x04.toByte // FEXTRA: out of subset
+    Warc.parse(1L, flg).valid shouldBe false
+    val cm = b.clone(); cm(2) = 7.toByte
+    Warc.parse(1L, cm).valid shouldBe false
+  }
+
+  test("FNAME members are honored (every 4th member carries one)") {
+    // n >= 2 ⇒ member 1 has FLG=0x08 + a NUL-terminated name; the grid
+    // test covers it, this pins the bit explicitly
+    val b = Warc.warcPayload(2, 0)
+    // find second member: it starts right after the first member ends
+    val first = Warc.warcPayload(1, 0).length
+    (b(first + 3) & 0x08) shouldBe 0x08
+    Warc.parse(7L, b) shouldBe expected(7L, 2, 0)
+  }
+
+  test("zip-bomb guard: a member inflating past the cap is rejected") {
+    // 17 MiB of zeros deflates to ~17 KB; the parser must reject on the
+    // inflated-size cap BEFORE materializing the 17 MiB
+    val bomb = Warc.gzipMember(new Array[Byte](17 << 20), None)
+    Warc.parse(1L, bomb).valid shouldBe false
+  }
+
+  test("record framing is exact: slack after the closing CRLFs is rejected") {
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://h.example/\r\nContent-Length: 2\r\n\r\n" +
+      "ab\r\n\r\nX").getBytes("ISO-8859-1")
+    Warc.parse(1L, Warc.gzipMember(rec, None)).valid shouldBe false
+    val ok = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://h.example/\r\nContent-Length: 2\r\n\r\n" +
+      "ab\r\n\r\n").getBytes("ISO-8859-1")
+    val r = Warc.parse(1L, Warc.gzipMember(ok, None))
+    r.valid shouldBe true
+    r.n_records shouldBe 1L
+    r.sum_payload_bytes shouldBe ('a'.toLong + 'b'.toLong)
+    r.n_hosts shouldBe 1L
+  }
+
+  test("missing required headers are rejected") {
+    for (drop <- Seq("WARC-Type", "WARC-Target-URI", "Content-Length")) {
+      val lines = Seq(
+        "WARC-Type: response", "WARC-Target-URI: http://h.example/x",
+        "Content-Length: 0").filterNot(_.startsWith(drop))
+      val rec = ("WARC/1.0\r\n" + lines.mkString("", "\r\n", "\r\n") +
+        "\r\n\r\n\r\n").getBytes("ISO-8859-1")
+      Warc.parse(1L, Warc.gzipMember(rec, None)).valid shouldBe false
+    }
+  }
+
+  test("random single-byte corruption and garbage never throw") {
+    val b = Warc.warcPayload(6, 9)
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 0 until 500) {
+      val m = b.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      noException should be thrownBy Warc.parse(1L, m)
+    }
+    for (_ <- 0 until 200) {
+      val g = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      noException should be thrownBy Warc.parse(1L, g)
+    }
+  }
+
+  test("decodeWarc runs map-side over a Dataset") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      (1L, Warc.warcPayload(3, 1)), (2L, Warc.warcPayload(5, 8))))
+    val got = Warc.decodeWarc(ds).collect().sortBy(_.media_id)
+    got(0) shouldBe expected(1L, 3, 1)
+    got(1) shouldBe expected(2L, 5, 8)
+  }
+}
