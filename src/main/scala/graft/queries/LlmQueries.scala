@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray, Warc}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray, Warc}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -4088,6 +4088,55 @@ object LlmQueries {
           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
           true AS valid
         FROM r GROUP BY media_id""")),
+
+    // ---- HTML visible-text extraction (the WET step that follows
+    // the q178 WARC walk — what a crawl corpus actually trains on):
+    // each doc becomes a deterministic page whose VISIBLE text the
+    // parser must reconstruct through tag stripping, script/style/
+    // comment removal, entity decoding (decimal AND hex forms), and
+    // whitespace collapse, with attribute quoting that hides '>'
+    // inside values. The oracle rebuilds the exact visible string
+    // from the synthesis formulas and measures its length and byte
+    // sum — a parser with the entity decode, the script skip, the
+    // quote handling or the collapse wrong cannot match it.
+    "q179_html_extract" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val pages = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Html.htmlPayload((2 + id % 5).toInt, (1 + id % 4).toInt,
+              id % 1000))))
+        Html.decodeHtml(pages).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 5 AS n,
+              1 + doc_id % 4 AS k, doc_id % 1000 AS s FROM documents),
+          p AS (SELECT media_id, i, 'para ' || i || ' of doc ' || s ||
+                ': & A word' || ((s + i) % 13) AS ptxt
+            FROM m, LATERAL (SELECT unnest(range(n)) AS i)),
+          l AS (SELECT media_id, j, 'link ' || j AS ltxt,
+                (s + j) % 5 AS host
+            FROM m, LATERAL (SELECT unnest(range(k)) AS j)),
+          pa AS (SELECT media_id, string_agg(ptxt, ' ' ORDER BY i)
+                AS ptxts FROM p GROUP BY media_id),
+          la AS (SELECT media_id, string_agg(ltxt, ' ' ORDER BY j)
+                AS ltxts, count(DISTINCT host) AS nh
+            FROM l GROUP BY media_id),
+          v AS (SELECT m.media_id, m.n, m.k, nh,
+              length('Doc ' || s || ' t' || (s % 7)) AS tl,
+              'Heading ' || s || ' ' || ptxts || ' ' || ltxts AS vis
+            FROM m JOIN pa ON m.media_id = pa.media_id
+                   JOIN la ON m.media_id = la.media_id)
+        SELECT media_id,
+          CAST(tl AS BIGINT) AS title_len,
+          CAST(n AS BIGINT) AS n_paragraphs,
+          CAST(k AS BIGINT) AS n_links,
+          CAST(nh AS BIGINT) AS n_hosts,
+          CAST(length(vis) AS BIGINT) AS text_len,
+          CAST(list_sum(list_transform(range(length(vis)),
+              i -> ascii(substring(vis, CAST(i + 1 AS INTEGER), 1))))
+            AS BIGINT) AS sum_text_bytes,
+          true AS valid
+        FROM v""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
