@@ -4138,6 +4138,41 @@ object LlmQueries {
           true AS valid
         FROM v""")),
 
+    // ---- URL canonicalization (the crawl-frontier dedup key): each
+    // doc gets a deterministically MESSY url — mixed-case scheme and
+    // host, a default-or-kept port, percent-escapes in both decode
+    // (%41→A) and keep-uppercase (%2f→%2F) regimes, ./.. dot-segments,
+    // tracking params, unsorted query, a fragment — and the native
+    // url_canon kernel must land on the one canonical spelling the
+    // oracle constructs from the formulas. A canonicalizer with the
+    // port rule, the escape split, the dot-segment resolution, the
+    // param sort or the tracking drop wrong cannot match it.
+    "q180_url_canon" -> Query(
+      (s, dir) => {
+        import graft.functions.UrlFns
+        val d = docs(s, dir)
+        val m = (k: Int) => (col("doc_id") % k).cast("string")
+        val raw = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://"))
+            .otherwise(lit("https://")),
+          lit("WwW.H"), m(7), lit(".Example"),
+          when(col("doc_id") % 3 === 0,
+            when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+            .when(col("doc_id") % 3 === 1, lit(":8080"))
+            .otherwise(lit("")),
+          lit("/Dir%41/./x"), m(5), lit("/../p%2fq/e"), m(11),
+          lit("?utm_source=tw&B=2&a=%41"), m(13),
+          lit("&fbclid=zz#Sec"), col("doc_id").cast("string"))
+        d.select(col("doc_id"), UrlFns.urlCanon(raw).as("url"))
+      },
+      Some("""SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+          || '://www.h' || (doc_id % 7) || '.example'
+          || (CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END)
+          || '/DirA/p%2Fq/e' || (doc_id % 11)
+          || '?B=2&a=A' || (doc_id % 13) AS url
+        FROM documents""")),
+
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
     // on the doc_id%3!=0 subset weak-labeled by token count >= median,
