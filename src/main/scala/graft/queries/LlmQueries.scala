@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Sampling, Similarity, Spectral, SuffixArray, Warc}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Spectral, SuffixArray, Warc}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -4172,6 +4172,64 @@ object LlmQueries {
           || '/DirA/p%2Fq/e' || (doc_id % 11)
           || '?B=2&a=A' || (doc_id % 13) AS url
         FROM documents""")),
+
+    // ---- robots.txt frontier filtering (RFC 9309 — the politeness
+    // gate between URL canonicalization and the fetch): each host gets
+    // a deterministic robots.txt whose rule groups the parser must
+    // walk (specific-agent group TAKES OVER from `*` when present,
+    // comments and out-of-subset fields tolerated, empty Disallow is a
+    // no-op), and each URL takes its longest-matching rule — `*`
+    // wildcards, `$` end anchors, Allow-wins-ties — via the codegen
+    // robots_match kernel over a broadcast rules frame. The oracle
+    // replays the per-(group, path-kind) truth table; a parser with
+    // the group selection, the glob, the anchor or the precedence
+    // wrong cannot match it.
+    "q181_robots_filter" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.RobotsFns.robotsMatch
+        val d = docs(s, dir)
+          .select(col("doc_id"), (col("doc_id") % 50).as("host"))
+        val pk = col("doc_id") % 5
+        val m = (c: Column, k: Int) => (c % k).cast("string")
+        val urls = d.withColumn("path",
+          when(pk === 0, concat(lit("/a"), m(col("host"), 4),
+            lit("/page"), m(col("doc_id"), 7)))
+            .when(pk === 1, concat(lit("/a"), m(col("host"), 4),
+              lit("/pub/page"), m(col("doc_id"), 7)))
+            .when(pk === 2, concat(lit("/d"), m(col("doc_id"), 7),
+              lit("/tmp/f")))
+            .when(pk === 3, lit("/priv"))
+            .otherwise(lit("/priv/deep")))
+        // rules parse on the HOSTS frame (bounded: one row per host),
+        // then broadcast to the frontier
+        val rules = urls.select(col("host")).distinct().as[Long]
+          .flatMap(h => Robots.parseRules(Robots.robotsPayload(h),
+            "graftbot").map(r =>
+            (h, r.allow, r.pattern, Robots.matchLen(r.pattern).toLong)))
+          .toDF("rhost", "allow", "pattern", "plen")
+        urls.join(broadcast(rules), col("host") === col("rhost") &&
+            robotsMatch(col("path"), col("pattern")), "left")
+          .select(col("doc_id"), col("host"),
+            coalesce(col("plen"), lit(-1L)).as("plen0"),
+            coalesce(col("allow"), lit(true)).as("allow0"))
+          .groupBy(col("doc_id"), col("host"))
+          .agg(max(struct(col("plen0"), col("allow0"))).as("best"))
+          .select(col("doc_id"), col("host"),
+            col("best.allow0").as("allowed"),
+            greatest(col("best.plen0"), lit(0L)).as("match_len"))
+      },
+      Some("""WITH u AS (SELECT doc_id, doc_id % 50 AS host,
+              doc_id % 5 AS pk, (doc_id % 50) % 3 AS hg FROM documents)
+        SELECT doc_id, CAST(host AS BIGINT) AS host,
+          CASE WHEN hg = 0 THEN pk != 3
+               ELSE pk = 1 OR pk = 4 END AS allowed,
+          CAST(CASE WHEN hg = 0 THEN
+                CASE WHEN pk = 3 THEN 5 WHEN pk = 4 THEN 10 ELSE 1 END
+              ELSE CASE WHEN pk = 0 THEN 3 WHEN pk = 1 THEN 7
+                        WHEN pk = 2 THEN 6 WHEN pk = 3 THEN 5
+                        ELSE 0 END END AS BIGINT) AS match_len
+        FROM u""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
