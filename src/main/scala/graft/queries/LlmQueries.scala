@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Spectral, SuffixArray, Warc}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Spectral, SuffixArray, Tar, Warc}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -4230,6 +4230,46 @@ object LlmQueries {
                         WHEN pk = 2 THEN 6 WHEN pk = 3 THEN 5
                         ELSE 0 END END AS BIGINT) AS match_len
         FROM u""")),
+
+    // ---- USTAR tar container walk (the bundle format public text/
+    // image datasets ship in — WebDataset-style loaders walk exactly
+    // this layout): each doc becomes a real multi-entry archive whose
+    // headers the decoder must verify (checksum over all 512 bytes
+    // with the chksum field as spaces, octal fields, ustar magic) and
+    // whose entry OFFSETS are a running sum of 512-rounded sizes — the
+    // payload byte sum reads data through the resolved ranges, so a
+    // walker with any size parse, rounding or checksum rule wrong
+    // cannot match the oracle's formula replay.
+    "q182_tar_scan" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Tar.tarPayload((3 + id % 8).toInt, (id % 13).toInt))))
+        Tar.decodeTar(media).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 3 + doc_id % 8 AS n,
+              doc_id % 13 AS seed FROM documents),
+          e AS (SELECT media_id, n, seed, i, (i % 4 = 3) AS isdir,
+              CASE WHEN i % 4 = 3 THEN 0
+                   ELSE 30 + ((seed + 11 * i) % 470) END AS sz
+            FROM m, LATERAL (SELECT unnest(range(n)) AS i))
+        SELECT media_id,
+          CAST(count(*) AS BIGINT) AS n_entries,
+          CAST(sum(CASE WHEN isdir THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_files,
+          CAST(sum(CASE WHEN isdir THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dirs,
+          CAST(sum(sz) AS BIGINT) AS sum_size,
+          CAST(max(sz) AS BIGINT) AS max_size,
+          CAST(sum(CASE WHEN isdir THEN 0 ELSE list_sum(list_transform(
+              range(sz), j -> (seed + 5 * i + j) % 256)) END) AS BIGINT)
+            AS sum_payload_bytes,
+          CAST(sum(CASE WHEN isdir THEN 3
+              ELSE 8 + length(CAST(i AS VARCHAR)) END) AS BIGINT)
+            AS n_name_chars,
+          true AS valid
+        FROM e GROUP BY media_id""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
