@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
 import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Spectral, SuffixArray, Tar, Warc}
+import graft.operators.DomainSuffix
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -4270,6 +4271,51 @@ object LlmQueries {
             AS n_name_chars,
           true AS valid
         FROM e GROUP BY media_id""")),
+
+    // ---- public-suffix registered-domain extraction (eTLD+1 — the
+    // grain crawl corpora key their quotas, dedup scopes and
+    // contamination audits on): hosts exercising every PSL rule kind
+    // (normal 1- and 2-label suffixes, the `*.ck` wildcard, the
+    // `!www.ck` exception, and an UNLISTED TLD falling to the
+    // implicit default rule), resolved by candidate-suffix explode +
+    // one broadcast equi join + longest-match aggregate. The oracle
+    // replays the per-kind truth table; an extractor with the
+    // wildcard form, the exception override or the default rule
+    // wrong cannot match it.
+    "q183_reg_domain" -> Query(
+      (s, dir) => {
+        val pk = col("doc_id") % 5
+        val m = (k: Int) => (col("doc_id") % k).cast("string")
+        val hosts = docs(s, dir).select(col("doc_id"),
+          when(pk === 0, concat(lit("x"), m(7), lit(".sub"), m(9),
+            lit(".com")))
+            .when(pk === 1, concat(lit("y"), m(7), lit(".co.uk")))
+            .when(pk === 2, concat(lit("z"), m(7), lit(".w"), m(9),
+              lit(".zz")))
+            .when(pk === 3, concat(lit("a"), m(7), lit(".b"), m(9),
+              lit(".ck")))
+            .otherwise(lit("www.ck")).as("host"))
+        DomainSuffix.registeredDomain(hosts, "host",
+          Seq("com", "org", "uk", "co.uk", "jp", "ac.jp",
+            "*.ck", "!www.ck"))
+      },
+      Some("""WITH u AS (SELECT doc_id, doc_id % 5 AS pk,
+              doc_id % 7 AS m7, doc_id % 9 AS m9 FROM documents)
+        SELECT doc_id,
+          CASE pk WHEN 0 THEN 'x' || m7 || '.sub' || m9 || '.com'
+            WHEN 1 THEN 'y' || m7 || '.co.uk'
+            WHEN 2 THEN 'z' || m7 || '.w' || m9 || '.zz'
+            WHEN 3 THEN 'a' || m7 || '.b' || m9 || '.ck'
+            ELSE 'www.ck' END AS host,
+          CASE pk WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+            WHEN 2 THEN 'zz' WHEN 3 THEN 'b' || m9 || '.ck'
+            ELSE 'ck' END AS public_suffix,
+          CASE pk WHEN 0 THEN 'sub' || m9 || '.com'
+            WHEN 1 THEN 'y' || m7 || '.co.uk'
+            WHEN 2 THEN 'w' || m9 || '.zz'
+            WHEN 3 THEN 'a' || m7 || '.b' || m9 || '.ck'
+            ELSE 'www.ck' END AS reg_domain
+        FROM u""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
