@@ -42,6 +42,12 @@ object Warc {
                             max_content_len: Long, sum_payload_bytes: Long,
                             n_hosts: Long, valid: Boolean)
 
+  /** One record of the member walk — the per-record surface the crawl
+    * front-end (q184) consumes; [[WarcInfo]] is its aggregation. */
+  final case class WarcRecord(media_id: Long, rec_idx: Long,
+                              warc_type: String, uri: String,
+                              content_len: Long, payload_sum: Long)
+
   private case object Malformed extends Exception {
     override def fillInStackTrace(): Throwable = this
   }
@@ -52,14 +58,41 @@ object Warc {
     * single-record cap is generous and executor-memory-safe). */
   private val MaxInflated = 1 << 24
 
+  /** Authority of a URI the walk has already validated. */
+  private def hostOf(uri: String): String = {
+    val sch = uri.indexOf("://")
+    val hostEnd = uri.indexOf('/', sch + 3)
+    if (hostEnd < 0) uri.substring(sch + 3)
+    else uri.substring(sch + 3, hostEnd)
+  }
+
   private[graft] def parse(id: Long, b: Array[Byte]): WarcInfo = {
     val invalid = WarcInfo(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
     if (b == null || b.length == 0) return invalid
     try {
-      var off = 0
-      var nRecords = 0L; var nResponse = 0L
-      var sumLen = 0L; var maxLen = 0L; var sumPayload = 0L
+      val recs = walk(id, b)
+      if (recs.isEmpty) throw Malformed
       val hosts = new java.util.HashSet[String]()
+      recs.foreach(r => hosts.add(hostOf(r.uri)))
+      WarcInfo(id, recs.size.toLong,
+        recs.count(_.warc_type == "response").toLong,
+        recs.map(_.content_len).sum, recs.map(_.content_len).max,
+        recs.map(_.payload_sum).sum, hosts.size.toLong, valid = true)
+    } catch {
+      case Malformed | _: IndexOutOfBoundsException |
+          _: NegativeArraySizeException | _: IllegalArgumentException =>
+        invalid
+    }
+  }
+
+  /** The member walk: every gzip member inflated and CRC-verified, its
+    * WARC record framed exactly — throws on ANY deviation ([[parse]]
+    * and [[records]] wrap it). */
+  private def walk(id: Long, b: Array[Byte]): List[WarcRecord] = {
+    {
+      var off = 0
+      val recsOut = List.newBuilder[WarcRecord]
+      var recIdx = 0L
       while (off < b.length) {
         // ---- gzip member header (RFC 1952) ----
         if (off.toLong + 10 > b.length) throw Malformed
@@ -140,29 +173,18 @@ object Warc {
         p += 2 // past the blank line
         if (typ == null || uri == null || contentLen < 0) throw Malformed
         if (p.toLong + contentLen + 4 != rec.length) throw Malformed
+        var payloadSum = 0L
         var j = 0
-        while (j < contentLen) { sumPayload += rec(p + j) & 0xff; j += 1 }
+        while (j < contentLen) { payloadSum += rec(p + j) & 0xff; j += 1 }
         val t = p + contentLen.toInt
         if (rec(t) != '\r' || rec(t + 1) != '\n' ||
           rec(t + 2) != '\r' || rec(t + 3) != '\n') throw Malformed
-        // host = authority of the URI (scheme://HOST/...)
-        val sch = uri.indexOf("://")
-        if (sch <= 0) throw Malformed
-        val hostEnd = uri.indexOf('/', sch + 3)
-        hosts.add(if (hostEnd < 0) uri.substring(sch + 3)
-          else uri.substring(sch + 3, hostEnd))
-        nRecords += 1
-        if (typ == "response") nResponse += 1
-        sumLen += contentLen
-        maxLen = math.max(maxLen, contentLen)
+        // the URI must carry an authority (scheme://HOST/...)
+        if (uri.indexOf("://") <= 0) throw Malformed
+        recsOut += WarcRecord(id, recIdx, typ, uri, contentLen, payloadSum)
+        recIdx += 1
       }
-      if (nRecords == 0) throw Malformed
-      WarcInfo(id, nRecords, nResponse, sumLen, maxLen, sumPayload,
-        hosts.size.toLong, valid = true)
-    } catch {
-      case Malformed | _: IndexOutOfBoundsException |
-          _: NegativeArraySizeException | _: IllegalArgumentException =>
-        invalid
+      recsOut.result()
     }
   }
 
@@ -171,6 +193,24 @@ object Warc {
   def decodeWarc(media: Dataset[(Long, Array[Byte])]): Dataset[WarcInfo] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { case (id, bytes) => parse(id, bytes) })
+  }
+
+  /** Per-record extraction — the crawl front-end's first stage (q184):
+    * each archive fans out to its records map-side (payload bytes
+    * reduced to a sum in place; only header-sized rows leave the
+    * partition). A malformed archive yields NO rows (the aggregate
+    * gate q178 is where malformedness is surfaced). */
+  def records(media: Dataset[(Long, Array[Byte])]): Dataset[WarcRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      if (bytes == null || bytes.isEmpty) Nil
+      else try walk(id, bytes)
+      catch {
+        case Malformed | _: IndexOutOfBoundsException |
+            _: NegativeArraySizeException | _: IllegalArgumentException =>
+          Nil
+      }
+    })
   }
 
   // ---------------------------------------------------------------

@@ -4317,6 +4317,74 @@ object LlmQueries {
             ELSE 'www.ck' END AS reg_domain
         FROM u""")),
 
+    // ---- crawl front-end flagship (the acquisition composition the
+    // r9 curation flagship q167 starts FROM): ONE DAG chaining the
+    // L126 WARC member walk → per-record URI extraction → L127 URL
+    // canonicalization (the native kernel on the REAL extracted URIs)
+    // → L128 robots filtering (wildcard+anchor rule via the codegen
+    // glob, longest-match precedence) → per-host politeness schedule
+    // (FIFO sequence × crawl delay; fetcher = portable-hash bucket so
+    // one host NEVER spans two fetchers). The oracle replays the whole
+    // chain as one CTE — a record lost, a URI mangled, a verdict or a
+    // sequence slot wrong anywhere breaks the hash.
+    "q184_crawl_flagship" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{RobotsFns, UrlFns}
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Warc.warcPayload((2 + id % 7).toInt, (id % 13).toInt))))
+        val recs = Warc.records(media).toDF()
+        val canon = recs
+          .withColumn("url", UrlFns.urlCanon(col("uri")))
+          .withColumn("host",
+            regexp_extract(col("url"), "^https?://([^/]+)", 1))
+          .withColumn("path",
+            regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1))
+        val rules = Robots.parseRules(
+          "User-agent: *\nDisallow: /p/*3$\nAllow: /p/\n", "graftbot")
+          .map(r => (r.allow, r.pattern, Robots.matchLen(r.pattern).toLong))
+          .toDF("allow", "pattern", "plen")
+        val allowed = canon
+          .join(broadcast(rules),
+            RobotsFns.robotsMatch(col("path"), col("pattern")), "left")
+          .select(col("media_id"), col("rec_idx"), col("host"),
+            col("content_len"),
+            coalesce(col("plen"), lit(-1L)).as("plen0"),
+            coalesce(col("allow"), lit(true)).as("allow0"))
+          .groupBy("media_id", "rec_idx", "host", "content_len")
+          .agg(max(struct(col("plen0"), col("allow0"))).as("best"))
+          .filter(col("best.allow0"))
+        val sched = allowed
+          .withColumn("seq", row_number().over(Window.partitionBy("host")
+            .orderBy(col("media_id"), col("rec_idx"))).cast("long"))
+          .withColumn("fetch_at", col("seq") * (lit(1L) +
+            regexp_extract(col("host"), "^h([0-9])", 1).cast("long") % 3))
+          .withColumn("fetcher", TextFns.hash60(col("host")) % 4)
+        sched.groupBy(col("host"), col("fetcher"))
+          .agg(count(lit(1)).as("n_urls"), max(col("seq")).as("max_seq"),
+            sum(col("fetch_at")).as("sum_fetch_at"),
+            sum(col("content_len")).as("sum_clen"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 7 AS n,
+              doc_id % 13 AS seed FROM documents),
+          r AS (SELECT media_id, i,
+              'h' || ((seed + i) % 5) || '.example' AS host,
+              (seed + i) % 5 AS hn,
+              30 + ((seed + 11 * i) % 170) AS clen
+            FROM m, LATERAL (SELECT unnest(range(n)) AS i)
+            WHERE i % 10 != 3),
+          s AS (SELECT *, row_number() OVER (PARTITION BY host
+                ORDER BY media_id, i) AS seq,
+              1 + hn % 3 AS delay FROM r)
+        SELECT host,
+          CAST('0x' || substr(md5(host), 1, 15) AS BIGINT) % 4 AS fetcher,
+          CAST(count(*) AS BIGINT) AS n_urls,
+          CAST(max(seq) AS BIGINT) AS max_seq,
+          CAST(sum(seq * delay) AS BIGINT) AS sum_fetch_at,
+          CAST(sum(clen) AS BIGINT) AS sum_clen
+        FROM s GROUP BY host""")),
+
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
     // on the doc_id%3!=0 subset weak-labeled by token count >= median,

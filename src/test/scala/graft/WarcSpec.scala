@@ -135,6 +135,28 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("records(): per-record extraction matches the formulas; malformed → no rows") {
+    import spark.implicits._
+    val good = Warc.warcPayload(5, 2)
+    val bad = { val m = good.clone(); m(20) = (m(20) ^ 0x7f).toByte; m }
+    val ds = spark.createDataset(Seq((1L, good), (2L, bad)))
+    val got = Warc.records(ds).collect().sortBy(_.rec_idx)
+    got.map(_.media_id).distinct shouldBe Array(1L) // bad archive: 0 rows
+    got.length shouldBe 5
+    for (r <- got) {
+      val i = r.rec_idx.toInt
+      r.warc_type shouldBe Seq("response", "request", "metadata")(i % 3)
+      r.uri shouldBe s"http://h${(2 + i) % 5}.example/p/$i"
+      r.content_len shouldBe (30 + ((2 + 11 * i) % 170)).toLong
+      r.payload_sum shouldBe
+        (0 until r.content_len.toInt).map(j => ((2 + 3 * i + j) % 256).toLong).sum
+    }
+    // the aggregate walk and the record walk agree
+    val agg = Warc.parse(1L, good)
+    agg.n_records shouldBe got.length.toLong
+    agg.sum_payload_bytes shouldBe got.map(_.payload_sum).sum
+  }
+
   test("decodeWarc runs map-side over a Dataset") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
