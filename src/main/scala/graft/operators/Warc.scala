@@ -48,7 +48,14 @@ object Warc {
                               warc_type: String, uri: String,
                               content_len: Long, payload_sum: Long)
 
-  private case object Malformed extends Exception {
+  /** Raw record with its payload bytes — partition-internal only
+    * (consumers reduce the payload in place; bodies never join a row
+    * frame that crosses an exchange). */
+  private[operators] final case class RawRecord(idx: Long, typ: String,
+                                                uri: String,
+                                                payload: Array[Byte])
+
+  private[operators] case object Malformed extends Exception {
     override def fillInStackTrace(): Throwable = this
   }
 
@@ -70,7 +77,7 @@ object Warc {
     val invalid = WarcInfo(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
     if (b == null || b.length == 0) return invalid
     try {
-      val recs = walk(id, b)
+      val recs = walk(id, b).map(toRecord(id, _))
       if (recs.isEmpty) throw Malformed
       val hosts = new java.util.HashSet[String]()
       recs.foreach(r => hosts.add(hostOf(r.uri)))
@@ -85,13 +92,21 @@ object Warc {
     }
   }
 
+  private def toRecord(id: Long, r: RawRecord): WarcRecord = {
+    var sum = 0L
+    var j = 0
+    while (j < r.payload.length) { sum += r.payload(j) & 0xff; j += 1 }
+    WarcRecord(id, r.idx, r.typ, r.uri, r.payload.length.toLong, sum)
+  }
+
   /** The member walk: every gzip member inflated and CRC-verified, its
-    * WARC record framed exactly — throws on ANY deviation ([[parse]]
-    * and [[records]] wrap it). */
-  private def walk(id: Long, b: Array[Byte]): List[WarcRecord] = {
+    * WARC record framed exactly — throws on ANY deviation ([[parse]],
+    * [[records]] and the HTTP layer ([[graft.operators.Http]]) wrap
+    * it). */
+  private[operators] def walk(id: Long, b: Array[Byte]): List[RawRecord] = {
     {
       var off = 0
-      val recsOut = List.newBuilder[WarcRecord]
+      val recsOut = List.newBuilder[RawRecord]
       var recIdx = 0L
       while (off < b.length) {
         // ---- gzip member header (RFC 1952) ----
@@ -173,15 +188,13 @@ object Warc {
         p += 2 // past the blank line
         if (typ == null || uri == null || contentLen < 0) throw Malformed
         if (p.toLong + contentLen + 4 != rec.length) throw Malformed
-        var payloadSum = 0L
-        var j = 0
-        while (j < contentLen) { payloadSum += rec(p + j) & 0xff; j += 1 }
         val t = p + contentLen.toInt
         if (rec(t) != '\r' || rec(t + 1) != '\n' ||
           rec(t + 2) != '\r' || rec(t + 3) != '\n') throw Malformed
         // the URI must carry an authority (scheme://HOST/...)
         if (uri.indexOf("://") <= 0) throw Malformed
-        recsOut += WarcRecord(id, recIdx, typ, uri, contentLen, payloadSum)
+        recsOut += RawRecord(recIdx, typ, uri,
+          java.util.Arrays.copyOfRange(rec, p, t))
         recIdx += 1
       }
       recsOut.result()
@@ -204,7 +217,7 @@ object Warc {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { case (id, bytes) =>
       if (bytes == null || bytes.isEmpty) Nil
-      else try walk(id, bytes)
+      else try walk(id, bytes).map(toRecord(id, _))
       catch {
         case Malformed | _: IndexOutOfBoundsException |
             _: NegativeArraySizeException | _: IllegalArgumentException =>

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Spectral, SuffixArray, Tar, Warc}
+import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Spectral, SuffixArray, Tar, Warc}
 import graft.operators.DomainSuffix
 import TextFns._
 
@@ -4319,9 +4319,9 @@ object LlmQueries {
 
     // ---- crawl front-end flagship (the acquisition composition the
     // r9 curation flagship q167 starts FROM): ONE DAG chaining the
-    // L126 WARC member walk → per-record URI extraction → L127 URL
+    // L126 WARC member walk → per-record URI extraction → L128 URL
     // canonicalization (the native kernel on the REAL extracted URIs)
-    // → L128 robots filtering (wildcard+anchor rule via the codegen
+    // → L129 robots filtering (wildcard+anchor rule via the codegen
     // glob, longest-match precedence) → per-host politeness schedule
     // (FIFO sequence × crawl delay; fetcher = portable-hash bucket so
     // one host NEVER spans two fetchers). The oracle replays the whole
@@ -4384,6 +4384,41 @@ object LlmQueries {
           CAST(sum(seq * delay) AS BIGINT) AS sum_fetch_at,
           CAST(sum(clen) AS BIGINT) AS sum_clen
         FROM s GROUP BY host""")),
+
+    // ---- HTTP responses inside WARC records (the L126→L127 seam —
+    // crawl `response` records carry full HTTP MESSAGES, and the text
+    // pipeline must strip the transport layer before HTML extraction
+    // sees a byte): one map-side pass runs member inflate + WARC
+    // framing + HTTP framing; status line, header walk (Content-Type
+    // media/charset split, Content-Length REQUIRED and exact), body
+    // reduced to (len, sum) in place. The oracle replays the message
+    // formulas; a parser with the framing, the header fold or the
+    // charset split wrong cannot match it.
+    "q185_warc_http" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Http.warcHttpPayload((2 + id % 7).toInt, (id % 13).toInt))))
+        Http.decodeWarcHttp(media).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 7 AS n,
+              doc_id % 13 AS seed FROM documents),
+          r AS (SELECT media_id, seed, i
+            FROM m, LATERAL (SELECT unnest(range(n)) AS i)
+            WHERE i % 3 = 0)
+        SELECT media_id, CAST(i AS BIGINT) AS rec_idx,
+          CAST(CASE (seed + i) % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+            ELSE 404 END AS BIGINT) AS status,
+          CASE WHEN i % 2 = 0 THEN 'text/html' ELSE 'text/plain' END
+            AS media_type,
+          CASE WHEN i % 2 = 0 THEN 'utf-8' ELSE '' END AS charset,
+          CAST(4 + (seed + i) % 3 AS BIGINT) AS n_headers,
+          CAST(20 + ((seed + 7 * i) % 120) AS BIGINT) AS body_len,
+          CAST(list_sum(list_transform(range(20 + ((seed + 7 * i) % 120)),
+              j -> (seed + 2 * i + j) % 256)) AS BIGINT) AS body_sum,
+          true AS valid
+        FROM r""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train

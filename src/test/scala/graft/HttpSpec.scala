@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Http, Warc}
+
+/** HTTP-in-WARC parsing (q185): formula round-trip, framing
+  * strictness, header semantics, and never-throw under corruption. */
+class HttpSpec extends SparkSpec {
+
+  private def expected(id: Long, n: Int, seed: Int): Seq[Http.HttpInfo] =
+    (0 until n).filter(_ % 3 == 0).map { i =>
+      val blen = 20 + ((seed + 7 * i) % 120)
+      Http.HttpInfo(id, i.toLong,
+        Seq(200L, 301L, 404L)((seed + i) % 3),
+        if (i % 2 == 0) "text/html" else "text/plain",
+        if (i % 2 == 0) "utf-8" else "",
+        4L + (seed + i) % 3, blen.toLong,
+        (0 until blen).map(j => ((seed + 2 * i + j) % 256).toLong).sum,
+        valid = true)
+    }
+
+  test("round-trip differential over the (n, seed) grid") {
+    import spark.implicits._
+    for (n <- Seq(1, 3, 4, 7, 8); seed <- 0 until 13) {
+      val ds = spark.createDataset(Seq(
+        (n * 100L + seed, Http.warcHttpPayload(n, seed))))
+      val got = Http.decodeWarcHttp(ds).collect().sortBy(_.rec_idx).toSeq
+      got shouldBe expected(n * 100L + seed, n, seed)
+    }
+  }
+
+  test("the WARC layer still accepts the HTTP-bearing archives") {
+    // warcHttpPayload is a valid q178-grammar archive too: the member
+    // walk and framing rules are shared, only payload content differs
+    val b = Http.warcHttpPayload(6, 5)
+    val info = Warc.parse(9L, b)
+    info.valid shouldBe true
+    info.n_records shouldBe 6L
+    info.n_response shouldBe 2L
+  }
+
+  test("status line strictness") {
+    def p(s: String): Http.HttpInfo =
+      Http.parseResponse(1L, 0L, s.getBytes("ISO-8859-1"))
+    val ok = "HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nab"
+    p(ok).valid shouldBe true
+    p(ok).status shouldBe 200L
+    p(ok).body_sum shouldBe ('a'.toLong + 'b'.toLong)
+    p("HTTP/1.0 200 OK\r\nContent-Length: 0\r\n\r\n").valid shouldBe false
+    p("HTTP/1.1 20 OK\r\nContent-Length: 0\r\n\r\n").valid shouldBe false
+    p("HTTP/1.1 2000 X\r\nContent-Length: 0\r\n\r\n").valid shouldBe false
+    p("junk\r\nContent-Length: 0\r\n\r\n").valid shouldBe false
+  }
+
+  test("framing: Content-Length required and exact") {
+    def p(s: String): Http.HttpInfo =
+      Http.parseResponse(1L, 0L, s.getBytes("ISO-8859-1"))
+    p("HTTP/1.1 200 OK\r\n\r\nab").valid shouldBe false      // no CL
+    p("HTTP/1.1 200 OK\r\nContent-Length: 3\r\n\r\nab")
+      .valid shouldBe false                                   // short
+    p("HTTP/1.1 200 OK\r\nContent-Length: 1\r\n\r\nab")
+      .valid shouldBe false                                   // slack
+  }
+
+  test("Content-Type split: media type, charset parameter, case folds") {
+    def p(ct: String): Http.HttpInfo = Http.parseResponse(1L, 0L,
+      s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\nContent-Length: 0\r\n\r\n"
+        .getBytes("ISO-8859-1"))
+    p("text/html; charset=UTF-8").media_type shouldBe "text/html"
+    p("text/html; charset=UTF-8").charset shouldBe "utf-8"
+    p("text/plain").charset shouldBe ""
+    p("application/json; charset=ascii; boundary=x").charset shouldBe "ascii"
+    // header NAME is case-insensitive
+    Http.parseResponse(1L, 0L,
+      "HTTP/1.1 200 OK\r\ncontent-length: 0\r\n\r\n"
+        .getBytes("ISO-8859-1")).valid shouldBe true
+  }
+
+  test("corruption and garbage never throw; malformed archive → no rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    // message-level fuzz: direct parseResponse on mutated + random bytes
+    val msg = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=x\r\n" +
+      "Content-Length: 5\r\n\r\nhello").getBytes("ISO-8859-1")
+    for (_ <- 0 until 500) {
+      val m = msg.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      noException should be thrownBy Http.parseResponse(1L, 0L, m)
+    }
+    for (_ <- 0 until 200) {
+      val g = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      noException should be thrownBy Http.parseResponse(1L, 0L, g)
+    }
+    // archive-level: a corrupt member yields NO rows, never a throw
+    val b = Http.warcHttpPayload(5, 3)
+    val bad = b.clone(); bad(15) = (bad(15) ^ 0x7f).toByte
+    Http.decodeWarcHttp(spark.createDataset(Seq((1L, bad))))
+      .count() shouldBe 0L
+  }
+}
