@@ -46,14 +46,21 @@ object Warc {
     * front-end (q184) consumes; [[WarcInfo]] is its aggregation. */
   final case class WarcRecord(media_id: Long, rec_idx: Long,
                               warc_type: String, uri: String,
-                              content_len: Long, payload_sum: Long)
+                              content_len: Long, payload_sum: Long,
+                              member_off: Long, member_len: Long)
 
   /** Raw record with its payload bytes — partition-internal only
     * (consumers reduce the payload in place; bodies never join a row
-    * frame that crosses an exchange). */
+    * frame that crosses an exchange). `memberOff`/`memberLen` frame
+    * the record's whole gzip MEMBER in the archive: the seekability
+    * contract of `.warc.gz` (slice those bytes and you hold a
+    * complete, independently inflatable one-record archive — the law
+    * WarcSpec pins, and what a CDX index points at). */
   private[operators] final case class RawRecord(idx: Long, typ: String,
                                                 uri: String,
-                                                payload: Array[Byte])
+                                                payload: Array[Byte],
+                                                memberOff: Long,
+                                                memberLen: Long)
 
   private[operators] case object Malformed extends Exception {
     override def fillInStackTrace(): Throwable = this
@@ -96,7 +103,8 @@ object Warc {
     var sum = 0L
     var j = 0
     while (j < r.payload.length) { sum += r.payload(j) & 0xff; j += 1 }
-    WarcRecord(id, r.idx, r.typ, r.uri, r.payload.length.toLong, sum)
+    WarcRecord(id, r.idx, r.typ, r.uri, r.payload.length.toLong, sum,
+      r.memberOff, r.memberLen)
   }
 
   /** The member walk: every gzip member inflated and CRC-verified, its
@@ -109,6 +117,7 @@ object Warc {
       val recsOut = List.newBuilder[RawRecord]
       var recIdx = 0L
       while (off < b.length) {
+        val memberOff = off
         // ---- gzip member header (RFC 1952) ----
         if (off.toLong + 10 > b.length) throw Malformed
         if (b(off) != 0x1f.toByte || b(off + 1) != 0x8b.toByte ||
@@ -194,7 +203,8 @@ object Warc {
         // the URI must carry an authority (scheme://HOST/...)
         if (uri.indexOf("://") <= 0) throw Malformed
         recsOut += RawRecord(recIdx, typ, uri,
-          java.util.Arrays.copyOfRange(rec, p, t))
+          java.util.Arrays.copyOfRange(rec, p, t),
+          memberOff.toLong, (off - memberOff).toLong)
         recIdx += 1
       }
       recsOut.result()

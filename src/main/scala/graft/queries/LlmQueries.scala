@@ -4420,6 +4420,38 @@ object LlmQueries {
           true AS valid
         FROM r""")),
 
+    // ---- CDX-style SURT index keys (the crawl INDEX format: every
+    // `.warc.gz` ships with a CDX index whose lines key on the SURT —
+    // Sort-friendly URI Reordering Transform — so that one sorted
+    // index serves host-, domain- and prefix-scoped lookups): per
+    // record, canonicalize the REAL extracted URI with the L128
+    // kernel, reverse the host labels comma-joined, append `)` + the
+    // canonical path. The member byte ranges a CDX line points at
+    // (member_off/member_len on the record surface) are NOT formula-
+    // replayable (running sums of level-6 DEFLATE member sizes), so
+    // they are pinned by WarcSpec's seekability law instead: a slice
+    // of those bytes re-inflates as a complete one-record archive.
+    "q186_cdx_surt" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.UrlFns
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Warc.warcPayload((2 + id % 7).toInt, (id % 13).toInt))))
+        val recs = Warc.records(media).toDF()
+        val url = UrlFns.urlCanon(col("uri"))
+        val host = regexp_extract(url, "^https?://([^/]+)", 1)
+        val rest = regexp_extract(url, "^https?://[^/]+(/.*)$", 1)
+        recs.select(col("media_id"), col("rec_idx"),
+          concat(array_join(reverse(split(host, "\\.")), ","),
+            lit(")"), rest).as("surt"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 7 AS n,
+              doc_id % 13 AS seed FROM documents)
+        SELECT media_id, CAST(i AS BIGINT) AS rec_idx,
+          'example,h' || ((seed + i) % 5) || ')/p/' || i AS surt
+        FROM m, LATERAL (SELECT unnest(range(n)) AS i)""")),
+
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
     // on the doc_id%3!=0 subset weak-labeled by token count >= median,

@@ -157,6 +157,30 @@ class WarcSpec extends SparkSpec {
     agg.sum_payload_bytes shouldBe got.map(_.payload_sum).sum
   }
 
+  test("seekability law: each member's byte range re-inflates alone") {
+    // the whole point of per-member gzip (and what a CDX line points
+    // at): slicing [member_off, member_off + member_len) yields a
+    // complete one-record archive; ranges tile the file exactly
+    import spark.implicits._
+    val b = Warc.warcPayload(6, 7)
+    val recs = Warc.records(spark.createDataset(Seq((1L, b))))
+      .collect().sortBy(_.rec_idx)
+    recs.head.member_off shouldBe 0L
+    recs.sliding(2).foreach { case Array(a, c) =>
+      c.member_off shouldBe (a.member_off + a.member_len)
+    }
+    recs.last.member_off + recs.last.member_len shouldBe b.length.toLong
+    for (r <- recs) {
+      val slice = java.util.Arrays.copyOfRange(b,
+        r.member_off.toInt, (r.member_off + r.member_len).toInt)
+      val one = Warc.parse(99L, slice)
+      one.valid shouldBe true
+      one.n_records shouldBe 1L
+      one.sum_content_len shouldBe r.content_len
+      one.sum_payload_bytes shouldBe r.payload_sum
+    }
+  }
+
   test("decodeWarc runs map-side over a Dataset") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
