@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Spectral, SuffixArray, Tar, Warc}
+import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Spectral, SuffixArray, Tar, Warc}
 import graft.operators.DomainSuffix
 import TextFns._
 
@@ -4451,6 +4451,37 @@ object LlmQueries {
         SELECT media_id, CAST(i AS BIGINT) AS rec_idx,
           'example,h' || ((seed + i) % 5) || ')/p/' || i AS surt
         FROM m, LATERAL (SELECT unnest(range(n)) AS i)""")),
+
+    // ---- charset decoding (the bytes→text seam after the L133
+    // transport strip — a multilingual crawl is NOT all UTF-8): the
+    // SAME formula text encodes into four different byte strings
+    // (utf-8 / latin-1 / utf-16be / utf-16le by doc), and the decoder
+    // must honor the declared label STRICTLY to land every doc on the
+    // one codepoint surface the oracle replays — count, sum and
+    // non-ASCII tally all change if any charset arm (or byte order)
+    // is wrong.
+    "q187_charset_decode" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val rows = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (b, label) =
+              CharsetDecode.encodedBody((id % 4).toInt, id % 13)
+            (id, b, label)
+          })
+        CharsetDecode.decodeText(rows).toDF()
+      },
+      Some("""WITH t AS (SELECT doc_id AS media_id,
+              'd' || (doc_id % 13) || ' é ñ x' || ((doc_id % 13) % 7)
+                AS txt FROM documents)
+        SELECT media_id,
+          CAST(length(txt) AS BIGINT) AS n_chars,
+          CAST(list_sum(list_transform(range(length(txt)),
+              i -> ascii(substring(txt, CAST(i + 1 AS INTEGER), 1))))
+            AS BIGINT) AS sum_codepoints,
+          CAST(2 AS BIGINT) AS n_nonascii,
+          true AS valid
+        FROM t""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
