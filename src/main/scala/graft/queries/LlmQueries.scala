@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Spectral, SuffixArray, Tar, Warc}
+import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Warc}
 import graft.operators.DomainSuffix
 import TextFns._
 
@@ -4482,6 +4482,36 @@ object LlmQueries {
           CAST(2 AS BIGINT) AS n_nonascii,
           true AS valid
         FROM t""")),
+
+    // ---- sitemap XML walk (sitemaps.org — the crawl SEED source,
+    // upstream of the whole L126–L134 chain): each doc becomes a
+    // protocol-shaped sitemap whose strict-XML parse the oracle
+    // replays — `<loc>` entities decoded (`&amp;` is load-bearing in
+    // every URL), exactly-one-loc enforced, optional lastmod/priority
+    // folded, the tenths-grid priority parse, host distinct-count.
+    "q188_sitemap_scan" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val pages = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Sitemap.sitemapPayload((2 + id % 9).toInt, id % 13))))
+        Sitemap.decodeSitemap(pages).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 9 AS n,
+              doc_id % 13 AS seed FROM documents),
+          e AS (SELECT media_id, i, (seed + i) % 5 AS hn,
+              CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS lm,
+              CASE WHEN i % 3 != 1 THEN (seed + i) % 10 ELSE 0 END AS pr,
+              28 + length(CAST(i AS VARCHAR)) AS lc
+            FROM m, LATERAL (SELECT unnest(range(n)) AS i))
+        SELECT media_id,
+          CAST(count(*) AS BIGINT) AS n_urls,
+          CAST(count(DISTINCT hn) AS BIGINT) AS n_hosts,
+          CAST(sum(lm) AS BIGINT) AS n_lastmod,
+          CAST(sum(pr) AS BIGINT) AS sum_prio_tenths,
+          CAST(sum(lc) AS BIGINT) AS sum_loc_chars,
+          true AS valid
+        FROM e GROUP BY media_id""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
