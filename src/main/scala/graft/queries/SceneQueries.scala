@@ -1577,6 +1577,48 @@ object SceneQueries {
             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
           FROM events""")),
 
+    // ---- streaming crawl frontier (the L128 kernel composed with
+    // L113's watermark-TTL dedup): URL arrivals stream in MESSY
+    // spellings (mixed case, default port, tracking params, fragment),
+    // the native url_canon kernel lands each on its canonical form
+    // INSIDE the stream, and dropDuplicatesWithinWatermark on
+    // (url, day) keeps state TTL-bounded — the per-day frontier dedup
+    // a continuous crawl actually runs (same spelling seen twice must
+    // not be fetched twice; state must not grow with crawl lifetime).
+    // Determinism: host is a pure function of url, so the surviving
+    // physical row is unobservable; the delay exceeds the dataset
+    // span, so the drained result is exactly batch DISTINCT over the
+    // canonical forms.
+    "q189_stream_frontier" -> Query(
+      (s, dir) => {
+        import graft.functions.UrlFns
+        val messy = concat(lit("HTTP://H"),
+          (col("user_id") % 40).cast("string"), lit(".Example:80/p/"),
+          (col("event_id") % 1000).cast("string"),
+          lit("?utm_source=x&q="), (col("event_id") % 7).cast("string"),
+          lit("#f"))
+        val ev = streamedEvents(s, dir)
+          .select(UrlFns.urlCanon(messy).as("url"),
+            date_trunc("day", col("ts")).as("day"))
+          .withColumn("host",
+            regexp_extract(col("url"), "^https?://([^/]+)", 1))
+          .withWatermark("day", "40 days")
+          .dropDuplicatesWithinWatermark("url", "day")
+        drainToParquet(ev, "sfrontier", dir)
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("day")).as("n_days"))
+      },
+      Some("""WITH u AS (SELECT DISTINCT
+              'http://h' || (user_id % 40) || '.example/p/'
+                || (event_id % 1000) || '?q=' || (event_id % 7) AS url,
+              'h' || (user_id % 40) || '.example' AS host,
+              CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+          CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        FROM u GROUP BY host""")),
+
     // ---- L109b: interval-OVERLAP arm of the binned range join —
     // purchase activity windows [ts, ts+12h) against click sessions
     // [ts, ts+6h) for the same user, emitting each overlapping pair
