@@ -4513,6 +4513,65 @@ object LlmQueries {
           true AS valid
         FROM e GROUP BY media_id""")),
 
+    // ---- conditional recrawl triage (the S5-ledger lifecycle applied
+    // to the L136 seed scan — what a CONTINUOUS crawl does nightly):
+    // yesterday's (url, lastmod) state persists as a parquet ledger
+    // artifact; today's sitemap entries triage against the LOADED
+    // artifact — absent → new, lastmod advanced → changed, else
+    // unchanged — so only new+changed URLs spend fetch budget. The
+    // load is load-bearing: the changed/unchanged split compares
+    // today's values against ones that exist only in the artifact.
+    // At 100 TB the ledger IS corpus-sized: the triage is ONE hash
+    // join on the url key, the state the join carries is (url, day) —
+    // never a document.
+    "q190_recrawl_triage" -> Query(
+      (s, dir) => {
+        // applicationId-keyed artifact path (the q142/ADVICE-r7 rule)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_recrawl_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        val today = docs(s, dir).select(col("doc_id"),
+            explode(sequence(lit(0), lit(2) + col("doc_id") % 6)).as("i"))
+          .withColumn("seed", col("doc_id") % 13)
+          .withColumn("url", concat(lit("http://h"),
+            ((col("seed") + col("i")) % 5).cast("string"),
+            lit(".example/d/"), col("doc_id").cast("string"),
+            lit("/s/"), col("i").cast("string")))
+          .withColumn("lm_new", (col("seed") + col("i")) % 9 +
+            when(col("i") % 3 === 0, 1L).otherwise(0L))
+        today.where(col("i") % 5 =!= 4)
+          .select(col("url"), ((col("seed") + col("i")) % 9).as("lm_old"))
+          .write.mode("overwrite").parquet(s"$base/ledger")
+        val ledger = s.read.parquet(s"$base/ledger")
+        today.join(ledger, Seq("url"), "left")
+          .withColumn("status", when(col("lm_old").isNull, "new")
+            .when(col("lm_new") > col("lm_old"), "changed")
+            .otherwise("unchanged"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("status") === "new", 1L).otherwise(0L))
+              .as("n_new"),
+            sum(when(col("status") === "changed", 1L).otherwise(0L))
+              .as("n_changed"),
+            sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+              .as("n_unchanged"))
+      },
+      Some("""WITH e AS (SELECT doc_id, i FROM documents,
+              LATERAL (SELECT unnest(range(3 + doc_id % 6)) AS i))
+        SELECT doc_id,
+          CAST(sum(CASE WHEN i % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+          CAST(sum(CASE WHEN i % 5 != 4 AND i % 3 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+          CAST(sum(CASE WHEN i % 5 != 4 AND i % 3 != 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unchanged
+        FROM e GROUP BY doc_id""")),
+
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
     // on the doc_id%3!=0 subset weak-labeled by token count >= median,
