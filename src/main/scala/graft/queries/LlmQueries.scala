@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Warc}
+import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Warc}
 import graft.operators.DomainSuffix
 import TextFns._
 
@@ -4571,6 +4571,42 @@ object LlmQueries {
           CAST(sum(CASE WHEN i % 5 != 4 AND i % 3 != 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_unchanged
         FROM e GROUP BY doc_id""")),
+
+    // ---- GIF / LZW decode (the media family's third still-image
+    // codec, after PNG and baseline JPEG): each doc becomes a real
+    // multi-frame GIF whose pixel indices are LZW-COMPRESSED by a
+    // real dictionary encoder — file bytes share no structure with
+    // the pixel formula, so only a correct LZW expansion (variable
+    // code widths, dictionary growth, KwKwK, the 4096 reset)
+    // reproduces the oracle's index sums.
+    "q191_gif_decode" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Gif.gifPayload((6 + id % 8).toInt, (5 + id % 6).toInt,
+              (1 + id % 3).toInt, (id % 13).toInt))))
+        Gif.decodeGif(media).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 6 + doc_id % 8 AS w,
+              5 + doc_id % 6 AS h, 1 + doc_id % 3 AS nf,
+              doc_id % 13 AS seed FROM documents),
+          fp AS (SELECT media_id, w, h, nf, f,
+              list_sum(list_transform(range(w * h),
+                p -> (seed + 3 * f + p) % 4)) AS fsum,
+              list_max(list_transform(range(w * h),
+                p -> (seed + 3 * f + p) % 4)) AS fmax
+            FROM m, LATERAL (SELECT unnest(range(nf)) AS f))
+        SELECT media_id,
+          CAST(max(w) AS BIGINT) AS width,
+          CAST(max(h) AS BIGINT) AS height,
+          CAST(max(nf) AS BIGINT) AS n_frames,
+          CAST(1 AS BIGINT) AS n_ext_blocks,
+          CAST(4 AS BIGINT) AS gct_colors,
+          CAST(sum(fsum) AS BIGINT) AS sum_pixel_indices,
+          CAST(max(fmax) AS BIGINT) AS max_index,
+          true AS valid
+        FROM fp GROUP BY media_id""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
