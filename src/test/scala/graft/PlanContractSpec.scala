@@ -593,6 +593,26 @@ class PlanContractSpec extends SparkSpec {
       }
   }
 
+  test("q184 crawl flagship: two real-key exchanges, the robots NLJ " +
+      "broadcasts a bounded rule frame, the scan reads only doc_id") {
+    val p = plan("q184_crawl_flagship")
+    // shuffle keys: the record-grain verdict aggregate and the
+    // per-host politeness window — nothing else (never text/uri/path)
+    val keyRe = "hashpartitioning\\(([A-Za-z_0-9#,. ]+?)\\, [0-9]+\\)".r
+    val keySets = keyRe.findAllMatchIn(p)
+      .map(_.group(1).replaceAll("#[0-9]+L?", "")).toSet
+    assert(keySets == Set("media_id, rec_idx, host, content_len", "host"),
+      s"unexpected shuffle keys: $keySets")
+    // the robots rules join is the documented broadcast-bounded NLJ
+    val lines = p.linesIterator.toIndexedSeq
+    val nljs = lines.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(nljs.nonEmpty && nljs.forall(l =>
+      l.contains("BuildRight") && l.contains("robots_match")), nljs)
+    // payloads never reach the plan: the parquet scan projects ONLY
+    // doc_id (records synthesize + reduce inside mapPartitions)
+    assert(lines.exists(_.contains("ReadSchema: struct<doc_id:bigint>")), p)
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")
