@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Warc}
+import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pdf, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Warc}
 import graft.operators.DomainSuffix
 import TextFns._
 
@@ -4607,6 +4607,45 @@ object LlmQueries {
           CAST(max(fmax) AS BIGINT) AS max_index,
           true AS valid
         FROM fp GROUP BY media_id""")),
+
+    // ---- PDF structural walk + text extraction (the document
+    // family's entry — after web crawls, PDFs are the largest public
+    // text source): each doc becomes a spec-compliant minimal PDF
+    // whose classic xref table the parser must WALK AND VERIFY (every
+    // in-use offset must point at its declared object header — the
+    // writer computes offsets in a second pass, so a parser that
+    // skips the xref can't verify them), whose /Length-exact content
+    // streams hold `(string) Tj` text operators with the `\( \) \\`
+    // escape subset decoded. The oracle replays the per-page text
+    // formulas; a walker with the xref, the stream framing or the
+    // escape decode wrong cannot match it.
+    "q192_pdf_extract" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Pdf.pdfPayload((1 + id % 5).toInt, id % 13))))
+        Pdf.decodePdf(media).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 1 + doc_id % 5 AS np,
+              doc_id % 13 AS seed FROM documents),
+          pg AS (SELECT media_id, np, i,
+              'Doc ' || seed || ' page ' || i AS t1,
+              'w' || ((seed + i) % 7) || ' (x)' AS t2
+            FROM m, LATERAL (SELECT unnest(range(np)) AS i))
+        SELECT media_id,
+          CAST(2 + 2 * max(np) AS BIGINT) AS n_objects,
+          CAST(max(np) AS BIGINT) AS n_pages,
+          CAST(2 * max(np) AS BIGINT) AS n_text_ops,
+          CAST(sum(length(t1) + length(t2)) AS BIGINT) AS text_len,
+          CAST(sum(
+              list_sum(list_transform(range(length(t1)),
+                k -> ascii(substring(t1, CAST(k + 1 AS INTEGER), 1))))
+              + list_sum(list_transform(range(length(t2)),
+                k -> ascii(substring(t2, CAST(k + 1 AS INTEGER), 1)))))
+            AS BIGINT) AS sum_text_bytes,
+          true AS valid
+        FROM pg GROUP BY media_id""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
