@@ -3937,16 +3937,22 @@ object LlmQueries {
           s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
                 substr(t, CAST(i + 1 AS INT)) AS suf
               FROM c, LATERAL (SELECT unnest(range(length(t))) AS i)),
-          r AS (SELECT *, row_number() OVER (ORDER BY suf, doc_id, pos)
-                  AS rk FROM s),
-          p AS (SELECT a.doc_id, a.pos,
-                b.doc_id AS nbr_doc_id, b.pos AS nbr_pos,
+          -- adjacency as ONE lead() pass over the sorted stream (the
+          -- earlier r-JOIN-r-ON-rk+1 form intermittently produced a
+          -- different pair set in DuckDB — a ~1-in-15 flip caught by
+          -- the r9 sf0.1 cross-check; a single window sort is stable)
+          r AS (SELECT doc_id, pos, suf,
+                lead(doc_id) OVER w AS nbr_doc_id,
+                lead(pos) OVER w AS nbr_pos,
+                lead(suf) OVER w AS nbr_suf
+              FROM s WINDOW w AS (ORDER BY suf, doc_id, pos)),
+          p AS (SELECT doc_id, pos, nbr_doc_id, nbr_pos,
                 CAST(list_sum(list_transform(
-                  range(least(length(a.suf), length(b.suf))), k ->
-                    CASE WHEN substr(a.suf, 1, CAST(k + 1 AS INT))
-                           = substr(b.suf, 1, CAST(k + 1 AS INT))
+                  range(least(length(suf), length(nbr_suf))), k ->
+                    CASE WHEN substr(suf, 1, CAST(k + 1 AS INT))
+                           = substr(nbr_suf, 1, CAST(k + 1 AS INT))
                       THEN 1 ELSE 0 END)) AS BIGINT) AS lcp
-              FROM r a JOIN r b ON b.rk = a.rk + 1)
+              FROM r WHERE nbr_doc_id IS NOT NULL)
         SELECT doc_id, pos, nbr_doc_id, nbr_pos, lcp
         FROM p WHERE lcp >= $SaDupMin""")),
 
@@ -3965,16 +3971,19 @@ object LlmQueries {
           s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
                 substr(t, CAST(i + 1 AS INT)) AS suf
               FROM c, LATERAL (SELECT unnest(range(length(t))) AS i)),
-          r AS (SELECT *, row_number() OVER (ORDER BY suf, doc_id, pos)
-                  AS rk FROM s),
-          p AS (SELECT a.doc_id, a.pos,
-                b.doc_id AS nbr_doc_id, b.pos AS nbr_pos,
+          -- lead() adjacency, not r-JOIN-r (the q172 stability note)
+          r AS (SELECT doc_id, pos, suf,
+                lead(doc_id) OVER w AS nbr_doc_id,
+                lead(pos) OVER w AS nbr_pos,
+                lead(suf) OVER w AS nbr_suf
+              FROM s WINDOW w AS (ORDER BY suf, doc_id, pos)),
+          p AS (SELECT doc_id, pos, nbr_doc_id, nbr_pos,
                 CAST(list_sum(list_transform(
-                  range(least(length(a.suf), length(b.suf))), k ->
-                    CASE WHEN substr(a.suf, 1, CAST(k + 1 AS INT))
-                           = substr(b.suf, 1, CAST(k + 1 AS INT))
+                  range(least(length(suf), length(nbr_suf))), k ->
+                    CASE WHEN substr(suf, 1, CAST(k + 1 AS INT))
+                           = substr(nbr_suf, 1, CAST(k + 1 AS INT))
                       THEN 1 ELSE 0 END)) AS BIGINT) AS lcp
-              FROM r a JOIN r b ON b.rk = a.rk + 1),
+              FROM r WHERE nbr_doc_id IS NOT NULL),
           sp0 AS (SELECT CASE WHEN doc_id > nbr_doc_id
                   OR (doc_id = nbr_doc_id AND pos > nbr_pos)
                   THEN doc_id ELSE nbr_doc_id END AS d,
@@ -3982,7 +3991,13 @@ object LlmQueries {
                   OR (doc_id = nbr_doc_id AND pos > nbr_pos)
                   THEN pos ELSE nbr_pos END AS st0,
                 lcp FROM p WHERE lcp >= $SaDupMin),
-          sp AS (SELECT d AS doc_id, st0 AS st, st0 + lcp AS e FROM sp0),
+          -- DISTINCT is load-bearing: duplicate (st, e) spans tie in
+          -- the island windows, and the `fresh` pass and the `isl`
+          -- running sum may order ties DIFFERENTLY (legal for any SQL
+          -- engine), occasionally splitting one island in two — the
+          -- ~1-in-10 flip the r9 sf0.1 cross-check caught
+          sp AS (SELECT DISTINCT d AS doc_id, st0 AS st, st0 + lcp AS e
+              FROM sp0),
           g AS (SELECT *, CASE WHEN st > coalesce(max(e) OVER (
                   PARTITION BY doc_id ORDER BY st, e
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
