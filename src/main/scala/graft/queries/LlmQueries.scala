@@ -4662,6 +4662,43 @@ object LlmQueries {
           true AS valid
         FROM pg GROUP BY media_id""")),
 
+    // ---- politeness fetch-time recurrence (the crawl queue's
+    // t_k = max(arr_k, t_{k-1} + delay) — a SEQUENTIAL stateful scan
+    // re-expressed as the closed form k·d + running_max(arr_j − j·d):
+    // a rank + prefix-max over one host-partitioned sort, ONE
+    // exchange. The output folds the order-sensitive queueing WAIT
+    // (fetch − arrival), so a scheduler with the recurrence, the
+    // ordering or the prefix algebra wrong cannot match the oracle's
+    // identical window replay.
+    "q193_politeness_schedule" -> Query(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select((col("user_id") % 20).as("host"),
+            unix_micros(col("ts")).as("arr_us"), col("event_id"))
+          .withColumn("delay_us",
+            (lit(1L) + col("host") % 3) * lit(1000000L))
+        graft.operators.Politeness.schedule(ev, col("host"),
+            col("arr_us"), col("event_id"), col("delay_us"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_reqs"),
+            max(col("fetch_at_us")).as("last_fetch_us"),
+            sum(col("fetch_at_us") - col("arr_us")).as("sum_wait_us"))
+      },
+      Some("""WITH e AS (SELECT user_id % 20 AS host, epoch_us(ts) AS arr,
+              (1 + (user_id % 20) % 3) * 1000000 AS d, event_id
+            FROM events),
+          r AS (SELECT host, arr, d, event_id, row_number() OVER
+                (PARTITION BY host ORDER BY arr, event_id) - 1 AS k
+            FROM e),
+          f AS (SELECT host, arr, d * k + max(arr - d * k) OVER
+                (PARTITION BY host ORDER BY arr, event_id
+                 ROWS UNBOUNDED PRECEDING) AS f_us
+            FROM r)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_reqs,
+          CAST(max(f_us) AS BIGINT) AS last_fetch_us,
+          CAST(sum(f_us - arr) AS BIGINT) AS sum_wait_us
+        FROM f GROUP BY host""")),
+
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
     // on the doc_id%3!=0 subset weak-labeled by token count >= median,
