@@ -65,7 +65,14 @@ object Html {
     out.toString
   }
 
-  private[graft] def parse(id: Long, html: String): HtmlInfo = {
+  private[graft] def parse(id: Long, html: String): HtmlInfo =
+    parse(id, html, null)
+
+  /** As [[parse]]; when `hrefOut` is non-null, every body anchor's
+    * href is appended (the WAT link-extraction seam, q194). */
+  private[graft] def parse(id: Long, html: String,
+                           hrefOut: java.util.ArrayList[String])
+      : HtmlInfo = {
     val invalid = HtmlInfo(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
     if (html == null || html.isEmpty) return invalid
     try {
@@ -149,6 +156,7 @@ object Html {
                   val hostEnd = href.indexOf('/', sch + 3)
                   hosts.add(if (hostEnd < 0) href.substring(sch + 3)
                     else href.substring(sch + 3, hostEnd))
+                  if (hrefOut != null) hrefOut.add(href)
                 }
               case _ => ()
             }
@@ -210,6 +218,25 @@ object Html {
   def decodeHtml(pages: Dataset[(Long, String)]): Dataset[HtmlInfo] = {
     import pages.sparkSession.implicits._
     pages.mapPartitions(_.map { case (id, h) => parse(id, h) })
+  }
+
+  /** WAT-style link extraction: every body anchor's href, one row per
+    * link (page_id, href) — the raw material of the web graph. Pages
+    * that fail the parse contribute no links (their malformedness is
+    * the q179 gate's concern). Map-side; markup never shuffles. */
+  def links(pages: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions(_.flatMap { case (id, h) =>
+      val out = new java.util.ArrayList[String]()
+      val info = parse(id, h, out)
+      if (!info.valid) Nil
+      else {
+        val b = Seq.newBuilder[(Long, String)]
+        val it = out.iterator()
+        while (it.hasNext) b += ((id, it.next()))
+        b.result()
+      }
+    })
   }
 
   // ---------------------------------------------------------------

@@ -4699,6 +4699,45 @@ object LlmQueries {
           CAST(sum(f_us - arr) AS BIGINT) AS sum_wait_us
         FROM f GROUP BY host""")),
 
+    // ---- WAT-style host link graph (Common Crawl's THIRD artifact —
+    // WARC carries the bytes (L126), WET the text (L127), WAT the
+    // metadata, above all the LINK GRAPH the ranking/spam/seed
+    // machinery runs on): extract every body anchor's href from the
+    // real parsed pages (the q179 walker's link seam), key source
+    // pages to their fetch host, and aggregate per TARGET host —
+    // in-links, distinct source pages, distinct source hosts. The
+    // oracle replays the page formulas; an extractor that miscounts
+    // anchors, leaks script/comment pseudo-links or mangles hrefs
+    // cannot match it.
+    "q194_wat_link_graph" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val pages = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Html.htmlPayload((2 + id % 5).toInt, (1 + id % 4).toInt,
+              id % 1000))))
+        Html.links(pages).toDF("page_id", "href")
+          .withColumn("src_host",
+            concat(lit("h"), (col("page_id") % 7).cast("string"),
+              lit(".example")))
+          .withColumn("dst_host",
+            regexp_extract(col("href"), "^https?://([^/]+)", 1))
+          .groupBy(col("dst_host"))
+          .agg(count(lit(1)).as("n_inlinks"),
+            countDistinct(col("page_id")).as("n_src_pages"),
+            countDistinct(col("src_host")).as("n_src_hosts"))
+      },
+      Some("""WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS k,
+              doc_id % 1000 AS s FROM documents),
+          l AS (SELECT doc_id, 'h' || ((s + j) % 5) || '.example'
+                AS dst_host, 'h' || (doc_id % 7) || '.example'
+                AS src_host
+            FROM m, LATERAL (SELECT unnest(range(k)) AS j))
+        SELECT dst_host, CAST(count(*) AS BIGINT) AS n_inlinks,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_pages,
+          CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+        FROM l GROUP BY dst_host""")),
+
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
     // on the doc_id%3!=0 subset weak-labeled by token count >= median,

@@ -126,6 +126,17 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("links(): every body anchor's href, nothing from script/comments") {
+    import spark.implicits._
+    val good = Html.htmlPayload(2, 3, 6L)
+    val bad = "<html><body><a href=\"nope\">x</a></body></html>"
+    val ds = spark.createDataset(Seq((1L, good), (2L, bad)))
+    val got = Html.links(ds).collect().sortBy(_._2)
+    got.map(_._1).distinct shouldBe Array(1L) // malformed page: no rows
+    got.map(_._2) shouldBe (0 until 3)
+      .map(j => s"http://h${(6 + j) % 5}.example/p$j").sorted.toArray
+  }
+
   test("decodeHtml runs map-side over a Dataset") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
