@@ -4738,6 +4738,37 @@ object LlmQueries {
           CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
         FROM l GROUP BY dst_host""")),
 
+    // ---- host-graph PageRank (the crawl-quality weight: seed
+    // selection, spam demotion and fetch-budget allocation all rank
+    // the WAT host graph — the L142∘L48 composition): the q194 edges
+    // (real parsed anchors keyed to fetch hosts) feed the exact
+    // fixed-point PageRank kernel; the oracle unrolls the identical
+    // 12 iterations over the identical edge aggregate (bit-exact by
+    // GraphRank's 2^-40 quantized-contribution determinism contract).
+    "q195_host_pagerank" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val pages = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Html.htmlPayload((2 + id % 5).toInt, (1 + id % 4).toInt,
+              id % 1000))))
+        val edges = Html.links(pages).toDF("page_id", "href")
+          .select(concat(lit("h"), (col("page_id") % 7).cast("string"),
+              lit(".example")).as("u"),
+            regexp_extract(col("href"), "^https?://([^/]+)", 1).as("v"),
+            lit(1L).as("w"))
+        GraphRank.pageRank(edges, 12, 0.85)
+          .select(col("node").as("host"), col("r").as("rank"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS k,
+              doc_id % 1000 AS s FROM documents),
+          l AS (SELECT 'h' || (doc_id % 7) || '.example' AS u,
+                'h' || ((s + j) % 5) || '.example' AS v
+            FROM m, LATERAL (SELECT unnest(range(k)) AS j)),
+          sym AS (SELECT u, v, count(*) AS w FROM l GROUP BY u, v),
+          ${GraphRank.sqlPageRank(12, 0.85)}
+        SELECT node AS host, r AS rank FROM r12""")),
+
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
     // on the doc_id%3!=0 subset weak-labeled by token count >= median,
