@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pdf, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Warc}
+import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pdf, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Tiff, Warc}
 import graft.operators.DomainSuffix
 import TextFns._
 
@@ -4768,6 +4768,41 @@ object LlmQueries {
           sym AS (SELECT u, v, count(*) AS w FROM l GROUP BY u, v),
           ${GraphRank.sqlPageRank(12, 0.85)}
         SELECT node AS host, r AS rank FROM r12""")),
+
+    // ---- TIFF IFD walk (the scientific-imagery container — the
+    // reference pipeline's own domain ships GeoTIFF rasters): each
+    // doc becomes a multi-page gray TIFF in a BYTE ORDER picked by
+    // the seed (every integer in the file flips with the header),
+    // with strictly-ascending IFD tags, inline vs pointer strip
+    // arrays (both paths exercised by the page sizes), and pixel
+    // sums read through the resolved strip ranges — a walker with
+    // the endianness, the inline packing or the strip arithmetic
+    // wrong cannot match the oracle's formula replay.
+    "q196_tiff_index" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Tiff.tiffPayload((1 + id % 6).toInt, (id % 13).toInt))))
+        Tiff.decodeTiff(media).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 1 + doc_id % 6 AS np,
+              doc_id % 13 AS seed FROM documents),
+          pg AS (SELECT media_id, seed, f, 5 + (seed + f) % 6 AS w,
+              4 + f % 5 AS h
+            FROM m, LATERAL (SELECT unnest(range(np)) AS f)),
+          px AS (SELECT media_id, w, h, (h + 3) // 4 AS ns,
+              list_sum(list_transform(range(w * h),
+                j -> (seed + 5 * f + j) % 256)) AS pix
+            FROM pg)
+        SELECT media_id,
+          CAST(count(*) AS BIGINT) AS n_pages,
+          CAST(sum(w) AS BIGINT) AS sum_width,
+          CAST(sum(h) AS BIGINT) AS sum_height,
+          CAST(sum(ns) AS BIGINT) AS n_strips,
+          CAST(sum(pix) AS BIGINT) AS sum_pixels,
+          true AS valid
+        FROM px GROUP BY media_id""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
