@@ -19,7 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * conventions search engines document):
   *  - scheme + host lowercased; subset: scheme must be http/https;
   *  - userinfo dropped; default port stripped (80/http, 443/https),
-  *    a bare `:` or non-digit port → malformed;
+  *    a bare `:` or non-digit port → malformed; bracketed IPv6
+  *    literals (`[::1]`, `[::1]:8080`) supported — the inner colons
+  *    never split as a port, only `]:port` does;
   *  - percent-escapes: `%XX` with 2 hex digits required; decoded when
   *    the octet is UNRESERVED (ALPHA / DIGIT / `-._~`), otherwise kept
   *    with UPPERCASE hex (`%2f` → `%2F`);
@@ -112,7 +114,21 @@ object UrlCanonHelper {
     val at = auth.lastIndexOf('@')
     if (at >= 0) auth = auth.substring(at + 1) // drop userinfo
     var host = auth; var port = ""
-    val colon = auth.indexOf(':')
+    // bracketed IPv6 literal (RFC 3986 §3.2.2): the colons inside
+    // `[::1]` are NOT a port separator — the port, if any, follows the
+    // closing bracket as `]:port` (ADVICE r9: a plain indexOf(':')
+    // split silently rejected every IPv6 URL)
+    val colon =
+      if (auth.startsWith("[")) {
+        val close = auth.indexOf(']')
+        if (close < 2) return null // "[]" or unterminated bracket
+        if (!auth.substring(1, close).forall(c =>
+          (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+            (c >= 'A' && c <= 'F') || c == ':')) return null
+        if (close + 1 == auth.length) -1 // no port part
+        else if (auth.charAt(close + 1) == ':') close + 1
+        else return null // junk after the bracket
+      } else auth.indexOf(':')
     if (colon >= 0) {
       host = auth.substring(0, colon)
       port = auth.substring(colon + 1)

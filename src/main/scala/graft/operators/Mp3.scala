@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * frame counting, duration accounting, VBR detection and byte-exact
   * frame offsets are all implementable and GATEABLE exactly like the
   * RIFF/WAVE chunk walk (L95): a parser that does not read the
-  * bitrate/samplerate/padding bits cannot land on the next frame. The
-  * ENTROPY layer (Huffman spectral data → IMDCT → synthesis filterbank
-  * → PCM) stays documented as out of scope — that is the one remaining
-  * undecoded layer in the media family.
+  * bitrate/samplerate/padding bits cannot land on the next frame.
+  * Above the frame walk, the ENTROPY layer is decoded for a documented
+  * SUBSET (r9): [[parseSideInfo]] reads the 136-bit mono side-info
+  * block bit-exactly, and [[parseSpectral]] Huffman-decodes big-values
+  * region ISO table 1 + count1 table B with `main_data_begin = 0` (no
+  * bit reservoir), landing part2_3_length-exact. Streams outside that
+  * subset (other Huffman tables, linbits, reservoir) → `valid=false`,
+  * never wrong. Requant/IMDCT → PCM synthesis of the decoded spectrum
+  * is the r10 layer ([[synthesize]]).
   *
   * 100 TB shape: pure map-side behind the imperative codec seam;
   * payload bytes never shuffle. */

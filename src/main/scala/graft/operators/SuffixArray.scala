@@ -58,20 +58,35 @@ object SuffixArray {
       val maxLen: Int,
       val plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) {
     @volatile var frame: DataFrame = _
+    /** Set by [[releaseSuffixArrays]]; a build that finishes on an
+      * evicted entry re-registers itself so the NEXT release still
+      * finds (and frees) its frame — the ADVICE r9 race fix. */
+    @volatile var released = false
   }
   private val saCache = scala.collection.mutable.ListBuffer.empty[SaEntry]
 
   /** Release every memoized suffix array of `session` (free the
     * checkpoint blocks, drop the entries). Safe at any time — the next
     * [[suffixRanks]] call rebuilds. */
-  def releaseSuffixArrays(session: org.apache.spark.sql.SparkSession): Unit =
-    saCache.synchronized {
-      saCache.filterInPlace { e =>
-        val owned = e.sessionRef.get() eq session
-        if (owned && e.frame != null) Dedup.unpersistCheckpoint(e.frame)
-        !owned
+  def releaseSuffixArrays(session: org.apache.spark.sql.SparkSession): Unit = {
+    // evict under the global lock, free under each ENTRY's lock only
+    // (never a Spark job under the global lock — the ADVICE r8 rule;
+    // the per-entry lock serializes against an in-flight build, so a
+    // frame can never finish building orphaned: either this release
+    // waits for the build and frees its frame, or the build sees
+    // `released` and re-registers — ADVICE r9)
+    val owned = saCache.synchronized {
+      val o = saCache.filter(_.sessionRef.get() eq session).toList
+      saCache.filterInPlace(e => !o.exists(_ eq e))
+      o
+    }
+    owned.foreach { e =>
+      e.synchronized {
+        e.released = true
+        if (e.frame != null) { Dedup.unpersistCheckpoint(e.frame); e.frame = null }
       }
     }
+  }
 
   /** Per-position global suffix rank: (doc_id, pos, sa_rank) with
     * `sa_rank` the 1-based position of suffix (doc, pos) — capped at
@@ -102,8 +117,15 @@ object SuffixArray {
       }
     }
     entry.synchronized {
-      if (entry.frame == null)
+      if (entry.frame == null) {
         entry.frame = build(input, maxLen)
+        if (entry.released) { // evicted while the frame was still null:
+          entry.released = false // re-register so a later release frees it
+          saCache.synchronized {
+            if (!saCache.exists(_ eq entry)) saCache += entry
+          }
+        }
+      }
       entry.frame
     }
   }

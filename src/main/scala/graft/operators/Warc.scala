@@ -72,6 +72,15 @@ object Warc {
     * single-record cap is generous and executor-memory-safe). */
   private val MaxInflated = 1 << 24
 
+  /** Per-ARCHIVE total-inflated cap (ADVICE r9): [[walk]] retains every
+    * member's payload until the caller aggregates, so the per-member cap
+    * alone lets a crafted multi-member archive amplify ~1000× (DEFLATE's
+    * max ratio) into simultaneously-retained heap. The walk counts the
+    * inflated bytes ACROSS members and rejects the archive once the
+    * running total passes this (8× the member cap = 128 MiB — far above
+    * any real crawl archive slice a single task should hold). */
+  private val MaxArchiveInflated = MaxInflated.toLong * 8
+
   /** Authority of a URI the walk has already validated. */
   private def hostOf(uri: String): String = {
     val sch = uri.indexOf("://")
@@ -116,6 +125,7 @@ object Warc {
       var off = 0
       val recsOut = List.newBuilder[RawRecord]
       var recIdx = 0L
+      var totalInflated = 0L
       while (off < b.length) {
         val memberOff = off
         // ---- gzip member header (RFC 1952) ----
@@ -143,6 +153,8 @@ object Warc {
                 catch { case _: java.util.zip.DataFormatException => throw Malformed }
               if (n == 0 && !inf.finished()) throw Malformed // truncated
               if (out.size().toLong + n > MaxInflated) throw Malformed
+              totalInflated += n
+              if (totalInflated > MaxArchiveInflated) throw Malformed
               out.write(buf, 0, n)
             }
             val consumed = inf.getBytesRead

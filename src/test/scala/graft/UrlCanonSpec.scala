@@ -74,6 +74,18 @@ class UrlCanonSpec extends SparkSpec {
     runOne("") shouldBe None
   }
 
+  test("bracketed IPv6 authorities: inner colons are not a port (ADVICE r9)") {
+    runOne("http://[::1]/a") shouldBe Some("http://[::1]/a")
+    runOne("HTTP://[2001:DB8::1]/x") shouldBe Some("http://[2001:db8::1]/x")
+    runOne("http://[::1]:80/a") shouldBe Some("http://[::1]/a")
+    runOne("https://[::1]:443/a") shouldBe Some("https://[::1]/a")
+    runOne("http://[::1]:8080/a") shouldBe Some("http://[::1]:8080/a")
+    runOne("http://[]/a") shouldBe None        // empty literal
+    runOne("http://[::1/a") shouldBe None      // unterminated bracket
+    runOne("http://[::1]junk/a") shouldBe None // junk after the bracket
+    runOne("http://[zz::1]/a") shouldBe None   // non-hex inside
+  }
+
   test("null stays null; interpreted path matches codegen") {
     import spark.implicits._
     val viaCodegen = Seq[Option[String]](None, Some("HTTP://A.B:80/x"))

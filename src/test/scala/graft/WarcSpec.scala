@@ -95,6 +95,29 @@ class WarcSpec extends SparkSpec {
     Warc.parse(1L, bomb).valid shouldBe false
   }
 
+  test("archive-total inflate cap: many near-cap members reject (ADVICE r9)") {
+    // each member is a VALID record inflating to just under the 16 MiB
+    // per-member cap; 8 members (= 128 MiB total) pass the archive cap,
+    // 9 (~144 MiB) exceed it — the per-MEMBER cap alone would admit both
+    def bigArchive(n: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val clen = (1 << 24) - 4096
+      for (i <- 0 until n) {
+        val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://h$i.example/\r\n" +
+          s"Content-Length: $clen\r\n\r\n").getBytes("ISO-8859-1")
+        val rec = new Array[Byte](head.length + clen + 4)
+        System.arraycopy(head, 0, rec, 0, head.length)
+        rec(rec.length - 4) = '\r'; rec(rec.length - 3) = '\n'
+        rec(rec.length - 2) = '\r'; rec(rec.length - 1) = '\n'
+        out.write(Warc.gzipMember(rec, None))
+      }
+      out.toByteArray
+    }
+    Warc.parse(1L, bigArchive(8)).valid shouldBe true
+    Warc.parse(2L, bigArchive(9)).valid shouldBe false
+  }
+
   test("record framing is exact: slack after the closing CRLFs is rejected") {
     val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
       "WARC-Target-URI: http://h.example/\r\nContent-Length: 2\r\n\r\n" +
