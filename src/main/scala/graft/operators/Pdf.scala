@@ -15,9 +15,16 @@ import org.apache.spark.sql.Dataset
   *    second pass, and a parser that ignores the xref cannot verify
   *    them; `trailer` dict with `/Size` matching; `startxref` offset
   *    must point at the `xref` keyword; `%%EOF` terminated;
-  *  - content STREAMS (`/Length` declared and exact, `stream\n` …
-  *    `\nendstream`) hold uncompressed text operators: `(string) Tj`
-  *    with the escape subset `\\ \( \)` decoded;
+  *  - content STREAMS (`/Length` declared and exact — the length
+  *    FRAMES the data, `stream\n` + Length bytes + `\nendstream`
+  *    required right after) hold text operators: `(string) Tj` with
+  *    the escape subset `\\ \( \)` decoded; a `/Filter /FlateDecode`
+  *    stream (how virtually every real-world PDF ships content — r10)
+  *    is zlib-inflated (RFC 1950, JDK `Inflater` — the q149/q178
+  *    precedent) BEFORE the Tj scan, with `/Length` counting the
+  *    ENCODED bytes per the spec; corrupt zlib, trailing garbage
+  *    after the compressed body, or an inflate past the per-file cap
+  *    (zip-bomb stance) → invalid;
   *  - page count = objects whose dict carries `/Type /Page` (not
   *    `/Pages`).
   *
@@ -32,6 +39,30 @@ object Pdf {
 
   private case object Malformed extends Exception {
     override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Per-file inflated-content cap (zip-bomb stance, q178 precedent). */
+  private val MaxInflated = 1L << 24
+
+  /** zlib-inflate (RFC 1950) one FlateDecode stream; Malformed on
+    * corrupt data, truncation, trailing garbage, or a cap overrun. */
+  private def inflateZlib(enc: Array[Byte], budget: Long): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(false)
+    try {
+      inf.setInput(enc)
+      val out = new java.io.ByteArrayOutputStream(enc.length * 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => throw Malformed }
+        if (n == 0 && !inf.finished()) throw Malformed // truncated
+        if (out.size().toLong + n > budget) throw Malformed
+        out.write(buf, 0, n)
+      }
+      if (inf.getRemaining != 0) throw Malformed // slack after the body
+      out.toByteArray
+    } finally inf.end()
   }
 
   private[graft] def parse(id: Long, b: Array[Byte]): PdfInfo = {
@@ -91,6 +122,7 @@ object Pdf {
       // walk objects: pages and content streams
       var nPages = 0L; var nTextOps = 0L
       var textLen = 0L; var textSum = 0L
+      var inflateBudget = MaxInflated
       var q = 0
       while ({ q = s.indexOf(" 0 obj", q); q >= 0 && q < xrefOff }) {
         val objStart = q + 6
@@ -100,12 +132,26 @@ object Pdf {
           !body.contains("/Type /Pages")) nPages += 1
         val st = body.indexOf("stream\n")
         if (st >= 0) {
-          val en = body.indexOf("\nendstream"); if (en < 0) fail()
-          val data = body.substring(st + 7, en)
-          // declared /Length must be exact
+          // /Length FRAMES the data (binary FlateDecode bodies can
+          // contain any byte pattern — searching for `endstream`
+          // would mis-frame them); the keyword must follow exactly
+          val dict = body.substring(0, st)
           val lenRe = "/Length ([0-9]+)".r
-          val m = lenRe.findFirstMatchIn(body).getOrElse(fail())
-          if (m.group(1).toInt != data.length) fail()
+          val m = lenRe.findFirstMatchIn(dict).getOrElse(fail())
+          if (m.group(1).length > 9) fail()
+          val len = m.group(1).toInt
+          val dataStart = st + 7
+          if (dataStart + len > body.length) fail()
+          if (!body.startsWith("\nendstream", dataStart + len)) fail()
+          val raw = body.substring(dataStart, dataStart + len)
+          val data =
+            if (dict.contains("/Filter")) {
+              if (!dict.contains("/Filter /FlateDecode")) fail()
+              val dec = inflateZlib(raw.getBytes("ISO-8859-1"),
+                inflateBudget)
+              inflateBudget -= dec.length
+              new String(dec, "ISO-8859-1")
+            } else raw
           // (string) Tj with the escape subset
           var i = 0
           while (i < data.length) {
@@ -165,8 +211,12 @@ object Pdf {
 
   /** `nPages` pages; page i's content stream draws two text ops:
     * `Doc <seed> page <i>` and `w<(seed+i)%7> \(x\)` (the escape
-    * subset is load-bearing — decoded text is `w… (x)`). */
-  def pdfPayload(nPages: Int, seed: Long): Array[Byte] = {
+    * subset is load-bearing — decoded text is `w… (x)`). With
+    * `flate=true` every content stream is zlib-compressed
+    * (`/Filter /FlateDecode`, `/Length` = ENCODED bytes) — the file
+    * bytes then share no structure with the text the oracle replays,
+    * so only a real inflate reproduces it. */
+  def pdfPayload(nPages: Int, seed: Long, flate: Boolean = false): Array[Byte] = {
     require(nPages >= 1 && nPages <= 256, s"bad nPages $nPages")
     require(seed >= 0, s"bad seed $seed")
     // object 1: catalog; 2: pages; 2k+1: page k; 2k+2: its content
@@ -178,7 +228,13 @@ object Pdf {
       objs += s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >>"
       val ops = s"BT /F1 12 Tf 72 700 Td (Doc $seed page $i) Tj " +
         s"72 680 Td (w${(seed + i) % 7} \\(x\\)) Tj ET"
-      objs += s"<< /Length ${ops.length} >>\nstream\n$ops\nendstream"
+      if (flate) {
+        val enc = deflateZlib(ops.getBytes("ISO-8859-1"))
+        val body = new String(enc, "ISO-8859-1")
+        objs += s"<< /Length ${enc.length} /Filter /FlateDecode >>" +
+          s"\nstream\n$body\nendstream"
+      } else
+        objs += s"<< /Length ${ops.length} >>\nstream\n$ops\nendstream"
     }
     val sb = new StringBuilder()
     sb.append("%PDF-1.4\n")
@@ -196,5 +252,17 @@ object Pdf {
       .append(" /Root 1 0 R >>\nstartxref\n").append(xrefOff)
       .append("\n%%EOF\n")
     sb.toString.getBytes("ISO-8859-1")
+  }
+
+  /** Level-6 zlib (RFC 1950) — the FlateDecode writer side. */
+  private[graft] def deflateZlib(content: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(content); d.finish()
+      val out = new java.io.ByteArrayOutputStream(content.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
   }
 }

@@ -14,7 +14,11 @@ package graft.operators
   * value is a no-op rule (allow-all, per the RFC); patterns support
   * `*` and a trailing `$` (matched by the codegen
   * [[graft.functions.RobotsMatch]] kernel); match precedence =
-  * pattern length excluding the `$`.
+  * pattern length excluding the `$`. The de-facto `Crawl-delay`
+  * field (integer seconds; not in RFC 9309 but honored by most
+  * crawlers) is parsed per group (r10) and feeds
+  * [[Politeness.schedule]]'s per-row delay — the specific group's
+  * delay wins exactly like its rules do.
   *
   * 100 TB shape: robots bodies parse map-side on the hosts frame
   * (bounded: one row per HOST, not per URL); the exploded rules frame
@@ -30,11 +34,25 @@ object Robots {
     * product token), falling back to the `*` group; an unparseable or
     * group-less file yields no rules (= everything allowed, the RFC's
     * fail-open for a missing robots.txt). */
-  def parseRules(txt: String, agent: String): Seq[Rule] = {
-    if (txt == null) return Nil
+  def parseRules(txt: String, agent: String): Seq[Rule] =
+    parseGroups(txt, agent)._1
+
+  /** The governing group's `Crawl-delay` in SECONDS (specific group
+    * wins over `*`, like its rules); None when absent, unparseable,
+    * or out of [0, 86400] — the caller then applies its own default.
+    * (r10: the field used to be tolerated-and-ignored; now it feeds
+    * [[Politeness.schedule]].) */
+  def crawlDelaySecs(txt: String, agent: String): Option[Long] =
+    parseGroups(txt, agent)._2
+
+  private def parseGroups(txt: String,
+                          agent: String): (Seq[Rule], Option[Long]) = {
+    if (txt == null) return (Nil, None)
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val specific = Vector.newBuilder[Rule]
     val wildcard = Vector.newBuilder[Rule]
+    var specificDelay: Option[Long] = None
+    var wildDelay: Option[Long] = None
     var sawSpecific = false
     // group state: which agents head the CURRENT group
     var groupSpecific = false; var groupWild = false
@@ -65,12 +83,24 @@ object Robots {
                 if (groupSpecific) specific += r
                 if (groupWild) wildcard += r
               }
+            case "crawl-delay" =>
+              inAgentRun = false
+              if (value.nonEmpty && value.length <= 5 &&
+                value.forall(_.isDigit)) {
+                val d = value.toLong
+                if (d <= 86400L) {
+                  if (groupSpecific && specificDelay.isEmpty)
+                    specificDelay = Some(d)
+                  if (groupWild && wildDelay.isEmpty) wildDelay = Some(d)
+                }
+              }
             case _ => inAgentRun = false // unknown field: tolerated
           }
         }
       }
     }
-    if (sawSpecific) specific.result() else wildcard.result()
+    if (sawSpecific) (specific.result(), specificDelay)
+    else (wildcard.result(), wildDelay)
   }
 
   /** Precedence weight: pattern length, the trailing `$` excluded. */
@@ -86,18 +116,20 @@ object Robots {
   /** Deterministic per-host robots.txt: a `*` group with prefix,
     * anchored and wildcard rules derived from `h`, plus — when
     * `h % 3 == 0` — a `graftbot` group that must TAKE OVER entirely
-    * (the RFC's specific-group-wins rule). Comments and a crawl-delay
-    * line exercise tolerance for out-of-subset fields. */
+    * (the RFC's specific-group-wins rule), including its own
+    * `Crawl-delay: 2 + h%5`; the `*` group carries
+    * `Crawl-delay: 1 + h%4` (r10: the field now schedules). */
   def robotsPayload(h: Long): String = {
     val sb = new StringBuilder()
     sb.append("# robots for host ").append(h).append('\n')
     if (h % 3 == 0)
       sb.append("User-agent: GraftBot\n")
+        .append("Crawl-delay: ").append(2 + h % 5).append('\n')
         .append("Allow: /\n")
         .append("Disallow: /priv\n")
         .append("Allow: /priv/deep$\n\n")
     sb.append("User-agent: *\n")
-      .append("Crawl-delay: 2\n") // out-of-subset field: ignored
+      .append("Crawl-delay: ").append(1 + h % 4).append('\n')
       .append("Disallow: /a").append(h % 4).append('\n')
       .append("Allow: /a").append(h % 4).append("/pub\n")
       .append("Disallow: /priv$\n")

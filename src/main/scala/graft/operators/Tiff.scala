@@ -17,15 +17,27 @@ import org.apache.spark.sql.Dataset
   *    field's FIRST two bytes under either order (the classic
   *    packing pitfall, spec-pinned);
   *  - required baseline-gray tags: ImageWidth(256), ImageLength(257),
-  *    BitsPerSample(258)=8, Compression(259)=1 (none),
-  *    Photometric(262), StripOffsets(273), RowsPerStrip(278),
-  *    StripByteCounts(279); strip count must equal
-  *    ceil(height / rowsPerStrip); byte counts must tile w·h exactly;
-  *    every strip range must lie inside the file.
+  *    BitsPerSample(258)=8, Compression(259) ∈ {1 = none, 5 = LZW,
+  *    8 = Deflate}, Photometric(262), StripOffsets(273),
+  *    RowsPerStrip(278), StripByteCounts(279); strip count must equal
+  *    ceil(height / rowsPerStrip); every strip range must lie inside
+  *    the file; uncompressed byte counts must tile w·h exactly, and a
+  *    COMPRESSED strip (byte count = its ENCODED length) must decode
+  *    to exactly rows·width bytes;
+  *  - Compression 5 is the TIFF-variant LZW (r10 — what real GeoTIFF
+  *    and archival corpora ship): MSB-first code packing, 8-bit
+  *    roots, Clear=256/EOI=257, 9→12-bit widths with the spec's
+  *    EARLY-CHANGE bump (width grows when the next free entry is
+  *    2^w − 1 — one code sooner than GIF's variant, `Gif.scala`);
+  *    Compression 8 is per-strip zlib (RFC 1950, JDK `Inflater` —
+  *    the q149/q178 precedent).
   *
   * The walk cannot be faked: `sum_pixels` reads the strip bytes
-  * through the resolved (offset, count) pairs, so any endianness,
-  * inline-packing or strip-arithmetic mistake breaks it.
+  * through the resolved (offset, count) pairs AND through a real
+  * LZW/zlib expansion (the writer compresses, so file bytes share no
+  * structure with the pixel formulas the oracle replays); any
+  * endianness, inline-packing, strip-arithmetic, bit-order or
+  * early-change mistake breaks it.
   *
   * Malformed → all-zero `valid=false`, never a throw (q134); bounds
   * in Long (ADVICE r8); per-file decoded-byte cap (zip-bomb stance).
@@ -114,7 +126,8 @@ object Tiff {
           }
           e += 1
         }
-        if (width <= 0 || height <= 0 || bits != 8 || compression != 1 ||
+        if (width <= 0 || height <= 0 || bits != 8 ||
+          (compression != 1 && compression != 5 && compression != 8) ||
           photometric < 0 || rowsPerStrip <= 0 ||
           offs == null || counts == null) fail()
         val expStrips = (height + rowsPerStrip - 1) / rowsPerStrip
@@ -122,18 +135,29 @@ object Tiff {
         val total = width * height
         decoded += total
         if (decoded > MaxDecoded) fail()
-        var sumCounts = 0L
+        var sumDecoded = 0L
         var s = 0
         while (s < offs.length) {
           val rows = math.min(rowsPerStrip, height - s.toLong * rowsPerStrip)
-          if (counts(s) != rows * width) fail() // exact tiling
-          if (offs(s) < 8 || offs(s) + counts(s) > b.length) fail()
-          var j = 0L
-          while (j < counts(s)) { sumPix += u8(offs(s) + j); j += 1 }
-          sumCounts += counts(s)
+          val expBytes = rows * width // DECODED bytes of this strip
+          if (counts(s) <= 0 ||
+            offs(s) < 8 || offs(s) + counts(s) > b.length) fail()
+          compression match {
+            case 1 =>
+              if (counts(s) != expBytes) fail() // exact tiling
+              var j = 0L
+              while (j < counts(s)) { sumPix += u8(offs(s) + j); j += 1 }
+            case 5 =>
+              sumPix += lzwDecodeTiff(b, offs(s).toInt, counts(s).toInt,
+                expBytes)
+            case 8 =>
+              sumPix += inflateZlibExact(b, offs(s).toInt, counts(s).toInt,
+                expBytes)
+          }
+          sumDecoded += expBytes
           s += 1
         }
-        if (sumCounts != total) fail()
+        if (sumDecoded != total) fail()
         nPages += 1; sumW += width; sumH += height
         nStrips += offs.length.toLong
         ifdOff = u32(ifdOff + 2 + 12L * nEntries)
@@ -145,6 +169,101 @@ object Tiff {
           _: NegativeArraySizeException | _: IllegalArgumentException =>
         invalid
     }
+  }
+
+  /** TIFF-variant LZW decode of `len` encoded bytes at `off` in `b`,
+    * expanding to EXACTLY `expected` bytes; returns the decoded byte
+    * sum. MSB-first codes, 8-bit roots, Clear=256, EOI=257, widths
+    * 9→12 with the spec's EARLY-CHANGE bump (the next free entry
+    * reaching 2^w − 1 widens — one code sooner than the GIF variant).
+    * Throws Malformed on any violation: code past the table end + 1,
+    * over/under-run, missing EOI, a full byte of slack after it. */
+  private[graft] def lzwDecodeTiff(b: Array[Byte], off: Int, len: Int,
+                                   expected: Long): Long = {
+    def fail(): Nothing = throw Malformed
+    val Clear = 256; val Eoi = 257
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var free = 258; var w = 9
+    var bitPos = 0L
+    val nBits = len.toLong * 8
+    def next(): Int = {
+      if (bitPos + w > nBits) fail()
+      var v = 0; var k = 0
+      while (k < w) {
+        val bp = bitPos + k
+        v = (v << 1) |
+          ((b(off + (bp >> 3).toInt) >> (7 - (bp & 7).toInt)) & 1)
+        k += 1
+      }
+      bitPos += w
+      v
+    }
+    var sum = 0L; var count = 0L
+    val stack = new Array[Byte](4096)
+    var prev = -1; var prevFirst = 0
+    var finished = false
+    while (!finished) {
+      val code = next()
+      if (code == Clear) { free = 258; w = 9; prev = -1 }
+      else if (code == Eoi) finished = true
+      else {
+        if (code > free || (code == free && prev < 0)) fail()
+        var sp = 0; var first = 0
+        if (code == free) { // KwKwK: prev string + its first byte
+          stack(sp) = prevFirst.toByte; sp += 1
+          var c = prev
+          while (c >= 258) { stack(sp) = append(c); sp += 1; c = prefix(c) }
+          stack(sp) = c.toByte; sp += 1
+          first = c
+        } else {
+          var c = code
+          while (c >= 258) { stack(sp) = append(c); sp += 1; c = prefix(c) }
+          if (c >= 256) fail() // clear/eoi as a chain root
+          stack(sp) = c.toByte; sp += 1
+          first = c
+        }
+        count += sp
+        if (count > expected) fail()
+        var k = sp - 1
+        while (k >= 0) { sum += stack(k) & 0xff; k -= 1 }
+        if (prev >= 0) {
+          if (free >= 4096) fail()
+          prefix(free) = prev; append(free) = first.toByte
+          free += 1
+          if (w < 12 && free == (1 << w) - 1) w += 1 // EARLY change
+        }
+        prev = code; prevFirst = first
+      }
+    }
+    if (count != expected) fail()
+    if (nBits - bitPos >= 8) fail() // full-byte slack after EOI
+    sum
+  }
+
+  /** Per-strip zlib inflate (RFC 1950) of `len` bytes at `off`,
+    * required to expand to EXACTLY `expected` bytes with no trailing
+    * input; returns the decoded byte sum. */
+  private def inflateZlibExact(b: Array[Byte], off: Int, len: Int,
+                               expected: Long): Long = {
+    val inf = new java.util.zip.Inflater(false)
+    try {
+      inf.setInput(b, off, len)
+      val buf = new Array[Byte](8192)
+      var sum = 0L; var total = 0L
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => throw Malformed }
+        if (n == 0 && !inf.finished()) throw Malformed // truncated
+        total += n
+        if (total > expected) throw Malformed
+        var j = 0
+        while (j < n) { sum += buf(j) & 0xff; j += 1 }
+      }
+      if (total != expected || inf.getRemaining != 0) throw Malformed
+      sum
+    } finally inf.end()
   }
 
   /** Map-side decode (the q178 pattern). */
@@ -159,7 +278,10 @@ object Tiff {
 
   /** `nPages` 8-bit gray pages; page f is `(5 + (seed+f)%6) ×
     * (4 + f%5)` with rowsPerStrip 4 and pixel (f, p) =
-    * `(seed + 5f + p) % 256`; byte order LE when `seed` is even.
+    * `(seed + 5f + p) % 256`; byte order LE when `seed` is even;
+    * page f's Compression cycles none/LZW/Deflate by `(seed+f)%3`
+    * (r10 — compressed strip byte counts are the ENCODED lengths, so
+    * file bytes share no structure with the pixel formulas).
     * Strip-offset/count arrays go inline when one strip, through a
     * pointer otherwise — both paths exercised by the page sizes. */
   def tiffPayload(nPages: Int, seed: Int): Array[Byte] = {
@@ -175,36 +297,55 @@ object Tiff {
       else { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
     out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
     w16(42)
-    // layout: header(8) | per page: [strip data][strip arrays][IFD]
+    // pass 1: raw strips + per-page compression (sizes drive layout)
     val rps = 4L
-    case class Page(w: Long, h: Long, dataOff: Long, arrOff: Long,
-                    ifdOff: Long, nStrips: Int)
-    var cursor = 8L
-    val pages = (0 until nPages).map { f =>
+    case class Page(w: Long, h: Long, comp: Int,
+                    strips: IndexedSeq[Array[Byte]])
+    val built = (0 until nPages).map { f =>
       val w = 5L + (seed + f) % 6
       val h = 4L + f % 5
+      val comp = ((seed + f) % 3: @unchecked) match {
+        case 0 => 1; case 1 => 5; case 2 => 8
+      }
       val nStrips = ((h + rps - 1) / rps).toInt
-      val dataOff = cursor
-      cursor += w * h
+      val strips = (0 until nStrips).map { s =>
+        val rows = math.min(rps, h - s * rps)
+        val raw = new Array[Byte]((rows * w).toInt)
+        var j = 0
+        while (j < raw.length) {
+          val p = s * rps * w + j // page-global pixel index
+          raw(j) = ((seed + 5 * f + p) % 256).toByte
+          j += 1
+        }
+        (comp: @unchecked) match {
+          case 1 => raw
+          case 5 => lzwEncodeTiff(raw)
+          case 8 => Pdf.deflateZlib(raw)
+        }
+      }
+      Page(w, h, comp, strips)
+    }
+    // pass 2: layout — header(8) | per page: [strips][arrays][IFD]
+    case class Layout(dataOffs: IndexedSeq[Long], arrOff: Long,
+                      ifdOff: Long)
+    var cursor = 8L
+    val layouts = built.map { p =>
+      val dataOffs = p.strips.map { st =>
+        val o = cursor; cursor += st.length; o
+      }
       val arrOff = cursor
-      if (nStrips > 1) cursor += 8L * nStrips // two LONG arrays
+      if (p.strips.length > 1) cursor += 8L * p.strips.length
       val ifdOff = cursor
       cursor += 2 + 12 * 8 + 4 // 8 entries + next pointer
-      Page(w, h, dataOff, arrOff, ifdOff, nStrips)
+      Layout(dataOffs, arrOff, ifdOff)
     }
-    w32(pages.head.ifdOff) // IFD0 pointer
-    for ((p, f) <- pages.zipWithIndex) {
-      // strip data
-      var j = 0L
-      while (j < p.w * p.h) {
-        out.write(((seed + 5 * f + j) % 256).toInt); j += 1
-      }
+    w32(layouts.head.ifdOff) // IFD0 pointer
+    for (((p, lay), f) <- built.zip(layouts).zipWithIndex) {
+      p.strips.foreach(out.write)
       // strip arrays (pointer form) — offsets first, then counts
-      if (p.nStrips > 1) {
-        for (s <- 0 until p.nStrips)
-          w32(p.dataOff + s * rps * p.w)
-        for (s <- 0 until p.nStrips)
-          w32(math.min(rps, p.h - s * rps) * p.w)
+      if (p.strips.length > 1) {
+        lay.dataOffs.foreach(w32)
+        p.strips.foreach(st => w32(st.length.toLong))
       }
       // IFD: 8 entries, tags ascending
       w16(8)
@@ -215,15 +356,64 @@ object Tiff {
       entry(256, 4, 1, p.w)
       entry(257, 4, 1, p.h)
       entry(258, 3, 1, 8)
-      entry(259, 3, 1, 1)
+      entry(259, 3, 1, p.comp.toLong)
       entry(262, 3, 1, 1)
-      if (p.nStrips == 1) entry(273, 4, 1, p.dataOff)
-      else entry(273, 4, p.nStrips.toLong, p.arrOff)
+      if (p.strips.length == 1) entry(273, 4, 1, lay.dataOffs.head)
+      else entry(273, 4, p.strips.length.toLong, lay.arrOff)
       entry(278, 4, 1, rps)
-      if (p.nStrips == 1) entry(279, 4, 1, p.w * p.h)
-      else entry(279, 4, p.nStrips.toLong, p.arrOff + 4L * p.nStrips)
-      w32(if (f + 1 < nPages) pages(f + 1).ifdOff else 0L)
+      if (p.strips.length == 1)
+        entry(279, 4, 1, p.strips.head.length.toLong)
+      else entry(279, 4, p.strips.length.toLong,
+        lay.arrOff + 4L * p.strips.length)
+      w32(if (f + 1 < nPages) layouts(f + 1).ifdOff else 0L)
     }
+    out.toByteArray
+  }
+
+  /** TIFF-variant LZW encode (the writer side of [[lzwDecodeTiff]]):
+    * MSB-first packing, Clear first, EOI last, EARLY-CHANGE width
+    * bumps — the encoder's table runs one entry AHEAD of the
+    * decoder's, so its bump lands at 2^w where the decoder's lands at
+    * 2^w − 1; table recycled via Clear before the 12-bit ceiling. */
+  private[graft] def lzwEncodeTiff(bytes: Array[Byte]): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var curBits = 0
+    var w = 9
+    def put(code: Int): Unit = {
+      cur = (cur << w) | code; curBits += w
+      while (curBits >= 8) {
+        out.write(((cur >> (curBits - 8)) & 0xff).toInt); curBits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var e = 258
+    put(Clear)
+    var prev = -1
+    var i = 0
+    while (i < bytes.length) {
+      val k = bytes(i) & 0xff
+      if (prev < 0) prev = k
+      else {
+        val key: Integer = (prev << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          put(prev)
+          if (e < 4094) {
+            dict.put(key, e); e += 1
+            if (w < 12 && e == (1 << w)) w += 1
+          } else {
+            put(Clear); dict.clear(); e = 258; w = 9
+          }
+          prev = k
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev)
+    put(Eoi)
+    if (curBits > 0) out.write(((cur << (8 - curBits)) & 0xff).toInt)
     out.toByteArray
   }
 }

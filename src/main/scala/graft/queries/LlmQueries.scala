@@ -4631,15 +4631,20 @@ object LlmQueries {
     // writer computes offsets in a second pass, so a parser that
     // skips the xref can't verify them), whose /Length-exact content
     // streams hold `(string) Tj` text operators with the `\( \) \\`
-    // escape subset decoded. The oracle replays the per-page text
-    // formulas; a walker with the xref, the stream framing or the
-    // escape decode wrong cannot match it.
+    // escape subset decoded. Every EVEN doc ships its content streams
+    // `/Filter /FlateDecode` zlib-compressed (r10 — how real PDFs
+    // ship), so half the corpus reaches the Tj scan only through a
+    // real inflate. The oracle replays the per-page text formulas
+    // (identical under compression); a walker with the xref, the
+    // Length-framed stream, the inflate or the escape decode wrong
+    // cannot match it.
     "q192_pdf_extract" -> Query(
       (s, dir) => {
         import s.implicits._
         val media = docs(s, dir).select(col("doc_id")).as[Long]
           .mapPartitions(_.map(id =>
-            (id, Pdf.pdfPayload((1 + id % 5).toInt, id % 13))))
+            (id, Pdf.pdfPayload((1 + id % 5).toInt, id % 13,
+              flate = id % 2 == 0))))
         Pdf.decodePdf(media).toDF()
       },
       Some("""WITH m AS (SELECT doc_id AS media_id, 1 + doc_id % 5 AS np,
@@ -4803,6 +4808,53 @@ object LlmQueries {
           CAST(sum(pix) AS BIGINT) AS sum_pixels,
           true AS valid
         FROM px GROUP BY media_id""")),
+
+    // ---- robots Crawl-delay → politeness schedule (r10: the field
+    // q183 used to tolerate-and-ignore now SCHEDULES — the real crawl
+    // semantics): each host's robots.txt is parsed map-side on the
+    // bounded per-HOST frame (specific `graftbot` group delay wins
+    // over `*`, exactly like its rules), the per-host delay broadcast
+    // onto the frontier, and the q193 max-plus closed form runs with
+    // the PER-ROW delay column — one host exchange, no new shuffle.
+    // The oracle replays the group-election formula and the identical
+    // window algebra; a scheduler with the group precedence, the
+    // delay parse or the prefix-max wrong cannot match it.
+    "q197_crawl_delay_schedule" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select((col("user_id") % 20).as("host"),
+            unix_micros(col("ts")).as("arr_us"), col("event_id"))
+        val delays = ev.select(col("host")).distinct().as[Long]
+          .mapPartitions(_.map { h =>
+            val d = Robots.crawlDelaySecs(Robots.robotsPayload(h),
+              "graftbot")
+            (h, d.getOrElse(1L) * 1000000L)
+          }).toDF("host", "delay_us")
+        graft.operators.Politeness.schedule(
+            ev.join(broadcast(delays), "host"),
+            col("host"), col("arr_us"), col("event_id"), col("delay_us"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_reqs"),
+            max(col("fetch_at_us")).as("last_fetch_us"),
+            sum(col("fetch_at_us") - col("arr_us")).as("sum_wait_us"))
+      },
+      Some("""WITH e AS (SELECT user_id % 20 AS host, epoch_us(ts) AS arr,
+              event_id FROM events),
+          d AS (SELECT DISTINCT host,
+              (CASE WHEN host % 3 = 0 THEN 2 + host % 5
+               ELSE 1 + host % 4 END) * 1000000 AS del FROM e),
+          r AS (SELECT e.host, arr, del, event_id, row_number() OVER
+                (PARTITION BY e.host ORDER BY arr, event_id) - 1 AS k
+            FROM e JOIN d ON e.host = d.host),
+          f AS (SELECT host, arr, del * k + max(arr - del * k) OVER
+                (PARTITION BY host ORDER BY arr, event_id
+                 ROWS UNBOUNDED PRECEDING) AS f_us
+            FROM r)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_reqs,
+          CAST(max(f_us) AS BIGINT) AS last_fetch_us,
+          CAST(sum(f_us - arr) AS BIGINT) AS sum_wait_us
+        FROM f GROUP BY host""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train

@@ -59,6 +59,34 @@ class PdfSpec extends SparkSpec {
     Pdf.parse(1L, bad).valid shouldBe false
   }
 
+  test("FlateDecode streams: inflate-then-scan matches the raw result (r10)") {
+    for (np <- Seq(1, 2, 3, 5, 12); seed <- 0L until 13L) {
+      val flate = Pdf.pdfPayload(np, seed, flate = true)
+      Pdf.parse(np * 100L + seed, flate)
+        .shouldBe(expected(np * 100L + seed, np, seed))
+      // the compression is real: encoded bytes differ from the ops text
+      new String(flate, "ISO-8859-1").contains(s"Doc $seed page 0") shouldBe false
+    }
+  }
+
+  test("FlateDecode rejections: corrupt zlib, unknown filter, framing (r10)") {
+    val b = Pdf.pdfPayload(2, 3, flate = true)
+    val s = new String(b, "ISO-8859-1")
+    // corrupt one byte INSIDE the first compressed body (after stream\n)
+    val at = s.indexOf("stream\n") + 7 + 4
+    val m = b.clone()
+    m(at) = (m(at) ^ 0x55).toByte
+    Pdf.parse(1L, m).valid shouldBe false
+    // an unknown filter name rejects (same length → framing intact)
+    Pdf.parse(1L, s.replace("/Filter /FlateDecode", "/Filter /FlateDecodX")
+      .getBytes("ISO-8859-1")).valid shouldBe false
+    // perturbing the declared /Length mis-frames the zlib body → reject
+    val lenAt = s.indexOf("/Length ") + 8
+    val t = b.clone()
+    t(lenAt) = (((t(lenAt) - '0' + 1) % 10) + '0').toByte
+    Pdf.parse(1L, t).valid shouldBe false
+  }
+
   test("header, trailer and page-count rules") {
     val b = Pdf.pdfPayload(2, 1)
     Pdf.parse(1L, "junk".getBytes("ISO-8859-1")).valid shouldBe false
@@ -71,9 +99,9 @@ class PdfSpec extends SparkSpec {
   }
 
   test("random corruption and garbage never throw") {
-    val b = Pdf.pdfPayload(3, 7)
     val rnd = new scala.util.Random(20260815)
-    for (_ <- 0 until 500) {
+    for (b <- Seq(Pdf.pdfPayload(3, 7), Pdf.pdfPayload(3, 7, flate = true));
+         _ <- 0 until 500) {
       val m = b.clone()
       m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
       noException should be thrownBy Pdf.parse(1L, m)

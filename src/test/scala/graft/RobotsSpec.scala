@@ -53,6 +53,26 @@ class RobotsSpec extends SparkSpec {
       .map(_.pattern) shouldBe Seq("/a3", "/a3/pub", "/priv$", "/*/tmp")
   }
 
+  test("Crawl-delay: per-group parse, specific wins, junk → None (r10)") {
+    // h=9: graftbot group delay 2+9%5=6, '*' group delay 1+9%4=2
+    val txt = Robots.robotsPayload(9)
+    Robots.crawlDelaySecs(txt, "graftbot") shouldBe Some(6L)
+    Robots.crawlDelaySecs(txt, "otherbot") shouldBe Some(2L)
+    // no specific group → '*' delay for everyone (h=7 → 1+7%4=4)
+    Robots.crawlDelaySecs(Robots.robotsPayload(7), "graftbot") shouldBe
+      Some(4L)
+    // absent field / junk values → None
+    Robots.crawlDelaySecs("User-agent: *\nDisallow: /x\n", "b") shouldBe None
+    Robots.crawlDelaySecs("User-agent: *\nCrawl-delay: fast\n", "b") shouldBe
+      None
+    Robots.crawlDelaySecs("User-agent: *\nCrawl-delay: 999999\n",
+      "b") shouldBe None
+    // first delay of the governing group wins; later ones are ignored
+    Robots.crawlDelaySecs(
+      "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 9\n", "b") shouldBe
+      Some(3L)
+  }
+
   test("parser tolerance: comments, unknown fields, empty Disallow") {
     val rules = Robots.parseRules(
       """# header comment

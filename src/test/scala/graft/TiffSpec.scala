@@ -82,6 +82,46 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("TIFF-LZW round trip: width bumps, KwKwK, clear recycling (r10)") {
+    val rnd = new scala.util.Random(20260815)
+    val cases = Seq(
+      Array.fill(1)(7.toByte),
+      Array.fill(40)(0.toByte),                       // KwKwK runs
+      Array.tabulate(5000)(i => (i % 7).toByte),      // repetitive chains
+      Array.fill(20000)(rnd.nextInt(256).toByte),     // dict fills → 12 bits
+      Array.fill(60000)(rnd.nextInt(4).toByte))       // clear recycling
+    for (raw <- cases) {
+      val enc = Tiff.lzwEncodeTiff(raw)
+      Tiff.lzwDecodeTiff(enc, 0, enc.length, raw.length.toLong) shouldBe
+        raw.map(_ & 0xff).map(_.toLong).sum
+      // expected-size mismatch in either direction rejects
+      an[Exception] should be thrownBy
+        Tiff.lzwDecodeTiff(enc, 0, enc.length, raw.length.toLong + 1)
+      an[Exception] should be thrownBy
+        Tiff.lzwDecodeTiff(enc, 0, enc.length, raw.length.toLong - 1)
+    }
+  }
+
+  test("corrupting LZW strip bytes is caught: no dead bits before the pad") {
+    val raw = Array.tabulate(300)(i => ((i * 7) % 256).toByte)
+    val wantSum = raw.map(_ & 0xff).map(_.toLong).sum
+    val enc = Tiff.lzwEncodeTiff(raw)
+    // flip every bit outside the final (pad-carrying) byte: the decode
+    // must throw or change the sum. The sum is a checksum, not a full
+    // content compare, so a handful of coincidental collisions are
+    // possible — but anything beyond that means dead bits
+    var silent = 0
+    for (pos <- 0 until enc.length - 1; bit <- 0 until 8) {
+      val m = enc.clone()
+      m(pos) = (m(pos) ^ (1 << bit)).toByte
+      val same =
+        try Tiff.lzwDecodeTiff(m, 0, m.length, raw.length.toLong) == wantSum
+        catch { case _: Exception => false }
+      if (same) silent += 1
+    }
+    silent should be <= 4
+  }
+
   test("decodeTiff runs map-side over a Dataset") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
