@@ -36,17 +36,30 @@ object CharsetDecode {
     case _                           => null
   }
 
-  private[graft] def parse(id: Long, b: Array[Byte],
-                           label: String): TextInfo = {
-    val invalid = TextInfo(id, 0L, 0L, 0L, valid = false)
-    if (b == null || label == null) return invalid
+  /** Strict decode of `b` under the declared `label`: None on an
+    * unknown label or any malformed/unmappable byte (the WET seam —
+    * r10's [[Wet]] pipeline consumes this; [[parse]] wraps it). */
+  private[operators] def decodeStrict(b: Array[Byte],
+                                      label: String): Option[String] = {
+    if (b == null || label == null) return None
     val cs = charsetFor(label)
-    if (cs == null) return invalid
+    if (cs == null) return None
     try {
       val dec = cs.newDecoder()
         .onMalformedInput(CodingErrorAction.REPORT)
         .onUnmappableCharacter(CodingErrorAction.REPORT)
-      val s = dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+      Some(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => None
+    }
+  }
+
+  private[graft] def parse(id: Long, b: Array[Byte],
+                           label: String): TextInfo = {
+    val invalid = TextInfo(id, 0L, 0L, 0L, valid = false)
+    decodeStrict(b, label) match {
+      case None => invalid
+      case Some(s) =>
       var n = 0L; var sum = 0L; var nonAscii = 0L
       var i = 0
       while (i < s.length) {
@@ -56,8 +69,6 @@ object CharsetDecode {
         i += Character.charCount(cp)
       }
       TextInfo(id, n, sum, nonAscii, valid = true)
-    } catch {
-      case _: java.nio.charset.CharacterCodingException => invalid
     }
   }
 

@@ -68,10 +68,21 @@ object Html {
   private[graft] def parse(id: Long, html: String): HtmlInfo =
     parse(id, html, null)
 
+  /** The collapsed visible BODY text of a valid page — the WET
+    * derivation as TEXT (r10: the [[Wet]] bytes→shards seam consumes
+    * this; q179 gates the same walk's aggregate stats). None when the
+    * page fails the strict parse. */
+  private[operators] def visibleText(html: String): Option[String] = {
+    val out = new Array[String](1)
+    val info = parse(id = 0L, html, hrefOut = null, textOut = out)
+    if (info.valid) Some(out(0)) else None
+  }
+
   /** As [[parse]]; when `hrefOut` is non-null, every body anchor's
     * href is appended (the WAT link-extraction seam, q194). */
   private[graft] def parse(id: Long, html: String,
-                           hrefOut: java.util.ArrayList[String])
+                           hrefOut: java.util.ArrayList[String],
+                           textOut: Array[String] = null)
       : HtmlInfo = {
     val invalid = HtmlInfo(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
     if (html == null || html.isEmpty) return invalid
@@ -195,6 +206,7 @@ object Html {
       }
       if (!bodySeen || !bodyClosed || inBody || inTitle) fail()
       val visible = collapse(body)
+      if (textOut != null) textOut(0) = visible
       val titleText = collapse(title)
       var sum = 0L
       var k = 0

@@ -28,8 +28,16 @@ object Http {
                             body_sum: Long, valid: Boolean)
 
   private[graft] def parseResponse(id: Long, idx: Long,
-                                   b: Array[Byte]): HttpInfo = {
-    val invalid = HttpInfo(id, idx, 0L, "", "", 0L, 0L, 0L, valid = false)
+                                   b: Array[Byte]): HttpInfo =
+    parseResponseBody(id, idx, b)._1
+
+  /** As [[parseResponse]], also returning the body's OFFSET into `b`
+    * (−1 when invalid) — the r10 [[Wet]] seam needs the body bytes,
+    * not just their (len, sum) reduction. */
+  private[operators] def parseResponseBody(id: Long, idx: Long,
+                                           b: Array[Byte]): (HttpInfo, Int) = {
+    val invalid = (HttpInfo(id, idx, 0L, "", "", 0L, 0L, 0L,
+      valid = false), -1)
     try {
       def fail(): Nothing = throw Warc.Malformed
       def lineEnd(from: Int): Int = {
@@ -89,8 +97,8 @@ object Http {
       var sum = 0L
       var j = 0
       while (j < contentLen) { sum += b(p + j) & 0xff; j += 1 }
-      HttpInfo(id, idx, status, mediaType, charset, nHeaders,
-        contentLen, sum, valid = true)
+      (HttpInfo(id, idx, status, mediaType, charset, nHeaders,
+        contentLen, sum, valid = true), p)
     } catch {
       case Warc.Malformed | _: IndexOutOfBoundsException |
           _: NegativeArraySizeException | _: IllegalArgumentException =>

@@ -203,14 +203,38 @@ object SuffixArray {
     * bounded windows (≤ maxLen² char compares/row — maxLen is a small
     * constant). Never an all-pairs product: adjacency in suffix order
     * IS the candidate generation. */
+  /** Persist [[suffixRanks]] as a parquet artifact — the L103/L106/
+    * L119 artifact lifecycle applied to the suite's most EXPENSIVE
+    * build (r10, VERDICT r9 #5): production substring-dedup builds
+    * the index once a night and every consumer loads it; the rows are
+    * three longs, so the artifact is the cheapest frame in the plan
+    * to ship. SuffixArraySpec pins persisted ≡ live bit-equality
+    * through the parquet round trip. */
+  def saveSuffixRanks(docs: DataFrame, idCol: String, textCol: String,
+                      maxLen: Int, path: String): Unit =
+    suffixRanks(docs, idCol, textCol, maxLen)
+      .write.mode("overwrite").parquet(path)
+
+  def loadSuffixRanks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = spark.read.parquet(path)
+
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      maxLen: Int, minLen: Int): DataFrame = {
-    require(minLen >= 1 && minLen <= maxLen, s"bad minLen $minLen")
     // the SA arrives checkpointed from the memo cache: without the cut
     // each side of the adjacency self-join replays the final rank pass
     // (measured 49.5 s → 12.9 s at sf0.1), and without the memo this
     // query repeats q171's whole doubling loop (87 s at sf5)
-    val sa = suffixRanks(docs, idCol, textCol, maxLen)
+    duplicateSpansFrom(suffixRanks(docs, idCol, textCol, maxLen),
+      docs, idCol, textCol, maxLen, minLen)
+  }
+
+  /** [[duplicateSpans]] against a PREBUILT suffix-rank frame — live
+    * (memoized) or loaded from a [[saveSuffixRanks]] artifact; the
+    * nightly-consumer seam. */
+  def duplicateSpansFrom(sa: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String, maxLen: Int,
+                         minLen: Int): DataFrame = {
+    require(minLen >= 1 && minLen <= maxLen, s"bad minLen $minLen")
     val capped = docs.select(col(idCol).cast("long").as("doc_id"),
       substring(col(textCol), 1, maxLen).as("_t"))
     val withSuf = sa.join(capped, "doc_id")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pdf, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Tiff, Warc}
+import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pdf, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Tiff, Warc, Wet}
 import graft.operators.DomainSuffix
 import TextFns._
 
@@ -482,6 +482,149 @@ object LlmQueries {
     * shingle hashes → signatures → bands → candidate pairs → shingle
     * sets) — interpolated into both the q25 and q47 oracles so the two
     * stay definitionally identical. */
+
+  /** The shared q167/q199 curation DAG — scrub → quality gate → exact
+    * dedup → MinHash-LSH near-dedup → decontamination vs the `src0`
+    * eval source → per-source packing → weighted-round-robin mixture
+    * schedule → range-shard layout. `corpus`: (doc_id, source, text).
+    * Every stage is the operator its own gate pins (q50/q24/q25/q88/
+    * q143/q77/q164), composed; q167 feeds it the documents table,
+    * q199 the WET text derived from archive bytes. */
+  private def curationShards(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evalDocs = corpus.where(col("source") === "src0")
+    val train = corpus.where(col("source") =!= "src0")
+    // scrub + quality gate (the q50 stage, minus sampling)
+    val scrub = train.select(col("doc_id"), col("source"),
+      col("text"), Dedup.contentKey(col("text")).as("ckey"),
+      tokens(TextFns.redactDenylist(col("text"), DenyTerms, ScrubToken))
+        .as("toks"))
+    val stats = scrub.select(col("doc_id"), col("source"),
+      col("text"), col("ckey"), size(col("toks")).as("n_tokens"),
+      size(filter(col("toks"), t => t.isin(StopWords: _*))).as("stops"))
+    val gated = stats.where(col("n_tokens") >= CurateMinTokens &&
+      col("stops") * 50 >= col("n_tokens"))
+    // exact dedup: keep the min doc_id per content key
+    val keepers = gated
+      .withColumn("_keep",
+        min(col("doc_id")).over(Window.partitionBy(col("ckey"))))
+      .where(col("doc_id") === col("_keep"))
+      .drop("_keep", "ckey", "stops")
+    // near-dedup: banded LSH candidates, Jaccard-verified; drop the
+    // HIGHER id of every confirmed pair (doc_a < doc_b by
+    // construction, so survivors are the per-pair minima)
+    val sigs = Dedup.minhashSignatures(keepers, col("doc_id"),
+      col("text"), ShingleN, NumHashes)
+    val cand = Dedup.lshCandidatePairs(sigs, NumBands, RowsPerBand)
+    val sets = Dedup.shingleSets(keepers, col("doc_id"), col("text"),
+      ShingleN)
+    val nearDup = Dedup.jaccardVerify(cand, sets)
+      .where(col("jaccard") >= NearDupJ)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val uniq = keepers.join(nearDup, Seq("doc_id"), "left_anti")
+    // decontamination: drop survivors sharing >= ContamMinShared
+    // distinct shingles with the eval source (the q88 stage)
+    val contaminated = BloomPrune.contaminatedTrainDocs(evalDocs, uniq,
+        col("doc_id"), col("text"), ShingleN, ContamMinShared)
+      .select(col("t_id").as("doc_id"))
+    val clean = uniq.join(contaminated, Seq("doc_id"), "left_anti")
+    // pack per source (the q143 stage), then the chunk-level
+    // weighted round-robin schedule (the q77 law lifted to chunks)
+    val spans = Packing.packSpans(
+      clean.select(col("doc_id"), col("source"), col("n_tokens")),
+      col("source"), col("doc_id"), col("n_tokens"), PackBudget, "flag")
+    val w = (lit(1) + regexp_extract(col("source"), "([0-9]+)", 1)
+      .cast("int") % 3).cast("double")
+    val chunks = spans.groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("doc_off") > 0, 1L).otherwise(0L)).as("n_carried"),
+        sum(col("span_len")).as("chunk_tokens"))
+      .withColumn("sched_vt", (col("chunk_id").cast("double") + 1) / w)
+    // shard layout over the schedule's virtual time (the q164
+    // operator): disjoint ordered vt ranges per shard
+    graft.operators.Layout.rangeShards(chunks, col("sched_vt"), NumShards)
+      .select(col("source"), col("chunk_id"), col("n_spans"),
+        col("n_carried"), col("chunk_tokens"), col("sched_vt"),
+        col("shard"))
+  }
+
+  /** The shared q167/q199 curation ORACLE: the whole DAG as one CTE
+    * chain; `corpusCtes` must define `evd` (eval docs) and `trd`
+    * (train docs) over the documents table. */
+  private def sqlCurationOracle(corpusCtes: String): String = {
+    val stopsIn = StopWords.map(w => s"'$w'").mkString(", ")
+    val lsh = sqlLshPairsCtesFrom("keepers")
+    val svCte = graft.operators.Layout
+      .sqlRangeShardOfValue("shardkeys", "k", NumShards)
+    s"""WITH $corpusCtes,
+          s0 AS (SELECT doc_id, lang, source, text,
+              md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS ckey,
+              string_split_regex(trim(${sqlRedactDenylist("text", DenyTerms, ScrubToken)}),
+                '\\s+') AS rtoks
+            FROM trd),
+          s1 AS (SELECT doc_id, lang, source, text, ckey,
+              len(rtoks) AS n_tokens,
+              len(list_filter(rtoks, t -> t IN ($stopsIn))) AS stops
+            FROM s0),
+          gated AS (SELECT * FROM s1
+            WHERE n_tokens >= $CurateMinTokens AND stops * 50 >= n_tokens),
+          keepers AS (SELECT doc_id, lang, source, text, n_tokens FROM
+            (SELECT *, min(doc_id) OVER (PARTITION BY ckey) AS keep
+             FROM gated) WHERE doc_id = keep),
+          $lsh,
+          nd AS (SELECT DISTINCT doc_b AS doc_id
+            FROM pairs JOIN sets sa ON pairs.doc_a = sa.doc_id
+                       JOIN sets sb ON pairs.doc_b = sb.doc_id
+            WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE
+                / (len(sa.shset) + len(sb.shset)
+                   - len(list_intersect(sa.shset, sb.shset))) >= $NearDupJ),
+          uniq AS (SELECT * FROM keepers
+            WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+          evsh AS (SELECT DISTINCT unnest(list_distinct(
+              ${sqlShingleHashes(sqlToks, ShingleN)})) AS h FROM evd),
+          trsh AS (SELECT doc_id AS t_id, unnest(list_distinct(
+              ${sqlShingleHashes(sqlToks, ShingleN)})) AS h
+            FROM uniq),
+          contaminated AS (SELECT t_id FROM trsh JOIN evsh USING (h)
+            GROUP BY t_id HAVING count(*) >= $ContamMinShared),
+          clean AS (SELECT * FROM uniq
+            WHERE doc_id NOT IN (SELECT t_id FROM contaminated)),
+          pk AS (SELECT doc_id, source, n_tokens,
+              ${sqlHash60("CAST(doc_id AS VARCHAR) || ':flag'")} AS ph
+            FROM clean),
+          pc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY ph, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM pk),
+          st AS (SELECT doc_id, source, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS st0
+                 FROM pc WHERE n_tokens > 0),
+          sp AS (SELECT doc_id, source, n_tokens, st0,
+                   unnest(range(st0 // $PackBudget,
+                     (st0 + n_tokens - 1) // $PackBudget + 1)) AS chunk_id
+                 FROM st),
+          spans AS (SELECT source, chunk_id,
+              greatest(st0, chunk_id * $PackBudget) - st0 AS doc_off,
+              least(st0 + n_tokens, (chunk_id + 1) * $PackBudget)
+                - greatest(st0, chunk_id * $PackBudget) AS span_len
+            FROM sp),
+          chunks AS (SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+              count(*) AS n_spans,
+              CAST(sum(CASE WHEN doc_off > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_carried,
+              CAST(sum(span_len) AS BIGINT) AS chunk_tokens,
+              (CAST(chunk_id AS DOUBLE) + 1)
+                / (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3)
+                AS sched_vt
+            FROM spans GROUP BY source, chunk_id),
+          shardkeys AS (SELECT sched_vt AS k FROM chunks),
+          sv AS ($svCte)
+        SELECT c.source, c.chunk_id, c.n_spans, c.n_carried,
+          c.chunk_tokens, c.sched_vt, sv.shard
+        FROM chunks c JOIN (SELECT DISTINCT k, shard FROM sv) sv
+          ON c.sched_vt = sv.k"""
+  }
+
   private def sqlLshPairsCtesFrom(from: String): String = {
     val hs = sqlShingleHashes("toks", ShingleN)
     val bandSelects = (0 until NumBands).map { b =>
@@ -584,138 +727,11 @@ object LlmQueries {
     // Plan shape pinned in PlanContractSpec (total exchange budget, no
     // SinglePartition, no NLJ).
     "q167_curation_flagship" -> Query(
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val d = docs(s, dir)
-        val evalDocs = d.where(col("source") === "src0")
-        val train = d.where(col("source") =!= "src0")
-        // scrub + quality gate (the q50 stage, minus sampling)
-        val scrub = train.select(col("doc_id"), col("lang"), col("source"),
-          col("text"), Dedup.contentKey(col("text")).as("ckey"),
-          tokens(TextFns.redactDenylist(col("text"), DenyTerms, ScrubToken))
-            .as("toks"))
-        val stats = scrub.select(col("doc_id"), col("lang"), col("source"),
-          col("text"), col("ckey"), size(col("toks")).as("n_tokens"),
-          size(filter(col("toks"), t => t.isin(StopWords: _*))).as("stops"))
-        val gated = stats.where(col("n_tokens") >= CurateMinTokens &&
-          col("stops") * 50 >= col("n_tokens"))
-        // exact dedup: keep the min doc_id per content key
-        val keepers = gated
-          .withColumn("_keep",
-            min(col("doc_id")).over(Window.partitionBy(col("ckey"))))
-          .where(col("doc_id") === col("_keep"))
-          .drop("_keep", "ckey", "stops")
-        // near-dedup: banded LSH candidates, Jaccard-verified; drop the
-        // HIGHER id of every confirmed pair (doc_a < doc_b by
-        // construction, so survivors are the per-pair minima)
-        val sigs = Dedup.minhashSignatures(keepers, col("doc_id"),
-          col("text"), ShingleN, NumHashes)
-        val cand = Dedup.lshCandidatePairs(sigs, NumBands, RowsPerBand)
-        val sets = Dedup.shingleSets(keepers, col("doc_id"), col("text"),
-          ShingleN)
-        val nearDup = Dedup.jaccardVerify(cand, sets)
-          .where(col("jaccard") >= NearDupJ)
-          .select(col("doc_b").as("doc_id")).distinct()
-        val uniq = keepers.join(nearDup, Seq("doc_id"), "left_anti")
-        // decontamination: drop survivors sharing >= ContamMinShared
-        // distinct shingles with the eval source (the q88 stage)
-        val contaminated = BloomPrune.contaminatedTrainDocs(evalDocs, uniq,
-            col("doc_id"), col("text"), ShingleN, ContamMinShared)
-          .select(col("t_id").as("doc_id"))
-        val clean = uniq.join(contaminated, Seq("doc_id"), "left_anti")
-        // pack per source (the q143 stage), then the chunk-level
-        // weighted round-robin schedule (the q77 law lifted to chunks)
-        val spans = Packing.packSpans(
-          clean.select(col("doc_id"), col("source"), col("n_tokens")),
-          col("source"), col("doc_id"), col("n_tokens"), PackBudget, "flag")
-        val w = (lit(1) + regexp_extract(col("source"), "([0-9]+)", 1)
-          .cast("int") % 3).cast("double")
-        val chunks = spans.groupBy(col("source"), col("chunk_id"))
-          .agg(count(lit(1)).as("n_spans"),
-            sum(when(col("doc_off") > 0, 1L).otherwise(0L)).as("n_carried"),
-            sum(col("span_len")).as("chunk_tokens"))
-          .withColumn("sched_vt", (col("chunk_id").cast("double") + 1) / w)
-        // shard layout over the schedule's virtual time (the q164
-        // operator): disjoint ordered vt ranges per shard
-        graft.operators.Layout.rangeShards(chunks, col("sched_vt"), NumShards)
-          .select(col("source"), col("chunk_id"), col("n_spans"),
-            col("n_carried"), col("chunk_tokens"), col("sched_vt"),
-            col("shard"))
-      },
-      Some {
-        val stopsIn = StopWords.map(w => s"'$w'").mkString(", ")
-        val lsh = sqlLshPairsCtesFrom("keepers")
-        val svCte = graft.operators.Layout
-          .sqlRangeShardOfValue("shardkeys", "k", NumShards)
-        s"""WITH evd AS (SELECT * FROM documents WHERE source = 'src0'),
-          trd AS (SELECT * FROM documents WHERE source <> 'src0'),
-          s0 AS (SELECT doc_id, lang, source, text,
-              md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS ckey,
-              string_split_regex(trim(${sqlRedactDenylist("text", DenyTerms, ScrubToken)}),
-                '\\s+') AS rtoks
-            FROM trd),
-          s1 AS (SELECT doc_id, lang, source, text, ckey,
-              len(rtoks) AS n_tokens,
-              len(list_filter(rtoks, t -> t IN ($stopsIn))) AS stops
-            FROM s0),
-          gated AS (SELECT * FROM s1
-            WHERE n_tokens >= $CurateMinTokens AND stops * 50 >= n_tokens),
-          keepers AS (SELECT doc_id, lang, source, text, n_tokens FROM
-            (SELECT *, min(doc_id) OVER (PARTITION BY ckey) AS keep
-             FROM gated) WHERE doc_id = keep),
-          $lsh,
-          nd AS (SELECT DISTINCT doc_b AS doc_id
-            FROM pairs JOIN sets sa ON pairs.doc_a = sa.doc_id
-                       JOIN sets sb ON pairs.doc_b = sb.doc_id
-            WHERE len(list_intersect(sa.shset, sb.shset))::DOUBLE
-                / (len(sa.shset) + len(sb.shset)
-                   - len(list_intersect(sa.shset, sb.shset))) >= $NearDupJ),
-          uniq AS (SELECT * FROM keepers
-            WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
-          evsh AS (SELECT DISTINCT unnest(list_distinct(
-              ${sqlShingleHashes(sqlToks, ShingleN)})) AS h FROM evd),
-          trsh AS (SELECT doc_id AS t_id, unnest(list_distinct(
-              ${sqlShingleHashes(sqlToks, ShingleN)})) AS h
-            FROM uniq),
-          contaminated AS (SELECT t_id FROM trsh JOIN evsh USING (h)
-            GROUP BY t_id HAVING count(*) >= $ContamMinShared),
-          clean AS (SELECT * FROM uniq
-            WHERE doc_id NOT IN (SELECT t_id FROM contaminated)),
-          pk AS (SELECT doc_id, source, n_tokens,
-              ${sqlHash60("CAST(doc_id AS VARCHAR) || ':flag'")} AS ph
-            FROM clean),
-          pc AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
-              ORDER BY ph, doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM pk),
-          st AS (SELECT doc_id, source, n_tokens,
-                   CAST(cum - n_tokens AS BIGINT) AS st0
-                 FROM pc WHERE n_tokens > 0),
-          sp AS (SELECT doc_id, source, n_tokens, st0,
-                   unnest(range(st0 // $PackBudget,
-                     (st0 + n_tokens - 1) // $PackBudget + 1)) AS chunk_id
-                 FROM st),
-          spans AS (SELECT source, chunk_id,
-              greatest(st0, chunk_id * $PackBudget) - st0 AS doc_off,
-              least(st0 + n_tokens, (chunk_id + 1) * $PackBudget)
-                - greatest(st0, chunk_id * $PackBudget) AS span_len
-            FROM sp),
-          chunks AS (SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
-              count(*) AS n_spans,
-              CAST(sum(CASE WHEN doc_off > 0 THEN 1 ELSE 0 END) AS BIGINT)
-                AS n_carried,
-              CAST(sum(span_len) AS BIGINT) AS chunk_tokens,
-              (CAST(chunk_id AS DOUBLE) + 1)
-                / (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 3)
-                AS sched_vt
-            FROM spans GROUP BY source, chunk_id),
-          shardkeys AS (SELECT sched_vt AS k FROM chunks),
-          sv AS ($svCte)
-        SELECT c.source, c.chunk_id, c.n_spans, c.n_carried,
-          c.chunk_tokens, c.sched_vt, sv.shard
-        FROM chunks c JOIN (SELECT DISTINCT k, shard FROM sv) sv
-          ON c.sched_vt = sv.k"""
-      }),
+      (s, dir) => curationShards(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text"))),
+      Some(sqlCurationOracle(
+        """evd AS (SELECT * FROM documents WHERE source = 'src0'),
+          trd AS (SELECT * FROM documents WHERE source <> 'src0')"""))),
 
     // ---- the SHARED q27/q139 capped-index build as an EXPLICIT gated
     // stage (VERDICT r8 #4): the memoized pair-stats frame used to be
@@ -4855,6 +4871,112 @@ object LlmQueries {
           CAST(max(f_us) AS BIGINT) AS last_fetch_us,
           CAST(sum(f_us - arr) AS BIGINT) AS sum_wait_us
         FROM f GROUP BY host""")),
+
+    // ---- persisted suffix-array ARTIFACT lifecycle (r10, VERDICT r9
+    // #5 — the L103/L106/L119 pattern applied to the suite's most
+    // expensive build): the suffix ranks are SAVED as a parquet
+    // artifact and the span consumer runs against the LOADED frame —
+    // how production amortizes a nightly substring-dedup index across
+    // jobs. The artifact rows are three longs; the doubling loop never
+    // runs in the consumer job. Output: per-doc span statistics from
+    // the loaded index; the oracle replays the whole chain (suffix
+    // sort → adjacency → LCP → threshold → per-doc rollup) from the
+    // raw text, so a drifted artifact cannot match.
+    "q198_sa_artifact" -> Query(
+      (s, dir) => {
+        // per-run artifact path (the q142/q146 rule: no cross-run race)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sa_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        val d = docs(s, dir)
+        SuffixArray.saveSuffixRanks(d, "doc_id", "text", SaCap, base)
+        SuffixArray.duplicateSpansFrom(
+            SuffixArray.loadSuffixRanks(s, base), d, "doc_id", "text",
+            SaCap, SaDupMin)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("lcp")).as("sum_lcp"), max(col("lcp")).as("max_lcp"))
+      },
+      Some(s"""WITH c AS (SELECT doc_id, substr(text, 1, $SaCap) AS t
+              FROM documents),
+          s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                substr(t, CAST(i + 1 AS INT)) AS suf
+              FROM c, LATERAL (SELECT unnest(range(length(t))) AS i)),
+          r AS (SELECT doc_id, pos, suf,
+                lead(doc_id) OVER w AS nbr_doc_id,
+                lead(pos) OVER w AS nbr_pos,
+                lead(suf) OVER w AS nbr_suf
+              FROM s WINDOW w AS (ORDER BY suf, doc_id, pos)),
+          p AS (SELECT doc_id, pos, nbr_doc_id, nbr_pos,
+                CAST(list_sum(list_transform(
+                  range(least(length(suf), length(nbr_suf))), k ->
+                    CASE WHEN substr(suf, 1, CAST(k + 1 AS INT))
+                           = substr(nbr_suf, 1, CAST(k + 1 AS INT))
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS lcp
+              FROM r WHERE nbr_doc_id IS NOT NULL)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+          CAST(sum(lcp) AS BIGINT) AS sum_lcp,
+          CAST(max(lcp) AS BIGINT) AS max_lcp
+        FROM p WHERE lcp >= $SaDupMin GROUP BY doc_id""")),
+
+    // ---- the BYTES→SHARDS mega-flagship (r10, VERDICT r9 #1): the
+    // actual Common Crawl pipeline end to end in ONE DAG — archive
+    // BYTES to training shards. Each doc ships as a `.warc.gz` (its
+    // text embedded in an HTML page inside an HTTP 200 inside a gzip
+    // member, charset by doc%4, plus a metadata member the HTTP stage
+    // must skip); ONE map-side pass behind the imperative codec seam
+    // derives the WET text (L126→L133→L135→L127 — inflate, WARC/HTTP
+    // framing, strict charset decode, entity-decoding visible-text
+    // walk); the `url_canon` kernel (L128) normalizes the messy
+    // target URIs, provenance = the canonical HOST (as in a real
+    // crawl), the robots gate (L129, broadcast rules + best-match
+    // verdict) drops `/d/*3?` paths; survivors feed the EXACT q167
+    // curation DAG (scrub → gate → exact+LSH dedup → decontaminate →
+    // pack → mixture schedule → range shards). The oracle replays the
+    // whole chain as one CTE stack: the WET derivation is identity on
+    // the corpus text (WetSpec pins it), the robots gate is the
+    // doc-id formula, and the curation tail is the shared q167
+    // oracle over the gated corpus.
+    "q199_bytes_to_shards" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{RobotsFns, UrlFns}
+        val media = docs(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .mapPartitions(_.map { case (id, src, text) =>
+            (id, Wet.wetArchivePayload(id, src, text))
+          })
+        val wet = Wet.wetFromArchives(media).toDF()
+        val url = UrlFns.urlCanon(col("uri"))
+        val canon = wet.select(col("media_id").as("doc_id"), col("text"),
+            url.as("url"))
+          .withColumn("host",
+            regexp_extract(col("url"), "^https?://([^/]+)", 1))
+          .withColumn("path",
+            regexp_extract(col("url"), "^https?://[^/]+(/.*)$", 1))
+          .withColumn("source",
+            regexp_extract(col("host"), "^([^.]+)\\.", 1))
+        val rules = Robots.parseRules(
+          "User-agent: *\nDisallow: /d/*3?\nAllow: /d/\n", "graftbot")
+          .map(r => (r.allow, r.pattern, Robots.matchLen(r.pattern).toLong))
+          .toDF("allow", "pattern", "plen")
+        val allowed = canon
+          .join(broadcast(rules),
+            RobotsFns.robotsMatch(col("path"), col("pattern")), "left")
+          .groupBy(col("doc_id"))
+          .agg(max(struct(coalesce(col("plen"), lit(-1L)).as("plen0"),
+              coalesce(col("allow"), lit(true)).as("allow0"))).as("best"),
+            first(col("source")).as("source"), first(col("text")).as("text"))
+          .filter(col("best.allow0"))
+          .select(col("doc_id"), col("source"), col("text"))
+        curationShards(allowed)
+      },
+      Some(sqlCurationOracle(
+        """crawl AS (SELECT * FROM documents
+            WHERE CAST(doc_id AS VARCHAR) NOT LIKE '%3'),
+          evd AS (SELECT * FROM crawl WHERE source = 'src0'),
+          trd AS (SELECT * FROM crawl WHERE source <> 'src0')"""))),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train

@@ -613,6 +613,33 @@ class PlanContractSpec extends SparkSpec {
     assert(lines.exists(_.contains("ReadSchema: struct<doc_id:bigint>")), p)
   }
 
+  test("q199 bytes→shards: the whole crawl+curation chain keeps the " +
+      "q167 shuffle-key budget; robots NLJ broadcasts; codecs stay map-side") {
+    val p = plan("q199_bytes_to_shards")
+    // the ONLY allowed shuffle keys are q167's stage keys (the robots
+    // verdict aggregate lands on doc_id, already in the budget): a
+    // corpus-sized shuffle on text/uri/path — or any exchange before
+    // the WET text leaves the codec seam — breaks the contract
+    val keyRe = "hashpartitioning\\(([A-Za-z_0-9#]+)".r
+    val keys = keyRe.findAllMatchIn(p)
+      .map(_.group(1).replaceAll("#[0-9]+L?", "")).toSet
+    assert(keys == Set("ckey", "doc_id", "h", "source", "sched_vt",
+      "_rs_b", "shard"), s"unexpected shuffle keys: $keys")
+    val lines = p.linesIterator.toIndexedSeq
+    // the robots rules join is the documented broadcast-bounded NLJ
+    val nljs = lines.filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(nljs.exists(_.contains("robots_match")), nljs)
+    nljs.foreach { l =>
+      assert(l.contains("BuildRight") || l.contains("BuildLeft"), l)
+    }
+    // every SinglePartition exchange merges keyless partials only
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (l, i) =>
+        assert(lines.lift(i + 1).exists(
+          _.contains("HashAggregate(keys=[], functions=[partial_")), l)
+      }
+  }
+
   test("connectedComponents output reads the checkpoint, not its input lineage") {
     import spark.implicits._
     val edges = Seq((2L, 1L), (3L, 2L)).toDF("u", "v")

@@ -14,5 +14,6 @@ object QuerySets {
     "q131_stream_serving", "q142_shard_sink", "q144_stream_outer_join",
     "q146_codebook_roundtrip", "q148_stream_full_outer_join",
     "q151_bpe_artifact", "q152_nc_scene_files", "q159_stream_dedup_wm",
-    "q168_dedup_ledger", "q189_stream_frontier", "q190_recrawl_triage")
+    "q168_dedup_ledger", "q189_stream_frontier", "q190_recrawl_triage",
+    "q198_sa_artifact")
 }

@@ -90,6 +90,31 @@ class SuffixArraySpec extends SparkSpec {
     got shouldBe expected
   }
 
+  test("artifact lifecycle: persisted ranks ≡ live, consumer ≡ consumer (r10)") {
+    import spark.implicits._
+    val docs = Seq(1L -> "the cat sat on the mat the cat sat",
+      2L -> "a different text with the cat sat inside",
+      3L -> "zebra").toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sa_spec").toString + "/sa"
+    SuffixArray.saveSuffixRanks(docs, "doc_id", "text", 32, path)
+    val live = SuffixArray.suffixRanks(docs, "doc_id", "text", 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    val loaded = SuffixArray.loadSuffixRanks(spark, path)
+    val persisted = loaded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    persisted shouldBe live
+    // the span consumer over the LOADED artifact matches the live path
+    val a = SuffixArray.duplicateSpansFrom(loaded, docs, "doc_id", "text",
+        32, 8).collect().map(_.toSeq).sortBy(_.toString)
+    val b = SuffixArray.duplicateSpans(docs, "doc_id", "text", 32, 8)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    a shouldBe b
+    a.length should be > 0
+  }
+
   test("output is a permutation 1..n") {
     val docs = Seq(1L -> "hello world", 2L -> "world hello")
     val r = run(docs, 32)
