@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * region ISO table 1 + count1 table B with `main_data_begin = 0` (no
   * bit reservoir), landing part2_3_length-exact. Streams outside that
   * subset (other Huffman tables, linbits, reservoir) → `valid=false`,
-  * never wrong. Requant/IMDCT → PCM synthesis of the decoded spectrum
-  * is the r10 layer ([[synthesize]]).
+  * never wrong. The r10 SYNTHESIS layer ([[parseSynth]]) postprocesses
+  * the decoded spectrum for long-block granules — requantization,
+  * IMDCT, windowing, overlap-add, frequency inversion, polyphase
+  * matrixing — stopping at the documented 512-tap-FIR boundary.
   *
   * 100 TB shape: pure map-side behind the imperative codec seam;
   * payload bytes never shuffle. */
@@ -291,8 +293,8 @@ object Mp3 {
   // ------------------------------------------------------------------
 
   /** ISO 11172-3 scalefac_compress → (slen1, slen2). */
-  private val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
-  private val Slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
+  private[graft] val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
+  private[graft] val Slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
 
   final case class Mp3Spectral(media_id: Long, n_frames: Long,
                                sum_scalefac: Long, sum_abs: Long,
@@ -449,7 +451,8 @@ object Mp3 {
     * and the side info's part2_3_length is the EXACT bit count of what
     * was written — a decoder with any code length wrong cannot land on
     * the count1 boundary. */
-  def mp3PayloadSpectral(nFrames: Int, seed: Int, srIdx: Int): Array[Byte] = {
+  def mp3PayloadSpectral(nFrames: Int, seed: Int, srIdx: Int,
+                         longOnly: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && srIdx >= 0 && srIdx <= 2 && seed >= 0,
       s"bad synthesis params n=$nFrames seed=$seed sr=$srIdx")
     val sr = SampleRates(srIdx)
@@ -474,7 +477,7 @@ object Mp3 {
         val grStart = main.bitPos
         val sfc = (i + g) % 16
         val s1 = Slen1(sfc); val s2 = Slen2(sfc)
-        val wsf = if ((i + g) % 3 == 0) 1 else 0
+        val wsf = if (!longOnly && (i + g) % 3 == 0) 1 else 0
         // part2
         if (wsf == 1) {
           var k = 0
@@ -548,6 +551,259 @@ object Mp3 {
       i += 1
     }
     out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // SYNTHESIS layer (r10, VERDICT r9 #8): requantization → IMDCT →
+  // sine windowing → overlap-add → frequency inversion → polyphase
+  // MATRIXING, for LONG-block mono granules in the q170 entropy
+  // subset. Everything here is pure arithmetic postprocessing of the
+  // Huffman-decoded spectrum — no further bitstream structure. The
+  // subset's values are all ±1/0 (table 1 + count1 B), so the 4/3
+  // power is the identity and requantization reduces to the gain
+  // ladder 2^((gg−210)/4) · 2^(−mult·(scalefac + preflag·pretab)).
+  // All transcendental constants (IMDCT cosines, sine window,
+  // matrixing cosines, the two gain ladders) live in SHARED tables
+  // that the oracle receives as literal doubles — cross-engine
+  // equality then rests only on IEEE mul/add, never on libm parity.
+  // DOCUMENTED BOUNDARY: the final 512-tap synthesis-window FIR
+  // (ISO 11172-3 Table B.3) is a fixed convolution with tabulated
+  // coefficients that no formula generates; the matrixed V stage is
+  // the last structural arithmetic and is where the gate stops.
+  // ------------------------------------------------------------------
+
+  /** Long-block scalefactor-band widths per sample rate
+    * (ISO 11172-3 Table B.8; 22 bands summing to 576). */
+  private[graft] val SfbWidthsLong: Array[Array[Int]] = Array(
+    Array(4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 28, 34, 42,
+      50, 54, 76, 158), // 44100
+    Array(4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22, 28, 34, 40,
+      46, 54, 54, 192), // 48000
+    Array(4, 4, 4, 4, 4, 4, 6, 6, 8, 10, 12, 16, 20, 24, 30, 38, 46, 56,
+      68, 84, 102, 26)) // 32000
+
+  /** line → band map (576 entries per sample rate). */
+  private[graft] val BandMap: Array[Array[Int]] =
+    SfbWidthsLong.map { ws =>
+      val m = new Array[Int](576)
+      var b = 0; var p = 0
+      while (b < ws.length) {
+        var k = 0
+        while (k < ws(b)) { m(p) = b; p += 1; k += 1 }
+        b += 1
+      }
+      m
+    }
+
+  /** preflag pretab (ISO Table B.6, bands 0..20; band 21 → 0). */
+  private[graft] val Pretab: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2)
+
+  /** 2^((gg−210)/4) for gg 0..255 — the global-gain ladder. */
+  private[graft] val GainTab: Array[Double] =
+    Array.tabulate(256)(gg => math.pow(2.0, 0.25 * (gg - 210)))
+
+  /** 2^(−mult·k), mult 0.5 (ss=0) / 1.0 (ss=1), k 0..18. */
+  private[graft] val SfTab: Array[Array[Double]] =
+    Array.tabulate(2, 19)((ss, k) =>
+      math.pow(2.0, -(if (ss == 1) 1.0 else 0.5) * k))
+
+  /** 36×18 long-block IMDCT cosines: cos(π/72·(2n+19)(2i+1)). */
+  private[graft] val ImdctCos: Array[Double] =
+    Array.tabulate(36 * 18) { ni =>
+      val n = ni / 18; val i = ni % 18
+      math.cos(math.Pi / 72.0 * (2 * n + 19) * (2 * i + 1))
+    }
+
+  /** Long-block (type 0) sine window: sin(π/36·(n+0.5)). */
+  private[graft] val SynthWin: Array[Double] =
+    Array.tabulate(36)(n => math.sin(math.Pi / 36.0 * (n + 0.5)))
+
+  /** 64×32 polyphase matrixing cosines: cos((16+i)(2k+1)π/64). */
+  private[graft] val MatrixCos: Array[Double] =
+    Array.tabulate(64 * 32) { ik =>
+      val i = ik / 32; val k = ik % 32
+      math.cos((16 + i) * (2 * k + 1) * math.Pi / 64.0)
+    }
+
+  final case class Mp3Synth(media_id: Long, n_frames: Long, sum_xr_q: Long,
+                            sum_td_q: Long, sum_v_q: Long, valid: Boolean)
+
+  /** Walk frames, entropy-decode each LONG-block mono granule in the
+    * q170 subset, then run the synthesis chain. Outputs per-stream
+    * 1e-9-quantized sums of (a) the requantized spectrum, (b) the
+    * time-domain subband samples after IMDCT + windowing +
+    * overlap-add + frequency inversion, (c) the step-0 matrixed V
+    * vector of every granule (the matrixing is a fixed linear map —
+    * one step per granule pins it over all 32 subband inputs).
+    * Short-block granules, reservoir, non-table-1 streams →
+    * `valid=false`, never wrong. */
+  private[graft] def parseSynth(id: Long, b: Array[Byte]): Mp3Synth = {
+    val invalid = Mp3Synth(id, 0L, 0L, 0L, 0L, valid = false)
+    try {
+      var off = 0
+      var nFrames = 0L
+      var sumXr = 0L; var sumTd = 0L; var sumV = 0L
+      var sampleRate = -1; var srIdx = -1
+      // overlap buffer: previous granule's windowed tail, per subband
+      val prevTail = Array.ofDim[Double](32, 18)
+      def q9(x: Double): Long = math.floor(x * 1e9).toLong
+      while (off < b.length) {
+        if (off + 4 > b.length) return invalid
+        val b0 = b(off) & 0xff; val b1 = b(off + 1) & 0xff
+        val b2 = b(off + 2) & 0xff; val b3 = b(off + 3) & 0xff
+        if (b0 != 0xff || (b1 & 0xfe) != 0xfa) return invalid
+        val brIdx = (b2 >> 4) & 0xf
+        val sri = (b2 >> 2) & 0x3
+        val padding = (b2 >> 1) & 0x1
+        if (brIdx == 0 || brIdx == 15 || sri == 3) return invalid
+        if (((b3 >> 6) & 0x3) != 3) return invalid // mono subset
+        val sr = SampleRates(sri)
+        if (sampleRate < 0) { sampleRate = sr; srIdx = sri }
+        else if (sampleRate != sr) return invalid
+        val frameLen = 144 * Bitrates(brIdx) * 1000 / sr + padding
+        if (off + frameLen > b.length) return invalid
+        val crcBytes = if ((b1 & 1) == 0) 2 else 0
+        val siStart = off + 4 + crcBytes
+        if (siStart + 17 > off + frameLen) return invalid
+        val frameEndBit = (off + frameLen) * 8
+
+        val r = new BitReader(b, siStart * 8)
+        if (r.read(9) != 0) return invalid // reservoir out of subset
+        r.read(5)
+        if (r.read(4) != 0) return invalid // scfsi sharing out of subset
+        final case class Gr(p23: Int, bv: Int, gg: Int, sfc: Int,
+                            pre: Int, ss: Int)
+        val grs = new Array[Gr](2)
+        var g = 0
+        while (g < 2) {
+          val p23 = r.read(12)
+          val bv = r.read(9)
+          val gg = r.read(8)
+          val sfc = r.read(4)
+          if (r.read(1) != 0) return invalid // LONG blocks only (r10)
+          if (r.read(5) != 1 || r.read(5) != 1 || r.read(5) != 1)
+            return invalid // table 1 only
+          r.read(4); r.read(3)
+          val pre = r.read(1)
+          val ss = r.read(1)
+          if (r.read(1) != 1) return invalid // count1 table B only
+          if (bv > 288) return invalid
+          grs(g) = Gr(p23, bv, gg, sfc, pre, ss)
+          g += 1
+        }
+        val m = new BitReader(b, (siStart + 17) * 8)
+        g = 0
+        while (g < 2) {
+          val gr = grs(g)
+          val grStart = m.bitPos
+          // part2: scalefactors (long: 11 + 10 bands)
+          val s1 = Slen1(gr.sfc); val s2 = Slen2(gr.sfc)
+          val sf = new Array[Int](22) // band 21 stays 0
+          var band = 0
+          while (band < 11) { sf(band) = m.read(s1); band += 1 }
+          while (band < 21) { sf(band) = m.read(s2); band += 1 }
+          // part3: signed spectral lines
+          val is = new Array[Int](576)
+          var k = 0
+          while (k < gr.bv) {
+            val (x, y) = readPair1(m)
+            var sx = 0; var sy = 0
+            if (x != 0) sx = m.read(1)
+            if (y != 0) sy = m.read(1)
+            is(2 * k) = if (sx == 1) -x else x
+            is(2 * k + 1) = if (sy == 1) -y else y
+            k += 1
+          }
+          var lines = gr.bv * 2
+          while (m.bitPos - grStart < gr.p23) {
+            if (m.bitPos - grStart + 4 > gr.p23) return invalid
+            if (lines + 4 > 576) return invalid
+            val n = 15 - m.read(4)
+            var q = 0
+            while (q < 4) {
+              val v = (n >> (3 - q)) & 1
+              var sv = 0
+              if (v != 0) sv = m.read(1)
+              is(lines + q) = if (sv == 1) -v else v
+              q += 1
+            }
+            if (m.bitPos - grStart > gr.p23) return invalid
+            lines += 4
+          }
+          if (m.bitPos > frameEndBit) return invalid
+          // ---- requantization (values are ±1/0: the 4/3 power is id)
+          val xr = new Array[Double](576)
+          val bmap = BandMap(srIdx)
+          var idx = 0
+          while (idx < 576) {
+            val v = is(idx)
+            if (v != 0) {
+              val bd = bmap(idx)
+              val kexp = (if (bd < 21) sf(bd) else 0) +
+                gr.pre * (if (bd < 21) Pretab(bd) else 0)
+              val fac = GainTab(gr.gg) * SfTab(gr.ss)(kexp)
+              val x = v * fac
+              xr(idx) = x
+              sumXr += q9(x)
+            }
+            idx += 1
+          }
+          // ---- IMDCT (long) + sine window + overlap-add + inversion
+          val s = new Array[Double](32) // step-0 samples for matrixing
+          var sb = 0
+          while (sb < 32) {
+            val z = new Array[Double](36)
+            var n = 0
+            while (n < 36) {
+              var acc = 0.0
+              var i = 0
+              while (i < 18) {
+                acc += ImdctCos(n * 18 + i) * xr(sb * 18 + i)
+                i += 1
+              }
+              z(n) = acc * SynthWin(n)
+              n += 1
+            }
+            var t = 0
+            while (t < 18) {
+              var td = z(t) + prevTail(sb)(t)
+              if ((sb & 1) == 1 && (t & 1) == 1) td = -td
+              sumTd += q9(td)
+              if (t == 0) s(sb) = td
+              prevTail(sb)(t) = z(18 + t)
+              t += 1
+            }
+            sb += 1
+          }
+          // ---- polyphase matrixing, step 0 of this granule
+          var i64 = 0
+          while (i64 < 64) {
+            var acc = 0.0
+            var k32 = 0
+            while (k32 < 32) {
+              acc += MatrixCos(i64 * 32 + k32) * s(k32)
+              k32 += 1
+            }
+            sumV += q9(acc)
+            i64 += 1
+          }
+          g += 1
+        }
+        nFrames += 1
+        off += frameLen
+      }
+      if (nFrames == 0) invalid
+      else Mp3Synth(id, nFrames, sumXr, sumTd, sumV, valid = true)
+    } catch {
+      case _: IndexOutOfBoundsException => invalid
+    }
+  }
+
+  /** Distributed synthesis decode (the codec seam). */
+  def decodeMp3Synth(media: Dataset[(Long, Array[Byte])]): Dataset[Mp3Synth] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it => it.map { case (id, bytes) => parseSynth(id, bytes) })
   }
 
   /** Synthesize a REAL MPEG-1 Layer III frame sequence in pure codegen

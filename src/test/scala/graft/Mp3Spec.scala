@@ -251,4 +251,50 @@ class Mp3Spec extends SparkSpec {
     val crafted = withBits(withBits(good, wsfPos, 1, 1), wsfPos + 1, 0, 2)
     Mp3.parseSideInfo(4L, crafted).valid shouldBe false
   }
+
+  test("synthesis (r10): long-only streams decode; the chain is deterministic") {
+    for (seed <- 0 until 14; sr <- 0 until 3) {
+      val b = Mp3.mp3PayloadSpectral(3, seed, sr, longOnly = true)
+      val r = Mp3.parseSynth(100L * seed + sr, b)
+      r.valid shouldBe true
+      r.n_frames shouldBe 3L
+      // deterministic: a second decode lands on the same quantized sums
+      Mp3.parseSynth(100L * seed + sr, b) shouldBe r
+    }
+    // spectral layer still accepts the same stream (subset compatible)
+    Mp3.parseSpectral(1L, Mp3.mp3PayloadSpectral(2, 5, 1,
+      longOnly = true)).valid shouldBe true
+  }
+
+  test("synthesis: the overlap-add carries across granules and frames") {
+    // the tail of granule G leaks into G+1: decoding frames [0,1]
+    // together must NOT equal the sum of decoding them separately
+    val both = Mp3.mp3PayloadSpectral(2, 3, 0, longOnly = true)
+    val r2 = Mp3.parseSynth(1L, both)
+    val f1 = Mp3.mp3PayloadSpectral(1, 3, 0, longOnly = true)
+    val r1 = Mp3.parseSynth(1L, f1)
+    r2.valid shouldBe true
+    r1.valid shouldBe true
+    // frame 2 alone (seed shifted so its content equals both's frame 2)
+    // can't be synthesized standalone — instead pin the weaker law:
+    // td sums are NOT additive across a split stream (the carry is real)
+    val f2only = Mp3.mp3PayloadSpectral(1, 4, 0, longOnly = true)
+    val r2only = Mp3.parseSynth(1L, f2only)
+    (r1.sum_td_q + r2only.sum_td_q) should not be r2.sum_td_q
+  }
+
+  test("synthesis: short-block granules are out of the r10 subset") {
+    // the default spectral fixture emits short granules ((i+g)%3==0)
+    Mp3.parseSynth(1L, Mp3.mp3PayloadSpectral(3, 0, 0)).valid shouldBe false
+  }
+
+  test("synthesis: fuzz never throws") {
+    val rnd = new scala.util.Random(20260815)
+    val good = Mp3.mp3PayloadSpectral(2, 7, 0, longOnly = true)
+    (0 until 300).foreach { _ =>
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      noException should be thrownBy Mp3.parseSynth(0L, b)
+    }
+  }
 }
