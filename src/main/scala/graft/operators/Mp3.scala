@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * Above the frame walk, the ENTROPY layer is decoded for a documented
   * SUBSET (r9): [[parseSideInfo]] reads the 136-bit mono side-info
   * block bit-exactly, and [[parseSpectral]] Huffman-decodes big-values
-  * region ISO table 1 + count1 table B with `main_data_begin = 0` (no
-  * bit reservoir), landing part2_3_length-exact. Streams outside that
-  * subset (other Huffman tables, linbits, reservoir) → `valid=false`,
+  * region ISO table 1 + count1 table B, landing part2_3_length-exact;
+  * the BIT RESERVOIR (r10) is honored — each frame's main data starts
+  * `main_data_begin` bytes back inside the accumulated reservoir of
+  * previous frames' main-data slots. Streams outside the subset
+  * (other Huffman tables, linbits) → `valid=false`,
   * never wrong. The r10 SYNTHESIS layer ([[parseSynth]]) postprocesses
   * the decoded spectrum for long-block granules — requantization,
   * IMDCT, windowing, overlap-add, frequency inversion, polyphase
@@ -320,6 +322,7 @@ object Mp3 {
       var nFrames = 0L; var sumSf = 0L; var sumAbs = 0L
       var nNeg = 0L; var nC1 = 0L; var sumP23 = 0L
       var sampleRate = -1
+      var resv = Array.emptyByteArray // bit-reservoir tail (≤ 511 bytes)
       while (off < b.length) {
         if (off + 4 > b.length) return invalid
         val b0 = b(off) & 0xff; val b1 = b(off + 1) & 0xff
@@ -338,10 +341,15 @@ object Mp3 {
         val crcBytes = if ((b1 & 1) == 0) 2 else 0
         val siStart = off + 4 + crcBytes
         if (siStart + 17 > off + frameLen) return invalid
-        val frameEndBit = (off + frameLen) * 8
 
         val r = new BitReader(b, siStart * 8)
-        if (r.read(9) != 0) return invalid // main_data_begin: reservoir out of subset
+        // main_data_begin: the BIT RESERVOIR pointer (r10 — the r9
+        // subset required 0). A frame's main data starts mdb bytes
+        // BEFORE this frame's own slot, inside the accumulated
+        // reservoir of previous frames' main-data bytes; a pointer
+        // past the accumulated reservoir is malformed.
+        val mdb = r.read(9)
+        if (mdb > resv.length) return invalid
         r.read(5)
         if (r.read(4) != 0) return invalid // scfsi sharing out of subset
         // side info first (both granules), THEN the main data
@@ -374,8 +382,15 @@ object Mp3 {
           grs(g) = Gr(p23, bv, sfc, wsf, c1tab)
           g += 1
         }
-        // main data: immediately after side info (main_data_begin = 0)
-        val m = new BitReader(b, (siStart + 17) * 8)
+        // main data: the last mdb reservoir bytes, then this frame's
+        // own slot — one contiguous buffer (reading can never overrun
+        // into the NEXT frame's header: those bytes are not in it)
+        val slot = java.util.Arrays.copyOfRange(b, siStart + 17,
+          off + frameLen)
+        val mbuf = new Array[Byte](mdb + slot.length)
+        System.arraycopy(resv, resv.length - mdb, mbuf, 0, mdb)
+        System.arraycopy(slot, 0, mbuf, mdb, slot.length)
+        val m = new BitReader(mbuf, 0)
         g = 0
         while (g < 2) {
           val gr = grs(g)
@@ -417,10 +432,21 @@ object Mp3 {
             nC1 += 1
           }
           if (lines > 576) return invalid
-          if (m.bitPos > frameEndBit) return invalid
           sumP23 += gr.p23
           g += 1
         }
+        // roll the reservoir forward: keep the last 511 slot bytes
+        // (the 9-bit pointer can never reach further back)
+        resv =
+          if (slot.length >= 511) java.util.Arrays.copyOfRange(slot,
+            slot.length - 511, slot.length)
+          else {
+            val keep = math.min(511 - slot.length, resv.length)
+            val nr = new Array[Byte](keep + slot.length)
+            System.arraycopy(resv, resv.length - keep, nr, 0, keep)
+            System.arraycopy(slot, 0, nr, keep, slot.length)
+            nr
+          }
         nFrames += 1
         off += frameLen
       }
@@ -450,26 +476,31 @@ object Mp3 {
     *                  v,w,x,y = mod-2 mixes and per-nonzero sign bits,
     * and the side info's part2_3_length is the EXACT bit count of what
     * was written — a decoder with any code length wrong cannot land on
-    * the count1 boundary. */
+    * the count1 boundary. With `reservoir` (r10), consecutive frames
+    * spill each M_k's head into the previous frame's slot and point
+    * back at it with a real `main_data_begin` — same decoded content,
+    * different byte layout, so only a reservoir-aware walk matches. */
   def mp3PayloadSpectral(nFrames: Int, seed: Int, srIdx: Int,
-                         longOnly: Boolean = false): Array[Byte] = {
+                         longOnly: Boolean = false,
+                         reservoir: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && srIdx >= 0 && srIdx <= 2 && seed >= 0,
       s"bad synthesis params n=$nFrames seed=$seed sr=$srIdx")
     val sr = SampleRates(srIdx)
-    val out = new java.io.ByteArrayOutputStream()
+    // ---- pass 1: per frame, header + side info (mdb patched in pass
+    // 2) + the byte-padded main-data block M_i
+    final case class F(hdr: Array[Byte], si: Array[Byte],
+                       m: Array[Byte], frameLen: Int)
+    val fr = new Array[F](nFrames)
     var i = 0
     while (i < nFrames) {
       val brIdx = 1 + (seed + i) % 14
       val pad = (seed + i) % 2
       val frameLen = 144 * Bitrates(brIdx) * 1000 / sr + pad
-      val frame = new Array[Byte](frameLen)
-      frame(0) = 0xff.toByte
-      frame(1) = 0xfb.toByte // MPEG-1 L3, protection off
-      frame(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
-      frame(3) = 0xc0.toByte // mono
+      val hdr = Array[Byte](0xff.toByte, 0xfb.toByte,
+        ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte, 0xc0.toByte)
       val si = new BitWriter(17)
       val main = new BitWriter(frameLen - 21)
-      si.write(0, 9) // main_data_begin: self-contained
+      si.write(0, 9) // main_data_begin (patched in pass 2)
       si.write(0, 5)
       si.write(0, 4) // scfsi
       var g = 0
@@ -535,7 +566,7 @@ object Mp3 {
           si.write((seed + i + g + 1) % 8, 3)
           si.write((seed + i + g + 2) % 8, 3)
         } else {
-          si.write(1, 5); si.write(1, 5); si.write(1, 5) // table 1 × 3
+          si.write(1, 5); si.write(1, 5); si.write(1, 5) // table 1 x 3
           si.write(3, 4); si.write(3, 3) // region counts
         }
         si.write((seed + i + g) % 2, 1) // preflag
@@ -543,11 +574,41 @@ object Mp3 {
         si.write(1, 1)                  // count1 table B
         g += 1
       }
-      require((main.bitPos + 7) / 8 <= frameLen - 21,
-        s"main data ${main.bitPos} bits overflows frame $frameLen")
-      System.arraycopy(si.buf, 0, frame, 4, 17)
-      System.arraycopy(main.buf, 0, frame, 21, frameLen - 21)
-      out.write(frame, 0, frameLen)
+      // M_i: the granule bits padded to a byte boundary (ancillary
+      // zeros) -- main_data_begin is a BYTE pointer, so every frame's
+      // main data starts byte-aligned in the reservoir stream
+      val mBytes = java.util.Arrays.copyOf(main.buf, (main.bitPos + 7) / 8)
+      require(mBytes.length <= frameLen - 21,
+        s"main data ${mBytes.length} B overflows frame $frameLen")
+      fr(i) = F(hdr, si.buf, mBytes, frameLen)
+      i += 1
+    }
+    // ---- pass 2: reservoir packing (r10). With `reservoir`, frame
+    // k's first mdb_k bytes ride at the very END of frame k-1's slot
+    // (the bit-reservoir spill a real encoder performs); without it
+    // every M_k sits in its own slot (mdb = 0, the r9 layout).
+    val caps = fr.map(_.frameLen - 21)
+    val slots = caps.map(new Array[Byte](_))
+    var prevFree = 0
+    i = 0
+    while (i < nFrames) {
+      val mk = fr(i).m
+      val mdb =
+        if (!reservoir || i == 0) 0
+        else math.min(math.min(prevFree, mk.length), 511)
+      if (mdb > 0)
+        System.arraycopy(mk, 0, slots(i - 1), caps(i - 1) - mdb, mdb)
+      System.arraycopy(mk, mdb, slots(i), 0, mk.length - mdb)
+      prevFree = caps(i) - (mk.length - mdb)
+      // patch the 9-bit mdb into the side info's first two bytes
+      fr(i).si(0) = (mdb >> 1).toByte
+      fr(i).si(1) = ((fr(i).si(1) & 0x7f) | ((mdb & 1) << 7)).toByte
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    i = 0
+    while (i < nFrames) {
+      out.write(fr(i).hdr); out.write(fr(i).si); out.write(slots(i))
       i += 1
     }
     out.toByteArray

@@ -5267,8 +5267,13 @@ object LlmQueries {
         val media = docs(s, dir).select(col("doc_id")).as[Long]
           .mapPartitions { it =>
             it.map { id =>
+              // every EVEN doc packs its frames through the BIT
+              // RESERVOIR (r10): same granule content, different byte
+              // layout — the oracle formulas only match through a
+              // reservoir-aware walk
               (id, Mp3.mp3PayloadSpectral((2 + id % 8).toInt,
-                (id % 14).toInt, (id % 3).toInt))
+                (id % 14).toInt, (id % 3).toInt,
+                reservoir = id % 2 == 0))
             }
           }
         Mp3.decodeMp3Spectral(media).toDF()

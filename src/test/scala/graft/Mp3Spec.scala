@@ -288,6 +288,30 @@ class Mp3Spec extends SparkSpec {
     Mp3.parseSynth(1L, Mp3.mp3PayloadSpectral(3, 0, 0)).valid shouldBe false
   }
 
+  test("bit reservoir (r10): spilled layout decodes to the same sums") {
+    for (seed <- 0 until 14; sr <- 0 until 3) {
+      val plain = Mp3.mp3PayloadSpectral(5, seed, sr)
+      val packed = Mp3.mp3PayloadSpectral(5, seed, sr, reservoir = true)
+      // same granule content, different byte layout
+      java.util.Arrays.equals(plain, packed) shouldBe false
+      val a = Mp3.parseSpectral(1L, plain)
+      val b = Mp3.parseSpectral(1L, packed)
+      a.valid shouldBe true
+      b shouldBe a
+    }
+    // the pointer is real: frame 1's main_data_begin is nonzero
+    val p = Mp3.mp3PayloadSpectral(3, 2, 0, reservoir = true)
+    // frame 0 length: brIdx = 1+2 = 3 → 48 kbps @44.1k, pad 0
+    val f0len = 144 * 48 * 1000 / 44100 + 0
+    val mdb = ((p(f0len + 4) & 0xff) << 1) | ((p(f0len + 5) & 0xff) >> 7)
+    mdb should be > 0
+    // a pointer past the accumulated reservoir rejects: frame 0 can
+    // never carry a nonzero main_data_begin
+    val m = Mp3.mp3PayloadSpectral(2, 2, 0)
+    m(4) = 0x01.toByte // mdb high bits of frame 0
+    Mp3.parseSpectral(1L, m).valid shouldBe false
+  }
+
   test("synthesis: fuzz never throws") {
     val rnd = new scala.util.Random(20260815)
     val good = Mp3.mp3PayloadSpectral(2, 7, 0, longOnly = true)
