@@ -86,9 +86,11 @@ object Bench {
       // frame + debris showed up as q01's in-sweep 20× — SCALE.md r9)
       if (name.startsWith("q27_"))
         graft.operators.Dedup.releasePostingIndexes(spark)
-      // q174 is the last consumer of the memoized suffix array
-      // (q171 < q172 < q174 in sort order) — same release rule
-      if (name.startsWith("q174_"))
+      // q198 is the last consumer of the memoized suffix array
+      // (q171 < q172 < q174 < q198 in sort order; r10 measured the
+      // stale q174 rule costing q198 a full 16 s rebuild) — same
+      // release rule
+      if (name.startsWith("q198_"))
         graft.operators.SuffixArray.releaseSuffixArrays(spark)
       (name, t, ok)
     }

@@ -13,9 +13,13 @@ import org.apache.spark.sql.Dataset
   * fields read here); `Content-Length` REQUIRED and it must equal the
   * remaining body length exactly (no chunked transfer in the subset —
   * WARC writers store decoded bodies); `Content-Type` split into
-  * media type and optional `charset=` parameter. Any framing
-  * violation → all-zero `valid=false` row for THAT record, never a
-  * throw; non-`response` records are skipped.
+  * media type and optional `charset=` parameter; `Content-Encoding:
+  * gzip` (r10 — how real servers ship compressed bodies and many
+  * crawls store them) gunzips the body through a full RFC 1952 member
+  * decode (CRC-32 + ISIZE verified, exact framing), and the body
+  * stats are the DECODED bytes. Any framing violation → all-zero
+  * `valid=false` row for THAT record, never a throw; non-`response`
+  * records are skipped.
   *
   * 100 TB shape: one map-side pass — member inflate, WARC framing and
   * HTTP framing all inside the partition; bodies reduce to (len, sum)
@@ -31,13 +35,58 @@ object Http {
                                    b: Array[Byte]): HttpInfo =
     parseResponseBody(id, idx, b)._1
 
-  /** As [[parseResponse]], also returning the body's OFFSET into `b`
-    * (−1 when invalid) — the r10 [[Wet]] seam needs the body bytes,
-    * not just their (len, sum) reduction. */
+  /** Decode one complete RFC 1952 gzip member occupying EXACTLY
+    * `[off, off+len)`: CM=8, FLG subset {0, FNAME}, raw inflate,
+    * CRC-32 + ISIZE verified, no slack. Malformed → Warc.Malformed. */
+  private def gunzip(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    def fail(): Nothing = throw Warc.Malformed
+    if (len < 18) fail()
+    if (b(off) != 0x1f.toByte || b(off + 1) != 0x8b.toByte ||
+      b(off + 2) != 8) fail()
+    val flg = b(off + 3) & 0xff
+    if ((flg & ~0x08) != 0) fail()
+    var dataOff = off + 10
+    if ((flg & 0x08) != 0) {
+      while (dataOff < off + len && b(dataOff) != 0) dataOff += 1
+      if (dataOff >= off + len) fail()
+      dataOff += 1
+    }
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, dataOff, off + len - dataOff)
+      val out = new java.io.ByteArrayOutputStream(4096)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => fail() }
+        if (n == 0 && !inf.finished()) fail()
+        if (out.size().toLong + n > (1L << 24)) fail() // zip-bomb cap
+        out.write(buf, 0, n)
+      }
+      val consumed = inf.getBytesRead
+      val inflated = out.toByteArray
+      val tOff = dataOff + consumed.toInt
+      if (tOff + 8 != off + len) fail() // member must fill the body exactly
+      def le32(o: Int): Long =
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      val crc = new java.util.zip.CRC32()
+      crc.update(inflated)
+      if (crc.getValue != le32(tOff)) fail()
+      if ((inflated.length.toLong & 0xffffffffL) != le32(tOff + 4)) fail()
+      inflated
+    } finally inf.end()
+  }
+
+  /** As [[parseResponse]], also returning the DECODED body bytes
+    * (null when invalid) — the r10 [[Wet]] seam consumes them, and
+    * with `Content-Encoding: gzip` the decoded body is not a slice of
+    * the message. */
   private[operators] def parseResponseBody(id: Long, idx: Long,
-                                           b: Array[Byte]): (HttpInfo, Int) = {
+      b: Array[Byte]): (HttpInfo, Array[Byte]) = {
     val invalid = (HttpInfo(id, idx, 0L, "", "", 0L, 0L, 0L,
-      valid = false), -1)
+      valid = false), null: Array[Byte])
     try {
       def fail(): Nothing = throw Warc.Malformed
       def lineEnd(from: Int): Int = {
@@ -57,6 +106,7 @@ object Http {
       }
       p += 2
       var mediaType = ""; var charset = ""
+      var gzipBody = false
       var contentLen = -1L; var nHeaders = 0L
       while (!(p + 1 < b.length && b(p) == '\r' && b(p + 1) == '\n')) {
         val e = lineEnd(p)
@@ -71,6 +121,10 @@ object Http {
             if (value.isEmpty || !value.forall(_.isDigit) ||
               value.length > 18) fail()
             contentLen = value.toLong
+          case "content-encoding" =>
+            if (value.trim.toLowerCase(java.util.Locale.ROOT) != "gzip")
+              fail() // subset: identity (absent) or gzip only
+            gzipBody = true
           case "content-type" =>
             val semi = value.indexOf(';')
             mediaType = (if (semi < 0) value
@@ -94,11 +148,14 @@ object Http {
       p += 2 // past the blank line
       if (contentLen < 0) fail()
       if (p.toLong + contentLen != b.length) fail() // exact framing
+      val body =
+        if (gzipBody) gunzip(b, p, contentLen.toInt)
+        else java.util.Arrays.copyOfRange(b, p, p + contentLen.toInt)
       var sum = 0L
       var j = 0
-      while (j < contentLen) { sum += b(p + j) & 0xff; j += 1 }
+      while (j < body.length) { sum += body(j) & 0xff; j += 1 }
       (HttpInfo(id, idx, status, mediaType, charset, nHeaders,
-        contentLen, sum, valid = true), p)
+        body.length.toLong, sum, valid = true), body)
     } catch {
       case Warc.Malformed | _: IndexOutOfBoundsException |
           _: NegativeArraySizeException | _: IllegalArgumentException =>
@@ -164,14 +221,21 @@ object Http {
             f += 1
           }
           val blen = 20 + ((seed + 7 * i) % 120)
-          sb.append("Content-Length: ").append(blen).append("\r\n\r\n")
-          val head = sb.toString.getBytes("ISO-8859-1")
-          val body = new Array[Byte](blen)
+          val raw = new Array[Byte](blen)
           var j = 0
-          while (j < blen) { body(j) = ((seed + 2 * i + j) % 256).toByte; j += 1 }
-          val full = new Array[Byte](head.length + blen)
+          while (j < blen) { raw(j) = ((seed + 2 * i + j) % 256).toByte; j += 1 }
+          // every (seed+i)%4==0 response ships its body gzip-encoded
+          // (r10): Content-Length counts the ENCODED bytes, the stats
+          // the oracle replays are of the DECODED body — only a real
+          // member decode reproduces them
+          val gz = (seed + i) % 4 == 0
+          val body = if (gz) Warc.gzipMember(raw, None) else raw
+          if (gz) sb.append("Content-Encoding: gzip\r\n")
+          sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
+          val head = sb.toString.getBytes("ISO-8859-1")
+          val full = new Array[Byte](head.length + body.length)
           System.arraycopy(head, 0, full, 0, head.length)
-          System.arraycopy(body, 0, full, head.length, blen)
+          System.arraycopy(body, 0, full, head.length, body.length)
           full
         } else {
           val clen = 30 + ((seed + 11 * i) % 170)

@@ -60,7 +60,8 @@ object Warc {
                                                 uri: String,
                                                 payload: Array[Byte],
                                                 memberOff: Long,
-                                                memberLen: Long)
+                                                memberLen: Long,
+                                                digest: String)
 
   private[operators] case object Malformed extends Exception {
     override def fillInStackTrace(): Throwable = this
@@ -188,6 +189,7 @@ object Warc {
           throw Malformed
         p += 2
         var typ: String = null; var uri: String = null
+        var digest = ""
         var contentLen = -1L
         while (!(p + 1 < rec.length && rec(p) == '\r' && rec(p + 1) == '\n')) {
           val e = lineEnd(p)
@@ -196,8 +198,9 @@ object Warc {
           if (c <= 0) throw Malformed
           val name = line.substring(0, c); val value = line.substring(c + 2)
           name match {
-            case "WARC-Type"       => typ = value
-            case "WARC-Target-URI" => uri = value
+            case "WARC-Type"           => typ = value
+            case "WARC-Target-URI"     => uri = value
+            case "WARC-Payload-Digest" => digest = value
             case "Content-Length"  =>
               if (!value.forall(_.isDigit) || value.isEmpty ||
                 value.length > 18) throw Malformed
@@ -216,11 +219,59 @@ object Warc {
         if (uri.indexOf("://") <= 0) throw Malformed
         recsOut += RawRecord(recIdx, typ, uri,
           java.util.Arrays.copyOfRange(rec, p, t),
-          memberOff.toLong, (off - memberOff).toLong)
+          memberOff.toLong, (off - memberOff).toLong, digest)
         recIdx += 1
       }
       recsOut.result()
     }
+  }
+
+  /** One row of the REVISIT surface (r10): the WARC dedup mechanism —
+    * Common Crawl stores a re-fetched unchanged page as a `revisit`
+    * record carrying only the `WARC-Payload-Digest` of the original
+    * capture, and a consumer must RESOLVE revisits to their originals
+    * by digest to reconstruct content. `declared_digest` is the
+    * header value; `payload_sha1` is computed map-side over the
+    * actual payload bytes (JDK `MessageDigest`), so a digest-verified
+    * original is one where the two agree. */
+  final case class RevisitRow(media_id: Long, rec_idx: Long,
+                              warc_type: String, uri: String,
+                              content_len: Long, declared_digest: String,
+                              payload_sha1: String)
+
+  private def sha1Hex(b: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val d = md.digest(b)
+    val sb = new java.lang.StringBuilder(40)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    "sha1:" + sb.toString
+  }
+
+  /** Per-record revisit surface: every record with its declared digest
+    * (the `WARC-Payload-Digest` header, "" when absent) and the sha1
+    * computed over its actual payload — both derived inside the
+    * partition; payload bytes never leave it. Malformed archives
+    * yield no rows (the q178 stance). */
+  def revisitRecords(media: Dataset[(Long, Array[Byte])])
+      : Dataset[RevisitRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      if (bytes == null || bytes.isEmpty) Nil
+      else try walk(id, bytes).map { r =>
+        RevisitRow(id, r.idx, r.typ, r.uri, r.payload.length.toLong,
+          r.digest, sha1Hex(r.payload))
+      }
+      catch {
+        case Malformed | _: IndexOutOfBoundsException |
+            _: NegativeArraySizeException | _: IllegalArgumentException =>
+          Nil
+      }
+    })
   }
 
   /** Map-side decode: the imperative codec seam (the q126/q134/q154
@@ -293,6 +344,47 @@ object Warc {
       out.write(gzipMember(rec,
         if (i % 4 == 1) Some(s"rec-$i") else None))
       i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic revisit-bearing `.warc.gz` (r10): records j with
+    * j%3 ∈ {0,1} are responses (q178's payload formulas) each
+    * declaring `WARC-Payload-Digest: sha1:…` of its OWN payload;
+    * j%3 == 2 is a `revisit` record (empty payload — the whole point
+    * of the mechanism) declaring the digest of record `(seed+j)%2` —
+    * except every (seed+j)%5==0 revisit, which declares the digest of
+    * a payload that never ships anywhere (an unresolvable revisit, as
+    * when the original capture predates the corpus slice). */
+  def warcRevisitPayload(nRecords: Int, seed: Int): Array[Byte] = {
+    require(nRecords >= 3 && nRecords <= 64, s"bad nRecords $nRecords")
+    require(seed >= 0, s"bad seed $seed")
+    def payloadOf(j: Int): Array[Byte] = {
+      val clen = 30 + ((seed + 11 * j) % 170)
+      Array.tabulate(clen)(k => ((seed + 3 * j + k) % 256).toByte)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    var j = 0
+    while (j < nRecords) {
+      val uri = s"http://h${(seed + j) % 5}.example/p/$j"
+      val (typ, payload, digest) =
+        if (j % 3 == 2) {
+          val ref = if ((seed + j) % 5 == 0) 999 else (seed + j) % 2
+          ("revisit", Array.emptyByteArray, sha1Hex(payloadOf(ref)))
+        } else ("response", payloadOf(j), null: String)
+      val dig = if (digest != null) digest else sha1Hex(payload)
+      val head = ("WARC/1.0\r\n" +
+        s"WARC-Type: $typ\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"WARC-Payload-Digest: $dig\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      val rec = new Array[Byte](head.length + payload.length + 4)
+      System.arraycopy(head, 0, rec, 0, head.length)
+      System.arraycopy(payload, 0, rec, head.length, payload.length)
+      rec(rec.length - 4) = '\r'; rec(rec.length - 3) = '\n'
+      rec(rec.length - 2) = '\r'; rec(rec.length - 1) = '\n'
+      out.write(gzipMember(rec, None))
+      j += 1
     }
     out.toByteArray
   }

@@ -48,12 +48,10 @@ object Wet {
         Warc.walk(id, bytes).flatMap { r =>
           if (r.typ != "response") Nil
           else {
-            val (info, bodyOff) = Http.parseResponseBody(id, r.idx, r.payload)
+            val (info, body) = Http.parseResponseBody(id, r.idx, r.payload)
             if (!info.valid || info.status != 200L ||
               info.media_type != "text/html" || info.charset.isEmpty) Nil
             else {
-              val body = java.util.Arrays.copyOfRange(r.payload, bodyOff,
-                bodyOff + info.body_len.toInt)
               for {
                 html <- CharsetDecode.decodeStrict(body, info.charset)
                 text <- Html.visibleText(html)
@@ -115,10 +113,15 @@ object Wet {
       .append("<p class=\"main\">").append(esc).append("</p>\n")
       .append("</body>\n</html>\n").toString
     val label = charsetLabel(docId)
-    val body = html.getBytes(java.nio.charset.Charset.forName(label))
+    val encoded = html.getBytes(java.nio.charset.Charset.forName(label))
+    // every docId%5==0 page ships its body gzip-encoded (r10): the
+    // WET text is reachable only through the transport gunzip
+    val gz = docId % 5 == 0
+    val body = if (gz) Warc.gzipMember(encoded, None) else encoded
     val msg = new java.io.ByteArrayOutputStream()
     msg.write(("HTTP/1.1 200 OK\r\n" +
       s"Content-Type: text/html; charset=$label\r\n" +
+      (if (gz) "Content-Encoding: gzip\r\n" else "") +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1"))
     msg.write(body)
     val uri = s"HTTP://${source.toUpperCase(java.util.Locale.ROOT)}" +

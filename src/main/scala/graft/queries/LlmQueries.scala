@@ -4555,9 +4555,12 @@ object LlmQueries {
     // sees a byte): one map-side pass runs member inflate + WARC
     // framing + HTTP framing; status line, header walk (Content-Type
     // media/charset split, Content-Length REQUIRED and exact), body
-    // reduced to (len, sum) in place. The oracle replays the message
-    // formulas; a parser with the framing, the header fold or the
-    // charset split wrong cannot match it.
+    // reduced to (len, sum) in place. Every (seed+i)%4==0 response
+    // ships its body `Content-Encoding: gzip` (r10): Content-Length
+    // counts the ENCODED bytes while the oracle's body stats are the
+    // DECODED formulas — only a full member decode (CRC+ISIZE exact)
+    // reproduces them. A parser with the framing, the header fold,
+    // the charset split or the gunzip wrong cannot match.
     "q185_warc_http" -> Query(
       (s, dir) => {
         import s.implicits._
@@ -4577,7 +4580,9 @@ object LlmQueries {
           CASE WHEN i % 2 = 0 THEN 'text/html' ELSE 'text/plain' END
             AS media_type,
           CASE WHEN i % 2 = 0 THEN 'utf-8' ELSE '' END AS charset,
-          CAST(4 + (seed + i) % 3 AS BIGINT) AS n_headers,
+          CAST(4 + (seed + i) % 3
+            + CASE WHEN (seed + i) % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+            AS n_headers,
           CAST(20 + ((seed + 7 * i) % 120) AS BIGINT) AS body_len,
           CAST(list_sum(list_transform(range(20 + ((seed + 7 * i) % 120)),
               j -> (seed + 2 * i + j) % 256)) AS BIGINT) AS body_sum,
@@ -5136,6 +5141,67 @@ object LlmQueries {
         Mp3.decodeMp3Synth(media).toDF()
       },
       Some(sqlMp3SynthOracle)),
+
+    // ---- WARC revisit-record resolution (r10 — the crawl's OWN dedup
+    // mechanism: Common Crawl stores a re-fetched unchanged page as a
+    // `revisit` record carrying only the payload digest of the
+    // original capture; a consumer must resolve revisits BY DIGEST to
+    // reconstruct content). Map-side, each record emits its declared
+    // digest AND the sha1 computed over its actual payload (verified
+    // originals = the two agree); the canonical original per digest
+    // is the (media_id, rec_idx)-earliest capture (exactly the
+    // crawl's earliest-capture-wins convention), elected with ONE
+    // digest-keyed aggregate; revisits LEFT-join it on the digest.
+    // The oracle never sees a digest: it replays the REFERENCE
+    // formulas (digest equality ⟺ identical payload formulas ⟺ same
+    // (seed, rec) pair — proven injective over the fixture grid), so
+    // an engine with the inflate, the digest header, the sha1, or the
+    // min-election wrong cannot match.
+    "q201_warc_revisit" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Warc.warcRevisitPayload((3 + id % 6).toInt,
+              (id % 13).toInt))))
+        val rows = Warc.revisitRecords(media).toDF()
+        val originals = rows
+          .filter(col("warc_type") === "response" &&
+            col("declared_digest") === col("payload_sha1") &&
+            col("declared_digest") =!= "")
+          .groupBy(col("declared_digest").as("digest"))
+          .agg(min(struct(col("media_id"), col("rec_idx"),
+            col("content_len"))).as("o"))
+          .select(col("digest"), col("o.media_id").as("orig_media"),
+            col("o.content_len").as("orig_len"))
+        val revisits = rows.filter(col("warc_type") === "revisit")
+          .select(col("media_id"), col("rec_idx"),
+            col("declared_digest").as("digest"))
+        revisits.join(originals, Seq("digest"), "left")
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_revisits"),
+            count(col("orig_len")).as("n_resolved"),
+            coalesce(sum(col("orig_len")), lit(0L)).as("sum_orig_len"),
+            coalesce(sum(col("orig_media")), lit(0L)).as("sum_orig_media"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 3 + doc_id % 6 AS n,
+              doc_id % 13 AS seed FROM documents),
+          mn AS (SELECT doc_id % 13 AS seed, min(doc_id) AS om
+              FROM documents GROUP BY 1),
+          rev AS (SELECT media_id, seed, j,
+              CASE WHEN (seed + j) % 5 = 0 THEN NULL
+                ELSE (seed + j) % 2 END AS jp
+            FROM m, LATERAL (SELECT unnest(range(n)) AS j) jj
+            WHERE j % 3 = 2)
+        SELECT rev.media_id,
+          CAST(count(*) AS BIGINT) AS n_revisits,
+          CAST(count(rev.jp) AS BIGINT) AS n_resolved,
+          CAST(coalesce(sum(30 + ((rev.seed + 11 * rev.jp) % 170)), 0)
+            AS BIGINT) AS sum_orig_len,
+          CAST(coalesce(sum(CASE WHEN rev.jp IS NOT NULL THEN mn.om END), 0)
+            AS BIGINT) AS sum_orig_media
+        FROM rev LEFT JOIN mn ON rev.seed = mn.seed
+        GROUP BY rev.media_id""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train

@@ -13,7 +13,8 @@ class HttpSpec extends SparkSpec {
         Seq(200L, 301L, 404L)((seed + i) % 3),
         if (i % 2 == 0) "text/html" else "text/plain",
         if (i % 2 == 0) "utf-8" else "",
-        4L + (seed + i) % 3, blen.toLong,
+        4L + (seed + i) % 3 + (if ((seed + i) % 4 == 0) 1L else 0L),
+        blen.toLong,
         (0 until blen).map(j => ((seed + 2 * i + j) % 256).toLong).sum,
         valid = true)
     }
@@ -36,6 +37,32 @@ class HttpSpec extends SparkSpec {
     info.valid shouldBe true
     info.n_records shouldBe 6L
     info.n_response shouldBe 2L
+  }
+
+  test("Content-Encoding gzip: decoded stats, corrupt/unknown reject (r10)") {
+    val raw = Array.tabulate(50)(k => ((k * 7) % 256).toByte)
+    val gz = Warc.gzipMember(raw, None)
+    val msg = (("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      s"Content-Encoding: gzip\r\nContent-Length: ${gz.length}\r\n\r\n")
+      .getBytes("ISO-8859-1")) ++ gz
+    val info = Http.parseResponse(1L, 0L, msg)
+    info.valid shouldBe true
+    info.body_len shouldBe 50L // DECODED length, not gz.length
+    info.body_sum shouldBe raw.map(_ & 0xff).map(_.toLong).sum
+    info.n_headers shouldBe 3L
+    // corrupt a byte of the compressed body → CRC/structure reject
+    val bad = msg.clone()
+    bad(msg.length - 10) = (bad(msg.length - 10) ^ 0x3c).toByte
+    Http.parseResponse(1L, 0L, bad).valid shouldBe false
+    // unknown encoding token rejects (same length: framing intact)
+    val br = new String(msg, "ISO-8859-1")
+      .replaceFirst("gzip", "brot").getBytes("ISO-8859-1")
+    Http.parseResponse(1L, 0L, br).valid shouldBe false
+    // truncating the member (Content-Length short) rejects
+    val shortMsg = (("HTTP/1.1 200 OK\r\n" +
+      s"Content-Encoding: gzip\r\nContent-Length: ${gz.length - 4}\r\n\r\n")
+      .getBytes("ISO-8859-1")) ++ gz.dropRight(4)
+    Http.parseResponse(1L, 0L, shortMsg).valid shouldBe false
   }
 
   test("status line strictness") {

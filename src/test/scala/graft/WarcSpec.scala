@@ -204,6 +204,34 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("revisit surface (r10): digests verify, references resolve, tamper kills") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq((1L, Warc.warcRevisitPayload(9, 3))))
+    val rows = Warc.revisitRecords(ds).collect().sortBy(_.rec_idx)
+    rows.length shouldBe 9
+    for (r <- rows if r.warc_type == "response") {
+      r.declared_digest shouldBe r.payload_sha1
+      r.declared_digest should startWith("sha1:")
+      r.content_len should be > 0L
+    }
+    val rev = rows.filter(_.warc_type == "revisit")
+    rev.map(_.rec_idx) shouldBe Array(2L, 5L, 8L)
+    rev.foreach(_.content_len shouldBe 0L)
+    // seed 3: j=2 → (3+2)%5==0 → UNRESOLVED; j=5 → ref 0; j=8 → ref 1
+    rows.map(_.payload_sha1) should not contain rev(0).declared_digest
+    rev(1).declared_digest shouldBe rows(0).payload_sha1
+    rev(2).declared_digest shouldBe rows(1).payload_sha1
+    // distinct responses carry distinct digests (the injectivity the
+    // q201 canonical-original election rests on)
+    val resp = rows.filter(_.warc_type == "response")
+    resp.map(_.payload_sha1).distinct.length shouldBe resp.length
+    // tampering any archive byte breaks the member CRC → no rows
+    val b = Warc.warcRevisitPayload(6, 7)
+    val m = b.clone(); m(b.length / 2) = (m(b.length / 2) ^ 0x11).toByte
+    Warc.revisitRecords(spark.createDataset(Seq((1L, m))))
+      .collect() shouldBe empty
+  }
+
   test("decodeWarc runs map-side over a Dataset") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
