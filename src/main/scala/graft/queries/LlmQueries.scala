@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
 import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pdf, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Tiff, Warc, Wet}
-import graft.operators.DomainSuffix
+import graft.operators.{DomainSuffix, ParquetFile}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -5202,6 +5202,59 @@ object LlmQueries {
             AS BIGINT) AS sum_orig_media
         FROM rev LEFT JOIN mn ON rev.seed = mn.seed
         GROUP BY rev.media_id""")),
+
+    // ---- Parquet FOOTER walk (r10 — the lakehouse container itself:
+    // at 100 TB the footer is the scan planner's whole world — row-
+    // group pruning, min/max predicate skipping and split planning
+    // read ONLY this structure): Spark's REAL writer produces the
+    // artifact (snappy, small block size → several row groups at
+    // sf0.1), and the dependency-free Thrift compact-protocol codec
+    // (`ParquetFile.scala`) walks it back — per-column value counts
+    // and INT64 min/max statistics aggregated across row groups. The
+    // oracle replays the same statistics from the source table, so a
+    // walk with the varint zigzag, the field-delta state, the list
+    // headers, the schema-tree flattening or the little-endian stats
+    // decode wrong cannot match. This is a Spark-writer-vs-our-reader
+    // DIFFERENTIAL on real files (the Jpeg-vs-JDK stance); the spec
+    // additionally pins every decoded field against parquet-mr's own
+    // reader.
+    "q202_parquet_footer" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        // per-run artifact path (the q142/q146 rule: no cross-run race)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_pqf_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        docs(s, dir).select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"))
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.option("compression", "snappy")
+          .option("parquet.block.size", (256 * 1024).toString)
+          .parquet(base)
+        val media = s.read.format("binaryFile").load(base)
+          .filter(col("path").endsWith(".parquet"))
+          .select(lit(0L), col("content")).as[(Long, Array[Byte])]
+        ParquetFile.decodeFooters(media).toDF()
+          .where(col("valid"))
+          .groupBy(col("col_path"))
+          .agg(sum(col("n_values")).as("n_values"),
+            min(when(col("has_stats"), col("min_long"))).as("min_v"),
+            max(when(col("has_stats"), col("max_long"))).as("max_v"))
+      },
+      Some("""SELECT 'doc_id' AS col_path,
+          CAST(count(*) AS BIGINT) AS n_values,
+          CAST(min(doc_id) AS BIGINT) AS min_v,
+          CAST(max(doc_id) AS BIGINT) AS max_v FROM documents
+        UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT), NULL, NULL
+          FROM documents
+        UNION ALL SELECT 'n_chars', CAST(count(*) AS BIGINT),
+          CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT)
+          FROM documents""")),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train

@@ -258,7 +258,7 @@ class TextDedupSpec extends SparkSpec {
     import Multimodal.parseWav
     parseWav(1L, Array[Byte]()).valid shouldBe false            // empty
     parseWav(2L, "RIFX1234WAVE".getBytes).valid shouldBe false  // bad magic
-    parseWav(3L, "RIFF    WAVE".getBytes)
+    parseWav(3L, "RIFF\u0000\u0000\u0000\u0000WAVE".getBytes)
       .valid shouldBe false                                     // riff size lies
     // declared chunk size overruns the buffer -> truncated, invalid
     // (riff size field itself is consistent: 20 bytes total - 8 = 12)
