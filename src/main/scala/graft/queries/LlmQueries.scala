@@ -445,6 +445,65 @@ object LlmQueries {
 
   private val sqlToks = sqlTokens("text")
 
+  /** q203/q204 shared body: Spark's real writer lays the artifact out
+    * under the requested codec/dictionary options; the dependency-free
+    * page decoder reads the values back map-side. */
+  private def parquetPages(s: SparkSession, dir: String, tag: String,
+      codec: String, dict: Boolean): DataFrame = {
+    import s.implicits._
+    // per-run artifact path (the q142/q146 rule: no cross-run race)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_pqp_" +
+      tag + "_" + s.sparkContext.applicationId + "_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(): Unit
+    }
+    del(new java.io.File(base))
+    docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      .repartition(1).sortWithinPartitions("doc_id")
+      .write.option("compression", codec)
+      .option("parquet.block.size", (256 * 1024).toString)
+      .option("parquet.enable.dictionary", dict.toString)
+      .parquet(base)
+    val media = s.read.format("binaryFile").load(base)
+      .filter(col("path").endsWith(".parquet"))
+      .select(lit(0L), col("content")).as[(Long, Array[Byte])]
+    ParquetFile.decodeColumnSums(media).toDF()
+      .where(col("valid"))
+      .groupBy(col("col_path"))
+      .agg(sum(col("n_values")).as("n_values"),
+        sum(col("n_nonnull")).as("n_nonnull"),
+        sum(col("sum_long")).as("sum_long"),
+        sum(col("sum_blen")).as("sum_blen"),
+        sum(col("sum_bytes")).as("sum_bytes"))
+  }
+
+  /** lang/source are ASCII in the table, so DuckDB's per-char `ord`
+    * equals the decoder's unsigned UTF-8 byte sum; `strlen` is the
+    * byte length. */
+  private val ParquetPagesOracle: String =
+    """SELECT 'doc_id' AS col_path,
+        CAST(count(*) AS BIGINT) AS n_values,
+        CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+        CAST(sum(doc_id) AS BIGINT) AS sum_long,
+        CAST(0 AS BIGINT) AS sum_blen, CAST(0 AS BIGINT) AS sum_bytes
+      FROM documents
+      UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT),
+        CAST(count(lang) AS BIGINT), CAST(0 AS BIGINT),
+        CAST(sum(strlen(lang)) AS BIGINT),
+        CAST(sum(list_sum(list_transform(range(1, len(lang) + 1),
+          i -> ord(lang[i])))) AS BIGINT) FROM documents
+      UNION ALL SELECT 'n_chars', CAST(count(*) AS BIGINT),
+        CAST(count(n_chars) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+        CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM documents
+      UNION ALL SELECT 'source', CAST(count(*) AS BIGINT),
+        CAST(count(source) AS BIGINT), CAST(0 AS BIGINT),
+        CAST(sum(strlen(source)) AS BIGINT),
+        CAST(sum(list_sum(list_transform(range(1, len(source) + 1),
+          i -> ord(source[i])))) AS BIGINT) FROM documents"""
+
   /** Shared DuckDB oracle fragments for the PQ family (q135/q136/q145):
     * per-subspace assignment CTEs (`a0/w0 … a{m-1}/w{m-1}`), the join
     * chain attaching each winning sub-centroid, and the list-slice
@@ -5255,6 +5314,25 @@ object LlmQueries {
         UNION ALL SELECT 'n_chars', CAST(count(*) AS BIGINT),
           CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT)
           FROM documents""")),
+
+    // ---- Parquet DATA-PAGE decode (r10 — the reader below the
+    // footer: V1 pages, PLAIN + dictionary encodings, definition
+    // levels, per-page CRC32; q203 = uncompressed/no-dictionary
+    // layout, q204 = Spark's DEFAULT layout, snappy pages + dict-
+    // encoded low-cardinality columns with parquet-mr's PLAIN
+    // fallback on the all-unique key). Spark's own writer produces
+    // the bytes; our codec reads the VALUES back (sums, null counts,
+    // byte lengths, unsigned byte sums) and the oracle replays them
+    // from the source table — a reader with the RLE/bit-packed
+    // hybrid, the def-level prefix, the dict indices, the snappy
+    // frames or the CRC wrong cannot match.
+    "q203_parquet_pages" -> Query(
+      (s, dir) => parquetPages(s, dir, "plain", "uncompressed",
+        dict = false),
+      Some(ParquetPagesOracle)),
+    "q204_parquet_default" -> Query(
+      (s, dir) => parquetPages(s, dir, "dflt", "snappy", dict = true),
+      Some(ParquetPagesOracle)),
 
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train

@@ -47,8 +47,11 @@ class ParquetFooterSpec extends SparkSpec {
     mine.numRows shouldBe blocks.stream()
       .mapToLong(_.getRowCount).sum()
     mine.rowGroups.length shouldBe blocks.size()
-    mine.leaves.map(_._1) shouldBe Vector("id", "v", "s")
-    mine.leaves.map(_._2) shouldBe Vector(2, 2, 6) // INT64/INT64/BYTE_ARRAY
+    mine.leaves.map(_.path) shouldBe Vector("id", "v", "s")
+    mine.leaves.map(_.ptype) shouldBe Vector(2, 2, 6) // INT64/INT64/BYTE_ARRAY
+    // primitive Scala columns are non-nullable → REQUIRED → maxDef 0
+    mine.leaves.map(_.maxDef) shouldBe Vector(0, 0, 1)
+    mine.leaves.map(_.maxRep) shouldBe Vector(0, 0, 0)
     for (i <- mine.rowGroups.indices) {
       val rg = mine.rowGroups(i); val bl = blocks.get(i)
       rg.numRows shouldBe bl.getRowCount
@@ -116,7 +119,7 @@ class ParquetFooterSpec extends SparkSpec {
     val f = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
     val mine = ParquetFile.parseFooterMeta(Files.readAllBytes(f.toPath))
-    mine.leaves shouldBe Vector(("k", 1)) // INT32
+    mine.leaves shouldBe Vector(ParquetFile.Leaf("k", 1, 0, 0)) // INT32
     mine.rowGroups.head.chunks.head.stats.minLong shouldBe Some(-50L)
     mine.rowGroups.head.chunks.head.stats.maxLong shouldBe Some(49L)
   }

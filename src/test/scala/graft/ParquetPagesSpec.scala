@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.ParquetFile
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+
+/** Parquet data-page decode (q203/q204): values read back through the
+  * footer offsets from files Spark's real writer produced — PLAIN and
+  * dictionary encodings, def levels, snappy pages, CRC verification. */
+class ParquetPagesSpec extends SparkSpec {
+
+  // rows: (id, v, s) with nulls in v and multi-byte UTF-8 in s
+  private def rows(n: Int): Seq[(Long, Option[Long], String)] =
+    (0 until n).map { i =>
+      val v = if (i % 3 == 0) None else Some((i.toLong * 7) % 500 - 100)
+      val s = if (i % 11 == 0) "é±" + i else "s" * (1 + i % 5) + i
+      (i.toLong, v, s)
+    }
+
+  private def expected(data: Seq[(Long, Option[Long], String)])
+      : Map[String, (Long, Long, Long, Long, Long)] = {
+    val n = data.length.toLong
+    val vs = data.flatMap(_._2)
+    val ss = data.map(_._3.getBytes("UTF-8"))
+    Map(
+      "id" -> ((n, n, data.map(_._1).sum, 0L, 0L)),
+      "v" -> ((n, vs.length.toLong, vs.sum, 0L, 0L)),
+      "s" -> ((n, n, 0L, ss.map(_.length.toLong).sum,
+        ss.map(_.map(b => (b & 0xff).toLong).sum).sum)))
+  }
+
+  private def write(data: Seq[(Long, Option[Long], String)],
+                    codec: String, dict: Boolean,
+                    blockSize: Int = 64 * 1024): Array[Byte] = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pqp_").toString
+    data.toDF("id", "v", "s")
+      .repartition(1).sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("compression", codec)
+      .option("parquet.block.size", blockSize.toString)
+      .option("parquet.page.size", (blockSize / 4).toString)
+      .option("parquet.enable.dictionary", dict.toString)
+      .parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.readAllBytes(f.toPath)
+  }
+
+  private def check(bytes: Array[Byte],
+                    data: Seq[(Long, Option[Long], String)]): Unit = {
+    val out = ParquetFile.parseColumnSums(9L, bytes)
+    out.forall(_.valid) shouldBe true
+    val got = out.map(r => r.col_path ->
+      ((r.n_values, r.n_nonnull, r.sum_long, r.sum_blen,
+        r.sum_bytes))).toMap
+    got shouldBe expected(data)
+  }
+
+  test("PLAIN uncompressed: sums match the written values, nulls " +
+      "tracked through the def levels") {
+    val data = rows(5000)
+    check(write(data, "uncompressed", dict = false), data)
+  }
+
+  test("snappy + dictionary (Spark defaults): the dict page, the " +
+      "RLE/bit-packed index pages and the per-page snappy frames all " +
+      "decode to the same sums") {
+    val data = rows(5000)
+    check(write(data, "snappy", dict = true), data)
+  }
+
+  test("multiple row groups and pages: per-chunk walks restart " +
+      "cleanly at every row-group boundary") {
+    val data = rows(60000)
+    check(write(data, "snappy", dict = true, blockSize = 8 * 1024), data)
+    check(write(data, "uncompressed", dict = false,
+      blockSize = 8 * 1024), data)
+  }
+
+  test("page CRC is verified: a bit flip in page data is caught even " +
+      "where sums would still be computable") {
+    val data = rows(2000)
+    val bytes = write(data, "uncompressed", dict = false)
+    // locate the first data page region (after magic, before footer)
+    // and flip one byte; CRC must reject the file
+    val m = bytes.clone()
+    m(100) = (m(100) ^ 0x10).toByte
+    val out = ParquetFile.parseColumnSums(1L, m)
+    out.exists(_.valid) shouldBe false
+  }
+
+  test("never-throw under truncation and fuzz") {
+    val data = rows(300)
+    val bytes = write(data, "snappy", dict = true)
+    for (keep <- Seq(0, 4, 100, bytes.length / 2, bytes.length - 1)) {
+      val t = java.util.Arrays.copyOf(bytes, keep)
+      ParquetFile.parseColumnSums(2L, t).exists(_.valid) shouldBe false
+    }
+    val rnd = new scala.util.Random(5)
+    for (_ <- 0 until 300) {
+      val m = bytes.clone()
+      val i = rnd.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      ParquetFile.parseColumnSums(3L, m) // must not throw
+    }
+  }
+
+  test("decodeColumnSums runs map-side over a Dataset and agrees with " +
+      "a Spark read of the same file") {
+    import spark.implicits._
+    val data = rows(1200)
+    val bytes = write(data, "snappy", dict = true)
+    val ds = spark.createDataset(Seq((4L, bytes)))
+    val got = ParquetFile.decodeColumnSums(ds).collect()
+      .map(r => r.col_path -> r.sum_long).toMap
+    // cross-check against Spark's own reader over a fresh write
+    val dir = Files.createTempDirectory("graft_pqp_x_").toString
+    data.toDF("id", "v", "s").write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum("id"),
+        org.apache.spark.sql.functions.sum("v")).head()
+    got("id") shouldBe back.getLong(0)
+    got("v") shouldBe back.getLong(1)
+  }
+}
