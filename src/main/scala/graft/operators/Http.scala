@@ -10,9 +10,12 @@ import org.apache.spark.sql.Dataset
   *
   * Subset (RFC 9112): status line `HTTP/1.1 SP 3-digit SP reason
   * CRLF`; header lines `Name: value` (names case-insensitive for the
-  * fields read here); `Content-Length` REQUIRED and it must equal the
-  * remaining body length exactly (no chunked transfer in the subset —
-  * WARC writers store decoded bodies); `Content-Type` split into
+  * fields read here); either `Content-Length` (it must equal the
+  * remaining body length exactly) or `Transfer-Encoding: chunked`
+  * (r10 — raw captures keep the wire framing: hex-size lines, CRLF
+  * framing per chunk, zero-chunk terminator, NO trailers, landing
+  * exactly on the record end; both headers together reject);
+  * `Content-Type` split into
   * media type and optional `charset=` parameter; `Content-Encoding:
   * gzip` (r10 — how real servers ship compressed bodies and many
   * crawls store them) gunzips the body through a full RFC 1952 member
@@ -83,6 +86,41 @@ object Http {
     * (null when invalid) — the r10 [[Wet]] seam consumes them, and
     * with `Content-Encoding: gzip` the decoded body is not a slice of
     * the message. */
+  /** De-chunk a `Transfer-Encoding: chunked` body occupying
+    * `[start, b.length)` exactly: hex-size line (no extensions) CRLF
+    * data CRLF, repeated; zero chunk then ONE final CRLF (no trailers
+    * in the subset) landing on the record end. Output is bounded by
+    * the input (chunks are literal bytes — no expansion). */
+  private def dechunk(b: Array[Byte], start: Int): Array[Byte] = {
+    def fail(): Nothing = throw Warc.Malformed
+    val out = new java.io.ByteArrayOutputStream(256)
+    var p = start
+    var done = false
+    while (!done) {
+      var e = p
+      while (e + 1 < b.length &&
+        !(b(e) == '\r' && b(e + 1) == '\n')) e += 1
+      if (e + 1 >= b.length) fail()
+      val line = new String(b, p, e - p, "ISO-8859-1")
+      if (line.isEmpty || line.length > 8 || !line.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F'))) fail()
+      val sz = java.lang.Long.parseLong(line, 16)
+      p = e + 2
+      if (sz == 0L) {
+        if (p + 2 != b.length || b(p) != '\r' || b(p + 1) != '\n') fail()
+        done = true
+      } else {
+        if (sz > b.length - p - 2L) fail()
+        out.write(b, p, sz.toInt)
+        p += sz.toInt
+        if (b(p) != '\r' || b(p + 1) != '\n') fail()
+        p += 2
+      }
+    }
+    out.toByteArray
+  }
+
   private[operators] def parseResponseBody(id: Long, idx: Long,
       b: Array[Byte]): (HttpInfo, Array[Byte]) = {
     val invalid = (HttpInfo(id, idx, 0L, "", "", 0L, 0L, 0L,
@@ -106,7 +144,7 @@ object Http {
       }
       p += 2
       var mediaType = ""; var charset = ""
-      var gzipBody = false
+      var gzipBody = false; var chunked = false
       var contentLen = -1L; var nHeaders = 0L
       while (!(p + 1 < b.length && b(p) == '\r' && b(p + 1) == '\n')) {
         val e = lineEnd(p)
@@ -125,6 +163,10 @@ object Http {
             if (value.trim.toLowerCase(java.util.Locale.ROOT) != "gzip")
               fail() // subset: identity (absent) or gzip only
             gzipBody = true
+          case "transfer-encoding" =>
+            if (value.trim.toLowerCase(java.util.Locale.ROOT) !=
+              "chunked") fail() // subset: identity or chunked only
+            chunked = true
           case "content-type" =>
             val semi = value.indexOf(';')
             mediaType = (if (semi < 0) value
@@ -146,11 +188,18 @@ object Http {
         p = e + 2
       }
       p += 2 // past the blank line
-      if (contentLen < 0) fail()
-      if (p.toLong + contentLen != b.length) fail() // exact framing
+      // RFC 9112: a message with both framings is an attack shape —
+      // reject; one of the two is required
+      if (chunked == (contentLen >= 0)) fail()
+      val stored =
+        if (chunked) dechunk(b, p)
+        else {
+          if (p.toLong + contentLen != b.length) fail() // exact framing
+          java.util.Arrays.copyOfRange(b, p, p + contentLen.toInt)
+        }
       val body =
-        if (gzipBody) gunzip(b, p, contentLen.toInt)
-        else java.util.Arrays.copyOfRange(b, p, p + contentLen.toInt)
+        if (gzipBody) gunzip(stored, 0, stored.length)
+        else stored
       var sum = 0L
       var j = 0
       while (j < body.length) { sum += body(j) & 0xff; j += 1 }
@@ -232,6 +281,111 @@ object Http {
           val body = if (gz) Warc.gzipMember(raw, None) else raw
           if (gz) sb.append("Content-Encoding: gzip\r\n")
           sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
+          val head = sb.toString.getBytes("ISO-8859-1")
+          val full = new Array[Byte](head.length + body.length)
+          System.arraycopy(head, 0, full, 0, head.length)
+          System.arraycopy(body, 0, full, head.length, body.length)
+          full
+        } else {
+          val clen = 30 + ((seed + 11 * i) % 170)
+          val p = new Array[Byte](clen)
+          var j = 0
+          while (j < clen) { p(j) = ((seed + 3 * i + j) % 256).toByte; j += 1 }
+          p
+        }
+      val head = new StringBuilder()
+        .append("WARC/1.0\r\n")
+        .append("WARC-Type: ").append(typ).append("\r\n")
+        .append("WARC-Record-ID: <urn:uuid:").append(seed).append('-')
+        .append(i).append(">\r\n")
+        .append("WARC-Target-URI: http://h").append(host)
+        .append(".example/p/").append(i).append("\r\n")
+        .append("Content-Length: ").append(payload.length)
+        .append("\r\n\r\n").toString.getBytes("ISO-8859-1")
+      val rec = new Array[Byte](head.length + payload.length + 4)
+      System.arraycopy(head, 0, rec, 0, head.length)
+      System.arraycopy(payload, 0, rec, head.length, payload.length)
+      rec(rec.length - 4) = '\r'; rec(rec.length - 3) = '\n'
+      rec(rec.length - 2) = '\r'; rec(rec.length - 1) = '\n'
+      out.write(Warc.gzipMember(rec,
+        if (i % 4 == 1) Some(s"rec-$i") else None))
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** A `.warc.gz` whose `response` records exercise all FOUR
+    * transport framings by `(seed+i)%4`: 0 plain Content-Length,
+    * 1 gzip + Content-Length, 2 chunked, 3 gzip THEN chunked (the
+    * wire order: CE applied first, TE framing outermost). Chunk size
+    * is `7 + i%5` so chunk boundaries land mid-body everywhere; the
+    * DECODED body keeps the q185 formulas (length `20 +
+    * ((seed+7i)%120)`, byte j `(seed+2i+j)%256`), so the oracle
+    * replay is transport-independent — only a decoder with the hex
+    * framing, the zero-chunk terminator and the CE/TE layering right
+    * reproduces the stats. Non-response records keep the q178
+    * opaque-payload formulas. */
+  def warcChunkedPayload(nRecords: Int, seed: Int): Array[Byte] = {
+    require(nRecords >= 1 && nRecords <= 4096, s"bad nRecords $nRecords")
+    require(seed >= 0, s"bad seed $seed")
+    def chunk(raw: Array[Byte], sz: Int): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(raw.length + 64)
+      var off = 0
+      while (off < raw.length) {
+        val n = math.min(sz, raw.length - off)
+        o.write(Integer.toHexString(n).getBytes("ISO-8859-1"))
+        o.write('\r'); o.write('\n')
+        o.write(raw, off, n)
+        o.write('\r'); o.write('\n')
+        off += n
+      }
+      o.write('0'); o.write('\r'); o.write('\n')
+      o.write('\r'); o.write('\n')
+      o.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < nRecords) {
+      val typ = (i % 3: @unchecked) match {
+        case 0 => "response"; case 1 => "request"; case 2 => "metadata"
+      }
+      val host = (seed + i) % 5
+      val payload: Array[Byte] =
+        if (typ == "response") {
+          val code = ((seed + i) % 3: @unchecked) match {
+            case 0 => "200 OK"; case 1 => "301 Moved"; case 2 => "404 NF"
+          }
+          val sb = new StringBuilder()
+          sb.append("HTTP/1.1 ").append(code).append("\r\n")
+          sb.append("Content-Type: ")
+            .append(if (i % 2 == 0) "text/html; charset=UTF-8"
+                    else "text/plain").append("\r\n")
+          val nFill = 2 + (seed + i) % 3
+          var f = 0
+          while (f < nFill) {
+            sb.append("X-Fill-").append(f).append(": v").append(f)
+              .append("\r\n")
+            f += 1
+          }
+          val blen = 20 + ((seed + 7 * i) % 120)
+          val raw = new Array[Byte](blen)
+          var j = 0
+          while (j < blen) {
+            raw(j) = ((seed + 2 * i + j) % 256).toByte; j += 1
+          }
+          val mode = (seed + i) % 4
+          val gz = mode == 1 || mode == 3
+          val enc = if (gz) Warc.gzipMember(raw, None) else raw
+          if (gz) sb.append("Content-Encoding: gzip\r\n")
+          val body =
+            if (mode >= 2) {
+              sb.append("Transfer-Encoding: chunked\r\n\r\n")
+              chunk(enc, 7 + i % 5)
+            } else {
+              sb.append("Content-Length: ").append(enc.length)
+                .append("\r\n\r\n")
+              enc
+            }
           val head = sb.toString.getBytes("ISO-8859-1")
           val full = new Array[Byte](head.length + body.length)
           System.arraycopy(head, 0, full, 0, head.length)

@@ -5334,6 +5334,45 @@ object LlmQueries {
       (s, dir) => parquetPages(s, dir, "dflt", "snappy", dict = true),
       Some(ParquetPagesOracle)),
 
+    // ---- HTTP chunked transfer-encoding (r10 — RAW captures keep
+    // the wire framing; q185's stored-body subset now widens to all
+    // four transport framings: plain CL, gzip+CL, chunked, and gzip
+    // UNDER chunked in the wire's own layering — CE applied first,
+    // TE framing outermost): hex-size lines with CRLF framing per
+    // chunk, zero-chunk terminator, no trailers, landing exactly on
+    // the record end; both framings together reject (the smuggling
+    // shape). The oracle replays the transport-INDEPENDENT decoded
+    // formulas, so a decoder with the hex walk, the terminator, or
+    // the CE/TE order wrong cannot match.
+    "q206_http_chunked" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Http.warcChunkedPayload((2 + id % 7).toInt,
+              (id % 13).toInt))))
+        Http.decodeWarcHttp(media).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 2 + doc_id % 7 AS n,
+              doc_id % 13 AS seed FROM documents),
+          r AS (SELECT media_id, seed, i
+            FROM m, LATERAL (SELECT unnest(range(n)) AS i)
+            WHERE i % 3 = 0)
+        SELECT media_id, CAST(i AS BIGINT) AS rec_idx,
+          CAST(CASE (seed + i) % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+            ELSE 404 END AS BIGINT) AS status,
+          CASE WHEN i % 2 = 0 THEN 'text/html' ELSE 'text/plain' END
+            AS media_type,
+          CASE WHEN i % 2 = 0 THEN 'utf-8' ELSE '' END AS charset,
+          CAST(4 + (seed + i) % 3
+            + CASE WHEN (seed + i) % 4 IN (1, 3) THEN 1 ELSE 0 END
+            AS BIGINT) AS n_headers,
+          CAST(20 + ((seed + 7 * i) % 120) AS BIGINT) AS body_len,
+          CAST(list_sum(list_transform(range(20 + ((seed + 7 * i) % 120)),
+              j -> (seed + 2 * i + j) % 256)) AS BIGINT) AS body_sum,
+          true AS valid
+        FROM r""")),
+
     // ---- multinomial Naive Bayes quality classifier (closed-form
     // train + apply — the CCNet/fastText quality-filter shape): train
     // on the doc_id%3!=0 subset weak-labeled by token count >= median,

@@ -65,6 +65,73 @@ class HttpSpec extends SparkSpec {
     Http.parseResponse(1L, 0L, shortMsg).valid shouldBe false
   }
 
+  test("Transfer-Encoding chunked: all four transport framings " +
+      "round-trip to the same decoded stats (r10)") {
+    import spark.implicits._
+    def expectedChunked(id: Long, n: Int, seed: Int): Seq[Http.HttpInfo] =
+      (0 until n).filter(_ % 3 == 0).map { i =>
+        val blen = 20 + ((seed + 7 * i) % 120)
+        val ce = (seed + i) % 4 == 1 || (seed + i) % 4 == 3
+        Http.HttpInfo(id, i.toLong,
+          Seq(200L, 301L, 404L)((seed + i) % 3),
+          if (i % 2 == 0) "text/html" else "text/plain",
+          if (i % 2 == 0) "utf-8" else "",
+          4L + (seed + i) % 3 + (if (ce) 1L else 0L),
+          blen.toLong,
+          (0 until blen).map(j => ((seed + 2 * i + j) % 256).toLong).sum,
+          valid = true)
+      }
+    for (n <- Seq(1, 4, 7, 8); seed <- 0 until 13) {
+      val ds = spark.createDataset(Seq(
+        (n * 100L + seed, Http.warcChunkedPayload(n, seed))))
+      val got = Http.decodeWarcHttp(ds).collect().sortBy(_.rec_idx).toSeq
+      got shouldBe expectedChunked(n * 100L + seed, n, seed)
+    }
+  }
+
+  test("chunked strictness: smuggling shape, extensions, trailers and " +
+      "framing mutations reject; hex case accepted") {
+    def p(s: String): Http.HttpInfo =
+      Http.parseResponse(1L, 0L, s.getBytes("ISO-8859-1"))
+    val head = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n"
+    val ok = p(head + "5\r\nhello\r\n3\r\nwor\r\n0\r\n\r\n")
+    ok.valid shouldBe true
+    ok.body_len shouldBe 8L
+    ok.body_sum shouldBe "hellowor".getBytes.map(_.toLong).sum
+    // uppercase hex size
+    p(head + "A\r\nhelloworld\r\n0\r\n\r\n").valid shouldBe true
+    // BOTH framings present = the request-smuggling shape → reject
+    p("HTTP/1.1 200 OK\r\nContent-Length: 8\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n5\r\nhello\r\n3\r\nwor\r\n0\r\n\r\n")
+      .valid shouldBe false
+    // chunk extension out of subset
+    p(head + "5;x=1\r\nhello\r\n0\r\n\r\n").valid shouldBe false
+    // trailer section out of subset
+    p(head + "5\r\nhello\r\n0\r\nX-T: v\r\n\r\n").valid shouldBe false
+    // size lies: CRLF lands mid-data
+    p(head + "4\r\nhello\r\n0\r\n\r\n").valid shouldBe false
+    // missing final CRLF
+    p(head + "5\r\nhello\r\n0\r\n").valid shouldBe false
+    // trailing junk after the terminator
+    p(head + "5\r\nhello\r\n0\r\n\r\nz").valid shouldBe false
+    // unknown transfer coding
+    p("HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nx")
+      .valid shouldBe false
+    // gzip UNDER chunked: CE first, TE outermost — decoded stats
+    val raw = Array.tabulate(64)(k => ((k * 11) % 256).toByte)
+    val gz = Warc.gzipMember(raw, None)
+    val chunks = gz.grouped(9).map { g =>
+      Integer.toHexString(g.length) + "\r\n" +
+        new String(g, "ISO-8859-1") + "\r\n"
+    }.mkString + "0\r\n\r\n"
+    val both = p("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" + chunks)
+    both.valid shouldBe true
+    both.body_len shouldBe 64L
+    both.body_sum shouldBe raw.map(_ & 0xff).map(_.toLong).sum
+  }
+
   test("status line strictness") {
     def p(s: String): Http.HttpInfo =
       Http.parseResponse(1L, 0L, s.getBytes("ISO-8859-1"))
