@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
 import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pdf, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Tiff, Warc, Wet}
-import graft.operators.{DomainSuffix, ParquetFile}
+import graft.operators.{DomainSuffix, ParquetFile, Zip}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -5333,6 +5333,41 @@ object LlmQueries {
     "q204_parquet_default" -> Query(
       (s, dir) => parquetPages(s, dir, "dflt", "snappy", dict = true),
       Some(ParquetPagesOracle)),
+
+    // ---- ZIP container walk (r10 — the OTHER bundle format public
+    // datasets ship in; tar covers the unix lineage, q182): the REAL
+    // JDK writer produces the archives (deflate means file bytes
+    // share no structure with the payload formulas), and the
+    // dependency-free walk starts from the EOCD backward scan,
+    // resolves the authoritative central directory, matches every
+    // local header, inflates method-8 entries exactly and verifies
+    // each CRC-32 — the payload byte sum the oracle replays cannot
+    // be produced with any of those steps wrong.
+    "q205_zip_scan" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Zip.zipPayload((1 + id % 6).toInt, (id % 13).toInt))))
+        Zip.decodeZip(media).toDF()
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, 1 + doc_id % 6 AS ne,
+              doc_id % 13 AS seed FROM documents),
+          e AS (SELECT media_id, seed, f, 20 + (seed + f) % 50 AS len,
+              CASE WHEN (seed + f) % 2 = 0 THEN 0 ELSE 1 END AS defl
+            FROM m, LATERAL (SELECT unnest(range(ne)) AS f)),
+          p AS (SELECT media_id, len, defl,
+              list_sum(list_transform(range(len),
+                j -> (seed + 3 * f + j) % 256)) AS psum,
+              strlen('e' || f || '_' || seed || '.txt') AS nlen
+            FROM e)
+        SELECT media_id, CAST(count(*) AS BIGINT) AS n_entries,
+          CAST(sum(defl) AS BIGINT) AS n_deflated,
+          CAST(sum(len) AS BIGINT) AS sum_usize,
+          CAST(sum(psum) AS BIGINT) AS sum_payload,
+          CAST(sum(nlen) AS BIGINT) AS sum_name_len,
+          true AS valid
+        FROM p GROUP BY media_id""")),
 
     // ---- HTTP chunked transfer-encoding (r10 — RAW captures keep
     // the wire framing; q185's stored-body subset now widens to all
