@@ -544,6 +544,39 @@ object ParquetFile {
     }
   }
 
+  /** One complete RFC 1952 gzip member occupying exactly
+    * `[off, off+len)` (the Parquet GZIP page framing): CM=8, FLG=0
+    * (what the JDK/parquet-mr writer emits), raw inflate to exactly
+    * `expect` bytes, CRC-32 + ISIZE verified, no slack. */
+  private def gunzipPage(b: Array[Byte], off: Int, len: Int,
+      expect: Int): Array[Byte] = {
+    if (len < 18 || expect < 0 || expect > MaxPage) fail()
+    if (b(off) != 0x1f.toByte || b(off + 1) != 0x8b.toByte ||
+      b(off + 2) != 8 || b(off + 3) != 0) fail()
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(b, off + 10, len - 18)
+      val out = new Array[Byte](expect)
+      var w = 0
+      while (w < expect && !inf.finished()) {
+        val n = inf.inflate(out, w, expect - w)
+        if (n == 0 && !inf.finished()) fail()
+        w += n
+      }
+      if (w != expect || !inf.finished() || inf.getRemaining != 0) fail()
+      val crc = new java.util.zip.CRC32()
+      crc.update(out)
+      def le32(o: Int): Long =
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      if (le32(off + len - 8) != (crc.getValue & 0xffffffffL)) fail()
+      if (le32(off + len - 4) != (expect.toLong & 0xffffffffL)) fail()
+      out
+    } catch {
+      case _: java.util.zip.DataFormatException => fail()
+    } finally inf.end()
+  }
+
   private final class DictAgg(val n: Int) {
     val vals = new Array[Long](n)
     val lens = new Array[Long](n)
@@ -615,7 +648,10 @@ object ParquetFile {
         case 1 =>
           val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
           (d, 0, d.length)
-        case _ => fail() // GZIP/ZSTD/… out of subset
+        case 2 => // GZIP: each page is one complete RFC 1952 member
+          val d = gunzipPage(b, cstart, h.cmp, h.unc)
+          (d, 0, d.length)
+        case _ => fail() // BROTLI/LZ4/ZSTD/… out of subset
       }
       h.ptype match {
         case 2 => // dictionary page: PLAIN payload
@@ -673,6 +709,185 @@ object ParquetFile {
       }
       pos = cstart + h.cmp
     }
+  }
+
+  /** Row-wise chunk walk: `onValue(defined, long, blen, bsum)` fires
+    * once per ROW in row order (null rows as `defined=false` zeros) —
+    * the alignment the pruned selective read (q208) needs to mask a
+    * value column by a key column's predicate positionally. */
+  private def walkChunkRows(b: Array[Byte], c: Chunk, lf: Leaf)(
+      onValue: (Boolean, Long, Long, Long) => Unit): Unit = {
+    if (lf.maxRep != 0 || lf.maxDef > 1) fail()
+    val startL =
+      if (c.dictPageOff > 0 && c.dictPageOff < c.dataPageOff)
+        c.dictPageOff
+      else c.dataPageOff
+    if (startL < 0 || startL >= b.length) fail()
+    var pos = startL.toInt
+    var dict: DictAgg = null
+    var remaining = c.numValues
+    while (remaining > 0) {
+      val r = new TReader(b, pos, b.length)
+      val h = readPageHeader(r)
+      if (h.v2) fail()
+      val cstart = r.pos
+      if (h.cmp > b.length - cstart) fail()
+      h.crc.foreach { cv =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, cstart, h.cmp)
+        if ((crc.getValue & 0xffffffffL) != (cv & 0xffffffffL)) fail()
+      }
+      val (pb, pOff, pEnd) = c.codec match {
+        case 0 =>
+          if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
+        case 1 =>
+          val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
+          (d, 0, d.length)
+        case 2 =>
+          val d = gunzipPage(b, cstart, h.cmp, h.unc)
+          (d, 0, d.length)
+        case _ => fail()
+      }
+      h.ptype match {
+        case 2 =>
+          if (dict != null || h.dictNv < 0) fail()
+          if (h.dictEnc != 0 && h.dictEnc != 2) fail()
+          dict = new DictAgg(h.dictNv)
+          var j = 0
+          val endp = plainDecode(pb, pOff, pEnd, h.dictNv, c.ptype) {
+            (v, l, s) =>
+              dict.vals(j) = v; dict.lens(j) = l; dict.sums(j) = s
+              j += 1
+          }
+          if (endp != pEnd) fail()
+        case 0 =>
+          if (h.nv < 0 || h.nv > remaining) fail()
+          var p = pOff
+          var defMask: Array[Boolean] = null
+          var k = h.nv
+          if (lf.maxDef == 1) {
+            if (h.defEnc != 3) fail()
+            if (4 > pEnd - p) fail()
+            val len = (pb(p) & 0xff) | ((pb(p + 1) & 0xff) << 8) |
+              ((pb(p + 2) & 0xff) << 16) | ((pb(p + 3) & 0xff) << 24)
+            p += 4
+            if (len < 0 || len > pEnd - p) fail()
+            defMask = new Array[Boolean](h.nv)
+            var w = 0; var nn = 0
+            rleHybrid(pb, p, p + len, 1, h.nv) { (v, run) =>
+              if (v != 0 && v != 1) fail()
+              val d = v == 1
+              var t = 0
+              while (t < run) { defMask(w) = d; w += 1; t += 1 }
+              if (d) nn += run
+            }
+            p += len
+            k = nn
+          }
+          // buffer the k defined values, then emit rows in order
+          val vv = new Array[Long](k)
+          val ll = new Array[Long](k)
+          val ss = new Array[Long](k)
+          var j = 0
+          h.enc match {
+            case 0 =>
+              val endp = plainDecode(pb, p, pEnd, k, c.ptype) {
+                (v, l, s) => vv(j) = v; ll(j) = l; ss(j) = s; j += 1
+              }
+              if (endp != pEnd) fail()
+            case 2 | 8 =>
+              if (dict == null) fail()
+              if (p >= pEnd) { if (k != 0) fail() }
+              else {
+                val bw = pb(p) & 0xff; p += 1
+                rleHybrid(pb, p, pEnd, bw, k) { (v, run) =>
+                  if (v < 0 || v >= dict.n) fail()
+                  var t = 0
+                  while (t < run) {
+                    vv(j) = dict.vals(v); ll(j) = dict.lens(v)
+                    ss(j) = dict.sums(v); j += 1; t += 1
+                  }
+                }
+              }
+            case _ => fail()
+          }
+          if (j != k) fail()
+          var rI = 0; var vI = 0
+          while (rI < h.nv) {
+            if (defMask == null || defMask(rI)) {
+              onValue(true, vv(vI), ll(vI), ss(vI)); vI += 1
+            } else onValue(false, 0L, 0L, 0L)
+            rI += 1
+          }
+          remaining -= h.nv
+        case _ => fail()
+      }
+      pos = cstart + h.cmp
+    }
+  }
+
+  /** Pruned selective read (the scan planner's job, run by OUR codec):
+    * row groups whose key-column [min,max] statistics cannot intersect
+    * `[lo, hi]` are SKIPPED without touching a page; surviving groups
+    * decode the key chunk row-wise, build the predicate mask, and
+    * apply it positionally to the value chunk. */
+  final case class PrunedReadRow(media_id: Long, n_rows_matched: Long,
+      sum_key: Long, sum_val: Long, n_rgs: Long, n_rgs_scanned: Long,
+      valid: Boolean)
+
+  private[graft] def parsePrunedSum(id: Long, b: Array[Byte],
+      keyPath: String, valPath: String, lo: Long,
+      hi: Long): PrunedReadRow = {
+    val invalid = PrunedReadRow(id, 0L, 0L, 0L, 0L, 0L, valid = false)
+    try {
+      val m = parseFooterMeta(b)
+      val ki = m.leaves.indexWhere(_.path == keyPath)
+      val vi = m.leaves.indexWhere(_.path == valPath)
+      if (ki < 0 || vi < 0) fail()
+      var matched = 0L; var sumKey = 0L; var sumVal = 0L
+      var scanned = 0L
+      m.rowGroups.foreach { rg =>
+        val kc = rg.chunks(ki)
+        val skip = (kc.stats.minLong, kc.stats.maxLong) match {
+          case (Some(mn), Some(mx)) => mx < lo || mn > hi
+          case _                    => false // no stats → must scan
+        }
+        if (!skip) {
+          scanned += 1
+          if (rg.numRows > Int.MaxValue - 8) fail()
+          val mask = new Array[Boolean](rg.numRows.toInt)
+          var w = 0
+          walkChunkRows(b, kc, m.leaves(ki)) { (defined, v, _, _) =>
+            if (w >= mask.length) fail()
+            if (defined && v >= lo && v <= hi) {
+              mask(w) = true; matched += 1; sumKey += v
+            }
+            w += 1
+          }
+          if (w != mask.length) fail()
+          var w2 = 0
+          walkChunkRows(b, rg.chunks(vi), m.leaves(vi)) {
+            (defined, v, _, _) =>
+              if (w2 >= mask.length) fail()
+              if (defined && mask(w2)) sumVal += v
+              w2 += 1
+          }
+          if (w2 != mask.length) fail()
+        }
+      }
+      PrunedReadRow(id, matched, sumKey, sumVal,
+        m.rowGroups.length.toLong, scanned, valid = true)
+    } catch { case _: Throwable => invalid }
+  }
+
+  /** Map-side pruned read over (media_id, file bytes) rows. */
+  def decodePrunedSum(media: Dataset[(Long, Array[Byte])],
+      keyPath: String, valPath: String, lo: Long,
+      hi: Long): Dataset[PrunedReadRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { case (id, bytes) =>
+      parsePrunedSum(id, bytes, keyPath, valPath, lo, hi)
+    })
   }
 
   /** Never-throw row API: per-leaf value aggregates decoded from the

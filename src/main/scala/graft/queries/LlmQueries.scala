@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -445,11 +445,13 @@ object LlmQueries {
 
   private val sqlToks = sqlTokens("text")
 
-  /** q203/q204 shared body: Spark's real writer lays the artifact out
-    * under the requested codec/dictionary options; the dependency-free
-    * page decoder reads the values back map-side. */
-  private def parquetPages(s: SparkSession, dir: String, tag: String,
-      codec: String, dict: Boolean): DataFrame = {
+  /** Shared artifact builder for the Parquet-reader family: Spark's
+    * real writer lays the four-column projection out under the
+    * requested codec/dictionary/block options; returns the file
+    * bytes as a media Dataset for the codec seam. */
+  private def parquetArtifactMedia(s: SparkSession, dir: String,
+      tag: String, codec: String, dict: Boolean,
+      blockSize: Int): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     // per-run artifact path (the q142/q146 rule: no cross-run race)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_pqp_" +
@@ -464,12 +466,20 @@ object LlmQueries {
         col("n_chars").cast("long").as("n_chars"))
       .repartition(1).sortWithinPartitions("doc_id")
       .write.option("compression", codec)
-      .option("parquet.block.size", (256 * 1024).toString)
+      .option("parquet.block.size", blockSize.toString)
       .option("parquet.enable.dictionary", dict.toString)
       .parquet(base)
-    val media = s.read.format("binaryFile").load(base)
+    s.read.format("binaryFile").load(base)
       .filter(col("path").endsWith(".parquet"))
       .select(lit(0L), col("content")).as[(Long, Array[Byte])]
+  }
+
+  /** q203/q204/q207 shared body: per-column value aggregates decoded
+    * from the pages by the dependency-free reader. */
+  private def parquetPages(s: SparkSession, dir: String, tag: String,
+      codec: String, dict: Boolean): DataFrame = {
+    val media = parquetArtifactMedia(s, dir, tag, codec, dict,
+      256 * 1024)
     ParquetFile.decodeColumnSums(media).toDF()
       .where(col("valid"))
       .groupBy(col("col_path"))
@@ -5333,6 +5343,37 @@ object LlmQueries {
     "q204_parquet_default" -> Query(
       (s, dir) => parquetPages(s, dir, "dflt", "snappy", dict = true),
       Some(ParquetPagesOracle)),
+
+    // ---- Parquet GZIP pages (r10 — the codec matrix's third leg:
+    // every page a complete RFC 1952 member, CRC-32 + ISIZE exact):
+    // same oracle as q203/q204, so the three layouts must agree
+    // through three entirely different byte paths.
+    "q207_parquet_gzip" -> Query(
+      (s, dir) => parquetPages(s, dir, "gz", "gzip", dict = true),
+      Some(ParquetPagesOracle)),
+
+    // ---- Parquet row-group STATS PRUNING (r10 — the scan planner's
+    // actual job run by OUR codec: the artifact is sorted by doc_id,
+    // so row-group [min,max] footer statistics carve the key range;
+    // groups that cannot intersect [101, 487] are skipped without
+    // touching a page, surviving groups decode the KEY chunk row-wise
+    // and mask the VALUE chunk positionally — def-level alignment and
+    // all). The oracle replays the filtered count and sums; a pruner
+    // that skips a group it needed, misaligns the mask, or trusts a
+    // stale stat cannot match.
+    "q208_parquet_pruned" -> Query(
+      (s, dir) => {
+        val media = parquetArtifactMedia(s, dir, "prn", "snappy",
+          dict = true, blockSize = 16 * 1024)
+        ParquetFile.decodePrunedSum(media, "doc_id", "n_chars",
+            101L, 487L).toDF()
+          .where(col("valid"))
+          .select(col("n_rows_matched"), col("sum_key"), col("sum_val"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows_matched,
+          CAST(sum(doc_id) AS BIGINT) AS sum_key,
+          CAST(sum(n_chars) AS BIGINT) AS sum_val
+        FROM documents WHERE doc_id BETWEEN 101 AND 487""")),
 
     // ---- ZIP container walk (r10 — the OTHER bundle format public
     // datasets ship in; tar covers the unix lineage, q182): the REAL

@@ -78,6 +78,41 @@ class ParquetPagesSpec extends SparkSpec {
       blockSize = 8 * 1024), data)
   }
 
+  test("gzip pages: each page a complete RFC 1952 member, CRC+ISIZE " +
+      "exact; same sums through a third byte path") {
+    val data = rows(5000)
+    check(write(data, "gzip", dict = true), data)
+    check(write(data, "gzip", dict = false, blockSize = 8 * 1024), data)
+  }
+
+  test("row-group stats pruning: sorted artifact, selective predicate " +
+      "— skipped groups never touch a page and the masked sums match " +
+      "a full filter") {
+    val data = rows(60000)
+    val bytes = write(data, "snappy", dict = true, blockSize = 8 * 1024)
+    val lo = 10000L; val hi = 12345L
+    val got = ParquetFile.parsePrunedSum(1L, bytes, "id", "v", lo, hi)
+    got.valid shouldBe true
+    got.n_rgs should be > 3L
+    got.n_rgs_scanned should be < got.n_rgs // pruning actually happened
+    val want = data.filter(t => t._1 >= lo && t._1 <= hi)
+    got.n_rows_matched shouldBe want.length.toLong
+    got.sum_key shouldBe want.map(_._1).sum
+    got.sum_val shouldBe want.flatMap(_._2).sum // nulls drop from sum
+    // a predicate with NO matching group scans nothing
+    val none = ParquetFile.parsePrunedSum(2L, bytes, "id", "v",
+      900000L, 990000L)
+    none.valid shouldBe true
+    none.n_rgs_scanned shouldBe 0L
+    none.n_rows_matched shouldBe 0L
+    // whole-range predicate = the unpruned truth
+    val all = ParquetFile.parsePrunedSum(3L, bytes, "id", "v",
+      Long.MinValue, Long.MaxValue)
+    all.n_rows_matched shouldBe data.length.toLong
+    all.n_rgs_scanned shouldBe all.n_rgs
+    all.sum_val shouldBe data.flatMap(_._2).sum
+  }
+
   test("page CRC is verified: a bit flip in page data is caught even " +
       "where sums would still be computable") {
     val data = rows(2000)
