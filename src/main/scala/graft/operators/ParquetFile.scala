@@ -62,7 +62,9 @@ object ParquetFile {
   private[graft] final case class Chunk(
       path: String, ptype: Int, codec: Int, encodings: Vector[Int],
       numValues: Long, totalCompressed: Long, totalUncompressed: Long,
-      dataPageOff: Long, dictPageOff: Long, stats: Stats)
+      dataPageOff: Long, dictPageOff: Long, stats: Stats,
+      oiOff: Long = -1L, oiLen: Int = -1, ciOff: Long = -1L,
+      ciLen: Int = -1)
   private[graft] final case class RowGroupMeta(
       numRows: Long, totalByteSize: Long, chunks: Vector[Chunk])
   /** `maxDef`/`maxRep` from the ancestor chain (OPTIONAL/REPEATED
@@ -283,16 +285,21 @@ object ParquetFile {
 
   private def readColumnChunk(r: TReader): Chunk = {
     var meta: Chunk = null
+    var oiOff = -1L; var oiLen = -1; var ciOff = -1L; var ciLen = -1
     readStruct(r, 4) { (id, tpe) =>
       id match {
         case 3L =>
           if (tpe != T_STRUCT) fail()
           meta = readColumnMeta(r)
-        case _ => skipValue(r, tpe, 4)
+        case 4L => oiOff = i64Of(r, tpe)
+        case 5L => oiLen = i32Of(r, tpe)
+        case 6L => ciOff = i64Of(r, tpe)
+        case 7L => ciLen = i32Of(r, tpe)
+        case _  => skipValue(r, tpe, 4)
       }
     }
     if (meta == null) fail()
-    meta
+    meta.copy(oiOff = oiOff, oiLen = oiLen, ciOff = ciOff, ciLen = ciLen)
   }
 
   private def readRowGroup(r: TReader): RowGroupMeta = {
@@ -824,6 +831,330 @@ object ParquetFile {
       }
       pos = cstart + h.cmp
     }
+  }
+
+  // ---- page-index layer (q209): OffsetIndex/ColumnIndex decode and
+  // the page-skipping selective read they exist for ----
+
+  private[graft] final case class PageLoc(off: Long, size: Int,
+                                          firstRow: Long)
+
+  /** OffsetIndex (`parquet.thrift`): the data-page locations +
+    * first-row indices parquet-mr writes by default since 1.11. */
+  private[graft] def readOffsetIndex(b: Array[Byte], off: Long,
+      len: Int): Vector[PageLoc] = {
+    if (off < 0 || len <= 0 || off + len > b.length) fail()
+    val r = new TReader(b, off.toInt, (off + len).toInt)
+    var locs = Vector.empty[PageLoc]
+    readStruct(r, 1) { (id, tpe) =>
+      id match {
+        case 1L =>
+          val n = listHeader(r, T_STRUCT)
+          var i = 0
+          while (i < n) {
+            var o = -1L; var sz = -1; var fr = -1L
+            readStruct(r, 2) { (fid, ftpe) =>
+              fid match {
+                case 1L => o = i64Of(r, ftpe)
+                case 2L => sz = i32Of(r, ftpe)
+                case 3L => fr = i64Of(r, ftpe)
+                case _  => skipValue(r, ftpe, 2)
+              }
+            }
+            if (o < 0 || sz <= 0 || fr < 0) fail()
+            locs :+= PageLoc(o, sz, fr)
+            i += 1
+          }
+        case _ => skipValue(r, tpe, 1)
+      }
+    }
+    if (locs.isEmpty) fail()
+    // first-row indices strictly increasing from 0
+    if (locs.head.firstRow != 0L) fail()
+    var i = 1
+    while (i < locs.length) {
+      if (locs(i).firstRow <= locs(i - 1).firstRow) fail()
+      i += 1
+    }
+    locs
+  }
+
+  private[graft] final case class ColIndex(nullPages: Vector[Boolean],
+      mins: Vector[Option[Long]], maxs: Vector[Option[Long]])
+
+  /** ColumnIndex: per-page null flags and min/max bounds (decoded for
+    * INT32/INT64; a null page carries EMPTY bound binaries). */
+  private[graft] def readColumnIndex(b: Array[Byte], off: Long,
+      len: Int, ptype: Int): ColIndex = {
+    if (off < 0 || len <= 0 || off + len > b.length) fail()
+    val r = new TReader(b, off.toInt, (off + len).toInt)
+    var nulls = Vector.empty[Boolean]
+    var mins = Vector.empty[Option[Long]]
+    var maxs = Vector.empty[Option[Long]]
+    def decode(raw: Array[Byte]): Option[Long] = ptype match {
+      case 1 => if (raw.length != 4) fail()
+                Some(leLong(raw).toInt.toLong)
+      case 2 => if (raw.length != 8) fail(); Some(leLong(raw))
+      case _ => None
+    }
+    def boundList(): Vector[Option[Long]] = {
+      val n = listHeader(r, T_BIN)
+      var out = Vector.empty[Option[Long]]
+      var i = 0
+      while (i < n) {
+        val raw = r.bytes()
+        out :+= (if (raw.isEmpty) None else decode(raw))
+        i += 1
+      }
+      out
+    }
+    readStruct(r, 1) { (id, tpe) =>
+      id match {
+        case 1L =>
+          val h = r.u8(); val et = h & 0x0f
+          if (et != T_BOOL_T && et != T_BOOL_F) fail()
+          var n = (h >>> 4) & 0x0f
+          if (n == 15) {
+            val big = r.varint()
+            if (big < 0 || big > Int.MaxValue) fail()
+            n = big.toInt
+          }
+          var i = 0
+          while (i < n) { // bool list elements: one byte each, 1/2
+            val v = r.u8()
+            if (v != 1 && v != 2) fail()
+            nulls :+= (v == 1)
+            i += 1
+          }
+        case 2L => if (tpe != T_LIST) fail(); mins = boundList()
+        case 3L => if (tpe != T_LIST) fail(); maxs = boundList()
+        case _  => skipValue(r, tpe, 1)
+      }
+    }
+    if (nulls.isEmpty || mins.length != nulls.length ||
+      maxs.length != nulls.length) fail()
+    ColIndex(nulls, mins, maxs)
+  }
+
+  /** Load the dictionary page (if the chunk has one) WITHOUT walking
+    * the data pages — the indexed read path's entry. */
+  private def loadDictAt(b: Array[Byte], c: Chunk): DictAgg = {
+    if (c.dictPageOff <= 0) return null
+    if (c.dictPageOff >= b.length) fail()
+    val r = new TReader(b, c.dictPageOff.toInt, b.length)
+    val h = readPageHeader(r)
+    if (h.ptype != 2 || h.dictNv < 0) fail()
+    if (h.dictEnc != 0 && h.dictEnc != 2) fail()
+    val cstart = r.pos
+    if (h.cmp > b.length - cstart) fail()
+    h.crc.foreach { cv =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, cstart, h.cmp)
+      if ((crc.getValue & 0xffffffffL) != (cv & 0xffffffffL)) fail()
+    }
+    val (pb, pOff, pEnd) = c.codec match {
+      case 0 => if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
+      case 1 => val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
+                (d, 0, d.length)
+      case 2 => val d = gunzipPage(b, cstart, h.cmp, h.unc)
+                (d, 0, d.length)
+      case _ => fail()
+    }
+    val dict = new DictAgg(h.dictNv)
+    var j = 0
+    val endp = plainDecode(pb, pOff, pEnd, h.dictNv, c.ptype) {
+      (v, l, s) =>
+        dict.vals(j) = v; dict.lens(j) = l; dict.sums(j) = s; j += 1
+    }
+    if (endp != pEnd) fail()
+    dict
+  }
+
+  /** Decode ONE data page at `pos` (an OffsetIndex location):
+    * `onValue` fires per row in page-row order. Returns the page's
+    * row count. */
+  private def decodeDataPageAt(b: Array[Byte], c: Chunk, lf: Leaf,
+      dict: DictAgg, pos: Int)(
+      onValue: (Boolean, Long, Long, Long) => Unit): Int = {
+    if (lf.maxRep != 0 || lf.maxDef > 1) fail()
+    val r = new TReader(b, pos, b.length)
+    val h = readPageHeader(r)
+    if (h.v2 || h.ptype != 0) fail()
+    val cstart = r.pos
+    if (h.cmp > b.length - cstart) fail()
+    h.crc.foreach { cv =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, cstart, h.cmp)
+      if ((crc.getValue & 0xffffffffL) != (cv & 0xffffffffL)) fail()
+    }
+    val (pb, pOff, pEnd) = c.codec match {
+      case 0 => if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
+      case 1 => val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
+                (d, 0, d.length)
+      case 2 => val d = gunzipPage(b, cstart, h.cmp, h.unc)
+                (d, 0, d.length)
+      case _ => fail()
+    }
+    if (h.nv < 0) fail()
+    var p = pOff
+    var defMask: Array[Boolean] = null
+    var k = h.nv
+    if (lf.maxDef == 1) {
+      if (h.defEnc != 3) fail()
+      if (4 > pEnd - p) fail()
+      val len = (pb(p) & 0xff) | ((pb(p + 1) & 0xff) << 8) |
+        ((pb(p + 2) & 0xff) << 16) | ((pb(p + 3) & 0xff) << 24)
+      p += 4
+      if (len < 0 || len > pEnd - p) fail()
+      defMask = new Array[Boolean](h.nv)
+      var w = 0; var nn = 0
+      rleHybrid(pb, p, p + len, 1, h.nv) { (v, run) =>
+        if (v != 0 && v != 1) fail()
+        val d = v == 1
+        var t = 0
+        while (t < run) { defMask(w) = d; w += 1; t += 1 }
+        if (d) nn += run
+      }
+      p += len
+      k = nn
+    }
+    val vv = new Array[Long](k)
+    val ll = new Array[Long](k)
+    val ss = new Array[Long](k)
+    var j = 0
+    h.enc match {
+      case 0 =>
+        val endp = plainDecode(pb, p, pEnd, k, c.ptype) { (v, l, s) =>
+          vv(j) = v; ll(j) = l; ss(j) = s; j += 1
+        }
+        if (endp != pEnd) fail()
+      case 2 | 8 =>
+        if (dict == null) fail()
+        if (p >= pEnd) { if (k != 0) fail() }
+        else {
+          val bw = pb(p) & 0xff; p += 1
+          rleHybrid(pb, p, pEnd, bw, k) { (v, run) =>
+            if (v < 0 || v >= dict.n) fail()
+            var t = 0
+            while (t < run) {
+              vv(j) = dict.vals(v); ll(j) = dict.lens(v)
+              ss(j) = dict.sums(v); j += 1; t += 1
+            }
+          }
+        }
+      case _ => fail()
+    }
+    if (j != k) fail()
+    var rI = 0; var vI = 0
+    while (rI < h.nv) {
+      if (defMask == null || defMask(rI)) {
+        onValue(true, vv(vI), ll(vI), ss(vI)); vI += 1
+      } else onValue(false, 0L, 0L, 0L)
+      rI += 1
+    }
+    h.nv
+  }
+
+  /** PAGE-pruned selective read (q209 — what the ColumnIndex exists
+    * for): row groups prune on chunk stats first; inside survivors
+    * the KEY column's ColumnIndex prunes PAGES, surviving key pages
+    * decode into a row bitmap via the OffsetIndex first-row indices,
+    * and only VALUE pages whose row span intersects the bitmap are
+    * ever touched. */
+  final case class PagePrunedRow(media_id: Long, n_rows_matched: Long,
+      sum_key: Long, sum_val: Long, n_pages_key: Long,
+      n_pages_key_scanned: Long, n_pages_val: Long,
+      n_pages_val_scanned: Long, valid: Boolean)
+
+  private[graft] def parsePagePrunedSum(id: Long, b: Array[Byte],
+      keyPath: String, valPath: String, lo: Long,
+      hi: Long): PagePrunedRow = {
+    val invalid = PagePrunedRow(id, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+      valid = false)
+    try {
+      val m = parseFooterMeta(b)
+      val ki = m.leaves.indexWhere(_.path == keyPath)
+      val vi = m.leaves.indexWhere(_.path == valPath)
+      if (ki < 0 || vi < 0) fail()
+      var matched = 0L; var sumKey = 0L; var sumVal = 0L
+      var pagesKey = 0L; var pagesKeyScanned = 0L
+      var pagesVal = 0L; var pagesValScanned = 0L
+      m.rowGroups.foreach { rg =>
+        val kc = rg.chunks(ki); val vc = rg.chunks(vi)
+        val rgSkip = (kc.stats.minLong, kc.stats.maxLong) match {
+          case (Some(mn), Some(mx)) => mx < lo || mn > hi
+          case _                    => false
+        }
+        val kOi = readOffsetIndex(b, kc.oiOff, kc.oiLen)
+        val kCi = readColumnIndex(b, kc.ciOff, kc.ciLen, kc.ptype)
+        if (kCi.nullPages.length != kOi.length) fail()
+        val vOi = readOffsetIndex(b, vc.oiOff, vc.oiLen)
+        pagesKey += kOi.length; pagesVal += vOi.length
+        if (!rgSkip) {
+          if (rg.numRows > Int.MaxValue - 8) fail()
+          val hits = new java.util.BitSet(rg.numRows.toInt)
+          val dictK = loadDictAt(b, kc)
+          var p = 0
+          while (p < kOi.length) {
+            val prune = kCi.nullPages(p) ||
+              ((kCi.mins(p), kCi.maxs(p)) match {
+                case (Some(mn), Some(mx)) => mx < lo || mn > hi
+                case _                    => false
+              })
+            if (!prune) {
+              pagesKeyScanned += 1
+              var row = kOi(p).firstRow
+              val n = decodeDataPageAt(b, kc, m.leaves(ki), dictK,
+                kOi(p).off.toInt) { (defined, v, _, _) =>
+                if (defined && v >= lo && v <= hi) {
+                  hits.set(row.toInt)
+                  matched += 1; sumKey += v
+                }
+                row += 1
+              }
+              // the NEXT page's first row pins this page's row count
+              val expEnd = if (p + 1 < kOi.length) kOi(p + 1).firstRow
+                           else rg.numRows
+              if (kOi(p).firstRow + n != expEnd) fail()
+            }
+            p += 1
+          }
+          if (!hits.isEmpty) {
+            val dictV = loadDictAt(b, vc)
+            var q = 0
+            while (q < vOi.length) {
+              val from = vOi(q).firstRow
+              val until = if (q + 1 < vOi.length) vOi(q + 1).firstRow
+                          else rg.numRows
+              val first = hits.nextSetBit(from.toInt)
+              if (first >= 0 && first < until) {
+                pagesValScanned += 1
+                var row = from
+                decodeDataPageAt(b, vc, m.leaves(vi), dictV,
+                  vOi(q).off.toInt) { (defined, v, _, _) =>
+                  if (defined && hits.get(row.toInt)) sumVal += v
+                  row += 1
+                }
+                if (row != until) fail()
+              }
+              q += 1
+            }
+          }
+        }
+      }
+      PagePrunedRow(id, matched, sumKey, sumVal, pagesKey,
+        pagesKeyScanned, pagesVal, pagesValScanned, valid = true)
+    } catch { case _: Throwable => invalid }
+  }
+
+  /** Map-side page-pruned read over (media_id, file bytes) rows. */
+  def decodePagePrunedSum(media: Dataset[(Long, Array[Byte])],
+      keyPath: String, valPath: String, lo: Long,
+      hi: Long): Dataset[PagePrunedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { case (id, bytes) =>
+      parsePagePrunedSum(id, bytes, keyPath, valPath, lo, hi)
+    })
   }
 
   /** Pruned selective read (the scan planner's job, run by OUR codec):

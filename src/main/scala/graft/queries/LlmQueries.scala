@@ -5375,6 +5375,31 @@ object LlmQueries {
           CAST(sum(n_chars) AS BIGINT) AS sum_val
         FROM documents WHERE doc_id BETWEEN 101 AND 487""")),
 
+    // ---- Parquet PAGE-level pruning via the ColumnIndex/OffsetIndex
+    // (r10 — what the page index exists for, run by OUR codec): row
+    // groups prune on chunk stats first; inside survivors the key
+    // column's ColumnIndex prunes PAGES, surviving key pages decode
+    // into a row bitmap anchored by the OffsetIndex first-row
+    // indices, and only value pages whose row span intersects the
+    // bitmap are ever touched. The index decode itself is gated
+    // field-by-field against parquet-mr's own index reader in the
+    // spec; the oracle here replays the filtered count and sums — a
+    // reader with the index offsets, the bound decode, the first-row
+    // anchoring or the bitmap intersection wrong cannot match.
+    "q209_parquet_page_pruned" -> Query(
+      (s, dir) => {
+        val media = parquetArtifactMedia(s, dir, "ppx", "snappy",
+          dict = true, blockSize = 16 * 1024)
+        ParquetFile.decodePagePrunedSum(media, "doc_id", "n_chars",
+            57L, 441L).toDF()
+          .where(col("valid"))
+          .select(col("n_rows_matched"), col("sum_key"), col("sum_val"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows_matched,
+          CAST(sum(doc_id) AS BIGINT) AS sum_key,
+          CAST(sum(n_chars) AS BIGINT) AS sum_val
+        FROM documents WHERE doc_id BETWEEN 57 AND 441""")),
+
     // ---- ZIP container walk (r10 — the OTHER bundle format public
     // datasets ship in; tar covers the unix lineage, q182): the REAL
     // JDK writer produces the archives (deflate means file bytes

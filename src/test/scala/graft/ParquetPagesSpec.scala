@@ -29,9 +29,9 @@ class ParquetPagesSpec extends SparkSpec {
         ss.map(_.map(b => (b & 0xff).toLong).sum).sum)))
   }
 
-  private def write(data: Seq[(Long, Option[Long], String)],
-                    codec: String, dict: Boolean,
-                    blockSize: Int = 64 * 1024): Array[Byte] = {
+  private def writeP(data: Seq[(Long, Option[Long], String)],
+                     codec: String, dict: Boolean,
+                     blockSize: Int = 64 * 1024): (String, Array[Byte]) = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_pqp_").toString
     data.toDF("id", "v", "s")
@@ -44,8 +44,13 @@ class ParquetPagesSpec extends SparkSpec {
       .parquet(dir)
     val f = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
-    Files.readAllBytes(f.toPath)
+    (f.getPath, Files.readAllBytes(f.toPath))
   }
+
+  private def write(data: Seq[(Long, Option[Long], String)],
+                    codec: String, dict: Boolean,
+                    blockSize: Int = 64 * 1024): Array[Byte] =
+    writeP(data, codec, dict, blockSize)._2
 
   private def check(bytes: Array[Byte],
                     data: Seq[(Long, Option[Long], String)]): Unit = {
@@ -111,6 +116,76 @@ class ParquetPagesSpec extends SparkSpec {
     all.n_rows_matched shouldBe data.length.toLong
     all.n_rgs_scanned shouldBe all.n_rgs
     all.sum_val shouldBe data.flatMap(_._2).sum
+  }
+
+  test("OffsetIndex/ColumnIndex decode matches parquet-mr's own index " +
+      "reader field by field") {
+    val data = rows(60000)
+    val (path, bytes) = writeP(data, "snappy", dict = true,
+      blockSize = 8 * 1024)
+    val meta = ParquetFile.parseFooterMeta(bytes)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      spark.sparkContext.hadoopConfiguration)
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = rdr.getFooter.getBlocks
+      for (bi <- meta.rowGroups.indices; ci <- 0 until 3) {
+        val c = meta.rowGroups(bi).chunks(ci)
+        val rc = blocks.get(bi).getColumns.get(ci)
+        val mrOi = rdr.readOffsetIndex(rc)
+        val myOi = ParquetFile.readOffsetIndex(bytes, c.oiOff, c.oiLen)
+        myOi.length shouldBe mrOi.getPageCount
+        for (p <- myOi.indices) {
+          myOi(p).off shouldBe mrOi.getOffset(p)
+          myOi(p).size shouldBe mrOi.getCompressedPageSize(p)
+          myOi(p).firstRow shouldBe mrOi.getFirstRowIndex(p)
+        }
+        val mrCi = rdr.readColumnIndex(rc)
+        val myCi = ParquetFile.readColumnIndex(bytes, c.ciOff, c.ciLen,
+          c.ptype)
+        myCi.nullPages.length shouldBe myOi.length
+        for (p <- myOi.indices) {
+          myCi.nullPages(p) shouldBe mrCi.getNullPages.get(p)
+          if (c.ptype == 2 && !myCi.nullPages(p)) {
+            val mn = mrCi.getMinValues.get(p).order(
+              java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+            val mx = mrCi.getMaxValues.get(p).order(
+              java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+            myCi.mins(p) shouldBe Some(mn)
+            myCi.maxs(p) shouldBe Some(mx)
+          }
+        }
+      }
+    } finally rdr.close()
+  }
+
+  test("page-level pruning: key pages outside the predicate are never " +
+      "decoded, value pages outside the hit bitmap are never touched, " +
+      "and the masked sums match a full filter") {
+    val data = rows(60000)
+    val bytes = write(data, "snappy", dict = true, blockSize = 8 * 1024)
+    val lo = 20000L; val hi = 21500L
+    val got = ParquetFile.parsePagePrunedSum(1L, bytes, "id", "v", lo, hi)
+    got.valid shouldBe true
+    got.n_pages_key should be > 3L
+    got.n_pages_key_scanned should be < got.n_pages_key
+    got.n_pages_val_scanned should be < got.n_pages_val
+    val want = data.filter(t => t._1 >= lo && t._1 <= hi)
+    got.n_rows_matched shouldBe want.length.toLong
+    got.sum_key shouldBe want.map(_._1).sum
+    got.sum_val shouldBe want.flatMap(_._2).sum
+    // whole range decodes every key page and reproduces the truth
+    val all = ParquetFile.parsePagePrunedSum(2L, bytes, "id", "v",
+      Long.MinValue, Long.MaxValue)
+    all.n_pages_key_scanned shouldBe all.n_pages_key
+    all.n_rows_matched shouldBe data.length.toLong
+    all.sum_val shouldBe data.flatMap(_._2).sum
+    // empty range touches nothing
+    val none = ParquetFile.parsePagePrunedSum(3L, bytes, "id", "v",
+      900000L, 990000L)
+    none.n_pages_key_scanned shouldBe 0L
+    none.n_pages_val_scanned shouldBe 0L
   }
 
   test("page CRC is verified: a bit flip in page data is caught even " +
