@@ -460,13 +460,16 @@ object ParquetFile {
 
   private final case class PageHdr(ptype: Int, unc: Int, cmp: Int,
       crc: Option[Int], nv: Int, enc: Int, defEnc: Int, v2: Boolean,
-      dictNv: Int, dictEnc: Int)
+      dictNv: Int, dictEnc: Int, v2Nulls: Int = -1, v2Rows: Int = -1,
+      v2DefLen: Int = -1, v2RepLen: Int = -1, v2Compressed: Boolean = true)
 
   private def readPageHeader(r: TReader): PageHdr = {
     var ptype = -1; var unc = -1; var cmp = -1
     var crc: Option[Int] = None
     var nv = -1; var enc = -1; var defEnc = -1
     var dictNv = -1; var dictEnc = -1; var v2 = false
+    var v2Nulls = -1; var v2Rows = -1
+    var v2DefLen = -1; var v2RepLen = -1; var v2Compressed = true
     readStruct(r, 2) { (id, tpe) =>
       id match {
         case 1L => ptype = i32Of(r, tpe)
@@ -492,13 +495,28 @@ object ParquetFile {
               case _  => skipValue(r, ftpe, 3)
             }
           }
-        case 8L => v2 = true; skipValue(r, tpe, 2)
-        case _  => skipValue(r, tpe, 2)
+        case 8L =>
+          if (tpe != T_STRUCT) fail()
+          v2 = true
+          readStruct(r, 3) { (fid, ftpe) =>
+            fid match {
+              case 1L => nv = i32Of(r, ftpe)
+              case 2L => v2Nulls = i32Of(r, ftpe)
+              case 3L => v2Rows = i32Of(r, ftpe)
+              case 4L => enc = i32Of(r, ftpe)
+              case 5L => v2DefLen = i32Of(r, ftpe)
+              case 6L => v2RepLen = i32Of(r, ftpe)
+              case 7L => v2Compressed = ftpe == T_BOOL_T
+              case _  => skipValue(r, ftpe, 3)
+            }
+          }
+        case _ => skipValue(r, tpe, 2)
       }
     }
     if (ptype < 0 || unc < 0 || cmp < 0 || unc > MaxPage ||
         cmp > MaxPage) fail()
-    PageHdr(ptype, unc, cmp, crc, nv, enc, defEnc, v2, dictNv, dictEnc)
+    PageHdr(ptype, unc, cmp, crc, nv, enc, defEnc, v2, dictNv, dictEnc,
+      v2Nulls, v2Rows, v2DefLen, v2RepLen, v2Compressed)
   }
 
   /** RLE/bit-packed hybrid (the levels-and-indices encoding): stream
@@ -627,6 +645,302 @@ object ParquetFile {
     pos
   }
 
+  /** DELTA_BINARY_PACKED (encoding 5 — the V2 writer's integer
+    * encoding): varint block size (multiple of 128) + miniblocks per
+    * block + total count + zigzag first value; per block a zigzag min
+    * delta and one bit-width byte per miniblock; miniblock bodies are
+    * LSB-first bit-packed deltas, trailing-value padding read and
+    * discarded, miniblocks past the value count carry NO bytes.
+    * Returns the values and the position after the last consumed
+    * byte. */
+  private def deltaBinaryPacked(b: Array[Byte], pos0: Int, end: Int,
+      expect: Int): (Array[Long], Int) = {
+    var pos = pos0
+    def u8(): Int = {
+      if (pos >= end) fail(); val v = b(pos) & 0xff; pos += 1; v
+    }
+    def varint(): Long = {
+      var v = 0L; var sh = 0; var k = 0
+      while (k < 10) {
+        val x = u8(); v |= (x & 0x7fL) << sh
+        if ((x & 0x80) == 0) return v
+        sh += 7; k += 1
+      }
+      fail()
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1L) }
+    val blockSize = varint()
+    if (blockSize <= 0 || blockSize % 128 != 0 ||
+      blockSize > (1 << 20)) fail()
+    val mbs = varint()
+    if (mbs <= 0 || mbs > 512 || blockSize % mbs != 0 ||
+      (blockSize / mbs) % 32 != 0) fail()
+    val total = varint()
+    if (total < 0 || total > Int.MaxValue - 8) fail()
+    if (expect >= 0 && total != expect) fail()
+    val n = total.toInt
+    val out = new Array[Long](n)
+    if (n > 0) out(0) = zigzag() else { zigzag(): Unit }
+    val mbValues = (blockSize / mbs).toInt
+    var idx = 1
+    while (idx < n) {
+      val minDelta = zigzag()
+      val widths = new Array[Int](mbs.toInt)
+      var i = 0
+      while (i < mbs) {
+        widths(i) = u8(); if (widths(i) > 64) fail(); i += 1
+      }
+      var mb = 0
+      while (mb < mbs) {
+        if (idx < n) { // an empty trailing miniblock carries no bytes
+          val w = widths(mb)
+          val bytes = mbValues * w / 8
+          if (bytes > end - pos) fail()
+          var v = 0
+          while (v < mbValues) {
+            var d = 0L
+            var k = 0
+            while (k < w) {
+              val bitIdx = v * w + k
+              if (((b(pos + (bitIdx >> 3)) >> (bitIdx & 7)) & 1) != 0)
+                d |= 1L << k
+              k += 1
+            }
+            if (idx < n) { out(idx) = out(idx - 1) + minDelta + d; idx += 1 }
+            v += 1
+          }
+          pos += bytes
+        }
+        mb += 1
+      }
+    }
+    (out, pos)
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY (6): lengths as DELTA_BINARY_PACKED,
+    * then the concatenated value bytes. Emits (len, byteSum). */
+  private def deltaLengthByteArray(b: Array[Byte], pos0: Int, end: Int,
+      k: Int)(cb: (Long, Long) => Unit): Int = {
+    val (lens, p0) = deltaBinaryPacked(b, pos0, end, k)
+    var pos = p0
+    var i = 0
+    while (i < k) {
+      val l = lens(i)
+      if (l < 0 || l > end - pos) fail()
+      var s = 0L; var j = 0
+      while (j < l) { s += b(pos + j) & 0xff; j += 1 }
+      pos += l.toInt
+      cb(l, s)
+      i += 1
+    }
+    pos
+  }
+
+  /** DELTA_BYTE_ARRAY (7 — the V2 writer's string encoding): prefix
+    * lengths as DELTA_BINARY_PACKED, suffixes as
+    * DELTA_LENGTH_BYTE_ARRAY; value i shares its first prefixLen(i)
+    * bytes with value i-1. Materializes each value (front coding
+    * forces it); total bytes capped. */
+  private def deltaByteArray(b: Array[Byte], pos0: Int, end: Int,
+      k: Int)(cb: (Long, Long) => Unit): Int = {
+    val (prefixes, p0) = deltaBinaryPacked(b, pos0, end, k)
+    val (suffixLens, p1) = deltaBinaryPacked(b, p0, end, k)
+    var pos = p1
+    var prev: Array[Byte] = Array.emptyByteArray
+    var totalOut = 0L
+    var i = 0
+    while (i < k) {
+      val pl = prefixes(i); val sl = suffixLens(i)
+      if (pl < 0 || pl > prev.length || sl < 0 || sl > end - pos) fail()
+      val len = pl + sl
+      totalOut += len
+      if (len > Int.MaxValue - 8 || totalOut > MaxPage.toLong * 4) fail()
+      val v = new Array[Byte](len.toInt)
+      System.arraycopy(prev, 0, v, 0, pl.toInt)
+      System.arraycopy(b, pos, v, pl.toInt, sl.toInt)
+      pos += sl.toInt
+      var s = 0L; var j = 0
+      while (j < v.length) { s += v(j) & 0xff; j += 1 }
+      cb(len, s)
+      prev = v
+      i += 1
+    }
+    pos
+  }
+
+  /** Decoded page payload in row order; `defMask == null` means every
+    * row is defined. */
+  private final case class PageData(nRows: Int,
+      defMask: Array[Boolean], vv: Array[Long], ll: Array[Long],
+      ss: Array[Long])
+
+  /** Decode one data page's body — V1 (type 0) or V2 (type 3) — into
+    * row-ordered buffers. `cstart` points just past the page header. */
+  private def decodeDataPageBody(b: Array[Byte], c: Chunk, lf: Leaf,
+      dict: DictAgg, h: PageHdr, cstart: Int): PageData = {
+    if (lf.maxRep != 0 || lf.maxDef > 1) fail()
+    if (h.nv < 0) fail()
+    var defMask: Array[Boolean] = null
+    var k = h.nv
+    var pb: Array[Byte] = null; var p = 0; var pEnd = 0
+    var enc = h.enc
+    if (h.ptype == 0) { // V1: whole page compressed, 4-byte def prefix
+      val t = c.codec match {
+        case 0 => if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
+        case 1 => val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
+                  (d, 0, d.length)
+        case 2 => val d = gunzipPage(b, cstart, h.cmp, h.unc)
+                  (d, 0, d.length)
+        case _ => fail()
+      }
+      pb = t._1; p = t._2; pEnd = t._3
+      if (lf.maxDef == 1) {
+        if (h.defEnc != 3) fail()
+        if (4 > pEnd - p) fail()
+        val len = (pb(p) & 0xff) | ((pb(p + 1) & 0xff) << 8) |
+          ((pb(p + 2) & 0xff) << 16) | ((pb(p + 3) & 0xff) << 24)
+        p += 4
+        if (len < 0 || len > pEnd - p) fail()
+        defMask = new Array[Boolean](h.nv)
+        var w = 0; var nn = 0
+        rleHybrid(pb, p, p + len, 1, h.nv) { (v, run) =>
+          if (v != 0 && v != 1) fail()
+          val d = v == 1
+          var t2 = 0
+          while (t2 < run) { defMask(w) = d; w += 1; t2 += 1 }
+          if (d) nn += run
+        }
+        p += len
+        k = nn
+      }
+    } else if (h.ptype == 3 && h.v2) { // V2: raw levels, values-only
+      if (h.v2RepLen != 0 && h.v2RepLen != -1) fail() // flat: no reps
+      val repLen = math.max(h.v2RepLen, 0)
+      val defLen = if (lf.maxDef == 1) h.v2DefLen else math.max(0,
+        math.max(h.v2DefLen, 0))
+      if (defLen < 0 || repLen + defLen > h.cmp ||
+        repLen + defLen > h.unc) fail()
+      if (lf.maxDef == 1) {
+        defMask = new Array[Boolean](h.nv)
+        var w = 0; var nn = 0
+        rleHybrid(b, cstart + repLen, cstart + repLen + defLen, 1,
+          h.nv) { (v, run) =>
+          if (v != 0 && v != 1) fail()
+          val d = v == 1
+          var t2 = 0
+          while (t2 < run) { defMask(w) = d; w += 1; t2 += 1 }
+          if (d) nn += run
+        }
+        k = nn
+        if (h.v2Nulls >= 0 && h.nv - h.v2Nulls != k) fail()
+      }
+      val lvl = repLen + defLen
+      val vExpect = h.unc - lvl
+      if (vExpect < 0) fail()
+      val t =
+        if (h.v2Compressed && c.codec != 0) c.codec match {
+          case 1 =>
+            val d = Snappy.decompress(b, cstart + lvl, h.cmp - lvl,
+              vExpect)
+            (d, 0, d.length)
+          case 2 =>
+            val d = gunzipPage(b, cstart + lvl, h.cmp - lvl, vExpect)
+            (d, 0, d.length)
+          case _ => fail()
+        } else {
+          if (h.cmp - lvl != vExpect) fail()
+          (b, cstart + lvl, cstart + lvl + vExpect)
+        }
+      pb = t._1; p = t._2; pEnd = t._3
+    } else fail()
+    val vv = new Array[Long](k)
+    val ll = new Array[Long](k)
+    val ss = new Array[Long](k)
+    var j = 0
+    enc match {
+      case 0 => // PLAIN
+        val endp = plainDecode(pb, p, pEnd, k, c.ptype) { (v, l, s) =>
+          vv(j) = v; ll(j) = l; ss(j) = s; j += 1
+        }
+        if (endp != pEnd) fail()
+      case 2 | 8 => // dictionary indices
+        if (dict == null) fail()
+        if (p >= pEnd) { if (k != 0) fail() }
+        else {
+          val bw = pb(p) & 0xff; p += 1
+          rleHybrid(pb, p, pEnd, bw, k) { (v, run) =>
+            if (v < 0 || v >= dict.n) fail()
+            var t2 = 0
+            while (t2 < run) {
+              vv(j) = dict.vals(v); ll(j) = dict.lens(v)
+              ss(j) = dict.sums(v); j += 1; t2 += 1
+            }
+          }
+        }
+      case 5 => // DELTA_BINARY_PACKED (INT32/INT64)
+        if (c.ptype != 1 && c.ptype != 2) fail()
+        val (vals, endp) = deltaBinaryPacked(pb, p, pEnd, k)
+        if (endp != pEnd) fail()
+        while (j < k) {
+          vv(j) = if (c.ptype == 1) vals(j).toInt.toLong else vals(j)
+          j += 1
+        }
+      case 6 => // DELTA_LENGTH_BYTE_ARRAY
+        if (c.ptype != 6) fail()
+        val endp = deltaLengthByteArray(pb, p, pEnd, k) { (l, s) =>
+          ll(j) = l; ss(j) = s; j += 1
+        }
+        if (endp != pEnd) fail()
+      case 7 => // DELTA_BYTE_ARRAY (front coding)
+        if (c.ptype != 6) fail()
+        val endp = deltaByteArray(pb, p, pEnd, k) { (l, s) =>
+          ll(j) = l; ss(j) = s; j += 1
+        }
+        if (endp != pEnd) fail()
+      case _ => fail()
+    }
+    if (j != k) fail()
+    PageData(h.nv, defMask, vv, ll, ss)
+  }
+
+  /** Read one page header at `pos`, verify its CRC over the stored
+    * bytes, and return (header, content start). */
+  private def pageAt(b: Array[Byte], pos: Int): (PageHdr, Int) = {
+    val r = new TReader(b, pos, b.length)
+    val h = readPageHeader(r)
+    val cstart = r.pos
+    if (h.cmp > b.length - cstart) fail()
+    h.crc.foreach { cv => // CRC32 over the STORED page bytes
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, cstart, h.cmp)
+      if ((crc.getValue & 0xffffffffL) != (cv & 0xffffffffL)) fail()
+    }
+    (h, cstart)
+  }
+
+  /** Dictionary page decode (PLAIN payload) shared by every walker. */
+  private def loadDictFromPage(b: Array[Byte], c: Chunk, h: PageHdr,
+      cstart: Int): DictAgg = {
+    if (h.dictNv < 0) fail()
+    if (h.dictEnc != 0 && h.dictEnc != 2) fail()
+    val (pb, pOff, pEnd) = c.codec match {
+      case 0 => if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
+      case 1 => val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
+                (d, 0, d.length)
+      case 2 => val d = gunzipPage(b, cstart, h.cmp, h.unc)
+                (d, 0, d.length)
+      case _ => fail() // BROTLI/LZ4/ZSTD/… out of subset
+    }
+    val dict = new DictAgg(h.dictNv)
+    var j = 0
+    val endp = plainDecode(pb, pOff, pEnd, h.dictNv, c.ptype) {
+      (v, l, s) =>
+        dict.vals(j) = v; dict.lens(j) = l; dict.sums(j) = s; j += 1
+    }
+    if (endp != pEnd) fail()
+    dict
+  }
+
   private def readChunkValues(b: Array[Byte], c: Chunk, lf: Leaf,
       acc: Array[Long]): Unit = {
     if (lf.maxRep != 0 || lf.maxDef > 1) fail()
@@ -639,79 +953,21 @@ object ParquetFile {
     var dict: DictAgg = null
     var remaining = c.numValues
     while (remaining > 0) {
-      val r = new TReader(b, pos, b.length)
-      val h = readPageHeader(r)
-      if (h.v2) fail() // V2 pages out of subset
-      val cstart = r.pos
-      if (h.cmp > b.length - cstart) fail()
-      h.crc.foreach { cv => // CRC32 over the STORED page bytes
-        val crc = new java.util.zip.CRC32()
-        crc.update(b, cstart, h.cmp)
-        if ((crc.getValue & 0xffffffffL) != (cv & 0xffffffffL)) fail()
-      }
-      val (pb, pOff, pEnd) = c.codec match {
-        case 0 =>
-          if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
-        case 1 =>
-          val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
-          (d, 0, d.length)
-        case 2 => // GZIP: each page is one complete RFC 1952 member
-          val d = gunzipPage(b, cstart, h.cmp, h.unc)
-          (d, 0, d.length)
-        case _ => fail() // BROTLI/LZ4/ZSTD/… out of subset
-      }
+      val (h, cstart) = pageAt(b, pos)
       h.ptype match {
-        case 2 => // dictionary page: PLAIN payload
-          if (dict != null || h.dictNv < 0) fail()
-          if (h.dictEnc != 0 && h.dictEnc != 2) fail()
-          dict = new DictAgg(h.dictNv)
-          var j = 0
-          val endp = plainDecode(pb, pOff, pEnd, h.dictNv, c.ptype) {
-            (v, l, s) =>
-              dict.vals(j) = v; dict.lens(j) = l; dict.sums(j) = s
-              j += 1
-          }
-          if (endp != pEnd) fail()
-        case 0 => // data page V1
+        case 2 =>
+          if (dict != null) fail()
+          dict = loadDictFromPage(b, c, h, cstart)
+        case 0 | 3 =>
           if (h.nv < 0 || h.nv > remaining) fail()
-          var p = pOff
-          var k = h.nv
-          if (lf.maxDef == 1) { // def levels: 4-byte-length RLE prefix
-            if (h.defEnc != 3) fail()
-            if (4 > pEnd - p) fail()
-            val len = (pb(p) & 0xff) | ((pb(p + 1) & 0xff) << 8) |
-              ((pb(p + 2) & 0xff) << 16) | ((pb(p + 3) & 0xff) << 24)
-            p += 4
-            if (len < 0 || len > pEnd - p) fail()
-            var nn = 0
-            rleHybrid(pb, p, p + len, 1, h.nv) { (v, run) =>
-              if (v == 1) nn += run else if (v != 0) fail()
-            }
-            p += len
-            k = nn
+          val pd = decodeDataPageBody(b, c, lf, dict, h, cstart)
+          acc(0) += pd.nRows; acc(1) += pd.vv.length
+          var j = 0
+          while (j < pd.vv.length) {
+            acc(2) += pd.vv(j); acc(3) += pd.ll(j); acc(4) += pd.ss(j)
+            j += 1
           }
-          acc(0) += h.nv; acc(1) += k
-          h.enc match {
-            case 0 => // PLAIN (incl. the mid-chunk dict fallback)
-              val endp = plainDecode(pb, p, pEnd, k, c.ptype) {
-                (v, l, s) => acc(2) += v; acc(3) += l; acc(4) += s
-              }
-              if (endp != pEnd) fail() // pages are exact, no slack
-            case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
-              if (dict == null) fail()
-              if (p >= pEnd) { if (k != 0) fail() }
-              else {
-                val bw = pb(p) & 0xff; p += 1
-                rleHybrid(pb, p, pEnd, bw, k) { (v, run) =>
-                  if (v < 0 || v >= dict.n) fail()
-                  acc(2) += dict.vals(v) * run
-                  acc(3) += dict.lens(v) * run
-                  acc(4) += dict.sums(v) * run
-                }
-              }
-            case _ => fail() // DELTA_* out of subset
-          }
-          remaining -= h.nv
+          remaining -= pd.nRows
         case _ => fail()
       }
       pos = cstart + h.cmp
@@ -734,102 +990,30 @@ object ParquetFile {
     var dict: DictAgg = null
     var remaining = c.numValues
     while (remaining > 0) {
-      val r = new TReader(b, pos, b.length)
-      val h = readPageHeader(r)
-      if (h.v2) fail()
-      val cstart = r.pos
-      if (h.cmp > b.length - cstart) fail()
-      h.crc.foreach { cv =>
-        val crc = new java.util.zip.CRC32()
-        crc.update(b, cstart, h.cmp)
-        if ((crc.getValue & 0xffffffffL) != (cv & 0xffffffffL)) fail()
-      }
-      val (pb, pOff, pEnd) = c.codec match {
-        case 0 =>
-          if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
-        case 1 =>
-          val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
-          (d, 0, d.length)
-        case 2 =>
-          val d = gunzipPage(b, cstart, h.cmp, h.unc)
-          (d, 0, d.length)
-        case _ => fail()
-      }
+      val (h, cstart) = pageAt(b, pos)
       h.ptype match {
         case 2 =>
-          if (dict != null || h.dictNv < 0) fail()
-          if (h.dictEnc != 0 && h.dictEnc != 2) fail()
-          dict = new DictAgg(h.dictNv)
-          var j = 0
-          val endp = plainDecode(pb, pOff, pEnd, h.dictNv, c.ptype) {
-            (v, l, s) =>
-              dict.vals(j) = v; dict.lens(j) = l; dict.sums(j) = s
-              j += 1
-          }
-          if (endp != pEnd) fail()
-        case 0 =>
+          if (dict != null) fail()
+          dict = loadDictFromPage(b, c, h, cstart)
+        case 0 | 3 =>
           if (h.nv < 0 || h.nv > remaining) fail()
-          var p = pOff
-          var defMask: Array[Boolean] = null
-          var k = h.nv
-          if (lf.maxDef == 1) {
-            if (h.defEnc != 3) fail()
-            if (4 > pEnd - p) fail()
-            val len = (pb(p) & 0xff) | ((pb(p + 1) & 0xff) << 8) |
-              ((pb(p + 2) & 0xff) << 16) | ((pb(p + 3) & 0xff) << 24)
-            p += 4
-            if (len < 0 || len > pEnd - p) fail()
-            defMask = new Array[Boolean](h.nv)
-            var w = 0; var nn = 0
-            rleHybrid(pb, p, p + len, 1, h.nv) { (v, run) =>
-              if (v != 0 && v != 1) fail()
-              val d = v == 1
-              var t = 0
-              while (t < run) { defMask(w) = d; w += 1; t += 1 }
-              if (d) nn += run
-            }
-            p += len
-            k = nn
-          }
-          // buffer the k defined values, then emit rows in order
-          val vv = new Array[Long](k)
-          val ll = new Array[Long](k)
-          val ss = new Array[Long](k)
-          var j = 0
-          h.enc match {
-            case 0 =>
-              val endp = plainDecode(pb, p, pEnd, k, c.ptype) {
-                (v, l, s) => vv(j) = v; ll(j) = l; ss(j) = s; j += 1
-              }
-              if (endp != pEnd) fail()
-            case 2 | 8 =>
-              if (dict == null) fail()
-              if (p >= pEnd) { if (k != 0) fail() }
-              else {
-                val bw = pb(p) & 0xff; p += 1
-                rleHybrid(pb, p, pEnd, bw, k) { (v, run) =>
-                  if (v < 0 || v >= dict.n) fail()
-                  var t = 0
-                  while (t < run) {
-                    vv(j) = dict.vals(v); ll(j) = dict.lens(v)
-                    ss(j) = dict.sums(v); j += 1; t += 1
-                  }
-                }
-              }
-            case _ => fail()
-          }
-          if (j != k) fail()
-          var rI = 0; var vI = 0
-          while (rI < h.nv) {
-            if (defMask == null || defMask(rI)) {
-              onValue(true, vv(vI), ll(vI), ss(vI)); vI += 1
-            } else onValue(false, 0L, 0L, 0L)
-            rI += 1
-          }
-          remaining -= h.nv
+          val pd = decodeDataPageBody(b, c, lf, dict, h, cstart)
+          emitRows(pd, onValue)
+          remaining -= pd.nRows
         case _ => fail()
       }
       pos = cstart + h.cmp
+    }
+  }
+
+  private def emitRows(pd: PageData,
+      onValue: (Boolean, Long, Long, Long) => Unit): Unit = {
+    var rI = 0; var vI = 0
+    while (rI < pd.nRows) {
+      if (pd.defMask == null || pd.defMask(rI)) {
+        onValue(true, pd.vv(vI), pd.ll(vI), pd.ss(vI)); vI += 1
+      } else onValue(false, 0L, 0L, 0L)
+      rI += 1
     }
   }
 
@@ -941,33 +1125,9 @@ object ParquetFile {
   private def loadDictAt(b: Array[Byte], c: Chunk): DictAgg = {
     if (c.dictPageOff <= 0) return null
     if (c.dictPageOff >= b.length) fail()
-    val r = new TReader(b, c.dictPageOff.toInt, b.length)
-    val h = readPageHeader(r)
-    if (h.ptype != 2 || h.dictNv < 0) fail()
-    if (h.dictEnc != 0 && h.dictEnc != 2) fail()
-    val cstart = r.pos
-    if (h.cmp > b.length - cstart) fail()
-    h.crc.foreach { cv =>
-      val crc = new java.util.zip.CRC32()
-      crc.update(b, cstart, h.cmp)
-      if ((crc.getValue & 0xffffffffL) != (cv & 0xffffffffL)) fail()
-    }
-    val (pb, pOff, pEnd) = c.codec match {
-      case 0 => if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
-      case 1 => val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
-                (d, 0, d.length)
-      case 2 => val d = gunzipPage(b, cstart, h.cmp, h.unc)
-                (d, 0, d.length)
-      case _ => fail()
-    }
-    val dict = new DictAgg(h.dictNv)
-    var j = 0
-    val endp = plainDecode(pb, pOff, pEnd, h.dictNv, c.ptype) {
-      (v, l, s) =>
-        dict.vals(j) = v; dict.lens(j) = l; dict.sums(j) = s; j += 1
-    }
-    if (endp != pEnd) fail()
-    dict
+    val (h, cstart) = pageAt(b, c.dictPageOff.toInt)
+    if (h.ptype != 2) fail()
+    loadDictFromPage(b, c, h, cstart)
   }
 
   /** Decode ONE data page at `pos` (an OffsetIndex location):
@@ -977,82 +1137,11 @@ object ParquetFile {
       dict: DictAgg, pos: Int)(
       onValue: (Boolean, Long, Long, Long) => Unit): Int = {
     if (lf.maxRep != 0 || lf.maxDef > 1) fail()
-    val r = new TReader(b, pos, b.length)
-    val h = readPageHeader(r)
-    if (h.v2 || h.ptype != 0) fail()
-    val cstart = r.pos
-    if (h.cmp > b.length - cstart) fail()
-    h.crc.foreach { cv =>
-      val crc = new java.util.zip.CRC32()
-      crc.update(b, cstart, h.cmp)
-      if ((crc.getValue & 0xffffffffL) != (cv & 0xffffffffL)) fail()
-    }
-    val (pb, pOff, pEnd) = c.codec match {
-      case 0 => if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
-      case 1 => val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
-                (d, 0, d.length)
-      case 2 => val d = gunzipPage(b, cstart, h.cmp, h.unc)
-                (d, 0, d.length)
-      case _ => fail()
-    }
-    if (h.nv < 0) fail()
-    var p = pOff
-    var defMask: Array[Boolean] = null
-    var k = h.nv
-    if (lf.maxDef == 1) {
-      if (h.defEnc != 3) fail()
-      if (4 > pEnd - p) fail()
-      val len = (pb(p) & 0xff) | ((pb(p + 1) & 0xff) << 8) |
-        ((pb(p + 2) & 0xff) << 16) | ((pb(p + 3) & 0xff) << 24)
-      p += 4
-      if (len < 0 || len > pEnd - p) fail()
-      defMask = new Array[Boolean](h.nv)
-      var w = 0; var nn = 0
-      rleHybrid(pb, p, p + len, 1, h.nv) { (v, run) =>
-        if (v != 0 && v != 1) fail()
-        val d = v == 1
-        var t = 0
-        while (t < run) { defMask(w) = d; w += 1; t += 1 }
-        if (d) nn += run
-      }
-      p += len
-      k = nn
-    }
-    val vv = new Array[Long](k)
-    val ll = new Array[Long](k)
-    val ss = new Array[Long](k)
-    var j = 0
-    h.enc match {
-      case 0 =>
-        val endp = plainDecode(pb, p, pEnd, k, c.ptype) { (v, l, s) =>
-          vv(j) = v; ll(j) = l; ss(j) = s; j += 1
-        }
-        if (endp != pEnd) fail()
-      case 2 | 8 =>
-        if (dict == null) fail()
-        if (p >= pEnd) { if (k != 0) fail() }
-        else {
-          val bw = pb(p) & 0xff; p += 1
-          rleHybrid(pb, p, pEnd, bw, k) { (v, run) =>
-            if (v < 0 || v >= dict.n) fail()
-            var t = 0
-            while (t < run) {
-              vv(j) = dict.vals(v); ll(j) = dict.lens(v)
-              ss(j) = dict.sums(v); j += 1; t += 1
-            }
-          }
-        }
-      case _ => fail()
-    }
-    if (j != k) fail()
-    var rI = 0; var vI = 0
-    while (rI < h.nv) {
-      if (defMask == null || defMask(rI)) {
-        onValue(true, vv(vI), ll(vI), ss(vI)); vI += 1
-      } else onValue(false, 0L, 0L, 0L)
-      rI += 1
-    }
-    h.nv
+    val (h, cstart) = pageAt(b, pos)
+    if (h.ptype != 0 && h.ptype != 3) fail()
+    val pd = decodeDataPageBody(b, c, lf, dict, h, cstart)
+    emitRows(pd, onValue)
+    pd.nRows
   }
 
   /** PAGE-pruned selective read (q209 — what the ColumnIndex exists

@@ -451,7 +451,9 @@ object LlmQueries {
     * bytes as a media Dataset for the codec seam. */
   private def parquetArtifactMedia(s: SparkSession, dir: String,
       tag: String, codec: String, dict: Boolean,
-      blockSize: Int): Dataset[(Long, Array[Byte])] = {
+      blockSize: Int,
+      writerVersion: String = "PARQUET_1_0")
+      : Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     // per-run artifact path (the q142/q146 rule: no cross-run race)
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_pqp_" +
@@ -468,6 +470,7 @@ object LlmQueries {
       .write.option("compression", codec)
       .option("parquet.block.size", blockSize.toString)
       .option("parquet.enable.dictionary", dict.toString)
+      .option("parquet.writer.version", writerVersion)
       .parquet(base)
     s.read.format("binaryFile").load(base)
       .filter(col("path").endsWith(".parquet"))
@@ -5374,6 +5377,32 @@ object LlmQueries {
           CAST(sum(doc_id) AS BIGINT) AS sum_key,
           CAST(sum(n_chars) AS BIGINT) AS sum_val
         FROM documents WHERE doc_id BETWEEN 101 AND 487""")),
+
+    // ---- Parquet V2 writer layout (r10 — the format's OTHER data
+    // page: DataPageHeaderV2 with raw uncompressed levels and a
+    // values-only compression window, and the V2 writer's native
+    // encodings — DELTA_BINARY_PACKED for the integers (block/
+    // miniblock headers, zigzag min deltas, LSB-first packed
+    // miniblocks with trailing padding) and DELTA_BYTE_ARRAY front
+    // coding for the strings (prefix lengths + suffix stream, each
+    // value sharing its head with the previous one)): the SAME
+    // q203/q204 oracle, so a fourth entirely different byte path
+    // must land on identical sums.
+    "q210_parquet_v2" -> Query(
+      (s, dir) => {
+        val media = parquetArtifactMedia(s, dir, "v2", "snappy",
+          dict = false, blockSize = 256 * 1024,
+          writerVersion = "PARQUET_2_0")
+        ParquetFile.decodeColumnSums(media).toDF()
+          .where(col("valid"))
+          .groupBy(col("col_path"))
+          .agg(sum(col("n_values")).as("n_values"),
+            sum(col("n_nonnull")).as("n_nonnull"),
+            sum(col("sum_long")).as("sum_long"),
+            sum(col("sum_blen")).as("sum_blen"),
+            sum(col("sum_bytes")).as("sum_bytes"))
+      },
+      Some(ParquetPagesOracle)),
 
     // ---- Parquet PAGE-level pruning via the ColumnIndex/OffsetIndex
     // (r10 — what the page index exists for, run by OUR codec): row

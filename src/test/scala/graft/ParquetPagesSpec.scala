@@ -31,7 +31,9 @@ class ParquetPagesSpec extends SparkSpec {
 
   private def writeP(data: Seq[(Long, Option[Long], String)],
                      codec: String, dict: Boolean,
-                     blockSize: Int = 64 * 1024): (String, Array[Byte]) = {
+                     blockSize: Int = 64 * 1024,
+                     writerVersion: String = "PARQUET_1_0")
+      : (String, Array[Byte]) = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_pqp_").toString
     data.toDF("id", "v", "s")
@@ -41,6 +43,7 @@ class ParquetPagesSpec extends SparkSpec {
       .option("parquet.block.size", blockSize.toString)
       .option("parquet.page.size", (blockSize / 4).toString)
       .option("parquet.enable.dictionary", dict.toString)
+      .option("parquet.writer.version", writerVersion)
       .parquet(dir)
     val f = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
@@ -186,6 +189,40 @@ class ParquetPagesSpec extends SparkSpec {
       900000L, 990000L)
     none.n_pages_key_scanned shouldBe 0L
     none.n_pages_val_scanned shouldBe 0L
+  }
+
+  test("V2 writer layout: DataPageHeaderV2 with raw levels, " +
+      "DELTA_BINARY_PACKED ints and DELTA_BYTE_ARRAY strings decode " +
+      "to the same sums (r10)") {
+    val data = rows(5000)
+    // no dictionary → the V2 writer's native delta encodings
+    check(writeP(data, "uncompressed", dict = false,
+      writerVersion = "PARQUET_2_0")._2, data)
+    // dict path under V2 (RLE_DICTIONARY) + snappy-compressed values
+    check(writeP(data, "snappy", dict = true,
+      writerVersion = "PARQUET_2_0")._2, data)
+    // gzip values section
+    check(writeP(data, "gzip", dict = false,
+      writerVersion = "PARQUET_2_0")._2, data)
+    // multi row group + page boundaries
+    check(writeP(data ++ rows(40000), "snappy", dict = false,
+      blockSize = 8 * 1024, writerVersion = "PARQUET_2_0")._2,
+      data ++ rows(40000))
+  }
+
+  test("V2 + page index: page-level pruning works on the V2 layout " +
+      "too") {
+    val data = rows(60000)
+    val bytes = writeP(data, "snappy", dict = false,
+      blockSize = 8 * 1024, writerVersion = "PARQUET_2_0")._2
+    val lo = 30000L; val hi = 31000L
+    val got = ParquetFile.parsePagePrunedSum(1L, bytes, "id", "v", lo, hi)
+    got.valid shouldBe true
+    got.n_pages_key_scanned should be < got.n_pages_key
+    val want = data.filter(t => t._1 >= lo && t._1 <= hi)
+    got.n_rows_matched shouldBe want.length.toLong
+    got.sum_key shouldBe want.map(_._1).sum
+    got.sum_val shouldBe want.flatMap(_._2).sum
   }
 
   test("page CRC is verified: a bit flip in page data is caught even " +
