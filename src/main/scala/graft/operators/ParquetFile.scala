@@ -64,7 +64,7 @@ object ParquetFile {
       numValues: Long, totalCompressed: Long, totalUncompressed: Long,
       dataPageOff: Long, dictPageOff: Long, stats: Stats,
       oiOff: Long = -1L, oiLen: Int = -1, ciOff: Long = -1L,
-      ciLen: Int = -1)
+      ciLen: Int = -1, bloomOff: Long = -1L, bloomLen: Int = -1)
   private[graft] final case class RowGroupMeta(
       numRows: Long, totalByteSize: Long, chunks: Vector[Chunk])
   /** `maxDef`/`maxRep` from the ancestor chain (OPTIONAL/REPEATED
@@ -242,10 +242,13 @@ object ParquetFile {
     var path = Vector.empty[String]
     var numValues = -1L; var totUnc = -1L; var totCmp = -1L
     var dataOff = -1L; var dictOff = -1L
+    var bloomOff = -1L; var bloomLen = -1
     var statsBytesStart = -1; var statsBytesEnd = -1
     readStruct(r, 5) { (id, tpe) =>
       id match {
         case 1L => ptype = i32Of(r, tpe)
+        case 14L => bloomOff = i64Of(r, tpe)
+        case 15L => bloomLen = i32Of(r, tpe)
         case 2L =>
           val n = listHeader(r, T_I32)
           var i = 0
@@ -280,7 +283,8 @@ object ParquetFile {
         readStatistics(sr, ptype)
       }
     Chunk(path.mkString("."), ptype, codec, encodings, numValues,
-      totCmp, totUnc, dataOff, dictOff, stats)
+      totCmp, totUnc, dataOff, dictOff, stats,
+      bloomOff = bloomOff, bloomLen = bloomLen)
   }
 
   private def readColumnChunk(r: TReader): Chunk = {
@@ -1142,6 +1146,157 @@ object ParquetFile {
     val pd = decodeDataPageBody(b, c, lf, dict, h, cstart)
     emitRows(pd, onValue)
     pd.nRows
+  }
+
+  // ---- split-block Bloom filter layer (q211): the format's point-
+  // lookup pruning tool — a missing key skips the whole row group
+  // without touching a page OR the column index ----
+
+  /** xxHash64, seed 0 — the hash the Parquet bloom spec mandates;
+    * input is the PLAIN encoding of the value. Public algorithm
+    * (xxHash spec); verified against parquet-mr's own hasher. */
+  private[graft] def xxHash64(b: Array[Byte]): Long = {
+    val P1 = 0x9E3779B185EBCA87L; val P2 = 0xC2B2AE3D27D4EB4FL
+    val P3 = 0x165667B19E3779F9L; val P4 = 0x85EBCA77C2B2AE63L
+    val P5 = 0x27D4EB2F165667C5L
+    val len = b.length
+    def le64(o: Int): Long = {
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (b(o + i) & 0xffL); i -= 1 }
+      v
+    }
+    def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+    var h = 0L
+    var i = 0
+    if (len >= 32) {
+      var v1 = P1 + P2; var v2 = P2; var v3 = 0L; var v4 = -P1
+      while (i + 32 <= len) {
+        v1 = rotl(v1 + le64(i) * P2, 31) * P1
+        v2 = rotl(v2 + le64(i + 8) * P2, 31) * P1
+        v3 = rotl(v3 + le64(i + 16) * P2, 31) * P1
+        v4 = rotl(v4 + le64(i + 24) * P2, 31) * P1
+        i += 32
+      }
+      h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+      def merge(acc: Long, v: Long): Long =
+        (acc ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+      h = merge(h, v1); h = merge(h, v2)
+      h = merge(h, v3); h = merge(h, v4)
+    } else h = P5 // seed 0 + P5
+    h += len
+    while (i + 8 <= len) {
+      h = rotl(h ^ (rotl(le64(i) * P2, 31) * P1), 27) * P1 + P4
+      i += 8
+    }
+    if (i + 4 <= len) {
+      h = rotl(h ^ (le32(i) * P1), 23) * P2 + P3
+      i += 4
+    }
+    while (i < len) {
+      h = rotl(h ^ ((b(i) & 0xffL) * P5), 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  /** xxHash64 of a value's PLAIN encoding (8-byte LE for INT64). */
+  private[graft] def bloomHashLong(v: Long): Long = {
+    val raw = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { raw(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    xxHash64(raw)
+  }
+
+  private val BloomSalt = Array(0x47b6137b, 0x44974d91, 0x8824ad5b,
+    0xa2b7289d, 0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31)
+
+  private[graft] final case class Bloom(bitsetOff: Int, numBytes: Int)
+
+  /** BloomFilterHeader (thrift): numBytes + the three one-field
+    * unions — BLOCK algorithm, XXHASH, UNCOMPRESSED — then the
+    * bitset (numBytes, a multiple of the 32-byte block). */
+  private[graft] def readBloom(b: Array[Byte], off: Long): Bloom = {
+    if (off < 0 || off >= b.length) fail()
+    val r = new TReader(b, off.toInt, b.length)
+    var numBytes = -1
+    var algoOk = false; var hashOk = false; var cmpOk = false
+    def union(mark: => Unit): Unit =
+      readStruct(r, 2) { (fid, ftpe) =>
+        if (fid == 1L && ftpe == T_STRUCT) { mark; skipStruct(r, 3) }
+        else skipValue(r, ftpe, 2)
+      }
+    readStruct(r, 1) { (id, tpe) =>
+      id match {
+        case 1L => numBytes = i32Of(r, tpe)
+        case 2L => if (tpe != T_STRUCT) fail(); union { algoOk = true }
+        case 3L => if (tpe != T_STRUCT) fail(); union { hashOk = true }
+        case 4L => if (tpe != T_STRUCT) fail(); union { cmpOk = true }
+        case _  => skipValue(r, tpe, 1)
+      }
+    }
+    if (numBytes <= 0 || numBytes % 32 != 0 || !algoOk || !hashOk ||
+      !cmpOk) fail()
+    if (numBytes > b.length - r.pos) fail()
+    Bloom(r.pos, numBytes)
+  }
+
+  /** SBBF membership: block index from the hash's upper half scaled
+    * to the block count; inside the block, bit `(x·salt[i]) >>> 27`
+    * of each of the 8 little-endian words must be set (uint32
+    * arithmetic — Java's wrapping int multiply IS the spec's). */
+  private[graft] def bloomMightContain(b: Array[Byte], bloom: Bloom,
+      hash: Long): Boolean = {
+    val numBlocks = bloom.numBytes / 32
+    val blockIdx = (((hash >>> 32) * numBlocks) >>> 32).toInt
+    val base = bloom.bitsetOff + blockIdx * 32
+    val x = hash.toInt
+    var i = 0
+    while (i < 8) {
+      val bit = (x * BloomSalt(i)) >>> 27
+      val o = base + i * 4
+      val word = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      if (((word >>> bit) & 1) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** One row per probe value: does ANY row group's bloom admit it?
+    * (Per-chunk filters have no false negatives, so a present value
+    * must test true in the chunk that holds it.) */
+  final case class BloomProbeRow(media_id: Long, probe: Long,
+      might: Boolean, valid: Boolean)
+
+  /** Map-side bloom probes of an INT64 column across all row groups. */
+  def decodeBloomProbes(media: Dataset[(Long, Array[Byte])],
+      colPath: String, probes: Seq[Long]): Dataset[BloomProbeRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      try {
+        val m = parseFooterMeta(bytes)
+        val ci = m.leaves.indexWhere(_.path == colPath)
+        if (ci < 0 || m.leaves(ci).ptype != 2) fail()
+        val blooms = m.rowGroups.map { rg =>
+          val c = rg.chunks(ci)
+          if (c.bloomOff < 0) fail()
+          readBloom(bytes, c.bloomOff)
+        }
+        probes.map { p =>
+          val h = bloomHashLong(p)
+          BloomProbeRow(id, p,
+            blooms.exists(bl => bloomMightContain(bytes, bl, h)),
+            valid = true)
+        }
+      } catch {
+        case _: Throwable =>
+          Seq(BloomProbeRow(id, 0L, might = false, valid = false))
+      }
+    })
   }
 
   /** PAGE-pruned selective read (q209 — what the ColumnIndex exists

@@ -452,7 +452,8 @@ object LlmQueries {
   private def parquetArtifactMedia(s: SparkSession, dir: String,
       tag: String, codec: String, dict: Boolean,
       blockSize: Int,
-      writerVersion: String = "PARQUET_1_0")
+      writerVersion: String = "PARQUET_1_0",
+      extraOpts: Map[String, String] = Map.empty)
       : Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     // per-run artifact path (the q142/q146 rule: no cross-run race)
@@ -471,6 +472,7 @@ object LlmQueries {
       .option("parquet.block.size", blockSize.toString)
       .option("parquet.enable.dictionary", dict.toString)
       .option("parquet.writer.version", writerVersion)
+      .options(extraOpts)
       .parquet(base)
     s.read.format("binaryFile").load(base)
       .filter(col("path").endsWith(".parquet"))
@@ -5428,6 +5430,46 @@ object LlmQueries {
           CAST(sum(doc_id) AS BIGINT) AS sum_key,
           CAST(sum(n_chars) AS BIGINT) AS sum_val
         FROM documents WHERE doc_id BETWEEN 57 AND 441""")),
+
+    // ---- Parquet split-block BLOOM filter (r10 — the format's
+    // point-lookup pruner: a missing key skips the whole row group
+    // without touching a page OR the column index): the artifact is
+    // written with the filter enabled on doc_id; OUR xxHash64 (seed
+    // 0, the spec's mandate) and SBBF block/salt check probe a fixed
+    // grid, presence is established independently by a broadcast
+    // join against the table, and the gate exploits the structure's
+    // ONE hard guarantee — no false negatives: every present probe
+    // must test might=true, so n_false_neg is identically 0 and
+    // n_present/sum_present replay exactly. (False-positive counts
+    // are layout-dependent and stay out of the gated output; the
+    // spec pins the hash and the check bit-for-bit against
+    // parquet-mr's own filter object.)
+    "q211_parquet_bloom" -> Query(
+      (s, dir) => {
+        val media = parquetArtifactMedia(s, dir, "blm", "snappy",
+          dict = true, blockSize = 64 * 1024,
+          extraOpts = Map("parquet.bloom.filter.enabled#doc_id" -> "true"))
+        val probes = 0L until 2000L by 7L
+        val rows = ParquetFile.decodeBloomProbes(media, "doc_id",
+          probes).toDF().where(col("valid"))
+        val present = docs(s, dir).select(col("doc_id")).distinct()
+        rows.join(broadcast(present),
+            rows("probe") === present("doc_id"), "left")
+          .agg(count(lit(1)).as("n_probes"),
+            count(col("doc_id")).as("n_present"),
+            coalesce(sum(when(col("doc_id").isNotNull &&
+              !col("might"), 1L)), lit(0L)).as("n_false_neg"),
+            coalesce(sum(when(col("doc_id").isNotNull, col("probe"))),
+              lit(0L)).as("sum_present"))
+      },
+      Some("""WITH p AS (SELECT unnest(range(0, 2000, 7)) AS probe),
+          d AS (SELECT DISTINCT doc_id FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+          CAST(count(d.doc_id) AS BIGINT) AS n_present,
+          CAST(0 AS BIGINT) AS n_false_neg,
+          CAST(coalesce(sum(CASE WHEN d.doc_id IS NOT NULL
+            THEN probe END), 0) AS BIGINT) AS sum_present
+        FROM p LEFT JOIN d ON p.probe = d.doc_id""")),
 
     // ---- ZIP container walk (r10 — the OTHER bundle format public
     // datasets ship in; tar covers the unix lineage, q182): the REAL
