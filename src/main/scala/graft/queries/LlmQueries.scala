@@ -495,6 +495,109 @@ object LlmQueries {
         sum(col("sum_bytes")).as("sum_bytes"))
   }
 
+  /** q212/q213 shared body — the lakehouse TABLE-FORMAT layer above
+    * the parquet reader: a Delta-protocol-style transaction log
+    * (JSON-lines action files, one directory per commit version) is
+    * WRITTEN to disk from deterministic formulas, read back as real
+    * files, and folded into a snapshot by the protocol's resolution
+    * rule — per path, the action with the highest version wins; the
+    * path exists iff that action is an `add`. `asOf < 0` resolves the
+    * latest snapshot; otherwise time-travels to commit `asOf`.
+    *
+    * Action formulas per doc d (V=12 commits):
+    *  - add at `va = d % 12` with size `n_chars`;
+    *  - if d%2==0: remove at `vr = va + 1 + d%5` (when ≤ 11);
+    *  - if d%4==0 and the remove landed: RE-ADD at
+    *    `va2 = vr + 1 + d%3` (when ≤ 11) with size `n_chars + 7` —
+    *    the add-after-remove case a naive "was it ever removed"
+    *    resolver gets wrong.
+    *
+    * 100 TB shape: the log is tiny next to the data it describes;
+    * the fold is ONE path-keyed exchange (window latest-wins). */
+  private def deltaSnapshot(s: SparkSession, dir: String, tag: String,
+      asOf: Long): DataFrame = {
+    import s.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dlog_" +
+      tag + "_" + s.sparkContext.applicationId + "_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(): Unit
+    }
+    del(new java.io.File(base))
+    val d = docs(s, dir).select(col("doc_id"),
+      col("n_chars").cast("long").as("n_chars"))
+    val va = col("doc_id") % 12
+    val vr = va + lit(1) + col("doc_id") % 5
+    val va2 = vr + lit(1) + col("doc_id") % 3
+    val adds = d.select(va.as("version"),
+      to_json(struct(
+        struct(concat(lit("part-"), col("doc_id")).as("path"),
+          col("n_chars").as("size")).as("add"))).as("value"))
+    val removes = d.where(col("doc_id") % 2 === 0 && vr <= 11)
+      .select(vr.as("version"),
+        to_json(struct(
+          struct(concat(lit("part-"), col("doc_id")).as("path"))
+            .as("remove"))).as("value"))
+    val readds = d.where(col("doc_id") % 4 === 0 && vr <= 11 &&
+        va2 <= 11)
+      .select(va2.as("version"),
+        to_json(struct(
+          struct(concat(lit("part-"), col("doc_id")).as("path"),
+            (col("n_chars") + 7).as("size")).as("add"))).as("value"))
+    adds.unionAll(removes).unionAll(readds)
+      .write.partitionBy("version").text(base)
+    // read the log back as REAL files; the commit version lives in
+    // the directory name, exactly where a reader must find it
+    val log = s.read.text(s"$base/version=*")
+      .withColumn("version", regexp_extract(input_file_name(),
+        "version=(\\d+)", 1).cast("long"))
+    val acts = log.select(col("version"),
+      get_json_object(col("value"), "$.add.path").as("add_path"),
+      get_json_object(col("value"), "$.add.size").cast("long")
+        .as("add_size"),
+      get_json_object(col("value"), "$.remove.path").as("rm_path"))
+    val bounded = if (asOf >= 0) acts.where(col("version") <= asOf)
+                  else acts
+    val norm = bounded.select(col("version"),
+      coalesce(col("add_path"), col("rm_path")).as("path"),
+      col("add_path").isNotNull.as("is_add"), col("add_size"))
+    val w = Window.partitionBy(col("path"))
+      .orderBy(col("version").desc)
+    norm.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && col("is_add"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("add_size")).as("sum_size"),
+        sum(regexp_extract(col("path"), "part-(\\d+)", 1)
+          .cast("long")).as("sum_doc"))
+  }
+
+  /** The oracle replay of [[deltaSnapshot]]'s action formulas. */
+  private def deltaOracle(asOf: Long): String = {
+    val bound = if (asOf >= 0) asOf else 11L
+    s"""WITH d AS (SELECT doc_id, n_chars, doc_id % 12 AS va,
+            doc_id % 12 + 1 + doc_id % 5 AS vr,
+            doc_id % 12 + 2 + doc_id % 5 + doc_id % 3 AS va2
+          FROM documents),
+        st AS (SELECT doc_id, n_chars,
+            CASE
+              WHEN doc_id % 4 = 0 AND vr <= 11 AND va2 <= 11
+                AND va2 <= $bound THEN 'readd'
+              WHEN doc_id % 2 = 0 AND vr <= 11 AND vr <= $bound
+                THEN 'gone'
+              WHEN va <= $bound THEN 'live'
+              ELSE 'never' END AS state
+          FROM d)
+      SELECT CAST(count(*) FILTER (WHERE state IN ('live', 'readd'))
+          AS BIGINT) AS n_files,
+        CAST(sum(CASE WHEN state = 'live' THEN n_chars
+          WHEN state = 'readd' THEN n_chars + 7 END) AS BIGINT)
+          AS sum_size,
+        CAST(sum(CASE WHEN state IN ('live', 'readd') THEN doc_id END)
+          AS BIGINT) AS sum_doc
+      FROM st"""
+  }
+
   /** lang/source are ASCII in the table, so DuckDB's per-char `ord`
     * equals the decoder's unsigned UTF-8 byte sum; `strlen` is the
     * byte length. */
@@ -5430,6 +5533,22 @@ object LlmQueries {
           CAST(sum(doc_id) AS BIGINT) AS sum_key,
           CAST(sum(n_chars) AS BIGINT) AS sum_val
         FROM documents WHERE doc_id BETWEEN 57 AND 441""")),
+
+    // ---- Transaction-log snapshot resolution (r10 — the lakehouse
+    // TABLE-FORMAT layer above the parquet reader: a Delta-protocol-
+    // style JSON action log written to disk as REAL files, one
+    // commit directory per version, resolved by the protocol's rule —
+    // per path the highest-version action wins, the path exists iff
+    // it is an add; includes the add-after-remove case a naive
+    // resolver gets wrong). q212 resolves the LATEST snapshot; q213
+    // TIME-TRAVELS to commit 6 over the same log (the version bound
+    // changes every doc's fate arithmetic).
+    "q212_txlog_snapshot" -> Query(
+      (s, dir) => deltaSnapshot(s, dir, "full", -1L),
+      Some(deltaOracle(-1L))),
+    "q213_txlog_time_travel" -> Query(
+      (s, dir) => deltaSnapshot(s, dir, "asof", 6L),
+      Some(deltaOracle(6L))),
 
     // ---- Parquet split-block BLOOM filter (r10 — the format's
     // point-lookup pruner: a missing key skips the whole row group
