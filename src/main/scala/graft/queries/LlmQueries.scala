@@ -5550,6 +5550,86 @@ object LlmQueries {
       (s, dir) => deltaSnapshot(s, dir, "asof", 6L),
       Some(deltaOracle(6L))),
 
+    // ---- LAKEHOUSE end-to-end scan (r10 capstone — every layer this
+    // round built, composed in the order a real lakehouse reader runs
+    // them): the table is laid out as 12 range-bucketed parquet files;
+    // per-file doc_id min/max stats come from OUR footer codec; a
+    // single-commit JSON transaction log carries path + stats (the
+    // Delta adds-with-stats shape); the SNAPSHOT resolve + LOG-level
+    // stats pruning select the files a predicate can touch; ONLY those
+    // paths are loaded (true file skipping — the pruned paths never
+    // reach the scan); inside each survivor the q208 row-group-pruned
+    // reader masks the value column by the key predicate. The oracle
+    // replays the filtered sums — a mistake in ANY layer (footer
+    // stats, log round-trip, file pruning, rg pruning, def-level
+    // alignment) breaks the hash.
+    "q214_lakehouse_scan" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        // bounded scalar probe (the Curation/Drift precedent): the
+        // bucket width both sides derive from max(doc_id)
+        val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+        val width = mx / 12 + 1
+        d.withColumn("b", (col("doc_id") / width).cast("int"))
+          .repartition(col("b")).sortWithinPartitions("doc_id")
+          .write.partitionBy("b").option("compression", "snappy")
+          .parquet(s"$base/data")
+        // per-file stats via OUR footer codec, distributed
+        val files = s.read.format("binaryFile").load(s"$base/data/b=*")
+          .filter(col("path").endsWith(".parquet"))
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+        val adds = files.mapPartitions(_.map { case (p, bytes) =>
+          val rows = ParquetFile.parse(0L, bytes)
+          val dc = rows.filter(r => r.valid && r.col_path == "doc_id" &&
+            r.has_stats)
+          if (dc.isEmpty) (p, 0L, -1L) // poisons the stats → never pruned
+          else (p, dc.map(_.min_long).min, dc.map(_.max_long).max)
+        }).toDF("path", "min_doc", "max_doc")
+        // single-commit JSON log with adds-carry-stats, as REAL files
+        adds.select(lit(0L).as("version"), to_json(struct(
+            struct(col("path"), col("min_doc"), col("max_doc"))
+              .as("add"))).as("value"))
+          .write.partitionBy("version").text(s"$base/log")
+        val lo = 120L; val hi = 260L
+        val live = s.read.text(s"$base/log/version=*")
+          .select(
+            get_json_object(col("value"), "$.add.path").as("path"),
+            get_json_object(col("value"), "$.add.min_doc")
+              .cast("long").as("min_doc"),
+            get_json_object(col("value"), "$.add.max_doc")
+              .cast("long").as("max_doc"))
+          .where(col("max_doc") >= lo && col("min_doc") <= hi ||
+            col("max_doc") < col("min_doc")) // statless files must scan
+        // TRUE file skipping: only surviving paths reach the scan
+        // (bounded artifact collect — ≤ 12 paths)
+        val paths = live.select(col("path")).as[String].collect().sorted
+        val surviving = s.read.format("binaryFile")
+          .load(paths.toIndexedSeq: _*)
+          .select(lit(0L), col("content")).as[(Long, Array[Byte])]
+        ParquetFile.decodePrunedSum(surviving, "doc_id", "n_chars",
+            lo, hi).toDF()
+          .where(col("valid"))
+          .agg(coalesce(sum(col("n_rows_matched")), lit(0L))
+            .as("n_rows_matched"),
+            coalesce(sum(col("sum_key")), lit(0L)).as("sum_key"),
+            coalesce(sum(col("sum_val")), lit(0L)).as("sum_val"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows_matched,
+          CAST(sum(doc_id) AS BIGINT) AS sum_key,
+          CAST(sum(n_chars) AS BIGINT) AS sum_val
+        FROM documents WHERE doc_id BETWEEN 120 AND 260""")),
+
     // ---- Parquet split-block BLOOM filter (r10 — the format's
     // point-lookup pruner: a missing key skips the whole row group
     // without touching a page OR the column index): the artifact is
