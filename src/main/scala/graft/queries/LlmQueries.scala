@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
 import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pdf, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Tiff, Warc, Wet}
-import graft.operators.{DomainSuffix, ParquetFile, Zip}
+import graft.operators.{Avro, DomainSuffix, ParquetFile, Zip}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -5629,6 +5629,52 @@ object LlmQueries {
           CAST(sum(doc_id) AS BIGINT) AS sum_key,
           CAST(sum(n_chars) AS BIGINT) AS sum_val
         FROM documents WHERE doc_id BETWEEN 120 AND 260""")),
+
+    // ---- Avro Object Container File walk (r10 — the ROW-format
+    // counterpart to the parquet reader: Kafka archives, CDC dumps
+    // and ingest staging ship OCF): fixtures come from avro-java's
+    // REAL DataFileWriter (deflate blocks for even doc_ids — file
+    // bytes share no structure with the record formulas; explicit
+    // sync() every two records pins the block boundaries so even
+    // n_blocks replays); our dependency-free reader parses the
+    // schema from the header (a JSON walk, not an assumption),
+    // verifies every block's sync marker against the header's, and
+    // decodes the zigzag/length-prefixed/union wire format. The
+    // oracle replays record/block counts, integer sums, union null
+    // tallies and string byte sums — a reader with the varint, the
+    // union branch, the block framing or the inflate wrong cannot
+    // match.
+    "q215_avro_scan" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        // one OCF per 64-doc group — the realistic many-records-per-
+        // container shape (per-doc files made the avro-java WRITER
+        // objects, not the reader, the measured sf20 cost); the group
+        // shuffle is the fixture-build stage, the decode is map-side
+        val media = docs(s, dir)
+          .select((col("doc_id") / 64).cast("long").as("g"),
+            col("doc_id")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            (g, Avro.avroGroupPayload(g, it.map(_._2).toArray.sorted))
+          }
+        Avro.decodeAvro(media).toDF()
+      },
+      Some("""WITH p AS (SELECT doc_id // 64 AS media_id, doc_id AS d,
+              CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE (7 * doc_id) % 50 END AS v,
+              repeat('s', CAST(1 + doc_id % 4 AS INT)) || doc_id AS s
+            FROM documents)
+        SELECT media_id,
+          CAST((count(*) + 1) // 2 AS BIGINT) AS n_blocks,
+          CAST(count(*) AS BIGINT) AS n_records,
+          CAST(sum(d) + coalesce(sum(v), 0) AS BIGINT) AS sum_long,
+          CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+          CAST(sum(strlen(s)) AS BIGINT) AS sum_slen,
+          CAST(sum(list_sum(list_transform(range(1, len(s) + 1),
+            i -> ord(s[i])))) AS BIGINT) AS sum_sbytes,
+          true AS valid
+        FROM p GROUP BY media_id""")),
 
     // ---- Parquet split-block BLOOM filter (r10 — the format's
     // point-lookup pruner: a missing key skips the whole row group
