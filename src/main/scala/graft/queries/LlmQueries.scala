@@ -548,15 +548,27 @@ object LlmQueries {
     adds.unionAll(removes).unionAll(readds)
       .write.partitionBy("version").text(base)
     // read the log back as REAL files; the commit version lives in
-    // the directory name, exactly where a reader must find it
-    val log = s.read.text(s"$base/version=*")
-      .withColumn("version", regexp_extract(input_file_name(),
-        "version=(\\d+)", 1).cast("long"))
-    val acts = log.select(col("version"),
-      get_json_object(col("value"), "$.add.path").as("add_path"),
-      get_json_object(col("value"), "$.add.size").cast("long")
-        .as("add_size"),
-      get_json_object(col("value"), "$.remove.path").as("rm_path"))
+    // the directory name, exactly where a reader must find it.
+    // (Empty corpus → an empty log: no commit dirs to glob — resolve
+    // against the empty action frame instead of a PATH_NOT_FOUND.)
+    val hasCommits = Option(new java.io.File(base).listFiles())
+      .exists(_.exists(_.getName.startsWith("version=")))
+    val acts =
+      if (!hasCommits)
+        Seq.empty[(Long, String, Long, String)]
+          .toDF("version", "add_path", "add_size", "rm_path")
+          .select(col("version"), col("add_path"), col("add_size"),
+            col("rm_path"))
+      else {
+        val log = s.read.text(s"$base/version=*")
+          .withColumn("version", regexp_extract(input_file_name(),
+            "version=(\\d+)", 1).cast("long"))
+        log.select(col("version"),
+          get_json_object(col("value"), "$.add.path").as("add_path"),
+          get_json_object(col("value"), "$.add.size").cast("long")
+            .as("add_size"),
+          get_json_object(col("value"), "$.remove.path").as("rm_path"))
+      }
     val bounded = if (asOf >= 0) acts.where(col("version") <= asOf)
                   else acts
     val norm = bounded.select(col("version"),
@@ -5577,53 +5589,67 @@ object LlmQueries {
         val d = docs(s, dir).select(col("doc_id"),
           col("n_chars").cast("long").as("n_chars"))
         // bounded scalar probe (the Curation/Drift precedent): the
-        // bucket width both sides derive from max(doc_id)
-        val mx = d.agg(max(col("doc_id"))).head().getLong(0)
-        val width = mx / 12 + 1
-        d.withColumn("b", (col("doc_id") / width).cast("int"))
-          .repartition(col("b")).sortWithinPartitions("doc_id")
-          .write.partitionBy("b").option("compression", "snappy")
-          .parquet(s"$base/data")
-        // per-file stats via OUR footer codec, distributed
-        val files = s.read.format("binaryFile").load(s"$base/data/b=*")
-          .filter(col("path").endsWith(".parquet"))
-          .select(col("path"), col("content"))
-          .as[(String, Array[Byte])]
-        val adds = files.mapPartitions(_.map { case (p, bytes) =>
-          val rows = ParquetFile.parse(0L, bytes)
-          val dc = rows.filter(r => r.valid && r.col_path == "doc_id" &&
-            r.has_stats)
-          if (dc.isEmpty) (p, 0L, -1L) // poisons the stats → never pruned
-          else (p, dc.map(_.min_long).min, dc.map(_.max_long).max)
-        }).toDF("path", "min_doc", "max_doc")
-        // single-commit JSON log with adds-carry-stats, as REAL files
-        adds.select(lit(0L).as("version"), to_json(struct(
-            struct(col("path"), col("min_doc"), col("max_doc"))
-              .as("add"))).as("value"))
-          .write.partitionBy("version").text(s"$base/log")
-        val lo = 120L; val hi = 260L
-        val live = s.read.text(s"$base/log/version=*")
-          .select(
-            get_json_object(col("value"), "$.add.path").as("path"),
-            get_json_object(col("value"), "$.add.min_doc")
-              .cast("long").as("min_doc"),
-            get_json_object(col("value"), "$.add.max_doc")
-              .cast("long").as("max_doc"))
-          .where(col("max_doc") >= lo && col("min_doc") <= hi ||
-            col("max_doc") < col("min_doc")) // statless files must scan
-        // TRUE file skipping: only surviving paths reach the scan
-        // (bounded artifact collect — ≤ 12 paths)
-        val paths = live.select(col("path")).as[String].collect().sorted
-        val surviving = s.read.format("binaryFile")
-          .load(paths.toIndexedSeq: _*)
-          .select(lit(0L), col("content")).as[(Long, Array[Byte])]
-        ParquetFile.decodePrunedSum(surviving, "doc_id", "n_chars",
-            lo, hi).toDF()
-          .where(col("valid"))
+        // bucket width both sides derive from max(doc_id); an empty
+        // corpus has no max → the empty selective scan, no layout
+        val mxRow = d.agg(max(col("doc_id"))).head()
+        def zeros: DataFrame = Seq.empty[(Long, Long, Long)]
+          .toDF("n_rows_matched", "sum_key", "sum_val")
           .agg(coalesce(sum(col("n_rows_matched")), lit(0L))
             .as("n_rows_matched"),
             coalesce(sum(col("sum_key")), lit(0L)).as("sum_key"),
             coalesce(sum(col("sum_val")), lit(0L)).as("sum_val"))
+        if (mxRow.isNullAt(0)) zeros
+        else {
+          val mx = mxRow.getLong(0)
+          val width = mx / 12 + 1
+          d.withColumn("b", (col("doc_id") / width).cast("int"))
+            .repartition(col("b")).sortWithinPartitions("doc_id")
+            .write.partitionBy("b").option("compression", "snappy")
+            .parquet(s"$base/data")
+          // per-file stats via OUR footer codec, distributed
+          val files = s.read.format("binaryFile").load(s"$base/data/b=*")
+            .filter(col("path").endsWith(".parquet"))
+            .select(col("path"), col("content"))
+            .as[(String, Array[Byte])]
+          val adds = files.mapPartitions(_.map { case (p, bytes) =>
+            val rows = ParquetFile.parse(0L, bytes)
+            val dc = rows.filter(r => r.valid && r.col_path == "doc_id" &&
+              r.has_stats)
+            if (dc.isEmpty) (p, 0L, -1L) // poisoned stats → never pruned
+            else (p, dc.map(_.min_long).min, dc.map(_.max_long).max)
+          }).toDF("path", "min_doc", "max_doc")
+          // single-commit JSON log with adds-carry-stats, as REAL files
+          adds.select(lit(0L).as("version"), to_json(struct(
+              struct(col("path"), col("min_doc"), col("max_doc"))
+                .as("add"))).as("value"))
+            .write.partitionBy("version").text(s"$base/log")
+          val lo = 120L; val hi = 260L
+          val live = s.read.text(s"$base/log/version=*")
+            .select(
+              get_json_object(col("value"), "$.add.path").as("path"),
+              get_json_object(col("value"), "$.add.min_doc")
+                .cast("long").as("min_doc"),
+              get_json_object(col("value"), "$.add.max_doc")
+                .cast("long").as("max_doc"))
+            .where(col("max_doc") >= lo && col("min_doc") <= hi ||
+              col("max_doc") < col("min_doc")) // statless files must scan
+          // TRUE file skipping: only surviving paths reach the scan
+          // (bounded artifact collect — ≤ 12 paths)
+          val paths = live.select(col("path")).as[String].collect().sorted
+          if (paths.isEmpty) zeros
+          else {
+            val surviving = s.read.format("binaryFile")
+              .load(paths.toIndexedSeq: _*)
+              .select(lit(0L), col("content")).as[(Long, Array[Byte])]
+            ParquetFile.decodePrunedSum(surviving, "doc_id", "n_chars",
+                lo, hi).toDF()
+              .where(col("valid"))
+              .agg(coalesce(sum(col("n_rows_matched")), lit(0L))
+                .as("n_rows_matched"),
+                coalesce(sum(col("sum_key")), lit(0L)).as("sum_key"),
+                coalesce(sum(col("sum_val")), lit(0L)).as("sum_val"))
+          }
+        }
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows_matched,
           CAST(sum(doc_id) AS BIGINT) AS sum_key,
