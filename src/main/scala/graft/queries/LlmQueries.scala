@@ -5656,6 +5656,66 @@ object LlmQueries {
           CAST(sum(n_chars) AS BIGINT) AS sum_val
         FROM documents WHERE doc_id BETWEEN 120 AND 260""")),
 
+    // ---- Parquet WRITER round trip (r10 — the inverse differential:
+    // the engine PRODUCES lakehouse files without parquet-mr, and
+    // SPARK'S OWN READER consumes them): docs group into 256-doc
+    // files (the q215 container-grain lesson), each serialized by
+    // `ParquetWrite.writeFile` — V1 pages, PLAIN, REQUIRED columns,
+    // UTF8-annotated strings, real INT64 statistics, a full Thrift
+    // compact footer — written from executors, then read back with
+    // `spark.read.parquet` and aggregated. The oracle replays the
+    // sums from the source table; a writer with the zigzag, the
+    // field-delta state, the schema tree, the page framing or the
+    // offsets wrong produces files Spark cannot read (or reads to
+    // different sums). The spec additionally pins parquet-mr's
+    // reader (footer + stats + pages) and our own reader's round
+    // trip incl. stats pruning over our files.
+    "q216_parquet_writer" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_pqw_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(base).mkdirs()
+        docs(s, dir).select((col("doc_id") / 256).cast("long").as("g"),
+            col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("source"))
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            (g, graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rows.map(_._2)),
+              graft.operators.ParquetWrite.LongCol("n_chars",
+                rows.map(_._3)),
+              graft.operators.ParquetWrite.StrCol("source",
+                rows.map(_._4)))))
+          }
+          .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+            it.foreach { case (g, bytes) =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$base/part-$g.parquet"),
+                bytes): Unit
+            }
+          }
+        s.read.parquet(base) // Spark's OWN reader over OUR bytes
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("sum_doc"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("source"))).as("sum_srclen"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(sum(len(source)) AS BIGINT) AS sum_srclen
+        FROM documents""")),
+
     // ---- Avro Object Container File walk (r10 — the ROW-format
     // counterpart to the parquet reader: Kafka archives, CDC dumps
     // and ingest staging ship OCF): fixtures come from avro-java's
