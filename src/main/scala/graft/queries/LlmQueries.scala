@@ -5704,11 +5704,18 @@ object LlmQueries {
                 bytes): Unit
             }
           }
-        s.read.parquet(base) // Spark's OWN reader over OUR bytes
-          .agg(count(lit(1)).as("n_rows"),
-            sum(col("doc_id")).as("sum_doc"),
-            sum(col("n_chars")).as("sum_chars"),
-            sum(length(col("source"))).as("sum_srclen"))
+        // empty corpus → no files were written → the empty aggregate
+        // (Spark cannot infer a schema from an empty directory)
+        val wrote = Option(new java.io.File(base).listFiles())
+          .exists(_.exists(_.getName.endsWith(".parquet")))
+        val read =
+          if (wrote) s.read.parquet(base) // Spark's OWN reader, OUR bytes
+          else Seq.empty[(Long, Long, String)]
+            .toDF("doc_id", "n_chars", "source")
+        read.agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_doc"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("source"))).as("sum_srclen"))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(doc_id) AS BIGINT) AS sum_doc,
