@@ -64,6 +64,20 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    // Memoized-artifact release points are derived from the SELECTED
+    // set, not hardcoded names (ADVICE r10: a filtered sweep that
+    // omitted the hardcoded releaser kept GBs of checkpoint blocks
+    // pinned for the rest of the run — the r10 q198 16 s rebuild was
+    // the same bug class from the producer side). The release fires
+    // after the last selected consumer in sort order; registries list
+    // every consumer of each artifact.
+    val pairIndexConsumers = Seq("q00_", "q27_", "q139_")
+    val suffixArrayConsumers = Seq("q171_", "q172_", "q198_")
+    def lastSelected(prefixes: Seq[String]): Option[String] =
+      selected.map(_._1)
+        .filter(n => prefixes.exists(n.startsWith)).lastOption
+    val lastPairConsumer = lastSelected(pairIndexConsumers)
+    val lastSaConsumer = lastSelected(suffixArrayConsumers)
     val results = selected.map { case (name, fn) =>
       System.err.println(s"[bench] >>> $name")
       // Collect the previous query's garbage OUTSIDE the timed region:
@@ -79,18 +93,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val t = (System.nanoTime() - t0) / 1e9
-      // q27 is the LAST consumer of the memoized q00 pair-index frame
-      // in sort order (q00 < q139 < q27); release its checkpoint
-      // blocks OUTSIDE the timed region so the remaining ~140 queries
-      // don't run with GBs of dead storage pinned (at sf20 the pinned
-      // frame + debris showed up as q01's in-sweep 20× — SCALE.md r9)
-      if (name.startsWith("q27_"))
+      // Release memoized checkpoint blocks OUTSIDE the timed region,
+      // after the last SELECTED consumer (derived above), so the
+      // remaining queries don't run with GBs of dead storage pinned
+      // (at sf20 the pinned pair-index frame + debris showed up as
+      // q01's in-sweep 20× — SCALE.md r9).
+      if (lastPairConsumer.contains(name))
         graft.operators.Dedup.releasePostingIndexes(spark)
-      // q198 is the last consumer of the memoized suffix array
-      // (q171 < q172 < q174 < q198 in sort order; r10 measured the
-      // stale q174 rule costing q198 a full 16 s rebuild) — same
-      // release rule
-      if (name.startsWith("q198_"))
+      if (lastSaConsumer.contains(name))
         graft.operators.SuffixArray.releaseSuffixArrays(spark)
       (name, t, ok)
     }

@@ -158,7 +158,12 @@ object Http {
           case "content-length" =>
             if (value.isEmpty || !value.forall(_.isDigit) ||
               value.length > 18) fail()
-            contentLen = value.toLong
+            val parsed = value.toLong
+            // duplicate Content-Length with a conflicting value is the
+            // other half of the smuggling shape — strict-reject, same
+            // stance as CL+TE together (RFC 9110 §8.6)
+            if (contentLen >= 0 && parsed != contentLen) fail()
+            contentLen = parsed
           case "content-encoding" =>
             if (value.trim.toLowerCase(java.util.Locale.ROOT) != "gzip")
               fail() // subset: identity (absent) or gzip only

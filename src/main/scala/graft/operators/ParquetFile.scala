@@ -448,9 +448,10 @@ object ParquetFile {
   // footer's offsets — V1 pages, PLAIN and dictionary encodings
   // (including parquet-mr's mid-chunk PLAIN fallback when a dict
   // outgrows its budget), UNCOMPRESSED and SNAPPY page codecs, and
-  // page-CRC32 verification over the stored bytes. Flat columns only
-  // (maxRep 0, maxDef ≤ 1) — the engine's own tables; nested or V2
-  // pages → valid=false, never wrong.
+  // page-CRC32 verification over the stored bytes. V2 pages and the
+  // DELTA encodings decode too (q210). Flat columns only
+  // (maxRep 0, maxDef ≤ 1); nested columns → valid=false, never
+  // wrong.
   // =================================================================
 
   /** Per-leaf aggregates decoded from the pages themselves:

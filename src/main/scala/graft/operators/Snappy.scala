@@ -62,8 +62,11 @@ object Snappy {
       (t & 3) match {
         case 0 => // literal
           var l = (t >>> 2) + 1
+          // escaped length: the 3/4-byte LE read can wrap negative or
+          // to -1; l <= 0 (incl. the format-forbidden zero-length
+          // literal) is structurally invalid — strict-reject
           if (l > 60) l = le(l - 60) + 1
-          if (l < 0 || l > end - pos || l > out.length - w) fail()
+          if (l <= 0 || l > end - pos || l > out.length - w) fail()
           System.arraycopy(b, pos, out, w, l)
           pos += l; w += l
         case kind =>

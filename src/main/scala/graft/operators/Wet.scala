@@ -113,7 +113,17 @@ object Wet {
       .append("<p class=\"main\">").append(esc).append("</p>\n")
       .append("</body>\n</html>\n").toString
     val label = charsetLabel(docId)
-    val encoded = html.getBytes(java.nio.charset.Charset.forName(label))
+    // encode with REPORT (not the default silent REPLACE): an
+    // unmappable character would corrupt the WET-identity round trip
+    // invisibly at fixture-build time — fail loudly instead
+    val encoded = {
+      val cs = java.nio.charset.Charset.forName(label)
+      val enc = cs.newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val bb = enc.encode(java.nio.CharBuffer.wrap(html))
+      val a = new Array[Byte](bb.remaining()); bb.get(a); a
+    }
     // every docId%5==0 page ships its body gzip-encoded (r10): the
     // WET text is reachable only through the transport gunzip
     val gz = docId % 5 == 0
