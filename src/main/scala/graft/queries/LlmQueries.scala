@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
 import graft.operators.{BloomPrune, Bpe, CharsetDecode, Curation, Dedup, Drift, FuzzyJoin, Gif, GraphRank, HeavyHitters, Html, Http, Jpeg, Mp3, Mp4, Multimodal, NaiveBayes, Packing, Pdf, Pii, Robots, Sampling, Similarity, Sitemap, Spectral, SuffixArray, Tar, Tiff, Warc, Wet}
-import graft.operators.{Avro, DomainSuffix, ParquetFile, Zip}
+import graft.operators.{Avro, DomainSuffix, ParquetFile, TxLog, Zip}
 import TextFns._
 
 /** Driver-contract queries for the LLM-data-pipeline operator family
@@ -514,6 +514,42 @@ object LlmQueries {
     *
     * 100 TB shape: the log is tiny next to the data it describes;
     * the fold is ONE path-keyed exchange (window latest-wins). */
+  /** Write the deterministic V-commit action log (the formulas shared
+    * with [[deltaOracle]]) as REAL files under `base`, one directory per
+    * commit version. `onePerCommit` coalesces each commit to a single
+    * JSON-lines file — the atomic-commit shape of a production log
+    * (fixture-side serialization; the LOG is metadata-sized by design).
+    * Returns false when the corpus is empty (no commit dirs written). */
+  private def writeDeltaLog(s: SparkSession, dir: String, base: String,
+      v: Int, onePerCommit: Boolean = false): Boolean = {
+    val last = v - 1
+    val d = docs(s, dir).select(col("doc_id"),
+      col("n_chars").cast("long").as("n_chars"))
+    val va = col("doc_id") % v
+    val vr = va + lit(1) + col("doc_id") % 5
+    val va2 = vr + lit(1) + col("doc_id") % 3
+    val adds = d.select(va.as("version"),
+      to_json(struct(
+        struct(concat(lit("part-"), col("doc_id")).as("path"),
+          col("n_chars").as("size")).as("add"))).as("value"))
+    val removes = d.where(col("doc_id") % 2 === 0 && vr <= last)
+      .select(vr.as("version"),
+        to_json(struct(
+          struct(concat(lit("part-"), col("doc_id")).as("path"))
+            .as("remove"))).as("value"))
+    val readds = d.where(col("doc_id") % 4 === 0 && vr <= last &&
+        va2 <= last)
+      .select(va2.as("version"),
+        to_json(struct(
+          struct(concat(lit("part-"), col("doc_id")).as("path"),
+            (col("n_chars") + 7).as("size")).as("add"))).as("value"))
+    val all = adds.unionAll(removes).unionAll(readds)
+    (if (onePerCommit) all.coalesce(1) else all)
+      .write.partitionBy("version").text(base)
+    Option(new java.io.File(base).listFiles())
+      .exists(_.exists(_.getName.startsWith("version=")))
+  }
+
   private def deltaSnapshot(s: SparkSession, dir: String, tag: String,
       asOf: Long): DataFrame = {
     import s.implicits._
@@ -525,34 +561,11 @@ object LlmQueries {
       f.delete(): Unit
     }
     del(new java.io.File(base))
-    val d = docs(s, dir).select(col("doc_id"),
-      col("n_chars").cast("long").as("n_chars"))
-    val va = col("doc_id") % 12
-    val vr = va + lit(1) + col("doc_id") % 5
-    val va2 = vr + lit(1) + col("doc_id") % 3
-    val adds = d.select(va.as("version"),
-      to_json(struct(
-        struct(concat(lit("part-"), col("doc_id")).as("path"),
-          col("n_chars").as("size")).as("add"))).as("value"))
-    val removes = d.where(col("doc_id") % 2 === 0 && vr <= 11)
-      .select(vr.as("version"),
-        to_json(struct(
-          struct(concat(lit("part-"), col("doc_id")).as("path"))
-            .as("remove"))).as("value"))
-    val readds = d.where(col("doc_id") % 4 === 0 && vr <= 11 &&
-        va2 <= 11)
-      .select(va2.as("version"),
-        to_json(struct(
-          struct(concat(lit("part-"), col("doc_id")).as("path"),
-            (col("n_chars") + 7).as("size")).as("add"))).as("value"))
-    adds.unionAll(removes).unionAll(readds)
-      .write.partitionBy("version").text(base)
     // read the log back as REAL files; the commit version lives in
     // the directory name, exactly where a reader must find it.
     // (Empty corpus → an empty log: no commit dirs to glob — resolve
     // against the empty action frame instead of a PATH_NOT_FOUND.)
-    val hasCommits = Option(new java.io.File(base).listFiles())
-      .exists(_.exists(_.getName.startsWith("version=")))
+    val hasCommits = writeDeltaLog(s, dir, base, 12)
     val acts =
       if (!hasCommits)
         Seq.empty[(Long, String, Long, String)]
@@ -584,18 +597,22 @@ object LlmQueries {
           .cast("long")).as("sum_doc"))
   }
 
-  /** The oracle replay of [[deltaSnapshot]]'s action formulas. */
-  private def deltaOracle(asOf: Long): String = {
-    val bound = if (asOf >= 0) asOf else 11L
-    s"""WITH d AS (SELECT doc_id, n_chars, doc_id % 12 AS va,
-            doc_id % 12 + 1 + doc_id % 5 AS vr,
-            doc_id % 12 + 2 + doc_id % 5 + doc_id % 3 AS va2
+  /** The oracle replay of [[writeDeltaLog]]'s action formulas: FULL
+    * REPLAY semantics — the gate for both the replay resolver
+    * (q212/q213) and the checkpointed/streamed resolvers (q217/q218),
+    * which must be bit-identical to replay. */
+  private def deltaOracle(asOf: Long, v: Int = 12): String = {
+    val last = v - 1
+    val bound = if (asOf >= 0) asOf else last.toLong
+    s"""WITH d AS (SELECT doc_id, n_chars, doc_id % $v AS va,
+            doc_id % $v + 1 + doc_id % 5 AS vr,
+            doc_id % $v + 2 + doc_id % 5 + doc_id % 3 AS va2
           FROM documents),
         st AS (SELECT doc_id, n_chars,
             CASE
-              WHEN doc_id % 4 = 0 AND vr <= 11 AND va2 <= 11
+              WHEN doc_id % 4 = 0 AND vr <= $last AND va2 <= $last
                 AND va2 <= $bound THEN 'readd'
-              WHEN doc_id % 2 = 0 AND vr <= 11 AND vr <= $bound
+              WHEN doc_id % 2 = 0 AND vr <= $last AND vr <= $bound
                 THEN 'gone'
               WHEN va <= $bound THEN 'live'
               ELSE 'never' END AS state
@@ -5561,6 +5578,79 @@ object LlmQueries {
     "q213_txlog_time_travel" -> Query(
       (s, dir) => deltaSnapshot(s, dir, "asof", 6L),
       Some(deltaOracle(6L))),
+
+    // ---- Transaction-log CHECKPOINTING (r11 — the r10 verdict's #1
+    // ask: q212/q213 replay EVERY commit to resolve a snapshot, a cost
+    // that grows with table HISTORY, not table size). A 48-commit log
+    // (4× the q212 history, one atomic JSON file per commit) gets a
+    // compacted checkpoint every 10 versions (9/19/29/39, adds +
+    // remove TOMBSTONES) plus a `_last_checkpoint` pointer; resolution
+    // reads pointer → checkpoint 39 → the 8-commit tail — O(cadence)
+    // files however long the table has lived — and folds ONCE with the
+    // same latest-wins rule. The oracle replays the FULL 48-commit
+    // history: matching it proves checkpoint∪tail ≡ replay
+    // bit-identically. TxLogSpec pins the file-count evidence, time
+    // travel through OLDER checkpoints, and the pre-first-checkpoint
+    // fallback.
+    "q217_txlog_checkpoint" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        val has = writeDeltaLog(s, dir, s"$base/log", 48,
+          onePerCommit = true)
+        if (has) Seq(9L, 19L, 29L, 39L).foreach(v =>
+          TxLog.writeCheckpoint(s, s"$base/log", s"$base/ckpt", v))
+        TxLog.resolve(s, s"$base/log", s"$base/ckpt", -1L).state
+          .where(col("is_add"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("add_size")).as("sum_size"),
+            sum(regexp_extract(col("path"), "part-(\\d+)", 1)
+              .cast("long")).as("sum_doc"))
+      },
+      Some(deltaOracle(-1L, 48))),
+
+    // ---- Incremental log TAILING (r11 — the streaming arm of the same
+    // ask): a file source + streaming checkpoint tails the 48-commit
+    // log in micro-batches (maxFilesPerTrigger=8 forces several), and
+    // EVERY batch folds its action slice into the previous compacted
+    // state and persists the result — each micro-batch writes a
+    // checkpoint, exactly how a production log keeps `_last_checkpoint`
+    // fresh. Latest-wins is associative, so the drained state is
+    // bit-identical to full replay (the oracle) regardless of how the
+    // source batched the commits.
+    "q218_txlog_tail" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_tail_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        val has = writeDeltaLog(s, dir, s"$base/log", 48,
+          onePerCommit = true)
+        val state =
+          if (!has) None
+          else TxLog.tailOnce(s, s"$base/log", s"$base/state",
+            s"$base/sckpt", filesPerTrigger = 8)
+        state.getOrElse(
+            Seq.empty[(Long, String, Boolean, Long)]
+              .toDF("version", "path", "is_add", "add_size"))
+          .where(col("is_add"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("add_size")).as("sum_size"),
+            sum(regexp_extract(col("path"), "part-(\\d+)", 1)
+              .cast("long")).as("sum_doc"))
+      },
+      Some(deltaOracle(-1L, 48))),
 
     // ---- LAKEHOUSE end-to-end scan (r10 capstone — every layer this
     // round built, composed in the order a real lakehouse reader runs
