@@ -68,9 +68,15 @@ object ParquetFile {
   private[graft] final case class RowGroupMeta(
       numRows: Long, totalByteSize: Long, chunks: Vector[Chunk])
   /** `maxDef`/`maxRep` from the ancestor chain (OPTIONAL/REPEATED
-    * counts) — what the page decoder needs to size its level runs. */
+    * counts) — what the page decoder needs to size its level runs.
+    * `repDef` is the def level AT the innermost repeated node (0 when
+    * the column is flat): the Dremel assembly (q219) reads entry fates
+    * off it — def < repDef-1 ⇒ null row, repDef-1 ⇒ empty list,
+    * repDef ⇒ null element (when the element is optional),
+    * maxDef ⇒ value. */
   private[graft] final case class Leaf(path: String, ptype: Int,
-                                       maxDef: Int, maxRep: Int)
+                                       maxDef: Int, maxRep: Int,
+                                       repDef: Int = 0)
   private[graft] final case class FooterMeta(
       version: Int, numRows: Long, createdBy: String,
       leaves: Vector[Leaf], rowGroups: Vector[RowGroupMeta])
@@ -351,7 +357,8 @@ object ParquetFile {
     // depth-first reconstruction: root's children count spans the rest
     val leaves = Vector.newBuilder[Leaf]
     var idx = 1 // skip root
-    def walk(prefix: String, remaining: Int, d: Int, rp: Int): Unit = {
+    def walk(prefix: String, remaining: Int, d: Int, rp: Int,
+        rd: Int): Unit = {
       var k = 0
       while (k < remaining) {
         if (idx >= els.length) fail()
@@ -359,14 +366,15 @@ object ParquetFile {
         val p = if (prefix.isEmpty) e.name else prefix + "." + e.name
         val d2 = d + (if (e.rep == 1 || e.rep == 2) 1 else 0)
         val r2 = rp + (if (e.rep == 2) 1 else 0)
+        val rd2 = if (e.rep == 2) d2 else rd
         if (e.nChildren == 0) {
           if (e.ptype < 0) fail()
-          leaves += Leaf(p, e.ptype, d2, r2)
-        } else walk(p, e.nChildren, d2, r2)
+          leaves += Leaf(p, e.ptype, d2, r2, rd2)
+        } else walk(p, e.nChildren, d2, r2, rd2)
         k += 1
       }
     }
-    walk("", els(0).nChildren, 0, 0)
+    walk("", els(0).nChildren, 0, 0, 0)
     if (idx != els.length) fail()
     leaves.result()
   }
@@ -1020,6 +1028,272 @@ object ParquetFile {
       } else onValue(false, 0L, 0L, 0L)
       rI += 1
     }
+  }
+
+  // =================================================================
+  // NESTED list-column decode (q219, r11 — the Dremel assembly the
+  // r10 verdict asked for): repetition levels for the one-repeated-
+  // node shape Spark writes for `array<T>` — (optional) group (LIST)
+  // / repeated group list / (optional) element — maxRep 1, the
+  // engine's own embedding tables. Def levels distinguish null row /
+  // empty list / null element / value (see [[Leaf.repDef]]).
+  // FLOAT/DOUBLE elements are quantized via floor(v × quantScale) so
+  // sums compare exactly against the oracle (a power-of-two scale
+  // keeps the scaling exact on the float's mantissa).
+  // =================================================================
+
+  /** Per-file aggregates over one list column, decoded from the pages:
+    * row fates (null list / empty list) plus element counts and the
+    * quantized element sum. */
+  final case class ListColSumRow(media_id: Long, col_path: String,
+      n_rows: Long, n_null_rows: Long, n_empty: Long,
+      n_null_elems: Long, n_elems: Long, sum_q: Long, valid: Boolean)
+
+  private def levelBitWidth(maxLvl: Int): Int =
+    32 - java.lang.Integer.numberOfLeadingZeros(maxLvl)
+
+  private def quantD(v: Double, qs: Double): Long = {
+    val f = math.floor(v * qs)
+    // a non-finite element cannot hash-compare — strict-reject
+    if (f.isNaN || f.isInfinite) fail()
+    f.toLong
+  }
+
+  /** Decode `k` PLAIN element values (INT32/INT64/FLOAT/DOUBLE) to
+    * quantized longs; ints pass through raw. */
+  private def plainQuant(b: Array[Byte], pos0: Int, end: Int, k: Int,
+      ptype: Int, qs: Double)(cb: Long => Unit): Int = {
+    var pos = pos0
+    def need(n: Int): Unit = if (n > end - pos) fail()
+    def le32(): Int = {
+      need(4)
+      val v = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
+        ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
+      pos += 4; v
+    }
+    def le64(): Long = {
+      need(8)
+      var v = 0L; var j = 7
+      while (j >= 0) { v = (v << 8) | (b(pos + j) & 0xffL); j -= 1 }
+      pos += 8; v
+    }
+    var i = 0
+    ptype match {
+      case 1 => while (i < k) { cb(le32().toLong); i += 1 }
+      case 2 => while (i < k) { cb(le64()); i += 1 }
+      case 4 => while (i < k) {
+        cb(quantD(java.lang.Float.intBitsToFloat(le32()).toDouble, qs))
+        i += 1
+      }
+      case 5 => while (i < k) {
+        cb(quantD(java.lang.Double.longBitsToDouble(le64()), qs))
+        i += 1
+      }
+      case _ => fail() // BOOLEAN/INT96/BYTE_ARRAY/FLBA lists: subset
+    }
+    pos
+  }
+
+  /** Dictionary page → quantized-long dictionary for element types. */
+  private def loadQuantDict(b: Array[Byte], c: Chunk, h: PageHdr,
+      cstart: Int, qs: Double): Array[Long] = {
+    if (h.dictNv < 0) fail()
+    if (h.dictEnc != 0 && h.dictEnc != 2) fail()
+    val (pb, pOff, pEnd) = c.codec match {
+      case 0 => if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
+      case 1 => val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
+                (d, 0, d.length)
+      case 2 => val d = gunzipPage(b, cstart, h.cmp, h.unc)
+                (d, 0, d.length)
+      case _ => fail()
+    }
+    val dict = new Array[Long](h.dictNv)
+    var j = 0
+    val endp = plainQuant(pb, pOff, pEnd, h.dictNv, c.ptype, qs) { v =>
+      dict(j) = v; j += 1
+    }
+    if (endp != pEnd) fail()
+    dict
+  }
+
+  /** RLE/bit-packed levels with the V1 4-byte length prefix; returns
+    * (levels, position after). maxLvl 0 ⇒ zero-width: no bytes. */
+  private def readLevelsPrefixed(pb: Array[Byte], p0: Int, pEnd: Int,
+      n: Int, maxLvl: Int): (Array[Int], Int) = {
+    val out = new Array[Int](n)
+    if (maxLvl == 0) return (out, p0)
+    if (4 > pEnd - p0) fail()
+    val len = (pb(p0) & 0xff) | ((pb(p0 + 1) & 0xff) << 8) |
+      ((pb(p0 + 2) & 0xff) << 16) | ((pb(p0 + 3) & 0xff) << 24)
+    val p = p0 + 4
+    if (len < 0 || len > pEnd - p) fail()
+    fillLevels(pb, p, p + len, n, maxLvl, out)
+    (out, p + len)
+  }
+
+  private def fillLevels(pb: Array[Byte], from: Int, to: Int, n: Int,
+      maxLvl: Int, out: Array[Int]): Unit = {
+    var w = 0
+    rleHybrid(pb, from, to, levelBitWidth(maxLvl), n) { (v, run) =>
+      if (v < 0 || v > maxLvl) fail()
+      var t = 0
+      while (t < run) { out(w) = v; w += 1; t += 1 }
+    }
+    if (w != n) fail()
+  }
+
+  /** Walk one list-column chunk, accumulating into `acc`:
+    * 0 rows, 1 null rows, 2 empty lists, 3 null elements, 4 elements,
+    * 5 quantized element sum. */
+  private def listChunkSums(b: Array[Byte], c: Chunk, lf: Leaf,
+      qs: Double, acc: Array[Long]): Unit = {
+    if (lf.maxRep != 1) fail()
+    val dRep = lf.repDef
+    if (dRep < 1 || dRep > lf.maxDef) fail()
+    val startL =
+      if (c.dictPageOff > 0 && c.dictPageOff < c.dataPageOff)
+        c.dictPageOff
+      else c.dataPageOff
+    if (startL < 0 || startL >= b.length) fail()
+    var pos = startL.toInt
+    var dict: Array[Long] = null
+    var remaining = c.numValues
+
+    def emit(reps: Array[Int], defs: Array[Int], vals: Array[Long],
+        n: Int): Unit = {
+      var i = 0; var vI = 0
+      while (i < n) {
+        val r = reps(i); val d = defs(i)
+        if (r == 0) { // entry starts a new row
+          acc(0) += 1
+          if (d == lf.maxDef) { acc(4) += 1; acc(5) += vals(vI); vI += 1 }
+          else if (d == dRep && lf.maxDef > dRep) acc(3) += 1
+          else if (d == dRep - 1) acc(2) += 1
+          else if (d < dRep - 1) acc(1) += 1
+          else fail()
+        } else if (r == 1) { // continues the current list
+          if (d == lf.maxDef) { acc(4) += 1; acc(5) += vals(vI); vI += 1 }
+          else if (d == dRep && lf.maxDef > dRep) acc(3) += 1
+          else fail() // cannot continue a list that is not defined
+        } else fail()
+        i += 1
+      }
+      if (vI != vals.length) fail()
+    }
+
+    def values(pb: Array[Byte], p: Int, pEnd: Int, k: Int,
+        enc: Int): Array[Long] = {
+      val vals = new Array[Long](k)
+      var j = 0
+      enc match {
+        case 0 =>
+          val endp = plainQuant(pb, p, pEnd, k, c.ptype, qs) { v =>
+            vals(j) = v; j += 1
+          }
+          if (endp != pEnd) fail()
+        case 2 | 8 =>
+          if (dict == null) fail()
+          if (p >= pEnd) { if (k != 0) fail() }
+          else {
+            val bw = pb(p) & 0xff
+            rleHybrid(pb, p + 1, pEnd, bw, k) { (v, run) =>
+              if (v < 0 || v >= dict.length) fail()
+              var t = 0
+              while (t < run) { vals(j) = dict(v); j += 1; t += 1 }
+            }
+          }
+          if (j != k) fail()
+        case _ => fail()
+      }
+      vals
+    }
+
+    while (remaining > 0) {
+      val (h, cstart) = pageAt(b, pos)
+      h.ptype match {
+        case 2 =>
+          if (dict != null) fail()
+          dict = loadQuantDict(b, c, h, cstart, qs)
+        case 0 => // V1: whole page compressed, prefixed rep+def levels
+          if (h.nv < 0 || h.nv > remaining) fail()
+          val (pb, p0, pEnd) = c.codec match {
+            case 0 => if (h.cmp != h.unc) fail()
+                      (b, cstart, cstart + h.cmp)
+            case 1 => val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
+                      (d, 0, d.length)
+            case 2 => val d = gunzipPage(b, cstart, h.cmp, h.unc)
+                      (d, 0, d.length)
+            case _ => fail()
+          }
+          val (reps, p1) = readLevelsPrefixed(pb, p0, pEnd, h.nv, 1)
+          val (defs, p2) = readLevelsPrefixed(pb, p1, pEnd, h.nv,
+            lf.maxDef)
+          val k = defs.count(_ == lf.maxDef)
+          emit(reps, defs, values(pb, p2, pEnd, k, h.enc), h.nv)
+          remaining -= h.nv
+        case 3 if h.v2 => // V2: raw levels (no prefix), values after
+          if (h.nv < 0 || h.nv > remaining) fail()
+          val repLen = math.max(h.v2RepLen, 0)
+          val defLen = math.max(h.v2DefLen, 0)
+          if (repLen + defLen > h.cmp || repLen + defLen > h.unc) fail()
+          val reps = new Array[Int](h.nv)
+          fillLevels(b, cstart, cstart + repLen, h.nv, 1, reps)
+          val defs = new Array[Int](h.nv)
+          fillLevels(b, cstart + repLen, cstart + repLen + defLen,
+            h.nv, lf.maxDef, defs)
+          val lvl = repLen + defLen
+          val vExpect = h.unc - lvl
+          if (vExpect < 0) fail()
+          val (pb, p0, pEnd) =
+            if (h.v2Compressed && c.codec != 0) c.codec match {
+              case 1 => val d = Snappy.decompress(b, cstart + lvl,
+                          h.cmp - lvl, vExpect)
+                        (d, 0, d.length)
+              case 2 => val d = gunzipPage(b, cstart + lvl,
+                          h.cmp - lvl, vExpect)
+                        (d, 0, d.length)
+              case _ => fail()
+            } else {
+              if (h.cmp - lvl != vExpect) fail()
+              (b, cstart + lvl, cstart + lvl + vExpect)
+            }
+          val k = defs.count(_ == lf.maxDef)
+          emit(reps, defs, values(pb, p0, pEnd, k, h.enc), h.nv)
+          remaining -= h.nv
+        case _ => fail()
+      }
+      pos = cstart + h.cmp
+    }
+    if (remaining != 0) fail()
+  }
+
+  /** Never-throw per-file list-column decode. */
+  private[graft] def listSums(id: Long, b: Array[Byte],
+      colPath: String, qs: Double): ListColSumRow = {
+    val invalid = ListColSumRow(id, colPath, 0L, 0L, 0L, 0L, 0L, 0L,
+      valid = false)
+    try {
+      val m = parseFooterMeta(b)
+      val lf = m.leaves.find(_.path == colPath).getOrElse(fail())
+      val acc = new Array[Long](6)
+      m.rowGroups.foreach { rg =>
+        val c = rg.chunks.find(_.path == colPath).getOrElse(fail())
+        listChunkSums(b, c, lf, qs, acc)
+      }
+      ListColSumRow(id, colPath, acc(0), acc(1), acc(2), acc(3),
+        acc(4), acc(5), valid = true)
+    } catch { case _: Throwable => invalid }
+  }
+
+  /** Map-side list-column decode over (media_id, file bytes) rows —
+    * the Dremel q219 entry point. At 100 TB the archive bytes stay in
+    * their partitions; only the 8-long aggregate row moves. */
+  def decodeListSums(media: Dataset[(Long, Array[Byte])],
+      colPath: String, quantScale: Double): Dataset[ListColSumRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { case (id, bytes) =>
+      listSums(id, bytes, colPath, quantScale)
+    })
   }
 
   // ---- page-index layer (q209): OffsetIndex/ColumnIndex decode and

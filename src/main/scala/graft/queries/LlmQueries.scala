@@ -5652,6 +5652,81 @@ object LlmQueries {
       },
       Some(deltaOracle(-1L, 48))),
 
+    // ---- NESTED parquet read: Dremel repetition-level assembly (r11
+    // — the r10 verdict's #2 ask: the flat-only page decoder could
+    // not round-trip the engine's own array<float> embedding tables).
+    // The embeddings table — with injected NULL rows (%13), EMPTY
+    // lists (%11) and a NULL first element (%7), exercising every def
+    // level of the 3-level list shape — is written by SPARK's writer,
+    // then read back through OUR page decoder: rep levels splice
+    // elements into rows, def levels classify null-row/empty/null-
+    // element/value, FLOAT elements quantize via floor(x·512) (a
+    // power-of-two scale is exact on the float mantissa, so both
+    // engines see identical longs). ParquetListSpec additionally pins
+    // V2 pages, gzip, array<long>/array<double>, and required
+    // elements.
+    "q219_parquet_list_read" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_plist_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        Tables.embeddings(s, dir).select(col("vec_id"),
+            when(col("vec_id") % 13 === 0,
+              lit(null).cast("array<float>"))
+              .when(col("vec_id") % 11 === 0,
+                array().cast("array<float>"))
+              .otherwise(transform(col("embedding"), (x, i) =>
+                when(col("vec_id") % 7 === 0 && i === 0,
+                  lit(null).cast("float")).otherwise(x)))
+              .as("emb"))
+          .repartition(4, col("vec_id"))
+          .write.option("compression", "snappy").parquet(s"$base/data")
+        val files = s.read.format("binaryFile").load(s"$base/data")
+          .filter(col("path").endsWith(".parquet"))
+          .select(lit(0L), col("content")).as[(Long, Array[Byte])]
+        ParquetFile.decodeListSums(files, "emb.list.element", 512.0)
+          .toDF()
+          .where(col("valid"))
+          .agg(
+            coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
+            coalesce(sum(col("n_null_rows")), lit(0L))
+              .as("n_null_rows"),
+            coalesce(sum(col("n_empty")), lit(0L)).as("n_empty"),
+            coalesce(sum(col("n_null_elems")), lit(0L))
+              .as("n_null_elems"),
+            coalesce(sum(col("n_elems")), lit(0L)).as("n_elems"),
+            coalesce(sum(col("sum_q")), lit(0L)).as("sum_q"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            CASE WHEN vec_id % 13 = 0 THEN NULL
+                 WHEN vec_id % 11 = 0 THEN CAST([] AS FLOAT[])
+                 ELSE list_transform(embedding, (x, i) ->
+                   CASE WHEN vec_id % 7 = 0 AND i = 1 THEN NULL
+                        ELSE x END) END AS emb
+          FROM embeddings)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) FILTER (WHERE emb IS NULL) AS BIGINT)
+            AS n_null_rows,
+          CAST(count(*) FILTER (WHERE len(emb) = 0) AS BIGINT)
+            AS n_empty,
+          CAST(coalesce(sum(list_sum(list_transform(emb, x ->
+              CASE WHEN x IS NULL THEN 1 ELSE 0 END))), 0) AS BIGINT)
+            AS n_null_elems,
+          CAST(coalesce(sum(list_sum(list_transform(emb, x ->
+              CASE WHEN x IS NULL THEN 0 ELSE 1 END))), 0) AS BIGINT)
+            AS n_elems,
+          CAST(coalesce(sum(coalesce(list_sum(list_transform(emb, x ->
+              CASE WHEN x IS NULL THEN 0
+                   ELSE CAST(floor(CAST(x AS DOUBLE) * 512) AS BIGINT)
+              END)), 0)), 0) AS BIGINT) AS sum_q
+        FROM e""")),
+
     // ---- LAKEHOUSE end-to-end scan (r10 capstone — every layer this
     // round built, composed in the order a real lakehouse reader runs
     // them): the table is laid out as 12 range-bucketed parquet files;
