@@ -3,18 +3,26 @@ package graft.operators
 /** Dependency-free Parquet WRITER — the inverse of `ParquetFile`:
   * the engine can PRODUCE lakehouse files without parquet-mr, and
   * the gate is the strongest differential available — Spark's own
-  * reader consumes our bytes (q216), parquet-mr and our reader
+  * reader consumes our bytes (q216/q220), parquet-mr and our reader
   * cross-check them in the spec.
   *
-  * Subset (deliberately the most portable layout in the format):
-  *  - one row group, one V1 data page per column chunk;
-  *  - REQUIRED flat columns (no definition levels on the wire —
-  *    readers reconstruct non-null), INT64 and BYTE_ARRAY (UTF-8);
-  *  - PLAIN encoding, UNCOMPRESSED codec;
+  * Surface (r11 widened from the r10 REQUIRED/PLAIN/one-RG subset):
+  *  - REQUIRED and OPTIONAL flat columns — definition levels on the
+  *    wire (RLE/bit-packed hybrid, 4-byte-prefixed, exactly the V1
+  *    layout the reader decodes);
+  *  - INT64 and BYTE_ARRAY (UTF-8-annotated) columns;
+  *  - PLAIN and PLAIN_DICTIONARY encodings — the dictionary is
+  *    chosen per chunk when values repeat ≥2× (first-occurrence
+  *    order, dict page + RLE/bit-packed indices);
+  *  - MULTIPLE row groups (`rowsPerGroup`) with REAL per-group
+  *    statistics: legacy min/max + min_value/max_value + null_count
+  *    for INT64, unsigned-lexicographic min_value/max_value for
+  *    strings, plus FileMetaData.column_orders declaring
+  *    TypeDefinedOrder — everything a reader needs to PRUNE row
+  *    groups on our stats (q220's gate: Spark's scan provably skips
+  *    groups of our file);
   *  - a full Thrift compact-protocol FOOTER: flattened schema tree,
-  *    row group / column chunk / column metadata with REAL
-  *    statistics (min/max little-endian for INT64, unset for
-  *    strings), exact offsets and sizes;
+  *    row group / column chunk / column metadata, exact offsets;
   *  - `PAR1` magic at both ends, 4-byte LE footer length.
   *
   * Every structure is written from the same public `parquet.thrift`
@@ -24,7 +32,8 @@ package graft.operators
   *
   * 100 TB shape: file synthesis is per-group map-side work (the
   * container grain amortizes writer state, the q215 lesson); files
-  * land wherever the caller's sink puts them. */
+  * land wherever the caller's sink puts them; row-group-level stats
+  * are what make the q214-style selective scan skip I/O. */
 object ParquetWrite {
 
   // ---- thrift compact-protocol encoder ----
@@ -70,7 +79,83 @@ object ParquetWrite {
     b
   }
 
-  /** Column model for one file: name + either longs or strings. */
+  /** RLE/bit-packed hybrid encoder (parquet-format Encodings.md):
+    * maximal runs of ≥8 equal values become RLE runs; everything else
+    * accumulates into bit-packed groups of 8 — mid-stream flushes emit
+    * only complete groups (a padded group mid-stream would be consumed
+    * as real values), the final group alone is zero-padded. */
+  private def rleHybridEncode(vals: Array[Int],
+      bitWidth: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(vals.length / 4 + 8)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) {
+        out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      out.write(v.toInt)
+    }
+    val byteWidth = (bitWidth + 7) >> 3
+    def writeRle(v: Int, run: Int): Unit = {
+      varint(run.toLong << 1)
+      var k = 0
+      while (k < byteWidth) { out.write((v >>> (8 * k)) & 0xff); k += 1 }
+    }
+    def writeBitPacked(from: Int, count: Int): Unit = {
+      val groups = (count + 7) / 8
+      varint((groups.toLong << 1) | 1L)
+      var bitBuf = 0L; var bits = 0
+      var i = 0
+      val total = groups * 8
+      while (i < total) {
+        val v = if (i < count) vals(from + i) else 0
+        bitBuf |= (v.toLong & ((1L << bitWidth) - 1)) << bits
+        bits += bitWidth
+        while (bits >= 8) {
+          out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bits -= 8
+        }
+        i += 1
+      }
+      // groups*8*bitWidth bits is byte-aligned — nothing remains
+    }
+    var pendStart = 0; var pendCount = 0
+    def flushPending(atEnd: Boolean): Unit = {
+      if (pendCount == 0) return
+      if (atEnd) { writeBitPacked(pendStart, pendCount); pendCount = 0 }
+      else {
+        val full = (pendCount / 8) * 8
+        if (full > 0) writeBitPacked(pendStart, full)
+        var k = pendStart + full
+        val end = pendStart + pendCount
+        while (k < end) { // short remainder: legal length-<8 RLE runs
+          var j = k + 1
+          while (j < end && vals(j) == vals(k)) j += 1
+          writeRle(vals(k), j - k)
+          k = j
+        }
+        pendCount = 0
+      }
+    }
+    var i = 0
+    val n = vals.length
+    while (i < n) {
+      var j = i + 1
+      while (j < n && vals(j) == vals(i)) j += 1
+      val run = j - i
+      if (run >= 8) {
+        flushPending(atEnd = false)
+        writeRle(vals(i), run)
+      } else {
+        if (pendCount == 0) pendStart = i
+        pendCount += run
+      }
+      i = j
+    }
+    flushPending(atEnd = true)
+    out.toByteArray
+  }
+
+  /** Column model for one file: name + longs or strings, with `null`
+    * entries allowed in the Opt variants (OPTIONAL on the wire). */
   sealed trait Col { def name: String; def n: Int }
   final case class LongCol(name: String, vs: Array[Long]) extends Col {
     def n: Int = vs.length
@@ -78,135 +163,307 @@ object ParquetWrite {
   final case class StrCol(name: String, vs: Array[String]) extends Col {
     def n: Int = vs.length
   }
+  final case class OptLongCol(name: String, vs: Array[java.lang.Long])
+      extends Col {
+    def n: Int = vs.length
+  }
+  final case class OptStrCol(name: String, vs: Array[String])
+      extends Col {
+    def n: Int = vs.length
+  }
 
-  /** Serialize one complete parquet file (one row group, REQUIRED
-    * columns, PLAIN, uncompressed) readable by any conforming
-    * reader — Spark, DuckDB, parquet-mr, and `ParquetFile`. */
-  def writeFile(cols: Seq[Col]): Array[Byte] = {
+  private def isOptional(c: Col): Boolean = c match {
+    case _: OptLongCol | _: OptStrCol => true
+    case _ => false
+  }
+  private def ptypeOf(c: Col): Int = c match {
+    case _: LongCol | _: OptLongCol => 2 // INT64
+    case _: StrCol | _: OptStrCol => 6 // BYTE_ARRAY
+  }
+
+  /** Unsigned-lexicographic byte compare — the UTF8 column order
+    * (String.compareTo orders by UTF-16 code unit, which diverges on
+    * supplementary characters; stats pruning needs the BYTES order). */
+  private def bytesLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val m = math.min(a.length, b.length)
+    var i = 0
+    while (i < m) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private final case class ChunkMeta(name: String, ptype: Int,
+      optional: Boolean, off: Long, dictOff: Long, dataOff: Long,
+      bytes: Long,
+      numValues: Long, nullCount: Long, dictUsed: Boolean,
+      minL: Long, maxL: Long, hasLongStats: Boolean,
+      minB: Array[Byte], maxB: Array[Byte])
+
+  /** Serialize one complete parquet file readable by any conforming
+    * reader — Spark, DuckDB, parquet-mr, and `ParquetFile`. Rows split
+    * into groups of `rowsPerGroup` (default: one group). */
+  def writeFile(cols: Seq[Col],
+      rowsPerGroup: Int = Int.MaxValue): Array[Byte] = {
     require(cols.nonEmpty, "no columns")
     val n = cols.head.n
     require(cols.forall(_.n == n), "ragged columns")
     require(n > 0, "empty file")
+    require(rowsPerGroup > 0, "rowsPerGroup must be positive")
     val out = new java.io.ByteArrayOutputStream(4096)
     out.write('P'); out.write('A'); out.write('R'); out.write('1')
 
-    // per-column: data page at current offset
-    final case class ChunkMeta(name: String, ptype: Int, off: Long,
-        bytes: Int, minL: Long, maxL: Long, hasStats: Boolean)
-    val chunks = cols.map { c =>
-      val off = out.size().toLong
-      // PLAIN values
-      val values = new java.io.ByteArrayOutputStream(n * 8)
-      var minL = Long.MaxValue; var maxL = Long.MinValue
-      val ptype = c match {
+    val groupBounds =
+      (0 until n by math.min(rowsPerGroup.toLong, n.toLong).toInt)
+        .map(lo => (lo, math.min(lo + rowsPerGroup.toLong, n.toLong).toInt))
+
+    // ---- one column chunk: dict page (optional) + one V1 data page
+    def writeChunk(c: Col, lo: Int, hi: Int): ChunkMeta = {
+      val rows = hi - lo
+      val ptype = ptypeOf(c)
+      val optional = isOptional(c)
+      // gather non-null values + def levels
+      val defs = if (optional) new Array[Int](rows) else null
+      var nulls = 0L
+      val longVals = new scala.collection.mutable.ArrayBuffer[Long]()
+      val binVals = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      c match {
         case LongCol(_, vs) =>
-          vs.foreach { v =>
-            values.write(leLong(v), 0, 8)
-            if (v < minL) minL = v
-            if (v > maxL) maxL = v
-          }
-          2
+          var i = lo; while (i < hi) { longVals += vs(i); i += 1 }
         case StrCol(_, vs) =>
-          vs.foreach { s =>
-            val b = s.getBytes("UTF-8")
-            val lb = new Array[Byte](4)
-            lb(0) = (b.length & 0xff).toByte
-            lb(1) = ((b.length >> 8) & 0xff).toByte
-            lb(2) = ((b.length >> 16) & 0xff).toByte
-            lb(3) = ((b.length >> 24) & 0xff).toByte
-            values.write(lb, 0, 4); values.write(b, 0, b.length)
+          var i = lo
+          while (i < hi) {
+            require(vs(i) != null, s"null in required column ${c.name}")
+            binVals += vs(i).getBytes("UTF-8"); i += 1
           }
-          6
+        case OptLongCol(_, vs) =>
+          var i = lo
+          while (i < hi) {
+            if (vs(i) == null) { defs(i - lo) = 0; nulls += 1 }
+            else { defs(i - lo) = 1; longVals += vs(i).longValue() }
+            i += 1
+          }
+        case OptStrCol(_, vs) =>
+          var i = lo
+          while (i < hi) {
+            if (vs(i) == null) { defs(i - lo) = 0; nulls += 1 }
+            else { defs(i - lo) = 1; binVals += vs(i).getBytes("UTF-8") }
+            i += 1
+          }
       }
-      val page = values.toByteArray
-      // PageHeader: DATA_PAGE, unc == cmp (uncompressed), V1 header
+      val nonNull = if (ptype == 2) longVals.length else binVals.length
+
+      // stats over non-null values
+      var minL = Long.MaxValue; var maxL = Long.MinValue
+      longVals.foreach { v =>
+        if (v < minL) minL = v
+        if (v > maxL) maxL = v
+      }
+      var minB: Array[Byte] = null; var maxB: Array[Byte] = null
+      binVals.foreach { b =>
+        if (minB == null || bytesLt(b, minB)) minB = b
+        if (maxB == null || bytesLt(maxB, b)) maxB = b
+      }
+
+      // dictionary decision: repeats ≥2× and a bounded dict
+      val (dictVals: IndexedSeq[Any], indices: Array[Int]) = {
+        val seen = new java.util.LinkedHashMap[Any, Integer]()
+        val idx = new Array[Int](nonNull)
+        var i = 0
+        while (i < nonNull) {
+          val key: Any =
+            if (ptype == 2) longVals(i)
+            else new String(binVals(i), "UTF-8")
+          var id = seen.get(key)
+          if (id == null) { id = seen.size(); seen.put(key, id) }
+          idx(i) = id.intValue()
+          i += 1
+        }
+        (seen.keySet().toArray.toIndexedSeq, idx)
+      }
+      val useDict = nonNull > 0 && dictVals.size <= 65536 &&
+        dictVals.size.toLong * 2 <= nonNull.toLong
+
+      def plainBytes(longs: Seq[Long], bins: Seq[Array[Byte]])
+          : Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        if (ptype == 2) longs.foreach(v => o.write(leLong(v), 0, 8))
+        else bins.foreach { b =>
+          o.write(b.length & 0xff); o.write((b.length >> 8) & 0xff)
+          o.write((b.length >> 16) & 0xff); o.write((b.length >> 24) & 0xff)
+          o.write(b, 0, b.length)
+        }
+        o.toByteArray
+      }
+
+      val chunkOff = out.size().toLong
+      var dictOff = -1L
+
+      if (useDict) { // dictionary page first (PLAIN payload)
+        val body =
+          if (ptype == 2)
+            plainBytes(dictVals.map(_.asInstanceOf[Long]), Nil)
+          else plainBytes(Nil,
+            dictVals.map(_.asInstanceOf[String].getBytes("UTF-8")))
+        dictOff = out.size().toLong
+        val h = new TWriter
+        var last = 0
+        last = h.i32Field(last, 1, 2) // type = DICTIONARY_PAGE
+        last = h.i32Field(last, 2, body.length)
+        last = h.i32Field(last, 3, body.length)
+        last = h.fieldHeader(last, 7, 12) // DictionaryPageHeader
+        var dl = 0
+        dl = h.i32Field(dl, 1, dictVals.size) // num_values
+        dl = h.i32Field(dl, 2, 2) // encoding PLAIN_DICTIONARY
+        h.stop(); h.stop()
+        val hb = h.bytes
+        out.write(hb, 0, hb.length)
+        out.write(body, 0, body.length)
+      }
+
+      // data page body: [prefixed def levels] ++ values
+      val body = new java.io.ByteArrayOutputStream()
+      if (optional) {
+        val enc = rleHybridEncode(defs, 1)
+        body.write(enc.length & 0xff); body.write((enc.length >> 8) & 0xff)
+        body.write((enc.length >> 16) & 0xff)
+        body.write((enc.length >> 24) & 0xff)
+        body.write(enc, 0, enc.length)
+      }
+      if (useDict) {
+        val bw = math.max(1,
+          32 - Integer.numberOfLeadingZeros(math.max(1, dictVals.size - 1)))
+        body.write(bw)
+        val enc = rleHybridEncode(indices, bw)
+        body.write(enc, 0, enc.length)
+      } else {
+        val pv = plainBytes(longVals.toSeq, binVals.toSeq)
+        body.write(pv, 0, pv.length)
+      }
+      val page = body.toByteArray
+      val dataOff = out.size().toLong
       val h = new TWriter
       var last = 0
-      last = h.i32Field(last, 1, 0) // type = DATA_PAGE
+      last = h.i32Field(last, 1, 0) // type = DATA_PAGE (V1)
       last = h.i32Field(last, 2, page.length) // uncompressed
       last = h.i32Field(last, 3, page.length) // compressed
-      // field 5: DataPageHeader
-      last = h.fieldHeader(last, 5, 12)
+      last = h.fieldHeader(last, 5, 12) // DataPageHeader
       var fl = 0
-      fl = h.i32Field(fl, 1, n) // num_values
-      fl = h.i32Field(fl, 2, 0) // encoding PLAIN
+      fl = h.i32Field(fl, 1, rows) // num_values = LEVEL entries
+      fl = h.i32Field(fl, 2, if (useDict) 2 else 0) // encoding
       fl = h.i32Field(fl, 3, 3) // def-level encoding RLE
       fl = h.i32Field(fl, 4, 3) // rep-level encoding RLE
-      h.stop() // DataPageHeader
-      h.stop() // PageHeader
+      h.stop(); h.stop()
       val hb = h.bytes
       out.write(hb, 0, hb.length)
       out.write(page, 0, page.length)
-      ChunkMeta(c.name, ptype, off, hb.length + page.length,
-        minL, maxL, hasStats = ptype == 2)
+      ChunkMeta(c.name, ptype, optional, chunkOff,
+        dictOff, dataOff, out.size().toLong - chunkOff, rows.toLong, nulls,
+        useDict, minL, maxL, hasLongStats = ptype == 2 && nonNull > 0,
+        minB, maxB)
     }
 
-    // footer: FileMetaData
+    // ---- data: row groups × columns, written sequentially ----
+    val groups = groupBounds.map { case (lo, hi) =>
+      (hi - lo, cols.map(c => writeChunk(c, lo, hi)))
+    }
+
+    // ---- footer: FileMetaData ----
     val f = new TWriter
     var last = 0
     last = f.i32Field(last, 1, 1) // version
     // field 2: schema (root + leaves)
     last = f.fieldHeader(last, 2, 9)
-    f.listHeader(1 + chunks.length, 12)
+    f.listHeader(1 + cols.length, 12)
     locally { // root
       var sl = 0
       sl = f.strField(sl, 4, "graft_schema")
-      sl = f.i32Field(sl, 5, chunks.length) // num_children
+      sl = f.i32Field(sl, 5, cols.length) // num_children
       f.stop()
     }
-    chunks.foreach { c =>
+    cols.foreach { c =>
       var sl = 0
-      sl = f.i32Field(sl, 1, c.ptype) // type
-      sl = f.i32Field(sl, 3, 0) // repetition REQUIRED
+      sl = f.i32Field(sl, 1, ptypeOf(c)) // type
+      sl = f.i32Field(sl, 3, if (isOptional(c)) 1 else 0) // repetition
       sl = f.strField(sl, 4, c.name)
-      if (c.ptype == 6) // BYTE_ARRAY carries text: ConvertedType UTF8
+      if (ptypeOf(c) == 6) // BYTE_ARRAY carries text: ConvertedType UTF8
         sl = f.i32Field(sl, 6, 0) // (else Spark reads it as BINARY)
       f.stop()
     }
     last = f.i64Field(last, 3, n.toLong) // num_rows
-    // field 4: row_groups (one)
+    // field 4: row_groups
     last = f.fieldHeader(last, 4, 9)
-    f.listHeader(1, 12)
-    locally {
+    f.listHeader(groups.length, 12)
+    groups.foreach { case (rgRows, chunks) =>
       var rl = 0
-      // field 1: columns
-      rl = f.fieldHeader(rl, 1, 9)
+      rl = f.fieldHeader(rl, 1, 9) // field 1: columns
       f.listHeader(chunks.length, 12)
       chunks.foreach { c =>
         var cl = 0
         cl = f.i64Field(cl, 2, c.off) // file_offset
-        // field 3: ColumnMetaData
-        cl = f.fieldHeader(cl, 3, 12)
+        cl = f.fieldHeader(cl, 3, 12) // field 3: ColumnMetaData
         var ml = 0
         ml = f.i32Field(ml, 1, c.ptype)
         ml = f.fieldHeader(ml, 2, 9) // encodings
-        f.listHeader(2, 5)
-        f.zigzag(0L) // PLAIN
-        f.zigzag(3L) // RLE (levels)
+        if (c.dictUsed) {
+          f.listHeader(3, 5)
+          f.zigzag(0L); f.zigzag(3L); f.zigzag(2L) // PLAIN, RLE, DICT
+        } else {
+          f.listHeader(2, 5)
+          f.zigzag(0L); f.zigzag(3L) // PLAIN, RLE (levels)
+        }
         ml = f.fieldHeader(ml, 3, 9) // path_in_schema
         f.listHeader(1, 8)
         val nb = c.name.getBytes("UTF-8")
         f.varint(nb.length.toLong); f.out.write(nb, 0, nb.length)
         ml = f.i32Field(ml, 4, 0) // codec UNCOMPRESSED
-        ml = f.i64Field(ml, 5, n.toLong) // num_values
-        ml = f.i64Field(ml, 6, c.bytes.toLong) // total_uncompressed
-        ml = f.i64Field(ml, 7, c.bytes.toLong) // total_compressed
-        ml = f.i64Field(ml, 9, c.off) // data_page_offset
-        if (c.hasStats) { // field 12: Statistics (min/max value pair)
+        ml = f.i64Field(ml, 5, c.numValues) // num_values (levels)
+        ml = f.i64Field(ml, 6, c.bytes) // total_uncompressed
+        ml = f.i64Field(ml, 7, c.bytes) // total_compressed
+        ml = f.i64Field(ml, 9, c.dataOff) // data_page_offset
+        // (readers locate the chunk start as min(data_page_offset,
+        // dictionary_page_offset) — field 11 names the dict page)
+        if (c.dictUsed) ml = f.i64Field(ml, 11, c.dictOff)
+        // field 12: Statistics — legacy + new-style + null_count
+        val hasStats = c.hasLongStats || c.maxB != null ||
+          c.nullCount > 0 || c.optional
+        if (hasStats) {
           ml = f.fieldHeader(ml, 12, 12)
           var stl = 0
-          stl = f.binField(stl, 5, leLong(c.maxL)) // max_value
-          stl = f.binField(stl, 6, leLong(c.minL)) // min_value
+          if (c.hasLongStats) { // legacy pair (signed order: valid)
+            stl = f.binField(stl, 1, leLong(c.maxL))
+            stl = f.binField(stl, 2, leLong(c.minL))
+          }
+          stl = f.i64Field(stl, 3, c.nullCount) // null_count
+          if (c.hasLongStats) {
+            stl = f.binField(stl, 5, leLong(c.maxL)) // max_value
+            stl = f.binField(stl, 6, leLong(c.minL)) // min_value
+          } else if (c.maxB != null) {
+            stl = f.binField(stl, 5, c.maxB)
+            stl = f.binField(stl, 6, c.minB)
+          }
           f.stop()
         }
         f.stop() // ColumnMetaData
         f.stop() // ColumnChunk
       }
-      rl = f.i64Field(rl, 2, chunks.map(_.bytes.toLong).sum) // total sz
-      rl = f.i64Field(rl, 3, n.toLong) // num_rows
+      rl = f.i64Field(rl, 2, chunks.map(_.bytes).sum) // total_byte_size
+      rl = f.i64Field(rl, 3, rgRows.toLong) // num_rows
       f.stop() // RowGroup
     }
     last = f.strField(last, 6, "graft parquet writer")
+    // field 7: column_orders — TypeDefinedOrder per leaf, which is
+    // what tells a reader the min_value/max_value pairs are usable
+    last = f.fieldHeader(last, 7, 9)
+    f.listHeader(cols.length, 12)
+    cols.foreach { _ =>
+      val cl = f.fieldHeader(0, 1, 12) // union arm 1: TYPE_ORDER
+      val _ = cl
+      f.stop() // empty TypeDefinedOrder struct
+      f.stop() // ColumnOrder union
+    }
     f.stop() // FileMetaData
     val fb = f.bytes
     out.write(fb, 0, fb.length)

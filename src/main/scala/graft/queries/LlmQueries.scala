@@ -5888,6 +5888,85 @@ object LlmQueries {
           CAST(sum(len(source)) AS BIGINT) AS sum_srclen
         FROM documents""")),
 
+    // ---- Parquet writer, full surface (r11 — the r10 verdict's #3
+    // ask: the q216 writer was REQUIRED/PLAIN/one-row-group, too
+    // narrow to write the engine's real tables). Files carry OPTIONAL
+    // columns (definition levels on the wire: n_chars nulled for
+    // doc_id%9, source for %5), a dictionary-encoded string column
+    // (lang — few distinct values), and EIGHT row groups per file
+    // (rowsPerGroup=128 over 1024-doc files, rows sorted by doc_id so
+    // per-group stats are tight ranges). Spark's own reader then runs
+    // a SELECTIVE scan over our bytes — nulls, dict indices, def
+    // levels and multi-group assembly all land in the aggregate; the
+    // spec additionally proves Spark PRUNES row groups on our written
+    // stats (scan rows < file rows under the pushed predicate).
+    "q220_parquet_writer_v2" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_pqw2_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(base).mkdirs()
+        docs(s, dir).select((col("doc_id") / 1024).cast("long").as("g"),
+            col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("source"), col("lang"))
+          .as[(Long, Long, Long, String, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            (g, graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rows.map(_._2)),
+              graft.operators.ParquetWrite.OptLongCol("n_chars",
+                rows.map(r => if (r._2 % 9 == 0) null
+                  else java.lang.Long.valueOf(r._3))),
+              graft.operators.ParquetWrite.OptStrCol("source",
+                rows.map(r => if (r._2 % 5 == 0) null else r._4)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rows.map(_._5))),
+              rowsPerGroup = 128))
+          }
+          .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+            it.foreach { case (g, bytes) =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$base/part-$g.parquet"),
+                bytes): Unit
+            }
+          }
+        val wrote = Option(new java.io.File(base).listFiles())
+          .exists(_.exists(_.getName.endsWith(".parquet")))
+        val read =
+          if (wrote) s.read.parquet(base) // Spark's OWN reader
+          else Seq.empty[(Long, java.lang.Long, String, String)]
+            .toDF("doc_id", "n_chars", "source", "lang")
+        read.where(col("doc_id").between(300L, 1700L))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("sum_doc"),
+            sum(col("n_chars")).as("sum_chars"),
+            (count(lit(1)) - count(col("n_chars"))).as("n_null_chars"),
+            sum(length(col("source"))).as("sum_srclen"),
+            (count(lit(1)) - count(col("source"))).as("n_null_src"),
+            count(col("lang")).as("n_lang"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END AS nc,
+            CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS src,
+            lang
+          FROM documents WHERE doc_id BETWEEN 300 AND 1700)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+          CAST(sum(nc) AS BIGINT) AS sum_chars,
+          CAST(count(*) - count(nc) AS BIGINT) AS n_null_chars,
+          CAST(sum(len(src)) AS BIGINT) AS sum_srclen,
+          CAST(count(*) - count(src) AS BIGINT) AS n_null_src,
+          CAST(count(lang) AS BIGINT) AS n_lang
+        FROM d""")),
+
     // ---- Avro Object Container File walk (r10 — the ROW-format
     // counterpart to the parquet reader: Kafka archives, CDC dumps
     // and ingest staging ship OCF): fixtures come from avro-java's

@@ -118,4 +118,140 @@ class ParquetWriteSpec extends SparkSpec {
     m(m.length - 9) = (m(m.length - 9) ^ 0x40).toByte // inside footer
     ParquetFile.parse(1L, m).exists(_.valid) shouldBe false
   }
+
+  // ---- r11 surface: OPTIONAL columns, dictionary encoding,
+  // multi-row-group files, stats-driven row-group pruning (q220) ----
+
+  import org.apache.spark.sql.functions.col
+
+  /** Adversarial null patterns for the def-level encoder: alternating
+    * (pure bit-packed), long runs (pure RLE), head/tail nulls and a
+    * mixed stretch crossing the mid-stream flush boundaries. */
+  private def nullPattern(i: Int): Boolean =
+    if (i < 10) true // leading nulls
+    else if (i < 100) i % 2 == 0 // alternating
+    else if (i < 400) false // long non-null run
+    else if (i < 450) true // long null run
+    else if (i >= 990) true // trailing nulls
+    else i % 7 == 0 || i % 11 == 3 // irregular
+
+  test("OPTIONAL columns: Spark reads every value and null position " +
+      "exactly, across adversarial def-level patterns") {
+    val n = 1000
+    val ol = (0 until n).map(i =>
+      if (nullPattern(i)) null else java.lang.Long.valueOf(i * 13L))
+      .toArray
+    val os = (0 until n).map(i =>
+      if (nullPattern(n - 1 - i)) null else s"v${i}é").toArray
+    val dir = Files.createTempDirectory("graft_pqw_opt_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/f.parquet"),
+      ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("id", (0 until n).map(_.toLong).toArray),
+        ParquetWrite.OptLongCol("ov", ol),
+        ParquetWrite.OptStrCol("os", os))))
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+    back.length shouldBe n
+    (0 until n).foreach { i =>
+      val r = back(i)
+      withClue(s"row $i: ") {
+        if (ol(i) == null) r.isNullAt(1) shouldBe true
+        else r.getLong(1) shouldBe ol(i).longValue()
+        if (os(i) == null) r.isNullAt(2) shouldBe true
+        else r.getString(2) shouldBe os(i)
+      }
+    }
+  }
+
+  test("dictionary encoding: chosen when values repeat, declared in " +
+      "the footer, and Spark decodes the indices back") {
+    val n = 3000
+    val langs = Array("en", "de", "fr", "zh", "es")
+    val ls = (0 until n).map(i => langs(i % 5)).toArray
+    val dir = Files.createTempDirectory("graft_pqw_dict_").toString
+    val p = s"$dir/f.parquet"
+    Files.write(java.nio.file.Paths.get(p),
+      ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("id", (0 until n).map(_.toLong).toArray),
+        ParquetWrite.StrCol("lang", ls))))
+    // parquet-mr's view: the chunk declares PLAIN_DICTIONARY and has
+    // a dictionary page offset
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cc = r.getFooter.getBlocks.get(0).getColumns.get(1)
+      cc.getEncodings.contains(
+        org.apache.parquet.column.Encoding.PLAIN_DICTIONARY) shouldBe true
+      cc.getDictionaryPageOffset should be > 0L
+    } finally r.close()
+    // Spark's view: values decode through the dictionary
+    val counts = spark.read.parquet(dir).groupBy("lang").count()
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    counts shouldBe langs.map(_ -> (n / 5).toLong).toMap
+  }
+
+  test("multi-row-group: parquet-mr sees the groups with per-group " +
+      "stats; our reader and Spark both sum across them") {
+    val n = 1024
+    val ids = (0 until n).map(_.toLong * 2).toArray
+    val bytes = ParquetWrite.writeFile(Seq(
+      ParquetWrite.LongCol("id", ids)), rowsPerGroup = 128)
+    val meta = ParquetFile.parse(7L, bytes)
+    meta.forall(_.valid) shouldBe true
+    meta.map(_.rg).distinct.size shouldBe 8
+    // per-group stats are the tight slice ranges
+    meta.sortBy(_.rg).zipWithIndex.foreach { case (c, g) =>
+      c.has_stats shouldBe true
+      c.min_long shouldBe g.toLong * 128 * 2
+      c.max_long shouldBe (g.toLong * 128 + 127) * 2
+    }
+    val dir = Files.createTempDirectory("graft_pqw_rg_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/f.parquet"), bytes)
+    spark.read.parquet(dir).agg(
+      org.apache.spark.sql.functions.sum("id")).head()
+      .getLong(0) shouldBe ids.sum
+  }
+
+  test("q220's scale claim: Spark PRUNES row groups on OUR stats — " +
+      "the selective scan outputs a fraction of the file's rows") {
+    val n = 1024
+    val ids = (0 until n).map(_.toLong * 3).toArray // sorted, tight RGs
+    val dir = Files.createTempDirectory("graft_pqw_prune_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/f.parquet"),
+      ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("id", ids),
+        ParquetWrite.OptLongCol("v", ids.map(v =>
+          java.lang.Long.valueOf(v % 97)))), rowsPerGroup = 128))
+    val df = spark.read.parquet(dir).where(col("id") < 640L)
+    val got = df.collect()
+    got.length shouldBe ids.count(_ < 640L)
+    // the scan's output-row metric counts rows SURVIVING row-group
+    // pruning (the post-scan filter trims the rest): 2 of 8 groups
+    // overlap [min, 640) -> 256 rows, not 1024
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val scanned = scan.metrics("numOutputRows").value
+    withClue(s"scan emitted $scanned rows: ") {
+      scanned should be <= 256L
+      scanned should be < n.toLong
+    }
+  }
+
+  test("our own reader consumes the widened surface: optional + " +
+      "dictionary + multi-group files round-trip with null accounting") {
+    val n = 900
+    val ov = (0 until n).map(i =>
+      if (i % 4 == 0) null else java.lang.Long.valueOf((i % 9).toLong))
+      .toArray // few distinct -> dictionary; every 4th null
+    val bytes = ParquetWrite.writeFile(Seq(
+      ParquetWrite.LongCol("id", (0 until n).map(_.toLong).toArray),
+      ParquetWrite.OptLongCol("ov", ov)), rowsPerGroup = 200)
+    val rows = ParquetFile.parseColumnSums(3L, bytes)
+    rows.forall(_.valid) shouldBe true
+    val by = rows.map(r => r.col_path -> r).toMap
+    by("ov").n_values shouldBe n.toLong
+    by("ov").n_nonnull shouldBe ov.count(_ != null).toLong
+    by("ov").sum_long shouldBe
+      ov.filter(_ != null).map(_.longValue()).sum
+  }
 }
