@@ -325,6 +325,288 @@ object Avro {
     media.mapPartitions(_.map { case (id, bytes) => parse(id, bytes) })
   }
 
+  // ================================================================
+  // DEEP decoder (q221, r11 — the r10 verdict's #5 ask): nested
+  // records, arrays, unions at any depth, plus the `snappy` codec
+  // (raw snappy block + 4-byte BIG-ENDIAN CRC32 of the uncompressed
+  // bytes, per the spec). The flat `parse` above keeps its pinned
+  // strict-flat behavior; real CDC dumps and Kafka-ecosystem OCFs
+  // land here.
+  // ================================================================
+
+  private val MaxSchemaDepth = 16
+
+  private[graft] sealed trait AType
+  private[graft] case object PLong extends AType
+  private[graft] case object PInt extends AType
+  private[graft] case object PStr extends AType
+  private[graft] case object PBool extends AType
+  private[graft] case object PDbl extends AType
+  /** `nullBranch` records which union branch is "null" — the wire
+    * carries the branch INDEX, so ["null",T] and [T,"null"] differ. */
+  private[graft] final case class PNullable(inner: AType,
+      nullBranch: Int) extends AType
+  private[graft] final case class PRecord(
+      fields: Vector[(String, AType)]) extends AType
+  private[graft] final case class PArray(items: AType) extends AType
+
+  private def prim(s: String): AType = s match {
+    case "long" => PLong; case "int" => PInt; case "string" => PStr
+    case "boolean" => PBool; case "double" => PDbl
+    case _ => fail() // float/bytes/fixed/enum/map: documented subset
+  }
+
+  /** Recursive schema walk: primitive name, 2-branch nullable union
+    * (either order), inline record, array-of-T, or the {"type":P}
+    * wrapper form. */
+  private def parseType(j: J, depth: Int): AType = {
+    if (depth > MaxSchemaDepth) fail()
+    j.peek() match {
+      case '"' => prim(j.str())
+      case '[' =>
+        j.expect('[')
+        def branch(): Option[AType] = // None = the null branch
+          if (j.peek() == '"') {
+            val s = j.str()
+            if (s == "null") None else Some(prim(s))
+          } else Some(parseType(j, depth + 1))
+        val b1 = branch(); j.expect(','); val b2 = branch()
+        j.expect(']')
+        (b1, b2) match {
+          case (None, Some(t)) => PNullable(t, 0)
+          case (Some(t), None) => PNullable(t, 1)
+          case _ => fail() // null-null or wide unions: subset
+        }
+      case '{' =>
+        j.expect('{')
+        var t: String = null
+        var fields: Vector[(String, AType)] = null
+        var items: AType = null
+        var go = true
+        while (go) {
+          val key = j.str(); j.expect(':')
+          key match {
+            case "type" => t = j.str()
+            case "fields" => fields = parseFieldList(j, depth)
+            case "items" => items = parseType(j, depth + 1)
+            case _ => j.skip()
+          }
+          if (j.peek() == ',') j.expect(',') else go = false
+        }
+        j.expect('}')
+        t match {
+          case "record" =>
+            if (fields == null || fields.isEmpty) fail()
+            PRecord(fields)
+          case "array" =>
+            if (items == null) fail()
+            PArray(items)
+          case null => fail()
+          case p => prim(p) // {"type":"long"} wrapper form
+        }
+      case _ => fail()
+    }
+  }
+
+  private def parseFieldList(j: J,
+      depth: Int): Vector[(String, AType)] = {
+    j.expect('[')
+    val fs = Vector.newBuilder[(String, AType)]
+    if (j.peek() != ']') {
+      var more = true
+      while (more) {
+        j.expect('{')
+        var name: String = null
+        var tpe: AType = null
+        var fgo = true
+        while (fgo) {
+          val fk = j.str(); j.expect(':')
+          fk match {
+            case "name" => name = j.str()
+            case "type" => tpe = parseType(j, depth + 1)
+            case _ => j.skip()
+          }
+          if (j.peek() == ',') j.expect(',') else fgo = false
+        }
+        j.expect('}')
+        if (name == null || tpe == null) fail()
+        fs += ((name, tpe))
+        if (j.peek() == ',') j.expect(',') else more = false
+      }
+    }
+    j.expect(']')
+    fs.result()
+  }
+
+  private[graft] def parseDeepSchema(json: String): PRecord = {
+    val j = new J(json)
+    parseType(j, 0) match {
+      case r: PRecord => r
+      case _ => fail() // top level must be a record
+    }
+  }
+
+  /** Avro `snappy` codec block: raw snappy body + 4-byte BIG-ENDIAN
+    * CRC32 of the UNCOMPRESSED data. The declared output length is
+    * bounded BEFORE allocation (zip-bomb stance). */
+  private def snappyBlock(b: Array[Byte], off: Int,
+      len: Int): Array[Byte] = {
+    if (len < 5) fail()
+    val comp = len - 4
+    var p = off; var outLen = 0L; var sh = 0; var n = 0
+    var done = false
+    while (!done) { // preamble varint, read ahead of decompress
+      if (n >= 5 || p >= off + comp) fail()
+      val x = b(p) & 0xff; p += 1
+      outLen |= (x & 0x7fL) << sh
+      if ((x & 0x80) == 0) done = true
+      sh += 7; n += 1
+    }
+    if (outLen > MaxDecoded) fail()
+    val d =
+      try Snappy.decompress(b, off, comp, outLen.toInt)
+      catch { case Snappy.Malformed => fail() }
+    val crc = new java.util.zip.CRC32()
+    crc.update(d)
+    val c = off + comp
+    val want = ((b(c) & 0xffL) << 24) | ((b(c + 1) & 0xffL) << 16) |
+      ((b(c + 2) & 0xffL) << 8) | (b(c + 3) & 0xffL)
+    if ((crc.getValue & 0xffffffffL) != want) fail()
+    d
+  }
+
+  /** Deep per-file aggregates: `n_items` counts array elements at any
+    * depth; the rest mirror [[AvroInfo]] but accumulate over the whole
+    * value tree. */
+  final case class AvroDeepInfo(media_id: Long, n_blocks: Long,
+      n_records: Long, sum_long: Long, n_nulls: Long, n_items: Long,
+      sum_slen: Long, sum_sbytes: Long, valid: Boolean)
+
+  private final class DeepAgg {
+    var sumLong = 0L; var nNulls = 0L; var nItems = 0L
+    var sumSlen = 0L; var sumSbytes = 0L
+  }
+
+  private def decodeVal(rr: R, t: AType, agg: DeepAgg): Unit = t match {
+    case PLong | PInt => agg.sumLong += rr.zigzag()
+    case PBool =>
+      val v = rr.u8(); if (v > 1) fail()
+      agg.sumLong += v
+    case PDbl => rr.bytes(8L): Unit // counted, not summed
+    case PStr =>
+      val l = rr.zigzag(); val s = rr.bytes(l)
+      agg.sumSlen += l
+      var k = 0
+      while (k < l) { agg.sumSbytes += rr.b(s + k) & 0xff; k += 1 }
+    case PNullable(inner, nb) =>
+      val br = rr.zigzag()
+      if (br == nb) agg.nNulls += 1
+      else if (br == 1L - nb) decodeVal(rr, inner, agg)
+      else fail()
+    case PRecord(fs) =>
+      fs.foreach { case (_, ft) => decodeVal(rr, ft, agg) }
+    case PArray(items) => // block runs: count (neg ⇒ +byte size), 0 ends
+      var go = true
+      while (go) {
+        var c = rr.zigzag()
+        if (c == 0) go = false
+        else {
+          if (c < 0) { c = -c; rr.zigzag(): Unit }
+          if (c > MaxDecoded) fail()
+          var i = 0L
+          while (i < c) {
+            decodeVal(rr, items, agg); agg.nItems += 1; i += 1
+          }
+        }
+      }
+  }
+
+  private[graft] def parseDeep(id: Long, b: Array[Byte]): AvroDeepInfo = {
+    val invalid = AvroDeepInfo(id, 0L, 0L, 0L, 0L, 0L, 0L, 0L,
+      valid = false)
+    if (b == null || b.length < 20) return invalid
+    try {
+      if (b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1) fail()
+      val r = new R(b, 4, b.length)
+      var schemaJson: String = null
+      var codec = "null"
+      var go = true
+      while (go) { // file metadata map
+        var cnt = r.zigzag()
+        if (cnt == 0) go = false
+        else {
+          if (cnt < 0) { cnt = -cnt; r.zigzag(): Unit }
+          var i = 0L
+          while (i < cnt) {
+            val kl = r.zigzag(); val ks = r.bytes(kl)
+            val key = new String(b, ks, kl.toInt, "UTF-8")
+            val vl = r.zigzag(); val vs = r.bytes(vl)
+            key match {
+              case "avro.schema" =>
+                schemaJson = new String(b, vs, vl.toInt, "UTF-8")
+              case "avro.codec" =>
+                codec = new String(b, vs, vl.toInt, "UTF-8")
+              case _ => ()
+            }
+            i += 1
+          }
+        }
+      }
+      if (schemaJson == null) fail()
+      if (codec != "null" && codec != "deflate" && codec != "snappy")
+        fail()
+      val schema = parseDeepSchema(schemaJson)
+      val syncOff = r.bytes(16L)
+      var nBlocks = 0L; var nRecords = 0L
+      var decoded = 0L
+      val agg = new DeepAgg
+      while (r.pos < r.end) {
+        val cnt = r.zigzag()
+        if (cnt < 0) fail()
+        val size = r.zigzag()
+        val ds = r.bytes(size)
+        val ss = r.bytes(16L)
+        var k = 0
+        while (k < 16) {
+          if (b(ss + k) != b(syncOff + k)) fail()
+          k += 1
+        }
+        val (db, doff, dlen) = codec match {
+          case "null" => (b, ds, size.toInt)
+          case "deflate" =>
+            val d = inflateRaw(b, ds, size.toInt)
+            (d, 0, d.length)
+          case "snappy" =>
+            val d = snappyBlock(b, ds, size.toInt)
+            (d, 0, d.length)
+        }
+        decoded += dlen
+        if (decoded > MaxDecoded) fail()
+        val rr = new R(db, doff, doff + dlen)
+        var i = 0L
+        while (i < cnt) { decodeVal(rr, schema, agg); i += 1 }
+        if (rr.pos != doff + dlen) fail() // block byte size exact
+        nBlocks += 1
+        nRecords += cnt
+      }
+      AvroDeepInfo(id, nBlocks, nRecords, agg.sumLong, agg.nNulls,
+        agg.nItems, agg.sumSlen, agg.sumSbytes, valid = true)
+    } catch {
+      case Malformed | _: IndexOutOfBoundsException |
+          _: NegativeArraySizeException | _: IllegalArgumentException =>
+        invalid
+    }
+  }
+
+  /** Map-side deep decode over (media_id, file bytes) rows. */
+  def decodeAvroDeep(
+      media: Dataset[(Long, Array[Byte])]): Dataset[AvroDeepInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { case (id, bytes) =>
+      parseDeep(id, bytes)
+    })
+  }
+
   // ---------------------------------------------------------------
   // Writer (fixture side): the REAL avro-java writer, not ours.
   // ---------------------------------------------------------------
@@ -374,6 +656,72 @@ object Avro {
       rec.put("v", if (d % 3 == 0) null
                    else java.lang.Long.valueOf((7 * d) % 50))
       rec.put("s", "s" * (1 + d % 4).toInt + d)
+      w.append(rec)
+      if (j % 2 == 1) w.sync()
+      j += 1
+    }
+    w.close()
+    out.toByteArray
+  }
+
+  // parsed once per JVM (the PayloadSchema lesson)
+  private lazy val DeepSchema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"docw","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"meta","type":{"type":"record","name":"m","fields":[
+        |  {"name":"src","type":"string"},
+        |  {"name":"score","type":["null","long"]}]}},
+        |{"name":"toks","type":{"type":"array","items":"long"}},
+        |{"name":"tags","type":
+        |  ["null",{"type":"array","items":"string"}]}]}""".stripMargin)
+
+  /** One NESTED-schema OCF per doc group (q221): record for doc d is
+    * (id = d, meta = {src = "s"+(d%5), score = null when d%3==0 else
+    * (7d)%50}, toks = [] when d%4==0 else [d%10, d%7, d%3],
+    * tags = null when d%6==0 else ["t"+(d%2)]); `snappy` codec when g
+    * is even, `deflate` otherwise — both compressed paths on every
+    * run; `sync()` after every odd position pins blocks of two. */
+  def avroDeepGroupPayload(g: Long, ids: Array[Long]): Array[Byte] = {
+    require(g >= 0 && ids.nonEmpty, s"bad group $g")
+    val schema = DeepSchema
+    val metaSchema = schema.getField("meta").schema()
+    val toksSchema = schema.getField("toks").schema()
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.setCodec(
+      if (g % 2 == 0) org.apache.avro.file.CodecFactory.snappyCodec()
+      else org.apache.avro.file.CodecFactory.deflateCodec(6))
+    val sync = new Array[Byte](16)
+    var k = 0
+    while (k < 16) {
+      sync(k) = (((g * 37 + k) * 2654435761L >>> 7) & 0xff).toByte
+      k += 1
+    }
+    w.create(schema, out, sync)
+    var j = 0
+    while (j < ids.length) {
+      val d = ids(j)
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", java.lang.Long.valueOf(d))
+      val meta = new org.apache.avro.generic.GenericData.Record(
+        metaSchema)
+      meta.put("src", "s" + (d % 5))
+      meta.put("score", if (d % 3 == 0) null
+                        else java.lang.Long.valueOf((7 * d) % 50))
+      rec.put("meta", meta)
+      val toks = new org.apache.avro.generic.GenericData.Array[
+        java.lang.Long](if (d % 4 == 0) 0 else 3, toksSchema)
+      if (d % 4 != 0) {
+        toks.add(java.lang.Long.valueOf(d % 10))
+        toks.add(java.lang.Long.valueOf(d % 7))
+        toks.add(java.lang.Long.valueOf(d % 3))
+      }
+      rec.put("toks", toks)
+      rec.put("tags", if (d % 6 == 0) null
+                      else java.util.Arrays.asList("t" + (d % 2)))
       w.append(rec)
       if (j % 2 == 1) w.sync()
       j += 1

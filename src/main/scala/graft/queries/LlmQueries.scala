@@ -6013,6 +6013,54 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- Avro DEEP decode (r11 — the r10 verdict's #5 ask: real CDC
+    // dumps carry records-in-records and arrays, and Kafka-ecosystem
+    // OCFs default to snappy). Fixtures come from avro-java's REAL
+    // writer over a nested schema — a sub-record (string + nullable
+    // long), an array<long> (empty for d%4==0), and a NULLABLE
+    // array<string> — with the `snappy` codec (raw block + big-endian
+    // CRC32 suffix, decoded by the q204 Snappy engine) on even groups
+    // and `deflate` on odd, so both compressed paths run every time.
+    // The recursive schema walker parses the type TREE (unions at any
+    // depth, either null order); the decoder walks values by that
+    // tree. The oracle replays every aggregate including array-item
+    // counts — a reader with the union branch, the array block runs,
+    // the CRC or the nesting wrong cannot match.
+    "q221_avro_deep" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir)
+          .select((col("doc_id") / 64).cast("long").as("g"),
+            col("doc_id")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            (g, Avro.avroDeepGroupPayload(g, it.map(_._2).toArray.sorted))
+          }
+        Avro.decodeAvroDeep(media).toDF()
+      },
+      Some("""WITH p AS (SELECT doc_id // 64 AS media_id, doc_id AS d,
+              CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE (7 * doc_id) % 50 END AS score,
+              CASE WHEN doc_id % 4 = 0 THEN 0
+                ELSE 3 END AS ntoks,
+              CASE WHEN doc_id % 4 = 0 THEN 0
+                ELSE doc_id % 10 + doc_id % 7 + doc_id % 3 END AS toksum,
+              CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS tagnull
+            FROM documents)
+        SELECT media_id,
+          CAST((count(*) + 1) // 2 AS BIGINT) AS n_blocks,
+          CAST(count(*) AS BIGINT) AS n_records,
+          CAST(sum(d) + coalesce(sum(score), 0) + sum(toksum)
+            AS BIGINT) AS sum_long,
+          CAST(count(*) - count(score) + sum(tagnull) AS BIGINT)
+            AS n_nulls,
+          CAST(sum(ntoks) + sum(1 - tagnull) AS BIGINT) AS n_items,
+          CAST(sum(2 + 2 * (1 - tagnull)) AS BIGINT) AS sum_slen,
+          CAST(sum(163 + d % 5 + (1 - tagnull) * (164 + d % 2))
+            AS BIGINT) AS sum_sbytes,
+          true AS valid
+        FROM p GROUP BY media_id""")),
+
     // ---- Parquet split-block BLOOM filter (r10 — the format's
     // point-lookup pruner: a missing key skips the whole row group
     // without touching a page OR the column index): the artifact is

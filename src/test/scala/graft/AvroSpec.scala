@@ -121,4 +121,116 @@ class AvroSpec extends SparkSpec {
     val ds = spark.createDataset(Seq((9L, Avro.avroPayload(9L))))
     Avro.decodeAvro(ds).collect().toSeq shouldBe Seq(expected(9L, 9L))
   }
+
+  // ---- r11 deep decoder: nested records, arrays, snappy (q221) ----
+
+  private def deepExpected(g: Long, ids: Array[Long]): Avro.AvroDeepInfo = {
+    var sumLong = 0L; var nNulls = 0L; var nItems = 0L
+    var sumSlen = 0L; var sumSbytes = 0L
+    ids.foreach { d =>
+      sumLong += d
+      if (d % 3 == 0) nNulls += 1 else sumLong += (7 * d) % 50
+      if (d % 4 != 0) {
+        sumLong += d % 10 + d % 7 + d % 3; nItems += 3
+      }
+      val src = "s" + (d % 5)
+      sumSlen += src.length
+      sumSbytes += src.getBytes("UTF-8").map(b => (b & 0xff).toLong).sum
+      if (d % 6 == 0) nNulls += 1
+      else {
+        val tag = "t" + (d % 2)
+        nItems += 1
+        sumSlen += tag.length
+        sumSbytes += tag.getBytes("UTF-8").map(b => (b & 0xff).toLong).sum
+      }
+    }
+    Avro.AvroDeepInfo(g, (ids.length + 1L) / 2, ids.length.toLong,
+      sumLong, nNulls, nItems, sumSlen, sumSbytes, valid = true)
+  }
+
+  test("deep decode differential vs avro-java over nested schema, " +
+      "snappy AND deflate codecs") {
+    for (g <- 0L until 6L) { // even g = snappy, odd = deflate
+      val ids = (g * 17 until g * 17 + 13).toArray
+      val b = Avro.avroDeepGroupPayload(g, ids)
+      Avro.parseDeep(g, b) shouldBe deepExpected(g, ids)
+      // avro-java's own reader agrees the stream is intact
+      val r = new org.apache.avro.file.DataFileReader(
+        new org.apache.avro.file.SeekableByteArrayInput(b),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      var n = 0
+      while (r.hasNext) { r.next(); n += 1 }
+      r.close()
+      n shouldBe ids.length
+    }
+  }
+
+  test("union order matters on the wire: [T,\"null\"] decodes with " +
+      "the right branch index") {
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"u","fields":[
+        |{"name":"v","type":["long","null"]}]}""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, out)
+    for (i <- 0 until 6) {
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("v", if (i % 2 == 0) java.lang.Long.valueOf(i * 10L)
+                   else null)
+      w.append(rec)
+    }
+    w.close()
+    val info = Avro.parseDeep(1L, out.toByteArray)
+    info.valid shouldBe true
+    info.n_records shouldBe 6L
+    info.sum_long shouldBe 0L + 20L + 40L
+    info.n_nulls shouldBe 3L
+  }
+
+  test("deep strictness: nested float rejects, corrupted snappy CRC " +
+      "rejects, random flips never throw") {
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"x","fields":[
+        |{"name":"inner","type":{"type":"record","name":"i","fields":[
+        |  {"name":"f","type":"float"}]}}]}""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, out)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    val inner = new org.apache.avro.generic.GenericData.Record(
+      schema.getField("inner").schema())
+    inner.put("f", java.lang.Float.valueOf(2.5f))
+    rec.put("inner", inner)
+    w.append(rec)
+    w.close()
+    Avro.parseDeep(1L, out.toByteArray).valid shouldBe false
+
+    val good = Avro.avroDeepGroupPayload(0L, Array(1L, 2L, 3L)) // snappy
+    Avro.parseDeep(0L, good).valid shouldBe true
+    // flip a byte in the last 4 (the big-endian CRC32 suffix of the
+    // final block, just before the trailing 16-byte sync)
+    val m = good.clone()
+    m(m.length - 18) = (m(m.length - 18) ^ 0x01).toByte
+    Avro.parseDeep(0L, m).valid shouldBe false
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 500) {
+      val x = good.clone()
+      x(rnd.nextInt(x.length)) = rnd.nextInt(256).toByte
+      Avro.parseDeep(0L, x) // must not throw
+    }
+  }
+
+  test("decodeAvroDeep runs map-side over a Dataset") {
+    import spark.implicits._
+    val ids = Array(5L, 6L, 7L, 8L)
+    val ds = spark.createDataset(
+      Seq((4L, Avro.avroDeepGroupPayload(4L, ids))))
+    Avro.decodeAvroDeep(ds).collect().toSeq shouldBe
+      Seq(deepExpected(4L, ids))
+  }
 }
