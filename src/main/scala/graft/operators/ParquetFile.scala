@@ -1296,6 +1296,153 @@ object ParquetFile {
     })
   }
 
+  // =================================================================
+  // CELL materialization (the graft-lake DSv2 connector, r11): the
+  // row-ordered VALUES of one flat chunk — where the aggregate
+  // decoders above only fold, a PartitionReader must emit actual
+  // InternalRows. Scoped to the engine's own writer output
+  // (ParquetWrite, q216/q220): V1 pages, UNCOMPRESSED, PLAIN or
+  // dictionary, flat maxDef ≤ 1 — anything else strict-rejects.
+  // =================================================================
+
+  /** One chunk's cells: per-row defined mask plus longs (INT32/INT64)
+    * or raw UTF-8 bytes (BYTE_ARRAY). */
+  private[graft] final case class CellCol(defined: Array[Boolean],
+      longs: Array[Long], bins: Array[Array[Byte]])
+
+  private[graft] def readChunkCells(b: Array[Byte], c: Chunk,
+      lf: Leaf, rgRows: Int): CellCol = {
+    if (lf.maxRep != 0 || lf.maxDef > 1) fail()
+    if (c.codec != 0) fail() // own-writer subset: uncompressed
+    if (rgRows < 0 || c.numValues != rgRows.toLong) fail()
+    val isBin = c.ptype == 6
+    if (!isBin && c.ptype != 1 && c.ptype != 2) fail()
+    val defined = new Array[Boolean](rgRows)
+    val longs = if (isBin) null else new Array[Long](rgRows)
+    val bins = if (isBin) new Array[Array[Byte]](rgRows) else null
+
+    def le32(p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+        ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+
+    /** Decode k PLAIN cells starting at p; cb(longV, binV) per cell. */
+    def plainCells(p0: Int, pEnd: Int, k: Int)(
+        cb: (Long, Array[Byte]) => Unit): Int = {
+      var p = p0
+      var i = 0
+      while (i < k) {
+        c.ptype match {
+          case 1 =>
+            if (4 > pEnd - p) fail()
+            cb(le32(p).toLong, null); p += 4
+          case 2 =>
+            if (8 > pEnd - p) fail()
+            var v = 0L; var j = 7
+            while (j >= 0) { v = (v << 8) | (b(p + j) & 0xffL); j -= 1 }
+            cb(v, null); p += 8
+          case 6 =>
+            if (4 > pEnd - p) fail()
+            val l = le32(p); p += 4
+            if (l < 0 || l > pEnd - p) fail()
+            cb(0L, java.util.Arrays.copyOfRange(b, p, p + l)); p += l
+        }
+        i += 1
+      }
+      p
+    }
+
+    var dictL: Array[Long] = null
+    var dictB: Array[Array[Byte]] = null
+    var row = 0
+    val startL =
+      if (c.dictPageOff > 0 && c.dictPageOff < c.dataPageOff)
+        c.dictPageOff
+      else c.dataPageOff
+    if (startL < 0 || startL >= b.length) fail()
+    var pos = startL.toInt
+    var remaining = c.numValues
+    while (remaining > 0) {
+      val (h, cstart) = pageAt(b, pos)
+      h.ptype match {
+        case 2 => // dictionary page, PLAIN payload
+          if (dictL != null || dictB != null) fail()
+          if (h.cmp != h.unc || h.dictNv < 0) fail()
+          if (isBin) dictB = new Array[Array[Byte]](h.dictNv)
+          else dictL = new Array[Long](h.dictNv)
+          var j = 0
+          val endp = plainCells(cstart, cstart + h.cmp, h.dictNv) {
+            (v, bv) =>
+              if (isBin) dictB(j) = bv else dictL(j) = v
+              j += 1
+          }
+          if (endp != cstart + h.cmp) fail()
+        case 0 => // V1 data page
+          if (h.nv < 0 || h.nv > remaining) fail()
+          if (h.cmp != h.unc) fail()
+          var p = cstart
+          val pEnd = cstart + h.cmp
+          val defs =
+            if (lf.maxDef == 1) {
+              if (h.defEnc != 3) fail()
+              val (d, p2) = readLevelsPrefixed(b, p, pEnd, h.nv, 1)
+              p = p2; d
+            } else null
+          val k = if (defs == null) h.nv else defs.count(_ == 1)
+          val outL = if (isBin) null else new Array[Long](k)
+          val outB = if (isBin) new Array[Array[Byte]](k) else null
+          h.enc match {
+            case 0 =>
+              var j = 0
+              val endp = plainCells(p, pEnd, k) { (v, bv) =>
+                if (isBin) outB(j) = bv else outL(j) = v
+                j += 1
+              }
+              if (endp != pEnd) fail()
+            case 2 | 8 =>
+              if (dictL == null && dictB == null) fail()
+              val dn = if (isBin) dictB.length else dictL.length
+              if (p >= pEnd) { if (k != 0) fail() }
+              else {
+                val bw = b(p) & 0xff
+                var j = 0
+                rleHybrid(b, p + 1, pEnd, bw, k) { (v, run) =>
+                  if (v < 0 || v >= dn) fail()
+                  var t = 0
+                  while (t < run) {
+                    if (isBin) outB(j) = dictB(v) else outL(j) = dictL(v)
+                    j += 1; t += 1
+                  }
+                }
+                if (j != k) fail()
+              }
+            case _ => fail()
+          }
+          // scatter into row positions
+          var vI = 0; var i = 0
+          while (i < h.nv) {
+            val d = defs == null || defs(i) == 1
+            defined(row) = d
+            if (d) {
+              if (isBin) bins(row) = outB(vI) else longs(row) = outL(vI)
+              vI += 1
+            }
+            row += 1; i += 1
+          }
+          remaining -= h.nv
+        case _ => fail()
+      }
+      pos = cstart + h.cmp
+    }
+    if (row != rgRows) fail()
+    CellCol(defined, longs, bins)
+  }
+
+  /** Never-throw wrapper used by the connector's reader. */
+  private[graft] def tryReadChunkCells(b: Array[Byte], c: Chunk,
+      lf: Leaf, rgRows: Int): Option[CellCol] =
+    try Some(readChunkCells(b, c, lf, rgRows))
+    catch { case _: Throwable => None }
+
   // ---- page-index layer (q209): OffsetIndex/ColumnIndex decode and
   // the page-skipping selective read they exist for ----
 

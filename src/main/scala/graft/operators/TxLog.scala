@@ -46,11 +46,15 @@ object TxLog {
         get_json_object(col("value"), "$.add.path").as("add_path"),
         get_json_object(col("value"), "$.add.size").cast("long")
           .as("add_size"),
+        get_json_object(col("value"), "$.add.min_key").cast("long")
+          .as("min_key"),
+        get_json_object(col("value"), "$.add.max_key").cast("long")
+          .as("max_key"),
         get_json_object(col("value"), "$.remove.path").as("rm_path"))
       .select(col("version"),
         coalesce(col("add_path"), col("rm_path")).as("path"),
         col("add_path").isNotNull.as("is_add"),
-        col("add_size"))
+        col("add_size"), col("min_key"), col("max_key"))
 
   /** The protocol's resolution rule: per path the highest-version action
     * wins; tombstones are KEPT (callers filter `is_add` for the live
@@ -61,7 +65,7 @@ object TxLog {
   def latestWins(acts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("path")).orderBy(col("version").desc)
     acts.select(col("version"), col("path"), col("is_add"),
-        col("add_size"))
+        col("add_size"), col("min_key"), col("max_key"))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")
@@ -103,7 +107,8 @@ object TxLog {
     val state = latestWins(readCommitDirs(s, logBase, commits))
     state.select(to_json(struct(
         struct(col("path"), col("version"), col("is_add"),
-          col("add_size")).as("state"))).as("value"))
+          col("add_size"), col("min_key"), col("max_key"))
+          .as("state"))).as("value"))
       .coalesce(1)
       .write.mode("overwrite").text(s"$ckptBase/version=$v")
     writePointer(ckptBase, v)
@@ -145,8 +150,10 @@ object TxLog {
   def resolve(s: SparkSession, logBase: String, ckptBase: String,
       asOf: Long): Resolved = {
     import s.implicits._
-    val emptyState = Seq.empty[(Long, String, Boolean, Long)]
-      .toDF("version", "path", "is_add", "add_size")
+    val emptyState =
+      Seq.empty[(Long, String, Boolean, Long, Option[Long], Option[Long])]
+        .toDF("version", "path", "is_add", "add_size", "min_key",
+          "max_key")
     // the pointer names the newest checkpoint; time travel may need an
     // older one — the ckpt dir listing is bounded by history/cadence
     val available = listVersions(ckptBase)
@@ -163,9 +170,13 @@ object TxLog {
             get_json_object(col("value"), "$.state.is_add")
               .cast("boolean").as("is_add"),
             get_json_object(col("value"), "$.state.add_size")
-              .cast("long").as("add_size"))
+              .cast("long").as("add_size"),
+            get_json_object(col("value"), "$.state.min_key")
+              .cast("long").as("min_key"),
+            get_json_object(col("value"), "$.state.max_key")
+              .cast("long").as("max_key"))
           .select(col("version"), col("path"), col("is_add"),
-            col("add_size"))
+            col("add_size"), col("min_key"), col("max_key"))
       case None => emptyState
     }
     val tail = listVersions(logBase)
@@ -208,8 +219,10 @@ object TxLog {
           if (lastId >= 0) bs.read.parquet(s"$stateBase/s=$lastId")
           else {
             import bs.implicits._
-            Seq.empty[(Long, String, Boolean, Long)]
-              .toDF("version", "path", "is_add", "add_size")
+            Seq.empty[(Long, String, Boolean, Long, Option[Long],
+                Option[Long])]
+              .toDF("version", "path", "is_add", "add_size",
+                "min_key", "max_key")
           }
         foldState(prev, b).write.mode("overwrite")
           .parquet(s"$stateBase/s=$id")
@@ -219,5 +232,85 @@ object TxLog {
     q.awaitTermination()
     if (lastId < 0) None
     else Some(s.read.parquet(s"$stateBase/s=$lastId"))
+  }
+
+  // ================================================================
+  // DRIVER-SIDE resolution (the graft-lake connector's planning
+  // path): the log is METADATA — pointer + one checkpoint + the
+  // commit tail, bounded by cadence — so the connector reads it with
+  // plain file I/O during `planInputPartitions`, exactly like a
+  // production lakehouse reader resolves `_delta_log/` without
+  // launching a cluster job. Parsing is scoped to OUR log writer's
+  // JSON shape (no string escapes in paths).
+  // ================================================================
+
+  /** One resolved live file with its optional key-column stats (what
+    * file-level pruning runs on; files without stats must scan). */
+  final case class LiveFile(path: String, version: Long, size: Long,
+      minKey: Option[Long], maxKey: Option[Long])
+
+  private def jStr(line: String, key: String): Option[String] =
+    ("\"" + key + "\":\"([^\"]*)\"").r
+      .findFirstMatchIn(line).map(_.group(1))
+  private def jLong(line: String, key: String): Option[Long] =
+    ("\"" + key + "\":(-?\\d+)").r
+      .findFirstMatchIn(line).map(_.group(1).toLong)
+  private def jBool(line: String, key: String): Option[Boolean] =
+    ("\"" + key + "\":(true|false)").r
+      .findFirstMatchIn(line).map(_.group(1) == "true")
+
+  private def linesUnder(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+      .flatMap { f =>
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(f.toPath)).asScala
+      }
+      .filter(_.nonEmpty)
+
+  /** Resolve the live-file set as of `asOf` (< 0 = latest) with plain
+    * driver-side file I/O: pointer → newest usable checkpoint ≤ bound
+    * → commit tail → latest-wins fold in memory (the state is
+    * O(live files + tombstones)). */
+  def resolveLiveLocal(logBase: String, ckptBase: String,
+      asOf: Long): Seq[LiveFile] = {
+    val available = listVersions(ckptBase)
+    val usable =
+      if (asOf < 0) readPointer(ckptBase).filter(available.contains)
+      else available.filter(_ <= asOf).lastOption
+    // path -> (version, isAdd, size, min, max)
+    val state = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Boolean, Long, Option[Long], Option[Long])]
+    usable.foreach { cv =>
+      linesUnder(s"$ckptBase/version=$cv").foreach { line =>
+        val path = jStr(line, "path").getOrElse(
+          throw new IllegalArgumentException(s"bad ckpt line: $line"))
+        val v = jLong(line, "version").getOrElse(
+          throw new IllegalArgumentException(s"bad ckpt line: $line"))
+        val isAdd = jBool(line, "is_add").getOrElse(
+          throw new IllegalArgumentException(s"bad ckpt line: $line"))
+        state(path) = (v, isAdd, jLong(line, "add_size").getOrElse(0L),
+          jLong(line, "min_key"), jLong(line, "max_key"))
+      }
+    }
+    val tail = listVersions(logBase)
+      .filter(v => usable.forall(v > _))
+      .filter(v => asOf < 0 || v <= asOf)
+    tail.foreach { v => // ascending: later versions overwrite
+      linesUnder(s"$logBase/version=$v").foreach { line =>
+        val isAdd = line.contains("\"add\":")
+        val path = jStr(line, "path").getOrElse(
+          throw new IllegalArgumentException(s"bad commit line: $line"))
+        val keep = state.get(path).forall(_._1 <= v)
+        if (keep)
+          state(path) = (v, isAdd, jLong(line, "size").getOrElse(0L),
+            jLong(line, "min_key"), jLong(line, "max_key"))
+      }
+    }
+    state.iterator.collect {
+      case (p, (v, true, size, mn, mx)) => LiveFile(p, v, size, mn, mx)
+    }.toSeq
   }
 }

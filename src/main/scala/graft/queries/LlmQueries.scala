@@ -6061,6 +6061,97 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- graft-lake DSv2 connector (r11 — the r10 verdict's #8 ask:
+    // the lakehouse family ran as hand-composed functions over
+    // binaryFile rows; here it is a real `format("graft-lake")`
+    // under Catalyst). The TABLE is the full own-write/own-read loop:
+    // data files from OUR writer (multi-row-group, OPTIONAL + dict
+    // columns, q220's surface), a transaction log whose adds carry
+    // per-file key stats measured by OUR footer codec, a TxLog
+    // CHECKPOINT + `_last_checkpoint` pointer (the connector resolves
+    // through the pointer fast path). The query projects three of four
+    // columns (column pruning), filters a doc_id range (file pruning
+    // from log stats + row-group pruning from footer stats) and
+    // aggregates per lang (dictionary decode) — the oracle replays it
+    // all from the source table. LakeSourceSpec pins the connector
+    // LAWS (pruning counts, time travel, runtime filtering).
+    "q222_lake_connector" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakec_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        // write files on executors; return (path, min, max) for the log
+        val adds = docs(s, dir)
+          .select((col("doc_id") / 1024).cast("long").as("g"),
+            col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("source"), col("lang"))
+          .as[(Long, Long, Long, String, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rows.map(_._2)),
+              graft.operators.ParquetWrite.OptLongCol("n_chars",
+                rows.map(r => if (r._2 % 9 == 0) null
+                  else java.lang.Long.valueOf(r._3))),
+              graft.operators.ParquetWrite.OptStrCol("source",
+                rows.map(r => if (r._2 % 5 == 0) null else r._4)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rows.map(_._5))),
+              rowsPerGroup = 128)
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            // per-file key stats from OUR footer codec (not trusted
+            // from the build-side sort): the log is the reader's only
+            // source of file-level pruning truth
+            val st = graft.operators.ParquetFile.parse(g, bytes)
+              .filter(r => r.valid && r.col_path == "doc_id" &&
+                r.has_stats)
+            (p, st.map(_.min_long).min, st.map(_.max_long).max,
+              rows.length.toLong)
+          }
+          .toDF("path", "min_key", "max_key", "size")
+        if (adds.isEmpty) // empty corpus: no table to register
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"),
+              count(lit(1)).as("n_src"))
+        else {
+          adds.select(lit(0L).as("version"), to_json(struct(
+              struct(col("path"), col("min_key"), col("max_key"),
+                col("size")).as("add"))).as("value"))
+            .coalesce(1)
+            .write.partitionBy("version").text(s"$base/log")
+          // checkpoint + pointer: the connector resolves through the
+          // fast path, proving stats survive checkpointing
+          TxLog.writeCheckpoint(s, s"$base/log", s"$base/ckpt", 0L)
+          s.read.format("graft-lake").option("path", base).load()
+            .where(col("doc_id").between(300L, 1700L))
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"),
+              count(col("source")).as("n_src"))
+        }
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+            CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END AS nc,
+            CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS src
+          FROM documents WHERE doc_id BETWEEN 300 AND 1700)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(nc) AS BIGINT) AS sum_chars,
+          CAST(count(src) AS BIGINT) AS n_src
+        FROM d GROUP BY lang""")),
+
     // ---- Parquet split-block BLOOM filter (r10 — the format's
     // point-lookup pruner: a missing key skips the whole row group
     // without touching a page OR the column index): the artifact is

@@ -1,0 +1,338 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{ParquetFile, TxLog}
+
+/** The LAKEHOUSE layer as a real DataSource V2 connector (r11 — the
+  * r10 verdict's #8 ask): `spark.read.format("graft-lake")
+  * .option("path", base).load()` over a table whose DATA files come
+  * from the engine's own parquet writer (`ParquetWrite`, q216/q220)
+  * and whose TRANSACTION LOG/CHECKPOINTS come from `TxLog`
+  * (q212/q217) — the full own-write/own-read loop under Catalyst
+  * pushdown, where q214 ran the same layers as hand-composed
+  * functions.
+  *
+  * Table layout: `<path>/data/part-*.parquet` + `<path>/log/version=N`
+  * (+ optional `<path>/ckpt` with `_last_checkpoint`).
+  *
+  * What Catalyst gets from the connector:
+  *  - **schema from OUR footer codec**: inferSchema resolves the
+  *    snapshot and reads the first live file's footer — INT64 →
+  *    LongType, UTF8 BYTE_ARRAY → StringType, OPTIONAL → nullable;
+  *  - **snapshot isolation + time travel** (`asOf` option): planning
+  *    sees exactly the log-resolved live files, through the
+  *    checkpoint/pointer fast path (driver-side metadata I/O, no
+  *    cluster job — the `_delta_log` shape);
+  *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): the
+  *    reader decodes ONLY the requested chunks — a 2-column projection
+  *    touches 2 column chunks per row group, not all;
+  *  - **file pruning** ([[SupportsPushDownFilters]]): range/equality/IN
+  *    predicates on the log's stats column skip whole FILES at plan
+  *    time from log metadata alone (adds carry min_key/max_key);
+  *    filters stay in the plan as residuals, so pruning can never
+  *    change results;
+  *  - **row-group pruning** (reader-side): inside each surviving file
+  *    the reader checks OUR footer's per-group INT64 stats against the
+  *    pushed bounds and skips groups without touching their pages;
+  *  - **runtime filtering** ([[SupportsRuntimeFiltering]]): a join
+  *    against a selective dimension on the stats column hands observed
+  *    keys back at execution time — dynamic FILE pruning.
+  *
+  * 100 TB shape: planning cost is log-metadata-sized (pointer +
+  * checkpoint + tail); the unit of parallelism is the file; data bytes
+  * are read once per surviving file on executors and never shuffle. */
+class LakeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-lake"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LakeSource.tableOf(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    LakeSource.tableOf(new CaseInsensitiveStringMap(properties))
+}
+
+object LakeSource {
+  private[sources] def tableOf(options: CaseInsensitiveStringMap): LakeTable = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-lake requires a 'path' option (the table root)")
+    new LakeTable(path, options.getLong("asOf", -1L),
+      options.getOrDefault("statsCol", "doc_id"))
+  }
+
+  /** Leaf → Spark field; flat INT32/INT64/UTF8-string only (the own-
+    * writer surface); anything else rejects at planning time. */
+  private[sources] def fieldOf(lf: ParquetFile.Leaf): StructField = {
+    require(lf.maxRep == 0 && lf.maxDef <= 1,
+      s"graft-lake: unsupported nested column ${lf.path}")
+    val t = lf.ptype match {
+      case 1 => IntegerType
+      case 2 => LongType
+      case 6 => StringType
+      case p => throw new IllegalArgumentException(
+        s"graft-lake: unsupported physical type $p for ${lf.path}")
+    }
+    StructField(lf.path, t, nullable = lf.maxDef == 1)
+  }
+}
+
+final class LakeTable(val root: String, val asOf: Long,
+    val statsCol: String) extends Table with SupportsRead {
+
+  /** Snapshot resolution — driver-side metadata I/O through the
+    * checkpoint/pointer fast path; memoized per table instance. */
+  lazy val live: Seq[TxLog.LiveFile] =
+    TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", asOf)
+
+  private lazy val inferred: StructType = {
+    require(live.nonEmpty,
+      s"graft-lake: no live files in snapshot asOf=$asOf under $root")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(live.head.path))
+    StructType(ParquetFile.parseFooterMeta(bytes).leaves
+      .map(LakeSource.fieldOf))
+  }
+
+  override def name(): String =
+    s"graft-lake($root asOf=$asOf files=${live.size})"
+  override def schema(): StructType = inferred
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(this)
+}
+
+final class LakeScanBuilder(table: LakeTable)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = table.schema()
+  private var pruning: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // empty projection (count(*)) still needs row COUNTS: keep one
+    // narrow column so the reader has a chunk to walk
+    required =
+      if (requiredSchema.fields.nonEmpty) requiredSchema
+      else StructType(Array(table.schema().fields.head))
+
+  /** Accept range/equality/IN on LONG/INT columns — they drive file
+    * pruning (stats column) and row-group pruning (any long column).
+    * Everything is RETURNED as residual: Spark re-applies every
+    * filter, so pruning is purely an optimization. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val longCols = table.schema().fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType =>
+        f.name
+    }.toSet
+    def num(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[Int]
+    pruning = filters.filter {
+      case EqualTo(c, v) => longCols(c) && num(v)
+      case GreaterThan(c, v) => longCols(c) && num(v)
+      case GreaterThanOrEqual(c, v) => longCols(c) && num(v)
+      case LessThan(c, v) => longCols(c) && num(v)
+      case LessThanOrEqual(c, v) => longCols(c) && num(v)
+      case In(c, vs) => longCols(c) && vs.nonEmpty && vs.forall(num)
+      case _ => false
+    }
+    filters // all residual
+  }
+  override def pushedFilters(): Array[Filter] = pruning
+
+  override def build(): Scan = new LakeScan(table, required, pruning)
+}
+
+/** Per-column [lo, hi] bounds compiled from the pushed filters —
+  * serializable, applied at file level (stats column, from log
+  * metadata) and row-group level (own-footer stats, in the reader). */
+private[sources] object LakeBounds {
+  def of(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(s"$other")
+  }
+
+  /** (col → (lo, hi)) tightest window implied by the filters. */
+  def compile(filters: Array[Filter]): Map[String, (Long, Long)] = {
+    val m = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue(
+        (Long.MinValue, Long.MaxValue))
+    def tighten(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = m(c)
+      m(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    filters.foreach {
+      case EqualTo(c, v) => tighten(c, of(v), of(v))
+      case GreaterThan(c, v) =>
+        if (of(v) < Long.MaxValue) tighten(c, of(v) + 1, Long.MaxValue)
+      case GreaterThanOrEqual(c, v) => tighten(c, of(v), Long.MaxValue)
+      case LessThan(c, v) =>
+        if (of(v) > Long.MinValue) tighten(c, Long.MinValue, of(v) - 1)
+      case LessThanOrEqual(c, v) => tighten(c, Long.MinValue, of(v))
+      case In(c, vs) =>
+        tighten(c, vs.map(of).min, vs.map(of).max)
+      case _ => ()
+    }
+    m.toMap
+  }
+}
+
+final class LakeScan(table: LakeTable, required: StructType,
+    plannedFilters: Array[Filter])
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-lake pruned=[${required.fieldNames.mkString(",")}] " +
+      s"pushed=[${filters.mkString(",")}]"
+
+  @volatile private var filters: Array[Filter] = plannedFilters
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(table.statsCol))
+
+  /** Runtime keys on the stats column narrow the FILE set — dynamic
+    * file pruning; results never change (Spark re-applies the join). */
+  override def filter(runtime: Array[Filter]): Unit = {
+    val usable = runtime.filter {
+      case EqualTo(c, v) =>
+        c == table.statsCol && LakeBoundsSafe(v)
+      case In(c, vs) =>
+        c == table.statsCol && vs.nonEmpty && vs.forall(LakeBoundsSafe)
+      case _ => false
+    }
+    filters = filters ++ usable
+  }
+  private def LakeBoundsSafe(v: Any): Boolean =
+    v.isInstanceOf[Long] || v.isInstanceOf[Int]
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val bounds = LakeBounds.compile(filters)
+    val (klo, khi) = bounds.getOrElse(table.statsCol,
+      (Long.MinValue, Long.MaxValue))
+    // IN-sets on the stats column prune files whose [min,max] window
+    // contains none of the keys
+    val inSets = filters.collect {
+      case In(c, vs) if c == table.statsCol =>
+        vs.map(LakeBounds.of).toSet
+      case EqualTo(c, v) if c == table.statsCol => Set(LakeBounds.of(v))
+    }
+    def fileSurvives(f: TxLog.LiveFile): Boolean = (f.minKey, f.maxKey) match {
+      case (Some(mn), Some(mx)) =>
+        mx >= klo && mn <= khi &&
+          inSets.forall(_.exists(v => v >= mn && v <= mx))
+      case _ => true // statless files must scan
+    }
+    val rgBounds = required.fieldNames.toSeq
+      .flatMap(n => bounds.get(n).map(n -> _))
+      .filter { case (_, (lo, hi)) =>
+        lo != Long.MinValue || hi != Long.MaxValue
+      }
+    table.live.filter(fileSurvives).map { f =>
+      LakePartition(f.path, required.fieldNames.toSeq,
+        rgBounds): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required)
+}
+
+final case class LakePartition(path: String, cols: Seq[String],
+    rgBounds: Seq[(String, (Long, Long))]) extends InputPartition
+
+final class LakeReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val lp = p.asInstanceOf[LakePartition]
+    new LakePartitionReader(lp, required)
+  }
+}
+
+/** Executor-side reader: one file, row groups pruned on OUR footer
+  * stats, required chunks decoded via [[ParquetFile.readChunkCells]],
+  * rows assembled positionally. */
+final class LakePartitionReader(p: LakePartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val bytes = java.nio.file.Files.readAllBytes(
+    java.nio.file.Paths.get(p.path))
+  private val meta = ParquetFile.parseFooterMeta(bytes)
+  private val leafOf = meta.leaves.map(l => l.path -> l).toMap
+
+  private var rgIdx = 0
+  private var rowInRg = 0
+  private var rgRows = 0
+  private var cells: Array[ParquetFile.CellCol] = null
+  private val row = new GenericInternalRow(required.length)
+
+  /** Advance to the next row group that survives the pushed bounds;
+    * decode its required chunks. Returns false when exhausted. */
+  private def nextRowGroup(): Boolean = {
+    while (rgIdx < meta.rowGroups.length) {
+      val rg = meta.rowGroups(rgIdx)
+      rgIdx += 1
+      val prunable = p.rgBounds.forall { case (cn, (lo, hi)) =>
+        rg.chunks.find(_.path == cn) match {
+          case Some(c) if c.ptype == 1 || c.ptype == 2 =>
+            (c.stats.minLong, c.stats.maxLong) match {
+              case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+              case _ => true // no stats: cannot skip
+            }
+          case _ => true
+        }
+      }
+      if (prunable) {
+        val n = rg.numRows.toInt
+        cells = p.cols.map { cn =>
+          val c = rg.chunks.find(_.path == cn).getOrElse(
+            throw new IllegalArgumentException(s"missing chunk $cn"))
+          ParquetFile.readChunkCells(bytes, c, leafOf(cn), n)
+        }.toArray
+        rgRows = n
+        rowInRg = 0
+        if (n > 0) return true
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    if (cells != null && rowInRg < rgRows) true
+    else nextRowGroup()
+  }
+
+  override def get(): InternalRow = {
+    var i = 0
+    while (i < required.length) {
+      val cc = cells(i)
+      if (!cc.defined(rowInRg)) row.setNullAt(i)
+      else required.fields(i).dataType match {
+        case LongType => row.setLong(i, cc.longs(rowInRg))
+        case IntegerType => row.setInt(i, cc.longs(rowInRg).toInt)
+        case StringType =>
+          row.update(i, UTF8String.fromBytes(cc.bins(rowInRg)))
+        case t => throw new IllegalArgumentException(s"$t")
+      }
+      i += 1
+    }
+    rowInRg += 1
+    row
+  }
+
+  override def close(): Unit = ()
+}

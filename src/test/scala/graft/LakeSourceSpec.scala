@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ParquetFile, ParquetWrite, TxLog}
+
+/** [[graft.sources.LakeSource]] (q222) — the connector-law matrix over
+  * the own-write/own-read lakehouse loop: snapshot resolution through
+  * checkpoint + pointer, time travel, column pruning reaching the
+  * reader, FILE pruning from log stats, ROW-GROUP pruning from our
+  * footer stats, runtime (dynamic) file pruning, residual semantics,
+  * and null/dictionary round-trips. */
+class LakeSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val FileRows = 256
+  private val RgRows = 64
+
+  /** Row i of file f: doc_id = f*256+i, v = null when id%7==0 else
+    * id*3, s = "s"+(id%3) (3 distinct values → dictionary). */
+  private def expected(file: Int): Seq[(Long, Option[Long], String)] =
+    (0 until FileRows).map { i =>
+      val id = file.toLong * FileRows + i
+      (id, if (id % 7 == 0) None else Some(id * 3), "s" + (id % 3))
+    }
+
+  private def fileBytes(file: Int): Array[Byte] = {
+    val rows = expected(file)
+    ParquetWrite.writeFile(Seq(
+      ParquetWrite.LongCol("doc_id", rows.map(_._1).toArray),
+      ParquetWrite.OptLongCol("v", rows.map(r =>
+        r._2.map(java.lang.Long.valueOf).orNull).toArray),
+      ParquetWrite.StrCol("s", rows.map(_._3).toArray)),
+      rowsPerGroup = RgRows)
+  }
+
+  private def addLine(base: String, f: Int,
+      withStats: Boolean = true): String = {
+    val p = s"$base/data/part-$f.parquet"
+    val stats =
+      if (withStats) {
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p))
+        val st = ParquetFile.parse(f.toLong, bytes)
+          .filter(r => r.valid && r.col_path == "doc_id" && r.has_stats)
+        s""","min_key":${st.map(_.min_long).min}""" +
+          s""","max_key":${st.map(_.max_long).max}"""
+      } else ""
+    s"""{"add":{"path":"$p","size":$FileRows$stats}}"""
+  }
+
+  /** Build the canonical 2-commit table: v0 adds files 0..2 (with a
+    * checkpoint + pointer at v0), v1 removes part-1 and adds part-3.
+    * Latest live set = {0, 2, 3}; asOf=0 = {0, 1, 2}. */
+  private def buildTable(): String = {
+    val base = java.nio.file.Files.createTempDirectory("graft_lake")
+      .toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    (0 to 3).foreach { f =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$base/data/part-$f.parquet"),
+        fileBytes(f)): Unit
+    }
+    def commit(v: Int, lines: Seq[String]): Unit = {
+      val d = new java.io.File(s"$base/log/version=$v")
+      d.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$d/actions.json"),
+        lines.mkString("\n").getBytes("UTF-8")): Unit
+    }
+    commit(0, (0 to 2).map(addLine(base, _)))
+    TxLog.writeCheckpoint(spark, s"$base/log", s"$base/ckpt", 0L)
+    commit(1, Seq(
+      s"""{"remove":{"path":"$base/data/part-1.parquet"}}""",
+      addLine(base, 3)))
+    base
+  }
+
+  private def lake(base: String, asOf: Long = -1L): DataFrame = {
+    val r = spark.read.format("graft-lake").option("path", base)
+    (if (asOf >= 0) r.option("asOf", asOf) else r).load()
+  }
+
+  private def asSet(df: DataFrame): Set[(Long, Option[Long], String)] =
+    df.select("doc_id", "v", "s").collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getString(2))
+    }.toSet
+
+  private def partitions(df: DataFrame): Int = df.rdd.getNumPartitions
+
+  test("snapshot read through checkpoint+pointer+tail: values, nulls " +
+      "and dictionary strings all round-trip; removed file is gone") {
+    val base = buildTable()
+    val df = lake(base)
+    df.schema.fieldNames.toSeq shouldBe Seq("doc_id", "v", "s")
+    df.schema("v").nullable shouldBe true
+    asSet(df) shouldBe
+      (expected(0) ++ expected(2) ++ expected(3)).toSet
+  }
+
+  test("time travel (asOf=0) resolves the pre-remove snapshot") {
+    val base = buildTable()
+    asSet(lake(base, asOf = 0L)) shouldBe
+      (expected(0) ++ expected(1) ++ expected(2)).toSet
+  }
+
+  test("column pruning reaches the reader: a 2-column projection " +
+      "scans 2 columns") {
+    val base = buildTable()
+    val q = lake(base).select("doc_id", "s")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq
+    }
+    scans shouldBe Seq(Seq("doc_id", "s"))
+    q.count() shouldBe 3L * FileRows
+  }
+
+  test("FILE pruning from log stats: range and IN predicates plan " +
+      "only intersecting files; residual semantics hold") {
+    val base = buildTable()
+    val df = lake(base) // live files 0 [0,255], 2 [512,767], 3 [768,1023]
+    partitions(df) shouldBe 3
+    partitions(df.filter(col("doc_id") < 200L)) shouldBe 1
+    partitions(df.filter(col("doc_id") >= 600L)) shouldBe 2
+    partitions(df.filter(col("doc_id").between(256L, 511L))) shouldBe 0
+    partitions(df.filter(col("doc_id").isin(10L, 999L))) shouldBe 2
+    // residual: the filter still applies exactly
+    df.filter(col("doc_id") < 200L).count() shouldBe 200L
+    df.filter(col("doc_id").between(256L, 511L)).count() shouldBe 0L
+    df.filter(col("doc_id").isin(10L, 999L)).count() shouldBe 2L
+  }
+
+  test("ROW-GROUP pruning from our footer stats: a 1-group predicate " +
+      "emits one group's rows from the scan, not the file's") {
+    val base = buildTable()
+    val q = lake(base).filter(col("doc_id") < 32L) // RG0 of file 0 only
+    // collect on THIS frame: count() builds a separate execution whose
+    // metrics this handle never sees
+    q.collect().length shouldBe 32
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    val emitted = scan.metrics("numOutputRows").value
+    withClue(s"scan emitted $emitted rows: ") {
+      emitted shouldBe RgRows.toLong // 1 of 4 groups in 1 of 3 files
+    }
+  }
+
+  test("runtime filtering: a selective broadcast join narrows the " +
+      "planned files at execution time") {
+    val base = buildTable()
+    val df = lake(base)
+    val dim = Seq(600L, 601L).toDF("doc_id")
+    val joined = df.join(broadcast(dim), "doc_id")
+    joined.queryExecution.executedPlan.toString should
+      include("RuntimeFilters")
+    joined.count() shouldBe 2L
+    // the DSv2 hook directly: an IN on the stats column keeps only
+    // the file whose [min,max] window contains a key
+    val scan = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b.scan }.head
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id",
+        Array(600L.asInstanceOf[AnyRef]))))
+    scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length shouldBe 1
+  }
+
+  test("statless adds must scan: a file whose add carries no " +
+      "min/max is never pruned") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lake_ns")
+      .toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/data/part-0.parquet"),
+      fileBytes(0)): Unit
+    val d = new java.io.File(s"$base/log/version=0")
+    d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/actions.json"),
+      addLine(base, 0, withStats = false).getBytes("UTF-8")): Unit
+    val df = lake(base)
+    // a predicate far outside the file's range still plans the file
+    partitions(df.filter(col("doc_id") > 5000L)) shouldBe 1
+    df.filter(col("doc_id") > 5000L).count() shouldBe 0L
+    df.count() shouldBe FileRows.toLong
+  }
+
+  test("pure-checkpoint resolution (empty tail) keeps the stats: " +
+      "file pruning works through the checkpointed state") {
+    val base = buildTable()
+    // advance the checkpoint past the last commit: tail is empty and
+    // everything — including min/max — comes from the checkpoint
+    TxLog.writeCheckpoint(spark, s"$base/log", s"$base/ckpt", 1L)
+    val df = lake(base)
+    partitions(df) shouldBe 3
+    partitions(df.filter(col("doc_id") < 200L)) shouldBe 1
+    asSet(df) shouldBe
+      (expected(0) ++ expected(2) ++ expected(3)).toSet
+  }
+}
