@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * previous frames' main-data slots. Streams outside the subset
   * (other Huffman tables, linbits) → `valid=false`,
   * never wrong. The r10 SYNTHESIS layer ([[parseSynth]]) postprocesses
-  * the decoded spectrum for long-block granules — requantization,
-  * IMDCT, windowing, overlap-add, frequency inversion, polyphase
-  * matrixing — stopping at the documented 512-tap-FIR boundary.
+  * the decoded spectrum — requantization, IMDCT, windowing,
+  * overlap-add, frequency inversion, polyphase matrixing — for long
+  * AND (r11) pure-SHORT granules: per-window subblock gains, the
+  * (sfb, window, line) → (subband, window, line) reorder, three
+  * 12-point IMDCTs windowed into the hybrid 36-sample grid. It stops
+  * at the documented 512-tap-FIR boundary; mixed and start/stop
+  * blocks remain out-of-subset.
   *
   * 100 TB shape: pure map-side behind the imperative codec seam;
   * payload bytes never shuffle. */
@@ -660,6 +664,61 @@ object Mp3 {
   private[graft] val Pretab: Array[Int] =
     Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2)
 
+  /** SHORT-block scalefactor-band widths per sample rate (ISO 11172-3
+    * Table B.8; 13 bands summing to 192 per window — r11, q223). */
+  private[graft] val SfbWidthsShort: Array[Array[Int]] = Array(
+    Array(4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56), // 44100
+    Array(4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66), // 48000
+    Array(4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12)) // 32000
+
+  /** Decode-order maps for pure-short granules: the Huffman stream
+    * orders lines (sfb, window, line-in-band) — for each of the 576
+    * decode positions these give the window, the scalefactor band and
+    * the per-window FREQUENCY line (what the reorder step needs). */
+  private[graft] val ShortWinMap: Array[Array[Int]] = shortMaps(0)
+  private[graft] val ShortSfbMap: Array[Array[Int]] = shortMaps(1)
+  private[graft] val ShortFreqMap: Array[Array[Int]] = shortMaps(2)
+
+  private def shortMaps(which: Int): Array[Array[Int]] =
+    SfbWidthsShort.map { ws =>
+      val out = new Array[Int](576)
+      var p = 0; var ob = 0
+      var b = 0
+      while (b < ws.length) {
+        var w = 0
+        while (w < 3) {
+          var k = 0
+          while (k < ws(b)) {
+            out(p) = which match {
+              case 0 => w
+              case 1 => b
+              case _ => ob + k
+            }
+            p += 1; k += 1
+          }
+          w += 1
+        }
+        ob += ws(b)
+        b += 1
+      }
+      out
+    }
+
+  /** 12×6 short-block IMDCT cosines: cos(π/24·(2n+7)(2k+1)). */
+  private[graft] val ImdctCosS: Array[Double] =
+    Array.tabulate(12 * 6) { nk =>
+      val n = nk / 6; val k = nk % 6
+      math.cos(math.Pi / 24.0 * (2 * n + 7) * (2 * k + 1))
+    }
+
+  /** Short-block sine window: sin(π/12·(n+0.5)). */
+  private[graft] val SynthWinS: Array[Double] =
+    Array.tabulate(12)(n => math.sin(math.Pi / 12.0 * (n + 0.5)))
+
+  /** 2^(−2·subblock_gain), gain 0..7 — exact powers of two. */
+  private[graft] val SbGainTab: Array[Double] =
+    Array.tabulate(8)(j => math.pow(2.0, -2.0 * j))
+
   /** 2^((gg−210)/4) for gg 0..255 — the global-gain ladder. */
   private[graft] val GainTab: Array[Double] =
     Array.tabulate(256)(gg => math.pow(2.0, 0.25 * (gg - 210)))
@@ -734,7 +793,8 @@ object Mp3 {
         r.read(5)
         if (r.read(4) != 0) return invalid // scfsi sharing out of subset
         final case class Gr(p23: Int, bv: Int, gg: Int, sfc: Int,
-                            pre: Int, ss: Int)
+                            pre: Int, ss: Int, wsf: Int,
+                            sbg: Array[Int])
         val grs = new Array[Gr](2)
         var g = 0
         while (g < 2) {
@@ -742,15 +802,23 @@ object Mp3 {
           val bv = r.read(9)
           val gg = r.read(8)
           val sfc = r.read(4)
-          if (r.read(1) != 0) return invalid // LONG blocks only (r10)
-          if (r.read(5) != 1 || r.read(5) != 1 || r.read(5) != 1)
-            return invalid // table 1 only
-          r.read(4); r.read(3)
+          val wsf = r.read(1)
+          var sbg: Array[Int] = null
+          if (wsf == 1) { // SHORT blocks (r11): pure type 2, no mixed
+            if (r.read(2) != 2 || r.read(1) != 0) return invalid
+            if (r.read(5) != 1 || r.read(5) != 1)
+              return invalid // table 1 only
+            sbg = Array(r.read(3), r.read(3), r.read(3))
+          } else {
+            if (r.read(5) != 1 || r.read(5) != 1 || r.read(5) != 1)
+              return invalid // table 1 only
+            r.read(4); r.read(3)
+          }
           val pre = r.read(1)
           val ss = r.read(1)
           if (r.read(1) != 1) return invalid // count1 table B only
           if (bv > 288) return invalid
-          grs(g) = Gr(p23, bv, gg, sfc, pre, ss)
+          grs(g) = Gr(p23, bv, gg, sfc, pre, ss, wsf, sbg)
           g += 1
         }
         val m = new BitReader(b, (siStart + 17) * 8)
@@ -758,12 +826,26 @@ object Mp3 {
         while (g < 2) {
           val gr = grs(g)
           val grStart = m.bitPos
-          // part2: scalefactors (long: 11 + 10 bands)
           val s1 = Slen1(gr.sfc); val s2 = Slen2(gr.sfc)
-          val sf = new Array[Int](22) // band 21 stays 0
-          var band = 0
-          while (band < 11) { sf(band) = m.read(s1); band += 1 }
-          while (band < 21) { sf(band) = m.read(s2); band += 1 }
+          // part2: scalefactors — long: 11 + 10 bands; short (r11):
+          // 6 + 6 bands × 3 windows, band-major window-minor
+          val sf = new Array[Int](22) // long; band 21 stays 0
+          val sfS =
+            if (gr.wsf == 1) Array.ofDim[Int](3, 13) // band 12 stays 0
+            else null
+          if (gr.wsf == 1) {
+            var bq = 0
+            while (bq < 12) {
+              val sl = if (bq < 6) s1 else s2
+              var w = 0
+              while (w < 3) { sfS(w)(bq) = m.read(sl); w += 1 }
+              bq += 1
+            }
+          } else {
+            var band = 0
+            while (band < 11) { sf(band) = m.read(s1); band += 1 }
+            while (band < 21) { sf(band) = m.read(s2); band += 1 }
+          }
           // part3: signed spectral lines
           val is = new Array[Int](576)
           var k = 0
@@ -795,36 +877,81 @@ object Mp3 {
           if (m.bitPos > frameEndBit) return invalid
           // ---- requantization (values are ±1/0: the 4/3 power is id)
           val xr = new Array[Double](576)
-          val bmap = BandMap(srIdx)
-          var idx = 0
-          while (idx < 576) {
-            val v = is(idx)
-            if (v != 0) {
-              val bd = bmap(idx)
-              val kexp = (if (bd < 21) sf(bd) else 0) +
-                gr.pre * (if (bd < 21) Pretab(bd) else 0)
-              val fac = GainTab(gr.gg) * SfTab(gr.ss)(kexp)
-              val x = v * fac
-              xr(idx) = x
-              sumXr += q9(x)
+          if (gr.wsf == 1) {
+            // short (r11): per-window subblock gain + window
+            // scalefactors (no pretab), REORDERED from the stream's
+            // (sfb, window, line) order to (subband, window, line)
+            // for the per-window IMDCT
+            val wm = ShortWinMap(srIdx); val bm2 = ShortSfbMap(srIdx)
+            val fm = ShortFreqMap(srIdx)
+            var idx = 0
+            while (idx < 576) {
+              val v = is(idx)
+              if (v != 0) {
+                val w = wm(idx); val bd = bm2(idx); val f = fm(idx)
+                val kexp = if (bd < 12) sfS(w)(bd) else 0
+                val fac = GainTab(gr.gg) * SbGainTab(gr.sbg(w)) *
+                  SfTab(gr.ss)(kexp)
+                val x = v * fac
+                xr((f / 6) * 18 + w * 6 + f % 6) = x
+                sumXr += q9(x)
+              }
+              idx += 1
             }
-            idx += 1
+          } else {
+            val bmap = BandMap(srIdx)
+            var idx = 0
+            while (idx < 576) {
+              val v = is(idx)
+              if (v != 0) {
+                val bd = bmap(idx)
+                val kexp = (if (bd < 21) sf(bd) else 0) +
+                  gr.pre * (if (bd < 21) Pretab(bd) else 0)
+                val fac = GainTab(gr.gg) * SfTab(gr.ss)(kexp)
+                val x = v * fac
+                xr(idx) = x
+                sumXr += q9(x)
+              }
+              idx += 1
+            }
           }
-          // ---- IMDCT (long) + sine window + overlap-add + inversion
+          // ---- IMDCT + sine window + overlap-add + inversion:
+          // long = one 36-point transform; short = three 12-point
+          // transforms windowed into the 36-sample grid at offsets
+          // 6/12/18 (the hybrid window — edges stay zero)
           val s = new Array[Double](32) // step-0 samples for matrixing
           var sb = 0
           while (sb < 32) {
             val z = new Array[Double](36)
-            var n = 0
-            while (n < 36) {
-              var acc = 0.0
-              var i = 0
-              while (i < 18) {
-                acc += ImdctCos(n * 18 + i) * xr(sb * 18 + i)
-                i += 1
+            if (gr.wsf == 1) {
+              var w = 0
+              while (w < 3) {
+                var n = 0
+                while (n < 12) {
+                  var acc = 0.0
+                  var k = 0
+                  while (k < 6) {
+                    acc += ImdctCosS(n * 6 + k) *
+                      xr(sb * 18 + w * 6 + k)
+                    k += 1
+                  }
+                  z(6 + 6 * w + n) += acc * SynthWinS(n)
+                  n += 1
+                }
+                w += 1
               }
-              z(n) = acc * SynthWin(n)
-              n += 1
+            } else {
+              var n = 0
+              while (n < 36) {
+                var acc = 0.0
+                var i = 0
+                while (i < 18) {
+                  acc += ImdctCos(n * 18 + i) * xr(sb * 18 + i)
+                  i += 1
+                }
+                z(n) = acc * SynthWin(n)
+                n += 1
+              }
             }
             var t = 0
             while (t < 18) {

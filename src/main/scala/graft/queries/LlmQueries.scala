@@ -762,13 +762,22 @@ object LlmQueries {
     xs.map(java.lang.Double.toString).mkString("[", ", ", "]")
   private def sqlI(xs: Seq[Int]): String = xs.mkString("[", ", ", "]")
 
-  /** q200: replay the long-block synthesis chain from the fixture
+  /** q200/q223: replay the synthesis chain from the fixture
     * formulas — spectral lines/scalefactors/gains from the writer's
     * mixes, then requant → IMDCT → window → overlap-add (densified
     * over the (granule, subband) grid so tails cross silent granules
     * exactly like the decoder's carry buffer) → inversion → step-0
-    * matrixing; every float table a literal, every sum ascending. */
-  private def sqlMp3SynthOracle: String = {
+    * matrixing; every float table a literal, every sum ascending.
+    * ONE definition for both gates (the sqlDotD precedent):
+    * `longOnly = true` replays the all-long q200 fixture (wsf never
+    * fires); false additionally replays SHORT granules — subblock
+    * gains, window scalefactors, the (sfb, window, line) reorder,
+    * and three 12-point IMDCTs placed into the 36-sample hybrid
+    * grid at offsets 6/12/18. */
+  private def sqlMp3SynthOracle(longOnly: Boolean): String = {
+    val wsfExpr =
+      if (longOnly) "0"
+      else "CASE WHEN (i + g) % 3 = 0 THEN 1 ELSE 0 END"
     val zero36 = "list_transform(range(36), zz -> 0.0)"
     s"""WITH tabs AS (SELECT
           ${sqlD(Mp3.ImdctCos.toSeq)} AS imt,
@@ -782,7 +791,19 @@ object LlmQueries {
           ${sqlI(Mp3.Pretab.toSeq)} AS pret,
           ${sqlI(Mp3.BandMap(0).toSeq)} AS bm0,
           ${sqlI(Mp3.BandMap(1).toSeq)} AS bm1,
-          ${sqlI(Mp3.BandMap(2).toSeq)} AS bm2),
+          ${sqlI(Mp3.BandMap(2).toSeq)} AS bm2,
+          ${sqlD(Mp3.ImdctCosS.toSeq)} AS imts,
+          ${sqlD(Mp3.SynthWinS.toSeq)} AS wins,
+          ${sqlD(Mp3.SbGainTab.toSeq)} AS sgt,
+          ${sqlI(Mp3.ShortWinMap(0).toSeq)} AS swm0,
+          ${sqlI(Mp3.ShortWinMap(1).toSeq)} AS swm1,
+          ${sqlI(Mp3.ShortWinMap(2).toSeq)} AS swm2,
+          ${sqlI(Mp3.ShortSfbMap(0).toSeq)} AS ssb0,
+          ${sqlI(Mp3.ShortSfbMap(1).toSeq)} AS ssb1,
+          ${sqlI(Mp3.ShortSfbMap(2).toSeq)} AS ssb2,
+          ${sqlI(Mp3.ShortFreqMap(0).toSeq)} AS sfr0,
+          ${sqlI(Mp3.ShortFreqMap(1).toSeq)} AS sfr1,
+          ${sqlI(Mp3.ShortFreqMap(2).toSeq)} AS sfr2),
       m AS (SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf,
             doc_id % 14 AS seed, doc_id % 3 AS sri FROM documents),
       gr AS (SELECT media_id, seed, sri, i, g, 2 * i + g AS gseq,
@@ -791,35 +812,46 @@ object LlmQueries {
             ((seed + i) * 3 + g) % 256 AS gg,
             (i + g) % 16 AS sfc,
             (seed + i + g) % 2 AS pre,
-            (seed + g) % 2 AS ss
+            (seed + g) % 2 AS ss,
+            $wsfExpr AS wsf,
+            (seed + i + g) % 8 AS sbg0,
+            (seed + i + g + 1) % 8 AS sbg1,
+            (seed + i + g + 2) % 8 AS sbg2
           FROM m, LATERAL (SELECT unnest(range(nf)) AS i) ii,
                  LATERAL (SELECT unnest(range(2)) AS g) gg2),
       ln AS (
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
+            wsf, sbg0, sbg1, sbg2,
             2 * k AS idx, (seed + i + g + k) % 2 AS raw,
             (seed + k) % 2 AS sgn
           FROM gr, LATERAL (SELECT unnest(range(bv)) AS k) kk
         UNION ALL
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
+            wsf, sbg0, sbg1, sbg2,
             2 * k + 1, (seed + 2 * i + g + k) % 2, (i + k) % 2
           FROM gr, LATERAL (SELECT unnest(range(bv)) AS k) kk
         UNION ALL
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
+            wsf, sbg0, sbg1, sbg2,
             2 * bv + 4 * k, (seed + i + k) % 2, (seed + k) % 2
           FROM gr, LATERAL (SELECT unnest(range(n1)) AS k) kk
         UNION ALL
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
+            wsf, sbg0, sbg1, sbg2,
             2 * bv + 4 * k + 1, (i + g + k) % 2, (i + k) % 2
           FROM gr, LATERAL (SELECT unnest(range(n1)) AS k) kk
         UNION ALL
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
+            wsf, sbg0, sbg1, sbg2,
             2 * bv + 4 * k + 2, (seed + g + k) % 2, (g + k) % 2
           FROM gr, LATERAL (SELECT unnest(range(n1)) AS k) kk
         UNION ALL
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
+            wsf, sbg0, sbg1, sbg2,
             2 * bv + 4 * k + 3, (seed + i + g + k) % 2, k % 2
           FROM gr, LATERAL (SELECT unnest(range(n1)) AS k) kk),
-      xr AS (SELECT media_id, gseq,
+      xr AS (
+        SELECT media_id, gseq, 0 AS wsf,
             CAST(idx // 18 AS BIGINT) AS sb, CAST(idx % 18 AS BIGINT) AS ii,
             (CASE WHEN sgn = 1 THEN -1.0 ELSE 1.0 END)
               * gaint[gg + 1]
@@ -836,15 +868,56 @@ object LlmQueries {
               (CASE WHEN (CASE sri WHEN 0 THEN bm0 WHEN 1 THEN bm1
                  ELSE bm2 END)[CAST(idx + 1 AS INT)] < 11
                  THEN sl1[sfc + 1] ELSE sl2[sfc + 1] END) AS sl
-            FROM ln, tabs)
+            FROM ln, tabs WHERE wsf = 0)
+          WHERE raw = 1
+        UNION ALL
+        SELECT media_id, gseq, 1 AS wsf,
+            CAST(f // 6 AS BIGINT) AS sb,
+            CAST(sw * 6 + f % 6 AS BIGINT) AS ii,
+            (CASE WHEN sgn = 1 THEN -1.0 ELSE 1.0 END)
+              * gaint[gg + 1]
+              * sgt[CAST((CASE sw WHEN 0 THEN sbg0 WHEN 1 THEN sbg1
+                  ELSE sbg2 END) + 1 AS INT)]
+              * (CASE WHEN ss = 1 THEN sft1 ELSE sft0 END)[
+                  CAST(CASE WHEN sbd < 6 THEN
+                      (seed + i + g + (sbd * 3 + sw))
+                        % (CASE sl1[sfc + 1] WHEN 0 THEN 1
+                           WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                           ELSE 16 END)
+                    WHEN sbd < 12 THEN
+                      (seed + i + g + 18 + ((sbd - 6) * 3 + sw))
+                        % (CASE sl2[sfc + 1] WHEN 0 THEN 1
+                           WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                           ELSE 16 END)
+                    ELSE 0 END + 1 AS INT)] AS v
+          FROM (SELECT *,
+              (CASE sri WHEN 0 THEN swm0 WHEN 1 THEN swm1
+                 ELSE swm2 END)[CAST(idx + 1 AS INT)] AS sw,
+              (CASE sri WHEN 0 THEN ssb0 WHEN 1 THEN ssb1
+                 ELSE ssb2 END)[CAST(idx + 1 AS INT)] AS sbd,
+              (CASE sri WHEN 0 THEN sfr0 WHEN 1 THEN sfr1
+                 ELSE sfr2 END)[CAST(idx + 1 AS INT)] AS f
+            FROM ln, tabs WHERE wsf = 1)
           WHERE raw = 1),
-      xa AS (SELECT media_id, gseq, sb,
+      xa AS (SELECT media_id, gseq, sb, max(wsf) AS wsf,
             list(struct_pack(ii := ii, v := v) ORDER BY ii) AS es
           FROM xr GROUP BY media_id, gseq, sb),
       z AS (SELECT media_id, gseq, sb,
-            list_transform(range(36), n ->
-              wint[CAST(n + 1 AS INT)] * list_sum(list_transform(es, e ->
-                imt[CAST(n * 18 + e.ii + 1 AS INT)] * e.v))) AS zw
+            CASE WHEN wsf = 1 THEN
+              list_transform(range(36), n ->
+                list_sum(list_transform(es, e ->
+                  CASE WHEN n - 6 - 6 * (e.ii // 6) >= 0
+                        AND n - 6 - 6 * (e.ii // 6) < 12
+                    THEN wins[CAST(n - 6 - 6 * (e.ii // 6) + 1 AS INT)]
+                       * imts[CAST((n - 6 - 6 * (e.ii // 6)) * 6
+                           + e.ii % 6 + 1 AS INT)]
+                       * e.v
+                    ELSE 0.0 END)))
+            ELSE
+              list_transform(range(36), n ->
+                wint[CAST(n + 1 AS INT)] * list_sum(list_transform(es, e ->
+                  imt[CAST(n * 18 + e.ii + 1 AS INT)] * e.v)))
+            END AS zw
           FROM xa, tabs),
       zg AS (SELECT g2.media_id, g2.gseq, s2.sb,
             coalesce(z.zw, $zero36) AS zw
@@ -5346,7 +5419,35 @@ object LlmQueries {
           })
         Mp3.decodeMp3Synth(media).toDF()
       },
-      Some(sqlMp3SynthOracle)),
+      Some(sqlMp3SynthOracle(longOnly = true))),
+
+    // ---- MP3 SHORT-block synthesis (r11 — the r10 verdict's #4 ask:
+    // the synthesis chain stopped at long-block granules). The same
+    // fixture writer now emits its MIXED long/short streams (granule
+    // (i+g)%3==0 is block-type-2 short with real 3-bit subblock
+    // gains), and parseSynth carries short granules through the
+    // full hybrid chain: per-window subblock-gain requantization
+    // (2^(−2·sbg), exact powers of two), the (sfb, window, line) →
+    // (subband, window, line) REORDER (ISO decode order is band-major
+    // window-minor), three 12-point IMDCTs per subband windowed by
+    // sin(π/12·(n+½)) into the 36-sample grid at offsets 6/12/18, and
+    // the shared overlap-add/inversion/matrixing tail — so long and
+    // short granules' tails CROSS (a long granule overlap-adds a
+    // short predecessor's windowed tail and vice versa, which is the
+    // part a per-type decoder gets wrong). One oracle definition
+    // serves q200 and this gate. Mixed/start/stop blocks remain the
+    // documented out-of-subset edge.
+    "q223_mp3_short_synth" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, Mp3.mp3PayloadSpectral((2 + id % 4).toInt,
+              (id % 14).toInt, (id % 3).toInt, longOnly = false))
+          })
+        Mp3.decodeMp3Synth(media).toDF()
+      },
+      Some(sqlMp3SynthOracle(longOnly = false))),
 
     // ---- WARC revisit-record resolution (r10 — the crawl's OWN dedup
     // mechanism: Common Crawl stores a re-fetched unchanged page as a
