@@ -313,4 +313,23 @@ object TxLog {
       case (p, (v, true, size, mn, mx)) => LiveFile(p, v, size, mn, mx)
     }.toSeq
   }
+
+  /** Commit versions currently on disk (driver-side metadata listing —
+    * the connector's streaming offset space). */
+  def commitVersions(logBase: String): Seq[Long] = listVersions(logBase)
+
+  /** The `add` actions of specific commit versions, driver-side — what
+    * the streaming arm plans per micro-batch (each file's rows are
+    * emitted exactly once, on the commit that ADDS it). */
+  def addsInVersions(logBase: String,
+      versions: Seq[Long]): Seq[LiveFile] =
+    versions.sorted.flatMap { v =>
+      linesUnder(s"$logBase/version=$v").filter(_.contains("\"add\":"))
+        .map { line =>
+          val path = jStr(line, "path").getOrElse(
+            throw new IllegalArgumentException(s"bad commit line: $line"))
+          LiveFile(path, v, jLong(line, "size").getOrElse(0L),
+            jLong(line, "min_key"), jLong(line, "max_key"))
+        }
+    }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -69,7 +70,8 @@ object LakeSource {
     require(path != null && path.nonEmpty,
       "graft-lake requires a 'path' option (the table root)")
     new LakeTable(path, options.getLong("asOf", -1L),
-      options.getOrDefault("statsCol", "doc_id"))
+      options.getOrDefault("statsCol", "doc_id"),
+      options.getInt("versionsPerTrigger", Int.MaxValue))
   }
 
   /** Leaf → Spark field; flat INT32/INT64/UTF8-string only (the own-
@@ -89,7 +91,8 @@ object LakeSource {
 }
 
 final class LakeTable(val root: String, val asOf: Long,
-    val statsCol: String) extends Table with SupportsRead {
+    val statsCol: String, val versionsPerTrigger: Int = Int.MaxValue)
+    extends Table with SupportsRead {
 
   /** Snapshot resolution — driver-side metadata I/O through the
     * checkpoint/pointer fast path; memoized per table instance. */
@@ -109,7 +112,8 @@ final class LakeTable(val root: String, val asOf: Long,
     s"graft-lake($root asOf=$asOf files=${live.size})"
   override def schema(): StructType = inferred
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(this)
 }
@@ -250,6 +254,78 @@ final class LakeScan(table: LakeTable, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LakeMicroBatchStream(table, required)
+}
+
+/** Streaming face of the connector (r11): the table's commit log IS
+  * the arrival signal — each micro-batch plans the files ADDED by the
+  * newly landed commit versions and emits their rows exactly once
+  * (Spark's checkpoint replaces any hand-rolled ledger; the offset is
+  * simply the highest commit version processed). Removes do not
+  * retract — an append-only tail, the lakehouse streaming-source
+  * convention; a RE-add re-emits, documented. Column pruning flows
+  * through unchanged. `versionsPerTrigger` bounds admission per
+  * trigger (the admission-control signature keeps restart offsets
+  * monotone — the SceneMicroBatchStream lesson). */
+final class LakeMicroBatchStream(table: LakeTable, required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  import graft.operators.TxLog
+
+  override def initialOffset(): Offset = LakeOffset(-1L)
+
+  /** AvailableNow pins the end of the drain at prepare time (without
+    * SupportsTriggerAvailableNow, Spark collapses the drain into ONE
+    * batch and per-trigger admission never fires). */
+  @volatile private var availableEnd: Long = Long.MaxValue
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val vs = TxLog.commitVersions(s"${table.root}/log")
+    availableEnd = if (vs.isEmpty) -1L else vs.max
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LakeOffset].version
+    val vs = TxLog.commitVersions(s"${table.root}/log")
+      .filter(v => v > s && v <= availableEnd)
+    val admitted = vs.take(table.versionsPerTrigger)
+    LakeOffset(if (admitted.isEmpty) s else admitted.max)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Unreachable for SupportsAdmissionControl sources; required
+    * override regardless. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeOffset].version
+    val e = end.asInstanceOf[LakeOffset].version
+    val vs = TxLog.commitVersions(s"${table.root}/log")
+      .filter(v => v > s && v <= e)
+    TxLog.addsInVersions(s"${table.root}/log", vs).map { f =>
+      LakePartition(f.path, required.fieldNames.toSeq,
+        Seq.empty): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LakeReaderFactory(required)
+
+  override def deserializeOffset(json: String): Offset =
+    LakeOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class LakeOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
 }
 
 final case class LakePartition(path: String, cols: Seq[String],

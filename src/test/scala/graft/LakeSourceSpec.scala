@@ -188,6 +188,56 @@ class LakeSourceSpec extends SparkSpec {
     df.count() shouldBe FileRows.toLong
   }
 
+  test("streaming tail: each commit's added files stream exactly " +
+      "once, offsets survive restart, late commits arrive alone") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = buildTable() // commits 0 (files 0..2) and 1 (rm 1, add 3)
+    val ckpt = tmp("lake_stream_ckpt")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-lake")
+        .option("path", base).option("versionsPerTrigger", 1)
+        .load()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.select("doc_id").collect()
+            .foreach(r => got += ((id, r.getLong(0))))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // append-only tail: commit 0 emitted files 0..2, commit 1 ADDED
+    // file 3 (the remove does not retract) — versionsPerTrigger=1
+    // forces one batch per commit
+    got.map(_._1).distinct.size shouldBe 2
+    got.map(_._2).toSet shouldBe
+      (0 until 4 * FileRows).map(_.toLong).toSet
+    got.size shouldBe 4 * FileRows
+    // a NEW commit lands while the stream is down; restart emits ONLY
+    // its adds (the checkpoint remembers version 1 was processed)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/data/part-4.parquet"),
+      fileBytes(4)): Unit
+    val d = new java.io.File(s"$base/log/version=2")
+    d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/actions.json"),
+      addLine(base, 4).getBytes("UTF-8")): Unit
+    got.clear()
+    drain()
+    got.map(_._2).toSet shouldBe
+      expected(4).map(_._1).toSet
+  }
+
+  private def tmp(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(tag).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
   test("pure-checkpoint resolution (empty tail) keeps the stats: " +
       "file pruning works through the checkpointed state") {
     val base = buildTable()
