@@ -5926,7 +5926,8 @@ object LlmQueries {
     // the engine PRODUCES lakehouse files without parquet-mr, and
     // SPARK'S OWN READER consumes them): docs group into 256-doc
     // files (the q215 container-grain lesson), each serialized by
-    // `ParquetWrite.writeFile` — V1 pages, PLAIN, REQUIRED columns,
+    // `ParquetWrite.writeFile` — V1 pages, PLAIN or dictionary (the
+    // r11 writer auto-chooses per chunk), REQUIRED columns,
     // UTF8-annotated strings, real INT64 statistics, a full Thrift
     // compact footer — written from executors, then read back with
     // `spark.read.parquet` and aggregated. The oracle replays the
