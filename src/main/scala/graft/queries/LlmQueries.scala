@@ -6254,6 +6254,98 @@ object LlmQueries {
           CAST(count(src) AS BIGINT) AS n_src
         FROM d GROUP BY lang""")),
 
+    // ---- graft-lake WRITE path (r11 — the connector loop closes:
+    // `df.write.format("graft-lake").mode("append")`). The table
+    // bootstraps from the EVEN doc_ids (our writer's files + a
+    // version-0 log whose adds carry footer-codec stats); the ODD
+    // half is then appended THROUGH the connector — executors write
+    // one own-codec file per partition, the driver commits ONE new
+    // log version with the writers' measured key stats. The read
+    // (also through the connector) must see the union, with nulls,
+    // dictionary strings and per-lang grouping intact — and the
+    // appended files participate in file pruning like bootstrapped
+    // ones (LakeSourceSpec pins that, plus checkpoint maintenance at
+    // the 10-commit cadence and abort/mismatch safety).
+    "q224_lake_append" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakew_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("source"), col("lang"))
+        val adds = d.where(col("doc_id") % 2 === 0)
+          .withColumn("g", (col("doc_id") / 1024).cast("long"))
+          .as[(Long, Long, String, String, Long)]
+          .groupByKey(_._5)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._1)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rows.map(_._1)),
+              graft.operators.ParquetWrite.OptLongCol("n_chars",
+                rows.map(r => if (r._1 % 9 == 0) null
+                  else java.lang.Long.valueOf(r._2))),
+              graft.operators.ParquetWrite.OptStrCol("source",
+                rows.map(r => if (r._1 % 5 == 0) null else r._3)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rows.map(_._4))),
+              rowsPerGroup = 128)
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            val st = graft.operators.ParquetFile.parse(g, bytes)
+              .filter(r => r.valid && r.col_path == "doc_id" &&
+                r.has_stats)
+            (p, st.map(_.min_long).min, st.map(_.max_long).max,
+              rows.length.toLong)
+          }
+          .toDF("path", "min_key", "max_key", "size")
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"),
+              count(lit(1)).as("n_src"))
+        else {
+          adds.select(lit(0L).as("version"), to_json(struct(
+              struct(col("path"), col("min_key"), col("max_key"),
+                col("size")).as("add"))).as("value"))
+            .coalesce(1)
+            .write.partitionBy("version").text(s"$base/log")
+          // the ODD half goes THROUGH the connector's write path
+          d.where(col("doc_id") % 2 === 1)
+            .select(col("doc_id"),
+              when(col("doc_id") % 9 === 0, lit(null).cast("long"))
+                .otherwise(col("n_chars")).as("n_chars"),
+              when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+                .otherwise(col("source")).as("source"),
+              col("lang"))
+            .write.format("graft-lake").option("path", base)
+            .mode("append").save()
+          s.read.format("graft-lake").option("path", base).load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"),
+              count(col("source")).as("n_src"))
+        }
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+            CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END AS nc,
+            CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS src
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(nc) AS BIGINT) AS sum_chars,
+          CAST(count(src) AS BIGINT) AS n_src
+        FROM d GROUP BY lang""")),
+
     // ---- Parquet split-block BLOOM filter (r10 — the format's
     // point-lookup pruner: a missing key skips the whole row group
     // without touching a page OR the column index): the artifact is

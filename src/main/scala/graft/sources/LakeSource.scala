@@ -4,7 +4,7 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.operators.{ParquetFile, TxLog}
+import graft.operators.{ParquetFile, ParquetWrite, TxLog}
 
 /** The LAKEHOUSE layer as a real DataSource V2 connector (r11 — the
   * r10 verdict's #8 ask): `spark.read.format("graft-lake")
@@ -92,7 +92,7 @@ object LakeSource {
 
 final class LakeTable(val root: String, val asOf: Long,
     val statsCol: String, val versionsPerTrigger: Int = Int.MaxValue)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   /** Snapshot resolution — driver-side metadata I/O through the
     * checkpoint/pointer fast path; memoized per table instance. */
@@ -113,9 +113,13 @@ final class LakeTable(val root: String, val asOf: Long,
   override def schema(): StructType = inferred
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(this)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new LakeWriteBuilder(this, info)
 }
 
 final class LakeScanBuilder(table: LakeTable)
@@ -410,5 +414,174 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
     row
   }
 
+  override def close(): Unit = ()
+}
+
+// =================================================================
+// WRITE path (r11): `df.write.format("graft-lake").mode("append")`
+// — the connector loop closes: data files from the engine's OWN
+// parquet writer, a NEW commit version appended to the transaction
+// log with per-file key stats, and automatic CHECKPOINT maintenance
+// every `checkpointEvery` commits. Scope: APPEND to an existing
+// table (the incremental-ingest operation; tables bootstrap via an
+// initial data+log write, the q222 shape — schema then lives in the
+// files, where this connector reads it from).
+//
+// 100 TB shape: each input partition writes one file map-side and
+// ships only (path, rows, min, max) to the driver; the commit is one
+// metadata file. Task retries are safe: files carry the task id in
+// their name and only COMMITTED tasks' messages reach commit().
+// =================================================================
+
+final case class LakeCommitMessage(path: String, numRows: Long,
+    minKey: Long, maxKey: Long, hasKey: Boolean)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class LakeWriteBuilder(table: LakeTable,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new LakeBatchWrite(table, info.schema())
+    }
+}
+
+final class LakeBatchWrite(table: LakeTable, schema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  // append schema must match the table byte-for-byte — the files ARE
+  // the schema authority in this format
+  locally {
+    val t = table.schema()
+    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        t.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graft-lake append schema $schema does not match table schema $t")
+    schema.fields.foreach { f =>
+      require(f.dataType == LongType || f.dataType == StringType,
+        s"graft-lake append supports long/string columns, not ${f.dataType}")
+    }
+  }
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new LakeWriterFactory(table.root, schema, table.statsCol,
+      table.schema().fields.map(f => f.name -> f.nullable).toMap)
+
+  /** Driver-side commit: ONE new log version carrying the adds (with
+    * the key stats the writers measured), then checkpoint maintenance
+    * at the cadence. */
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val adds = messages.collect { case m: LakeCommitMessage => m }
+      .filter(_.numRows > 0)
+    val versions = TxLog.commitVersions(s"${table.root}/log")
+    val next = if (versions.isEmpty) 0L else versions.max + 1
+    val d = new java.io.File(s"${table.root}/log/version=$next")
+    require(d.mkdirs(), s"commit collision at $d")
+    val lines = adds.map { m =>
+      val stats =
+        if (m.hasKey)
+          s""","min_key":${m.minKey},"max_key":${m.maxKey}"""
+        else ""
+      s"""{"add":{"path":"${m.path}","size":${m.numRows}$stats}}"""
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/actions.json"),
+      lines.mkString("\n").getBytes("UTF-8")): Unit
+    // checkpoint maintenance: compact every `checkpointEvery` commits
+    // so resolution stays O(cadence) as history grows (the q217 law)
+    val every = 10L
+    if ((next + 1) % every == 0L)
+      TxLog.writeCheckpoint(
+        org.apache.spark.sql.SparkSession.active,
+        s"${table.root}/log", s"${table.root}/ckpt", next)
+  }
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: LakeCommitMessage =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(m.path)): Unit
+      case _ => ()
+    }
+}
+
+final class LakeWriterFactory(root: String, schema: StructType,
+    statsCol: String, nullableOf: Map[String, Boolean])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new LakeDataWriter(root, schema, statsCol, nullableOf,
+      partitionId, taskId)
+}
+
+/** One file per input partition, serialized by [[ParquetWrite]] on
+  * task commit; nothing touches the log until the DRIVER commits. */
+final class LakeDataWriter(root: String, schema: StructType,
+    statsCol: String, nullableOf: Map[String, Boolean],
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val longBuf = schema.fields.map(f =>
+    if (f.dataType == LongType)
+      new scala.collection.mutable.ArrayBuffer[java.lang.Long]()
+    else null)
+  private val strBuf = schema.fields.map(f =>
+    if (f.dataType == StringType)
+      new scala.collection.mutable.ArrayBuffer[String]()
+    else null)
+  private var n = 0L
+  private var minKey = Long.MaxValue
+  private var maxKey = Long.MinValue
+  private val keyIdx = schema.fieldNames.indexOf(statsCol)
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      if (schema.fields(i).dataType == LongType) {
+        longBuf(i) += (if (row.isNullAt(i)) null
+                       else java.lang.Long.valueOf(row.getLong(i)))
+      } else {
+        strBuf(i) += (if (row.isNullAt(i)) null
+                      else row.getUTF8String(i).toString)
+      }
+      i += 1
+    }
+    if (keyIdx >= 0 && !row.isNullAt(keyIdx) &&
+        schema.fields(keyIdx).dataType == LongType) {
+      val k = row.getLong(keyIdx)
+      if (k < minKey) minKey = k
+      if (k > maxKey) maxKey = k
+    }
+    n += 1
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (n == 0)
+      return LakeCommitMessage("", 0L, 0L, 0L, hasKey = false)
+    val cols: Seq[ParquetWrite.Col] = schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        val nullable = nullableOf.getOrElse(f.name, true)
+        if (f.dataType == LongType) {
+          if (nullable) ParquetWrite.OptLongCol(f.name, longBuf(i).toArray)
+          else ParquetWrite.LongCol(f.name,
+            longBuf(i).map(_.longValue()).toArray)
+        } else {
+          if (nullable) ParquetWrite.OptStrCol(f.name, strBuf(i).toArray)
+          else ParquetWrite.StrCol(f.name, strBuf(i).toArray)
+        }
+    }.toSeq
+    val bytes = ParquetWrite.writeFile(cols, rowsPerGroup = 1024)
+    val p = s"$root/data/append-$partitionId-$taskId.parquet"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes): Unit
+    LakeCommitMessage(p, n, minKey, maxKey,
+      hasKey = keyIdx >= 0 && minKey <= maxKey)
+  }
+
+  override def abort(): Unit = ()
   override def close(): Unit = ()
 }

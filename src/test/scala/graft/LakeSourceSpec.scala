@@ -238,6 +238,82 @@ class LakeSourceSpec extends SparkSpec {
     d.getAbsolutePath
   }
 
+  test("write path: an append through the connector lands as a new " +
+      "commit with stats — batch read, file pruning and the streaming " +
+      "tail all see it") {
+    val base = buildTable() // commits 0/1, live files {0, 2, 3}
+    val rows = (5000L until 5300L).map(id =>
+      (id, if (id % 7 == 0) None else Some(id * 3), "s" + (id % 3)))
+    spark.createDataFrame(rows.map(r =>
+        (r._1, r._2.map(java.lang.Long.valueOf).orNull, r._3)))
+      .toDF("doc_id", "v", "s")
+      .coalesce(2) // two writers -> two files in ONE commit
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    // the append is commit 2 with two add actions carrying stats
+    TxLog.commitVersions(s"$base/log").max shouldBe 2L
+    val added = TxLog.addsInVersions(s"$base/log", Seq(2L))
+    added.size shouldBe 2
+    added.foreach { f =>
+      f.minKey.get should be >= 5000L
+      f.maxKey.get should be <= 5299L
+    }
+    // batch read sees old + new
+    val df = lake(base)
+    df.count() shouldBe (3 * FileRows + 300).toLong
+    asSet(df.filter(col("doc_id") >= 5000L)) shouldBe rows.toSet
+    // file pruning works on the APPENDED stats too: a window inside
+    // the appended range plans only the appended files
+    partitions(df.filter(col("doc_id") >= 5000L)) should be <= 2
+    partitions(df.filter(col("doc_id").between(256L, 511L))) shouldBe 0
+    // and the streaming tail picks the new commit up
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-lake").option("path", base)
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("lake_wr_ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r => got += r.getLong(0))
+      }
+      .start()
+    q.awaitTermination()
+    got.toSet.intersect((5000L until 5300L).toSet) shouldBe
+      (5000L until 5300L).toSet
+  }
+
+  test("write path: schema mismatch and unsupported types reject " +
+      "before any file lands") {
+    val base = buildTable()
+    val before = TxLog.commitVersions(s"$base/log").max
+    intercept[Exception] {
+      Seq((1L, 2L)).toDF("doc_id", "wrong")
+        .write.format("graft-lake").option("path", base)
+        .mode("append").save()
+    }
+    TxLog.commitVersions(s"$base/log").max shouldBe before
+  }
+
+  test("write path: checkpoint maintenance fires at the cadence and " +
+      "resolution stays pointer-fast") {
+    val base = buildTable() // commits 0, 1 exist; ckpt at 0
+    // drive commits 2..9 through the connector: commit 9 is the 10th
+    // version -> the writer compacts a checkpoint at 9
+    (2 to 9).foreach { i =>
+      Seq((9000L + i, java.lang.Long.valueOf(i.toLong), s"s$i"))
+        .toDF("doc_id", "v", "s")
+        .coalesce(1)
+        .write.format("graft-lake").option("path", base)
+        .mode("append").save()
+    }
+    TxLog.readPointer(s"$base/ckpt") shouldBe Some(9L)
+    val r = TxLog.resolve(spark, s"$base/log", s"$base/ckpt", -1L)
+    r.ckptVersion shouldBe Some(9L)
+    r.tailVersions shouldBe Seq.empty // everything compacted
+    // and the read still sees every row
+    lake(base).count() shouldBe (3 * FileRows + 8).toLong
+  }
+
   test("pure-checkpoint resolution (empty tail) keeps the stats: " +
       "file pruning works through the checkpointed state") {
     val base = buildTable()
