@@ -357,7 +357,7 @@ object Mp3 {
         r.read(5)
         if (r.read(4) != 0) return invalid // scfsi sharing out of subset
         // side info first (both granules), THEN the main data
-        final case class Gr(p23: Int, bv: Int, sfc: Int, wsf: Int,
+        final case class Gr(p23: Int, bv: Int, sfc: Int, bt: Int,
                             c1tab: Int)
         val grs = new Array[Gr](2)
         var g = 0
@@ -367,10 +367,11 @@ object Mp3 {
           r.read(8) // global_gain
           val sfc = r.read(4)
           val wsf = r.read(1)
+          var bt = 0
           if (wsf == 1) {
-            val blockType = r.read(2)
-            if (blockType == 0) return invalid
-            if (blockType != 2 || r.read(1) != 0) return invalid // subset: pure short
+            bt = r.read(2)
+            if (bt == 0) return invalid
+            if (r.read(1) != 0) return invalid // mixed out of subset
             if (r.read(5) != 1 || r.read(5) != 1) return invalid // table 1 only
             r.read(3); r.read(3); r.read(3)
           } else {
@@ -383,7 +384,7 @@ object Mp3 {
           val c1tab = r.read(1)
           if (c1tab != 1) return invalid // count1 table B only
           if (bv > 288) return invalid
-          grs(g) = Gr(p23, bv, sfc, wsf, c1tab)
+          grs(g) = Gr(p23, bv, sfc, bt, c1tab)
           g += 1
         }
         // main data: the last mdb reservoir bytes, then this frame's
@@ -401,7 +402,7 @@ object Mp3 {
           val grStart = m.bitPos
           // part2: scalefactors
           val s1 = Slen1(gr.sfc); val s2 = Slen2(gr.sfc)
-          if (gr.wsf == 1) {
+          if (gr.bt == 2) { // short; start/stop carry LONG scalefactors
             var k = 0
             while (k < 18) { sumSf += m.read(s1); k += 1 }
             k = 0
@@ -486,7 +487,8 @@ object Mp3 {
     * different byte layout, so only a reservoir-aware walk matches. */
   def mp3PayloadSpectral(nFrames: Int, seed: Int, srIdx: Int,
                          longOnly: Boolean = false,
-                         reservoir: Boolean = false): Array[Byte] = {
+                         reservoir: Boolean = false,
+                         blockMode: Int = 0): Array[Byte] = {
     require(nFrames >= 1 && srIdx >= 0 && srIdx <= 2 && seed >= 0,
       s"bad synthesis params n=$nFrames seed=$seed sr=$srIdx")
     val sr = SampleRates(srIdx)
@@ -512,9 +514,14 @@ object Mp3 {
         val grStart = main.bitPos
         val sfc = (i + g) % 16
         val s1 = Slen1(sfc); val s2 = Slen2(sfc)
-        val wsf = if (!longOnly && (i + g) % 3 == 0) 1 else 0
-        // part2
-        if (wsf == 1) {
+        // blockMode 1 (r11, q225): granule block type cycles
+        // long/start/short/stop; the legacy modes keep their exact
+        // bit layouts (q170/q200/q223 fixtures are byte-stable)
+        val bt = if (blockMode == 1) (i + g) % 4
+                 else if (!longOnly && (i + g) % 3 == 0) 2 else 0
+        val wsf = if (bt == 0) 0 else 1
+        // part2 (start/stop are LONG-shaped: 11+10 bands)
+        if (bt == 2) {
           var k = 0
           while (k < 18) { main.write((seed + i + g + k) % (1 << s1), s1); k += 1 }
           k = 0
@@ -563,7 +570,7 @@ object Mp3 {
         si.write(sfc, 4)
         si.write(wsf, 1)
         if (wsf == 1) {
-          si.write(2, 2) // block type 2
+          si.write(bt, 2) // block type 1/2/3
           si.write(0, 1)
           si.write(1, 5); si.write(1, 5) // table 1, both regions
           si.write((seed + i + g) % 8, 3)
@@ -715,6 +722,27 @@ object Mp3 {
   private[graft] val SynthWinS: Array[Double] =
     Array.tabulate(12)(n => math.sin(math.Pi / 12.0 * (n + 0.5)))
 
+  /** START window (block type 1, ISO 2.4.3.4.10.3): long sine rise,
+    * flat top, short sine fall, zero tail — the long→short
+    * transition shape. */
+  private[graft] val SynthWinStart: Array[Double] =
+    Array.tabulate(36) { n =>
+      if (n < 18) math.sin(math.Pi / 36.0 * (n + 0.5))
+      else if (n < 24) 1.0
+      else if (n < 30) math.sin(math.Pi / 12.0 * (n - 18 + 0.5))
+      else 0.0
+    }
+
+  /** STOP window (block type 3): the mirror — zero head, short sine
+    * rise, flat, long sine fall. */
+  private[graft] val SynthWinStop: Array[Double] =
+    Array.tabulate(36) { n =>
+      if (n < 6) 0.0
+      else if (n < 12) math.sin(math.Pi / 12.0 * (n - 6 + 0.5))
+      else if (n < 18) 1.0
+      else math.sin(math.Pi / 36.0 * (n + 0.5))
+    }
+
   /** 2^(−2·subblock_gain), gain 0..7 — exact powers of two. */
   private[graft] val SbGainTab: Array[Double] =
     Array.tabulate(8)(j => math.pow(2.0, -2.0 * j))
@@ -793,7 +821,7 @@ object Mp3 {
         r.read(5)
         if (r.read(4) != 0) return invalid // scfsi sharing out of subset
         final case class Gr(p23: Int, bv: Int, gg: Int, sfc: Int,
-                            pre: Int, ss: Int, wsf: Int,
+                            pre: Int, ss: Int, bt: Int,
                             sbg: Array[Int])
         val grs = new Array[Gr](2)
         var g = 0
@@ -804,10 +832,15 @@ object Mp3 {
           val sfc = r.read(4)
           val wsf = r.read(1)
           var sbg: Array[Int] = null
-          if (wsf == 1) { // SHORT blocks (r11): pure type 2, no mixed
-            if (r.read(2) != 2 || r.read(1) != 0) return invalid
+          var bt = 0
+          if (wsf == 1) { // window switching: start/short/stop (r11)
+            bt = r.read(2)
+            if (bt == 0) return invalid
+            if (r.read(1) != 0) return invalid // mixed out of subset
             if (r.read(5) != 1 || r.read(5) != 1)
               return invalid // table 1 only
+            // subblock gains are in the layout for every switching
+            // type; they REQUANTIZE only type-2 windows
             sbg = Array(r.read(3), r.read(3), r.read(3))
           } else {
             if (r.read(5) != 1 || r.read(5) != 1 || r.read(5) != 1)
@@ -818,7 +851,7 @@ object Mp3 {
           val ss = r.read(1)
           if (r.read(1) != 1) return invalid // count1 table B only
           if (bv > 288) return invalid
-          grs(g) = Gr(p23, bv, gg, sfc, pre, ss, wsf, sbg)
+          grs(g) = Gr(p23, bv, gg, sfc, pre, ss, bt, sbg)
           g += 1
         }
         val m = new BitReader(b, (siStart + 17) * 8)
@@ -827,13 +860,14 @@ object Mp3 {
           val gr = grs(g)
           val grStart = m.bitPos
           val s1 = Slen1(gr.sfc); val s2 = Slen2(gr.sfc)
-          // part2: scalefactors — long: 11 + 10 bands; short (r11):
-          // 6 + 6 bands × 3 windows, band-major window-minor
+          // part2: scalefactors — long AND start/stop: 11 + 10
+          // bands; short (r11): 6 + 6 bands × 3 windows, band-major
+          // window-minor
           val sf = new Array[Int](22) // long; band 21 stays 0
           val sfS =
-            if (gr.wsf == 1) Array.ofDim[Int](3, 13) // band 12 stays 0
+            if (gr.bt == 2) Array.ofDim[Int](3, 13) // band 12 stays 0
             else null
-          if (gr.wsf == 1) {
+          if (gr.bt == 2) {
             var bq = 0
             while (bq < 12) {
               val sl = if (bq < 6) s1 else s2
@@ -877,7 +911,7 @@ object Mp3 {
           if (m.bitPos > frameEndBit) return invalid
           // ---- requantization (values are ±1/0: the 4/3 power is id)
           val xr = new Array[Double](576)
-          if (gr.wsf == 1) {
+          if (gr.bt == 2) {
             // short (r11): per-window subblock gain + window
             // scalefactors (no pretab), REORDERED from the stream's
             // (sfb, window, line) order to (subband, window, line)
@@ -920,10 +954,16 @@ object Mp3 {
           // transforms windowed into the 36-sample grid at offsets
           // 6/12/18 (the hybrid window — edges stay zero)
           val s = new Array[Double](32) // step-0 samples for matrixing
+          // start/stop are long-shaped transforms under asymmetric
+          // windows — only the window table changes
+          val winL =
+            if (gr.bt == 1) SynthWinStart
+            else if (gr.bt == 3) SynthWinStop
+            else SynthWin
           var sb = 0
           while (sb < 32) {
             val z = new Array[Double](36)
-            if (gr.wsf == 1) {
+            if (gr.bt == 2) {
               var w = 0
               while (w < 3) {
                 var n = 0
@@ -949,7 +989,7 @@ object Mp3 {
                   acc += ImdctCos(n * 18 + i) * xr(sb * 18 + i)
                   i += 1
                 }
-                z(n) = acc * SynthWin(n)
+                z(n) = acc * winL(n)
                 n += 1
               }
             }

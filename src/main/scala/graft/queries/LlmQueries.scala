@@ -768,16 +768,15 @@ object LlmQueries {
     * over the (granule, subband) grid so tails cross silent granules
     * exactly like the decoder's carry buffer) → inversion → step-0
     * matrixing; every float table a literal, every sum ascending.
-    * ONE definition for both gates (the sqlDotD precedent):
-    * `longOnly = true` replays the all-long q200 fixture (wsf never
-    * fires); false additionally replays SHORT granules — subblock
-    * gains, window scalefactors, the (sfb, window, line) reorder,
-    * and three 12-point IMDCTs placed into the 36-sample hybrid
-    * grid at offsets 6/12/18. */
-  private def sqlMp3SynthOracle(longOnly: Boolean): String = {
-    val wsfExpr =
-      if (longOnly) "0"
-      else "CASE WHEN (i + g) % 3 = 0 THEN 1 ELSE 0 END"
+    * ONE definition for ALL three gates (the sqlDotD precedent):
+    * `btExpr` yields the per-granule BLOCK TYPE — "0" replays the
+    * all-long q200 fixture; the q223 CASE adds SHORT granules
+    * (subblock gains, window scalefactors, the (sfb, window, line)
+    * reorder, three 12-point IMDCTs into the 36-sample hybrid grid);
+    * the q225 cycle adds START/STOP granules (long-shaped transforms
+    * under the asymmetric transition windows). */
+  private def sqlMp3SynthOracle(btExpr: String): String = {
+    val wsfExpr = btExpr
     val zero36 = "list_transform(range(36), zz -> 0.0)"
     s"""WITH tabs AS (SELECT
           ${sqlD(Mp3.ImdctCos.toSeq)} AS imt,
@@ -794,6 +793,8 @@ object LlmQueries {
           ${sqlI(Mp3.BandMap(2).toSeq)} AS bm2,
           ${sqlD(Mp3.ImdctCosS.toSeq)} AS imts,
           ${sqlD(Mp3.SynthWinS.toSeq)} AS wins,
+          ${sqlD(Mp3.SynthWinStart.toSeq)} AS wst1,
+          ${sqlD(Mp3.SynthWinStop.toSeq)} AS wst3,
           ${sqlD(Mp3.SbGainTab.toSeq)} AS sgt,
           ${sqlI(Mp3.ShortWinMap(0).toSeq)} AS swm0,
           ${sqlI(Mp3.ShortWinMap(1).toSeq)} AS swm1,
@@ -813,7 +814,7 @@ object LlmQueries {
             (i + g) % 16 AS sfc,
             (seed + i + g) % 2 AS pre,
             (seed + g) % 2 AS ss,
-            $wsfExpr AS wsf,
+            $wsfExpr AS bt,
             (seed + i + g) % 8 AS sbg0,
             (seed + i + g + 1) % 8 AS sbg1,
             (seed + i + g + 2) % 8 AS sbg2
@@ -821,37 +822,37 @@ object LlmQueries {
                  LATERAL (SELECT unnest(range(2)) AS g) gg2),
       ln AS (
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
-            wsf, sbg0, sbg1, sbg2,
+            bt, sbg0, sbg1, sbg2,
             2 * k AS idx, (seed + i + g + k) % 2 AS raw,
             (seed + k) % 2 AS sgn
           FROM gr, LATERAL (SELECT unnest(range(bv)) AS k) kk
         UNION ALL
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
-            wsf, sbg0, sbg1, sbg2,
+            bt, sbg0, sbg1, sbg2,
             2 * k + 1, (seed + 2 * i + g + k) % 2, (i + k) % 2
           FROM gr, LATERAL (SELECT unnest(range(bv)) AS k) kk
         UNION ALL
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
-            wsf, sbg0, sbg1, sbg2,
+            bt, sbg0, sbg1, sbg2,
             2 * bv + 4 * k, (seed + i + k) % 2, (seed + k) % 2
           FROM gr, LATERAL (SELECT unnest(range(n1)) AS k) kk
         UNION ALL
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
-            wsf, sbg0, sbg1, sbg2,
+            bt, sbg0, sbg1, sbg2,
             2 * bv + 4 * k + 1, (i + g + k) % 2, (i + k) % 2
           FROM gr, LATERAL (SELECT unnest(range(n1)) AS k) kk
         UNION ALL
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
-            wsf, sbg0, sbg1, sbg2,
+            bt, sbg0, sbg1, sbg2,
             2 * bv + 4 * k + 2, (seed + g + k) % 2, (g + k) % 2
           FROM gr, LATERAL (SELECT unnest(range(n1)) AS k) kk
         UNION ALL
         SELECT media_id, sri, gseq, seed, i, g, gg, sfc, pre, ss,
-            wsf, sbg0, sbg1, sbg2,
+            bt, sbg0, sbg1, sbg2,
             2 * bv + 4 * k + 3, (seed + i + g + k) % 2, k % 2
           FROM gr, LATERAL (SELECT unnest(range(n1)) AS k) kk),
       xr AS (
-        SELECT media_id, gseq, 0 AS wsf,
+        SELECT media_id, gseq, bt,
             CAST(idx // 18 AS BIGINT) AS sb, CAST(idx % 18 AS BIGINT) AS ii,
             (CASE WHEN sgn = 1 THEN -1.0 ELSE 1.0 END)
               * gaint[gg + 1]
@@ -868,10 +869,10 @@ object LlmQueries {
               (CASE WHEN (CASE sri WHEN 0 THEN bm0 WHEN 1 THEN bm1
                  ELSE bm2 END)[CAST(idx + 1 AS INT)] < 11
                  THEN sl1[sfc + 1] ELSE sl2[sfc + 1] END) AS sl
-            FROM ln, tabs WHERE wsf = 0)
+            FROM ln, tabs WHERE bt <> 2)
           WHERE raw = 1
         UNION ALL
-        SELECT media_id, gseq, 1 AS wsf,
+        SELECT media_id, gseq, bt,
             CAST(f // 6 AS BIGINT) AS sb,
             CAST(sw * 6 + f % 6 AS BIGINT) AS ii,
             (CASE WHEN sgn = 1 THEN -1.0 ELSE 1.0 END)
@@ -897,13 +898,13 @@ object LlmQueries {
                  ELSE ssb2 END)[CAST(idx + 1 AS INT)] AS sbd,
               (CASE sri WHEN 0 THEN sfr0 WHEN 1 THEN sfr1
                  ELSE sfr2 END)[CAST(idx + 1 AS INT)] AS f
-            FROM ln, tabs WHERE wsf = 1)
+            FROM ln, tabs WHERE bt = 2)
           WHERE raw = 1),
-      xa AS (SELECT media_id, gseq, sb, max(wsf) AS wsf,
+      xa AS (SELECT media_id, gseq, sb, max(bt) AS bt,
             list(struct_pack(ii := ii, v := v) ORDER BY ii) AS es
           FROM xr GROUP BY media_id, gseq, sb),
       z AS (SELECT media_id, gseq, sb,
-            CASE WHEN wsf = 1 THEN
+            CASE WHEN bt = 2 THEN
               list_transform(range(36), n ->
                 list_sum(list_transform(es, e ->
                   CASE WHEN n - 6 - 6 * (e.ii // 6) >= 0
@@ -915,7 +916,9 @@ object LlmQueries {
                     ELSE 0.0 END)))
             ELSE
               list_transform(range(36), n ->
-                wint[CAST(n + 1 AS INT)] * list_sum(list_transform(es, e ->
+                (CASE bt WHEN 1 THEN wst1 WHEN 3 THEN wst3
+                   ELSE wint END)[CAST(n + 1 AS INT)]
+                * list_sum(list_transform(es, e ->
                   imt[CAST(n * 18 + e.ii + 1 AS INT)] * e.v)))
             END AS zw
           FROM xa, tabs),
@@ -5419,7 +5422,7 @@ object LlmQueries {
           })
         Mp3.decodeMp3Synth(media).toDF()
       },
-      Some(sqlMp3SynthOracle(longOnly = true))),
+      Some(sqlMp3SynthOracle("0"))),
 
     // ---- MP3 SHORT-block synthesis (r11 — the r10 verdict's #4 ask:
     // the synthesis chain stopped at long-block granules). The same
@@ -5447,7 +5450,31 @@ object LlmQueries {
           })
         Mp3.decodeMp3Synth(media).toDF()
       },
-      Some(sqlMp3SynthOracle(longOnly = false))),
+      Some(sqlMp3SynthOracle(
+        "CASE WHEN (i + g) % 3 = 0 THEN 2 ELSE 0 END"))),
+
+    // ---- MP3 window-switching FULL CYCLE (r11 follow-through: after
+    // q223's pure-short arm, the START (type 1) and STOP (type 3)
+    // transition blocks — LONG-shaped 36-point transforms under the
+    // asymmetric transition windows (long-sine rise / flat / short-
+    // sine fall, and its mirror), long-layout scalefactors, pretab
+    // honored, subblock gains present in the layout but inert. The
+    // fixture's granules cycle long→start→short→stop, so every
+    // transition adjacency a real encoder emits (long→start,
+    // start→short, short→stop, stop→long) crosses the overlap-add
+    // buffer in sequence. Mixed blocks remain the one documented
+    // out-of-subset window shape.
+    "q225_mp3_block_cycle" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, Mp3.mp3PayloadSpectral((2 + id % 4).toInt,
+              (id % 14).toInt, (id % 3).toInt, blockMode = 1))
+          })
+        Mp3.decodeMp3Synth(media).toDF()
+      },
+      Some(sqlMp3SynthOracle("(i + g) % 4"))),
 
     // ---- WARC revisit-record resolution (r10 — the crawl's OWN dedup
     // mechanism: Common Crawl stores a re-fetched unchanged page as a

@@ -335,24 +335,32 @@ class Mp3Spec extends SparkSpec {
     f2Standalone.n_frames shouldBe 2L
   }
 
-  test("synthesis: start/stop (type 1/3) and mixed blocks stay out " +
-      "of subset") {
-    // craft a stream whose wsf granule declares block type 1: take a
-    // short fixture and flip the 2-bit block type — parseSynth (and
-    // parseSpectral) must reject, never misread
+  test("synthesis (r11): the full block-type cycle decodes — " +
+      "start/short/stop windows in sequence; MIXED stays out of subset") {
+    // blockMode 1: granule types cycle long/start/short/stop, so
+    // every transition adjacency crosses the overlap buffer
+    for (seed <- 0 until 14; sr <- 0 until 3) {
+      val b = Mp3.mp3PayloadSpectral(4, seed, sr, blockMode = 1)
+      val r = Mp3.parseSynth(100L * seed + sr, b)
+      withClue(s"seed=$seed sr=$sr: ") { r.valid shouldBe true }
+      r.n_frames shouldBe 4L
+      Mp3.parseSynth(100L * seed + sr, b) shouldBe r
+      Mp3.parseSpectral(1L, b).valid shouldBe true
+    }
+    // the asymmetric windows are not interchangeable: zeroing the
+    // start/stop distinction must change the synthesis sums somewhere
+    // on the grid (compare the cycle against the pure-short fixture)
+    val cyc = Mp3.parseSynth(1L, Mp3.mp3PayloadSpectral(4, 3, 0, blockMode = 1))
+    val sho = Mp3.parseSynth(1L, Mp3.mp3PayloadSpectral(4, 3, 0))
+    cyc should not be sho
+    // MIXED blocks remain out of subset: flip the mixed flag of a
+    // short granule (side-info bit 54: 18 head + 12+9+8+4+1+2) —
+    // strict-reject, never misread
     val b = Mp3.mp3PayloadSpectral(3, 0, 0)
     Mp3.parseSynth(1L, b).valid shouldBe true
-    // frame 0 granule 0 is short ((0+0)%3==0): block type bits live
-    // at side-info bit 18 (mdb 9 + priv 5 + scfsi 4) + 12+9+8+4+1 = 52
-    // within the side info, i.e. byte 6 of the frame's side info
-    // (frame header 4 bytes, no CRC) — flip type 2 (10) to 1 (01)
     val m = b.clone()
-    val siStart = 4
-    val bitOff = (siStart + 6) * 8 + 4 // 52 bits into side info
-    def flipBit(arr: Array[Byte], bit: Int): Unit = {
-      arr(bit / 8) = (arr(bit / 8) ^ (0x80 >> (bit % 8))).toByte
-    }
-    flipBit(m, bitOff); flipBit(m, bitOff + 1) // 10 -> 01
+    val bitOff = 4 * 8 + 54 // header 4 bytes, no CRC
+    m(bitOff / 8) = (m(bitOff / 8) ^ (0x80 >> (bitOff % 8))).toByte
     Mp3.parseSynth(1L, m).valid shouldBe false
     Mp3.parseSpectral(1L, m).valid shouldBe false
   }
