@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   * (other Huffman tables, linbits) → `valid=false`,
   * never wrong. The r10 SYNTHESIS layer ([[parseSynth]]) postprocesses
   * the decoded spectrum — requantization, IMDCT, windowing,
-  * overlap-add, frequency inversion, polyphase matrixing — for long
-  * AND (r11) pure-SHORT granules: per-window subblock gains, the
-  * (sfb, window, line) → (subband, window, line) reorder, three
-  * 12-point IMDCTs windowed into the hybrid 36-sample grid. It stops
-  * at the documented 512-tap-FIR boundary; mixed and start/stop
-  * blocks remain out-of-subset.
+  * overlap-add, frequency inversion, polyphase matrixing — for EVERY
+  * ISO window shape (r11): long, SHORT (per-window subblock gains,
+  * the (sfb, window, line) → (subband, window, line) reorder, three
+  * 12-point IMDCTs into the hybrid 36-sample grid), START/STOP
+  * transition windows, and MIXED blocks (long bands 0..7 + short
+  * sfb 3..12 inside one granule). It stops at the documented
+  * 512-tap-FIR boundary; the entropy layer's linbits/non-table-1
+  * Huffman tables are the remaining documented edge.
   *
   * 100 TB shape: pure map-side behind the imperative codec seam;
   * payload bytes never shuffle. */
@@ -358,7 +360,7 @@ object Mp3 {
         if (r.read(4) != 0) return invalid // scfsi sharing out of subset
         // side info first (both granules), THEN the main data
         final case class Gr(p23: Int, bv: Int, sfc: Int, bt: Int,
-                            c1tab: Int)
+                            mixed: Int, c1tab: Int)
         val grs = new Array[Gr](2)
         var g = 0
         while (g < 2) {
@@ -368,10 +370,12 @@ object Mp3 {
           val sfc = r.read(4)
           val wsf = r.read(1)
           var bt = 0
+          var mixed = 0
           if (wsf == 1) {
             bt = r.read(2)
             if (bt == 0) return invalid
-            if (r.read(1) != 0) return invalid // mixed out of subset
+            mixed = r.read(1)
+            if (mixed == 1 && bt != 2) return invalid // ISO: mixed ⇒ short
             if (r.read(5) != 1 || r.read(5) != 1) return invalid // table 1 only
             r.read(3); r.read(3); r.read(3)
           } else {
@@ -384,7 +388,7 @@ object Mp3 {
           val c1tab = r.read(1)
           if (c1tab != 1) return invalid // count1 table B only
           if (bv > 288) return invalid
-          grs(g) = Gr(p23, bv, sfc, bt, c1tab)
+          grs(g) = Gr(p23, bv, sfc, bt, mixed, c1tab)
           g += 1
         }
         // main data: the last mdb reservoir bytes, then this frame's
@@ -402,7 +406,12 @@ object Mp3 {
           val grStart = m.bitPos
           // part2: scalefactors
           val s1 = Slen1(gr.sfc); val s2 = Slen2(gr.sfc)
-          if (gr.bt == 2) { // short; start/stop carry LONG scalefactors
+          if (gr.bt == 2 && gr.mixed == 1) { // mixed: 8 long + 9 short
+            var k = 0
+            while (k < 17) { sumSf += m.read(s1); k += 1 }
+            k = 0
+            while (k < 18) { sumSf += m.read(s2); k += 1 }
+          } else if (gr.bt == 2) { // pure short
             var k = 0
             while (k < 18) { sumSf += m.read(s1); k += 1 }
             k = 0
@@ -515,13 +524,22 @@ object Mp3 {
         val sfc = (i + g) % 16
         val s1 = Slen1(sfc); val s2 = Slen2(sfc)
         // blockMode 1 (r11, q225): granule block type cycles
-        // long/start/short/stop; the legacy modes keep their exact
-        // bit layouts (q170/q200/q223 fixtures are byte-stable)
+        // long/start/short/stop; blockMode 2 (q226): the short
+        // granules are MIXED (long bands 0..7 + short sfb 3..12);
+        // the legacy modes keep their exact bit layouts
+        // (q170/q200/q223 fixtures are byte-stable)
         val bt = if (blockMode == 1) (i + g) % 4
                  else if (!longOnly && (i + g) % 3 == 0) 2 else 0
+        val mixed = if (blockMode == 2 && bt == 2) 1 else 0
         val wsf = if (bt == 0) 0 else 1
-        // part2 (start/stop are LONG-shaped: 11+10 bands)
-        if (bt == 2) {
+        // part2 (start/stop are LONG-shaped: 11+10 bands;
+        // mixed: 8 long + 9 short slen1, then 18 short slen2)
+        if (bt == 2 && mixed == 1) {
+          var k = 0
+          while (k < 17) { main.write((seed + i + g + k) % (1 << s1), s1); k += 1 }
+          k = 0
+          while (k < 18) { main.write((seed + i + g + 17 + k) % (1 << s2), s2); k += 1 }
+        } else if (bt == 2) {
           var k = 0
           while (k < 18) { main.write((seed + i + g + k) % (1 << s1), s1); k += 1 }
           k = 0
@@ -571,7 +589,7 @@ object Mp3 {
         si.write(wsf, 1)
         if (wsf == 1) {
           si.write(bt, 2) // block type 1/2/3
-          si.write(0, 1)
+          si.write(mixed, 1)
           si.write(1, 5); si.write(1, 5) // table 1, both regions
           si.write((seed + i + g) % 8, 3)
           si.write((seed + i + g + 1) % 8, 3)
@@ -747,6 +765,58 @@ object Mp3 {
   private[graft] val SbGainTab: Array[Double] =
     Array.tabulate(8)(j => math.pow(2.0, -2.0 * j))
 
+  // ---- MIXED blocks (r11, q226): long bands 0..7 cover the first 36
+  // lines (their widths 4·6+6·2 = 36 at every MPEG-1 rate — subbands
+  // 0..1), short sfb 3..12 × 3 windows cover the rest. ----
+
+  /** line → long band for the mixed long region (36 lines, bands
+    * 0..7 — identical at all three sample rates). */
+  private[graft] val MixedLongBand: Array[Int] = {
+    val widths = Array(4, 4, 4, 4, 4, 4, 6, 6)
+    val m = new Array[Int](36)
+    var b = 0; var p = 0
+    while (b < widths.length) {
+      var k = 0
+      while (k < widths(b)) { m(p) = b; p += 1; k += 1 }
+      b += 1
+    }
+    m
+  }
+
+  /** Decode-order maps for the mixed SHORT region (540 entries:
+    * sfb 3..12, window-minor inside each band; per-window frequency
+    * lines start at 12). */
+  private[graft] val MixedWinMap: Array[Array[Int]] = mixedMaps(0)
+  private[graft] val MixedSfbMap: Array[Array[Int]] = mixedMaps(1)
+  private[graft] val MixedFreqMap: Array[Array[Int]] = mixedMaps(2)
+
+  private def mixedMaps(which: Int): Array[Array[Int]] =
+    SfbWidthsShort.map { ws =>
+      val out = new Array[Int](540)
+      var p = 0
+      var ob = ws(0) + ws(1) + ws(2) // short region starts at sfb 3
+      var b = 3
+      while (b < ws.length) {
+        var w = 0
+        while (w < 3) {
+          var k = 0
+          while (k < ws(b)) {
+            out(p) = which match {
+              case 0 => w
+              case 1 => b
+              case _ => ob + k
+            }
+            p += 1; k += 1
+          }
+          w += 1
+        }
+        ob += ws(b)
+        b += 1
+      }
+      require(p == 540, s"mixed map built $p entries")
+      out
+    }
+
   /** 2^((gg−210)/4) for gg 0..255 — the global-gain ladder. */
   private[graft] val GainTab: Array[Double] =
     Array.tabulate(256)(gg => math.pow(2.0, 0.25 * (gg - 210)))
@@ -784,8 +854,11 @@ object Mp3 {
     * overlap-add + frequency inversion, (c) the step-0 matrixed V
     * vector of every granule (the matrixing is a fixed linear map —
     * one step per granule pins it over all 32 subband inputs).
-    * Short-block granules, reservoir, non-table-1 streams →
-    * `valid=false`, never wrong. */
+    * EVERY ISO window shape synthesizes (r11): long, pure-short
+    * (subblock gains, reorder, 12-point IMDCTs), start/stop
+    * (asymmetric transition windows), and mixed (long subbands 0..1
+    * + short above, inside one granule). Reservoir and non-table-1
+    * streams → `valid=false`, never wrong. */
   private[graft] def parseSynth(id: Long, b: Array[Byte]): Mp3Synth = {
     val invalid = Mp3Synth(id, 0L, 0L, 0L, 0L, valid = false)
     try {
@@ -821,7 +894,7 @@ object Mp3 {
         r.read(5)
         if (r.read(4) != 0) return invalid // scfsi sharing out of subset
         final case class Gr(p23: Int, bv: Int, gg: Int, sfc: Int,
-                            pre: Int, ss: Int, bt: Int,
+                            pre: Int, ss: Int, bt: Int, mixed: Int,
                             sbg: Array[Int])
         val grs = new Array[Gr](2)
         var g = 0
@@ -833,10 +906,12 @@ object Mp3 {
           val wsf = r.read(1)
           var sbg: Array[Int] = null
           var bt = 0
-          if (wsf == 1) { // window switching: start/short/stop (r11)
+          var mixed = 0
+          if (wsf == 1) { // window switching: start/short/stop/mixed
             bt = r.read(2)
             if (bt == 0) return invalid
-            if (r.read(1) != 0) return invalid // mixed out of subset
+            mixed = r.read(1)
+            if (mixed == 1 && bt != 2) return invalid // ISO: mixed ⇒ short
             if (r.read(5) != 1 || r.read(5) != 1)
               return invalid // table 1 only
             // subblock gains are in the layout for every switching
@@ -851,7 +926,7 @@ object Mp3 {
           val ss = r.read(1)
           if (r.read(1) != 1) return invalid // count1 table B only
           if (bv > 288) return invalid
-          grs(g) = Gr(p23, bv, gg, sfc, pre, ss, bt, sbg)
+          grs(g) = Gr(p23, bv, gg, sfc, pre, ss, bt, mixed, sbg)
           g += 1
         }
         val m = new BitReader(b, (siStart + 17) * 8)
@@ -867,7 +942,19 @@ object Mp3 {
           val sfS =
             if (gr.bt == 2) Array.ofDim[Int](3, 13) // band 12 stays 0
             else null
-          if (gr.bt == 2) {
+          if (gr.bt == 2 && gr.mixed == 1) {
+            // mixed: 8 long bands (slen1), short sfb 3..5 ×3 (slen1),
+            // short sfb 6..11 ×3 (slen2) — decode order per ISO
+            var bq = 0
+            while (bq < 8) { sf(bq) = m.read(s1); bq += 1 }
+            bq = 3
+            while (bq < 12) {
+              val sl = if (bq < 6) s1 else s2
+              var w = 0
+              while (w < 3) { sfS(w)(bq) = m.read(sl); w += 1 }
+              bq += 1
+            }
+          } else if (gr.bt == 2) {
             var bq = 0
             while (bq < 12) {
               val sl = if (bq < 6) s1 else s2
@@ -911,7 +998,37 @@ object Mp3 {
           if (m.bitPos > frameEndBit) return invalid
           // ---- requantization (values are ±1/0: the 4/3 power is id)
           val xr = new Array[Double](576)
-          if (gr.bt == 2) {
+          if (gr.bt == 2 && gr.mixed == 1) {
+            // mixed (r11, q226): lines 0..35 are the LONG region
+            // (bands 0..7 — pretab is zero there by table), the rest
+            // is the short region reordered like pure short but with
+            // per-window frequency lines starting at 12
+            val wm = MixedWinMap(srIdx); val bm2 = MixedSfbMap(srIdx)
+            val fm = MixedFreqMap(srIdx)
+            var idx = 0
+            while (idx < 576) {
+              val v = is(idx)
+              if (v != 0) {
+                if (idx < 36) {
+                  val bd = MixedLongBand(idx)
+                  val fac = GainTab(gr.gg) * SfTab(gr.ss)(sf(bd))
+                  val x = v * fac
+                  xr(idx) = x
+                  sumXr += q9(x)
+                } else {
+                  val j = idx - 36
+                  val w = wm(j); val bd = bm2(j); val f = fm(j)
+                  val kexp = if (bd < 12) sfS(w)(bd) else 0
+                  val fac = GainTab(gr.gg) * SbGainTab(gr.sbg(w)) *
+                    SfTab(gr.ss)(kexp)
+                  val x = v * fac
+                  xr((f / 6) * 18 + w * 6 + f % 6) = x
+                  sumXr += q9(x)
+                }
+              }
+              idx += 1
+            }
+          } else if (gr.bt == 2) {
             // short (r11): per-window subblock gain + window
             // scalefactors (no pretab), REORDERED from the stream's
             // (sfb, window, line) order to (subband, window, line)
@@ -963,7 +1080,9 @@ object Mp3 {
           var sb = 0
           while (sb < 32) {
             val z = new Array[Double](36)
-            if (gr.bt == 2) {
+            // mixed: the two lowest subbands are LONG transforms under
+            // the normal window; everything else follows the type
+            if (gr.bt == 2 && !(gr.mixed == 1 && sb < 2)) {
               var w = 0
               while (w < 3) {
                 var n = 0

@@ -804,7 +804,17 @@ object LlmQueries {
           ${sqlI(Mp3.ShortSfbMap(2).toSeq)} AS ssb2,
           ${sqlI(Mp3.ShortFreqMap(0).toSeq)} AS sfr0,
           ${sqlI(Mp3.ShortFreqMap(1).toSeq)} AS sfr1,
-          ${sqlI(Mp3.ShortFreqMap(2).toSeq)} AS sfr2),
+          ${sqlI(Mp3.ShortFreqMap(2).toSeq)} AS sfr2,
+          ${sqlI(Mp3.MixedLongBand.toSeq)} AS bml36,
+          ${sqlI(Mp3.MixedWinMap(0).toSeq)} AS mwm0,
+          ${sqlI(Mp3.MixedWinMap(1).toSeq)} AS mwm1,
+          ${sqlI(Mp3.MixedWinMap(2).toSeq)} AS mwm2,
+          ${sqlI(Mp3.MixedSfbMap(0).toSeq)} AS msb0,
+          ${sqlI(Mp3.MixedSfbMap(1).toSeq)} AS msb1,
+          ${sqlI(Mp3.MixedSfbMap(2).toSeq)} AS msb2,
+          ${sqlI(Mp3.MixedFreqMap(0).toSeq)} AS mfr0,
+          ${sqlI(Mp3.MixedFreqMap(1).toSeq)} AS mfr1,
+          ${sqlI(Mp3.MixedFreqMap(2).toSeq)} AS mfr2),
       m AS (SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf,
             doc_id % 14 AS seed, doc_id % 3 AS sri FROM documents),
       gr AS (SELECT media_id, seed, sri, i, g, 2 * i + g AS gseq,
@@ -869,7 +879,7 @@ object LlmQueries {
               (CASE WHEN (CASE sri WHEN 0 THEN bm0 WHEN 1 THEN bm1
                  ELSE bm2 END)[CAST(idx + 1 AS INT)] < 11
                  THEN sl1[sfc + 1] ELSE sl2[sfc + 1] END) AS sl
-            FROM ln, tabs WHERE bt <> 2)
+            FROM ln, tabs WHERE bt IN (0, 1, 3))
           WHERE raw = 1
         UNION ALL
         SELECT media_id, gseq, bt,
@@ -899,12 +909,54 @@ object LlmQueries {
               (CASE sri WHEN 0 THEN sfr0 WHEN 1 THEN sfr1
                  ELSE sfr2 END)[CAST(idx + 1 AS INT)] AS f
             FROM ln, tabs WHERE bt = 2)
+          WHERE raw = 1
+        UNION ALL
+        SELECT media_id, gseq, bt,  -- mixed (oracle code 4): LONG region
+            CAST(idx // 18 AS BIGINT) AS sb,
+            CAST(idx % 18 AS BIGINT) AS ii,
+            (CASE WHEN sgn = 1 THEN -1.0 ELSE 1.0 END)
+              * gaint[gg + 1]
+              * (CASE WHEN ss = 1 THEN sft1 ELSE sft0 END)[
+                  CAST((seed + i + g + bml36[CAST(idx + 1 AS INT)])
+                    % (CASE sl1[sfc + 1] WHEN 0 THEN 1
+                       WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                       ELSE 16 END) + 1 AS INT)] AS v
+          FROM ln, tabs
+          WHERE bt = 4 AND raw = 1 AND idx < 36
+        UNION ALL
+        SELECT media_id, gseq, bt,  -- mixed: SHORT region (sfb 3..12)
+            CAST(f // 6 AS BIGINT) AS sb,
+            CAST(sw * 6 + f % 6 AS BIGINT) AS ii,
+            (CASE WHEN sgn = 1 THEN -1.0 ELSE 1.0 END)
+              * gaint[gg + 1]
+              * sgt[CAST((CASE sw WHEN 0 THEN sbg0 WHEN 1 THEN sbg1
+                  ELSE sbg2 END) + 1 AS INT)]
+              * (CASE WHEN ss = 1 THEN sft1 ELSE sft0 END)[
+                  CAST(CASE WHEN sbd < 6 THEN
+                      (seed + i + g + (8 + (sbd - 3) * 3 + sw))
+                        % (CASE sl1[sfc + 1] WHEN 0 THEN 1
+                           WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                           ELSE 16 END)
+                    WHEN sbd < 12 THEN
+                      (seed + i + g + 17 + ((sbd - 6) * 3 + sw))
+                        % (CASE sl2[sfc + 1] WHEN 0 THEN 1
+                           WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                           ELSE 16 END)
+                    ELSE 0 END + 1 AS INT)] AS v
+          FROM (SELECT *,
+              (CASE sri WHEN 0 THEN mwm0 WHEN 1 THEN mwm1
+                 ELSE mwm2 END)[CAST(idx - 36 + 1 AS INT)] AS sw,
+              (CASE sri WHEN 0 THEN msb0 WHEN 1 THEN msb1
+                 ELSE msb2 END)[CAST(idx - 36 + 1 AS INT)] AS sbd,
+              (CASE sri WHEN 0 THEN mfr0 WHEN 1 THEN mfr1
+                 ELSE mfr2 END)[CAST(idx - 36 + 1 AS INT)] AS f
+            FROM ln, tabs WHERE bt = 4 AND idx >= 36)
           WHERE raw = 1),
       xa AS (SELECT media_id, gseq, sb, max(bt) AS bt,
             list(struct_pack(ii := ii, v := v) ORDER BY ii) AS es
           FROM xr GROUP BY media_id, gseq, sb),
       z AS (SELECT media_id, gseq, sb,
-            CASE WHEN bt = 2 THEN
+            CASE WHEN bt = 2 OR (bt = 4 AND sb >= 2) THEN
               list_transform(range(36), n ->
                 list_sum(list_transform(es, e ->
                   CASE WHEN n - 6 - 6 * (e.ii // 6) >= 0
@@ -5475,6 +5527,32 @@ object LlmQueries {
         Mp3.decodeMp3Synth(media).toDF()
       },
       Some(sqlMp3SynthOracle("(i + g) % 4"))),
+
+    // ---- MP3 MIXED blocks (r11 — the last window shape): block
+    // type 2 with mixed_block_flag = 1 splits one granule's spectrum
+    // into a LONG region (bands 0..7 = the first 36 lines = subbands
+    // 0..1, long scalefactors, normal long window) and a SHORT
+    // region (sfb 3..12 × 3 windows, per-window frequency lines
+    // starting at 12, subblock gains, short IMDCTs) — the hybrid of
+    // hybrids a transient-in-bass encoder emits. The decoder splits
+    // scalefactor reads (8 long slen1 + 9 short slen1 + 18 short
+    // slen2), requantizes each region by its own rule, and runs LONG
+    // transforms for subbands 0..1 and SHORT for the rest INSIDE ONE
+    // granule. With this, every ISO window shape decodes; the entropy
+    // boundary (linbits / non-table-1 Huffman) is the only remaining
+    // documented edge of the MP3 family.
+    "q226_mp3_mixed_blocks" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, Mp3.mp3PayloadSpectral((2 + id % 4).toInt,
+              (id % 14).toInt, (id % 3).toInt, blockMode = 2))
+          })
+        Mp3.decodeMp3Synth(media).toDF()
+      },
+      Some(sqlMp3SynthOracle(
+        "CASE WHEN (i + g) % 3 = 0 THEN 4 ELSE 0 END"))),
 
     // ---- WARC revisit-record resolution (r10 — the crawl's OWN dedup
     // mechanism: Common Crawl stores a re-fetched unchanged page as a

@@ -353,13 +353,26 @@ class Mp3Spec extends SparkSpec {
     val cyc = Mp3.parseSynth(1L, Mp3.mp3PayloadSpectral(4, 3, 0, blockMode = 1))
     val sho = Mp3.parseSynth(1L, Mp3.mp3PayloadSpectral(4, 3, 0))
     cyc should not be sho
-    // MIXED blocks remain out of subset: flip the mixed flag of a
-    // short granule (side-info bit 54: 18 head + 12+9+8+4+1+2) —
-    // strict-reject, never misread
-    val b = Mp3.mp3PayloadSpectral(3, 0, 0)
-    Mp3.parseSynth(1L, b).valid shouldBe true
-    val m = b.clone()
-    val bitOff = 4 * 8 + 54 // header 4 bytes, no CRC
+    // MIXED blocks (r11, q226) decode too — the full grid
+    for (seed <- 0 until 14; sr <- 0 until 3) {
+      val bm = Mp3.mp3PayloadSpectral(4, seed, sr, blockMode = 2)
+      val r = Mp3.parseSynth(200L * seed + sr, bm)
+      withClue(s"mixed seed=$seed sr=$sr: ") { r.valid shouldBe true }
+      Mp3.parseSpectral(1L, bm).valid shouldBe true
+      // mixed differs from pure short of the same seed somewhere on
+      // the grid (different scalefactor split + long region)
+    }
+    val mix = Mp3.parseSynth(1L, Mp3.mp3PayloadSpectral(4, 3, 0, blockMode = 2))
+    val sho2 = Mp3.parseSynth(1L, Mp3.mp3PayloadSpectral(4, 3, 0))
+    mix should not be sho2
+    // the remaining STRUCTURAL reject: mixed_block_flag with a
+    // non-short block type (ISO forbids it). blockMode 1 frame 0
+    // granule 1 is START (bt 1); its mixed bit sits at side-info bit
+    // 113 (18 head + 59 granule-0 + 12+9+8+4+1+2)
+    val b1 = Mp3.mp3PayloadSpectral(3, 0, 0, blockMode = 1)
+    Mp3.parseSynth(1L, b1).valid shouldBe true
+    val m = b1.clone()
+    val bitOff = 4 * 8 + 113 // header 4 bytes, no CRC
     m(bitOff / 8) = (m(bitOff / 8) ^ (0x80 >> (bitOff % 8))).toByte
     Mp3.parseSynth(1L, m).valid shouldBe false
     Mp3.parseSpectral(1L, m).valid shouldBe false
