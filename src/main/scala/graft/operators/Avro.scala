@@ -607,6 +607,149 @@ object Avro {
     })
   }
 
+  // =================================================================
+  // OUR OCF WRITER (r11, q227 — the row-format mirror of the q216
+  // parquet writer): the engine PRODUCES Avro container files
+  // dependency-free, and the gate is the strongest differential
+  // available — avro-java's own `DataFileReader` consumes our bytes
+  // (and our own reader cross-checks). Subset: the flat record
+  // {id: long, v: ["null","long"], s: string} wire shape
+  // generalized to (long, nullable-long, string) rows; `null` and
+  // `deflate` codecs (raw JDK Deflater — the inverse of the reader's
+  // raw Inflater); explicit deterministic sync markers; a chosen
+  // records-per-block framing.
+  // =================================================================
+
+  private final class W {
+    val out = new java.io.ByteArrayOutputStream(256)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { u8(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      u8(v.toInt)
+    }
+    def zigzag(v: Long): Unit = varint((v << 1) ^ (v >> 63))
+    def bytes(b: Array[Byte]): Unit = {
+      zigzag(b.length.toLong); out.write(b, 0, b.length)
+    }
+    def str(s: String): Unit = bytes(s.getBytes("UTF-8"))
+    def result: Array[Byte] = out.toByteArray
+  }
+
+  private def deflateRaw(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // RAW: the spec
+    try {
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream(b.length / 2 + 16)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Serialize one complete OCF: records (id, v nullable, s) in
+    * `perBlock`-record blocks, `deflate` when asked, the given
+    * 16-byte sync marker — readable by avro-java and by [[parse]]. */
+  def writeOcf(records: Seq[(Long, Option[Long], String)],
+      sync: Array[Byte], deflate: Boolean,
+      perBlock: Int = 2): Array[Byte] = {
+    require(sync.length == 16, "sync marker must be 16 bytes")
+    require(perBlock > 0, "perBlock must be positive")
+    val w = new W
+    w.out.write('O'); w.out.write('b'); w.out.write('j'); w.out.write(1)
+    // file metadata map: one block of 2 entries, then terminator
+    w.zigzag(2L)
+    w.str("avro.schema")
+    w.str("""{"type":"record","name":"doc","fields":[""" +
+      """{"name":"id","type":"long"},""" +
+      """{"name":"v","type":["null","long"]},""" +
+      """{"name":"s","type":"string"}]}""")
+    w.str("avro.codec")
+    w.str(if (deflate) "deflate" else "null")
+    w.zigzag(0L)
+    w.out.write(sync, 0, 16)
+    records.grouped(perBlock).foreach { grp =>
+      val body = new W
+      grp.foreach { case (id, v, s) =>
+        body.zigzag(id)
+        v match {
+          case None => body.zigzag(0L) // branch 0 = null
+          case Some(x) => body.zigzag(1L); body.zigzag(x)
+        }
+        body.str(s)
+      }
+      val payload =
+        if (deflate) deflateRaw(body.result) else body.result
+      w.zigzag(grp.size.toLong)
+      w.zigzag(payload.length.toLong)
+      w.out.write(payload, 0, payload.length)
+      w.out.write(sync, 0, 16)
+    }
+    w.result
+  }
+
+  /** One own-writer OCF per doc group (q227): record for doc d is
+    * (id = d, v = null when d%3==0 else (7d)%50, s = "s"·(1+d%4)++d)
+    * — the q215 formulas, so the SAME oracle replay gates bytes from
+    * the real writer (q215) and from ours (q227); deflate on even
+    * groups, blocks of two. */
+  def ownOcfGroupPayload(g: Long, ids: Array[Long]): Array[Byte] = {
+    require(g >= 0 && ids.nonEmpty, s"bad group $g")
+    val sync = new Array[Byte](16)
+    var k = 0
+    while (k < 16) {
+      sync(k) = (((g * 31 + k) * 2654435761L >>> 7) & 0xff).toByte
+      k += 1
+    }
+    writeOcf(ids.toSeq.map(d => (d,
+      if (d % 3 == 0) None else Some((7 * d) % 50),
+      "s" * (1 + d % 4).toInt + d)), sync, deflate = g % 2 == 0)
+  }
+
+  /** Map-side avro-java read-back of OUR bytes — the q227 gate's
+    * differential half runs INSIDE the query: the REAL reader
+    * consumes what our encoder produced, per file, on executors. */
+  def decodeWithAvroJava(
+      media: Dataset[(Long, Array[Byte])]): Dataset[AvroInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { case (id, bytes) =>
+      try {
+        val r = new org.apache.avro.file.DataFileReader(
+          new org.apache.avro.file.SeekableByteArrayInput(bytes),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try {
+          var nRecords = 0L; var sumLong = 0L; var nNulls = 0L
+          var sumSlen = 0L; var sumSbytes = 0L
+          var nBlocks = 0L
+          var lastSync = -1L
+          while (r.hasNext) {
+            // block accounting via the reader's own sync positions
+            val pos = r.previousSync()
+            if (pos != lastSync) { nBlocks += 1; lastSync = pos }
+            val rec = r.next()
+            nRecords += 1
+            sumLong += rec.get("id").asInstanceOf[java.lang.Long]
+            val v = rec.get("v")
+            if (v == null) nNulls += 1
+            else sumLong += v.asInstanceOf[java.lang.Long]
+            val s = rec.get("s").toString
+            val sb = s.getBytes("UTF-8")
+            sumSlen += sb.length
+            var i = 0
+            while (i < sb.length) { sumSbytes += sb(i) & 0xff; i += 1 }
+          }
+          AvroInfo(id, nBlocks, nRecords, sumLong, nNulls, sumSlen,
+            sumSbytes, valid = true)
+        } finally r.close()
+      } catch {
+        case _: Throwable =>
+          AvroInfo(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
+      }
+    })
+  }
+
   // ---------------------------------------------------------------
   // Writer (fixture side): the REAL avro-java writer, not ours.
   // ---------------------------------------------------------------

@@ -5554,6 +5554,47 @@ object LlmQueries {
       Some(sqlMp3SynthOracle(
         "CASE WHEN (i + g) % 3 = 0 THEN 4 ELSE 0 END"))),
 
+    // ---- Avro OCF WRITER (r11 — the row-format mirror of q216: the
+    // engine PRODUCES container files dependency-free, and the
+    // differential runs INSIDE the query: avro-java's own
+    // DataFileReader consumes our bytes on executors). Our encoder
+    // writes the magic + metadata map + schema JSON + deterministic
+    // sync, frames records into 2-record blocks, and raw-DEFLATES
+    // even groups (the inverse of the reader's raw Inflater). The
+    // record formulas are q215's, so the SAME oracle gates bytes from
+    // the real writer (q215) and from ours — an encoder with the
+    // zigzag, the union branch, the block framing, the codec or the
+    // sync discipline wrong cannot match. AvroWriterSpec adds the
+    // own-reader cross-check and corruption rejection on both
+    // readers.
+    "q227_avro_writer" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir)
+          .select((col("doc_id") / 64).cast("long").as("g"),
+            col("doc_id")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            (g, Avro.ownOcfGroupPayload(g, it.map(_._2).toArray.sorted))
+          }
+        Avro.decodeWithAvroJava(media).toDF()
+      },
+      Some("""WITH p AS (SELECT doc_id // 64 AS media_id, doc_id AS d,
+              CASE WHEN doc_id % 3 = 0 THEN NULL
+                ELSE (7 * doc_id) % 50 END AS v,
+              repeat('s', CAST(1 + doc_id % 4 AS INT)) || doc_id AS s
+            FROM documents)
+        SELECT media_id,
+          CAST((count(*) + 1) // 2 AS BIGINT) AS n_blocks,
+          CAST(count(*) AS BIGINT) AS n_records,
+          CAST(sum(d) + coalesce(sum(v), 0) AS BIGINT) AS sum_long,
+          CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+          CAST(sum(strlen(s)) AS BIGINT) AS sum_slen,
+          CAST(sum(list_sum(list_transform(range(1, len(s) + 1),
+            i -> ord(s[i])))) AS BIGINT) AS sum_sbytes,
+          true AS valid
+        FROM p GROUP BY media_id""")),
+
     // ---- WARC revisit-record resolution (r10 — the crawl's OWN dedup
     // mechanism: Common Crawl stores a re-fetched unchanged page as a
     // `revisit` record carrying only the payload digest of the
