@@ -1443,6 +1443,38 @@ object ParquetFile {
     try Some(readChunkCells(b, c, lf, rgRows))
     catch { case _: Throwable => None }
 
+  /** Materialize EVERY column of a file (all row groups concatenated
+    * in order) — what the lake compactor needs to rewrite small files.
+    * Throws on out-of-subset files; callers sit behind their own seam. */
+  private[graft] def readFileCells(
+      b: Array[Byte]): (Vector[Leaf], Array[CellCol]) = {
+    val m = parseFooterMeta(b)
+    val n = m.numRows.toInt
+    if (n < 0 || m.numRows > MaxPage) fail()
+    val out = m.leaves.map { lf =>
+      if (lf.maxRep != 0 || lf.maxDef > 1) fail()
+      val isBin = lf.ptype == 6
+      CellCol(new Array[Boolean](n),
+        if (isBin) null else new Array[Long](n),
+        if (isBin) new Array[Array[Byte]](n) else null)
+    }.toArray
+    var row = 0
+    m.rowGroups.foreach { rg =>
+      val k = rg.numRows.toInt
+      m.leaves.zipWithIndex.foreach { case (lf, li) =>
+        val c = rg.chunks.find(_.path == lf.path).getOrElse(fail())
+        val cc = readChunkCells(b, c, lf, k)
+        System.arraycopy(cc.defined, 0, out(li).defined, row, k)
+        if (cc.longs != null)
+          System.arraycopy(cc.longs, 0, out(li).longs, row, k)
+        else System.arraycopy(cc.bins, 0, out(li).bins, row, k)
+      }
+      row += k
+    }
+    if (row != n) fail()
+    (m.leaves, out)
+  }
+
   // ---- page-index layer (q209): OffsetIndex/ColumnIndex decode and
   // the page-skipping selective read they exist for ----
 

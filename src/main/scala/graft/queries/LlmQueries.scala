@@ -6309,6 +6309,85 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- Lakehouse COMPACTION / OPTIMIZE (r11 — the maintenance op
+    // that completes the table lifecycle: streaming appends litter a
+    // table with small files; OPTIMIZE bin-packs them into rewritten
+    // files, clustering bins by key range so file pruning stays
+    // selective, and commits remove+add in ONE log version; old files
+    // stay on disk for time travel, deletion is VACUUM's job). The
+    // fixture writes the documents table as 64-doc files (the
+    // small-file litter), compacts to 1024-row targets — each bin is
+    // rewritten ON AN EXECUTOR through our page decoder and re-encoded
+    // by our writer, the new adds carrying stats from the REWRITTEN
+    // file's own footer — then reads the snapshot back through the
+    // connector. The oracle replays the full table: compaction must
+    // change the FILES and nothing else. LakeMaintenanceSpec pins the
+    // file-count drop, pre-compaction time travel, pruning
+    // selectivity, and idempotence.
+    "q228_lake_compact" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakeo_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val adds = docs(s, dir)
+          .select((col("doc_id") / 64).cast("long").as("g"),
+            col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("lang"))
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rows.map(_._2)),
+              graft.operators.ParquetWrite.OptLongCol("n_chars",
+                rows.map(r => if (r._2 % 9 == 0) null
+                  else java.lang.Long.valueOf(r._3))),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rows.map(_._4))))
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            val st = graft.operators.ParquetFile.parse(g, bytes)
+              .filter(r => r.valid && r.col_path == "doc_id" &&
+                r.has_stats)
+            (p, st.map(_.min_long).min, st.map(_.max_long).max,
+              rows.length.toLong)
+          }
+          .toDF("path", "min_key", "max_key", "size")
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          adds.select(lit(0L).as("version"), to_json(struct(
+              struct(col("path"), col("min_key"), col("max_key"),
+                col("size")).as("add"))).as("value"))
+            .coalesce(1)
+            .write.partitionBy("version").text(s"$base/log")
+          graft.operators.LakeMaintenance.compact(s, base,
+            targetRows = 1024): Unit
+          s.read.format("graft-lake").option("path", base).load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""WITH d AS (SELECT lang,
+            CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END AS nc
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(nc) AS BIGINT) AS sum_chars
+        FROM d GROUP BY lang""")),
+
     // ---- graft-lake DSv2 connector (r11 — the r10 verdict's #8 ask:
     // the lakehouse family ran as hand-composed functions over
     // binaryFile rows; here it is a real `format("graft-lake")`

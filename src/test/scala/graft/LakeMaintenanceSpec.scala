@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LakeMaintenance, ParquetFile, ParquetWrite, TxLog}
+
+/** OPTIMIZE/compaction (q228, [[LakeMaintenance.compact]]) — the laws:
+  * content is INVARIANT (files change, rows don't), live file count
+  * drops, key-ordered bins keep pruning selective, pre-compaction
+  * time travel still resolves the old files, and the operation is
+  * idempotent (rewritten files never re-qualify). */
+class LakeMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val FileRows = 100
+
+  private def expected(f: Int): Seq[(Long, Option[Long], String)] =
+    (0 until FileRows).map { i =>
+      val id = f.toLong * FileRows + i
+      (id, if (id % 7 == 0) None else Some(id * 3), "s" + (id % 3))
+    }
+
+  private def buildLittered(nFiles: Int): String = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_opt").toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    val lines = (0 until nFiles).map { f =>
+      val rows = expected(f)
+      val bytes = ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("doc_id", rows.map(_._1).toArray),
+        ParquetWrite.OptLongCol("v", rows.map(r =>
+          r._2.map(java.lang.Long.valueOf).orNull).toArray),
+        ParquetWrite.StrCol("s", rows.map(_._3).toArray)))
+      val p = s"$base/data/part-$f.parquet"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes): Unit
+      val st = ParquetFile.parse(f.toLong, bytes)
+        .filter(r => r.valid && r.col_path == "doc_id" && r.has_stats)
+      s"""{"add":{"path":"$p","size":$FileRows""" +
+        s""","min_key":${st.map(_.min_long).min}""" +
+        s""","max_key":${st.map(_.max_long).max}}}"""
+    }
+    val d = new java.io.File(s"$base/log/version=0")
+    d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/actions.json"),
+      lines.mkString("\n").getBytes("UTF-8")): Unit
+    base
+  }
+
+  private def lake(base: String, asOf: Long = -1L): DataFrame = {
+    val r = spark.read.format("graft-lake").option("path", base)
+    (if (asOf >= 0) r.option("asOf", asOf) else r).load()
+  }
+
+  private def asSet(df: DataFrame): Set[(Long, Option[Long], String)] =
+    df.collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getString(2))
+    }.toSet
+
+  test("content invariant, file count drops, stats stay tight, " +
+      "time travel sees the old layout, idempotent") {
+    val base = buildLittered(8) // 8 x 100 rows
+    val before = asSet(lake(base))
+    val r = LakeMaintenance.compact(spark, base, targetRows = 400)
+    r.removed shouldBe 8
+    r.created shouldBe 2 // two 400-row bins
+    r.version shouldBe 1L
+    // live set: 2 compacted files, same rows
+    val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+    live.size shouldBe 2
+    live.foreach(f => f.minKey.isDefined shouldBe true)
+    asSet(lake(base)) shouldBe before
+    // key-ordered bins: pruning is still one file for a range inside
+    // the first half
+    lake(base).filter(col("doc_id") < 100L).rdd.getNumPartitions shouldBe 1
+    lake(base).filter(col("doc_id") < 100L).count() shouldBe 100L
+    // time travel to the pre-compaction snapshot resolves old files
+    val old = lake(base, asOf = 0L)
+    asSet(old) shouldBe before
+    TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", 0L)
+      .size shouldBe 8
+    // idempotent: nothing below target remains in >= 2-file bins
+    val r2 = LakeMaintenance.compact(spark, base, targetRows = 400)
+    r2 shouldBe LakeMaintenance.CompactResult(0, 0, -1L)
+    TxLog.commitVersions(s"$base/log").max shouldBe 1L
+  }
+
+  test("files at or above the target are left alone; a lone small " +
+      "file never rewrites by itself") {
+    val base = buildLittered(3)
+    // target 150: file pairs pack (100+100 >= 150 after 2) -> one bin
+    // of 2, the third file is a single-file bin -> untouched
+    val r = LakeMaintenance.compact(spark, base, targetRows = 150)
+    r.removed shouldBe 2
+    r.created shouldBe 1
+    TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+      .size shouldBe 2 // 1 compacted + 1 untouched
+    asSet(lake(base)).size shouldBe 300
+    // target smaller than every file: full no-op
+    LakeMaintenance.compact(spark, base, targetRows = 50) shouldBe
+      LakeMaintenance.CompactResult(0, 0, -1L)
+  }
+
+  test("the streaming tail sees a compaction commit as adds " +
+      "(append-only semantics, documented re-emission)") {
+    val base = buildLittered(4)
+    LakeMaintenance.compact(spark, base, targetRows = 400)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ck = java.nio.file.Files.createTempDirectory("opt_ck").toString
+    val q = spark.readStream.format("graft-lake").option("path", base)
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r => got += r.getLong(0))
+      }
+      .start()
+    q.awaitTermination()
+    // v0 adds (4 files) + v1 compaction adds (1 rewritten file of the
+    // same 400 rows): each row arrives twice — the documented re-add
+    // re-emission; a CDC-grade tail would filter on dataChange=false
+    got.size shouldBe 800
+    got.toSet shouldBe (0L until 400L).map(i => expected(0).head._1 +
+      i).toSet.map((x: Long) => x)
+  }
+}
