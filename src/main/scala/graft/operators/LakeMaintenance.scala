@@ -119,4 +119,43 @@ object LakeMaintenance {
       (removes ++ adds).mkString("\n").getBytes("UTF-8")): Unit
     CompactResult(work.map(_.size).sum, results.length, next)
   }
+
+  final case class VacuumResult(deleted: Int, retainedFiles: Int)
+
+  /** VACUUM: physically delete data files not referenced by ANY
+    * snapshot within the retention window (the last
+    * `retainVersions + 1` commit versions). Compaction/remove
+    * tombstones make files unreferenced; vacuum is what reclaims
+    * them — and it also sweeps ORPHANS (files in `data/` the log
+    * never learned about: crashed writers' leftovers). After a
+    * vacuum, `asOf` time travel BEHIND the horizon is gone — the
+    * Delta trade, documented; version-based retention is this
+    * format's analog of Delta's modification-time window (an
+    * in-flight writer's files join the log with its commit, so a
+    * nonzero retention protects them the same way).
+    *
+    * 100 TB shape: pure log metadata + a directory listing; the only
+    * data-file I/O is the deletes themselves. */
+  def vacuum(root: String, retainVersions: Int): VacuumResult = {
+    require(retainVersions >= 0, "retainVersions must be >= 0")
+    val versions = TxLog.commitVersions(s"$root/log")
+    if (versions.isEmpty) return VacuumResult(0, 0)
+    val horizon = versions.max - retainVersions
+    val keep: Set[String] = versions.filter(_ >= horizon)
+      .flatMap(v =>
+        TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", v)
+          .map(_.path))
+      .toSet
+    val dataDir = new java.io.File(s"$root/data")
+    val onDisk = Option(dataDir.listFiles()).toSeq.flatten
+      .filter(_.isFile)
+    var deleted = 0
+    onDisk.foreach { f =>
+      if (!keep.contains(f.getAbsolutePath) &&
+          !keep.contains(f.getPath)) {
+        if (f.delete()) deleted += 1
+      }
+    }
+    VacuumResult(deleted, keep.size)
+  }
 }

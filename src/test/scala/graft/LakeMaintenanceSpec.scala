@@ -103,6 +103,43 @@ class LakeMaintenanceSpec extends SparkSpec {
       LakeMaintenance.CompactResult(0, 0, -1L)
   }
 
+  test("VACUUM: unreferenced files and orphans leave the disk, live " +
+      "files survive, retention protects the window, idempotent") {
+    val base = buildLittered(8)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/data/orphan.bin"),
+      Array[Byte](9, 9, 9)): Unit
+    LakeMaintenance.compact(spark, base, targetRows = 400)
+    val before = asSet(lake(base))
+    def diskFiles(): Set[String] =
+      new java.io.File(s"$base/data").listFiles()
+        .filter(_.isFile).map(_.getName).toSet
+    diskFiles().size shouldBe 11 // 8 small + 2 compacted + orphan
+
+    // retention 1: the pre-compaction snapshot (v0) stays resolvable,
+    // so the 8 small files MUST survive; only the orphan goes
+    LakeMaintenance.vacuum(base, retainVersions = 1) shouldBe
+      LakeMaintenance.VacuumResult(1, 10)
+    diskFiles().size shouldBe 10
+    asSet(lake(base, asOf = 0L)) shouldBe before
+
+    // retention 0: only the latest snapshot survives on disk
+    val r = LakeMaintenance.vacuum(base, retainVersions = 0)
+    r.deleted shouldBe 8
+    r.retainedFiles shouldBe 2
+    diskFiles().size shouldBe 2
+    asSet(lake(base)) shouldBe before // live content untouched
+    // time travel BEHIND the horizon is gone (the documented trade):
+    // resolution still lists the old paths, but their bytes are not
+    // on disk any more
+    intercept[Exception] {
+      lake(base, asOf = 0L).count()
+    }
+    // idempotent
+    LakeMaintenance.vacuum(base, retainVersions = 0) shouldBe
+      LakeMaintenance.VacuumResult(0, 2)
+  }
+
   test("the streaming tail sees a compaction commit as adds " +
       "(append-only semantics, documented re-emission)") {
     val base = buildLittered(4)
