@@ -120,6 +120,167 @@ object LakeMaintenance {
     CompactResult(work.map(_.size).sum, results.length, next)
   }
 
+  final case class MergeResult(rewritten: Int, matched: Long,
+      inserted: Long, version: Long)
+
+  /** MERGE (upsert) by the key column: rows of `updates` whose key
+    * exists in the table REPLACE the stored rows (every occurrence);
+    * keys present nowhere INSERT as one new key-sorted file; one
+    * commit carries remove(rewritten)+add(new).
+    *
+    * The updates ride as a BROADCAST map — the CDC-batch shape (a
+    * bounded changeset against a huge table); candidate files are
+    * pre-pruned by their log stats ([min,max] must intersect an
+    * update key), each candidate is rewritten map-side through our
+    * codecs, and only per-file metadata returns. A billion-row merge
+    * would shuffle-join instead of broadcasting — out of this
+    * operator's documented scope.
+    *
+    * `updates`: (key, values…) tuples matching the table's column
+    * order; `null` in a value slot stores NULL (the column must be
+    * nullable). */
+  def merge(spark: SparkSession, root: String,
+      updates: Seq[(Long, Array[Any])], keyCol: String,
+      maxBroadcast: Int = 1 << 20): MergeResult = {
+    require(updates.size <= maxBroadcast,
+      s"merge changeset ${updates.size} exceeds the broadcast bound " +
+        s"$maxBroadcast — shuffle-join merges are out of scope")
+    if (updates.isEmpty) return MergeResult(0, 0L, 0L, -1L)
+    require(updates.map(_._1).distinct.size == updates.size,
+      "duplicate keys in the merge changeset")
+    val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+    val keys = updates.map(_._1)
+    val kLo = keys.min; val kHi = keys.max
+    val candidates = live.filter { f =>
+      (f.minKey, f.maxKey) match {
+        case (Some(mn), Some(mx)) =>
+          mx >= kLo && mn <= kHi && keys.exists(k => k >= mn && k <= mx)
+        case _ => true // statless files must be checked
+      }
+    }
+    val versions = TxLog.commitVersions(s"$root/log")
+    val next = if (versions.isEmpty) 0L else versions.max + 1
+    val updMap = updates.toMap
+    val bc = spark.sparkContext.broadcast(updMap)
+
+    // (oldPath, newPath, rows, minKey, maxKey, matchedKeys) — tuples,
+    // not a method-local case class: local classes capture enclosing
+    // scope and break task serialization
+    val rewritten: Array[(String, String, Long, Long, Long, Seq[Long])] =
+      if (candidates.isEmpty) Array.empty
+      else spark.sparkContext
+        .parallelize(candidates.zipWithIndex,
+          math.min(candidates.size, 64))
+        .map { case (f, idx) =>
+          val bytes = java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f.path))
+          val (leaves, cells) = ParquetFile.readFileCells(bytes)
+          val ki = leaves.indexWhere(_.path == keyCol)
+          require(ki >= 0 && leaves(ki).ptype == 2 &&
+            leaves(ki).maxDef == 0,
+            s"merge key $keyCol must be a REQUIRED long column")
+          val n = cells(ki).longs.length
+          val matched = scala.collection.mutable.ArrayBuffer.empty[Long]
+          // build per-column output values, applying the changeset
+          val outCols: Seq[ParquetWrite.Col] =
+            leaves.zipWithIndex.map { case (lf, li) =>
+              val isBin = lf.ptype == 6
+              val nullable = lf.maxDef == 1
+              val cc = cells(li)
+              def valueAt(i: Int): Any = {
+                val k = cells(ki).longs(i)
+                bc.value.get(k) match {
+                  case Some(vals) => vals(li)
+                  case None =>
+                    if (!cc.defined(i)) null
+                    else if (isBin) new String(cc.bins(i), "UTF-8")
+                    else java.lang.Long.valueOf(cc.longs(i))
+                }
+              }
+              if (!isBin && !nullable)
+                ParquetWrite.LongCol(lf.path, Array.tabulate(n)(i =>
+                  valueAt(i).asInstanceOf[java.lang.Long].longValue()))
+              else if (!isBin)
+                ParquetWrite.OptLongCol(lf.path, Array.tabulate(n)(i =>
+                  valueAt(i).asInstanceOf[java.lang.Long]))
+              else if (nullable)
+                ParquetWrite.OptStrCol(lf.path, Array.tabulate(n)(i =>
+                  valueAt(i).asInstanceOf[String]))
+              else
+                ParquetWrite.StrCol(lf.path, Array.tabulate(n)(i =>
+                  valueAt(i).asInstanceOf[String]))
+            }
+          var i = 0
+          while (i < n) {
+            val k = cells(ki).longs(i)
+            if (bc.value.contains(k)) matched += k
+            i += 1
+          }
+          val out = ParquetWrite.writeFile(outCols, rowsPerGroup = 1024)
+          val p = s"$root/data/merge-$next-$idx.parquet"
+          java.nio.file.Files.write(java.nio.file.Paths.get(p), out): Unit
+          val st = ParquetFile.parse(idx.toLong, out)
+            .filter(r => r.valid && r.has_stats && r.col_path == keyCol)
+          (f.path, p, n.toLong,
+            st.map(_.min_long).min, st.map(_.max_long).max,
+            matched.distinct.toSeq)
+        }
+        .collect()
+
+    val matchedKeys = rewritten.flatMap(_._6).toSet
+    val inserts = updates.filterNot(u => matchedKeys.contains(u._1))
+      .sortBy(_._1)
+    // insert file: built from the changeset rows, key-sorted; needs
+    // the table schema — take it from any live file's footer
+    val insertAdd: Option[(String, Long, Long, Long)] =
+      if (inserts.isEmpty) None
+      else {
+        val schemaBytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(live.head.path))
+        val leaves = ParquetFile.parseFooterMeta(schemaBytes).leaves
+        val cols: Seq[ParquetWrite.Col] = leaves.zipWithIndex.map {
+          case (lf, li) =>
+            val isBin = lf.ptype == 6
+            val nullable = lf.maxDef == 1
+            if (!isBin && !nullable)
+              ParquetWrite.LongCol(lf.path, inserts.map(
+                _._2(li).asInstanceOf[java.lang.Long].longValue())
+                .toArray)
+            else if (!isBin)
+              ParquetWrite.OptLongCol(lf.path, inserts.map(
+                _._2(li).asInstanceOf[java.lang.Long]).toArray)
+            else if (nullable)
+              ParquetWrite.OptStrCol(lf.path, inserts.map(
+                _._2(li).asInstanceOf[String]).toArray)
+            else ParquetWrite.StrCol(lf.path, inserts.map(
+              _._2(li).asInstanceOf[String]).toArray)
+        }
+        val out = ParquetWrite.writeFile(cols, rowsPerGroup = 1024)
+        val p = s"$root/data/merge-$next-insert.parquet"
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), out): Unit
+        Some((p, inserts.size.toLong, inserts.head._1,
+          inserts.last._1))
+      }
+    if (rewritten.isEmpty && insertAdd.isEmpty)
+      return MergeResult(0, 0L, 0L, -1L)
+    val lines =
+      rewritten.map(r => s"""{"remove":{"path":"${r._1}"}}""") ++
+      rewritten.map(r =>
+        s"""{"add":{"path":"${r._2}","size":${r._3}""" +
+          s""","min_key":${r._4},"max_key":${r._5}}}""") ++
+      insertAdd.map { case (p, rows, mn, mx) =>
+        s"""{"add":{"path":"$p","size":$rows""" +
+          s""","min_key":$mn,"max_key":$mx}}"""
+      }
+    val d = new java.io.File(s"$root/log/version=$next")
+    require(d.mkdirs(), s"commit collision at $d")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/actions.json"),
+      lines.mkString("\n").getBytes("UTF-8")): Unit
+    MergeResult(rewritten.length, matchedKeys.size.toLong,
+      insertAdd.map(_._2).getOrElse(0L), next)
+  }
+
   final case class VacuumResult(deleted: Int, retainedFiles: Int)
 
   /** VACUUM: physically delete data files not referenced by ANY

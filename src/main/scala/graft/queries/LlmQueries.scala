@@ -6388,6 +6388,100 @@ object LlmQueries {
           CAST(sum(nc) AS BIGINT) AS sum_chars
         FROM d GROUP BY lang""")),
 
+    // ---- Lakehouse MERGE / upsert (r11 — the CDC workhorse: a
+    // bounded changeset against a huge table). Matched keys REPLACE
+    // their stored rows (candidate files pre-pruned by log stats,
+    // rewritten map-side through our codecs with the changeset
+    // riding as a broadcast map); unmatched keys INSERT as one
+    // key-sorted file; ONE commit carries remove+add. The changeset
+    // updates every doc_id%10==0 row (n_chars := doc_id, lang :=
+    // 'xx') and inserts 100 brand-new keys past max(doc_id) (lang
+    // 'zz') — the oracle replays both arms over the source table; a
+    // merge that misses a match, rewrites a wrong row, or drops an
+    // insert cannot group-by-lang to the same sums.
+    "q230_lake_merge" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakem_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val adds = docs(s, dir)
+          .select((col("doc_id") / 1024).cast("long").as("g"),
+            col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("lang"))
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rows.map(_._2)),
+              graft.operators.ParquetWrite.OptLongCol("n_chars",
+                rows.map(r => if (r._2 % 9 == 0) null
+                  else java.lang.Long.valueOf(r._3))),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rows.map(_._4))))
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            val st = graft.operators.ParquetFile.parse(g, bytes)
+              .filter(r => r.valid && r.col_path == "doc_id" &&
+                r.has_stats)
+            (p, st.map(_.min_long).min, st.map(_.max_long).max,
+              rows.length.toLong)
+          }
+          .toDF("path", "min_key", "max_key", "size")
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          adds.select(lit(0L).as("version"), to_json(struct(
+              struct(col("path"), col("min_key"), col("max_key"),
+                col("size")).as("add"))).as("value"))
+            .coalesce(1)
+            .write.partitionBy("version").text(s"$base/log")
+          // the CDC changeset: bounded driver-side collect is the
+          // operator's documented broadcast contract
+          val upd = docs(s, dir).where(col("doc_id") % 10 === 0)
+            .select(col("doc_id")).as[Long].collect().sorted
+            .map(k => (k, Array[Any](java.lang.Long.valueOf(k),
+              java.lang.Long.valueOf(k), "xx")))
+          val mx = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+          val ins = (0 until 100).map { i =>
+            val k = mx + 1 + i
+            (k, Array[Any](java.lang.Long.valueOf(k),
+              java.lang.Long.valueOf(k * 2), "zz"))
+          }
+          graft.operators.LakeMaintenance.merge(s, base,
+            (upd ++ ins).toSeq, "doc_id"): Unit
+          s.read.format("graft-lake").option("path", base).load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+          d AS (SELECT
+              CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+              CASE WHEN doc_id % 10 = 0 THEN doc_id
+                   WHEN doc_id % 9 = 0 THEN NULL
+                   ELSE n_chars END AS nc
+            FROM documents
+            UNION ALL
+            SELECT 'zz', (m + 1 + i) * 2
+            FROM mx, LATERAL (SELECT unnest(range(100)) AS i) ii)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(nc) AS BIGINT) AS sum_chars
+        FROM d GROUP BY lang""")),
+
     // ---- Lakehouse VACUUM (r11 — compaction's companion: removes
     // leave tombstoned files ON DISK for time travel; VACUUM reclaims
     // every data file not referenced by any snapshot inside the

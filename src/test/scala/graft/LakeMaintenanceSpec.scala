@@ -140,6 +140,62 @@ class LakeMaintenanceSpec extends SparkSpec {
       LakeMaintenance.VacuumResult(0, 2)
   }
 
+  test("MERGE: matched keys replace in place, unmatched insert, " +
+      "untouched files stay untouched, one commit") {
+    val base = buildLittered(4) // keys 0..399 in 4 files
+    val upd = Seq(
+      (5L, Array[Any](java.lang.Long.valueOf(5L),
+        java.lang.Long.valueOf(9999L), "upd")),
+      (105L, Array[Any](java.lang.Long.valueOf(105L),
+        null, "upd")), // null value into the nullable column
+      (9000L, Array[Any](java.lang.Long.valueOf(9000L),
+        java.lang.Long.valueOf(1L), "new")))
+    val r = LakeMaintenance.merge(spark, base, upd, "doc_id")
+    r.rewritten shouldBe 2 // files 0 and 1 intersect {5, 105}
+    r.matched shouldBe 2L
+    r.inserted shouldBe 1L
+    r.version shouldBe 1L
+    val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+    live.size shouldBe 5 // 2 rewritten + 2 untouched + 1 insert file
+    // untouched files keep their ORIGINAL paths (never rewritten)
+    live.count(_.path.contains("/part-")) shouldBe 2
+    val df = lake(base)
+    df.count() shouldBe 401L
+    val got = asSet(df)
+    got should contain ((5L, Some(9999L), "upd"))
+    got should contain ((105L, None, "upd"))
+    got should contain ((9000L, Some(1L), "new"))
+    // every other row is byte-identical to the original
+    (got -- Set((5L, Some(9999L), "upd"), (105L, None, "upd"),
+      (9000L, Some(1L), "new"))) shouldBe
+      (0 until 4).flatMap(expected).toSet
+        .filterNot(r => r._1 == 5L || r._1 == 105L)
+    // file pruning still works over the merged layout
+    lake(base).filter(col("doc_id") === 9000L)
+      .rdd.getNumPartitions shouldBe 1
+  }
+
+  test("MERGE guards: empty changeset no-op, duplicate keys reject, " +
+      "oversized changeset rejects") {
+    val base = buildLittered(2)
+    LakeMaintenance.merge(spark, base, Seq.empty, "doc_id") shouldBe
+      LakeMaintenance.MergeResult(0, 0L, 0L, -1L)
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.merge(spark, base, Seq(
+        (1L, Array[Any](java.lang.Long.valueOf(1L),
+          java.lang.Long.valueOf(1L), "a")),
+        (1L, Array[Any](java.lang.Long.valueOf(1L),
+          java.lang.Long.valueOf(2L), "b"))), "doc_id")
+    }
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.merge(spark, base, Seq(
+        (1L, Array[Any](java.lang.Long.valueOf(1L),
+          java.lang.Long.valueOf(1L), "a"))), "doc_id",
+        maxBroadcast = 0)
+    }
+    TxLog.commitVersions(s"$base/log").max shouldBe 0L // no commits
+  }
+
   test("the streaming tail sees a compaction commit as adds " +
       "(append-only semantics, documented re-emission)") {
     val base = buildLittered(4)
