@@ -195,23 +195,32 @@ object ParquetWrite {
     a.length < b.length
   }
 
+  /** Per-page record backing the PAGE INDEX (r11): location, first
+    * row, and the slice's stats. */
+  private final case class PageMeta(off: Long, size: Int,
+      firstRow: Long, nullPage: Boolean, nullCount: Long,
+      minL: Long, maxL: Long, minB: Array[Byte], maxB: Array[Byte])
+
   private final case class ChunkMeta(name: String, ptype: Int,
       optional: Boolean, off: Long, dictOff: Long, dataOff: Long,
       bytes: Long,
       numValues: Long, nullCount: Long, dictUsed: Boolean,
       minL: Long, maxL: Long, hasLongStats: Boolean,
-      minB: Array[Byte], maxB: Array[Byte])
+      minB: Array[Byte], maxB: Array[Byte],
+      pages: Vector[PageMeta])
 
   /** Serialize one complete parquet file readable by any conforming
     * reader — Spark, DuckDB, parquet-mr, and `ParquetFile`. Rows split
     * into groups of `rowsPerGroup` (default: one group). */
   def writeFile(cols: Seq[Col],
-      rowsPerGroup: Int = Int.MaxValue): Array[Byte] = {
+      rowsPerGroup: Int = Int.MaxValue,
+      pageRows: Int = Int.MaxValue): Array[Byte] = {
     require(cols.nonEmpty, "no columns")
     val n = cols.head.n
     require(cols.forall(_.n == n), "ragged columns")
     require(n > 0, "empty file")
     require(rowsPerGroup > 0, "rowsPerGroup must be positive")
+    require(pageRows > 0, "pageRows must be positive")
     val out = new java.io.ByteArrayOutputStream(4096)
     out.write('P'); out.write('A'); out.write('R'); out.write('1')
 
@@ -323,52 +332,157 @@ object ParquetWrite {
         out.write(body, 0, body.length)
       }
 
-      // data page body: [prefixed def levels] ++ values
-      val body = new java.io.ByteArrayOutputStream()
-      if (optional) {
-        val enc = rleHybridEncode(defs, 1)
-        body.write(enc.length & 0xff); body.write((enc.length >> 8) & 0xff)
-        body.write((enc.length >> 16) & 0xff)
-        body.write((enc.length >> 24) & 0xff)
-        body.write(enc, 0, enc.length)
+      // data pages (r11): the chunk's rows split into `pageRows`
+      // slices, each page carrying its own def-level run and value
+      // slice — plus the per-page metadata the PAGE INDEX serializes
+      val pageMetas =
+        scala.collection.mutable.ArrayBuffer.empty[PageMeta]
+      val bw = if (useDict) math.max(1,
+        32 - Integer.numberOfLeadingZeros(math.max(1, dictVals.size - 1)))
+        else 0
+      var rowAt = 0 // row within chunk
+      var vAt = 0 // non-null value index within chunk
+      while (rowAt < rows) {
+        val pRows = math.min(pageRows, rows - rowAt)
+        var pNulls = 0
+        if (optional) {
+          var i = 0
+          while (i < pRows) {
+            if (defs(rowAt + i) == 0) pNulls += 1
+            i += 1
+          }
+        }
+        val k = pRows - pNulls
+        val body = new java.io.ByteArrayOutputStream()
+        if (optional) {
+          val slice = java.util.Arrays.copyOfRange(defs, rowAt,
+            rowAt + pRows)
+          val enc = rleHybridEncode(slice, 1)
+          body.write(enc.length & 0xff)
+          body.write((enc.length >> 8) & 0xff)
+          body.write((enc.length >> 16) & 0xff)
+          body.write((enc.length >> 24) & 0xff)
+          body.write(enc, 0, enc.length)
+        }
+        if (useDict) {
+          body.write(bw)
+          val enc = rleHybridEncode(
+            java.util.Arrays.copyOfRange(indices, vAt, vAt + k), bw)
+          body.write(enc, 0, enc.length)
+        } else {
+          val pv = plainBytes(longVals.slice(vAt, vAt + k).toSeq,
+            binVals.slice(vAt, vAt + k).toSeq)
+          body.write(pv, 0, pv.length)
+        }
+        val page = body.toByteArray
+        val pOff = out.size().toLong
+        val h = new TWriter
+        var last = 0
+        last = h.i32Field(last, 1, 0) // type = DATA_PAGE (V1)
+        last = h.i32Field(last, 2, page.length) // uncompressed
+        last = h.i32Field(last, 3, page.length) // compressed
+        last = h.fieldHeader(last, 5, 12) // DataPageHeader
+        var fl = 0
+        fl = h.i32Field(fl, 1, pRows) // num_values = LEVEL entries
+        fl = h.i32Field(fl, 2, if (useDict) 2 else 0) // encoding
+        fl = h.i32Field(fl, 3, 3) // def-level encoding RLE
+        fl = h.i32Field(fl, 4, 3) // rep-level encoding RLE
+        h.stop(); h.stop()
+        val hb = h.bytes
+        out.write(hb, 0, hb.length)
+        out.write(page, 0, page.length)
+        // page stats over the slice's non-null values
+        var pMinL = Long.MaxValue; var pMaxL = Long.MinValue
+        var pMinB: Array[Byte] = null; var pMaxB: Array[Byte] = null
+        var j = 0
+        while (j < k) {
+          if (ptype == 2) {
+            val v = longVals(vAt + j)
+            if (v < pMinL) pMinL = v
+            if (v > pMaxL) pMaxL = v
+          } else {
+            val bv = binVals(vAt + j)
+            if (pMinB == null || bytesLt(bv, pMinB)) pMinB = bv
+            if (pMaxB == null || bytesLt(pMaxB, bv)) pMaxB = bv
+          }
+          j += 1
+        }
+        pageMetas += PageMeta(pOff, (out.size() - pOff).toInt,
+          rowAt.toLong, k == 0, pNulls.toLong, pMinL, pMaxL,
+          pMinB, pMaxB)
+        rowAt += pRows; vAt += k
       }
-      if (useDict) {
-        val bw = math.max(1,
-          32 - Integer.numberOfLeadingZeros(math.max(1, dictVals.size - 1)))
-        body.write(bw)
-        val enc = rleHybridEncode(indices, bw)
-        body.write(enc, 0, enc.length)
-      } else {
-        val pv = plainBytes(longVals.toSeq, binVals.toSeq)
-        body.write(pv, 0, pv.length)
-      }
-      val page = body.toByteArray
-      val dataOff = out.size().toLong
-      val h = new TWriter
-      var last = 0
-      last = h.i32Field(last, 1, 0) // type = DATA_PAGE (V1)
-      last = h.i32Field(last, 2, page.length) // uncompressed
-      last = h.i32Field(last, 3, page.length) // compressed
-      last = h.fieldHeader(last, 5, 12) // DataPageHeader
-      var fl = 0
-      fl = h.i32Field(fl, 1, rows) // num_values = LEVEL entries
-      fl = h.i32Field(fl, 2, if (useDict) 2 else 0) // encoding
-      fl = h.i32Field(fl, 3, 3) // def-level encoding RLE
-      fl = h.i32Field(fl, 4, 3) // rep-level encoding RLE
-      h.stop(); h.stop()
-      val hb = h.bytes
-      out.write(hb, 0, hb.length)
-      out.write(page, 0, page.length)
       ChunkMeta(c.name, ptype, optional, chunkOff,
-        dictOff, dataOff, out.size().toLong - chunkOff, rows.toLong, nulls,
+        dictOff, pageMetas.head.off, out.size().toLong - chunkOff,
+        rows.toLong, nulls,
         useDict, minL, maxL, hasLongStats = ptype == 2 && nonNull > 0,
-        minB, maxB)
+        minB, maxB, pageMetas.toVector)
     }
 
     // ---- data: row groups × columns, written sequentially ----
     val groups = groupBounds.map { case (lo, hi) =>
       (hi - lo, cols.map(c => writeChunk(c, lo, hi)))
     }
+
+    // ---- PAGE INDEX (r11): ColumnIndex + OffsetIndex per chunk,
+    // written between the data and the footer (the parquet-mr
+    // layout) — what page-level skipping reads (q209's decoder and
+    // parquet-mr's own index reader both consume these)
+    def boundBytes(c: ChunkMeta, pm: PageMeta,
+        isMin: Boolean): Array[Byte] = {
+      if (pm.nullPage) Array.emptyByteArray
+      else if (c.ptype == 2) leLong(if (isMin) pm.minL else pm.maxL)
+      else if (isMin) pm.minB
+      else pm.maxB
+    }
+    // (ciOff, ciLen, oiOff, oiLen) per chunk, group-major
+    val indexLocs: Seq[Seq[(Long, Int, Long, Int)]] =
+      groups.map { case (_, chunks) =>
+        chunks.map { c =>
+          val ci = new TWriter
+          var last = 0
+          last = ci.fieldHeader(last, 1, 9) // null_pages: list<bool>
+          if (c.pages.length < 15) ci.u8((c.pages.length << 4) | 1)
+          else { ci.u8(0xf1); ci.varint(c.pages.length.toLong) }
+          c.pages.foreach(pm => ci.u8(if (pm.nullPage) 1 else 2))
+          last = ci.fieldHeader(last, 2, 9) // min_values: list<binary>
+          ci.listHeader(c.pages.length, 8)
+          c.pages.foreach { pm =>
+            val b = boundBytes(c, pm, isMin = true)
+            ci.varint(b.length.toLong); ci.out.write(b, 0, b.length)
+          }
+          last = ci.fieldHeader(last, 3, 9) // max_values
+          ci.listHeader(c.pages.length, 8)
+          c.pages.foreach { pm =>
+            val b = boundBytes(c, pm, isMin = false)
+            ci.varint(b.length.toLong); ci.out.write(b, 0, b.length)
+          }
+          last = ci.i32Field(last, 4, 0) // boundary_order UNORDERED
+          last = ci.fieldHeader(last, 5, 9) // null_counts: list<i64>
+          ci.listHeader(c.pages.length, 6)
+          c.pages.foreach(pm => ci.zigzag(pm.nullCount))
+          ci.stop()
+          val cib = ci.bytes
+          val ciOff = out.size().toLong
+          out.write(cib, 0, cib.length)
+          val oi = new TWriter
+          val ol = oi.fieldHeader(0, 1, 9) // page_locations
+          val _ = ol
+          oi.listHeader(c.pages.length, 12)
+          c.pages.foreach { pm =>
+            var pl = 0
+            pl = oi.i64Field(pl, 1, pm.off)
+            pl = oi.i32Field(pl, 2, pm.size)
+            pl = oi.i64Field(pl, 3, pm.firstRow)
+            oi.stop()
+          }
+          oi.stop()
+          val oib = oi.bytes
+          val oiOff = out.size().toLong
+          out.write(oib, 0, oib.length)
+          (ciOff, cib.length, oiOff, oib.length)
+        }
+      }
 
     // ---- footer: FileMetaData ----
     val f = new TWriter
@@ -396,11 +510,11 @@ object ParquetWrite {
     // field 4: row_groups
     last = f.fieldHeader(last, 4, 9)
     f.listHeader(groups.length, 12)
-    groups.foreach { case (rgRows, chunks) =>
+    groups.zip(indexLocs).foreach { case ((rgRows, chunks), locs) =>
       var rl = 0
       rl = f.fieldHeader(rl, 1, 9) // field 1: columns
       f.listHeader(chunks.length, 12)
-      chunks.foreach { c =>
+      chunks.zip(locs).foreach { case (c, (ciOff, ciLen, oiOff, oiLen)) =>
         var cl = 0
         cl = f.i64Field(cl, 2, c.off) // file_offset
         cl = f.fieldHeader(cl, 3, 12) // field 3: ColumnMetaData
@@ -447,6 +561,10 @@ object ParquetWrite {
           f.stop()
         }
         f.stop() // ColumnMetaData
+        cl = f.i64Field(cl, 4, oiOff) // offset_index_offset
+        cl = f.i32Field(cl, 5, oiLen) // offset_index_length
+        cl = f.i64Field(cl, 6, ciOff) // column_index_offset
+        cl = f.i32Field(cl, 7, ciLen) // column_index_length
         f.stop() // ColumnChunk
       }
       rl = f.i64Field(rl, 2, chunks.map(_.bytes).sum) // total_byte_size

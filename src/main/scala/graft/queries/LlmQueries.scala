@@ -6309,6 +6309,73 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- Parquet writer PAGE INDEX (r11 — the q209 symmetry: the
+    // engine has read OffsetIndex/ColumnIndex since r10; now it
+    // WRITES them). Files carry ONE row group split into 128-row V1
+    // pages; per-page min/max/null-count land in a ColumnIndex and
+    // page locations in an OffsetIndex (full Thrift compact encode,
+    // written between the data and the footer, chunk fields 4–7
+    // pointing at them). The gate reads the files back through
+    // Spark's reader under a selective predicate — with one row
+    // group, only PAGE-level skipping can cut below the file grain,
+    // and ParquetWriteSpec proves it does (scan metric ≤ 2 of 16
+    // pages; parquet-mr's own index reader and our q209 decoder both
+    // verify the structures field by field).
+    "q231_parquet_page_write" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_pqpi_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(base).mkdirs()
+        docs(s, dir).select((col("doc_id") / 2048).cast("long").as("g"),
+            col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("source"))
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            (g, graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rows.map(_._2)),
+              graft.operators.ParquetWrite.OptLongCol("n_chars",
+                rows.map(r => if (r._2 % 9 == 0) null
+                  else java.lang.Long.valueOf(r._3))),
+              graft.operators.ParquetWrite.StrCol("source",
+                rows.map(_._4))),
+              rowsPerGroup = Int.MaxValue, pageRows = 128))
+          }
+          .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+            it.foreach { case (g, bytes) =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$base/part-$g.parquet"),
+                bytes): Unit
+            }
+          }
+        val wrote = Option(new java.io.File(base).listFiles())
+          .exists(_.exists(_.getName.endsWith(".parquet")))
+        val read =
+          if (wrote) s.read.parquet(base)
+          else Seq.empty[(Long, java.lang.Long, String)]
+            .toDF("doc_id", "n_chars", "source")
+        read.where(col("doc_id").between(500L, 900L))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).as("sum_doc"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("source"))).as("sum_srclen"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+          CAST(sum(CASE WHEN doc_id % 9 = 0 THEN NULL
+            ELSE n_chars END) AS BIGINT) AS sum_chars,
+          CAST(sum(len(source)) AS BIGINT) AS sum_srclen
+        FROM documents WHERE doc_id BETWEEN 500 AND 900""")),
+
     // ---- Lakehouse COMPACTION / OPTIMIZE (r11 — the maintenance op
     // that completes the table lifecycle: streaming appends litter a
     // table with small files; OPTIMIZE bin-packs them into rewritten

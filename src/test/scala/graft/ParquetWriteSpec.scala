@@ -237,6 +237,87 @@ class ParquetWriteSpec extends SparkSpec {
     }
   }
 
+  test("PAGE INDEX (r11): parquet-mr reads our ColumnIndex and " +
+      "OffsetIndex; our own q209 decoder agrees") {
+    val n = 1024
+    val ids = (0 until n).map(_.toLong * 2).toArray
+    val ov = (0 until n).map(i =>
+      if (i % 5 == 0) null else java.lang.Long.valueOf(i.toLong))
+      .toArray
+    val bytes = ParquetWrite.writeFile(Seq(
+      ParquetWrite.LongCol("id", ids),
+      ParquetWrite.OptLongCol("ov", ov)), pageRows = 128)
+    val dir = Files.createTempDirectory("graft_pqw_pi_").toString
+    val p = s"$dir/f.parquet"
+    Files.write(java.nio.file.Paths.get(p), bytes)
+    // parquet-mr's view
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cc = r.getFooter.getBlocks.get(0).getColumns.get(0)
+      val oi = r.readOffsetIndex(cc)
+      oi.getPageCount shouldBe 8
+      (0 until 8).foreach { pg =>
+        oi.getFirstRowIndex(pg) shouldBe pg.toLong * 128
+      }
+      val ci = r.readColumnIndex(cc)
+      val mins = ci.getMinValues; val maxs = ci.getMaxValues
+      (0 until 8).foreach { pg =>
+        java.nio.ByteBuffer.wrap(mins.get(pg).array())
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .getLong shouldBe pg.toLong * 128 * 2
+        java.nio.ByteBuffer.wrap(maxs.get(pg).array())
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .getLong shouldBe (pg.toLong * 128 + 127) * 2
+      }
+      val cc2 = r.getFooter.getBlocks.get(0).getColumns.get(1)
+      val ci2 = r.readColumnIndex(cc2)
+      val nc = ci2.getNullCounts
+      (0 until 8).foreach { pg =>
+        // every 5th row null: ceil(128/5)-ish per page, exact count
+        val want = (pg * 128 until (pg + 1) * 128).count(_ % 5 == 0)
+        nc.get(pg).longValue() shouldBe want.toLong
+      }
+    } finally r.close()
+    // our own q209 decoder consumes the same structures
+    val meta = ParquetFile.parseFooterMeta(bytes)
+    val c0 = meta.rowGroups.head.chunks.head
+    val locs = ParquetFile.readOffsetIndex(bytes, c0.oiOff, c0.oiLen)
+    locs.length shouldBe 8
+    locs.map(_.firstRow) shouldBe
+      (0 until 8).map(_.toLong * 128).toVector
+    val ciOwn = ParquetFile.readColumnIndex(bytes, c0.ciOff, c0.ciLen,
+      c0.ptype)
+    ciOwn.mins.map(_.get) shouldBe
+      (0 until 8).map(pg => pg.toLong * 128 * 2).toVector
+    ciOwn.maxs.map(_.get) shouldBe
+      (0 until 8).map(pg => (pg.toLong * 128 + 127) * 2).toVector
+  }
+
+  test("PAGE-level pruning: Spark's scan skips pages of OUR file on " +
+      "our written column index") {
+    val n = 2048
+    val ids = (0 until n).map(_.toLong).toArray // sorted: tight pages
+    val dir = Files.createTempDirectory("graft_pqw_pp_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/f.parquet"),
+      ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("id", ids),
+        ParquetWrite.OptLongCol("v", ids.map(v =>
+          java.lang.Long.valueOf(v % 31)))), pageRows = 128))
+    // ONE row group, 16 pages: only the column index can cut below
+    // the row-group grain
+    val df = spark.read.parquet(dir).where(col("id") < 200L)
+    df.collect().length shouldBe 200
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val emitted = scan.metrics("numOutputRows").value
+    withClue(s"scan emitted $emitted rows: ") {
+      emitted should be < n.toLong // below the row group = page skip
+      emitted should be <= 256L // 2 of 16 pages
+    }
+  }
+
   test("our own reader consumes the widened surface: optional + " +
       "dictionary + multi-group files round-trip with null accounting") {
     val n = 900
