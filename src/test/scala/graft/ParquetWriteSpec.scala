@@ -318,6 +318,55 @@ class ParquetWriteSpec extends SparkSpec {
     }
   }
 
+  test("PAGE edge: dictionary indices slice correctly across pages " +
+      "and the index carries dict-page bounds") {
+    val n = 600
+    val vs = (0 until n).map(i => s"v${i % 7}").toArray // dict kicks in
+    val dir = Files.createTempDirectory("graft_pqw_dp_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/f.parquet"),
+      ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("id", (0 until n).map(_.toLong).toArray),
+        ParquetWrite.StrCol("s", vs)), pageRows = 100))
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+    back.length shouldBe n
+    (0 until n).foreach(i => back(i).getString(1) shouldBe vs(i))
+    // and the chunk really is dictionary-encoded with 6 pages
+    val bytes = Files.readAllBytes(
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath)
+    val c = ParquetFile.parseFooterMeta(bytes).rowGroups.head.chunks(1)
+    c.dictPageOff should be > 0L
+    ParquetFile.readOffsetIndex(bytes, c.oiOff, c.oiLen)
+      .length shouldBe 6
+  }
+
+  test("PAGE edge: an all-null page lands as null_page=true with " +
+      "empty bounds and a full null count") {
+    val n = 300 // pages of 100: page 1 (rows 100..199) fully null
+    val ov = (0 until n).map(i =>
+      if (i >= 100 && i < 200) null else java.lang.Long.valueOf(i.toLong))
+      .toArray
+    val bytes = ParquetWrite.writeFile(Seq(
+      ParquetWrite.LongCol("id", (0 until n).map(_.toLong).toArray),
+      ParquetWrite.OptLongCol("ov", ov)), pageRows = 100)
+    val c = ParquetFile.parseFooterMeta(bytes).rowGroups.head.chunks(1)
+    val ci = ParquetFile.readColumnIndex(bytes, c.ciOff, c.ciLen,
+      c.ptype)
+    ci.nullPages shouldBe Vector(false, true, false)
+    ci.mins(1) shouldBe None // empty binary on the null page
+    ci.maxs(1) shouldBe None
+    ci.mins(0) shouldBe Some(0L)
+    ci.maxs(2) shouldBe Some(299L)
+    // Spark still reads every value and null position
+    val dir = Files.createTempDirectory("graft_pqw_np_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/f.parquet"), bytes)
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+    (0 until n).foreach { i =>
+      if (ov(i) == null) back(i).isNullAt(1) shouldBe true
+      else back(i).getLong(1) shouldBe ov(i).longValue()
+    }
+  }
+
   test("our own reader consumes the widened surface: optional + " +
       "dictionary + multi-group files round-trip with null accounting") {
     val n = 900
