@@ -71,7 +71,8 @@ object LakeSource {
       "graft-lake requires a 'path' option (the table root)")
     new LakeTable(path, options.getLong("asOf", -1L),
       options.getOrDefault("statsCol", "doc_id"),
-      options.getInt("versionsPerTrigger", Int.MaxValue))
+      options.getInt("versionsPerTrigger", Int.MaxValue),
+      options.getInt("checkpointEvery", 10))
   }
 
   /** Leaf → Spark field; flat INT32/INT64/UTF8-string only (the own-
@@ -91,7 +92,8 @@ object LakeSource {
 }
 
 final class LakeTable(val root: String, val asOf: Long,
-    val statsCol: String, val versionsPerTrigger: Int = Int.MaxValue)
+    val statsCol: String, val versionsPerTrigger: Int = Int.MaxValue,
+    val checkpointEvery: Int = 10)
     extends Table with SupportsRead with SupportsWrite {
 
   /** Snapshot resolution — driver-side metadata I/O through the
@@ -493,7 +495,7 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
       lines.mkString("\n").getBytes("UTF-8")): Unit
     // checkpoint maintenance: compact every `checkpointEvery` commits
     // so resolution stays O(cadence) as history grows (the q217 law)
-    val every = 10L
+    val every = math.max(1, table.checkpointEvery).toLong
     if ((next + 1) % every == 0L)
       TxLog.writeCheckpoint(
         org.apache.spark.sql.SparkSession.active,
