@@ -61,7 +61,10 @@ object TxLog {
     * set). One path-keyed exchange. The fold is associative over any
     * partition of the action set — which is what makes both the
     * checkpoint ∪ tail union and the streaming micro-batch fold
-    * ([[foldState]]) bit-identical to full replay. */
+    * ([[foldState]]) bit-identical to full replay. Two actions for the
+    * SAME path in the SAME version are writer error (every commit
+    * writer in this engine emits at most one action per path per
+    * version); the fold does not define an order for that case. */
   def latestWins(acts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("path")).orderBy(col("version").desc)
     acts.select(col("version"), col("path"), col("is_add"),
