@@ -287,8 +287,10 @@ object Mp3 {
   // ENTROPY layer (r9, second half): the Huffman spectral decode the
   // blocked list carried as its last undecoded layer. Scope is the
   // documented SUBSET a self-contained stream can use — the baseline-
-  // JPEG stance (L107): main_data_begin = 0 (no bit reservoir),
-  // scfsi = 0, all big-value regions coded with ISO/IEC 11172-3
+  // JPEG stance (L107): main_data_begin = 0 (no bit reservoir; r10
+  // honors it), scfsi honored (r11: granule 1 reuses granule 0's
+  // scalefactors in the selected groups — long granules only, the
+  // ISO contract), all big-value regions coded with ISO/IEC 11172-3
   // Huffman table 1 (the 2×2 table; codes 1 / 01 / 001 / 000 for
   // (0,0) / (1,0) / (0,1) / (1,1), no linbits) and count1 coded with
   // table B (4-bit code = 15 − (v·8+w·4+x·2+y)). Within that subset
@@ -296,8 +298,8 @@ object Mp3 {
   // read (long 11+10 bands, short 6+6 bands × 3 windows), sign-coded
   // big-value pairs, count1 quadruples terminated EXACTLY at the
   // side-info's part2_3_length boundary, and the 576-line bound.
-  // Streams outside the subset (reservoir, other tables, scfsi
-  // sharing) → valid=false, never a wrong answer.
+  // Streams outside the subset (other Huffman tables, linbits)
+  // → valid=false, never a wrong answer.
   // ------------------------------------------------------------------
 
   /** ISO 11172-3 scalefac_compress → (slen1, slen2). */
@@ -357,7 +359,7 @@ object Mp3 {
         val mdb = r.read(9)
         if (mdb > resv.length) return invalid
         r.read(5)
-        if (r.read(4) != 0) return invalid // scfsi sharing out of subset
+        val scfsi = r.read(4) // sharing honored below (r11, q232)
         // side info first (both granules), THEN the main data
         final case class Gr(p23: Int, bv: Int, sfc: Int, bt: Int,
                             mixed: Int, c1tab: Int)
@@ -391,6 +393,10 @@ object Mp3 {
           grs(g) = Gr(p23, bv, sfc, bt, mixed, c1tab)
           g += 1
         }
+        // scfsi shares scalefactors ACROSS granules: only meaningful
+        // (and only emitted by encoders) when both granules are long
+        if (scfsi != 0 && (grs(0).bt != 0 || grs(1).bt != 0))
+          return invalid
         // main data: the last mdb reservoir bytes, then this frame's
         // own slot — one contiguous buffer (reading can never overrun
         // into the NEXT frame's header: those bytes are not in it)
@@ -400,6 +406,7 @@ object Mp3 {
         System.arraycopy(resv, resv.length - mdb, mbuf, 0, mdb)
         System.arraycopy(slot, 0, mbuf, mdb, slot.length)
         val m = new BitReader(mbuf, 0)
+        val sfPrev = new Array[Int](21) // granule 0's long scalefactors
         g = 0
         while (g < 2) {
           val gr = grs(g)
@@ -417,10 +424,20 @@ object Mp3 {
             k = 0
             while (k < 18) { sumSf += m.read(s2); k += 1 }
           } else {
-            var k = 0
-            while (k < 11) { sumSf += m.read(s1); k += 1 }
-            k = 0
-            while (k < 10) { sumSf += m.read(s2); k += 1 }
+            // long (and start/stop): banded read; scfsi-shared bands
+            // of granule 1 REUSE granule 0's value (nothing on the
+            // wire) — sumSf accounts the EFFECTIVE scalefactors
+            var band = 0
+            while (band < 21) {
+              val sl = if (band < 11) s1 else s2
+              val shared = scfsi != 0 && g == 1 &&
+                ((scfsi >> (3 - (if (band < 6) 0 else if (band < 11) 1
+                  else if (band < 16) 2 else 3))) & 1) == 1
+              val v = if (shared) sfPrev(band) else m.read(sl)
+              if (g == 0) sfPrev(band) = v
+              sumSf += v
+              band += 1
+            }
           }
           // part3: big_values pairs (table 1 + sign bits)
           var k = 0
@@ -515,9 +532,13 @@ object Mp3 {
         ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte, 0xc0.toByte)
       val si = new BitWriter(17)
       val main = new BitWriter(frameLen - 21)
+      // blockMode 3 (r11, q232): long granules with SCFSI sharing —
+      // granule 1 reuses granule 0's scalefactors in the set groups
+      // and writes NOTHING for them
+      val scfsi = if (blockMode == 3) (seed + i) % 16 else 0
       si.write(0, 9) // main_data_begin (patched in pass 2)
       si.write(0, 5)
-      si.write(0, 4) // scfsi
+      si.write(scfsi, 4) // scfsi
       var g = 0
       while (g < 2) {
         val grStart = main.bitPos
@@ -529,6 +550,7 @@ object Mp3 {
         // the legacy modes keep their exact bit layouts
         // (q170/q200/q223 fixtures are byte-stable)
         val bt = if (blockMode == 1) (i + g) % 4
+                 else if (blockMode == 3) 0 // scfsi mode: all long
                  else if (!longOnly && (i + g) % 3 == 0) 2 else 0
         val mixed = if (blockMode == 2 && bt == 2) 1 else 0
         val wsf = if (bt == 0) 0 else 1
@@ -545,10 +567,16 @@ object Mp3 {
           k = 0
           while (k < 18) { main.write((seed + i + g + 18 + k) % (1 << s2), s2); k += 1 }
         } else {
-          var k = 0
-          while (k < 11) { main.write((seed + i + g + k) % (1 << s1), s1); k += 1 }
-          k = 0
-          while (k < 10) { main.write((seed + i + g + 11 + k) % (1 << s2), s2); k += 1 }
+          var band = 0
+          while (band < 21) { // value for band b: (seed+i+g+b) mod 2^sl
+            val sl = if (band < 11) s1 else s2
+            val shared = scfsi != 0 && g == 1 &&
+              ((scfsi >> (3 - (if (band < 6) 0 else if (band < 11) 1
+                else if (band < 16) 2 else 3))) & 1) == 1
+            if (!shared)
+              main.write((seed + i + g + band) % (1 << sl), sl)
+            band += 1
+          }
         }
         // part3: big values, table 1
         val bv = 2 + ((seed + i) * 5 + g * 7) % 24
@@ -892,7 +920,7 @@ object Mp3 {
         val r = new BitReader(b, siStart * 8)
         if (r.read(9) != 0) return invalid // reservoir out of subset
         r.read(5)
-        if (r.read(4) != 0) return invalid // scfsi sharing out of subset
+        val scfsi = r.read(4) // sharing honored below (r11, q232)
         final case class Gr(p23: Int, bv: Int, gg: Int, sfc: Int,
                             pre: Int, ss: Int, bt: Int, mixed: Int,
                             sbg: Array[Int])
@@ -929,7 +957,10 @@ object Mp3 {
           grs(g) = Gr(p23, bv, gg, sfc, pre, ss, bt, mixed, sbg)
           g += 1
         }
+        if (scfsi != 0 && (grs(0).bt != 0 || grs(1).bt != 0))
+          return invalid // sharing is a long-granule contract
         val m = new BitReader(b, (siStart + 17) * 8)
+        val sf0 = new Array[Int](21) // granule 0's long scalefactors
         g = 0
         while (g < 2) {
           val gr = grs(g)
@@ -964,8 +995,15 @@ object Mp3 {
             }
           } else {
             var band = 0
-            while (band < 11) { sf(band) = m.read(s1); band += 1 }
-            while (band < 21) { sf(band) = m.read(s2); band += 1 }
+            while (band < 21) {
+              val sl = if (band < 11) s1 else s2
+              val shared = scfsi != 0 && g == 1 &&
+                ((scfsi >> (3 - (if (band < 6) 0 else if (band < 11) 1
+                  else if (band < 16) 2 else 3))) & 1) == 1
+              sf(band) = if (shared) sf0(band) else m.read(sl)
+              band += 1
+            }
+            if (g == 0) System.arraycopy(sf, 0, sf0, 0, 21)
           }
           // part3: signed spectral lines
           val is = new Array[Int](576)

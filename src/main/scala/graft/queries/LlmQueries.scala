@@ -775,7 +775,8 @@ object LlmQueries {
     * reorder, three 12-point IMDCTs into the 36-sample hybrid grid);
     * the q225 cycle adds START/STOP granules (long-shaped transforms
     * under the asymmetric transition windows). */
-  private def sqlMp3SynthOracle(btExpr: String): String = {
+  private def sqlMp3SynthOracle(btExpr: String,
+      scfsiExpr: String = "0"): String = {
     val wsfExpr = btExpr
     val zero36 = "list_transform(range(36), zz -> 0.0)"
     s"""WITH tabs AS (SELECT
@@ -868,9 +869,15 @@ object LlmQueries {
               * gaint[gg + 1]
               * (CASE WHEN ss = 1 THEN sft1 ELSE sft0 END)[
                   CAST(CASE WHEN bd < 21 THEN
-                    (seed + i + g + bd) % (CASE sl WHEN 0 THEN 1
-                      WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
-                      ELSE 16 END)
+                    (CASE WHEN g = 1 AND (($scfsiExpr) //
+                        (CASE WHEN bd < 6 THEN 8 WHEN bd < 11 THEN 4
+                         WHEN bd < 16 THEN 2 ELSE 1 END)) % 2 = 1
+                      THEN (seed + i + bd) % (CASE sl0 WHEN 0 THEN 1
+                        WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                        ELSE 16 END)
+                      ELSE (seed + i + g + bd) % (CASE sl WHEN 0 THEN 1
+                        WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                        ELSE 16 END) END)
                     + pre * pret[bd + 1]
                   ELSE 0 END + 1 AS INT)] AS v
           FROM (SELECT *,
@@ -878,7 +885,11 @@ object LlmQueries {
                  ELSE bm2 END)[CAST(idx + 1 AS INT)] AS bd,
               (CASE WHEN (CASE sri WHEN 0 THEN bm0 WHEN 1 THEN bm1
                  ELSE bm2 END)[CAST(idx + 1 AS INT)] < 11
-                 THEN sl1[sfc + 1] ELSE sl2[sfc + 1] END) AS sl
+                 THEN sl1[sfc + 1] ELSE sl2[sfc + 1] END) AS sl,
+              (CASE WHEN (CASE sri WHEN 0 THEN bm0 WHEN 1 THEN bm1
+                 ELSE bm2 END)[CAST(idx + 1 AS INT)] < 11
+                 THEN sl1[CAST(i % 16 + 1 AS INT)]
+                 ELSE sl2[CAST(i % 16 + 1 AS INT)] END) AS sl0
             FROM ln, tabs WHERE bt IN (0, 1, 3))
           WHERE raw = 1
         UNION ALL
@@ -5553,6 +5564,29 @@ object LlmQueries {
       },
       Some(sqlMp3SynthOracle(
         "CASE WHEN (i + g) % 3 = 0 THEN 4 ELSE 0 END"))),
+
+    // ---- MP3 SCFSI — scalefactor sharing between granules (r11:
+    // the last non-entropy side-info semantic; after this only the
+    // linbits/non-table-1 Huffman tables remain). When a frame's
+    // 4-bit scfsi selects a band group (0–5, 6–10, 11–15, 16–20),
+    // granule 1 carries NO scalefactor bits for it and REUSES granule
+    // 0's values — requantizing them under its OWN scalefac_scale and
+    // global gain. The fixture emits scfsi = (seed+i)%16 on all-long
+    // streams; a decoder that reads the skipped bits anyway cannot
+    // land on part2_3_length, and one that reuses the wrong granule's
+    // values cannot match the requant sums. Sharing with any
+    // window-switching granule strict-rejects (the ISO contract).
+    "q232_mp3_scfsi" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val media = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, Mp3.mp3PayloadSpectral((2 + id % 4).toInt,
+              (id % 14).toInt, (id % 3).toInt, blockMode = 3))
+          })
+        Mp3.decodeMp3Synth(media).toDF()
+      },
+      Some(sqlMp3SynthOracle("0", scfsiExpr = "(seed + i) % 16"))),
 
     // ---- Avro OCF WRITER (r11 — the row-format mirror of q216: the
     // engine PRODUCES container files dependency-free, and the

@@ -378,6 +378,46 @@ class Mp3Spec extends SparkSpec {
     Mp3.parseSpectral(1L, m).valid shouldBe false
   }
 
+  test("scfsi (r11): shared scalefactor groups decode; sharing with " +
+      "window switching rejects") {
+    for (seed <- 0 until 14; sr <- 0 until 3) {
+      val b = Mp3.mp3PayloadSpectral(4, seed, sr, blockMode = 3)
+      val r = Mp3.parseSynth(100L * seed + sr, b)
+      withClue(s"seed=$seed sr=$sr: ") { r.valid shouldBe true }
+      Mp3.parseSynth(100L * seed + sr, b) shouldBe r
+      Mp3.parseSpectral(1L, b).valid shouldBe true
+    }
+    // a frame with scfsi = 15 shares everything: granule 1 carries
+    // ZERO scalefactor bits, and its requant uses granule 0's values
+    // under its own gain — which must differ from the longOnly stream
+    // of the same seed somewhere on the grid
+    // (the 1e-9-quantized synth sums can coincide — the q223 lesson —
+    // so pin divergence on the spectral layer's EXACT integers: the
+    // effective scalefactor sum and the shrunken part2_3 budget)
+    var differSf = false; var differP23 = false
+    for (seed <- 0 until 14; sr <- 0 until 3) {
+      val a = Mp3.parseSpectral(1L,
+        Mp3.mp3PayloadSpectral(4, seed, sr, blockMode = 3))
+      val b = Mp3.parseSpectral(1L,
+        Mp3.mp3PayloadSpectral(4, seed, sr, longOnly = true))
+      a.valid shouldBe true
+      if (a.sum_scalefac != b.sum_scalefac) differSf = true
+      if (a.sum_part23 != b.sum_part23) differP23 = true
+    }
+    differSf shouldBe true
+    differP23 shouldBe true
+    // scfsi != 0 with a window-switching granule is an ISO violation:
+    // flip a scfsi bit on the DEFAULT fixture (its granules include
+    // short blocks) — strict-reject
+    val m = Mp3.mp3PayloadSpectral(3, 1, 0) // granule (i+g)%3==0 short
+    Mp3.parseSynth(1L, m).valid shouldBe true
+    val x = m.clone()
+    val bitOff = 4 * 8 + 14 // scfsi bits at side-info offset 14..17
+    x(bitOff / 8) = (x(bitOff / 8) ^ (0x80 >> (bitOff % 8))).toByte
+    Mp3.parseSynth(1L, x).valid shouldBe false
+    Mp3.parseSpectral(1L, x).valid shouldBe false
+  }
+
   test("bit reservoir (r10): spilled layout decodes to the same sums") {
     for (seed <- 0 until 14; sr <- 0 until 3) {
       val plain = Mp3.mp3PayloadSpectral(5, seed, sr)
