@@ -72,7 +72,7 @@ object Bench {
     // after the last selected consumer in sort order; registries list
     // every consumer of each artifact.
     val pairIndexConsumers = Seq("q00_", "q27_", "q139_")
-    val suffixArrayConsumers = Seq("q171_", "q172_", "q198_")
+    val suffixArrayConsumers = Seq("q171_", "q172_", "q174_", "q198_")
     def lastSelected(prefixes: Seq[String]): Option[String] =
       selected.map(_._1)
         .filter(n => prefixes.exists(n.startsWith)).lastOption

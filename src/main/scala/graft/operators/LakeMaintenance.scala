@@ -104,19 +104,15 @@ object LakeMaintenance {
       .collect() // bounded: one row per BIN (metadata)
 
     val removes = work.flatten.map(f =>
-      s"""{"remove":{"path":"${f.path}"}}""")
+      s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""")
     val adds = results.map { case (p, rows, mn, mx) =>
       val stats = (mn, mx) match {
         case (Some(a), Some(b)) => s""","min_key":$a,"max_key":$b"""
         case _ => ""
       }
-      s"""{"add":{"path":"$p","size":$rows$stats}}"""
+      s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows$stats}}"""
     }
-    val d = new java.io.File(s"$root/log/version=$next")
-    require(d.mkdirs(), s"commit collision at $d")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$d/actions.json"),
-      (removes ++ adds).mkString("\n").getBytes("UTF-8")): Unit
+    TxLog.commitVersion(s"$root/log", next, (removes ++ adds).toSeq)
     CompactResult(work.map(_.size).sum, results.length, next)
   }
 
@@ -264,19 +260,16 @@ object LakeMaintenance {
     if (rewritten.isEmpty && insertAdd.isEmpty)
       return MergeResult(0, 0L, 0L, -1L)
     val lines =
-      rewritten.map(r => s"""{"remove":{"path":"${r._1}"}}""") ++
       rewritten.map(r =>
-        s"""{"add":{"path":"${r._2}","size":${r._3}""" +
+        s"""{"remove":{"path":"${TxLog.requireJsonSafe(r._1)}"}}""") ++
+      rewritten.map(r =>
+        s"""{"add":{"path":"${TxLog.requireJsonSafe(r._2)}","size":${r._3}""" +
           s""","min_key":${r._4},"max_key":${r._5}}}""") ++
       insertAdd.map { case (p, rows, mn, mx) =>
-        s"""{"add":{"path":"$p","size":$rows""" +
+        s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
           s""","min_key":$mn,"max_key":$mx}}"""
       }
-    val d = new java.io.File(s"$root/log/version=$next")
-    require(d.mkdirs(), s"commit collision at $d")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$d/actions.json"),
-      lines.mkString("\n").getBytes("UTF-8")): Unit
+    TxLog.commitVersion(s"$root/log", next, lines.toSeq)
     MergeResult(rewritten.length, matchedKeys.size.toLong,
       insertAdd.map(_._2).getOrElse(0L), next)
   }
@@ -290,15 +283,23 @@ object LakeMaintenance {
     * them — and it also sweeps ORPHANS (files in `data/` the log
     * never learned about: crashed writers' leftovers). After a
     * vacuum, `asOf` time travel BEHIND the horizon is gone — the
-    * Delta trade, documented; version-based retention is this
-    * format's analog of Delta's modification-time window (an
-    * in-flight writer's files join the log with its commit, so a
-    * nonzero retention protects them the same way).
+    * Delta trade, documented.
+    *
+    * The orphan sweep carries a MODIFICATION-TIME grace window
+    * (`graceMs`, ADVICE r11): an in-flight append's data files exist
+    * on disk BEFORE the driver commits the log version that
+    * references them, so no `retainVersions` value can protect them —
+    * they are referenced by NO version yet. Files younger than
+    * `graceMs` are skipped, exactly Delta's modification-time
+    * retention; tests that synthesize "old" orphans pass 0
+    * explicitly, accepting that no writer is concurrently in flight.
     *
     * 100 TB shape: pure log metadata + a directory listing; the only
     * data-file I/O is the deletes themselves. */
-  def vacuum(root: String, retainVersions: Int): VacuumResult = {
+  def vacuum(root: String, retainVersions: Int,
+      graceMs: Long = 10L * 60L * 1000L): VacuumResult = {
     require(retainVersions >= 0, "retainVersions must be >= 0")
+    require(graceMs >= 0, "graceMs must be >= 0")
     val versions = TxLog.commitVersions(s"$root/log")
     if (versions.isEmpty) return VacuumResult(0, 0)
     val horizon = versions.max - retainVersions
@@ -311,9 +312,10 @@ object LakeMaintenance {
     val onDisk = Option(dataDir.listFiles()).toSeq.flatten
       .filter(_.isFile)
     var deleted = 0
+    val cutoff = System.currentTimeMillis() - graceMs
     onDisk.foreach { f =>
       if (!keep.contains(f.getAbsolutePath) &&
-          !keep.contains(f.getPath)) {
+          !keep.contains(f.getPath) && f.lastModified() <= cutoff) {
         if (f.delete()) deleted += 1
       }
     }

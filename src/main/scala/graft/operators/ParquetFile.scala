@@ -457,9 +457,10 @@ object ParquetFile {
   // (including parquet-mr's mid-chunk PLAIN fallback when a dict
   // outgrows its budget), UNCOMPRESSED and SNAPPY page codecs, and
   // page-CRC32 verification over the stored bytes. V2 pages and the
-  // DELTA encodings decode too (q210). Flat columns only
-  // (maxRep 0, maxDef ≤ 1); nested columns → valid=false, never
-  // wrong.
+  // DELTA encodings decode too (q210). THIS SECTION's flat decoders
+  // only handle maxRep 0, maxDef ≤ 1 — nested columns → valid=false,
+  // never wrong; list columns decode through the q219 Dremel
+  // assembly section further down (`readListChunk`).
   // =================================================================
 
   /** Per-leaf aggregates decoded from the pages themselves:

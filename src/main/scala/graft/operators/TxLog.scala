@@ -55,6 +55,9 @@ object TxLog {
         coalesce(col("add_path"), col("rm_path")).as("path"),
         col("add_path").isNotNull.as("is_add"),
         col("add_size"), col("min_key"), col("max_key"))
+      // non-file actions (the streaming sink's txn fence lines) carry
+      // no path and do not participate in file-state resolution
+      .where(col("path").isNotNull)
 
   /** The protocol's resolution rule: per path the highest-version action
     * wins; tombstones are KEPT (callers filter `is_add` for the live
@@ -302,7 +305,9 @@ object TxLog {
       .filter(v => usable.forall(v > _))
       .filter(v => asOf < 0 || v <= asOf)
     tail.foreach { v => // ascending: later versions overwrite
-      linesUnder(s"$logBase/version=$v").foreach { line =>
+      linesUnder(s"$logBase/version=$v")
+        .filter(l => l.contains("\"add\":") || l.contains("\"remove\":"))
+        .foreach { line =>
         val isAdd = line.contains("\"add\":")
         val path = jStr(line, "path").getOrElse(
           throw new IllegalArgumentException(s"bad commit line: $line"))
@@ -320,6 +325,52 @@ object TxLog {
   /** Commit versions currently on disk (driver-side metadata listing —
     * the connector's streaming offset space). */
   def commitVersions(logBase: String): Seq[Long] = listVersions(logBase)
+
+  /** Enforce the log's no-escape JSON subset at WRITE time (ADVICE
+    * r11): a '"', '\', or newline in an interpolated path would
+    * silently produce a malformed log that the regex-based parsers
+    * then misread — fail fast instead of corrupting the table. */
+  def requireJsonSafe(path: String): String = {
+    require(path.forall(c =>
+        c != '"' && c != '\\' && c != '\n' && c != '\r'),
+      s"path not representable in the log's no-escape JSON subset: " +
+        path.take(256))
+    path
+  }
+
+  /** Write one commit version ATOMICALLY (ADVICE r11): the action
+    * lines land in a dot-prefixed temp directory (invisible to
+    * [[listVersions]]) and ONE rename publishes `version=N` — a
+    * concurrent reader, or the streaming tail's `latestOffset`
+    * listing, sees either the complete commit or none of it, never an
+    * empty version directory whose adds it would then permanently
+    * skip. Rename onto an existing non-empty `version=N` fails →
+    * commit collision surfaces as an error, not a silent merge. A
+    * crashed writer leaves only a dot-temp dir, which no reader lists
+    * and vacuum's orphan sweep never consults. */
+  def commitVersion(logBase: String, version: Long,
+      lines: Seq[String]): Unit = {
+    require(lines.nonEmpty, "empty commit")
+    val baseDir = new java.io.File(logBase)
+    baseDir.mkdirs(): Unit
+    val tmp = new java.io.File(baseDir,
+      s".tmp-version-$version-${java.util.UUID.randomUUID()}")
+    require(tmp.mkdirs(), s"cannot create commit temp dir $tmp")
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "actions.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8")): Unit
+    val target = new java.io.File(baseDir, s"version=$version")
+    try
+      java.nio.file.Files.move(tmp.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        new java.io.File(tmp, "actions.json").delete(): Unit
+        tmp.delete(): Unit
+        throw new IllegalStateException(
+          s"commit collision at $target", e)
+    }
+  }
 
   /** The `add` actions of specific commit versions, driver-side — what
     * the streaming arm plans per micro-batch (each file's rows are

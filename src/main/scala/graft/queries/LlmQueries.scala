@@ -6649,8 +6649,10 @@ object LlmQueries {
             Array[Byte](1, 2, 3)): Unit
           graft.operators.LakeMaintenance.compact(s, base,
             targetRows = 1024): Unit
+          // graceMs=0: the orphan was synthesized an instant ago and
+          // no writer is concurrently in flight in this harness
           graft.operators.LakeMaintenance.vacuum(base,
-            retainVersions = 0): Unit
+            retainVersions = 0, graceMs = 0L): Unit
           s.read.format("graft-lake").option("path", base).load()
             .groupBy(col("lang"))
             .agg(count(lit(1)).as("n"),

@@ -481,18 +481,16 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
       .filter(_.numRows > 0)
     val versions = TxLog.commitVersions(s"${table.root}/log")
     val next = if (versions.isEmpty) 0L else versions.max + 1
-    val d = new java.io.File(s"${table.root}/log/version=$next")
-    require(d.mkdirs(), s"commit collision at $d")
     val lines = adds.map { m =>
       val stats =
         if (m.hasKey)
           s""","min_key":${m.minKey},"max_key":${m.maxKey}"""
         else ""
-      s"""{"add":{"path":"${m.path}","size":${m.numRows}$stats}}"""
+      s"""{"add":{"path":"${TxLog.requireJsonSafe(m.path)}",""" +
+        s""""size":${m.numRows}$stats}}"""
     }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$d/actions.json"),
-      lines.mkString("\n").getBytes("UTF-8")): Unit
+    if (lines.nonEmpty) // temp-dir + atomic rename (ADVICE r11)
+      TxLog.commitVersion(s"${table.root}/log", next, lines.toSeq)
     // checkpoint maintenance: compact every `checkpointEvery` commits
     // so resolution stays O(cadence) as history grows (the q217 law)
     val every = math.max(1, table.checkpointEvery).toLong

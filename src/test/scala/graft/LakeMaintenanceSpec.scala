@@ -118,13 +118,13 @@ class LakeMaintenanceSpec extends SparkSpec {
 
     // retention 1: the pre-compaction snapshot (v0) stays resolvable,
     // so the 8 small files MUST survive; only the orphan goes
-    LakeMaintenance.vacuum(base, retainVersions = 1) shouldBe
+    LakeMaintenance.vacuum(base, retainVersions = 1, graceMs = 0L) shouldBe
       LakeMaintenance.VacuumResult(1, 10)
     diskFiles().size shouldBe 10
     asSet(lake(base, asOf = 0L)) shouldBe before
 
     // retention 0: only the latest snapshot survives on disk
-    val r = LakeMaintenance.vacuum(base, retainVersions = 0)
+    val r = LakeMaintenance.vacuum(base, retainVersions = 0, graceMs = 0L)
     r.deleted shouldBe 8
     r.retainedFiles shouldBe 2
     diskFiles().size shouldBe 2
@@ -136,8 +136,21 @@ class LakeMaintenanceSpec extends SparkSpec {
       lake(base, asOf = 0L).count()
     }
     // idempotent
+    LakeMaintenance.vacuum(base, retainVersions = 0, graceMs = 0L) shouldBe
+      LakeMaintenance.VacuumResult(0, 2)
+
+    // modification-time grace (ADVICE r11): a just-written orphan —
+    // indistinguishable from an in-flight append's not-yet-committed
+    // data file — survives a DEFAULT-grace vacuum, and goes only when
+    // the caller explicitly waives the window
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/data/inflight.parquet"),
+      Array[Byte](7, 7, 7)): Unit
     LakeMaintenance.vacuum(base, retainVersions = 0) shouldBe
       LakeMaintenance.VacuumResult(0, 2)
+    diskFiles() should contain("inflight.parquet")
+    LakeMaintenance.vacuum(base, retainVersions = 0, graceMs = 0L) shouldBe
+      LakeMaintenance.VacuumResult(1, 2)
   }
 
   test("MERGE: matched keys replace in place, unmatched insert, " +
