@@ -171,14 +171,55 @@ object ParquetWrite {
       extends Col {
     def n: Int = vs.length
   }
+  final case class DoubleCol(name: String, vs: Array[Double])
+      extends Col {
+    def n: Int = vs.length
+  }
+  final case class OptDoubleCol(name: String,
+      vs: Array[java.lang.Double]) extends Col {
+    def n: Int = vs.length
+  }
+  final case class FloatCol(name: String, vs: Array[Float])
+      extends Col {
+    def n: Int = vs.length
+  }
+  final case class OptFloatCol(name: String,
+      vs: Array[java.lang.Float]) extends Col {
+    def n: Int = vs.length
+  }
+
+  /** `array<T>` columns (r12 — the lakehouse type-surface ask): the
+    * standard 3-level LIST shape on the wire — `optional group name
+    * (LIST) { repeated group list { optional T element } }` — maxDef 3,
+    * maxRep 1, exactly what Spark writes for `array<T>` and what the
+    * q219 Dremel reader assembles. A `null` outer entry is a NULL
+    * list, an empty array an EMPTY list, a `null` element a NULL
+    * element — all four def-level fates land on the wire. */
+  sealed trait ListCol extends Col {
+    def rows: Array[_ <: Array[_ <: AnyRef]]
+    def n: Int = rows.length
+  }
+  final case class FloatListCol(name: String,
+      rows: Array[Array[java.lang.Float]]) extends ListCol
+  final case class DoubleListCol(name: String,
+      rows: Array[Array[java.lang.Double]]) extends ListCol
+  final case class LongListCol(name: String,
+      rows: Array[Array[java.lang.Long]]) extends ListCol
 
   private def isOptional(c: Col): Boolean = c match {
-    case _: OptLongCol | _: OptStrCol => true
+    case _: OptLongCol | _: OptStrCol | _: OptDoubleCol |
+        _: OptFloatCol => true
+    case _: ListCol => true // outer group is always OPTIONAL
     case _ => false
   }
   private def ptypeOf(c: Col): Int = c match {
-    case _: LongCol | _: OptLongCol => 2 // INT64
+    case _: LongCol | _: OptLongCol | _: LongListCol => 2 // INT64
     case _: StrCol | _: OptStrCol => 6 // BYTE_ARRAY
+    case _: DoubleCol | _: OptDoubleCol | _: DoubleListCol => 5
+    case _: FloatCol | _: OptFloatCol | _: FloatListCol => 4
+  }
+  private def isFp(c: Col): Boolean = {
+    val p = ptypeOf(c); p == 4 || p == 5
   }
 
   /** Unsigned-lexicographic byte compare — the UTF8 column order
@@ -195,11 +236,20 @@ object ParquetWrite {
     a.length < b.length
   }
 
+  private def leFloat(v: Float): Array[Byte] = {
+    val bits = java.lang.Float.floatToIntBits(v)
+    Array[Byte](bits.toByte, (bits >>> 8).toByte,
+      (bits >>> 16).toByte, (bits >>> 24).toByte)
+  }
+  private def leDouble(v: Double): Array[Byte] =
+    leLong(java.lang.Double.doubleToLongBits(v))
+
   /** Per-page record backing the PAGE INDEX (r11): location, first
     * row, and the slice's stats. */
   private final case class PageMeta(off: Long, size: Int,
       firstRow: Long, nullPage: Boolean, nullCount: Long,
-      minL: Long, maxL: Long, minB: Array[Byte], maxB: Array[Byte])
+      minL: Long, maxL: Long, minB: Array[Byte], maxB: Array[Byte],
+      minD: Double = Double.NaN, maxD: Double = Double.NaN)
 
   private final case class ChunkMeta(name: String, ptype: Int,
       optional: Boolean, off: Long, dictOff: Long, dataOff: Long,
@@ -207,7 +257,10 @@ object ParquetWrite {
       numValues: Long, nullCount: Long, dictUsed: Boolean,
       minL: Long, maxL: Long, hasLongStats: Boolean,
       minB: Array[Byte], maxB: Array[Byte],
-      pages: Vector[PageMeta])
+      pages: Vector[PageMeta],
+      pathComponents: Seq[String] = Nil,
+      minD: Double = Double.NaN, maxD: Double = Double.NaN,
+      hasFpStats: Boolean = false)
 
   /** Serialize one complete parquet file readable by any conforming
     * reader — Spark, DuckDB, parquet-mr, and `ParquetFile`. Rows split
@@ -233,11 +286,15 @@ object ParquetWrite {
       val rows = hi - lo
       val ptype = ptypeOf(c)
       val optional = isOptional(c)
+      val fp = isFp(c)
       // gather non-null values + def levels
       val defs = if (optional) new Array[Int](rows) else null
       var nulls = 0L
       val longVals = new scala.collection.mutable.ArrayBuffer[Long]()
       val binVals = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      // FLOAT values ride as doubles (exact widening); PLAIN encode
+      // narrows back for ptype 4 — a lossless round trip
+      val dblVals = new scala.collection.mutable.ArrayBuffer[Double]()
       c match {
         case LongCol(_, vs) =>
           var i = lo; while (i < hi) { longVals += vs(i); i += 1 }
@@ -261,8 +318,32 @@ object ParquetWrite {
             else { defs(i - lo) = 1; binVals += vs(i).getBytes("UTF-8") }
             i += 1
           }
+        case DoubleCol(_, vs) =>
+          var i = lo; while (i < hi) { dblVals += vs(i); i += 1 }
+        case FloatCol(_, vs) =>
+          var i = lo; while (i < hi) { dblVals += vs(i).toDouble; i += 1 }
+        case OptDoubleCol(_, vs) =>
+          var i = lo
+          while (i < hi) {
+            if (vs(i) == null) { defs(i - lo) = 0; nulls += 1 }
+            else { defs(i - lo) = 1; dblVals += vs(i).doubleValue() }
+            i += 1
+          }
+        case OptFloatCol(_, vs) =>
+          var i = lo
+          while (i < hi) {
+            if (vs(i) == null) { defs(i - lo) = 0; nulls += 1 }
+            else { defs(i - lo) = 1
+              dblVals += vs(i).floatValue().toDouble }
+            i += 1
+          }
+        case _: ListCol => throw new IllegalStateException(
+          "list columns go through writeListChunk")
       }
-      val nonNull = if (ptype == 2) longVals.length else binVals.length
+      val nonNull =
+        if (ptype == 2) longVals.length
+        else if (fp) dblVals.length
+        else binVals.length
 
       // stats over non-null values
       var minL = Long.MaxValue; var maxL = Long.MinValue
@@ -275,30 +356,50 @@ object ParquetWrite {
         if (minB == null || bytesLt(b, minB)) minB = b
         if (maxB == null || bytesLt(maxB, b)) maxB = b
       }
-
-      // dictionary decision: repeats ≥2× and a bounded dict
-      val (dictVals: IndexedSeq[Any], indices: Array[Int]) = {
-        val seen = new java.util.LinkedHashMap[Any, Integer]()
-        val idx = new Array[Int](nonNull)
-        var i = 0
-        while (i < nonNull) {
-          val key: Any =
-            if (ptype == 2) longVals(i)
-            else new String(binVals(i), "UTF-8")
-          var id = seen.get(key)
-          if (id == null) { id = seen.size(); seen.put(key, id) }
-          idx(i) = id.intValue()
-          i += 1
+      // fp stats: any NaN poisons ordering — drop stats entirely (the
+      // parquet convention readers can always cope with: no bounds)
+      var minD = Double.PositiveInfinity
+      var maxD = Double.NegativeInfinity
+      var fpNaN = false
+      dblVals.foreach { v =>
+        if (v.isNaN) fpNaN = true
+        else {
+          if (v < minD) minD = v
+          if (v > maxD) maxD = v
         }
-        (seen.keySet().toArray.toIndexedSeq, idx)
       }
-      val useDict = nonNull > 0 && dictVals.size <= 65536 &&
+      val hasFpStats = fp && nonNull > 0 && !fpNaN
+
+      // dictionary decision: repeats ≥2× and a bounded dict; fp
+      // columns stay PLAIN (float dictionaries rarely pay for
+      // themselves, and NaN keys break map identity)
+      val (dictVals: IndexedSeq[Any], indices: Array[Int]) =
+        if (fp) (IndexedSeq.empty[Any], Array.emptyIntArray)
+        else {
+          val seen = new java.util.LinkedHashMap[Any, Integer]()
+          val idx = new Array[Int](nonNull)
+          var i = 0
+          while (i < nonNull) {
+            val key: Any =
+              if (ptype == 2) longVals(i)
+              else new String(binVals(i), "UTF-8")
+            var id = seen.get(key)
+            if (id == null) { id = seen.size(); seen.put(key, id) }
+            idx(i) = id.intValue()
+            i += 1
+          }
+          (seen.keySet().toArray.toIndexedSeq, idx)
+        }
+      val useDict = !fp && nonNull > 0 && dictVals.size <= 65536 &&
         dictVals.size.toLong * 2 <= nonNull.toLong
 
-      def plainBytes(longs: Seq[Long], bins: Seq[Array[Byte]])
-          : Array[Byte] = {
+      def plainBytes(longs: Seq[Long], bins: Seq[Array[Byte]],
+          dbls: Seq[Double]): Array[Byte] = {
         val o = new java.io.ByteArrayOutputStream()
         if (ptype == 2) longs.foreach(v => o.write(leLong(v), 0, 8))
+        else if (ptype == 5) dbls.foreach(v => o.write(leDouble(v), 0, 8))
+        else if (ptype == 4)
+          dbls.foreach(v => o.write(leFloat(v.toFloat), 0, 4))
         else bins.foreach { b =>
           o.write(b.length & 0xff); o.write((b.length >> 8) & 0xff)
           o.write((b.length >> 16) & 0xff); o.write((b.length >> 24) & 0xff)
@@ -313,9 +414,9 @@ object ParquetWrite {
       if (useDict) { // dictionary page first (PLAIN payload)
         val body =
           if (ptype == 2)
-            plainBytes(dictVals.map(_.asInstanceOf[Long]), Nil)
+            plainBytes(dictVals.map(_.asInstanceOf[Long]), Nil, Nil)
           else plainBytes(Nil,
-            dictVals.map(_.asInstanceOf[String].getBytes("UTF-8")))
+            dictVals.map(_.asInstanceOf[String].getBytes("UTF-8")), Nil)
         dictOff = out.size().toLong
         val h = new TWriter
         var last = 0
@@ -371,7 +472,8 @@ object ParquetWrite {
           body.write(enc, 0, enc.length)
         } else {
           val pv = plainBytes(longVals.slice(vAt, vAt + k).toSeq,
-            binVals.slice(vAt, vAt + k).toSeq)
+            binVals.slice(vAt, vAt + k).toSeq,
+            dblVals.slice(vAt, vAt + k).toSeq)
           body.write(pv, 0, pv.length)
         }
         val page = body.toByteArray
@@ -394,12 +496,18 @@ object ParquetWrite {
         // page stats over the slice's non-null values
         var pMinL = Long.MaxValue; var pMaxL = Long.MinValue
         var pMinB: Array[Byte] = null; var pMaxB: Array[Byte] = null
+        var pMinD = Double.PositiveInfinity
+        var pMaxD = Double.NegativeInfinity
         var j = 0
         while (j < k) {
           if (ptype == 2) {
             val v = longVals(vAt + j)
             if (v < pMinL) pMinL = v
             if (v > pMaxL) pMaxL = v
+          } else if (fp) {
+            val v = dblVals(vAt + j)
+            if (v < pMinD) pMinD = v
+            if (v > pMaxD) pMaxD = v
           } else {
             val bv = binVals(vAt + j)
             if (pMinB == null || bytesLt(bv, pMinB)) pMinB = bv
@@ -408,20 +516,179 @@ object ParquetWrite {
           j += 1
         }
         pageMetas += PageMeta(pOff, (out.size() - pOff).toInt,
-          rowAt.toLong, k == 0, pNulls.toLong, pMinL, pMaxL,
-          pMinB, pMaxB)
+          rowAt.toLong, k == 0, pNulls.toLong,
+          pMinL, pMaxL, pMinB, pMaxB, pMinD, pMaxD)
         rowAt += pRows; vAt += k
       }
       ChunkMeta(c.name, ptype, optional, chunkOff,
         dictOff, pageMetas.head.off, out.size().toLong - chunkOff,
         rows.toLong, nulls,
         useDict, minL, maxL, hasLongStats = ptype == 2 && nonNull > 0,
-        minB, maxB, pageMetas.toVector)
+        minB, maxB, pageMetas.toVector, Seq(c.name),
+        minD, maxD, hasFpStats)
+    }
+
+    // ---- one LIST column chunk (r12): rep+def levels on the wire,
+    // PLAIN element values, V1 pages split on ROW boundaries (an
+    // entry with rep=0 starts a row — a page must begin at one)
+    def writeListChunk(c: ListCol, lo: Int, hi: Int): ChunkMeta = {
+      val rows = hi - lo
+      val ptype = ptypeOf(c)
+      val maxDef = 3 // optional group / repeated node / optional elem
+      val reps = new scala.collection.mutable.ArrayBuffer[Int]()
+      val defs = new scala.collection.mutable.ArrayBuffer[Int]()
+      val longVals = new scala.collection.mutable.ArrayBuffer[Long]()
+      val dblVals = new scala.collection.mutable.ArrayBuffer[Double]()
+      // entry index where each row's run starts (last = total)
+      val rowStart = new Array[Int](rows + 1)
+      var nulls = 0L // entries below maxDef (the stats null_count)
+      val fp = ptype == 4 || ptype == 5
+      def addVal(e: AnyRef): Unit = e match {
+        case f: java.lang.Float => dblVals += f.floatValue().toDouble
+        case d: java.lang.Double => dblVals += d.doubleValue()
+        case l: java.lang.Long => longVals += l.longValue()
+        case other => throw new IllegalArgumentException(s"$other")
+      }
+      var i = lo
+      while (i < hi) {
+        rowStart(i - lo) = reps.length
+        val r = c.rows(i)
+        if (r == null) { reps += 0; defs += 0; nulls += 1 }
+        else if (r.isEmpty) { reps += 0; defs += 1; nulls += 1 }
+        else {
+          var j = 0
+          while (j < r.length) {
+            reps += (if (j == 0) 0 else 1)
+            val e: AnyRef = r(j)
+            if (e == null) { defs += 2; nulls += 1 }
+            else { defs += 3; addVal(e) }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      rowStart(rows) = reps.length
+      val nonNull = if (fp) dblVals.length else longVals.length
+
+      var minL = Long.MaxValue; var maxL = Long.MinValue
+      longVals.foreach { v =>
+        if (v < minL) minL = v
+        if (v > maxL) maxL = v
+      }
+      var minD = Double.PositiveInfinity
+      var maxD = Double.NegativeInfinity
+      var fpNaN = false
+      dblVals.foreach { v =>
+        if (v.isNaN) fpNaN = true
+        else {
+          if (v < minD) minD = v
+          if (v > maxD) maxD = v
+        }
+      }
+      val hasFpStats = fp && nonNull > 0 && !fpNaN
+
+      def plainVals(vFrom: Int, vTo: Int): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        var k = vFrom
+        while (k < vTo) {
+          ptype match {
+            case 2 => o.write(leLong(longVals(k)), 0, 8)
+            case 5 => o.write(leDouble(dblVals(k)), 0, 8)
+            case 4 => o.write(leFloat(dblVals(k).toFloat), 0, 4)
+            case _ => throw new IllegalArgumentException(s"$ptype")
+          }
+          k += 1
+        }
+        o.toByteArray
+      }
+
+      val chunkOff = out.size().toLong
+      val pageMetas =
+        scala.collection.mutable.ArrayBuffer.empty[PageMeta]
+      var rowAt = 0
+      var vAt = 0 // non-null element index
+      while (rowAt < rows) {
+        val pRows = math.min(pageRows, rows - rowAt)
+        val eFrom = rowStart(rowAt)
+        val eTo = rowStart(rowAt + pRows)
+        val nv = eTo - eFrom
+        var k = 0 // non-null elements in this page
+        var pNulls = 0L
+        var e = eFrom
+        while (e < eTo) {
+          if (defs(e) == maxDef) k += 1 else pNulls += 1
+          e += 1
+        }
+        val body = new java.io.ByteArrayOutputStream()
+        def lvlRun(buf: scala.collection.mutable.ArrayBuffer[Int],
+            bw: Int): Unit = {
+          val slice = new Array[Int](nv)
+          var t = 0
+          while (t < nv) { slice(t) = buf(eFrom + t); t += 1 }
+          val enc = rleHybridEncode(slice, bw)
+          body.write(enc.length & 0xff)
+          body.write((enc.length >> 8) & 0xff)
+          body.write((enc.length >> 16) & 0xff)
+          body.write((enc.length >> 24) & 0xff)
+          body.write(enc, 0, enc.length)
+        }
+        lvlRun(reps, 1)
+        lvlRun(defs, 2)
+        val pv = plainVals(vAt, vAt + k)
+        body.write(pv, 0, pv.length)
+        val page = body.toByteArray
+        val pOff = out.size().toLong
+        val h = new TWriter
+        var last = 0
+        last = h.i32Field(last, 1, 0) // DATA_PAGE (V1)
+        last = h.i32Field(last, 2, page.length)
+        last = h.i32Field(last, 3, page.length)
+        last = h.fieldHeader(last, 5, 12) // DataPageHeader
+        var fl = 0
+        fl = h.i32Field(fl, 1, nv) // num_values = LEVEL entries
+        fl = h.i32Field(fl, 2, 0) // PLAIN
+        fl = h.i32Field(fl, 3, 3) // def RLE
+        fl = h.i32Field(fl, 4, 3) // rep RLE
+        h.stop(); h.stop()
+        val hb = h.bytes
+        out.write(hb, 0, hb.length)
+        out.write(page, 0, page.length)
+        var pMinL = Long.MaxValue; var pMaxL = Long.MinValue
+        var pMinD = Double.PositiveInfinity
+        var pMaxD = Double.NegativeInfinity
+        var t = 0
+        while (t < k) {
+          if (fp) {
+            val v = dblVals(vAt + t)
+            if (v < pMinD) pMinD = v
+            if (v > pMaxD) pMaxD = v
+          } else {
+            val v = longVals(vAt + t)
+            if (v < pMinL) pMinL = v
+            if (v > pMaxL) pMaxL = v
+          }
+          t += 1
+        }
+        pageMetas += PageMeta(pOff, (out.size() - pOff).toInt,
+          rowAt.toLong, k == 0, pNulls, pMinL, pMaxL, null, null,
+          pMinD, pMaxD)
+        rowAt += pRows; vAt += k
+      }
+      ChunkMeta(c.name, ptype, optional = true, chunkOff,
+        dictOff = -1L, pageMetas.head.off,
+        out.size().toLong - chunkOff,
+        reps.length.toLong, nulls, dictUsed = false,
+        minL, maxL, hasLongStats = ptype == 2 && nonNull > 0,
+        null, null, pageMetas.toVector,
+        Seq(c.name, "list", "element"), minD, maxD, hasFpStats)
     }
 
     // ---- data: row groups × columns, written sequentially ----
     val groups = groupBounds.map { case (lo, hi) =>
-      (hi - lo, cols.map(c => writeChunk(c, lo, hi)))
+      (hi - lo, cols.map {
+        case lc: ListCol => writeListChunk(lc, lo, hi)
+        case c => writeChunk(c, lo, hi)
+      })
     }
 
     // ---- PAGE INDEX (r11): ColumnIndex + OffsetIndex per chunk,
@@ -432,13 +699,21 @@ object ParquetWrite {
         isMin: Boolean): Array[Byte] = {
       if (pm.nullPage) Array.emptyByteArray
       else if (c.ptype == 2) leLong(if (isMin) pm.minL else pm.maxL)
+      else if (c.ptype == 4) leFloat((if (isMin) pm.minD else pm.maxD).toFloat)
+      else if (c.ptype == 5) leDouble(if (isMin) pm.minD else pm.maxD)
       else if (isMin) pm.minB
       else pm.maxB
     }
-    // (ciOff, ciLen, oiOff, oiLen) per chunk, group-major
+    // (ciOff, ciLen, oiOff, oiLen) per chunk, group-major; an fp chunk
+    // with NaN values gets NO page index (its bounds are undefined and
+    // a nullPage lie would let readers wrongly skip real data)
     val indexLocs: Seq[Seq[(Long, Int, Long, Int)]] =
       groups.map { case (_, chunks) =>
         chunks.map { c =>
+          val fpNoStats = (c.ptype == 4 || c.ptype == 5) &&
+            !c.hasFpStats && c.numValues - c.nullCount > 0
+          if (fpNoStats) (-1L, -1, -1L, -1)
+          else {
           val ci = new TWriter
           var last = 0
           last = ci.fieldHeader(last, 1, 9) // null_pages: list<bool>
@@ -481,6 +756,7 @@ object ParquetWrite {
           val oiOff = out.size().toLong
           out.write(oib, 0, oib.length)
           (ciOff, cib.length, oiOff, oib.length)
+          }
         }
       }
 
@@ -488,23 +764,51 @@ object ParquetWrite {
     val f = new TWriter
     var last = 0
     last = f.i32Field(last, 1, 1) // version
-    // field 2: schema (root + leaves)
+    // field 2: schema (root + per-column elements: one leaf for flat
+    // columns, the 3-level LIST group tree for array columns)
     last = f.fieldHeader(last, 2, 9)
-    f.listHeader(1 + cols.length, 12)
+    f.listHeader(1 + cols.map {
+      case _: ListCol => 3
+      case _ => 1
+    }.sum, 12)
     locally { // root
       var sl = 0
       sl = f.strField(sl, 4, "graft_schema")
-      sl = f.i32Field(sl, 5, cols.length) // num_children
+      sl = f.i32Field(sl, 5, cols.length) // num_children (top-level)
       f.stop()
     }
-    cols.foreach { c =>
-      var sl = 0
-      sl = f.i32Field(sl, 1, ptypeOf(c)) // type
-      sl = f.i32Field(sl, 3, if (isOptional(c)) 1 else 0) // repetition
-      sl = f.strField(sl, 4, c.name)
-      if (ptypeOf(c) == 6) // BYTE_ARRAY carries text: ConvertedType UTF8
-        sl = f.i32Field(sl, 6, 0) // (else Spark reads it as BINARY)
-      f.stop()
+    cols.foreach {
+      case c: ListCol =>
+        locally { // outer OPTIONAL group, ConvertedType LIST
+          var sl = 0
+          sl = f.i32Field(sl, 3, 1) // OPTIONAL
+          sl = f.strField(sl, 4, c.name)
+          sl = f.i32Field(sl, 5, 1) // num_children
+          sl = f.i32Field(sl, 6, 3) // ConvertedType LIST
+          f.stop()
+        }
+        locally { // repeated group "list"
+          var sl = 0
+          sl = f.i32Field(sl, 3, 2) // REPEATED
+          sl = f.strField(sl, 4, "list")
+          sl = f.i32Field(sl, 5, 1)
+          f.stop()
+        }
+        locally { // OPTIONAL element leaf
+          var sl = 0
+          sl = f.i32Field(sl, 1, ptypeOf(c))
+          sl = f.i32Field(sl, 3, 1) // OPTIONAL (containsNull)
+          sl = f.strField(sl, 4, "element")
+          f.stop()
+        }
+      case c =>
+        var sl = 0
+        sl = f.i32Field(sl, 1, ptypeOf(c)) // type
+        sl = f.i32Field(sl, 3, if (isOptional(c)) 1 else 0) // repetition
+        sl = f.strField(sl, 4, c.name)
+        if (ptypeOf(c) == 6) // BYTE_ARRAY carries text: ConvertedType UTF8
+          sl = f.i32Field(sl, 6, 0) // (else Spark reads it as BINARY)
+        f.stop()
     }
     last = f.i64Field(last, 3, n.toLong) // num_rows
     // field 4: row_groups
@@ -529,9 +833,14 @@ object ParquetWrite {
           f.zigzag(0L); f.zigzag(3L) // PLAIN, RLE (levels)
         }
         ml = f.fieldHeader(ml, 3, 9) // path_in_schema
-        f.listHeader(1, 8)
-        val nb = c.name.getBytes("UTF-8")
-        f.varint(nb.length.toLong); f.out.write(nb, 0, nb.length)
+        val comps =
+          if (c.pathComponents.nonEmpty) c.pathComponents
+          else Seq(c.name)
+        f.listHeader(comps.length, 8)
+        comps.foreach { comp =>
+          val nb = comp.getBytes("UTF-8")
+          f.varint(nb.length.toLong); f.out.write(nb, 0, nb.length)
+        }
         ml = f.i32Field(ml, 4, 0) // codec UNCOMPRESSED
         ml = f.i64Field(ml, 5, c.numValues) // num_values (levels)
         ml = f.i64Field(ml, 6, c.bytes) // total_uncompressed
@@ -541,19 +850,27 @@ object ParquetWrite {
         // dictionary_page_offset) — field 11 names the dict page)
         if (c.dictUsed) ml = f.i64Field(ml, 11, c.dictOff)
         // field 12: Statistics — legacy + new-style + null_count
-        val hasStats = c.hasLongStats || c.maxB != null ||
-          c.nullCount > 0 || c.optional
+        val hasStats = c.hasLongStats || c.hasFpStats ||
+          c.maxB != null || c.nullCount > 0 || c.optional
         if (hasStats) {
           ml = f.fieldHeader(ml, 12, 12)
           var stl = 0
+          def fpBytes(v: Double): Array[Byte] =
+            if (c.ptype == 4) leFloat(v.toFloat) else leDouble(v)
           if (c.hasLongStats) { // legacy pair (signed order: valid)
             stl = f.binField(stl, 1, leLong(c.maxL))
             stl = f.binField(stl, 2, leLong(c.minL))
+          } else if (c.hasFpStats) {
+            stl = f.binField(stl, 1, fpBytes(c.maxD))
+            stl = f.binField(stl, 2, fpBytes(c.minD))
           }
           stl = f.i64Field(stl, 3, c.nullCount) // null_count
           if (c.hasLongStats) {
             stl = f.binField(stl, 5, leLong(c.maxL)) // max_value
             stl = f.binField(stl, 6, leLong(c.minL)) // min_value
+          } else if (c.hasFpStats) {
+            stl = f.binField(stl, 5, fpBytes(c.maxD))
+            stl = f.binField(stl, 6, fpBytes(c.minD))
           } else if (c.maxB != null) {
             stl = f.binField(stl, 5, c.maxB)
             stl = f.binField(stl, 6, c.minB)
@@ -561,10 +878,12 @@ object ParquetWrite {
           f.stop()
         }
         f.stop() // ColumnMetaData
-        cl = f.i64Field(cl, 4, oiOff) // offset_index_offset
-        cl = f.i32Field(cl, 5, oiLen) // offset_index_length
-        cl = f.i64Field(cl, 6, ciOff) // column_index_offset
-        cl = f.i32Field(cl, 7, ciLen) // column_index_length
+        if (ciOff >= 0) { // NaN fp chunks carry no page index
+          cl = f.i64Field(cl, 4, oiOff) // offset_index_offset
+          cl = f.i32Field(cl, 5, oiLen) // offset_index_length
+          cl = f.i64Field(cl, 6, ciOff) // column_index_offset
+          cl = f.i32Field(cl, 7, ciLen) // column_index_length
+        }
         f.stop() // ColumnChunk
       }
       rl = f.i64Field(rl, 2, chunks.map(_.bytes).sum) // total_byte_size

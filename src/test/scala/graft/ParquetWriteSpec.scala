@@ -384,4 +384,135 @@ class ParquetWriteSpec extends SparkSpec {
     by("ov").sum_long shouldBe
       ov.filter(_ != null).map(_.longValue()).sum
   }
+
+  // ================================================================
+  // r12 type surface: DOUBLE/FLOAT flat columns and array<T> LIST
+  // columns — the engine's own embedding tables can now live in
+  // own-codec files.
+  // ================================================================
+
+  /** id, score double (every 7th null), w float, emb array<float>
+    * with all four def-level fates: null list (i%11==0), empty list
+    * (i%13==0), null element (j==2 when i%5==0), values. */
+  private def fpSample(n: Int): (Array[java.lang.Double], Array[Float],
+      Array[Array[java.lang.Float]]) = {
+    val score = (0 until n).map(i =>
+      if (i % 7 == 0) null
+      else java.lang.Double.valueOf(i * 0.25 - 30.0)).toArray
+    val w = (0 until n).map(i => (i % 17).toFloat / 4f).toArray
+    val emb = (0 until n).map { i =>
+      if (i % 11 == 0) null
+      else if (i % 13 == 0) Array.empty[java.lang.Float]
+      else Array.tabulate[java.lang.Float](1 + i % 4) { j =>
+        if (j == 2 && i % 5 == 0) null
+        else java.lang.Float.valueOf((i * 4 + j).toFloat / 8f)
+      }
+    }.toArray
+    (score, w, emb)
+  }
+
+  private def fpFileBytes(n: Int, rowsPerGroup: Int = Int.MaxValue,
+      pageRows: Int = Int.MaxValue): Array[Byte] = {
+    val (score, w, emb) = fpSample(n)
+    ParquetWrite.writeFile(Seq(
+      ParquetWrite.LongCol("id", (0 until n).map(_.toLong).toArray),
+      ParquetWrite.OptDoubleCol("score", score),
+      ParquetWrite.FloatCol("w", w),
+      ParquetWrite.FloatListCol("emb", emb)),
+      rowsPerGroup = rowsPerGroup, pageRows = pageRows)
+  }
+
+  test("r12 fp + list surface: Spark reads our double/float/" +
+      "array<float> file exactly — every value, null fate and the " +
+      "schema tree") {
+    val n = 1100
+    val dir = Files.createTempDirectory("graft_pqw_fp_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/f.parquet"),
+      fpFileBytes(n, rowsPerGroup = 256, pageRows = 64))
+    val back = spark.read.parquet(dir)
+    import org.apache.spark.sql.types._
+    back.schema("score").dataType shouldBe DoubleType
+    back.schema("w").dataType shouldBe FloatType
+    back.schema("emb").dataType shouldBe
+      ArrayType(FloatType, containsNull = true)
+    val rows = back.orderBy("id").collect()
+    rows.length shouldBe n
+    val (score, w, emb) = fpSample(n)
+    (0 until n).foreach { i =>
+      if (score(i) == null) rows(i).isNullAt(1) shouldBe true
+      else rows(i).getDouble(1) shouldBe score(i).doubleValue()
+      rows(i).getFloat(2) shouldBe w(i)
+      if (emb(i) == null) rows(i).isNullAt(3) shouldBe true
+      else {
+        val a = rows(i).getSeq[Any](3)
+        a.length shouldBe emb(i).length
+        emb(i).zipWithIndex.foreach { case (e, j) =>
+          if (e == null) (a(j) == null) shouldBe true
+          else a(j) shouldBe e.floatValue()
+        }
+      }
+    }
+  }
+
+  test("r12 list chunks decode through OUR q219 Dremel reader: row " +
+      "fates and the quantized element sum replay") {
+    val n = 800
+    val bytes = fpFileBytes(n, rowsPerGroup = 300, pageRows = 70)
+    val r = ParquetFile.listSums(5L, bytes, "emb.list.element", 1024.0)
+    r.valid shouldBe true
+    val (_, _, emb) = fpSample(n)
+    r.n_rows shouldBe n.toLong
+    r.n_null_rows shouldBe emb.count(_ == null).toLong
+    r.n_empty shouldBe
+      emb.count(e => e != null && e.isEmpty).toLong
+    r.n_null_elems shouldBe
+      emb.filter(_ != null).map(_.count(_ == null).toLong).sum
+    r.n_elems shouldBe
+      emb.filter(_ != null).map(_.count(_ != null).toLong).sum
+    r.sum_q shouldBe emb.filter(_ != null).flatMap(_.toSeq)
+      .filter(_ != null)
+      .map(e => math.floor(e.floatValue().toDouble * 1024.0).toLong)
+      .sum
+  }
+
+  test("r12 fp statistics: parquet-mr sees our double min/max and " +
+      "Spark prunes row groups on them") {
+    val n = 1000
+    val dir = Files.createTempDirectory("graft_pqw_fps_").toString
+    val p = s"$dir/f.parquet"
+    // key-clustered doubles: group g covers [g*25.0, ...)
+    val bytes = ParquetWrite.writeFile(Seq(
+      ParquetWrite.LongCol("id", (0 until n).map(_.toLong).toArray),
+      ParquetWrite.DoubleCol("x",
+        (0 until n).map(i => i * 0.1).toArray)),
+      rowsPerGroup = 250)
+    Files.write(java.nio.file.Paths.get(p), bytes)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks
+      blocks.size() shouldBe 4
+      val st0 = blocks.get(0).getColumns.get(1).getStatistics
+      st0.genericGetMin() shouldBe 0.0
+      st0.genericGetMax() shouldBe 249 * 0.1
+    } finally r.close()
+    // Spark's scan must skip groups outside the predicate window
+    val picked = spark.read.parquet(dir).where("x >= 75.0")
+    picked.count() shouldBe 250L
+    // NaN poisons ordering -> the writer must drop stats, and the
+    // values must still read back (no index lie)
+    val nb = ParquetWrite.writeFile(Seq(
+      ParquetWrite.LongCol("id", Array(0L, 1L, 2L)),
+      ParquetWrite.DoubleCol("x",
+        Array(1.0, Double.NaN, 3.0))))
+    val dir2 = Files.createTempDirectory("graft_pqw_nan_").toString
+    Files.write(java.nio.file.Paths.get(s"$dir2/f.parquet"), nb)
+    val vals = spark.read.parquet(dir2).orderBy("id")
+      .collect().map(_.getDouble(1))
+    vals(0) shouldBe 1.0
+    vals(1).isNaN shouldBe true
+    vals(2) shouldBe 3.0
+  }
 }
