@@ -1306,10 +1306,11 @@ object ParquetFile {
   // dictionary, flat maxDef ≤ 1 — anything else strict-rejects.
   // =================================================================
 
-  /** One chunk's cells: per-row defined mask plus longs (INT32/INT64)
-    * or raw UTF-8 bytes (BYTE_ARRAY). */
+  /** One chunk's cells: per-row defined mask plus longs (INT32/INT64),
+    * doubles (FLOAT/DOUBLE, r12), or raw UTF-8 bytes (BYTE_ARRAY). */
   private[graft] final case class CellCol(defined: Array[Boolean],
-      longs: Array[Long], bins: Array[Array[Byte]])
+      longs: Array[Long], bins: Array[Array[Byte]],
+      dbls: Array[Double] = null)
 
   private[graft] def readChunkCells(b: Array[Byte], c: Chunk,
       lf: Leaf, rgRows: Int): CellCol = {
@@ -1317,35 +1318,50 @@ object ParquetFile {
     if (c.codec != 0) fail() // own-writer subset: uncompressed
     if (rgRows < 0 || c.numValues != rgRows.toLong) fail()
     val isBin = c.ptype == 6
-    if (!isBin && c.ptype != 1 && c.ptype != 2) fail()
+    val isFp = c.ptype == 4 || c.ptype == 5
+    if (!isBin && !isFp && c.ptype != 1 && c.ptype != 2) fail()
     val defined = new Array[Boolean](rgRows)
-    val longs = if (isBin) null else new Array[Long](rgRows)
+    val longs =
+      if (isBin || isFp) null else new Array[Long](rgRows)
+    val dbls = if (isFp) new Array[Double](rgRows) else null
     val bins = if (isBin) new Array[Array[Byte]](rgRows) else null
 
     def le32(p: Int): Int =
       (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
         ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
 
-    /** Decode k PLAIN cells starting at p; cb(longV, binV) per cell. */
+    /** Decode k PLAIN cells starting at p; cb(longV, binV, dblV). */
     def plainCells(p0: Int, pEnd: Int, k: Int)(
-        cb: (Long, Array[Byte]) => Unit): Int = {
+        cb: (Long, Array[Byte], Double) => Unit): Int = {
       var p = p0
       var i = 0
       while (i < k) {
         c.ptype match {
           case 1 =>
             if (4 > pEnd - p) fail()
-            cb(le32(p).toLong, null); p += 4
+            cb(le32(p).toLong, null, 0.0); p += 4
           case 2 =>
             if (8 > pEnd - p) fail()
             var v = 0L; var j = 7
             while (j >= 0) { v = (v << 8) | (b(p + j) & 0xffL); j -= 1 }
-            cb(v, null); p += 8
+            cb(v, null, 0.0); p += 8
+          case 4 =>
+            if (4 > pEnd - p) fail()
+            cb(0L, null,
+              java.lang.Float.intBitsToFloat(le32(p)).toDouble)
+            p += 4
+          case 5 =>
+            if (8 > pEnd - p) fail()
+            var v = 0L; var j = 7
+            while (j >= 0) { v = (v << 8) | (b(p + j) & 0xffL); j -= 1 }
+            cb(0L, null, java.lang.Double.longBitsToDouble(v)); p += 8
           case 6 =>
             if (4 > pEnd - p) fail()
             val l = le32(p); p += 4
             if (l < 0 || l > pEnd - p) fail()
-            cb(0L, java.util.Arrays.copyOfRange(b, p, p + l)); p += l
+            cb(0L, java.util.Arrays.copyOfRange(b, p, p + l), 0.0)
+            p += l
+          case _ => fail()
         }
         i += 1
       }
@@ -1365,14 +1381,16 @@ object ParquetFile {
     while (remaining > 0) {
       val (h, cstart) = pageAt(b, pos)
       h.ptype match {
-        case 2 => // dictionary page, PLAIN payload
+        case 2 => // dictionary page, PLAIN payload (never fp here —
+          // the own writer keeps fp columns PLAIN)
+          if (isFp) fail()
           if (dictL != null || dictB != null) fail()
           if (h.cmp != h.unc || h.dictNv < 0) fail()
           if (isBin) dictB = new Array[Array[Byte]](h.dictNv)
           else dictL = new Array[Long](h.dictNv)
           var j = 0
           val endp = plainCells(cstart, cstart + h.cmp, h.dictNv) {
-            (v, bv) =>
+            (v, bv, _) =>
               if (isBin) dictB(j) = bv else dictL(j) = v
               j += 1
           }
@@ -1389,13 +1407,16 @@ object ParquetFile {
               p = p2; d
             } else null
           val k = if (defs == null) h.nv else defs.count(_ == 1)
-          val outL = if (isBin) null else new Array[Long](k)
+          val outL = if (isBin || isFp) null else new Array[Long](k)
+          val outD = if (isFp) new Array[Double](k) else null
           val outB = if (isBin) new Array[Array[Byte]](k) else null
           h.enc match {
             case 0 =>
               var j = 0
-              val endp = plainCells(p, pEnd, k) { (v, bv) =>
-                if (isBin) outB(j) = bv else outL(j) = v
+              val endp = plainCells(p, pEnd, k) { (v, bv, dv) =>
+                if (isBin) outB(j) = bv
+                else if (isFp) outD(j) = dv
+                else outL(j) = v
                 j += 1
               }
               if (endp != pEnd) fail()
@@ -1424,7 +1445,9 @@ object ParquetFile {
             val d = defs == null || defs(i) == 1
             defined(row) = d
             if (d) {
-              if (isBin) bins(row) = outB(vI) else longs(row) = outL(vI)
+              if (isBin) bins(row) = outB(vI)
+              else if (isFp) dbls(row) = outD(vI)
+              else longs(row) = outL(vI)
               vI += 1
             }
             row += 1; i += 1
@@ -1435,7 +1458,7 @@ object ParquetFile {
       pos = cstart + h.cmp
     }
     if (row != rgRows) fail()
-    CellCol(defined, longs, bins)
+    CellCol(defined, longs, bins, dbls)
   }
 
   /** Never-throw wrapper used by the connector's reader. */
@@ -1443,6 +1466,103 @@ object ParquetFile {
       lf: Leaf, rgRows: Int): Option[CellCol] =
     try Some(readChunkCells(b, c, lf, rgRows))
     catch { case _: Throwable => None }
+
+  /** One LIST chunk's per-row cells (r12 — the connector's array
+    * materializer, pairing [[readChunkCells]] the way the q219 Dremel
+    * aggregates pair the flat sum decoders): `defined` = list
+    * non-null; `rows(i)` = the row's elements as boxed values
+    * (java.lang.Long / Float / Double) with null elements preserved;
+    * an empty array is an EMPTY list. Scoped to the own-writer
+    * subset: V1 pages, UNCOMPRESSED, PLAIN element values, the
+    * 3-level `array<T>` shape. */
+  private[graft] final case class ListCells(defined: Array[Boolean],
+      rows: Array[Array[AnyRef]])
+
+  private[graft] def readListCells(b: Array[Byte], c: Chunk, lf: Leaf,
+      rgRows: Int): ListCells = {
+    if (lf.maxRep != 1) fail()
+    val dRep = lf.repDef
+    if (dRep < 1 || dRep > lf.maxDef) fail()
+    if (c.codec != 0) fail() // own-writer subset: uncompressed
+    if (c.ptype != 2 && c.ptype != 4 && c.ptype != 5) fail()
+    val defined = new Array[Boolean](rgRows)
+    val out = new Array[Array[AnyRef]](rgRows)
+    val buf = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var rowI = -1
+    def closeRow(): Unit = {
+      if (rowI >= 0 && defined(rowI)) {
+        out(rowI) = buf.toArray
+        buf.clear()
+      }
+    }
+    def le32(p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+        ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    def le64(p: Int): Long = {
+      var v = 0L; var j = 7
+      while (j >= 0) { v = (v << 8) | (b(p + j) & 0xffL); j -= 1 }
+      v
+    }
+    var pos = c.dataPageOff.toInt
+    if (c.dataPageOff < 0 || c.dataPageOff >= b.length) fail()
+    var remaining = c.numValues
+    while (remaining > 0) {
+      val (h, cstart) = pageAt(b, pos)
+      if (h.ptype != 0) fail() // V1 data pages only (own writer)
+      if (h.cmp != h.unc || h.enc != 0) fail()
+      if (h.nv < 0 || h.nv > remaining) fail()
+      val pEnd = cstart + h.cmp
+      val (reps, p1) = readLevelsPrefixed(b, cstart, pEnd, h.nv, 1)
+      val (defs, p2) = readLevelsPrefixed(b, p1, pEnd, h.nv, lf.maxDef)
+      var k = 0
+      var t = 0
+      while (t < h.nv) { if (defs(t) == lf.maxDef) k += 1; t += 1 }
+      // decode the page's PLAIN element values
+      val width = if (c.ptype == 4) 4 else 8
+      if (p2 + k.toLong * width != pEnd.toLong) fail()
+      val vals = new Array[AnyRef](k)
+      var j = 0
+      while (j < k) {
+        vals(j) = c.ptype match {
+          case 2 => java.lang.Long.valueOf(le64(p2 + 8 * j))
+          case 5 => java.lang.Double.valueOf(
+            java.lang.Double.longBitsToDouble(le64(p2 + 8 * j)))
+          case _ => java.lang.Float.valueOf(
+            java.lang.Float.intBitsToFloat(le32(p2 + 4 * j)))
+        }
+        j += 1
+      }
+      var vI = 0
+      var i = 0
+      while (i < h.nv) {
+        val r = reps(i); val d = defs(i)
+        if (r == 0) { // entry starts a new row
+          closeRow()
+          rowI += 1
+          if (rowI >= rgRows) fail()
+          if (d < dRep - 1) defined(rowI) = false // null row
+          else {
+            defined(rowI) = true
+            if (d == lf.maxDef) { buf += vals(vI); vI += 1 }
+            else if (d == dRep && lf.maxDef > dRep) buf += null
+            // d == dRep - 1: empty list — no element
+          }
+        } else if (r == 1) {
+          if (rowI < 0 || !defined(rowI)) fail()
+          if (d == lf.maxDef) { buf += vals(vI); vI += 1 }
+          else if (d == dRep && lf.maxDef > dRep) buf += null
+          else fail()
+        } else fail()
+        i += 1
+      }
+      if (vI != k) fail()
+      remaining -= h.nv
+      pos = cstart + h.cmp
+    }
+    closeRow()
+    if (rowI != rgRows - 1) fail()
+    ListCells(defined, out)
+  }
 
   /** Materialize EVERY column of a file (all row groups concatenated
     * in order) — what the lake compactor needs to rewrite small files.

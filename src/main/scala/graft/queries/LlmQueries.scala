@@ -6849,6 +6849,103 @@ object LlmQueries {
           CAST(count(src) AS BIGINT) AS n_src
         FROM d GROUP BY lang""")),
 
+    // ---- graft-lake TYPE SURFACE widening (r12 — the r11 verdict's
+    // #1 ask): the engine's flagship data — `array<float>` embeddings
+    // and double scores — lives in a graft-lake table. The EVEN
+    // vec_ids bootstrap as own-codec files whose list columns carry
+    // rep/def levels on the wire (ParquetWrite r12); the ODD half is
+    // appended THROUGH the connector (InternalRow arrays → FloatListCol
+    // buffers); the read path materializes GenericArrayData rows from
+    // OUR Dremel cell assembly (ParquetFile.readListCells). The gate
+    // quantizes every float element (floor(e·2¹⁰), exact on the
+    // mantissa) and replays per-label counts/sums in DuckDB from the
+    // SOURCE table — one wrong rep level, def fate, element order or
+    // float bit pattern anywhere in the loop shifts a sum.
+    "q233_lake_embeddings" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakee_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        // score: exact binary arithmetic (0.25 steps) so the oracle's
+        // double math replays bit-identically
+        val e = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("label").cast("long").as("label"),
+          col("embedding"),
+          (col("vec_id") * 0.25 - 3.0).as("score"))
+        val adds = e.where(col("vec_id") % 2 === 0)
+          .withColumn("g", (col("vec_id") / 128).cast("long"))
+          .as[(Long, Long, Array[Float], Double, Long)]
+          .groupByKey(_._5)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._1)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("vec_id",
+                rows.map(_._1)),
+              graft.operators.ParquetWrite.LongCol("label",
+                rows.map(_._2)),
+              graft.operators.ParquetWrite.FloatListCol("embedding",
+                rows.map(_._3.map(java.lang.Float.valueOf))),
+              graft.operators.ParquetWrite.DoubleCol("score",
+                rows.map(_._4))),
+              rowsPerGroup = 64)
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            val st = graft.operators.ParquetFile.parse(g, bytes)
+              .filter(r => r.valid && r.col_path == "vec_id" &&
+                r.has_stats)
+            (p, st.map(_.min_long).min, st.map(_.max_long).max,
+              rows.length.toLong)
+          }
+          .toDF("path", "min_key", "max_key", "size")
+        if (adds.isEmpty)
+          Seq.empty[(Long, Long, Long, Long, Long)]
+            .toDF("label", "n", "n_elems", "sum_q", "sum_sq")
+        else {
+          adds.select(lit(0L).as("version"), to_json(struct(
+              struct(col("path"), col("min_key"), col("max_key"),
+                col("size")).as("add"))).as("value"))
+            .coalesce(1)
+            .write.partitionBy("version").text(s"$base/log")
+          // ODD half through the connector's write path — arrays and
+          // doubles ride the DSv2 writer into own-codec list files
+          e.where(col("vec_id") % 2 === 1)
+            .select(col("vec_id"), col("label"), col("embedding"),
+              col("score"))
+            .write.format("graft-lake").option("path", base)
+            .option("statsCol", "vec_id").mode("append").save()
+          s.read.format("graft-lake").option("path", base)
+            .option("statsCol", "vec_id").load()
+            .select(col("label"),
+              aggregate(transform(col("embedding"), x =>
+                  floor(x.cast("double") * 1024.0).cast("long")),
+                lit(0L), (acc, x) => acc + x).as("q"),
+              size(col("embedding")).as("ne"),
+              floor(col("score") * 4.0).cast("long").as("sq"))
+            .groupBy(col("label"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("ne")).cast("long").as("n_elems"),
+              sum(col("q")).as("sum_q"),
+              sum(col("sq")).as("sum_sq"))
+        }
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding,
+            vec_id * 0.25 - 3.0 AS score FROM embeddings)
+        SELECT CAST(label AS BIGINT) AS label,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(len(embedding)) AS BIGINT) AS n_elems,
+          CAST(sum(list_sum(list_transform(embedding,
+            x -> floor(CAST(x AS DOUBLE) * 1024)))) AS BIGINT) AS sum_q,
+          CAST(sum(floor(score * 4)) AS BIGINT) AS sum_sq
+        FROM e GROUP BY label""")),
+
     // ---- Parquet split-block BLOOM filter (r10 — the format's
     // point-lookup pruner: a missing key skips the whole row group
     // without touching a page OR the column index): the artifact is

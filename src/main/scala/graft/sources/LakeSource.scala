@@ -75,19 +75,54 @@ object LakeSource {
       options.getInt("checkpointEvery", 10))
   }
 
-  /** Leaf → Spark field; flat INT32/INT64/UTF8-string only (the own-
-    * writer surface); anything else rejects at planning time. */
+  /** Leaf → Spark field. Flat INT32/INT64/FLOAT/DOUBLE/UTF8-string
+    * columns plus the 3-level `array<long|float|double>` LIST shape
+    * (r12 — the own-writer surface); anything else rejects at
+    * planning time. A list leaf's path is `name.list.element`; the
+    * Spark field takes the OUTER group's name. */
   private[sources] def fieldOf(lf: ParquetFile.Leaf): StructField = {
-    require(lf.maxRep == 0 && lf.maxDef <= 1,
-      s"graft-lake: unsupported nested column ${lf.path}")
-    val t = lf.ptype match {
+    def prim(p: Int): DataType = p match {
       case 1 => IntegerType
       case 2 => LongType
+      case 4 => FloatType
+      case 5 => DoubleType
       case 6 => StringType
-      case p => throw new IllegalArgumentException(
-        s"graft-lake: unsupported physical type $p for ${lf.path}")
+      case p0 => throw new IllegalArgumentException(
+        s"graft-lake: unsupported physical type $p0 for ${lf.path}")
     }
-    StructField(lf.path, t, nullable = lf.maxDef == 1)
+    if (lf.maxRep == 0) {
+      require(lf.maxDef <= 1,
+        s"graft-lake: unsupported nested column ${lf.path}")
+      StructField(lf.path, prim(lf.ptype), nullable = lf.maxDef == 1)
+    } else {
+      require(lf.maxRep == 1 && lf.path.endsWith(".list.element") &&
+          lf.repDef >= 1,
+        s"graft-lake: unsupported repeated column ${lf.path}")
+      val elem = prim(lf.ptype)
+      require(elem != StringType && elem != IntegerType,
+        s"graft-lake: unsupported list element type for ${lf.path}")
+      StructField(lf.path.substring(0, lf.path.indexOf('.')),
+        ArrayType(elem, containsNull = lf.maxDef > lf.repDef),
+        nullable = lf.repDef > 1) // outer chain carries an OPTIONAL
+    }
+  }
+
+  /** The leaf backing a Spark field name (flat: path == name; list:
+    * path == `name.list.element`). */
+  private[sources] def leafFor(leaves: Seq[ParquetFile.Leaf],
+      name: String): ParquetFile.Leaf =
+    leaves.find(l => l.path == name ||
+        l.path.startsWith(name + "."))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-lake: no column $name"))
+
+  /** The write-path type surface (r12): long/string/double/float flat
+    * columns plus `array<long|float|double>`. */
+  private[sources] def requireWritable(t: DataType): Unit = t match {
+    case LongType | StringType | DoubleType | FloatType => ()
+    case ArrayType(LongType | FloatType | DoubleType, _) => ()
+    case other => throw new IllegalArgumentException(
+      s"graft-lake append does not support column type $other")
   }
 }
 
@@ -354,12 +389,12 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
   private val bytes = java.nio.file.Files.readAllBytes(
     java.nio.file.Paths.get(p.path))
   private val meta = ParquetFile.parseFooterMeta(bytes)
-  private val leafOf = meta.leaves.map(l => l.path -> l).toMap
 
   private var rgIdx = 0
   private var rowInRg = 0
   private var rgRows = 0
-  private var cells: Array[ParquetFile.CellCol] = null
+  // CellCol for flat columns, ListCells for array columns
+  private var cells: Array[AnyRef] = null
   private val row = new GenericInternalRow(required.length)
 
   /** Advance to the next row group that survives the pushed bounds;
@@ -381,9 +416,13 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
       if (prunable) {
         val n = rg.numRows.toInt
         cells = p.cols.map { cn =>
-          val c = rg.chunks.find(_.path == cn).getOrElse(
+          val lf = LakeSource.leafFor(meta.leaves, cn)
+          val c = rg.chunks.find(_.path == lf.path).getOrElse(
             throw new IllegalArgumentException(s"missing chunk $cn"))
-          ParquetFile.readChunkCells(bytes, c, leafOf(cn), n)
+          val cell: AnyRef =
+            if (lf.maxRep == 0) ParquetFile.readChunkCells(bytes, c, lf, n)
+            else ParquetFile.readListCells(bytes, c, lf, n)
+          cell
         }.toArray
         rgRows = n
         rowInRg = 0
@@ -401,14 +440,25 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
   override def get(): InternalRow = {
     var i = 0
     while (i < required.length) {
-      val cc = cells(i)
-      if (!cc.defined(rowInRg)) row.setNullAt(i)
-      else required.fields(i).dataType match {
-        case LongType => row.setLong(i, cc.longs(rowInRg))
-        case IntegerType => row.setInt(i, cc.longs(rowInRg).toInt)
-        case StringType =>
-          row.update(i, UTF8String.fromBytes(cc.bins(rowInRg)))
-        case t => throw new IllegalArgumentException(s"$t")
+      cells(i) match {
+        case cc: ParquetFile.CellCol =>
+          if (!cc.defined(rowInRg)) row.setNullAt(i)
+          else required.fields(i).dataType match {
+            case LongType => row.setLong(i, cc.longs(rowInRg))
+            case IntegerType => row.setInt(i, cc.longs(rowInRg).toInt)
+            case DoubleType => row.setDouble(i, cc.dbls(rowInRg))
+            case FloatType =>
+              row.setFloat(i, cc.dbls(rowInRg).toFloat)
+            case StringType =>
+              row.update(i, UTF8String.fromBytes(cc.bins(rowInRg)))
+            case t => throw new IllegalArgumentException(s"$t")
+          }
+        case lc: ParquetFile.ListCells =>
+          if (!lc.defined(rowInRg)) row.setNullAt(i)
+          else row.update(i,
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              lc.rows(rowInRg).asInstanceOf[Array[Any]]))
+        case other => throw new IllegalStateException(s"$other")
       }
       i += 1
     }
@@ -460,10 +510,7 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
     require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         t.fields.map(f => (f.name, f.dataType)).toSeq,
       s"graft-lake append schema $schema does not match table schema $t")
-    schema.fields.foreach { f =>
-      require(f.dataType == LongType || f.dataType == StringType,
-        s"graft-lake append supports long/string columns, not ${f.dataType}")
-    }
+    schema.fields.foreach(f => LakeSource.requireWritable(f.dataType))
   }
 
   override def createBatchWriterFactory(
@@ -526,14 +573,11 @@ final class LakeDataWriter(root: String, schema: StructType,
     partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
-  private val longBuf = schema.fields.map(f =>
-    if (f.dataType == LongType)
-      new scala.collection.mutable.ArrayBuffer[java.lang.Long]()
-    else null)
-  private val strBuf = schema.fields.map(f =>
-    if (f.dataType == StringType)
-      new scala.collection.mutable.ArrayBuffer[String]()
-    else null)
+  // one boxed-value buffer per column: java.lang.Long / String /
+  // java.lang.Double / java.lang.Float for flat columns, Array[AnyRef]
+  // (the row's elements, nulls preserved) for array columns
+  private val bufs = schema.fields.map(_ =>
+    new scala.collection.mutable.ArrayBuffer[AnyRef]())
   private var n = 0L
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
@@ -542,13 +586,32 @@ final class LakeDataWriter(root: String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     var i = 0
     while (i < schema.length) {
-      if (schema.fields(i).dataType == LongType) {
-        longBuf(i) += (if (row.isNullAt(i)) null
-                       else java.lang.Long.valueOf(row.getLong(i)))
-      } else {
-        strBuf(i) += (if (row.isNullAt(i)) null
-                      else row.getUTF8String(i).toString)
-      }
+      val v: AnyRef =
+        if (row.isNullAt(i)) null
+        else schema.fields(i).dataType match {
+          case LongType => java.lang.Long.valueOf(row.getLong(i))
+          case StringType => row.getUTF8String(i).toString
+          case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+          case FloatType => java.lang.Float.valueOf(row.getFloat(i))
+          case ArrayType(et, _) =>
+            val a = row.getArray(i)
+            val out = new Array[AnyRef](a.numElements())
+            var j = 0
+            while (j < out.length) {
+              out(j) =
+                if (a.isNullAt(j)) null
+                else et match {
+                  case LongType => java.lang.Long.valueOf(a.getLong(j))
+                  case DoubleType =>
+                    java.lang.Double.valueOf(a.getDouble(j))
+                  case _ => java.lang.Float.valueOf(a.getFloat(j))
+                }
+              j += 1
+            }
+            out
+          case t => throw new IllegalArgumentException(s"$t")
+        }
+      bufs(i) += v
       i += 1
     }
     if (keyIdx >= 0 && !row.isNullAt(keyIdx) &&
@@ -566,13 +629,45 @@ final class LakeDataWriter(root: String, schema: StructType,
     val cols: Seq[ParquetWrite.Col] = schema.fields.zipWithIndex.map {
       case (f, i) =>
         val nullable = nullableOf.getOrElse(f.name, true)
-        if (f.dataType == LongType) {
-          if (nullable) ParquetWrite.OptLongCol(f.name, longBuf(i).toArray)
-          else ParquetWrite.LongCol(f.name,
-            longBuf(i).map(_.longValue()).toArray)
-        } else {
-          if (nullable) ParquetWrite.OptStrCol(f.name, strBuf(i).toArray)
-          else ParquetWrite.StrCol(f.name, strBuf(i).toArray)
+        f.dataType match {
+          case LongType =>
+            if (nullable) ParquetWrite.OptLongCol(f.name,
+              bufs(i).map(_.asInstanceOf[java.lang.Long]).toArray)
+            else ParquetWrite.LongCol(f.name, bufs(i)
+              .map(_.asInstanceOf[java.lang.Long].longValue()).toArray)
+          case StringType =>
+            if (nullable) ParquetWrite.OptStrCol(f.name,
+              bufs(i).map(_.asInstanceOf[String]).toArray)
+            else ParquetWrite.StrCol(f.name,
+              bufs(i).map(_.asInstanceOf[String]).toArray)
+          case DoubleType =>
+            if (nullable) ParquetWrite.OptDoubleCol(f.name,
+              bufs(i).map(_.asInstanceOf[java.lang.Double]).toArray)
+            else ParquetWrite.DoubleCol(f.name, bufs(i)
+              .map(_.asInstanceOf[java.lang.Double].doubleValue())
+              .toArray)
+          case FloatType =>
+            if (nullable) ParquetWrite.OptFloatCol(f.name,
+              bufs(i).map(_.asInstanceOf[java.lang.Float]).toArray)
+            else ParquetWrite.FloatCol(f.name, bufs(i)
+              .map(_.asInstanceOf[java.lang.Float].floatValue())
+              .toArray)
+          case ArrayType(LongType, _) =>
+            ParquetWrite.LongListCol(f.name, bufs(i).map(r =>
+              if (r == null) null
+              else r.asInstanceOf[Array[AnyRef]]
+                .map(_.asInstanceOf[java.lang.Long])).toArray)
+          case ArrayType(DoubleType, _) =>
+            ParquetWrite.DoubleListCol(f.name, bufs(i).map(r =>
+              if (r == null) null
+              else r.asInstanceOf[Array[AnyRef]]
+                .map(_.asInstanceOf[java.lang.Double])).toArray)
+          case ArrayType(FloatType, _) =>
+            ParquetWrite.FloatListCol(f.name, bufs(i).map(r =>
+              if (r == null) null
+              else r.asInstanceOf[Array[AnyRef]]
+                .map(_.asInstanceOf[java.lang.Float])).toArray)
+          case t => throw new IllegalArgumentException(s"$t")
         }
     }.toSeq
     val bytes = ParquetWrite.writeFile(cols, rowsPerGroup = 1024)
