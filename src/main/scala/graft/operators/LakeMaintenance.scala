@@ -117,12 +117,15 @@ object LakeMaintenance {
   }
 
   final case class MergeResult(rewritten: Int, matched: Long,
-      inserted: Long, version: Long)
+      inserted: Long, version: Long, deleted: Long = 0L)
 
-  /** MERGE (upsert) by the key column: rows of `updates` whose key
-    * exists in the table REPLACE the stored rows (every occurrence);
-    * keys present nowhere INSERT as one new key-sorted file; one
-    * commit carries remove(rewritten)+add(new).
+  /** MERGE (upsert + delete, r12) by the key column: rows of `updates`
+    * whose key exists in the table REPLACE the stored rows (every
+    * occurrence); keys in `deletes` DROP their stored rows (every
+    * occurrence — the CDC delete arm; a candidate file whose rows all
+    * die commits as a remove-only tombstone, no empty file is ever
+    * written); keys present nowhere INSERT as one new key-sorted
+    * file; one commit carries remove(rewritten)+add(new).
     *
     * The updates ride as a BROADCAST map — the CDC-batch shape (a
     * bounded changeset against a huge table); candidate files are
@@ -137,15 +140,22 @@ object LakeMaintenance {
     * nullable). */
   def merge(spark: SparkSession, root: String,
       updates: Seq[(Long, Array[Any])], keyCol: String,
-      maxBroadcast: Int = 1 << 20): MergeResult = {
-    require(updates.size <= maxBroadcast,
-      s"merge changeset ${updates.size} exceeds the broadcast bound " +
-        s"$maxBroadcast — shuffle-join merges are out of scope")
-    if (updates.isEmpty) return MergeResult(0, 0L, 0L, -1L)
+      maxBroadcast: Int = 1 << 20,
+      deletes: Seq[Long] = Seq.empty): MergeResult = {
+    require(updates.size + deletes.size <= maxBroadcast,
+      s"merge changeset ${updates.size + deletes.size} exceeds the " +
+        s"broadcast bound $maxBroadcast — shuffle-join merges are " +
+        "out of scope")
+    if (updates.isEmpty && deletes.isEmpty)
+      return MergeResult(0, 0L, 0L, -1L)
     require(updates.map(_._1).distinct.size == updates.size,
       "duplicate keys in the merge changeset")
+    require(deletes.distinct.size == deletes.size,
+      "duplicate keys in the delete set")
+    require(!updates.exists(u => deletes.contains(u._1)),
+      "a key cannot be both updated and deleted in one changeset")
     val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
-    val keys = updates.map(_._1)
+    val keys = updates.map(_._1) ++ deletes
     val kLo = keys.min; val kHi = keys.max
     val candidates = live.filter { f =>
       (f.minKey, f.maxKey) match {
@@ -158,11 +168,14 @@ object LakeMaintenance {
     val next = if (versions.isEmpty) 0L else versions.max + 1
     val updMap = updates.toMap
     val bc = spark.sparkContext.broadcast(updMap)
+    val bcDel = spark.sparkContext.broadcast(deletes.toSet)
 
-    // (oldPath, newPath, rows, minKey, maxKey, matchedKeys) — tuples,
-    // not a method-local case class: local classes capture enclosing
-    // scope and break task serialization
-    val rewritten: Array[(String, String, Long, Long, Long, Seq[Long])] =
+    // (oldPath, newPath ("" = all rows died), rows, minKey, maxKey,
+    // matchedKeys, deletedRows) — tuples, not a method-local case
+    // class: local classes capture enclosing scope and break task
+    // serialization
+    val rewritten: Array[(String, String, Long, Long, Long, Seq[Long],
+        Long)] =
       if (candidates.isEmpty) Array.empty
       else spark.sparkContext
         .parallelize(candidates.zipWithIndex,
@@ -176,54 +189,68 @@ object LakeMaintenance {
             leaves(ki).maxDef == 0,
             s"merge key $keyCol must be a REQUIRED long column")
           val n = cells(ki).longs.length
+          // delete arm: surviving row indices (order preserved)
+          val keep = (0 until n)
+            .filterNot(i => bcDel.value.contains(cells(ki).longs(i)))
+            .toArray
           val matched = scala.collection.mutable.ArrayBuffer.empty[Long]
-          // build per-column output values, applying the changeset
-          val outCols: Seq[ParquetWrite.Col] =
-            leaves.zipWithIndex.map { case (lf, li) =>
-              val isBin = lf.ptype == 6
-              val nullable = lf.maxDef == 1
-              val cc = cells(li)
-              def valueAt(i: Int): Any = {
-                val k = cells(ki).longs(i)
-                bc.value.get(k) match {
-                  case Some(vals) => vals(li)
-                  case None =>
-                    if (!cc.defined(i)) null
-                    else if (isBin) new String(cc.bins(i), "UTF-8")
-                    else java.lang.Long.valueOf(cc.longs(i))
-                }
-              }
-              if (!isBin && !nullable)
-                ParquetWrite.LongCol(lf.path, Array.tabulate(n)(i =>
-                  valueAt(i).asInstanceOf[java.lang.Long].longValue()))
-              else if (!isBin)
-                ParquetWrite.OptLongCol(lf.path, Array.tabulate(n)(i =>
-                  valueAt(i).asInstanceOf[java.lang.Long]))
-              else if (nullable)
-                ParquetWrite.OptStrCol(lf.path, Array.tabulate(n)(i =>
-                  valueAt(i).asInstanceOf[String]))
-              else
-                ParquetWrite.StrCol(lf.path, Array.tabulate(n)(i =>
-                  valueAt(i).asInstanceOf[String]))
-            }
           var i = 0
           while (i < n) {
             val k = cells(ki).longs(i)
             if (bc.value.contains(k)) matched += k
             i += 1
           }
-          val out = ParquetWrite.writeFile(outCols, rowsPerGroup = 1024)
-          val p = s"$root/data/merge-$next-$idx.parquet"
-          java.nio.file.Files.write(java.nio.file.Paths.get(p), out): Unit
-          val st = ParquetFile.parse(idx.toLong, out)
-            .filter(r => r.valid && r.has_stats && r.col_path == keyCol)
-          (f.path, p, n.toLong,
-            st.map(_.min_long).min, st.map(_.max_long).max,
-            matched.distinct.toSeq)
+          if (keep.isEmpty) // every row died: remove-only, no file
+            (f.path, "", 0L, 0L, 0L, matched.distinct.toSeq,
+              n.toLong)
+          else {
+            // build per-column output values over the SURVIVING rows,
+            // applying the update changeset
+            val outCols: Seq[ParquetWrite.Col] =
+              leaves.zipWithIndex.map { case (lf, li) =>
+                val isBin = lf.ptype == 6
+                val nullable = lf.maxDef == 1
+                val cc = cells(li)
+                def valueAt(i: Int): Any = {
+                  val k = cells(ki).longs(i)
+                  bc.value.get(k) match {
+                    case Some(vals) => vals(li)
+                    case None =>
+                      if (!cc.defined(i)) null
+                      else if (isBin) new String(cc.bins(i), "UTF-8")
+                      else java.lang.Long.valueOf(cc.longs(i))
+                  }
+                }
+                if (!isBin && !nullable)
+                  ParquetWrite.LongCol(lf.path, keep.map(i =>
+                    valueAt(i).asInstanceOf[java.lang.Long].longValue()))
+                else if (!isBin)
+                  ParquetWrite.OptLongCol(lf.path, keep.map(i =>
+                    valueAt(i).asInstanceOf[java.lang.Long]))
+                else if (nullable)
+                  ParquetWrite.OptStrCol(lf.path, keep.map(i =>
+                    valueAt(i).asInstanceOf[String]))
+                else
+                  ParquetWrite.StrCol(lf.path, keep.map(i =>
+                    valueAt(i).asInstanceOf[String]))
+              }
+            val out = ParquetWrite.writeFile(outCols,
+              rowsPerGroup = 1024)
+            val p = s"$root/data/merge-$next-$idx.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), out): Unit
+            val st = ParquetFile.parse(idx.toLong, out)
+              .filter(r => r.valid && r.has_stats &&
+                r.col_path == keyCol)
+            (f.path, p, keep.length.toLong,
+              st.map(_.min_long).min, st.map(_.max_long).max,
+              matched.distinct.toSeq, (n - keep.length).toLong)
+          }
         }
         .collect()
 
     val matchedKeys = rewritten.flatMap(_._6).toSet
+    val deletedRows = rewritten.map(_._7).sum
     val inserts = updates.filterNot(u => matchedKeys.contains(u._1))
       .sortBy(_._1)
     // insert file: built from the changeset rows, key-sorted; needs
@@ -262,7 +289,7 @@ object LakeMaintenance {
     val lines =
       rewritten.map(r =>
         s"""{"remove":{"path":"${TxLog.requireJsonSafe(r._1)}"}}""") ++
-      rewritten.map(r =>
+      rewritten.filter(_._2.nonEmpty).map(r =>
         s"""{"add":{"path":"${TxLog.requireJsonSafe(r._2)}","size":${r._3}""" +
           s""","min_key":${r._4},"max_key":${r._5}}}""") ++
       insertAdd.map { case (p, rows, mn, mx) =>
@@ -271,7 +298,7 @@ object LakeMaintenance {
       }
     TxLog.commitVersion(s"$root/log", next, lines.toSeq)
     MergeResult(rewritten.length, matchedKeys.size.toLong,
-      insertAdd.map(_._2).getOrElse(0L), next)
+      insertAdd.map(_._2).getOrElse(0L), next, deletedRows)
   }
 
   final case class VacuumResult(deleted: Int, retainedFiles: Int)

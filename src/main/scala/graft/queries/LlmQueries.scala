@@ -6583,6 +6583,106 @@ object LlmQueries {
           CAST(sum(nc) AS BIGINT) AS sum_chars
         FROM d GROUP BY lang""")),
 
+    // ---- MERGE with the DELETE arm (r12 — the r11 verdict's #3 ask:
+    // real CDC feeds carry deletes). One changeset updates (%10),
+    // inserts (50 fresh keys) AND deletes — every doc_id < 256 (so
+    // the first bootstrap file dies ENTIRELY and commits as a
+    // remove-only tombstone, never an empty file) plus every
+    // doc_id%7==3 (scattered single-row deletes through surviving
+    // files). The read-back per-lang aggregate over the merged table
+    // replays in DuckDB from the source rows with the same
+    // update/insert/delete semantics applied relationally — a row
+    // that survives a delete it shouldn't (or dies when it
+    // shouldn't) shifts a count. LakeMaintenanceSpec pins the
+    // remove-only commit shape and the disjointness guard.
+    "q234_lake_merge_delete" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakemd_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val adds = docs(s, dir)
+          .select((col("doc_id") / 256).cast("long").as("g"),
+            col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("lang"))
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rows.map(_._2)),
+              graft.operators.ParquetWrite.OptLongCol("n_chars",
+                rows.map(r => if (r._2 % 9 == 0) null
+                  else java.lang.Long.valueOf(r._3))),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rows.map(_._4))))
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            val st = graft.operators.ParquetFile.parse(g, bytes)
+              .filter(r => r.valid && r.col_path == "doc_id" &&
+                r.has_stats)
+            (p, st.map(_.min_long).min, st.map(_.max_long).max,
+              rows.length.toLong)
+          }
+          .toDF("path", "min_key", "max_key", "size")
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          adds.select(lit(0L).as("version"), to_json(struct(
+              struct(col("path"), col("min_key"), col("max_key"),
+                col("size")).as("add"))).as("value"))
+            .coalesce(1)
+            .write.partitionBy("version").text(s"$base/log")
+          // bounded CDC changeset (the documented broadcast contract)
+          val dels = docs(s, dir)
+            .where(col("doc_id") < 256 || col("doc_id") % 7 === 3)
+            .select(col("doc_id")).as[Long].collect().sorted.toSeq
+          val delSet = dels.toSet
+          val upd = docs(s, dir).where(col("doc_id") % 10 === 0)
+            .select(col("doc_id")).as[Long].collect().sorted
+            .filterNot(delSet) // update/delete keys must be disjoint
+            .map(k => (k, Array[Any](java.lang.Long.valueOf(k),
+              java.lang.Long.valueOf(k), "xx")))
+          val mx = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+          val ins = (0 until 50).map { i =>
+            val k = mx + 1 + i
+            (k, Array[Any](java.lang.Long.valueOf(k),
+              java.lang.Long.valueOf(k * 2), "zz"))
+          }
+          graft.operators.LakeMaintenance.merge(s, base,
+            (upd ++ ins).toSeq, "doc_id", deletes = dels): Unit
+          s.read.format("graft-lake").option("path", base).load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+          d AS (SELECT
+              CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+              CASE WHEN doc_id % 10 = 0 THEN doc_id
+                   WHEN doc_id % 9 = 0 THEN NULL
+                   ELSE n_chars END AS nc
+            FROM documents
+            WHERE NOT (doc_id < 256 OR doc_id % 7 = 3)
+            UNION ALL
+            SELECT 'zz', (m + 1 + i) * 2
+            FROM mx, LATERAL (SELECT unnest(range(50)) AS i) ii)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(nc) AS BIGINT) AS sum_chars
+        FROM d GROUP BY lang""")),
+
     // ---- Lakehouse VACUUM (r11 — compaction's companion: removes
     // leave tombstoned files ON DISK for time travel; VACUUM reclaims
     // every data file not referenced by any snapshot inside the

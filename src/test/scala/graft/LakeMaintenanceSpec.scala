@@ -209,6 +209,42 @@ class LakeMaintenanceSpec extends SparkSpec {
     TxLog.commitVersions(s"$base/log").max shouldBe 0L // no commits
   }
 
+  test("MERGE delete arm (r12): scattered deletes drop rows in " +
+      "place, a fully-deleted file commits as a remove-only " +
+      "tombstone, and update+delete compose in one commit") {
+    val base = buildLittered(4) // keys 0..399 in 4 files
+    // delete ALL of file 1 (100..199) plus scattered %31 keys; update
+    // key 5; keys must be disjoint between the two arms
+    val dels = (100L until 200L) ++
+      (0L until 400L).filter(k => k % 31 == 0 && (k < 100 || k >= 200))
+    val r = LakeMaintenance.merge(spark, base,
+      Seq((5L, Array[Any](java.lang.Long.valueOf(5L),
+        java.lang.Long.valueOf(777L), "upd"))),
+      "doc_id", deletes = dels.toSeq)
+    r.version shouldBe 1L
+    r.matched shouldBe 1L
+    r.deleted shouldBe dels.size.toLong
+    r.rewritten shouldBe 4 // every file intersects the key span
+    val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+    // file 1 died entirely: 3 rewritten survivors, NO empty file
+    live.size shouldBe 3
+    live.foreach(f => f.size should be > 0L)
+    val got = asSet(lake(base))
+    got.size shouldBe 400 - dels.size
+    got should contain ((5L, Some(777L), "upd"))
+    got.map(_._1).intersect(dels.toSet) shouldBe empty
+    (got -- Set((5L, Some(777L), "upd"))) shouldBe
+      (0 until 4).flatMap(expected).toSet
+        .filterNot(row => dels.contains(row._1) || row._1 == 5L)
+    // disjointness guard: a key in both arms rejects
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.merge(spark, base,
+        Seq((7L, Array[Any](java.lang.Long.valueOf(7L),
+          java.lang.Long.valueOf(1L), "a"))),
+        "doc_id", deletes = Seq(7L))
+    }
+  }
+
   test("the streaming tail sees a compaction commit as adds " +
       "(append-only semantics, documented re-emission)") {
     val base = buildLittered(4)
