@@ -689,6 +689,109 @@ object Avro {
     w.result
   }
 
+  /** One deep record (q221's wire shape): id, meta{src, score?},
+    * toks: array<long>, tags: ["null", array<string>]. */
+  final case class DeepRec(id: Long, src: String, score: Option[Long],
+      toks: Seq[Long], tags: Option[Seq[String]])
+
+  private def snappyBlock(body: Array[Byte]): Array[Byte] = {
+    // avro's snappy codec: raw block ++ 4-byte BIG-ENDIAN CRC32 of
+    // the UNCOMPRESSED data (what the q204/q221 reader verifies)
+    val c = Snappy.compress(body)
+    val crc = new java.util.zip.CRC32()
+    crc.update(body, 0, body.length)
+    val v = crc.getValue
+    c ++ Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+  }
+
+  /** Serialize one NESTED-schema OCF (r12 — the writer mirror of the
+    * q221 deep reader, closing the asymmetry the r11 verdict named):
+    * the docw record tree (nested record, array<long>, a nullable
+    * array<string> union) in `perBlock`-record blocks under the
+    * `null`, `deflate` or `snappy` codec — snappy blocks carry the
+    * spec's CRC32 suffix over the uncompressed bytes, produced by OUR
+    * raw-block compressor ([[Snappy.compress]]). Readable by
+    * avro-java (the q235 gate) and by [[parseDeep]]. */
+  def writeOcfDeep(records: Seq[DeepRec], sync: Array[Byte],
+      codec: String, perBlock: Int = 2): Array[Byte] = {
+    require(sync.length == 16, "sync marker must be 16 bytes")
+    require(perBlock > 0, "perBlock must be positive")
+    require(codec == "null" || codec == "deflate" || codec == "snappy",
+      s"unsupported codec $codec")
+    val w = new W
+    w.out.write('O'); w.out.write('b'); w.out.write('j'); w.out.write(1)
+    w.zigzag(2L)
+    w.str("avro.schema")
+    w.str("""{"type":"record","name":"docw","fields":[""" +
+      """{"name":"id","type":"long"},""" +
+      """{"name":"meta","type":{"type":"record","name":"m","fields":[""" +
+      """{"name":"src","type":"string"},""" +
+      """{"name":"score","type":["null","long"]}]}},""" +
+      """{"name":"toks","type":{"type":"array","items":"long"}},""" +
+      """{"name":"tags","type":""" +
+      """["null",{"type":"array","items":"string"}]}]}""")
+    w.str("avro.codec")
+    w.str(codec)
+    w.zigzag(0L)
+    w.out.write(sync, 0, 16)
+    records.grouped(perBlock).foreach { grp =>
+      val body = new W
+      grp.foreach { r =>
+        body.zigzag(r.id)
+        body.str(r.src) // meta.src
+        r.score match { // meta.score union
+          case None => body.zigzag(0L)
+          case Some(x) => body.zigzag(1L); body.zigzag(x)
+        }
+        if (r.toks.nonEmpty) { // array<long>: one block + terminator
+          body.zigzag(r.toks.size.toLong)
+          r.toks.foreach(body.zigzag)
+        }
+        body.zigzag(0L)
+        r.tags match { // union ["null", array<string>]
+          case None => body.zigzag(0L)
+          case Some(ts) =>
+            body.zigzag(1L)
+            if (ts.nonEmpty) {
+              body.zigzag(ts.size.toLong)
+              ts.foreach(body.str)
+            }
+            body.zigzag(0L)
+        }
+      }
+      val raw = body.result
+      val payload = codec match {
+        case "deflate" => deflateRaw(raw)
+        case "snappy" => snappyBlock(raw)
+        case _ => raw
+      }
+      w.zigzag(grp.size.toLong)
+      w.zigzag(payload.length.toLong)
+      w.out.write(payload, 0, payload.length)
+      w.out.write(sync, 0, 16)
+    }
+    w.result
+  }
+
+  /** One own-writer DEEP OCF per doc group (q235): the q221 data
+    * formulas — so the SAME oracle replay gates avro-java's bytes
+    * (q221) and ours — under snappy (even g) / deflate (odd g). */
+  def ownOcfDeepGroupPayload(g: Long, ids: Array[Long]): Array[Byte] = {
+    require(g >= 0 && ids.nonEmpty, s"bad group $g")
+    val sync = new Array[Byte](16)
+    var k = 0
+    while (k < 16) {
+      sync(k) = (((g * 37 + k) * 2654435761L >>> 7) & 0xff).toByte
+      k += 1
+    }
+    writeOcfDeep(ids.toSeq.map(d => DeepRec(d, "s" + (d % 5),
+      if (d % 3 == 0) None else Some((7 * d) % 50),
+      if (d % 4 == 0) Seq.empty else Seq(d % 10, d % 7, d % 3),
+      if (d % 6 == 0) None else Some(Seq("t" + (d % 2))))),
+      sync, if (g % 2 == 0) "snappy" else "deflate")
+  }
+
   /** One own-writer OCF per doc group (q227): record for doc d is
     * (id = d, v = null when d%3==0 else (7d)%50, s = "s"·(1+d%4)++d)
     * — the q215 formulas, so the SAME oracle replay gates bytes from
@@ -705,6 +808,65 @@ object Avro {
     writeOcf(ids.toSeq.map(d => (d,
       if (d % 3 == 0) None else Some((7 * d) % 50),
       "s" * (1 + d % 4).toInt + d)), sync, deflate = g % 2 == 0)
+  }
+
+  /** Map-side avro-java read-back of OUR deep bytes (q235 — the
+    * nested mirror of [[decodeWithAvroJava]]): the REAL reader
+    * consumes our record-tree encoding, unions, array blocks and
+    * snappy frames, and folds the same aggregates [[parseDeep]]
+    * reports — so the q221 oracle replays over our writer's output. */
+  def decodeDeepWithAvroJava(
+      media: Dataset[(Long, Array[Byte])]): Dataset[AvroDeepInfo] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { case (id, bytes) =>
+      try {
+        val r = new org.apache.avro.file.DataFileReader(
+          new org.apache.avro.file.SeekableByteArrayInput(bytes),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try {
+          var nBlocks = 0L; var nRecords = 0L; var sumLong = 0L
+          var nNulls = 0L; var nItems = 0L
+          var sumSlen = 0L; var sumSbytes = 0L
+          var lastSync = -1L
+          def str(s: String): Unit = {
+            val sb = s.getBytes("UTF-8")
+            sumSlen += sb.length
+            var i = 0
+            while (i < sb.length) { sumSbytes += sb(i) & 0xff; i += 1 }
+          }
+          while (r.hasNext) {
+            val pos = r.previousSync()
+            if (pos != lastSync) { nBlocks += 1; lastSync = pos }
+            val rec = r.next()
+            nRecords += 1
+            sumLong += rec.get("id").asInstanceOf[java.lang.Long]
+            val meta = rec.get("meta")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            str(meta.get("src").toString)
+            val score = meta.get("score")
+            if (score == null) nNulls += 1
+            else sumLong += score.asInstanceOf[java.lang.Long]
+            val toks = rec.get("toks")
+              .asInstanceOf[java.util.List[java.lang.Long]]
+            val ti = toks.iterator()
+            while (ti.hasNext) { sumLong += ti.next(); nItems += 1 }
+            val tags = rec.get("tags")
+            if (tags == null) nNulls += 1
+            else {
+              val li = tags.asInstanceOf[java.util.List[AnyRef]]
+                .iterator()
+              while (li.hasNext) { str(li.next().toString); nItems += 1 }
+            }
+          }
+          AvroDeepInfo(id, nBlocks, nRecords, sumLong, nNulls, nItems,
+            sumSlen, sumSbytes, valid = true)
+        } finally r.close()
+      } catch {
+        case _: Throwable =>
+          AvroDeepInfo(id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
+      }
+    })
   }
 
   /** Map-side avro-java read-back of OUR bytes — the q227 gate's

@@ -87,4 +87,84 @@ object Snappy {
     if (w != out.length) fail()
     out
   }
+
+  // =================================================================
+  // RAW-block COMPRESSOR (r12 — the writer-side inverse, what the
+  // Avro OCF writer's `snappy` codec runs on): greedy 4-byte hash
+  // matching inside 64 KiB fragments, emitting 2-byte-offset copies
+  // (kind 10, length 1–64) — and the 1-byte-offset form (kind 01)
+  // when the match qualifies — with pending bytes flushed as
+  // literals. Every emitted element is from the same public format
+  // description the decompressor decodes; the spec gates the round
+  // trip through BOTH our decompressor and snappy-java's (the
+  // reference implementation Spark links).
+  // =================================================================
+
+  private val HashBits = 14
+
+  /** Compress `src` into one raw snappy block (preamble + elements).
+    * Deterministic; output is valid for ANY conforming decompressor,
+    * compression ratio is input-dependent (worst case ~len + len/60
+    * overhead for incompressible data). */
+  def compress(src: Array[Byte]): Array[Byte] = {
+    require(src != null, "null input")
+    val out = new java.io.ByteArrayOutputStream(src.length / 2 + 32)
+    var v = src.length
+    while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+    out.write(v)
+    def emitLiteral(from: Int, len: Int): Unit = {
+      if (len == 0) return
+      val n = len - 1
+      if (n < 60) out.write(n << 2)
+      else if (n < 256) { out.write(60 << 2); out.write(n) }
+      else { // fragments cap length at 65536: 2 LE bytes suffice
+        out.write(61 << 2); out.write(n & 0xff); out.write((n >> 8) & 0xff)
+      }
+      out.write(src, from, len)
+    }
+    def emitCopy(offset: Int, len0: Int): Unit = {
+      var len = len0
+      while (len > 64) { // long matches split into kind-10 maxima
+        out.write((63 << 2) | 2)
+        out.write(offset & 0xff); out.write((offset >> 8) & 0xff)
+        len -= 64
+      }
+      if (len >= 4 && len <= 11 && offset < 2048) { // kind 01
+        out.write(((offset >> 8) << 5) | ((len - 4) << 2) | 1)
+        out.write(offset & 0xff)
+      } else { // kind 10
+        out.write(((len - 1) << 2) | 2)
+        out.write(offset & 0xff); out.write((offset >> 8) & 0xff)
+      }
+    }
+    def read32(p: Int): Int =
+      (src(p) & 0xff) | ((src(p + 1) & 0xff) << 8) |
+        ((src(p + 2) & 0xff) << 16) | ((src(p + 3) & 0xff) << 24)
+    def hash(x: Int): Int = (x * 0x1e35a7bd) >>> (32 - HashBits)
+    val table = new Array[Int](1 << HashBits)
+    var blockStart = 0
+    while (blockStart < src.length) {
+      val blockEnd = math.min(blockStart + 65536, src.length)
+      java.util.Arrays.fill(table, -1)
+      var ip = blockStart
+      var lit = blockStart
+      while (ip + 4 <= blockEnd) {
+        val h = hash(read32(ip))
+        val cand = table(h)
+        table(h) = ip
+        if (cand >= blockStart && read32(cand) == read32(ip)) {
+          var mlen = 4
+          while (ip + mlen < blockEnd &&
+              src(cand + mlen) == src(ip + mlen)) mlen += 1
+          emitLiteral(lit, ip - lit)
+          emitCopy(ip - cand, mlen)
+          ip += mlen
+          lit = ip
+        } else ip += 1
+      }
+      emitLiteral(lit, blockEnd - lit)
+      blockStart = blockEnd
+    }
+    out.toByteArray
+  }
 }

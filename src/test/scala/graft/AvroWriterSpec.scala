@@ -50,6 +50,36 @@ class AvroWriterSpec extends SparkSpec {
     viaJava shouldBe own
   }
 
+  test("r12 DEEP writer: avro-java and our own deep reader both " +
+      "consume our nested + snappy/deflate bytes and agree") {
+    import spark.implicits._
+    for (g <- Seq(6L, 7L)) { // snappy (even) and deflate (odd)
+      val ids = (g * 64 until g * 64 + 40).toArray
+      val b = Avro.ownOcfDeepGroupPayload(g, ids)
+      val own = Avro.parseDeep(g, b)
+      own.valid shouldBe true
+      val viaJava = Avro.decodeDeepWithAvroJava(
+        spark.createDataset(Seq((g, b)))).collect().head
+      viaJava shouldBe own
+      // and the aggregates equal the REAL writer's for the same ids
+      val ref = Avro.parseDeep(g, Avro.avroDeepGroupPayload(g, ids))
+      ref.valid shouldBe true
+      own.copy(media_id = 0L) shouldBe ref.copy(media_id = 0L)
+    }
+    // empty arrays / all-null fates round the tree: one record each
+    val one = Avro.writeOcfDeep(Seq(
+      Avro.DeepRec(1L, "", None, Seq.empty, None),
+      Avro.DeepRec(2L, "zz", Some(-5L), Seq(0L, -1L),
+        Some(Seq.empty))), Array.fill[Byte](16)(3), "snappy")
+    val got = Avro.decodeDeepWithAvroJava(
+      spark.createDataset(Seq((9L, one)))).collect().head
+    got.valid shouldBe true
+    got.n_records shouldBe 2L
+    got.n_nulls shouldBe 2L // one null score + one null tags
+    got.sum_long shouldBe (1L + 2L - 5L + 0L - 1L)
+    got.n_items shouldBe 2L // the two toks of record 2
+  }
+
   test("framing corruption rejects on both readers: sync flip, " +
       "truncation, random flips never throw") {
     val b = Avro.ownOcfGroupPayload(2L, Array(10L, 11L, 12L))

@@ -32,6 +32,30 @@ class SnappySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("r12 COMPRESSOR: our bytes decode through snappy-java AND our " +
+      "own decompressor across data shapes, and repetition compresses") {
+    def both(data: Array[Byte]): Unit = {
+      val c = Snappy.compress(data)
+      Snappy.decompress(c, 0, c.length, data.length) shouldBe data
+      org.xerial.snappy.Snappy.uncompress(c) shouldBe data
+    }
+    both(Array.emptyByteArray)
+    both("a".getBytes)
+    both(("ab" * 40000).getBytes) // self-overlap copies, >64 KiB
+    both(Array.fill[Byte](100000)(7)) // pure RLE
+    val rnd = new scala.util.Random(13)
+    both(Array.fill[Byte](70000)(rnd.nextInt().toByte)) // incompressible
+    val mixed = ("x" * 1000).getBytes ++
+      Array.fill[Byte](5000)(rnd.nextInt().toByte) ++ ("y" * 3000).getBytes
+    both(mixed)
+    for (n <- Seq(1, 3, 4, 59, 60, 61, 255, 256, 4096, 10007, 65536,
+        65537, 131073))
+      both(Array.tabulate[Byte](n)(i => (i % 31).toByte))
+    // it actually COMPRESSES repetitive data (not a literal-only shim)
+    val rep = ("spark" * 10000).getBytes
+    Snappy.compress(rep).length should be < rep.length / 10
+  }
+
   test("declared-length mismatch rejects") {
     val c = org.xerial.snappy.Snappy.compress("hello world hello".getBytes)
     intercept[Snappy.Malformed.type] {
