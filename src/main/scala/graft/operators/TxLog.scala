@@ -326,6 +326,22 @@ object TxLog {
     * the connector's streaming offset space). */
   def commitVersions(logBase: String): Seq[Long] = listVersions(logBase)
 
+  /** Highest epoch committed by streaming-sink app `appId` (r12 — the
+    * exactly-once fence, Delta's `txn` action): scans commit lines for
+    * `{"txn":{"app":…,"epoch":E}}` fences. A driver-side metadata scan
+    * over the commit history; production formats fold txn state into
+    * checkpoints — here commit files are never deleted, so the scan is
+    * bounded by log lifetime, documented. */
+  def latestTxn(logBase: String, appId: String): Option[Long] = {
+    val es = listVersions(logBase).flatMap { v =>
+      linesUnder(s"$logBase/version=$v")
+        .filter(_.contains("\"txn\":"))
+        .filter(l => jStr(l, "app").contains(appId))
+        .flatMap(l => jLong(l, "epoch"))
+    }
+    if (es.isEmpty) None else Some(es.max)
+  }
+
   /** Enforce the log's no-escape JSON subset at WRITE time (ADVICE
     * r11): a '"', '\', or newline in an interpolated path would
     * silently produce a malformed log that the regex-based parsers

@@ -6343,6 +6343,101 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- graft-lake STREAMING SINK (r12 — the r11 verdict's #5 ask:
+    // the connector read streams and batch-writes; now
+    // `writeStream.format("graft-lake")` commits ONE log version per
+    // epoch with a Delta-style txn fence). The fixture is a
+    // lake-to-lake pipeline: the SOURCE table's odd docs land in four
+    // separate commit versions, `versionsPerTrigger=1` forces four
+    // micro-batches, and each epoch commits exactly one version into
+    // the SINK table (bootstrapped with the even half). The gated
+    // read-back over the sink must equal the full documents table —
+    // a dropped epoch, a double-committed replay, or a fence mix-up
+    // shifts a count. LakeSinkSpec pins the exactly-once laws
+    // (replayed-epoch no-op, restart idempotence, fence scoping).
+    "q236_lake_stream_sink" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakes_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        val src = s"$base/src"; val dst = s"$base/dst"
+        new java.io.File(s"$src/data").mkdirs()
+        new java.io.File(s"$dst/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        // writes one table's files under root/data, one file per
+        // (bucket of 256 ids) group, returning the add lines
+        def build(root: String, rows: org.apache.spark.sql.DataFrame)
+            : Seq[(Long, String)] =
+          rows.withColumn("g", (col("doc_id") / 256).cast("long"))
+            .as[(Long, Long, String, Long)]
+            .groupByKey(_._4)
+            .mapGroups { (g, it) =>
+              val rs = it.toArray.sortBy(_._1)
+              val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+                graft.operators.ParquetWrite.LongCol("doc_id",
+                  rs.map(_._1)),
+                graft.operators.ParquetWrite.OptLongCol("n_chars",
+                  rs.map(r => if (r._1 % 9 == 0) null
+                    else java.lang.Long.valueOf(r._2))),
+                graft.operators.ParquetWrite.StrCol("lang",
+                  rs.map(_._3))))
+              val p = s"$root/data/part-$g.parquet"
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(p), bytes): Unit
+              val st = graft.operators.ParquetFile.parse(g, bytes)
+                .filter(r => r.valid && r.col_path == "doc_id" &&
+                  r.has_stats)
+              (g, s"""{"add":{"path":"$p","size":${rs.length}""" +
+                s""","min_key":${st.map(_.min_long).min}""" +
+                s""","max_key":${st.map(_.max_long).max}}}""")
+            }.collect().toSeq.sortBy(_._1)
+        val srcAdds = build(src, d.where(col("doc_id") % 2 === 1))
+        val dstAdds = build(dst, d.where(col("doc_id") % 2 === 0))
+        if (srcAdds.isEmpty || dstAdds.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          // SOURCE: each file in its OWN commit version -> one epoch
+          // per version under versionsPerTrigger=1
+          srcAdds.zipWithIndex.foreach { case ((_, line), v) =>
+            graft.operators.TxLog.commitVersion(s"$src/log",
+              v.toLong, Seq(line))
+          }
+          // SINK bootstrap: one commit with the even half
+          graft.operators.TxLog.commitVersion(s"$dst/log", 0L,
+            dstAdds.map(_._2))
+          val q = s.readStream.format("graft-lake")
+            .option("path", src).option("versionsPerTrigger", 1)
+            .load()
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .option("checkpointLocation", s"$base/ck")
+            .format("graft-lake").option("path", dst)
+            .start()
+          q.awaitTermination()
+          s.read.format("graft-lake").option("path", dst).load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""WITH d AS (SELECT lang,
+            CASE WHEN doc_id % 9 = 0 THEN NULL ELSE n_chars END AS nc
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(nc) AS BIGINT) AS sum_chars
+        FROM d GROUP BY lang""")),
+
     // ---- Avro DEEP writer (r12 — the r11 verdict's #4 ask: the
     // writer was flat/null-deflate-only while the reader decoded
     // nested + snappy). OUR encoder now serializes the q221 record

@@ -150,7 +150,8 @@ final class LakeTable(val root: String, val asOf: Long,
   override def schema(): StructType = inferred
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(this)
   override def newWriteBuilder(
@@ -497,7 +498,96 @@ final class LakeWriteBuilder(table: LakeTable,
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
         new LakeBatchWrite(table, info.schema())
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new LakeStreamingWrite(table, info.schema(), info.queryId())
     }
+}
+
+/** STREAMING sink face of the connector (r12 — the r11 verdict's #5
+  * ask): `df.writeStream.format("graft-lake")` commits ONE log
+  * version per epoch, exactly-once. The fence is a Delta-style `txn`
+  * action carried IN the commit — `{"txn":{"app":<queryId>,
+  * "epoch":E}}` — so a replayed epoch (failure between task success
+  * and Spark's checkpoint advance) is detected by reading the log
+  * itself: its rewritten files are dropped and NO second version
+  * lands. The queryId is stable across restarts from the same
+  * checkpoint, which is what makes the fence an app identity.
+  * Checkpoint maintenance runs at the table's cadence, same as batch
+  * appends.
+  *
+  * 100 TB shape: per epoch, executors write one own-codec file per
+  * partition map-side and ship (path, rows, min, max); the driver
+  * writes one metadata file. The fence scan is a log-metadata read. */
+final class LakeStreamingWrite(table: LakeTable, schema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  locally {
+    val t = table.schema()
+    require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        t.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graft-lake stream schema $schema does not match table schema $t")
+    schema.fields.foreach(f => LakeSource.requireWritable(f.dataType))
+  }
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new LakeStreamingWriterFactory(table.root, schema, table.statsCol,
+      table.schema().fields.map(f => f.name -> f.nullable).toMap)
+
+  override def commit(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val adds = messages.collect { case m: LakeCommitMessage => m }
+      .filter(_.numRows > 0)
+    if (adds.isEmpty) return // empty epoch: nothing to fence
+    val fence = TxLog.latestTxn(s"${table.root}/log", queryId)
+    if (fence.exists(_ >= epochId)) {
+      // replayed epoch — the data already lives in a committed
+      // version; the rerun tasks' files are duplicates, drop them
+      adds.foreach(m => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(m.path)): Unit)
+      return
+    }
+    val versions = TxLog.commitVersions(s"${table.root}/log")
+    val next = if (versions.isEmpty) 0L else versions.max + 1
+    val lines = adds.map { m =>
+      val stats =
+        if (m.hasKey)
+          s""","min_key":${m.minKey},"max_key":${m.maxKey}"""
+        else ""
+      s"""{"add":{"path":"${TxLog.requireJsonSafe(m.path)}",""" +
+        s""""size":${m.numRows}$stats}}"""
+    } :+ s"""{"txn":{"app":"${TxLog.requireJsonSafe(queryId)}",""" +
+      s""""epoch":$epochId}}"""
+    TxLog.commitVersion(s"${table.root}/log", next, lines.toSeq)
+    val every = math.max(1, table.checkpointEvery).toLong
+    if ((next + 1) % every == 0L)
+      TxLog.writeCheckpoint(
+        org.apache.spark.sql.SparkSession.active,
+        s"${table.root}/log", s"${table.root}/ckpt", next)
+  }
+
+  override def abort(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: LakeCommitMessage if m.path.nonEmpty =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(m.path)): Unit
+      case _ => ()
+    }
+}
+
+final class LakeStreamingWriterFactory(root: String,
+    schema: StructType, statsCol: String,
+    nullableOf: Map[String, Boolean])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new LakeDataWriter(root, schema, statsCol, nullableOf,
+      partitionId, taskId, s"-e$epochId")
 }
 
 final class LakeBatchWrite(table: LakeTable, schema: StructType)
@@ -570,7 +660,7 @@ final class LakeWriterFactory(root: String, schema: StructType,
   * task commit; nothing touches the log until the DRIVER commits. */
 final class LakeDataWriter(root: String, schema: StructType,
     statsCol: String, nullableOf: Map[String, Boolean],
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, tag: String = "")
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   // one boxed-value buffer per column: java.lang.Long / String /
@@ -671,7 +761,7 @@ final class LakeDataWriter(root: String, schema: StructType,
         }
     }.toSeq
     val bytes = ParquetWrite.writeFile(cols, rowsPerGroup = 1024)
-    val p = s"$root/data/append-$partitionId-$taskId.parquet"
+    val p = s"$root/data/append-$partitionId-$taskId$tag.parquet"
     java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes): Unit
     LakeCommitMessage(p, n, minKey, maxKey,
       hasKey = keyIdx >= 0 && minKey <= maxKey)
