@@ -40,7 +40,8 @@ import org.apache.spark.sql.functions._
 object TxLog {
 
   /** Parse raw action lines (`version`, `value` JSON) into the normalized
-    * action frame: (version, path, is_add, add_size). */
+    * action frame: (version, path, is_add, add_size, key stats,
+    * string-key stats, partition value). */
   def parseActions(log: DataFrame): DataFrame =
     log.select(col("version"),
         get_json_object(col("value"), "$.add.path").as("add_path"),
@@ -50,11 +51,15 @@ object TxLog {
           .as("min_key"),
         get_json_object(col("value"), "$.add.max_key").cast("long")
           .as("max_key"),
+        get_json_object(col("value"), "$.add.min_skey").as("min_skey"),
+        get_json_object(col("value"), "$.add.max_skey").as("max_skey"),
+        get_json_object(col("value"), "$.add.part").as("part"),
         get_json_object(col("value"), "$.remove.path").as("rm_path"))
       .select(col("version"),
         coalesce(col("add_path"), col("rm_path")).as("path"),
         col("add_path").isNotNull.as("is_add"),
-        col("add_size"), col("min_key"), col("max_key"))
+        col("add_size"), col("min_key"), col("max_key"),
+        col("min_skey"), col("max_skey"), col("part"))
       // non-file actions (the streaming sink's txn fence lines) carry
       // no path and do not participate in file-state resolution
       .where(col("path").isNotNull)
@@ -71,7 +76,8 @@ object TxLog {
   def latestWins(acts: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("path")).orderBy(col("version").desc)
     acts.select(col("version"), col("path"), col("is_add"),
-        col("add_size"), col("min_key"), col("max_key"))
+        col("add_size"), col("min_key"), col("max_key"),
+        col("min_skey"), col("max_skey"), col("part"))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")
@@ -113,7 +119,8 @@ object TxLog {
     val state = latestWins(readCommitDirs(s, logBase, commits))
     state.select(to_json(struct(
         struct(col("path"), col("version"), col("is_add"),
-          col("add_size"), col("min_key"), col("max_key"))
+          col("add_size"), col("min_key"), col("max_key"),
+          col("min_skey"), col("max_skey"), col("part"))
           .as("state"))).as("value"))
       .coalesce(1)
       .write.mode("overwrite").text(s"$ckptBase/version=$v")
@@ -157,9 +164,10 @@ object TxLog {
       asOf: Long): Resolved = {
     import s.implicits._
     val emptyState =
-      Seq.empty[(Long, String, Boolean, Long, Option[Long], Option[Long])]
+      Seq.empty[(Long, String, Boolean, Long, Option[Long],
+          Option[Long], Option[String], Option[String], Option[String])]
         .toDF("version", "path", "is_add", "add_size", "min_key",
-          "max_key")
+          "max_key", "min_skey", "max_skey", "part")
     // the pointer names the newest checkpoint; time travel may need an
     // older one — the ckpt dir listing is bounded by history/cadence
     val available = listVersions(ckptBase)
@@ -180,9 +188,15 @@ object TxLog {
             get_json_object(col("value"), "$.state.min_key")
               .cast("long").as("min_key"),
             get_json_object(col("value"), "$.state.max_key")
-              .cast("long").as("max_key"))
+              .cast("long").as("max_key"),
+            get_json_object(col("value"), "$.state.min_skey")
+              .as("min_skey"),
+            get_json_object(col("value"), "$.state.max_skey")
+              .as("max_skey"),
+            get_json_object(col("value"), "$.state.part").as("part"))
           .select(col("version"), col("path"), col("is_add"),
-            col("add_size"), col("min_key"), col("max_key"))
+            col("add_size"), col("min_key"), col("max_key"),
+            col("min_skey"), col("max_skey"), col("part"))
       case None => emptyState
     }
     val tail = listVersions(logBase)
@@ -226,9 +240,10 @@ object TxLog {
           else {
             import bs.implicits._
             Seq.empty[(Long, String, Boolean, Long, Option[Long],
-                Option[Long])]
+                Option[Long], Option[String], Option[String],
+                Option[String])]
               .toDF("version", "path", "is_add", "add_size",
-                "min_key", "max_key")
+                "min_key", "max_key", "min_skey", "max_skey", "part")
           }
         foldState(prev, b).write.mode("overwrite")
           .parquet(s"$stateBase/s=$id")
@@ -251,9 +266,12 @@ object TxLog {
   // ================================================================
 
   /** One resolved live file with its optional key-column stats (what
-    * file-level pruning runs on; files without stats must scan). */
+    * file-level pruning runs on; files without stats must scan),
+    * string-key stats and partition value (r12). */
   final case class LiveFile(path: String, version: Long, size: Long,
-      minKey: Option[Long], maxKey: Option[Long])
+      minKey: Option[Long], maxKey: Option[Long],
+      minSkey: Option[String] = None, maxSkey: Option[String] = None,
+      part: Option[String] = None)
 
   private def jStr(line: String, key: String): Option[String] =
     ("\"" + key + "\":\"([^\"]*)\"").r
@@ -286,9 +304,15 @@ object TxLog {
     val usable =
       if (asOf < 0) readPointer(ckptBase).filter(available.contains)
       else available.filter(_ <= asOf).lastOption
-    // path -> (version, isAdd, size, min, max)
+    // path -> (version, isAdd, the rest of the LiveFile)
     val state = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Long, Boolean, Long, Option[Long], Option[Long])]
+      .empty[String, (Long, Boolean, LiveFile)]
+    def fileOf(path: String, v: Long, line: String,
+        sizeKey: String): LiveFile =
+      LiveFile(path, v, jLong(line, sizeKey).getOrElse(0L),
+        jLong(line, "min_key"), jLong(line, "max_key"),
+        jStr(line, "min_skey"), jStr(line, "max_skey"),
+        jStr(line, "part"))
     usable.foreach { cv =>
       linesUnder(s"$ckptBase/version=$cv").foreach { line =>
         val path = jStr(line, "path").getOrElse(
@@ -297,8 +321,7 @@ object TxLog {
           throw new IllegalArgumentException(s"bad ckpt line: $line"))
         val isAdd = jBool(line, "is_add").getOrElse(
           throw new IllegalArgumentException(s"bad ckpt line: $line"))
-        state(path) = (v, isAdd, jLong(line, "add_size").getOrElse(0L),
-          jLong(line, "min_key"), jLong(line, "max_key"))
+        state(path) = (v, isAdd, fileOf(path, v, line, "add_size"))
       }
     }
     val tail = listVersions(logBase)
@@ -313,12 +336,11 @@ object TxLog {
           throw new IllegalArgumentException(s"bad commit line: $line"))
         val keep = state.get(path).forall(_._1 <= v)
         if (keep)
-          state(path) = (v, isAdd, jLong(line, "size").getOrElse(0L),
-            jLong(line, "min_key"), jLong(line, "max_key"))
+          state(path) = (v, isAdd, fileOf(path, v, line, "size"))
       }
     }
     state.iterator.collect {
-      case (p, (v, true, size, mn, mx)) => LiveFile(p, v, size, mn, mx)
+      case (_, (_, true, f)) => f
     }.toSeq
   }
 
@@ -399,7 +421,9 @@ object TxLog {
           val path = jStr(line, "path").getOrElse(
             throw new IllegalArgumentException(s"bad commit line: $line"))
           LiveFile(path, v, jLong(line, "size").getOrElse(0L),
-            jLong(line, "min_key"), jLong(line, "max_key"))
+            jLong(line, "min_key"), jLong(line, "max_key"),
+            jStr(line, "min_skey"), jStr(line, "max_skey"),
+            jStr(line, "part"))
         }
     }
 }

@@ -6343,6 +6343,134 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- graft-lake PARTITION COLUMNS (r12 — the r11 verdict's #6
+    // ask): `partitionBy=source` on the connector write makes each
+    // task write one file PER source value it saw, and the add
+    // carries Delta-style `"part":"srcN"` — so a partition predicate
+    // prunes files from log METADATA alone, before any stats or
+    // footer I/O. The bootstrap file carries no part value and must
+    // always scan (conservative law, LakeSourceSpec pins the planned
+    // counts); the gated read filters one source and aggregates per
+    // lang — the oracle replays it from the source table.
+    "q237_lake_partition" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakep_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("lang"), col("source"))
+        // bootstrap: doc_id < 64 in ONE own-codec file, no part value
+        val boot = d.where(col("doc_id") < 64)
+          .as[(Long, Long, String, String)].collect().sortBy(_._1)
+        if (boot.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+            graft.operators.ParquetWrite.LongCol("doc_id",
+              boot.map(_._1)),
+            graft.operators.ParquetWrite.LongCol("n_chars",
+              boot.map(_._2)),
+            graft.operators.ParquetWrite.StrCol("lang",
+              boot.map(_._3)),
+            graft.operators.ParquetWrite.StrCol("source",
+              boot.map(_._4))))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            s"$base/data/boot.parquet"), bytes): Unit
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+            s"""{"add":{"path":"$base/data/boot.parquet",""" +
+              s""""size":${boot.length},"min_key":${boot.head._1},""" +
+              s""""max_key":${boot.last._1}}}"""))
+          d.where(col("doc_id") >= 64)
+            .repartition(4, col("source"))
+            .write.format("graft-lake").option("path", base)
+            .option("partitionBy", "source").mode("append").save()
+          s.read.format("graft-lake").option("path", base)
+            .option("partitionBy", "source").load()
+            .where(col("source") === "src3")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE source = 'src3' GROUP BY lang""")),
+
+    // ---- graft-lake STRING STATS (r12 — the r11 verdict's #7 ask:
+    // adds carried only long min_key/max_key; real pruning needs
+    // string windows). `strStatsCol=lang` makes each written file's
+    // add carry unsigned-lexicographic `min_skey`/`max_skey` over
+    // lang; the append is repartitioned BY lang so files get tight
+    // windows, and the gated read's RANGE predicate ('es' ≤ lang <
+    // 'fr') prunes files from log metadata. The statless bootstrap
+    // file always scans; results replay relationally (DuckDB's
+    // default binary collation = the same byte order).
+    "q238_lake_string_stats" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakess_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("lang"), col("source"))
+        val boot = d.where(col("doc_id") < 64)
+          .as[(Long, Long, String, String)].collect().sortBy(_._1)
+        if (boot.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("source", "n", "sum_chars")
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+            graft.operators.ParquetWrite.LongCol("doc_id",
+              boot.map(_._1)),
+            graft.operators.ParquetWrite.LongCol("n_chars",
+              boot.map(_._2)),
+            graft.operators.ParquetWrite.StrCol("lang",
+              boot.map(_._3)),
+            graft.operators.ParquetWrite.StrCol("source",
+              boot.map(_._4))))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            s"$base/data/boot.parquet"), bytes): Unit
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+            s"""{"add":{"path":"$base/data/boot.parquet",""" +
+              s""""size":${boot.length},"min_key":${boot.head._1},""" +
+              s""""max_key":${boot.last._1}}}"""))
+          d.where(col("doc_id") >= 64)
+            .repartition(8, col("lang"))
+            .write.format("graft-lake").option("path", base)
+            .option("strStatsCol", "lang").mode("append").save()
+          s.read.format("graft-lake").option("path", base)
+            .option("strStatsCol", "lang").load()
+            .where(col("lang") >= "es" && col("lang") < "fr")
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE lang >= 'es' AND lang < 'fr'
+        GROUP BY source""")),
+
     // ---- graft-lake STREAMING SINK (r12 — the r11 verdict's #5 ask:
     // the connector read streams and batch-writes; now
     // `writeStream.format("graft-lake")` commits ONE log version per

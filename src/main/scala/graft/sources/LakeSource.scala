@@ -72,7 +72,9 @@ object LakeSource {
     new LakeTable(path, options.getLong("asOf", -1L),
       options.getOrDefault("statsCol", "doc_id"),
       options.getInt("versionsPerTrigger", Int.MaxValue),
-      options.getInt("checkpointEvery", 10))
+      options.getInt("checkpointEvery", 10),
+      Option(options.get("strStatsCol")).filter(_.nonEmpty),
+      Option(options.get("partitionBy")).filter(_.nonEmpty))
   }
 
   /** Leaf → Spark field. Flat INT32/INT64/FLOAT/DOUBLE/UTF8-string
@@ -128,7 +130,9 @@ object LakeSource {
 
 final class LakeTable(val root: String, val asOf: Long,
     val statsCol: String, val versionsPerTrigger: Int = Int.MaxValue,
-    val checkpointEvery: Int = 10)
+    val checkpointEvery: Int = 10,
+    val strStatsCol: Option[String] = None,
+    val partCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   /** Snapshot resolution — driver-side metadata I/O through the
@@ -175,22 +179,33 @@ final class LakeScanBuilder(table: LakeTable)
       else StructType(Array(table.schema().fields.head))
 
   /** Accept range/equality/IN on LONG/INT columns — they drive file
-    * pruning (stats column) and row-group pruning (any long column).
-    * Everything is RETURNED as residual: Spark re-applies every
-    * filter, so pruning is purely an optimization. */
+    * pruning (stats column) and row-group pruning (any long column) —
+    * plus, r12, range/equality/IN STRING predicates on the
+    * `strStatsCol` (log string-window pruning) and the `partitionBy`
+    * column (partition pruning from metadata alone). Everything is
+    * RETURNED as residual: Spark re-applies every filter, so pruning
+    * is purely an optimization. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val longCols = table.schema().fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType =>
         f.name
     }.toSet
+    val strCols = (table.strStatsCol.toSeq ++ table.partCol.toSeq).toSet
     def num(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[Int]
+    def str(v: Any): Boolean = v.isInstanceOf[String]
     pruning = filters.filter {
-      case EqualTo(c, v) => longCols(c) && num(v)
-      case GreaterThan(c, v) => longCols(c) && num(v)
-      case GreaterThanOrEqual(c, v) => longCols(c) && num(v)
-      case LessThan(c, v) => longCols(c) && num(v)
-      case LessThanOrEqual(c, v) => longCols(c) && num(v)
-      case In(c, vs) => longCols(c) && vs.nonEmpty && vs.forall(num)
+      case EqualTo(c, v) =>
+        (longCols(c) && num(v)) || (strCols(c) && str(v))
+      case GreaterThan(c, v) =>
+        (longCols(c) && num(v)) || (strCols(c) && str(v))
+      case GreaterThanOrEqual(c, v) =>
+        (longCols(c) && num(v)) || (strCols(c) && str(v))
+      case LessThan(c, v) =>
+        (longCols(c) && num(v)) || (strCols(c) && str(v))
+      case LessThanOrEqual(c, v) =>
+        (longCols(c) && num(v)) || (strCols(c) && str(v))
+      case In(c, vs) => vs.nonEmpty &&
+        ((longCols(c) && vs.forall(num)) || (strCols(c) && vs.forall(str)))
       case _ => false
     }
     filters // all residual
@@ -219,17 +234,20 @@ private[sources] object LakeBounds {
       val (l0, h0) = m(c)
       m(c) = (math.max(l0, lo), math.min(h0, hi))
     }
+    def num(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[Int]
     filters.foreach {
-      case EqualTo(c, v) => tighten(c, of(v), of(v))
-      case GreaterThan(c, v) =>
+      case EqualTo(c, v) if num(v) => tighten(c, of(v), of(v))
+      case GreaterThan(c, v) if num(v) =>
         if (of(v) < Long.MaxValue) tighten(c, of(v) + 1, Long.MaxValue)
-      case GreaterThanOrEqual(c, v) => tighten(c, of(v), Long.MaxValue)
-      case LessThan(c, v) =>
+      case GreaterThanOrEqual(c, v) if num(v) =>
+        tighten(c, of(v), Long.MaxValue)
+      case LessThan(c, v) if num(v) =>
         if (of(v) > Long.MinValue) tighten(c, Long.MinValue, of(v) - 1)
-      case LessThanOrEqual(c, v) => tighten(c, Long.MinValue, of(v))
-      case In(c, vs) =>
+      case LessThanOrEqual(c, v) if num(v) =>
+        tighten(c, Long.MinValue, of(v))
+      case In(c, vs) if vs.nonEmpty && vs.forall(num) =>
         tighten(c, vs.map(of).min, vs.map(of).max)
-      case _ => ()
+      case _ => () // string predicates prune through windowOf, not here
     }
     m.toMap
   }
@@ -272,23 +290,71 @@ final class LakeScan(table: LakeTable, required: StructType,
       (Long.MinValue, Long.MaxValue))
     // IN-sets on the stats column prune files whose [min,max] window
     // contains none of the keys
+    def isNum(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[Int]
     val inSets = filters.collect {
-      case In(c, vs) if c == table.statsCol =>
+      case In(c, vs) if c == table.statsCol && vs.nonEmpty &&
+          vs.forall(isNum) =>
         vs.map(LakeBounds.of).toSet
-      case EqualTo(c, v) if c == table.statsCol => Set(LakeBounds.of(v))
+      case EqualTo(c, v) if c == table.statsCol && isNum(v) =>
+        Set(LakeBounds.of(v))
     }
-    def fileSurvives(f: TxLog.LiveFile): Boolean = (f.minKey, f.maxKey) match {
+    def keySurvives(f: TxLog.LiveFile): Boolean = (f.minKey, f.maxKey) match {
       case (Some(mn), Some(mx)) =>
         mx >= klo && mn <= khi &&
           inSets.forall(_.exists(v => v >= mn && v <= mx))
       case _ => true // statless files must scan
+    }
+    // r12 STRING pruning: the strStatsCol's [min_skey, max_skey]
+    // window, and the partition value as the exact window [v, v] —
+    // unsigned-lexicographic UTF-8 byte order, matching the writer's
+    // measurement. Files without the stat must scan.
+    def sLt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val m = math.min(x.length, y.length)
+      var i = 0
+      while (i < m) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def sLe(a: String, b: String): Boolean = !sLt(b, a)
+    def windowOf(f: TxLog.LiveFile, c: String)
+        : Option[(String, String)] =
+      if (table.partCol.contains(c) && f.part.isDefined)
+        f.part.map(p => (p, p))
+      else if (table.strStatsCol.contains(c))
+        (f.minSkey, f.maxSkey) match {
+          case (Some(mn), Some(mx)) => Some((mn, mx))
+          case _ => None
+        }
+      else None
+    def strSurvives(f: TxLog.LiveFile): Boolean = filters.forall {
+      case EqualTo(c, v: String) => windowOf(f, c).forall {
+        case (mn, mx) => sLe(mn, v) && sLe(v, mx)
+      }
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        windowOf(f, c).forall { case (mn, mx) =>
+          vs.exists(v => sLe(mn, v.asInstanceOf[String]) &&
+            sLe(v.asInstanceOf[String], mx))
+        }
+      case GreaterThan(c, v: String) =>
+        windowOf(f, c).forall { case (_, mx) => sLt(v, mx) }
+      case GreaterThanOrEqual(c, v: String) =>
+        windowOf(f, c).forall { case (_, mx) => sLe(v, mx) }
+      case LessThan(c, v: String) =>
+        windowOf(f, c).forall { case (mn, _) => sLt(mn, v) }
+      case LessThanOrEqual(c, v: String) =>
+        windowOf(f, c).forall { case (mn, _) => sLe(mn, v) }
+      case _ => true
     }
     val rgBounds = required.fieldNames.toSeq
       .flatMap(n => bounds.get(n).map(n -> _))
       .filter { case (_, (lo, hi)) =>
         lo != Long.MinValue || hi != Long.MaxValue
       }
-    table.live.filter(fileSurvives).map { f =>
+    table.live.filter(f => keySurvives(f) && strSurvives(f)).map { f =>
       LakePartition(f.path, required.fieldNames.toSeq,
         rgBounds): InputPartition
     }.toArray
@@ -486,9 +552,53 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
 // their name and only COMMITTED tasks' messages reach commit().
 // =================================================================
 
-final case class LakeCommitMessage(path: String, numRows: Long,
-    minKey: Long, maxKey: Long, hasKey: Boolean)
+/** One data file written by a task — with its key stats, optional
+  * string-key stats (r12, `strStatsCol`) and optional partition value
+  * (r12, `partitionBy`; a task writes one file PER partition value it
+  * saw, so a file's rows all share the value — what makes the value a
+  * pruning truth). */
+final case class LakeAdd(path: String, numRows: Long,
+    minKey: Long, maxKey: Long, hasKey: Boolean,
+    minSkey: Option[String] = None, maxSkey: Option[String] = None,
+    part: Option[String] = None)
+
+final case class LakeCommitMessage(adds: Seq[LakeAdd])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+object LakeCommitMessage {
+  /** Convenience for single-file messages (the un-partitioned path
+    * and the spec fixtures). */
+  def apply(path: String, numRows: Long, minKey: Long, maxKey: Long,
+      hasKey: Boolean): LakeCommitMessage =
+    if (numRows == 0) LakeCommitMessage(Seq.empty)
+    else LakeCommitMessage(Seq(
+      LakeAdd(path, numRows, minKey, maxKey, hasKey)))
+
+  /** Render one add's commit line (shared by batch + streaming
+    * commits): stats keys are dropped — never mangled — when a value
+    * cannot ride the no-escape JSON subset; pruning then degrades to
+    * a scan of that file, which is always correct. */
+  private[sources] def line(a: LakeAdd): String = {
+    def safe(v: String): Option[String] =
+      if (v.forall(c => c != '"' && c != '\\' && c != '\n' &&
+          c != '\r')) Some(v)
+      else None
+    val kstats =
+      if (a.hasKey) s""","min_key":${a.minKey},"max_key":${a.maxKey}"""
+      else ""
+    val sstats = (a.minSkey.flatMap(safe), a.maxSkey.flatMap(safe)) match {
+      case (Some(mn), Some(mx)) =>
+        s""","min_skey":"$mn","max_skey":"$mx""""
+      case _ => ""
+    }
+    val pv = a.part.flatMap(safe) match {
+      case Some(p) => s""","part":"$p""""
+      case None => ""
+    }
+    s"""{"add":{"path":"${graft.operators.TxLog.requireJsonSafe(a.path)}",""" +
+      s""""size":${a.numRows}$kstats$sstats$pv}}"""
+  }
+}
 
 final class LakeWriteBuilder(table: LakeTable,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -535,33 +645,28 @@ final class LakeStreamingWrite(table: LakeTable, schema: StructType,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new LakeStreamingWriterFactory(table.root, schema, table.statsCol,
-      table.schema().fields.map(f => f.name -> f.nullable).toMap)
+      table.schema().fields.map(f => f.name -> f.nullable).toMap,
+      table.strStatsCol, table.partCol)
 
   override def commit(epochId: Long, messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val adds = messages.collect { case m: LakeCommitMessage => m }
-      .filter(_.numRows > 0)
+      .flatMap(_.adds).filter(_.numRows > 0)
     if (adds.isEmpty) return // empty epoch: nothing to fence
     val fence = TxLog.latestTxn(s"${table.root}/log", queryId)
     if (fence.exists(_ >= epochId)) {
       // replayed epoch — the data already lives in a committed
       // version; the rerun tasks' files are duplicates, drop them
-      adds.foreach(m => java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(m.path)): Unit)
+      adds.foreach(a => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(a.path)): Unit)
       return
     }
     val versions = TxLog.commitVersions(s"${table.root}/log")
     val next = if (versions.isEmpty) 0L else versions.max + 1
-    val lines = adds.map { m =>
-      val stats =
-        if (m.hasKey)
-          s""","min_key":${m.minKey},"max_key":${m.maxKey}"""
-        else ""
-      s"""{"add":{"path":"${TxLog.requireJsonSafe(m.path)}",""" +
-        s""""size":${m.numRows}$stats}}"""
-    } :+ s"""{"txn":{"app":"${TxLog.requireJsonSafe(queryId)}",""" +
-      s""""epoch":$epochId}}"""
-    TxLog.commitVersion(s"${table.root}/log", next, lines.toSeq)
+    val lines = adds.map(LakeCommitMessage.line).toSeq :+
+      (s"""{"txn":{"app":"${TxLog.requireJsonSafe(queryId)}",""" +
+        s""""epoch":$epochId}}""")
+    TxLog.commitVersion(s"${table.root}/log", next, lines)
     val every = math.max(1, table.checkpointEvery).toLong
     if ((next + 1) % every == 0L)
       TxLog.writeCheckpoint(
@@ -572,22 +677,24 @@ final class LakeStreamingWrite(table: LakeTable, schema: StructType,
   override def abort(epochId: Long, messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: LakeCommitMessage if m.path.nonEmpty =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(m.path)): Unit
+      case m: LakeCommitMessage =>
+        m.adds.filter(_.path.nonEmpty).foreach(a =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(a.path)): Unit)
       case _ => ()
     }
 }
 
 final class LakeStreamingWriterFactory(root: String,
     schema: StructType, statsCol: String,
-    nullableOf: Map[String, Boolean])
+    nullableOf: Map[String, Boolean],
+    strStatsCol: Option[String], partCol: Option[String])
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new LakeDataWriter(root, schema, statsCol, nullableOf,
-      partitionId, taskId, s"-e$epochId")
+      partitionId, taskId, s"-e$epochId", strStatsCol, partCol)
 }
 
 final class LakeBatchWrite(table: LakeTable, schema: StructType)
@@ -607,7 +714,8 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     new LakeWriterFactory(table.root, schema, table.statsCol,
-      table.schema().fields.map(f => f.name -> f.nullable).toMap)
+      table.schema().fields.map(f => f.name -> f.nullable).toMap,
+      table.strStatsCol, table.partCol)
 
   /** Driver-side commit: ONE new log version carrying the adds (with
     * the key stats the writers measured), then checkpoint maintenance
@@ -615,19 +723,12 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val adds = messages.collect { case m: LakeCommitMessage => m }
-      .filter(_.numRows > 0)
+      .flatMap(_.adds).filter(_.numRows > 0)
     val versions = TxLog.commitVersions(s"${table.root}/log")
     val next = if (versions.isEmpty) 0L else versions.max + 1
-    val lines = adds.map { m =>
-      val stats =
-        if (m.hasKey)
-          s""","min_key":${m.minKey},"max_key":${m.maxKey}"""
-        else ""
-      s"""{"add":{"path":"${TxLog.requireJsonSafe(m.path)}",""" +
-        s""""size":${m.numRows}$stats}}"""
-    }
+    val lines = adds.map(LakeCommitMessage.line).toSeq
     if (lines.nonEmpty) // temp-dir + atomic rename (ADVICE r11)
-      TxLog.commitVersion(s"${table.root}/log", next, lines.toSeq)
+      TxLog.commitVersion(s"${table.root}/log", next, lines)
     // checkpoint maintenance: compact every `checkpointEvery` commits
     // so resolution stays O(cadence) as history grows (the q217 law)
     val every = math.max(1, table.checkpointEvery).toLong
@@ -641,27 +742,52 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
     messages.foreach {
       case m: LakeCommitMessage =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(m.path)): Unit
+        m.adds.filter(_.path.nonEmpty).foreach(a =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(a.path)): Unit)
       case _ => ()
     }
 }
 
 final class LakeWriterFactory(root: String, schema: StructType,
-    statsCol: String, nullableOf: Map[String, Boolean])
+    statsCol: String, nullableOf: Map[String, Boolean],
+    strStatsCol: Option[String], partCol: Option[String])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new LakeDataWriter(root, schema, statsCol, nullableOf,
-      partitionId, taskId)
+      partitionId, taskId, "", strStatsCol, partCol)
 }
 
-/** One file per input partition, serialized by [[ParquetWrite]] on
-  * task commit; nothing touches the log until the DRIVER commits. */
+/** One file per input partition — or one per (partition × partition
+  * value) when the table is `partitionBy`-partitioned (r12) —
+  * serialized by [[ParquetWrite]] on task commit; nothing touches the
+  * log until the DRIVER commits. With `strStatsCol` set, each file's
+  * add carries unsigned-lexicographic string min/max for that column
+  * (measured over the buffered values, same byte order the footer
+  * stats use). */
 final class LakeDataWriter(root: String, schema: StructType,
     statsCol: String, nullableOf: Map[String, Boolean],
-    partitionId: Int, taskId: Long, tag: String = "")
+    partitionId: Int, taskId: Long, tag: String = "",
+    strStatsCol: Option[String] = None, partCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val strIdx = strStatsCol
+    .map(c => schema.fieldNames.indexOf(c)).getOrElse(-1)
+  locally {
+    strStatsCol.foreach { c =>
+      require(strIdx >= 0 && schema.fields(strIdx).dataType == StringType,
+        s"strStatsCol $c must be a string column of the table")
+    }
+  }
+  private val partIdx = partCol
+    .map(c => schema.fieldNames.indexOf(c)).getOrElse(-1)
+  locally {
+    partCol.foreach { c =>
+      require(partIdx >= 0 && schema.fields(partIdx).dataType == StringType,
+        s"partitionBy $c must be a string column of the table")
+    }
+  }
 
   // one boxed-value buffer per column: java.lang.Long / String /
   // java.lang.Double / java.lang.Float for flat columns, Array[AnyRef]
@@ -669,9 +795,9 @@ final class LakeDataWriter(root: String, schema: StructType,
   private val bufs = schema.fields.map(_ =>
     new scala.collection.mutable.ArrayBuffer[AnyRef]())
   private var n = 0L
-  private var minKey = Long.MaxValue
-  private var maxKey = Long.MinValue
   private val keyIdx = schema.fieldNames.indexOf(statsCol)
+  private val keyIsLong = keyIdx >= 0 &&
+    schema.fields(keyIdx).dataType == LongType
 
   override def write(row: InternalRow): Unit = {
     var i = 0
@@ -704,67 +830,104 @@ final class LakeDataWriter(root: String, schema: StructType,
       bufs(i) += v
       i += 1
     }
-    if (keyIdx >= 0 && !row.isNullAt(keyIdx) &&
-        schema.fields(keyIdx).dataType == LongType) {
-      val k = row.getLong(keyIdx)
-      if (k < minKey) minKey = k
-      if (k > maxKey) maxKey = k
-    }
     n += 1
   }
 
-  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (n == 0)
-      return LakeCommitMessage("", 0L, 0L, 0L, hasKey = false)
-    val cols: Seq[ParquetWrite.Col] = schema.fields.zipWithIndex.map {
-      case (f, i) =>
-        val nullable = nullableOf.getOrElse(f.name, true)
-        f.dataType match {
-          case LongType =>
-            if (nullable) ParquetWrite.OptLongCol(f.name,
-              bufs(i).map(_.asInstanceOf[java.lang.Long]).toArray)
-            else ParquetWrite.LongCol(f.name, bufs(i)
-              .map(_.asInstanceOf[java.lang.Long].longValue()).toArray)
-          case StringType =>
-            if (nullable) ParquetWrite.OptStrCol(f.name,
-              bufs(i).map(_.asInstanceOf[String]).toArray)
-            else ParquetWrite.StrCol(f.name,
-              bufs(i).map(_.asInstanceOf[String]).toArray)
-          case DoubleType =>
-            if (nullable) ParquetWrite.OptDoubleCol(f.name,
-              bufs(i).map(_.asInstanceOf[java.lang.Double]).toArray)
-            else ParquetWrite.DoubleCol(f.name, bufs(i)
-              .map(_.asInstanceOf[java.lang.Double].doubleValue())
-              .toArray)
-          case FloatType =>
-            if (nullable) ParquetWrite.OptFloatCol(f.name,
-              bufs(i).map(_.asInstanceOf[java.lang.Float]).toArray)
-            else ParquetWrite.FloatCol(f.name, bufs(i)
-              .map(_.asInstanceOf[java.lang.Float].floatValue())
-              .toArray)
-          case ArrayType(LongType, _) =>
-            ParquetWrite.LongListCol(f.name, bufs(i).map(r =>
-              if (r == null) null
-              else r.asInstanceOf[Array[AnyRef]]
-                .map(_.asInstanceOf[java.lang.Long])).toArray)
-          case ArrayType(DoubleType, _) =>
-            ParquetWrite.DoubleListCol(f.name, bufs(i).map(r =>
-              if (r == null) null
-              else r.asInstanceOf[Array[AnyRef]]
-                .map(_.asInstanceOf[java.lang.Double])).toArray)
-          case ArrayType(FloatType, _) =>
-            ParquetWrite.FloatListCol(f.name, bufs(i).map(r =>
-              if (r == null) null
-              else r.asInstanceOf[Array[AnyRef]]
-                .map(_.asInstanceOf[java.lang.Float])).toArray)
-          case t => throw new IllegalArgumentException(s"$t")
-        }
+  private def buildCols(idx: Array[Int]): Seq[ParquetWrite.Col] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      def at(j: Int): AnyRef = bufs(i)(j)
+      val nullable = nullableOf.getOrElse(f.name, true)
+      f.dataType match {
+        case LongType =>
+          if (nullable) ParquetWrite.OptLongCol(f.name,
+            idx.map(j => at(j).asInstanceOf[java.lang.Long]))
+          else ParquetWrite.LongCol(f.name, idx.map(j =>
+            at(j).asInstanceOf[java.lang.Long].longValue()))
+        case StringType =>
+          if (nullable) ParquetWrite.OptStrCol(f.name,
+            idx.map(j => at(j).asInstanceOf[String]))
+          else ParquetWrite.StrCol(f.name,
+            idx.map(j => at(j).asInstanceOf[String]))
+        case DoubleType =>
+          if (nullable) ParquetWrite.OptDoubleCol(f.name,
+            idx.map(j => at(j).asInstanceOf[java.lang.Double]))
+          else ParquetWrite.DoubleCol(f.name, idx.map(j =>
+            at(j).asInstanceOf[java.lang.Double].doubleValue()))
+        case FloatType =>
+          if (nullable) ParquetWrite.OptFloatCol(f.name,
+            idx.map(j => at(j).asInstanceOf[java.lang.Float]))
+          else ParquetWrite.FloatCol(f.name, idx.map(j =>
+            at(j).asInstanceOf[java.lang.Float].floatValue()))
+        case ArrayType(LongType, _) =>
+          ParquetWrite.LongListCol(f.name, idx.map(j =>
+            if (at(j) == null) null
+            else at(j).asInstanceOf[Array[AnyRef]]
+              .map(_.asInstanceOf[java.lang.Long])))
+        case ArrayType(DoubleType, _) =>
+          ParquetWrite.DoubleListCol(f.name, idx.map(j =>
+            if (at(j) == null) null
+            else at(j).asInstanceOf[Array[AnyRef]]
+              .map(_.asInstanceOf[java.lang.Double])))
+        case ArrayType(FloatType, _) =>
+          ParquetWrite.FloatListCol(f.name, idx.map(j =>
+            if (at(j) == null) null
+            else at(j).asInstanceOf[Array[AnyRef]]
+              .map(_.asInstanceOf[java.lang.Float])))
+        case t => throw new IllegalArgumentException(s"$t")
+      }
     }.toSeq
-    val bytes = ParquetWrite.writeFile(cols, rowsPerGroup = 1024)
-    val p = s"$root/data/append-$partitionId-$taskId$tag.parquet"
-    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes): Unit
-    LakeCommitMessage(p, n, minKey, maxKey,
-      hasKey = keyIdx >= 0 && minKey <= maxKey)
+
+  /** Unsigned-lexicographic UTF-8 byte order — the same order the
+    * footer's string stats use, so predicate compares agree. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (n == 0) return LakeCommitMessage(Seq.empty)
+    // one file per partition value seen (None when unpartitioned or
+    // the value is null — such files carry no part key and must scan)
+    val groups: Seq[(Option[String], Array[Int])] =
+      if (partIdx < 0) Seq((None, Array.range(0, n.toInt)))
+      else (0 until n.toInt)
+        .groupBy(j => Option(bufs(partIdx)(j).asInstanceOf[String]))
+        .toSeq.sortBy(_._1.getOrElse(""))
+        .map { case (pv, js) => (pv, js.toArray) }
+    val adds = groups.zipWithIndex.map { case ((pv, idx), gi) =>
+      val bytes = ParquetWrite.writeFile(buildCols(idx),
+        rowsPerGroup = 1024)
+      val part = if (partIdx >= 0) s"-p$gi" else ""
+      val p = s"$root/data/append-$partitionId-$taskId$tag$part.parquet"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes): Unit
+      var mnK = Long.MaxValue; var mxK = Long.MinValue
+      if (keyIsLong) idx.foreach { j =>
+        val v = bufs(keyIdx)(j).asInstanceOf[java.lang.Long]
+        if (v != null) {
+          if (v.longValue() < mnK) mnK = v.longValue()
+          if (v.longValue() > mxK) mxK = v.longValue()
+        }
+      }
+      var mnS: String = null; var mxS: String = null
+      if (strIdx >= 0) idx.foreach { j =>
+        val v = bufs(strIdx)(j).asInstanceOf[String]
+        if (v != null) {
+          if (mnS == null || utf8Lt(v, mnS)) mnS = v
+          if (mxS == null || utf8Lt(mxS, v)) mxS = v
+        }
+      }
+      LakeAdd(p, idx.length.toLong, mnK, mxK,
+        hasKey = keyIsLong && mnK <= mxK,
+        minSkey = Option(mnS), maxSkey = Option(mxS), part = pv)
+    }
+    LakeCommitMessage(adds)
   }
 
   override def abort(): Unit = ()

@@ -117,7 +117,7 @@ class LakeSinkSpec extends SparkSpec {
     val dup = msg(11)
     sw.commit(7L, Array(dup))
     TxLog.commitVersions(s"$dst/log").max shouldBe 1L
-    new java.io.File(dup.path).exists() shouldBe false
+    new java.io.File(dup.adds.head.path).exists() shouldBe false
     sw.commit(5L, Array(msg(12)))
     TxLog.commitVersions(s"$dst/log").max shouldBe 1L
     // a DIFFERENT app's epoch 7 is not fenced by app-A's

@@ -328,6 +328,108 @@ class LakeSourceSpec extends SparkSpec {
   }
 
   // ================================================================
+  // r12 partition columns + string stats: pruning from log metadata
+  // ================================================================
+
+  /** Table whose append is partitioned by `p` (values a/b/c) with
+    * string stats on `s2`; the bootstrap file carries neither. */
+  private def buildPartitioned(): String = {
+    val base = java.nio.file.Files.createTempDirectory("graft_lkpart")
+      .toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    // bootstrap: ids 0..9, no part value, no skey stats
+    val bytes = ParquetWrite.writeFile(Seq(
+      ParquetWrite.LongCol("doc_id", (0L until 10L).toArray),
+      ParquetWrite.StrCol("p", Array.fill(10)("a")),
+      ParquetWrite.StrCol("s2", (0 until 10).map(i => s"k$i").toArray)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/data/boot.parquet"), bytes): Unit
+    TxLog.commitVersion(s"$base/log", 0L, Seq(
+      s"""{"add":{"path":"$base/data/boot.parquet","size":10,""" +
+        s""""min_key":0,"max_key":9}}"""))
+    // append ids 10..99 partitioned by p (3 values), skey stats on s2
+    (10L until 100L).map { i =>
+      (i, Seq("a", "b", "c")((i % 3).toInt), f"k$i%03d")
+    }.toDF("doc_id", "p", "s2")
+      .coalesce(1) // ONE task -> exactly one file per part value
+      .write.format("graft-lake").option("path", base)
+      .option("partitionBy", "p").option("strStatsCol", "s2")
+      .mode("append").save()
+    base
+  }
+
+  private def lakeOpt(base: String, opts: (String, String)*): DataFrame = {
+    var r = spark.read.format("graft-lake").option("path", base)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("r12 partition pruning: an equality/IN predicate on the " +
+      "partition column plans only matching files (+ the partless " +
+      "bootstrap, which must always scan)") {
+    val base = buildPartitioned()
+    val df = lakeOpt(base, "partitionBy" -> "p")
+    partitions(df) shouldBe 4 // boot + one file per value a/b/c
+    // eq: one partition file + the conservative bootstrap
+    partitions(df.filter(col("p") === "b")) shouldBe 2
+    df.filter(col("p") === "b").count() shouldBe 30L
+    // IN: two partition files + bootstrap
+    partitions(df.filter(col("p").isin("a", "c"))) shouldBe 3
+    df.filter(col("p").isin("a", "c")).count() shouldBe 70L
+    // a value no file carries: bootstrap only
+    partitions(df.filter(col("p") === "zz")) shouldBe 1
+    df.filter(col("p") === "zz").count() shouldBe 0L
+    // results identical without the option (pruning is optimization)
+    lakeOpt(base).filter(col("p") === "b").count() shouldBe 30L
+  }
+
+  test("r12 string-window pruning: range and equality predicates on " +
+      "the strStatsCol prune on the log's min_skey/max_skey") {
+    val base = java.nio.file.Files.createTempDirectory("graft_lkskey")
+      .toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    // three files with DISJOINT skey windows, committed with measured
+    // stats through the connector: cluster by range buckets
+    val bytes = ParquetWrite.writeFile(Seq(
+      ParquetWrite.LongCol("doc_id", Array(0L)),
+      ParquetWrite.StrCol("s2", Array("m999"))))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/data/boot.parquet"), bytes): Unit
+    TxLog.commitVersion(s"$base/log", 0L, Seq(
+      s"""{"add":{"path":"$base/data/boot.parquet","size":1,""" +
+        s""""min_key":0,"max_key":0}}"""))
+    // one append per bucket, coalesce(1) -> ONE file with an exact
+    // [k<b>_000, k<b>_029] window each (deterministic, unlike a
+    // range-partitioner split whose sampled boundaries wander)
+    (0 until 3).foreach { b =>
+      (0L until 30L).map(i => (b * 30L + i + 1L, f"k${b}%d_$i%03d"))
+        .toDF("doc_id", "s2")
+        .coalesce(1)
+        .write.format("graft-lake").option("path", base)
+        .option("strStatsCol", "s2").mode("append").save()
+    }
+    val df = lakeOpt(base, "strStatsCol" -> "s2")
+    partitions(df) shouldBe 4
+    // equality inside one window: that file + statless bootstrap
+    partitions(df.filter(col("s2") === "k1_015")) shouldBe 2
+    df.filter(col("s2") === "k1_015").count() shouldBe 1L
+    // range covering one prefix bucket
+    partitions(df.filter(col("s2") >= "k1" && col("s2") < "k2"))
+      .shouldBe(2)
+    df.filter(col("s2") >= "k1" && col("s2") < "k2")
+      .count() shouldBe 30L
+    // range out of every window: bootstrap only
+    partitions(df.filter(col("s2") > "zzz")) shouldBe 1
+    df.filter(col("s2") > "zzz").count() shouldBe 0L
+    // and the stats survive CHECKPOINTING (the q217 state carries
+    // min_skey/max_skey/part through the compaction round trip)
+    TxLog.writeCheckpoint(spark, s"$base/log", s"$base/ckpt", 3L)
+    val viaCkpt = lakeOpt(base, "strStatsCol" -> "s2")
+    partitions(viaCkpt.filter(col("s2") > "zzz")) shouldBe 1
+    viaCkpt.count() shouldBe 91L
+  }
+
+  // ================================================================
   // r12 type surface: double / float / array<float> tables
   // ================================================================
 
