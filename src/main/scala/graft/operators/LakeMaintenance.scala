@@ -20,6 +20,41 @@ import org.apache.spark.sql.SparkSession
   * — and only (path, rows, min, max) returns. Data never shuffles. */
 object LakeMaintenance {
 
+  /** Concatenate one column's slices across a bin's files (r12 — the
+    * full own-writer type surface: long/string/double/float flat and
+    * `array<T>` list columns). Same-schema files guaranteed by the
+    * caller's leaf check. */
+  private def concatCols(parts: Seq[ParquetWrite.Col]): ParquetWrite.Col =
+    parts.head match {
+      case ParquetWrite.LongCol(n, _) => ParquetWrite.LongCol(n,
+        parts.flatMap(_.asInstanceOf[ParquetWrite.LongCol].vs).toArray)
+      case ParquetWrite.OptLongCol(n, _) => ParquetWrite.OptLongCol(n,
+        parts.flatMap(_.asInstanceOf[ParquetWrite.OptLongCol].vs).toArray)
+      case ParquetWrite.StrCol(n, _) => ParquetWrite.StrCol(n,
+        parts.flatMap(_.asInstanceOf[ParquetWrite.StrCol].vs).toArray)
+      case ParquetWrite.OptStrCol(n, _) => ParquetWrite.OptStrCol(n,
+        parts.flatMap(_.asInstanceOf[ParquetWrite.OptStrCol].vs).toArray)
+      case ParquetWrite.DoubleCol(n, _) => ParquetWrite.DoubleCol(n,
+        parts.flatMap(_.asInstanceOf[ParquetWrite.DoubleCol].vs).toArray)
+      case ParquetWrite.OptDoubleCol(n, _) =>
+        ParquetWrite.OptDoubleCol(n, parts
+          .flatMap(_.asInstanceOf[ParquetWrite.OptDoubleCol].vs).toArray)
+      case ParquetWrite.FloatCol(n, _) => ParquetWrite.FloatCol(n,
+        parts.flatMap(_.asInstanceOf[ParquetWrite.FloatCol].vs).toArray)
+      case ParquetWrite.OptFloatCol(n, _) =>
+        ParquetWrite.OptFloatCol(n, parts
+          .flatMap(_.asInstanceOf[ParquetWrite.OptFloatCol].vs).toArray)
+      case ParquetWrite.LongListCol(n, _) =>
+        ParquetWrite.LongListCol(n, parts
+          .flatMap(_.asInstanceOf[ParquetWrite.LongListCol].rows).toArray)
+      case ParquetWrite.FloatListCol(n, _) =>
+        ParquetWrite.FloatListCol(n, parts
+          .flatMap(_.asInstanceOf[ParquetWrite.FloatListCol].rows).toArray)
+      case ParquetWrite.DoubleListCol(n, _) =>
+        ParquetWrite.DoubleListCol(n, parts
+          .flatMap(_.asInstanceOf[ParquetWrite.DoubleListCol].rows).toArray)
+    }
+
   final case class CompactResult(removed: Int, created: Int,
       version: Long)
 
@@ -57,36 +92,14 @@ object LakeMaintenance {
       .parallelize(work.zipWithIndex, math.min(work.size, 64))
       .map { case (bin, idx) =>
         val perFile = bin.map { f =>
-          ParquetFile.readFileCells(java.nio.file.Files.readAllBytes(
+          ParquetFile.readFileColumns(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(f.path)))
         }
         val leaves = perFile.head._1
         require(perFile.forall(_._1 == leaves),
           s"bin $idx mixes schemas")
-        val cols: Seq[ParquetWrite.Col] = leaves.zipWithIndex.map {
-          case (lf, li) =>
-            val isBin = lf.ptype == 6
-            val nullable = lf.maxDef == 1
-            if (!isBin && !nullable)
-              ParquetWrite.LongCol(lf.path,
-                perFile.flatMap(_._2(li).longs).toArray)
-            else if (!isBin)
-              ParquetWrite.OptLongCol(lf.path, perFile.flatMap { p =>
-                val cc = p._2(li)
-                cc.defined.indices.map(i =>
-                  if (cc.defined(i)) java.lang.Long.valueOf(cc.longs(i))
-                  else null)
-              }.toArray)
-            else {
-              val vs = perFile.flatMap { p =>
-                val cc = p._2(li)
-                cc.defined.indices.map(i =>
-                  if (cc.defined(i)) new String(cc.bins(i), "UTF-8")
-                  else null)
-              }.toArray
-              if (nullable) ParquetWrite.OptStrCol(lf.path, vs)
-              else ParquetWrite.StrCol(lf.path, vs)
-            }
+        val cols: Seq[ParquetWrite.Col] = leaves.indices.map { li =>
+          concatCols(perFile.map(_._2(li)))
         }
         val bytes = ParquetWrite.writeFile(cols, rowsPerGroup = 1024)
         val p = s"$root/data/compact-$next-$idx.parquet"

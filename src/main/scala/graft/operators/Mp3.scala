@@ -28,7 +28,18 @@ import org.apache.spark.sql.functions._
   * transition windows, and MIXED blocks (long bands 0..7 + short
   * sfb 3..12 inside one granule). It stops at the documented
   * 512-tap-FIR boundary; the entropy layer's linbits/non-table-1
-  * Huffman tables are the remaining documented edge.
+  * Huffman tables are the remaining documented edge — DELIBERATELY
+  * (r12): the 32 big-value tables are pure published DATA
+  * (ISO 11172-3 Annex B), and this environment carries no MP3
+  * reference implementation or MPEG-1 real-encoder fixture to
+  * verify a transcription against (the lone real file on the
+  * machine is MPEG-2 LSF, a different side-info profile). A
+  * self-consistent synthesize-and-decode gate cannot detect a
+  * mistranscribed code table — encoder and decoder would share the
+  * error — which is below the codec family's differential standard
+  * (avro-java consumes q227/q235 bytes; Spark's reader consumes
+  * q220/q231 bytes). Shipping unverifiable spec data as "done"
+  * would be worse than the boundary.
   *
   * 100 TB shape: pure map-side behind the imperative codec seam;
   * payload bytes never shuffle. */

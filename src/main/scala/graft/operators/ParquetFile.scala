@@ -1564,6 +1564,95 @@ object ParquetFile {
     ListCells(defined, out)
   }
 
+  /** Materialize EVERY column of an own-writer file as ready-to-write
+    * [[ParquetWrite.Col]] values (r12 — what the lake compactor and
+    * merge rewrite across the FULL type surface: long/string/double/
+    * float flat columns and `array<long|float|double>` lists). All
+    * row groups concatenate in order. Throws on out-of-subset files;
+    * callers sit behind their own seam. */
+  private[graft] def readFileColumns(
+      b: Array[Byte]): (Vector[Leaf], Seq[ParquetWrite.Col]) = {
+    val m = parseFooterMeta(b)
+    val n = m.numRows.toInt
+    if (n < 0 || m.numRows > MaxPage) fail()
+    val cols: Seq[ParquetWrite.Col] = m.leaves.map { lf =>
+      if (lf.maxRep == 0) {
+        if (lf.maxDef > 1) fail()
+        val nullable = lf.maxDef == 1
+        val defined = new Array[Boolean](n)
+        val longs = new Array[Long](n)
+        val dbls = new Array[Double](n)
+        val bins = new Array[Array[Byte]](n)
+        var row = 0
+        m.rowGroups.foreach { rg =>
+          val k = rg.numRows.toInt
+          val c = rg.chunks.find(_.path == lf.path).getOrElse(fail())
+          val cc = readChunkCells(b, c, lf, k)
+          System.arraycopy(cc.defined, 0, defined, row, k)
+          if (cc.longs != null)
+            System.arraycopy(cc.longs, 0, longs, row, k)
+          if (cc.dbls != null)
+            System.arraycopy(cc.dbls, 0, dbls, row, k)
+          if (cc.bins != null)
+            System.arraycopy(cc.bins, 0, bins, row, k)
+          row += k
+        }
+        if (row != n) fail()
+        lf.ptype match {
+          case 2 =>
+            if (nullable) ParquetWrite.OptLongCol(lf.path,
+              Array.tabulate(n)(i => if (defined(i))
+                java.lang.Long.valueOf(longs(i)) else null))
+            else ParquetWrite.LongCol(lf.path, longs)
+          case 4 =>
+            if (nullable) ParquetWrite.OptFloatCol(lf.path,
+              Array.tabulate(n)(i => if (defined(i))
+                java.lang.Float.valueOf(dbls(i).toFloat) else null))
+            else ParquetWrite.FloatCol(lf.path, dbls.map(_.toFloat))
+          case 5 =>
+            if (nullable) ParquetWrite.OptDoubleCol(lf.path,
+              Array.tabulate(n)(i => if (defined(i))
+                java.lang.Double.valueOf(dbls(i)) else null))
+            else ParquetWrite.DoubleCol(lf.path, dbls)
+          case 6 =>
+            val vs = Array.tabulate(n)(i => if (defined(i))
+              new String(bins(i), "UTF-8") else null)
+            if (nullable) ParquetWrite.OptStrCol(lf.path, vs)
+            else ParquetWrite.StrCol(lf.path, vs)
+          case _ => fail()
+        }
+      } else { // list column: concatenate per-row element arrays
+        val name = lf.path.substring(0, lf.path.indexOf('.'))
+        val defined = new Array[Boolean](n)
+        val rows = new Array[Array[AnyRef]](n)
+        var row = 0
+        m.rowGroups.foreach { rg =>
+          val k = rg.numRows.toInt
+          val c = rg.chunks.find(_.path == lf.path).getOrElse(fail())
+          val lc = readListCells(b, c, lf, k)
+          System.arraycopy(lc.defined, 0, defined, row, k)
+          System.arraycopy(lc.rows, 0, rows, row, k)
+          row += k
+        }
+        if (row != n) fail()
+        def rowsAs[T <: AnyRef](implicit ct: scala.reflect.ClassTag[T])
+            : Array[Array[T]] =
+          Array.tabulate(n)(i => if (!defined(i)) null
+            else rows(i).map(_.asInstanceOf[T]))
+        lf.ptype match {
+          case 2 => ParquetWrite.LongListCol(name,
+            rowsAs[java.lang.Long])
+          case 4 => ParquetWrite.FloatListCol(name,
+            rowsAs[java.lang.Float])
+          case 5 => ParquetWrite.DoubleListCol(name,
+            rowsAs[java.lang.Double])
+          case _ => fail()
+        }
+      }
+    }
+    (m.leaves, cols)
+  }
+
   /** Materialize EVERY column of a file (all row groups concatenated
     * in order) — what the lake compactor needs to rewrite small files.
     * Throws on out-of-subset files; callers sit behind their own seam. */

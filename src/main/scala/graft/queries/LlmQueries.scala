@@ -6343,6 +6343,89 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- Lake maintenance over the WIDENED type surface (r12 —
+    // closing the loop the q233 types opened: OPTIMIZE/compaction now
+    // rewrites `array<float>` + double columns through
+    // readFileColumns, not just long/string). The embeddings table
+    // lands as one file per 64 vec_ids through the CONNECTOR write
+    // path, gets compacted into key-ordered bins, and the read-back
+    // (quantized element sums, the q233 gate shape) must be
+    // bit-invariant — a compactor that drops a null element, reorders
+    // a list or round-trips a float through double arithmetic shifts
+    // a sum. LakeMaintenanceSpec pins the file-count drop.
+    "q239_lake_compact_embeddings" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakece_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val e = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("label").cast("long").as("label"),
+          col("embedding"),
+          (col("vec_id") * 0.25 - 3.0).as("score"))
+        // bootstrap: vec_id < 32 in one own-codec file + v0 commit
+        val boot = e.where(col("vec_id") < 32)
+          .as[(Long, Long, Array[Float], Double)].collect().sortBy(_._1)
+        if (boot.isEmpty)
+          Seq.empty[(Long, Long, Long, Long, Long)]
+            .toDF("label", "n", "n_elems", "sum_q", "sum_sq")
+        else {
+          val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+            graft.operators.ParquetWrite.LongCol("vec_id",
+              boot.map(_._1)),
+            graft.operators.ParquetWrite.LongCol("label",
+              boot.map(_._2)),
+            graft.operators.ParquetWrite.FloatListCol("embedding",
+              boot.map(_._3.map(java.lang.Float.valueOf))),
+            graft.operators.ParquetWrite.DoubleCol("score",
+              boot.map(_._4))))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            s"$base/data/boot.parquet"), bytes): Unit
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+            s"""{"add":{"path":"$base/data/boot.parquet",""" +
+              s""""size":${boot.length},"min_key":${boot.head._1},""" +
+              s""""max_key":${boot.last._1}}}"""))
+          // the rest in one-file-per-64-ids appends (small files —
+          // the compaction fixture), through the connector
+          e.where(col("vec_id") >= 32)
+            .withColumn("b", (col("vec_id") / 64).cast("long"))
+            .repartition(col("b")).drop("b")
+            .sortWithinPartitions(col("vec_id"))
+            .write.format("graft-lake").option("path", base)
+            .option("statsCol", "vec_id").mode("append").save()
+          graft.operators.LakeMaintenance.compact(s, base,
+            targetRows = 1 << 20): Unit
+          s.read.format("graft-lake").option("path", base)
+            .option("statsCol", "vec_id").load()
+            .select(col("label"),
+              aggregate(transform(col("embedding"), x =>
+                  floor(x.cast("double") * 1024.0).cast("long")),
+                lit(0L), (acc, x) => acc + x).as("q"),
+              size(col("embedding")).as("ne"),
+              floor(col("score") * 4.0).cast("long").as("sq"))
+            .groupBy(col("label"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("ne")).cast("long").as("n_elems"),
+              sum(col("q")).as("sum_q"),
+              sum(col("sq")).as("sum_sq"))
+        }
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding,
+            vec_id * 0.25 - 3.0 AS score FROM embeddings)
+        SELECT CAST(label AS BIGINT) AS label,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(len(embedding)) AS BIGINT) AS n_elems,
+          CAST(sum(list_sum(list_transform(embedding,
+            x -> floor(CAST(x AS DOUBLE) * 1024)))) AS BIGINT) AS sum_q,
+          CAST(sum(floor(score * 4)) AS BIGINT) AS sum_sq
+        FROM e GROUP BY label""")),
+
     // ---- graft-lake PARTITION COLUMNS (r12 — the r11 verdict's #6
     // ask): `partitionBy=source` on the connector write makes each
     // task write one file PER source value it saw, and the add

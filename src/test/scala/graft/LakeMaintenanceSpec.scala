@@ -209,6 +209,67 @@ class LakeMaintenanceSpec extends SparkSpec {
     TxLog.commitVersions(s"$base/log").max shouldBe 0L // no commits
   }
 
+  test("r12 compaction over the widened type surface: array<float> " +
+      "+ double files rewrite content-invariantly (null lists, empty " +
+      "lists, null elements, NaN all survive)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_optfp").toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    def emb(id: Long): Array[java.lang.Float] =
+      if (id % 11 == 0) null
+      else if (id % 13 == 0) Array.empty
+      else Array.tabulate[java.lang.Float](1 + (id % 4).toInt) { j =>
+        if (j == 2 && id % 5 == 0) null
+        else if (j == 1 && id % 17 == 0)
+          java.lang.Float.valueOf(Float.NaN)
+        else java.lang.Float.valueOf((id * 4 + j).toFloat / 8f)
+      }
+    val lines = (0 until 4).map { f =>
+      val ids = (f * 50L until f * 50L + 50L).toArray
+      val bytes = ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("vec_id", ids),
+        ParquetWrite.OptDoubleCol("score", ids.map(i =>
+          if (i % 7 == 0) null
+          else java.lang.Double.valueOf(i * 0.25 - 3.0))),
+        ParquetWrite.FloatListCol("emb", ids.map(emb))))
+      val p = s"$base/data/part-$f.parquet"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes): Unit
+      s"""{"add":{"path":"$p","size":50,"min_key":${ids.head}""" +
+        s""","max_key":${ids.last}}}"""
+    }
+    TxLog.commitVersion(s"$base/log", 0L, lines)
+    def read(): Set[(Long, Option[Double], Seq[Option[Float]])] =
+      spark.read.format("graft-lake").option("path", base)
+        .option("statsCol", "vec_id").load()
+        .collect().map { r =>
+          (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            if (r.isNullAt(2)) null
+            else r.getSeq[Any](2).map(v =>
+              if (v == null) None else Some(v.asInstanceOf[Float])))
+        }.map { case (id, sc, es) =>
+          // NaN breaks Set equality: compare via bit pattern
+          (id, sc, if (es == null) null
+            else es.map(_.map(f =>
+              java.lang.Float.intBitsToFloat(
+                java.lang.Float.floatToRawIntBits(f)))))
+        }.toSet
+    def key(s: Set[(Long, Option[Double], Seq[Option[Float]])]) =
+      s.map { case (id, sc, es) =>
+        (id, sc, if (es == null) "null"
+          else es.map(_.map(f =>
+            java.lang.Float.floatToIntBits(f).toHexString)
+            .getOrElse("n")).mkString(","))
+      }
+    val before = key(read())
+    val r = LakeMaintenance.compact(spark, base, targetRows = 1000)
+    r.removed shouldBe 4
+    r.created shouldBe 1
+    key(read()) shouldBe before
+    TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+      .size shouldBe 1
+  }
+
   test("MERGE delete arm (r12): scattered deletes drop rows in " +
       "place, a fully-deleted file commits as a remove-only " +
       "tombstone, and update+delete compose in one commit") {
