@@ -123,7 +123,10 @@ object LakeMaintenance {
         case (Some(a), Some(b)) => s""","min_key":$a,"max_key":$b"""
         case _ => ""
       }
-      s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows$stats}}"""
+      // dataChange=false (r12, the Delta flag): compaction REWRITES
+      // existing rows — a change-feed consumer must not re-emit them
+      s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
+        s"""$stats,"dataChange":false}}"""
     }
     TxLog.commitVersion(s"$root/log", next, (removes ++ adds).toSeq)
     CompactResult(work.map(_.size).sum, results.length, next)

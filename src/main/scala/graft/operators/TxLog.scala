@@ -267,11 +267,13 @@ object TxLog {
 
   /** One resolved live file with its optional key-column stats (what
     * file-level pruning runs on; files without stats must scan),
-    * string-key stats and partition value (r12). */
+    * string-key stats, partition value, and `dataChange` (r12 —
+    * Delta's flag: false marks a REWRITE of existing data, e.g.
+    * compaction, which a change-feed consumer must not re-emit). */
   final case class LiveFile(path: String, version: Long, size: Long,
       minKey: Option[Long], maxKey: Option[Long],
       minSkey: Option[String] = None, maxSkey: Option[String] = None,
-      part: Option[String] = None)
+      part: Option[String] = None, dataChange: Boolean = true)
 
   private def jStr(line: String, key: String): Option[String] =
     ("\"" + key + "\":\"([^\"]*)\"").r
@@ -423,7 +425,8 @@ object TxLog {
           LiveFile(path, v, jLong(line, "size").getOrElse(0L),
             jLong(line, "min_key"), jLong(line, "max_key"),
             jStr(line, "min_skey"), jStr(line, "max_skey"),
-            jStr(line, "part"))
+            jStr(line, "part"),
+            dataChange = jBool(line, "dataChange").getOrElse(true))
         }
     }
 }

@@ -6343,6 +6343,91 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- CDC-grade streaming tail across MAINTENANCE (r12 — fixing
+    // the r11-documented wart: the change feed re-emitted compaction
+    // rewrites). Compaction adds now carry Delta's dataChange=false
+    // and the micro-batch source SKIPS them, so the drained feed is
+    // the TRUE change stream: v0's files once, the compaction commit
+    // not at all, a post-compaction append once. The gate drains
+    // through a foreachBatch accumulator INTO a parquet side table
+    // across three phases (drain / compact+drain / append+drain) and
+    // aggregates the union — one re-emitted row shifts a count.
+    "q240_lake_cdc_tail" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakecdc_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        // bootstrap: EVEN ids as small per-bucket files (the
+        // compaction fodder), committed at v0
+        val adds = d.where(col("doc_id") % 2 === 0)
+          .withColumn("g", (col("doc_id") / 128).cast("long"))
+          .as[(Long, Long, String, Long)]
+          .groupByKey(_._4)
+          .mapGroups { (g, it) =>
+            val rs = it.toArray.sortBy(_._1)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rs.map(_._1)),
+              graft.operators.ParquetWrite.LongCol("n_chars",
+                rs.map(_._2)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rs.map(_._3))))
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            (g, s"""{"add":{"path":"$p","size":${rs.length}""" +
+              s""","min_key":${rs.head._1},"max_key":${rs.last._1}}}""")
+          }.collect().toSeq.sortBy(_._1)
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L,
+            adds.map(_._2))
+          val sink = s"$base/feed"
+          def drain(): Unit = {
+            val q = s.readStream.format("graft-lake")
+              .option("path", base).load()
+              .writeStream
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .AvailableNow())
+              .option("checkpointLocation", s"$base/ck")
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+                  id: Long) =>
+                b.write.mode("append").parquet(sink)
+              }
+              .start()
+            q.awaitTermination()
+          }
+          drain() // phase 1: the bootstrap files, once
+          graft.operators.LakeMaintenance.compact(s, base,
+            targetRows = 1 << 20): Unit
+          drain() // phase 2: the rewrite must NOT re-emit
+          d.where(col("doc_id") % 2 === 1).repartition(2)
+            .write.format("graft-lake").option("path", base)
+            .mode("append").save()
+          drain() // phase 3: the append, once
+          s.read.parquet(sink)
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang""")),
+
     // ---- Lake maintenance over the WIDENED type surface (r12 —
     // closing the loop the q233 types opened: OPTIMIZE/compaction now
     // rewrites `array<float>` + double columns through

@@ -373,7 +373,9 @@ final class LakeScan(table: LakeTable, required: StructType,
   * (Spark's checkpoint replaces any hand-rolled ledger; the offset is
   * simply the highest commit version processed). Removes do not
   * retract — an append-only tail, the lakehouse streaming-source
-  * convention; a RE-add re-emits, documented. Column pruning flows
+  * convention; adds marked `dataChange=false` (compaction rewrites,
+  * r12) are SKIPPED, so maintenance never re-emits rows; a
+  * data-changing re-add re-emits, documented. Column pruning flows
   * through unchanged. `versionsPerTrigger` bounds admission per
   * trigger (the admission-control signature keeps restart offsets
   * monotone — the SceneMicroBatchStream lesson). */
@@ -416,10 +418,14 @@ final class LakeMicroBatchStream(table: LakeTable, required: StructType)
     val e = end.asInstanceOf[LakeOffset].version
     val vs = TxLog.commitVersions(s"${table.root}/log")
       .filter(v => v > s && v <= e)
-    TxLog.addsInVersions(s"${table.root}/log", vs).map { f =>
-      LakePartition(f.path, required.fieldNames.toSeq,
-        Seq.empty): InputPartition
-    }.toArray
+    // dataChange=false adds are REWRITES of rows already emitted
+    // (compaction) — the change feed skips them (r12; r11 documented
+    // the re-emission as a wart, this is the fix)
+    TxLog.addsInVersions(s"${table.root}/log", vs)
+      .filter(_.dataChange).map { f =>
+        LakePartition(f.path, required.fieldNames.toSeq,
+          Seq.empty): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

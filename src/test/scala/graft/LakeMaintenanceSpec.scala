@@ -306,27 +306,37 @@ class LakeMaintenanceSpec extends SparkSpec {
     }
   }
 
-  test("the streaming tail sees a compaction commit as adds " +
-      "(append-only semantics, documented re-emission)") {
+  test("the streaming tail SKIPS compaction commits (r12: " +
+      "dataChange=false — maintenance never re-emits rows)") {
     val base = buildLittered(4)
     LakeMaintenance.compact(spark, base, targetRows = 400)
     val got = scala.collection.mutable.ArrayBuffer.empty[Long]
     val ck = java.nio.file.Files.createTempDirectory("opt_ck").toString
-    val q = spark.readStream.format("graft-lake").option("path", base)
-      .load()
-      .writeStream
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ck)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.select("doc_id").collect().foreach(r => got += r.getLong(0))
-      }
-      .start()
-    q.awaitTermination()
-    // v0 adds (4 files) + v1 compaction adds (1 rewritten file of the
-    // same 400 rows): each row arrives twice — the documented re-add
-    // re-emission; a CDC-grade tail would filter on dataChange=false
-    got.size shouldBe 800
-    got.toSet shouldBe (0L until 400L).map(i => expected(0).head._1 +
-      i).toSet.map((x: Long) => x)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-lake").option("path", base)
+        .load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("doc_id").collect().foreach(r => got += r.getLong(0))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // v0 adds (4 files) arrive ONCE; v1's compaction rewrite of the
+    // same 400 rows carries dataChange=false and is skipped — the
+    // r11 re-emission wart is fixed (Delta's dataChange contract)
+    got.size shouldBe 400
+    got.toSet shouldBe (0L until 400L).toSet
+    // a subsequent DATA-changing append still arrives exactly once
+    Seq((9999L, java.lang.Long.valueOf(1L), "zz"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    drain()
+    got.size shouldBe 401
+    got.last shouldBe 9999L
   }
 }
