@@ -60,18 +60,27 @@ object GraphRank {
     val oneMinusD = 1.0 - damping
     var r = nodes.crossJoin(nn)
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = frac
         .join(hinted(r.withColumnRenamed("node", "u")), Seq("u"))
         .select(col("v"),
           floor((col("r") * col("frac")) * lit(q)).cast("long").as("c"))
         .groupBy(col("v"))
         .agg((sum(col("c")).cast("double") / lit(q)).as("s"))
-      r = nodes.join(hinted(contrib), col("node") === col("v"), "left")
+      val next = nodes.join(hinted(contrib), col("node") === col("v"), "left")
         .crossJoin(nn)
         .select(col("node"),
           (lit(oneMinusD) / col("n_nodes")
             + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+      // truncate the RANK lineage too (r12 — the docstring claimed it,
+      // the loop didn't do it: without this, iteration k's plan nests
+      // k join-aggregate layers and Catalyst re-analysis dominates the
+      // whole operator — q195's 3.5→7 s drift was pure planning cost,
+      // superlinear in unrolled depth, not execution). The rank frame
+      // is node-sized, so the per-iteration materialization is tiny;
+      // values are unchanged (the quantized-sum determinism contract
+      // is execution-side).
+      r = if (i == iters) next else next.localCheckpoint()
     }
     r
   }
