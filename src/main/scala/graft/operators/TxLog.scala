@@ -350,6 +350,42 @@ object TxLog {
     * the connector's streaming offset space). */
   def commitVersions(logBase: String): Seq[Long] = listVersions(logBase)
 
+  /** One schema column carried by a `metaData` action (r12 — Delta's
+    * schema-in-the-log; before this, the first live file's footer was
+    * the schema authority and ADD COLUMN was impossible). */
+  final case class MetaCol(name: String, tpe: String, nullable: Boolean)
+
+  /** Latest `{"metaData":{"cols":[{"name":…,"type":…,"nullable":…}]}}`
+    * action at or before `asOf` (< 0 = latest). Driver-side metadata
+    * scan over commit files (which are never deleted — vacuum touches
+    * only data/); None = pre-evolution table, schema from file
+    * footers. */
+  def latestMetaData(logBase: String, asOf: Long): Option[Seq[MetaCol]] = {
+    val vs = listVersions(logBase).filter(v => asOf < 0 || v <= asOf)
+    vs.sorted.reverse.iterator.flatMap { v =>
+      linesUnder(s"$logBase/version=$v")
+        .filter(_.contains("\"metaData\":")).reverseIterator
+    }.nextOption().map(parseMetaCols)
+  }
+
+  private[graft] def parseMetaCols(line: String): Seq[MetaCol] =
+    ("""\{"name":"([^"]+)","type":"([^"]+)","nullable":(true|false)\}""").r
+      .findAllMatchIn(line)
+      .map(m => MetaCol(m.group(1), m.group(2), m.group(3) == "true"))
+      .toSeq
+
+  /** Render a metaData action line (the no-escape JSON subset —
+    * names/types validated at write time). */
+  def metaDataLine(cols: Seq[MetaCol]): String = {
+    require(cols.nonEmpty, "empty schema")
+    val body = cols.map { c =>
+      s"""{"name":"${requireJsonSafe(c.name)}",""" +
+        s""""type":"${requireJsonSafe(c.tpe)}",""" +
+        s""""nullable":${c.nullable}}"""
+    }.mkString(",")
+    s"""{"metaData":{"cols":[$body]}}"""
+  }
+
   /** Highest epoch committed by streaming-sink app `appId` (r12 — the
     * exactly-once fence, Delta's `txn` action): scans commit lines for
     * `{"txn":{"app":…,"epoch":E}}` fences. A driver-side metadata scan

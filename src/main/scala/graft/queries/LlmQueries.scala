@@ -6343,6 +6343,73 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- SCHEMA EVOLUTION: ADD COLUMN through the log's metaData
+    // action (r12 — the Delta mechanism; before this the first live
+    // file's footer was the schema authority and a table could never
+    // grow a column). The bootstrap half is written with THREE
+    // columns; `LakeSource.addColumn` commits a metaData action
+    // extending the schema with a nullable double; the second half
+    // appends THROUGH the connector carrying the new column. The
+    // gated read sees old rows NULL-FILLED and new rows populated —
+    // the oracle replays the same split relationally; a reader that
+    // fails on the missing chunk, fills the wrong default, or lets
+    // the old footer win the schema cannot match.
+    "q241_lake_add_column" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakeevo_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        val boot = d.where(col("doc_id") < 256)
+          .as[(Long, Long, String)].collect().sortBy(_._1)
+        if (boot.isEmpty)
+          Seq.empty[(String, Long, Long, Long)]
+            .toDF("lang", "n", "n_scored", "sum_q")
+        else {
+          val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+            graft.operators.ParquetWrite.LongCol("doc_id",
+              boot.map(_._1)),
+            graft.operators.ParquetWrite.LongCol("n_chars",
+              boot.map(_._2)),
+            graft.operators.ParquetWrite.StrCol("lang",
+              boot.map(_._3))))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            s"$base/data/boot.parquet"), bytes): Unit
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+            s"""{"add":{"path":"$base/data/boot.parquet",""" +
+              s""""size":${boot.length},"min_key":${boot.head._1},""" +
+              s""""max_key":${boot.last._1}}}"""))
+          graft.sources.LakeSource.addColumn(base, "score", "double"): Unit
+          d.where(col("doc_id") >= 256)
+            .select(col("doc_id"), col("n_chars"), col("lang"),
+              (col("doc_id") * 0.25 - 3.0).as("score"))
+            .repartition(2)
+            .write.format("graft-lake").option("path", base)
+            .mode("append").save()
+          s.read.format("graft-lake").option("path", base).load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              count(col("score")).as("n_scored"),
+              sum(floor(col("score") * 4.0).cast("long")).as("sum_q"))
+        }
+      },
+      Some("""WITH d AS (SELECT lang,
+            CASE WHEN doc_id < 256 THEN NULL
+                 ELSE doc_id * 0.25 - 3.0 END AS score
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(score) AS BIGINT) AS n_scored,
+          CAST(sum(floor(score * 4)) AS BIGINT) AS sum_q
+        FROM d GROUP BY lang""")),
+
     // ---- CDC-grade streaming tail across MAINTENANCE (r12 — fixing
     // the r11-documented wart: the change feed re-emitted compaction
     // rewrites). Compaction adds now carry Delta's dataChange=false
@@ -6702,12 +6769,21 @@ object LlmQueries {
             .agg(count(lit(1)).as("n"),
               sum(col("sum_chars")).as("sum_chars"))
         else {
-          // SOURCE: each file in its OWN commit version -> one epoch
-          // per version under versionsPerTrigger=1
-          srcAdds.zipWithIndex.foreach { case ((_, line), v) =>
-            graft.operators.TxLog.commitVersion(s"$src/log",
-              v.toLong, Seq(line))
-          }
+          // SOURCE: a FIXED number of commit versions (4) regardless
+          // of SF — each holds 1/4 of the files, so the per-epoch
+          // WORK grows with data while the EPOCH COUNT stays
+          // constant. (The first r12 sweep committed one version per
+          // file: at sf5 that meant ~96 epochs × fixed micro-batch
+          // overhead = 262 s of pure harness cost — an epoch ladder,
+          // not a data ladder. Epochs are an operational cadence, not
+          // a data axis; a real ingest commits batches, not files.)
+          val nVersions = math.min(4, srcAdds.size)
+          srcAdds.zipWithIndex
+            .groupBy(_._2 % nVersions).toSeq.sortBy(_._1)
+            .foreach { case (v, grp) =>
+              graft.operators.TxLog.commitVersion(s"$src/log",
+                v.toLong, grp.map(_._1._2))
+            }
           // SINK bootstrap: one commit with the even half
           graft.operators.TxLog.commitVersion(s"$dst/log", 0L,
             dstAdds.map(_._2))

@@ -126,6 +126,63 @@ object LakeSource {
     case other => throw new IllegalArgumentException(
       s"graft-lake append does not support column type $other")
   }
+
+  /** The log's schema-type names (metaData actions, r12) ↔ Spark
+    * types — the writable surface plus int (read-only legacy). */
+  private[sources] def typeOf(s: String): DataType = s match {
+    case "long" => LongType
+    case "int" => IntegerType
+    case "string" => StringType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "array<long>" => ArrayType(LongType, containsNull = true)
+    case "array<float>" => ArrayType(FloatType, containsNull = true)
+    case "array<double>" => ArrayType(DoubleType, containsNull = true)
+    case other => throw new IllegalArgumentException(
+      s"graft-lake: unknown schema type $other")
+  }
+
+  /** ADD COLUMN (r12 — schema evolution through the log's metaData
+    * action, the Delta mechanism): commits ONE metaData action
+    * extending the current schema with a NULLABLE column (non-null
+    * additions are unsound: existing rows have no value). Files
+    * written before the evolution lack the column and null-fill at
+    * read; appends after it must carry it (the schema check now
+    * follows the log, not the files). Returns the committed version. */
+  def addColumn(root: String, name: String, typeName: String): Long = {
+    val _ = typeOf(typeName) // validates the type name
+    val cur: Seq[TxLog.MetaCol] =
+      TxLog.latestMetaData(s"$root/log", -1L).getOrElse {
+        val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+        require(live.nonEmpty,
+          s"graft-lake: cannot evolve an empty table at $root")
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(live.head.path))
+        ParquetFile.parseFooterMeta(bytes).leaves.map(fieldOf).map(f =>
+          TxLog.MetaCol(f.name, nameOf(f.dataType), f.nullable))
+      }
+    require(!cur.exists(_.name == name),
+      s"graft-lake: column $name already exists")
+    val versions = TxLog.commitVersions(s"$root/log")
+    val next = if (versions.isEmpty) 0L else versions.max + 1
+    TxLog.commitVersion(s"$root/log", next, Seq(
+      TxLog.metaDataLine(cur :+
+        TxLog.MetaCol(name, typeName, nullable = true))))
+    next
+  }
+
+  private[sources] def nameOf(t: DataType): String = t match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case StringType => "string"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case ArrayType(LongType, _) => "array<long>"
+    case ArrayType(FloatType, _) => "array<float>"
+    case ArrayType(DoubleType, _) => "array<double>"
+    case other => throw new IllegalArgumentException(
+      s"graft-lake: unsupported schema type $other")
+  }
 }
 
 final class LakeTable(val root: String, val asOf: Long,
@@ -140,14 +197,22 @@ final class LakeTable(val root: String, val asOf: Long,
   lazy val live: Seq[TxLog.LiveFile] =
     TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", asOf)
 
-  private lazy val inferred: StructType = {
-    require(live.nonEmpty,
-      s"graft-lake: no live files in snapshot asOf=$asOf under $root")
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(live.head.path))
-    StructType(ParquetFile.parseFooterMeta(bytes).leaves
-      .map(LakeSource.fieldOf))
-  }
+  private lazy val inferred: StructType =
+    // schema authority (r12): the log's latest metaData action when
+    // present (what makes ADD COLUMN possible — files written before
+    // the evolution lack the column and null-fill at read); else the
+    // first live file's footer (the pre-evolution contract)
+    TxLog.latestMetaData(s"$root/log", asOf) match {
+      case Some(cols) => StructType(cols.map(c =>
+        StructField(c.name, LakeSource.typeOf(c.tpe), c.nullable)))
+      case None =>
+        require(live.nonEmpty,
+          s"graft-lake: no live files in snapshot asOf=$asOf under $root")
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(live.head.path))
+        StructType(ParquetFile.parseFooterMeta(bytes).leaves
+          .map(LakeSource.fieldOf))
+    }
 
   override def name(): String =
     s"graft-lake($root asOf=$asOf files=${live.size})"
@@ -489,13 +554,20 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
       if (prunable) {
         val n = rg.numRows.toInt
         cells = p.cols.map { cn =>
-          val lf = LakeSource.leafFor(meta.leaves, cn)
-          val c = rg.chunks.find(_.path == lf.path).getOrElse(
-            throw new IllegalArgumentException(s"missing chunk $cn"))
-          val cell: AnyRef =
-            if (lf.maxRep == 0) ParquetFile.readChunkCells(bytes, c, lf, n)
-            else ParquetFile.readListCells(bytes, c, lf, n)
-          cell
+          // a column the file PREDATES (added by a later metaData
+          // action, r12) has no leaf here: null-fill (cells = null)
+          meta.leaves.find(l => l.path == cn ||
+              l.path.startsWith(cn + ".")) match {
+            case None => null
+            case Some(lf) =>
+              val c = rg.chunks.find(_.path == lf.path).getOrElse(
+                throw new IllegalArgumentException(s"missing chunk $cn"))
+              val cell: AnyRef =
+                if (lf.maxRep == 0)
+                  ParquetFile.readChunkCells(bytes, c, lf, n)
+                else ParquetFile.readListCells(bytes, c, lf, n)
+              cell
+          }
         }.toArray
         rgRows = n
         rowInRg = 0
@@ -514,6 +586,7 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
     var i = 0
     while (i < required.length) {
       cells(i) match {
+        case null => row.setNullAt(i) // column added after this file
         case cc: ParquetFile.CellCol =>
           if (!cc.defined(rowInRg)) row.setNullAt(i)
           else required.fields(i).dataType match {

@@ -430,6 +430,61 @@ class LakeSourceSpec extends SparkSpec {
   }
 
   // ================================================================
+  // r12 schema evolution: ADD COLUMN via the metaData action
+  // ================================================================
+
+  test("r12 ADD COLUMN: the log's metaData action wins the schema, " +
+      "pre-evolution files null-fill, appends carry the column, time " +
+      "travel resolves the OLD schema, duplicates reject") {
+    val base = buildTable() // 3 files live, cols (doc_id, v, s)
+    lake(base).schema.fieldNames.toSeq shouldBe Seq("doc_id", "v", "s")
+    val v = graft.sources.LakeSource.addColumn(base, "score", "double")
+    v shouldBe 2L
+    val df = lake(base)
+    df.schema.fieldNames.toSeq shouldBe Seq("doc_id", "v", "s", "score")
+    df.schema("score").dataType shouldBe
+      org.apache.spark.sql.types.DoubleType
+    df.schema("score").nullable shouldBe true
+    // every pre-evolution row null-fills
+    df.count() shouldBe (3 * FileRows).toLong
+    df.where(col("score").isNotNull).count() shouldBe 0L
+    // an append AFTER the evolution must carry the column — and lands
+    Seq((9000L, java.lang.Long.valueOf(1L), "s0",
+        java.lang.Double.valueOf(2.5)))
+      .toDF("doc_id", "v", "s", "score").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    val got = lake(base).where(col("doc_id") === 9000L).head()
+    got.getDouble(3) shouldBe 2.5
+    lake(base).where(col("score").isNotNull).count() shouldBe 1L
+    // a 3-column append resolves BY NAME against the 4-column log
+    // schema: Spark null-pads the missing NULLABLE column before the
+    // connector sees the rows (so the file lands with score = null —
+    // the same fate as pre-evolution rows; a missing NON-nullable
+    // column would fail in Spark's output resolver)
+    Seq((9001L, java.lang.Long.valueOf(1L), "s0"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    val padded = lake(base).where(col("doc_id") === 9001L).head()
+    padded.isNullAt(3) shouldBe true
+    // time travel BEFORE the evolution sees the old 3-column schema
+    lake(base, asOf = 1L).schema.fieldNames.toSeq shouldBe
+      Seq("doc_id", "v", "s")
+    asSet(lake(base, asOf = 1L)) shouldBe
+      (expected(0) ++ expected(2) ++ expected(3)).toSet
+    // duplicate column rejects before any commit
+    val before = TxLog.commitVersions(s"$base/log").max
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeSource.addColumn(base, "score", "double")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeSource.addColumn(base, "x", "decimal(10,2)")
+    }
+    TxLog.commitVersions(s"$base/log").max shouldBe before
+  }
+
+  // ================================================================
   // r12 type surface: double / float / array<float> tables
   // ================================================================
 
