@@ -132,6 +132,156 @@ object LakeMaintenance {
     CompactResult(work.map(_.size).sum, results.length, next)
   }
 
+  final case class ZorderResult(removed: Int, created: Int,
+      version: Long)
+
+  /** Z-ORDER clustering rewrite (r12 — Delta/Iceberg's multi-column
+    * OPTIMIZE): rewrites the LIVE set clustered by the bit-interleaved
+    * 16-bit buckets of TWO long columns, so range predicates on
+    * EITHER column touch a bounded fraction of files/row groups —
+    * key-sorted layout makes the second column's per-file windows
+    * span the whole domain; Z-layout makes both windows ~√coverage.
+    *
+    * What the pruning stack then uses: the add's `min_key`/`max_key`
+    * (file pruning on `statsCol`) and OUR footer's per-row-group
+    * stats on BOTH columns (reader-side row-group pruning — the
+    * 1024-row groups inherit the Z locality).
+    *
+    * The rewrite is ONE Spark job: read through the connector, bucket
+    * each column by its own min/max window (one metadata-sized agg),
+    * interleave bits (pure Column ops — codegen'd), range-partition
+    * by Z into `ceil(rows/targetRows)` output files written map-side
+    * by our codec, and commit remove(all live) + add(new, measured
+    * stats, dataChange=false — a rewrite, the change feed skips it)
+    * in ONE version. Old files stay for time travel; VACUUM reclaims.
+    *
+    * 100 TB shape: one full-table shuffle (range by Z) — the price
+    * every clustering rewrite pays, amortized over all future scans;
+    * the commit is one metadata file. */
+  def zorder(spark: SparkSession, root: String, colA: String,
+      colB: String, targetRows: Int,
+      rowsPerGroup: Int = 1024): ZorderResult = {
+    require(targetRows > 0, "targetRows must be positive")
+    require(colA != colB, "zorder needs two distinct columns")
+    val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+    if (live.isEmpty) return ZorderResult(0, 0, -1L)
+    val df = spark.read.format("graft-lake").option("path", root).load()
+    val schema = df.schema
+    require(Seq(colA, colB).forall(c => schema.fieldNames.contains(c) &&
+        schema(c).dataType == org.apache.spark.sql.types.LongType),
+      s"zorder columns $colA/$colB must be long columns of the table")
+    import org.apache.spark.sql.functions._
+    val b = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).head()
+    val (aLo, aHi) = (b.getLong(0), b.getLong(1))
+    val (bLo, bHi) = (b.getLong(2), b.getLong(3))
+    // 16-bit bucket of v inside [lo, hi] — pure long arithmetic
+    def bucket(c: org.apache.spark.sql.Column, lo: Long,
+        hi: Long): org.apache.spark.sql.Column =
+      if (hi <= lo) lit(0L)
+      else ((c - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("long")
+    // interleave: bit i of A -> bit 2i+1, bit i of B -> bit 2i
+    def interleave(a: org.apache.spark.sql.Column,
+        bc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 16).map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+          .bitwiseOR(
+            shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), 2 * i))
+      }.reduce(_ bitwiseOR _)
+    val total = live.map(_.size).sum
+    val nOut = math.max(1, ((total + targetRows - 1) / targetRows).toInt)
+    val z = interleave(bucket(col(colA), aLo, aHi),
+      bucket(col(colB), bLo, bHi))
+    val keyed = df.withColumn("_z", z)
+      .repartitionByRange(nOut, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+    val versions = TxLog.commitVersions(s"$root/log")
+    val next = if (versions.isEmpty) 0L else versions.max + 1
+    val statsCol = colA // file-level window column (the scan option)
+    val outSchema = keyed.schema
+    val written: Array[(String, Long, Long, Long)] = keyed.rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val rs = rows.toArray
+        if (rs.isEmpty) Iterator.empty
+        else {
+          val cols = rowsToCols(outSchema, rs)
+          val bytes = ParquetWrite.writeFile(cols,
+            rowsPerGroup = rowsPerGroup)
+          val p = s"$root/data/zorder-$next-$pid.parquet"
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p), bytes): Unit
+          val st = ParquetFile.parse(pid.toLong, bytes)
+            .filter(r => r.valid && r.has_stats && r.col_path == statsCol)
+          Iterator.single((p, rs.length.toLong,
+            st.map(_.min_long).min, st.map(_.max_long).max))
+        }
+      }
+      .collect() // bounded: one metadata row per OUTPUT file
+    val lines =
+      live.map(f =>
+        s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""") ++
+      written.map { case (p, rows, mn, mx) =>
+        s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
+          s""","min_key":$mn,"max_key":$mx,"dataChange":false}}"""
+      }
+    TxLog.commitVersion(s"$root/log", next, lines.toSeq)
+    ZorderResult(live.size, written.length, next)
+  }
+
+  /** External-Row → writer-column conversion over the full type
+    * surface (the z-order rewrite's map-side builder). */
+  private def rowsToCols(schema: org.apache.spark.sql.types.StructType,
+      rs: Array[org.apache.spark.sql.Row]): Seq[ParquetWrite.Col] = {
+    import org.apache.spark.sql.types._
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case LongType =>
+          if (f.nullable) ParquetWrite.OptLongCol(f.name, rs.map(r =>
+            if (r.isNullAt(i)) null
+            else java.lang.Long.valueOf(r.getLong(i))))
+          else ParquetWrite.LongCol(f.name, rs.map(_.getLong(i)))
+        case StringType =>
+          val vs = rs.map(r =>
+            if (r.isNullAt(i)) null else r.getString(i))
+          if (f.nullable) ParquetWrite.OptStrCol(f.name, vs)
+          else ParquetWrite.StrCol(f.name, vs)
+        case DoubleType =>
+          if (f.nullable) ParquetWrite.OptDoubleCol(f.name, rs.map(r =>
+            if (r.isNullAt(i)) null
+            else java.lang.Double.valueOf(r.getDouble(i))))
+          else ParquetWrite.DoubleCol(f.name, rs.map(_.getDouble(i)))
+        case FloatType =>
+          if (f.nullable) ParquetWrite.OptFloatCol(f.name, rs.map(r =>
+            if (r.isNullAt(i)) null
+            else java.lang.Float.valueOf(r.getFloat(i))))
+          else ParquetWrite.FloatCol(f.name, rs.map(_.getFloat(i)))
+        case ArrayType(FloatType, _) =>
+          ParquetWrite.FloatListCol(f.name, rs.map(r =>
+            if (r.isNullAt(i)) null
+            else r.getSeq[Any](i).map(v =>
+              if (v == null) null
+              else java.lang.Float.valueOf(v.asInstanceOf[Float]))
+              .toArray))
+        case ArrayType(DoubleType, _) =>
+          ParquetWrite.DoubleListCol(f.name, rs.map(r =>
+            if (r.isNullAt(i)) null
+            else r.getSeq[Any](i).map(v =>
+              if (v == null) null
+              else java.lang.Double.valueOf(v.asInstanceOf[Double]))
+              .toArray))
+        case ArrayType(LongType, _) =>
+          ParquetWrite.LongListCol(f.name, rs.map(r =>
+            if (r.isNullAt(i)) null
+            else r.getSeq[Any](i).map(v =>
+              if (v == null) null
+              else java.lang.Long.valueOf(v.asInstanceOf[Long]))
+              .toArray))
+        case t => throw new IllegalArgumentException(s"$t")
+      }
+    }.toSeq
+  }
+
   final case class MergeResult(rewritten: Int, matched: Long,
       inserted: Long, version: Long, deleted: Long = 0L)
 

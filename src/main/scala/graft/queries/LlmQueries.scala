@@ -6343,6 +6343,76 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- Z-ORDER clustering rewrite (r12 — Delta/Iceberg's
+    // multi-column OPTIMIZE): the table bootstraps key-sorted by
+    // doc_id (so the scatter column h's per-file windows span the
+    // whole domain), then rewrites clustered by the bit-interleaved
+    // (doc_id, h) Z-value — ONE commit, remove(all)+add(new, measured
+    // stats, dataChange=false). The gated read filters an h-WINDOW
+    // and aggregates per lang: after the rewrite that window touches
+    // a bounded fraction of row groups (LakeMaintenanceSpec pins the
+    // scan-rows drop from whole-table to Z-local), and the content
+    // must replay relationally — a rewrite that drops/duplicates a
+    // row or mis-clusters in a way that breaks residual filters
+    // cannot match the oracle.
+    "q242_lake_zorder" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakez_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val adds = docs(s, dir)
+          .select((col("doc_id") / 256).cast("long").as("g"),
+            col("doc_id"),
+            ((col("doc_id") * 797) % 4096).as("h"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .as[(Long, Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rs = it.toArray.sortBy(_._2)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rs.map(_._2)),
+              graft.operators.ParquetWrite.LongCol("h", rs.map(_._3)),
+              graft.operators.ParquetWrite.LongCol("n_chars",
+                rs.map(_._4)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rs.map(_._5))), rowsPerGroup = 128)
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            (g, s"""{"add":{"path":"$p","size":${rs.length}""" +
+              s""","min_key":${rs.head._2},"max_key":${rs.last._2}}}""")
+          }.collect().toSeq.sortBy(_._1)
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L,
+            adds.map(_._2))
+          graft.operators.LakeMaintenance.zorder(s, base,
+            "doc_id", "h", targetRows = 1024, rowsPerGroup = 128): Unit
+          s.read.format("graft-lake").option("path", base).load()
+            .where(col("h").between(1000L, 1999L))
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""WITH d AS (SELECT lang, n_chars,
+            (doc_id * 797) % 4096 AS h FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM d WHERE h BETWEEN 1000 AND 1999 GROUP BY lang""")),
+
     // ---- SCHEMA EVOLUTION: ADD COLUMN through the log's metaData
     // action (r12 — the Delta mechanism; before this the first live
     // file's footer was the schema authority and a table could never

@@ -270,6 +270,81 @@ class LakeMaintenanceSpec extends SparkSpec {
       .size shouldBe 1
   }
 
+  test("r12 Z-ORDER: content-invariant rewrite, ONE commit, " +
+      "dataChange=false, and row-group pruning on the SECOND column " +
+      "tightens from whole-domain to Z-local") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_zord").toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    // 4 key-sorted files; b is SCATTERED, so every file's (and every
+    // row group's) b-window spans the whole domain
+    val N = 4096
+    def bOf(id: Long): Long = (id * 797L) % 4096L
+    val lines = (0 until 4).map { f =>
+      val ids = (f * N / 4 until (f + 1) * N / 4).map(_.toLong).toArray
+      val bytes = ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("doc_id", ids),
+        ParquetWrite.LongCol("b", ids.map(bOf)),
+        ParquetWrite.StrCol("s", ids.map(i => "s" + (i % 3)))),
+        rowsPerGroup = 256)
+      val p = s"$base/data/part-$f.parquet"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes): Unit
+      s"""{"add":{"path":"$p","size":${ids.length}""" +
+        s""","min_key":${ids.head},"max_key":${ids.last}}}"""
+    }
+    TxLog.commitVersion(s"$base/log", 0L, lines)
+    def scanRows(pred: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.format("graft-lake").option("path", base)
+        .load().filter(pred)
+      q.collect(): Unit
+      q.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val bWin = col("b").between(1000L, 1099L)
+    val want = (0L until N.toLong).count(i =>
+      bOf(i) >= 1000L && bOf(i) <= 1099L)
+    // BEFORE: b is scattered — every row group's window matches and
+    // the scan emits the whole table
+    scanRows(bWin) shouldBe N.toLong
+    val before = spark.read.format("graft-lake").option("path", base)
+      .load().collect().map(_.toSeq).toSet
+    val r = LakeMaintenance.zorder(spark, base, "doc_id", "b",
+      targetRows = 1024, rowsPerGroup = 128)
+    r.removed shouldBe 4
+    r.created should be >= 4
+    r.version shouldBe 1L
+    // content invariant
+    spark.read.format("graft-lake").option("path", base)
+      .load().collect().map(_.toSeq).toSet shouldBe before
+    // AFTER: the same b-window touches a small fraction of row groups
+    // (z-cells of 128 rows; a 100-wide window on a 4096 domain lands
+    // in one-ish b-stripe of the curve)
+    val after = scanRows(bWin)
+    after should be >= want.toLong
+    after should be < (N / 2).toLong // was the WHOLE table before
+    // doc_id file pruning still works from the new adds' stats
+    spark.read.format("graft-lake").option("path", base).load()
+      .filter(col("doc_id") === 7L).count() shouldBe 1L
+    // the rewrite is dataChange=false: a change feed emits the table
+    // once (v0), never the zorder commit
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ck = java.nio.file.Files.createTempDirectory("zord_ck").toString
+    val q = spark.readStream.format("graft-lake").option("path", base)
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r => got += r.getLong(0))
+      }
+      .start()
+    q.awaitTermination()
+    got.size shouldBe N
+    // time travel to the pre-zorder layout still resolves
+    spark.read.format("graft-lake").option("path", base)
+      .option("asOf", 0).load().count() shouldBe N.toLong
+  }
+
   test("MERGE delete arm (r12): scattered deletes drop rows in " +
       "place, a fully-deleted file commits as a remove-only " +
       "tombstone, and update+delete compose in one commit") {
