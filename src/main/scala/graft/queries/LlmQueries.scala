@@ -6343,6 +6343,76 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- Aggregate PUSHDOWN from log metadata (r12 — the lakehouse
+    // analog of Parquet's footer-only count): an unfiltered
+    // COUNT(*)/MIN/MAX(statsCol) over a graft-lake table is answered
+    // from the resolved snapshot's adds — writer-measured row counts
+    // and key windows — in ONE metadata partition, zero data files
+    // opened (LakeSourceSpec pins the plan shape, the filtered/
+    // non-stats fallbacks to the row path, and the statless-add
+    // decline). The oracle replays the same aggregates from the
+    // source table; a log whose sizes or windows lied anywhere in the
+    // write/compact/merge paths cannot match.
+    "q243_lake_agg_pushdown" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakeagg_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val adds = docs(s, dir)
+          .select((col("doc_id") / 512).cast("long").as("g"),
+            col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("lang"))
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rs = it.toArray.sortBy(_._2)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rs.map(_._2)),
+              graft.operators.ParquetWrite.LongCol("n_chars",
+                rs.map(_._3)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rs.map(_._4))))
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            (g, s"""{"add":{"path":"$p","size":${rs.length}""" +
+              s""","min_key":${rs.head._2},"max_key":${rs.last._2}}}""")
+          }.collect().toSeq.sortBy(_._1)
+        if (adds.isEmpty)
+          Seq.empty[(Long, Long, Long)].toDF("n", "min_id", "max_id")
+        else {
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L,
+            adds.map(_._2))
+          // exercise the stats paths maintenance writes too: compact
+          // then merge — the pushed answer must survive both
+          graft.operators.LakeMaintenance.compact(s, base,
+            targetRows = 4096): Unit
+          val mx = docs(s, dir).agg(max(col("doc_id"))).head().getLong(0)
+          graft.operators.LakeMaintenance.merge(s, base,
+            Seq((mx + 100L, Array[Any](
+              java.lang.Long.valueOf(mx + 100L),
+              java.lang.Long.valueOf(7L), "zz"))), "doc_id"): Unit
+          s.read.format("graft-lake").option("path", base).load()
+            .agg(count(lit(1)).as("n"),
+              min(col("doc_id")).as("min_id"),
+              max(col("doc_id")).as("max_id"))
+        }
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents
+          UNION ALL SELECT max(doc_id) + 100 FROM documents)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(min(doc_id) AS BIGINT) AS min_id,
+          CAST(max(doc_id) AS BIGINT) AS max_id
+        FROM d""")),
+
     // ---- Z-ORDER clustering rewrite (r12 — Delta/Iceberg's
     // multi-column OPTIMIZE): the table bootstraps key-sorted by
     // doc_id (so the scatter column h's per-file windows span the

@@ -231,10 +231,64 @@ final class LakeTable(val root: String, val asOf: Long,
 
 final class LakeScanBuilder(table: LakeTable)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = table.schema()
   private var pruning: Array[Filter] = Array.empty
+  private var pushedAgg
+      : Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
+
+  /** COUNT(*) and MIN/MAX over the stats column are pure LOG METADATA
+    * for this source (r12 — the lakehouse analog of Parquet's
+    * footer-only count): every add carries the writer-measured row
+    * count and key window, so an unfiltered aggregate is answered
+    * from the resolved snapshot without opening a single data file.
+    * Spark only attempts the pushdown when no filter survives above
+    * the scan (all our filters are residual, so ANY filter blocks
+    * it — filtered aggregates need rows). Declined unless every live
+    * file carries the needed stat: a hand-written add without a size
+    * or key window must force the row path, never a wrong answer. */
+  private def colOf(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+      Some(nr.fieldNames.mkString("."))
+    case _ => None
+  }
+
+  private def canPush(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.{aggregate => cagg}
+    val statsIsLong = table.schema().fields.exists(f =>
+      f.name == table.statsCol && f.dataType == LongType)
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      pruning.isEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: cagg.CountStar =>
+          table.live.forall(_.size > 0L)
+        case m: cagg.Min =>
+          statsIsLong && colOf(m.column).contains(table.statsCol) &&
+            table.live.forall(f =>
+              f.minKey.isDefined && f.maxKey.isDefined)
+        case m: cagg.Max =>
+          statsIsLong && colOf(m.column).contains(table.statsCol) &&
+            table.live.forall(f =>
+              f.minKey.isDefined && f.maxKey.isDefined)
+        case _ => false
+      }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = canPush(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (canPush(agg)) { pushedAgg = Some(agg); true } else false
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projection (count(*)) still needs row COUNTS: keep one
@@ -277,8 +331,68 @@ final class LakeScanBuilder(table: LakeTable)
   }
   override def pushedFilters(): Array[Filter] = pruning
 
-  override def build(): Scan = new LakeScan(table, required, pruning)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new LakeAggScan(table, agg)
+    case None => new LakeScan(table, required, pruning)
+  }
 }
+
+/** Complete aggregate pushdown (r12): one metadata-only partition
+  * whose single row answers COUNT(*)/MIN/MAX(statsCol) from the
+  * resolved log snapshot — zero data files opened. Empty tables yield
+  * count 0 and NULL min/max (engine aggregate semantics). */
+final class LakeAggScan(table: LakeTable,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.{aggregate => cagg}
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: cagg.CountStar, i) =>
+        StructField(s"count_star_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-lake PUSHED-AGG=[${agg.aggregateExpressions.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val live = table.live
+    val n = live.map(_.size).sum
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: cagg.CountStar => java.lang.Long.valueOf(n)
+      case _: cagg.Min =>
+        if (live.isEmpty) null
+        else java.lang.Long.valueOf(live.flatMap(_.minKey).min)
+      case _: cagg.Max =>
+        if (live.isEmpty) null
+        else java.lang.Long.valueOf(live.flatMap(_.maxKey).max)
+      case other =>
+        throw new IllegalStateException(s"unpushable aggregate $other")
+    }
+    Array(LakeAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vals = p.asInstanceOf[LakeAggPartition].values
+          private var emitted = false
+          override def next(): Boolean = !emitted
+          override def get(): InternalRow = {
+            emitted = true
+            new GenericInternalRow(vals)
+          }
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class LakeAggPartition(values: Array[Any])
+    extends InputPartition
 
 /** Per-column [lo, hi] bounds compiled from the pushed filters —
   * serializable, applied at file level (stats column, from log

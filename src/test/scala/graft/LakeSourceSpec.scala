@@ -430,6 +430,55 @@ class LakeSourceSpec extends SparkSpec {
   }
 
   // ================================================================
+  // r12 aggregate pushdown: COUNT/MIN/MAX from log metadata
+  // ================================================================
+
+  test("r12 aggregate pushdown: COUNT(*)/MIN/MAX(statsCol) answer " +
+      "from ONE metadata partition with zero data files opened; " +
+      "filters or missing stats force the row path") {
+    val base = buildTable() // live = files 0, 2, 3 (768 rows)
+    val df = lake(base)
+    val q = df.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+    val row = q.head()
+    row.getLong(0) shouldBe (3 * FileRows).toLong
+    row.getLong(1) shouldBe 0L
+    row.getLong(2) shouldBe (4 * FileRows - 1).toLong
+    // the plan is the metadata scan: one partition, PUSHED-AGG leaf
+    val plan = q.queryExecution.executedPlan
+    plan.toString should include("PUSHED-AGG")
+    val scans = plan.collect {
+      case b: BatchScanExec => b
+    }
+    scans.head.inputRDD.getNumPartitions shouldBe 1
+    // a FILTERED aggregate must go through rows (filters are residual
+    // here, so Spark never offers the pushdown) — and still be right
+    val fq = df.filter(col("doc_id") < 100L).agg(count(lit(1)))
+    fq.head().getLong(0) shouldBe 100L
+    fq.queryExecution.executedPlan.toString should not include "PUSHED-AGG"
+    // MIN/MAX on a non-stats column is not answerable from the log
+    val nq = df.agg(min(col("v")))
+    nq.queryExecution.executedPlan.toString should not include "PUSHED-AGG"
+    nq.head().getLong(0) shouldBe
+      (0 until 4).filter(_ != 1).flatMap(expected)
+        .flatMap(_._2).min
+    // a statless add forces the row path for MIN/MAX but count still
+    // pushes (sizes are present)
+    val d = new java.io.File(s"$base/log/version=2")
+    d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/actions.json"),
+      s"""{"add":{"path":"$base/data/part-1.parquet","size":$FileRows}}"""
+        .getBytes("UTF-8")): Unit
+    val df2 = lake(base)
+    val cq = df2.agg(count(lit(1)))
+    cq.queryExecution.executedPlan.toString should include("PUSHED-AGG")
+    cq.head().getLong(0) shouldBe (4 * FileRows).toLong
+    val mq = df2.agg(min(col("doc_id")))
+    mq.queryExecution.executedPlan.toString should not include "PUSHED-AGG"
+    mq.head().getLong(0) shouldBe 0L
+  }
+
+  // ================================================================
   // r12 schema evolution: ADD COLUMN via the metaData action
   // ================================================================
 
