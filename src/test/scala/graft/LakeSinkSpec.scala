@@ -133,6 +133,27 @@ class LakeSinkSpec extends SparkSpec {
     lake(dst).count() shouldBe (4 * FileRows).toLong
   }
 
+  test("sink checkpoint maintenance fires at the cadence: the " +
+      "pointer advances from inside epoch commits") {
+    val (src, dst) = buildPipe(5) // 5 epochs under versionsPerTrigger=1
+    val ck = java.nio.file.Files.createTempDirectory("sink_ck3").toString
+    val q = spark.readStream.format("graft-lake").option("path", src)
+      .option("versionsPerTrigger", 1).load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .format("graft-lake").option("path", dst)
+      .option("checkpointEvery", 2)
+      .start()
+    q.awaitTermination()
+    // sink versions 0..5; cadence 2 -> checkpoints at odd versions,
+    // the pointer at the newest (5)
+    TxLog.commitVersions(s"$dst/log") shouldBe (0L to 5L)
+    TxLog.readPointer(s"$dst/ckpt") shouldBe Some(5L)
+    // resolution through the checkpointed state sees every row
+    lake(dst).count() shouldBe (6 * FileRows).toLong
+  }
+
   test("schema mismatch rejects before any epoch lands") {
     val (src, dst) = buildPipe(1)
     val ck = java.nio.file.Files.createTempDirectory("sink_ck2").toString
