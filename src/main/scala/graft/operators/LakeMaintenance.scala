@@ -58,6 +58,59 @@ object LakeMaintenance {
   final case class CompactResult(removed: Int, created: Int,
       version: Long)
 
+  /** Unsigned-lexicographic UTF-8 byte order — the same order the
+    * footer/log string stats use, so predicate compares agree. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Commit a MAINTENANCE rewrite (removes + adds) with OPTIMISTIC
+    * concurrency (r13 — the concurrent-writer law): the atomic rename
+    * makes a version collision fail loudly; on collision, re-resolve
+    * the live set. A blind append losing us the race never invalidates
+    * the rewrite (its read set is untouched) → retry at the next
+    * version. A concurrent rewrite that removed any file THIS commit
+    * also removes means the read set changed → delete the written
+    * files and abort loudly. Never a lost add, never a rewrite applied
+    * over a stale snapshot. Returns the version that landed. */
+  private def commitMaintenance(root: String, removedPaths: Seq[String],
+      lines: Seq[String], writtenPaths: Seq[String]): Long = {
+    var attempts = 0
+    while (true) {
+      val versions = TxLog.commitVersions(s"$root/log")
+      val next = if (versions.isEmpty) 0L else versions.max + 1
+      try {
+        TxLog.commitVersion(s"$root/log", next, lines)
+        return next
+      } catch {
+        case e: IllegalStateException =>
+          attempts += 1
+          val liveNow = TxLog
+            .resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+            .map(_.path).toSet
+          if (!removedPaths.forall(liveNow.contains) ||
+              attempts >= 1000) {
+            writtenPaths.foreach(p =>
+              java.nio.file.Files.deleteIfExists(
+                java.nio.file.Paths.get(p)): Unit)
+            throw new IllegalStateException(
+              s"maintenance conflict under $root: the read set " +
+                "changed under a concurrent rewrite — aborted cleanly",
+              e)
+          }
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Compact `root`'s live files: candidates are files with fewer than
     * `targetRows` rows; consecutive candidates (in key order) pack
     * into bins of ≥ 2 files up to ~`targetRows` rows each. Returns the
@@ -85,8 +138,10 @@ object LakeMaintenance {
     val work = bins.filter(_.size >= 2).toVector
     if (work.isEmpty) return CompactResult(0, 0, -1L)
 
-    val versions = TxLog.commitVersions(s"$root/log")
-    val next = if (versions.isEmpty) 0L else versions.max + 1
+    // file names carry a run token, not a version: the committed
+    // version is only known at commit time (optimistic retry, r13),
+    // and two concurrent compactions must never write the same path
+    val run = java.util.UUID.randomUUID().toString.take(8)
     // rewrite each bin on an executor: our reader → our writer
     val results = spark.sparkContext
       .parallelize(work.zipWithIndex, math.min(work.size, 64))
@@ -102,7 +157,7 @@ object LakeMaintenance {
           concatCols(perFile.map(_._2(li)))
         }
         val bytes = ParquetWrite.writeFile(cols, rowsPerGroup = 1024)
-        val p = s"$root/data/compact-$next-$idx.parquet"
+        val p = s"$root/data/compact-$run-$idx.parquet"
         java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes): Unit
         // stats for the new add come from the REWRITTEN file's own
         // footer — the log never trusts the bin arithmetic
@@ -128,113 +183,286 @@ object LakeMaintenance {
       s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
         s"""$stats,"dataChange":false}}"""
     }
-    TxLog.commitVersion(s"$root/log", next, (removes ++ adds).toSeq)
-    CompactResult(work.map(_.size).sum, results.length, next)
+    val v = commitMaintenance(root, work.flatten.map(_.path).toSeq,
+      (removes ++ adds).toSeq, results.map(_._1).toSeq)
+    CompactResult(work.map(_.size).sum, results.length, v)
   }
 
   final case class ZorderResult(removed: Int, created: Int,
       version: Long)
 
-  /** Z-ORDER clustering rewrite (r12 — Delta/Iceberg's multi-column
-    * OPTIMIZE): rewrites the LIVE set clustered by the bit-interleaved
-    * 16-bit buckets of TWO long columns, so range predicates on
-    * EITHER column touch a bounded fraction of files/row groups —
-    * key-sorted layout makes the second column's per-file windows
-    * span the whole domain; Z-layout makes both windows ~√coverage.
+  /** Z-ORDER clustering rewrite (r12, generalized r13 — Delta/
+    * Iceberg's multi-column OPTIMIZE): rewrites the LIVE set clustered
+    * by the bit-interleaved buckets of 2–4 columns (LONG or STRING),
+    * so range predicates on ANY clustered column touch a bounded
+    * fraction of files/row groups — a key-sorted layout makes every
+    * other column's per-file windows span the whole domain; Z-layout
+    * makes each window ~coverage^(1/k).
     *
-    * What the pruning stack then uses: the add's `min_key`/`max_key`
-    * (file pruning on `statsCol`) and OUR footer's per-row-group
-    * stats on BOTH columns (reader-side row-group pruning — the
-    * 1024-row groups inherit the Z locality).
+    * Bucketing: long dims scale into their [min, max] window
+    * (one metadata-sized agg); string dims bucket by exact value RANK
+    * when low-cardinality (≤ 4096 distinct — the categorical case,
+    * where a byte prefix cannot discriminate suffix-differing values;
+    * one bounded distinct-collect per dim), else by their first two
+    * UTF-8 bytes — both order-preserving under the same unsigned-lex
+    * order the q238 string stats use, so skey-window pruning inherits
+    * the clustering. Null values bucket 0 (they cluster together at
+    * the low end; no partition can be all-null-surprised — ADVICE
+    * r12).
     *
-    * The rewrite is ONE Spark job: read through the connector, bucket
-    * each column by its own min/max window (one metadata-sized agg),
-    * interleave bits (pure Column ops — codegen'd), range-partition
-    * by Z into `ceil(rows/targetRows)` output files written map-side
-    * by our codec, and commit remove(all live) + add(new, measured
-    * stats, dataChange=false — a rewrite, the change feed skips it)
-    * in ONE version. Old files stay for time travel; VACUUM reclaims.
+    * The LAYOUT IS DETERMINISTIC (r13 — the r12 flake's fix): an
+    * EXACT z-prefix histogram (≤ 4096 cells, one counting pass — no
+    * sampling) drives greedy range cuts at ~`targetRows` rows each,
+    * and rows sort within each file by `(z, statsCol)` — no sampled
+    * `repartitionByRange` bounds, so the same table always produces
+    * the same files, row groups, and pruning behavior, and the spec's
+    * efficacy gate is a layout PROPERTY, not a sampling accident.
+    * Exact cuts also keep files BALANCED under z-space skew (a
+    * string dim occupies few buckets; equal-width slicing would
+    * collapse onto them). Cell granularity bounds the residual
+    * imbalance at total/4096 rows per boundary.
     *
-    * 100 TB shape: one full-table shuffle (range by Z) — the price
-    * every clustering rewrite pays, amortized over all future scans;
-    * the commit is one metadata file. */
-  def zorder(spark: SparkSession, root: String, colA: String,
-      colB: String, targetRows: Int,
-      rowsPerGroup: Int = 1024): ZorderResult = {
+    * Per-file `min_key`/`max_key` windows are measured on the
+    * `statsCol` the table's READERS prune on (ADVICE r12 — measuring
+    * the first z-column installed wrong windows when it differed) and
+    * omitted when that column is absent/non-long/all-null (degrades
+    * to scan, never wrong). With `strStatsCol` set, each add also
+    * carries the unsigned-lex string window of that column.
+    *
+    * 100 TB shape: two metadata-result scans (min/max agg + the
+    * histogram count) and ONE full-table shuffle (partition by
+    * z-cut) — the price every clustering rewrite pays, amortized over
+    * all future scans; files write map-side through our codec; the
+    * commit is one metadata file with optimistic conflict handling. */
+  def zorder(spark: SparkSession, root: String, cols: Seq[String],
+      targetRows: Int, rowsPerGroup: Int = 1024,
+      statsCol: String = "doc_id",
+      strStatsCol: Option[String] = None): ZorderResult = {
     require(targetRows > 0, "targetRows must be positive")
-    require(colA != colB, "zorder needs two distinct columns")
+    require(cols.size >= 2 && cols.size <= 4 &&
+        cols.distinct.size == cols.size,
+      "zorder needs 2..4 distinct columns")
     val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
     if (live.isEmpty) return ZorderResult(0, 0, -1L)
     val df = spark.read.format("graft-lake").option("path", root).load()
     val schema = df.schema
-    require(Seq(colA, colB).forall(c => schema.fieldNames.contains(c) &&
-        schema(c).dataType == org.apache.spark.sql.types.LongType),
-      s"zorder columns $colA/$colB must be long columns of the table")
+    import org.apache.spark.sql.types.{LongType, StringType}
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c) &&
+          (schema(c).dataType == LongType ||
+            schema(c).dataType == StringType),
+        s"zorder column $c must be a long or string column of the table")
+    }
+    strStatsCol.foreach { c =>
+      require(schema.fieldNames.contains(c) &&
+          schema(c).dataType == StringType,
+        s"strStatsCol $c must be a string column of the table")
+    }
     import org.apache.spark.sql.functions._
-    val b = df.agg(min(col(colA)), max(col(colA)),
-      min(col(colB)), max(col(colB))).head()
-    val (aLo, aHi) = (b.getLong(0), b.getLong(1))
-    val (bLo, bHi) = (b.getLong(2), b.getLong(3))
-    // 16-bit bucket of v inside [lo, hi] — pure long arithmetic
-    def bucket(c: org.apache.spark.sql.Column, lo: Long,
-        hi: Long): org.apache.spark.sql.Column =
-      if (hi <= lo) lit(0L)
-      else ((c - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("long")
-    // interleave: bit i of A -> bit 2i+1, bit i of B -> bit 2i
-    def interleave(a: org.apache.spark.sql.Column,
-        bc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      (0 until 16).map { i =>
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-          .bitwiseOR(
-            shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), 2 * i))
-      }.reduce(_ bitwiseOR _)
+    val k = cols.size
+    val bitsPer = math.min(16, 42 / k) // k=2 → 16, k=3 → 14, k=4 → 10
+    val zBits = bitsPer * k
+    val mask = (1L << bitsPer) - 1L
+    val longDims = cols.filter(c => schema(c).dataType == LongType)
+    val winOf: Map[String, (Long, Long)] =
+      if (longDims.isEmpty) Map.empty
+      else {
+        val aggs = longDims.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        longDims.zipWithIndex.map { case (c, i) =>
+          c -> ((if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i),
+            if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1)))
+        }.toMap
+      }
     val total = live.map(_.size).sum
     val nOut = math.max(1, ((total + targetRows - 1) / targetRows).toInt)
-    val z = interleave(bucket(col(colA), aLo, aHi),
-      bucket(col(colB), bLo, bHi))
-    val keyed = df.withColumn("_z", z)
-      .repartitionByRange(nOut, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-    val versions = TxLog.commitVersions(s"$root/log")
-    val next = if (versions.isEmpty) 0L else versions.max + 1
-    val statsCol = colA // file-level window column (the scan option)
-    val outSchema = keyed.schema
-    val written: Array[(String, Long, Long, Long)] = keyed.rdd
+    require(nOut <= (1 << 20), s"zorder would write $nOut files")
+    val idxOf = cols.map(schema.fieldNames.indexOf(_)).toArray
+    val strDim = cols.map(c => schema(c).dataType == StringType).toArray
+    val lows = cols.map(c => winOf.getOrElse(c, (0L, 0L))._1).toArray
+    val highs = cols.map(c => winOf.getOrElse(c, (0L, 0L))._2).toArray
+    val mask0 = (1L << bitsPer) - 1L
+    // exact rank map per low-cardinality string dim (null = prefix
+    // fallback); sort order is UTF8String's unsigned byte compare —
+    // the same order utf8Lt and the skey windows use
+    val rankOf: Array[Map[String, Long]] = cols.map { c =>
+      if (schema(c).dataType != StringType) null
+      else {
+        val distinct = df.select(col(c)).where(col(c).isNotNull)
+          .distinct().sort(col(c)).limit(4097)
+          .collect().map(_.getString(0))
+        if (distinct.length > 4096) null
+        else {
+          val d = math.max(1, distinct.length - 1)
+          distinct.zipWithIndex.map { case (v, i) =>
+            v -> i.toLong * mask0 / d
+          }.toMap
+        }
+      }
+    }.toArray
+    val statsIsLong = schema.fieldNames.contains(statsCol) &&
+      schema(statsCol).dataType == LongType
+    val tieIdx = schema.fieldNames.indexOf(statsCol)
+    val kk = k; val bp = bitsPer; val msk = mask
+    // z of one row — executor-side plain long arithmetic (the rewrite
+    // materializes external rows for our codec writer anyway, so the
+    // z pass rides the same traversal; nothing here samples)
+    def zOf(r: org.apache.spark.sql.Row): Long = {
+      var z = 0L
+      var j = 0
+      while (j < kk) {
+        val i = idxOf(j)
+        val b =
+          if (r.isNullAt(i)) 0L
+          else if (strDim(j)) {
+            val v = r.getString(i)
+            val m = rankOf(j)
+            val exact = if (m == null) None else m.get(v)
+            exact.getOrElse {
+              val bs = v.getBytes("UTF-8")
+              val b0 = if (bs.length > 0) bs(0) & 0xffL else 0L
+              val b1 = if (bs.length > 1) bs(1) & 0xffL else 0L
+              ((b0 << 8) | b1) >>> (16 - bp)
+            }
+          } else {
+            val lo = lows(j); val hi = highs(j)
+            if (hi <= lo) 0L
+            else (r.getLong(i) - lo) * msk / (hi - lo)
+          }
+        // bit t of dim j → z bit t*k + (k-1-j): dim 0 owns the most
+        // significant bit of each group (the r12 two-column layout)
+        var t = 0
+        while (t < bp) {
+          z |= ((b >>> t) & 1L) << (t * kk + (kk - 1 - j))
+          t += 1
+        }
+        j += 1
+      }
+      z
+    }
+    // deterministic BALANCED slicing: exact histogram over the top
+    // ≤ 12 z bits (one counting pass, metadata-sized result), greedy
+    // cuts every ~targetRows — a pure function of the data
+    val prefixBits = math.min(zBits, 12)
+    val shift = zBits - prefixBits
+    val cells: Seq[(Long, Long)] =
+      df.rdd.map(r => zOf(r) >>> shift).countByValue()
+        .toSeq.sortBy(_._1)
+    val per = math.max(1L, (total + nOut - 1) / nOut)
+    val cutsB = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var acc = 0L
+    cells.foreach { case (cell, c) =>
+      if (acc >= per && cutsB.size < nOut - 1) {
+        cutsB += cell
+        acc = 0L
+      }
+      acc += c
+    }
+    val cuts = cutsB.toArray
+    val ti = tieIdx; val tiLong = statsIsLong
+    val keyed = df.rdd
+      .map { r =>
+        val tie = if (tiLong && ti >= 0 && !r.isNullAt(ti))
+          r.getLong(ti) else 0L
+        ((zOf(r), tie), r)
+      }
+      .repartitionAndSortWithinPartitions(
+        new ZCutPartitioner(cuts, shift))
+      .values
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val outSchema = schema
+    // column mapping (r13): rewritten files must carry PHYSICAL names
+    val physMap = TxLog.latestMetaData(s"$root/log", -1L)
+      .map(_.map(c => c.name -> c.physName).toMap)
+      .getOrElse(Map.empty[String, String])
+    val outNames = schema.fieldNames.map(n => physMap.getOrElse(n, n))
+    val scn = physMap.getOrElse(statsCol, statsCol)
+    val sIdx = strStatsCol.map(schema.fieldNames.indexOf(_))
+      .getOrElse(-1)
+    val rpg = rowsPerGroup
+    val rootDir = root
+    val written: Array[(String, Long, Option[(Long, Long)],
+        Option[(String, String)])] = keyed
       .mapPartitionsWithIndex { (pid, rows) =>
         val rs = rows.toArray
         if (rs.isEmpty) Iterator.empty
         else {
-          val cols = rowsToCols(outSchema, rs)
-          val bytes = ParquetWrite.writeFile(cols,
-            rowsPerGroup = rowsPerGroup)
-          val p = s"$root/data/zorder-$next-$pid.parquet"
+          val cols2 = rowsToCols(outSchema, outNames, rs)
+          val bytes = ParquetWrite.writeFile(cols2, rowsPerGroup = rpg)
+          val p = s"$rootDir/data/zorder-$run-$pid.parquet"
           java.nio.file.Files.write(
             java.nio.file.Paths.get(p), bytes): Unit
-          val st = ParquetFile.parse(pid.toLong, bytes)
-            .filter(r => r.valid && r.has_stats && r.col_path == statsCol)
-          Iterator.single((p, rs.length.toLong,
-            st.map(_.min_long).min, st.map(_.max_long).max))
+          // key window from the REWRITTEN file's own footer, on the
+          // column readers prune with; all-null/absent → no window
+          val st =
+            if (!tiLong) Vector.empty
+            else ParquetFile.parse(pid.toLong, bytes)
+              .filter(r => r.valid && r.has_stats && r.col_path == scn)
+          val kw =
+            if (st.isEmpty) None
+            else Some((st.map(_.min_long).min, st.map(_.max_long).max))
+          var mnS: String = null; var mxS: String = null
+          if (sIdx >= 0) rs.foreach { r =>
+            if (!r.isNullAt(sIdx)) {
+              val v = r.getString(sIdx)
+              if (mnS == null || utf8Lt(v, mnS)) mnS = v
+              if (mxS == null || utf8Lt(mxS, v)) mxS = v
+            }
+          }
+          val sw = if (mnS == null) None else Some((mnS, mxS))
+          Iterator.single((p, rs.length.toLong, kw, sw))
         }
       }
       .collect() // bounded: one metadata row per OUTPUT file
+    def jsafe(v: String): Option[String] =
+      if (v.forall(c => c != '"' && c != '\\' && c != '\n' &&
+          c != '\r')) Some(v)
+      else None
     val lines =
       live.map(f =>
         s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""") ++
-      written.map { case (p, rows, mn, mx) =>
+      written.map { case (p, rows, kw, sw) =>
+        val kstats = kw.map { case (mn, mx) =>
+          s""","min_key":$mn,"max_key":$mx""" }.getOrElse("")
+        val sstats = sw.flatMap { case (mn, mx) =>
+          for (x <- jsafe(mn); y <- jsafe(mx))
+            yield s""","min_skey":"$x","max_skey":"$y"""" }.getOrElse("")
         s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
-          s""","min_key":$mn,"max_key":$mx,"dataChange":false}}"""
+          s"""$kstats$sstats,"dataChange":false}}"""
       }
-    TxLog.commitVersion(s"$root/log", next, lines.toSeq)
-    ZorderResult(live.size, written.length, next)
+    val v = commitMaintenance(root, live.map(_.path).toSeq,
+      lines.toSeq, written.map(_._1).toSeq)
+    ZorderResult(live.size, written.length, v)
+  }
+
+  /** Deterministic z-range partitioner over exact histogram cuts (no
+    * sampling — the r12 flake's fix): partition = number of cuts ≤
+    * the key's z-prefix cell. */
+  private final class ZCutPartitioner(cuts: Array[Long], shift: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = cuts.length + 1
+    override def getPartition(key: Any): Int = {
+      val cell = key.asInstanceOf[(Long, Long)]._1 >>> shift
+      var lo = 0
+      var hi = cuts.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cuts(mid) <= cell) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
   }
 
   /** External-Row → writer-column conversion over the full type
-    * surface (the z-order rewrite's map-side builder). */
+    * surface (the z-order rewrite's map-side builder). `names` are
+    * the PHYSICAL column names the file carries (column mapping,
+    * r13). */
   private def rowsToCols(schema: org.apache.spark.sql.types.StructType,
+      names: Array[String],
       rs: Array[org.apache.spark.sql.Row]): Seq[ParquetWrite.Col] = {
     import org.apache.spark.sql.types._
-    schema.fields.zipWithIndex.map { case (f, i) =>
+    schema.fields.zipWithIndex.map { case (f0, i) =>
+      val f = f0.copy(name = names(i))
       f.dataType match {
         case LongType =>
           if (f.nullable) ParquetWrite.OptLongCol(f.name, rs.map(r =>
@@ -282,16 +510,120 @@ object LakeMaintenance {
     }.toSeq
   }
 
+  /** Boxed value of row `i` of a writer column (the merge rewrite's
+    * currency across the FULL type surface): java.lang.Long / Double
+    * / Float, String, or a list column's boxed element array (null =
+    * NULL cell / NULL list). */
+  private def colValue(c: ParquetWrite.Col, i: Int): AnyRef = c match {
+    case ParquetWrite.LongCol(_, vs) => java.lang.Long.valueOf(vs(i))
+    case ParquetWrite.OptLongCol(_, vs) => vs(i)
+    case ParquetWrite.StrCol(_, vs) => vs(i)
+    case ParquetWrite.OptStrCol(_, vs) => vs(i)
+    case ParquetWrite.DoubleCol(_, vs) =>
+      java.lang.Double.valueOf(vs(i))
+    case ParquetWrite.OptDoubleCol(_, vs) => vs(i)
+    case ParquetWrite.FloatCol(_, vs) => java.lang.Float.valueOf(vs(i))
+    case ParquetWrite.OptFloatCol(_, vs) => vs(i)
+    case ParquetWrite.LongListCol(_, rows) => rows(i)
+    case ParquetWrite.FloatListCol(_, rows) => rows(i)
+    case ParquetWrite.DoubleListCol(_, rows) => rows(i)
+  }
+
+  /** Rebuild a writer column of `template`'s shape from boxed values.
+    * A changeset value of the wrong type (or a null into a REQUIRED
+    * column) fails loudly — merge never writes a silently-coerced
+    * cell. */
+  private def buildCol(template: ParquetWrite.Col,
+      vals: Array[AnyRef]): ParquetWrite.Col = template match {
+    case ParquetWrite.LongCol(nm, _) => ParquetWrite.LongCol(nm,
+      vals.map(_.asInstanceOf[java.lang.Long].longValue()))
+    case ParquetWrite.OptLongCol(nm, _) => ParquetWrite.OptLongCol(nm,
+      vals.map(_.asInstanceOf[java.lang.Long]))
+    case ParquetWrite.StrCol(nm, _) => ParquetWrite.StrCol(nm,
+      vals.map(_.asInstanceOf[String]))
+    case ParquetWrite.OptStrCol(nm, _) => ParquetWrite.OptStrCol(nm,
+      vals.map(_.asInstanceOf[String]))
+    case ParquetWrite.DoubleCol(nm, _) => ParquetWrite.DoubleCol(nm,
+      vals.map(_.asInstanceOf[java.lang.Double].doubleValue()))
+    case ParquetWrite.OptDoubleCol(nm, _) =>
+      ParquetWrite.OptDoubleCol(nm,
+        vals.map(_.asInstanceOf[java.lang.Double]))
+    case ParquetWrite.FloatCol(nm, _) => ParquetWrite.FloatCol(nm,
+      vals.map(_.asInstanceOf[java.lang.Float].floatValue()))
+    case ParquetWrite.OptFloatCol(nm, _) =>
+      ParquetWrite.OptFloatCol(nm,
+        vals.map(_.asInstanceOf[java.lang.Float]))
+    case ParquetWrite.LongListCol(nm, _) =>
+      ParquetWrite.LongListCol(nm, vals.map(v =>
+        if (v == null) null else v.asInstanceOf[Array[java.lang.Long]]))
+    case ParquetWrite.FloatListCol(nm, _) =>
+      ParquetWrite.FloatListCol(nm, vals.map(v =>
+        if (v == null) null
+        else v.asInstanceOf[Array[java.lang.Float]]))
+    case ParquetWrite.DoubleListCol(nm, _) =>
+      ParquetWrite.DoubleListCol(nm, vals.map(v =>
+        if (v == null) null
+        else v.asInstanceOf[Array[java.lang.Double]]))
+  }
+
+  /** An empty writer column matching a footer leaf — the insert arm's
+    * template (the table schema with no live rows of it). */
+  private def templateOf(lf: ParquetFile.Leaf): ParquetWrite.Col =
+    if (lf.maxRep == 1) {
+      val nm = lf.path.substring(0, lf.path.indexOf('.'))
+      lf.ptype match {
+        case 2 => ParquetWrite.LongListCol(nm, Array.empty)
+        case 4 => ParquetWrite.FloatListCol(nm, Array.empty)
+        case 5 => ParquetWrite.DoubleListCol(nm, Array.empty)
+        case p => throw new IllegalArgumentException(
+          s"unsupported list element ptype $p for ${lf.path}")
+      }
+    } else {
+      val nullable = lf.maxDef == 1
+      lf.ptype match {
+        case 2 => if (nullable) ParquetWrite.OptLongCol(lf.path,
+            Array.empty)
+          else ParquetWrite.LongCol(lf.path, Array.empty)
+        case 4 => if (nullable) ParquetWrite.OptFloatCol(lf.path,
+            Array.empty)
+          else ParquetWrite.FloatCol(lf.path, Array.empty)
+        case 5 => if (nullable) ParquetWrite.OptDoubleCol(lf.path,
+            Array.empty)
+          else ParquetWrite.DoubleCol(lf.path, Array.empty)
+        case 6 => if (nullable) ParquetWrite.OptStrCol(lf.path,
+            Array.empty)
+          else ParquetWrite.StrCol(lf.path, Array.empty)
+        case p => throw new IllegalArgumentException(
+          s"unsupported ptype $p for ${lf.path}")
+      }
+    }
+
   final case class MergeResult(rewritten: Int, matched: Long,
       inserted: Long, version: Long, deleted: Long = 0L)
 
-  /** MERGE (upsert + delete, r12) by the key column: rows of `updates`
-    * whose key exists in the table REPLACE the stored rows (every
-    * occurrence); keys in `deletes` DROP their stored rows (every
-    * occurrence — the CDC delete arm; a candidate file whose rows all
-    * die commits as a remove-only tombstone, no empty file is ever
-    * written); keys present nowhere INSERT as one new key-sorted
-    * file; one commit carries remove(rewritten)+add(new).
+  /** MERGE (upsert + delete, r12; full type surface + row-level CDC,
+    * r13) by the key column: rows of `updates` whose key exists in
+    * the table REPLACE the stored rows (every occurrence); keys in
+    * `deletes` DROP their stored rows (every occurrence — a candidate
+    * file whose rows all die commits as a remove-only tombstone, no
+    * empty file is ever written); keys present nowhere INSERT as one
+    * new key-sorted file; one commit carries remove(rewritten) +
+    * add(new) + `cdc` sidecar actions.
+    *
+    * The rewrite runs over the FULL own-writer type surface —
+    * long/string/double/float flat columns and `array<T>` lists —
+    * via [[ParquetFile.readFileColumns]] (r13; r12's `readFileCells`
+    * path failed loudly on the engine's flagship `array<float>`
+    * embeddings tables).
+    *
+    * ROW-LEVEL CHANGE FEED (r13 — Delta CDF's `cdc` action): each
+    * rewrite task also writes a CDC sidecar file carrying the
+    * table's columns + `_change_type` ∈ {delete, update_preimage,
+    * update_postimage}; the insert arm writes one with `insert`
+    * rows. Sidecars are registered as `{"cdc":{path,size}}` actions
+    * in the SAME commit — they never join the live set (no add), and
+    * the streaming source's `changeFeed` mode serves them so an
+    * incremental consumer needs no re-diff.
     *
     * The updates ride as a BROADCAST map — the CDC-batch shape (a
     * bounded changeset against a huge table); candidate files are
@@ -303,7 +635,8 @@ object LakeMaintenance {
     *
     * `updates`: (key, values…) tuples matching the table's column
     * order; `null` in a value slot stores NULL (the column must be
-    * nullable). */
+    * nullable); an `array<T>` slot takes `Array[java.lang.T]` (null
+    * elements preserved) or null for a NULL list. */
   def merge(spark: SparkSession, root: String,
       updates: Seq[(Long, Array[Any])], keyCol: String,
       maxBroadcast: Int = 1 << 20,
@@ -321,6 +654,21 @@ object LakeMaintenance {
     require(!updates.exists(u => deletes.contains(u._1)),
       "a key cannot be both updated and deleted in one changeset")
     val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+    require(live.nonEmpty, s"merge against an empty table at $root")
+    // table schema (and the changeset width check) from a live footer
+    val schemaLeaves = ParquetFile.parseFooterMeta(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(live.head.path))).leaves
+    require(updates.forall(_._2.length == schemaLeaves.size),
+      s"changeset rows must carry ${schemaLeaves.size} values " +
+        "(the table's column order)")
+    // column mapping (r13): the key arrives logical; leaves are phys
+    val keyPhys = TxLog.latestMetaData(s"$root/log", -1L)
+      .flatMap(_.find(_.name == keyCol).map(_.physName))
+      .getOrElse(keyCol)
+    require(schemaLeaves.exists(l => l.path == keyPhys &&
+        l.ptype == 2 && l.maxDef == 0 && l.maxRep == 0),
+      s"merge key $keyCol must be a REQUIRED long column")
     val keys = updates.map(_._1) ++ deletes
     val kLo = keys.min; val kHi = keys.max
     val candidates = live.filter { f =>
@@ -330,18 +678,17 @@ object LakeMaintenance {
         case _ => true // statless files must be checked
       }
     }
-    val versions = TxLog.commitVersions(s"$root/log")
-    val next = if (versions.isEmpty) 0L else versions.max + 1
+    val run = java.util.UUID.randomUUID().toString.take(8)
     val updMap = updates.toMap
     val bc = spark.sparkContext.broadcast(updMap)
     val bcDel = spark.sparkContext.broadcast(deletes.toSet)
 
     // (oldPath, newPath ("" = all rows died), rows, minKey, maxKey,
-    // matchedKeys, deletedRows) — tuples, not a method-local case
-    // class: local classes capture enclosing scope and break task
-    // serialization
+    // matchedKeys, deletedRows, cdcPath ("" = no changes in this
+    // file), cdcRows) — tuples, not a method-local case class: local
+    // classes capture enclosing scope and break task serialization
     val rewritten: Array[(String, String, Long, Long, Long, Seq[Long],
-        Long)] =
+        Long, String, Long)] =
       if (candidates.isEmpty) Array.empty
       else spark.sparkContext
         .parallelize(candidates.zipWithIndex,
@@ -349,68 +696,71 @@ object LakeMaintenance {
         .map { case (f, idx) =>
           val bytes = java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(f.path))
-          val (leaves, cells) = ParquetFile.readFileCells(bytes)
-          val ki = leaves.indexWhere(_.path == keyCol)
+          val (leaves, fileCols) = ParquetFile.readFileColumns(bytes)
+          val ki = leaves.indexWhere(_.path == keyPhys)
           require(ki >= 0 && leaves(ki).ptype == 2 &&
             leaves(ki).maxDef == 0,
-            s"merge key $keyCol must be a REQUIRED long column")
-          val n = cells(ki).longs.length
-          // delete arm: surviving row indices (order preserved)
+            s"merge key $keyPhys must be a REQUIRED long column")
+          require(fileCols.size == leaves.size &&
+            bc.value.headOption.forall(_._2.length == fileCols.size),
+            s"file ${f.path} does not match the changeset width")
+          val fkeys = fileCols(ki)
+            .asInstanceOf[ParquetWrite.LongCol].vs
+          val n = fkeys.length
+          val delIdx = (0 until n)
+            .filter(i => bcDel.value.contains(fkeys(i))).toArray
+          val updIdx = (0 until n)
+            .filter(i => bc.value.contains(fkeys(i))).toArray
           val keep = (0 until n)
-            .filterNot(i => bcDel.value.contains(cells(ki).longs(i)))
-            .toArray
-          val matched = scala.collection.mutable.ArrayBuffer.empty[Long]
-          var i = 0
-          while (i < n) {
-            val k = cells(ki).longs(i)
-            if (bc.value.contains(k)) matched += k
-            i += 1
-          }
+            .filterNot(i => bcDel.value.contains(fkeys(i))).toArray
+          val matched = updIdx.map(fkeys(_)).distinct.toSeq
+          // CDC sidecar: delete pre-images + update pre/post images
+          val cdc: (String, Long) =
+            if (delIdx.isEmpty && updIdx.isEmpty) ("", 0L)
+            else {
+              val cdcCols: Seq[ParquetWrite.Col] =
+                fileCols.zipWithIndex.map { case (c, li) =>
+                  val pre = (delIdx ++ updIdx).map(colValue(c, _))
+                  val post = updIdx.map(i =>
+                    bc.value(fkeys(i))(li).asInstanceOf[AnyRef])
+                  buildCol(c, pre ++ post)
+                } :+ ParquetWrite.StrCol("_change_type",
+                  Array.fill(delIdx.length)("delete") ++
+                    Array.fill(updIdx.length)("update_preimage") ++
+                    Array.fill(updIdx.length)("update_postimage"))
+              val cb = ParquetWrite.writeFile(cdcCols,
+                rowsPerGroup = 1024)
+              val cp = s"$root/data/cdc-$run-$idx.parquet"
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(cp), cb): Unit
+              (cp, (delIdx.length + 2 * updIdx.length).toLong)
+            }
           if (keep.isEmpty) // every row died: remove-only, no file
-            (f.path, "", 0L, 0L, 0L, matched.distinct.toSeq,
-              n.toLong)
+            (f.path, "", 0L, 0L, 0L, matched, n.toLong,
+              cdc._1, cdc._2)
           else {
-            // build per-column output values over the SURVIVING rows,
-            // applying the update changeset
+            // per-column output over the SURVIVING rows, applying the
+            // update changeset — typed through the column templates
             val outCols: Seq[ParquetWrite.Col] =
-              leaves.zipWithIndex.map { case (lf, li) =>
-                val isBin = lf.ptype == 6
-                val nullable = lf.maxDef == 1
-                val cc = cells(li)
-                def valueAt(i: Int): Any = {
-                  val k = cells(ki).longs(i)
-                  bc.value.get(k) match {
-                    case Some(vals) => vals(li)
-                    case None =>
-                      if (!cc.defined(i)) null
-                      else if (isBin) new String(cc.bins(i), "UTF-8")
-                      else java.lang.Long.valueOf(cc.longs(i))
+              fileCols.zipWithIndex.map { case (c, li) =>
+                buildCol(c, keep.map { i =>
+                  bc.value.get(fkeys(i)) match {
+                    case Some(vals) => vals(li).asInstanceOf[AnyRef]
+                    case None => colValue(c, i)
                   }
-                }
-                if (!isBin && !nullable)
-                  ParquetWrite.LongCol(lf.path, keep.map(i =>
-                    valueAt(i).asInstanceOf[java.lang.Long].longValue()))
-                else if (!isBin)
-                  ParquetWrite.OptLongCol(lf.path, keep.map(i =>
-                    valueAt(i).asInstanceOf[java.lang.Long]))
-                else if (nullable)
-                  ParquetWrite.OptStrCol(lf.path, keep.map(i =>
-                    valueAt(i).asInstanceOf[String]))
-                else
-                  ParquetWrite.StrCol(lf.path, keep.map(i =>
-                    valueAt(i).asInstanceOf[String]))
+                })
               }
             val out = ParquetWrite.writeFile(outCols,
               rowsPerGroup = 1024)
-            val p = s"$root/data/merge-$next-$idx.parquet"
+            val p = s"$root/data/merge-$run-$idx.parquet"
             java.nio.file.Files.write(
               java.nio.file.Paths.get(p), out): Unit
             val st = ParquetFile.parse(idx.toLong, out)
               .filter(r => r.valid && r.has_stats &&
-                r.col_path == keyCol)
+                r.col_path == keyPhys)
             (f.path, p, keep.length.toLong,
               st.map(_.min_long).min, st.map(_.max_long).max,
-              matched.distinct.toSeq, (n - keep.length).toLong)
+              matched, (n - keep.length).toLong, cdc._1, cdc._2)
           }
         }
         .collect()
@@ -419,36 +769,26 @@ object LakeMaintenance {
     val deletedRows = rewritten.map(_._7).sum
     val inserts = updates.filterNot(u => matchedKeys.contains(u._1))
       .sortBy(_._1)
-    // insert file: built from the changeset rows, key-sorted; needs
-    // the table schema — take it from any live file's footer
-    val insertAdd: Option[(String, Long, Long, Long)] =
+    // insert file: built from the changeset rows, key-sorted, over
+    // the table schema's column templates; plus its CDC sidecar
+    val insertAdd: Option[(String, Long, Long, Long, String)] =
       if (inserts.isEmpty) None
       else {
-        val schemaBytes = java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(live.head.path))
-        val leaves = ParquetFile.parseFooterMeta(schemaBytes).leaves
-        val cols: Seq[ParquetWrite.Col] = leaves.zipWithIndex.map {
-          case (lf, li) =>
-            val isBin = lf.ptype == 6
-            val nullable = lf.maxDef == 1
-            if (!isBin && !nullable)
-              ParquetWrite.LongCol(lf.path, inserts.map(
-                _._2(li).asInstanceOf[java.lang.Long].longValue())
-                .toArray)
-            else if (!isBin)
-              ParquetWrite.OptLongCol(lf.path, inserts.map(
-                _._2(li).asInstanceOf[java.lang.Long]).toArray)
-            else if (nullable)
-              ParquetWrite.OptStrCol(lf.path, inserts.map(
-                _._2(li).asInstanceOf[String]).toArray)
-            else ParquetWrite.StrCol(lf.path, inserts.map(
-              _._2(li).asInstanceOf[String]).toArray)
-        }
+        val cols: Seq[ParquetWrite.Col] = schemaLeaves.zipWithIndex
+          .map { case (lf, li) =>
+            buildCol(templateOf(lf),
+              inserts.map(_._2(li).asInstanceOf[AnyRef]).toArray)
+          }
         val out = ParquetWrite.writeFile(cols, rowsPerGroup = 1024)
-        val p = s"$root/data/merge-$next-insert.parquet"
+        val p = s"$root/data/merge-$run-insert.parquet"
         java.nio.file.Files.write(java.nio.file.Paths.get(p), out): Unit
+        val cdcCols = cols :+ ParquetWrite.StrCol("_change_type",
+          Array.fill(inserts.size)("insert"))
+        val cb = ParquetWrite.writeFile(cdcCols, rowsPerGroup = 1024)
+        val cp = s"$root/data/cdc-$run-insert.parquet"
+        java.nio.file.Files.write(java.nio.file.Paths.get(cp), cb): Unit
         Some((p, inserts.size.toLong, inserts.head._1,
-          inserts.last._1))
+          inserts.last._1, cp))
       }
     if (rewritten.isEmpty && insertAdd.isEmpty)
       return MergeResult(0, 0L, 0L, -1L)
@@ -458,13 +798,24 @@ object LakeMaintenance {
       rewritten.filter(_._2.nonEmpty).map(r =>
         s"""{"add":{"path":"${TxLog.requireJsonSafe(r._2)}","size":${r._3}""" +
           s""","min_key":${r._4},"max_key":${r._5}}}""") ++
-      insertAdd.map { case (p, rows, mn, mx) =>
+      insertAdd.map { case (p, rows, mn, mx, _) =>
         s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
           s""","min_key":$mn,"max_key":$mx}}"""
+      } ++
+      rewritten.filter(_._8.nonEmpty).map(r =>
+        s"""{"cdc":{"path":"${TxLog.requireJsonSafe(r._8)}",""" +
+          s""""size":${r._9}}}""") ++
+      insertAdd.map { case (_, rows, _, _, cp) =>
+        s"""{"cdc":{"path":"${TxLog.requireJsonSafe(cp)}",""" +
+          s""""size":$rows}}"""
       }
-    TxLog.commitVersion(s"$root/log", next, lines.toSeq)
+    val writtenPaths = rewritten.filter(_._2.nonEmpty).map(_._2) ++
+      rewritten.filter(_._8.nonEmpty).map(_._8) ++
+      insertAdd.toSeq.flatMap(a => Seq(a._1, a._5))
+    val v = commitMaintenance(root, rewritten.map(_._1).toSeq,
+      lines.toSeq, writtenPaths.toSeq)
     MergeResult(rewritten.length, matchedKeys.size.toLong,
-      insertAdd.map(_._2).getOrElse(0L), next, deletedRows)
+      insertAdd.map(_._2).getOrElse(0L), v, deletedRows)
   }
 
   final case class VacuumResult(deleted: Int, retainedFiles: Int)
@@ -496,10 +847,13 @@ object LakeMaintenance {
     val versions = TxLog.commitVersions(s"$root/log")
     if (versions.isEmpty) return VacuumResult(0, 0)
     val horizon = versions.max - retainVersions
-    val keep: Set[String] = versions.filter(_ >= horizon)
-      .flatMap(v =>
+    val within = versions.filter(_ >= horizon)
+    val keep: Set[String] = (within.flatMap(v =>
         TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", v)
-          .map(_.path))
+          .map(_.path)) ++
+      // CDC sidecars of in-window versions stay readable (r13); ones
+      // behind the horizon go with their snapshots — the Delta trade
+      TxLog.cdcInVersions(s"$root/log", within).map(_.path))
       .toSet
     val dataDir = new java.io.File(s"$root/data")
     val onDisk = Option(dataDir.listFiles()).toSeq.flatten

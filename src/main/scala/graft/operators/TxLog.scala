@@ -352,8 +352,17 @@ object TxLog {
 
   /** One schema column carried by a `metaData` action (r12 — Delta's
     * schema-in-the-log; before this, the first live file's footer was
-    * the schema authority and ADD COLUMN was impossible). */
-  final case class MetaCol(name: String, tpe: String, nullable: Boolean)
+    * the schema authority and ADD COLUMN was impossible). `phys` is
+    * the COLUMN-MAPPING physical name (r13 — Delta's column mapping:
+    * what the parquet leaves are actually called); empty = same as
+    * the logical name (the pre-mapping wire shape, kept so r12 logs
+    * parse unchanged). RENAME changes `name` and keeps `phys`; a
+    * re-ADD after DROP mints a fresh `phys` so dropped data can
+    * never resurrect. */
+  final case class MetaCol(name: String, tpe: String,
+      nullable: Boolean, phys: String = "") {
+    def physName: String = if (phys.isEmpty) name else phys
+  }
 
   /** Latest `{"metaData":{"cols":[{"name":…,"type":…,"nullable":…}]}}`
     * action at or before `asOf` (< 0 = latest). Driver-side metadata
@@ -369,19 +378,38 @@ object TxLog {
   }
 
   private[graft] def parseMetaCols(line: String): Seq[MetaCol] =
-    ("""\{"name":"([^"]+)","type":"([^"]+)","nullable":(true|false)\}""").r
+    ("""\{"name":"([^"]+)","type":"([^"]+)","nullable":(true|false)""" +
+      """(?:,"phys":"([^"]+)")?\}""").r
       .findAllMatchIn(line)
-      .map(m => MetaCol(m.group(1), m.group(2), m.group(3) == "true"))
+      .map(m => MetaCol(m.group(1), m.group(2), m.group(3) == "true",
+        Option(m.group(4)).getOrElse("")))
       .toSeq
 
+  /** Every MetaCol any metaData action EVER carried (r13 — the
+    * re-add-after-drop check: a fresh column must not reuse a
+    * physical name that historical files may still store). Commit
+    * files are never deleted, so this is a full-history metadata
+    * scan, bounded by log lifetime. */
+  def allMetaCols(logBase: String): Seq[MetaCol] =
+    listVersions(logBase).flatMap { v =>
+      linesUnder(s"$logBase/version=$v")
+        .filter(_.contains("\"metaData\":"))
+        .flatMap(parseMetaCols)
+    }
+
   /** Render a metaData action line (the no-escape JSON subset —
-    * names/types validated at write time). */
+    * names/types validated at write time). `phys` rides only when it
+    * differs from the logical name, keeping pre-mapping logs
+    * byte-stable. */
   def metaDataLine(cols: Seq[MetaCol]): String = {
     require(cols.nonEmpty, "empty schema")
     val body = cols.map { c =>
+      val physPart =
+        if (c.phys.isEmpty || c.phys == c.name) ""
+        else s""","phys":"${requireJsonSafe(c.phys)}""""
       s"""{"name":"${requireJsonSafe(c.name)}",""" +
         s""""type":"${requireJsonSafe(c.tpe)}",""" +
-        s""""nullable":${c.nullable}}"""
+        s""""nullable":${c.nullable}$physPart}"""
     }.mkString(",")
     s"""{"metaData":{"cols":[$body]}}"""
   }
@@ -448,9 +476,54 @@ object TxLog {
     }
   }
 
+  /** Commit `lines` at the next free version with OPTIMISTIC retry
+    * (r13 — the concurrent-writer law): [[commitVersion]]'s atomic
+    * rename makes a version collision fail loudly; a BLIND commit
+    * (pure adds — appends, the streaming sink's epoch) removes
+    * nothing, so losing the race to ANY other committer never
+    * invalidates it — re-resolve the next version and try again (the
+    * Delta rule: blind appends always win a rebase). Callers whose
+    * commit carries removes must NOT use this — they re-check their
+    * read set instead ([[graft.operators.LakeMaintenance]]). Returns
+    * the version that landed. */
+  def commitVersionWithRetry(logBase: String, lines: Seq[String],
+      maxAttempts: Int = 1000): Long = {
+    var attempt = 0
+    while (true) {
+      val versions = listVersions(logBase)
+      val next = if (versions.isEmpty) 0L else versions.max + 1
+      try {
+        commitVersion(logBase, next, lines)
+        return next
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** The `add` actions of specific commit versions, driver-side — what
     * the streaming arm plans per micro-batch (each file's rows are
     * emitted exactly once, on the commit that ADDS it). */
+  /** The `cdc` sidecar actions of specific commit versions (r13 —
+    * Delta CDF's cdc action shape): row-level change files written by
+    * MERGE and served by the streaming source's changeFeed mode.
+    * Never part of the live set — [[resolveLiveLocal]], checkpoints
+    * and [[addsInVersions]] all skip them by construction. */
+  def cdcInVersions(logBase: String,
+      versions: Seq[Long]): Seq[LiveFile] =
+    versions.sorted.flatMap { v =>
+      linesUnder(s"$logBase/version=$v").filter(_.contains("\"cdc\":"))
+        .map { line =>
+          val path = jStr(line, "path").getOrElse(
+            throw new IllegalArgumentException(s"bad cdc line: $line"))
+          LiveFile(path, v, jLong(line, "size").getOrElse(0L),
+            None, None)
+        }
+    }
+
   def addsInVersions(logBase: String,
       versions: Seq[Long]): Seq[LiveFile] =
     versions.sorted.flatMap { v =>

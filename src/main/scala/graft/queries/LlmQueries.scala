@@ -6343,6 +6343,535 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- MERGE over the WIDENED type surface (r13 — the r12
+    // verdict's #1 gap: the engine's flagship `array<float>`
+    // embeddings tables could be compacted and z-ordered but not
+    // CDC-merged; `readFileCells` failed loudly on lists). The table
+    // is the q233 embeddings shape (long, long, array<float>,
+    // double); one merge applies updates (new score + list), deletes
+    // (every 13th key) and inserts (16 fresh keys) in ONE commit
+    // through `readFileColumns`' typed column templates. The oracle
+    // replays the changeset relationally over quantized element
+    // sums — a merge that drops a list element, coerces a float
+    // through double arithmetic, or resurrects a deleted row cannot
+    // match. LakeMaintenanceSpec pins null lists/elements/NaN.
+    "q244_lake_merge_embeddings" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakeme_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val e = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("label").cast("long").as("label"),
+          col("embedding"),
+          (col("vec_id") * 0.25 - 3.0).as("score"))
+        val adds = e
+          .withColumn("g", (col("vec_id") / 128).cast("long"))
+          .as[(Long, Long, Array[Float], Double, Long)]
+          .groupByKey(_._5)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._1)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("vec_id",
+                rows.map(_._1)),
+              graft.operators.ParquetWrite.LongCol("label",
+                rows.map(_._2)),
+              graft.operators.ParquetWrite.FloatListCol("embedding",
+                rows.map(_._3.map(java.lang.Float.valueOf))),
+              graft.operators.ParquetWrite.DoubleCol("score",
+                rows.map(_._4))),
+              rowsPerGroup = 64)
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            (g, s"""{"add":{"path":"$p","size":${rows.length}""" +
+              s""","min_key":${rows.head._1}""" +
+              s""","max_key":${rows.last._1}}}""")
+          }.collect().toSeq.sortBy(_._1)
+        if (adds.isEmpty)
+          Seq.empty[(Long, Long, Long, Long, Long)]
+            .toDF("label", "n", "n_elems", "sum_q", "sum_sq")
+        else {
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L,
+            adds.map(_._2))
+          // the changeset: bounded key collects — the CDC-batch
+          // shape merge broadcasts anyway
+          val ids = e.select(col("vec_id")).as[Long].collect()
+          val mx = ids.max
+          val updates =
+            ids.filter(k => k % 10 == 0 && k % 13 != 0).sorted.map {
+              k => (k, Array[Any](java.lang.Long.valueOf(k),
+                java.lang.Long.valueOf(k % 4 + 10),
+                Array[java.lang.Float](
+                  java.lang.Float.valueOf(k.toFloat / 4f),
+                  java.lang.Float.valueOf(k.toFloat / 8f)),
+                java.lang.Double.valueOf(k * 0.5)))
+            }.toSeq ++
+            (1L to 16L).map { i =>
+              val k = mx + i
+              (k, Array[Any](java.lang.Long.valueOf(k),
+                java.lang.Long.valueOf(k % 4 + 20),
+                Array[java.lang.Float](
+                  java.lang.Float.valueOf(k.toFloat / 4f)),
+                java.lang.Double.valueOf(k * 0.5)))
+            }
+          val deletes = ids.filter(_ % 13 == 0).sorted.toSeq
+          graft.operators.LakeMaintenance.merge(s, base, updates,
+            "vec_id", deletes = deletes): Unit
+          s.read.format("graft-lake").option("path", base)
+            .option("statsCol", "vec_id").load()
+            .select(col("label"),
+              aggregate(transform(col("embedding"), x =>
+                  floor(x.cast("double") * 1024.0).cast("long")),
+                lit(0L), (acc, x) => acc + x).as("q"),
+              size(col("embedding")).as("ne"),
+              floor(col("score") * 4.0).cast("long").as("sq"))
+            .groupBy(col("label"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("ne")).cast("long").as("n_elems"),
+              sum(col("q")).as("sum_q"),
+              sum(col("sq")).as("sum_sq"))
+        }
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+            embedding, vec_id * 0.25 - 3.0 AS score FROM embeddings),
+          mx AS (SELECT max(vec_id) AS m FROM embeddings),
+          merged AS (
+            SELECT vec_id,
+              CASE WHEN vec_id % 10 = 0 THEN vec_id % 4 + 10
+                   ELSE label END AS label,
+              CASE WHEN vec_id % 10 = 0 THEN
+                  [CAST(vec_id AS REAL) / 4, CAST(vec_id AS REAL) / 8]
+                ELSE embedding END AS embedding,
+              CASE WHEN vec_id % 10 = 0 THEN vec_id * 0.5
+                   ELSE score END AS score
+            FROM e WHERE vec_id % 13 <> 0
+            UNION ALL
+            SELECT m + i, (m + i) % 4 + 20,
+              [CAST(m + i AS REAL) / 4], (m + i) * 0.5
+            FROM mx, range(1, 17) t(i))
+        SELECT CAST(label AS BIGINT) AS label,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(len(embedding)) AS BIGINT) AS n_elems,
+          CAST(sum(list_sum(list_transform(embedding,
+            x -> floor(CAST(x AS DOUBLE) * 1024)))) AS BIGINT) AS sum_q,
+          CAST(sum(floor(score * 4)) AS BIGINT) AS sum_sq
+        FROM merged GROUP BY label""")),
+
+    // ---- ROW-LEVEL change feed (r13 — Delta CDF's cdc actions; the
+    // r12 feed was add-level, so a MERGE's deletes/updates were
+    // invisible without a re-diff). MERGE writes cdc sidecar files
+    // (table columns + _change_type) into its commit; the streaming
+    // source's changeFeed mode serves sidecar versions row-exactly,
+    // add versions as injected inserts, and maintenance rewrites not
+    // at all. The gate drains three phases (bootstrap / merge /
+    // compact+append) into a side table and aggregates per change
+    // type — one missed pre-image or re-emitted rewrite shifts a
+    // count. The oracle replays the diff relationally.
+    "q245_lake_cdc_rows" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakecr_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        val adds = d.where(col("doc_id") % 2 === 0)
+          .withColumn("g", (col("doc_id") / 128).cast("long"))
+          .as[(Long, Long, String, Long)]
+          .groupByKey(_._4)
+          .mapGroups { (g, it) =>
+            val rs = it.toArray.sortBy(_._1)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rs.map(_._1)),
+              graft.operators.ParquetWrite.LongCol("n_chars",
+                rs.map(_._2)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rs.map(_._3))))
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            (g, s"""{"add":{"path":"$p","size":${rs.length}""" +
+              s""","min_key":${rs.head._1},"max_key":${rs.last._1}}}""")
+          }.collect().toSeq.sortBy(_._1)
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long, Long)]
+            .toDF("change", "n", "sum_id", "sum_chars")
+            .groupBy(col("change"))
+            .agg(count(lit(1)).as("n"), sum(col("sum_id")).as("sum_id"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L,
+            adds.map(_._2))
+          val sink = s"$base/feed"
+          def drain(): Unit = {
+            val q = s.readStream.format("graft-lake")
+              .option("path", base).option("changeFeed", "true").load()
+              .writeStream
+              .trigger(org.apache.spark.sql.streaming.Trigger
+                .AvailableNow())
+              .option("checkpointLocation", s"$base/ck")
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame,
+                  id: Long) =>
+                b.write.mode("append").parquet(sink)
+              }
+              .start()
+            q.awaitTermination()
+          }
+          drain() // phase 1: bootstrap inserts
+          val evens = d.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id")).as[Long].collect()
+          val updates = evens
+            .filter(k => k % 10 == 0 && k % 13 != 0).sorted.map { k =>
+              (k, Array[Any](java.lang.Long.valueOf(k),
+                java.lang.Long.valueOf(k * 7), "xx"))
+            }.toSeq ++
+            d.where(col("doc_id") % 2 === 1 &&
+                col("doc_id") % 11 === 3)
+              .select(col("doc_id")).as[Long].collect().sorted
+              .map { k =>
+                (k, Array[Any](java.lang.Long.valueOf(k),
+                  java.lang.Long.valueOf(k * 7), "xx"))
+              }
+          val deletes = evens.filter(_ % 13 == 0).sorted.toSeq
+          graft.operators.LakeMaintenance.merge(s, base, updates,
+            "doc_id", deletes = deletes): Unit
+          drain() // phase 2: the row-level diff
+          graft.operators.LakeMaintenance.compact(s, base,
+            targetRows = 1 << 20): Unit
+          d.where(col("doc_id") % 2 === 1 &&
+              col("doc_id") % 11 =!= 3).repartition(2)
+            .write.format("graft-lake").option("path", base)
+            .mode("append").save()
+          drain() // phase 3: rewrite silent, append as inserts
+          s.read.parquet(sink)
+            .groupBy(col("_change_type").as("change"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("doc_id")).as("sum_id"),
+              sum(col("n_chars")).as("sum_chars"))
+            .select(col("change"), col("n"), col("sum_id"),
+              col("sum_chars"))
+        }
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT)
+              AS n_chars, lang FROM documents),
+          evens AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+          dels AS (SELECT * FROM evens WHERE doc_id % 13 = 0),
+          upds AS (SELECT * FROM evens
+            WHERE doc_id % 10 = 0 AND doc_id % 13 <> 0),
+          insodd AS (SELECT doc_id FROM d
+            WHERE doc_id % 2 = 1 AND doc_id % 11 = 3),
+          apodd AS (SELECT * FROM d
+            WHERE doc_id % 2 = 1 AND doc_id % 11 <> 3),
+          feed AS (
+            SELECT 'insert' AS change, doc_id, n_chars FROM evens
+            UNION ALL SELECT 'delete', doc_id, n_chars FROM dels
+            UNION ALL SELECT 'update_preimage', doc_id, n_chars
+              FROM upds
+            UNION ALL SELECT 'update_postimage', doc_id, doc_id * 7
+              FROM upds
+            UNION ALL SELECT 'insert', doc_id, doc_id * 7 FROM insodd
+            UNION ALL SELECT 'insert', doc_id, n_chars FROM apodd)
+        SELECT change, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(doc_id) AS BIGINT) AS sum_id,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM feed GROUP BY change""")),
+
+    // ---- COLUMN MAPPING: RENAME + DROP + re-ADD through the log
+    // (r13 — Delta's column-mapping mechanism; r12 could only ADD).
+    // The bootstrap lands with (doc_id, n_chars, lang); the table
+    // then renames n_chars→chars (pure metadata — files keep the
+    // physical name, readers map), drops lang, and re-adds a column
+    // NAMED lang (fresh physical name — the dropped bytes must never
+    // resurrect); the second half appends through the connector
+    // carrying the post-evolution schema. The gated read groups by
+    // the re-added lang: old rows NULL, new rows populated, chars
+    // preserved across the rename — the oracle replays the split
+    // relationally. LakeSourceSpec pins the no-rewrite, physical-
+    // name and no-resurrection laws.
+    "q246_lake_column_mapping" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakemap_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        val boot = d.where(col("doc_id") < 256)
+          .as[(Long, Long, String)].collect().sortBy(_._1)
+        if (boot.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+            graft.operators.ParquetWrite.LongCol("doc_id",
+              boot.map(_._1)),
+            graft.operators.ParquetWrite.LongCol("n_chars",
+              boot.map(_._2)),
+            graft.operators.ParquetWrite.StrCol("lang",
+              boot.map(_._3))))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            s"$base/data/boot.parquet"), bytes): Unit
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+            s"""{"add":{"path":"$base/data/boot.parquet",""" +
+              s""""size":${boot.length},"min_key":${boot.head._1},""" +
+              s""""max_key":${boot.last._1}}}"""))
+          graft.sources.LakeSource.renameColumn(base,
+            "n_chars", "chars"): Unit
+          graft.sources.LakeSource.dropColumn(base, "lang"): Unit
+          graft.sources.LakeSource.addColumn(base,
+            "lang", "string"): Unit
+          d.where(col("doc_id") >= 256)
+            .select(col("doc_id"), col("n_chars").as("chars"),
+              col("lang"))
+            .repartition(2)
+            .write.format("graft-lake").option("path", base)
+            .mode("append").save()
+          s.read.format("graft-lake").option("path", base).load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("chars")).as("sum_chars"))
+        }
+      },
+      Some("""WITH d AS (SELECT CASE WHEN doc_id < 256 THEN NULL
+              ELSE lang END AS lang, n_chars FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM d GROUP BY lang""")),
+
+    // ---- GROUP BY partition-column aggregate pushdown (r13 — the
+    // r12 verdict's #5 ask: q243's pushdown required no grouping,
+    // but per-partition COUNT/MIN/MAX is ALSO pure log metadata once
+    // q237's partitionValues exist). The table is built FULLY
+    // partitioned by lang through the connector write path; the
+    // gated read groups by lang over COUNT/MIN/MAX(doc_id), answered
+    // from the grouped adds in one metadata partition
+    // (LakeSourceSpec pins the plan shape and the partless-file
+    // decline). The oracle replays the same aggregates from the
+    // source — a partitionValues mix-up or a lying window cannot
+    // match.
+    "q247_lake_agg_groupby" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakegb_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        // bootstrap: one file PER lang (each add carries its part
+        // value — the whole table must be partitioned for the
+        // grouped pushdown to engage)
+        val adds = d.where(col("doc_id") < 256)
+          .as[(Long, Long, String)]
+          .groupByKey(_._3)
+          .mapGroups { (lang, it) =>
+            val rs = it.toArray.sortBy(_._1)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rs.map(_._1)),
+              graft.operators.ParquetWrite.LongCol("n_chars",
+                rs.map(_._2)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rs.map(_._3))))
+            val p = s"$base/data/boot-$lang.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            (lang, s"""{"add":{"path":"$p","size":${rs.length}""" +
+              s""","min_key":${rs.head._1},"max_key":${rs.last._1}""" +
+              s""","part":"$lang"}}""")
+          }.collect().toSeq.sortBy(_._1)
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long, Long)]
+            .toDF("lang", "n", "min_id", "max_id")
+        else {
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L,
+            adds.map(_._2))
+          d.where(col("doc_id") >= 256)
+            .write.format("graft-lake").option("path", base)
+            .option("partitionBy", "lang").mode("append").save()
+          s.read.format("graft-lake").option("path", base)
+            .option("partitionBy", "lang").load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              min(col("doc_id")).as("min_id"),
+              max(col("doc_id")).as("max_id"))
+        }
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(min(doc_id) AS BIGINT) AS min_id,
+          CAST(max(doc_id) AS BIGINT) AS max_id
+        FROM documents GROUP BY lang""")),
+
+    // ---- Multi-dimensional Z-ORDER with a STRING dimension (r13 —
+    // generalizing q242's two-long-column rewrite): the table
+    // clusters by (doc_id, h, lang) where lang is a low-cardinality
+    // string bucketed by exact rank; the layout is DETERMINISTIC
+    // (exact z-prefix histogram cuts, no sampled repartitionByRange —
+    // the r12 flake's fix), per-file key windows are measured on the
+    // readers' statsCol, and each add carries the lang skey window
+    // (LakeMaintenanceSpec pins the pruning efficacy and the twin-
+    // table determinism). The gated read filters an h-window and a
+    // lang equality THROUGH the rewritten layout and aggregates — a
+    // rewrite that drops/duplicates a row, mis-buckets a string rank,
+    // or installs a wrong window that survives the residual filters
+    // cannot match the oracle.
+    "q248_lake_zorder_multi" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakezm_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val adds = docs(s, dir)
+          .select((col("doc_id") / 256).cast("long").as("g"),
+            col("doc_id"),
+            ((col("doc_id") * 797) % 4096).as("h"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .as[(Long, Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rs = it.toArray.sortBy(_._2)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rs.map(_._2)),
+              graft.operators.ParquetWrite.LongCol("h", rs.map(_._3)),
+              graft.operators.ParquetWrite.LongCol("n_chars",
+                rs.map(_._4)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rs.map(_._5))), rowsPerGroup = 128)
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            (g, s"""{"add":{"path":"$p","size":${rs.length}""" +
+              s""","min_key":${rs.head._2},"max_key":${rs.last._2}}}""")
+          }.collect().toSeq.sortBy(_._1)
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L,
+            adds.map(_._2))
+          graft.operators.LakeMaintenance.zorder(s, base,
+            Seq("doc_id", "h", "lang"), targetRows = 1024,
+            rowsPerGroup = 128, statsCol = "doc_id",
+            strStatsCol = Some("lang")): Unit
+          s.read.format("graft-lake").option("path", base)
+            .option("strStatsCol", "lang").load()
+            .where(col("h").between(1000L, 1999L) ||
+              col("lang") === "zh")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""WITH d AS (SELECT lang, n_chars,
+            (doc_id * 797) % 4096 AS h FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM d WHERE (h BETWEEN 1000 AND 1999) OR lang = 'zh'
+        GROUP BY lang""")),
+
+    // ---- CONCURRENT writers (r13 — the optimistic-concurrency law):
+    // two appends race into the same table from parallel threads; the
+    // atomic version rename makes the collision loud, and the blind-
+    // append retry re-resolves and lands the loser at the next
+    // version — never a lost add (TxLog.commitVersionWithRetry;
+    // LakeSourceSpec pins append-vs-append, LakeMaintenanceSpec
+    // append-vs-compact). The gated read aggregates the union of
+    // both changesets plus the bootstrap — a lost or doubled commit
+    // shifts every count.
+    "q249_lake_concurrent_append" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakecc_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        val boot = d.where(col("doc_id") < 256)
+          .as[(Long, Long, String)].collect().sortBy(_._1)
+        if (boot.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+            graft.operators.ParquetWrite.LongCol("doc_id",
+              boot.map(_._1)),
+            graft.operators.ParquetWrite.LongCol("n_chars",
+              boot.map(_._2)),
+            graft.operators.ParquetWrite.StrCol("lang",
+              boot.map(_._3))))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            s"$base/data/boot.parquet"), bytes): Unit
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+            s"""{"add":{"path":"$base/data/boot.parquet",""" +
+              s""""size":${boot.length},"min_key":${boot.head._1},""" +
+              s""""max_key":${boot.last._1}}}"""))
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration._
+          import scala.concurrent.ExecutionContext.Implicits.global
+          def append(parity: Int): Unit =
+            d.where(col("doc_id") >= 256 &&
+                col("doc_id") % 2 === parity)
+              .coalesce(1)
+              .write.format("graft-lake").option("path", base)
+              .mode("append").save()
+          val f0 = Future(append(0))
+          val f1 = Future(append(1))
+          Await.result(f0, 300.seconds)
+          Await.result(f1, 300.seconds)
+          s.read.format("graft-lake").option("path", base).load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang""")),
+
     // ---- Aggregate PUSHDOWN from log metadata (r12 — the lakehouse
     // analog of Parquet's footer-only count): an unfiltered
     // COUNT(*)/MIN/MAX(statsCol) over a graft-lake table is answered
@@ -6469,7 +6998,8 @@ object LlmQueries {
           graft.operators.TxLog.commitVersion(s"$base/log", 0L,
             adds.map(_._2))
           graft.operators.LakeMaintenance.zorder(s, base,
-            "doc_id", "h", targetRows = 1024, rowsPerGroup = 128): Unit
+            Seq("doc_id", "h"), targetRows = 1024,
+            rowsPerGroup = 128): Unit
           s.read.format("graft-lake").option("path", base).load()
             .where(col("h").between(1000L, 1999L))
             .groupBy(col("lang"))

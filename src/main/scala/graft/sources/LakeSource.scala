@@ -74,7 +74,8 @@ object LakeSource {
       options.getInt("versionsPerTrigger", Int.MaxValue),
       options.getInt("checkpointEvery", 10),
       Option(options.get("strStatsCol")).filter(_.nonEmpty),
-      Option(options.get("partitionBy")).filter(_.nonEmpty))
+      Option(options.get("partitionBy")).filter(_.nonEmpty),
+      options.getBoolean("changeFeed", false))
   }
 
   /** Leaf → Spark field. Flat INT32/INT64/FLOAT/DOUBLE/UTF8-string
@@ -142,6 +143,20 @@ object LakeSource {
       s"graft-lake: unknown schema type $other")
   }
 
+  /** The table's current schema columns: the latest metaData action
+    * when present, else derived from the first live file's footer
+    * (the pre-evolution contract, physical = logical). */
+  private def currentCols(root: String): Seq[TxLog.MetaCol] =
+    TxLog.latestMetaData(s"$root/log", -1L).getOrElse {
+      val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+      require(live.nonEmpty,
+        s"graft-lake: cannot evolve an empty table at $root")
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(live.head.path))
+      ParquetFile.parseFooterMeta(bytes).leaves.map(fieldOf).map(f =>
+        TxLog.MetaCol(f.name, nameOf(f.dataType), f.nullable))
+    }
+
   /** ADD COLUMN (r12 — schema evolution through the log's metaData
     * action, the Delta mechanism): commits ONE metaData action
     * extending the current schema with a NULLABLE column (non-null
@@ -150,24 +165,60 @@ object LakeSource {
     * read; appends after it must carry it (the schema check now
     * follows the log, not the files). Returns the committed version. */
   def addColumn(root: String, name: String, typeName: String): Long = {
-    val _ = typeOf(typeName) // validates the type name
-    val cur: Seq[TxLog.MetaCol] =
-      TxLog.latestMetaData(s"$root/log", -1L).getOrElse {
-        val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
-        require(live.nonEmpty,
-          s"graft-lake: cannot evolve an empty table at $root")
-        val bytes = java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(live.head.path))
-        ParquetFile.parseFooterMeta(bytes).leaves.map(fieldOf).map(f =>
-          TxLog.MetaCol(f.name, nameOf(f.dataType), f.nullable))
-      }
+    // the new column must be APPENDABLE, not merely readable (ADVICE
+    // r12: typeOf alone also accepts the read-only legacy "int", and
+    // a schema carrying it would brick every subsequent append)
+    requireWritable(typeOf(typeName))
+    val cur = currentCols(root)
     require(!cur.exists(_.name == name),
       s"graft-lake: column $name already exists")
     val versions = TxLog.commitVersions(s"$root/log")
     val next = if (versions.isEmpty) 0L else versions.max + 1
+    // column mapping (r13): a name that was EVER a logical or
+    // physical column before (drop + re-add) mints a FRESH physical
+    // name, so bytes dropped from the schema can never resurrect
+    val everUsed = (TxLog.allMetaCols(s"$root/log") ++ cur)
+      .flatMap(c => Seq(c.name, c.physName)).toSet
+    val phys = if (everUsed.contains(name)) s"c${next}_$name" else ""
     TxLog.commitVersion(s"$root/log", next, Seq(
       TxLog.metaDataLine(cur :+
-        TxLog.MetaCol(name, typeName, nullable = true))))
+        TxLog.MetaCol(name, typeName, nullable = true, phys))))
+    next
+  }
+
+  /** RENAME COLUMN (r13 — Delta-style column mapping): pure metadata,
+    * no data rewrite — the files keep their physical column name and
+    * every reader maps logical → physical through the log. */
+  def renameColumn(root: String, oldName: String,
+      newName: String): Long = {
+    val cur = currentCols(root)
+    require(cur.exists(_.name == oldName),
+      s"graft-lake: no column $oldName")
+    require(!cur.exists(_.name == newName),
+      s"graft-lake: column $newName already exists")
+    val versions = TxLog.commitVersions(s"$root/log")
+    val next = if (versions.isEmpty) 0L else versions.max + 1
+    val cols = cur.map(c =>
+      if (c.name == oldName)
+        TxLog.MetaCol(newName, c.tpe, c.nullable, c.physName)
+      else c)
+    TxLog.commitVersion(s"$root/log", next,
+      Seq(TxLog.metaDataLine(cols)))
+    next
+  }
+
+  /** DROP COLUMN (r13): pure metadata — the physical bytes stay in
+    * old files, but no read or append touches them again, and a later
+    * re-ADD of the same name gets a fresh physical name (no
+    * resurrection). */
+  def dropColumn(root: String, name: String): Long = {
+    val cur = currentCols(root)
+    require(cur.exists(_.name == name), s"graft-lake: no column $name")
+    require(cur.size > 1, "graft-lake: cannot drop the last column")
+    val versions = TxLog.commitVersions(s"$root/log")
+    val next = if (versions.isEmpty) 0L else versions.max + 1
+    TxLog.commitVersion(s"$root/log", next,
+      Seq(TxLog.metaDataLine(cur.filterNot(_.name == name))))
     next
   }
 
@@ -189,7 +240,8 @@ final class LakeTable(val root: String, val asOf: Long,
     val statsCol: String, val versionsPerTrigger: Int = Int.MaxValue,
     val checkpointEvery: Int = 10,
     val strStatsCol: Option[String] = None,
-    val partCol: Option[String] = None)
+    val partCol: Option[String] = None,
+    val changeFeed: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
 
   /** Snapshot resolution — driver-side metadata I/O through the
@@ -197,12 +249,12 @@ final class LakeTable(val root: String, val asOf: Long,
   lazy val live: Seq[TxLog.LiveFile] =
     TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", asOf)
 
-  private lazy val inferred: StructType =
+  private lazy val inferred: StructType = {
     // schema authority (r12): the log's latest metaData action when
     // present (what makes ADD COLUMN possible — files written before
     // the evolution lack the column and null-fill at read); else the
     // first live file's footer (the pre-evolution contract)
-    TxLog.latestMetaData(s"$root/log", asOf) match {
+    val base = TxLog.latestMetaData(s"$root/log", asOf) match {
       case Some(cols) => StructType(cols.map(c =>
         StructField(c.name, LakeSource.typeOf(c.tpe), c.nullable)))
       case None =>
@@ -213,6 +265,22 @@ final class LakeTable(val root: String, val asOf: Long,
         StructType(ParquetFile.parseFooterMeta(bytes).leaves
           .map(LakeSource.fieldOf))
     }
+    // changeFeed mode (r13 — Delta CDF): the served rows carry the
+    // change kind; add-file batches inject the constant "insert"
+    if (changeFeed)
+      StructType(base.fields :+
+        StructField("_change_type", StringType, nullable = false))
+    else base
+  }
+
+  /** Column mapping (r13): logical → physical name, from the latest
+    * metaData action. Identity for pre-mapping tables. */
+  lazy val physOf: Map[String, String] =
+    TxLog.latestMetaData(s"$root/log", asOf) match {
+      case Some(cols) => cols.map(c => c.name -> c.physName).toMap
+      case None => Map.empty
+    }
+  def physName(n: String): String = physOf.getOrElse(n, n)
 
   override def name(): String =
     s"graft-lake($root asOf=$asOf files=${live.size})"
@@ -263,7 +331,18 @@ final class LakeScanBuilder(table: LakeTable)
     import org.apache.spark.sql.connector.expressions.{aggregate => cagg}
     val statsIsLong = table.schema().fields.exists(f =>
       f.name == table.statsCol && f.dataType == LongType)
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    // GROUP BY arm (r13): grouping by exactly the table's partition
+    // column is ALSO pure log metadata — every add carries its
+    // `partitionValues` (q237), so per-partition COUNT/MIN/MAX fold
+    // over the grouped adds. Declined when any live file lacks the
+    // value (pre-partitioning bootstrap files must force the row
+    // path — never a wrong answer).
+    val groupOk = agg.groupByExpressions.isEmpty ||
+      (agg.groupByExpressions.length == 1 && table.partCol.nonEmpty &&
+        agg.groupByExpressions.headOption.flatMap(colOf)
+          .contains(table.partCol.get) &&
+        table.live.forall(_.part.isDefined))
+    groupOk && agg.aggregateExpressions.nonEmpty &&
       pruning.isEmpty &&
       agg.aggregateExpressions.forall {
         case _: cagg.CountStar =>
@@ -337,41 +416,68 @@ final class LakeScanBuilder(table: LakeTable)
   }
 }
 
-/** Complete aggregate pushdown (r12): one metadata-only partition
-  * whose single row answers COUNT(*)/MIN/MAX(statsCol) from the
-  * resolved log snapshot — zero data files opened. Empty tables yield
-  * count 0 and NULL min/max (engine aggregate semantics). */
+/** Complete aggregate pushdown (r12; GROUP BY partition column r13):
+  * one metadata-only partition whose rows answer
+  * COUNT(*)/MIN/MAX(statsCol) — one row ungrouped, one row per
+  * `partitionValues` value when grouped — from the resolved log
+  * snapshot, zero data files opened. An empty ungrouped table yields
+  * count 0 and NULL min/max; an empty grouped one yields no rows
+  * (engine aggregate semantics). */
 final class LakeAggScan(table: LakeTable,
     agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     extends Scan with Batch {
   import org.apache.spark.sql.connector.expressions.{aggregate => cagg}
 
-  override def readSchema(): StructType = StructType(
-    agg.aggregateExpressions.zipWithIndex.map {
+  private def grouped: Boolean = agg.groupByExpressions.nonEmpty
+
+  override def readSchema(): StructType = {
+    // Spark's complete-pushdown contract: groupBy columns first,
+    // then the aggregate columns
+    val g =
+      if (grouped) Seq(StructField(table.partCol.get, StringType,
+        nullable = true))
+      else Seq.empty
+    StructType(g ++ agg.aggregateExpressions.zipWithIndex.map {
       case (_: cagg.CountStar, i) =>
         StructField(s"count_star_$i", LongType, nullable = false)
       case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
     })
+  }
 
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (table.changeFeed)
+      throw new UnsupportedOperationException(
+        "graft-lake changeFeed is served by readStream, not read")
+    this
+  }
   override def description(): String =
-    s"graft-lake PUSHED-AGG=[${agg.aggregateExpressions.mkString(",")}]"
+    s"graft-lake PUSHED-AGG=[${agg.aggregateExpressions.mkString(",")}]" +
+      (if (grouped) s" GROUP-BY=[${table.partCol.get}]" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val live = table.live
-    val n = live.map(_.size).sum
-    val values: Array[Any] = agg.aggregateExpressions.map {
-      case _: cagg.CountStar => java.lang.Long.valueOf(n)
-      case _: cagg.Min =>
-        if (live.isEmpty) null
-        else java.lang.Long.valueOf(live.flatMap(_.minKey).min)
-      case _: cagg.Max =>
-        if (live.isEmpty) null
-        else java.lang.Long.valueOf(live.flatMap(_.maxKey).max)
-      case other =>
-        throw new IllegalStateException(s"unpushable aggregate $other")
-    }
-    Array(LakeAggPartition(values))
+    val groups: Seq[(Option[String], Seq[graft.operators.TxLog.LiveFile])] =
+      if (!grouped) Seq((None, live))
+      else live.groupBy(_.part).toSeq
+        .sortBy(_._1.getOrElse("")).map { case (p, fs) => (p, fs) }
+    val rows: Array[Array[Any]] = groups.map { case (p, fs) =>
+      val aggVals: Seq[Any] = agg.aggregateExpressions.toSeq.map {
+        case _: cagg.CountStar =>
+          java.lang.Long.valueOf(fs.map(_.size).sum): Any
+        case _: cagg.Min =>
+          if (fs.isEmpty) null
+          else java.lang.Long.valueOf(fs.flatMap(_.minKey).min): Any
+        case _: cagg.Max =>
+          if (fs.isEmpty) null
+          else java.lang.Long.valueOf(fs.flatMap(_.maxKey).max): Any
+        case other =>
+          throw new IllegalStateException(s"unpushable aggregate $other")
+      }
+      val g: Seq[Any] =
+        if (grouped) Seq(UTF8String.fromString(p.get)) else Seq.empty
+      (g ++ aggVals).toArray
+    }.toArray
+    Array(LakeAggPartition(rows))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -379,19 +485,17 @@ final class LakeAggScan(table: LakeTable,
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val vals = p.asInstanceOf[LakeAggPartition].values
-          private var emitted = false
-          override def next(): Boolean = !emitted
-          override def get(): InternalRow = {
-            emitted = true
-            new GenericInternalRow(vals)
-          }
+          private val rows = p.asInstanceOf[LakeAggPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            new GenericInternalRow(rows(i))
           override def close(): Unit = ()
         }
     }
 }
 
-final case class LakeAggPartition(values: Array[Any])
+final case class LakeAggPartition(rows: Array[Array[Any]])
     extends InputPartition
 
 /** Per-column [lo, hi] bounds compiled from the pushed filters —
@@ -437,7 +541,15 @@ final class LakeScan(table: LakeTable, required: StructType,
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    // the change feed is a STREAMING read (a batch scan of live files
+    // cannot produce per-version change rows) — fail loudly rather
+    // than null-fill a non-null _change_type
+    if (table.changeFeed)
+      throw new UnsupportedOperationException(
+        "graft-lake changeFeed is served by readStream, not read")
+    this
+  }
   override def description(): String =
     s"graft-lake pruned=[${required.fieldNames.mkString(",")}] " +
       s"pushed=[${filters.mkString(",")}]"
@@ -528,14 +640,16 @@ final class LakeScan(table: LakeTable, required: StructType,
         windowOf(f, c).forall { case (mn, _) => sLe(mn, v) }
       case _ => true
     }
+    // column mapping (r13): the reader locates leaves by PHYSICAL
+    // name; bounds/projections arrive logical
     val rgBounds = required.fieldNames.toSeq
-      .flatMap(n => bounds.get(n).map(n -> _))
+      .flatMap(n => bounds.get(n).map(table.physName(n) -> _))
       .filter { case (_, (lo, hi)) =>
         lo != Long.MinValue || hi != Long.MaxValue
       }
+    val physCols = required.fieldNames.toSeq.map(table.physName)
     table.live.filter(f => keySurvives(f) && strSurvives(f)).map { f =>
-      LakePartition(f.path, required.fieldNames.toSeq,
-        rgBounds): InputPartition
+      LakePartition(f.path, physCols, rgBounds): InputPartition
     }.toArray
   }
 
@@ -597,14 +711,33 @@ final class LakeMicroBatchStream(table: LakeTable, required: StructType)
     val e = end.asInstanceOf[LakeOffset].version
     val vs = TxLog.commitVersions(s"${table.root}/log")
       .filter(v => v > s && v <= e)
-    // dataChange=false adds are REWRITES of rows already emitted
-    // (compaction) — the change feed skips them (r12; r11 documented
-    // the re-emission as a wart, this is the fix)
-    TxLog.addsInVersions(s"${table.root}/log", vs)
-      .filter(_.dataChange).map { f =>
-        LakePartition(f.path, required.fieldNames.toSeq,
-          Seq.empty): InputPartition
+    val physCols = required.fieldNames.toSeq.map(table.physName)
+    if (table.changeFeed) {
+      // ROW-LEVEL change feed (r13 — Delta CDF): a version carrying
+      // `cdc` sidecars serves THOSE (its adds are merge rewrites —
+      // mostly unchanged rows); otherwise its dataChange adds are
+      // pure inserts, served with the constant change type injected
+      vs.flatMap { v =>
+        val cdc = TxLog.cdcInVersions(s"${table.root}/log", Seq(v))
+        if (cdc.nonEmpty)
+          cdc.map(f => LakePartition(f.path, physCols,
+            Seq.empty): InputPartition)
+        else
+          TxLog.addsInVersions(s"${table.root}/log", Seq(v))
+            .filter(_.dataChange).map(f =>
+              LakePartition(f.path, physCols, Seq.empty,
+                constCols = Map("_change_type" -> "insert"))
+                : InputPartition)
       }.toArray
+    } else {
+      // dataChange=false adds are REWRITES of rows already emitted
+      // (compaction) — the change feed skips them (r12; r11
+      // documented the re-emission as a wart, this is the fix)
+      TxLog.addsInVersions(s"${table.root}/log", vs)
+        .filter(_.dataChange).map { f =>
+          LakePartition(f.path, physCols, Seq.empty): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -622,7 +755,8 @@ final case class LakeOffset(version: Long) extends Offset {
 }
 
 final case class LakePartition(path: String, cols: Seq[String],
-    rgBounds: Seq[(String, (Long, Long))]) extends InputPartition
+    rgBounds: Seq[(String, (Long, Long))],
+    constCols: Map[String, String] = Map.empty) extends InputPartition
 
 final class LakeReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -700,7 +834,12 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
     var i = 0
     while (i < required.length) {
       cells(i) match {
-        case null => row.setNullAt(i) // column added after this file
+        case null => // column not in this file
+          p.constCols.get(required.fields(i).name) match {
+            case Some(v) => // injected constant (changeFeed inserts)
+              row.update(i, UTF8String.fromString(v))
+            case None => row.setNullAt(i) // added after this file
+          }
         case cc: ParquetFile.CellCol =>
           if (!cc.defined(rowInRg)) row.setNullAt(i)
           else required.fields(i).dataType match {
@@ -839,7 +978,7 @@ final class LakeStreamingWrite(table: LakeTable, schema: StructType,
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new LakeStreamingWriterFactory(table.root, schema, table.statsCol,
       table.schema().fields.map(f => f.name -> f.nullable).toMap,
-      table.strStatsCol, table.partCol)
+      table.strStatsCol, table.partCol, table.physOf)
 
   override def commit(epochId: Long, messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -849,17 +988,24 @@ final class LakeStreamingWrite(table: LakeTable, schema: StructType,
     val fence = TxLog.latestTxn(s"${table.root}/log", queryId)
     if (fence.exists(_ >= epochId)) {
       // replayed epoch — the data already lives in a committed
-      // version; the rerun tasks' files are duplicates, drop them
-      adds.foreach(a => java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(a.path)): Unit)
+      // version; the rerun tasks' files are duplicates, drop them.
+      // Writer file names carry a per-writer UUID so a replay can
+      // never regenerate a committed path, but guard anyway (ADVICE
+      // r12): never delete a path the resolved live set references.
+      val liveNow = TxLog.resolveLiveLocal(s"${table.root}/log",
+        s"${table.root}/ckpt", -1L).map(_.path).toSet
+      adds.filterNot(a => liveNow.contains(a.path)).foreach(a =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(a.path)): Unit)
       return
     }
-    val versions = TxLog.commitVersions(s"${table.root}/log")
-    val next = if (versions.isEmpty) 0L else versions.max + 1
     val lines = adds.map(LakeCommitMessage.line).toSeq :+
       (s"""{"txn":{"app":"${TxLog.requireJsonSafe(queryId)}",""" +
         s""""epoch":$epochId}}""")
-    TxLog.commitVersion(s"${table.root}/log", next, lines)
+    // blind commit (adds + fence): version collisions with concurrent
+    // batch appends retry safely (r13)
+    val next = TxLog.commitVersionWithRetry(
+      s"${table.root}/log", lines)
     val every = math.max(1, table.checkpointEvery).toLong
     if ((next + 1) % every == 0L)
       TxLog.writeCheckpoint(
@@ -881,13 +1027,21 @@ final class LakeStreamingWrite(table: LakeTable, schema: StructType,
 final class LakeStreamingWriterFactory(root: String,
     schema: StructType, statsCol: String,
     nullableOf: Map[String, Boolean],
-    strStatsCol: Option[String], partCol: Option[String])
+    strStatsCol: Option[String], partCol: Option[String],
+    physOf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    // the per-writer UUID makes streaming data-file names
+    // collision-proof (ADVICE r12): Spark task IDs reset to 0 in a
+    // restarted application, so a replayed epoch with (partitionId,
+    // taskId, epochId) alone could regenerate — and overwrite — the
+    // exact paths an already-committed version references
     new LakeDataWriter(root, schema, statsCol, nullableOf,
-      partitionId, taskId, s"-e$epochId", strStatsCol, partCol)
+      partitionId, taskId,
+      s"-e$epochId-${java.util.UUID.randomUUID().toString.take(8)}",
+      strStatsCol, partCol, physOf)
 }
 
 final class LakeBatchWrite(table: LakeTable, schema: StructType)
@@ -908,7 +1062,7 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     new LakeWriterFactory(table.root, schema, table.statsCol,
       table.schema().fields.map(f => f.name -> f.nullable).toMap,
-      table.strStatsCol, table.partCol)
+      table.strStatsCol, table.partCol, table.physOf)
 
   /** Driver-side commit: ONE new log version carrying the adds (with
     * the key stats the writers measured), then checkpoint maintenance
@@ -917,11 +1071,17 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val adds = messages.collect { case m: LakeCommitMessage => m }
       .flatMap(_.adds).filter(_.numRows > 0)
-    val versions = TxLog.commitVersions(s"${table.root}/log")
-    val next = if (versions.isEmpty) 0L else versions.max + 1
     val lines = adds.map(LakeCommitMessage.line).toSeq
-    if (lines.nonEmpty) // temp-dir + atomic rename (ADVICE r11)
-      TxLog.commitVersion(s"${table.root}/log", next, lines)
+    // an empty append commits NO version — and must run NO checkpoint
+    // maintenance either (ADVICE r12: a checkpoint + pointer for a
+    // never-committed version makes the next real commit's rows
+    // permanently invisible to resolution)
+    if (lines.isEmpty) return
+    // optimistic concurrency (r13): appends are BLIND — they remove
+    // nothing — so a version collision with any other committer is
+    // always safe to retry at the next version (the Delta rule)
+    val next = TxLog.commitVersionWithRetry(
+      s"${table.root}/log", lines)
     // checkpoint maintenance: compact every `checkpointEvery` commits
     // so resolution stays O(cadence) as history grows (the q217 law)
     val every = math.max(1, table.checkpointEvery).toLong
@@ -944,12 +1104,13 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
 
 final class LakeWriterFactory(root: String, schema: StructType,
     statsCol: String, nullableOf: Map[String, Boolean],
-    strStatsCol: Option[String], partCol: Option[String])
+    strStatsCol: Option[String], partCol: Option[String],
+    physOf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new LakeDataWriter(root, schema, statsCol, nullableOf,
-      partitionId, taskId, "", strStatsCol, partCol)
+      partitionId, taskId, "", strStatsCol, partCol, physOf)
 }
 
 /** One file per input partition — or one per (partition × partition
@@ -962,8 +1123,12 @@ final class LakeWriterFactory(root: String, schema: StructType,
 final class LakeDataWriter(root: String, schema: StructType,
     statsCol: String, nullableOf: Map[String, Boolean],
     partitionId: Int, taskId: Long, tag: String = "",
-    strStatsCol: Option[String] = None, partCol: Option[String] = None)
+    strStatsCol: Option[String] = None, partCol: Option[String] = None,
+    physOf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  // column mapping (r13): files carry PHYSICAL column names
+  private def physName(n: String): String = physOf.getOrElse(n, n)
 
   private val strIdx = strStatsCol
     .map(c => schema.fieldNames.indexOf(c)).getOrElse(-1)
@@ -1030,39 +1195,40 @@ final class LakeDataWriter(root: String, schema: StructType,
     schema.fields.zipWithIndex.map { case (f, i) =>
       def at(j: Int): AnyRef = bufs(i)(j)
       val nullable = nullableOf.getOrElse(f.name, true)
+      val nm = physName(f.name)
       f.dataType match {
         case LongType =>
-          if (nullable) ParquetWrite.OptLongCol(f.name,
+          if (nullable) ParquetWrite.OptLongCol(nm,
             idx.map(j => at(j).asInstanceOf[java.lang.Long]))
-          else ParquetWrite.LongCol(f.name, idx.map(j =>
+          else ParquetWrite.LongCol(nm, idx.map(j =>
             at(j).asInstanceOf[java.lang.Long].longValue()))
         case StringType =>
-          if (nullable) ParquetWrite.OptStrCol(f.name,
+          if (nullable) ParquetWrite.OptStrCol(nm,
             idx.map(j => at(j).asInstanceOf[String]))
-          else ParquetWrite.StrCol(f.name,
+          else ParquetWrite.StrCol(nm,
             idx.map(j => at(j).asInstanceOf[String]))
         case DoubleType =>
-          if (nullable) ParquetWrite.OptDoubleCol(f.name,
+          if (nullable) ParquetWrite.OptDoubleCol(nm,
             idx.map(j => at(j).asInstanceOf[java.lang.Double]))
-          else ParquetWrite.DoubleCol(f.name, idx.map(j =>
+          else ParquetWrite.DoubleCol(nm, idx.map(j =>
             at(j).asInstanceOf[java.lang.Double].doubleValue()))
         case FloatType =>
-          if (nullable) ParquetWrite.OptFloatCol(f.name,
+          if (nullable) ParquetWrite.OptFloatCol(nm,
             idx.map(j => at(j).asInstanceOf[java.lang.Float]))
-          else ParquetWrite.FloatCol(f.name, idx.map(j =>
+          else ParquetWrite.FloatCol(nm, idx.map(j =>
             at(j).asInstanceOf[java.lang.Float].floatValue()))
         case ArrayType(LongType, _) =>
-          ParquetWrite.LongListCol(f.name, idx.map(j =>
+          ParquetWrite.LongListCol(nm, idx.map(j =>
             if (at(j) == null) null
             else at(j).asInstanceOf[Array[AnyRef]]
               .map(_.asInstanceOf[java.lang.Long])))
         case ArrayType(DoubleType, _) =>
-          ParquetWrite.DoubleListCol(f.name, idx.map(j =>
+          ParquetWrite.DoubleListCol(nm, idx.map(j =>
             if (at(j) == null) null
             else at(j).asInstanceOf[Array[AnyRef]]
               .map(_.asInstanceOf[java.lang.Double])))
         case ArrayType(FloatType, _) =>
-          ParquetWrite.FloatListCol(f.name, idx.map(j =>
+          ParquetWrite.FloatListCol(nm, idx.map(j =>
             if (at(j) == null) null
             else at(j).asInstanceOf[Array[AnyRef]]
               .map(_.asInstanceOf[java.lang.Float])))

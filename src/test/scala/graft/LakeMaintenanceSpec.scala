@@ -270,21 +270,21 @@ class LakeMaintenanceSpec extends SparkSpec {
       .size shouldBe 1
   }
 
-  test("r12 Z-ORDER: content-invariant rewrite, ONE commit, " +
-      "dataChange=false, and row-group pruning on the SECOND column " +
-      "tightens from whole-domain to Z-local") {
+  /** 4 key-sorted files over a 4096-row grid: doc_id 0..4095, b
+    * scattered via ×797 mod 4096, s = "s"+(id%3) — every file's (and
+    * row group's) b-window spans the whole domain before a z-order. */
+  private val ZN = 4096
+  private def zbOf(id: Long): Long = (id * 797L) % 4096L
+  private def buildZTable(): String = {
     val base = java.nio.file.Files
       .createTempDirectory("graft_zord").toFile.getAbsolutePath
     new java.io.File(s"$base/data").mkdirs()
-    // 4 key-sorted files; b is SCATTERED, so every file's (and every
-    // row group's) b-window spans the whole domain
-    val N = 4096
-    def bOf(id: Long): Long = (id * 797L) % 4096L
     val lines = (0 until 4).map { f =>
-      val ids = (f * N / 4 until (f + 1) * N / 4).map(_.toLong).toArray
+      val ids = (f * ZN / 4 until (f + 1) * ZN / 4)
+        .map(_.toLong).toArray
       val bytes = ParquetWrite.writeFile(Seq(
         ParquetWrite.LongCol("doc_id", ids),
-        ParquetWrite.LongCol("b", ids.map(bOf)),
+        ParquetWrite.LongCol("b", ids.map(zbOf)),
         ParquetWrite.StrCol("s", ids.map(i => "s" + (i % 3)))),
         rowsPerGroup = 256)
       val p = s"$base/data/part-$f.parquet"
@@ -293,6 +293,15 @@ class LakeMaintenanceSpec extends SparkSpec {
         s""","min_key":${ids.head},"max_key":${ids.last}}}"""
     }
     TxLog.commitVersion(s"$base/log", 0L, lines)
+    base
+  }
+
+  test("r12 Z-ORDER: content-invariant rewrite, ONE commit, " +
+      "dataChange=false, and row-group pruning on the SECOND column " +
+      "tightens from whole-domain to Z-local") {
+    val base = buildZTable()
+    val N = ZN
+    def bOf(id: Long): Long = zbOf(id)
     def scanRows(pred: org.apache.spark.sql.Column): Long = {
       val q = spark.read.format("graft-lake").option("path", base)
         .load().filter(pred)
@@ -308,7 +317,7 @@ class LakeMaintenanceSpec extends SparkSpec {
     scanRows(bWin) shouldBe N.toLong
     val before = spark.read.format("graft-lake").option("path", base)
       .load().collect().map(_.toSeq).toSet
-    val r = LakeMaintenance.zorder(spark, base, "doc_id", "b",
+    val r = LakeMaintenance.zorder(spark, base, Seq("doc_id", "b"),
       targetRows = 1024, rowsPerGroup = 128)
     r.removed shouldBe 4
     r.created should be >= 4
@@ -316,12 +325,42 @@ class LakeMaintenanceSpec extends SparkSpec {
     // content invariant
     spark.read.format("graft-lake").option("path", base)
       .load().collect().map(_.toSeq).toSet shouldBe before
+    // THE LAYOUT PROPERTY (r13 — the deterministic re-anchor of the
+    // r12 knife-edge gate): every 128-row row group of every output
+    // file spans a bounded Z-LOCAL window on BOTH dimensions. 128
+    // consecutive z-cells of a 32-bit curve over a 4096×4096 value
+    // grid cover at most ~1024 (dim A) × ~2048 (dim B) values — the
+    // gate asserts ≤ 2048 on both with that analysis as the margin,
+    // against the 4096 whole-domain span a key-sorted layout gives b.
+    val liveFiles = TxLog.resolveLiveLocal(
+      s"$base/log", s"$base/ckpt", -1L)
+    liveFiles.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f.path))
+      Seq("doc_id", "b").foreach { c =>
+        val st = ParquetFile.parse(0L, bytes)
+          .filter(r => r.valid && r.has_stats && r.col_path == c)
+        st should not be empty
+        st.foreach { rg =>
+          (rg.max_long - rg.min_long) should be <= 2048L
+        }
+      }
+    }
     // AFTER: the same b-window touches a small fraction of row groups
-    // (z-cells of 128 rows; a 100-wide window on a 4096 domain lands
-    // in one-ish b-stripe of the curve)
     val after = scanRows(bWin)
     after should be >= want.toLong
-    after should be < (N / 2).toLong // was the WHOLE table before
+    after should be <= (N / 2).toLong // was the WHOLE table before
+    // DETERMINISM: the layout is a pure function of the data — the
+    // per-file (rows, min_key, max_key) multiset of a TWIN table's
+    // rewrite is identical (r12's sampled repartitionByRange was not)
+    val layout1 = liveFiles.map(f => (f.size, f.minKey, f.maxKey))
+      .sortBy(t => (t._1, t._2.getOrElse(0L))).toList
+    val twin = buildZTable()
+    LakeMaintenance.zorder(spark, twin, Seq("doc_id", "b"),
+      targetRows = 1024, rowsPerGroup = 128): Unit
+    TxLog.resolveLiveLocal(s"$twin/log", s"$twin/ckpt", -1L)
+      .map(f => (f.size, f.minKey, f.maxKey))
+      .sortBy(t => (t._1, t._2.getOrElse(0L))).toList shouldBe layout1
     // doc_id file pruning still works from the new adds' stats
     spark.read.format("graft-lake").option("path", base).load()
       .filter(col("doc_id") === 7L).count() shouldBe 1L
@@ -343,6 +382,97 @@ class LakeMaintenanceSpec extends SparkSpec {
     // time travel to the pre-zorder layout still resolves
     spark.read.format("graft-lake").option("path", base)
       .option("asOf", 0).load().count() shouldBe N.toLong
+  }
+
+  test("r13 Z-ORDER over THREE dimensions with a STRING dim: file " +
+      "pruning works on the statsCol windows AND the strStatsCol " +
+      "skey windows; content invariant") {
+    val base = buildZTable() // doc_id, b (long), s in {s0,s1,s2}
+    val before = spark.read.format("graft-lake").option("path", base)
+      .load().collect().map(_.toSeq).toSet
+    val r = LakeMaintenance.zorder(spark, base,
+      Seq("doc_id", "b", "s"), targetRows = 512, rowsPerGroup = 128,
+      statsCol = "doc_id", strStatsCol = Some("s"))
+    r.removed shouldBe 4
+    r.created should be >= 8
+    spark.read.format("graft-lake").option("path", base)
+      .load().collect().map(_.toSeq).toSet shouldBe before
+    val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+    // every add carries BOTH window kinds
+    live.foreach { f =>
+      f.minKey.isDefined shouldBe true
+      f.minSkey.isDefined shouldBe true
+    }
+    def planned(df: DataFrame): Int = df.rdd.getNumPartitions
+    val lk = spark.read.format("graft-lake").option("path", base)
+      .option("strStatsCol", "s").load()
+    // the string dim clusters: the rank-bucketed top value "s2" is
+    // separated at the dim's HIGH z-bit, so its equality predicate
+    // prunes the files whose skey window tops out at "s1" (a z-curve
+    // gives each of 3 dims ~1/3 of the locality — the LOW value "s0"
+    // still appears in every file; that is the curve, not a bug)
+    planned(lk.filter(col("s") === "s2")) should be < live.size
+    lk.filter(col("s") === "s2").count() shouldBe
+      (0 until ZN).count(_ % 3 == 2).toLong
+    // every value still reads correctly through the residual filter
+    lk.filter(col("s") === "s0").count() shouldBe
+      (0 until ZN).count(_ % 3 == 0).toLong
+    // and doc_id file pruning still works from the statsCol windows
+    planned(lk.filter(col("doc_id") < 256L)) should be < live.size
+    lk.filter(col("doc_id") < 256L).count() shouldBe 256L
+  }
+
+  test("r13 Z-ORDER by columns that do NOT include the reader's " +
+      "statsCol: windows are measured on statsCol (never on a z " +
+      "column) — scans stay correct (ADVICE r12)") {
+    val base = buildZTable()
+    // cluster by (b, s); readers prune on doc_id — the r12 bug wrote
+    // b-windows that readers then interpreted as doc_id windows
+    val r = LakeMaintenance.zorder(spark, base, Seq("b", "s"),
+      targetRows = 1024, rowsPerGroup = 128, statsCol = "doc_id")
+    r.removed shouldBe 4
+    val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+    live.foreach(f => f.minKey.isDefined shouldBe true)
+    val lk = spark.read.format("graft-lake").option("path", base).load()
+    // every doc_id equality must still find its row — a wrong window
+    // silently prunes the file that holds it
+    lk.filter(col("doc_id") === 7L).count() shouldBe 1L
+    lk.filter(col("doc_id") === 4000L).count() shouldBe 1L
+    lk.count() shouldBe ZN.toLong
+    // absent statsCol: windows are OMITTED, never fabricated — the
+    // table degrades to scan and stays correct
+    val base2 = buildZTable()
+    LakeMaintenance.zorder(spark, base2, Seq("b", "s"),
+      targetRows = 1024, rowsPerGroup = 128, statsCol = "nope"): Unit
+    val live2 = TxLog.resolveLiveLocal(
+      s"$base2/log", s"$base2/ckpt", -1L)
+    live2.foreach(f => f.minKey shouldBe None)
+    spark.read.format("graft-lake").option("path", base2).load()
+      .count() shouldBe ZN.toLong
+  }
+
+  test("r13 concurrent append vs compact: the append's collision " +
+      "retries, compaction's read set is intact — both land") {
+    val base = buildLittered(8)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future {
+      Seq((9999L, java.lang.Long.valueOf(1L), "zz"))
+        .toDF("doc_id", "v", "s").coalesce(1)
+        .write.format("graft-lake").option("path", base)
+        .mode("append").save()
+    }
+    val fc = Future {
+      LakeMaintenance.compact(spark, base, targetRows = 400)
+    }
+    Await.result(fa, 120.seconds)
+    val rc = Await.result(fc, 120.seconds)
+    rc.removed shouldBe 8
+    // both effects are visible: 800 original + 1 appended row
+    asSet(lake(base)).size shouldBe 801
+    lake(base).filter(col("doc_id") === 9999L).count() shouldBe 1L
+    TxLog.commitVersions(s"$base/log").size shouldBe 3 // v0 + both
   }
 
   test("MERGE delete arm (r12): scattered deletes drop rows in " +
@@ -378,6 +508,155 @@ class LakeMaintenanceSpec extends SparkSpec {
         Seq((7L, Array[Any](java.lang.Long.valueOf(7L),
           java.lang.Long.valueOf(1L), "a"))),
         "doc_id", deletes = Seq(7L))
+    }
+  }
+
+  test("r13 MERGE over the WIDENED type surface: update/delete/" +
+      "insert against array<float> + double columns (the q233 " +
+      "embeddings shape) — null lists, null elements, NaN survive") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_mrgfp").toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    def emb(id: Long): Array[java.lang.Float] =
+      if (id % 11 == 0) null
+      else if (id % 13 == 0) Array.empty
+      else Array.tabulate[java.lang.Float](1 + (id % 4).toInt) { j =>
+        if (j == 2 && id % 5 == 0) null
+        else if (j == 1 && id % 17 == 0)
+          java.lang.Float.valueOf(Float.NaN)
+        else java.lang.Float.valueOf((id * 4 + j).toFloat / 8f)
+      }
+    val lines = (0 until 4).map { f =>
+      val ids = (f * 50L until f * 50L + 50L).toArray
+      val bytes = ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("vec_id", ids),
+        ParquetWrite.OptDoubleCol("score", ids.map(i =>
+          if (i % 7 == 0) null
+          else java.lang.Double.valueOf(i * 0.25 - 3.0))),
+        ParquetWrite.FloatListCol("emb", ids.map(emb))))
+      val p = s"$base/data/part-$f.parquet"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes): Unit
+      s"""{"add":{"path":"$p","size":50,"min_key":${ids.head}""" +
+        s""","max_key":${ids.last}}}"""
+    }
+    TxLog.commitVersion(s"$base/log", 0L, lines)
+    def key(df: DataFrame): Set[(Long, Option[Double], String)] =
+      df.collect().map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) "null"
+          else r.getSeq[Any](2).map(v =>
+            if (v == null) "n"
+            else java.lang.Float.floatToIntBits(
+              v.asInstanceOf[Float]).toHexString).mkString(","))
+      }.toSet
+    def lakeFp(): DataFrame =
+      spark.read.format("graft-lake").option("path", base)
+        .option("statsCol", "vec_id").load()
+    val before = key(lakeFp())
+    // update key 5 (new score + list with a null element), update key
+    // 60 to ALL-NULL values, delete file 3 entirely + scattered keys,
+    // insert 9000 — one commit
+    val upd = Seq(
+      (5L, Array[Any](java.lang.Long.valueOf(5L),
+        java.lang.Double.valueOf(2.5),
+        Array[java.lang.Float](java.lang.Float.valueOf(1f), null,
+          java.lang.Float.valueOf(3f)))),
+      (60L, Array[Any](java.lang.Long.valueOf(60L), null, null)),
+      (9000L, Array[Any](java.lang.Long.valueOf(9000L),
+        java.lang.Double.valueOf(1.25),
+        Array[java.lang.Float](java.lang.Float.valueOf(9f)))))
+    val dels = (150L until 200L) ++ Seq(7L, 63L)
+    val r = LakeMaintenance.merge(spark, base, upd, "vec_id",
+      deletes = dels.toSeq)
+    r.matched shouldBe 2L
+    r.inserted shouldBe 1L
+    r.deleted shouldBe dels.size.toLong
+    r.rewritten shouldBe 3 // files 0, 1, 3 intersect the key span
+    val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+    // file 3 died entirely (tombstone), file 2 untouched
+    live.count(_.path.contains("/part-")) shouldBe 1
+    val got = key(lakeFp())
+    got.size shouldBe 200 - dels.size + 1
+    got should contain ((5L, Some(2.5),
+      Seq(java.lang.Float.floatToIntBits(1f).toHexString, "n",
+        java.lang.Float.floatToIntBits(3f).toHexString).mkString(",")))
+    got should contain ((60L, None, "null"))
+    got should contain ((9000L, Some(1.25),
+      java.lang.Float.floatToIntBits(9f).toHexString))
+    // every untouched row is bit-identical
+    (got -- Set(got.find(_._1 == 5L).get, (60L, None, "null"),
+      got.find(_._1 == 9000L).get)) shouldBe
+      before.filterNot(row => dels.contains(row._1) ||
+        row._1 == 5L || row._1 == 60L)
+  }
+
+  test("r13 ROW-LEVEL change feed: a changeFeed stream drains " +
+      "inserts, then MERGE's delete/update pre+post images from the " +
+      "cdc sidecars — bit-identical to the batch diff; maintenance " +
+      "rewrites stay silent") {
+    val base = buildLittered(4) // doc_id 0..399, v, s
+    import org.apache.spark.sql.Row
+    val feed = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Option[Long], String, String)]
+    val ck = java.nio.file.Files.createTempDirectory("cdc_ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-lake")
+        .option("path", base).option("changeFeed", "true").load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("doc_id", "v", "s", "_change_type").collect()
+            .foreach { r: Row =>
+              feed += ((r.getLong(0),
+                if (r.isNullAt(1)) None else Some(r.getLong(1)),
+                r.getString(2), r.getString(3)))
+            }
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain() // phase 1: the bootstrap — every row an insert
+    feed.size shouldBe 400
+    feed.forall(_._4 == "insert") shouldBe true
+    feed.clear()
+    // phase 2: merge (update 5, delete 100..119 and 333, insert 9000)
+    val dels = (100L until 120L) :+ 333L
+    LakeMaintenance.merge(spark, base,
+      Seq((5L, Array[Any](java.lang.Long.valueOf(5L),
+          java.lang.Long.valueOf(777L), "upd")),
+        (9000L, Array[Any](java.lang.Long.valueOf(9000L),
+          java.lang.Long.valueOf(1L), "new"))),
+      "doc_id", deletes = dels): Unit
+    drain()
+    // the feed is exactly the row-level diff — no rewritten-file
+    // re-emission (the whole point vs the add-level tail)
+    feed.size shouldBe (dels.size + 2 + 1)
+    feed.count(_._4 == "delete") shouldBe dels.size
+    feed.filter(_._4 == "delete").map(_._1).toSet shouldBe dels.toSet
+    feed.filter(_._4 == "update_preimage").toList shouldBe
+      List((5L, Some(15L), "s2", "update_preimage"))
+    feed.filter(_._4 == "update_postimage").toList shouldBe
+      List((5L, Some(777L), "upd", "update_postimage"))
+    feed.filter(_._4 == "insert").toList shouldBe
+      List((9000L, Some(1L), "new", "insert"))
+    feed.clear()
+    // phase 3: compaction is dataChange=false — silent in the feed
+    LakeMaintenance.compact(spark, base, targetRows = 1 << 20): Unit
+    drain()
+    feed shouldBe empty
+    // phase 4: a plain append arrives as inserts
+    Seq((9500L, java.lang.Long.valueOf(2L), "ap"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    drain()
+    feed.toList shouldBe List((9500L, Some(2L), "ap", "insert"))
+    // batch read of a changeFeed table fails loudly, never null-fills
+    intercept[Exception] {
+      spark.read.format("graft-lake").option("path", base)
+        .option("changeFeed", "true").load().count()
     }
   }
 

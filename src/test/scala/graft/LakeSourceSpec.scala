@@ -533,6 +533,109 @@ class LakeSourceSpec extends SparkSpec {
     TxLog.commitVersions(s"$base/log").max shouldBe before
   }
 
+  test("r13 COLUMN MAPPING: rename is pure metadata (no rewrite), " +
+      "appends carry the physical name, drop + re-add never " +
+      "resurrects dropped bytes, time travel sees the old names") {
+    val base = buildTable() // (doc_id, v, s), files 0/2/3 live
+    // RENAME v -> val: data intact, zero file rewrites
+    val dataFiles = new java.io.File(s"$base/data").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    graft.sources.LakeSource.renameColumn(base, "v", "val") shouldBe 2L
+    val df = lake(base)
+    df.schema.fieldNames.toSeq shouldBe Seq("doc_id", "val", "s")
+    df.where(col("val").isNotNull).count() shouldBe
+      (0 to 3).filter(_ != 1).flatMap(expected).count(_._2.isDefined)
+        .toLong
+    new java.io.File(s"$base/data").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap shouldBe dataFiles
+    // an append binds the LOGICAL name but the file carries the
+    // PHYSICAL one — Spark's own parquet reader proves what's on disk
+    Seq((9000L, java.lang.Long.valueOf(42L), "s0"))
+      .toDF("doc_id", "val", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    lake(base).where(col("doc_id") === 9000L).head().getLong(1)
+      .shouldBe(42L)
+    val appended = new java.io.File(s"$base/data").listFiles()
+      .map(_.getName).filter(n => !dataFiles.contains(n))
+    appended.length shouldBe 1
+    spark.read.parquet(s"$base/data/${appended.head}")
+      .schema.fieldNames.toSeq shouldBe Seq("doc_id", "v", "s")
+    // DROP s, then re-ADD a column named s: fresh physical name, so
+    // the old bytes stay buried — every row reads NULL
+    graft.sources.LakeSource.dropColumn(base, "s") shouldBe 4L
+    lake(base).schema.fieldNames.toSeq shouldBe Seq("doc_id", "val")
+    graft.sources.LakeSource.addColumn(base, "s", "string") shouldBe 5L
+    val re = lake(base)
+    re.schema.fieldNames.toSeq shouldBe Seq("doc_id", "val", "s")
+    re.where(col("s").isNotNull).count() shouldBe 0L
+    // appends carry the fresh column physically under its mapped name
+    Seq((9001L, java.lang.Long.valueOf(1L), "alive"))
+      .toDF("doc_id", "val", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    lake(base).where(col("s") === "alive").count() shouldBe 1L
+    lake(base).where(col("s").isNotNull).count() shouldBe 1L
+    // pruning on a RENAMED stats column still plans from log windows
+    lake(base).filter(col("doc_id") < 256L).rdd
+      .getNumPartitions shouldBe 1
+    // time travel BEFORE the rename resolves the old logical names
+    lake(base, asOf = 1L).schema.fieldNames.toSeq shouldBe
+      Seq("doc_id", "v", "s")
+    // guards: unknown/duplicate/last-column reject without a commit
+    val beforeV = TxLog.commitVersions(s"$base/log").max
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeSource.renameColumn(base, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeSource.renameColumn(base, "val", "s")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeSource.dropColumn(base, "nope")
+    }
+    TxLog.commitVersions(s"$base/log").max shouldBe beforeV
+  }
+
+  test("r13 GROUP BY partition-column aggregate pushdown: " +
+      "per-partition COUNT/MIN/MAX from partitionValues metadata in " +
+      "ONE partition; a part-less file forces the row path") {
+    val base = buildPartitioned() // boot (no part) + 3 part files
+    // the bootstrap file has no part value -> pushdown DECLINES and
+    // the row path still answers correctly
+    val all = lakeOpt(base, "partitionBy" -> "p")
+    val declined = all.groupBy(col("p"))
+      .agg(count(lit(1)).as("n"))
+    declined.queryExecution.executedPlan.toString should
+      not include "PUSHED-AGG"
+    declined.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap shouldBe Map("a" -> 40L, "b" -> 30L, "c" -> 30L)
+    // a fully-partitioned snapshot: drop the bootstrap via a remove
+    val vmax = TxLog.commitVersions(s"$base/log").max
+    TxLog.commitVersion(s"$base/log", vmax + 1, Seq(
+      s"""{"remove":{"path":"$base/data/boot.parquet"}}"""))
+    val df = lakeOpt(base, "partitionBy" -> "p")
+    val q = df.groupBy(col("p")).agg(count(lit(1)).as("n"),
+      min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val plan = q.queryExecution.executedPlan
+    plan.toString should include("PUSHED-AGG")
+    plan.toString should include("GROUP-BY=[p]")
+    val scans = plan.collect { case b: BatchScanExec => b }
+    scans.head.inputRDD.getNumPartitions shouldBe 1
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = (10L until 100L)
+      .groupBy(i => Seq("a", "b", "c")((i % 3).toInt))
+      .map { case (p, is) =>
+        (p, is.size.toLong, is.min, is.max)
+      }.toSet
+    got shouldBe want
+    // grouping by a NON-partition column declines
+    val ng = df.groupBy(col("s2")).agg(count(lit(1)))
+    ng.queryExecution.executedPlan.toString should
+      not include "PUSHED-AGG"
+    ng.count() shouldBe 90L
+  }
+
   // ================================================================
   // r12 type surface: double / float / array<float> tables
   // ================================================================
@@ -605,5 +708,91 @@ class LakeSourceSpec extends SparkSpec {
     norm(spark.read.parquet(s"$base/data")) shouldBe want
     // file pruning still plans from the appended file's key stats
     partitions(back.filter(col("vec_id") >= 100L)) shouldBe 1
+  }
+
+  test("r13 an EMPTY append commits no version AND runs no checkpoint " +
+      "maintenance — the next real commit's rows stay visible") {
+    val base = buildTable() // commits 0, 1; ckpt at 0
+    // cadence 1: every commit would checkpoint. An empty append lands
+    // on the boundary — before the fix it wrote ckpt/version=2 + the
+    // pointer for a version that never committed, making the NEXT real
+    // append (which then commits as version 2) permanently invisible.
+    lake(base).where(col("doc_id") < -1).limit(0)
+      .write.format("graft-lake").option("path", base)
+      .option("checkpointEvery", 1).mode("append").save()
+    TxLog.commitVersions(s"$base/log").max shouldBe 1L
+    TxLog.readPointer(s"$base/ckpt") shouldBe Some(0L)
+    Seq((77777L, java.lang.Long.valueOf(1L), "zz"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    lake(base).where(col("doc_id") === 77777L).count() shouldBe 1L
+  }
+
+  test("r13 concurrent appends: two racing committers BOTH land " +
+      "(optimistic retry on version collision) — never a lost add") {
+    val base = buildTable()
+    val before = lake(base).count()
+    val rowsA = (60000L until 60200L)
+      .map(id => (id, java.lang.Long.valueOf(id * 3), "a"))
+    val rowsB = (61000L until 61200L)
+      .map(id => (id, java.lang.Long.valueOf(id * 3), "b"))
+    def append(rows: Seq[(Long, java.lang.Long, String)]): Unit =
+      rows.toDF("doc_id", "v", "s").coalesce(1)
+        .write.format("graft-lake").option("path", base)
+        .mode("append").save()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(append(rowsA))
+    val f2 = Future(append(rowsB))
+    Await.result(f1, 120.seconds)
+    Await.result(f2, 120.seconds)
+    // both commits landed as distinct versions; content is the union
+    TxLog.commitVersions(s"$base/log").max shouldBe 3L
+    lake(base).count() shouldBe before + 400L
+    lake(base).where(col("doc_id") >= 60000L).count() shouldBe 400L
+  }
+
+  test("r13 addColumn rejects the read-only legacy type 'int' — a " +
+      "succeeded evolution must never brick the write path") {
+    val base = buildTable()
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeSource.addColumn(base, "flags", "int")
+    }
+    // no metaData action landed; appends still work
+    TxLog.latestMetaData(s"$base/log", -1L) shouldBe None
+    Seq((88888L, java.lang.Long.valueOf(1L), "zz"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    lake(base).where(col("doc_id") === 88888L).count() shouldBe 1L
+  }
+
+  test("r13 streaming data-file names are collision-proof: two " +
+      "writers with identical (partition, task, epoch) coordinates " +
+      "never produce the same path") {
+    val base = buildTable()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("v", LongType, nullable = true),
+      StructField("s", StringType, nullable = false)))
+    val fac = new graft.sources.LakeStreamingWriterFactory(
+      base, schema, "doc_id",
+      Map("doc_id" -> false, "v" -> true, "s" -> false), None, None)
+    def onePath(): String = {
+      val w = fac.createWriter(0, 0L, 0L) // identical coordinates
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](1L, 2L,
+          org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+      w.write(row)
+      w.commit() match {
+        case m: graft.sources.LakeCommitMessage => m.adds.head.path
+      }
+    }
+    val p1 = onePath()
+    val p2 = onePath() // a restarted app's replay regenerates 0/0/0
+    p1 should not be p2
   }
 }
