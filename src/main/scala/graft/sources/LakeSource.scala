@@ -75,7 +75,9 @@ object LakeSource {
       options.getInt("checkpointEvery", 10),
       Option(options.get("strStatsCol")).filter(_.nonEmpty),
       Option(options.get("partitionBy")).filter(_.nonEmpty),
-      options.getBoolean("changeFeed", false))
+      options.getBoolean("changeFeed", false),
+      options.getLong("cdfFrom", -1L),
+      options.getLong("cdfTo", -1L))
   }
 
   /** Leaf → Spark field. Flat INT32/INT64/FLOAT/DOUBLE/UTF8-string
@@ -222,6 +224,28 @@ object LakeSource {
     next
   }
 
+  /** The change-feed partitions of commit versions `vs` (r13 —
+    * shared by the streaming changeFeed mode and the batch
+    * cdfFrom/cdfTo read): a version carrying `cdc` sidecars serves
+    * THOSE row-exactly (its adds are merge rewrites — mostly
+    * unchanged rows); otherwise its dataChange adds are pure
+    * inserts, served with the constant change type injected;
+    * maintenance rewrites (dataChange=false) never appear. */
+  private[sources] def cdfPartitions(root: String, vs: Seq[Long],
+      physCols: Seq[String]): Array[InputPartition] =
+    vs.flatMap { v =>
+      val cdc = TxLog.cdcInVersions(s"$root/log", Seq(v))
+      if (cdc.nonEmpty)
+        cdc.map(f => LakePartition(f.path, physCols,
+          Seq.empty): InputPartition)
+      else
+        TxLog.addsInVersions(s"$root/log", Seq(v))
+          .filter(_.dataChange).map(f =>
+            LakePartition(f.path, physCols, Seq.empty,
+              constCols = Map("_change_type" -> "insert"))
+              : InputPartition)
+    }.toArray
+
   private[sources] def nameOf(t: DataType): String = t match {
     case LongType => "long"
     case IntegerType => "int"
@@ -241,7 +265,8 @@ final class LakeTable(val root: String, val asOf: Long,
     val checkpointEvery: Int = 10,
     val strStatsCol: Option[String] = None,
     val partCol: Option[String] = None,
-    val changeFeed: Boolean = false)
+    val changeFeed: Boolean = false,
+    val cdfFrom: Long = -1L, val cdfTo: Long = -1L)
     extends Table with SupportsRead with SupportsWrite {
 
   /** Snapshot resolution — driver-side metadata I/O through the
@@ -342,7 +367,10 @@ final class LakeScanBuilder(table: LakeTable)
         agg.groupByExpressions.headOption.flatMap(colOf)
           .contains(table.partCol.get) &&
         table.live.forall(_.part.isDefined))
-    groupOk && agg.aggregateExpressions.nonEmpty &&
+    // never push aggregates over a change feed: the log's sizes
+    // describe LIVE rows, not change rows
+    !table.changeFeed &&
+      groupOk && agg.aggregateExpressions.nonEmpty &&
       pruning.isEmpty &&
       agg.aggregateExpressions.forall {
         case _: cagg.CountStar =>
@@ -542,12 +570,14 @@ final class LakeScan(table: LakeTable, required: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = {
-    // the change feed is a STREAMING read (a batch scan of live files
-    // cannot produce per-version change rows) — fail loudly rather
-    // than null-fill a non-null _change_type
-    if (table.changeFeed)
+    // a batch change feed needs an explicit VERSION RANGE (Delta's
+    // table_changes): without cdfFrom, a scan of live files cannot
+    // produce per-version change rows — fail loudly rather than
+    // null-fill a non-null _change_type
+    if (table.changeFeed && table.cdfFrom < 0)
       throw new UnsupportedOperationException(
-        "graft-lake changeFeed is served by readStream, not read")
+        "graft-lake changeFeed needs readStream, or a cdfFrom " +
+          "(and optional cdfTo) version range for a batch read")
     this
   }
   override def description(): String =
@@ -576,6 +606,16 @@ final class LakeScan(table: LakeTable, required: StructType,
     v.isInstanceOf[Long] || v.isInstanceOf[Int]
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (table.changeFeed) {
+      // batch CDF (r13 — Delta's table_changes): the change rows of
+      // the commit-version range [cdfFrom, cdfTo] (cdfTo < 0 = head);
+      // file/stats pruning does not apply (filters stay residual)
+      val vs = TxLog.commitVersions(s"${table.root}/log")
+        .filter(v => v >= table.cdfFrom &&
+          (table.cdfTo < 0 || v <= table.cdfTo))
+      return LakeSource.cdfPartitions(table.root, vs,
+        required.fieldNames.toSeq.map(table.physName))
+    }
     val bounds = LakeBounds.compile(filters)
     val (klo, khi) = bounds.getOrElse(table.statsCol,
       (Long.MinValue, Long.MaxValue))
@@ -713,22 +753,8 @@ final class LakeMicroBatchStream(table: LakeTable, required: StructType)
       .filter(v => v > s && v <= e)
     val physCols = required.fieldNames.toSeq.map(table.physName)
     if (table.changeFeed) {
-      // ROW-LEVEL change feed (r13 — Delta CDF): a version carrying
-      // `cdc` sidecars serves THOSE (its adds are merge rewrites —
-      // mostly unchanged rows); otherwise its dataChange adds are
-      // pure inserts, served with the constant change type injected
-      vs.flatMap { v =>
-        val cdc = TxLog.cdcInVersions(s"${table.root}/log", Seq(v))
-        if (cdc.nonEmpty)
-          cdc.map(f => LakePartition(f.path, physCols,
-            Seq.empty): InputPartition)
-        else
-          TxLog.addsInVersions(s"${table.root}/log", Seq(v))
-            .filter(_.dataChange).map(f =>
-              LakePartition(f.path, physCols, Seq.empty,
-                constCols = Map("_change_type" -> "insert"))
-                : InputPartition)
-      }.toArray
+      // ROW-LEVEL change feed (r13 — Delta CDF)
+      LakeSource.cdfPartitions(table.root, vs, physCols)
     } else {
       // dataChange=false adds are REWRITES of rows already emitted
       // (compaction) — the change feed skips them (r12; r11

@@ -653,7 +653,21 @@ class LakeMaintenanceSpec extends SparkSpec {
       .mode("append").save()
     drain()
     feed.toList shouldBe List((9500L, Some(2L), "ap", "insert"))
-    // batch read of a changeFeed table fails loudly, never null-fills
+    // batch CDF (Delta's table_changes): an explicit version range
+    // replays the same change rows without a stream
+    def cdf(from: Long, to: Long): DataFrame =
+      spark.read.format("graft-lake").option("path", base)
+        .option("changeFeed", "true").option("cdfFrom", from)
+        .option("cdfTo", to).load()
+    // version 1 is the merge: exactly the row-level diff
+    val v1 = cdf(1L, 1L).groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    v1 shouldBe Map("delete" -> dels.size.toLong,
+      "update_preimage" -> 1L, "update_postimage" -> 1L,
+      "insert" -> 1L)
+    // the full range: bootstrap + diff + append, compact silent
+    cdf(0L, -1L).count() shouldBe (400L + dels.size + 3L + 1L)
+    // a batch read WITHOUT a range fails loudly, never null-fills
     intercept[Exception] {
       spark.read.format("graft-lake").option("path", base)
         .option("changeFeed", "true").load().count()
