@@ -85,8 +85,7 @@ object LakeMaintenance {
       lines: Seq[String], writtenPaths: Seq[String]): Long = {
     var attempts = 0
     while (true) {
-      val versions = TxLog.commitVersions(s"$root/log")
-      val next = if (versions.isEmpty) 0L else versions.max + 1
+      val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
       try {
         TxLog.commitVersion(s"$root/log", next, lines)
         return next
@@ -372,7 +371,8 @@ object LakeMaintenance {
     val run = java.util.UUID.randomUUID().toString.take(8)
     val outSchema = schema
     // column mapping (r13): rewritten files must carry PHYSICAL names
-    val physMap = TxLog.latestMetaData(s"$root/log", -1L)
+    val physMap = TxLog
+      .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
       .map(_.map(c => c.name -> c.physName).toMap)
       .getOrElse(Map.empty[String, String])
     val outNames = schema.fieldNames.map(n => physMap.getOrElse(n, n))
@@ -663,7 +663,8 @@ object LakeMaintenance {
       s"changeset rows must carry ${schemaLeaves.size} values " +
         "(the table's column order)")
     // column mapping (r13): the key arrives logical; leaves are phys
-    val keyPhys = TxLog.latestMetaData(s"$root/log", -1L)
+    val keyPhys = TxLog
+      .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
       .flatMap(_.find(_.name == keyCol).map(_.physName))
       .getOrElse(keyCol)
     require(schemaLeaves.exists(l => l.path == keyPhys &&
@@ -816,6 +817,44 @@ object LakeMaintenance {
       lines.toSeq, writtenPaths.toSeq)
     MergeResult(rewritten.length, matchedKeys.size.toLong,
       insertAdd.map(_._2).getOrElse(0L), v, deletedRows)
+  }
+
+  final case class ExpireResult(deletedVersions: Int, horizon: Long)
+
+  /** LOG EXPIRY (r13 — Delta's log retention; before this the commit
+    * history only ever grew): physically delete commit-version
+    * directories strictly OLDER than both the last `keepVersions`
+    * commits and the pointer checkpoint. The pointer checkpoint must
+    * be FORMAT 2 (it carries the folded file/schema/txn state —
+    * [[TxLog.writeCheckpoint]]), so resolution, schema lookup and
+    * the streaming sink's epoch fence all survive the truncation.
+    *
+    * What expires with the history (the Delta trade, documented):
+    * time travel behind the surviving coverage now FAILS LOUDLY at
+    * resolution (never a silently partial replay — the resolvers
+    * refuse a checkpoint-less replay that cannot start at version 0),
+    * and the row-level change feed of expired versions is gone. Run
+    * VACUUM first: it resolves historical snapshots that expiry
+    * removes. */
+  def expireLog(root: String, keepVersions: Int): ExpireResult = {
+    require(keepVersions >= 0, "keepVersions must be >= 0")
+    val ptr = TxLog.readPointer(s"$root/ckpt").getOrElse(
+      throw new IllegalStateException(
+        s"expireLog needs a checkpoint under $root/ckpt"))
+    require(TxLog.isCheckpointV2(s"$root/ckpt", ptr),
+      "expireLog needs a format-2 checkpoint (re-run " +
+        "TxLog.writeCheckpoint at the pointer first)")
+    val versions = TxLog.commitVersions(s"$root/log")
+    if (versions.isEmpty) return ExpireResult(0, -1L)
+    val horizon = math.min(versions.max - keepVersions + 1, ptr + 1)
+    val del = versions.filter(_ < horizon)
+    del.foreach { v =>
+      val dir = new java.io.File(s"$root/log/version=$v")
+      Option(dir.listFiles()).toSeq.flatten.foreach(f =>
+        f.delete(): Unit)
+      dir.delete(): Unit
+    }
+    ExpireResult(del.size, horizon)
   }
 
   final case class VacuumResult(deleted: Int, retainedFiles: Int)

@@ -107,16 +107,35 @@ object TxLog {
         "version=(\\d+)", 1).cast("long")))
   }
 
-  /** Write the checkpoint at version `v`: fold the real commit files
-    * 0..v and persist the compacted state (adds + tombstones) as JSON
-    * lines under `ckptBase/version=v`, then advance the
-    * `_last_checkpoint` pointer. One file per checkpoint — the state is
-    * metadata-sized by design. */
+  /** Write the checkpoint at version `v`: fold `previous checkpoint ∪
+    * commit tail` (bit-identical to full replay by latest-wins
+    * associativity — and what makes checkpointing work after LOG
+    * EXPIRY has deleted pre-checkpoint commit files) and persist the
+    * compacted state (adds + tombstones) as JSON lines under
+    * `ckptBase/version=v`, then advance the `_last_checkpoint`
+    * pointer.
+    *
+    * r13 — the checkpoint also FOLDS NON-FILE STATE (the production
+    * formats' trick that keeps every planning read O(cadence)):
+    *  - `{"ckptFormat":2}` — the format marker readers trust;
+    *  - `{"metaState":{"cols":[…]}}` — the latest schema ≤ v (empty
+    *    cols = the table had no metaData action yet);
+    *  - one `{"txnState":{"app":…,"epoch":…}}` per streaming-sink app
+    *    — the highest epoch fenced ≤ v.
+    * [[latestMetaDataFast]] / [[latestTxnFast]] then read pointer +
+    * one checkpoint + the tail instead of scanning the whole log. */
   def writeCheckpoint(s: SparkSession, logBase: String, ckptBase: String,
       v: Long): Unit = {
-    val commits = listVersions(logBase).filter(_ <= v)
-    require(commits.nonEmpty, s"no commits <= $v under $logBase")
-    val state = latestWins(readCommitDirs(s, logBase, commits))
+    require(listVersions(logBase).exists(_ <= v) ||
+        listVersions(ckptBase).exists(_ <= v),
+      s"nothing to checkpoint at $v under $logBase")
+    // extras fold BEFORE the state write creates ckpt/version=v (the
+    // fast lookups must see the PREVIOUS checkpoint, not a half-built
+    // new one); resolve() also lists checkpoints eagerly here
+    val meta = latestMetaDataFast(logBase, ckptBase, v)
+      .getOrElse(Seq.empty)
+    val txns = txnStatesFast(logBase, ckptBase, v)
+    val state = resolve(s, logBase, ckptBase, v).state
     state.select(to_json(struct(
         struct(col("path"), col("version"), col("is_add"),
           col("add_size"), col("min_key"), col("max_key"),
@@ -124,6 +143,13 @@ object TxLog {
           .as("state"))).as("value"))
       .coalesce(1)
       .write.mode("overwrite").text(s"$ckptBase/version=$v")
+    val extras = Seq("""{"ckptFormat":2}""", metaStateLine(meta)) ++
+      txns.toSeq.sortBy(_._1).map { case (app, e) =>
+        s"""{"txnState":{"app":"${requireJsonSafe(app)}","epoch":$e}}"""
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ckptBase/version=$v/zz-extras.json"),
+      extras.mkString("\n").getBytes("UTF-8")): Unit
     writePointer(ckptBase, v)
   }
 
@@ -197,9 +223,19 @@ object TxLog {
           .select(col("version"), col("path"), col("is_add"),
             col("add_size"), col("min_key"), col("max_key"),
             col("min_skey"), col("max_skey"), col("part"))
+          // v2 checkpoints carry non-file extras lines (metaState,
+          // txnState, format marker) — no $.state.path, drop them
+          .where(col("path").isNotNull)
       case None => emptyState
     }
-    val tail = listVersions(logBase)
+    val allVs = listVersions(logBase)
+    // log expiry (r13): with no usable checkpoint, a replay that
+    // cannot start at version 0 would be silently PARTIAL — refuse
+    if (usable.isEmpty && allVs.nonEmpty && allVs.min > 0)
+      throw new IllegalStateException(
+        s"history before version ${allVs.min} has been expired and " +
+          s"no checkpoint covers asOf=$asOf")
+    val tail = allVs
       .filter(v => usable.forall(v > _))
       .filter(v => asOf < 0 || v <= asOf)
     val tailActs =
@@ -316,7 +352,10 @@ object TxLog {
         jStr(line, "min_skey"), jStr(line, "max_skey"),
         jStr(line, "part"))
     usable.foreach { cv =>
-      linesUnder(s"$ckptBase/version=$cv").foreach { line =>
+      // file-state lines only: v2 checkpoints also carry metaState /
+      // txnState / format-marker extras
+      linesUnder(s"$ckptBase/version=$cv")
+        .filter(_.contains("\"state\":")).foreach { line =>
         val path = jStr(line, "path").getOrElse(
           throw new IllegalArgumentException(s"bad ckpt line: $line"))
         val v = jLong(line, "version").getOrElse(
@@ -326,7 +365,14 @@ object TxLog {
         state(path) = (v, isAdd, fileOf(path, v, line, "add_size"))
       }
     }
-    val tail = listVersions(logBase)
+    val allVs = listVersions(logBase)
+    // log expiry (r13): with no usable checkpoint, a replay that
+    // cannot start at version 0 would be silently PARTIAL — refuse
+    if (usable.isEmpty && allVs.nonEmpty && allVs.min > 0)
+      throw new IllegalStateException(
+        s"history before version ${allVs.min} has been expired and " +
+          s"no checkpoint covers asOf=$asOf")
+    val tail = allVs
       .filter(v => usable.forall(v > _))
       .filter(v => asOf < 0 || v <= asOf)
     tail.foreach { v => // ascending: later versions overwrite
@@ -385,25 +431,8 @@ object TxLog {
         Option(m.group(4)).getOrElse("")))
       .toSeq
 
-  /** Every MetaCol any metaData action EVER carried (r13 — the
-    * re-add-after-drop check: a fresh column must not reuse a
-    * physical name that historical files may still store). Commit
-    * files are never deleted, so this is a full-history metadata
-    * scan, bounded by log lifetime. */
-  def allMetaCols(logBase: String): Seq[MetaCol] =
-    listVersions(logBase).flatMap { v =>
-      linesUnder(s"$logBase/version=$v")
-        .filter(_.contains("\"metaData\":"))
-        .flatMap(parseMetaCols)
-    }
-
-  /** Render a metaData action line (the no-escape JSON subset —
-    * names/types validated at write time). `phys` rides only when it
-    * differs from the logical name, keeping pre-mapping logs
-    * byte-stable. */
-  def metaDataLine(cols: Seq[MetaCol]): String = {
-    require(cols.nonEmpty, "empty schema")
-    val body = cols.map { c =>
+  private def colsBody(cols: Seq[MetaCol]): String =
+    cols.map { c =>
       val physPart =
         if (c.phys.isEmpty || c.phys == c.name) ""
         else s""","phys":"${requireJsonSafe(c.phys)}""""
@@ -411,8 +440,85 @@ object TxLog {
         s""""type":"${requireJsonSafe(c.tpe)}",""" +
         s""""nullable":${c.nullable}$physPart}"""
     }.mkString(",")
-    s"""{"metaData":{"cols":[$body]}}"""
+
+  /** Render a metaData action line (the no-escape JSON subset —
+    * names/types validated at write time). `phys` rides only when it
+    * differs from the logical name, keeping pre-mapping logs
+    * byte-stable. */
+  def metaDataLine(cols: Seq[MetaCol]): String = {
+    require(cols.nonEmpty, "empty schema")
+    s"""{"metaData":{"cols":[${colsBody(cols)}]}}"""
   }
+
+  /** The checkpoint's folded-schema line (r13): empty cols = the
+    * table had no metaData action as of the checkpoint. */
+  private def metaStateLine(cols: Seq[MetaCol]): String =
+    s"""{"metaState":{"cols":[${colsBody(cols)}]}}"""
+
+  private def usableCkpt(ckptBase: String, asOf: Long): Option[Long] = {
+    val available = listVersions(ckptBase)
+    if (asOf < 0) readPointer(ckptBase).filter(available.contains)
+    else available.filter(_ <= asOf).lastOption
+  }
+
+  /** Does checkpoint `cv` carry the r13 folded state (metaState +
+    * txnState)? Format-1 checkpoints force full-history fallbacks and
+    * cannot anchor log expiry. */
+  def isCheckpointV2(ckptBase: String, cv: Long): Boolean =
+    linesUnder(s"$ckptBase/version=$cv")
+      .exists(_.contains("\"ckptFormat\""))
+
+  /** Latest metaData ≤ asOf (< 0 = latest) through the checkpoint
+    * fast path (r13): the commit TAIL above the newest usable v2
+    * checkpoint, then its folded metaState — O(cadence), and correct
+    * after log expiry. No v2 checkpoint → full-history scan. */
+  def latestMetaDataFast(logBase: String, ckptBase: String,
+      asOf: Long): Option[Seq[MetaCol]] =
+    usableCkpt(ckptBase, asOf).filter(isCheckpointV2(ckptBase, _)) match {
+      case None => latestMetaData(logBase, asOf)
+      case Some(cv) =>
+        val tail = listVersions(logBase)
+          .filter(v => v > cv && (asOf < 0 || v <= asOf))
+        val fromTail = tail.sorted.reverse.iterator.flatMap { v =>
+          linesUnder(s"$logBase/version=$v")
+            .filter(_.contains("\"metaData\":")).reverseIterator
+        }.nextOption().map(parseMetaCols)
+        fromTail.orElse {
+          linesUnder(s"$ckptBase/version=$cv")
+            .filter(_.contains("\"metaState\":"))
+            .lastOption.map(parseMetaCols).filter(_.nonEmpty)
+        }
+    }
+
+  /** Per-app max fenced epoch ≤ asOf (< 0 = latest): v2-checkpoint
+    * txnState ∪ tail fences; no v2 checkpoint → full scan. */
+  private def txnStatesFast(logBase: String, ckptBase: String,
+      asOf: Long): Map[String, Long] = {
+    val usable = usableCkpt(ckptBase, asOf)
+      .filter(isCheckpointV2(ckptBase, _))
+    val fromCkpt: Map[String, Long] = usable.map { cv =>
+      linesUnder(s"$ckptBase/version=$cv")
+        .filter(_.contains("\"txnState\":"))
+        .flatMap(l => for (a <- jStr(l, "app"); e <- jLong(l, "epoch"))
+          yield (a, e)).toMap
+    }.getOrElse(Map.empty)
+    val tailVs = listVersions(logBase)
+      .filter(v => usable.forall(v > _) && (asOf < 0 || v <= asOf))
+    val fromTail = tailVs.flatMap { v =>
+      linesUnder(s"$logBase/version=$v").filter(_.contains("\"txn\":"))
+        .flatMap(l => for (a <- jStr(l, "app"); e <- jLong(l, "epoch"))
+          yield (a, e))
+    }
+    (fromCkpt.toSeq ++ fromTail).groupBy(_._1)
+      .map { case (a, es) => a -> es.map(_._2).max }
+  }
+
+  /** Highest epoch committed by streaming-sink app `appId` through
+    * the checkpoint fast path (r13) — the per-epoch fence check is
+    * O(cadence) instead of O(history), and survives log expiry. */
+  def latestTxnFast(logBase: String, ckptBase: String,
+      appId: String): Option[Long] =
+    txnStatesFast(logBase, ckptBase, -1L).get(appId)
 
   /** Highest epoch committed by streaming-sink app `appId` (r12 — the
     * exactly-once fence, Delta's `txn` action): scans commit lines for
@@ -476,6 +582,17 @@ object TxLog {
     }
   }
 
+  /** The next free commit version: one past the max of the on-disk
+    * commit versions AND the checkpoint pointer (r13 — after LOG
+    * EXPIRY the commit tail can be empty; reusing a version number
+    * the checkpoint already folded would let the stale checkpoint
+    * state win the latest-wins fold over the new commit). */
+  def nextVersion(logBase: String, ckptBase: String): Long = {
+    val vs = listVersions(logBase)
+    math.max(if (vs.isEmpty) -1L else vs.max,
+      readPointer(ckptBase).getOrElse(-1L)) + 1
+  }
+
   /** Commit `lines` at the next free version with OPTIMISTIC retry
     * (r13 — the concurrent-writer law): [[commitVersion]]'s atomic
     * rename makes a version collision fail loudly; a BLIND commit
@@ -486,12 +603,11 @@ object TxLog {
     * commit carries removes must NOT use this — they re-check their
     * read set instead ([[graft.operators.LakeMaintenance]]). Returns
     * the version that landed. */
-  def commitVersionWithRetry(logBase: String, lines: Seq[String],
-      maxAttempts: Int = 1000): Long = {
+  def commitVersionWithRetry(logBase: String, ckptBase: String,
+      lines: Seq[String], maxAttempts: Int = 1000): Long = {
     var attempt = 0
     while (true) {
-      val versions = listVersions(logBase)
-      val next = if (versions.isEmpty) 0L else versions.max + 1
+      val next = nextVersion(logBase, ckptBase)
       try {
         commitVersion(logBase, next, lines)
         return next

@@ -6343,6 +6343,97 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- LOG EXPIRY (r13 — Delta's log retention; before this the
+    // commit history only ever grew): the table bootstraps, merges
+    // (update+delete with cdc sidecars), takes a FORMAT-2 checkpoint
+    // (folded file/schema/txn state), EXPIRES everything behind the
+    // head, then keeps appending through the connector. The gated
+    // read runs entirely over checkpoint + post-expiry tail — a
+    // resolver that silently lost pre-checkpoint adds, a version
+    // counter that reused a folded number, or a schema lookup that
+    // needed the expired metaData action cannot match the oracle.
+    // LakeMaintenanceSpec pins the loud behind-horizon failure.
+    "q250_lake_log_expiry" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakexp_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        val adds = d.where(col("doc_id") % 2 === 0)
+          .withColumn("g", (col("doc_id") / 128).cast("long"))
+          .as[(Long, Long, String, Long)]
+          .groupByKey(_._4)
+          .mapGroups { (g, it) =>
+            val rs = it.toArray.sortBy(_._1)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rs.map(_._1)),
+              graft.operators.ParquetWrite.LongCol("n_chars",
+                rs.map(_._2)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rs.map(_._3))))
+            val p = s"$base/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            (g, s"""{"add":{"path":"$p","size":${rs.length}""" +
+              s""","min_key":${rs.head._1},"max_key":${rs.last._1}}}""")
+          }.collect().toSeq.sortBy(_._1)
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L,
+            adds.map(_._2))
+          val evens = d.where(col("doc_id") % 2 === 0)
+            .select(col("doc_id")).as[Long].collect()
+          val updates = evens
+            .filter(k => k % 10 == 0 && k % 13 != 0).sorted.map { k =>
+              (k, Array[Any](java.lang.Long.valueOf(k),
+                java.lang.Long.valueOf(k * 7), "xx"))
+            }.toSeq
+          val deletes = evens.filter(_ % 13 == 0).sorted.toSeq
+          graft.operators.LakeMaintenance.merge(s, base, updates,
+            "doc_id", deletes = deletes): Unit
+          val head = graft.operators.TxLog
+            .commitVersions(s"$base/log").max
+          graft.operators.TxLog.writeCheckpoint(s,
+            s"$base/log", s"$base/ckpt", head)
+          graft.operators.LakeMaintenance.expireLog(base,
+            keepVersions = 0): Unit
+          // life goes on over checkpoint + tail alone
+          d.where(col("doc_id") % 2 === 1).repartition(2)
+            .write.format("graft-lake").option("path", base)
+            .mode("append").save()
+          s.read.format("graft-lake").option("path", base).load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT)
+              AS n_chars, lang FROM documents),
+          m AS (SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 0
+                    AND doc_id % 13 <> 0 THEN doc_id * 7
+                   ELSE n_chars END AS n_chars,
+              CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 0
+                    AND doc_id % 13 <> 0 THEN 'xx'
+                   ELSE lang END AS lang
+            FROM d WHERE NOT (doc_id % 2 = 0 AND doc_id % 13 = 0))
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM m GROUP BY lang""")),
+
     // ---- MERGE over the WIDENED type surface (r13 — the r12
     // verdict's #1 gap: the engine's flagship `array<float>`
     // embeddings tables could be compacted and z-ordered but not

@@ -149,7 +149,8 @@ object LakeSource {
     * when present, else derived from the first live file's footer
     * (the pre-evolution contract, physical = logical). */
   private def currentCols(root: String): Seq[TxLog.MetaCol] =
-    TxLog.latestMetaData(s"$root/log", -1L).getOrElse {
+    TxLog.latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
+      .getOrElse {
       val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
       require(live.nonEmpty,
         s"graft-lake: cannot evolve an empty table at $root")
@@ -174,14 +175,19 @@ object LakeSource {
     val cur = currentCols(root)
     require(!cur.exists(_.name == name),
       s"graft-lake: column $name already exists")
-    val versions = TxLog.commitVersions(s"$root/log")
-    val next = if (versions.isEmpty) 0L else versions.max + 1
-    // column mapping (r13): a name that was EVER a logical or
-    // physical column before (drop + re-add) mints a FRESH physical
-    // name, so bytes dropped from the schema can never resurrect
-    val everUsed = (TxLog.allMetaCols(s"$root/log") ++ cur)
-      .flatMap(c => Seq(c.name, c.physName)).toSet
-    val phys = if (everUsed.contains(name)) s"c${next}_$name" else ""
+    val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
+    // column mapping (r13): once a table carries ANY metaData action,
+    // every added column mints a FRESH physical name (`c<version>_` —
+    // commit versions are monotone, so it is unique even after log
+    // expiry truncates the history a did-this-name-ever-exist scan
+    // would need). Bytes dropped from the schema can then never
+    // resurrect under a re-added name. A pure-footer table's first
+    // addColumn keeps physical = logical (the r12 contract): the
+    // footer names are the complete usage history there.
+    val hadMetaData =
+      TxLog.latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
+        .isDefined
+    val phys = if (hadMetaData) s"c${next}_$name" else ""
     TxLog.commitVersion(s"$root/log", next, Seq(
       TxLog.metaDataLine(cur :+
         TxLog.MetaCol(name, typeName, nullable = true, phys))))
@@ -198,8 +204,7 @@ object LakeSource {
       s"graft-lake: no column $oldName")
     require(!cur.exists(_.name == newName),
       s"graft-lake: column $newName already exists")
-    val versions = TxLog.commitVersions(s"$root/log")
-    val next = if (versions.isEmpty) 0L else versions.max + 1
+    val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
     val cols = cur.map(c =>
       if (c.name == oldName)
         TxLog.MetaCol(newName, c.tpe, c.nullable, c.physName)
@@ -217,8 +222,7 @@ object LakeSource {
     val cur = currentCols(root)
     require(cur.exists(_.name == name), s"graft-lake: no column $name")
     require(cur.size > 1, "graft-lake: cannot drop the last column")
-    val versions = TxLog.commitVersions(s"$root/log")
-    val next = if (versions.isEmpty) 0L else versions.max + 1
+    val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
     TxLog.commitVersion(s"$root/log", next,
       Seq(TxLog.metaDataLine(cur.filterNot(_.name == name))))
     next
@@ -279,7 +283,8 @@ final class LakeTable(val root: String, val asOf: Long,
     // present (what makes ADD COLUMN possible — files written before
     // the evolution lack the column and null-fill at read); else the
     // first live file's footer (the pre-evolution contract)
-    val base = TxLog.latestMetaData(s"$root/log", asOf) match {
+    val base = TxLog.latestMetaDataFast(s"$root/log", s"$root/ckpt",
+        asOf) match {
       case Some(cols) => StructType(cols.map(c =>
         StructField(c.name, LakeSource.typeOf(c.tpe), c.nullable)))
       case None =>
@@ -301,7 +306,7 @@ final class LakeTable(val root: String, val asOf: Long,
   /** Column mapping (r13): logical → physical name, from the latest
     * metaData action. Identity for pre-mapping tables. */
   lazy val physOf: Map[String, String] =
-    TxLog.latestMetaData(s"$root/log", asOf) match {
+    TxLog.latestMetaDataFast(s"$root/log", s"$root/ckpt", asOf) match {
       case Some(cols) => cols.map(c => c.name -> c.physName).toMap
       case None => Map.empty
     }
@@ -1011,7 +1016,8 @@ final class LakeStreamingWrite(table: LakeTable, schema: StructType,
     val adds = messages.collect { case m: LakeCommitMessage => m }
       .flatMap(_.adds).filter(_.numRows > 0)
     if (adds.isEmpty) return // empty epoch: nothing to fence
-    val fence = TxLog.latestTxn(s"${table.root}/log", queryId)
+    val fence = TxLog.latestTxnFast(s"${table.root}/log",
+      s"${table.root}/ckpt", queryId)
     if (fence.exists(_ >= epochId)) {
       // replayed epoch — the data already lives in a committed
       // version; the rerun tasks' files are duplicates, drop them.
@@ -1031,7 +1037,7 @@ final class LakeStreamingWrite(table: LakeTable, schema: StructType,
     // blind commit (adds + fence): version collisions with concurrent
     // batch appends retry safely (r13)
     val next = TxLog.commitVersionWithRetry(
-      s"${table.root}/log", lines)
+      s"${table.root}/log", s"${table.root}/ckpt", lines)
     val every = math.max(1, table.checkpointEvery).toLong
     if ((next + 1) % every == 0L)
       TxLog.writeCheckpoint(
@@ -1107,7 +1113,7 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
     // nothing — so a version collision with any other committer is
     // always safe to retry at the next version (the Delta rule)
     val next = TxLog.commitVersionWithRetry(
-      s"${table.root}/log", lines)
+      s"${table.root}/log", s"${table.root}/ckpt", lines)
     // checkpoint maintenance: compact every `checkpointEvery` commits
     // so resolution stays O(cadence) as history grows (the q217 law)
     val every = math.max(1, table.checkpointEvery).toLong

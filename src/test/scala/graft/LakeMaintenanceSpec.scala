@@ -674,6 +674,68 @@ class LakeMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("r13 LOG EXPIRY: a format-2 checkpoint carries the folded " +
+      "file/schema/txn state, so reads, evolution and the sink fence " +
+      "survive the truncation; behind-horizon time travel fails " +
+      "loudly, never partially") {
+    val base = buildLittered(4) // v0: 400 rows in 4 files
+    // v1: merge (update + delete + cdc sidecars)
+    LakeMaintenance.merge(spark, base,
+      Seq((5L, Array[Any](java.lang.Long.valueOf(5L),
+        java.lang.Long.valueOf(777L), "upd"))),
+      "doc_id", deletes = Seq(100L, 101L)): Unit
+    // v2: ADD COLUMN (a metaData action that will be EXPIRED)
+    graft.sources.LakeSource.addColumn(base, "score", "double") shouldBe 2L
+    // v3: an append carrying the evolved schema
+    Seq((9000L, java.lang.Long.valueOf(1L), "zz",
+        java.lang.Double.valueOf(2.5)))
+      .toDF("doc_id", "v", "s", "score").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    // v4: a streaming-sink txn fence (hand-committed — the fence law
+    // is what matters: latestTxnFast must survive expiry)
+    TxLog.commitVersion(s"$base/log", 4L,
+      Seq("""{"txn":{"app":"appX","epoch":7}}"""))
+    val before = lake(base).drop("score").collect().map(_.toSeq).toSet
+    TxLog.writeCheckpoint(spark, s"$base/log", s"$base/ckpt", 4L)
+    TxLog.isCheckpointV2(s"$base/ckpt", 4L) shouldBe true
+
+    val r = LakeMaintenance.expireLog(base, keepVersions = 1)
+    r.deletedVersions shouldBe 4 // v0..v3 gone, v4 kept
+    TxLog.commitVersions(s"$base/log") shouldBe Seq(4L)
+    // content, schema (from the folded metaState) and pruning intact
+    val df = lake(base)
+    df.schema.fieldNames.toSeq shouldBe Seq("doc_id", "v", "s", "score")
+    df.drop("score").collect().map(_.toSeq).toSet shouldBe before
+    df.where(col("score").isNotNull).count() shouldBe 1L
+    // the sink fence survives in the checkpoint's txnState
+    TxLog.latestTxnFast(s"$base/log", s"$base/ckpt", "appX") shouldBe
+      Some(7L)
+    // behind-horizon time travel fails LOUDLY (no partial replay)
+    intercept[IllegalStateException] {
+      TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", 0L)
+    }
+    // the table keeps working: append, re-checkpoint (folds prev
+    // checkpoint ∪ tail — no full history needed), expire again
+    Seq((9001L, java.lang.Long.valueOf(2L), "yy",
+        java.lang.Double.valueOf(1.0)))
+      .toDF("doc_id", "v", "s", "score").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    TxLog.writeCheckpoint(spark, s"$base/log", s"$base/ckpt", 5L)
+    LakeMaintenance.expireLog(base, keepVersions = 0)
+      .deletedVersions shouldBe 2
+    lake(base).count() shouldBe before.size.toLong + 1L
+    lake(base).where(col("doc_id") === 9001L).count() shouldBe 1L
+    // evolution after expiry: drop + re-add needs NO history — the
+    // fresh-phys rule (c<version>_) is monotone by commit version,
+    // so the re-added column reads NULL even though pre-expiry files
+    // still physically carry the old bytes
+    graft.sources.LakeSource.dropColumn(base, "s"): Unit
+    graft.sources.LakeSource.addColumn(base, "s", "string"): Unit
+    lake(base).where(col("s").isNotNull).count() shouldBe 0L
+  }
+
   test("the streaming tail SKIPS compaction commits (r12: " +
       "dataChange=false — maintenance never re-emits rows)") {
     val base = buildLittered(4)
