@@ -77,7 +77,8 @@ object LakeSource {
       Option(options.get("partitionBy")).filter(_.nonEmpty),
       options.getBoolean("changeFeed", false),
       options.getLong("cdfFrom", -1L),
-      options.getLong("cdfTo", -1L))
+      options.getLong("cdfTo", -1L),
+      options.getLong("startingVersion", 0L))
   }
 
   /** Leaf → Spark field. Flat INT32/INT64/FLOAT/DOUBLE/UTF8-string
@@ -270,7 +271,8 @@ final class LakeTable(val root: String, val asOf: Long,
     val strStatsCol: Option[String] = None,
     val partCol: Option[String] = None,
     val changeFeed: Boolean = false,
-    val cdfFrom: Long = -1L, val cdfTo: Long = -1L)
+    val cdfFrom: Long = -1L, val cdfTo: Long = -1L,
+    val startingVersion: Long = 0L)
     extends Table with SupportsRead with SupportsWrite {
 
   /** Snapshot resolution — driver-side metadata I/O through the
@@ -723,7 +725,12 @@ final class LakeMicroBatchStream(table: LakeTable, required: StructType)
 
   import graft.operators.TxLog
 
-  override def initialOffset(): Offset = LakeOffset(-1L)
+  /** `startingVersion` (r13 — the Delta option): a fresh stream emits
+    * versions ≥ it; the default 0 drains the whole history. Offsets
+    * in an existing checkpoint always win (Spark only calls this on a
+    * fresh query). */
+  override def initialOffset(): Offset =
+    LakeOffset(table.startingVersion - 1L)
 
   /** AvailableNow pins the end of the drain at prepare time (without
     * SupportsTriggerAvailableNow, Spark collapses the drain into ONE

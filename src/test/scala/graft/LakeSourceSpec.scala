@@ -769,6 +769,36 @@ class LakeSourceSpec extends SparkSpec {
     lake(base).where(col("doc_id") === 88888L).count() shouldBe 1L
   }
 
+  test("r13 startingVersion: a fresh stream skips history before it; " +
+      "composes with the changeFeed mode") {
+    val base = buildTable() // v0 adds files 0..2, v1 removes 1 adds 3
+    def drainFrom(v: Long, cf: Boolean): Seq[Long] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var r = spark.readStream.format("graft-lake")
+        .option("path", base).option("startingVersion", v)
+      if (cf) r = r.option("changeFeed", "true")
+      val q = r.load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp("lake_sv_ckpt"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("doc_id").collect().foreach(r2 => got += r2.getLong(0))
+        }
+        .start()
+      q.awaitTermination()
+      got.toSeq
+    }
+    // from v1: only part-3's rows (v0's three files skipped)
+    val from1 = drainFrom(1L, cf = false)
+    from1.size shouldBe FileRows
+    from1.toSet shouldBe expected(3).map(_._1).toSet
+    // default (0) still drains everything
+    drainFrom(0L, cf = false).size shouldBe 4 * FileRows
+    // changeFeed + startingVersion: v1's add arrives as inserts
+    drainFrom(1L, cf = true).toSet shouldBe
+      expected(3).map(_._1).toSet
+  }
+
   test("r13 streaming data-file names are collision-proof: two " +
       "writers with identical (partition, task, epoch) coordinates " +
       "never produce the same path") {
