@@ -58,6 +58,10 @@ object LakeMaintenance {
   final case class CompactResult(removed: Int, created: Int,
       version: Long)
 
+  private val utf8Ord: Ordering[String] =
+    (a: String, b: String) =>
+      if (utf8Lt(a, b)) -1 else if (utf8Lt(b, a)) 1 else 0
+
   /** Unsigned-lexicographic UTF-8 byte order — the same order the
     * footer/log string stats use, so predicate compares agree. */
   private def utf8Lt(a: String, b: String): Boolean = {
@@ -115,20 +119,34 @@ object LakeMaintenance {
     * into bins of ≥ 2 files up to ~`targetRows` rows each. Returns the
     * action counts and the committed version (-1 = nothing to do —
     * idempotent by construction: rewritten files meet the threshold
-    * and never re-qualify). */
+    * and never re-qualify).
+    *
+    * PARTITION-AWARE (r13): bins never cross `partitionValues` groups
+    * — a rewritten file keeps its `part` (so q237 partition pruning
+    * survives maintenance; before this, compaction merged partitions
+    * and the rewritten files had to scan for every partition
+    * predicate) — and inherits the UNION of its members' string-key
+    * windows when all carry one (q238 pruning survives too; a union
+    * window is sound: wider never wrongly prunes). `partition`
+    * restricts the rewrite to ONE partition value (Delta's `OPTIMIZE
+    * WHERE` — maintain the hot partition without touching 10⁴ cold
+    * ones). */
   def compact(spark: SparkSession, root: String,
-      targetRows: Int): CompactResult = {
+      targetRows: Int, partition: Option[String] = None): CompactResult = {
     require(targetRows > 0, "targetRows must be positive")
     val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
     val candidates = live.filter(_.size < targetRows)
-      .sortBy(_.minKey.getOrElse(Long.MaxValue))
-    // greedy key-ordered bin packing
+      .filter(f => partition.forall(p => f.part.contains(p)))
+      .sortBy(f => (f.part.getOrElse(""),
+        f.minKey.getOrElse(Long.MaxValue)))
+    // greedy key-ordered bin packing, never across partition values
     val bins = scala.collection.mutable.ArrayBuffer
       .empty[Vector[TxLog.LiveFile]]
     var cur = Vector.empty[TxLog.LiveFile]
     var curRows = 0L
     candidates.foreach { f =>
-      if (curRows >= targetRows) {
+      if (curRows >= targetRows ||
+          cur.headOption.exists(_.part != f.part)) {
         bins += cur; cur = Vector.empty; curRows = 0L
       }
       cur :+= f; curRows += f.size
@@ -172,15 +190,37 @@ object LakeMaintenance {
 
     val removes = work.flatten.map(f =>
       s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""")
-    val adds = results.map { case (p, rows, mn, mx) =>
+    def jsafe(v: String): Option[String] =
+      if (v.forall(c => c != '"' && c != '\\' && c != '\n' &&
+          c != '\r')) Some(v)
+      else None
+    val adds = results.zipWithIndex.map { case ((p, rows, mn, mx), i) =>
+      val bin = work(i) // parallelize+map+collect preserves order
       val stats = (mn, mx) match {
         case (Some(a), Some(b)) => s""","min_key":$a,"max_key":$b"""
         case _ => ""
       }
+      // the bin never crosses partition values → the rewritten file
+      // keeps the part; the skey window is the UNION of the members'
+      // (sound — wider never wrongly prunes), carried only when every
+      // member has one
+      val pv = bin.head.part.flatMap(jsafe)
+        .filter(_ => bin.forall(_.part == bin.head.part))
+        .map(v => s""","part":"$v"""").getOrElse("")
+      val sk =
+        if (bin.forall(f => f.minSkey.isDefined && f.maxSkey.isDefined)) {
+          val mnS = bin.map(_.minSkey.get).min(utf8Ord)
+          val mxS = bin.map(_.maxSkey.get).max(utf8Ord)
+          (jsafe(mnS), jsafe(mxS)) match {
+            case (Some(a), Some(b)) =>
+              s""","min_skey":"$a","max_skey":"$b""""
+            case _ => ""
+          }
+        } else ""
       // dataChange=false (r12, the Delta flag): compaction REWRITES
       // existing rows — a change-feed consumer must not re-emit them
       s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
-        s"""$stats,"dataChange":false}}"""
+        s"""$stats$sk$pv,"dataChange":false}}"""
     }
     val v = commitMaintenance(root, work.flatten.map(_.path).toSeq,
       (removes ++ adds).toSeq, results.map(_._1).toSeq)

@@ -135,6 +135,7 @@ object TxLog {
     val meta = latestMetaDataFast(logBase, ckptBase, v)
       .getOrElse(Seq.empty)
     val txns = txnStatesFast(logBase, ckptBase, v)
+    val cons = activeConstraintsFast(logBase, ckptBase, v)
     val state = resolve(s, logBase, ckptBase, v).state
     state.select(to_json(struct(
         struct(col("path"), col("version"), col("is_add"),
@@ -146,7 +147,10 @@ object TxLog {
     val extras = Seq("""{"ckptFormat":2}""", metaStateLine(meta)) ++
       txns.toSeq.sortBy(_._1).map { case (app, e) =>
         s"""{"txnState":{"app":"${requireJsonSafe(app)}","epoch":$e}}"""
-      }
+      } ++
+      cons.map(c =>
+        s"""{"consState":{"name":"${requireJsonSafe(c.name)}",""" +
+          s""""expr":"${requireJsonSafe(c.expr)}"}}""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$ckptBase/version=$v/zz-extras.json"),
       extras.mkString("\n").getBytes("UTF-8")): Unit
@@ -396,6 +400,20 @@ object TxLog {
     * the connector's streaming offset space). */
   def commitVersions(logBase: String): Seq[Long] = listVersions(logBase)
 
+  /** Newest commit version whose directory modification time is ≤
+    * `tsMillis` (r13 — Delta-style TIMESTAMP time travel: commit
+    * mtimes are the timestamp authority, with the same caveats Delta
+    * documents — clock skew between writers can reorder neighbors,
+    * and expiry removes old versions' timestamps with them). */
+  def versionAtTime(logBase: String, tsMillis: Long): Option[Long] =
+    listVersions(logBase).filter { v =>
+      new java.io.File(s"$logBase/version=$v")
+        .lastModified() <= tsMillis
+    } match {
+      case Seq() => None
+      case vs => Some(vs.max)
+    }
+
   /** One schema column carried by a `metaData` action (r12 — Delta's
     * schema-in-the-log; before this, the first live file's footer was
     * the schema authority and ADD COLUMN was impossible). `phys` is
@@ -519,6 +537,55 @@ object TxLog {
   def latestTxnFast(logBase: String, ckptBase: String,
       appId: String): Option[Long] =
     txnStatesFast(logBase, ckptBase, -1L).get(appId)
+
+  /** One CHECK constraint (r13 — Delta's table constraints): `expr`
+    * is ANSI boolean SQL over the table's columns; the write path
+    * rejects rows where it evaluates FALSE (NULL passes — the SQL
+    * CHECK rule). */
+  final case class Constraint(name: String, expr: String)
+
+  private def parseCons(lines: Seq[String]): Seq[Constraint] =
+    lines.flatMap { l =>
+      for (n <- jStr(l, "name"); e <- jStr(l, "expr"))
+        yield Constraint(n, e)
+    }
+
+  /** The constraints ACTIVE as of `asOf` (< 0 = latest): the v2
+    * checkpoint's folded `consState` ∪ tail `constraint` /
+    * `constraintDrop` actions, latest-wins per name — O(cadence),
+    * correct after log expiry. No v2 checkpoint → full scan. */
+  def activeConstraintsFast(logBase: String, ckptBase: String,
+      asOf: Long): Seq[Constraint] = {
+    val usable = usableCkpt(ckptBase, asOf)
+      .filter(isCheckpointV2(ckptBase, _))
+    val base: Seq[Constraint] = usable.map { cv =>
+      parseCons(linesUnder(s"$ckptBase/version=$cv")
+        .filter(_.contains("\"consState\":")))
+    }.getOrElse(Seq.empty)
+    val tailVs = listVersions(logBase)
+      .filter(v => usable.forall(v > _) && (asOf < 0 || v <= asOf))
+    val state = scala.collection.mutable.LinkedHashMap
+      .empty[String, Constraint]
+    base.foreach(c => state(c.name) = c)
+    tailVs.foreach { v =>
+      linesUnder(s"$logBase/version=$v").foreach { l =>
+        if (l.contains("\"constraint\":"))
+          parseCons(Seq(l)).foreach(c => state(c.name) = c)
+        else if (l.contains("\"constraintDrop\":"))
+          jStr(l, "name").foreach(state.remove(_): Unit)
+      }
+    }
+    state.values.toSeq
+  }
+
+  /** Render the constraint actions (the no-escape JSON subset — an
+    * expr with a double quote, backslash or newline is rejected at
+    * write time; single-quoted SQL string literals are fine). */
+  def constraintLine(c: Constraint): String =
+    s"""{"constraint":{"name":"${requireJsonSafe(c.name)}",""" +
+      s""""expr":"${requireJsonSafe(c.expr)}"}}"""
+  def constraintDropLine(name: String): String =
+    s"""{"constraintDrop":{"name":"${requireJsonSafe(name)}"}}"""
 
   /** Highest epoch committed by streaming-sink app `appId` (r12 — the
     * exactly-once fence, Delta's `txn` action): scans commit lines for

@@ -6343,6 +6343,217 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- CHECK CONSTRAINTS (r13 — Delta's table constraints): ADD
+    // validates the expression against the schema AND the existing
+    // rows; every subsequent append evaluates it per row at the
+    // write path and FALSE fails the job before any commit (NULL
+    // passes — the SQL CHECK rule); constraints fold into format-2
+    // checkpoints so enforcement survives log expiry. The gate
+    // bootstraps, adds a constraint, lands one valid append, then
+    // proves the enforcement RELATIONALLY: a violating append is
+    // attempted and must leave no trace — the final aggregate equals
+    // the valid subset alone, and one leaked row shifts a count.
+    // LakeMaintenanceSpec pins the add-time validation, the
+    // streaming-epoch arm, the expiry fold and the drop.
+    "q251_lake_constraints" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakecn_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        val boot = d.where(col("doc_id") < 256)
+          .as[(Long, Long, String)].collect().sortBy(_._1)
+        if (boot.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+            graft.operators.ParquetWrite.LongCol("doc_id",
+              boot.map(_._1)),
+            graft.operators.ParquetWrite.LongCol("n_chars",
+              boot.map(_._2)),
+            graft.operators.ParquetWrite.StrCol("lang",
+              boot.map(_._3))))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            s"$base/data/boot.parquet"), bytes): Unit
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+            s"""{"add":{"path":"$base/data/boot.parquet",""" +
+              s""""size":${boot.length},"min_key":${boot.head._1},""" +
+              s""""max_key":${boot.last._1}}}"""))
+          graft.sources.LakeSource.addConstraint(s, base,
+            "chars_sane", "n_chars >= 0 AND doc_id >= 0"): Unit
+          d.where(col("doc_id") >= 256)
+            .repartition(2)
+            .write.format("graft-lake").option("path", base)
+            .mode("append").save()
+          // the violating append MUST fail loudly and leave no trace
+          try {
+            d.where(col("doc_id") >= 256).limit(7)
+              .select(col("doc_id"), lit(-1L).as("n_chars"),
+                col("lang"))
+              .coalesce(1)
+              .write.format("graft-lake").option("path", base)
+              .mode("append").save()
+            throw new IllegalStateException(
+              "constraint violation must fail the append")
+          } catch {
+            case _: IllegalStateException => throw new Exception(
+              "constraint violation silently committed")
+            case _: Exception => () // the expected loud failure
+          }
+          s.read.format("graft-lake").option("path", base).load()
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang""")),
+
+    // ---- PARTITION-AWARE compaction + OPTIMIZE WHERE (r13): bins
+    // never cross partitionValues groups, rewritten adds KEEP their
+    // part and inherit the union skey window (before this, compaction
+    // merged partitions and the rewritten files lost q237/q238
+    // pruning), and `partition=Some(p)` maintains one hot partition
+    // without touching the cold ones. The gate litters one file per
+    // (lang, bucket) through the partitioned connector write, runs
+    // OPTIMIZE WHERE on one lang then a full compaction, and the
+    // partition-filtered aggregate must replay — a bin that crossed
+    // values, dropped a part, or double-counted a row cannot match.
+    // LakeMaintenanceSpec pins the file counts and pruning shapes.
+    "q252_lake_compact_where" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakecw_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        val adds = d
+          .withColumn("g", (col("doc_id") / 256).cast("long"))
+          .as[(Long, Long, String, Long)]
+          .groupByKey(r => (r._3, r._4))
+          .mapGroups { (k, it) =>
+            val rs = it.toArray.sortBy(_._1)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rs.map(_._1)),
+              graft.operators.ParquetWrite.LongCol("n_chars",
+                rs.map(_._2)),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rs.map(_._3))))
+            val p = s"$base/data/part-${k._1}-${k._2}.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            ((k._1, k._2),
+              s"""{"add":{"path":"$p","size":${rs.length}""" +
+              s""","min_key":${rs.head._1},"max_key":${rs.last._1}""" +
+              s""","part":"${k._1}"}}""")
+          }.collect().toSeq.sortBy(_._1)
+        if (adds.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L,
+            adds.map(_._2))
+          graft.operators.LakeMaintenance.compact(s, base,
+            targetRows = 1 << 20, partition = Some("en")): Unit
+          graft.operators.LakeMaintenance.compact(s, base,
+            targetRows = 1 << 20): Unit
+          s.read.format("graft-lake").option("path", base)
+            .option("partitionBy", "lang").load()
+            .where(col("lang").isin("en", "de", "zh"))
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE lang IN ('en', 'de', 'zh')
+        GROUP BY lang""")),
+
+    // ---- TIMESTAMP time travel (r13 — Delta's asOfTimestamp):
+    // `asOfTs` resolves to the newest commit whose directory mtime is
+    // ≤ it (pinned deterministically by the fixture); the gated read
+    // aggregates the PRE-append snapshot through the timestamp while
+    // the table's head already carries the append — a resolver that
+    // read the head, mis-ordered the mtimes, or off-by-one'd the
+    // boundary cannot match the oracle.
+    "q253_lake_time_travel_ts" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_laketts_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        val boot = d.where(col("doc_id") % 2 === 0)
+          .as[(Long, Long, String)].collect().sortBy(_._1)
+        if (boot.isEmpty)
+          Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("sum_chars")).as("sum_chars"))
+        else {
+          val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+            graft.operators.ParquetWrite.LongCol("doc_id",
+              boot.map(_._1)),
+            graft.operators.ParquetWrite.LongCol("n_chars",
+              boot.map(_._2)),
+            graft.operators.ParquetWrite.StrCol("lang",
+              boot.map(_._3))))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            s"$base/data/boot.parquet"), bytes): Unit
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+            s"""{"add":{"path":"$base/data/boot.parquet",""" +
+              s""""size":${boot.length},"min_key":${boot.head._1},""" +
+              s""""max_key":${boot.last._1}}}"""))
+          d.where(col("doc_id") % 2 === 1).repartition(2)
+            .write.format("graft-lake").option("path", base)
+            .mode("append").save()
+          // deterministic mtimes: v0 at T, v1 a minute later
+          val t0 = 1700000000000L
+          new java.io.File(s"$base/log/version=0")
+            .setLastModified(t0): Unit
+          new java.io.File(s"$base/log/version=1")
+            .setLastModified(t0 + 60000L): Unit
+          s.read.format("graft-lake").option("path", base)
+            .option("asOfTs", t0 + 30000L).load() // the v0 snapshot
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars")).as("sum_chars"))
+        }
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang""")),
+
     // ---- LOG EXPIRY (r13 — Delta's log retention; before this the
     // commit history only ever grew): the table bootstraps, merges
     // (update+delete with cdc sidecars), takes a FORMAT-2 checkpoint

@@ -69,7 +69,18 @@ object LakeSource {
     val path = options.get("path")
     require(path != null && path.nonEmpty,
       "graft-lake requires a 'path' option (the table root)")
-    new LakeTable(path, options.getLong("asOf", -1L),
+    // TIMESTAMP time travel (r13): asOfTs (epoch millis) resolves to
+    // the newest commit version whose mtime is ≤ it; an explicit
+    // asOf always wins
+    val asOfOpt = options.getLong("asOf", -1L)
+    val asOfTs = options.getLong("asOfTs", -1L)
+    val asOf =
+      if (asOfOpt >= 0 || asOfTs < 0) asOfOpt
+      else TxLog.versionAtTime(s"$path/log", asOfTs).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-lake: no commit at or before asOfTs=$asOfTs " +
+            "(history may have been expired)"))
+    new LakeTable(path, asOf,
       options.getOrDefault("statsCol", "doc_id"),
       options.getInt("versionsPerTrigger", Int.MaxValue),
       options.getInt("checkpointEvery", 10),
@@ -250,6 +261,73 @@ object LakeSource {
               constCols = Map("_change_type" -> "insert"))
               : InputPartition)
     }.toArray
+
+  /** ADD CHECK CONSTRAINT (r13 — Delta's table constraints): parses
+    * and ANALYZES `exprSql` against the current schema (unknown
+    * columns / unparseable SQL reject before any commit), VALIDATES
+    * the existing rows (a constraint the table already violates would
+    * be a lie — Delta scans too), and commits ONE `constraint`
+    * action. Every subsequent append — batch and streaming — then
+    * evaluates it per row at the write path and fails LOUDLY on
+    * FALSE; NULL passes (the SQL CHECK rule). Constraints fold into
+    * format-2 checkpoints (`consState`), so enforcement survives log
+    * expiry. */
+  def addConstraint(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, exprSql: String): Long = {
+    val active = TxLog.activeConstraintsFast(
+      s"$root/log", s"$root/ckpt", -1L)
+    require(!active.exists(_.name == name),
+      s"graft-lake: constraint $name already exists")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val df = spark.read.format("graft-lake").option("path", root).load()
+    val pred = expr(exprSql).cast("boolean")
+    // also proves the expression compiles against the schema
+    val violating = df.where(not(coalesce(pred, lit(true))))
+      .limit(1).count()
+    require(violating == 0L,
+      s"graft-lake: existing rows violate constraint $name ($exprSql)")
+    val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
+    TxLog.commitVersion(s"$root/log", next,
+      Seq(TxLog.constraintLine(TxLog.Constraint(name, exprSql))))
+    next
+  }
+
+  /** DROP CONSTRAINT (r13): commits one `constraintDrop` action;
+    * appends stop checking it. */
+  def dropConstraint(root: String, name: String): Long = {
+    val active = TxLog.activeConstraintsFast(
+      s"$root/log", s"$root/ckpt", -1L)
+    require(active.exists(_.name == name),
+      s"graft-lake: no constraint $name")
+    val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
+    TxLog.commitVersion(s"$root/log", next,
+      Seq(TxLog.constraintDropLine(name)))
+    next
+  }
+
+  /** Compile the table's active constraints into row-level predicates
+    * BOUND to the write schema: parse + full Catalyst ANALYSIS on the
+    * driver (type coercion, casts — exactly what the user's SQL
+    * means), attribute references bound positionally; executors only
+    * `eval` the serialized tree per row (interpreted — constraint
+    * predicates are cheap next to the encode work; Delta's
+    * InvariantChecker pays the same per-row check). */
+  private[sources] def compileChecks(
+      spark: org.apache.spark.sql.SparkSession, schema: StructType,
+      cons: Seq[TxLog.Constraint]): Seq[(String,
+        org.apache.spark.sql.catalyst.expressions.Expression)] =
+    cons.map { c =>
+      val ds = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      val plan = ds.select(org.apache.spark.sql.functions
+          .expr(c.expr).cast("boolean").as("c"))
+        .queryExecution.analyzed
+      val e = plan.expressions.head
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias]
+        .child
+      (c.name, org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(e, plan.children.head.output))
+    }
 
   private[sources] def nameOf(t: DataType): String = t match {
     case LongType => "long"
@@ -1011,12 +1089,19 @@ final class LakeStreamingWrite(table: LakeTable, schema: StructType,
     schema.fields.foreach(f => LakeSource.requireWritable(f.dataType))
   }
 
+  // CHECK constraints (r13): resolved at stream start; per-row on
+  // executors, a violating row fails the epoch before its commit
+  private val checks = LakeSource.compileChecks(
+    org.apache.spark.sql.SparkSession.active, schema,
+    TxLog.activeConstraintsFast(s"${table.root}/log",
+      s"${table.root}/ckpt", -1L))
+
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new LakeStreamingWriterFactory(table.root, schema, table.statsCol,
       table.schema().fields.map(f => f.name -> f.nullable).toMap,
-      table.strStatsCol, table.partCol, table.physOf)
+      table.strStatsCol, table.partCol, table.physOf, checks)
 
   override def commit(epochId: Long, messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -1067,7 +1152,10 @@ final class LakeStreamingWriterFactory(root: String,
     schema: StructType, statsCol: String,
     nullableOf: Map[String, Boolean],
     strStatsCol: Option[String], partCol: Option[String],
-    physOf: Map[String, String] = Map.empty)
+    physOf: Map[String, String] = Map.empty,
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long)
@@ -1080,7 +1168,7 @@ final class LakeStreamingWriterFactory(root: String,
     new LakeDataWriter(root, schema, statsCol, nullableOf,
       partitionId, taskId,
       s"-e$epochId-${java.util.UUID.randomUUID().toString.take(8)}",
-      strStatsCol, partCol, physOf)
+      strStatsCol, partCol, physOf, checks)
 }
 
 final class LakeBatchWrite(table: LakeTable, schema: StructType)
@@ -1096,12 +1184,20 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
     schema.fields.foreach(f => LakeSource.requireWritable(f.dataType))
   }
 
+  // CHECK constraints (r13): compiled once on the driver, evaluated
+  // per row on executors; a violating row fails the job before any
+  // commit
+  private val checks = LakeSource.compileChecks(
+    org.apache.spark.sql.SparkSession.active, schema,
+    TxLog.activeConstraintsFast(s"${table.root}/log",
+      s"${table.root}/ckpt", -1L))
+
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     new LakeWriterFactory(table.root, schema, table.statsCol,
       table.schema().fields.map(f => f.name -> f.nullable).toMap,
-      table.strStatsCol, table.partCol, table.physOf)
+      table.strStatsCol, table.partCol, table.physOf, checks)
 
   /** Driver-side commit: ONE new log version carrying the adds (with
     * the key stats the writers measured), then checkpoint maintenance
@@ -1144,12 +1240,15 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
 final class LakeWriterFactory(root: String, schema: StructType,
     statsCol: String, nullableOf: Map[String, Boolean],
     strStatsCol: Option[String], partCol: Option[String],
-    physOf: Map[String, String] = Map.empty)
+    physOf: Map[String, String] = Map.empty,
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Seq.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new LakeDataWriter(root, schema, statsCol, nullableOf,
-      partitionId, taskId, "", strStatsCol, partCol, physOf)
+      partitionId, taskId, "", strStatsCol, partCol, physOf, checks)
 }
 
 /** One file per input partition — or one per (partition × partition
@@ -1163,7 +1262,10 @@ final class LakeDataWriter(root: String, schema: StructType,
     statsCol: String, nullableOf: Map[String, Boolean],
     partitionId: Int, taskId: Long, tag: String = "",
     strStatsCol: Option[String] = None, partCol: Option[String] = None,
-    physOf: Map[String, String] = Map.empty)
+    physOf: Map[String, String] = Map.empty,
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Seq.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   // column mapping (r13): files carry PHYSICAL column names
@@ -1197,6 +1299,16 @@ final class LakeDataWriter(root: String, schema: StructType,
     schema.fields(keyIdx).dataType == LongType
 
   override def write(row: InternalRow): Unit = {
+    // CHECK constraints (r13): FALSE rejects the row and fails the
+    // job/epoch before any commit; NULL passes (the SQL CHECK rule)
+    var ci = 0
+    while (ci < checks.length) {
+      val r = checks(ci)._2.eval(row)
+      if (r != null && r == false)
+        throw new IllegalArgumentException(
+          s"graft-lake: CHECK constraint ${checks(ci)._1} violated")
+      ci += 1
+    }
     var i = 0
     while (i < schema.length) {
       val v: AnyRef =

@@ -674,6 +674,157 @@ class LakeMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("r13 PARTITION-AWARE compaction: bins never cross partition " +
+      "values, rewritten adds keep part + union skey windows, and " +
+      "OPTIMIZE WHERE touches only the named partition") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cpart").toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    // 9 small files: 3 per partition value, each with skey stats
+    val lines = (0 until 9).map { f =>
+      val pv = Seq("a", "b", "c")(f % 3)
+      val ids = (f * 10L until f * 10L + 10L).toArray
+      val bytes = ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("doc_id", ids),
+        ParquetWrite.StrCol("p", ids.map(_ => pv)),
+        ParquetWrite.StrCol("s2",
+          ids.map(i => "k" + "%03d".format(i)))))
+      val path = s"$base/data/part-$f.parquet"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path), bytes): Unit
+      s"""{"add":{"path":"$path","size":10""" +
+        s""","min_key":${ids.head},"max_key":${ids.last}""" +
+        s""","min_skey":"k${"%03d".format(ids.head)}"""" +
+        s""","max_skey":"k${"%03d".format(ids.last)}"""" +
+        s""","part":"$pv"}}"""
+    }
+    TxLog.commitVersion(s"$base/log", 0L, lines)
+    def lakeP(): DataFrame = spark.read.format("graft-lake")
+      .option("path", base).option("partitionBy", "p")
+      .option("strStatsCol", "s2").load()
+    val before = lakeP().collect().map(_.toSeq).toSet
+    // OPTIMIZE WHERE p = 'a': only partition a's 3 files rewrite
+    val r1 = LakeMaintenance.compact(spark, base, targetRows = 1000,
+      partition = Some("a"))
+    r1.removed shouldBe 3
+    r1.created shouldBe 1
+    // full compaction then folds b and c — but never across values
+    val r2 = LakeMaintenance.compact(spark, base, targetRows = 1000)
+    r2.removed shouldBe 6
+    r2.created shouldBe 2
+    lakeP().collect().map(_.toSeq).toSet shouldBe before
+    val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+    live.size shouldBe 3
+    // every rewritten file kept its part AND a union skey window
+    live.foreach { f =>
+      f.part.isDefined shouldBe true
+      f.minSkey.isDefined shouldBe true
+    }
+    // partition pruning still plans ONE file per value post-compact
+    lakeP().filter(col("p") === "b").rdd.getNumPartitions shouldBe 1
+    lakeP().filter(col("p") === "b").count() shouldBe 30L
+    // skey pruning also survived the rewrite
+    lakeP().filter(col("s2") === "k005").rdd
+      .getNumPartitions shouldBe 1
+  }
+
+  test("r13 CHECK constraints: analyzed at ADD (existing violations " +
+      "reject), enforced per-row on batch and streaming appends " +
+      "(NULL passes), folded into checkpoints across expiry, " +
+      "dropped cleanly") {
+    val base = buildLittered(2) // doc_id 0..199, v (null %7), s
+    // a constraint existing rows violate rejects before any commit
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeSource.addConstraint(spark, base,
+        "small", "doc_id < 100")
+    }
+    TxLog.commitVersions(s"$base/log").max shouldBe 0L
+    graft.sources.LakeSource.addConstraint(spark, base,
+      "sane", "doc_id >= 0 AND s IN ('s0','s1','s2','upd')") shouldBe 1L
+    // valid append passes; v stays NULL-able (NULL passes the check)
+    Seq((9000L, null.asInstanceOf[java.lang.Long], "upd"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    lake(base).count() shouldBe 201L
+    // a violating batch append fails LOUDLY and commits nothing
+    val vBefore = TxLog.commitVersions(s"$base/log").max
+    intercept[Exception] {
+      Seq((-5L, java.lang.Long.valueOf(1L), "s0"))
+        .toDF("doc_id", "v", "s").coalesce(1)
+        .write.format("graft-lake").option("path", base)
+        .mode("append").save()
+    }
+    TxLog.commitVersions(s"$base/log").max shouldBe vBefore
+    lake(base).count() shouldBe 201L
+    // a violating STREAMING epoch fails before its commit
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String)]
+    ms.addData((1L, 1L, "BAD"))
+    val ck = java.nio.file.Files.createTempDirectory("cons_ck").toString
+    val q = ms.toDF().toDF("doc_id", "v", "s")
+      .writeStream.format("graft-lake").option("path", base)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    intercept[Exception] { q.awaitTermination() }
+    lake(base).count() shouldBe 201L
+    // constraints survive checkpoint + log expiry (consState fold)
+    val head = TxLog.commitVersions(s"$base/log").max
+    TxLog.writeCheckpoint(spark, s"$base/log", s"$base/ckpt", head)
+    LakeMaintenance.expireLog(base, keepVersions = 0): Unit
+    TxLog.activeConstraintsFast(s"$base/log", s"$base/ckpt", -1L)
+      .map(_.name) shouldBe Seq("sane")
+    intercept[Exception] {
+      Seq((-6L, java.lang.Long.valueOf(1L), "s0"))
+        .toDF("doc_id", "v", "s").coalesce(1)
+        .write.format("graft-lake").option("path", base)
+        .mode("append").save()
+    }
+    // drop re-allows
+    graft.sources.LakeSource.dropConstraint(base, "sane"): Unit
+    Seq((-6L, java.lang.Long.valueOf(1L), "zz"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    lake(base).count() shouldBe 202L
+    // guards
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeSource.dropConstraint(base, "nope")
+    }
+  }
+
+  test("r13 TIMESTAMP time travel: asOfTs resolves the newest commit " +
+      "whose mtime is at or before it; explicit asOf wins; a " +
+      "too-early timestamp rejects") {
+    val base = buildLittered(2) // v0
+    Seq((9000L, java.lang.Long.valueOf(1L), "zz"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save() // v1
+    // pin deterministic mtimes
+    val t0 = 1700000000000L
+    new java.io.File(s"$base/log/version=0")
+      .setLastModified(t0) shouldBe true
+    new java.io.File(s"$base/log/version=1")
+      .setLastModified(t0 + 60000L) shouldBe true
+    def at(ts: Long): DataFrame = spark.read.format("graft-lake")
+      .option("path", base).option("asOfTs", ts).load()
+    at(t0).count() shouldBe 200L            // between v0 and v1
+    at(t0 + 30000L).count() shouldBe 200L
+    at(t0 + 60000L).count() shouldBe 201L   // at v1
+    at(System.currentTimeMillis()).count() shouldBe 201L
+    intercept[IllegalArgumentException] {
+      at(t0 - 1L).count()
+    }
+    // explicit asOf wins over asOfTs
+    spark.read.format("graft-lake").option("path", base)
+      .option("asOf", 0).option("asOfTs", t0 + 60000L).load()
+      .count() shouldBe 200L
+  }
+
   test("r13 LOG EXPIRY: a format-2 checkpoint carries the folded " +
       "file/schema/txn state, so reads, evolution and the sink fence " +
       "survive the truncation; behind-horizon time travel fails " +
