@@ -707,6 +707,38 @@ object LakeMaintenance {
       .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
       .flatMap(_.find(_.name == keyCol).map(_.physName))
       .getOrElse(keyCol)
+    // CHECK constraints (r13): a merge stores the changeset's values
+    // — updates and inserts must satisfy the table's constraints,
+    // same as appends (Delta enforces on MERGE too). The changeset is
+    // bounded (broadcast-sized), so this is a driver-side loop.
+    locally {
+      val cons = TxLog.activeConstraintsFast(
+        s"$root/log", s"$root/ckpt", -1L)
+      if (cons.nonEmpty && updates.nonEmpty) {
+        val schema = spark.read.format("graft-lake")
+          .option("path", root).load().schema
+        val checks = graft.sources.LakeSource
+          .compileChecks(spark, schema, cons)
+        def toCatalyst(v: Any): Any = v match {
+          case s0: String =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(s0)
+          case a: Array[_] =>
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              a.asInstanceOf[Array[Any]])
+          case other => other
+        }
+        updates.foreach { case (k, vals) =>
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals.map(toCatalyst))
+          checks.foreach { case (n, e) =>
+            val r = e.eval(row)
+            require(r == null || r != false,
+              s"merge changeset violates CHECK constraint $n at " +
+                s"key $k")
+          }
+        }
+      }
+    }
     require(schemaLeaves.exists(l => l.path == keyPhys &&
         l.ptype == 2 && l.maxDef == 0 && l.maxRep == 0),
       s"merge key $keyCol must be a REQUIRED long column")

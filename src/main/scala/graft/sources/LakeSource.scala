@@ -216,6 +216,7 @@ object LakeSource {
       s"graft-lake: no column $oldName")
     require(!cur.exists(_.name == newName),
       s"graft-lake: column $newName already exists")
+    requireUnconstrained(root, oldName, "rename")
     val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
     val cols = cur.map(c =>
       if (c.name == oldName)
@@ -234,6 +235,7 @@ object LakeSource {
     val cur = currentCols(root)
     require(cur.exists(_.name == name), s"graft-lake: no column $name")
     require(cur.size > 1, "graft-lake: cannot drop the last column")
+    requireUnconstrained(root, name, "drop")
     val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
     TxLog.commitVersion(s"$root/log", next,
       Seq(TxLog.metaDataLine(cur.filterNot(_.name == name))))
@@ -305,6 +307,31 @@ object LakeSource {
     next
   }
 
+  /** Evolution guard (r13): renaming or dropping a column an ACTIVE
+    * constraint references would brick every subsequent append (the
+    * write path could no longer analyze the expression) — the same
+    * succeeded-evolution-breaks-writes class as the r12 addColumn
+    * "int" bug. Reject loudly; drop the constraint first. */
+  private def requireUnconstrained(root: String, colName: String,
+      op: String): Unit = {
+    val active = TxLog.activeConstraintsFast(
+      s"$root/log", s"$root/ckpt", -1L)
+    if (active.nonEmpty) {
+      val parser = org.apache.spark.sql.SparkSession.active
+        .sessionState.sqlParser
+      active.foreach { c =>
+        val refs = parser.parseExpression(c.expr).collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.name
+        }
+        require(!refs.exists(_.equalsIgnoreCase(colName)),
+          s"graft-lake: cannot $op column $colName — constraint " +
+            s"${c.name} (${c.expr}) references it; drop the " +
+            "constraint first")
+      }
+    }
+  }
+
   /** Compile the table's active constraints into row-level predicates
     * BOUND to the write schema: parse + full Catalyst ANALYSIS on the
     * driver (type coercion, casts — exactly what the user's SQL
@@ -312,7 +339,7 @@ object LakeSource {
     * `eval` the serialized tree per row (interpreted — constraint
     * predicates are cheap next to the encode work; Delta's
     * InvariantChecker pays the same per-row check). */
-  private[sources] def compileChecks(
+  private[graft] def compileChecks(
       spark: org.apache.spark.sql.SparkSession, schema: StructType,
       cons: Seq[TxLog.Constraint]): Seq[(String,
         org.apache.spark.sql.catalyst.expressions.Expression)] =

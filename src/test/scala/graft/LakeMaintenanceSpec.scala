@@ -796,6 +796,41 @@ class LakeMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("r13 constraints compose with evolution and MERGE: a " +
+      "rename/drop of a constrained column rejects (appends would " +
+      "brick), and a violating merge changeset rejects before any " +
+      "commit") {
+    val base = buildLittered(2)
+    graft.sources.LakeSource.addConstraint(spark, base,
+      "vpos", "v IS NULL OR v >= 0"): Unit
+    val vBefore = TxLog.commitVersions(s"$base/log").max
+    // rename/drop of the constrained column rejects loudly
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeSource.renameColumn(base, "v", "w")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeSource.dropColumn(base, "v")
+    }
+    // an UNCONSTRAINED column still evolves freely
+    graft.sources.LakeSource.renameColumn(base, "s", "s1") shouldBe
+      vBefore + 1
+    // a violating merge UPDATE rejects before any commit
+    val vb2 = TxLog.commitVersions(s"$base/log").max
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.merge(spark, base,
+        Seq((5L, Array[Any](java.lang.Long.valueOf(5L),
+          java.lang.Long.valueOf(-7L), "bad"))), "doc_id")
+    }
+    TxLog.commitVersions(s"$base/log").max shouldBe vb2
+    // a compliant merge (incl. NULL — the CHECK rule) lands
+    val r = LakeMaintenance.merge(spark, base,
+      Seq((5L, Array[Any](java.lang.Long.valueOf(5L), null, "ok"))),
+      "doc_id")
+    r.matched shouldBe 1L
+    asSet(lake(base).select(col("doc_id"), col("v"),
+      col("s1").as("s"))) should contain ((5L, None, "ok"))
+  }
+
   test("r13 TIMESTAMP time travel: asOfTs resolves the newest commit " +
       "whose mtime is at or before it; explicit asOf wins; a " +
       "too-early timestamp rejects") {
