@@ -223,7 +223,8 @@ object LakeMaintenance {
         s"""$stats$sk$pv,"dataChange":false}}"""
     }
     val v = commitMaintenance(root, work.flatten.map(_.path).toSeq,
-      (removes ++ adds).toSeq, results.map(_._1).toSeq)
+      (removes ++ adds).toSeq :+ TxLog.commitInfoLine("OPTIMIZE"),
+      results.map(_._1).toSeq)
     CompactResult(work.map(_.size).sum, results.length, v)
   }
 
@@ -471,7 +472,8 @@ object LakeMaintenance {
           s"""$kstats$sstats,"dataChange":false}}"""
       }
     val v = commitMaintenance(root, live.map(_.path).toSeq,
-      lines.toSeq, written.map(_._1).toSeq)
+      lines.toSeq :+ TxLog.commitInfoLine("ZORDER"),
+      written.map(_._1).toSeq)
     ZorderResult(live.size, written.length, v)
   }
 
@@ -886,7 +888,8 @@ object LakeMaintenance {
       rewritten.filter(_._8.nonEmpty).map(_._8) ++
       insertAdd.toSeq.flatMap(a => Seq(a._1, a._5))
     val v = commitMaintenance(root, rewritten.map(_._1).toSeq,
-      lines.toSeq, writtenPaths.toSeq)
+      lines.toSeq :+ TxLog.commitInfoLine("MERGE"),
+      writtenPaths.toSeq)
     MergeResult(rewritten.length, matchedKeys.size.toLong,
       insertAdd.map(_._2).getOrElse(0L), v, deletedRows)
   }

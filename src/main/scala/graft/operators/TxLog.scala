@@ -400,6 +400,29 @@ object TxLog {
     * the connector's streaming offset space). */
   def commitVersions(logBase: String): Seq[Long] = listVersions(logBase)
 
+  /** Render a commit-provenance action (r13 — Delta's commitInfo):
+    * every ENGINE write path stamps its operation name into its own
+    * commit; hand-built fixture commits simply lack it. Resolution,
+    * checkpoints and the streaming tail all skip the line by
+    * construction (no add/remove/metaData/txn/cdc key). */
+  def commitInfoLine(op: String): String =
+    s"""{"commitInfo":{"op":"${requireJsonSafe(op)}"}}"""
+
+  /** The table's commit HISTORY, driver-side (Delta's DESCRIBE
+    * HISTORY): every on-disk commit version with its operation name
+    * (None = a commit without provenance — pre-r13 or hand-built)
+    * and the total rows its adds carried. Bounded by surviving
+    * history (log expiry trims it, like Delta's). */
+  def historyLocal(logBase: String): Seq[(Long, Option[String], Long)] =
+    listVersions(logBase).map { v =>
+      val lines = linesUnder(s"$logBase/version=$v")
+      val op = lines.filter(_.contains("\"commitInfo\":"))
+        .flatMap(l => jStr(l, "op")).headOption
+      val rows = lines.filter(_.contains("\"add\":"))
+        .flatMap(l => jLong(l, "size")).sum
+      (v, op, rows)
+    }
+
   /** Newest commit version whose directory modification time is ≤
     * `tsMillis` (r13 — Delta-style TIMESTAMP time travel: commit
     * mtimes are the timestamp authority, with the same caveats Delta

@@ -6343,6 +6343,82 @@ object LlmQueries {
           true AS valid
         FROM p GROUP BY media_id""")),
 
+    // ---- COMMIT PROVENANCE / DESCRIBE HISTORY (r13 — Delta's
+    // commitInfo): every engine write path stamps its operation name
+    // into its own commit; `TxLog.historyLocal` reads back (version,
+    // op, rows added). The gate scripts bootstrap (hand commit — no
+    // provenance, the pre-r13 shape), a connector APPEND, an
+    // insert-only MERGE and an OPTIMIZE, then aggregates the history
+    // per op — commit counts and per-op row totals must replay from
+    // the data alone; a mislabeled or double-stamped commit shifts a
+    // row.
+    "q254_lake_history" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakeh_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        val boot = d.where(col("doc_id") % 2 === 0)
+          .as[(Long, Long, String)].collect().sortBy(_._1)
+        if (boot.isEmpty)
+          Seq.empty[(String, Long, Long)]
+            .toDF("op", "n_commits", "rows_added")
+        else {
+          val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+            graft.operators.ParquetWrite.LongCol("doc_id",
+              boot.map(_._1)),
+            graft.operators.ParquetWrite.LongCol("n_chars",
+              boot.map(_._2)),
+            graft.operators.ParquetWrite.StrCol("lang",
+              boot.map(_._3))))
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            s"$base/data/boot.parquet"), bytes): Unit
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+            s"""{"add":{"path":"$base/data/boot.parquet",""" +
+              s""""size":${boot.length},"min_key":${boot.head._1},""" +
+              s""""max_key":${boot.last._1}}}"""))
+          d.where(col("doc_id") % 2 === 1).coalesce(1)
+            .write.format("graft-lake").option("path", base)
+            .mode("append").save()
+          // insert-only merge: 16 keys beyond every file window
+          val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+          graft.operators.LakeMaintenance.merge(s, base,
+            (1L to 16L).map(i => (mx + i,
+              Array[Any](java.lang.Long.valueOf(mx + i),
+                java.lang.Long.valueOf(7L), "zz"))),
+            "doc_id"): Unit
+          graft.operators.LakeMaintenance.compact(s, base,
+            targetRows = 1 << 22): Unit
+          val h = graft.operators.TxLog.historyLocal(s"$base/log")
+            .map { case (v, op, rows) =>
+              (v, op.getOrElse("UNKNOWN"), rows)
+            }
+          s.createDataFrame(h).toDF("version", "op", "rows")
+            .groupBy(col("op"))
+            .agg(count(lit(1)).as("n_commits"),
+              sum(col("rows")).as("rows_added"))
+        }
+      },
+      Some("""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ev
+          FROM documents)
+        SELECT 'UNKNOWN' AS op, CAST(1 AS BIGINT) AS n_commits,
+          ev AS rows_added FROM t
+        UNION ALL SELECT 'APPEND', CAST(1 AS BIGINT), n - ev FROM t
+        UNION ALL SELECT 'MERGE', CAST(1 AS BIGINT),
+          CAST(16 AS BIGINT) FROM t
+        UNION ALL SELECT 'OPTIMIZE', CAST(1 AS BIGINT), n + 16
+          FROM t""")),
+
     // ---- CHECK CONSTRAINTS (r13 — Delta's table constraints): ADD
     // validates the expression against the schema AND the existing
     // rows; every subsequent append evaluates it per row at the

@@ -202,7 +202,8 @@ object LakeSource {
     val phys = if (hadMetaData) s"c${next}_$name" else ""
     TxLog.commitVersion(s"$root/log", next, Seq(
       TxLog.metaDataLine(cur :+
-        TxLog.MetaCol(name, typeName, nullable = true, phys))))
+        TxLog.MetaCol(name, typeName, nullable = true, phys)),
+      TxLog.commitInfoLine("ADD COLUMN")))
     next
   }
 
@@ -223,7 +224,8 @@ object LakeSource {
         TxLog.MetaCol(newName, c.tpe, c.nullable, c.physName)
       else c)
     TxLog.commitVersion(s"$root/log", next,
-      Seq(TxLog.metaDataLine(cols)))
+      Seq(TxLog.metaDataLine(cols),
+        TxLog.commitInfoLine("RENAME COLUMN")))
     next
   }
 
@@ -238,7 +240,8 @@ object LakeSource {
     requireUnconstrained(root, name, "drop")
     val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
     TxLog.commitVersion(s"$root/log", next,
-      Seq(TxLog.metaDataLine(cur.filterNot(_.name == name))))
+      Seq(TxLog.metaDataLine(cur.filterNot(_.name == name)),
+        TxLog.commitInfoLine("DROP COLUMN")))
     next
   }
 
@@ -290,7 +293,8 @@ object LakeSource {
       s"graft-lake: existing rows violate constraint $name ($exprSql)")
     val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
     TxLog.commitVersion(s"$root/log", next,
-      Seq(TxLog.constraintLine(TxLog.Constraint(name, exprSql))))
+      Seq(TxLog.constraintLine(TxLog.Constraint(name, exprSql)),
+        TxLog.commitInfoLine("ADD CONSTRAINT")))
     next
   }
 
@@ -303,7 +307,8 @@ object LakeSource {
       s"graft-lake: no constraint $name")
     val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
     TxLog.commitVersion(s"$root/log", next,
-      Seq(TxLog.constraintDropLine(name)))
+      Seq(TxLog.constraintDropLine(name),
+        TxLog.commitInfoLine("DROP CONSTRAINT")))
     next
   }
 
@@ -1152,7 +1157,8 @@ final class LakeStreamingWrite(table: LakeTable, schema: StructType,
     }
     val lines = adds.map(LakeCommitMessage.line).toSeq :+
       (s"""{"txn":{"app":"${TxLog.requireJsonSafe(queryId)}",""" +
-        s""""epoch":$epochId}}""")
+        s""""epoch":$epochId}}""") :+
+      TxLog.commitInfoLine("STREAMING UPDATE")
     // blind commit (adds + fence): version collisions with concurrent
     // batch appends retry safely (r13)
     val next = TxLog.commitVersionWithRetry(
@@ -1233,7 +1239,10 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val adds = messages.collect { case m: LakeCommitMessage => m }
       .flatMap(_.adds).filter(_.numRows > 0)
-    val lines = adds.map(LakeCommitMessage.line).toSeq
+    val lines0 = adds.map(LakeCommitMessage.line).toSeq
+    val lines =
+      if (lines0.isEmpty) lines0
+      else lines0 :+ TxLog.commitInfoLine("APPEND")
     // an empty append commits NO version — and must run NO checkpoint
     // maintenance either (ADVICE r12: a checkpoint + pointer for a
     // never-committed version makes the next real commit's rows

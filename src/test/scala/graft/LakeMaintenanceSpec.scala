@@ -831,6 +831,38 @@ class LakeMaintenanceSpec extends SparkSpec {
       col("s1").as("s"))) should contain ((5L, None, "ok"))
   }
 
+  test("r13 commit provenance: every engine write path stamps its " +
+      "operation; hand-built commits read back as None; parsers all " +
+      "skip the line") {
+    val base = buildLittered(2) // hand-built v0: no provenance
+    Seq((9000L, java.lang.Long.valueOf(1L), "zz"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    LakeMaintenance.merge(spark, base,
+      Seq((5L, Array[Any](java.lang.Long.valueOf(5L),
+        java.lang.Long.valueOf(1L), "u"))), "doc_id"): Unit
+    LakeMaintenance.compact(spark, base, targetRows = 1 << 20): Unit
+    graft.sources.LakeSource.addColumn(base, "score", "double"): Unit
+    graft.sources.LakeSource.renameColumn(base, "score", "sc"): Unit
+    graft.sources.LakeSource.dropColumn(base, "sc"): Unit
+    graft.sources.LakeSource.addConstraint(spark, base,
+      "pos", "doc_id >= 0"): Unit
+    graft.sources.LakeSource.dropConstraint(base, "pos"): Unit
+    val ops = TxLog.historyLocal(s"$base/log").map(_._2)
+    ops shouldBe Seq(None, Some("APPEND"), Some("MERGE"),
+      Some("OPTIMIZE"), Some("ADD COLUMN"), Some("RENAME COLUMN"),
+      Some("DROP COLUMN"), Some("ADD CONSTRAINT"),
+      Some("DROP CONSTRAINT"))
+    // rows-added accounting: the append carried 1 row
+    TxLog.historyLocal(s"$base/log")
+      .find(_._2.contains("APPEND")).get._3 shouldBe 1L
+    // the line is invisible to every other parser: content + schema
+    // + pruning all unchanged
+    lake(base).count() shouldBe 201L
+    lake(base).filter(col("doc_id") === 9000L).count() shouldBe 1L
+  }
+
   test("r13 TIMESTAMP time travel: asOfTs resolves the newest commit " +
       "whose mtime is at or before it; explicit asOf wins; a " +
       "too-early timestamp rejects") {
