@@ -60,55 +60,47 @@ object LakeMaintenance {
 
   private val utf8Ord: Ordering[String] =
     (a: String, b: String) =>
-      if (utf8Lt(a, b)) -1 else if (utf8Lt(b, a)) 1 else 0
-
-  /** Unsigned-lexicographic UTF-8 byte order — the same order the
-    * footer/log string stats use, so predicate compares agree. */
-  private def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
-    val m = math.min(x.length, y.length)
-    var i = 0
-    while (i < m) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+      if (TxLog.utf8Lt(a, b)) -1
+      else if (TxLog.utf8Lt(b, a)) 1
+      else 0
 
   /** Commit a MAINTENANCE rewrite (removes + adds) with OPTIMISTIC
-    * concurrency (r13 — the concurrent-writer law): the atomic rename
-    * makes a version collision fail loudly; on collision, re-resolve
-    * the live set. A blind append losing us the race never invalidates
-    * the rewrite (its read set is untouched) → retry at the next
-    * version. A concurrent rewrite that removed any file THIS commit
-    * also removes means the read set changed → delete the written
-    * files and abort loudly. Never a lost add, never a rewrite applied
-    * over a stale snapshot. Returns the version that landed. */
+    * concurrency (r13 — the concurrent-writer law). The read set is
+    * RE-VALIDATED at every attempt, BEFORE the commit (review
+    * follow-up: a conflicting rewrite that landed while THIS rewrite
+    * was running on executors takes an earlier version number, so the
+    * rename alone never collides — checking only on collision let a
+    * stale-snapshot rewrite commit silently, resurrecting deleted
+    * rows). Between the check and the rename, any interleaving commit
+    * necessarily takes the same version number (both computed the
+    * same max) → the rename collides → loop → re-check. A blind
+    * append losing us the race never invalidates the rewrite (its
+    * read set is untouched) → retry at the next version; a changed
+    * read set → delete the written files and abort loudly. Only
+    * [[TxLog.CommitCollisionException]] retries — I/O faults surface
+    * as themselves. Never a lost add, never a rewrite applied over a
+    * stale snapshot. Returns the version that landed. */
   private def commitMaintenance(root: String, removedPaths: Seq[String],
       lines: Seq[String], writtenPaths: Seq[String]): Long = {
     var attempts = 0
     while (true) {
+      val liveNow = TxLog
+        .resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+        .map(_.path).toSet
+      if (!removedPaths.forall(liveNow.contains) || attempts >= 1000) {
+        writtenPaths.foreach(p =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(p)): Unit)
+        throw new IllegalStateException(
+          s"maintenance conflict under $root: the read set changed " +
+            "under a concurrent rewrite — aborted cleanly")
+      }
       val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
       try {
         TxLog.commitVersion(s"$root/log", next, lines)
         return next
       } catch {
-        case e: IllegalStateException =>
-          attempts += 1
-          val liveNow = TxLog
-            .resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
-            .map(_.path).toSet
-          if (!removedPaths.forall(liveNow.contains) ||
-              attempts >= 1000) {
-            writtenPaths.foreach(p =>
-              java.nio.file.Files.deleteIfExists(
-                java.nio.file.Paths.get(p)): Unit)
-            throw new IllegalStateException(
-              s"maintenance conflict under $root: the read set " +
-                "changed under a concurrent rewrite — aborted cleanly",
-              e)
-          }
+        case _: TxLog.CommitCollisionException => attempts += 1
       }
     }
     -1L // unreachable
@@ -190,10 +182,7 @@ object LakeMaintenance {
 
     val removes = work.flatten.map(f =>
       s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""")
-    def jsafe(v: String): Option[String] =
-      if (v.forall(c => c != '"' && c != '\\' && c != '\n' &&
-          c != '\r')) Some(v)
-      else None
+    def jsafe(v: String): Option[String] = TxLog.jsonSafe(v)
     val adds = results.zipWithIndex.map { case ((p, rows, mn, mx), i) =>
       val bin = work(i) // parallelize+map+collect preserves order
       val stats = (mn, mx) match {
@@ -277,14 +266,40 @@ object LakeMaintenance {
   def zorder(spark: SparkSession, root: String, cols: Seq[String],
       targetRows: Int, rowsPerGroup: Int = 1024,
       statsCol: String = "doc_id",
-      strStatsCol: Option[String] = None): ZorderResult = {
+      strStatsCol: Option[String] = None,
+      partition: Option[(String, String)] = None): ZorderResult = {
     require(targetRows > 0, "targetRows must be positive")
     require(cols.size >= 2 && cols.size <= 4 &&
         cols.distinct.size == cols.size,
       "zorder needs 2..4 distinct columns")
-    val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+    val live0 = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+    // PARTITIONED tables z-order one partition at a time (review
+    // follow-up: a global rewrite would mix partition values in its
+    // output files and could not carry `part` — one z-order would
+    // permanently destroy q237 partition pruning, the grouped
+    // pushdown, and partition-aware compaction). Delta's OPTIMIZE
+    // ZORDER has the same per-partition shape.
+    val live = partition match {
+      case Some((_, v)) =>
+        require(live0.forall(_.part.isDefined),
+          "zorder partition=… requires a fully partitioned table " +
+            "(a part-less file may hold rows of any value)")
+        live0.filter(_.part.contains(v))
+      case None =>
+        require(live0.forall(_.part.isEmpty),
+          "zorder on a partitioned table must name a partition " +
+            "(partition = Some(col -> value)) — a global rewrite " +
+            "would destroy partition pruning")
+        live0
+    }
     if (live.isEmpty) return ZorderResult(0, 0, -1L)
-    val df = spark.read.format("graft-lake").option("path", root).load()
+    val df0 = spark.read.format("graft-lake").option("path", root)
+    val df = partition match {
+      case Some((c, v)) =>
+        import org.apache.spark.sql.functions.{col => c0}
+        df0.option("partitionBy", c).load().where(c0(c) === v)
+      case None => df0.load()
+    }
     val schema = df.schema
     import org.apache.spark.sql.types.{LongType, StringType}
     cols.foreach { c =>
@@ -446,8 +461,8 @@ object LakeMaintenance {
           if (sIdx >= 0) rs.foreach { r =>
             if (!r.isNullAt(sIdx)) {
               val v = r.getString(sIdx)
-              if (mnS == null || utf8Lt(v, mnS)) mnS = v
-              if (mxS == null || utf8Lt(mxS, v)) mxS = v
+              if (mnS == null || TxLog.utf8Lt(v, mnS)) mnS = v
+              if (mxS == null || TxLog.utf8Lt(mxS, v)) mxS = v
             }
           }
           val sw = if (mnS == null) None else Some((mnS, mxS))
@@ -455,10 +470,7 @@ object LakeMaintenance {
         }
       }
       .collect() // bounded: one metadata row per OUTPUT file
-    def jsafe(v: String): Option[String] =
-      if (v.forall(c => c != '"' && c != '\\' && c != '\n' &&
-          c != '\r')) Some(v)
-      else None
+    def jsafe(v: String): Option[String] = TxLog.jsonSafe(v)
     val lines =
       live.map(f =>
         s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""") ++
@@ -468,8 +480,10 @@ object LakeMaintenance {
         val sstats = sw.flatMap { case (mn, mx) =>
           for (x <- jsafe(mn); y <- jsafe(mx))
             yield s""","min_skey":"$x","max_skey":"$y"""" }.getOrElse("")
+        val pv = partition.flatMap(kv => jsafe(kv._2))
+          .map(v => s""","part":"$v"""").getOrElse("")
         s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
-          s"""$kstats$sstats,"dataChange":false}}"""
+          s"""$kstats$sstats$pv,"dataChange":false}}"""
       }
     val v = commitMaintenance(root, live.map(_.path).toSeq,
       lines.toSeq :+ TxLog.commitInfoLine("ZORDER"),
@@ -721,6 +735,24 @@ object LakeMaintenance {
           .option("path", root).load().schema
         val checks = graft.sources.LakeSource
           .compileChecks(spark, schema, cons)
+        // the changeset arrays are in FILE-LEAF order; the compiled
+        // predicates bind positionally to the LOGICAL schema — map
+        // logical field → leaf slot through the column mapping
+        // (review follow-up: after DROP/ADD COLUMN the two orders
+        // diverge and a positional row evaluated the wrong slots)
+        val physMap = TxLog
+          .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
+          .map(_.map(c => c.name -> c.physName).toMap)
+          .getOrElse(Map.empty[String, String])
+        val slotOf: Array[Int] = schema.fieldNames.map { n =>
+          val phys = physMap.getOrElse(n, n)
+          val i = schemaLeaves.indexWhere(l => l.path == phys ||
+            l.path.startsWith(phys + "."))
+          require(i >= 0,
+            s"cannot constraint-check a merge against column $n: " +
+              "the live files predate it (compact the table first)")
+          i
+        }
         def toCatalyst(v: Any): Any = v match {
           case s0: String =>
             org.apache.spark.unsafe.types.UTF8String.fromString(s0)
@@ -731,7 +763,7 @@ object LakeMaintenance {
         }
         updates.foreach { case (k, vals) =>
           val row = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(vals.map(toCatalyst))
+            .GenericInternalRow(slotOf.map(i => toCatalyst(vals(i))))
           checks.foreach { case (n, e) =>
             val r = e.eval(row)
             require(r == null || r != false,

@@ -233,12 +233,17 @@ object TxLog {
       case None => emptyState
     }
     val allVs = listVersions(logBase)
-    // log expiry (r13): with no usable checkpoint, a replay that
-    // cannot start at version 0 would be silently PARTIAL — refuse
-    if (usable.isEmpty && allVs.nonEmpty && allVs.min > 0)
+    // log expiry (r13): with no usable checkpoint, a replay is only
+    // sound when it can start at version 0 — refuse a tail that
+    // starts later AND an empty tail on a table whose checkpoints
+    // prove history existed (review follow-up: the empty-tail case
+    // silently resolved an EMPTY snapshot)
+    if (usable.isEmpty &&
+        ((allVs.nonEmpty && allVs.min > 0) ||
+          (allVs.isEmpty && listVersions(ckptBase).nonEmpty)))
       throw new IllegalStateException(
-        s"history before version ${allVs.min} has been expired and " +
-          s"no checkpoint covers asOf=$asOf")
+        s"history has been expired and no checkpoint covers " +
+          s"asOf=$asOf")
     val tail = allVs
       .filter(v => usable.forall(v > _))
       .filter(v => asOf < 0 || v <= asOf)
@@ -370,12 +375,17 @@ object TxLog {
       }
     }
     val allVs = listVersions(logBase)
-    // log expiry (r13): with no usable checkpoint, a replay that
-    // cannot start at version 0 would be silently PARTIAL — refuse
-    if (usable.isEmpty && allVs.nonEmpty && allVs.min > 0)
+    // log expiry (r13): with no usable checkpoint, a replay is only
+    // sound when it can start at version 0 — refuse a tail that
+    // starts later AND an empty tail on a table whose checkpoints
+    // prove history existed (review follow-up: the empty-tail case
+    // silently resolved an EMPTY snapshot)
+    if (usable.isEmpty &&
+        ((allVs.nonEmpty && allVs.min > 0) ||
+          (allVs.isEmpty && listVersions(ckptBase).nonEmpty)))
       throw new IllegalStateException(
-        s"history before version ${allVs.min} has been expired and " +
-          s"no checkpoint covers asOf=$asOf")
+        s"history has been expired and no checkpoint covers " +
+          s"asOf=$asOf")
     val tail = allVs
       .filter(v => usable.forall(v > _))
       .filter(v => asOf < 0 || v <= asOf)
@@ -496,6 +506,18 @@ object TxLog {
   private def metaStateLine(cols: Seq[MetaCol]): String =
     s"""{"metaState":{"cols":[${colsBody(cols)}]}}"""
 
+  /** The checkpoint's non-file extras (marker, metaState, txnState,
+    * consState): read from the small `zz-extras.json` alone when
+    * present — the O(live-files) state lines never need parsing for
+    * a schema/fence/constraint lookup (r13 review follow-up). */
+  private def extrasLines(ckptBase: String, cv: Long): Seq[String] = {
+    val f = new java.io.File(s"$ckptBase/version=$cv/zz-extras.json")
+    if (f.isFile)
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(f.toPath)).asScala.toSeq
+    else linesUnder(s"$ckptBase/version=$cv")
+  }
+
   private def usableCkpt(ckptBase: String, asOf: Long): Option[Long] = {
     val available = listVersions(ckptBase)
     if (asOf < 0) readPointer(ckptBase).filter(available.contains)
@@ -506,8 +528,7 @@ object TxLog {
     * txnState)? Format-1 checkpoints force full-history fallbacks and
     * cannot anchor log expiry. */
   def isCheckpointV2(ckptBase: String, cv: Long): Boolean =
-    linesUnder(s"$ckptBase/version=$cv")
-      .exists(_.contains("\"ckptFormat\""))
+    extrasLines(ckptBase, cv).exists(_.contains("\"ckptFormat\""))
 
   /** Latest metaData ≤ asOf (< 0 = latest) through the checkpoint
     * fast path (r13): the commit TAIL above the newest usable v2
@@ -525,7 +546,7 @@ object TxLog {
             .filter(_.contains("\"metaData\":")).reverseIterator
         }.nextOption().map(parseMetaCols)
         fromTail.orElse {
-          linesUnder(s"$ckptBase/version=$cv")
+          extrasLines(ckptBase, cv)
             .filter(_.contains("\"metaState\":"))
             .lastOption.map(parseMetaCols).filter(_.nonEmpty)
         }
@@ -538,7 +559,7 @@ object TxLog {
     val usable = usableCkpt(ckptBase, asOf)
       .filter(isCheckpointV2(ckptBase, _))
     val fromCkpt: Map[String, Long] = usable.map { cv =>
-      linesUnder(s"$ckptBase/version=$cv")
+      extrasLines(ckptBase, cv)
         .filter(_.contains("\"txnState\":"))
         .flatMap(l => for (a <- jStr(l, "app"); e <- jLong(l, "epoch"))
           yield (a, e)).toMap
@@ -582,7 +603,7 @@ object TxLog {
     val usable = usableCkpt(ckptBase, asOf)
       .filter(isCheckpointV2(ckptBase, _))
     val base: Seq[Constraint] = usable.map { cv =>
-      parseCons(linesUnder(s"$ckptBase/version=$cv")
+      parseCons(extrasLines(ckptBase, cv)
         .filter(_.contains("\"consState\":")))
     }.getOrElse(Seq.empty)
     val tailVs = listVersions(logBase)
@@ -626,6 +647,30 @@ object TxLog {
     if (es.isEmpty) None else Some(es.max)
   }
 
+  /** The no-escape JSON subset as an Option: None when the value
+    * cannot ride the log without escaping — callers then DROP the
+    * optional stat (pruning degrades to scan, never corrupts). One
+    * definition for every writer (review follow-up: three copies). */
+  def jsonSafe(v: String): Option[String] =
+    if (v.forall(c => c != '"' && c != '\\' && c != '\n' &&
+        c != '\r')) Some(v)
+    else None
+
+  /** Unsigned-lexicographic UTF-8 byte order — the ONE definition of
+    * the order every string window (writer measurement, log stats,
+    * scan pruning) uses, so compares can never disagree. */
+  def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Enforce the log's no-escape JSON subset at WRITE time (ADVICE
     * r11): a '"', '\', or newline in an interpolated path would
     * silently produce a malformed log that the regex-based parsers
@@ -638,6 +683,13 @@ object TxLog {
     path
   }
 
+  /** A version-number race lost to another committer (r13): the ONLY
+    * failure the optimistic retry loops treat as retryable — a
+    * permission error or disk fault must surface, not spin or be
+    * misreported as a conflict. */
+  final class CommitCollisionException(msg: String, cause: Throwable)
+      extends IllegalStateException(msg, cause)
+
   /** Write one commit version ATOMICALLY (ADVICE r11): the action
     * lines land in a dot-prefixed temp directory (invisible to
     * [[listVersions]]) and ONE rename publishes `version=N` — a
@@ -645,9 +697,11 @@ object TxLog {
     * listing, sees either the complete commit or none of it, never an
     * empty version directory whose adds it would then permanently
     * skip. Rename onto an existing non-empty `version=N` fails →
-    * commit collision surfaces as an error, not a silent merge. A
-    * crashed writer leaves only a dot-temp dir, which no reader lists
-    * and vacuum's orphan sweep never consults. */
+    * [[CommitCollisionException]], not a silent merge; any OTHER
+    * filesystem failure (permissions, disk) is rethrown as a plain
+    * error the retry loops never swallow. A crashed writer leaves
+    * only a dot-temp dir, which no reader lists and vacuum's orphan
+    * sweep never consults. */
   def commitVersion(logBase: String, version: Long,
       lines: Seq[String]): Unit = {
     require(lines.nonEmpty, "empty commit")
@@ -667,8 +721,11 @@ object TxLog {
       case e: java.nio.file.FileSystemException =>
         new java.io.File(tmp, "actions.json").delete(): Unit
         tmp.delete(): Unit
-        throw new IllegalStateException(
-          s"commit collision at $target", e)
+        if (target.exists())
+          throw new CommitCollisionException(
+            s"commit collision at $target", e)
+        else throw new IllegalStateException(
+          s"commit failed at $target (not a collision)", e)
     }
   }
 
@@ -702,7 +759,7 @@ object TxLog {
         commitVersion(logBase, next, lines)
         return next
       } catch {
-        case e: IllegalStateException =>
+        case e: CommitCollisionException =>
           attempt += 1
           if (attempt >= maxAttempts) throw e
       }

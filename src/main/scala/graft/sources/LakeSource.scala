@@ -756,17 +756,7 @@ final class LakeScan(table: LakeTable, required: StructType,
     // window, and the partition value as the exact window [v, v] —
     // unsigned-lexicographic UTF-8 byte order, matching the writer's
     // measurement. Files without the stat must scan.
-    def sLt(a: String, b: String): Boolean = {
-      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
-      val m = math.min(x.length, y.length)
-      var i = 0
-      while (i < m) {
-        val d = (x(i) & 0xff) - (y(i) & 0xff)
-        if (d != 0) return d < 0
-        i += 1
-      }
-      x.length < y.length
-    }
+    def sLt(a: String, b: String): Boolean = TxLog.utf8Lt(a, b)
     def sLe(a: String, b: String): Boolean = !sLt(b, a)
     def windowOf(f: TxLog.LiveFile, c: String)
         : Option[(String, String)] =
@@ -1060,9 +1050,7 @@ object LakeCommitMessage {
     * a scan of that file, which is always correct. */
   private[sources] def line(a: LakeAdd): String = {
     def safe(v: String): Option[String] =
-      if (v.forall(c => c != '"' && c != '\\' && c != '\n' &&
-          c != '\r')) Some(v)
-      else None
+      graft.operators.TxLog.jsonSafe(v)
     val kstats =
       if (a.hasKey) s""","min_key":${a.minKey},"max_key":${a.maxKey}"""
       else ""
@@ -1423,19 +1411,8 @@ final class LakeDataWriter(root: String, schema: StructType,
       }
     }.toSeq
 
-  /** Unsigned-lexicographic UTF-8 byte order — the same order the
-    * footer's string stats use, so predicate compares agree. */
-  private def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
-    val m = math.min(x.length, y.length)
-    var i = 0
-    while (i < m) {
-      val d = (x(i) & 0xff) - (y(i) & 0xff)
-      if (d != 0) return d < 0
-      i += 1
-    }
-    x.length < y.length
-  }
+  private def utf8Lt(a: String, b: String): Boolean =
+    TxLog.utf8Lt(a, b)
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     if (n == 0) return LakeCommitMessage(Seq.empty)

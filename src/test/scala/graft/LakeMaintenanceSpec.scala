@@ -831,6 +831,109 @@ class LakeMaintenanceSpec extends SparkSpec {
       col("s1").as("s"))) should contain ((5L, None, "ok"))
   }
 
+  test("r13 review: two RACING compactions of the same read set — " +
+      "exactly one wins, the loser aborts cleanly or no-ops, content " +
+      "never duplicates") {
+    val base = buildLittered(8)
+    val before = asSet(lake(base))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def run(): Either[Throwable, LakeMaintenance.CompactResult] =
+      try Right(LakeMaintenance.compact(spark, base, targetRows = 400))
+      catch { case t: Throwable => Left(t) }
+    val f1 = Future(run()); val f2 = Future(run())
+    val r1 = Await.result(f1, 300.seconds)
+    val r2 = Await.result(f2, 300.seconds)
+    // exactly one rewrite landed; the other aborted loudly (stale
+    // read set) or no-opped (serialized after the winner)
+    val wins = Seq(r1, r2).count {
+      case Right(r) => r.removed == 8
+      case Left(_) => false
+    }
+    wins shouldBe 1
+    Seq(r1, r2).foreach {
+      case Right(r) => r.removed should (be(8) or be(0))
+      case Left(t) =>
+        t.getMessage should include("maintenance conflict")
+    }
+    // the law that matters: content is invariant — a double-applied
+    // rewrite would duplicate all 800 rows
+    asSet(lake(base)) shouldBe before
+    lake(base).count() shouldBe 800L
+  }
+
+  test("r13 review: collision classification — only a real version " +
+      "collision is retryable; z-order on a partitioned table is " +
+      "per-partition and keeps part") {
+    val base = buildLittered(2)
+    intercept[TxLog.CommitCollisionException] {
+      TxLog.commitVersion(s"$base/log", 0L, Seq("""{"x":1}"""))
+    }
+    // z-order: partitioned tables must name a partition
+    val pbase = java.nio.file.Files
+      .createTempDirectory("graft_zpart").toFile.getAbsolutePath
+    new java.io.File(s"$pbase/data").mkdirs()
+    val lines = (0 until 4).map { f =>
+      val pv = Seq("a", "b")(f % 2)
+      val ids = (f * 100L until f * 100L + 100L).toArray
+      val bytes = ParquetWrite.writeFile(Seq(
+        ParquetWrite.LongCol("doc_id", ids),
+        ParquetWrite.LongCol("h", ids.map(i => (i * 797L) % 4096L)),
+        ParquetWrite.StrCol("p", ids.map(_ => pv))),
+        rowsPerGroup = 64)
+      val path = s"$pbase/data/part-$f.parquet"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path), bytes): Unit
+      s"""{"add":{"path":"$path","size":100""" +
+        s""","min_key":${ids.head},"max_key":${ids.last}""" +
+        s""","part":"$pv"}}"""
+    }
+    TxLog.commitVersion(s"$pbase/log", 0L, lines)
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.zorder(spark, pbase, Seq("doc_id", "h"),
+        targetRows = 200)
+    }
+    val before = spark.read.format("graft-lake").option("path", pbase)
+      .option("partitionBy", "p").load().collect().map(_.toSeq).toSet
+    val r = LakeMaintenance.zorder(spark, pbase, Seq("doc_id", "h"),
+      targetRows = 200, partition = Some("p" -> "a"))
+    r.removed shouldBe 2 // only partition a's files
+    val live = TxLog.resolveLiveLocal(s"$pbase/log", s"$pbase/ckpt", -1L)
+    live.size shouldBe (4 - 2 + r.created)
+    live.foreach(f => f.part.isDefined shouldBe true) // part KEPT
+    val lk = spark.read.format("graft-lake").option("path", pbase)
+      .option("partitionBy", "p").load()
+    lk.collect().map(_.toSeq).toSet shouldBe before
+    // partition pruning survives the rewrite on BOTH values
+    lk.filter(col("p") === "b").rdd.getNumPartitions shouldBe 2
+    lk.filter(col("p") === "b").count() shouldBe 200L
+    lk.filter(col("p") === "a").count() shouldBe 200L
+  }
+
+  test("r13 review: merge constraint checks align through the column " +
+      "mapping after DROP COLUMN (file-leaf order != logical order)") {
+    val base = buildLittered(2) // (doc_id, v, s) in the files
+    graft.sources.LakeSource.addConstraint(spark, base,
+      "s_ok", "s IN ('s0','s1','s2','ok')"): Unit
+    graft.sources.LakeSource.dropColumn(base, "v"): Unit
+    // logical schema is now (doc_id, s); files carry 3 leaves; the
+    // changeset stays in FILE order — the check must evaluate the
+    // logical slots, not positional ones
+    val r = LakeMaintenance.merge(spark, base,
+      Seq((5L, Array[Any](java.lang.Long.valueOf(5L),
+        java.lang.Long.valueOf(1L), "ok"))), "doc_id")
+    r.matched shouldBe 1L
+    lake(base).where(col("doc_id") === 5L).head().getString(1)
+      .shouldBe("ok")
+    // and a violating value in the LOGICAL column still rejects
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.merge(spark, base,
+        Seq((6L, Array[Any](java.lang.Long.valueOf(6L),
+          java.lang.Long.valueOf(1L), "BAD"))), "doc_id")
+    }
+  }
+
   test("r13 commit provenance: every engine write path stamps its " +
       "operation; hand-built commits read back as None; parsers all " +
       "skip the line") {
@@ -945,6 +1048,12 @@ class LakeMaintenanceSpec extends SparkSpec {
       .deletedVersions shouldBe 2
     lake(base).count() shouldBe before.size.toLong + 1L
     lake(base).where(col("doc_id") === 9001L).count() shouldBe 1L
+    // the EMPTY-TAIL case (review follow-up): the log is now empty,
+    // every checkpoint is above asOf=3 — resolution must refuse, not
+    // silently return an empty snapshot
+    intercept[IllegalStateException] {
+      TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", 3L)
+    }
     // evolution after expiry: drop + re-add needs NO history — the
     // fresh-phys rule (c<version>_) is monotone by commit version,
     // so the re-added column reads NULL even though pre-expiry files
