@@ -65,25 +65,29 @@ object LakeMaintenance {
       else 0
 
   /** Commit a MAINTENANCE rewrite (removes + adds) with OPTIMISTIC
-    * concurrency (r13 — the concurrent-writer law). The read set is
-    * RE-VALIDATED at every attempt, BEFORE the commit (review
-    * follow-up: a conflicting rewrite that landed while THIS rewrite
-    * was running on executors takes an earlier version number, so the
-    * rename alone never collides — checking only on collision let a
-    * stale-snapshot rewrite commit silently, resurrecting deleted
-    * rows). Between the check and the rename, any interleaving commit
-    * necessarily takes the same version number (both computed the
-    * same max) → the rename collides → loop → re-check. A blind
-    * append losing us the race never invalidates the rewrite (its
-    * read set is untouched) → retry at the next version; a changed
-    * read set → delete the written files and abort loudly. Only
-    * [[TxLog.CommitCollisionException]] retries — I/O faults surface
-    * as themselves. Never a lost add, never a rewrite applied over a
-    * stale snapshot. Returns the version that landed. */
-  private def commitMaintenance(root: String, removedPaths: Seq[String],
-      lines: Seq[String], writtenPaths: Seq[String]): Long = {
+    * concurrency (r13 — the concurrent-writer law). The target
+    * version is PINNED from the log listing FIRST, and only then is
+    * the read set re-validated (ADVICE r14: validating before
+    * pinning left a window — a conflicting rewrite landing between
+    * the validation listing and the version listing was included in
+    * `next`'s max, so this commit landed at a fresh version with no
+    * collision and no re-check, silently resurrecting deleted rows).
+    * With the pin first, any commit INVISIBLE to the validation must
+    * take a version ≥ the pinned `next` (versions are max+1 of the
+    * listing), so our rename at `next` collides → loop → re-check.
+    * A blind append losing us the race never invalidates the rewrite
+    * (its read set is untouched) → retry at the next version; a
+    * changed read set → delete the written files and abort loudly.
+    * Only [[TxLog.CommitCollisionException]] retries — I/O faults
+    * surface as themselves. Never a lost add, never a rewrite
+    * applied over a stale snapshot. Returns the version that landed. */
+  private[graft] def commitMaintenance(root: String,
+      removedPaths: Seq[String], lines: Seq[String],
+      writtenPaths: Seq[String]): Long = {
     var attempts = 0
     while (true) {
+      // pin BEFORE validating: the version listing is the fence
+      val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
       val liveNow = TxLog
         .resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
         .map(_.path).toSet
@@ -95,7 +99,6 @@ object LakeMaintenance {
           s"maintenance conflict under $root: the read set changed " +
             "under a concurrent rewrite — aborted cleanly")
       }
-      val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
       try {
         TxLog.commitVersion(s"$root/log", next, lines)
         return next
@@ -956,10 +959,26 @@ object LakeMaintenance {
     val horizon = math.min(versions.max - keepVersions + 1, ptr + 1)
     val del = versions.filter(_ < horizon)
     del.foreach { v =>
+      // hide the commit ATOMICALLY before deleting it (ADVICE r14):
+      // deleting the files inside version=N first left a window where
+      // a concurrent reader listed a still-present-but-emptied
+      // version=0 dir — the min>0 expiry guard then did not fire and
+      // resolution silently yielded a partial snapshot. One rename to
+      // a dot-prefixed temp (invisible to listVersions, mirroring the
+      // commit publish protocol) makes the commit vanish in one step;
+      // the guard then fails loudly, as designed.
       val dir = new java.io.File(s"$root/log/version=$v")
-      Option(dir.listFiles()).toSeq.flatten.foreach(f =>
+      val tmp = new java.io.File(s"$root/log",
+        s".expired-$v-${java.util.UUID.randomUUID().toString.take(8)}")
+      try
+        java.nio.file.Files.move(dir.toPath, tmp.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      catch {
+        case _: java.nio.file.NoSuchFileException => () // already gone
+      }
+      Option(tmp.listFiles()).toSeq.flatten.foreach(f =>
         f.delete(): Unit)
-      dir.delete(): Unit
+      tmp.delete(): Unit
     }
     ExpireResult(del.size, horizon)
   }

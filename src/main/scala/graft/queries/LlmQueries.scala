@@ -6472,20 +6472,31 @@ object LlmQueries {
             .repartition(2)
             .write.format("graft-lake").option("path", base)
             .mode("append").save()
-          // the violating append MUST fail loudly and leave no trace
-          try {
-            d.where(col("doc_id") >= 256).limit(7)
-              .select(col("doc_id"), lit(-1L).as("n_chars"),
-                col("lang"))
-              .coalesce(1)
-              .write.format("graft-lake").option("path", base)
-              .mode("append").save()
-            throw new IllegalStateException(
-              "constraint violation must fail the append")
-          } catch {
-            case _: IllegalStateException => throw new Exception(
+          // the violating append MUST fail loudly and leave no trace.
+          // Classification is NARROW (ADVICE r14): only a failure
+          // whose cause chain names the CHECK constraint counts as
+          // the expected rejection — an infrastructure failure
+          // (commit collision, I/O fault) rethrows as itself, and a
+          // silently-succeeding append trips the None arm.
+          val probe: Option[Throwable] =
+            try {
+              d.where(col("doc_id") >= 256).limit(7)
+                .select(col("doc_id"), lit(-1L).as("n_chars"),
+                  col("lang"))
+                .coalesce(1)
+                .write.format("graft-lake").option("path", base)
+                .mode("append").save()
+              None
+            } catch { case e: Throwable => Some(e) }
+          probe match {
+            case None => throw new IllegalStateException(
               "constraint violation silently committed")
-            case _: Exception => () // the expected loud failure
+            case Some(e) =>
+              val msgs = Iterator.iterate(e)(_.getCause)
+                .takeWhile(_ != null).take(20)
+                .map(t => Option(t.getMessage).getOrElse(""))
+              if (!msgs.exists(_.contains(
+                  "CHECK constraint chars_sane"))) throw e
           }
           s.read.format("graft-lake").option("path", base).load()
             .groupBy(col("lang"))

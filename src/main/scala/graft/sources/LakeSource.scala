@@ -284,18 +284,42 @@ object LakeSource {
     require(!active.exists(_.name == name),
       s"graft-lake: constraint $name already exists")
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    val df = spark.read.format("graft-lake").option("path", root).load()
-    val pred = expr(exprSql).cast("boolean")
-    // also proves the expression compiles against the schema
-    val violating = df.where(not(coalesce(pred, lit(true))))
-      .limit(1).count()
-    require(violating == 0L,
-      s"graft-lake: existing rows violate constraint $name ($exprSql)")
-    val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
-    TxLog.commitVersion(s"$root/log", next,
-      Seq(TxLog.constraintLine(TxLog.Constraint(name, exprSql)),
-        TxLog.commitInfoLine("ADD CONSTRAINT")))
-    next
+    // pin-then-validate loop (ADVICE r14 — the same law as
+    // maintenance commits): the target version is pinned from the
+    // log listing BEFORE the violating-rows scan, so a commit that
+    // lands rows AFTER the scan must take a version ≥ the pinned one
+    // → our rename collides → loop → re-scan at the fresh snapshot.
+    // Without the pin, rows appended between the scan and the
+    // constraint commit were never checked, and the table could end
+    // up permanently violating a successfully-added constraint.
+    // In-flight writers compile their check set at job/stream START,
+    // so a stream already running enforces a new constraint only
+    // after restart (Delta documents the same boundary) — but its
+    // commits land at versions ≥ ours and were scanned or collided
+    // here, so they were clean at add time.
+    var attempts = 0
+    while (true) {
+      val next = TxLog.nextVersion(s"$root/log", s"$root/ckpt")
+      val df = spark.read.format("graft-lake").option("path", root)
+        .load()
+      val pred = expr(exprSql).cast("boolean")
+      // also proves the expression compiles against the schema
+      val violating = df.where(not(coalesce(pred, lit(true))))
+        .limit(1).count()
+      require(violating == 0L,
+        s"graft-lake: existing rows violate constraint $name ($exprSql)")
+      try {
+        TxLog.commitVersion(s"$root/log", next,
+          Seq(TxLog.constraintLine(TxLog.Constraint(name, exprSql)),
+            TxLog.commitInfoLine("ADD CONSTRAINT")))
+        return next
+      } catch {
+        case e: TxLog.CommitCollisionException =>
+          attempts += 1
+          if (attempts >= 1000) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** DROP CONSTRAINT (r13): commits one `constraintDrop` action;

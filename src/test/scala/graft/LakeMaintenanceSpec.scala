@@ -1096,4 +1096,68 @@ class LakeMaintenanceSpec extends SparkSpec {
     got.size shouldBe 401
     got.last shouldBe 9999L
   }
+
+  test("r14 advice: a maintenance commit whose read set was " +
+      "invalidated by an EARLIER-landing rewrite aborts cleanly and " +
+      "deletes its written files — never a stale-snapshot commit") {
+    val base = buildLittered(4)
+    val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+    // a conflicting rewrite lands FIRST: it removes live file 0 and
+    // re-adds its content under a new path (simulates a concurrent
+    // compaction that finished while "our" rewrite ran on executors)
+    val victim = live.head.path
+    val moved = victim.replace(".parquet", "-moved.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(victim),
+      java.nio.file.Paths.get(moved)): Unit
+    TxLog.commitVersion(s"$base/log", 1L, Seq(
+      s"""{"remove":{"path":"$victim"}}""",
+      s"""{"add":{"path":"$moved","size":$FileRows,"dataChange":false}}"""))
+    // "our" rewrite believes victim is still live: commitMaintenance
+    // must abort (read-set re-validation) and clean up its output,
+    // even though its rename would NOT collide (v2 is free)
+    val orphan = s"$base/data/would-be-output.parquet"
+    java.nio.file.Files.write(java.nio.file.Paths.get(orphan),
+      Array[Byte](1, 2, 3)): Unit
+    val t = intercept[IllegalStateException] {
+      LakeMaintenance.commitMaintenance(base, Seq(victim),
+        Seq(s"""{"remove":{"path":"$victim"}}""",
+          s"""{"add":{"path":"$orphan","size":1}}"""), Seq(orphan))
+    }
+    t.getMessage should include("maintenance conflict")
+    new java.io.File(orphan).exists() shouldBe false
+    // no version landed beyond the conflicting rewrite's v1
+    TxLog.commitVersions(s"$base/log").max shouldBe 1L
+    // content unchanged through the conflict
+    asSet(lake(base)) shouldBe (0 until 4).flatMap(expected).toSet
+  }
+
+  test("r14 advice: log expiry hides commits ATOMICALLY — a crashed " +
+      "expiry's dot-temp dir is invisible to every resolver, and a " +
+      "completed expiry leaves no temp debris") {
+    val base = buildLittered(4)
+    Seq((9000L, java.lang.Long.valueOf(1L), "zz"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    TxLog.writeCheckpoint(spark, s"$base/log", s"$base/ckpt", 1L)
+    val before = asSet(lake(base))
+    // simulate a CRASHED expiry: version=0 renamed to the dot-temp
+    // but not yet deleted — readers must not see a half-expired log
+    val v0 = new java.io.File(s"$base/log/version=0")
+    val tmp = new java.io.File(s"$base/log", ".expired-0-crashed")
+    java.nio.file.Files.move(v0.toPath, tmp.toPath): Unit
+    TxLog.commitVersions(s"$base/log") shouldBe Seq(1L)
+    asSet(lake(base)) shouldBe before // checkpoint covers v0's state
+    // restore, then run the REAL expiry: no empty version dirs and no
+    // temp dirs may survive it (the old files-then-dir delete left an
+    // emptied version=0 visible to a concurrent lister)
+    java.nio.file.Files.move(tmp.toPath, v0.toPath): Unit
+    LakeMaintenance.expireLog(base, keepVersions = 1)
+      .deletedVersions shouldBe 1
+    val names = Option(new java.io.File(s"$base/log").listFiles())
+      .toSeq.flatten.map(_.getName)
+    names.count(_.startsWith("version=")) shouldBe 1
+    names.count(_.startsWith(".expired")) shouldBe 0
+    asSet(lake(base)) shouldBe before
+  }
 }
