@@ -129,6 +129,7 @@ object LakeMaintenance {
   def compact(spark: SparkSession, root: String,
       targetRows: Int, partition: Option[String] = None): CompactResult = {
     require(targetRows > 0, "targetRows must be positive")
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
     val candidates = live.filter(_.size < targetRows)
       .filter(f => partition.forall(p => f.part.contains(p)))
@@ -272,6 +273,7 @@ object LakeMaintenance {
       strStatsCol: Option[String] = None,
       partition: Option[(String, String)] = None): ZorderResult = {
     require(targetRows > 0, "targetRows must be positive")
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     require(cols.size >= 2 && cols.size <= 4 &&
         cols.distinct.size == cols.size,
       "zorder needs 2..4 distinct columns")
@@ -340,6 +342,24 @@ object LakeMaintenance {
     val lows = cols.map(c => winOf.getOrElse(c, (0L, 0L))._1).toArray
     val highs = cols.map(c => winOf.getOrElse(c, (0L, 0L))._2).toArray
     val mask0 = (1L << bitsPer) - 1L
+    // overflow fence (r14): the bucket scaling multiplies the span by
+    // the mask in LONG arithmetic in BOTH the DataFrame histogram and
+    // the RDD partitioner below — reject ranges where that would
+    // wrap, loudly and identically for both passes
+    longDims.foreach { c =>
+      val (lo, hi) = winOf(c)
+      if (hi > lo) {
+        val span =
+          try Math.subtractExact(hi, lo)
+          catch {
+            case _: ArithmeticException =>
+              throw new IllegalArgumentException(
+                s"zorder: column $c range [$lo, $hi] too wide")
+          }
+        require(span <= Long.MaxValue / mask0,
+          s"zorder: column $c range [$lo, $hi] too wide")
+      }
+    }
     // exact rank map per low-cardinality string dim (null = prefix
     // fallback); sort order is UTF8String's unsigned byte compare —
     // the same order utf8Lt and the skey windows use
@@ -400,11 +420,53 @@ object LakeMaintenance {
     }
     // deterministic BALANCED slicing: exact histogram over the top
     // ≤ 12 z bits (one counting pass, metadata-sized result), greedy
-    // cuts every ~targetRows — a pure function of the data
+    // cuts every ~targetRows — a pure function of the data.
+    //
+    // The counting pass is a DATAFRAME groupBy-count (r14 — the r13
+    // verdict's #8: `df.rdd…countByValue()` abandoned whole-stage
+    // codegen and the columnar scan). The z column below is the
+    // bit-for-bit mirror of `zOf` (the RDD partitioner's key): long
+    // dims scale by the same guarded long arithmetic (`DIV` — both
+    // operands non-negative, so every division convention agrees),
+    // string dims look up the same rank map (`try_element_at` over a
+    // map literal) with the same two-byte UTF-8 prefix fallback
+    // (`hex ∘ encode`, right-padded — hex("a") = "6100" = (0x61<<8)),
+    // nulls bucket 0 — so the histogram's cells are exactly the
+    // cells the partitioner routes rows into.
     val prefixBits = math.min(zBits, 12)
     val shift = zBits - prefixBits
+    def qid(n: String): String = "`" + n.replace("`", "``") + "`"
+    def bucketCol(j: Int): org.apache.spark.sql.Column = {
+      val name = cols(j)
+      if (!strDim(j)) {
+        val lo = lows(j); val hi = highs(j)
+        if (hi <= lo) lit(0L)
+        else expr(s"CASE WHEN ${qid(name)} IS NULL THEN 0L ELSE " +
+          s"((${qid(name)} - (${lo}L)) * ${mask0}L) DIV " +
+          s"(${hi}L - (${lo}L)) END")
+      } else {
+        val c = col(name)
+        val bs = encode(c, "UTF-8")
+        val pre = shiftrightunsigned(
+          conv(rpad(hex(bs), 4, "0"), 16, 10).cast("long"), 16 - bp)
+        val viaRank =
+          if (rankOf(j) == null) pre
+          else coalesce(try_element_at(typedLit(rankOf(j)), c), pre)
+        when(c.isNull, lit(0L)).otherwise(viaRank)
+      }
+    }
+    val bucketed = df.select(
+      (0 until kk).map(j => bucketCol(j).as(s"_b$j")): _*)
+    val zCol = (0 until kk).flatMap { j =>
+      (0 until bp).map { t =>
+        shiftleft(shiftrightunsigned(col(s"_b$j"), t)
+          .bitwiseAND(lit(1L)), t * kk + (kk - 1 - j))
+      }
+    }.foldLeft(lit(0L))((acc, term) => acc.bitwiseOR(term))
     val cells: Seq[(Long, Long)] =
-      df.rdd.map(r => zOf(r) >>> shift).countByValue()
+      bucketed.select(shiftrightunsigned(zCol, shift).as("cell"))
+        .groupBy(col("cell")).count() // ≤ 4096 cells by construction
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
         .toSeq.sortBy(_._1)
     val per = math.max(1L, (total + nOut - 1) / nOut)
     val cutsB = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -706,6 +768,7 @@ object LakeMaintenance {
         "out of scope")
     if (updates.isEmpty && deletes.isEmpty)
       return MergeResult(0, 0L, 0L, -1L)
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     require(updates.map(_._1).distinct.size == updates.size,
       "duplicate keys in the merge changeset")
     require(deletes.distinct.size == deletes.size,
@@ -948,6 +1011,7 @@ object LakeMaintenance {
     * removes. */
   def expireLog(root: String, keepVersions: Int): ExpireResult = {
     require(keepVersions >= 0, "keepVersions must be >= 0")
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     val ptr = TxLog.readPointer(s"$root/ckpt").getOrElse(
       throw new IllegalStateException(
         s"expireLog needs a checkpoint under $root/ckpt"))
@@ -1008,6 +1072,7 @@ object LakeMaintenance {
   def vacuum(root: String, retainVersions: Int,
       graceMs: Long = 10L * 60L * 1000L): VacuumResult = {
     require(retainVersions >= 0, "retainVersions must be >= 0")
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     require(graceMs >= 0, "graceMs must be >= 0")
     val versions = TxLog.commitVersions(s"$root/log")
     if (versions.isEmpty) return VacuumResult(0, 0)

@@ -125,7 +125,8 @@ object TxLog {
     * [[latestMetaDataFast]] / [[latestTxnFast]] then read pointer +
     * one checkpoint + the tail instead of scanning the whole log. */
   def writeCheckpoint(s: SparkSession, logBase: String, ckptBase: String,
-      v: Long): Unit = {
+      v: Long, parts: Int = 1): Unit = {
+    require(parts >= 1, s"checkpoint parts must be >= 1, got $parts")
     require(listVersions(logBase).exists(_ <= v) ||
         listVersions(ckptBase).exists(_ <= v),
       s"nothing to checkpoint at $v under $logBase")
@@ -136,15 +137,33 @@ object TxLog {
       .getOrElse(Seq.empty)
     val txns = txnStatesFast(logBase, ckptBase, v)
     val cons = activeConstraintsFast(logBase, ckptBase, v)
+    val proto = latestProtocolFast(logBase, ckptBase, v)
     val state = resolve(s, logBase, ckptBase, v).state
+    // MULTI-PART checkpoints (r14 — Delta's multi-part checkpoint +
+    // _last_checkpoint manifest): the state write fans out over
+    // `parts` files so a 10⁸-live-file table neither funnels the
+    // write through one task nor hands readers one huge file. The
+    // whole checkpoint is staged in a dot-temp dir and PUBLISHED BY
+    // ONE RENAME (the commit publish protocol): a crashed checkpoint
+    // leaves only an invisible temp, never a half-written version=C
+    // that time travel could pick up. The actual part count is
+    // recorded as a `ckptParts` manifest line INSIDE the dir, so
+    // every reader — not just the pointer's — can verify
+    // completeness.
+    val tmp = new java.io.File(ckptBase,
+      s".tmp-ckpt-$v-${java.util.UUID.randomUUID().toString.take(8)}")
     state.select(to_json(struct(
         struct(col("path"), col("version"), col("is_add"),
           col("add_size"), col("min_key"), col("max_key"),
           col("min_skey"), col("max_skey"), col("part"))
           .as("state"))).as("value"))
-      .coalesce(1)
-      .write.mode("overwrite").text(s"$ckptBase/version=$v")
-    val extras = Seq("""{"ckptFormat":2}""", metaStateLine(meta)) ++
+      .repartition(parts)
+      .write.mode("overwrite").text(tmp.getAbsolutePath)
+    val nParts = Option(tmp.listFiles()).toSeq.flatten
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    val extras = Seq("""{"ckptFormat":2}""",
+        s"""{"ckptParts":$nParts}""", metaStateLine(meta)) ++
+      proto.map(p => protoStateLine(p)).toSeq ++
       txns.toSeq.sortBy(_._1).map { case (app, e) =>
         s"""{"txnState":{"app":"${requireJsonSafe(app)}","epoch":$e}}"""
       } ++
@@ -152,9 +171,38 @@ object TxLog {
         s"""{"consState":{"name":"${requireJsonSafe(c.name)}",""" +
           s""""expr":"${requireJsonSafe(c.expr)}"}}""")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$ckptBase/version=$v/zz-extras.json"),
+      new java.io.File(tmp, "zz-extras.json").toPath,
       extras.mkString("\n").getBytes("UTF-8")): Unit
+    val target = new java.io.File(ckptBase, s"version=$v")
+    if (target.exists()) { // re-checkpoint at the same version replaces
+      Option(target.listFiles()).toSeq.flatten.foreach(f =>
+        f.delete(): Unit)
+      target.delete(): Unit
+    }
+    java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     writePointer(ckptBase, v)
+  }
+
+  /** Verify a checkpoint's multi-part manifest (r14): when the dir
+    * carries a `ckptParts` line, the state part files present must
+    * match it — a torn checkpoint (a part lost to manual tampering or
+    * a non-atomic copy) must fail loudly, never resolve a partial
+    * live set. Checkpoints without the manifest (pre-r14) pass. */
+  private def requireCkptComplete(ckptBase: String, cv: Long): Unit = {
+    val declared = extrasLines(ckptBase, cv)
+      .filter(_.contains("\"ckptParts\":"))
+      .flatMap(l => jLong(l, "ckptParts")).lastOption
+    declared.foreach { d =>
+      val actual = Option(
+          new java.io.File(s"$ckptBase/version=$cv").listFiles())
+        .toSeq.flatten
+        .count(f => f.isFile && f.getName.startsWith("part-"))
+      if (actual != d)
+        throw new IllegalStateException(
+          s"checkpoint $ckptBase/version=$cv is incomplete: " +
+            s"$actual of $d state parts present")
+    }
   }
 
   /** Advance the `_last_checkpoint` pointer (a single tiny JSON file —
@@ -206,6 +254,7 @@ object TxLog {
       else available.filter(_ <= asOf).lastOption
     val ckptState = usable match {
       case Some(cv) =>
+        requireCkptComplete(ckptBase, cv)
         s.read.text(s"$ckptBase/version=$cv")
           .select(
             get_json_object(col("value"), "$.state.path").as("path"),
@@ -361,6 +410,7 @@ object TxLog {
         jStr(line, "min_skey"), jStr(line, "max_skey"),
         jStr(line, "part"))
     usable.foreach { cv =>
+      requireCkptComplete(ckptBase, cv)
       // file-state lines only: v2 checkpoints also carry metaState /
       // txnState / format-marker extras
       linesUnder(s"$ckptBase/version=$cv")
@@ -621,6 +671,100 @@ object TxLog {
     }
     state.values.toSeq
   }
+
+  // ================================================================
+  // PROTOCOL action (r14 — Delta's protocol/minReaderVersion rule):
+  // the log's feature-gating fence. A table whose log carries
+  // features a deployed engine predates must refuse LOUDLY instead
+  // of mis-reading; the protocol action is the one-line insurance
+  // that makes every future format evolution safe to ship.
+  // ================================================================
+
+  /** The protocol levels THIS engine implements. A table demanding
+    * more refuses below; absence of a protocol action = (1, 1), the
+    * founding format. */
+  val SupportedReader: Int = 1
+  val SupportedWriter: Int = 1
+
+  /** Reader/writer levels a table demands (Delta's protocol action).
+    * `minReader` gates every resolution/scan; `minWriter` gates every
+    * commit-producing operation (a low-writer engine may still
+    * read — the Delta rule). */
+  final case class Protocol(minReader: Int, minWriter: Int)
+
+  def protocolLine(p: Protocol): String = {
+    require(p.minReader >= 1 && p.minWriter >= 1, s"bad protocol $p")
+    s"""{"protocol":{"minReader":${p.minReader},""" +
+      s""""minWriter":${p.minWriter}}}"""
+  }
+
+  private def protoStateLine(p: Protocol): String =
+    s"""{"protoState":{"minReader":${p.minReader},""" +
+      s""""minWriter":${p.minWriter}}}"""
+
+  private def parseProto(l: String): Option[Protocol] =
+    for (r <- jLong(l, "minReader"); w <- jLong(l, "minWriter"))
+      yield Protocol(r.toInt, w.toInt)
+
+  /** Latest protocol ≤ asOf (< 0 = latest) through the checkpoint
+    * fast path: tail `protocol` actions win over the folded
+    * `protoState`; None = the founding (1, 1) format. O(cadence)
+    * with a v2 checkpoint, full scan without — same contract as the
+    * other extras. */
+  def latestProtocolFast(logBase: String, ckptBase: String,
+      asOf: Long): Option[Protocol] = {
+    val usable = usableCkpt(ckptBase, asOf)
+      .filter(isCheckpointV2(ckptBase, _))
+    val tailVs = listVersions(logBase)
+      .filter(v => usable.forall(v > _) && (asOf < 0 || v <= asOf))
+    val fromTail = tailVs.sorted.reverse.iterator.flatMap { v =>
+      linesUnder(s"$logBase/version=$v")
+        .filter(_.contains("\"protocol\":")).reverseIterator
+    }.nextOption().flatMap(parseProto)
+    fromTail.orElse(usable.flatMap { cv =>
+      extrasLines(ckptBase, cv)
+        .filter(_.contains("\"protoState\":"))
+        .lastOption.flatMap(parseProto)
+    })
+  }
+
+  /** Raise the table's protocol (a blind one-line commit; retries on
+    * collision). Downgrades reject — a reader that already trusts the
+    * higher fence must never see it lowered. */
+  def upgradeProtocol(logBase: String, ckptBase: String,
+      minReader: Int, minWriter: Int): Long = {
+    val cur = latestProtocolFast(logBase, ckptBase, -1L)
+      .getOrElse(Protocol(1, 1))
+    require(minReader >= cur.minReader && minWriter >= cur.minWriter,
+      s"protocol downgrade ($cur -> Protocol($minReader, $minWriter))")
+    commitVersionWithRetry(logBase, ckptBase,
+      Seq(protocolLine(Protocol(minReader, minWriter)),
+        commitInfoLine("UPGRADE PROTOCOL")))
+  }
+
+  /** Refuse a read above the engine's reader level (loud, with the
+    * upgrade hint — the alternative is silent mis-reading). */
+  def checkProtocolRead(logBase: String, ckptBase: String,
+      asOf: Long): Unit =
+    latestProtocolFast(logBase, ckptBase, asOf).foreach { p =>
+      if (p.minReader > SupportedReader)
+        throw new IllegalStateException(
+          s"table requires reader protocol ${p.minReader}; this " +
+            s"engine supports $SupportedReader — refusing to read " +
+            "(upgrade the engine)")
+    }
+
+  /** Refuse a write above the engine's writer OR reader level (a
+    * writer must understand everything it might rewrite). */
+  def checkProtocolWrite(logBase: String, ckptBase: String): Unit =
+    latestProtocolFast(logBase, ckptBase, -1L).foreach { p =>
+      if (p.minWriter > SupportedWriter || p.minReader > SupportedReader)
+        throw new IllegalStateException(
+          s"table requires protocol (${p.minReader}, ${p.minWriter}); " +
+            s"this engine supports ($SupportedReader, " +
+            s"$SupportedWriter) — refusing to write (upgrade the " +
+            "engine)")
+    }
 
   /** Render the constraint actions (the no-escape JSON subset — an
     * expr with a double quote, backslash or newline is rejected at

@@ -80,6 +80,10 @@ object LakeSource {
         throw new IllegalArgumentException(
           s"graft-lake: no commit at or before asOfTs=$asOfTs " +
             "(history may have been expired)"))
+    // protocol gate (r14 — Delta's minReaderVersion): a table whose
+    // log demands a future reader level refuses LOUDLY at the
+    // connector entry, before any plan could mis-read it
+    TxLog.checkProtocolRead(s"$path/log", s"$path/ckpt", asOf)
     new LakeTable(path, asOf,
       options.getOrDefault("statsCol", "doc_id"),
       options.getInt("versionsPerTrigger", Int.MaxValue),
@@ -180,6 +184,7 @@ object LakeSource {
     * read; appends after it must carry it (the schema check now
     * follows the log, not the files). Returns the committed version. */
   def addColumn(root: String, name: String, typeName: String): Long = {
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     // the new column must be APPENDABLE, not merely readable (ADVICE
     // r12: typeOf alone also accepts the read-only legacy "int", and
     // a schema carrying it would brick every subsequent append)
@@ -212,6 +217,7 @@ object LakeSource {
     * every reader maps logical → physical through the log. */
   def renameColumn(root: String, oldName: String,
       newName: String): Long = {
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     val cur = currentCols(root)
     require(cur.exists(_.name == oldName),
       s"graft-lake: no column $oldName")
@@ -234,6 +240,7 @@ object LakeSource {
     * re-ADD of the same name gets a fresh physical name (no
     * resurrection). */
   def dropColumn(root: String, name: String): Long = {
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     val cur = currentCols(root)
     require(cur.exists(_.name == name), s"graft-lake: no column $name")
     require(cur.size > 1, "graft-lake: cannot drop the last column")
@@ -279,6 +286,7 @@ object LakeSource {
     * expiry. */
   def addConstraint(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, exprSql: String): Long = {
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     val active = TxLog.activeConstraintsFast(
       s"$root/log", s"$root/ckpt", -1L)
     require(!active.exists(_.name == name),
@@ -325,6 +333,7 @@ object LakeSource {
   /** DROP CONSTRAINT (r13): commits one `constraintDrop` action;
     * appends stop checking it. */
   def dropConstraint(root: String, name: String): Long = {
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     val active = TxLog.activeConstraintsFast(
       s"$root/log", s"$root/ckpt", -1L)
     require(active.exists(_.name == name),
@@ -361,13 +370,29 @@ object LakeSource {
     }
   }
 
+  /** CODE-GENERATE one bound constraint predicate (r14 — the r13
+    * verdict's #7: the per-row interpreted eval is measurable at
+    * ingest volume; Delta's InvariantChecker codegens too). The
+    * expression is wrapped `Or(IsNull(e), e)` so the generated
+    * predicate returns TRUE for NULL — the SQL CHECK rule — and
+    * `eval == false` means a genuine violation. `Predicate.create`
+    * compiles via Janino with automatic interpreted fallback; called
+    * EXECUTOR-side (generated classes don't serialize), once per
+    * writer, not per row. */
+  private[graft] def compiledCheck(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.BasePredicate = {
+    import org.apache.spark.sql.catalyst.expressions.{IsNull, Or, Predicate}
+    Predicate.create(Or(IsNull(e), e))
+  }
+
   /** Compile the table's active constraints into row-level predicates
     * BOUND to the write schema: parse + full Catalyst ANALYSIS on the
     * driver (type coercion, casts — exactly what the user's SQL
-    * means), attribute references bound positionally; executors only
-    * `eval` the serialized tree per row (interpreted — constraint
-    * predicates are cheap next to the encode work; Delta's
-    * InvariantChecker pays the same per-row check). */
+    * means), attribute references bound positionally; executors
+    * CODE-GENERATE the serialized tree once per writer
+    * ([[compiledCheck]]) and evaluate the compiled predicate per
+    * row. */
   private[graft] def compileChecks(
       spark: org.apache.spark.sql.SparkSession, schema: StructType,
       cons: Seq[TxLog.Constraint]): Seq[(String,
@@ -1126,6 +1151,7 @@ final class LakeStreamingWrite(table: LakeTable, schema: StructType,
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   locally {
+    TxLog.checkProtocolWrite(s"${table.root}/log", s"${table.root}/ckpt")
     val t = table.schema()
     require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         t.fields.map(f => (f.name, f.dataType)).toSeq,
@@ -1222,6 +1248,7 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
   // append schema must match the table byte-for-byte — the files ARE
   // the schema authority in this format
   locally {
+    TxLog.checkProtocolWrite(s"${table.root}/log", s"${table.root}/ckpt")
     val t = table.schema()
     require(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         t.fields.map(f => (f.name, f.dataType)).toSeq,
@@ -1319,6 +1346,17 @@ final class LakeDataWriter(root: String, schema: StructType,
   // column mapping (r13): files carry PHYSICAL column names
   private def physName(n: String): String = physOf.getOrElse(n, n)
 
+  // CHECK constraints, CODEGEN'd (r14): compiled once per writer on
+  // the executor (generated classes don't serialize); eval == false
+  // is a genuine violation — NULL passes inside the compiled wrapper
+  private val compiledChecks: Array[(String,
+      org.apache.spark.sql.catalyst.expressions.BasePredicate)] =
+    checks.map { case (nm, e) =>
+      val p = LakeSource.compiledCheck(e)
+      p.initialize(partitionId)
+      (nm, p)
+    }.toArray
+
   private val strIdx = strStatsCol
     .map(c => schema.fieldNames.indexOf(c)).getOrElse(-1)
   locally {
@@ -1347,14 +1385,15 @@ final class LakeDataWriter(root: String, schema: StructType,
     schema.fields(keyIdx).dataType == LongType
 
   override def write(row: InternalRow): Unit = {
-    // CHECK constraints (r13): FALSE rejects the row and fails the
-    // job/epoch before any commit; NULL passes (the SQL CHECK rule)
+    // CHECK constraints (r13; codegen'd r14): FALSE rejects the row
+    // and fails the job/epoch before any commit; NULL passes (the
+    // SQL CHECK rule, folded into the compiled predicate)
     var ci = 0
-    while (ci < checks.length) {
-      val r = checks(ci)._2.eval(row)
-      if (r != null && r == false)
+    while (ci < compiledChecks.length) {
+      if (!compiledChecks(ci)._2.eval(row))
         throw new IllegalArgumentException(
-          s"graft-lake: CHECK constraint ${checks(ci)._1} violated")
+          s"graft-lake: CHECK constraint ${compiledChecks(ci)._1} " +
+            "violated")
       ci += 1
     }
     var i = 0
