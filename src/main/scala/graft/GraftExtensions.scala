@@ -21,6 +21,12 @@ import graft.functions.{MisraGriesAgg, ModeCount, MomentMatrixAgg, PcmEnergies, 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL MERGE INTO for graft-lake tables (r14): rewrites a resolved
+    // MergeIntoTable over a LakeTable into the command that routes
+    // through LakeMaintenance.merge — Spark's own row-level rewrite
+    // requires SupportsRowLevelOperations and would reject it
+    ext.injectResolutionRule(session =>
+      graft.plans.LakeMergeRule(session))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

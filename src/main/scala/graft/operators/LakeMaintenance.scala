@@ -58,6 +58,71 @@ object LakeMaintenance {
   final case class CompactResult(removed: Int, created: Int,
       version: Long)
 
+  /** Per-column file statistics from writer columns (r14 — the
+    * rewrite paths' side of general data skipping: compaction,
+    * z-order and merge must PRESERVE skipping, so every rewritten
+    * file measures fresh stats over its own rows). Column names are
+    * already PHYSICAL here (the rewrite builders emit them). Same
+    * drop-whole-entry rule as the append writer: window absence must
+    * mean all-null. First 8 columns. */
+  private[graft] def cstatsOfCols(
+      cols: Seq[ParquetWrite.Col]): Seq[TxLog.ColStat] =
+    cols.take(8).flatMap {
+      case ParquetWrite.LongCol(n, vs) =>
+        if (vs.isEmpty) Some(TxLog.ColStat(n, "l", None, None, 0L))
+        else Some(TxLog.ColStat(n, "l", Some(vs.min.toString),
+          Some(vs.max.toString), 0L))
+      case ParquetWrite.OptLongCol(n, vs) =>
+        val nn = vs.filter(_ != null).map(_.longValue())
+        Some(TxLog.ColStat(n, "l",
+          if (nn.isEmpty) None else Some(nn.min.toString),
+          if (nn.isEmpty) None else Some(nn.max.toString),
+          vs.count(_ == null).toLong))
+      case ParquetWrite.StrCol(n, vs) => strStat(n, vs, 0L)
+      case ParquetWrite.OptStrCol(n, vs) =>
+        strStat(n, vs.filter(_ != null), vs.count(_ == null).toLong)
+      case ParquetWrite.DoubleCol(n, vs) =>
+        dblStat(n, vs, 0L)
+      case ParquetWrite.OptDoubleCol(n, vs) =>
+        dblStat(n, vs.filter(_ != null).map(_.doubleValue()),
+          vs.count(_ == null).toLong)
+      case ParquetWrite.FloatCol(n, vs) =>
+        dblStat(n, vs.map(_.toDouble), 0L)
+      case ParquetWrite.OptFloatCol(n, vs) =>
+        dblStat(n, vs.filter(_ != null).map(_.floatValue().toDouble),
+          vs.count(_ == null).toLong)
+      case _ => None // list columns: not prunable
+    }
+
+  private def strStat(n: String, nn: Seq[String],
+      nc: Long): Option[TxLog.ColStat] =
+    if (nn.exists(v => v.length > 64 || TxLog.jsonSafe(v).isEmpty))
+      None // drop WHOLE entry — window absence means all-null
+    else if (nn.isEmpty) Some(TxLog.ColStat(n, "s", None, None, nc))
+    else Some(TxLog.ColStat(n, "s",
+      Some(nn.reduce((a, b) => if (TxLog.utf8Lt(a, b)) a else b)),
+      Some(nn.reduce((a, b) => if (TxLog.utf8Lt(a, b)) b else a)), nc))
+
+  private def dblStat(n: String, nn: Seq[Double],
+      nc: Long): Option[TxLog.ColStat] =
+    if (nn.exists(_.isNaN)) None // NaN breaks window order: drop whole
+    else if (nn.isEmpty) Some(TxLog.ColStat(n, "d", None, None, nc))
+    else Some(TxLog.ColStat(n, "d", Some(nn.min.toString),
+      Some(nn.max.toString), nc))
+
+  /** Load a deletion-vector sidecar into a bitset (null = no DV). */
+  private def loadDv(dvPath: Option[String]): java.util.BitSet =
+    dvPath match {
+      case None => null
+      case Some(p) =>
+        val (_, cols) = ParquetFile.readFileColumns(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+        val bs = new java.util.BitSet()
+        cols.head.asInstanceOf[ParquetWrite.LongCol].vs
+          .foreach(o => bs.set(o.toInt))
+        bs
+    }
+
   private val utf8Ord: Ordering[String] =
     (a: String, b: String) =>
       if (TxLog.utf8Lt(a, b)) -1
@@ -131,7 +196,11 @@ object LakeMaintenance {
     require(targetRows > 0, "targetRows must be positive")
     TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
-    val candidates = live.filter(_.size < targetRows)
+    // DELETION VECTORS (r14): candidacy and bin arithmetic use the
+    // LIVE row count (size - dvRows); a lone DV-carrying file still
+    // qualifies for rewrite — compaction is what MATERIALIZES DVs
+    // away (the Delta lifecycle)
+    val candidates = live.filter(f => f.size - f.dvRows < targetRows)
       .filter(f => partition.forall(p => f.part.contains(p)))
       .sortBy(f => (f.part.getOrElse(""),
         f.minKey.getOrElse(Long.MaxValue)))
@@ -145,10 +214,11 @@ object LakeMaintenance {
           cur.headOption.exists(_.part != f.part)) {
         bins += cur; cur = Vector.empty; curRows = 0L
       }
-      cur :+= f; curRows += f.size
+      cur :+= f; curRows += f.size - f.dvRows
     }
     if (cur.nonEmpty) bins += cur
-    val work = bins.filter(_.size >= 2).toVector
+    val work = bins
+      .filter(b => b.size >= 2 || b.exists(_.dvRows > 0)).toVector
     if (work.isEmpty) return CompactResult(0, 0, -1L)
 
     // file names carry a run token, not a version: the committed
@@ -160,8 +230,19 @@ object LakeMaintenance {
       .parallelize(work.zipWithIndex, math.min(work.size, 64))
       .map { case (bin, idx) =>
         val perFile = bin.map { f =>
-          ParquetFile.readFileColumns(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(f.path)))
+          val (leaves0, cols0) = ParquetFile.readFileColumns(
+            java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(f.path)))
+          // apply the file's deletion vector (r14): the rewrite
+          // MATERIALIZES it — dead rows never reach the new file
+          val dv = loadDv(f.dvPath)
+          if (dv == null) (leaves0, cols0)
+          else {
+            val keep = (0 until cols0.head.n)
+              .filterNot(dv.get).toArray
+            (leaves0, cols0.map(c =>
+              buildCol(c, keep.map(colValue(c, _)))))
+          }
         }
         val leaves = perFile.head._1
         require(perFile.forall(_._1 == leaves),
@@ -173,21 +254,25 @@ object LakeMaintenance {
         val p = s"$root/data/compact-$run-$idx.parquet"
         java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes): Unit
         // stats for the new add come from the REWRITTEN file's own
-        // footer — the log never trusts the bin arithmetic
+        // footer — the log never trusts the bin arithmetic; the
+        // per-column stats (r14) are measured over the same output
         val st = ParquetFile.parse(idx.toLong, bytes)
           .filter(r => r.valid && r.has_stats &&
             r.col_path == leaves.head.path)
         val rows = cols.head.n.toLong
-        if (st.isEmpty) (p, rows, None: Option[Long], None: Option[Long])
+        val cj = TxLog.cstatsJson(cstatsOfCols(cols))
+        if (st.isEmpty)
+          (p, rows, None: Option[Long], None: Option[Long], cj)
         else (p, rows, Some(st.map(_.min_long).min),
-          Some(st.map(_.max_long).max))
+          Some(st.map(_.max_long).max), cj)
       }
       .collect() // bounded: one row per BIN (metadata)
 
     val removes = work.flatten.map(f =>
       s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""")
     def jsafe(v: String): Option[String] = TxLog.jsonSafe(v)
-    val adds = results.zipWithIndex.map { case ((p, rows, mn, mx), i) =>
+    val adds = results.zipWithIndex.map {
+      case ((p, rows, mn, mx, cj), i) =>
       val bin = work(i) // parallelize+map+collect preserves order
       val stats = (mn, mx) match {
         case (Some(a), Some(b)) => s""","min_key":$a,"max_key":$b"""
@@ -211,9 +296,10 @@ object LakeMaintenance {
           }
         } else ""
       // dataChange=false (r12, the Delta flag): compaction REWRITES
-      // existing rows — a change-feed consumer must not re-emit them
+      // existing rows — a change-feed consumer must not re-emit them.
+      // cstats last (the driver-side parser anchors on the tail).
       s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
-        s"""$stats$sk$pv,"dataChange":false}}"""
+        s"""$stats$sk$pv,"dataChange":false$cj}}"""
     }
     val v = commitMaintenance(root, work.flatten.map(_.path).toSeq,
       (removes ++ adds).toSeq :+ TxLog.commitInfoLine("OPTIMIZE"),
@@ -334,7 +420,9 @@ object LakeMaintenance {
             if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1)))
         }.toMap
       }
-    val total = live.map(_.size).sum
+    // live rows only: the scan applies deletion vectors, so the
+    // rewrite materializes them away (r14)
+    val total = live.map(f => f.size - f.dvRows).sum
     val nOut = math.max(1, ((total + targetRows - 1) / targetRows).toInt)
     require(nOut <= (1 << 20), s"zorder would write $nOut files")
     val idxOf = cols.map(schema.fieldNames.indexOf(_)).toArray
@@ -503,7 +591,7 @@ object LakeMaintenance {
     val rpg = rowsPerGroup
     val rootDir = root
     val written: Array[(String, Long, Option[(Long, Long)],
-        Option[(String, String)])] = keyed
+        Option[(String, String)], String)] = keyed
       .mapPartitionsWithIndex { (pid, rows) =>
         val rs = rows.toArray
         if (rs.isEmpty) Iterator.empty
@@ -513,6 +601,7 @@ object LakeMaintenance {
           val p = s"$rootDir/data/zorder-$run-$pid.parquet"
           java.nio.file.Files.write(
             java.nio.file.Paths.get(p), bytes): Unit
+          val cj = TxLog.cstatsJson(cstatsOfCols(cols2))
           // key window from the REWRITTEN file's own footer, on the
           // column readers prune with; all-null/absent → no window
           val st =
@@ -531,7 +620,7 @@ object LakeMaintenance {
             }
           }
           val sw = if (mnS == null) None else Some((mnS, mxS))
-          Iterator.single((p, rs.length.toLong, kw, sw))
+          Iterator.single((p, rs.length.toLong, kw, sw, cj))
         }
       }
       .collect() // bounded: one metadata row per OUTPUT file
@@ -539,7 +628,7 @@ object LakeMaintenance {
     val lines =
       live.map(f =>
         s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""") ++
-      written.map { case (p, rows, kw, sw) =>
+      written.map { case (p, rows, kw, sw, cj) =>
         val kstats = kw.map { case (mn, mx) =>
           s""","min_key":$mn,"max_key":$mx""" }.getOrElse("")
         val sstats = sw.flatMap { case (mn, mx) =>
@@ -548,7 +637,7 @@ object LakeMaintenance {
         val pv = partition.flatMap(kv => jsafe(kv._2))
           .map(v => s""","part":"$v"""").getOrElse("")
         s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
-          s"""$kstats$sstats$pv,"dataChange":false}}"""
+          s"""$kstats$sstats$pv,"dataChange":false$cj}}"""
       }
     val v = commitMaintenance(root, live.map(_.path).toSeq,
       lines.toSeq :+ TxLog.commitInfoLine("ZORDER"),
@@ -761,7 +850,8 @@ object LakeMaintenance {
   def merge(spark: SparkSession, root: String,
       updates: Seq[(Long, Array[Any])], keyCol: String,
       maxBroadcast: Int = 1 << 20,
-      deletes: Seq[Long] = Seq.empty): MergeResult = {
+      deletes: Seq[Long] = Seq.empty,
+      dvThreshold: Double = 0.10): MergeResult = {
     require(updates.size + deletes.size <= maxBroadcast,
       s"merge changeset ${updates.size + deletes.size} exceeds the " +
         s"broadcast bound $maxBroadcast — shuffle-join merges are " +
@@ -856,12 +946,14 @@ object LakeMaintenance {
     val bc = spark.sparkContext.broadcast(updMap)
     val bcDel = spark.sparkContext.broadcast(deletes.toSet)
 
-    // (oldPath, newPath ("" = all rows died), rows, minKey, maxKey,
-    // matchedKeys, deletedRows, cdcPath ("" = no changes in this
-    // file), cdcRows) — tuples, not a method-local case class: local
-    // classes capture enclosing scope and break task serialization
-    val rewritten: Array[(String, String, Long, Long, Long, Seq[Long],
-        Long, String, Long)] =
+    // (mode 0=tombstone/1=rewrite/2=dv, oldPath, newPath, rows,
+    // minKey, maxKey, matchedKeys, deletedRows, cdcPath ("" = no
+    // changes in this file), cdcRows, cstatsJson, dvPath, dvDead) —
+    // tuples, not a method-local case class: local classes capture
+    // enclosing scope and break task serialization
+    val dvThr = dvThreshold
+    val rewritten: Array[(Int, String, String, Long, Long, Long,
+        Seq[Long], Long, String, Long, String, String, Long)] =
       if (candidates.isEmpty) Array.empty
       else spark.sparkContext
         .parallelize(candidates.zipWithIndex,
@@ -880,12 +972,20 @@ object LakeMaintenance {
           val fkeys = fileCols(ki)
             .asInstanceOf[ParquetWrite.LongCol].vs
           val n = fkeys.length
+          // rows already dead under the file's DELETION VECTOR (r14)
+          // are invisible: they never match, never re-emit CDC, and
+          // a rewrite materializes them away
+          val exDv = loadDv(f.dvPath)
+          def liveAt(i: Int): Boolean = exDv == null || !exDv.get(i)
           val delIdx = (0 until n)
-            .filter(i => bcDel.value.contains(fkeys(i))).toArray
+            .filter(i => liveAt(i) && bcDel.value.contains(fkeys(i)))
+            .toArray
           val updIdx = (0 until n)
-            .filter(i => bc.value.contains(fkeys(i))).toArray
+            .filter(i => liveAt(i) && bc.value.contains(fkeys(i)))
+            .toArray
           val keep = (0 until n)
-            .filterNot(i => bcDel.value.contains(fkeys(i))).toArray
+            .filter(i => liveAt(i) && !bcDel.value.contains(fkeys(i)))
+            .toArray
           val matched = updIdx.map(fkeys(_)).distinct.toSeq
           // CDC sidecar: delete pre-images + update pre/post images
           val cdc: (String, Long) =
@@ -908,10 +1008,32 @@ object LakeMaintenance {
                 java.nio.file.Paths.get(cp), cb): Unit
               (cp, (delIdx.length + 2 * updIdx.length).toLong)
             }
-          if (keep.isEmpty) // every row died: remove-only, no file
-            (f.path, "", 0L, 0L, 0L, matched, n.toLong,
-              cdc._1, cdc._2)
-          else {
+          if (keep.isEmpty) // every live row died: remove-only
+            (0, f.path, "", 0L, 0L, 0L, matched,
+              delIdx.length.toLong, cdc._1, cdc._2, "", "", 0L)
+          else if (updIdx.isEmpty && delIdx.nonEmpty &&
+              delIdx.length.toDouble / n <= dvThr) {
+            // MERGE-ON-READ delete (r14 — Delta's deletion vectors):
+            // the touched fraction is small, so killing ordinals in
+            // a sidecar beats rewriting the gigabyte — the data file
+            // is NOT touched; readers apply the DV map-side;
+            // compaction materializes it later. dataChange=false on
+            // the re-add keeps the append-only streaming tail from
+            // re-emitting the file; the CDC sidecar carries the
+            // row-exact deletes.
+            val ords: Array[Long] =
+              ((0 until n).filterNot(liveAt).map(_.toLong) ++
+                delIdx.map(_.toLong)).sorted.toArray
+            val db = ParquetWrite.writeFile(
+              Seq(ParquetWrite.LongCol("ord", ords)),
+              rowsPerGroup = 4096)
+            val dp = s"$root/data/dv-$run-$idx.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dp), db): Unit
+            (2, f.path, "", 0L, 0L, 0L, matched,
+              delIdx.length.toLong, cdc._1, cdc._2, "", dp,
+              ords.length.toLong)
+          } else {
             // per-column output over the SURVIVING rows, applying the
             // update changeset — typed through the column templates
             val outCols: Seq[ParquetWrite.Col] =
@@ -931,20 +1053,22 @@ object LakeMaintenance {
             val st = ParquetFile.parse(idx.toLong, out)
               .filter(r => r.valid && r.has_stats &&
                 r.col_path == keyPhys)
-            (f.path, p, keep.length.toLong,
+            val cj = TxLog.cstatsJson(cstatsOfCols(outCols))
+            (1, f.path, p, keep.length.toLong,
               st.map(_.min_long).min, st.map(_.max_long).max,
-              matched, (n - keep.length).toLong, cdc._1, cdc._2)
+              matched, delIdx.length.toLong, cdc._1, cdc._2, cj,
+              "", 0L)
           }
         }
         .collect()
 
-    val matchedKeys = rewritten.flatMap(_._6).toSet
-    val deletedRows = rewritten.map(_._7).sum
+    val matchedKeys = rewritten.flatMap(_._7).toSet
+    val deletedRows = rewritten.map(_._8).sum
     val inserts = updates.filterNot(u => matchedKeys.contains(u._1))
       .sortBy(_._1)
     // insert file: built from the changeset rows, key-sorted, over
     // the table schema's column templates; plus its CDC sidecar
-    val insertAdd: Option[(String, Long, Long, Long, String)] =
+    val insertAdd: Option[(String, Long, Long, Long, String, String)] =
       if (inserts.isEmpty) None
       else {
         val cols: Seq[ParquetWrite.Col] = schemaLeaves.zipWithIndex
@@ -961,31 +1085,38 @@ object LakeMaintenance {
         val cp = s"$root/data/cdc-$run-insert.parquet"
         java.nio.file.Files.write(java.nio.file.Paths.get(cp), cb): Unit
         Some((p, inserts.size.toLong, inserts.head._1,
-          inserts.last._1, cp))
+          inserts.last._1, cp, TxLog.cstatsJson(cstatsOfCols(cols))))
       }
     if (rewritten.isEmpty && insertAdd.isEmpty)
       return MergeResult(0, 0L, 0L, -1L)
+    val liveByPath = candidates.map(f => f.path -> f).toMap
     val lines =
-      rewritten.map(r =>
-        s"""{"remove":{"path":"${TxLog.requireJsonSafe(r._1)}"}}""") ++
-      rewritten.filter(_._2.nonEmpty).map(r =>
-        s"""{"add":{"path":"${TxLog.requireJsonSafe(r._2)}","size":${r._3}""" +
-          s""","min_key":${r._4},"max_key":${r._5}}}""") ++
-      insertAdd.map { case (p, rows, mn, mx, _) =>
+      // DV-mode files are NOT removed — their re-add (same path, new
+      // sidecar) wins the latest-wins fold
+      rewritten.filter(_._1 != 2).map(r =>
+        s"""{"remove":{"path":"${TxLog.requireJsonSafe(r._2)}"}}""") ++
+      rewritten.filter(_._1 == 1).map(r =>
+        s"""{"add":{"path":"${TxLog.requireJsonSafe(r._3)}","size":${r._4}""" +
+          s""","min_key":${r._5},"max_key":${r._6}${r._11}}}""") ++
+      rewritten.filter(_._1 == 2).map(r =>
+        TxLog.renderAdd(liveByPath(r._2), Some(r._12), r._13,
+          Some(false))) ++
+      insertAdd.map { case (p, rows, mn, mx, _, cj) =>
         s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
-          s""","min_key":$mn,"max_key":$mx}}"""
+          s""","min_key":$mn,"max_key":$mx$cj}}"""
       } ++
-      rewritten.filter(_._8.nonEmpty).map(r =>
-        s"""{"cdc":{"path":"${TxLog.requireJsonSafe(r._8)}",""" +
-          s""""size":${r._9}}}""") ++
-      insertAdd.map { case (_, rows, _, _, cp) =>
+      rewritten.filter(_._9.nonEmpty).map(r =>
+        s"""{"cdc":{"path":"${TxLog.requireJsonSafe(r._9)}",""" +
+          s""""size":${r._10}}}""") ++
+      insertAdd.map { case (_, rows, _, _, cp, _) =>
         s"""{"cdc":{"path":"${TxLog.requireJsonSafe(cp)}",""" +
           s""""size":$rows}}"""
       }
-    val writtenPaths = rewritten.filter(_._2.nonEmpty).map(_._2) ++
-      rewritten.filter(_._8.nonEmpty).map(_._8) ++
+    val writtenPaths = rewritten.filter(_._3.nonEmpty).map(_._3) ++
+      rewritten.filter(_._9.nonEmpty).map(_._9) ++
+      rewritten.filter(_._12.nonEmpty).map(_._12) ++
       insertAdd.toSeq.flatMap(a => Seq(a._1, a._5))
-    val v = commitMaintenance(root, rewritten.map(_._1).toSeq,
+    val v = commitMaintenance(root, rewritten.map(_._2).toSeq,
       lines.toSeq :+ TxLog.commitInfoLine("MERGE"),
       writtenPaths.toSeq)
     MergeResult(rewritten.length, matchedKeys.size.toLong,
@@ -1080,7 +1211,10 @@ object LakeMaintenance {
     val within = versions.filter(_ >= horizon)
     val keep: Set[String] = (within.flatMap(v =>
         TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", v)
-          .map(_.path)) ++
+          // DV sidecars (r14) are referenced BY the adds, not adds
+          // themselves — they live exactly as long as their file's
+          // in-window snapshots
+          .flatMap(f => f.path +: f.dvPath.toSeq)) ++
       // CDC sidecars of in-window versions stay readable (r13); ones
       // behind the horizon go with their snapshots — the Delta trade
       TxLog.cdcInVersions(s"$root/log", within).map(_.path))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,7 +41,10 @@ object TxLog {
 
   /** Parse raw action lines (`version`, `value` JSON) into the normalized
     * action frame: (version, path, is_add, add_size, key stats,
-    * string-key stats, partition value). */
+    * string-key stats, partition value, per-column stats, deletion
+    * vector). `cstats` rides as the RAW JSON-array substring (the
+    * no-escape subset — it re-splices verbatim into checkpoint
+    * lines). */
   def parseActions(log: DataFrame): DataFrame =
     log.select(col("version"),
         get_json_object(col("value"), "$.add.path").as("add_path"),
@@ -54,12 +57,17 @@ object TxLog {
         get_json_object(col("value"), "$.add.min_skey").as("min_skey"),
         get_json_object(col("value"), "$.add.max_skey").as("max_skey"),
         get_json_object(col("value"), "$.add.part").as("part"),
+        get_json_object(col("value"), "$.add.cstats").as("cstats"),
+        get_json_object(col("value"), "$.add.dv").as("dv"),
+        get_json_object(col("value"), "$.add.dv_rows").cast("long")
+          .as("dv_rows"),
         get_json_object(col("value"), "$.remove.path").as("rm_path"))
       .select(col("version"),
         coalesce(col("add_path"), col("rm_path")).as("path"),
         col("add_path").isNotNull.as("is_add"),
         col("add_size"), col("min_key"), col("max_key"),
-        col("min_skey"), col("max_skey"), col("part"))
+        col("min_skey"), col("max_skey"), col("part"),
+        col("cstats"), col("dv"), col("dv_rows"))
       // non-file actions (the streaming sink's txn fence lines) carry
       // no path and do not participate in file-state resolution
       .where(col("path").isNotNull)
@@ -77,7 +85,8 @@ object TxLog {
     val w = Window.partitionBy(col("path")).orderBy(col("version").desc)
     acts.select(col("version"), col("path"), col("is_add"),
         col("add_size"), col("min_key"), col("max_key"),
-        col("min_skey"), col("max_skey"), col("part"))
+        col("min_skey"), col("max_skey"), col("part"),
+        col("cstats"), col("dv"), col("dv_rows"))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .drop("_rn")
@@ -152,11 +161,24 @@ object TxLog {
     // completeness.
     val tmp = new java.io.File(ckptBase,
       s".tmp-ckpt-$v-${java.util.UUID.randomUUID().toString.take(8)}")
-    state.select(to_json(struct(
-        struct(col("path"), col("version"), col("is_add"),
-          col("add_size"), col("min_key"), col("max_key"),
-          col("min_skey"), col("max_skey"), col("part"))
-          .as("state"))).as("value"))
+    // the state line is CONCAT-built, not to_json: the cstats field is
+    // a raw JSON-array substring (no-escape subset) that must splice
+    // verbatim — to_json would escape its quotes and the driver-side
+    // regex parsers would misread it. Null fields are omitted, like
+    // to_json's behavior before r14.
+    def optNum(c: String): Column = coalesce(
+      concat(lit(s""","$c":"""), col(c).cast("string")), lit(""))
+    def optStr(c: String): Column = coalesce(
+      concat(lit(s""","$c":""""), col(c), lit("\"")), lit(""))
+    state.select(concat(
+        lit("""{"state":{"path":""""), col("path"),
+        lit("\",\"version\":"), col("version").cast("string"),
+        lit(""","is_add":"""), col("is_add").cast("string"),
+        optNum("add_size"), optNum("min_key"), optNum("max_key"),
+        optStr("min_skey"), optStr("max_skey"), optStr("part"),
+        optStr("dv"), optNum("dv_rows"),
+        coalesce(concat(lit(""","cstats":"""), col("cstats")), lit("")),
+        lit("}}")).as("value"))
       .repartition(parts)
       .write.mode("overwrite").text(tmp.getAbsolutePath)
     val nParts = Option(tmp.listFiles()).toSeq.flatten
@@ -243,9 +265,11 @@ object TxLog {
     import s.implicits._
     val emptyState =
       Seq.empty[(Long, String, Boolean, Long, Option[Long],
-          Option[Long], Option[String], Option[String], Option[String])]
+          Option[Long], Option[String], Option[String], Option[String],
+          Option[String], Option[String], Option[Long])]
         .toDF("version", "path", "is_add", "add_size", "min_key",
-          "max_key", "min_skey", "max_skey", "part")
+          "max_key", "min_skey", "max_skey", "part", "cstats", "dv",
+          "dv_rows")
     // the pointer names the newest checkpoint; time travel may need an
     // older one — the ckpt dir listing is bounded by history/cadence
     val available = listVersions(ckptBase)
@@ -272,10 +296,15 @@ object TxLog {
               .as("min_skey"),
             get_json_object(col("value"), "$.state.max_skey")
               .as("max_skey"),
-            get_json_object(col("value"), "$.state.part").as("part"))
+            get_json_object(col("value"), "$.state.part").as("part"),
+            get_json_object(col("value"), "$.state.cstats").as("cstats"),
+            get_json_object(col("value"), "$.state.dv").as("dv"),
+            get_json_object(col("value"), "$.state.dv_rows")
+              .cast("long").as("dv_rows"))
           .select(col("version"), col("path"), col("is_add"),
             col("add_size"), col("min_key"), col("max_key"),
-            col("min_skey"), col("max_skey"), col("part"))
+            col("min_skey"), col("max_skey"), col("part"),
+            col("cstats"), col("dv"), col("dv_rows"))
           // v2 checkpoints carry non-file extras lines (metaState,
           // txnState, format marker) — no $.state.path, drop them
           .where(col("path").isNotNull)
@@ -335,9 +364,11 @@ object TxLog {
             import bs.implicits._
             Seq.empty[(Long, String, Boolean, Long, Option[Long],
                 Option[Long], Option[String], Option[String],
-                Option[String])]
+                Option[String], Option[String], Option[String],
+                Option[Long])]
               .toDF("version", "path", "is_add", "add_size",
-                "min_key", "max_key", "min_skey", "max_skey", "part")
+                "min_key", "max_key", "min_skey", "max_skey", "part",
+                "cstats", "dv", "dv_rows")
           }
         foldState(prev, b).write.mode("overwrite")
           .parquet(s"$stateBase/s=$id")
@@ -361,13 +392,81 @@ object TxLog {
 
   /** One resolved live file with its optional key-column stats (what
     * file-level pruning runs on; files without stats must scan),
-    * string-key stats, partition value, and `dataChange` (r12 —
-    * Delta's flag: false marks a REWRITE of existing data, e.g.
-    * compaction, which a change-feed consumer must not re-emit). */
+    * string-key stats, partition value, `dataChange` (r12 — Delta's
+    * flag: false marks a REWRITE of existing data, e.g. compaction,
+    * which a change-feed consumer must not re-emit), per-column
+    * stats (r14 — general data skipping), and the optional DELETION
+    * VECTOR sidecar (r14 — merge-on-read deletes: `dvRows` ordinals
+    * of this file's rows are dead; readers apply the DV map-side). */
   final case class LiveFile(path: String, version: Long, size: Long,
       minKey: Option[Long], maxKey: Option[Long],
       minSkey: Option[String] = None, maxSkey: Option[String] = None,
-      part: Option[String] = None, dataChange: Boolean = true)
+      part: Option[String] = None, dataChange: Boolean = true,
+      cstats: Seq[ColStat] = Seq.empty, dvPath: Option[String] = None,
+      dvRows: Long = 0L)
+
+  /** One column's file-level statistics (r14 — Delta's per-column
+    * min/max/nullCount, the general data-skipping currency). `col` is
+    * the PHYSICAL column name (stats survive RENAME); `tpe` ∈ l/d/s
+    * (long, double-or-float, string); an ABSENT window with a present
+    * stat means the column holds ONLY nulls in this file (writers
+    * DROP the whole entry — never just the window — when a value
+    * cannot ride the log: >64-char strings, NaN, unsafe chars; so
+    * window-absence is a pruning truth, not a degradation marker). */
+  final case class ColStat(col: String, tpe: String,
+      mn: Option[String], mx: Option[String], nullCount: Long)
+
+  /** Render the `cstats` add-field (empty Seq → no field). MUST be the
+    * LAST field of its object: the driver-side parser anchors on the
+    * line tail. Entries failing the no-escape subset are dropped
+    * whole (pruning degrades to scan, never corrupts). */
+  def cstatsJson(cs: Seq[ColStat]): String = {
+    val safe = cs.filter(c => jsonSafe(c.col).isDefined &&
+      c.mn.forall(v => jsonSafe(v).isDefined) &&
+      c.mx.forall(v => jsonSafe(v).isDefined))
+    if (safe.isEmpty) ""
+    else safe.map { c =>
+      s"""["${c.col}","${c.tpe}","${c.mn.getOrElse("")}",""" +
+        s""""${c.mx.getOrElse("")}","${c.nullCount}"]"""
+    }.mkString(""","cstats":[""", ",", "]")
+  }
+
+  /** Re-render a resolved live file as an `add` line, optionally with
+    * a (new) deletion vector and a dataChange flag — the DV-mode
+    * merge arm re-adds the UNTOUCHED file with its original stats
+    * plus the sidecar reference. cstats render last (parser anchor). */
+  def renderAdd(f: LiveFile, dvPath: Option[String], dvRows: Long,
+      dataChange: Option[Boolean]): String = {
+    val k = (f.minKey, f.maxKey) match {
+      case (Some(a), Some(b)) => s""","min_key":$a,"max_key":$b"""
+      case _ => ""
+    }
+    val sk = (f.minSkey.flatMap(jsonSafe), f.maxSkey.flatMap(jsonSafe)) match {
+      case (Some(a), Some(b)) => s""","min_skey":"$a","max_skey":"$b""""
+      case _ => ""
+    }
+    val pv = f.part.flatMap(jsonSafe)
+      .map(p => s""","part":"$p"""").getOrElse("")
+    val dv = dvPath.map(p =>
+      s""","dv":"${requireJsonSafe(p)}","dv_rows":$dvRows""")
+      .getOrElse("")
+    val dc = dataChange.map(b => s""","dataChange":$b""").getOrElse("")
+    s"""{"add":{"path":"${requireJsonSafe(f.path)}","size":${f.size}""" +
+      s"""$k$sk$pv$dv$dc${cstatsJson(f.cstats)}}}"""
+  }
+
+  /** Parse a line's `cstats` array (greedy to the line's last `]` —
+    * sound because every writer renders cstats LAST). */
+  def parseCstats(line: String): Seq[ColStat] =
+    "\"cstats\":\\[(.*)\\]".r.findFirstMatchIn(line)
+      .map(_.group(1)).toSeq.flatMap { body =>
+        """\["([^"]*)","([lds])","([^"]*)","([^"]*)","(\d+)"\]""".r
+          .findAllMatchIn(body).map(m =>
+            ColStat(m.group(1), m.group(2),
+              Option(m.group(3)).filter(_.nonEmpty),
+              Option(m.group(4)).filter(_.nonEmpty),
+              m.group(5).toLong)).toSeq
+      }
 
   private def jStr(line: String, key: String): Option[String] =
     ("\"" + key + "\":\"([^\"]*)\"").r
@@ -408,7 +507,10 @@ object TxLog {
       LiveFile(path, v, jLong(line, sizeKey).getOrElse(0L),
         jLong(line, "min_key"), jLong(line, "max_key"),
         jStr(line, "min_skey"), jStr(line, "max_skey"),
-        jStr(line, "part"))
+        jStr(line, "part"),
+        dataChange = jBool(line, "dataChange").getOrElse(true),
+        cstats = parseCstats(line), dvPath = jStr(line, "dv"),
+        dvRows = jLong(line, "dv_rows").getOrElse(0L))
     usable.foreach { cv =>
       requireCkptComplete(ckptBase, cv)
       // file-state lines only: v2 checkpoints also carry metaState /

@@ -1,0 +1,382 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
+
+import graft.operators.{LakeMaintenance, ParquetFile, TxLog}
+import graft.sources.LakeTable
+
+/** SQL `MERGE INTO` for graft-lake tables (r14 — the r13 verdict's #1
+  * ask): an analyzer rule (injected via [[graft.GraftExtensions]])
+  * intercepts a resolved [[MergeIntoTable]] whose target is a
+  * [[LakeTable]] and rewrites it into [[LakeMergeIntoCommand]], which
+  * routes into the existing [[LakeMaintenance.merge]] machinery —
+  * stats-pruned candidate rewrite, CDC sidecars, CHECK-constraint
+  * enforcement, optimistic read-set-validated commit. Spark's own
+  * row-level-operation rewrite never fires for this table (it
+  * requires `SupportsRowLevelOperations`); without this rule the
+  * statement would fail analysis.
+  *
+  * Supported shape (the Delta-parity CDC-batch contract — a BOUNDED
+  * changeset against a huge table, same scope `merge` documents):
+  * {{{
+  *   MERGE INTO g.db.t [AS t] USING <source> [AS s]
+  *   ON t.<key> = s.<key>                  -- one equality, REQUIRED
+  *                                         -- long target column
+  *   WHEN MATCHED THEN UPDATE SET * | SET c1 = e1, …   -- full cover
+  *   WHEN MATCHED THEN DELETE
+  *   WHEN NOT MATCHED THEN INSERT * | (…) VALUES (…)   -- full cover
+  * }}}
+  * Action conditions (`WHEN MATCHED AND …`), partial-column UPDATE
+  * (the rewrite replaces whole rows), `WHEN NOT MATCHED BY SOURCE`
+  * and schema evolution reject loudly with the exact boundary named.
+  */
+case class LakeMergeRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case m: MergeIntoTable if m.targetTable.resolved &&
+          m.sourceTable.resolved && lakeOf(m.targetTable).isDefined =>
+        LakeMergeSql.convert(conf.resolver, m, lakeOf(m.targetTable).get)
+    }
+
+  private def lakeOf(p: LogicalPlan): Option[LakeTable] =
+    p.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[LakeTable] =>
+        r.table.asInstanceOf[LakeTable]
+    }
+}
+
+object LakeMergeSql {
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graft-lake MERGE: $msg")
+
+  private type Resolver = (String, String) => Boolean
+
+  /** Resolve `e` against one side of the merge: an already-resolved
+    * attribute by output membership, an unresolved one by (qualified)
+    * name — the qualifier is what disambiguates `t.k = s.k`. */
+  private def resolveAgainst(side: LogicalPlan, e: Expression,
+      resolver: Resolver): Option[NamedExpression] = e match {
+    case a: AttributeReference =>
+      if (side.outputSet.contains(a)) Some(a) else None
+    case u: UnresolvedAttribute => side.resolve(u.nameParts, resolver)
+    case _ => None
+  }
+
+  def convert(resolver: Resolver, m: MergeIntoTable,
+      table: LakeTable): LogicalPlan = {
+    val target = m.targetTable
+    val source = m.sourceTable
+    val targetSchema = table.schema()
+
+    // ---- the key condition: ONE equality, target side vs source side
+    val (tKey, sKey) = m.mergeCondition match {
+      case EqualTo(l, r) =>
+        val lT = resolveAgainst(target, l, resolver)
+        val lS = resolveAgainst(source, l, resolver)
+        val rT = resolveAgainst(target, r, resolver)
+        val rS = resolveAgainst(source, r, resolver)
+        if (lT.isDefined && rS.isDefined && lS.isEmpty && rT.isEmpty)
+          (lT.get, rS.get)
+        else if (rT.isDefined && lS.isDefined && rS.isEmpty && lT.isEmpty)
+          (rT.get, lS.get)
+        else fail("the ON condition must equate one target column " +
+          "with one source column, unambiguously (qualify with the " +
+          "table aliases)")
+      case other => fail(s"unsupported ON condition $other (one " +
+        "equality on the merge key)")
+    }
+    val keyField = targetSchema.fields.find(f =>
+        resolver(f.name, tKey.name))
+      .getOrElse(fail(s"no target column ${tKey.name}"))
+    if (keyField.dataType != LongType || keyField.nullable)
+      fail(s"merge key ${keyField.name} must be a REQUIRED long " +
+        "column (the merge machinery's contract)")
+
+    // ---- assignments: full-coverage exprs over the source, in
+    // target-schema order
+    def starExprs(): Seq[Expression] =
+      targetSchema.fields.toSeq.map { f =>
+        source.resolve(Seq(f.name), resolver).getOrElse(
+          fail(s"SET */INSERT * needs a source column named " +
+            s"${f.name}"))
+      }
+    def fromAssigns(assigns: Seq[Assignment]): Seq[Expression] = {
+      val byCol: Seq[(String, Expression)] = assigns.map { a =>
+        val keyName = resolveAgainst(target, a.key, resolver)
+          .getOrElse(fail(s"assignment target ${a.key} is not a " +
+            "target column")).name
+        val v = a.value.transformUp {
+          case u: UnresolvedAttribute =>
+            resolveAgainst(source, u, resolver).getOrElse(
+              fail(s"assignment values may reference only the " +
+                s"source (got $u)"))
+        }
+        if (!v.references.subsetOf(source.outputSet))
+          fail("assignment values may reference only the source " +
+            "(the rewrite replaces whole rows — old values are not " +
+            "in scope)")
+        keyName -> v
+      }
+      targetSchema.fields.toSeq.map { f =>
+        byCol.find(kv => resolver(kv._1, f.name)).map(_._2).getOrElse(
+          fail(s"assignments must cover every target column " +
+            s"(missing ${f.name}) — partial UPDATE needs the " +
+            "whole-row rewrite contract"))
+      }
+    }
+    def castTo(es: Seq[Expression]): Seq[Expression] =
+      es.zip(targetSchema.fields.toSeq).map { case (e, f) =>
+        if (e.dataType == f.dataType) e else Cast(e, f.dataType)
+      }
+
+    var updateExprs: Option[Seq[Expression]] = None
+    var deleteMatched = false
+    m.matchedActions match {
+      case Seq() => ()
+      case Seq(u: UpdateStarAction) if u.condition.isEmpty =>
+        updateExprs = Some(castTo(starExprs()))
+      case Seq(u: UpdateAction) if u.condition.isEmpty =>
+        updateExprs = Some(castTo(fromAssigns(u.assignments)))
+      case Seq(d: DeleteAction) if d.condition.isEmpty =>
+        deleteMatched = true
+      case other => fail(s"unsupported matched actions " +
+        s"${other.mkString(", ")} (one unconditional UPDATE or " +
+        "DELETE)")
+    }
+    var insertExprs: Option[Seq[Expression]] = None
+    m.notMatchedActions match {
+      case Seq() => ()
+      case Seq(i: InsertStarAction) if i.condition.isEmpty =>
+        insertExprs = Some(castTo(starExprs()))
+      case Seq(i: InsertAction) if i.condition.isEmpty =>
+        insertExprs = Some(castTo(fromAssigns(i.assignments)))
+      case other => fail(s"unsupported not-matched actions " +
+        s"${other.mkString(", ")} (one unconditional INSERT)")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (m.withSchemaEvolution) fail("schema evolution is not supported")
+    if (updateExprs.isEmpty && insertExprs.isEmpty && !deleteMatched)
+      fail("no actions")
+
+    val sourceKeyLong =
+      if (sKey.dataType == LongType) sKey
+      else if (sKey.dataType == IntegerType) Cast(sKey, LongType)
+      else fail(s"source key ${sKey} must be integral, got " +
+        s"${sKey.dataType}")
+
+    LakeMergeIntoCommand(table.root, targetSchema, keyField.name,
+      source, sourceKeyLong, updateExprs, insertExprs, deleteMatched)
+  }
+}
+
+/** The runnable MERGE (see [[LakeMergeRule]]): collects the BOUNDED
+  * source changeset (the merge contract), splits it into matched /
+  * unmatched keys when the arms require it (one left-semi probe of
+  * the table's key column, source side broadcast), and calls
+  * [[LakeMaintenance.merge]] — candidate files stats-pruned and
+  * rewritten map-side, CDC sidecars, one optimistic commit. An empty
+  * table short-circuits: the insert arm appends through the
+  * connector (with the table's props, so partition values and stats
+  * land), other arms no-op. */
+case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
+    keyCol: String, source: LogicalPlan, sourceKey: Expression,
+    updateExprs: Option[Seq[Expression]],
+    insertExprs: Option[Seq[Expression]], deleteMatched: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_updated", LongType, nullable = false)(),
+    AttributeReference("num_deleted", LongType, nullable = false)(),
+    AttributeReference("num_inserted", LongType, nullable = false)())
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graft-lake MERGE: $msg")
+
+  /** External boxed value of projected-row column `idx`, in the shape
+    * [[LakeMaintenance.merge]]'s typed column templates take. */
+  private def boxed(r: Row, idx: Int, t: DataType): Any =
+    if (r.isNullAt(idx)) null
+    else t match {
+      case LongType => java.lang.Long.valueOf(r.getLong(idx))
+      case StringType => r.getString(idx)
+      case DoubleType => java.lang.Double.valueOf(r.getDouble(idx))
+      case FloatType => java.lang.Float.valueOf(r.getFloat(idx))
+      case ArrayType(LongType, _) =>
+        val s = r.getSeq[Any](idx)
+        val out = new Array[java.lang.Long](s.length)
+        var i = 0
+        while (i < out.length) {
+          val v = s(i)
+          out(i) =
+            if (v == null) null
+            else java.lang.Long.valueOf(v.asInstanceOf[Long])
+          i += 1
+        }
+        out
+      case ArrayType(FloatType, _) =>
+        val s = r.getSeq[Any](idx)
+        val out = new Array[java.lang.Float](s.length)
+        var i = 0
+        while (i < out.length) {
+          val v = s(i)
+          out(i) =
+            if (v == null) null
+            else java.lang.Float.valueOf(v.asInstanceOf[Float])
+          i += 1
+        }
+        out
+      case ArrayType(DoubleType, _) =>
+        val s = r.getSeq[Any](idx)
+        val out = new Array[java.lang.Double](s.length)
+        var i = 0
+        while (i < out.length) {
+          val v = s(i)
+          out(i) =
+            if (v == null) null
+            else java.lang.Double.valueOf(v.asInstanceOf[Double])
+          i += 1
+        }
+        out
+      case other => fail(s"unsupported column type $other")
+    }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val nU = updateExprs.map(_.size).getOrElse(0)
+    val projList: Seq[NamedExpression] =
+      Alias(sourceKey, "_graft_k")() +:
+        (updateExprs.getOrElse(Seq.empty).zipWithIndex.map {
+          case (e, i) => Alias(e, s"_u$i")()
+        } ++
+          insertExprs.getOrElse(Seq.empty).zipWithIndex.map {
+            case (e, i) => Alias(e, s"_i$i")()
+          })
+    val srcDf = org.apache.spark.sql.graft.GraftSqlShims
+      .ofRows(spark, Project(projList, source))
+    val rows = srcDf.collect() // the BOUNDED changeset (merge contract)
+    require(rows.length <= (1 << 20),
+      s"graft-lake MERGE: changeset ${rows.length} exceeds the " +
+        "broadcast bound — shuffle-join merges are out of scope")
+    rows.foreach(r => require(!r.isNullAt(0),
+      "graft-lake MERGE: null source key"))
+    val keys = rows.map(_.getLong(0))
+    require(keys.distinct.length == keys.length,
+      "graft-lake MERGE: multiple source rows share a merge key")
+
+    val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+
+    // field index per leaf slot: LakeMaintenance.merge takes changeset
+    // values in the table's FILE-LEAF order; map each leaf back to its
+    // logical column through the column mapping
+    def leafOrder(): Seq[Int] = {
+      val physToLogical = TxLog
+        .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
+        .map(_.map(c => c.physName -> c.name).toMap)
+        .getOrElse(Map.empty[String, String])
+      val leaves = ParquetFile.parseFooterMeta(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(live.head.path))).leaves
+      val leafLogical = leaves.map { l =>
+        val i = l.path.indexOf('.')
+        val base = if (i < 0) l.path else l.path.substring(0, i)
+        physToLogical.getOrElse(base, base)
+      }
+      if (leafLogical.toSet != targetSchema.fieldNames.toSet)
+        fail("the live files' columns differ from the table schema " +
+          "(dropped/added-column residue) — compact the table first")
+      leafLogical.map(targetSchema.fieldIndex)
+    }
+
+    def changeRow(r: Row, off: Int, order: Seq[Int]): Array[Any] =
+      order.map { fi =>
+        boxed(r, off + fi, targetSchema.fields(fi).dataType)
+      }.toArray
+
+    // ---- empty table: the insert arm appends through the connector
+    if (live.isEmpty) {
+      val inserted = insertExprs match {
+        case Some(_) if rows.nonEmpty =>
+          val off = 1 + nU
+          val data = rows.toSeq.map { r =>
+            Row.fromSeq(targetSchema.fields.indices.map { fi =>
+              boxed(r, off + fi, targetSchema.fields(fi).dataType)
+            })
+          }
+          var w = spark.createDataFrame(
+              scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava,
+              targetSchema)
+            .coalesce(1)
+            .write.format("graft-lake").option("path", root)
+          graft.sources.LakeCatalog.readProps(root).foreach {
+            case (k, v) => w = w.option(k, v)
+          }
+          w.mode("append").save()
+          rows.length.toLong
+        case _ => 0L
+      }
+      return Seq(Row(0L, 0L, inserted))
+    }
+
+    val order = leafOrder()
+    // matched/unmatched routing is only needed when the arms differ;
+    // the flagship upsert (SET * + INSERT *, same exprs) goes straight
+    // to merge with no probe
+    val sameArms = (updateExprs, insertExprs) match {
+      case (Some(u), Some(i)) =>
+        u.size == i.size &&
+          u.zip(i).forall(p => p._1.semanticEquals(p._2))
+      case _ => false
+    }
+    val matched: Set[Long] =
+      if (sameArms && !deleteMatched) Set.empty // not consulted
+      else {
+        import spark.implicits._
+        val keyDf = keys.toSeq.toDF(keyCol)
+        spark.read.format("graft-lake").option("path", root).load()
+          .join(broadcast(keyDf), Seq(keyCol), "leftsemi")
+          .select(col(keyCol)).distinct()
+          .collect().map(_.getLong(0)).toSet
+      }
+
+    val updates: Seq[(Long, Array[Any])] =
+      if (sameArms && !deleteMatched)
+        rows.toSeq.map(r => (r.getLong(0), changeRow(r, 1, order)))
+      else {
+        val fromUpdate = updateExprs match {
+          case Some(_) => rows.toSeq
+            .filter(r => matched.contains(r.getLong(0)))
+            .map(r => (r.getLong(0), changeRow(r, 1, order)))
+          case None => Seq.empty
+        }
+        val fromInsert = insertExprs match {
+          case Some(_) => rows.toSeq
+            .filterNot(r => matched.contains(r.getLong(0)))
+            .map(r => (r.getLong(0), changeRow(r, 1 + nU, order)))
+          case None => Seq.empty
+        }
+        fromUpdate ++ fromInsert
+      }
+    val deletes: Seq[Long] =
+      if (deleteMatched) keys.toSeq.filter(matched.contains) else Seq.empty
+
+    if (updates.isEmpty && deletes.isEmpty) return Seq(Row(0L, 0L, 0L))
+    val r = LakeMaintenance.merge(spark, root, updates, keyCol,
+      deletes = deletes)
+    val inserted = r.inserted
+    val updated = r.matched
+    Seq(Row(updated, r.deleted, inserted))
+  }
+}

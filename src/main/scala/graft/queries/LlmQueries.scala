@@ -443,6 +443,26 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** Register a LakeCatalog under `name` rooted at `base` and wipe the
+    * warehouse (the SQL-surface gates bootstrap per run; the catalog
+    * instance is cached per session, so `base` must be stable within
+    * one session — it carries the applicationId only). */
+  private def sqlLakeReset(s: SparkSession, name: String,
+      base: String): Unit = {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(del)
+      f.delete(): Unit
+    }
+    del(new java.io.File(base))
+    new java.io.File(base).mkdirs(): Unit
+    s.conf.set(s"spark.sql.catalog.$name", "graft.sources.LakeCatalog")
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", base)
+  }
+
+  /** The q258 delete key set — deterministic, shared verbatim with the
+    * DuckDB oracle text. */
+  private val SqlDeleteKeys: Seq[Long] = (0 until 40).map(_ * 7L)
+
   private val sqlToks = sqlTokens("text")
 
   /** Shared artifact builder for the Parquet-reader family: Spark's
@@ -9396,6 +9416,293 @@ object LlmQueries {
           CAST(CASE WHEN cusum * $CusumThrDen
               > $CusumThrNum * (SELECT n * (hi - lo + 1) FROM mm)
             THEN 1 ELSE 0 END AS BIGINT) AS is_alarm
-        FROM st"""))
+        FROM st""")),
+
+    // ---- SQL/CATALOG SURFACE (r14 — the r13 verdict's #1 ask): the
+    // lakehouse driven entirely by SQL TEXT through the LakeCatalog
+    // (`spark.sql.catalog.<name> = graft.sources.LakeCatalog`). Each
+    // gate bootstraps its own warehouse, issues pure SQL, and the
+    // final aggregate must match DuckDB over the source table — a
+    // catalog that resolved the wrong snapshot, dropped an insert, or
+    // mis-routed a merge cannot match. LakeCatalogSpec pins the
+    // operator laws (CTAS, SHOW/DROP, partitioning, path
+    // equivalence); these gates pin the end-to-end SQL loop.
+    "q255_lake_sql_catalog" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw255_" +
+          s.sparkContext.applicationId
+        sqlLakeReset(s, "graft_c255", base)
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .createOrReplaceTempView("q255_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c255.db"): Unit
+        s.sql("""CREATE TABLE graft_c255.db.docs (
+          doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
+          USING `graft-lake`"""): Unit
+        s.sql("INSERT INTO graft_c255.db.docs " +
+          "SELECT doc_id, n_chars, lang FROM q255_src"): Unit
+        s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+          FROM graft_c255.db.docs GROUP BY lang""")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang""")),
+
+    // ---- SQL MERGE INTO (r14): the flagship upsert (UPDATE SET * +
+    // INSERT *) and the delete arm, as pure SQL, routed through
+    // LakeMaintenance.merge (stats-pruned rewrite, CDC sidecars,
+    // optimistic commit). The oracle replays the same changeset
+    // relationally — a merge that updated the wrong rows, inserted a
+    // matched key, or resurrected a deleted row cannot match.
+    "q256_lake_sql_merge" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw256_" +
+          s.sparkContext.applicationId
+        sqlLakeReset(s, "graft_c256", base)
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .createOrReplaceTempView("q256_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c256.db"): Unit
+        s.sql("""CREATE TABLE graft_c256.db.t (
+          doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
+          USING `graft-lake`"""): Unit
+        s.sql("INSERT INTO graft_c256.db.t " +
+          "SELECT doc_id, n_chars, lang FROM q256_src " +
+          "WHERE doc_id % 2 = 0"): Unit
+        // upsert: doubles n_chars for matched evens, inserts the odds
+        s.sql("""MERGE INTO graft_c256.db.t AS t
+          USING (SELECT doc_id, n_chars * 2 AS n_chars, lang
+                 FROM q256_src WHERE doc_id % 3 = 0) AS src
+          ON t.doc_id = src.doc_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *"""): Unit
+        // delete arm: every key divisible by 7 dies
+        s.sql("""MERGE INTO graft_c256.db.t AS t
+          USING (SELECT doc_id FROM q256_src WHERE doc_id % 7 = 0) AS src
+          ON t.doc_id = src.doc_id
+          WHEN MATCHED THEN DELETE"""): Unit
+        s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+          FROM graft_c256.db.t GROUP BY lang""")
+      },
+      Some("""WITH t0 AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+            lang FROM documents WHERE doc_id % 2 = 0),
+          u AS (SELECT doc_id, CAST(n_chars * 2 AS BIGINT) AS n_chars,
+            lang FROM documents WHERE doc_id % 3 = 0),
+          merged AS (
+            SELECT t0.doc_id,
+              CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars
+                ELSE t0.n_chars END AS n_chars,
+              CASE WHEN u.doc_id IS NOT NULL THEN u.lang
+                ELSE t0.lang END AS lang
+            FROM t0 LEFT JOIN u USING (doc_id)
+            UNION ALL
+            SELECT u.doc_id, u.n_chars, u.lang FROM u
+            WHERE u.doc_id NOT IN (SELECT doc_id FROM t0))
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM merged WHERE doc_id % 7 <> 0 GROUP BY lang""")),
+
+    // ---- SQL time travel + schema evolution (r14): VERSION AS OF
+    // reads historical snapshots by SQL; ALTER TABLE ADD/RENAME
+    // COLUMN are one-metadata-file operations whose effects the final
+    // aggregate proves (the renamed column still reads batch-3's
+    // values; pre-evolution snapshots count only their own rows).
+    "q257_lake_sql_timetravel" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw257_" +
+          s.sparkContext.applicationId
+        sqlLakeReset(s, "graft_c257", base)
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .createOrReplaceTempView("q257_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c257.db"): Unit
+        s.sql("""CREATE TABLE graft_c257.db.tt (
+          doc_id BIGINT NOT NULL, lang STRING) USING `graft-lake`"""): Unit
+        s.sql("INSERT INTO graft_c257.db.tt SELECT doc_id, lang " +
+          "FROM q257_src WHERE doc_id % 3 = 0"): Unit // v1
+        s.sql("INSERT INTO graft_c257.db.tt SELECT doc_id, lang " +
+          "FROM q257_src WHERE doc_id % 3 = 1"): Unit // v2
+        s.sql("ALTER TABLE graft_c257.db.tt ADD COLUMN score BIGINT"): Unit
+        s.sql("INSERT INTO graft_c257.db.tt SELECT doc_id, lang, n_chars " +
+          "FROM q257_src WHERE doc_id % 3 = 2"): Unit // v4
+        s.sql("ALTER TABLE graft_c257.db.tt RENAME COLUMN score TO points"): Unit
+        s.sql("""SELECT 'v1' AS snap, count(*) AS n,
+            CAST(NULL AS BIGINT) AS pts
+          FROM graft_c257.db.tt VERSION AS OF 1
+          UNION ALL SELECT 'v2', count(*), CAST(NULL AS BIGINT)
+          FROM graft_c257.db.tt VERSION AS OF 2
+          UNION ALL SELECT 'head', count(*), sum(points)
+          FROM graft_c257.db.tt""")
+      },
+      Some("""SELECT 'v1' AS snap,
+          CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 0)
+            AS BIGINT) AS n, CAST(NULL AS BIGINT) AS pts
+        UNION ALL SELECT 'v2',
+          CAST((SELECT count(*) FROM documents WHERE doc_id % 3 <= 1)
+            AS BIGINT), CAST(NULL AS BIGINT)
+        UNION ALL SELECT 'head',
+          CAST((SELECT count(*) FROM documents) AS BIGINT),
+          CAST((SELECT sum(n_chars) FROM documents WHERE doc_id % 3 = 2)
+            AS BIGINT)""")),
+
+    // ---- SQL DELETE FROM (r14): key predicates route through the
+    // merge delete arm (stats-pruned rewrite + CDC, `SupportsDelete`);
+    // the oracle replays the same key set. A delete that missed an
+    // occurrence, touched a neighbor, or rewrote the wrong file
+    // cannot match.
+    "q258_lake_sql_delete" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw258_" +
+          s.sparkContext.applicationId
+        sqlLakeReset(s, "graft_c258", base)
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .createOrReplaceTempView("q258_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c258.db"): Unit
+        s.sql("""CREATE TABLE graft_c258.db.d (
+          doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
+          USING `graft-lake`"""): Unit
+        s.sql("INSERT INTO graft_c258.db.d " +
+          "SELECT doc_id, n_chars, lang FROM q258_src"): Unit
+        s.sql(s"DELETE FROM graft_c258.db.d WHERE doc_id IN " +
+          s"(${SqlDeleteKeys.mkString(",")})"): Unit
+        s.sql("DELETE FROM graft_c258.db.d WHERE doc_id = 1"): Unit
+        s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+          FROM graft_c258.db.d GROUP BY lang""")
+      },
+      Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE doc_id NOT IN (${SqlDeleteKeys.mkString(",")})
+          AND doc_id <> 1
+        GROUP BY lang""")),
+
+    // ---- GENERAL DATA SKIPPING (r14 — the r13 verdict's #2 ask):
+    // every add carries per-column min/max/nullCount for the leading
+    // columns (Delta's rule), written by EVERY path and pruned on for
+    // any pushed predicate — non-key longs, doubles, strings — not
+    // just the statsCol. The gate builds a multi-file table through
+    // the connector, filters on a non-key long AND a double AND a
+    // string, and compacts mid-way so the aggregate also proves the
+    // stats survive maintenance. LakeStatsSpec pins the plan shapes
+    // (fewer LakePartitions) and the all-null-window law.
+    "q259_lake_data_skipping" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakeds_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+          graft.operators.TxLog.metaDataLine(Seq(
+            graft.operators.TxLog.MetaCol("doc_id", "long",
+              nullable = false),
+            graft.operators.TxLog.MetaCol("n_chars", "long",
+              nullable = true),
+            graft.operators.TxLog.MetaCol("score", "double",
+              nullable = true),
+            graft.operators.TxLog.MetaCol("lang", "string",
+              nullable = true))),
+          graft.operators.TxLog.commitInfoLine("CREATE TABLE")))
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          (col("n_chars").cast("double") / lit(4.0)).as("score"),
+          col("lang"))
+        (0 until 4).foreach { b =>
+          d.where((col("doc_id") / 128).cast("long") % 4 === b)
+            .coalesce(1)
+            .write.format("graft-lake").option("path", base)
+            .mode("append").save()
+        }
+        graft.operators.LakeMaintenance.compact(s, base,
+          targetRows = 256): Unit
+        s.read.format("graft-lake").option("path", base).load()
+          .where(col("n_chars") >= 100L && col("n_chars") < 2000L &&
+            col("score") <= 300.0 && col("lang") >= "d")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE n_chars >= 100 AND n_chars < 2000
+          AND n_chars / 4.0 <= 300.0 AND lang >= 'd'
+        GROUP BY lang""")),
+
+    // ---- DELETION VECTORS (r14 — the r13 verdict's #3 ask:
+    // merge-on-read deletes): a small MERGE delete writes a row-
+    // ordinal sidecar instead of rewriting the file — the gate PROVES
+    // no rewrite relationally (the live data-file set must be
+    // unchanged, enforced with a loud in-query check) and the final
+    // aggregate must match the relational replay; the unfiltered
+    // count flows through the COUNT(*) pushdown, which must subtract
+    // the DV. LakeStatsSpec pins the lifecycle (reader application,
+    // CDC exactness, compaction materialization, vacuum retention).
+    "q260_lake_deletion_vectors" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakedv_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+          graft.operators.TxLog.metaDataLine(Seq(
+            graft.operators.TxLog.MetaCol("doc_id", "long",
+              nullable = false),
+            graft.operators.TxLog.MetaCol("n_chars", "long",
+              nullable = true),
+            graft.operators.TxLog.MetaCol("lang", "string",
+              nullable = true))),
+          graft.operators.TxLog.commitInfoLine("CREATE TABLE")))
+        val d = docs(s, dir).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        d.coalesce(1)
+          .write.format("graft-lake").option("path", base)
+          .mode("append").save()
+        val keys = d.where(col("doc_id") % 97 === 0)
+          .select(col("doc_id")).as[Long].collect().toSeq.sorted
+        val liveBefore = graft.operators.TxLog
+          .resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+          .map(_.path).toSet
+        if (keys.nonEmpty)
+          graft.operators.LakeMaintenance.merge(s, base, Seq.empty,
+            "doc_id", deletes = keys): Unit
+        val after = graft.operators.TxLog
+          .resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+        // the no-rewrite law, enforced IN the gate: the data-file set
+        // must be unchanged (merge-on-read), with a DV registered
+        if (keys.nonEmpty) {
+          require(after.map(_.path).toSet == liveBefore,
+            "small delete must not rewrite any data file")
+          require(after.exists(_.dvRows == keys.size.toLong),
+            "the deletion vector must carry exactly the deleted rows")
+        }
+        val t = s.read.format("graft-lake").option("path", base).load()
+        // the unfiltered count rides the COUNT(*) pushdown (which
+        // must subtract the DV); the grouped aggregate rides the row
+        // path (which must apply it) — both must agree with DuckDB
+        val total = t.agg(count(lit(1)).as("n")).as[Long].head()
+        t.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("total", lit(total))
+      },
+      Some("""WITH kept AS (SELECT * FROM documents
+            WHERE doc_id % 97 <> 0)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST((SELECT count(*) FROM kept) AS BIGINT) AS total
+        FROM kept GROUP BY lang"""))
   )
 }

@@ -4,7 +4,7 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -432,7 +432,8 @@ final class LakeTable(val root: String, val asOf: Long,
     val changeFeed: Boolean = false,
     val cdfFrom: Long = -1L, val cdfTo: Long = -1L,
     val startingVersion: Long = 0L)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   /** Snapshot resolution — driver-side metadata I/O through the
     * checkpoint/pointer fast path; memoized per table instance. */
@@ -486,6 +487,73 @@ final class LakeTable(val root: String, val asOf: Long,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new LakeWriteBuilder(this, info)
+
+  /** The declared partitioning (catalog surface, r14): DESCRIBE and
+    * the analyzer see the identity partition column when the table
+    * was created `PARTITIONED BY`. */
+  override def partitioning(): Array[Transform] =
+    partCol.toArray.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+
+  // ================================================================
+  // SQL DELETE (r14 — Delta's metadata/merge delete path): Spark's
+  // `DELETE FROM t WHERE …` calls deleteWhere when the condition
+  // translates to supported filters. The supported shapes are the
+  // merge machinery's: ONE equality/IN predicate on a REQUIRED long
+  // column (routes to LakeMaintenance.merge's delete arm — stats-
+  // pruned candidate rewrite, CDC sidecars, optimistic commit), or
+  // the unconditioned DELETE (a metadata-only truncate: one commit
+  // of remove tombstones, no file touched). Arbitrary predicates
+  // decline → Spark reports the unsupported delete loudly.
+  // ================================================================
+
+  private def deleteKeyOf(filters: Array[Filter]): Option[String] = {
+    def longCol(c: String): Boolean = schema().fields.exists(f =>
+      f.name == c && f.dataType == LongType && !f.nullable)
+    def isNum(v: Any): Boolean =
+      v.isInstanceOf[Long] || v.isInstanceOf[Int]
+    filters.toSeq match {
+      case Seq(EqualTo(c, v)) if longCol(c) && isNum(v) => Some(c)
+      case Seq(In(c, vs)) if longCol(c) && vs.nonEmpty &&
+          vs.forall(isNum) => Some(c)
+      case _ => None
+    }
+  }
+
+  private def isTruncate(filters: Array[Filter]): Boolean =
+    filters.isEmpty ||
+      (filters.length == 1 && filters(0).isInstanceOf[AlwaysTrue])
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !changeFeed && asOf < 0 &&
+      (isTruncate(filters) || deleteKeyOf(filters).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"graft-lake: unsupported DELETE condition " +
+        s"${filters.mkString(", ")} (one =/IN predicate on a " +
+        "REQUIRED long column, or no condition)")
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
+    val liveNow = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+    if (liveNow.isEmpty) return // nothing to delete
+    if (isTruncate(filters)) {
+      val lines = liveNow.map(f =>
+        s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""") :+
+        TxLog.commitInfoLine("DELETE")
+      graft.operators.LakeMaintenance.commitMaintenance(root,
+        liveNow.map(_.path), lines, Seq.empty): Unit
+    } else {
+      val c = deleteKeyOf(filters).get
+      val keys = filters.toSeq.flatMap {
+        case EqualTo(_, v) => Seq(LakeBounds.of(v))
+        case In(_, vs) => vs.toSeq.map(LakeBounds.of)
+        case _ => Seq.empty
+      }.distinct
+      graft.operators.LakeMaintenance.merge(
+        org.apache.spark.sql.SparkSession.active, root,
+        Seq.empty, c, deletes = keys): Unit
+    }
+  }
 }
 
 final class LakeScanBuilder(table: LakeTable)
@@ -540,15 +608,21 @@ final class LakeScanBuilder(table: LakeTable)
       pruning.isEmpty &&
       agg.aggregateExpressions.forall {
         case _: cagg.CountStar =>
+          // deletion vectors (r14): the live count is size - dvRows,
+          // exact (DV ordinals are distinct within the file)
           table.live.forall(_.size > 0L)
         case m: cagg.Min =>
+          // a DV may have deleted the extremal row — the log window
+          // is then stale; decline to the row path (never wrong)
           statsIsLong && colOf(m.column).contains(table.statsCol) &&
             table.live.forall(f =>
-              f.minKey.isDefined && f.maxKey.isDefined)
+              f.minKey.isDefined && f.maxKey.isDefined &&
+                f.dvRows == 0L)
         case m: cagg.Max =>
           statsIsLong && colOf(m.column).contains(table.statsCol) &&
             table.live.forall(f =>
-              f.minKey.isDefined && f.maxKey.isDefined)
+              f.minKey.isDefined && f.maxKey.isDefined &&
+                f.dvRows == 0L)
         case _ => false
       }
   }
@@ -571,33 +645,39 @@ final class LakeScanBuilder(table: LakeTable)
       else StructType(Array(table.schema().fields.head))
 
   /** Accept range/equality/IN on LONG/INT columns — they drive file
-    * pruning (stats column) and row-group pruning (any long column) —
-    * plus, r12, range/equality/IN STRING predicates on the
-    * `strStatsCol` (log string-window pruning) and the `partitionBy`
-    * column (partition pruning from metadata alone). Everything is
-    * RETURNED as residual: Spark re-applies every filter, so pruning
-    * is purely an optimization. */
+    * pruning (stats column + r14 per-column stats) and row-group
+    * pruning (any long column) — plus STRING predicates on ANY string
+    * column (r14 general skipping; r12 accepted only `strStatsCol`
+    * and the `partitionBy` column) and DOUBLE/FLOAT predicates on
+    * double/float columns (pruned against the r14 `cstats` windows).
+    * Everything is RETURNED as residual: Spark re-applies every
+    * filter, so pruning is purely an optimization. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val longCols = table.schema().fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType =>
         f.name
     }.toSet
-    val strCols = (table.strStatsCol.toSeq ++ table.partCol.toSeq).toSet
+    val strCols = table.schema().fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSet ++ table.strStatsCol.toSet ++ table.partCol.toSet
+    val dblCols = table.schema().fields.collect {
+      case f if f.dataType == DoubleType || f.dataType == FloatType =>
+        f.name
+    }.toSet
     def num(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[Int]
     def str(v: Any): Boolean = v.isInstanceOf[String]
+    def dbl(v: Any): Boolean =
+      v.isInstanceOf[Double] || v.isInstanceOf[Float]
+    def ok(c: String, v: Any): Boolean =
+      (longCols(c) && num(v)) || (strCols(c) && str(v)) ||
+        (dblCols(c) && dbl(v))
     pruning = filters.filter {
-      case EqualTo(c, v) =>
-        (longCols(c) && num(v)) || (strCols(c) && str(v))
-      case GreaterThan(c, v) =>
-        (longCols(c) && num(v)) || (strCols(c) && str(v))
-      case GreaterThanOrEqual(c, v) =>
-        (longCols(c) && num(v)) || (strCols(c) && str(v))
-      case LessThan(c, v) =>
-        (longCols(c) && num(v)) || (strCols(c) && str(v))
-      case LessThanOrEqual(c, v) =>
-        (longCols(c) && num(v)) || (strCols(c) && str(v))
-      case In(c, vs) => vs.nonEmpty &&
-        ((longCols(c) && vs.forall(num)) || (strCols(c) && vs.forall(str)))
+      case EqualTo(c, v) => ok(c, v)
+      case GreaterThan(c, v) => ok(c, v)
+      case GreaterThanOrEqual(c, v) => ok(c, v)
+      case LessThan(c, v) => ok(c, v)
+      case LessThanOrEqual(c, v) => ok(c, v)
+      case In(c, vs) => vs.nonEmpty && vs.forall(v => ok(c, v))
       case _ => false
     }
     filters // all residual
@@ -657,7 +737,7 @@ final class LakeAggScan(table: LakeTable,
     val rows: Array[Array[Any]] = groups.map { case (p, fs) =>
       val aggVals: Seq[Any] = agg.aggregateExpressions.toSeq.map {
         case _: cagg.CountStar =>
-          java.lang.Long.valueOf(fs.map(_.size).sum): Any
+          java.lang.Long.valueOf(fs.map(f => f.size - f.dvRows).sum): Any
         case _: cagg.Min =>
           if (fs.isEmpty) null
           else java.lang.Long.valueOf(fs.flatMap(_.minKey).min): Any
@@ -836,6 +916,86 @@ final class LakeScan(table: LakeTable, required: StructType,
         windowOf(f, c).forall { case (mn, _) => sLe(mn, v) }
       case _ => true
     }
+    // r14 GENERAL data skipping: every pushed filter on a column with
+    // a per-file `cstats` entry tests the typed window; a present
+    // entry with an ABSENT window means the column is all-null in
+    // that file, so no comparison can match (writers drop entries
+    // whole when a value can't ride the log — window absence is a
+    // truth, never a degradation marker). Files without the entry
+    // must scan.
+    def dblOf(v: Any): Double = v match {
+      case d: Double => d
+      case fl: Float => fl.toDouble
+      case other => throw new IllegalArgumentException(s"$other")
+    }
+    def isNumV(v2: Any): Boolean =
+      v2.isInstanceOf[Long] || v2.isInstanceOf[Int]
+    def isDblV(v2: Any): Boolean =
+      v2.isInstanceOf[Double] || v2.isInstanceOf[Float]
+    def cstatSurvives(f: TxLog.LiveFile): Boolean =
+      f.cstats.isEmpty || filters.forall { flt =>
+        def st(c: String, t: String): Option[TxLog.ColStat] =
+          f.cstats.find(s0 => s0.col == table.physName(c) &&
+            s0.tpe == t)
+        def lw(c: String)(chk: (Long, Long) => Boolean): Boolean =
+          st(c, "l").forall(s0 => (s0.mn, s0.mx) match {
+            case (Some(a), Some(b)) => chk(a.toLong, b.toLong)
+            case _ => false // all-null column: no comparison matches
+          })
+        def dw(c: String)(chk: (Double, Double) => Boolean): Boolean =
+          st(c, "d").forall(s0 => (s0.mn, s0.mx) match {
+            case (Some(a), Some(b)) => chk(a.toDouble, b.toDouble)
+            case _ => false
+          })
+        def sw(c: String)(chk: (String, String) => Boolean): Boolean =
+          st(c, "s").forall(s0 => (s0.mn, s0.mx) match {
+            case (Some(a), Some(b)) => chk(a, b)
+            case _ => false
+          })
+        flt match {
+          case EqualTo(c, v: String) =>
+            sw(c)((mn, mx) => sLe(mn, v) && sLe(v, mx))
+          case EqualTo(c, v) if isNumV(v) =>
+            lw(c)((mn, mx) => LakeBounds.of(v) >= mn &&
+              LakeBounds.of(v) <= mx)
+          case EqualTo(c, v) if isDblV(v) =>
+            dw(c)((mn, mx) => dblOf(v) >= mn && dblOf(v) <= mx)
+          case GreaterThan(c, v: String) => sw(c)((_, mx) => sLt(v, mx))
+          case GreaterThan(c, v) if isNumV(v) =>
+            lw(c)((_, mx) => mx > LakeBounds.of(v))
+          case GreaterThan(c, v) if isDblV(v) =>
+            dw(c)((_, mx) => mx > dblOf(v))
+          case GreaterThanOrEqual(c, v: String) =>
+            sw(c)((_, mx) => sLe(v, mx))
+          case GreaterThanOrEqual(c, v) if isNumV(v) =>
+            lw(c)((_, mx) => mx >= LakeBounds.of(v))
+          case GreaterThanOrEqual(c, v) if isDblV(v) =>
+            dw(c)((_, mx) => mx >= dblOf(v))
+          case LessThan(c, v: String) => sw(c)((mn, _) => sLt(mn, v))
+          case LessThan(c, v) if isNumV(v) =>
+            lw(c)((mn, _) => mn < LakeBounds.of(v))
+          case LessThan(c, v) if isDblV(v) =>
+            dw(c)((mn, _) => mn < dblOf(v))
+          case LessThanOrEqual(c, v: String) =>
+            sw(c)((mn, _) => sLe(mn, v))
+          case LessThanOrEqual(c, v) if isNumV(v) =>
+            lw(c)((mn, _) => mn <= LakeBounds.of(v))
+          case LessThanOrEqual(c, v) if isDblV(v) =>
+            dw(c)((mn, _) => mn <= dblOf(v))
+          case In(c, vs) if vs.nonEmpty &&
+              vs.forall(_.isInstanceOf[String]) =>
+            sw(c)((mn, mx) => vs.exists(v =>
+              sLe(mn, v.asInstanceOf[String]) &&
+                sLe(v.asInstanceOf[String], mx)))
+          case In(c, vs) if vs.nonEmpty && vs.forall(isNumV) =>
+            lw(c)((mn, mx) => vs.exists(v =>
+              LakeBounds.of(v) >= mn && LakeBounds.of(v) <= mx))
+          case In(c, vs) if vs.nonEmpty && vs.forall(isDblV) =>
+            dw(c)((mn, mx) => vs.exists(v =>
+              dblOf(v) >= mn && dblOf(v) <= mx))
+          case _ => true
+        }
+      }
     // column mapping (r13): the reader locates leaves by PHYSICAL
     // name; bounds/projections arrive logical
     val rgBounds = required.fieldNames.toSeq
@@ -844,9 +1004,12 @@ final class LakeScan(table: LakeTable, required: StructType,
         lo != Long.MinValue || hi != Long.MaxValue
       }
     val physCols = required.fieldNames.toSeq.map(table.physName)
-    table.live.filter(f => keySurvives(f) && strSurvives(f)).map { f =>
-      LakePartition(f.path, physCols, rgBounds): InputPartition
-    }.toArray
+    table.live
+      .filter(f => keySurvives(f) && strSurvives(f) && cstatSurvives(f))
+      .map { f =>
+        LakePartition(f.path, physCols, rgBounds,
+          dvPath = f.dvPath): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -943,7 +1106,8 @@ final case class LakeOffset(version: Long) extends Offset {
 
 final case class LakePartition(path: String, cols: Seq[String],
     rgBounds: Seq[(String, (Long, Long))],
-    constCols: Map[String, String] = Map.empty) extends InputPartition
+    constCols: Map[String, String] = Map.empty,
+    dvPath: Option[String] = None) extends InputPartition
 
 final class LakeReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -963,9 +1127,26 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
     java.nio.file.Paths.get(p.path))
   private val meta = ParquetFile.parseFooterMeta(bytes)
 
+  // DELETION VECTOR (r14 — merge-on-read): the sidecar's row ordinals
+  // are dead; `next()` skips them by the file-global ordinal (row
+  // groups pruned by stats still advance the base — ordinals are a
+  // property of the FILE, not of the scan).
+  private val dvSet: java.util.BitSet = p.dvPath match {
+    case None => null
+    case Some(dp) =>
+      val (_, dvCols) = ParquetFile.readFileColumns(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dp)))
+      val bs = new java.util.BitSet()
+      dvCols.head.asInstanceOf[graft.operators.ParquetWrite.LongCol]
+        .vs.foreach(o => bs.set(o.toInt))
+      bs
+  }
+
   private var rgIdx = 0
   private var rowInRg = 0
   private var rgRows = 0
+  private var rgStartOrd = 0L // file-global ordinal of the rg's row 0
+  private var rowsSeen = 0L // rows of all groups BEFORE rgIdx
   // CellCol for flat columns, ListCells for array columns
   private var cells: Array[AnyRef] = null
   private val row = new GenericInternalRow(required.length)
@@ -976,6 +1157,8 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
     while (rgIdx < meta.rowGroups.length) {
       val rg = meta.rowGroups(rgIdx)
       rgIdx += 1
+      val startOrd = rowsSeen
+      rowsSeen += rg.numRows
       val prunable = p.rgBounds.forall { case (cn, (lo, hi)) =>
         rg.chunks.find(_.path == cn) match {
           case Some(c) if c.ptype == 1 || c.ptype == 2 =>
@@ -987,6 +1170,7 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
         }
       }
       if (prunable) {
+        rgStartOrd = startOrd
         val n = rg.numRows.toInt
         cells = p.cols.map { cn =>
           // a column the file PREDATES (added by a later metaData
@@ -1013,8 +1197,14 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
   }
 
   override def next(): Boolean = {
-    if (cells != null && rowInRg < rgRows) true
-    else nextRowGroup()
+    while (true) {
+      if (cells != null && rowInRg < rgRows) {
+        if (dvSet == null || !dvSet.get((rgStartOrd + rowInRg).toInt))
+          return true
+        rowInRg += 1 // deleted by the DV: skip
+      } else if (!nextRowGroup()) return false
+    }
+    false // unreachable
   }
 
   override def get(): InternalRow = {
@@ -1079,7 +1269,8 @@ final class LakePartitionReader(p: LakePartition, required: StructType)
 final case class LakeAdd(path: String, numRows: Long,
     minKey: Long, maxKey: Long, hasKey: Boolean,
     minSkey: Option[String] = None, maxSkey: Option[String] = None,
-    part: Option[String] = None)
+    part: Option[String] = None,
+    cstats: Seq[TxLog.ColStat] = Seq.empty)
 
 final case class LakeCommitMessage(adds: Seq[LakeAdd])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
@@ -1112,8 +1303,10 @@ object LakeCommitMessage {
       case Some(p) => s""","part":"$p""""
       case None => ""
     }
+    // cstats render LAST (the driver-side parser anchors on the tail)
     s"""{"add":{"path":"${graft.operators.TxLog.requireJsonSafe(a.path)}",""" +
-      s""""size":${a.numRows}$kstats$sstats$pv}}"""
+      s""""size":${a.numRows}$kstats$sstats$pv""" +
+      graft.operators.TxLog.cstatsJson(a.cstats) + "}}"
   }
 }
 
@@ -1477,6 +1670,78 @@ final class LakeDataWriter(root: String, schema: StructType,
   private def utf8Lt(a: String, b: String): Boolean =
     TxLog.utf8Lt(a, b)
 
+  /** Per-column file statistics (r14 — general data skipping): min /
+    * max / nullCount for the first 8 columns of supported scalar
+    * types, keyed by PHYSICAL name (stats survive RENAME). Entries
+    * are dropped WHOLE — never window-only — when a value cannot
+    * ride the log (>64-char strings, NaN, unsafe chars), because an
+    * absent window on a present entry means "all nulls" to the
+    * pruner (a pruning truth, never a degradation marker). */
+  private def cstatsOf(idx: Array[Int]): Seq[TxLog.ColStat] = {
+    val limit = math.min(schema.length, 8)
+    (0 until limit).flatMap { i =>
+      val nm = physName(schema.fields(i).name)
+      schema.fields(i).dataType match {
+        case LongType =>
+          var mn = Long.MaxValue; var mx = Long.MinValue; var nc = 0L
+          idx.foreach { j =>
+            val v = bufs(i)(j).asInstanceOf[java.lang.Long]
+            if (v == null) nc += 1
+            else {
+              if (v.longValue() < mn) mn = v.longValue()
+              if (v.longValue() > mx) mx = v.longValue()
+            }
+          }
+          Some(TxLog.ColStat(nm, "l",
+            if (mn <= mx) Some(mn.toString) else None,
+            if (mn <= mx) Some(mx.toString) else None, nc))
+        case DoubleType | FloatType =>
+          var mn = Double.PositiveInfinity
+          var mx = Double.NegativeInfinity
+          var nc = 0L; var drop = false
+          idx.foreach { j =>
+            bufs(i)(j) match {
+              case null => nc += 1
+              case d: java.lang.Double =>
+                if (d.isNaN) drop = true
+                else {
+                  if (d.doubleValue() < mn) mn = d.doubleValue()
+                  if (d.doubleValue() > mx) mx = d.doubleValue()
+                }
+              case f: java.lang.Float =>
+                if (f.isNaN) drop = true
+                else {
+                  val v = f.floatValue().toDouble
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                }
+              case _ => drop = true
+            }
+          }
+          if (drop) None
+          else Some(TxLog.ColStat(nm, "d",
+            if (mn <= mx) Some(mn.toString) else None,
+            if (mn <= mx) Some(mx.toString) else None, nc))
+        case StringType =>
+          var mn: String = null; var mx: String = null
+          var nc = 0L; var drop = false
+          idx.foreach { j =>
+            val v = bufs(i)(j).asInstanceOf[String]
+            if (v == null) nc += 1
+            else if (v.length > 64 || TxLog.jsonSafe(v).isEmpty)
+              drop = true
+            else {
+              if (mn == null || utf8Lt(v, mn)) mn = v
+              if (mx == null || utf8Lt(mx, v)) mx = v
+            }
+          }
+          if (drop) None
+          else Some(TxLog.ColStat(nm, "s", Option(mn), Option(mx), nc))
+        case _ => None // arrays: not prunable
+      }
+    }
+  }
+
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     if (n == 0) return LakeCommitMessage(Seq.empty)
     // one file per partition value seen (None when unpartitioned or
@@ -1511,7 +1776,8 @@ final class LakeDataWriter(root: String, schema: StructType,
       }
       LakeAdd(p, idx.length.toLong, mnK, mxK,
         hasKey = keyIsLong && mnK <= mxK,
-        minSkey = Option(mnS), maxSkey = Option(mxS), part = pv)
+        minSkey = Option(mnS), maxSkey = Option(mxS), part = pv,
+        cstats = cstatsOf(idx))
     }
     LakeCommitMessage(adds)
   }
