@@ -1008,7 +1008,13 @@ object LakeMaintenance {
                 java.nio.file.Paths.get(cp), cb): Unit
               (cp, (delIdx.length + 2 * updIdx.length).toLong)
             }
-          if (keep.isEmpty) // every live row died: remove-only
+          if (delIdx.isEmpty && updIdx.isEmpty)
+            // stats said maybe, the file says no: UNTOUCHED (mode 3)
+            // — no remove, no add, no rewrite (self-review r14: the
+            // r12 path rewrote such files for nothing)
+            (3, f.path, "", 0L, 0L, 0L, matched, 0L, "", 0L, "", "",
+              0L)
+          else if (keep.isEmpty) // every live row died: remove-only
             (0, f.path, "", 0L, 0L, 0L, matched,
               delIdx.length.toLong, cdc._1, cdc._2, "", "", 0L)
           else if (updIdx.isEmpty && delIdx.nonEmpty &&
@@ -1092,8 +1098,9 @@ object LakeMaintenance {
     val liveByPath = candidates.map(f => f.path -> f).toMap
     val lines =
       // DV-mode files are NOT removed — their re-add (same path, new
-      // sidecar) wins the latest-wins fold
-      rewritten.filter(_._1 != 2).map(r =>
+      // sidecar) wins the latest-wins fold; untouched files (mode 3)
+      // emit nothing at all
+      rewritten.filter(r => r._1 == 0 || r._1 == 1).map(r =>
         s"""{"remove":{"path":"${TxLog.requireJsonSafe(r._2)}"}}""") ++
       rewritten.filter(_._1 == 1).map(r =>
         s"""{"add":{"path":"${TxLog.requireJsonSafe(r._3)}","size":${r._4}""" +
@@ -1112,6 +1119,8 @@ object LakeMaintenance {
         s"""{"cdc":{"path":"${TxLog.requireJsonSafe(cp)}",""" +
           s""""size":$rows}}"""
       }
+    if (lines.isEmpty) // every candidate untouched, nothing to insert
+      return MergeResult(0, 0L, 0L, -1L)
     val writtenPaths = rewritten.filter(_._3.nonEmpty).map(_._3) ++
       rewritten.filter(_._9.nonEmpty).map(_._9) ++
       rewritten.filter(_._12.nonEmpty).map(_._12) ++
@@ -1119,7 +1128,7 @@ object LakeMaintenance {
     val v = commitMaintenance(root, rewritten.map(_._2).toSeq,
       lines.toSeq :+ TxLog.commitInfoLine("MERGE"),
       writtenPaths.toSeq)
-    MergeResult(rewritten.length, matchedKeys.size.toLong,
+    MergeResult(rewritten.count(_._1 != 3), matchedKeys.size.toLong,
       insertAdd.map(_._2).getOrElse(0L), v, deletedRows)
   }
 
