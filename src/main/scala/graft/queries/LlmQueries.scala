@@ -9703,6 +9703,49 @@ object LlmQueries {
         SELECT lang, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           CAST((SELECT count(*) FROM kept) AS BIGINT) AS total
-        FROM kept GROUP BY lang"""))
+        FROM kept GROUP BY lang""")),
+
+    // ---- SQL MAINTENANCE surface (r14 — Spark 4's ProcedureCatalog,
+    // the Iceberg CALL pattern): OPTIMIZE, checkpointing and
+    // DESCRIBE HISTORY driven as `CALL graft.system.*` SQL text. The
+    // gate litters a table through SQL inserts, CALLs optimize +
+    // checkpoint, and the final aggregate must replay over the
+    // compacted table — with the OPTIMIZE commit count read back
+    // through CALL describe_history (a compaction that lost or
+    // duplicated a row, or a history that mis-stamped the op, cannot
+    // match). LakeCatalogSpec pins the other procedures (vacuum,
+    // constraints as CALLs, loud unknown-procedure rejection).
+    "q261_lake_sql_call" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw261_" +
+          s.sparkContext.applicationId
+        sqlLakeReset(s, "graft_c261", base)
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .createOrReplaceTempView("q261_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c261.db"): Unit
+        s.sql("""CREATE TABLE graft_c261.db.m (
+          doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
+          USING `graft-lake`"""): Unit
+        (0 until 3).foreach { b =>
+          s.sql("INSERT INTO graft_c261.db.m " +
+            s"SELECT doc_id, n_chars, lang FROM q261_src " +
+            s"WHERE doc_id % 3 = $b"): Unit
+        }
+        s.sql("CALL graft_c261.system.optimize(table => 'db.m', " +
+          "target_rows => 1000000)"): Unit
+        s.sql("CALL graft_c261.system.checkpoint(table => 'db.m', " +
+          "parts => 2)"): Unit
+        val nOpt = s.sql("CALL graft_c261.system.describe_history(" +
+            "table => 'db.m')")
+          .where(col("op") === "OPTIMIZE").count()
+        s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+            FROM graft_c261.db.m GROUP BY lang""")
+          .withColumn("n_optimize", lit(nOpt))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(1 AS BIGINT) AS n_optimize
+        FROM documents GROUP BY lang"""))
   )
 }

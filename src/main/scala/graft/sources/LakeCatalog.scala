@@ -4,7 +4,8 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{IdentityTransform, Transform}
+import org.apache.spark.sql.connector.catalog.ProcedureCatalog
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -50,7 +51,8 @@ import graft.operators.TxLog
   *
   * 100 TB shape: unchanged — the catalog only resolves identifiers;
   * planning, pruning and commits are the connector's. */
-class LakeCatalog extends TableCatalog with SupportsNamespaces {
+class LakeCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -245,6 +247,35 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     java.nio.file.Files.move(
       new java.io.File(rootOf(oldIdent)).toPath, to.toPath): Unit
   }
+
+  // ---- stored procedures (r14 — Spark 4's ProcedureCatalog, the
+  // Iceberg CALL pattern): the maintenance surface as pure SQL —
+  // `CALL <cat>.system.optimize(table => 'db.t', target_rows => …)`,
+  // zorder / vacuum / expire_log / checkpoint / describe_history /
+  // add_constraint / drop_constraint / upgrade_protocol — all wiring
+  // into the existing LakeMaintenance/TxLog entry points ----
+
+  private lazy val procedures: Map[String, LakeProcedure] =
+    LakeProcedure.all { table =>
+      (warehouse +: table.split('.').toSeq.map(sane)).mkString("/")
+    }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq("system"),
+      s"graft catalog: procedures live under $catalogName.system")
+    procedures.getOrElse(ident.name(),
+      throw new IllegalArgumentException(
+        s"graft catalog: no procedure ${ident.name()} (have: " +
+          s"${procedures.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      procedures.keys.toSeq.sorted
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // ---- namespaces: plain warehouse directories (a dir without a
   // log/ child; a table dir is never a namespace) ----

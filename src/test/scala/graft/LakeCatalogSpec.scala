@@ -199,6 +199,51 @@ class LakeCatalogSpec extends SparkSpec {
       Map("en" -> 50L, "de" -> 50L)
   }
 
+  test("CALL graft.system.* procedures: optimize / checkpoint / " +
+      "describe_history / constraints / vacuum as pure SQL") {
+    sql("""CREATE TABLE graft_t.db.pr (doc_id BIGINT NOT NULL, s STRING)
+         | USING `graft-lake` TBLPROPERTIES ('statsCol'='doc_id')"""
+      .stripMargin): Unit
+    (0 until 4).foreach { b =>
+      sql(s"INSERT INTO graft_t.db.pr SELECT id + ${b * 100}, " +
+        s"concat('r', id) FROM range(100)"): Unit
+    }
+    // OPTIMIZE: 4 litter files -> 1 compacted file, content invariant
+    val opt = sql("CALL graft_t.system.optimize(table => 'db.pr', " +
+      "target_rows => 1000)").head
+    opt.getLong(0) shouldBe 8L // removed (2 files per insert)
+    opt.getLong(1) shouldBe 1L // created
+    sql("SELECT count(*) AS n FROM graft_t.db.pr").head.getLong(0)
+      .shouldBe(400L)
+    // checkpoint (multi-part) + history as SQL
+    sql("CALL graft_t.system.checkpoint(table => 'db.pr', " +
+      "parts => 2)").head.getLong(0) shouldBe 5L
+    val hist = sql("CALL graft_t.system.describe_history(" +
+      "table => 'db.pr')").collect()
+    hist.map(_.getString(1)).take(2).toSeq shouldBe
+      Seq("CREATE TABLE", "APPEND")
+    hist.last.getString(1) shouldBe "OPTIMIZE"
+    // constraints as CALLs: enforced on the next SQL insert
+    sql("CALL graft_t.system.add_constraint(table => 'db.pr', " +
+      "name => 'id_pos', expr => 'doc_id >= 0')"): Unit
+    intercept[Exception] {
+      sql("INSERT INTO graft_t.db.pr VALUES (-5, 'bad')")
+    }
+    sql("CALL graft_t.system.drop_constraint(table => 'db.pr', " +
+      "name => 'id_pos')"): Unit
+    sql("INSERT INTO graft_t.db.pr VALUES (-5, 'now ok')"): Unit
+    // vacuum with retention 0 reclaims the 4 litter files
+    val vac = sql("CALL graft_t.system.vacuum(table => 'db.pr', " +
+      "retain_versions => 0, grace_ms => 0)").head
+    vac.getLong(0) shouldBe 8L
+    sql("SELECT count(*) AS n FROM graft_t.db.pr").head.getLong(0)
+      .shouldBe(401L)
+    // unknown procedure rejects with the catalog's loud listing
+    intercept[Exception] {
+      sql("CALL graft_t.system.nope(table => 'db.pr')")
+    }
+  }
+
   test("catalog <-> path equivalence, CTAS, DROP TABLE, and " +
       "create-type rejection") {
     sql("""CREATE TABLE graft_t.db.eq (doc_id BIGINT NOT NULL, s STRING)
