@@ -363,7 +363,16 @@ object LakeMaintenance {
     require(cols.size >= 2 && cols.size <= 4 &&
         cols.distinct.size == cols.size,
       "zorder needs 2..4 distinct columns")
-    val live0 = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+    // PIN the snapshot version FIRST (review r14): the remove set
+    // (`live`) and the DataFrame the rewrite scans must describe the
+    // SAME snapshot — an append landing between an unpinned resolve
+    // and the scan's own resolution would have its rows written into
+    // the z-order output while its file stayed live (permanent row
+    // duplication, and invisible to the read-set validation because
+    // the appended path was never in removedPaths).
+    val pinV = TxLog.nextVersion(s"$root/log", s"$root/ckpt") - 1
+    if (pinV < 0) return ZorderResult(0, 0, -1L)
+    val live0 = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", pinV)
     // PARTITIONED tables z-order one partition at a time (review
     // follow-up: a global rewrite would mix partition values in its
     // output files and could not carry `part` — one z-order would
@@ -385,6 +394,7 @@ object LakeMaintenance {
     }
     if (live.isEmpty) return ZorderResult(0, 0, -1L)
     val df0 = spark.read.format("graft-lake").option("path", root)
+      .option("asOf", pinV.toString) // the pinned snapshot, see above
     val df = partition match {
       case Some((c, v)) =>
         import org.apache.spark.sql.functions.{col => c0}
@@ -580,8 +590,9 @@ object LakeMaintenance {
     val run = java.util.UUID.randomUUID().toString.take(8)
     val outSchema = schema
     // column mapping (r13): rewritten files must carry PHYSICAL names
+    // — of the PINNED snapshot's schema (r14)
     val physMap = TxLog
-      .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
+      .latestMetaDataFast(s"$root/log", s"$root/ckpt", pinV)
       .map(_.map(c => c.name -> c.physName).toMap)
       .getOrElse(Map.empty[String, String])
     val outNames = schema.fieldNames.map(n => physMap.getOrElse(n, n))
@@ -934,11 +945,22 @@ object LakeMaintenance {
       s"merge key $keyCol must be a REQUIRED long column")
     val keys = updates.map(_._1) ++ deletes
     val kLo = keys.min; val kHi = keys.max
+    // candidate pruning uses the COLUMN-LABELED per-file window for
+    // the key (r14 cstats; review r14: the legacy min_key/max_key
+    // windows are measured on whatever statsCol the WRITER was
+    // configured with — pruning a merge on a DIFFERENT required-long
+    // key against them silently missed rows). Files without a
+    // key-labeled window must be checked; an all-null window on a
+    // REQUIRED key means an empty file — skip it.
     val candidates = live.filter { f =>
-      (f.minKey, f.maxKey) match {
-        case (Some(mn), Some(mx)) =>
-          mx >= kLo && mn <= kHi && keys.exists(k => k >= mn && k <= mx)
-        case _ => true // statless files must be checked
+      f.cstats.find(c => c.col == keyPhys && c.tpe == "l") match {
+        case Some(st) => (st.mn.map(_.toLong), st.mx.map(_.toLong)) match {
+          case (Some(mn), Some(mx)) =>
+            mx >= kLo && mn <= kHi &&
+              keys.exists(k => k >= mn && k <= mx)
+          case _ => false
+        }
+        case None => true // no labeled window: must check
       }
     }
     val run = java.util.UUID.randomUUID().toString.take(8)
@@ -1096,21 +1118,32 @@ object LakeMaintenance {
     if (rewritten.isEmpty && insertAdd.isEmpty)
       return MergeResult(0, 0L, 0L, -1L)
     val liveByPath = candidates.map(f => f.path -> f).toMap
+    // the legacy min_key/max_key window is, by engine-wide default,
+    // the "doc_id" statsCol's — stamp it only when the merge key IS
+    // that column (review r14: stamping a different key's window
+    // would poison doc_id file pruning for every later read); the
+    // column-labeled cstats carry the key's window regardless
+    val stampKey = keyCol == "doc_id"
     val lines =
       // DV-mode files are NOT removed — their re-add (same path, new
       // sidecar) wins the latest-wins fold; untouched files (mode 3)
       // emit nothing at all
       rewritten.filter(r => r._1 == 0 || r._1 == 1).map(r =>
         s"""{"remove":{"path":"${TxLog.requireJsonSafe(r._2)}"}}""") ++
-      rewritten.filter(_._1 == 1).map(r =>
+      rewritten.filter(_._1 == 1).map { r =>
+        val kw = if (stampKey)
+          s""","min_key":${r._5},"max_key":${r._6}""" else ""
         s"""{"add":{"path":"${TxLog.requireJsonSafe(r._3)}","size":${r._4}""" +
-          s""","min_key":${r._5},"max_key":${r._6}${r._11}}}""") ++
+          s"""$kw${r._11}}}"""
+      } ++
       rewritten.filter(_._1 == 2).map(r =>
         TxLog.renderAdd(liveByPath(r._2), Some(r._12), r._13,
           Some(false))) ++
       insertAdd.map { case (p, rows, mn, mx, _, cj) =>
+        val kw = if (stampKey)
+          s""","min_key":$mn,"max_key":$mx""" else ""
         s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
-          s""","min_key":$mn,"max_key":$mx$cj}}"""
+          s"""$kw$cj}}"""
       } ++
       rewritten.filter(_._9.nonEmpty).map(r =>
         s"""{"cdc":{"path":"${TxLog.requireJsonSafe(r._9)}",""" +

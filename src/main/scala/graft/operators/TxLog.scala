@@ -212,7 +212,14 @@ object TxLog {
     * a non-atomic copy) must fail loudly, never resolve a partial
     * live set. Checkpoints without the manifest (pre-r14) pass. */
   private def requireCkptComplete(ckptBase: String, cv: Long): Unit = {
-    val declared = extrasLines(ckptBase, cv)
+    // only the dedicated extras file can carry the manifest — never
+    // fall back to reading the whole (possibly multi-GB) state dir
+    // just to find a line that cannot exist there (review r14)
+    val ef = new java.io.File(s"$ckptBase/version=$cv/zz-extras.json")
+    if (!ef.isFile) return // pre-r14 checkpoint: no manifest
+    val declared = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(ef.toPath))
+      .asScala.toSeq
       .filter(_.contains("\"ckptParts\":"))
       .flatMap(l => jLong(l, "ckptParts")).lastOption
     declared.foreach { d =>
@@ -421,9 +428,13 @@ object TxLog {
     * line tail. Entries failing the no-escape subset are dropped
     * whole (pruning degrades to scan, never corrupts). */
   def cstatsJson(cs: Seq[ColStat]): String = {
+    // the wire encoding uses "" for an ABSENT window, so a window
+    // whose actual min/max IS the empty string cannot ride — drop the
+    // whole entry (review r14: round-tripping min="" as all-null
+    // wrongly pruned files containing empty-string values)
     val safe = cs.filter(c => jsonSafe(c.col).isDefined &&
-      c.mn.forall(v => jsonSafe(v).isDefined) &&
-      c.mx.forall(v => jsonSafe(v).isDefined))
+      c.mn.forall(v => v.nonEmpty && jsonSafe(v).isDefined) &&
+      c.mx.forall(v => v.nonEmpty && jsonSafe(v).isDefined))
     if (safe.isEmpty) ""
     else safe.map { c =>
       s"""["${c.col}","${c.tpe}","${c.mn.getOrElse("")}",""" +
@@ -839,6 +850,13 @@ object TxLog {
       .getOrElse(Protocol(1, 1))
     require(minReader >= cur.minReader && minWriter >= cur.minWriter,
       s"protocol downgrade ($cur -> Protocol($minReader, $minWriter))")
+    // an engine may only demand levels it itself implements — an
+    // upgrade beyond them would irreversibly brick the table for
+    // everyone including this engine (downgrades reject), with no
+    // feature to show for it (review r14)
+    require(minReader <= SupportedReader && minWriter <= SupportedWriter,
+      s"cannot upgrade to ($minReader, $minWriter): this engine " +
+        s"implements only ($SupportedReader, $SupportedWriter)")
     commitVersionWithRetry(logBase, ckptBase,
       Seq(protocolLine(Protocol(minReader, minWriter)),
         commitInfoLine("UPGRADE PROTOCOL")))

@@ -88,8 +88,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   private def isTableDir(f: java.io.File): Boolean =
     new java.io.File(f, "log").isDirectory
 
-  override def tableExists(ident: Identifier): Boolean =
-    TxLog.commitVersions(s"${rootOf(ident)}/log").nonEmpty
+  override def tableExists(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    // checkpoint-aware (review r14): log expiry can empty the commit
+    // dir while the table stays fully readable through the pointer
+    // checkpoint — existence must not flip false (a CREATE over live
+    // data would otherwise succeed)
+    TxLog.commitVersions(s"$root/log").nonEmpty ||
+      TxLog.readPointer(s"$root/ckpt").isDefined
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = nsDir(namespace)
@@ -180,7 +187,6 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       .map { case (k, v) =>
         PropKeys.find(_.equalsIgnoreCase(k)).get -> v
       } ++ partCol.map("partitionBy" -> _)
-    writeProps(root, props)
     try
       // version 0 = the schema action: the log is the schema
       // authority, so the empty table reads immediately; the atomic
@@ -192,6 +198,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case _: TxLog.CommitCollisionException =>
         throw new TableAlreadyExistsException(ident.toString)
     }
+    // props land only AFTER winning the v0 race (review r14: a losing
+    // concurrent CREATE must never clobber the winner's properties)
+    writeProps(root, props)
     loadTable(ident)
   }
 
@@ -213,12 +222,28 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "graft catalog: nested RENAME COLUMN is not supported")
-        LakeSource.renameColumn(root, r.fieldNames()(0),
-          r.newName()): Unit
+        val old = r.fieldNames()(0)
+        LakeSource.renameColumn(root, old, r.newName()): Unit
+        // table properties referencing the column follow the rename
+        // (review r14: a stale partitionBy/statsCol in props.json
+        // bricked every later append)
+        val props = readProps(root)
+        if (props.values.exists(_ == old))
+          writeProps(root, props.map { case (k, v) =>
+            k -> (if (v == old) r.newName() else v)
+          })
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           "graft catalog: nested DROP COLUMN is not supported")
-        LakeSource.dropColumn(root, d.fieldNames()(0)): Unit
+        val dropped = d.fieldNames()(0)
+        // a prop-referenced column cannot be dropped: the table's
+        // partitioning/stats contract names it (review r14)
+        readProps(root).find(_._2 == dropped).foreach { case (k, _) =>
+          throw new IllegalArgumentException(
+            s"graft catalog: cannot drop column $dropped — table " +
+              s"property $k references it")
+        }
+        LakeSource.dropColumn(root, dropped): Unit
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other")
     }

@@ -197,6 +197,17 @@ class LakeCatalogSpec extends SparkSpec {
     sql("SELECT lang, count(*) AS n FROM graft_t.db.p1 GROUP BY lang")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
       Map("en" -> 50L, "de" -> 50L)
+    // review r14: renaming the partition column keeps the table
+    // WRITABLE — the table property follows the rename; dropping a
+    // prop-referenced column rejects loudly
+    sql("ALTER TABLE graft_t.db.p1 RENAME COLUMN lang TO language"): Unit
+    sql("INSERT INTO graft_t.db.p1 VALUES (9999, 'fr')"): Unit
+    sql("SELECT count(*) AS n FROM graft_t.db.p1 " +
+      "WHERE language = 'fr'").head.getLong(0) shouldBe 1L
+    val t = intercept[Exception] {
+      sql("ALTER TABLE graft_t.db.p1 DROP COLUMN language")
+    }
+    t.getMessage should include("references it")
   }
 
   test("CALL graft.system.* procedures: optimize / checkpoint / " +
@@ -242,6 +253,22 @@ class LakeCatalogSpec extends SparkSpec {
     intercept[Exception] {
       sql("CALL graft_t.system.nope(table => 'db.pr')")
     }
+    // review r14: full log expiry (empty commit dir, table readable
+    // through the pointer checkpoint) must NOT flip tableExists —
+    // SELECT keeps working and CREATE over live data still refuses
+    sql("CALL graft_t.system.checkpoint(table => 'db.pr')"): Unit
+    sql("CALL graft_t.system.expire_log(table => 'db.pr', " +
+      "keep_versions => 0)"): Unit
+    TxLog.commitVersions(s"$warehouse/db/pr/log") shouldBe Seq.empty
+    sql("SELECT count(*) AS n FROM graft_t.db.pr").head.getLong(0)
+      .shouldBe(401L)
+    intercept[Exception] {
+      sql("""CREATE TABLE graft_t.db.pr (x BIGINT NOT NULL)
+           | USING `graft-lake`""".stripMargin)
+    }
+    sql("INSERT INTO graft_t.db.pr VALUES (500, 'post-expiry')"): Unit
+    sql("SELECT count(*) AS n FROM graft_t.db.pr").head.getLong(0)
+      .shouldBe(402L)
   }
 
   test("catalog <-> path equivalence, CTAS, DROP TABLE, and " +

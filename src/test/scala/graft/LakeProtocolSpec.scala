@@ -86,6 +86,11 @@ class LakeProtocolSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxLog.upgradeProtocol(s"$base/log", s"$base/ckpt", 0, 1)
     }
+    // an upgrade BEYOND the engine's own levels would irreversibly
+    // brick the table (downgrades reject) — refuse it (review r14)
+    intercept[IllegalArgumentException] {
+      TxLog.upgradeProtocol(s"$base/log", s"$base/ckpt", 1, 9)
+    }
     // fold through a v2 checkpoint, then expire the protocol commit:
     // the level must survive in the checkpoint's protoState
     Seq((9000L, "zz")).toDF("doc_id", "s").coalesce(1)

@@ -113,6 +113,74 @@ class LakeStatsSpec extends SparkSpec {
     lake(base).where(col("v") === 30L).count() shouldBe 1L
   }
 
+  test("review r14: an EMPTY-STRING min/max cannot ride the wire " +
+      "(\"\" encodes absence) — the entry drops whole and the file " +
+      "scans, never wrongly prunes") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cempty").toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    TxLog.commitVersion(s"$base/log", 0L, Seq(
+      TxLog.metaDataLine(Seq(
+        TxLog.MetaCol("doc_id", "long", nullable = false),
+        TxLog.MetaCol("s2", "string", nullable = true))),
+      TxLog.commitInfoLine("CREATE TABLE")))
+    Seq((1L, ""), (2L, "b")).toDF("doc_id", "s2").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+    // the s2 entry was dropped (its min IS ""), doc_id's survives
+    live.head.cstats.exists(_.col == "s2") shouldBe false
+    live.head.cstats.exists(_.col == "doc_id") shouldBe true
+    // the row with s2 = "b" must NOT vanish behind a false all-null
+    lake(base).where(col("s2") === "b").count() shouldBe 1L
+    lake(base).where(col("s2") === "").count() shouldBe 1L
+  }
+
+  test("review r14: merge/DELETE on a REQUIRED long key that is NOT " +
+      "the statsCol prunes by the COLUMN-LABELED window — rows are " +
+      "never missed, and doc_id windows are never poisoned") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_altkey").toFile.getAbsolutePath
+    new java.io.File(s"$base/data").mkdirs()
+    TxLog.commitVersion(s"$base/log", 0L, Seq(
+      TxLog.metaDataLine(Seq(
+        TxLog.MetaCol("doc_id", "long", nullable = false),
+        TxLog.MetaCol("uid", "long", nullable = false),
+        TxLog.MetaCol("s", "string", nullable = true))),
+      TxLog.commitInfoLine("CREATE TABLE")))
+    // uid runs OPPOSITE to doc_id so the legacy doc_id windows are
+    // maximally misleading for uid pruning
+    (0 until 4).foreach { b =>
+      (0 until 50).map { i =>
+        val id = b.toLong * 50 + i
+        (id, 100000L - id, s"r$id")
+      }.toDF("doc_id", "uid", "s").coalesce(1)
+        .write.format("graft-lake").option("path", base)
+        .mode("append").save()
+    }
+    // delete by uid: the victims live in the file whose doc_id
+    // window is FARTHEST from the keys
+    val r = LakeMaintenance.merge(spark, base, Seq.empty, "uid",
+      deletes = Seq(100000L, 99999L)) // doc_id 0 and 1 (file 0)
+    r.deleted shouldBe 2L
+    lake(base).count() shouldBe 198L
+    lake(base).where(col("doc_id") < 2L).count() shouldBe 0L
+    // doc_id file pruning is NOT poisoned by the uid-keyed rewrite:
+    // a doc_id predicate still prunes to the (rewritten or DV'd)
+    // right file and returns the right rows
+    lake(base).where(col("doc_id") === 10L).count() shouldBe 1L
+    nParts(lake(base).where(col("doc_id") === 199L)) shouldBe 1
+    // an update by uid lands on the right row too (uid 99900 is
+    // doc_id 100 — file 2)
+    LakeMaintenance.merge(spark, base,
+      Seq((99900L, Array[Any](java.lang.Long.valueOf(777L),
+        java.lang.Long.valueOf(99900L), "upd"))), "uid")
+      .matched shouldBe 1L
+    lake(base).where(col("s") === "upd")
+      .select(col("doc_id")).head.getLong(0) shouldBe 777L
+    lake(base).where(col("doc_id") === 100L).count() shouldBe 0L
+  }
+
   test("stats survive every maintenance rewrite: compact, z-order, " +
       "merge — pruning on the non-key column keeps working") {
     val base = build(8)
