@@ -46,6 +46,9 @@ case class LakeMergeRule(session: SparkSession)
       case m: MergeIntoTable if m.targetTable.resolved &&
           m.sourceTable.resolved && lakeOf(m.targetTable).isDefined =>
         LakeMergeSql.convert(conf.resolver, m, lakeOf(m.targetTable).get)
+      case u: UpdateTable if u.table.resolved &&
+          lakeOf(u.table).isDefined =>
+        LakeMergeSql.convertUpdate(conf.resolver, u, lakeOf(u.table).get)
     }
 
   private def lakeOf(p: LogicalPlan): Option[LakeTable] =
@@ -178,6 +181,126 @@ object LakeMergeSql {
     LakeMergeIntoCommand(table.root, targetSchema, keyField.name,
       source, sourceKeyLong, updateExprs, insertExprs, deleteMatched)
   }
+
+  /** SQL `UPDATE` (r14): assignments may reference the OLD row (the
+    * scan provides it — `SET v = v + 1` works, and partial SET is
+    * natural because unassigned columns project through unchanged).
+    * The rewrite is keyed on the table's first REQUIRED long column;
+    * matched keys must be row-unique (the whole-row merge replaces
+    * every occurrence of a key with ONE row — a per-occurrence
+    * update of a duplicated key is not expressible and rejects
+    * loudly at run time). */
+  def convertUpdate(resolver: Resolver, u: UpdateTable,
+      table: LakeTable): LogicalPlan = {
+    val target = u.table
+    val targetSchema = table.schema()
+    val keyField = targetSchema.fields.find(f =>
+        f.dataType == LongType && !f.nullable)
+      .getOrElse(fail("UPDATE needs a REQUIRED long column to key " +
+        "the rewrite on (none in the schema)"))
+    def resolveOverTarget(e: Expression): Expression = {
+      val r = e.transformUp {
+        case ua: UnresolvedAttribute =>
+          resolveAgainst(target, ua, resolver).getOrElse(
+            fail(s"cannot resolve $ua against the table"))
+      }
+      if (!r.references.subsetOf(target.outputSet))
+        fail("UPDATE expressions may reference only the table's " +
+          "own columns")
+      r
+    }
+    val byCol: Seq[(String, Expression)] = u.assignments.map { a =>
+      val keyName = resolveAgainst(target, a.key, resolver)
+        .getOrElse(fail(s"assignment target ${a.key} is not a " +
+          "table column")).name
+      keyName -> resolveOverTarget(a.value)
+    }
+    // full-row projection: assigned columns take their expression,
+    // the rest project through unchanged (partial SET)
+    val rowExprs: Seq[Expression] = targetSchema.fields.toSeq.map { f =>
+      val e = byCol.find(kv => resolver(kv._1, f.name)).map(_._2)
+        .getOrElse(target.resolve(Seq(f.name), resolver).getOrElse(
+          fail(s"table column ${f.name} is not resolvable")))
+      if (e.dataType == f.dataType) e else Cast(e, f.dataType)
+    }
+    val cond = u.condition.map(resolveOverTarget)
+    LakeUpdateCommand(table.root, targetSchema, keyField.name,
+      target, cond, rowExprs)
+  }
+
+  /** External boxed value of projected-row column `idx`, in the shape
+    * [[LakeMaintenance.merge]]'s typed column templates take (shared
+    * by the MERGE and UPDATE commands). */
+  private[plans] def boxed(r: Row, idx: Int, t: DataType): Any =
+    if (r.isNullAt(idx)) null
+    else t match {
+      case LongType => java.lang.Long.valueOf(r.getLong(idx))
+      case StringType => r.getString(idx)
+      case DoubleType => java.lang.Double.valueOf(r.getDouble(idx))
+      case FloatType => java.lang.Float.valueOf(r.getFloat(idx))
+      case ArrayType(et, _) =>
+        val s = r.getSeq[Any](idx)
+        et match {
+          case LongType =>
+            val out = new Array[java.lang.Long](s.length)
+            var i = 0
+            while (i < out.length) {
+              val v = s(i)
+              out(i) =
+                if (v == null) null
+                else java.lang.Long.valueOf(v.asInstanceOf[Long])
+              i += 1
+            }
+            out
+          case FloatType =>
+            val out = new Array[java.lang.Float](s.length)
+            var i = 0
+            while (i < out.length) {
+              val v = s(i)
+              out(i) =
+                if (v == null) null
+                else java.lang.Float.valueOf(v.asInstanceOf[Float])
+              i += 1
+            }
+            out
+          case DoubleType =>
+            val out = new Array[java.lang.Double](s.length)
+            var i = 0
+            while (i < out.length) {
+              val v = s(i)
+              out(i) =
+                if (v == null) null
+                else java.lang.Double.valueOf(v.asInstanceOf[Double])
+              i += 1
+            }
+            out
+          case other => fail(s"unsupported array element type $other")
+        }
+      case other => fail(s"unsupported column type $other")
+    }
+
+  /** Field index per file-leaf slot (the changeset value order
+    * [[LakeMaintenance.merge]] takes), mapped back through the column
+    * mapping — shared by the MERGE and UPDATE commands. */
+  private[plans] def leafOrder(root: String, targetSchema: StructType,
+      livePath: String): Seq[Int] = {
+    val physToLogical = TxLog
+      .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
+      .map(_.map(c => c.physName -> c.name).toMap)
+      .getOrElse(Map.empty[String, String])
+    val leaves = ParquetFile.parseFooterMeta(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(livePath))).leaves
+    val leafLogical = leaves.map { l =>
+      val i = l.path.indexOf('.')
+      val base = if (i < 0) l.path else l.path.substring(0, i)
+      physToLogical.getOrElse(base, base)
+    }
+    if (leafLogical.toSet != targetSchema.fieldNames.toSet)
+      fail("the live files' columns differ from the table schema " +
+        "(dropped/added-column residue) — compact the table first")
+    leafLogical.map(targetSchema.fieldIndex)
+  }
 }
 
 /** The runnable MERGE (see [[LakeMergeRule]]): collects the BOUNDED
@@ -205,53 +328,8 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
   private def fail(msg: String): Nothing =
     throw new UnsupportedOperationException(s"graft-lake MERGE: $msg")
 
-  /** External boxed value of projected-row column `idx`, in the shape
-    * [[LakeMaintenance.merge]]'s typed column templates take. */
   private def boxed(r: Row, idx: Int, t: DataType): Any =
-    if (r.isNullAt(idx)) null
-    else t match {
-      case LongType => java.lang.Long.valueOf(r.getLong(idx))
-      case StringType => r.getString(idx)
-      case DoubleType => java.lang.Double.valueOf(r.getDouble(idx))
-      case FloatType => java.lang.Float.valueOf(r.getFloat(idx))
-      case ArrayType(LongType, _) =>
-        val s = r.getSeq[Any](idx)
-        val out = new Array[java.lang.Long](s.length)
-        var i = 0
-        while (i < out.length) {
-          val v = s(i)
-          out(i) =
-            if (v == null) null
-            else java.lang.Long.valueOf(v.asInstanceOf[Long])
-          i += 1
-        }
-        out
-      case ArrayType(FloatType, _) =>
-        val s = r.getSeq[Any](idx)
-        val out = new Array[java.lang.Float](s.length)
-        var i = 0
-        while (i < out.length) {
-          val v = s(i)
-          out(i) =
-            if (v == null) null
-            else java.lang.Float.valueOf(v.asInstanceOf[Float])
-          i += 1
-        }
-        out
-      case ArrayType(DoubleType, _) =>
-        val s = r.getSeq[Any](idx)
-        val out = new Array[java.lang.Double](s.length)
-        var i = 0
-        while (i < out.length) {
-          val v = s(i)
-          out(i) =
-            if (v == null) null
-            else java.lang.Double.valueOf(v.asInstanceOf[Double])
-          i += 1
-        }
-        out
-      case other => fail(s"unsupported column type $other")
-    }
+    LakeMergeSql.boxed(r, idx, t)
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{broadcast, col}
@@ -281,24 +359,8 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
     // field index per leaf slot: LakeMaintenance.merge takes changeset
     // values in the table's FILE-LEAF order; map each leaf back to its
     // logical column through the column mapping
-    def leafOrder(): Seq[Int] = {
-      val physToLogical = TxLog
-        .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
-        .map(_.map(c => c.physName -> c.name).toMap)
-        .getOrElse(Map.empty[String, String])
-      val leaves = ParquetFile.parseFooterMeta(
-        java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(live.head.path))).leaves
-      val leafLogical = leaves.map { l =>
-        val i = l.path.indexOf('.')
-        val base = if (i < 0) l.path else l.path.substring(0, i)
-        physToLogical.getOrElse(base, base)
-      }
-      if (leafLogical.toSet != targetSchema.fieldNames.toSet)
-        fail("the live files' columns differ from the table schema " +
-          "(dropped/added-column residue) — compact the table first")
-      leafLogical.map(targetSchema.fieldIndex)
-    }
+    def leafOrder(): Seq[Int] =
+      LakeMergeSql.leafOrder(root, targetSchema, live.head.path)
 
     def changeRow(r: Row, off: Int, order: Seq[Int]): Array[Any] =
       order.map { fi =>
@@ -378,5 +440,72 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
     val inserted = r.inserted
     val updated = r.matched
     Seq(Row(updated, r.deleted, inserted))
+  }
+}
+
+/** The runnable SQL UPDATE (see [[LakeMergeSql.convertUpdate]]): scans
+  * the MATCHED rows (the condition pushes down — key predicates prune
+  * files), evaluates the full-row assignment expressions over the old
+  * rows (so `SET v = v + 1` and partial SET both work), and routes
+  * the bounded changeset through [[LakeMaintenance.merge]] keyed on
+  * the table's first REQUIRED long column. The whole-row rewrite can
+  * only express updates of row-unique keys; a predicate touching a
+  * duplicated key rejects loudly. */
+case class LakeUpdateCommand(root: String, targetSchema: StructType,
+    keyCol: String, target: LogicalPlan,
+    condition: Option[Expression], rowExprs: Seq[Expression])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_updated", LongType, nullable = false)())
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(target)
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graft-lake UPDATE: $msg")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+    if (live.isEmpty) return Seq(Row(0L))
+    val oldKey = target.output.find(_.name == keyCol)
+      .orElse(target.output.find(_.name.equalsIgnoreCase(keyCol)))
+      .getOrElse(fail(s"no key column $keyCol in the table output"))
+    val filtered = condition.map(Filter(_, target)).getOrElse(target)
+    val projList: Seq[NamedExpression] =
+      Alias(oldKey, "_graft_k")() +:
+        rowExprs.zipWithIndex.map { case (e, i) =>
+          Alias(e, s"_c$i")()
+        }
+    val rows = org.apache.spark.sql.graft.GraftSqlShims
+      .ofRows(spark, Project(projList, filtered)).collect()
+    if (rows.isEmpty) return Seq(Row(0L))
+    require(rows.length <= (1 << 20),
+      s"graft-lake UPDATE: changeset ${rows.length} exceeds the " +
+        "broadcast bound — shuffle-join rewrites are out of scope")
+    val keys = rows.map(_.getLong(0))
+    if (keys.distinct.length != keys.length)
+      fail("the predicate matches multiple rows of one merge key — " +
+        "a per-occurrence update is not expressible as a whole-key " +
+        "rewrite")
+    // the whole-key law: no UNMATCHED row may share a matched key
+    // (the merge replaces every occurrence of the key with ONE row)
+    import spark.implicits._
+    val keyDf = keys.toSeq.toDF(keyCol)
+    val span = spark.read.format("graft-lake").option("path", root)
+      .load().join(broadcast(keyDf), Seq(keyCol), "leftsemi").count()
+    if (span != keys.length.toLong)
+      fail("the predicate matches only some occurrences of a " +
+        "duplicated merge key — not expressible as a whole-key " +
+        "rewrite")
+    val order = LakeMergeSql.leafOrder(root, targetSchema,
+      live.head.path)
+    val updates: Seq[(Long, Array[Any])] = rows.toSeq.map { r =>
+      (r.getLong(0), order.map { fi =>
+        LakeMergeSql.boxed(r, 1 + fi, targetSchema.fields(fi).dataType)
+      }.toArray)
+    }
+    val res = LakeMaintenance.merge(spark, root, updates, keyCol)
+    Seq(Row(res.matched))
   }
 }

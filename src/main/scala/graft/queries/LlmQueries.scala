@@ -9746,6 +9746,48 @@ object LlmQueries {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           CAST(1 AS BIGINT) AS n_optimize
-        FROM documents GROUP BY lang"""))
+        FROM documents GROUP BY lang""")),
+
+    // ---- SQL UPDATE + predicate DELETE (r14): UPDATE evaluates its
+    // assignments over the OLD rows (partial SET — `n_chars + 5`
+    // reads the stored value) and routes the bounded changeset
+    // through the merge machinery; DELETE with a NON-key predicate
+    // scans once (file-pruned), collects the matched keys under the
+    // whole-key guard, and rides the merge delete arm. The oracle
+    // replays both mutations relationally. LakeCatalogSpec pins the
+    // per-occurrence-rejection guards and key reassignment.
+    "q262_lake_sql_update" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw262_" +
+          s.sparkContext.applicationId
+        sqlLakeReset(s, "graft_c262", base)
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .createOrReplaceTempView("q262_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c262.db"): Unit
+        s.sql("""CREATE TABLE graft_c262.db.u (
+          doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
+          USING `graft-lake`"""): Unit
+        s.sql("INSERT INTO graft_c262.db.u " +
+          "SELECT doc_id, n_chars, lang FROM q262_src"): Unit
+        s.sql("UPDATE graft_c262.db.u SET n_chars = n_chars + 5 " +
+          "WHERE doc_id % 5 = 0"): Unit
+        s.sql("UPDATE graft_c262.db.u SET lang = 'xx' " +
+          "WHERE lang = 'de'"): Unit
+        s.sql("DELETE FROM graft_c262.db.u WHERE n_chars < 200"): Unit
+        s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+          FROM graft_c262.db.u GROUP BY lang""")
+      },
+      Some("""WITH u1 AS (SELECT doc_id,
+            CAST(n_chars + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END
+              AS BIGINT) AS n_chars, lang FROM documents),
+          u2 AS (SELECT doc_id, n_chars,
+            CASE WHEN lang = 'de' THEN 'xx' ELSE lang END AS lang
+            FROM u1),
+          f AS (SELECT * FROM u2
+            WHERE n_chars >= 200 OR n_chars IS NULL)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM f GROUP BY lang"""))
   )
 }

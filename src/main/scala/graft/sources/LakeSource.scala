@@ -498,24 +498,57 @@ final class LakeTable(val root: String, val asOf: Long,
   // ================================================================
   // SQL DELETE (r14 — Delta's metadata/merge delete path): Spark's
   // `DELETE FROM t WHERE …` calls deleteWhere when the condition
-  // translates to supported filters. The supported shapes are the
-  // merge machinery's: ONE equality/IN predicate on a REQUIRED long
-  // column (routes to LakeMaintenance.merge's delete arm — stats-
-  // pruned candidate rewrite, CDC sidecars, optimistic commit), or
-  // the unconditioned DELETE (a metadata-only truncate: one commit
-  // of remove tombstones, no file touched). Arbitrary predicates
-  // decline → Spark reports the unsupported delete loudly.
+  // translates to data-source filters. Three shapes:
+  //  - unconditioned: a metadata-only TRUNCATE (one commit of remove
+  //    tombstones, zero files touched, time travel intact);
+  //  - =/IN on the merge key: straight to the merge delete arm
+  //    (whole-key by definition — no scan at all);
+  //  - any other supported predicate set: ONE scan collects the
+  //    matched keys (file pruning applies), a whole-key guard rejects
+  //    predicates that split a duplicated key's occurrences, then the
+  //    merge delete arm (stats-pruned candidate rewrite or deletion
+  //    vector, CDC sidecars, optimistic commit).
+  // Untranslatable predicates decline → Spark reports the
+  // unsupported delete loudly.
   // ================================================================
 
-  private def deleteKeyOf(filters: Array[Filter]): Option[String] = {
-    def longCol(c: String): Boolean = schema().fields.exists(f =>
-      f.name == c && f.dataType == LongType && !f.nullable)
+  /** The rewrite key: the table's first REQUIRED long column (the
+    * merge machinery's contract). */
+  private def mergeKeyCol: Option[String] = schema().fields
+    .find(f => f.dataType == LongType && !f.nullable).map(_.name)
+
+  /** V1 filter → Column, for the predicate shapes the scan can also
+    * prune on; None = untranslatable (declines the pushed delete). */
+  private def filterColumn(f: Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def known(c: String): Boolean = schema().fieldNames.contains(c)
+    f match {
+      case EqualTo(c, v) if known(c) => Some(col(c) === lit(v))
+      case GreaterThan(c, v) if known(c) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) if known(c) =>
+        Some(col(c) >= lit(v))
+      case LessThan(c, v) if known(c) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) if known(c) => Some(col(c) <= lit(v))
+      case In(c, vs) if known(c) && vs.nonEmpty =>
+        Some(col(c).isin(vs.toSeq: _*))
+      case IsNull(c) if known(c) => Some(col(c).isNull)
+      case IsNotNull(c) if known(c) => Some(col(c).isNotNull)
+      case _: AlwaysTrue => Some(lit(true))
+      case _ => None
+    }
+  }
+
+  private def keyOnlyDelete(
+      filters: Array[Filter]): Option[(String, Seq[Long])] = {
     def isNum(v: Any): Boolean =
       v.isInstanceOf[Long] || v.isInstanceOf[Int]
     filters.toSeq match {
-      case Seq(EqualTo(c, v)) if longCol(c) && isNum(v) => Some(c)
-      case Seq(In(c, vs)) if longCol(c) && vs.nonEmpty &&
-          vs.forall(isNum) => Some(c)
+      case Seq(EqualTo(c, v)) if mergeKeyCol.contains(c) && isNum(v) =>
+        Some((c, Seq(LakeBounds.of(v))))
+      case Seq(In(c, vs)) if mergeKeyCol.contains(c) && vs.nonEmpty &&
+          vs.forall(isNum) =>
+        Some((c, vs.toSeq.map(LakeBounds.of).distinct))
       case _ => None
     }
   }
@@ -526,13 +559,14 @@ final class LakeTable(val root: String, val asOf: Long,
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !changeFeed && asOf < 0 &&
-      (isTruncate(filters) || deleteKeyOf(filters).isDefined)
+      (isTruncate(filters) ||
+        (mergeKeyCol.isDefined &&
+          filters.forall(f => filterColumn(f).isDefined)))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(canDeleteWhere(filters),
       s"graft-lake: unsupported DELETE condition " +
-        s"${filters.mkString(", ")} (one =/IN predicate on a " +
-        "REQUIRED long column, or no condition)")
+        s"${filters.mkString(", ")}")
     TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
     val liveNow = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
     if (liveNow.isEmpty) return // nothing to delete
@@ -542,17 +576,38 @@ final class LakeTable(val root: String, val asOf: Long,
         TxLog.commitInfoLine("DELETE")
       graft.operators.LakeMaintenance.commitMaintenance(root,
         liveNow.map(_.path), lines, Seq.empty): Unit
-    } else {
-      val c = deleteKeyOf(filters).get
-      val keys = filters.toSeq.flatMap {
-        case EqualTo(_, v) => Seq(LakeBounds.of(v))
-        case In(_, vs) => vs.toSeq.map(LakeBounds.of)
-        case _ => Seq.empty
-      }.distinct
-      graft.operators.LakeMaintenance.merge(
-        org.apache.spark.sql.SparkSession.active, root,
-        Seq.empty, c, deletes = keys): Unit
+      return
     }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (keyCol2, keys) = keyOnlyDelete(filters) match {
+      case Some((c, ks)) => (c, ks) // whole-key by definition: no scan
+      case None =>
+        import org.apache.spark.sql.functions.col
+        val c = mergeKeyCol.get
+        val cond = filters.toSeq.flatMap(filterColumn)
+          .reduce(_ && _)
+        val df = spark.read.format("graft-lake").option("path", root)
+          .load()
+        val matched = df.where(cond).select(col(c))
+          .collect().map(_.getLong(0)).toSeq
+        if (matched.isEmpty) return
+        require(matched.distinct.length == matched.length,
+          "graft-lake DELETE: the predicate matches multiple rows " +
+            "of one merge key — a per-occurrence delete is not " +
+            "expressible as a whole-key rewrite")
+        // the whole-key law: no UNMATCHED row may share a matched key
+        import spark.implicits._
+        val keyDf = matched.toDF(c)
+        val span = df.join(org.apache.spark.sql.functions
+            .broadcast(keyDf), Seq(c), "leftsemi").count()
+        require(span == matched.length.toLong,
+          "graft-lake DELETE: the predicate matches only some " +
+            "occurrences of a duplicated merge key — not " +
+            "expressible as a whole-key rewrite")
+        (c, matched)
+    }
+    graft.operators.LakeMaintenance.merge(spark, root,
+      Seq.empty, keyCol2, deletes = keys): Unit
   }
 }
 
@@ -671,6 +726,7 @@ final class LakeScanBuilder(table: LakeTable)
     def ok(c: String, v: Any): Boolean =
       (longCols(c) && num(v)) || (strCols(c) && str(v)) ||
         (dblCols(c) && dbl(v))
+    val statCols = longCols ++ strCols ++ dblCols
     pruning = filters.filter {
       case EqualTo(c, v) => ok(c, v)
       case GreaterThan(c, v) => ok(c, v)
@@ -678,6 +734,10 @@ final class LakeScanBuilder(table: LakeTable)
       case LessThan(c, v) => ok(c, v)
       case LessThanOrEqual(c, v) => ok(c, v)
       case In(c, vs) => vs.nonEmpty && vs.forall(v => ok(c, v))
+      // r14: nullCount rides in every cstats entry — IS [NOT] NULL
+      // prunes all-null / no-null files from metadata alone
+      case IsNull(c) => statCols(c)
+      case IsNotNull(c) => statCols(c)
       case _ => false
     }
     filters // all residual
@@ -993,6 +1053,16 @@ final class LakeScan(table: LakeTable, required: StructType,
           case In(c, vs) if vs.nonEmpty && vs.forall(isDblV) =>
             dw(c)((mn, mx) => vs.exists(v =>
               dblOf(v) >= mn && dblOf(v) <= mx))
+          // nullCount pruning (r14): IS NULL prunes a file with zero
+          // nulls in the column; IS NOT NULL prunes an all-null file
+          // (entries are dropped whole when any value couldn't ride,
+          // so the counts are exact when present)
+          case IsNull(c) =>
+            f.cstats.find(_.col == table.physName(c))
+              .forall(_.nullCount > 0L)
+          case IsNotNull(c) =>
+            f.cstats.find(_.col == table.physName(c))
+              .forall(s0 => s0.nullCount < f.size)
           case _ => true
         }
       }

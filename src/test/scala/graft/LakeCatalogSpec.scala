@@ -179,6 +179,41 @@ class LakeCatalogSpec extends SparkSpec {
       .head.getLong(0) shouldBe 17L
   }
 
+  test("UPDATE: partial SET over old values, key reassignment, and " +
+      "predicate DELETE on a NON-key column — both whole-key routed " +
+      "through the merge machinery") {
+    sql("""CREATE TABLE graft_t.db.u1 (doc_id BIGINT NOT NULL, v BIGINT,
+         | s STRING) USING `graft-lake`""".stripMargin): Unit
+    sql("INSERT INTO graft_t.db.u1 SELECT id, id * 10, " +
+      "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END FROM range(10)"): Unit
+    // partial SET reading the OLD value; unassigned columns untouched
+    sql("UPDATE graft_t.db.u1 SET v = v + 1 WHERE doc_id < 3")
+      .head.getLong(0) shouldBe 3L
+    sql("SELECT sum(v) AS sv FROM graft_t.db.u1 WHERE doc_id < 3")
+      .head.getLong(0) shouldBe 33L // 1 + 11 + 21
+    sql("SELECT s FROM graft_t.db.u1 WHERE doc_id = 2")
+      .head.getString(0) shouldBe "even"
+    // predicate on a non-key column; expression mixes columns
+    sql("UPDATE graft_t.db.u1 SET v = doc_id WHERE s = 'odd'")
+      .head.getLong(0) shouldBe 5L
+    sql("SELECT sum(v) AS sv FROM graft_t.db.u1 WHERE s = 'odd'")
+      .head.getLong(0) shouldBe 25L
+    // provenance: the update rode a MERGE commit
+    TxLog.historyLocal(s"$warehouse/db/u1/log").map(_._2.getOrElse("?"))
+      .last shouldBe "MERGE"
+    // DELETE by a non-key predicate: one scan collects the keys,
+    // the merge delete arm removes the rows
+    sql("DELETE FROM graft_t.db.u1 WHERE s = 'odd'"): Unit
+    sql("SELECT count(*) AS n FROM graft_t.db.u1").head.getLong(0)
+      .shouldBe(5L)
+    sql("SELECT count(*) AS n FROM graft_t.db.u1 WHERE s = 'odd'")
+      .head.getLong(0) shouldBe 0L
+    // range-predicate delete on the key column
+    sql("DELETE FROM graft_t.db.u1 WHERE doc_id >= 8"): Unit
+    sql("SELECT count(*) AS n FROM graft_t.db.u1").head.getLong(0)
+      .shouldBe(4L)
+  }
+
   test("PARTITIONED BY: the catalog persists the partition column; " +
       "inserts stamp partitionValues and SQL partition predicates " +
       "prune files") {
