@@ -862,7 +862,8 @@ object LakeMaintenance {
       updates: Seq[(Long, Array[Any])], keyCol: String,
       maxBroadcast: Int = 1 << 20,
       deletes: Seq[Long] = Seq.empty,
-      dvThreshold: Double = 0.10): MergeResult = {
+      dvThreshold: Double = 0.10,
+      insertUnmatched: Boolean = true): MergeResult = {
     require(updates.size + deletes.size <= maxBroadcast,
       s"merge changeset ${updates.size + deletes.size} exceeds the " +
         s"broadcast bound $maxBroadcast — shuffle-join merges are " +
@@ -1092,8 +1093,15 @@ object LakeMaintenance {
 
     val matchedKeys = rewritten.flatMap(_._7).toSet
     val deletedRows = rewritten.map(_._8).sum
-    val inserts = updates.filterNot(u => matchedKeys.contains(u._1))
-      .sortBy(_._1)
+    // insertUnmatched = false (r14 — SQL UPDATE's contract): an
+    // UPDATE must never CREATE rows, so a key that vanished between
+    // the caller's scan and this merge's snapshot resolution is
+    // DROPPED, not resurrected as an insert (review r14: the upsert
+    // default silently undid a concurrent committed delete)
+    val inserts =
+      if (!insertUnmatched) Seq.empty
+      else updates.filterNot(u => matchedKeys.contains(u._1))
+        .sortBy(_._1)
     // insert file: built from the changeset rows, key-sorted, over
     // the table schema's column templates; plus its CDC sidecar
     val insertAdd: Option[(String, Long, Long, Long, String, String)] =
@@ -1133,8 +1141,19 @@ object LakeMaintenance {
       rewritten.filter(_._1 == 1).map { r =>
         val kw = if (stampKey)
           s""","min_key":${r._5},"max_key":${r._6}""" else ""
+        // a DELETE-ONLY rewrite (no matched update keys) keeps every
+        // surviving row's values, so the source file's partition
+        // value still holds — preserve it (review r14: dropping it
+        // permanently disabled partition pruning and the grouped
+        // pushdown after the first merge on a partitioned table). An
+        // update may have CHANGED the partition column → no part.
+        val pv =
+          if (r._7.isEmpty)
+            liveByPath(r._2).part.flatMap(TxLog.jsonSafe)
+              .map(v => s""","part":"$v"""").getOrElse("")
+          else ""
         s"""{"add":{"path":"${TxLog.requireJsonSafe(r._3)}","size":${r._4}""" +
-          s"""$kw${r._11}}}"""
+          s"""$kw$pv${r._11}}}"""
       } ++
       rewritten.filter(_._1 == 2).map(r =>
         TxLog.renderAdd(liveByPath(r._2), Some(r._12), r._13,

@@ -192,26 +192,29 @@ object LakeMergeSql {
     * loudly at run time). */
   def convertUpdate(resolver: Resolver, u: UpdateTable,
       table: LakeTable): LogicalPlan = {
+    def failU(msg: String): Nothing = // the UPDATE's own prefix —
+      throw new UnsupportedOperationException( // boundaries name the
+        s"graft-lake UPDATE: $msg") // statement the user actually ran
     val target = u.table
     val targetSchema = table.schema()
     val keyField = targetSchema.fields.find(f =>
         f.dataType == LongType && !f.nullable)
-      .getOrElse(fail("UPDATE needs a REQUIRED long column to key " +
+      .getOrElse(failU("UPDATE needs a REQUIRED long column to key " +
         "the rewrite on (none in the schema)"))
     def resolveOverTarget(e: Expression): Expression = {
       val r = e.transformUp {
         case ua: UnresolvedAttribute =>
           resolveAgainst(target, ua, resolver).getOrElse(
-            fail(s"cannot resolve $ua against the table"))
+            failU(s"cannot resolve $ua against the table"))
       }
       if (!r.references.subsetOf(target.outputSet))
-        fail("UPDATE expressions may reference only the table's " +
+        failU("UPDATE expressions may reference only the table's " +
           "own columns")
       r
     }
     val byCol: Seq[(String, Expression)] = u.assignments.map { a =>
       val keyName = resolveAgainst(target, a.key, resolver)
-        .getOrElse(fail(s"assignment target ${a.key} is not a " +
+        .getOrElse(failU(s"assignment target ${a.key} is not a " +
           "table column")).name
       keyName -> resolveOverTarget(a.value)
     }
@@ -220,12 +223,43 @@ object LakeMergeSql {
     val rowExprs: Seq[Expression] = targetSchema.fields.toSeq.map { f =>
       val e = byCol.find(kv => resolver(kv._1, f.name)).map(_._2)
         .getOrElse(target.resolve(Seq(f.name), resolver).getOrElse(
-          fail(s"table column ${f.name} is not resolvable")))
+          failU(s"table column ${f.name} is not resolvable")))
       if (e.dataType == f.dataType) e else Cast(e, f.dataType)
     }
     val cond = u.condition.map(resolveOverTarget)
     LakeUpdateCommand(table.root, targetSchema, keyField.name,
       target, cond, rowExprs)
+  }
+
+  /** The WHOLE-KEY guard shared by predicate DELETE and UPDATE (the
+    * merge machinery rewrites whole keys): `matched` holds the key of
+    * every predicate-matched row. Returns the distinct keys. Rejects
+    * the genuinely inexpressible cases only — an UNMATCHED row
+    * sharing a matched key always; duplicated matched keys too when
+    * `allowDuplicates` is false (an UPDATE of both occurrences would
+    * still collapse them into ONE row, silently changing the count —
+    * a DELETE of all occurrences is fine). One key-column probe,
+    * matched side broadcast. */
+  private[graft] def wholeKeyGuard(spark: SparkSession, root: String,
+      keyCol: String, matched: Seq[Long], what: String,
+      allowDuplicates: Boolean): Seq[Long] = {
+    val keys = matched.distinct
+    if (!allowDuplicates && keys.length != matched.length)
+      throw new UnsupportedOperationException(
+        s"graft-lake $what: the predicate matches multiple rows of " +
+          "one merge key — a per-occurrence rewrite is not " +
+          "expressible as a whole-key rewrite")
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val keyDf = keys.toDF(keyCol)
+    val span = spark.read.format("graft-lake").option("path", root)
+      .load().join(broadcast(keyDf), Seq(keyCol), "leftsemi").count()
+    if (span != matched.length.toLong)
+      throw new UnsupportedOperationException(
+        s"graft-lake $what: the predicate matches only some " +
+          "occurrences of a duplicated merge key — not expressible " +
+          "as a whole-key rewrite")
+    keys
   }
 
   /** External boxed value of projected-row column `idx`, in the shape
@@ -477,27 +511,22 @@ case class LakeUpdateCommand(root: String, targetSchema: StructType,
         rowExprs.zipWithIndex.map { case (e, i) =>
           Alias(e, s"_c$i")()
         }
+    // bounded collect (review r14): LIMIT to one past the broadcast
+    // bound so a too-wide predicate fails LOUDLY instead of OOMing
+    // the driver mid-collect
     val rows = org.apache.spark.sql.graft.GraftSqlShims
-      .ofRows(spark, Project(projList, filtered)).collect()
+      .ofRows(spark, Project(projList, filtered))
+      .limit((1 << 20) + 1).collect()
     if (rows.isEmpty) return Seq(Row(0L))
-    require(rows.length <= (1 << 20),
-      s"graft-lake UPDATE: changeset ${rows.length} exceeds the " +
-        "broadcast bound — shuffle-join rewrites are out of scope")
-    val keys = rows.map(_.getLong(0))
-    if (keys.distinct.length != keys.length)
-      fail("the predicate matches multiple rows of one merge key — " +
-        "a per-occurrence update is not expressible as a whole-key " +
-        "rewrite")
-    // the whole-key law: no UNMATCHED row may share a matched key
-    // (the merge replaces every occurrence of the key with ONE row)
-    import spark.implicits._
-    val keyDf = keys.toSeq.toDF(keyCol)
-    val span = spark.read.format("graft-lake").option("path", root)
-      .load().join(broadcast(keyDf), Seq(keyCol), "leftsemi").count()
-    if (span != keys.length.toLong)
-      fail("the predicate matches only some occurrences of a " +
-        "duplicated merge key — not expressible as a whole-key " +
-        "rewrite")
+    if (rows.length > (1 << 20))
+      fail("the changeset exceeds the broadcast bound — " +
+        "shuffle-join rewrites are out of scope")
+    val matched = rows.toSeq.map(_.getLong(0))
+    // the whole-key law (shared guard): UPDATE never tolerates
+    // duplicated matched keys — replacing both occurrences with one
+    // row would silently change the row count
+    LakeMergeSql.wholeKeyGuard(spark, root, keyCol, matched,
+      "UPDATE", allowDuplicates = false): Unit
     val order = LakeMergeSql.leafOrder(root, targetSchema,
       live.head.path)
     val updates: Seq[(Long, Array[Any])] = rows.toSeq.map { r =>
@@ -505,7 +534,11 @@ case class LakeUpdateCommand(root: String, targetSchema: StructType,
         LakeMergeSql.boxed(r, 1 + fi, targetSchema.fields(fi).dataType)
       }.toArray)
     }
-    val res = LakeMaintenance.merge(spark, root, updates, keyCol)
+    // insertUnmatched = false: an UPDATE must never CREATE rows — a
+    // key deleted by a concurrent committer between our scan and the
+    // merge's snapshot is dropped, not resurrected (review r14)
+    val res = LakeMaintenance.merge(spark, root, updates, keyCol,
+      insertUnmatched = false)
     Seq(Row(res.matched))
   }
 }

@@ -588,23 +588,23 @@ final class LakeTable(val root: String, val asOf: Long,
           .reduce(_ && _)
         val df = spark.read.format("graft-lake").option("path", root)
           .load()
+        // bounded collect (review r14): LIMIT one past the broadcast
+        // bound — a too-wide predicate fails loudly, never OOMs the
+        // driver mid-collect
         val matched = df.where(cond).select(col(c))
+          .limit((1 << 20) + 1)
           .collect().map(_.getLong(0)).toSeq
         if (matched.isEmpty) return
-        require(matched.distinct.length == matched.length,
-          "graft-lake DELETE: the predicate matches multiple rows " +
-            "of one merge key — a per-occurrence delete is not " +
-            "expressible as a whole-key rewrite")
-        // the whole-key law: no UNMATCHED row may share a matched key
-        import spark.implicits._
-        val keyDf = matched.toDF(c)
-        val span = df.join(org.apache.spark.sql.functions
-            .broadcast(keyDf), Seq(c), "leftsemi").count()
-        require(span == matched.length.toLong,
-          "graft-lake DELETE: the predicate matches only some " +
-            "occurrences of a duplicated merge key — not " +
-            "expressible as a whole-key rewrite")
-        (c, matched)
+        require(matched.length <= (1 << 20),
+          "graft-lake DELETE: the matched set exceeds the broadcast " +
+            "bound — shuffle-join rewrites are out of scope")
+        // the whole-key law (shared guard): deleting ALL occurrences
+        // of a duplicated key IS expressible (review r14 — the old
+        // distinct check wrongly rejected it); only a predicate that
+        // SPLITS a key's occurrences rejects
+        val keys0 = graft.plans.LakeMergeSql.wholeKeyGuard(spark,
+          root, c, matched, "DELETE", allowDuplicates = true)
+        (c, keys0)
     }
     graft.operators.LakeMaintenance.merge(spark, root,
       Seq.empty, keyCol2, deletes = keys): Unit

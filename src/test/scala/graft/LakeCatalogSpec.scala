@@ -214,6 +214,49 @@ class LakeCatalogSpec extends SparkSpec {
       .shouldBe(4L)
   }
 
+  test("whole-key guards (review r14): all-occurrence DELETE of a " +
+      "duplicated key works, split-occurrence DELETE and duplicated-" +
+      "key UPDATE reject loudly, UPDATE reassigns the key, UPDATE " +
+      "never creates rows") {
+    sql("""CREATE TABLE graft_t.db.wk (doc_id BIGINT NOT NULL, s STRING)
+         | USING `graft-lake`""".stripMargin): Unit
+    sql("INSERT INTO graft_t.db.wk VALUES (1, 'a'), (2, 'b'), " +
+      "(3, 'dup-x'), (3, 'dup-y'), (4, 'dup-x'), (4, 'dup-x')"): Unit
+    // split-occurrence DELETE: key 3's rows diverge on s — reject
+    intercept[Exception] {
+      sql("DELETE FROM graft_t.db.wk WHERE s = 'dup-y'")
+    }.getMessage should include("only some occurrences")
+    // all-occurrence DELETE of duplicated key 4: both rows match —
+    // expressible, both die
+    sql("DELETE FROM graft_t.db.wk WHERE s = 'dup-x' AND doc_id = 4"): Unit
+    sql("SELECT count(*) AS n FROM graft_t.db.wk").head.getLong(0)
+      .shouldBe(4L)
+    // duplicated-key UPDATE rejects even when all occurrences match
+    // (the whole-row rewrite would collapse two rows into one)
+    intercept[Exception] {
+      sql("UPDATE graft_t.db.wk SET s = 'z' WHERE doc_id = 3")
+    }.getMessage should include("multiple rows of one merge key")
+    // key reassignment: SET doc_id itself
+    sql("UPDATE graft_t.db.wk SET doc_id = 100 WHERE doc_id = 1")
+      .head.getLong(0) shouldBe 1L
+    sql("SELECT s FROM graft_t.db.wk WHERE doc_id = 100")
+      .head.getString(0) shouldBe "a"
+    // UPDATE of nothing creates nothing
+    sql("UPDATE graft_t.db.wk SET s = 'never' WHERE doc_id = 777")
+      .head.getLong(0) shouldBe 0L
+    sql("SELECT count(*) AS n FROM graft_t.db.wk").head.getLong(0)
+      .shouldBe(4L)
+    // the no-insert contract at the merge layer: an unmatched
+    // changeset key is DROPPED, never resurrected as an insert
+    val r = graft.operators.LakeMaintenance.merge(spark,
+      s"$warehouse/db/wk",
+      Seq((555L, Array[Any](java.lang.Long.valueOf(555L), "ghost"))),
+      "doc_id", insertUnmatched = false)
+    r.inserted shouldBe 0L
+    sql("SELECT count(*) AS n FROM graft_t.db.wk").head.getLong(0)
+      .shouldBe(4L)
+  }
+
   test("PARTITIONED BY: the catalog persists the partition column; " +
       "inserts stamp partitionValues and SQL partition predicates " +
       "prune files") {
@@ -232,6 +275,16 @@ class LakeCatalogSpec extends SparkSpec {
     sql("SELECT lang, count(*) AS n FROM graft_t.db.p1 GROUP BY lang")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
       Map("en" -> 50L, "de" -> 50L)
+    // review r14: a DELETE-ONLY merge rewrite PRESERVES the files'
+    // partition values (dropping them disabled partition pruning and
+    // the grouped pushdown forever after the first delete)
+    sql("DELETE FROM graft_t.db.p1 WHERE doc_id < 30"): Unit
+    TxLog.resolveLiveLocal(s"$warehouse/db/p1/log",
+        s"$warehouse/db/p1/ckpt", -1L)
+      .forall(_.part.isDefined) shouldBe true
+    sql("SELECT lang, count(*) AS n FROM graft_t.db.p1 GROUP BY lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("en" -> 35L, "de" -> 35L)
     // review r14: renaming the partition column keeps the table
     // WRITABLE — the table property follows the rename; dropping a
     // prop-referenced column rejects loudly
