@@ -93,7 +93,19 @@ object LakeSource {
       options.getBoolean("changeFeed", false),
       options.getLong("cdfFrom", -1L),
       options.getLong("cdfTo", -1L),
-      options.getLong("startingVersion", 0L))
+      // streaming start (r13 startingVersion; r14 startingTimestamp —
+      // the Delta pair): a timestamp resolves THROUGH versionAtTime to
+      // the first commit whose mtime is AFTER it (a consumer "from
+      // yesterday 09:00" wants changes since then, not the snapshot
+      // before); an explicit startingVersion wins; a timestamp before
+      // all surviving history starts at 0 (everything), one after the
+      // head starts at the head (nothing yet — new commits only)
+      if (options.containsKey("startingVersion") ||
+          !options.containsKey("startingTimestamp"))
+        options.getLong("startingVersion", 0L)
+      else TxLog.versionAtTime(s"$path/log",
+          options.getLong("startingTimestamp", 0L))
+        .map(_ + 1L).getOrElse(0L))
   }
 
   /** Leaf → Spark field. Flat INT32/INT64/FLOAT/DOUBLE/UTF8-string

@@ -797,6 +797,46 @@ class LakeSourceSpec extends SparkSpec {
     // changeFeed + startingVersion: v1's add arrives as inserts
     drainFrom(1L, cf = true).toSet shouldBe
       expected(3).map(_._1).toSet
+    // r14 startingTimestamp (the Delta pair): resolves through commit
+    // mtimes to the first commit AFTER the timestamp — "changes since
+    // yesterday 09:00" without knowing version numbers
+    new java.io.File(s"$base/log/version=0").setLastModified(1000000L)
+    new java.io.File(s"$base/log/version=1").setLastModified(2000000L)
+    def drainTs(ts: Long): Seq[Long] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft-lake")
+        .option("path", base).option("startingTimestamp", ts)
+        .load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp("lake_st_ckpt"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("doc_id").collect().foreach(r2 => got += r2.getLong(0))
+        }
+        .start()
+      q.awaitTermination()
+      got.toSeq
+    }
+    // between v0 and v1: only v1's add
+    drainTs(1500000L).toSet shouldBe expected(3).map(_._1).toSet
+    // before all history: everything; after the head: nothing yet
+    drainTs(500000L).size shouldBe 4 * FileRows
+    drainTs(3000000L).size shouldBe 0
+    // an explicit startingVersion wins over a timestamp
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.format("graft-lake")
+      .option("path", base).option("startingTimestamp", "3000000")
+      .option("startingVersion", 0)
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("lake_stv_ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("doc_id").collect().foreach(r2 => got2 += r2.getLong(0))
+      }
+      .start()
+    q2.awaitTermination()
+    got2.size shouldBe 4 * FileRows
   }
 
   test("r13 streaming data-file names are collision-proof: two " +
