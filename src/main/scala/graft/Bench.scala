@@ -105,17 +105,21 @@ object Bench {
         graft.operators.SuffixArray.releaseSuffixArrays(spark)
       (name, t, ok)
     }
-    // SELF-ADJUDICATING sweep (VERDICT r13 #4: three same-jar sweeps
-    // spread 268–340 s and the official record carried four phantom
-    // per-query "regressions" that isolated re-measures refuted):
-    // any query measuring > 2x its scored baseline is RE-MEASURED at
-    // the END of the sweep — the JVM is quiet there (no cold JIT, no
-    // neighboring query's GC debris) — and the record keeps the BEST
-    // of the runs per query, with the raw first-pass number recorded
-    // beside it. The adjudication lives in the record itself, not a
-    // post-hoc note. Baseline ratios only apply when the sweep runs
-    // at the baseline's SF; memoized artifacts released above may
-    // rebuild inside a re-measure, which min() absorbs.
+    // SELF-ADJUDICATING sweep (VERDICT r13 #4; made SYMMETRIC per
+    // ADVICE r14 — re-measuring only >2x movers and keeping min()
+    // systematically biased totals low vs the single-pass protocol
+    // the baselines came from): any query measuring OUTSIDE
+    // [0.5x, 2x] of its scored baseline — in either direction — is
+    // RE-MEASURED at the END of the sweep, where the JVM is quiet
+    // (no cold JIT, no neighboring query's GC debris), and the
+    // RE-MEASURED value is what lands in the scored record, slow or
+    // fast, with the raw first-pass number recorded beside it. The
+    // substitution rule is direction-independent, so it cannot bias
+    // the total. Memoized artifacts released after the sweep are
+    // REBUILT UNTIMED by re-running the producer query first, so a
+    // consumer's re-measure sees the same memoization its in-sweep
+    // run did. Baseline ratios only apply when the sweep runs at the
+    // baseline's SF.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "/root/repo/bench/baseline_per_query.json")
     val baseline: Map[String, Double] =
@@ -128,13 +132,30 @@ object Bench {
         else "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    def runUntimed(name: String): Unit =
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    val producerOf: Seq[(Seq[String], String)] = Seq(
+      (pairIndexConsumers, "q00_"), (suffixArrayConsumers, "q171_"))
+    val rebuilt = scala.collection.mutable.Set.empty[String]
     val adjudicated: Seq[(String, Double, Double)] = results
       .filter { case (n, t, ok) =>
-        ok && baseline.get(n).exists(b => t > 2.0 * b)
+        ok && baseline.get(n).exists(b => t > 2.0 * b || t < 0.5 * b)
       }
       .map { case (name, first, _) =>
-        System.err.println(s"[bench] re-measuring >2x mover $name " +
+        System.err.println(s"[bench] re-measuring mover $name " +
           f"(first pass $first%.2f s vs baseline ${baseline(name)}%.2f s)")
+        // rebuild the memoized artifact OUTSIDE the timed region when
+        // the mover consumes one and is not the producer itself
+        producerOf.foreach { case (consumers, producer) =>
+          if (consumers.exists(name.startsWith) &&
+              !name.startsWith(producer) && !rebuilt(producer)) {
+            selected.map(_._1).find(_.startsWith(producer))
+              .foreach(runUntimed)
+            rebuilt.add(producer): Unit
+          }
+        }
         System.gc()
         val t0 = System.nanoTime()
         val ok =
@@ -143,14 +164,15 @@ object Bench {
               .write.format("noop").mode("overwrite").save(); true
           } catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
-        (name, first, if (ok) math.min(first, t) else first)
+        (name, first, if (ok) t else first)
       }
     val adjBest = adjudicated.map(a => a._1 -> a._3).toMap
     val scored = results.map { case (n, t, ok) =>
       (n, adjBest.getOrElse(n, t), ok)
     }
-    val adjJson = adjudicated.map { case (n, first, best) =>
-      s"""{"q":"$n","first":$first,"best":$best}"""
+    val adjJson = adjudicated.map { case (n, first, scored2) =>
+      s"""{"q":"$n","first":$first,"scored":$scored2,"dir":""" +
+        s""""${if (first > scored2) "slow_first" else "fast_first"}"}"""
     }.mkString("[", ",", "]")
     val qs = scored.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
     val failed = scored.collect { case (k, _, false) => s""""$k"""" }.mkString("[", ",", "]")

@@ -863,7 +863,8 @@ object LakeMaintenance {
       maxBroadcast: Int = 1 << 20,
       deletes: Seq[Long] = Seq.empty,
       dvThreshold: Double = 0.10,
-      insertUnmatched: Boolean = true): MergeResult = {
+      insertUnmatched: Boolean = true,
+      readVersion: Long = -1L): MergeResult = {
     require(updates.size + deletes.size <= maxBroadcast,
       s"merge changeset ${updates.size + deletes.size} exceeds the " +
         s"broadcast bound $maxBroadcast — shuffle-join merges are " +
@@ -964,6 +965,21 @@ object LakeMaintenance {
         case None => true // no labeled window: must check
       }
     }
+    // READ-VERSION FENCE (ADVICE r14 — Delta's concurrent-append
+    // conflict rule for row-level operations): when the changeset was
+    // computed from a SCAN (predicate DELETE, SQL UPDATE, MERGE arm
+    // routing), a candidate file committed AFTER that scan's snapshot
+    // holds rows the predicate never evaluated — rewriting or
+    // deleting their keys would silently apply the mutation to unseen
+    // rows. Abort loudly; the caller re-runs against the new head.
+    if (readVersion >= 0) candidates.find(_.version > readVersion)
+      .foreach { f =>
+        throw new IllegalStateException(
+          s"merge conflict under $root: candidate file ${f.path} " +
+            s"was committed at version ${f.version}, after the " +
+            s"caller's scan snapshot $readVersion — re-run the " +
+            "statement against the new table state")
+      }
     val run = java.util.UUID.randomUUID().toString.take(8)
     val updMap = updates.toMap
     val bc = spark.sparkContext.broadcast(updMap)

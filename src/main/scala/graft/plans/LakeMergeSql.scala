@@ -242,7 +242,7 @@ object LakeMergeSql {
     * matched side broadcast. */
   private[graft] def wholeKeyGuard(spark: SparkSession, root: String,
       keyCol: String, matched: Seq[Long], what: String,
-      allowDuplicates: Boolean): Seq[Long] = {
+      allowDuplicates: Boolean, asOf: Long = -1L): Seq[Long] = {
     val keys = matched.distinct
     if (!allowDuplicates && keys.length != matched.length)
       throw new UnsupportedOperationException(
@@ -253,6 +253,7 @@ object LakeMergeSql {
     import spark.implicits._
     val keyDf = keys.toDF(keyCol)
     val span = spark.read.format("graft-lake").option("path", root)
+      .option("asOf", asOf.toString)
       .load().join(broadcast(keyDf), Seq(keyCol), "leftsemi").count()
     if (span != matched.length.toLong)
       throw new UnsupportedOperationException(
@@ -436,12 +437,20 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
           u.zip(i).forall(p => p._1.semanticEquals(p._2))
       case _ => false
     }
+    // pin the probe's snapshot version (ADVICE r14): the merge below
+    // re-resolves at its own (possibly later) snapshot — arm routing
+    // decided against an older snapshot must not apply to rows it
+    // never saw, so the merge aborts when any candidate file is newer
+    val probeVersion: Long =
+      if (sameArms && !deleteMatched) -1L // no probe → no fence
+      else TxLog.nextVersion(s"$root/log", s"$root/ckpt") - 1L
     val matched: Set[Long] =
       if (sameArms && !deleteMatched) Set.empty // not consulted
       else {
         import spark.implicits._
         val keyDf = keys.toSeq.toDF(keyCol)
-        spark.read.format("graft-lake").option("path", root).load()
+        spark.read.format("graft-lake").option("path", root)
+          .option("asOf", probeVersion.toString).load()
           .join(broadcast(keyDf), Seq(keyCol), "leftsemi")
           .select(col(keyCol)).distinct()
           .collect().map(_.getLong(0)).toSet
@@ -469,8 +478,16 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
       if (deleteMatched) keys.toSeq.filter(matched.contains) else Seq.empty
 
     if (updates.isEmpty && deletes.isEmpty) return Seq(Row(0L, 0L, 0L))
+    // insertUnmatched only when the statement HAS an insert arm
+    // (ADVICE r14: an update-only MERGE defaulted to upsert, so a key
+    // deleted by a concurrent committer between the matched-key probe
+    // and the merge's snapshot resolution was resurrected); the probe
+    // snapshot is fenced by readVersion — candidates newer than it
+    // abort loudly instead of deleting/updating rows the probe never
+    // saw
     val r = LakeMaintenance.merge(spark, root, updates, keyCol,
-      deletes = deletes)
+      deletes = deletes, insertUnmatched = insertExprs.isDefined,
+      readVersion = probeVersion)
     val inserted = r.inserted
     val updated = r.matched
     Seq(Row(updated, r.deleted, inserted))
@@ -500,7 +517,14 @@ case class LakeUpdateCommand(root: String, targetSchema: StructType,
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+    // pin the scan's snapshot fence BEFORE executing it (ADVICE r14):
+    // the merge below resolves its own snapshot — rows appended under
+    // a matched key between our scan and that resolution must never
+    // be rewritten by a changeset evaluated against the old rows
+    val scanVersion =
+      TxLog.nextVersion(s"$root/log", s"$root/ckpt") - 1L
+    val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt",
+      scanVersion)
     if (live.isEmpty) return Seq(Row(0L))
     val oldKey = target.output.find(_.name == keyCol)
       .orElse(target.output.find(_.name.equalsIgnoreCase(keyCol)))
@@ -526,7 +550,7 @@ case class LakeUpdateCommand(root: String, targetSchema: StructType,
     // duplicated matched keys — replacing both occurrences with one
     // row would silently change the row count
     LakeMergeSql.wholeKeyGuard(spark, root, keyCol, matched,
-      "UPDATE", allowDuplicates = false): Unit
+      "UPDATE", allowDuplicates = false, asOf = scanVersion): Unit
     val order = LakeMergeSql.leafOrder(root, targetSchema,
       live.head.path)
     val updates: Seq[(Long, Array[Any])] = rows.toSeq.map { r =>
@@ -536,9 +560,12 @@ case class LakeUpdateCommand(root: String, targetSchema: StructType,
     }
     // insertUnmatched = false: an UPDATE must never CREATE rows — a
     // key deleted by a concurrent committer between our scan and the
-    // merge's snapshot is dropped, not resurrected (review r14)
+    // merge's snapshot is dropped, not resurrected (review r14); the
+    // readVersion fence aborts when any candidate file postdates the
+    // scan (ADVICE r14: concurrently appended rows under a matched
+    // key must never be replaced by a changeset computed without them)
     val res = LakeMaintenance.merge(spark, root, updates, keyCol,
-      insertUnmatched = false)
+      insertUnmatched = false, readVersion = scanVersion)
     Seq(Row(res.matched))
   }
 }

@@ -226,11 +226,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
         LakeSource.renameColumn(root, old, r.newName()): Unit
         // table properties referencing the column follow the rename
         // (review r14: a stale partitionBy/statsCol in props.json
-        // bricked every later append)
+        // bricked every later append). Only COLUMN-NAMING keys are
+        // rewritten (ADVICE r14: matching all prop values corrupted
+        // e.g. checkpointEvery when a digit-named column equalled its
+        // numeric value)
+        val colKeys = Set("statsCol", "strStatsCol", "partitionBy")
         val props = readProps(root)
-        if (props.values.exists(_ == old))
+        if (props.exists(kv => colKeys(kv._1) && kv._2 == old))
           writeProps(root, props.map { case (k, v) =>
-            k -> (if (v == old) r.newName() else v)
+            k -> (if (colKeys(k) && v == old) r.newName() else v)
           })
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,

@@ -95,16 +95,21 @@ object LakeSource {
       options.getLong("cdfTo", -1L),
       // streaming start (r13 startingVersion; r14 startingTimestamp —
       // the Delta pair): a timestamp resolves THROUGH versionAtTime to
-      // the first commit whose mtime is AFTER it (a consumer "from
-      // yesterday 09:00" wants changes since then, not the snapshot
-      // before); an explicit startingVersion wins; a timestamp before
-      // all surviving history starts at 0 (everything), one after the
-      // head starts at the head (nothing yet — new commits only)
+      // the first commit whose mtime is AT or AFTER it — Delta's
+      // contract includes changes committed at exactly the timestamp
+      // (ADVICE r14: resolving at ts then +1 excluded the
+      // equal-mtime commit), so the bound is the newest commit
+      // STRICTLY BEFORE ts, plus one. An explicit startingVersion
+      // wins; a timestamp before all surviving history starts at 0
+      // (everything), one after the head starts past the head
+      // (nothing yet — new commits only). Resolution reads commit-dir
+      // mtimes, the same clock time travel uses — copying or touching
+      // log directories rewrites that clock, documented.
       if (options.containsKey("startingVersion") ||
           !options.containsKey("startingTimestamp"))
         options.getLong("startingVersion", 0L)
       else TxLog.versionAtTime(s"$path/log",
-          options.getLong("startingTimestamp", 0L))
+          options.getLong("startingTimestamp", 0L) - 1L)
         .map(_ + 1L).getOrElse(0L))
   }
 
@@ -591,6 +596,12 @@ final class LakeTable(val root: String, val asOf: Long,
       return
     }
     val spark = org.apache.spark.sql.SparkSession.active
+    // the scan's snapshot fence (ADVICE r14): the merge delete arm
+    // resolves its own, possibly later snapshot — rows appended under
+    // a matched key but NOT satisfying the predicate must never die,
+    // so the merge aborts when any candidate postdates this version
+    val scanVersion =
+      TxLog.nextVersion(s"$root/log", s"$root/ckpt") - 1L
     val (keyCol2, keys) = keyOnlyDelete(filters) match {
       case Some((c, ks)) => (c, ks) // whole-key by definition: no scan
       case None =>
@@ -599,7 +610,7 @@ final class LakeTable(val root: String, val asOf: Long,
         val cond = filters.toSeq.flatMap(filterColumn)
           .reduce(_ && _)
         val df = spark.read.format("graft-lake").option("path", root)
-          .load()
+          .option("asOf", scanVersion.toString).load()
         // bounded collect (review r14): LIMIT one past the broadcast
         // bound — a too-wide predicate fails loudly, never OOMs the
         // driver mid-collect
@@ -615,11 +626,14 @@ final class LakeTable(val root: String, val asOf: Long,
         // distinct check wrongly rejected it); only a predicate that
         // SPLITS a key's occurrences rejects
         val keys0 = graft.plans.LakeMergeSql.wholeKeyGuard(spark,
-          root, c, matched, "DELETE", allowDuplicates = true)
+          root, c, matched, "DELETE", allowDuplicates = true,
+          asOf = scanVersion)
         (c, keys0)
     }
     graft.operators.LakeMaintenance.merge(spark, root,
-      Seq.empty, keyCol2, deletes = keys): Unit
+      Seq.empty, keyCol2, deletes = keys,
+      readVersion =
+        if (keyOnlyDelete(filters).isDefined) -1L else scanVersion): Unit
   }
 }
 

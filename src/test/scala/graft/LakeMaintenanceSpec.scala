@@ -87,6 +87,38 @@ class LakeMaintenanceSpec extends SparkSpec {
     TxLog.commitVersions(s"$base/log").max shouldBe 1L
   }
 
+  test("r15 readVersion fence: a merge whose candidates postdate the " +
+      "caller's scan snapshot aborts loudly instead of mutating rows " +
+      "the scan never saw") {
+    val base = buildLittered(2)
+    // the caller "scanned" at version 0; a concurrent append then
+    // lands at version 1 touching the same key space
+    val scanVersion = 0L
+    Seq((50L, java.lang.Long.valueOf(1L), "zz"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", base)
+      .mode("append").save()
+    // the appended file intersects key 50 → it is a candidate newer
+    // than the fence → abort (never a silent delete of unseen rows)
+    val e = intercept[IllegalStateException] {
+      LakeMaintenance.merge(spark, base, Seq.empty, "doc_id",
+        deletes = Seq(50L), readVersion = scanVersion)
+    }
+    e.getMessage should include("scan snapshot")
+    // nothing committed, nothing lost
+    asSet(lake(base)).size shouldBe 201
+    // without the fence (the whole-snapshot contract) the same merge
+    // applies — deleting BOTH occurrences of key 50 is then explicit
+    LakeMaintenance.merge(spark, base, Seq.empty, "doc_id",
+      deletes = Seq(50L)): Unit
+    lake(base).where(col("doc_id") === 50L).count() shouldBe 0L
+    // a fence at the current head passes: no candidate postdates it
+    val head = TxLog.commitVersions(s"$base/log").max
+    LakeMaintenance.merge(spark, base, Seq.empty, "doc_id",
+      deletes = Seq(51L), readVersion = head): Unit
+    lake(base).where(col("doc_id") === 51L).count() shouldBe 0L
+  }
+
   test("files at or above the target are left alone; a lone small " +
       "file never rewrites by itself") {
     val base = buildLittered(3)

@@ -819,6 +819,9 @@ class LakeSourceSpec extends SparkSpec {
     }
     // between v0 and v1: only v1's add
     drainTs(1500000L).toSet shouldBe expected(3).map(_._1).toSet
+    // ADVICE r14 boundary: a commit at EXACTLY the timestamp is
+    // included ("changes at or after ts" — the Delta contract)
+    drainTs(2000000L).toSet shouldBe expected(3).map(_._1).toSet
     // before all history: everything; after the head: nothing yet
     drainTs(500000L).size shouldBe 4 * FileRows
     drainTs(3000000L).size shouldBe 0
