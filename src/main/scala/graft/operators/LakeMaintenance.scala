@@ -819,6 +819,133 @@ object LakeMaintenance {
       }
     }
 
+  /** Rewrite ONE candidate file under a changeset slice — the body
+    * shared bit-for-bit by the broadcast merge (driver-bounded
+    * changeset, slice = the whole changeset) and the DISTRIBUTED
+    * join-based merge (r15 — slice = the rows routed to this file by
+    * the key probe). Pure function of (file, slice): reads the file
+    * through our codecs, computes the surviving/updated/deleted
+    * ordinals under any existing deletion vector, writes the rewrite
+    * (or a DV sidecar for small delete-only touches, or a remove-only
+    * tombstone) plus the row-exact CDC sidecar, and returns ONLY
+    * per-file metadata. `tag` disambiguates output names within a
+    * run. Returns (mode 0=tombstone/1=rewrite/2=dv/3=untouched,
+    * oldPath, newPath, rows, minKey, maxKey, matchedKeys,
+    * deletedRows, cdcPath, cdcRows, cstatsJson, dvPath, dvDead). */
+  private[graft] def rewriteOneFile(f: TxLog.LiveFile,
+      upd: scala.collection.Map[Long, Array[Any]],
+      del: scala.collection.Set[Long],
+      keyPhys: String, dvThr: Double, root: String, run: String,
+      tag: String): (Int, String, String, Long, Long, Long,
+        Seq[Long], Long, String, Long, String, String, Long) = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f.path))
+    val (leaves, fileCols) = ParquetFile.readFileColumns(bytes)
+    val ki = leaves.indexWhere(_.path == keyPhys)
+    require(ki >= 0 && leaves(ki).ptype == 2 &&
+      leaves(ki).maxDef == 0,
+      s"merge key $keyPhys must be a REQUIRED long column")
+    require(fileCols.size == leaves.size &&
+      upd.headOption.forall(_._2.length == fileCols.size),
+      s"file ${f.path} does not match the changeset width")
+    val fkeys = fileCols(ki)
+      .asInstanceOf[ParquetWrite.LongCol].vs
+    val n = fkeys.length
+    // rows already dead under the file's DELETION VECTOR (r14)
+    // are invisible: they never match, never re-emit CDC, and
+    // a rewrite materializes them away
+    val exDv = loadDv(f.dvPath)
+    def liveAt(i: Int): Boolean = exDv == null || !exDv.get(i)
+    val delIdx = (0 until n)
+      .filter(i => liveAt(i) && del.contains(fkeys(i)))
+      .toArray
+    val updIdx = (0 until n)
+      .filter(i => liveAt(i) && upd.contains(fkeys(i)))
+      .toArray
+    val keep = (0 until n)
+      .filter(i => liveAt(i) && !del.contains(fkeys(i)))
+      .toArray
+    val matched = updIdx.map(fkeys(_)).distinct.toSeq
+    // CDC sidecar: delete pre-images + update pre/post images
+    val cdc: (String, Long) =
+      if (delIdx.isEmpty && updIdx.isEmpty) ("", 0L)
+      else {
+        val cdcCols: Seq[ParquetWrite.Col] =
+          fileCols.zipWithIndex.map { case (c, li) =>
+            val pre = (delIdx ++ updIdx).map(colValue(c, _))
+            val post = updIdx.map(i =>
+              upd(fkeys(i))(li).asInstanceOf[AnyRef])
+            buildCol(c, pre ++ post)
+          } :+ ParquetWrite.StrCol("_change_type",
+            Array.fill(delIdx.length)("delete") ++
+              Array.fill(updIdx.length)("update_preimage") ++
+              Array.fill(updIdx.length)("update_postimage"))
+        val cb = ParquetWrite.writeFile(cdcCols,
+          rowsPerGroup = 1024)
+        val cp = s"$root/data/cdc-$run-$tag.parquet"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(cp), cb): Unit
+        (cp, (delIdx.length + 2 * updIdx.length).toLong)
+      }
+    if (delIdx.isEmpty && updIdx.isEmpty)
+      // stats said maybe, the file says no: UNTOUCHED (mode 3)
+      // — no remove, no add, no rewrite (self-review r14: the
+      // r12 path rewrote such files for nothing)
+      (3, f.path, "", 0L, 0L, 0L, matched, 0L, "", 0L, "", "",
+        0L)
+    else if (keep.isEmpty) // every live row died: remove-only
+      (0, f.path, "", 0L, 0L, 0L, matched,
+        delIdx.length.toLong, cdc._1, cdc._2, "", "", 0L)
+    else if (updIdx.isEmpty && delIdx.nonEmpty &&
+        delIdx.length.toDouble / n <= dvThr) {
+      // MERGE-ON-READ delete (r14 — Delta's deletion vectors):
+      // the touched fraction is small, so killing ordinals in
+      // a sidecar beats rewriting the gigabyte — the data file
+      // is NOT touched; readers apply the DV map-side;
+      // compaction materializes it later. dataChange=false on
+      // the re-add keeps the append-only streaming tail from
+      // re-emitting the file; the CDC sidecar carries the
+      // row-exact deletes.
+      val ords: Array[Long] =
+        ((0 until n).filterNot(liveAt).map(_.toLong) ++
+          delIdx.map(_.toLong)).sorted.toArray
+      val db = ParquetWrite.writeFile(
+        Seq(ParquetWrite.LongCol("ord", ords)),
+        rowsPerGroup = 4096)
+      val dp = s"$root/data/dv-$run-$tag.parquet"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dp), db): Unit
+      (2, f.path, "", 0L, 0L, 0L, matched,
+        delIdx.length.toLong, cdc._1, cdc._2, "", dp,
+        ords.length.toLong)
+    } else {
+      // per-column output over the SURVIVING rows, applying the
+      // update changeset — typed through the column templates
+      val outCols: Seq[ParquetWrite.Col] =
+        fileCols.zipWithIndex.map { case (c, li) =>
+          buildCol(c, keep.map { i =>
+            upd.get(fkeys(i)) match {
+              case Some(vals) => vals(li).asInstanceOf[AnyRef]
+              case None => colValue(c, i)
+            }
+          })
+        }
+      val out = ParquetWrite.writeFile(outCols,
+        rowsPerGroup = 1024)
+      val p = s"$root/data/merge-$run-$tag.parquet"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), out): Unit
+      val st = ParquetFile.parse(0L, out)
+        .filter(r => r.valid && r.has_stats &&
+          r.col_path == keyPhys)
+      val cj = TxLog.cstatsJson(cstatsOfCols(outCols))
+      (1, f.path, p, keep.length.toLong,
+        st.map(_.min_long).min, st.map(_.max_long).max,
+        matched, delIdx.length.toLong, cdc._1, cdc._2, cj,
+        "", 0L)
+    }
+  }
+
   final case class MergeResult(rewritten: Int, matched: Long,
       inserted: Long, version: Long, deleted: Long = 0L)
 
@@ -991,6 +1118,8 @@ object LakeMaintenance {
     // tuples, not a method-local case class: local classes capture
     // enclosing scope and break task serialization
     val dvThr = dvThreshold
+    val rootV = root
+    val keyPhysV = keyPhys
     val rewritten: Array[(Int, String, String, Long, Long, Long,
         Seq[Long], Long, String, Long, String, String, Long)] =
       if (candidates.isEmpty) Array.empty
@@ -998,112 +1127,8 @@ object LakeMaintenance {
         .parallelize(candidates.zipWithIndex,
           math.min(candidates.size, 64))
         .map { case (f, idx) =>
-          val bytes = java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(f.path))
-          val (leaves, fileCols) = ParquetFile.readFileColumns(bytes)
-          val ki = leaves.indexWhere(_.path == keyPhys)
-          require(ki >= 0 && leaves(ki).ptype == 2 &&
-            leaves(ki).maxDef == 0,
-            s"merge key $keyPhys must be a REQUIRED long column")
-          require(fileCols.size == leaves.size &&
-            bc.value.headOption.forall(_._2.length == fileCols.size),
-            s"file ${f.path} does not match the changeset width")
-          val fkeys = fileCols(ki)
-            .asInstanceOf[ParquetWrite.LongCol].vs
-          val n = fkeys.length
-          // rows already dead under the file's DELETION VECTOR (r14)
-          // are invisible: they never match, never re-emit CDC, and
-          // a rewrite materializes them away
-          val exDv = loadDv(f.dvPath)
-          def liveAt(i: Int): Boolean = exDv == null || !exDv.get(i)
-          val delIdx = (0 until n)
-            .filter(i => liveAt(i) && bcDel.value.contains(fkeys(i)))
-            .toArray
-          val updIdx = (0 until n)
-            .filter(i => liveAt(i) && bc.value.contains(fkeys(i)))
-            .toArray
-          val keep = (0 until n)
-            .filter(i => liveAt(i) && !bcDel.value.contains(fkeys(i)))
-            .toArray
-          val matched = updIdx.map(fkeys(_)).distinct.toSeq
-          // CDC sidecar: delete pre-images + update pre/post images
-          val cdc: (String, Long) =
-            if (delIdx.isEmpty && updIdx.isEmpty) ("", 0L)
-            else {
-              val cdcCols: Seq[ParquetWrite.Col] =
-                fileCols.zipWithIndex.map { case (c, li) =>
-                  val pre = (delIdx ++ updIdx).map(colValue(c, _))
-                  val post = updIdx.map(i =>
-                    bc.value(fkeys(i))(li).asInstanceOf[AnyRef])
-                  buildCol(c, pre ++ post)
-                } :+ ParquetWrite.StrCol("_change_type",
-                  Array.fill(delIdx.length)("delete") ++
-                    Array.fill(updIdx.length)("update_preimage") ++
-                    Array.fill(updIdx.length)("update_postimage"))
-              val cb = ParquetWrite.writeFile(cdcCols,
-                rowsPerGroup = 1024)
-              val cp = s"$root/data/cdc-$run-$idx.parquet"
-              java.nio.file.Files.write(
-                java.nio.file.Paths.get(cp), cb): Unit
-              (cp, (delIdx.length + 2 * updIdx.length).toLong)
-            }
-          if (delIdx.isEmpty && updIdx.isEmpty)
-            // stats said maybe, the file says no: UNTOUCHED (mode 3)
-            // — no remove, no add, no rewrite (self-review r14: the
-            // r12 path rewrote such files for nothing)
-            (3, f.path, "", 0L, 0L, 0L, matched, 0L, "", 0L, "", "",
-              0L)
-          else if (keep.isEmpty) // every live row died: remove-only
-            (0, f.path, "", 0L, 0L, 0L, matched,
-              delIdx.length.toLong, cdc._1, cdc._2, "", "", 0L)
-          else if (updIdx.isEmpty && delIdx.nonEmpty &&
-              delIdx.length.toDouble / n <= dvThr) {
-            // MERGE-ON-READ delete (r14 — Delta's deletion vectors):
-            // the touched fraction is small, so killing ordinals in
-            // a sidecar beats rewriting the gigabyte — the data file
-            // is NOT touched; readers apply the DV map-side;
-            // compaction materializes it later. dataChange=false on
-            // the re-add keeps the append-only streaming tail from
-            // re-emitting the file; the CDC sidecar carries the
-            // row-exact deletes.
-            val ords: Array[Long] =
-              ((0 until n).filterNot(liveAt).map(_.toLong) ++
-                delIdx.map(_.toLong)).sorted.toArray
-            val db = ParquetWrite.writeFile(
-              Seq(ParquetWrite.LongCol("ord", ords)),
-              rowsPerGroup = 4096)
-            val dp = s"$root/data/dv-$run-$idx.parquet"
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(dp), db): Unit
-            (2, f.path, "", 0L, 0L, 0L, matched,
-              delIdx.length.toLong, cdc._1, cdc._2, "", dp,
-              ords.length.toLong)
-          } else {
-            // per-column output over the SURVIVING rows, applying the
-            // update changeset — typed through the column templates
-            val outCols: Seq[ParquetWrite.Col] =
-              fileCols.zipWithIndex.map { case (c, li) =>
-                buildCol(c, keep.map { i =>
-                  bc.value.get(fkeys(i)) match {
-                    case Some(vals) => vals(li).asInstanceOf[AnyRef]
-                    case None => colValue(c, i)
-                  }
-                })
-              }
-            val out = ParquetWrite.writeFile(outCols,
-              rowsPerGroup = 1024)
-            val p = s"$root/data/merge-$run-$idx.parquet"
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(p), out): Unit
-            val st = ParquetFile.parse(idx.toLong, out)
-              .filter(r => r.valid && r.has_stats &&
-                r.col_path == keyPhys)
-            val cj = TxLog.cstatsJson(cstatsOfCols(outCols))
-            (1, f.path, p, keep.length.toLong,
-              st.map(_.min_long).min, st.map(_.max_long).max,
-              matched, delIdx.length.toLong, cdc._1, cdc._2, cj,
-              "", 0L)
-          }
+          rewriteOneFile(f, bc.value, bcDel.value, keyPhysV, dvThr,
+            rootV, run, idx.toString)
         }
         .collect()
 
@@ -1198,6 +1223,347 @@ object LakeMaintenance {
       writtenPaths.toSeq)
     MergeResult(rewritten.count(_._1 != 3), matchedKeys.size.toLong,
       insertAdd.map(_._2).getOrElse(0L), v, deletedRows)
+  }
+
+  /** One output row of a distributed-merge rewrite task: `kind` 0 =
+    * per-file METADATA (what the commit is built from — O(files)),
+    * `kind` 1 = one MATCHED update key (aggregated distributedly into
+    * the exact distinct-matched count; never collected to the
+    * driver). Top-level case class: task closures must not capture
+    * enclosing scope. */
+  final case class MergeTaskOut(kind: Int, mode: Int, oldPath: String,
+      newPath: String, rows: Long, minKey: Long, maxKey: Long,
+      fileMatched: Long, deletedRows: Long, cdcPath: String,
+      cdcRows: Long, cstatsJson: String, dvPath: String, dvDead: Long,
+      key: Long)
+
+  /** DISTRIBUTED join-based MERGE (r15 — the r14 verdict's #1 ask:
+    * remove the driver-collect changeset bound). The changeset stays
+    * a DataFrame end to end; the driver only ever sees METADATA
+    * (touched file names, per-file commit rows) — never source rows.
+    *
+    * `changes` columns, positionally: `_graft_k` (the merge key,
+    * LONG), `_graft_op` (STRING — `u` replace-if-present-else-drop,
+    * `i` insert-if-absent (a matched key takes NO action), `ui`
+    * upsert, `d` delete-all-occurrences), then the table's columns in
+    * LOGICAL schema order (ignored for `d` rows).
+    *
+    * The 100 TB shape, stage by stage:
+    *  1. one distributed aggregate validates the changeset (null /
+    *     duplicate keys, op values) and measures the key span;
+    *  2. CHECK constraints evaluate as distributed filters;
+    *  3. the KEY PROBE scans only the key column of the
+    *     stats-pruned candidate files (Spark's parquet reader over
+    *     our own files) and joins it with the changeset keys —
+    *     Catalyst picks broadcast vs shuffle join by size — yielding
+    *     the exact (key, file) containment map; over-routing from a
+    *     deletion-vector-dead row is re-checked in the task;
+    *  4. each TOUCHED file becomes one task: the changeset slice
+    *     routed to it by the probe (bounded by the file's own row
+    *     count) rewrites the file through [[rewriteOneFile]] — the
+    *     bit-identical body the broadcast path runs — and ships back
+    *     only per-file metadata plus matched keys for the exact
+    *     distinct count (aggregated, not collected);
+    *  5. unmatched `i`/`ui` rows range-partition by key, sort, and
+    *     write key-ordered insert files executor-side (≤
+    *     `insertRowsPerFile` rows each, stats + CDC sidecars);
+    *  6. ONE optimistic commit (remove + add + cdc + commitInfo),
+    *     read-set validated, exactly like the broadcast path.
+    *
+    * `readVersion` carries the caller's scan-snapshot fence (same
+    * contract as [[merge]]). Candidate data-file NAMES must be unique
+    * (they are, for every engine writer — one flat `data/` dir). */
+  def mergeDistributed(spark: SparkSession, root: String,
+      changes: org.apache.spark.sql.DataFrame, keyCol: String,
+      dvThreshold: Double = 0.10,
+      readVersion: Long = -1L,
+      insertRowsPerFile: Int = 1 << 20): MergeResult = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.storage.StorageLevel
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
+    val schema = spark.read.format("graft-lake").option("path", root)
+      .load().schema
+    val n = schema.fields.length
+    require(changes.schema.fields.length == n + 2,
+      s"distributed merge changeset must carry (_graft_k, _graft_op, " +
+        s"then the table's $n columns); got ${changes.schema.fields.length}")
+    require(changes.schema.fields(0).dataType ==
+        org.apache.spark.sql.types.LongType,
+      "changeset column 0 (_graft_k) must be LONG")
+    changes.schema.fields.drop(2).zip(schema.fields).foreach {
+      case (c, t) => require(c.dataType == t.dataType,
+        s"changeset column for ${t.name} has type ${c.dataType}, " +
+          s"table has ${t.dataType}")
+    }
+    val kf = schema.fields.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(s"no table column $keyCol"))
+    require(kf.dataType == org.apache.spark.sql.types.LongType &&
+        !kf.nullable,
+      s"merge key $keyCol must be a REQUIRED long column")
+    val ds = changes.toDF(
+      ("_graft_k" +: "_graft_op" +: schema.fieldNames.toSeq): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = ds.agg(count(lit(1)), count(col("_graft_k")),
+        countDistinct(col("_graft_k")),
+        count(when(!col("_graft_op").isin("u", "i", "ui", "d"),
+          lit(1))),
+        min(col("_graft_k")), max(col("_graft_k"))).head()
+      val total = v.getLong(0)
+      if (total == 0L) return MergeResult(0, 0L, 0L, -1L)
+      require(v.getLong(1) == total,
+        "null source key in the merge changeset")
+      require(v.getLong(2) == total,
+        "duplicate keys in the merge changeset")
+      require(v.getLong(3) == 0L,
+        "unknown _graft_op in the merge changeset (u/i/ui/d)")
+      val kLo = v.getLong(4); val kHi = v.getLong(5)
+      // CHECK constraints (distributed — the changeset is unbounded):
+      // a stored row violating any active constraint fails BEFORE any
+      // file is written; NULL passes (the SQL CHECK rule)
+      val cons = TxLog.activeConstraintsFast(
+        s"$root/log", s"$root/ckpt", -1L)
+      if (cons.nonEmpty) {
+        val stored = ds.where(col("_graft_op") =!= "d")
+        cons.foreach { case TxLog.Constraint(cname, cexpr) =>
+          require(stored.where(expr(cexpr).cast("boolean") <=> false)
+              .isEmpty,
+            s"merge changeset violates CHECK constraint $cname")
+        }
+      }
+      val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+      // ---- empty table: the insert arm appends through the
+      // connector, fully distributed (table props ride so partition
+      // values and stats land)
+      if (live.isEmpty) {
+        val ins = ds.where(col("_graft_op").isin("i", "ui"))
+          .select(schema.fieldNames.map(col).toSeq: _*)
+        val nIns = ins.count()
+        if (nIns == 0L) return MergeResult(0, 0L, 0L, -1L)
+        var w = ins.write.format("graft-lake").option("path", root)
+        graft.sources.LakeCatalog.readProps(root).foreach {
+          case (k2, v2) => w = w.option(k2, v2)
+        }
+        w.mode("append").save()
+        return MergeResult(0, 0L, nIns,
+          TxLog.commitVersions(s"$root/log").max)
+      }
+      val keyPhys = TxLog
+        .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
+        .flatMap(_.find(_.name == keyCol).map(_.physName))
+        .getOrElse(keyCol)
+      val schemaLeaves = ParquetFile.parseFooterMeta(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(live.head.path))).leaves
+      val order: Array[Int] = graft.plans.LakeMergeSql
+        .leafOrder(root, schema, live.head.path).toArray
+      // candidate pruning: the column-labeled key window against the
+      // changeset's [kLo, kHi] span (same cstats-only rule as the
+      // broadcast path; the probe refines span-survivors to exact
+      // containment). Files without a labeled window must be probed.
+      val candidates = live.filter { f =>
+        f.cstats.find(c => c.col == keyPhys && c.tpe == "l") match {
+          case Some(st) =>
+            (st.mn.map(_.toLong), st.mx.map(_.toLong)) match {
+              case (Some(mn), Some(mx)) => mx >= kLo && mn <= kHi
+              case _ => false // all-null window on a REQUIRED key
+            }
+          case None => true
+        }
+      }
+      val matchedZero = // no candidate can contain any key
+        candidates.isEmpty
+      def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+      val byName = candidates.map(f => base(f.path) -> f).toMap
+      require(byName.size == candidates.size,
+        "duplicate data-file names across candidate files — compact " +
+          "the table first")
+      // ---- the KEY PROBE: exact (key, file) containment over the
+      // candidates' key column (one narrow column scan; Catalyst
+      // picks the join strategy by the changeset's size)
+      val probe =
+        if (matchedZero) null
+        else spark.read.parquet(candidates.map(_.path).toSeq: _*)
+          .select(col(keyPhys).as("_graft_k"),
+            element_at(split(input_file_name(), "/"), -1)
+              .as("_graft_file"))
+          .join(ds.select(col("_graft_k")), Seq("_graft_k"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      val touchedNames: Array[String] =
+        if (probe == null) Array.empty
+        else probe.select(col("_graft_file")).distinct()
+          .collect().map(_.getString(0)) // O(touched files) — metadata
+      try {
+        val touched = touchedNames.toSeq.flatMap(byName.get)
+        // the caller's scan-snapshot fence (same contract as merge)
+        if (readVersion >= 0)
+          touched.find(_.version > readVersion).foreach { f =>
+            throw new IllegalStateException(
+              s"merge conflict under $root: candidate file ${f.path} " +
+                s"was committed at version ${f.version}, after the " +
+                s"caller's scan snapshot $readVersion — re-run the " +
+                "statement against the new table state")
+          }
+        val run = java.util.UUID.randomUUID().toString.take(8)
+        val bMeta = spark.sparkContext.broadcast(
+          touchedNames.flatMap(nm => byName.get(nm).map(nm -> _)).toMap)
+        val bOrder = spark.sparkContext.broadcast(order)
+        val bTypes = spark.sparkContext.broadcast(
+          schema.fields.map(_.dataType))
+        val rootV = root; val keyPhysV = keyPhys
+        val dvThr = dvThreshold; val nFields = n
+        // ---- per-file rewrite: one task per touched file; the slice
+        // routed to it is bounded by the file's own row count
+        val taskOut =
+          if (probe == null) spark.emptyDataset(
+            Encoders.product[MergeTaskOut])
+          else ds.join(probe, Seq("_graft_k"), "inner")
+            .groupByKey((r: Row) => r.getString(2 + nFields))(
+              Encoders.STRING)
+            .flatMapGroups { (fname: String, rows: Iterator[Row]) =>
+              val meta = bMeta.value(fname)
+              val upd = scala.collection.mutable
+                .HashMap.empty[Long, Array[Any]]
+              val del = scala.collection.mutable.HashSet.empty[Long]
+              rows.foreach { r =>
+                val k = r.getLong(0)
+                r.getString(1) match {
+                  case "d" => del.add(k): Unit
+                  case "i" => () // NOT-MATCHED-only arm: a matched
+                  // key takes no action (SQL INSERT semantics)
+                  case _ => // u / ui: replace every occurrence
+                    val vals: Array[Any] = bOrder.value.map(fi =>
+                      graft.plans.LakeMergeSql.boxed(r, 2 + fi,
+                        bTypes.value(fi)))
+                    upd.put(k, vals): Unit
+                }
+              }
+              val tag = fname.replaceAll("[^A-Za-z0-9_-]", "_")
+              val t = rewriteOneFile(meta, upd, del, keyPhysV, dvThr,
+                rootV, run, tag)
+              Iterator.single(MergeTaskOut(0, t._1, t._2, t._3, t._4,
+                t._5, t._6, t._7.size.toLong, t._8, t._9, t._10,
+                t._11, t._12, t._13, 0L)) ++
+                t._7.iterator.map(k => MergeTaskOut(1, 0, "", "", 0L,
+                  0L, 0L, 0L, 0L, "", 0L, "", "", 0L, k))
+            }(Encoders.product[MergeTaskOut])
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val metas = taskOut.filter(_.kind == 0).collect()
+          // exact distinct matched count, aggregated distributedly
+          val matchedCnt = taskOut.filter(_.kind == 1)
+            .select(col("key")).distinct().count()
+          // ---- inserts: unmatched i/ui rows → key-ordered files,
+          // written executor-side, bounded rows per file
+          val insDf =
+            (if (probe == null) ds
+             else ds.join(probe.select(col("_graft_k")).distinct(),
+               Seq("_graft_k"), "left_anti"))
+              .where(col("_graft_op").isin("i", "ui"))
+              .select((col("_graft_k") +:
+                schema.fieldNames.map(col).toSeq): _*)
+          val nIns = insDf.count()
+          val bLeaves = spark.sparkContext.broadcast(
+            schemaLeaves.toArray)
+          val insMetas: Array[(String, Long, Long, Long, String, String)] =
+            if (nIns == 0L) Array.empty
+            else {
+              val nf = math.max(1L,
+                (nIns + insertRowsPerFile - 1) / insertRowsPerFile).toInt
+              insDf.repartitionByRange(nf, col("_graft_k"))
+                .sortWithinPartitions(col("_graft_k"))
+                .mapPartitions { (it: Iterator[Row]) =>
+                  val rows = it.toArray
+                  if (rows.isEmpty) Iterator.empty
+                  else {
+                    val pid = org.apache.spark.TaskContext
+                      .get().partitionId()
+                    val cols2: Seq[ParquetWrite.Col] =
+                      bLeaves.value.toSeq.zipWithIndex.map {
+                        case (lf, li) =>
+                          val fi = bOrder.value(li)
+                          buildCol(templateOf(lf), rows.map(r =>
+                            graft.plans.LakeMergeSql.boxed(r, 1 + fi,
+                              bTypes.value(fi)).asInstanceOf[AnyRef]))
+                      }
+                    val out = ParquetWrite.writeFile(cols2,
+                      rowsPerGroup = 1024)
+                    val p = s"$rootV/data/merge-$run-insert-$pid.parquet"
+                    java.nio.file.Files.write(
+                      java.nio.file.Paths.get(p), out): Unit
+                    val cdcCols = cols2 :+ ParquetWrite.StrCol(
+                      "_change_type",
+                      Array.fill(rows.length)("insert"))
+                    val cb = ParquetWrite.writeFile(cdcCols,
+                      rowsPerGroup = 1024)
+                    val cp = s"$rootV/data/cdc-$run-insert-$pid.parquet"
+                    java.nio.file.Files.write(
+                      java.nio.file.Paths.get(cp), cb): Unit
+                    Iterator.single((p, rows.length.toLong,
+                      rows.head.getLong(0), rows.last.getLong(0), cp,
+                      TxLog.cstatsJson(cstatsOfCols(cols2))))
+                  }
+                }(Encoders.product[(String, Long, Long, Long, String, String)])
+                .collect() // O(insert files) — metadata
+            }
+          if (metas.isEmpty && insMetas.isEmpty)
+            return MergeResult(0, 0L, 0L, -1L)
+          val liveByPath = touched.map(f => f.path -> f).toMap
+          val stampKey = keyCol == "doc_id"
+          val lines =
+            metas.filter(m => m.mode == 0 || m.mode == 1).toSeq.map(m =>
+              s"""{"remove":{"path":"${TxLog.requireJsonSafe(m.oldPath)}"}}""") ++
+            metas.filter(_.mode == 1).toSeq.map { m =>
+              val kw = if (stampKey)
+                s""","min_key":${m.minKey},"max_key":${m.maxKey}"""
+                else ""
+              // delete-only rewrites preserve the source partition
+              // value; an update may have changed it → no part
+              val pv =
+                if (m.fileMatched == 0L)
+                  liveByPath(m.oldPath).part.flatMap(TxLog.jsonSafe)
+                    .map(v2 => s""","part":"$v2"""").getOrElse("")
+                else ""
+              s"""{"add":{"path":"${TxLog.requireJsonSafe(m.newPath)}","size":${m.rows}""" +
+                s"""$kw$pv${m.cstatsJson}}}"""
+            } ++
+            metas.filter(_.mode == 2).toSeq.map(m =>
+              TxLog.renderAdd(liveByPath(m.oldPath), Some(m.dvPath),
+                m.dvDead, Some(false))) ++
+            insMetas.toSeq.map { case (p, rows, mn, mx, _, cj) =>
+              val kw = if (stampKey)
+                s""","min_key":$mn,"max_key":$mx""" else ""
+              s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
+                s"""$kw$cj}}"""
+            } ++
+            metas.filter(_.cdcPath.nonEmpty).toSeq.map(m =>
+              s"""{"cdc":{"path":"${TxLog.requireJsonSafe(m.cdcPath)}",""" +
+                s""""size":${m.cdcRows}}}""") ++
+            insMetas.toSeq.map { case (_, rows, _, _, cp, _) =>
+              s"""{"cdc":{"path":"${TxLog.requireJsonSafe(cp)}",""" +
+                s""""size":$rows}}"""
+            }
+          if (lines.isEmpty) return MergeResult(0, 0L, 0L, -1L)
+          val writtenPaths =
+            metas.filter(_.newPath.nonEmpty).map(_.newPath).toSeq ++
+            metas.filter(_.cdcPath.nonEmpty).map(_.cdcPath).toSeq ++
+            metas.filter(_.dvPath.nonEmpty).map(_.dvPath).toSeq ++
+            insMetas.toSeq.flatMap(a => Seq(a._1, a._5))
+          val ver = commitMaintenance(root,
+            metas.filter(m => m.mode == 0 || m.mode == 1)
+              .map(_.oldPath).toSeq,
+            lines :+ TxLog.commitInfoLine("MERGE"), writtenPaths)
+          MergeResult(metas.count(_.mode != 3), matchedCnt, nIns, ver,
+            metas.map(_.deletedRows).sum)
+        } finally {
+          if (probe != null) taskOut.unpersist(false): Unit
+        }
+      } finally {
+        if (probe != null) probe.unpersist(false): Unit
+      }
+    } finally ds.unpersist(false): Unit
   }
 
   final case class ExpireResult(deletedVersions: Int, horizon: Long)

@@ -265,8 +265,8 @@ object LakeMergeSql {
 
   /** External boxed value of projected-row column `idx`, in the shape
     * [[LakeMaintenance.merge]]'s typed column templates take (shared
-    * by the MERGE and UPDATE commands). */
-  private[plans] def boxed(r: Row, idx: Int, t: DataType): Any =
+    * by the MERGE and UPDATE commands and the r15 distributed merge). */
+  private[graft] def boxed(r: Row, idx: Int, t: DataType): Any =
     if (r.isNullAt(idx)) null
     else t match {
       case LongType => java.lang.Long.valueOf(r.getLong(idx))
@@ -317,7 +317,7 @@ object LakeMergeSql {
   /** Field index per file-leaf slot (the changeset value order
     * [[LakeMaintenance.merge]] takes), mapped back through the column
     * mapping — shared by the MERGE and UPDATE commands. */
-  private[plans] def leafOrder(root: String, targetSchema: StructType,
+  private[graft] def leafOrder(root: String, targetSchema: StructType,
       livePath: String): Seq[Int] = {
     val physToLogical = TxLog
       .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
@@ -366,6 +366,15 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
   private def boxed(r: Row, idx: Int, t: DataType): Any =
     LakeMergeSql.boxed(r, idx, t)
 
+  /** The same-expressions test (flagship upsert: SET * + INSERT *):
+    * arm routing is unnecessary when both arms store the same row. */
+  private def sameArms: Boolean = (updateExprs, insertExprs) match {
+    case (Some(u), Some(i)) =>
+      u.size == i.size &&
+        u.zip(i).forall(p => p._1.semanticEquals(p._2))
+    case _ => false
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val nU = updateExprs.map(_.size).getOrElse(0)
@@ -379,10 +388,21 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
           })
     val srcDf = org.apache.spark.sql.graft.GraftSqlShims
       .ofRows(spark, Project(projList, source))
-    val rows = srcDf.collect() // the BOUNDED changeset (merge contract)
-    require(rows.length <= (1 << 20),
+    // ROUTE BY SIZE (r15 — the r14 verdict's #1 ask): changesets at
+    // or under the collect bound take the broadcast path (one task
+    // per candidate file, zero joins — the right plan for a CDC
+    // batch); larger ones route through the DISTRIBUTED join-based
+    // merge, where the driver never sees a source row. The bound is
+    // tunable for tests via spark.graft.lake.mergeCollectBound.
+    val bound = math.max(1,
+      spark.conf.getOption("spark.graft.lake.mergeCollectBound")
+        .map(_.toInt).getOrElse(1 << 20))
+    val cnt = srcDf.limit(bound + 1).count()
+    if (cnt > bound) return runDistributed(spark, srcDf, nU)
+    val rows = srcDf.collect() // the BOUNDED changeset (≤ bound rows)
+    require(rows.length <= bound,
       s"graft-lake MERGE: changeset ${rows.length} exceeds the " +
-        "broadcast bound — shuffle-join merges are out of scope")
+        "collect bound")
     rows.foreach(r => require(!r.isNullAt(0),
       "graft-lake MERGE: null source key"))
     val keys = rows.map(_.getLong(0))
@@ -430,13 +450,7 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
     val order = leafOrder()
     // matched/unmatched routing is only needed when the arms differ;
     // the flagship upsert (SET * + INSERT *, same exprs) goes straight
-    // to merge with no probe
-    val sameArms = (updateExprs, insertExprs) match {
-      case (Some(u), Some(i)) =>
-        u.size == i.size &&
-          u.zip(i).forall(p => p._1.semanticEquals(p._2))
-      case _ => false
-    }
+    // to merge with no probe (`sameArms`)
     // pin the probe's snapshot version (ADVICE r14): the merge below
     // re-resolves at its own (possibly later) snapshot — arm routing
     // decided against an older snapshot must not apply to rows it
@@ -492,6 +506,56 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
     val updated = r.matched
     Seq(Row(updated, r.deleted, inserted))
   }
+
+  /** The DISTRIBUTED route (r15): express the statement's arms as
+    * per-row ops over the projected changeset and hand the DataFrame
+    * to [[LakeMaintenance.mergeDistributed]] — no collect of source
+    * rows anywhere. Single-arm statements need no probe at all (the
+    * op itself encodes matched/unmatched semantics, decided at the
+    * merge's own snapshot — no TOCTOU); mixed arms route through one
+    * distributed semi/anti-join probe, fenced by its snapshot
+    * version. */
+  private def runDistributed(spark: SparkSession,
+      srcDf: org.apache.spark.sql.DataFrame, nU: Int): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val key = col("_graft_k")
+    val uCols = (0 until nU).map(i => col(s"_u$i"))
+    val nI = insertExprs.map(_.size).getOrElse(0)
+    val iCols = (0 until nI).map(i => col(s"_i$i"))
+    val nulls = targetSchema.fields.toSeq.map(f =>
+      lit(null).cast(f.dataType))
+    def shaped(op: String, vals: Seq[org.apache.spark.sql.Column]) =
+      (key +: lit(op) +: vals)
+    val mixed = (deleteMatched || updateExprs.isDefined) &&
+      insertExprs.isDefined && !(sameArms && !deleteMatched)
+    var fence = -1L
+    val changes: org.apache.spark.sql.DataFrame =
+      if (sameArms && !deleteMatched)
+        srcDf.select(shaped("ui", uCols): _*)
+      else if (!mixed && updateExprs.isDefined)
+        srcDf.select(shaped("u", uCols): _*)
+      else if (!mixed && deleteMatched)
+        srcDf.select(shaped("d", nulls): _*)
+      else if (!mixed)
+        srcDf.select(shaped("i", iCols): _*)
+      else {
+        // mixed arms: one distributed matched-key probe at a pinned
+        // snapshot; the merge aborts if any candidate postdates it
+        fence = TxLog.nextVersion(s"$root/log", s"$root/ckpt") - 1L
+        val tbl = spark.read.format("graft-lake")
+          .option("path", root).option("asOf", fence.toString).load()
+          .select(col(keyCol).as("_graft_k")).distinct()
+        val m = srcDf.join(tbl, Seq("_graft_k"), "left_semi")
+          .select(shaped(if (deleteMatched) "d" else "u",
+            if (deleteMatched) nulls else uCols): _*)
+        val um = srcDf.join(tbl, Seq("_graft_k"), "left_anti")
+          .select(shaped("i", iCols): _*)
+        m.union(um)
+      }
+    val r = LakeMaintenance.mergeDistributed(spark, root, changes,
+      keyCol, readVersion = fence)
+    Seq(Row(r.matched, r.deleted, r.inserted))
+  }
 }
 
 /** The runnable SQL UPDATE (see [[LakeMergeSql.convertUpdate]]): scans
@@ -535,16 +599,45 @@ case class LakeUpdateCommand(root: String, targetSchema: StructType,
         rowExprs.zipWithIndex.map { case (e, i) =>
           Alias(e, s"_c$i")()
         }
-    // bounded collect (review r14): LIMIT to one past the broadcast
-    // bound so a too-wide predicate fails LOUDLY instead of OOMing
-    // the driver mid-collect
-    val rows = org.apache.spark.sql.graft.GraftSqlShims
+    val projDf = org.apache.spark.sql.graft.GraftSqlShims
       .ofRows(spark, Project(projList, filtered))
-      .limit((1 << 20) + 1).collect()
+    // ROUTE BY SIZE (r15): at or under the collect bound the
+    // broadcast path runs (the right plan for a bounded predicate);
+    // above it the DISTRIBUTED join-based merge takes over — the
+    // driver never sees a matched row
+    val bound = math.max(1,
+      spark.conf.getOption("spark.graft.lake.mergeCollectBound")
+        .map(_.toInt).getOrElse(1 << 20))
+    val cnt = projDf.limit(bound + 1).count()
+    if (cnt > bound) {
+      import org.apache.spark.sql.functions.lit
+      val changes = projDf.select(
+        (org.apache.spark.sql.functions.col("_graft_k") +:
+          lit("u") +:
+          rowExprs.indices.map(i =>
+            org.apache.spark.sql.functions.col(s"_c$i"))): _*)
+      // the whole-key law, DISTRIBUTED: the table's occurrence count
+      // over the matched keys must equal the matched row count — a
+      // predicate splitting a duplicated key's occurrences rejects
+      // (duplicated matched keys reject inside mergeDistributed).
+      // `cnt` above is limit-capped (it only decided the route);
+      // the guard needs the FULL matched count.
+      val full = changes.count()
+      val span = spark.read.format("graft-lake").option("path", root)
+        .option("asOf", scanVersion.toString).load()
+        .select(col(keyCol))
+        .join(changes.select(col("_graft_k").as(keyCol)).distinct(),
+          Seq(keyCol), "leftsemi").count()
+      if (span != full)
+        fail("the predicate matches only some occurrences of a " +
+          "duplicated merge key — not expressible as a whole-key " +
+          "rewrite")
+      val res = LakeMaintenance.mergeDistributed(spark, root, changes,
+        keyCol, readVersion = scanVersion)
+      return Seq(Row(res.matched))
+    }
+    val rows = projDf.collect()
     if (rows.isEmpty) return Seq(Row(0L))
-    if (rows.length > (1 << 20))
-      fail("the changeset exceeds the broadcast bound — " +
-        "shuffle-join rewrites are out of scope")
     val matched = rows.toSeq.map(_.getLong(0))
     // the whole-key law (shared guard): UPDATE never tolerates
     // duplicated matched keys — replacing both occurrences with one

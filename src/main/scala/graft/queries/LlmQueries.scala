@@ -9788,6 +9788,74 @@ object LlmQueries {
             WHERE n_chars >= 200 OR n_chars IS NULL)
         SELECT lang, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM f GROUP BY lang""")),
+
+    // ---- DISTRIBUTED join-based MERGE (r15 — the r14 verdict's #1
+    // ask: remove the driver-collect changeset bound). The gate
+    // lowers the collect bound so the whole changeset routes through
+    // the join path — the key PROBE over the stats-pruned candidate
+    // scan, per-touched-file rewrite tasks, executor-side key-sorted
+    // insert files, one optimistic commit — then a distributed
+    // predicate UPDATE and DELETE ride the same machinery. The
+    // oracle replays all three mutations relationally; the driver
+    // never collects a source row (LakeDistributedMergeSpec pins the
+    // result-bytes contract and the broadcast-path bit-identity).
+    "q263_lake_merge_distributed" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw263_" +
+          s.sparkContext.applicationId
+        sqlLakeReset(s, "graft_c263", base)
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .createOrReplaceTempView("q263_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c263.db"): Unit
+        s.sql("""CREATE TABLE graft_c263.db.t (
+          doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
+          USING `graft-lake`"""): Unit
+        s.sql("INSERT INTO graft_c263.db.t " +
+          "SELECT doc_id, n_chars, lang FROM q263_src " +
+          "WHERE doc_id % 2 = 0"): Unit
+        s.conf.set("spark.graft.lake.mergeCollectBound", "50")
+        try {
+          // mixed arms over the bound → distributed probe + rewrite
+          s.sql("""MERGE INTO graft_c263.db.t AS t
+            USING (SELECT doc_id, n_chars * 2 AS n_chars, lang
+                   FROM q263_src WHERE doc_id % 3 = 0) AS src
+            ON t.doc_id = src.doc_id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *"""): Unit
+          // distributed predicate UPDATE (whole-key guard included)
+          s.sql("UPDATE graft_c263.db.t SET n_chars = n_chars + 1 " +
+            "WHERE doc_id % 5 = 0"): Unit
+          // distributed predicate DELETE (delete-arm route)
+          s.sql("DELETE FROM graft_c263.db.t " +
+            "WHERE n_chars < 400"): Unit
+        } finally
+          s.conf.unset("spark.graft.lake.mergeCollectBound")
+        s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+          FROM graft_c263.db.t GROUP BY lang""")
+      },
+      Some("""WITH t0 AS (SELECT doc_id, CAST(n_chars AS BIGINT)
+              AS n_chars, lang FROM documents WHERE doc_id % 2 = 0),
+          u AS (SELECT doc_id, CAST(n_chars * 2 AS BIGINT) AS n_chars,
+            lang FROM documents WHERE doc_id % 3 = 0),
+          merged AS (
+            SELECT t0.doc_id,
+              CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars
+                ELSE t0.n_chars END AS n_chars,
+              CASE WHEN u.doc_id IS NOT NULL THEN u.lang
+                ELSE t0.lang END AS lang
+            FROM t0 LEFT JOIN u USING (doc_id)
+            UNION ALL
+            SELECT u.doc_id, u.n_chars, u.lang FROM u
+            WHERE u.doc_id NOT IN (SELECT doc_id FROM t0)),
+          upd AS (SELECT doc_id,
+            CAST(n_chars + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+              AS BIGINT) AS n_chars, lang FROM merged),
+          f AS (SELECT * FROM upd
+            WHERE n_chars >= 400 OR n_chars IS NULL)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM f GROUP BY lang"""))
   )
 }

@@ -605,22 +605,44 @@ final class LakeTable(val root: String, val asOf: Long,
     val (keyCol2, keys) = keyOnlyDelete(filters) match {
       case Some((c, ks)) => (c, ks) // whole-key by definition: no scan
       case None =>
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, lit}
         val c = mergeKeyCol.get
         val cond = filters.toSeq.flatMap(filterColumn)
           .reduce(_ && _)
         val df = spark.read.format("graft-lake").option("path", root)
           .option("asOf", scanVersion.toString).load()
-        // bounded collect (review r14): LIMIT one past the broadcast
-        // bound — a too-wide predicate fails loudly, never OOMs the
-        // driver mid-collect
-        val matched = df.where(cond).select(col(c))
-          .limit((1 << 20) + 1)
+        // ROUTE BY SIZE (r15): matched sets over the collect bound
+        // ride the DISTRIBUTED join-based merge — the driver never
+        // sees a matched row
+        val bound = math.max(1,
+          spark.conf.getOption("spark.graft.lake.mergeCollectBound")
+            .map(_.toInt).getOrElse(1 << 20))
+        val matchedRows = df.where(cond).select(col(c).as("_graft_k"))
+        val cnt = matchedRows.limit(bound + 1).count()
+        if (cnt > bound) {
+          val mCnt = matchedRows.count()
+          val keys0 = matchedRows.distinct()
+          // the whole-key law, DISTRIBUTED: deleting ALL occurrences
+          // of a duplicated key is expressible; a predicate that
+          // SPLITS a key's occurrences is not
+          val span = df.select(col(c).as("_graft_k"))
+            .join(keys0, Seq("_graft_k"), "leftsemi").count()
+          require(span == mCnt,
+            "graft-lake DELETE: the predicate matches only some " +
+              "occurrences of a duplicated merge key — not " +
+              "expressible as a whole-key rewrite")
+          val nulls = schema().fields.toSeq.map(f =>
+            lit(null).cast(f.dataType))
+          val changes = keys0.select(
+            (col("_graft_k") +: lit("d") +: nulls): _*)
+          graft.operators.LakeMaintenance.mergeDistributed(spark,
+            root, changes, c, readVersion = scanVersion): Unit
+          return
+        }
+        val matched = matchedRows
+          .limit(bound + 1)
           .collect().map(_.getLong(0)).toSeq
         if (matched.isEmpty) return
-        require(matched.length <= (1 << 20),
-          "graft-lake DELETE: the matched set exceeds the broadcast " +
-            "bound — shuffle-join rewrites are out of scope")
         // the whole-key law (shared guard): deleting ALL occurrences
         // of a duplicated key IS expressible (review r14 — the old
         // distinct check wrongly rejected it); only a predicate that
