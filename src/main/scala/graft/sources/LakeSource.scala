@@ -497,7 +497,14 @@ final class LakeTable(val root: String, val asOf: Long,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // r15 — the r14 verdict's #2 ask: the overwrite verbs.
+      // TRUNCATE serves df.write.mode("overwrite") and INSERT
+      // OVERWRITE (static, no partition spec); OVERWRITE_BY_FILTER
+      // serves partition-scoped INSERT OVERWRITE / replaceWhere;
+      // OVERWRITE_DYNAMIC serves dynamic partition overwrite
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(this)
   override def newWriteBuilder(
@@ -1428,17 +1435,86 @@ object LakeCommitMessage {
   }
 }
 
+/** The write MODE a builder resolved to (r15): plain append, full
+  * truncate-overwrite, partition-scoped overwrite (the matching
+  * partition VALUES, from the pushed filters), or dynamic partition
+  * overwrite (replace exactly the partitions the job writes). */
+private[sources] sealed trait LakeWriteMode
+private[sources] case object LakeAppend extends LakeWriteMode
+private[sources] case object LakeTruncate extends LakeWriteMode
+private[sources] final case class LakeOverwriteParts(values: Set[String])
+    extends LakeWriteMode
+private[sources] case object LakeOverwriteDynamic extends LakeWriteMode
+
 final class LakeWriteBuilder(table: LakeTable,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-    extends org.apache.spark.sql.connector.write.WriteBuilder {
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  private var mode: LakeWriteMode = LakeAppend
+
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    mode = LakeTruncate
+    this
+  }
+
+  /** Partition-scoped overwrite (Delta's replaceWhere contract,
+    * partition-column form): the filters must resolve to an exact
+    * partition-value set — =/IN on the table's partition column —
+    * so removed files are whole by construction. AlwaysTrue means
+    * full truncate. Anything else rejects loudly at planning. */
+  override def overwrite(filters: Array[Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_.isInstanceOf[AlwaysTrue])) {
+      mode = LakeTruncate
+      return this
+    }
+    val pc = table.partCol.getOrElse(throw new UnsupportedOperationException(
+      "graft-lake INSERT OVERWRITE with a condition needs a " +
+        "partitioned table (partitionBy) — arbitrary replaceWhere " +
+        "predicates are out of scope"))
+    val valueSets: Seq[Set[String]] = filters.toSeq.map {
+      case EqualTo(c, v: String) if c == pc => Set(v)
+      // static INSERT OVERWRITE … PARTITION (p = 'v') arrives as a
+      // null-safe equality on the partition column
+      case EqualNullSafe(c, v: String) if c == pc => Set(v)
+      case In(c, vs) if c == pc && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+      case _: AlwaysTrue => null // conjunct-true: no constraint
+      case other => throw new UnsupportedOperationException(
+        s"graft-lake INSERT OVERWRITE: unsupported condition $other " +
+          s"(= / IN on the partition column $pc)")
+    }.filter(_ != null)
+    require(valueSets.nonEmpty, "graft-lake INSERT OVERWRITE: no " +
+      "partition predicate")
+    mode = LakeOverwriteParts(valueSets.reduce(_ intersect _))
+    this
+  }
+
+  override def overwriteDynamicPartitions()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(table.partCol.isDefined,
+      "graft-lake dynamic partition overwrite needs a partitioned " +
+        "table (partitionBy)")
+    mode = LakeOverwriteDynamic
+    this
+  }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        new LakeBatchWrite(table, info.schema())
+        new LakeBatchWrite(table, info.schema(), mode)
       override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(mode == LakeAppend,
+          "graft-lake streaming writes are append-only")
         new LakeStreamingWrite(table, info.schema(), info.queryId())
+      }
     }
 }
 
@@ -1553,7 +1629,8 @@ final class LakeStreamingWriterFactory(root: String,
       strStatsCol, partCol, physOf, checks)
 }
 
-final class LakeBatchWrite(table: LakeTable, schema: StructType)
+final class LakeBatchWrite(table: LakeTable, schema: StructType,
+    mode: LakeWriteMode = LakeAppend)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   // append schema must match the table byte-for-byte — the files ARE
@@ -1589,20 +1666,23 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val adds = messages.collect { case m: LakeCommitMessage => m }
       .flatMap(_.adds).filter(_.numRows > 0)
-    val lines0 = adds.map(LakeCommitMessage.line).toSeq
-    val lines =
-      if (lines0.isEmpty) lines0
-      else lines0 :+ TxLog.commitInfoLine("APPEND")
-    // an empty append commits NO version — and must run NO checkpoint
-    // maintenance either (ADVICE r12: a checkpoint + pointer for a
-    // never-committed version makes the next real commit's rows
-    // permanently invisible to resolution)
-    if (lines.isEmpty) return
-    // optimistic concurrency (r13): appends are BLIND — they remove
-    // nothing — so a version collision with any other committer is
-    // always safe to retry at the next version (the Delta rule)
-    val next = TxLog.commitVersionWithRetry(
-      s"${table.root}/log", s"${table.root}/ckpt", lines)
+    val addLines = adds.map(LakeCommitMessage.line).toSeq
+    val next: Long = mode match {
+      case LakeAppend =>
+        // an empty append commits NO version — and must run NO
+        // checkpoint maintenance either (ADVICE r12: a checkpoint +
+        // pointer for a never-committed version makes the next real
+        // commit's rows permanently invisible to resolution)
+        if (addLines.isEmpty) return
+        // optimistic concurrency (r13): appends are BLIND — they
+        // remove nothing — so a version collision with any other
+        // committer is always safe to retry at the next version
+        TxLog.commitVersionWithRetry(
+          s"${table.root}/log", s"${table.root}/ckpt",
+          addLines :+ TxLog.commitInfoLine("APPEND"))
+      case other => commitOverwrite(other, adds.toSeq, addLines)
+    }
+    if (next < 0) return // overwrite of nothing with nothing: no-op
     // checkpoint maintenance: compact every `checkpointEvery` commits
     // so resolution stays O(cadence) as history grows (the q217 law)
     val every = math.max(1, table.checkpointEvery).toLong
@@ -1610,6 +1690,73 @@ final class LakeBatchWrite(table: LakeTable, schema: StructType)
       TxLog.writeCheckpoint(
         org.apache.spark.sql.SparkSession.active,
         s"${table.root}/log", s"${table.root}/ckpt", next)
+  }
+
+  /** OVERWRITE commit (r15 — the r14 verdict's #2 ask): ONE version
+    * carrying remove(replaced files) + add(new files) — the same
+    * shape compaction commits daily, so time travel to the
+    * pre-overwrite snapshot and DESCRIBE HISTORY are intact for free.
+    * The remove set is resolved INSIDE the pin-retry loop, so the
+    * overwrite always replaces exactly the live set at its own commit
+    * version (a concurrent append either lands before — and is
+    * replaced — or after — and survives; never half-seen).
+    *
+    * Contracts enforced loudly: partition-scoped overwrite requires
+    * every written file's partition value to satisfy the condition
+    * (Delta's replaceWhere rule) and every candidate live file to
+    * CARRY a partition value (a part-less file may hold rows of any
+    * value — removing or keeping it whole would both be wrong);
+    * dynamic overwrite replaces exactly the partitions written. */
+  private def commitOverwrite(m: LakeWriteMode, adds: Seq[LakeAdd],
+      addLines: Seq[String]): Long = {
+    def abortAdds(msg: String): Nothing = {
+      adds.foreach(a => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(a.path)): Unit)
+      throw new IllegalArgumentException(s"graft-lake OVERWRITE: $msg")
+    }
+    val replaced: Set[String] = m match {
+      case LakeOverwriteParts(vals) =>
+        adds.find(a => !a.part.exists(vals.contains)).foreach(a =>
+          abortAdds(s"written file ${a.path} carries partition " +
+            s"value ${a.part} outside the overwrite condition " +
+            s"$vals — the written data must match the condition"))
+        vals
+      case LakeOverwriteDynamic =>
+        adds.find(_.part.isEmpty).foreach(a =>
+          abortAdds(s"written file ${a.path} carries no partition " +
+            "value — dynamic overwrite needs partitioned writes"))
+        adds.flatMap(_.part).toSet
+      case _ => Set.empty // truncate: everything
+    }
+    var attempts = 0
+    while (attempts < 1000) {
+      val next = TxLog.nextVersion(
+        s"${table.root}/log", s"${table.root}/ckpt")
+      val liveNow = TxLog.resolveLiveLocal(
+        s"${table.root}/log", s"${table.root}/ckpt", -1L)
+      val removes = m match {
+        case LakeTruncate => liveNow
+        case _ =>
+          liveNow.find(_.part.isEmpty).foreach(f =>
+            abortAdds(s"live file ${f.path} carries no partition " +
+              "value — a partition-scoped overwrite cannot replace " +
+              "or keep it whole (compact the table into partitions " +
+              "first)"))
+          liveNow.filter(_.part.exists(replaced.contains))
+      }
+      val lines = removes.map(f =>
+        s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""") ++
+        addLines
+      if (lines.isEmpty) return -1L // nothing removed, nothing added
+      try {
+        TxLog.commitVersion(s"${table.root}/log", next,
+          lines :+ TxLog.commitInfoLine("OVERWRITE"))
+        return next
+      } catch {
+        case _: TxLog.CommitCollisionException => attempts += 1
+      }
+    }
+    abortAdds("could not commit after 1000 collisions")
   }
 
   override def abort(messages: Array[
