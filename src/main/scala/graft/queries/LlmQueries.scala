@@ -9914,6 +9914,68 @@ object LlmQueries {
           CAST((SELECT count(*) FROM documents) AS BIGINT) AS pre_n,
           CAST((SELECT sum(n_chars) FROM documents) AS BIGINT)
             AS pre_sum
-        FROM t GROUP BY lang"""))
+        FROM t GROUP BY lang""")),
+
+    // ---- SCAN STATISTICS → Catalyst (r15 — the r14 verdict's #3
+    // ask): the lake scan reports exact post-pruning row counts and
+    // width-scaled sizes via SupportsReportStatistics, so a small
+    // lake dim table broadcast-joins a big probe frame at PLAN time —
+    // no first-shuffle-then-AQE-rescue. The gate builds a lake dim,
+    // joins the documents probe with AQE OFF, REQUIRES the initial
+    // physical plan to carry a BroadcastHashJoin (in-query plan law),
+    // and the join aggregate must match DuckDB's replay.
+    "q265_lake_report_statistics" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakest_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+          graft.operators.TxLog.metaDataLine(Seq(
+            graft.operators.TxLog.MetaCol("doc_id", "long",
+              nullable = false),
+            graft.operators.TxLog.MetaCol("w", "long",
+              nullable = true))),
+          graft.operators.TxLog.commitInfoLine("CREATE TABLE")))
+        // the dim: one weight row per distinct lang bucket key
+        docs(s, dir).select((col("doc_id") % 64).as("doc_id"))
+          .distinct()
+          .select(col("doc_id"), (col("doc_id") * 7 + 1).as("w"))
+          .coalesce(1)
+          .write.format("graft-lake").option("path", base)
+          .mode("append").save()
+        val dim = s.read.format("graft-lake").option("path", base)
+          .load()
+        val probe = docs(s, dir).select(col("doc_id"),
+          (col("doc_id") % 64).as("k"),
+          col("n_chars").cast("long").as("n_chars"))
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val j = probe.join(dim.select(col("doc_id").as("k"),
+            col("w")), Seq("k"))
+          // the plan law, enforced IN the gate: statistics must make
+          // the lake side broadcast at PLAN time (AQE is off — there
+          // is no rescue)
+          val plan = j.queryExecution.executedPlan.toString
+          require(plan.contains("BroadcastHashJoin"),
+            "lake scan statistics did not produce a plan-time " +
+              "broadcast join:\n" + plan)
+          j.groupBy((col("k") % 8).as("bucket"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("n_chars") * col("w")).as("weighted"))
+        } finally s.conf.unset("spark.sql.adaptive.enabled")
+      },
+      Some("""WITH dim AS (SELECT DISTINCT doc_id % 64 AS k,
+            (doc_id % 64) * 7 + 1 AS w FROM documents)
+        SELECT d.doc_id % 64 % 8 AS bucket,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(d.n_chars * dim.w) AS BIGINT) AS weighted
+        FROM documents d JOIN dim ON d.doc_id % 64 = dim.k
+        GROUP BY 1"""))
   )
 }

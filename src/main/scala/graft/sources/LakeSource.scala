@@ -927,7 +927,39 @@ private[sources] object LakeBounds {
 
 final class LakeScan(table: LakeTable, required: StructType,
     plannedFilters: Array[Filter])
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** REPORT STATISTICS to Catalyst (r15 — the r14 verdict's #3 ask):
+    * the log already knows the exact live row count per add (and the
+    * DV-dead count), so the planner sees real numbers at PLAN time —
+    * a small lake dim table broadcast-joins immediately instead of
+    * paying a first shuffle for AQE to rescue. Estimated POST-pruning
+    * (the same file-survival filters the scan plans with), so a
+    * selective predicate shrinks the estimate exactly as it shrinks
+    * the scan; sizeInBytes scales with the PRUNED column set
+    * (Catalyst's per-type default widths — column pruning makes a
+    * narrow projection broadcastable even over a wide table). A
+    * change-feed scan reports nothing (the live sizes describe live
+    * rows, not change rows). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val known = !table.changeFeed
+      private val rows: Long =
+        if (!known) 0L
+        else prunedLive().map(f => math.max(0L, f.size - f.dvRows)).sum
+      private val width: Long =
+        math.max(8L, required.fields.map(_.dataType.defaultSize
+          .toLong).sum)
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (known) java.util.OptionalLong.of(
+          math.max(1L, rows * width))
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (known) java.util.OptionalLong.of(rows)
+        else java.util.OptionalLong.empty()
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = {
@@ -977,6 +1009,27 @@ final class LakeScan(table: LakeTable, required: StructType,
       return LakeSource.cdfPartitions(table.root, vs,
         required.fieldNames.toSeq.map(table.physName))
     }
+    val bounds = LakeBounds.compile(filters)
+    // column mapping (r13): the reader locates leaves by PHYSICAL
+    // name; bounds/projections arrive logical
+    val rgBounds = required.fieldNames.toSeq
+      .flatMap(n => bounds.get(n).map(table.physName(n) -> _))
+      .filter { case (_, (lo, hi)) =>
+        lo != Long.MinValue || hi != Long.MaxValue
+      }
+    val physCols = required.fieldNames.toSeq.map(table.physName)
+    prunedLive()
+      .map { f =>
+        LakePartition(f.path, physCols, rgBounds,
+          dvPath = f.dvPath): InputPartition
+      }.toArray
+  }
+
+  /** The file-survival filter shared by partition planning and
+    * statistics reporting (r15): every pushed predicate tested
+    * against the log's key window, string windows, partition value
+    * and per-column cstats. */
+  private def prunedLive(): Seq[TxLog.LiveFile] = {
     val bounds = LakeBounds.compile(filters)
     val (klo, khi) = bounds.getOrElse(table.statsCol,
       (Long.MinValue, Long.MaxValue))
@@ -1121,20 +1174,8 @@ final class LakeScan(table: LakeTable, required: StructType,
           case _ => true
         }
       }
-    // column mapping (r13): the reader locates leaves by PHYSICAL
-    // name; bounds/projections arrive logical
-    val rgBounds = required.fieldNames.toSeq
-      .flatMap(n => bounds.get(n).map(table.physName(n) -> _))
-      .filter { case (_, (lo, hi)) =>
-        lo != Long.MinValue || hi != Long.MaxValue
-      }
-    val physCols = required.fieldNames.toSeq.map(table.physName)
     table.live
       .filter(f => keySurvives(f) && strSurvives(f) && cstatSurvives(f))
-      .map { f =>
-        LakePartition(f.path, physCols, rgBounds,
-          dvPath = f.dvPath): InputPartition
-      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

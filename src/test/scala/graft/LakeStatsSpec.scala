@@ -82,6 +82,43 @@ class LakeStatsSpec extends SparkSpec {
     lake(base).count() shouldBe 800L
   }
 
+  test("r15 SupportsReportStatistics: the planner sees exact row " +
+      "counts, a small lake table broadcast-joins at PLAN time (AQE " +
+      "off), and pruning shrinks the estimate") {
+    val base = build(8)
+    import org.apache.spark.sql.functions.{col, lit}
+    // the optimizer's view: logical stats come from the scan
+    def planStats(df: DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = planStats(lake(base))
+    val pruned = planStats(lake(base).where(col("v") < 100L))
+    assert(full > pruned,
+      s"pruning must shrink the estimate (full=$full pruned=$pruned)")
+    val narrow = planStats(lake(base).select(col("doc_id")))
+    assert(narrow < full, "column pruning must shrink the estimate")
+    // exact row count reaches the planner
+    lake(base).queryExecution.optimizedPlan.stats.rowCount
+      .foreach(_.toLong shouldBe 800L)
+    // plan-time broadcast WITHOUT AQE: a big probe frame joins the
+    // small lake dim -> BroadcastHashJoin in the initial plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = spark.range(0, 200000)
+        .select((col("id") % 800L).as("doc_id"), col("id").as("x"))
+      val j = probe.join(lake(base).select(col("doc_id"), col("v")),
+        Seq("doc_id"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected a plan-time broadcast join, got:\n$plan")
+      j.agg(org.apache.spark.sql.functions.sum(col("v"))).head()
+        .getLong(0) shouldBe
+        (0L until 800L).map(i => i * 10L * 250L).sum
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    // a change-feed scan reports NOTHING (live sizes describe live
+    // rows, not change rows): statistics must stay unknown-safe
+    // (cdfFrom batch reads still work; covered by q245)
+  }
+
   test("all-null column: window-absent stat prunes comparisons; " +
       "stats survive the CHECKPOINT fold") {
     val base = java.nio.file.Files
