@@ -1566,6 +1566,90 @@ object LakeMaintenance {
     } finally ds.unpersist(false): Unit
   }
 
+  final case class RestoreResult(restoredVersion: Long, removed: Int,
+      readded: Int, version: Long)
+
+  /** RESTORE TABLE (r15 — Delta's `RESTORE TABLE t TO VERSION AS OF
+    * n`, the r14 verdict's #4 ask): re-commit version `target`'s live
+    * set as the NEW HEAD — one commit of remove(current \ target) +
+    * re-add(target's files, stats and deletion vectors carried,
+    * dataChange=true so a streaming tail sees the restored rows) +
+    * the target's metaData action when the schema evolved since (a
+    * restore undoes ADD/RENAME/DROP COLUMN too, Delta's rule). Time
+    * travel across the restore stays intact — history only ever
+    * grows. Fails loudly when the target is behind the log-expiry
+    * horizon (the resolvers refuse) or when vacuum has reclaimed any
+    * needed file (Delta's missing-file rule) — never a partial
+    * restore. Pure metadata otherwise: zero data files touched.
+    * Exactly one of `version` / `timestampMs` must be given. */
+  def restore(spark: SparkSession, root: String, version: Long = -1L,
+      timestampMs: Long = -1L): RestoreResult = {
+    TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
+    require((version >= 0) != (timestampMs >= 0),
+      "restore takes exactly one of version / timestamp")
+    val target =
+      if (version >= 0) version
+      else TxLog.versionAtTime(s"$root/log", timestampMs).getOrElse(
+        throw new IllegalArgumentException(
+          s"restore: no commit at or before timestamp $timestampMs"))
+    val head = TxLog.nextVersion(s"$root/log", s"$root/ckpt") - 1
+    require(target <= head,
+      s"restore: version $target is ahead of the head $head")
+    if (target == head) return RestoreResult(target, 0, 0, -1L)
+    val want = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt",
+      target)
+    (want.map(_.path) ++ want.flatMap(_.dvPath)).foreach { p =>
+      require(new java.io.File(p).isFile,
+        s"restore to version $target needs $p, which vacuum has " +
+          "reclaimed — the snapshot is no longer restorable")
+    }
+    val cur = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+    val curBy = cur.map(f => f.path -> f).toMap
+    val wantBy = want.map(f => f.path -> f).toMap
+    val removes = cur.filterNot(f => wantBy.contains(f.path))
+    // re-add files not currently live, or live with a DIFFERENT state
+    // (a later deletion vector must roll back too)
+    val readds = want.filter(f => curBy.get(f.path) match {
+      case None => true
+      case Some(c) => c.dvPath != f.dvPath || c.dvRows != f.dvRows ||
+        c.size != f.size
+    })
+    // schema rollback: the restored snapshot's metaData wins again; a
+    // target that PREDATES any metaData action (the pre-evolution
+    // contract: the files are the schema authority) gets one derived
+    // from its files' footers, so a later ADD/RENAME/DROP COLUMN
+    // rolls back too
+    val metaLine: Option[String] = {
+      val was = TxLog.latestMetaDataFast(s"$root/log", s"$root/ckpt",
+        target)
+      val now = TxLog.latestMetaDataFast(s"$root/log", s"$root/ckpt",
+        -1L)
+      if (was == now) None
+      else was.orElse {
+        want.headOption.map { f =>
+          ParquetFile.parseFooterMeta(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(f.path))).leaves
+            .map(graft.sources.LakeSource.fieldOf)
+            .map(fd => TxLog.MetaCol(fd.name,
+              graft.sources.LakeSource.nameOf(fd.dataType),
+              fd.nullable))
+        }
+      }.map(TxLog.metaDataLine)
+    }
+    if (removes.isEmpty && readds.isEmpty && metaLine.isEmpty)
+      return RestoreResult(target, 0, 0, -1L)
+    val lines =
+      removes.map(f =>
+        s"""{"remove":{"path":"${TxLog.requireJsonSafe(f.path)}"}}""") ++
+      readds.map(f => TxLog.renderAdd(f, f.dvPath, f.dvRows,
+        Some(true))) ++
+      metaLine.toSeq :+
+      TxLog.commitInfoLine("RESTORE")
+    val v = commitMaintenance(root, removes.map(_.path).toSeq,
+      lines.toSeq, Seq.empty)
+    RestoreResult(target, removes.size, readds.size, v)
+  }
+
   final case class ExpireResult(deletedVersions: Int, horizon: Long)
 
   /** LOG EXPIRY (r13 — Delta's log retention; before this the commit

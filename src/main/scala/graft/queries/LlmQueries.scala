@@ -9976,6 +9976,65 @@ object LlmQueries {
           CAST(count(*) AS BIGINT) AS n,
           CAST(sum(d.n_chars * dim.w) AS BIGINT) AS weighted
         FROM documents d JOIN dim ON d.doc_id % 64 = dim.k
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- RESTORE TABLE (r15 — the r14 verdict's #4 ask: Delta's
+    // version rollback). The gate mutates a table through insert →
+    // UPDATE → DELETE → OPTIMIZE, CALLs graft.system.restore back to
+    // the pre-mutation version, and proves (a) the restored head
+    // reads bit-identically to VERSION AS OF n (compared IN the gate
+    // via a relational anti-join that must be empty), (b) DESCRIBE
+    // HISTORY stamps the RESTORE, (c) the pre-restore head is still
+    // time-travelable — history only grows. The final aggregate is
+    // the restored (= original) table, replayed by DuckDB.
+    "q266_lake_restore" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw266_" +
+          s.sparkContext.applicationId
+        sqlLakeReset(s, "graft_c266", base)
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .createOrReplaceTempView("q266_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c266.db"): Unit
+        s.sql("""CREATE TABLE graft_c266.db.r (
+          doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
+          USING `graft-lake`"""): Unit
+        s.sql("INSERT INTO graft_c266.db.r " +
+          "SELECT doc_id, n_chars, lang FROM q266_src"): Unit // v1
+        s.sql("UPDATE graft_c266.db.r SET n_chars = n_chars * 10 " +
+          "WHERE doc_id % 4 = 0"): Unit // v2
+        s.sql("DELETE FROM graft_c266.db.r " +
+          "WHERE n_chars < 150"): Unit // v3
+        s.sql("CALL graft_c266.system.optimize(table => 'db.r', " +
+          "target_rows => 1000000)"): Unit // v4 (or no-op)
+        val preRestoreHead = s.sql(
+          "SELECT count(*) FROM graft_c266.db.r").head().getLong(0)
+        s.sql("CALL graft_c266.system.restore(table => 'db.r', " +
+          "version => 1)"): Unit
+        // law (a): restored head ≡ VERSION AS OF 1, row-exact
+        val diff = s.sql("""SELECT * FROM graft_c266.db.r
+            EXCEPT ALL
+            SELECT * FROM graft_c266.db.r VERSION AS OF 1
+          UNION ALL
+            SELECT * FROM graft_c266.db.r VERSION AS OF 1
+            EXCEPT ALL SELECT * FROM graft_c266.db.r""").count()
+        require(diff == 0L,
+          s"restored head differs from VERSION AS OF 1 by $diff rows")
+        // law (b): the history stamps the restore
+        val nRestore = s.sql("CALL graft_c266.system.describe_history(" +
+            "table => 'db.r')")
+          .where(col("op") === "RESTORE").count()
+        require(nRestore == 1L, "history must stamp RESTORE")
+        // law (c): the pre-restore head still time-travels
+        val stillThere = s.sql("""SELECT count(*) FROM
+          graft_c266.db.r VERSION AS OF 3""").head().getLong(0)
+        require(stillThere == preRestoreHead,
+          "pre-restore snapshot must stay readable")
+        s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+          FROM graft_c266.db.r GROUP BY lang""")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang"""))
   )
 }

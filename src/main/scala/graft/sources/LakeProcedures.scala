@@ -142,6 +142,22 @@ private[sources] object LakeProcedure {
         out("version" -> LongType),
         in => Seq(row(LakeSource.dropConstraint(root(in),
           in.getUTF8String(1).toString)))),
+      "restore" -> new LakeProcedure("restore",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LongType)
+            .defaultValue("NULL").build(),
+          ProcedureParameter.in("timestamp", LongType)
+            .defaultValue("NULL").build()),
+        out("restored_version" -> LongType, "removed" -> LongType,
+          "readded" -> LongType, "version" -> LongType),
+        in => {
+          val r = graft.operators.LakeMaintenance.restore(spark,
+            root(in),
+            version = if (in.isNullAt(1)) -1L else in.getLong(1),
+            timestampMs = if (in.isNullAt(2)) -1L else in.getLong(2))
+          Seq(row(r.restoredVersion, r.removed.toLong,
+            r.readded.toLong, r.version))
+        }),
       "upgrade_protocol" -> new LakeProcedure("upgrade_protocol",
         Seq(ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("min_reader", LongType).build(),

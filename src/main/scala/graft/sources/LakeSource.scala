@@ -118,7 +118,7 @@ object LakeSource {
     * (r12 — the own-writer surface); anything else rejects at
     * planning time. A list leaf's path is `name.list.element`; the
     * Spark field takes the OUTER group's name. */
-  private[sources] def fieldOf(lf: ParquetFile.Leaf): StructField = {
+  private[graft] def fieldOf(lf: ParquetFile.Leaf): StructField = {
     def prim(p: Int): DataType = p match {
       case 1 => IntegerType
       case 2 => LongType
@@ -427,7 +427,7 @@ object LakeSource {
         .bindReference(e, plan.children.head.output))
     }
 
-  private[sources] def nameOf(t: DataType): String = t match {
+  private[graft] def nameOf(t: DataType): String = t match {
     case LongType => "long"
     case IntegerType => "int"
     case StringType => "string"

@@ -119,6 +119,52 @@ class LakeMaintenanceSpec extends SparkSpec {
     lake(base).where(col("doc_id") === 51L).count() shouldBe 0L
   }
 
+  test("r15 RESTORE: rolls data, deletion vectors AND schema back to " +
+      "the target snapshot as one metadata commit; history grows; " +
+      "vacuum-reclaimed snapshots refuse") {
+    val base = buildLittered(4) // v0: 4 x 100 rows
+    val before = asSet(lake(base))
+    // v1: compact; v2: small DV delete; v3: big delete rewrite
+    LakeMaintenance.compact(spark, base, targetRows = 200): Unit
+    LakeMaintenance.merge(spark, base, Seq.empty, "doc_id",
+      deletes = Seq(7L)): Unit // v2: deletion vector
+    LakeMaintenance.merge(spark, base, Seq.empty, "doc_id",
+      deletes = (100L until 180L).toSeq): Unit // v3: rewrite
+    // v4: schema evolution after the target
+    graft.sources.LakeSource.addColumn(base, "extra", "long"): Unit
+    asSet(lake(base).select(col("doc_id"), col("v"), col("s")))
+      .size shouldBe 319
+    // restore to v1 (post-compaction, pre-deletes, pre-evolution)
+    val r = LakeMaintenance.restore(spark, base, version = 1L)
+    r.restoredVersion shouldBe 1L
+    r.version shouldBe 5L
+    // data AND schema are back
+    lake(base).schema.fieldNames.toSeq shouldBe Seq("doc_id", "v", "s")
+    asSet(lake(base)) shouldBe before
+    // the DV rolled back too: key 7 lives again
+    lake(base).where(col("doc_id") === 7L).count() shouldBe 1L
+    // history only grew: the pre-restore snapshot still reads
+    TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", 3L)
+      .nonEmpty shouldBe true
+    TxLog.historyLocal(s"$base/log")
+      .count(_._2.contains("RESTORE")) shouldBe 1
+    // restore to the head: no-op, no commit
+    LakeMaintenance.restore(spark, base, version = 5L)
+      .version shouldBe -1L
+    // a vacuumed snapshot refuses: drop version-0's files, then ask
+    // for version 0
+    LakeMaintenance.vacuum(base, retainVersions = 2,
+      graceMs = 0L): Unit
+    val e = intercept[IllegalArgumentException] {
+      LakeMaintenance.restore(spark, base, version = 0L)
+    }
+    e.getMessage should include("no longer restorable")
+    // exactly one of version/timestamp
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.restore(spark, base)
+    }
+  }
+
   test("files at or above the target are left alone; a lone small " +
       "file never rewrites by itself") {
     val base = buildLittered(3)
