@@ -127,19 +127,36 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     LakeCatalog.readProps(root)
 
   private def loadAt(ident: Identifier, asOf: Long,
-      asOfTs: Long): Table = {
+      asOfTs: Long, changeFeed: Boolean = false): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val root = rootOf(ident)
     val opts = new java.util.HashMap[String, String]()
     opts.put("path", root): Unit
     if (asOf >= 0) opts.put("asOf", asOf.toString): Unit
     if (asOfTs >= 0) opts.put("asOfTs", asOfTs.toString): Unit
+    if (changeFeed) opts.put("changeFeed", "true"): Unit
     readProps(root).foreach { case (k, v) => opts.put(k, v): Unit }
     LakeSource.tableOf(new CaseInsensitiveStringMap(opts))
   }
 
-  override def loadTable(ident: Identifier): Table =
+  /** The CHANGE-FEED face by NAME (r15 — the Iceberg metadata-table
+    * pattern: `db.t.changes` is the table's row-level change feed,
+    * schema + `_change_type`). The changeFeed flag must ride TABLE
+    * resolution (it widens the schema — a scan option is too late),
+    * so `<cat>.db.t.changes` resolves as Identifier([db, t],
+    * "changes"); batch reads compose with `cdfFrom`/`cdfTo` and
+    * streams with `startingVersion`/`startingTimestamp` through the
+    * scan options. A REAL table named `changes` always wins. */
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident) && ident.name() == "changes" &&
+        ident.namespace().length >= 2) {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      if (tableExists(parent))
+        return loadAt(parent, -1L, -1L, changeFeed = true)
+    }
     loadAt(ident, -1L, -1L)
+  }
 
   /** `VERSION AS OF n` (Spark's SQL time travel entry point). */
   override def loadTable(ident: Identifier, version: String): Table = {

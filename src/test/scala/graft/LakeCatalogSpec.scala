@@ -359,6 +359,48 @@ class LakeCatalogSpec extends SparkSpec {
       .shouldBe(402L)
   }
 
+  test("r15 catalog-name streaming: readStream.table with " +
+      "startingVersion and changeFeed options, writeStream.toTable") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_t.stream"): Unit
+    sql("""CREATE TABLE graft_t.stream.src (
+      doc_id BIGINT NOT NULL, v BIGINT) USING `graft-lake`"""): Unit
+    sql("""CREATE TABLE graft_t.stream.dst (
+      doc_id BIGINT NOT NULL, v BIGINT) USING `graft-lake`"""): Unit
+    sql("INSERT INTO graft_t.stream.src VALUES (1, 10), (2, 20)"): Unit
+    sql("INSERT INTO graft_t.stream.src VALUES (3, 30)"): Unit
+    sql("DELETE FROM graft_t.stream.src WHERE doc_id = 1"): Unit
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft_cat_ck").toFile.getAbsolutePath
+    // by-name source with startingVersion: v1 skipped, v2 emitted;
+    // by-name sink: toTable appends through the epoch-fenced writer
+    val q = spark.readStream.option("startingVersion", 2)
+      .table("graft_t.stream.src")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$ck/a")
+      .toTable("graft_t.stream.dst")
+    q.awaitTermination()
+    sql("SELECT doc_id FROM graft_t.stream.dst").collect()
+      .map(_.getLong(0)).toSet shouldBe Set(3L)
+    // changeFeed by name — the Iceberg metadata-table pattern
+    // (`db.t.changes`): the delete's pre-image arrives as a change
+    // row with _change_type
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q2 = spark.readStream
+      .option("startingVersion", 3)
+      .table("graft_t.stream.src.changes")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$ck/b")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("doc_id", "_change_type").collect()
+          .foreach(r => got += ((r.getLong(0), r.getString(1))))
+      }
+      .start()
+    q2.awaitTermination()
+    got.toSet shouldBe Set((1L, "delete"))
+  }
+
   test("catalog <-> path equivalence, CTAS, DROP TABLE, and " +
       "create-type rejection") {
     sql("""CREATE TABLE graft_t.db.eq (doc_id BIGINT NOT NULL, s STRING)
