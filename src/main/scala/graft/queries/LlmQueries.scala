@@ -9899,10 +9899,18 @@ object LlmQueries {
           sum(n_chars) AS sum_chars FROM graft_c264.db.t
           GROUP BY lang""")
         // time travel across BOTH overwrites: v1 is the raw insert
-        val v1 = s.sql("""SELECT count(*) AS n0, sum(n_chars) AS s0
-          FROM graft_c264.db.t VERSION AS OF 1""").head()
+        // (an EMPTY source commits no v1 — time travel then resolves
+        // v0's empty live set; null-safe reads keep the empty-input
+        // law)
+        val maxV = graft.operators.TxLog
+          .commitVersions(s"$base/db/t/log").max
+        val v1 = s.sql(s"""SELECT count(*) AS n0, sum(n_chars) AS s0
+          FROM graft_c264.db.t VERSION AS OF ${math.min(1L, maxV)}""")
+          .head()
         headAgg.withColumn("pre_n", lit(v1.getLong(0)))
-          .withColumn("pre_sum", lit(v1.getLong(1)))
+          .withColumn("pre_sum",
+            if (v1.isNullAt(1)) lit(null).cast("long")
+            else lit(v1.getLong(1)))
       },
       Some("""WITH t AS (SELECT doc_id,
             CAST(CASE WHEN lang = 'de' THEN n_chars // 2
@@ -10090,6 +10098,74 @@ object LlmQueries {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents WHERE doc_id % 3 IN (1, 2)
-        GROUP BY lang"""))
+        GROUP BY lang""")),
+
+    // ---- DELETION-VECTOR UPDATE (r15 — the r14 verdict's #6 ask:
+    // small updates still rewrote whole files). A 1-row SQL UPDATE of
+    // a large file now expresses as DV + re-insert — the gate PROVES
+    // no-rewrite relationally (the original data file must still be
+    // live, with exactly one dead ordinal, plus one 1-row add) and
+    // the final aggregate + the COUNT(*) pushdown (which must
+    // subtract the DV) replay in DuckDB.
+    "q268_lake_dv_update" -> Query(
+      (s, dir) => {
+        import s.implicits._
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakedvu_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        new java.io.File(s"$base/data").mkdirs()
+        graft.operators.TxLog.commitVersion(s"$base/log", 0L, Seq(
+          graft.operators.TxLog.metaDataLine(Seq(
+            graft.operators.TxLog.MetaCol("doc_id", "long",
+              nullable = false),
+            graft.operators.TxLog.MetaCol("n_chars", "long",
+              nullable = true),
+            graft.operators.TxLog.MetaCol("lang", "string",
+              nullable = true))),
+          graft.operators.TxLog.commitInfoLine("CREATE TABLE")))
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .coalesce(1)
+          .write.format("graft-lake").option("path", base)
+          .mode("append").save()
+        val liveBefore = graft.operators.TxLog
+          .resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+          .map(_.path).toSet
+        // the 1-row update, through the merge machinery
+        graft.operators.LakeMaintenance.merge(s, base,
+          Seq((42L, Array[Any](java.lang.Long.valueOf(42L),
+            java.lang.Long.valueOf(123456L), "zz"))),
+          "doc_id", insertUnmatched = false): Unit
+        val after = graft.operators.TxLog
+          .resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+        // the no-rewrite law, enforced IN the gate
+        require(liveBefore.subsetOf(after.map(_.path).toSet),
+          "a 1-row UPDATE must not rewrite the large file")
+        require(after.exists(f => liveBefore(f.path) &&
+            f.dvRows == 1L),
+          "the original file must carry a 1-ordinal deletion vector")
+        require(after.exists(f => !liveBefore(f.path) && f.size == 1L),
+          "the updated row must re-insert as one small add")
+        val t = s.read.format("graft-lake").option("path", base).load()
+        val total = t.agg(count(lit(1)).as("n")).as[Long].head()
+        t.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("total", lit(total))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            CASE WHEN doc_id = 42 THEN 123456
+              ELSE n_chars END AS n_chars,
+            CASE WHEN doc_id = 42 THEN 'zz' ELSE lang END AS lang
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST((SELECT count(*) FROM t) AS BIGINT) AS total
+        FROM t GROUP BY lang"""))
   )
 }

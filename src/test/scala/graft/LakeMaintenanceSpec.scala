@@ -247,9 +247,15 @@ class LakeMaintenanceSpec extends SparkSpec {
     r.inserted shouldBe 1L
     r.version shouldBe 1L
     val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
-    live.size shouldBe 5 // 2 rewritten + 2 untouched + 1 insert file
-    // untouched files keep their ORIGINAL paths (never rewritten)
-    live.count(_.path.contains("/part-")) shouldBe 2
+    // r15 DV-update: a 1-row update of a 100-row file is merge-on-
+    // read — the old file stays (1 dead ordinal) and the updated row
+    // re-inserts as a small add: 2 DV'd originals + 2 update adds +
+    // 2 untouched + 1 insert file
+    live.size shouldBe 7
+    // NO data file was rewritten: all four originals keep their paths
+    live.count(_.path.contains("/part-")) shouldBe 4
+    live.filter(_.path.contains("/part-"))
+      .count(_.dvRows == 1L) shouldBe 2
     val df = lake(base)
     df.count() shouldBe 401L
     val got = asSet(df)
@@ -570,9 +576,13 @@ class LakeMaintenanceSpec extends SparkSpec {
     r.deleted shouldBe dels.size.toLong
     r.rewritten shouldBe 4 // every file intersects the key span
     val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
-    // file 1 died entirely: 3 rewritten survivors, NO empty file
-    live.size shouldBe 3
+    // file 1 died entirely (remove-only tombstone, NO empty file);
+    // file 0's small update+delete touch is merge-on-read (r15 DV
+    // update: original kept + 1-row re-insert); files 2/3 carry
+    // delete-only DVs
+    live.size shouldBe 4
     live.foreach(f => f.size should be > 0L)
+    live.find(_.path.contains("part-0")).get.dvRows shouldBe 5L
     val got = asSet(lake(base))
     got.size shouldBe 400 - dels.size
     got should contain ((5L, Some(777L), "upd"))
@@ -652,8 +662,12 @@ class LakeMaintenanceSpec extends SparkSpec {
     r.deleted shouldBe dels.size.toLong
     r.rewritten shouldBe 3 // files 0, 1, 3 intersect the key span
     val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
-    // file 3 died entirely (tombstone), file 2 untouched
-    live.count(_.path.contains("/part-")) shouldBe 1
+    // file 3 died entirely (tombstone); file 2 untouched; files 0/1
+    // took small update+delete touches → merge-on-read (r15 DV
+    // update), originals kept with 2 dead ordinals each
+    live.count(_.path.contains("/part-")) shouldBe 3
+    live.filter(f => f.path.contains("part-0") ||
+      f.path.contains("part-1")).map(_.dvRows) shouldBe Seq(2L, 2L)
     val got = key(lakeFp())
     got.size shouldBe 200 - dels.size + 1
     got should contain ((5L, Some(2.5),
