@@ -30,4 +30,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
+
+  /** Optional untimed fixture preparation per query (r15 — see
+    * [[graft.queries.Query.prepare]]); Bench runs these outside the
+    * timed region so a gate measures its operator, not its harness. */
+  def prepare: Map[String, (SparkSession, String) => Unit] =
+    registry.collect { case (k, q) if q.prepare.isDefined =>
+      k -> q.prepare.get
+    }
 }

@@ -443,6 +443,67 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** q234's fixture TEMPLATE (r15 — VERDICT r14 #8: at sf5 the gate's
+    * record measured its own 9.8k single-file own-writer build, not
+    * the merge; its isolated number was WORSE than in-sweep because
+    * the sweep had warmed the page cache). The 1-file-per-256-ids
+    * layout builds ONCE per (session, dir) into a shared immutable
+    * template; each gate run commits a fresh per-run log whose v0
+    * references the template's data files — the timed region holds
+    * the MERGE. Returns v0's add lines. Bench calls this untimed via
+    * the query's `prepare` hook; Verify and ad-hoc runs hit the same
+    * memoization on first use. */
+  private val lakemdLock = new Object
+  private def lakemdTemplate(s: SparkSession, dir: String): Seq[String] =
+    lakemdLock.synchronized {
+      import s.implicits._
+      val tpl = s"${System.getProperty("java.io.tmpdir")}/graft_lakemd_tpl_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val marker = new java.io.File(s"$tpl/lines.txt")
+      if (!marker.isFile) {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).toSeq.flatten.foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(tpl))
+        new java.io.File(s"$tpl/data").mkdirs(): Unit
+        val lines = docs(s, dir)
+          .select((col("doc_id") / 256).cast("long").as("g"),
+            col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("lang"))
+          .as[(Long, Long, Long, String)]
+          .groupByKey(_._1)
+          .mapGroups { (g, it) =>
+            val rows = it.toArray.sortBy(_._2)
+            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
+              graft.operators.ParquetWrite.LongCol("doc_id",
+                rows.map(_._2)),
+              graft.operators.ParquetWrite.OptLongCol("n_chars",
+                rows.map(r => if (r._2 % 9 == 0) null
+                  else java.lang.Long.valueOf(r._3))),
+              graft.operators.ParquetWrite.StrCol("lang",
+                rows.map(_._4))))
+            val p = s"$tpl/data/part-$g.parquet"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(p), bytes): Unit
+            val st = graft.operators.ParquetFile.parse(g, bytes)
+              .filter(r => r.valid && r.col_path == "doc_id" &&
+                r.has_stats)
+            (g, s"""{"add":{"path":"$p","size":${rows.length}""" +
+              s""","min_key":${st.map(_.min_long).min}""" +
+              s""","max_key":${st.map(_.max_long).max}}}""")
+          }
+          .collect().sortBy(_._1).map(_._2).toSeq
+        java.nio.file.Files.write(marker.toPath,
+          lines.mkString("\n").getBytes("UTF-8")): Unit
+      }
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(marker.toPath)).asScala
+        .toSeq.filter(_.nonEmpty)
+    }
+
   /** Register a LakeCatalog under `name` rooted at `base` and wipe the
     * warehouse (the SQL-surface gates bootstrap per run; the catalog
     * instance is cached per session, so `base` must be stable within
@@ -8191,52 +8252,22 @@ object LlmQueries {
     "q234_lake_merge_delete" -> Query(
       (s, dir) => {
         import s.implicits._
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakemd_" +
-          s.sparkContext.applicationId + "_" +
-          java.lang.Integer.toHexString(dir.hashCode)
-        def del(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(del)
-          f.delete(): Unit
-        }
-        del(new java.io.File(base))
-        new java.io.File(s"$base/data").mkdirs()
-        val adds = docs(s, dir)
-          .select((col("doc_id") / 256).cast("long").as("g"),
-            col("doc_id"), col("n_chars").cast("long").as("n_chars"),
-            col("lang"))
-          .as[(Long, Long, Long, String)]
-          .groupByKey(_._1)
-          .mapGroups { (g, it) =>
-            val rows = it.toArray.sortBy(_._2)
-            val bytes = graft.operators.ParquetWrite.writeFile(Seq(
-              graft.operators.ParquetWrite.LongCol("doc_id",
-                rows.map(_._2)),
-              graft.operators.ParquetWrite.OptLongCol("n_chars",
-                rows.map(r => if (r._2 % 9 == 0) null
-                  else java.lang.Long.valueOf(r._3))),
-              graft.operators.ParquetWrite.StrCol("lang",
-                rows.map(_._4))))
-            val p = s"$base/data/part-$g.parquet"
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(p), bytes): Unit
-            val st = graft.operators.ParquetFile.parse(g, bytes)
-              .filter(r => r.valid && r.col_path == "doc_id" &&
-                r.has_stats)
-            (p, st.map(_.min_long).min, st.map(_.max_long).max,
-              rows.length.toLong)
-          }
-          .toDF("path", "min_key", "max_key", "size")
-        if (adds.isEmpty)
+        val lines = lakemdTemplate(s, dir)
+        if (lines.isEmpty)
           Seq.empty[(String, Long, Long)].toDF("lang", "n", "sum_chars")
             .groupBy(col("lang"))
             .agg(count(lit(1)).as("n"),
               sum(col("sum_chars")).as("sum_chars"))
         else {
-          adds.select(lit(0L).as("version"), to_json(struct(
-              struct(col("path"), col("min_key"), col("max_key"),
-                col("size")).as("add"))).as("value"))
-            .coalesce(1)
-            .write.partitionBy("version").text(s"$base/log")
+          // per-RUN table: a fresh log whose v0 references the shared
+          // immutable template files; the merge commits its rewrites
+          // under this run's own data dir, so runs never interfere
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakemd_" +
+            s.sparkContext.applicationId + "_" +
+            java.lang.Integer.toHexString(dir.hashCode) + "_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          new java.io.File(s"$base/data").mkdirs()
+          graft.operators.TxLog.commitVersion(s"$base/log", 0L, lines)
           // bounded CDC changeset (the documented broadcast contract)
           val dels = docs(s, dir)
             .where(col("doc_id") < 256 || col("doc_id") % 7 === 3)
@@ -8274,7 +8305,8 @@ object LlmQueries {
             FROM mx, LATERAL (SELECT unnest(range(50)) AS i) ii)
         SELECT lang, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(nc) AS BIGINT) AS sum_chars
-        FROM d GROUP BY lang""")),
+        FROM d GROUP BY lang"""),
+      prepare = Some((s, d) => { lakemdTemplate(s, d): Unit })),
 
     // ---- Lakehouse VACUUM (r11 — compaction's companion: removes
     // leave tombstoned files ON DISK for time travel; VACUUM reclaims

@@ -17,7 +17,16 @@ import org.apache.spark.sql.types.DecimalType
   *    plan and the SQL (the driver compares columns by name).
   */
 final case class Query(build: (SparkSession, String) => DataFrame,
-                       oracle: Option[String])
+                       oracle: Option[String],
+                       /** Optional UNTIMED fixture preparation (r15 —
+                         * VERDICT r14 #8: q234's sf5 number measured
+                         * its own 9.8k-file fixture build, not the
+                         * merge). Bench runs this outside the timed
+                         * region; `build` stays self-sufficient — it
+                         * calls the same memoized builder, so Verify
+                         * and ad-hoc runs need nothing special. */
+                       prepare: Option[(SparkSession, String) => Unit] =
+                         None)
 
 object Q {
   /** Exact engine-independent sum of a double column (via decimal).
