@@ -10089,9 +10089,11 @@ object LlmQueries {
     // arrive — offsets survive). The oracle replays the v2+v3 slice.
     "q267_lake_stream_by_name" -> Query(
       (s, dir) => {
+        // appId-stable base, NO dir hash (the catalog instance is
+        // CACHED per session with its first warehouse — a dir-varying
+        // base desyncs the cached catalog from the wiped directory)
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw267_" +
-          s.sparkContext.applicationId + "_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+          s.sparkContext.applicationId
         sqlLakeReset(s, "graft_c267", base)
         docs(s, dir).select(col("doc_id"),
             col("n_chars").cast("long").as("n_chars"), col("lang"))
