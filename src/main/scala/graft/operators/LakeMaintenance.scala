@@ -983,6 +983,72 @@ object LakeMaintenance {
   final case class MergeResult(rewritten: Int, matched: Long,
       inserted: Long, version: Long, deleted: Long = 0L)
 
+  /** One rewritten candidate's metadata in renderer shape (r15 — the
+    * broadcast and distributed merges must emit BIT-IDENTICAL commit
+    * lines; one renderer, two callers). */
+  private final case class RewriteMeta(mode: Int, oldPath: String,
+      newPath: String, rows: Long, minKey: Long, maxKey: Long,
+      fileMatched: Long, cdcPath: String, cdcRows: Long,
+      cstatsJson: String, dvPath: String, dvDead: Long)
+
+  /** The ONE merge-commit renderer (r15 review: the line building was
+    * a hand-mirrored copy in both paths — the digest-identity law
+    * depends on them never diverging): removes for modes 0/1, mode-1
+    * rewrite adds (delete-only rewrites preserve the source partition
+    * value; an update may have CHANGED it → no part), mode-2 DV
+    * re-adds, mode-4 DV re-add + small update add, insert adds, then
+    * every CDC sidecar. Returns (lines, writtenPaths). */
+  private def mergeCommitLines(metas: Seq[RewriteMeta],
+      inserts: Seq[(String, Long, Long, Long, String, String)],
+      liveByPath: Map[String, TxLog.LiveFile],
+      stampKey: Boolean): (Seq[String], Seq[String]) = {
+    val lines =
+      metas.filter(m => m.mode == 0 || m.mode == 1).map(m =>
+        s"""{"remove":{"path":"${TxLog.requireJsonSafe(m.oldPath)}"}}""") ++
+      metas.filter(_.mode == 1).map { m =>
+        val kw = if (stampKey)
+          s""","min_key":${m.minKey},"max_key":${m.maxKey}""" else ""
+        val pv =
+          if (m.fileMatched == 0L)
+            liveByPath(m.oldPath).part.flatMap(TxLog.jsonSafe)
+              .map(v => s""","part":"$v"""").getOrElse("")
+          else ""
+        s"""{"add":{"path":"${TxLog.requireJsonSafe(m.newPath)}","size":${m.rows}""" +
+          s"""$kw$pv${m.cstatsJson}}}"""
+      } ++
+      metas.filter(_.mode == 2).map(m =>
+        TxLog.renderAdd(liveByPath(m.oldPath), Some(m.dvPath),
+          m.dvDead, Some(false))) ++
+      metas.filter(_.mode == 4).map(m =>
+        TxLog.renderAdd(liveByPath(m.oldPath), Some(m.dvPath),
+          m.dvDead, Some(false))) ++
+      metas.filter(_.mode == 4).map { m =>
+        val kw = if (stampKey)
+          s""","min_key":${m.minKey},"max_key":${m.maxKey}""" else ""
+        s"""{"add":{"path":"${TxLog.requireJsonSafe(m.newPath)}","size":${m.rows}""" +
+          s"""$kw${m.cstatsJson}}}"""
+      } ++
+      inserts.map { case (p, rows, mn, mx, _, cj) =>
+        val kw = if (stampKey)
+          s""","min_key":$mn,"max_key":$mx""" else ""
+        s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
+          s"""$kw$cj}}"""
+      } ++
+      metas.filter(_.cdcPath.nonEmpty).map(m =>
+        s"""{"cdc":{"path":"${TxLog.requireJsonSafe(m.cdcPath)}",""" +
+          s""""size":${m.cdcRows}}}""") ++
+      inserts.map { case (_, rows, _, _, cp, _) =>
+        s"""{"cdc":{"path":"${TxLog.requireJsonSafe(cp)}",""" +
+          s""""size":$rows}}"""
+      }
+    val written =
+      metas.filter(_.newPath.nonEmpty).map(_.newPath) ++
+      metas.filter(_.cdcPath.nonEmpty).map(_.cdcPath) ++
+      metas.filter(_.dvPath.nonEmpty).map(_.dvPath) ++
+      inserts.flatMap(a => Seq(a._1, a._5))
+    (lines, written)
+  }
+
   /** MERGE (upsert + delete, r12; full type surface + row-level CDC,
     * r13) by the key column: rows of `updates` whose key exists in
     * the table REPLACE the stored rows (every occurrence); keys in
@@ -1207,67 +1273,19 @@ object LakeMaintenance {
     // would poison doc_id file pruning for every later read); the
     // column-labeled cstats carry the key's window regardless
     val stampKey = keyCol == "doc_id"
-    val lines =
-      // DV-mode files are NOT removed — their re-add (same path, new
-      // sidecar) wins the latest-wins fold; untouched files (mode 3)
-      // emit nothing at all
-      rewritten.filter(r => r._1 == 0 || r._1 == 1).map(r =>
-        s"""{"remove":{"path":"${TxLog.requireJsonSafe(r._2)}"}}""") ++
-      rewritten.filter(_._1 == 1).map { r =>
-        val kw = if (stampKey)
-          s""","min_key":${r._5},"max_key":${r._6}""" else ""
-        // a DELETE-ONLY rewrite (no matched update keys) keeps every
-        // surviving row's values, so the source file's partition
-        // value still holds — preserve it (review r14: dropping it
-        // permanently disabled partition pruning and the grouped
-        // pushdown after the first merge on a partitioned table). An
-        // update may have CHANGED the partition column → no part.
-        val pv =
-          if (r._7.isEmpty)
-            liveByPath(r._2).part.flatMap(TxLog.jsonSafe)
-              .map(v => s""","part":"$v"""").getOrElse("")
-          else ""
-        s"""{"add":{"path":"${TxLog.requireJsonSafe(r._3)}","size":${r._4}""" +
-          s"""$kw$pv${r._11}}}"""
-      } ++
-      rewritten.filter(_._1 == 2).map(r =>
-        TxLog.renderAdd(liveByPath(r._2), Some(r._12), r._13,
-          Some(false))) ++
-      // mode 4 (r15 DV update): the untouched old file re-adds with
-      // its widened DV (dataChange=false), the updated rows land as
-      // one small key-sorted add (no part — the update may have
-      // changed the partition column)
-      rewritten.filter(_._1 == 4).map(r =>
-        TxLog.renderAdd(liveByPath(r._2), Some(r._12), r._13,
-          Some(false))) ++
-      rewritten.filter(_._1 == 4).map { r =>
-        val kw = if (stampKey)
-          s""","min_key":${r._5},"max_key":${r._6}""" else ""
-        s"""{"add":{"path":"${TxLog.requireJsonSafe(r._3)}","size":${r._4}""" +
-          s"""$kw${r._11}}}"""
-      } ++
-      insertAdd.map { case (p, rows, mn, mx, _, cj) =>
-        val kw = if (stampKey)
-          s""","min_key":$mn,"max_key":$mx""" else ""
-        s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
-          s"""$kw$cj}}"""
-      } ++
-      rewritten.filter(_._9.nonEmpty).map(r =>
-        s"""{"cdc":{"path":"${TxLog.requireJsonSafe(r._9)}",""" +
-          s""""size":${r._10}}}""") ++
-      insertAdd.map { case (_, rows, _, _, cp, _) =>
-        s"""{"cdc":{"path":"${TxLog.requireJsonSafe(cp)}",""" +
-          s""""size":$rows}}"""
-      }
+    // DV-mode files are NOT removed — their re-add (same path, new
+    // sidecar) wins the latest-wins fold; untouched files (mode 3)
+    // emit nothing at all. ONE renderer shared with the distributed
+    // path (r15 review — the digest-identity law depends on it).
+    val (lines, writtenPaths) = mergeCommitLines(
+      rewritten.toSeq.map(r => RewriteMeta(r._1, r._2, r._3, r._4,
+        r._5, r._6, r._7.size.toLong, r._9, r._10, r._11, r._12,
+        r._13)),
+      insertAdd.toSeq, liveByPath, stampKey)
     if (lines.isEmpty) // every candidate untouched, nothing to insert
       return MergeResult(0, 0L, 0L, -1L)
-    val writtenPaths = rewritten.filter(_._3.nonEmpty).map(_._3) ++
-      rewritten.filter(_._9.nonEmpty).map(_._9) ++
-      rewritten.filter(_._12.nonEmpty).map(_._12) ++
-      insertAdd.toSeq.flatMap(a => Seq(a._1, a._5))
     val v = commitMaintenance(root, rewritten.map(_._2).toSeq,
-      lines.toSeq :+ TxLog.commitInfoLine("MERGE"),
-      writtenPaths.toSeq)
+      lines :+ TxLog.commitInfoLine("MERGE"), writtenPaths)
     MergeResult(rewritten.count(_._1 != 3), matchedKeys.size.toLong,
       insertAdd.map(_._2).getOrElse(0L), v, deletedRows)
   }
@@ -1379,7 +1397,13 @@ object LakeMaintenance {
             s"merge changeset violates CHECK constraint $cname")
         }
       }
-      val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt", -1L)
+      // PIN the snapshot (review r15): the probe scan, the live set
+      // and the fence must all describe ONE version — an unpinned
+      // probe could resolve a later snapshot than `live` and route
+      // inserts inconsistently with the fence
+      val snapV = TxLog.nextVersion(s"$root/log", s"$root/ckpt") - 1L
+      val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt",
+        snapV)
       // ---- empty table: the insert arm appends through the
       // connector, fully distributed (table props ride so partition
       // values and stats land)
@@ -1405,45 +1429,26 @@ object LakeMaintenance {
           java.nio.file.Paths.get(live.head.path))).leaves
       val order: Array[Int] = graft.plans.LakeMergeSql
         .leafOrder(root, schema, live.head.path).toArray
-      // candidate pruning: the column-labeled key window against the
-      // changeset's [kLo, kHi] span (same cstats-only rule as the
-      // broadcast path; the probe refines span-survivors to exact
-      // containment). Files without a labeled window must be probed.
-      val candidates = live.filter { f =>
-        f.cstats.find(c => c.col == keyPhys && c.tpe == "l") match {
-          case Some(st) =>
-            (st.mn.map(_.toLong), st.mx.map(_.toLong)) match {
-              case (Some(mn), Some(mx)) => mx >= kLo && mn <= kHi
-              case _ => false // all-null window on a REQUIRED key
-            }
-          case None => true
-        }
-      }
-      val matchedZero = // no candidate can contain any key
-        candidates.isEmpty
-      def base(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-      val byName = candidates.map(f => base(f.path) -> f).toMap
-      require(byName.size == candidates.size,
-        "duplicate data-file names across candidate files — compact " +
-          "the table first")
-      // ---- the KEY PROBE: exact (key, file) containment over the
-      // candidates' key column (one narrow column scan; Catalyst
-      // picks the join strategy by the changeset's size)
-      val probe =
-        if (matchedZero) null
-        else spark.read.parquet(candidates.map(_.path).toSeq: _*)
-          .select(col(keyPhys).as("_graft_k"),
-            element_at(split(input_file_name(), "/"), -1)
-              .as("_graft_file"))
-          .join(ds.select(col("_graft_k")), Seq("_graft_k"))
-          .distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK)
+      val byPath = live.map(f => f.path -> f).toMap
+      // ---- the KEY PROBE: exact LIVE (key, file) containment — the
+      // connector's file-provenance face serves (key, _graft_file)
+      // with DELETION VECTORS applied and file/row-group pruning on
+      // the pushed key range (review r15: a raw parquet read counted
+      // DV-dead rows as matched, silently dropping an upsert of a
+      // DV-deleted key). Catalyst picks the join strategy by size.
+      val probe = spark.read.format("graft-lake")
+        .option("path", root).option("asOf", snapV.toString)
+        .option("withFilePath", "true").load()
+        .where(col(keyCol) >= kLo && col(keyCol) <= kHi)
+        .select(col(keyCol).as("_graft_k"), col("_graft_file"))
+        .join(ds.select(col("_graft_k")), Seq("_graft_k"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val touchedNames: Array[String] =
-        if (probe == null) Array.empty
-        else probe.select(col("_graft_file")).distinct()
+        probe.select(col("_graft_file")).distinct()
           .collect().map(_.getString(0)) // O(touched files) — metadata
       try {
-        val touched = touchedNames.toSeq.flatMap(byName.get)
+        val touched = touchedNames.toSeq.flatMap(byPath.get)
         // the caller's scan-snapshot fence (same contract as merge)
         if (readVersion >= 0)
           touched.find(_.version > readVersion).foreach { f =>
@@ -1455,7 +1460,7 @@ object LakeMaintenance {
           }
         val run = java.util.UUID.randomUUID().toString.take(8)
         val bMeta = spark.sparkContext.broadcast(
-          touchedNames.flatMap(nm => byName.get(nm).map(nm -> _)).toMap)
+          touchedNames.flatMap(nm => byPath.get(nm).map(nm -> _)).toMap)
         val bOrder = spark.sparkContext.broadcast(order)
         val bTypes = spark.sparkContext.broadcast(
           schema.fields.map(_.dataType))
@@ -1464,9 +1469,7 @@ object LakeMaintenance {
         // ---- per-file rewrite: one task per touched file; the slice
         // routed to it is bounded by the file's own row count
         val taskOut =
-          if (probe == null) spark.emptyDataset(
-            Encoders.product[MergeTaskOut])
-          else ds.join(probe, Seq("_graft_k"), "inner")
+          ds.join(probe, Seq("_graft_k"), "inner")
             .groupByKey((r: Row) => r.getString(2 + nFields))(
               Encoders.STRING)
             .flatMapGroups { (fname: String, rows: Iterator[Row]) =>
@@ -1505,9 +1508,8 @@ object LakeMaintenance {
           // ---- inserts: unmatched i/ui rows → key-ordered files,
           // written executor-side, bounded rows per file
           val insDf =
-            (if (probe == null) ds
-             else ds.join(probe.select(col("_graft_k")).distinct(),
-               Seq("_graft_k"), "left_anti"))
+            ds.join(probe.select(col("_graft_k")).distinct(),
+                Seq("_graft_k"), "left_anti")
               .where(col("_graft_op").isin("i", "ui"))
               .select((col("_graft_k") +:
                 schema.fieldNames.map(col).toSeq): _*)
@@ -1559,57 +1561,15 @@ object LakeMaintenance {
             return MergeResult(0, 0L, 0L, -1L)
           val liveByPath = touched.map(f => f.path -> f).toMap
           val stampKey = keyCol == "doc_id"
-          val lines =
-            metas.filter(m => m.mode == 0 || m.mode == 1).toSeq.map(m =>
-              s"""{"remove":{"path":"${TxLog.requireJsonSafe(m.oldPath)}"}}""") ++
-            metas.filter(_.mode == 1).toSeq.map { m =>
-              val kw = if (stampKey)
-                s""","min_key":${m.minKey},"max_key":${m.maxKey}"""
-                else ""
-              // delete-only rewrites preserve the source partition
-              // value; an update may have changed it → no part
-              val pv =
-                if (m.fileMatched == 0L)
-                  liveByPath(m.oldPath).part.flatMap(TxLog.jsonSafe)
-                    .map(v2 => s""","part":"$v2"""").getOrElse("")
-                else ""
-              s"""{"add":{"path":"${TxLog.requireJsonSafe(m.newPath)}","size":${m.rows}""" +
-                s"""$kw$pv${m.cstatsJson}}}"""
-            } ++
-            metas.filter(_.mode == 2).toSeq.map(m =>
-              TxLog.renderAdd(liveByPath(m.oldPath), Some(m.dvPath),
-                m.dvDead, Some(false))) ++
-            // mode 4 (r15 DV update): untouched file + widened DV,
-            // updated rows as one small add (see the broadcast twin)
-            metas.filter(_.mode == 4).toSeq.map(m =>
-              TxLog.renderAdd(liveByPath(m.oldPath), Some(m.dvPath),
-                m.dvDead, Some(false))) ++
-            metas.filter(_.mode == 4).toSeq.map { m =>
-              val kw = if (stampKey)
-                s""","min_key":${m.minKey},"max_key":${m.maxKey}"""
-                else ""
-              s"""{"add":{"path":"${TxLog.requireJsonSafe(m.newPath)}","size":${m.rows}""" +
-                s"""$kw${m.cstatsJson}}}"""
-            } ++
-            insMetas.toSeq.map { case (p, rows, mn, mx, _, cj) =>
-              val kw = if (stampKey)
-                s""","min_key":$mn,"max_key":$mx""" else ""
-              s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows""" +
-                s"""$kw$cj}}"""
-            } ++
-            metas.filter(_.cdcPath.nonEmpty).toSeq.map(m =>
-              s"""{"cdc":{"path":"${TxLog.requireJsonSafe(m.cdcPath)}",""" +
-                s""""size":${m.cdcRows}}}""") ++
-            insMetas.toSeq.map { case (_, rows, _, _, cp, _) =>
-              s"""{"cdc":{"path":"${TxLog.requireJsonSafe(cp)}",""" +
-                s""""size":$rows}}"""
-            }
+          // ONE renderer shared with the broadcast path (r15 review
+          // — the digest-identity law depends on it)
+          val (lines, writtenPaths) = mergeCommitLines(
+            metas.toSeq.map(m => RewriteMeta(m.mode, m.oldPath,
+              m.newPath, m.rows, m.minKey, m.maxKey, m.fileMatched,
+              m.cdcPath, m.cdcRows, m.cstatsJson, m.dvPath,
+              m.dvDead)),
+            insMetas.toSeq, liveByPath, stampKey)
           if (lines.isEmpty) return MergeResult(0, 0L, 0L, -1L)
-          val writtenPaths =
-            metas.filter(_.newPath.nonEmpty).map(_.newPath).toSeq ++
-            metas.filter(_.cdcPath.nonEmpty).map(_.cdcPath).toSeq ++
-            metas.filter(_.dvPath.nonEmpty).map(_.dvPath).toSeq ++
-            insMetas.toSeq.flatMap(a => Seq(a._1, a._5))
           // read-set validation over EVERY touched candidate (the
           // broadcast path's contract): a concurrently-removed file
           // must abort even when this merge only DV'd or skipped it
@@ -1618,12 +1578,8 @@ object LakeMaintenance {
             lines :+ TxLog.commitInfoLine("MERGE"), writtenPaths)
           MergeResult(metas.count(_.mode != 3), matchedCnt, nIns, ver,
             metas.map(_.deletedRows).sum)
-        } finally {
-          if (probe != null) taskOut.unpersist(false): Unit
-        }
-      } finally {
-        if (probe != null) probe.unpersist(false): Unit
-      }
+        } finally taskOut.unpersist(false): Unit
+      } finally probe.unpersist(false): Unit
     } finally ds.unpersist(false): Unit
   }
 

@@ -393,16 +393,17 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
     // per candidate file, zero joins — the right plan for a CDC
     // batch); larger ones route through the DISTRIBUTED join-based
     // merge, where the driver never sees a source row. The bound is
-    // tunable for tests via spark.graft.lake.mergeCollectBound.
+    // tunable for tests via spark.graft.lake.mergeCollectBound. ONE
+    // source execution decides the route AND provides the bounded
+    // rows (review r15: a separate count() ran the source twice —
+    // and could diverge from the collect for a nondeterministic
+    // source); only the over-bound case re-executes, in the
+    // distributed plan.
     val bound = math.max(1,
       spark.conf.getOption("spark.graft.lake.mergeCollectBound")
         .map(_.toInt).getOrElse(1 << 20))
-    val cnt = srcDf.limit(bound + 1).count()
-    if (cnt > bound) return runDistributed(spark, srcDf, nU)
-    val rows = srcDf.collect() // the BOUNDED changeset (≤ bound rows)
-    require(rows.length <= bound,
-      s"graft-lake MERGE: changeset ${rows.length} exceeds the " +
-        "collect bound")
+    val rows = srcDf.limit(bound + 1).collect()
+    if (rows.length > bound) return runDistributed(spark, srcDf, nU)
     rows.foreach(r => require(!r.isNullAt(0),
       "graft-lake MERGE: null source key"))
     val keys = rows.map(_.getLong(0))
@@ -604,39 +605,44 @@ case class LakeUpdateCommand(root: String, targetSchema: StructType,
     // ROUTE BY SIZE (r15): at or under the collect bound the
     // broadcast path runs (the right plan for a bounded predicate);
     // above it the DISTRIBUTED join-based merge takes over — the
-    // driver never sees a matched row
+    // driver never sees a matched row. ONE bounded collect decides
+    // the route and provides the rows (review r15: a separate
+    // count() ran the predicate scan twice).
     val bound = math.max(1,
       spark.conf.getOption("spark.graft.lake.mergeCollectBound")
         .map(_.toInt).getOrElse(1 << 20))
-    val cnt = projDf.limit(bound + 1).count()
-    if (cnt > bound) {
+    val rows = projDf.limit(bound + 1).collect()
+    if (rows.length > bound) {
       import org.apache.spark.sql.functions.lit
+      // persisted: the guard's two counts and the merge's own passes
+      // must not re-run the predicate scan (review r15)
       val changes = projDf.select(
         (org.apache.spark.sql.functions.col("_graft_k") +:
           lit("u") +:
           rowExprs.indices.map(i =>
             org.apache.spark.sql.functions.col(s"_c$i"))): _*)
-      // the whole-key law, DISTRIBUTED: the table's occurrence count
-      // over the matched keys must equal the matched row count — a
-      // predicate splitting a duplicated key's occurrences rejects
-      // (duplicated matched keys reject inside mergeDistributed).
-      // `cnt` above is limit-capped (it only decided the route);
-      // the guard needs the FULL matched count.
-      val full = changes.count()
-      val span = spark.read.format("graft-lake").option("path", root)
-        .option("asOf", scanVersion.toString).load()
-        .select(col(keyCol))
-        .join(changes.select(col("_graft_k").as(keyCol)).distinct(),
-          Seq(keyCol), "leftsemi").count()
-      if (span != full)
-        fail("the predicate matches only some occurrences of a " +
-          "duplicated merge key — not expressible as a whole-key " +
-          "rewrite")
-      val res = LakeMaintenance.mergeDistributed(spark, root, changes,
-        keyCol, readVersion = scanVersion)
-      return Seq(Row(res.matched))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // the whole-key law, DISTRIBUTED: the table's occurrence
+        // count over the matched keys must equal the matched row
+        // count — a predicate splitting a duplicated key's
+        // occurrences rejects (duplicated matched keys reject inside
+        // mergeDistributed)
+        val full = changes.count()
+        val span = spark.read.format("graft-lake").option("path", root)
+          .option("asOf", scanVersion.toString).load()
+          .select(col(keyCol))
+          .join(changes.select(col("_graft_k").as(keyCol)).distinct(),
+            Seq(keyCol), "leftsemi").count()
+        if (span != full)
+          fail("the predicate matches only some occurrences of a " +
+            "duplicated merge key — not expressible as a whole-key " +
+            "rewrite")
+        val res = LakeMaintenance.mergeDistributed(spark, root,
+          changes, keyCol, readVersion = scanVersion)
+        return Seq(Row(res.matched))
+      } finally changes.unpersist(false): Unit
     }
-    val rows = projDf.collect()
     if (rows.isEmpty) return Seq(Row(0L))
     val matched = rows.toSeq.map(_.getLong(0))
     // the whole-key law (shared guard): UPDATE never tolerates

@@ -8259,13 +8259,20 @@ object LlmQueries {
             .agg(count(lit(1)).as("n"),
               sum(col("sum_chars")).as("sum_chars"))
         else {
-          // per-RUN table: a fresh log whose v0 references the shared
-          // immutable template files; the merge commits its rewrites
-          // under this run's own data dir, so runs never interfere
+          // per-RUN table at a STABLE path wiped at entry (review
+          // r15: a UUID-suffixed dir per run leaked the merge's
+          // rewrites into tmp forever): a fresh log whose v0
+          // references the shared immutable template files; the
+          // merge commits its rewrites under this run's own data dir
           val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakemd_" +
             s.sparkContext.applicationId + "_" +
-            java.lang.Integer.toHexString(dir.hashCode) + "_" +
-            java.util.UUID.randomUUID().toString.take(8)
+            java.lang.Integer.toHexString(dir.hashCode)
+          def del(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).toSeq.flatten.foreach(del)
+            f.delete(): Unit
+          }
+          del(new java.io.File(base))
           new java.io.File(s"$base/data").mkdirs()
           graft.operators.TxLog.commitVersion(s"$base/log", 0L, lines)
           // bounded CDC changeset (the documented broadcast contract)

@@ -149,7 +149,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     * scan options. A REAL table named `changes` always wins. */
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident) && ident.name() == "changes" &&
-        ident.namespace().length >= 2) {
+        ident.namespace().length >= 1) { // review r15: >= 2 made the
+      // change feed unreachable for root-namespace tables
       val parent = Identifier.of(ident.namespace().dropRight(1),
         ident.namespace().last)
       if (tableExists(parent))

@@ -110,7 +110,8 @@ object LakeSource {
         options.getLong("startingVersion", 0L)
       else TxLog.versionAtTime(s"$path/log",
           options.getLong("startingTimestamp", 0L) - 1L)
-        .map(_ + 1L).getOrElse(0L))
+        .map(_ + 1L).getOrElse(0L),
+      options.getBoolean("withFilePath", false))
   }
 
   /** Leaf → Spark field. Flat INT32/INT64/FLOAT/DOUBLE/UTF8-string
@@ -448,7 +449,13 @@ final class LakeTable(val root: String, val asOf: Long,
     val partCol: Option[String] = None,
     val changeFeed: Boolean = false,
     val cdfFrom: Long = -1L, val cdfTo: Long = -1L,
-    val startingVersion: Long = 0L)
+    val startingVersion: Long = 0L,
+    /** r15 — the file-provenance face: the scan serves an extra
+      * `_graft_file` column carrying each row's data-file path,
+      * WITH deletion vectors applied (the distributed merge's key
+      * probe needs exact live containment — a raw parquet read
+      * counts DV-dead rows). Read-only. */
+    val withFilePath: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
 
@@ -479,6 +486,9 @@ final class LakeTable(val root: String, val asOf: Long,
     if (changeFeed)
       StructType(base.fields :+
         StructField("_change_type", StringType, nullable = false))
+    else if (withFilePath) // r15 file-provenance face
+      StructType(base.fields :+
+        StructField("_graft_file", StringType, nullable = false))
     else base
   }
 
@@ -516,12 +526,13 @@ final class LakeTable(val root: String, val asOf: Long,
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val scanKeys = Seq("startingVersion", "startingTimestamp",
       "changeFeed", "cdfFrom", "cdfTo", "versionsPerTrigger",
-      "asOf", "asOfTs")
+      "asOf", "asOfTs", "withFilePath")
     val t =
       if (!scanKeys.exists(opts.containsKey)) this
       else {
         val m = new java.util.HashMap[String, String]()
         m.put("path", root): Unit
+        if (withFilePath) m.put("withFilePath", "true"): Unit
         if (asOf >= 0) m.put("asOf", asOf.toString): Unit
         m.put("statsCol", statsCol): Unit
         m.put("versionsPerTrigger", versionsPerTrigger.toString): Unit
@@ -653,35 +664,41 @@ final class LakeTable(val root: String, val asOf: Long,
           .option("asOf", scanVersion.toString).load()
         // ROUTE BY SIZE (r15): matched sets over the collect bound
         // ride the DISTRIBUTED join-based merge — the driver never
-        // sees a matched row
+        // sees a matched row. ONE bounded collect decides the route
+        // and provides the keys (review r15: a separate count() ran
+        // the predicate scan twice).
         val bound = math.max(1,
           spark.conf.getOption("spark.graft.lake.mergeCollectBound")
             .map(_.toInt).getOrElse(1 << 20))
         val matchedRows = df.where(cond).select(col(c).as("_graft_k"))
-        val cnt = matchedRows.limit(bound + 1).count()
-        if (cnt > bound) {
-          val mCnt = matchedRows.count()
-          val keys0 = matchedRows.distinct()
-          // the whole-key law, DISTRIBUTED: deleting ALL occurrences
-          // of a duplicated key is expressible; a predicate that
-          // SPLITS a key's occurrences is not
-          val span = df.select(col(c).as("_graft_k"))
-            .join(keys0, Seq("_graft_k"), "leftsemi").count()
-          require(span == mCnt,
-            "graft-lake DELETE: the predicate matches only some " +
-              "occurrences of a duplicated merge key — not " +
-              "expressible as a whole-key rewrite")
-          val nulls = schema().fields.toSeq.map(f =>
-            lit(null).cast(f.dataType))
-          val changes = keys0.select(
-            (col("_graft_k") +: lit("d") +: nulls): _*)
-          graft.operators.LakeMaintenance.mergeDistributed(spark,
-            root, changes, c, readVersion = scanVersion): Unit
-          return
+        val bounded = matchedRows.limit(bound + 1).collect()
+        if (bounded.length > bound) {
+          // persisted: the guard's counts and the merge must not
+          // re-run the predicate scan (review r15)
+          val m = matchedRows.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val mCnt = m.count()
+            val keys0 = m.distinct()
+            // the whole-key law, DISTRIBUTED: deleting ALL
+            // occurrences of a duplicated key is expressible; a
+            // predicate that SPLITS a key's occurrences is not
+            val span = df.select(col(c).as("_graft_k"))
+              .join(keys0, Seq("_graft_k"), "leftsemi").count()
+            require(span == mCnt,
+              "graft-lake DELETE: the predicate matches only some " +
+                "occurrences of a duplicated merge key — not " +
+                "expressible as a whole-key rewrite")
+            val nulls = schema().fields.toSeq.map(f =>
+              lit(null).cast(f.dataType))
+            val changes = keys0.select(
+              (col("_graft_k") +: lit("d") +: nulls): _*)
+            graft.operators.LakeMaintenance.mergeDistributed(spark,
+              root, changes, c, readVersion = scanVersion): Unit
+            return
+          } finally m.unpersist(false): Unit
         }
-        val matched = matchedRows
-          .limit(bound + 1)
-          .collect().map(_.getLong(0)).toSeq
+        val matched = bounded.map(_.getLong(0)).toSeq
         if (matched.isEmpty) return
         // the whole-key law (shared guard): deleting ALL occurrences
         // of a duplicated key IS expressible (review r14 — the old
@@ -1054,6 +1071,9 @@ final class LakeScan(table: LakeTable, required: StructType,
     prunedLive()
       .map { f =>
         LakePartition(f.path, physCols, rgBounds,
+          constCols =
+            if (table.withFilePath) Map("_graft_file" -> f.path)
+            else Map.empty,
           dvPath = f.dvPath): InputPartition
       }.toArray
   }

@@ -320,6 +320,36 @@ class LakeDistributedMergeSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_dm2.db.t"): Unit
   }
 
+  test("review r15: a key whose only occurrences are DELETION-VECTOR-" +
+      "dead is UNMATCHED — an upsert of a DV-deleted key re-inserts " +
+      "it (the probe reads live containment, not raw parquet)") {
+    val base = buildTable(2, 100)
+    // DV-delete key 10 (small touch → sidecar, raw file keeps the key)
+    LakeMaintenance.merge(spark, base, Seq.empty, "doc_id",
+      deletes = Seq(10L)): Unit
+    val live = TxLog.resolveLiveLocal(s"$base/log", s"$base/ckpt", -1L)
+    live.exists(_.dvRows == 1L) shouldBe true // merge-on-read, no rewrite
+    lake(base).where(col("doc_id") === 10L).count() shouldBe 0L
+    // distributed upsert of the dead key: must INSERT (the broadcast
+    // path does — bit-identity demands the same here)
+    val r = LakeMaintenance.mergeDistributed(spark, base,
+      changesOf(Seq((10L, Some(777L), "back")), Seq.empty, Seq.empty),
+      "doc_id")
+    r.matched shouldBe 0L
+    r.inserted shouldBe 1L
+    lake(base).where(col("doc_id") === 10L)
+      .select(col("v")).as[Long].head() shouldBe 777L
+    // and an i-op against a DV-dead key inserts too (not silently
+    // dropped as "matched")
+    LakeMaintenance.merge(spark, base, Seq.empty, "doc_id",
+      deletes = Seq(20L)): Unit
+    val r2 = LakeMaintenance.mergeDistributed(spark, base,
+      changesOf(Seq.empty, Seq((20L, Some(888L), "back2")), Seq.empty),
+      "doc_id")
+    r2.inserted shouldBe 1L
+    lake(base).where(col("doc_id") === 20L).count() shouldBe 1L
+  }
+
   test("empty table: the distributed insert arm appends through the " +
       "connector; u/d rows no-op") {
     val base = java.nio.file.Files
