@@ -1357,8 +1357,14 @@ object LakeMaintenance {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.storage.StorageLevel
     TxLog.checkProtocolWrite(s"$root/log", s"$root/ckpt")
+    // PIN the snapshot FIRST (review r15 pass 2: schema, constraints,
+    // column mapping, the live set, the probe and the fence must all
+    // describe ONE version — resolving any of them at the mutable
+    // head lets a concurrent ALTER TABLE desync the rewrite from the
+    // files it rewrites)
+    val snapV = TxLog.nextVersion(s"$root/log", s"$root/ckpt") - 1L
     val schema = spark.read.format("graft-lake").option("path", root)
-      .load().schema
+      .option("asOf", snapV.toString).load().schema
     val n = schema.fields.length
     require(changes.schema.fields.length == n + 2,
       s"distributed merge changeset must carry (_graft_k, _graft_op, " +
@@ -1398,7 +1404,7 @@ object LakeMaintenance {
       // a stored row violating any active constraint fails BEFORE any
       // file is written; NULL passes (the SQL CHECK rule)
       val cons = TxLog.activeConstraintsFast(
-        s"$root/log", s"$root/ckpt", -1L)
+        s"$root/log", s"$root/ckpt", snapV)
       if (cons.nonEmpty) {
         val stored = ds.where(col("_graft_op") =!= "d")
         cons.foreach { case TxLog.Constraint(cname, cexpr) =>
@@ -1407,11 +1413,6 @@ object LakeMaintenance {
             s"merge changeset violates CHECK constraint $cname")
         }
       }
-      // PIN the snapshot (review r15): the probe scan, the live set
-      // and the fence must all describe ONE version — an unpinned
-      // probe could resolve a later snapshot than `live` and route
-      // inserts inconsistently with the fence
-      val snapV = TxLog.nextVersion(s"$root/log", s"$root/ckpt") - 1L
       val live = TxLog.resolveLiveLocal(s"$root/log", s"$root/ckpt",
         snapV)
       // ---- empty table: the insert arm appends through the
@@ -1431,14 +1432,14 @@ object LakeMaintenance {
           TxLog.commitVersions(s"$root/log").max)
       }
       val keyPhys = TxLog
-        .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
+        .latestMetaDataFast(s"$root/log", s"$root/ckpt", snapV)
         .flatMap(_.find(_.name == keyCol).map(_.physName))
         .getOrElse(keyCol)
       val schemaLeaves = ParquetFile.parseFooterMeta(
         java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(live.head.path))).leaves
       val order: Array[Int] = graft.plans.LakeMergeSql
-        .leafOrder(root, schema, live.head.path).toArray
+        .leafOrder(root, schema, live.head.path, asOf = snapV).toArray
       val byPath = live.map(f => f.path -> f).toMap
       // ---- the KEY PROBE: exact LIVE (key, file) containment — the
       // connector's file-provenance face serves (key, _graft_file)
@@ -1500,7 +1501,18 @@ object LakeMaintenance {
                     upd.put(k, vals): Unit
                 }
               }
-              val tag = fname.replaceAll("[^A-Za-z0-9_-]", "_")
+              // bounded, collision-proof tag (review r15 pass 2: the
+              // sanitized FULL path compounded across merge
+              // generations until filenames hit the 255-byte limit):
+              // a truncated basename for debuggability + a SHA-1
+              // prefix of the full path for uniqueness
+              val baseName = fname.substring(fname.lastIndexOf('/') + 1)
+              val sha = java.security.MessageDigest
+                .getInstance("SHA-1")
+                .digest(fname.getBytes("UTF-8"))
+                .take(8).map("%02x".format(_)).mkString
+              val tag = baseName.replaceAll("[^A-Za-z0-9_-]", "_")
+                .take(24) + "-" + sha
               val t = rewriteOneFile(meta, upd, del, keyPhysV, dvThr,
                 rootV, run, tag)
               Iterator.single(MergeTaskOut(0, t._1, t._2, t._3, t._4,

@@ -318,9 +318,9 @@ object LakeMergeSql {
     * [[LakeMaintenance.merge]] takes), mapped back through the column
     * mapping — shared by the MERGE and UPDATE commands. */
   private[graft] def leafOrder(root: String, targetSchema: StructType,
-      livePath: String): Seq[Int] = {
+      livePath: String, asOf: Long = -1L): Seq[Int] = {
     val physToLogical = TxLog
-      .latestMetaDataFast(s"$root/log", s"$root/ckpt", -1L)
+      .latestMetaDataFast(s"$root/log", s"$root/ckpt", asOf)
       .map(_.map(c => c.physName -> c.name).toMap)
       .getOrElse(Map.empty[String, String])
     val leaves = ParquetFile.parseFooterMeta(

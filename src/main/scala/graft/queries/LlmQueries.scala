@@ -8259,12 +8259,15 @@ object LlmQueries {
             .agg(count(lit(1)).as("n"),
               sum(col("sum_chars")).as("sum_chars"))
         else {
-          // per-RUN table at a STABLE path wiped at entry (review
-          // r15: a UUID-suffixed dir per run leaked the merge's
-          // rewrites into tmp forever): a fresh log whose v0
-          // references the shared immutable template files; the
-          // merge commits its rewrites under this run's own data dir
-          val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakemd_" +
+          // per-RUN table: a UUID child under a stable parent, with
+          // an AGE-BASED sweep of finished siblings (review r15 pass
+          // 2: a bare stable path wiped at entry deleted a CONCURRENT
+          // run's live table mid-merge; a bare UUID path leaked
+          // forever — the sweep keeps recent runs alive and bounds
+          // the leak). v0 references the shared immutable template
+          // files; the merge commits its rewrites under this run's
+          // own data dir.
+          val parent = s"${System.getProperty("java.io.tmpdir")}/graft_lakemd_" +
             s.sparkContext.applicationId + "_" +
             java.lang.Integer.toHexString(dir.hashCode)
           def del(f: java.io.File): Unit = {
@@ -8272,7 +8275,13 @@ object LlmQueries {
               Option(f.listFiles()).toSeq.flatten.foreach(del)
             f.delete(): Unit
           }
-          del(new java.io.File(base))
+          new java.io.File(parent).mkdirs()
+          Option(new java.io.File(parent).listFiles()).toSeq.flatten
+            .filter(f => f.isDirectory &&
+              System.currentTimeMillis - f.lastModified > 30L * 60000L)
+            .foreach(del)
+          val base = s"$parent/run-" +
+            java.util.UUID.randomUUID().toString.take(8)
           new java.io.File(s"$base/data").mkdirs()
           graft.operators.TxLog.commitVersion(s"$base/log", 0L, lines)
           // bounded CDC changeset (the documented broadcast contract)

@@ -459,6 +459,11 @@ final class LakeTable(val root: String, val asOf: Long,
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete {
 
+  locally {
+    require(!(changeFeed && withFilePath),
+      "graft-lake: changeFeed and withFilePath are mutually exclusive")
+  }
+
   /** Snapshot resolution — driver-side metadata I/O through the
     * checkpoint/pointer fast path; memoized per table instance. */
   lazy val live: Seq[TxLog.LiveFile] =
@@ -1234,8 +1239,15 @@ final class LakeScan(table: LakeTable, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeReaderFactory(required)
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // review r15 pass 2: the streaming planner has no constant-column
+    // injection for _graft_file — a stream would declare the
+    // non-nullable column and serve NULL; refuse loudly instead
+    if (table.withFilePath)
+      throw new UnsupportedOperationException(
+        "graft-lake withFilePath is a batch-only face")
     new LakeMicroBatchStream(table, required)
+  }
 }
 
 /** Streaming face of the connector (r11): the table's commit log IS
