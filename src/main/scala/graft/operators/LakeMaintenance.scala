@@ -1689,6 +1689,154 @@ object LakeMaintenance {
     RestoreResult(target, removes.size, readds.size, v)
   }
 
+  final case class CloneResult(sourceVersion: Long, files: Int,
+      version: Long)
+
+  /** SHALLOW CLONE (r15 — Delta's `CREATE TABLE … SHALLOW CLONE`):
+    * materialize a NEW table at `dstRoot` whose version-0 commit
+    * references the SOURCE's live data files (stats and deletion
+    * vectors carried), plus the source's schema (metaData — derived
+    * from footers for a pre-evolution source), CHECK constraints and
+    * protocol; the table-props sidecar (statsCol / partitionBy
+    * contracts) copies along. ZERO data files copy — the clone is one
+    * metadata commit, at any table size.
+    *
+    * The clone then evolves INDEPENDENTLY: appends, merges,
+    * compaction and z-order write under the clone's own `data/` dir
+    * and tombstone the referenced source files out of the clone's log
+    * without ever touching them on disk; the clone's VACUUM only
+    * sweeps `dstRoot/data`, so source files are structurally safe
+    * from it. The documented Delta hazard carries over: VACUUM or
+    * log-expiry on the SOURCE can reclaim files the clone still
+    * references — clones are sandboxes, not backups. */
+  def cloneTable(spark: SparkSession, srcRoot: String,
+      dstRoot: String): CloneResult = {
+    TxLog.checkProtocolRead(s"$srcRoot/log", s"$srcRoot/ckpt", -1L)
+    val srcV = TxLog.nextVersion(s"$srcRoot/log", s"$srcRoot/ckpt") - 1
+    require(srcV >= 0, s"clone source $srcRoot has no commits")
+    require(!new java.io.File(s"$dstRoot/log").isDirectory &&
+        TxLog.readPointer(s"$dstRoot/ckpt").isEmpty,
+      s"clone target $dstRoot already holds a table")
+    val live = TxLog.resolveLiveLocal(s"$srcRoot/log",
+      s"$srcRoot/ckpt", srcV)
+    val cols = TxLog.latestMetaDataFast(s"$srcRoot/log",
+        s"$srcRoot/ckpt", srcV)
+      .orElse(live.headOption.map { f =>
+        ParquetFile.parseFooterMeta(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f.path))).leaves
+          .map(graft.sources.LakeSource.fieldOf)
+          .map(fd => TxLog.MetaCol(fd.name,
+            graft.sources.LakeSource.nameOf(fd.dataType), fd.nullable))
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"clone source $srcRoot is empty and carries no schema"))
+    val cons = TxLog.activeConstraintsFast(s"$srcRoot/log",
+      s"$srcRoot/ckpt", srcV)
+    val proto = TxLog.latestProtocolFast(s"$srcRoot/log",
+      s"$srcRoot/ckpt", srcV)
+    new java.io.File(s"$dstRoot/data").mkdirs(): Unit
+    val lines =
+      Seq(TxLog.metaDataLine(cols)) ++
+      proto.map(TxLog.protocolLine).toSeq ++
+      cons.map(TxLog.constraintLine) ++
+      live.map(f => TxLog.renderAdd(f, f.dvPath, f.dvRows, None)) :+
+      TxLog.commitInfoLine("CLONE")
+    try TxLog.commitVersion(s"$dstRoot/log", 0L, lines)
+    catch {
+      case e: TxLog.CommitCollisionException =>
+        throw new IllegalStateException(
+          s"clone target $dstRoot was created concurrently", e)
+    }
+    val p = new java.io.File(s"$srcRoot/props.json")
+    if (p.isFile)
+      java.nio.file.Files.copy(p.toPath,
+        java.nio.file.Paths.get(s"$dstRoot/props.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    CloneResult(srcV, live.size, 0L)
+  }
+
+  final case class ConvertResult(files: Int, rows: Long, version: Long)
+
+  /** CONVERT in place (r15 — Delta's `CONVERT TO DELTA`): register an
+    * EXISTING directory of parquet files as a lake table without
+    * rewriting a byte. Every `*.parquet` under `root/data` is
+    * footer-parsed on an executor — schema compatibility checked
+    * against the reader's surface, per-column `cstats` and the
+    * statsCol key window measured from the footers' own row-group
+    * stats — and ONE version-0 commit registers the adds plus the
+    * footer-derived metaData. From then on the table is a full lake
+    * citizen: time travel, MERGE, OVERWRITE, RESTORE, streaming.
+    * Fails loudly (committing nothing) if any file's schema diverges
+    * from the first file's, uses an unsupported shape, or an
+    * unsupported codec (the reader's surface is uncompressed /
+    * snappy / gzip — Spark 4's zstd DEFAULT must be overridden with
+    * `option("compression", "snappy")` at write time). */
+  def convert(spark: SparkSession, root: String,
+      statsCol: String = "doc_id"): ConvertResult = {
+    require(!new java.io.File(s"$root/log").isDirectory &&
+        TxLog.readPointer(s"$root/ckpt").isEmpty,
+      s"convert target $root already holds a table log")
+    val files = Option(new java.io.File(s"$root/data").listFiles())
+      .toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+    require(files.nonEmpty, s"convert: no parquet files under " +
+      s"$root/data")
+    // footer work runs executor-side: one task per file, metadata
+    // back — the 100 TB convert is a parallel footer sweep, zero
+    // data movement (Delta's convert has the same shape)
+    val statsColV = statsCol
+    val metas: Array[(String, Long, Long, Long, Boolean, String,
+        String)] = spark.sparkContext
+      .parallelize(files, math.min(files.size, 64))
+      .map { p =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p))
+        val meta = ParquetFile.parseFooterMeta(bytes)
+        // schema-surface check: every leaf must be readable
+        meta.leaves.foreach(graft.sources.LakeSource.fieldOf)
+        val rows = meta.rowGroups.map(_.numRows).sum
+        val st = ParquetFile.parse(0L, bytes)
+          .filter(r => r.valid && r.has_stats &&
+            r.col_path == statsColV)
+        val (mn, mx, hasKey) =
+          if (st.isEmpty) (0L, 0L, false)
+          else (st.map(_.min_long).min, st.map(_.max_long).max, true)
+        // leaf signature for cross-file schema agreement
+        val sig = meta.leaves.map(l =>
+          s"${l.path}:${l.ptype}:${l.maxDef}:${l.maxRep}")
+          .mkString(";")
+        (p, rows, mn, mx, hasKey, sig, "")
+      }
+      .collect()
+    val sig0 = metas.head._6
+    metas.find(_._6 != sig0).foreach { m =>
+      throw new IllegalArgumentException(
+        s"convert: ${m._1} has a different schema than " +
+          s"${metas.head._1} — a lake table is one schema")
+    }
+    val cols = ParquetFile.parseFooterMeta(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(metas.head._1))).leaves
+      .map(graft.sources.LakeSource.fieldOf)
+      .map(fd => TxLog.MetaCol(fd.name,
+        graft.sources.LakeSource.nameOf(fd.dataType), fd.nullable))
+    val lines =
+      Seq(TxLog.metaDataLine(cols)) ++
+      metas.toSeq.map { case (p, rows, mn, mx, hasKey, _, _) =>
+        val kw = if (hasKey) s""","min_key":$mn,"max_key":$mx""" else ""
+        s"""{"add":{"path":"${TxLog.requireJsonSafe(p)}","size":$rows$kw}}"""
+      } :+
+      TxLog.commitInfoLine("CONVERT")
+    try TxLog.commitVersion(s"$root/log", 0L, lines)
+    catch {
+      case e: TxLog.CommitCollisionException =>
+        throw new IllegalStateException(
+          s"convert target $root was created concurrently", e)
+    }
+    ConvertResult(metas.length, metas.map(_._2).sum, 0L)
+  }
+
   final case class ExpireResult(deletedVersions: Int, horizon: Long)
 
   /** LOG EXPIRY (r13 — Delta's log retention; before this the commit

@@ -1315,7 +1315,10 @@ object ParquetFile {
   private[graft] def readChunkCells(b: Array[Byte], c: Chunk,
       lf: Leaf, rgRows: Int): CellCol = {
     if (lf.maxRep != 0 || lf.maxDef > 1) fail()
-    if (c.codec != 0) fail() // own-writer subset: uncompressed
+    // r15 (CONVERT in place): external Spark-written files carry
+    // SNAPPY/GZIP pages — resolve each page body through the same
+    // codec seam the fold decoders use; anything else still rejects
+    if (c.codec != 0 && c.codec != 1 && c.codec != 2) fail()
     if (rgRows < 0 || c.numValues != rgRows.toLong) fail()
     val isBin = c.ptype == 6
     val isFp = c.ptype == 4 || c.ptype == 5
@@ -1326,12 +1329,25 @@ object ParquetFile {
     val dbls = if (isFp) new Array[Double](rgRows) else null
     val bins = if (isBin) new Array[Array[Byte]](rgRows) else null
 
-    def le32(p: Int): Int =
-      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
-        ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+    /** (buffer, start, end) of one page's UNCOMPRESSED body. */
+    def body(h: PageHdr, cstart: Int): (Array[Byte], Int, Int) =
+      c.codec match {
+        case 0 =>
+          if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
+        case 1 =>
+          val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
+          (d, 0, d.length)
+        case _ =>
+          val d = gunzipPage(b, cstart, h.cmp, h.unc)
+          (d, 0, d.length)
+      }
+
+    def le32(buf: Array[Byte], p: Int): Int =
+      (buf(p) & 0xff) | ((buf(p + 1) & 0xff) << 8) |
+        ((buf(p + 2) & 0xff) << 16) | ((buf(p + 3) & 0xff) << 24)
 
     /** Decode k PLAIN cells starting at p; cb(longV, binV, dblV). */
-    def plainCells(p0: Int, pEnd: Int, k: Int)(
+    def plainCells(buf: Array[Byte], p0: Int, pEnd: Int, k: Int)(
         cb: (Long, Array[Byte], Double) => Unit): Int = {
       var p = p0
       var i = 0
@@ -1339,27 +1355,31 @@ object ParquetFile {
         c.ptype match {
           case 1 =>
             if (4 > pEnd - p) fail()
-            cb(le32(p).toLong, null, 0.0); p += 4
+            cb(le32(buf, p).toLong, null, 0.0); p += 4
           case 2 =>
             if (8 > pEnd - p) fail()
             var v = 0L; var j = 7
-            while (j >= 0) { v = (v << 8) | (b(p + j) & 0xffL); j -= 1 }
+            while (j >= 0) {
+              v = (v << 8) | (buf(p + j) & 0xffL); j -= 1
+            }
             cb(v, null, 0.0); p += 8
           case 4 =>
             if (4 > pEnd - p) fail()
             cb(0L, null,
-              java.lang.Float.intBitsToFloat(le32(p)).toDouble)
+              java.lang.Float.intBitsToFloat(le32(buf, p)).toDouble)
             p += 4
           case 5 =>
             if (8 > pEnd - p) fail()
             var v = 0L; var j = 7
-            while (j >= 0) { v = (v << 8) | (b(p + j) & 0xffL); j -= 1 }
+            while (j >= 0) {
+              v = (v << 8) | (buf(p + j) & 0xffL); j -= 1
+            }
             cb(0L, null, java.lang.Double.longBitsToDouble(v)); p += 8
           case 6 =>
             if (4 > pEnd - p) fail()
-            val l = le32(p); p += 4
+            val l = le32(buf, p); p += 4
             if (l < 0 || l > pEnd - p) fail()
-            cb(0L, java.util.Arrays.copyOfRange(b, p, p + l), 0.0)
+            cb(0L, java.util.Arrays.copyOfRange(buf, p, p + l), 0.0)
             p += l
           case _ => fail()
         }
@@ -1385,25 +1405,25 @@ object ParquetFile {
           // the own writer keeps fp columns PLAIN)
           if (isFp) fail()
           if (dictL != null || dictB != null) fail()
-          if (h.cmp != h.unc || h.dictNv < 0) fail()
+          if (h.dictNv < 0) fail()
+          val (db2, dOff, dEnd) = body(h, cstart)
           if (isBin) dictB = new Array[Array[Byte]](h.dictNv)
           else dictL = new Array[Long](h.dictNv)
           var j = 0
-          val endp = plainCells(cstart, cstart + h.cmp, h.dictNv) {
+          val endp = plainCells(db2, dOff, dEnd, h.dictNv) {
             (v, bv, _) =>
               if (isBin) dictB(j) = bv else dictL(j) = v
               j += 1
           }
-          if (endp != cstart + h.cmp) fail()
+          if (endp != dEnd) fail()
         case 0 => // V1 data page
           if (h.nv < 0 || h.nv > remaining) fail()
-          if (h.cmp != h.unc) fail()
-          var p = cstart
-          val pEnd = cstart + h.cmp
+          val (pb, pOff, pEnd) = body(h, cstart)
+          var p = pOff
           val defs =
             if (lf.maxDef == 1) {
               if (h.defEnc != 3) fail()
-              val (d, p2) = readLevelsPrefixed(b, p, pEnd, h.nv, 1)
+              val (d, p2) = readLevelsPrefixed(pb, p, pEnd, h.nv, 1)
               p = p2; d
             } else null
           val k = if (defs == null) h.nv else defs.count(_ == 1)
@@ -1413,7 +1433,7 @@ object ParquetFile {
           h.enc match {
             case 0 =>
               var j = 0
-              val endp = plainCells(p, pEnd, k) { (v, bv, dv) =>
+              val endp = plainCells(pb, p, pEnd, k) { (v, bv, dv) =>
                 if (isBin) outB(j) = bv
                 else if (isFp) outD(j) = dv
                 else outL(j) = v
@@ -1425,9 +1445,9 @@ object ParquetFile {
               val dn = if (isBin) dictB.length else dictL.length
               if (p >= pEnd) { if (k != 0) fail() }
               else {
-                val bw = b(p) & 0xff
+                val bw = pb(p) & 0xff
                 var j = 0
-                rleHybrid(b, p + 1, pEnd, bw, k) { (v, run) =>
+                rleHybrid(pb, p + 1, pEnd, bw, k) { (v, run) =>
                   if (v < 0 || v >= dn) fail()
                   var t = 0
                   while (t < run) {
@@ -1483,7 +1503,9 @@ object ParquetFile {
     if (lf.maxRep != 1) fail()
     val dRep = lf.repDef
     if (dRep < 1 || dRep > lf.maxDef) fail()
-    if (c.codec != 0) fail() // own-writer subset: uncompressed
+    // r15: SNAPPY/GZIP pages resolve through the codec seam (CONVERT
+    // in place registers external Spark-written files)
+    if (c.codec != 0 && c.codec != 1 && c.codec != 2) fail()
     if (c.ptype != 2 && c.ptype != 4 && c.ptype != 5) fail()
     val defined = new Array[Boolean](rgRows)
     val out = new Array[Array[AnyRef]](rgRows)
@@ -1495,12 +1517,12 @@ object ParquetFile {
         buf.clear()
       }
     }
-    def le32(p: Int): Int =
-      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
-        ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
-    def le64(p: Int): Long = {
+    def le32(bb: Array[Byte], p: Int): Int =
+      (bb(p) & 0xff) | ((bb(p + 1) & 0xff) << 8) |
+        ((bb(p + 2) & 0xff) << 16) | ((bb(p + 3) & 0xff) << 24)
+    def le64(bb: Array[Byte], p: Int): Long = {
       var v = 0L; var j = 7
-      while (j >= 0) { v = (v << 8) | (b(p + j) & 0xffL); j -= 1 }
+      while (j >= 0) { v = (v << 8) | (bb(p + j) & 0xffL); j -= 1 }
       v
     }
     var pos = c.dataPageOff.toInt
@@ -1509,11 +1531,20 @@ object ParquetFile {
     while (remaining > 0) {
       val (h, cstart) = pageAt(b, pos)
       if (h.ptype != 0) fail() // V1 data pages only (own writer)
-      if (h.cmp != h.unc || h.enc != 0) fail()
+      if (h.enc != 0) fail()
       if (h.nv < 0 || h.nv > remaining) fail()
-      val pEnd = cstart + h.cmp
-      val (reps, p1) = readLevelsPrefixed(b, cstart, pEnd, h.nv, 1)
-      val (defs, p2) = readLevelsPrefixed(b, p1, pEnd, h.nv, lf.maxDef)
+      val (pb, pOff, pEnd) = c.codec match {
+        case 0 =>
+          if (h.cmp != h.unc) fail(); (b, cstart, cstart + h.cmp)
+        case 1 =>
+          val d = Snappy.decompress(b, cstart, h.cmp, h.unc)
+          (d, 0, d.length)
+        case _ =>
+          val d = gunzipPage(b, cstart, h.cmp, h.unc)
+          (d, 0, d.length)
+      }
+      val (reps, p1) = readLevelsPrefixed(pb, pOff, pEnd, h.nv, 1)
+      val (defs, p2) = readLevelsPrefixed(pb, p1, pEnd, h.nv, lf.maxDef)
       var k = 0
       var t = 0
       while (t < h.nv) { if (defs(t) == lf.maxDef) k += 1; t += 1 }
@@ -1524,11 +1555,11 @@ object ParquetFile {
       var j = 0
       while (j < k) {
         vals(j) = c.ptype match {
-          case 2 => java.lang.Long.valueOf(le64(p2 + 8 * j))
+          case 2 => java.lang.Long.valueOf(le64(pb, p2 + 8 * j))
           case 5 => java.lang.Double.valueOf(
-            java.lang.Double.longBitsToDouble(le64(p2 + 8 * j)))
+            java.lang.Double.longBitsToDouble(le64(pb, p2 + 8 * j)))
           case _ => java.lang.Float.valueOf(
-            java.lang.Float.intBitsToFloat(le32(p2 + 4 * j)))
+            java.lang.Float.intBitsToFloat(le32(pb, p2 + 4 * j)))
         }
         j += 1
       }

@@ -10216,6 +10216,120 @@ object LlmQueries {
         SELECT lang, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
           CAST((SELECT count(*) FROM t) AS BIGINT) AS total
-        FROM t GROUP BY lang"""))
+        FROM t GROUP BY lang""")),
+
+    // ---- SHALLOW CLONE (r15 — Delta's CREATE TABLE … SHALLOW
+    // CLONE): `CALL graft.system.clone(source, target)` materializes
+    // a new table whose v0 references the source's live files — ZERO
+    // data files copy (the gate enforces an empty clone data dir
+    // in-query), then the clone mutates independently (UPDATE +
+    // DELETE) while the source must read back bit-unchanged. The
+    // oracle replays the clone's mutations AND the source's
+    // untouched aggregate in one frame.
+    "q269_lake_clone" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw269_" +
+          s.sparkContext.applicationId
+        sqlLakeReset(s, "graft_c269", base)
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .createOrReplaceTempView("q269_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c269.db"): Unit
+        s.sql("""CREATE TABLE graft_c269.db.src (
+          doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
+          USING `graft-lake`"""): Unit
+        s.sql("INSERT INTO graft_c269.db.src " +
+          "SELECT doc_id, n_chars, lang FROM q269_src"): Unit
+        s.sql("CALL graft_c269.system.clone(source => 'db.src', " +
+          "target => 'db.dst')"): Unit
+        // the no-copy law, enforced IN the gate
+        val copied = Option(new java.io.File(s"$base/db/dst/data")
+          .listFiles()).toSeq.flatten.count(_.isFile)
+        require(copied == 0,
+          s"shallow clone copied $copied data files")
+        // the clone mutates independently…
+        s.sql("UPDATE graft_c269.db.dst SET n_chars = n_chars * 2 " +
+          "WHERE doc_id % 3 = 0"): Unit
+        s.sql("DELETE FROM graft_c269.db.dst WHERE n_chars < 400"): Unit
+        // …while the source stays bit-identical (empty symmetric diff)
+        val diff = s.sql("""SELECT doc_id, n_chars, lang
+            FROM graft_c269.db.src
+          EXCEPT ALL SELECT doc_id, n_chars, lang FROM q269_src
+          UNION ALL
+          SELECT doc_id, n_chars, lang FROM q269_src
+          EXCEPT ALL SELECT doc_id, n_chars, lang
+            FROM graft_c269.db.src""").count()
+        require(diff == 0L, s"clone mutation leaked into the source")
+        s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+          FROM graft_c269.db.dst GROUP BY lang""")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+            CAST(n_chars * CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+              AS BIGINT) AS n_chars, lang FROM documents),
+          f AS (SELECT * FROM u
+            WHERE n_chars >= 400 OR n_chars IS NULL)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM f GROUP BY lang""")),
+
+    // ---- CONVERT in place (r15 — Delta's CONVERT TO DELTA): an
+    // existing directory of SPARK-WRITTEN parquet files (snappy,
+    // dictionary pages — the external world's encodings, decoded
+    // through our codec seam) registers as a lake table with ONE
+    // metadata commit and zero rewrites; the gate then proves full
+    // lake citizenship by running a row-level DELETE over the
+    // converted files and time-traveling back across it. The oracle
+    // replays both states.
+    "q270_lake_convert" -> Query(
+      (s, dir) => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lakecv_" +
+          s.sparkContext.applicationId + "_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(del)
+          f.delete(): Unit
+        }
+        del(new java.io.File(base))
+        // typed Dataset: the encoder's primitive Long makes doc_id
+        // REQUIRED in the written files (a plain DataFrame write
+        // marks every column optional, and the merge key must be a
+        // required long)
+        locally {
+          import s.implicits._
+          docs(s, dir).select(col("doc_id"),
+              col("n_chars").cast("long").as("n_chars"), col("lang"))
+            .as[(Long, Option[Long], String)]
+            .map(identity) // encoder round-trip: non-null _1 schema
+            .toDF("doc_id", "n_chars", "lang")
+            .repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions(col("doc_id"))
+            .write.option("compression", "snappy")
+            .parquet(s"$base/data")
+        }
+        val r = graft.operators.LakeMaintenance.convert(s, base)
+        require(r.files > 0 && r.version == 0L, "convert failed")
+        // full citizenship: a row-level delete over converted files
+        s.read.format("graft-lake").option("path", base).load()
+          .createOrReplaceTempView("q270_t")
+        graft.operators.LakeMaintenance.merge(s, base, Seq.empty,
+          "doc_id", deletes = docs(s, dir)
+            .where(col("doc_id") % 11 === 0)
+            .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+          ): Unit
+        val t = s.read.format("graft-lake").option("path", base).load()
+        val pre = s.read.format("graft-lake").option("path", base)
+          .option("asOf", "0").load().count() // time travel across it
+        t.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("pre_delete", lit(pre))
+      },
+      Some("""WITH kept AS (SELECT * FROM documents
+            WHERE doc_id % 11 <> 0)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST((SELECT count(*) FROM documents) AS BIGINT)
+            AS pre_delete
+        FROM kept GROUP BY lang"""))
   )
 }

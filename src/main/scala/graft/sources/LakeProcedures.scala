@@ -142,6 +142,27 @@ private[sources] object LakeProcedure {
         out("version" -> LongType),
         in => Seq(row(LakeSource.dropConstraint(root(in),
           in.getUTF8String(1).toString)))),
+      "clone" -> new LakeProcedure("clone",
+        Seq(ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("target", StringType).build()),
+        out("source_version" -> LongType, "files" -> LongType,
+          "version" -> LongType),
+        in => {
+          val r = graft.operators.LakeMaintenance.cloneTable(spark,
+            root(in), rootOf(in.getUTF8String(1).toString))
+          Seq(row(r.sourceVersion, r.files.toLong, r.version))
+        }),
+      "convert" -> new LakeProcedure("convert",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("stats_col", StringType)
+            .defaultValue("'doc_id'").build()),
+        out("files" -> LongType, "rows" -> LongType,
+          "version" -> LongType),
+        in => {
+          val r = graft.operators.LakeMaintenance.convert(spark,
+            root(in), in.getUTF8String(1).toString)
+          Seq(row(r.files.toLong, r.rows, r.version))
+        }),
       "restore" -> new LakeProcedure("restore",
         Seq(ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("version", LongType)

@@ -165,6 +165,82 @@ class LakeMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("r15 SHALLOW CLONE: one metadata commit, zero data files " +
+      "copied; the clone evolves independently and its vacuum never " +
+      "touches source files; constraints and protocol carry") {
+    val src = buildLittered(4)
+    graft.sources.LakeSource.addConstraint(spark, src,
+      "v_pos", "v IS NULL OR v >= 0"): Unit
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_clone").toFile.getAbsolutePath + "/t"
+    val r = LakeMaintenance.cloneTable(spark, src, dst)
+    r.files shouldBe 4
+    r.version shouldBe 0L
+    // zero data files copied
+    Option(new java.io.File(s"$dst/data").listFiles()).toSeq.flatten
+      .length shouldBe 0
+    asSet(lake(dst)) shouldBe asSet(lake(src))
+    // the clone evolves independently: delete + append touch ONLY dst
+    LakeMaintenance.merge(spark, dst, Seq.empty, "doc_id",
+      deletes = (0L until 100L).toSeq): Unit
+    Seq((9000L, java.lang.Long.valueOf(1L), "zz"))
+      .toDF("doc_id", "v", "s").coalesce(1)
+      .write.format("graft-lake").option("path", dst)
+      .mode("append").save()
+    lake(dst).count() shouldBe 301L
+    lake(src).count() shouldBe 400L // source untouched
+    // the carried CONSTRAINT enforces on the clone's appends
+    intercept[Exception] {
+      Seq((9001L, java.lang.Long.valueOf(-5L), "zz"))
+        .toDF("doc_id", "v", "s").coalesce(1)
+        .write.format("graft-lake").option("path", dst)
+        .mode("append").save()
+    }
+    // the clone's vacuum sweeps only ITS data dir: source files live
+    LakeMaintenance.vacuum(dst, retainVersions = 0, graceMs = 0L): Unit
+    lake(src).count() shouldBe 400L
+    lake(dst).count() shouldBe 301L
+    // cloning onto an existing table rejects
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.cloneTable(spark, src, dst)
+    }
+  }
+
+  test("r15 CONVERT in place: an existing Spark-written parquet dir " +
+      "becomes a lake table without rewriting a byte; reads, " +
+      "pruning, count pushdown and row-level deletes work") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_convert").toFile.getAbsolutePath
+    val rows = (0 until 400).map { i =>
+      (i.toLong, if (i % 7 == 0) None else Some(i * 3L), "s" + (i % 3))
+    }
+    rows.toDF("doc_id", "v", "s")
+      .repartitionByRange(4, col("doc_id"))
+      .write.option("compression", "snappy") // the reader's codec
+      .parquet(s"$root/data") // surface; Spark 4 defaults to zstd
+    val r = LakeMaintenance.convert(spark, root)
+    r.files shouldBe 4
+    r.rows shouldBe 400L
+    val expectedSet = rows.map(t => (t._1, t._2, t._3)).toSet
+    asSet(lake(root)) shouldBe expectedSet
+    // footer-derived key windows drive file pruning
+    lake(root).where(col("doc_id") === 5L).rdd
+      .getNumPartitions shouldBe 1
+    // COUNT(*) pushdown answers from the registered sizes
+    lake(root).count() shouldBe 400L
+    // a converted table is a full lake citizen: row-level delete
+    // (the merge machinery reads Spark-written files through our
+    // codecs), then time travel back
+    LakeMaintenance.merge(spark, root, Seq.empty, "doc_id",
+      deletes = Seq(5L, 6L)): Unit
+    lake(root).count() shouldBe 398L
+    lake(root, asOf = 0L).count() shouldBe 400L
+    // double-convert rejects
+    intercept[IllegalArgumentException] {
+      LakeMaintenance.convert(spark, root)
+    }
+  }
+
   test("files at or above the target are left alone; a lone small " +
       "file never rewrites by itself") {
     val base = buildLittered(3)
