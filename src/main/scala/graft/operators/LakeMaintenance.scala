@@ -555,7 +555,12 @@ object LakeMaintenance {
     // files are byte-identical to the old per-partition ones
     // (partition id == bucket id before; the bucket id names the
     // file now).
-    val bucketOfCell: Map[Long, Long] =
+    // Dense ARRAY literal indexed by cell, not a map literal: Spark's
+    // element_at over a map literal is a LINEAR key scan per row
+    // (4096 long compares/row — the r15 q248 1.9x regression); the
+    // cell domain is exactly 0..2^prefixBits-1, so a positional array
+    // lookup is O(1) per row (GetArrayItem on a constant array).
+    val bucketOfCell: Array[Long] =
       (0L until (1L << prefixBits)).map { c =>
         var lo = 0
         var hi = cuts.length
@@ -563,8 +568,8 @@ object LakeMaintenance {
           val mid = (lo + hi) >>> 1
           if (cuts(mid) <= c) lo = mid + 1 else hi = mid
         }
-        c -> lo.toLong
-      }.toMap
+        lo.toLong
+      }.toArray
     val staged = df.select(
       (df.columns.toSeq.map(c => col(qid(c))) ++
         (0 until kk).map(j => bucketCol(j).as(s"_gzb$j"))): _*)
@@ -582,7 +587,8 @@ object LakeMaintenance {
         zExpr.as("_gz_z") :+ tieCol.as("_gz_t")): _*)
       .withColumn("_gz_b", coalesce(
         try_element_at(typedLit(bucketOfCell),
-          shiftrightunsigned(col("_gz_z"), shift)), lit(0L)))
+          (shiftrightunsigned(col("_gz_z"), shift) + 1L).cast("int")),
+        lit(0L)))
       .repartition(nOut, col("_gz_b"))
       .sortWithinPartitions(col("_gz_b"), col("_gz_z"), col("_gz_t"))
     val run = java.util.UUID.randomUUID().toString.take(8)

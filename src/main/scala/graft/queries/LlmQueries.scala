@@ -827,6 +827,17 @@ object LlmQueries {
         sum(when(col("doc_off") > 0, 1L).otherwise(0L)).as("n_carried"),
         sum(col("span_len")).as("chunk_tokens"))
       .withColumn("sched_vt", (col("chunk_id").cast("double") + 1) / w)
+      // r16: MATERIALIZE the chunk frame before the rangeShards fan-out
+      // (guide §3.3 "materialising an intermediate truncates the plan").
+      // rangeShards references its input ~6x (hist→bucketed→sums/cuts→
+      // offs/bounds + the final join); without the cut each copy
+      // carries the WHOLE curation DAG — 27 documents scans in the
+      // plan, 4.1 s of Catalyst optimization alone at sf0.1, and 26
+      // scalar subqueries for AQE to replan. The chunk frame is
+      // chunk-count-sized (corpus_tokens / PackBudget rows — metadata,
+      // not corpus), so the checkpoint is tiny at any scale; the heavy
+      // corpus pipeline is planned and executed exactly once.
+      .localCheckpoint()
     // shard layout over the schedule's virtual time (the q164
     // operator): disjoint ordered vt ranges per shard
     graft.operators.Layout.rangeShards(chunks, col("sched_vt"), NumShards)
