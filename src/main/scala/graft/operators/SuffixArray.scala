@@ -135,28 +135,66 @@ object SuffixArray {
     val numBuckets =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt * 4
 
-    val chars = input.select(col("doc_id"),
-        posexplode(split(substring(col("_text"), 1, maxLen), "")))
+    // r16 (guide §1.2 "the distributed algorithm" / §2.4 "remove
+    // shuffles outright"): SEED the doubling with the first PackK
+    // chars packed base-257 into one long — (code+1) per char, 0 past
+    // the end, so packed order == capped-suffix order (the -1
+    // sentinel rule verbatim: shorter sorts first). Each skipped
+    // doubling round was a lead-window shuffle + a distinct + a
+    // two-pass rank + an equi join; seeding at h=7 turns maxLen=32
+    // from 5 rounds into 3. The pack is MAP-SIDE (substring over the
+    // row's own capped text at explode time — never a lead window):
+    // seeding costs zero exchanges. Guarded by the code-domain probe
+    // below: any code point > 255 falls back to the single-char seed
+    // (multi-byte collation is the documented byte-order boundary);
+    // `c0` (the position's own code) rides along for that fallback.
+    val PackK = 7 // 257^7 < 2^63; 8 would overflow
+    val canPack = maxLen > PackK
+    val seedCols: Seq[org.apache.spark.sql.Column] =
+      if (!canPack) Nil
+      else Seq((0 until PackK).map { j =>
+        val inRange = col("pos") + lit(j) < length(col("_t"))
+        val code = ascii(substring(col("_t"),
+          (col("pos") + lit(j + 1)).cast("int"), lit(1))).cast("long")
+        when(inRange, code + 1L).otherwise(lit(0L)) *
+          lit(math.pow(257.0, (PackK - 1 - j).toDouble).toLong)
+      }.reduce(_ + _).as("_seed"))
+    val chars = input
+      .select(col("doc_id"), substring(col("_text"), 1, maxLen).as("_t"))
+      .select(col("doc_id"), col("_t"),
+        posexplode(split(col("_t"), "")))
       .filter(col("col") =!= "")
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        ascii(col("col")).cast("long").as("rank"))
+      .select(col("doc_id") +: col("pos").cast("long").as("pos") +:
+        ascii(col("col")).cast("long").as("c0") +: seedCols: _*)
 
-    var cur = chars.localCheckpoint()
-    val n = cur.count()
-    // rank domain upper bound for the closed-form bucket (ascii first,
+    var cur0 = chars.localCheckpoint()
+    // one driver job for count + code-domain probe (the packed seed
+    // is only order-correct for single-byte code points)
+    val head0 = cur0.agg(count(lit(1)), max(col("c0"))).head
+    val n = head0.getLong(0)
+    val maxCode = if (head0.isNullAt(1)) 0L else head0.getLong(1)
+    val usePack = canPack && maxCode <= 255L
+    var cur = cur0.select(col("doc_id"), col("pos"),
+      (if (usePack) col("_seed") else col("c0")).as("rank"))
+    // rank domain upper bound for the closed-form bucket (seed first,
     // then dense 1..maxRank)
-    var rankHi = 256L
+    var rankHi =
+      if (usePack) math.pow(257.0, PackK.toDouble).toLong else 256L
     // empty corpus: no rounds, no tie-break (max() over the empty
     // frame is NULL — the rounds must not run)
     var converged = n == 0
-    var h = 1
+    var h = if (usePack) PackK else 1
     while (h < maxLen && !converged) {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val led = cur.withColumn("_r2",
         coalesce(lead(col("rank"), h).over(w), lit(-1L)))
       val pairs = led.select(col("rank"), col("_r2")).distinct()
+      // rank div step, not rank*numBuckets/rankHi: the packed seed's
+      // rankHi (257^7) would overflow the multiply; integer division
+      // by a fixed step is monotone, which is all rankByBucket needs
+      val step = math.max(1L, rankHi / numBuckets + 1L)
       def bucket = least(greatest(
-        (col("rank") * numBuckets / rankHi).cast("int"), lit(0)),
+        (col("rank") / step).cast("int"), lit(0)),
         lit(numBuckets - 1))
       val ranked = Rank.rankByBucket(pairs, bucket,
           Seq(col("rank"), col("_r2")))

@@ -631,22 +631,54 @@ object LlmQueries {
       .exists(_.exists(_.getName.startsWith("version=")))
   }
 
+  /** Memoized on-disk action-log FIXTURE shared by the txlog gates
+    * (r16 — the q234/lakemdTemplate pattern, and VERDICT r15 #9's
+    * explicit prepare-hook ask for q218): [[writeDeltaLog]]'s output
+    * is an immutable function of (dir, v, onePerCommit), so it is
+    * built ONCE per (session, dir) and every gate run reads it; the
+    * timed region holds the log READER under test (replay /
+    * checkpoint write+resolve / streaming tail), not the 175k-row
+    * fixture write. Bench pre-warms via each query's `prepare` hook;
+    * Verify and ad-hoc runs hit the same memoization on first use.
+    * Returns the log root, or None when the corpus is empty (no
+    * commit dirs were written). */
+  private val dlogTplLock = new Object
+  private def deltaLogTemplate(s: SparkSession, dir: String, v: Int,
+      onePerCommit: Boolean): Option[String] = dlogTplLock.synchronized {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dltpl_" +
+      v + (if (onePerCommit) "c" else "") + "_" +
+      s.sparkContext.applicationId + "_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val marker = new java.io.File(s"$base/done.txt")
+    if (!marker.isFile) {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(del)
+        f.delete(): Unit
+      }
+      del(new java.io.File(base))
+      new java.io.File(base).mkdirs(): Unit
+      val has = writeDeltaLog(s, dir, s"$base/log", v, onePerCommit)
+      java.nio.file.Files.write(marker.toPath,
+        (if (has) "1" else "0").getBytes("UTF-8")): Unit
+    }
+    if (new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8").startsWith("1")) Some(s"$base/log")
+    else None
+  }
+
   private def deltaSnapshot(s: SparkSession, dir: String, tag: String,
       asOf: Long): DataFrame = {
     import s.implicits._
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_dlog_" +
-      tag + "_" + s.sparkContext.applicationId + "_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(del)
-      f.delete(): Unit
-    }
-    del(new java.io.File(base))
     // read the log back as REAL files; the commit version lives in
     // the directory name, exactly where a reader must find it.
     // (Empty corpus → an empty log: no commit dirs to glob — resolve
     // against the empty action frame instead of a PATH_NOT_FOUND.)
-    val hasCommits = writeDeltaLog(s, dir, base, 12)
+    // r16: the 12-commit log comes from the shared memoized fixture
+    // (one copy serves q212 AND q213 — the content never depended on
+    // `tag`); the timed region is the replay resolver only.
+    val tpl = deltaLogTemplate(s, dir, 12, onePerCommit = false)
+    val hasCommits = tpl.isDefined
+    val base = tpl.getOrElse("")
     val acts =
       if (!hasCommits)
         Seq.empty[(Long, String, Long, String)]
@@ -5947,10 +5979,14 @@ object LlmQueries {
     // changes every doc's fate arithmetic).
     "q212_txlog_snapshot" -> Query(
       (s, dir) => deltaSnapshot(s, dir, "full", -1L),
-      Some(deltaOracle(-1L))),
+      Some(deltaOracle(-1L)),
+      prepare = Some((s, d) =>
+        deltaLogTemplate(s, d, 12, onePerCommit = false): Unit)),
     "q213_txlog_time_travel" -> Query(
       (s, dir) => deltaSnapshot(s, dir, "asof", 6L),
-      Some(deltaOracle(6L))),
+      Some(deltaOracle(6L)),
+      prepare = Some((s, d) =>
+        deltaLogTemplate(s, d, 12, onePerCommit = false): Unit)),
 
     // ---- Transaction-log CHECKPOINTING (r11 — the r10 verdict's #1
     // ask: q212/q213 replay EVERY commit to resolve a snapshot, a cost
@@ -5967,6 +6003,11 @@ object LlmQueries {
     // fallback.
     "q217_txlog_checkpoint" -> Query(
       (s, dir) => {
+        // r16: the 48-commit log is the shared memoized fixture (the
+        // prepare hook builds it untimed); per-run state is only the
+        // checkpoint dir this gate's OPERATOR writes — checkpoint
+        // writing + pointer→checkpoint→tail resolution stay timed.
+        val log = deltaLogTemplate(s, dir, 48, onePerCommit = true)
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_" +
           s.sparkContext.applicationId + "_" +
           java.lang.Integer.toHexString(dir.hashCode)
@@ -5975,18 +6016,21 @@ object LlmQueries {
           f.delete(): Unit
         }
         del(new java.io.File(base))
-        val has = writeDeltaLog(s, dir, s"$base/log", 48,
-          onePerCommit = true)
-        if (has) Seq(9L, 19L, 29L, 39L).foreach(v =>
-          TxLog.writeCheckpoint(s, s"$base/log", s"$base/ckpt", v))
-        TxLog.resolve(s, s"$base/log", s"$base/ckpt", -1L).state
+        log.foreach { lg =>
+          Seq(9L, 19L, 29L, 39L).foreach(v =>
+            TxLog.writeCheckpoint(s, lg, s"$base/ckpt", v))
+        }
+        TxLog.resolve(s, log.getOrElse(s"$base/log"), s"$base/ckpt",
+            -1L).state
           .where(col("is_add"))
           .agg(count(lit(1)).as("n_files"),
             sum(col("add_size")).as("sum_size"),
             sum(regexp_extract(col("path"), "part-(\\d+)", 1)
               .cast("long")).as("sum_doc"))
       },
-      Some(deltaOracle(-1L, 48))),
+      Some(deltaOracle(-1L, 48)),
+      prepare = Some((s, d) =>
+        deltaLogTemplate(s, d, 48, onePerCommit = true): Unit)),
 
     // ---- Incremental log TAILING (r11 — the streaming arm of the same
     // ask): a file source + streaming checkpoint tails the 48-commit
@@ -6000,6 +6044,11 @@ object LlmQueries {
     "q218_txlog_tail" -> Query(
       (s, dir) => {
         import s.implicits._
+        // r16 (VERDICT r15 #9's named prepare-hook candidate): the
+        // 48-commit log is the shared memoized fixture; the per-run
+        // dirs are only the streaming state + checkpoint the TAIL —
+        // the operator under test — writes per micro-batch.
+        val log = deltaLogTemplate(s, dir, 48, onePerCommit = true)
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_tail_" +
           s.sparkContext.applicationId + "_" +
           java.lang.Integer.toHexString(dir.hashCode)
@@ -6008,12 +6057,9 @@ object LlmQueries {
           f.delete(): Unit
         }
         del(new java.io.File(base))
-        val has = writeDeltaLog(s, dir, s"$base/log", 48,
-          onePerCommit = true)
-        val state =
-          if (!has) None
-          else TxLog.tailOnce(s, s"$base/log", s"$base/state",
-            s"$base/sckpt", filesPerTrigger = 8)
+        val state = log.flatMap(lg =>
+          TxLog.tailOnce(s, lg, s"$base/state",
+            s"$base/sckpt", filesPerTrigger = 8))
         state.getOrElse(
             Seq.empty[(Long, String, Boolean, Long)]
               .toDF("version", "path", "is_add", "add_size"))
@@ -6023,7 +6069,9 @@ object LlmQueries {
             sum(regexp_extract(col("path"), "part-(\\d+)", 1)
               .cast("long")).as("sum_doc"))
       },
-      Some(deltaOracle(-1L, 48))),
+      Some(deltaOracle(-1L, 48)),
+      prepare = Some((s, d) =>
+        deltaLogTemplate(s, d, 48, onePerCommit = true): Unit)),
 
     // ---- NESTED parquet read: Dremel repetition-level assembly (r11
     // — the r10 verdict's #2 ask: the flat-only page decoder could
