@@ -17,11 +17,15 @@ import graft.operators.{MLFeed => Rank}
   * formulation — each round is a SORT, which is exactly what a shuffle
   * engine does well):
   *
-  *   rank₀(d, p)   = code of char at (d, p)       (one scan)
-  *   rank₂ₕ(d, p)  = dense-rank of the pair (rankₕ(d,p), rankₕ(d,p+h))
-  *                   with −1 past the end           (log maxLen rounds)
+  *   rank₀(d, p)   = first ≤7 chars packed base-257 (one map-side scan;
+  *                   falls back to the single-char code past 1-byte
+  *                   code points)
+  *   rank₄ₕ(d, p)  = dense-rank of the tuple (rankₕ(d,p), rankₕ(d,p+h),
+  *                   rankₕ(d,p+2h), rankₕ(d,p+3h)) with −1 past the end
+  *                   (log₄ rounds — r16 quadrupling: one window pass
+  *                   carries all three leads)
   *
-  * so after round h the rank orders suffixes by their first 2·h chars,
+  * so after a round at h the rank orders suffixes by their first 4·h chars,
   * with the −1 sentinel sorting a short suffix before every longer one
   * sharing its prefix — i.e. exact lexicographic suffix order, capped
   * at `maxLen` chars (the substring-dedup use case only needs order to
@@ -184,11 +188,24 @@ object SuffixArray {
     // frame is NULL — the rounds must not run)
     var converged = n == 0
     var h = if (usePack) PackK else 1
+    // QUADRUPLING rounds (r16): rank the 4-tuple (rank(p), rank(p+h),
+    // rank(p+2h), rank(p+3h)) — lexicographic tuple order over h-char
+    // ranks IS the 4h-char order (the same argument as pairing, one
+    // step further), so each round covers 4h chars for ONE window pass
+    // (3 leads instead of 1 — same shuffle), one distinct, one
+    // two-pass rank and one join: half the rounds of classic
+    // doubling. maxLen=32 with the 7-char seed: 2 rounds (was 5
+    // single-char doubling rounds in r15); maxLen=4096: 5 (was 12).
     while (h < maxLen && !converged) {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val led = cur.withColumn("_r2",
-        coalesce(lead(col("rank"), h).over(w), lit(-1L)))
-      val pairs = led.select(col("rank"), col("_r2")).distinct()
+      val led = cur
+        .withColumn("_r2", coalesce(lead(col("rank"), h).over(w), lit(-1L)))
+        .withColumn("_r3",
+          coalesce(lead(col("rank"), 2 * h).over(w), lit(-1L)))
+        .withColumn("_r4",
+          coalesce(lead(col("rank"), 3 * h).over(w), lit(-1L)))
+      val tupleCols = Seq(col("rank"), col("_r2"), col("_r3"), col("_r4"))
+      val pairs = led.select(tupleCols: _*).distinct()
       // rank div step, not rank*numBuckets/rankHi: the packed seed's
       // rankHi (257^7) would overflow the multiply; integer division
       // by a fixed step is monotone, which is all rankByBucket needs
@@ -196,12 +213,12 @@ object SuffixArray {
       def bucket = least(greatest(
         (col("rank") / step).cast("int"), lit(0)),
         lit(numBuckets - 1))
-      val ranked = Rank.rankByBucket(pairs, bucket,
-          Seq(col("rank"), col("_r2")))
+      val ranked = Rank.rankByBucket(pairs, bucket, tupleCols)
         .select(col("rank").as("_pr"), col("_r2").as("_pr2"),
-          col("_rank"))
+          col("_r3").as("_pr3"), col("_r4").as("_pr4"), col("_rank"))
       val next = led.join(ranked,
-          led("rank") === col("_pr") && led("_r2") === col("_pr2"))
+          led("rank") === col("_pr") && led("_r2") === col("_pr2") &&
+            led("_r3") === col("_pr3") && led("_r4") === col("_pr4"))
         .select(col("doc_id"), col("pos"), col("_rank").as("rank"))
         .localCheckpoint()
       val maxRank = next.agg(max(col("rank"))).head.getLong(0)
@@ -209,7 +226,7 @@ object SuffixArray {
       cur = next
       rankHi = maxRank + 1
       converged = maxRank == n
-      h *= 2
+      h *= 4
     }
     val out = (if (converged)
       cur.select(col("doc_id"), col("pos"), col("rank").as("sa_rank"))
