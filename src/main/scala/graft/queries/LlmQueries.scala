@@ -868,11 +868,16 @@ object LlmQueries {
       // scalar subqueries for AQE to replan. The chunk frame is
       // chunk-count-sized (corpus_tokens / PackBudget rows — metadata,
       // not corpus), so the checkpoint is tiny at any scale; the heavy
-      // corpus pipeline is planned and executed exactly once.
-      .localCheckpoint()
+      // corpus pipeline is planned and executed exactly once. The cut
+      // can be disabled (spark.graft.curation.cut=false) so the plan
+      // contract tests can still pin the UPSTREAM shuffle-key budget
+      // on one un-severed plan; results are identical either way.
+    val cut = corpus.sparkSession.conf
+      .get("spark.graft.curation.cut", "true").toBoolean
+    val chunksCut = if (cut) chunks.localCheckpoint() else chunks
     // shard layout over the schedule's virtual time (the q164
     // operator): disjoint ordered vt ranges per shard
-    graft.operators.Layout.rangeShards(chunks, col("sched_vt"), NumShards)
+    graft.operators.Layout.rangeShards(chunksCut, col("sched_vt"), NumShards)
       .select(col("source"), col("chunk_id"), col("n_spans"),
         col("n_carried"), col("chunk_tokens"), col("sched_vt"),
         col("shard"))

@@ -562,7 +562,15 @@ class PlanContractSpec extends SparkSpec {
 
   test("q167 flagship: exchanges key only on the stage keys; NLJs are " +
       "broadcast-bounded; every SinglePartition is a scalar/sketch merge") {
-    val p = plan("q167_curation_flagship")
+    // r16: the production plan is SEVERED at the chunk frame
+    // (localCheckpoint before rangeShards) so the layout fan-out plans
+    // over an RDD leaf instead of 6 copies of the curation DAG. The
+    // upstream shuffle-key budget is pinned on the un-cut plan (conf
+    // escape hatch — identical DAG, no checkpoint); the cut plan must
+    // expose ONLY the layout keys.
+    spark.conf.set("spark.graft.curation.cut", "false")
+    val p = try plan("q167_curation_flagship")
+      finally spark.conf.unset("spark.graft.curation.cut")
     // The printed tree re-expands shared subtrees (keepers feeds four
     // consumers), so RAW exchange-line counts are meaningless; the
     // semantic contract is the SET of shuffle keys — the pipeline may
@@ -576,6 +584,13 @@ class PlanContractSpec extends SparkSpec {
       .map(_.group(1).replaceAll("#[0-9]+L?", "")).toSet
     assert(keys == Set("ckey", "doc_id", "h", "source", "sched_vt",
       "_rs_b", "shard"), s"unexpected shuffle keys: $keys")
+    // the severed production plan: layout keys only, nothing upstream
+    // leaks past the checkpoint
+    val pCut = plan("q167_curation_flagship")
+    val keysCut = keyRe.findAllMatchIn(pCut)
+      .map(_.group(1).replaceAll("#[0-9]+L?", "")).toSet
+    assert(keysCut == Set("sched_vt", "_rs_b", "shard"),
+      s"unexpected post-cut shuffle keys: $keysCut")
     // rangeShards' containment join and scalar-frame cross joins are
     // the only nested-loop joins, and all broadcast the bounded side
     val lines = p.linesIterator.toIndexedSeq
@@ -615,7 +630,10 @@ class PlanContractSpec extends SparkSpec {
 
   test("q199 bytes→shards: the whole crawl+curation chain keeps the " +
       "q167 shuffle-key budget; robots NLJ broadcasts; codecs stay map-side") {
-    val p = plan("q199_bytes_to_shards")
+    // un-cut plan (see the q167 test): full-chain shuffle-key budget
+    spark.conf.set("spark.graft.curation.cut", "false")
+    val p = try plan("q199_bytes_to_shards")
+      finally spark.conf.unset("spark.graft.curation.cut")
     // the ONLY allowed shuffle keys are q167's stage keys (the robots
     // verdict aggregate lands on doc_id, already in the budget): a
     // corpus-sized shuffle on text/uri/path — or any exchange before
@@ -625,6 +643,12 @@ class PlanContractSpec extends SparkSpec {
       .map(_.group(1).replaceAll("#[0-9]+L?", "")).toSet
     assert(keys == Set("ckey", "doc_id", "h", "source", "sched_vt",
       "_rs_b", "shard"), s"unexpected shuffle keys: $keys")
+    // the severed production plan exposes only the layout keys
+    val pCut = plan("q199_bytes_to_shards")
+    val keysCut = keyRe.findAllMatchIn(pCut)
+      .map(_.group(1).replaceAll("#[0-9]+L?", "")).toSet
+    assert(keysCut == Set("sched_vt", "_rs_b", "shard"),
+      s"unexpected post-cut shuffle keys: $keysCut")
     val lines = p.linesIterator.toIndexedSeq
     // the robots rules join is the documented broadcast-bounded NLJ
     val nljs = lines.filter(_.contains("BroadcastNestedLoopJoin"))
