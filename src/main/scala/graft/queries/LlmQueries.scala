@@ -504,6 +504,67 @@ object LlmQueries {
         .toSeq.filter(_.nonEmpty)
     }
 
+  /** q263's fixture TEMPLATE (r16 — the q234/lakemdTemplate pattern,
+    * VERDICT r15 #9's discipline): the gate's CREATE + bootstrap
+    * INSERT (half the documents table through the SQL catalog writer)
+    * built the same immutable table every run INSIDE the timed region,
+    * ~2.5 s of fixture at sf0.1 before the first DML under test. Build
+    * it ONCE per (session, dir) under a template warehouse; each run
+    * copies the few-KB log + props sidecar into its fresh warehouse —
+    * v0/v1 reference the template's absolute data paths, the DML under
+    * test rewrites into the run's own data dir (merge never mutates
+    * input files, so the template stays immutable; the q234/L218
+    * zero-copy precedent). Bench builds the template untimed via the
+    * query's `prepare` hook; Verify hits the memoization on first use. */
+  private val sqlw263Lock = new Object
+  private def sqlw263Template(s: SparkSession, dir: String): String =
+    sqlw263Lock.synchronized {
+      val tpl = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw263tpl_" +
+        s.sparkContext.applicationId + "_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val marker = new java.io.File(s"$tpl/done.txt")
+      if (!marker.isFile) {
+        sqlLakeReset(s, "graft_c263t", tpl)
+        docs(s, dir).select(col("doc_id"),
+            col("n_chars").cast("long").as("n_chars"), col("lang"))
+          .createOrReplaceTempView("q263_tpl_src")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c263t.db"): Unit
+        s.sql("""CREATE TABLE graft_c263t.db.t (
+          doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
+          USING `graft-lake`"""): Unit
+        s.sql("INSERT INTO graft_c263t.db.t " +
+          "SELECT doc_id, n_chars, lang FROM q263_tpl_src " +
+          "WHERE doc_id % 2 = 0"): Unit
+        java.nio.file.Files.write(marker.toPath,
+          "ok".getBytes("UTF-8")): Unit
+      }
+      tpl
+    }
+
+  /** Clone a template table's METADATA (log dir + props sidecar) into
+    * a fresh warehouse — a few small text files; the data paths inside
+    * the add actions are absolute, so the clone reads the template's
+    * immutable files. */
+  private def sqlwCloneMeta(tpl: String, base: String,
+      rel: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val logSrc = new java.io.File(s"$tpl/$rel/log")
+    val logDst = s"$base/$rel/log"
+    def cp(src: java.io.File, dst: String): Unit = {
+      new java.io.File(dst).mkdirs(): Unit
+      Option(src.listFiles()).toSeq.flatten.foreach { f =>
+        if (f.isDirectory) cp(f, s"$dst/${f.getName}")
+        else Files.copy(f.toPath, Paths.get(s"$dst/${f.getName}")): Unit
+      }
+    }
+    cp(logSrc, logDst)
+    val props = new java.io.File(s"$tpl/$rel/props.json")
+    if (props.isFile)
+      Files.copy(props.toPath,
+        Paths.get(s"$base/$rel/props.json")): Unit
+    new java.io.File(s"$base/$rel/data").mkdirs(): Unit
+  }
+
   /** Register a LakeCatalog under `name` rooted at `base` and wipe the
     * warehouse (the SQL-surface gates bootstrap per run; the catalog
     * instance is cached per session, so `base` must be stable within
@@ -9914,19 +9975,18 @@ object LlmQueries {
     // result-bytes contract and the broadcast-path bit-identity).
     "q263_lake_merge_distributed" -> Query(
       (s, dir) => {
+        // fixture table = metadata clone of the immutable template
+        // (see sqlw263Template) — the timed region holds the three
+        // DML statements under test + the read-back, not the bootstrap
+        // INSERT's full table write
+        val tpl = sqlw263Template(s, dir)
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw263_" +
           s.sparkContext.applicationId
         sqlLakeReset(s, "graft_c263", base)
+        sqlwCloneMeta(tpl, base, "db/t")
         docs(s, dir).select(col("doc_id"),
             col("n_chars").cast("long").as("n_chars"), col("lang"))
           .createOrReplaceTempView("q263_src")
-        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c263.db"): Unit
-        s.sql("""CREATE TABLE graft_c263.db.t (
-          doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
-          USING `graft-lake`"""): Unit
-        s.sql("INSERT INTO graft_c263.db.t " +
-          "SELECT doc_id, n_chars, lang FROM q263_src " +
-          "WHERE doc_id % 2 = 0"): Unit
         s.conf.set("spark.graft.lake.mergeCollectBound", "50")
         try {
           // mixed arms over the bound → distributed probe + rewrite
@@ -9968,7 +10028,8 @@ object LlmQueries {
             WHERE n_chars >= 400 OR n_chars IS NULL)
         SELECT lang, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        FROM f GROUP BY lang""")),
+        FROM f GROUP BY lang"""),
+      prepare = Some((s, d) => { sqlw263Template(s, d): Unit })),
 
     // ---- INSERT OVERWRITE / dynamic partition overwrite (r15 — the
     // r14 verdict's #2 ask: the second-most-common write verb after
