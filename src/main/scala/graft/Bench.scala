@@ -86,12 +86,17 @@ object Bench {
       // a prepare hook gets its memoized fixture built here, so the
       // timed region below holds the operator, not the harness
       SparkEntry.prepare.get(name).foreach { p =>
+        spark.sparkContext.setJobDescription(s"$name prepare")
         try p(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name prepare failed: " +
             s"${e.getMessage}")
         }
       }
+      // label the timed jobs (guide 1.5) so event-log analysis can
+      // attribute every job/stage to its query — thread-local, no
+      // timing effect
+      spark.sparkContext.setJobDescription(name)
       // Collect the previous query's garbage OUTSIDE the timed region:
       // at 32 in-process executor threads a heavy query's debris
       // otherwise lands as multi-second GC pauses inside whichever query
@@ -105,6 +110,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val t = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       // Release memoized checkpoint blocks OUTSIDE the timed region,
       // after the last SELECTED consumer (derived above), so the
       // remaining queries don't run with GBs of dead storage pinned

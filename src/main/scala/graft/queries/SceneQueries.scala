@@ -109,15 +109,21 @@ object SceneQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$base/ckpt")
         .outputMode("update")
+        // r16: write unconditionally — the old `if (!b.isEmpty)` guard
+        // EXECUTED the stateful batch plan twice (isEmpty cannot
+        // short-circuit an aggregation that emits nothing; q120's
+        // addBatch measured 1.7 s for a 0.9 s batch). An empty batch
+        // writes no part files, so the read-back's part-file probe
+        // below replaces the guard.
         .foreachBatch { (b: DataFrame, id: Long) =>
-          if (!b.isEmpty) b.withColumn("_b", lit(id))
+          b.withColumn("_b", lit(id))
             .write.mode("append").parquet(s"$base/out")
         }
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     val raw =
-      if (new java.io.File(s"$base/out").exists) spark.read.parquet(s"$base/out")
+      if (hasParquetFiles(s"$base/out")) spark.read.parquet(s"$base/out")
       else return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
     raw.withColumn("_rk", row_number().over(
@@ -149,17 +155,30 @@ object SceneQueries {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$base/ckpt")
         .outputMode("append")
+        // r16: write unconditionally — `if (!b.isEmpty)` executed the
+        // stateful plan twice per batch (and isEmpty on batch 0's
+        // empty window frame is a FULL evaluation — nothing to
+        // short-circuit on). An empty batch writes no part files
+        // (only _SUCCESS), so the schemaless-dir hazard the guard
+        // existed for is handled by the part-file probe below.
         .foreachBatch { (b: DataFrame, _: Long) =>
-          // batch 0 has no finalized windows yet; writing an empty frame
-          // would leave a schemaless dir if it were the only batch
-          if (!b.isEmpty) b.write.mode("append").parquet(s"$base/out")
+          b.write.mode("append").parquet(s"$base/out")
         }
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
-    if (new java.io.File(s"$base/out").exists) spark.read.parquet(s"$base/out")
-    else spark.createDataFrame( // empty input -> no batch ever wrote
+    if (hasParquetFiles(s"$base/out")) spark.read.parquet(s"$base/out")
+    else spark.createDataFrame( // empty input -> no batch emitted rows
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+  }
+
+  /** True when `path` holds at least one parquet part file — the
+    * read-back guard for the drains above (a dir with only _SUCCESS
+    * would fail schema inference). */
+  private def hasParquetFiles(path: String): Boolean = {
+    val d = new java.io.File(path)
+    d.isDirectory && Option(d.listFiles()).toSeq.flatten
+      .exists(_.getName.endsWith(".parquet"))
   }
 
   /** q58 HLL numerator α_m·m²·2⁵³ for m=256 registers, computed ONCE
