@@ -59,4 +59,23 @@ object Tables {
     normalizeTs(load(spark, dir, "events"), eventsTsDiskType(spark, dir))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Scale-adaptive fan-out after an unsplittably-NARROW scan — the
+    * optimization guide's input-skew rule ("one huge unsplittable
+    * file: repartition immediately after the read", §2.5). The driver
+    * test tables ship as ONE parquet file with ONE row group per
+    * table, so a scan stage — and every map-side operator fused above
+    * it (codec synthesis + decode, tokenization, canonical keys) —
+    * runs as a single task regardless of core count. The fan-out is
+    * derived from the PLANNED scan parallelism vs the box, not from a
+    * constant: when the scan already covers most of the cluster
+    * (every production layout; any multi-file/multi-row-group input)
+    * it is a no-op, so nothing here is tuned to local[32]. */
+  def spread[T](ds: org.apache.spark.sql.Dataset[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val target = ds.sparkSession.sparkContext.defaultParallelism
+    val planned = ds.queryExecution.toRdd.getNumPartitions
+    if (target <= 1 || planned * 4 >= target) ds
+    else ds.repartition(target)
+  }
 }

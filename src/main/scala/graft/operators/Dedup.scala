@@ -597,7 +597,11 @@ object Dedup {
 
   private def buildCappedPairStats(input: DataFrame, shingleN: Int,
                                    maxDf: Int): DataFrame = {
-    val kept = input
+    // r16: fan a narrow scan out before the tokenize+shingle map work
+    // (single-file single-row-group inputs made this a one-task stage;
+    // no-op whenever the scan already covers the box — see
+    // Tables.spread)
+    val kept = graft.Tables.spread(input)
       .select(col("doc_id"), col("source"),
         TextFns.tokens(col("_text")).as("toks"))
       // array_distinct BEFORE the explode: downstream is set-semantics

@@ -443,6 +443,18 @@ object LlmQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
 
+  /** The id feed for the codec-synthesis gates (media/pages/rows =
+    * one synthesized artifact per doc_id). r16: spread across the box
+    * — the single-file single-row-group input layout made every
+    * synthesis+decode pipeline a ONE-task stage (all of a 2 s JPEG
+    * gate on one of 32 cores); `Tables.spread` fans out only when the
+    * planned scan cannot cover the cluster, so production layouts are
+    * untouched. Shuffles 8-byte ids, never media bytes. */
+  private def mediaIds(s: SparkSession, dir: String): Dataset[Long] = {
+    import s.implicits._
+    Tables.spread(docs(s, dir).select(col("doc_id")).as[Long])
+  }
+
   /** q234's fixture TEMPLATE (r15 — VERDICT r14 #8: at sf5 the gate's
     * record measured its own 9.8k single-file own-writer build, not
     * the merge; its isolated number was WORSE than in-sweep because
@@ -519,20 +531,24 @@ object LlmQueries {
   private val sqlw263Lock = new Object
   private def sqlw263Template(s: SparkSession, dir: String): String =
     sqlw263Lock.synchronized {
+      // the template CATALOG name must carry the dir hash: Spark
+      // caches catalog instances per NAME per session, so one name
+      // serving two test dirs would keep the first dir's warehouse
+      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      val cat = s"graft_c263t_$hex"
       val tpl = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw263tpl_" +
-        s.sparkContext.applicationId + "_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        s.sparkContext.applicationId + "_" + hex
       val marker = new java.io.File(s"$tpl/done.txt")
       if (!marker.isFile) {
-        sqlLakeReset(s, "graft_c263t", tpl)
+        sqlLakeReset(s, cat, tpl)
         docs(s, dir).select(col("doc_id"),
             col("n_chars").cast("long").as("n_chars"), col("lang"))
           .createOrReplaceTempView("q263_tpl_src")
-        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_c263t.db"): Unit
-        s.sql("""CREATE TABLE graft_c263t.db.t (
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db"): Unit
+        s.sql(s"""CREATE TABLE $cat.db.t (
           doc_id BIGINT NOT NULL, n_chars BIGINT, lang STRING)
           USING `graft-lake`"""): Unit
-        s.sql("INSERT INTO graft_c263t.db.t " +
+        s.sql(s"INSERT INTO $cat.db.t " +
           "SELECT doc_id, n_chars, lang FROM q263_tpl_src " +
           "WHERE doc_id % 2 = 0"): Unit
         java.nio.file.Files.write(marker.toPath,
@@ -1395,8 +1411,13 @@ object LlmQueries {
     // Plan shape pinned in PlanContractSpec (total exchange budget, no
     // SinglePartition, no NLJ).
     "q167_curation_flagship" -> Query(
-      (s, dir) => curationShards(
-        docs(s, dir).select(col("doc_id"), col("source"), col("text"))),
+      // r16: fan the narrow corpus scan out before the scrub/tokenize/
+      // minhash map stages (one-task otherwise on the single-file
+      // driver layout; no-op at production scan parallelism). q199
+      // reaches curationShards through its robots aggregate, which is
+      // already exchange-parallel — no spread needed there.
+      (s, dir) => curationShards(Tables.spread(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text")))),
       Some(sqlCurationOracle(
         """evd AS (SELECT * FROM documents WHERE source = 'src0'),
           trd AS (SELECT * FROM documents WHERE source <> 'src0')"""))),
@@ -3321,7 +3342,8 @@ object LlmQueries {
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_ledger_" +
           s.sparkContext.applicationId + "_" +
           java.lang.Integer.toHexString(dir.hashCode)
-        val d = docs(s, dir)
+        // r16: spread — both ledger arms tokenize/minhash map-side
+        val d = Tables.spread(docs(s, dir))
         Dedup.saveDedupLedger(d.where(col("doc_id") % 5 =!= 4),
           col("doc_id"), col("text"), ShingleN, NumHashes, base)
         Dedup.appendTriageLedger(d.where(col("doc_id") % 5 === 4),
@@ -3368,8 +3390,10 @@ object LlmQueries {
     // stream, so the coverage pass never re-shuffles it. Threshold
     // compare is integer cross-multiplication on both engines.
     "q95_boilerplate" -> Query(
-      (s, dir) => Curation.boilerplateReport(docs(s, dir), col("doc_id"),
-        col("source"), col("text"), BoilerN, BoilerNum, BoilerDen),
+      // r16: spread — the gram-hash map stage was one-task
+      (s, dir) => Curation.boilerplateReport(Tables.spread(docs(s, dir)),
+        col("doc_id"), col("source"), col("text"), BoilerN, BoilerNum,
+        BoilerDen),
       Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks
               FROM documents),
           b AS (SELECT doc_id, source,
@@ -3563,7 +3587,9 @@ object LlmQueries {
     // ranks tie-break on cand_id so recall is exact.
     "q101_trunc_recall" -> Query(
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
+        // r16: spread the narrow embeddings scan — the per-arm cosine
+        // sweeps ran over a one-task candidate side
+        val emb = Tables.spread(Tables.embeddings(s, dir))
         TruncDims.map(d => Similarity.truncatedRecall(emb,
           isProbeId(col("vec_id")), TopK, d)).reduce(_ unionAll _)
       },
@@ -3621,8 +3647,9 @@ object LlmQueries {
     // before the shingle-keyed pair join, bounding per-key fanout; the
     // matrix aggregate map-combines to ≤ sources² rows per task.
     "q103_source_overlap" -> Query(
-      (s, dir) => Dedup.sourceOverlapMatrix(docs(s, dir), col("source"),
-        col("text"), ShingleN, MaxOverlapSources),
+      // r16: spread — the tokenize+shingle stage was one-task
+      (s, dir) => Dedup.sourceOverlapMatrix(Tables.spread(docs(s, dir)),
+        col("source"), col("text"), ShingleN, MaxOverlapSources),
       Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks
               FROM documents),
           g AS (SELECT DISTINCT source, h FROM
@@ -3895,7 +3922,9 @@ object LlmQueries {
     // DECIMAL(18,9) before the doc sum (the q80 parity rule).
     "q114_bigram_nll" -> Query(
       (s, dir) => {
-        val base = docs(s, dir).select(col("doc_id"),
+        // r16: spread the narrow scan — both tokenize passes (unigram
+        // and bigram arms) were single-task stages
+        val base = Tables.spread(docs(s, dir)).select(col("doc_id"),
           tokens(col("text")).as("toks"))
         val tok = base.select(explode(col("toks")).as("tok"))
         // uc feeds the total AND the prob join; bc feeds the context
@@ -4521,7 +4550,7 @@ object LlmQueries {
     "q169_mp3_sideinfo" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions { it =>
             it.map { id =>
               (id, Mp3.mp3PayloadSideInfo((3 + id % 12).toInt,
@@ -4716,7 +4745,7 @@ object LlmQueries {
     "q175_mp4_index" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Mp4.mp4Payload((3 + id % 9).toInt, (id % 11).toInt))))
         Mp4.decodeMp4(media).toDF()
@@ -4765,7 +4794,7 @@ object LlmQueries {
     "q178_warc_scan" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Warc.warcPayload((2 + id % 7).toInt, (id % 13).toInt))))
         Warc.decodeWarc(media).toDF()
@@ -4802,7 +4831,7 @@ object LlmQueries {
     "q179_html_extract" -> Query(
       (s, dir) => {
         import s.implicits._
-        val pages = docs(s, dir).select(col("doc_id")).as[Long]
+        val pages = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Html.htmlPayload((2 + id % 5).toInt, (1 + id % 4).toInt,
               id % 1000))))
@@ -4943,7 +4972,7 @@ object LlmQueries {
     "q182_tar_scan" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Tar.tarPayload((3 + id % 8).toInt, (id % 13).toInt))))
         Tar.decodeTar(media).toDF()
@@ -5030,7 +5059,7 @@ object LlmQueries {
       (s, dir) => {
         import s.implicits._
         import graft.functions.{RobotsFns, UrlFns}
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Warc.warcPayload((2 + id % 7).toInt, (id % 13).toInt))))
         val recs = Warc.records(media).toDF()
@@ -5099,7 +5128,7 @@ object LlmQueries {
     "q185_warc_http" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Http.warcHttpPayload((2 + id % 7).toInt, (id % 13).toInt))))
         Http.decodeWarcHttp(media).toDF()
@@ -5139,7 +5168,7 @@ object LlmQueries {
       (s, dir) => {
         import s.implicits._
         import graft.functions.UrlFns
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Warc.warcPayload((2 + id % 7).toInt, (id % 13).toInt))))
         val recs = Warc.records(media).toDF()
@@ -5167,7 +5196,7 @@ object LlmQueries {
     "q187_charset_decode" -> Query(
       (s, dir) => {
         import s.implicits._
-        val rows = docs(s, dir).select(col("doc_id")).as[Long]
+        val rows = mediaIds(s, dir)
           .mapPartitions(_.map { id =>
             val (b, label) =
               CharsetDecode.encodedBody((id % 4).toInt, id % 13)
@@ -5196,7 +5225,7 @@ object LlmQueries {
     "q188_sitemap_scan" -> Query(
       (s, dir) => {
         import s.implicits._
-        val pages = docs(s, dir).select(col("doc_id")).as[Long]
+        val pages = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Sitemap.sitemapPayload((2 + id % 9).toInt, id % 13))))
         Sitemap.decodeSitemap(pages).toDF()
@@ -5286,7 +5315,7 @@ object LlmQueries {
     "q191_gif_decode" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Gif.gifPayload((6 + id % 8).toInt, (5 + id % 6).toInt,
               (1 + id % 3).toInt, (id % 13).toInt))))
@@ -5330,7 +5359,7 @@ object LlmQueries {
     "q192_pdf_extract" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Pdf.pdfPayload((1 + id % 5).toInt, id % 13,
               flate = id % 2 == 0))))
@@ -5406,7 +5435,7 @@ object LlmQueries {
     "q194_wat_link_graph" -> Query(
       (s, dir) => {
         import s.implicits._
-        val pages = docs(s, dir).select(col("doc_id")).as[Long]
+        val pages = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Html.htmlPayload((2 + id % 5).toInt, (1 + id % 4).toInt,
               id % 1000))))
@@ -5442,7 +5471,7 @@ object LlmQueries {
     "q195_host_pagerank" -> Query(
       (s, dir) => {
         import s.implicits._
-        val pages = docs(s, dir).select(col("doc_id")).as[Long]
+        val pages = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Html.htmlPayload((2 + id % 5).toInt, (1 + id % 4).toInt,
               id % 1000))))
@@ -5475,7 +5504,7 @@ object LlmQueries {
     "q196_tiff_index" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Tiff.tiffPayload((1 + id % 6).toInt, (id % 13).toInt))))
         Tiff.decodeTiff(media).toDF()
@@ -5668,7 +5697,7 @@ object LlmQueries {
     "q200_mp3_synth" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map { id =>
             (id, Mp3.mp3PayloadSpectral((2 + id % 4).toInt,
               (id % 14).toInt, (id % 3).toInt, longOnly = true))
@@ -5696,7 +5725,7 @@ object LlmQueries {
     "q223_mp3_short_synth" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map { id =>
             (id, Mp3.mp3PayloadSpectral((2 + id % 4).toInt,
               (id % 14).toInt, (id % 3).toInt, longOnly = false))
@@ -5720,7 +5749,7 @@ object LlmQueries {
     "q225_mp3_block_cycle" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map { id =>
             (id, Mp3.mp3PayloadSpectral((2 + id % 4).toInt,
               (id % 14).toInt, (id % 3).toInt, blockMode = 1))
@@ -5745,7 +5774,7 @@ object LlmQueries {
     "q226_mp3_mixed_blocks" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map { id =>
             (id, Mp3.mp3PayloadSpectral((2 + id % 4).toInt,
               (id % 14).toInt, (id % 3).toInt, blockMode = 2))
@@ -5769,7 +5798,7 @@ object LlmQueries {
     "q232_mp3_scfsi" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map { id =>
             (id, Mp3.mp3PayloadSpectral((2 + id % 4).toInt,
               (id % 14).toInt, (id % 3).toInt, blockMode = 3))
@@ -5837,7 +5866,7 @@ object LlmQueries {
     "q201_warc_revisit" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Warc.warcRevisitPayload((3 + id % 6).toInt,
               (id % 13).toInt))))
@@ -8864,7 +8893,7 @@ object LlmQueries {
     "q205_zip_scan" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Zip.zipPayload((1 + id % 6).toInt, (id % 13).toInt))))
         Zip.decodeZip(media).toDF()
@@ -8900,7 +8929,7 @@ object LlmQueries {
     "q206_http_chunked" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             (id, Http.warcChunkedPayload((2 + id % 7).toInt,
               (id % 13).toInt))))
@@ -8940,8 +8969,9 @@ object LlmQueries {
       (s, dir) => {
         val lab = when(col("doc_id") % 3 =!= 0,
           when(size(tokens(col("text"))) >= NbMinToks, 1L).otherwise(0L))
-        NaiveBayes.classify(docs(s, dir), "doc_id", tokens(col("text")),
-          lab)
+        // r16: spread — the tokenize/label map stage was one-task
+        NaiveBayes.classify(Tables.spread(docs(s, dir)), "doc_id",
+          tokens(col("text")), lab)
       },
       Some(s"""WITH d AS (SELECT doc_id, $sqlToks AS t FROM documents),
           lab AS (SELECT doc_id, t, CASE WHEN doc_id % 3 <> 0 THEN
@@ -9000,7 +9030,10 @@ object LlmQueries {
     // a group and breaks the hash. Only 32-char digests + ids shuffle.
     "q177_canon_dedup" -> Query(
       (s, dir) => {
-        val d = docs(s, dir)
+        // r16: fan the narrow scan out before the canonKey/md5 map
+        // work — both 1.9 s single-task stages (probe-side keying and
+        // the broadcast build) were this query's whole cost
+        val d = Tables.spread(docs(s, dir))
         val base = d.select(col("doc_id").as("base_id"),
           col("text").as("base_text"))
         val j = d.select(col("doc_id"),
@@ -9013,9 +9046,15 @@ object LlmQueries {
           .when(col("doc_id") % 4 === 2, upper(col("base_text")))
           .otherwise(regexp_replace(col("base_text"), " ", "  "))
         val keyed = j.select(col("doc_id"), md5(canonKey(aug)).as("ckey"))
-        val grp = keyed.groupBy(col("ckey"))
-          .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("_k"))
-        keyed.join(grp, Seq("ckey"))
+        // r16: group stats as a window over ONE ckey exchange — the
+        // old groupBy+join recomputed the canonKey/md5 pass on both
+        // SortMergeJoin inputs (the partial agg below one exchange
+        // defeats exchange reuse), doubling the query's only real work
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ckey"))
+        keyed
+          .withColumn("group_size", count(lit(1)).over(w))
+          .withColumn("_k", min(col("doc_id")).over(w))
           .select(col("doc_id"), col("ckey"), col("group_size"),
             when(col("doc_id") === col("_k"), 1L).otherwise(0L)
               .as("is_keeper"))
@@ -9053,7 +9092,7 @@ object LlmQueries {
     "q170_mp3_spectral" -> Query(
       (s, dir) => {
         import s.implicits._
-        val media = docs(s, dir).select(col("doc_id")).as[Long]
+        val media = mediaIds(s, dir)
           .mapPartitions { it =>
             it.map { id =>
               // every EVEN doc packs its frames through the BIT
