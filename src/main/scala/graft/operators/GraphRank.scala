@@ -79,8 +79,15 @@ object GraphRank {
       // superlinear in unrolled depth, not execution). The rank frame
       // is node-sized, so the per-iteration materialization is tiny;
       // values are unchanged (the quantized-sum determinism contract
-      // is execution-side).
-      r = if (i == iters) next else next.localCheckpoint()
+      // is execution-side). r16: cut every SECOND iteration — each
+      // eager checkpoint is a full driver job round-trip, and at 12
+      // iterations the loop was job-count-bound (81 jobs for q195's
+      // 2.6 s, no stage over 0.24 s); a 2-layer unrolled plan is still
+      // trivially cheap to analyze, so half the cuts buy half the
+      // driver round-trips at identical values.
+      r = if (i == iters) next
+          else if (i % 2 == 0) next.localCheckpoint()
+          else next
     }
     r
   }
