@@ -76,6 +76,13 @@ object Tables {
     val target = ds.sparkSession.sparkContext.defaultParallelism
     val planned = ds.queryExecution.toRdd.getNumPartitions
     if (target <= 1 || planned * 4 >= target) ds
-    else ds.repartition(target)
+    // hash on every column, not round-robin: a keyless repartition(n)
+    // first LOCALLY SORTS its input (SPARK-23207 retry determinism) —
+    // on the one-task scans this fan-out exists for, that sort is
+    // itself the serial bottleneck. Hashing the full row is one pass,
+    // deterministic under retries, and uniform whenever any column
+    // varies (these feeds carry unique ids).
+    else ds.repartition(target, ds.columns.map(org.apache.spark.sql
+      .functions.col).toIndexedSeq: _*)
   }
 }

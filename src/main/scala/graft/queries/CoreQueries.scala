@@ -18,7 +18,13 @@ object CoreQueries {
 
     // A1/A6 — partial+final hash agg; scan-pruned to 7 columns.
     "q01_pricing_agg" -> Query(
-      (s, dir) => Tables.lineitem(s, dir)
+      // r16: project to the aggregated columns, then fan the narrow
+      // scan out (single-row-group input = one-task scan; the decimal
+      // partial aggregation ran on one of 32 cores). No-op at
+      // production scan parallelism — see Tables.spread.
+      (s, dir) => Tables.spread(Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
