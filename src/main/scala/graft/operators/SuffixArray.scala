@@ -138,6 +138,25 @@ object SuffixArray {
     val spark = input.sparkSession
     val numBuckets =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt * 4
+    // r16: the round frames are CPU-DENSE per byte (three longs a row
+    // feeding tuple ranking), so AQE's byte-oriented partition
+    // coalescing — 1 MB minimum partition — funnels each round's
+    // distinct/join shuffle (~2 MB at sf0.1) into ONE task: the event
+    // log showed six 0.5-0.9 s single-task stages per build. Lower the
+    // coalescing FLOOR for the build only (restored below): at
+    // production volumes every round shuffle is far above any floor,
+    // so this changes nothing at scale — it only stops byte-count
+    // coalescing from serializing CPU-bound small rounds.
+    val minCoalesceKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val savedMinCoalesce = spark.conf.get(minCoalesceKey, "1m")
+    spark.conf.set(minCoalesceKey, "16k")
+    try buildRounds(input, maxLen, numBuckets)
+    finally spark.conf.set(minCoalesceKey, savedMinCoalesce)
+  }
+
+  private def buildRounds(input: DataFrame, maxLen: Int,
+      numBuckets: Int): DataFrame = {
+    val spark = input.sparkSession
 
     // r16 (guide §1.2 "the distributed algorithm" / §2.4 "remove
     // shuffles outright"): SEED the doubling with the first PackK
