@@ -597,11 +597,11 @@ object Dedup {
 
   private def buildCappedPairStats(input: DataFrame, shingleN: Int,
                                    maxDf: Int): DataFrame = {
-    // r16: fan a narrow scan out before the tokenize+shingle map work
-    // (single-file single-row-group inputs made this a one-task stage;
-    // no-op whenever the scan already covers the box — see
-    // Tables.spread)
-    val kept = graft.Tables.spread(input)
+    // r16 note: Tables.spread on `input` was tried and REVERTED — the
+    // build is dominated by the (source,h) aggregate and pair fan-out
+    // (already exchange-parallel), and the added exchange measured
+    // q00 3.2 → 3.6-4.0 s in same-protocol A/B.
+    val kept = input
       .select(col("doc_id"), col("source"),
         TextFns.tokens(col("_text")).as("toks"))
       // array_distinct BEFORE the explode: downstream is set-semantics

@@ -79,15 +79,13 @@ object GraphRank {
       // superlinear in unrolled depth, not execution). The rank frame
       // is node-sized, so the per-iteration materialization is tiny;
       // values are unchanged (the quantized-sum determinism contract
-      // is execution-side). r16: cut every SECOND iteration — each
-      // eager checkpoint is a full driver job round-trip, and at 12
-      // iterations the loop was job-count-bound (81 jobs for q195's
-      // 2.6 s, no stage over 0.24 s); a 2-layer unrolled plan is still
-      // trivially cheap to analyze, so half the cuts buy half the
-      // driver round-trips at identical values.
-      r = if (i == iters) next
-          else if (i % 2 == 0) next.localCheckpoint()
-          else next
+      // is execution-side). r16 note: checkpointing only every SECOND
+      // iteration was tried and REVERTED — the un-cut rank frame is
+      // re-executed by every broadcast that references it (the
+      // iteration joins broadcast r and contrib), so skipped cuts
+      // re-ran a full iteration per round: q195 2.65 → 4.25 s
+      // in-sweep. The per-iteration eager cut is load-bearing.
+      r = if (i == iters) next else next.localCheckpoint()
     }
     r
   }

@@ -138,20 +138,14 @@ object SuffixArray {
     val spark = input.sparkSession
     val numBuckets =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt * 4
-    // r16: the round frames are CPU-DENSE per byte (three longs a row
-    // feeding tuple ranking), so AQE's byte-oriented partition
-    // coalescing — 1 MB minimum partition — funnels each round's
-    // distinct/join shuffle (~2 MB at sf0.1) into ONE task: the event
-    // log showed six 0.5-0.9 s single-task stages per build. Lower the
-    // coalescing FLOOR for the build only (restored below): at
-    // production volumes every round shuffle is far above any floor,
-    // so this changes nothing at scale — it only stops byte-count
-    // coalescing from serializing CPU-bound small rounds.
-    val minCoalesceKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-    val savedMinCoalesce = spark.conf.get(minCoalesceKey, "1m")
-    spark.conf.set(minCoalesceKey, "16k")
-    try buildRounds(input, maxLen, numBuckets)
-    finally spark.conf.set(minCoalesceKey, savedMinCoalesce)
+    // r16 note: lowering AQE's partition-coalescing floor for the
+    // build (16k, then 64k) was tried and REVERTED — it fixed the
+    // single-task round shuffles a COLD profile showed (isolated
+    // singles 10.1 → 8.8 s), but in the warm full-sweep protocol the
+    // extra micro-tasks and the many-file SA artifact gave it all
+    // back (q171 6.3 → 8.7 in-sweep, q198 +1.0). The cold-profile win
+    // was JIT overlap, not coalescing.
+    buildRounds(input, maxLen, numBuckets)
   }
 
   private def buildRounds(input: DataFrame, maxLen: Int,

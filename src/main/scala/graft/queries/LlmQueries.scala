@@ -5435,7 +5435,8 @@ object LlmQueries {
     "q194_wat_link_graph" -> Query(
       (s, dir) => {
         import s.implicits._
-        val pages = mediaIds(s, dir)
+        // r16: not spread — same light HTML synth as q195 (q.v.)
+        val pages = docs(s, dir).select(col("doc_id")).as[Long]
           .mapPartitions(_.map(id =>
             (id, Html.htmlPayload((2 + id % 5).toInt, (1 + id % 4).toInt,
               id % 1000))))
@@ -5471,7 +5472,10 @@ object LlmQueries {
     "q195_host_pagerank" -> Query(
       (s, dir) => {
         import s.implicits._
-        val pages = mediaIds(s, dir)
+        // r16: deliberately NOT mediaIds/spread — the HTML synth here
+        // is light and the pagerank loop dominates; the fan-out
+        // measured q195 3.9 → 4.7 s in same-protocol A/B
+        val pages = docs(s, dir).select(col("doc_id")).as[Long]
           .mapPartitions(_.map(id =>
             (id, Html.htmlPayload((2 + id % 5).toInt, (1 + id % 4).toInt,
               id % 1000))))
