@@ -145,12 +145,6 @@ object SuffixArray {
     // extra micro-tasks and the many-file SA artifact gave it all
     // back (q171 6.3 → 8.7 in-sweep, q198 +1.0). The cold-profile win
     // was JIT overlap, not coalescing.
-    buildRounds(input, maxLen, numBuckets)
-  }
-
-  private def buildRounds(input: DataFrame, maxLen: Int,
-      numBuckets: Int): DataFrame = {
-    val spark = input.sparkSession
 
     // r16 (guide §1.2 "the distributed algorithm" / §2.4 "remove
     // shuffles outright"): SEED the doubling with the first PackK

@@ -533,8 +533,14 @@ object LlmQueries {
     sqlw263Lock.synchronized {
       // the template CATALOG name must carry the dir hash: Spark
       // caches catalog instances per NAME per session, so one name
-      // serving two test dirs would keep the first dir's warehouse
-      val hex = java.lang.Integer.toHexString(dir.hashCode)
+      // serving two test dirs would keep the first dir's warehouse.
+      // md5, not String.hashCode: a 32-bit collision between two dirs
+      // would silently serve the first dir's MEMOIZED data to the
+      // second (the per-run paths elsewhere only risk path reuse,
+      // never a wrong memoized fixture).
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
       val cat = s"graft_c263t_$hex"
       val tpl = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw263tpl_" +
         s.sparkContext.applicationId + "_" + hex
@@ -3343,7 +3349,8 @@ object LlmQueries {
           s.sparkContext.applicationId + "_" +
           java.lang.Integer.toHexString(dir.hashCode)
         // r16: spread — both ledger arms tokenize/minhash map-side
-        val d = Tables.spread(docs(s, dir))
+        val d = Tables.spread(
+          docs(s, dir).select(col("doc_id"), col("text")))
         Dedup.saveDedupLedger(d.where(col("doc_id") % 5 =!= 4),
           col("doc_id"), col("text"), ShingleN, NumHashes, base)
         Dedup.appendTriageLedger(d.where(col("doc_id") % 5 === 4),
@@ -3391,7 +3398,9 @@ object LlmQueries {
     // compare is integer cross-multiplication on both engines.
     "q95_boilerplate" -> Query(
       // r16: spread — the gram-hash map stage was one-task
-      (s, dir) => Curation.boilerplateReport(Tables.spread(docs(s, dir)),
+      (s, dir) => Curation.boilerplateReport(
+        Tables.spread(docs(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))),
         col("doc_id"), col("source"), col("text"), BoilerN, BoilerNum,
         BoilerDen),
       Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks
@@ -3648,7 +3657,9 @@ object LlmQueries {
     // matrix aggregate map-combines to ≤ sources² rows per task.
     "q103_source_overlap" -> Query(
       // r16: spread — the tokenize+shingle stage was one-task
-      (s, dir) => Dedup.sourceOverlapMatrix(Tables.spread(docs(s, dir)),
+      (s, dir) => Dedup.sourceOverlapMatrix(
+        Tables.spread(docs(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))),
         col("source"), col("text"), ShingleN, MaxOverlapSources),
       Some(s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks
               FROM documents),
@@ -3924,8 +3935,9 @@ object LlmQueries {
       (s, dir) => {
         // r16: spread the narrow scan — both tokenize passes (unigram
         // and bigram arms) were single-task stages
-        val base = Tables.spread(docs(s, dir)).select(col("doc_id"),
-          tokens(col("text")).as("toks"))
+        val base = Tables.spread(docs(s, dir)
+            .select(col("doc_id"), col("text")))
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
         val tok = base.select(explode(col("toks")).as("tok"))
         // uc feeds the total AND the prob join; bc feeds the context
         // counts AND the prob join — both vocabulary-sized, pinned so
@@ -8974,8 +8986,9 @@ object LlmQueries {
         val lab = when(col("doc_id") % 3 =!= 0,
           when(size(tokens(col("text"))) >= NbMinToks, 1L).otherwise(0L))
         // r16: spread — the tokenize/label map stage was one-task
-        NaiveBayes.classify(Tables.spread(docs(s, dir)), "doc_id",
-          tokens(col("text")), lab)
+        NaiveBayes.classify(
+          Tables.spread(docs(s, dir).select(col("doc_id"), col("text"))),
+          "doc_id", tokens(col("text")), lab)
       },
       Some(s"""WITH d AS (SELECT doc_id, $sqlToks AS t FROM documents),
           lab AS (SELECT doc_id, t, CASE WHEN doc_id % 3 <> 0 THEN
@@ -9037,7 +9050,8 @@ object LlmQueries {
         // r16: fan the narrow scan out before the canonKey/md5 map
         // work — both 1.9 s single-task stages (probe-side keying and
         // the broadcast build) were this query's whole cost
-        val d = Tables.spread(docs(s, dir))
+        val d = Tables.spread(
+          docs(s, dir).select(col("doc_id"), col("text")))
         val base = d.select(col("doc_id").as("base_id"),
           col("text").as("base_text"))
         val j = d.select(col("doc_id"),
@@ -9053,10 +9067,15 @@ object LlmQueries {
         // r16: group stats as a window over ONE ckey exchange — the
         // old groupBy+join recomputed the canonKey/md5 pass on both
         // SortMergeJoin inputs (the partial agg below one exchange
-        // defeats exchange reuse), doubling the query's only real work
+        // defeats exchange reuse), doubling the query's only real work.
+        // The NULL-ckey filter preserves the old equi-join's semantics
+        // (NULL never joins; the oracle's `USING (ckey)` drops NULLs
+        // too) — without it the window would emit NULL-text rows the
+        // oracle lacks.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("ckey"))
         keyed
+          .where(col("ckey").isNotNull)
           .withColumn("group_size", count(lit(1)).over(w))
           .withColumn("_k", min(col("doc_id")).over(w))
           .select(col("doc_id"), col("ckey"), col("group_size"),

@@ -113,8 +113,10 @@ object SceneQueries {
         // EXECUTED the stateful batch plan twice (isEmpty cannot
         // short-circuit an aggregation that emits nothing; q120's
         // addBatch measured 1.7 s for a 0.9 s batch). An empty batch
-        // writes no part files, so the read-back's part-file probe
-        // below replaces the guard.
+        // still writes one SCHEMA-ONLY part file (FileFormatWriter
+        // always materializes partition 0), so the read-back infers
+        // the schema either way; the part-file probe below only
+        // guards the zero-file case (no batch ever ran).
         .foreachBatch { (b: DataFrame, id: Long) =>
           b.withColumn("_b", lit(id))
             .write.mode("append").parquet(s"$base/out")
@@ -158,9 +160,10 @@ object SceneQueries {
         // r16: write unconditionally — `if (!b.isEmpty)` executed the
         // stateful plan twice per batch (and isEmpty on batch 0's
         // empty window frame is a FULL evaluation — nothing to
-        // short-circuit on). An empty batch writes no part files
-        // (only _SUCCESS), so the schemaless-dir hazard the guard
-        // existed for is handled by the part-file probe below.
+        // short-circuit on). An empty batch still writes one
+        // schema-only part file (partition 0 always materializes), so
+        // read-back schema inference works either way; the part-file
+        // probe below only guards the zero-file case.
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.write.mode("append").parquet(s"$base/out")
         }
@@ -173,8 +176,9 @@ object SceneQueries {
   }
 
   /** True when `path` holds at least one parquet part file — the
-    * read-back guard for the drains above (a dir with only _SUCCESS
-    * would fail schema inference). */
+    * read-back guard for the drains above (a missing dir or a dir
+    * with only _SUCCESS — possible only when no batch ever committed
+    * — would fail schema inference). */
   private def hasParquetFiles(path: String): Boolean = {
     val d = new java.io.File(path)
     d.isDirectory && Option(d.listFiles()).toSeq.flatten
