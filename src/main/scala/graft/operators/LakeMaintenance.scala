@@ -1358,7 +1358,9 @@ object LakeMaintenance {
       changes: org.apache.spark.sql.DataFrame, keyCol: String,
       dvThreshold: Double = 0.10,
       readVersion: Long = -1L,
-      insertRowsPerFile: Int = 1 << 20): MergeResult = {
+      insertRowsPerFile: Int = 1 << 20,
+      probeHint: Option[(org.apache.spark.sql.DataFrame, Long)] = None)
+      : MergeResult = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.storage.StorageLevel
@@ -1392,11 +1394,15 @@ object LakeMaintenance {
       ("_graft_k" +: "_graft_op" +: schema.fieldNames.toSeq): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // one validation pass also counts the op mix (r17): a changeset
+      // with zero insert ops (every SQL UPDATE / DELETE routes here)
+      // skips the insert anti-join + count + write passes outright
       val v = ds.agg(count(lit(1)), count(col("_graft_k")),
         countDistinct(col("_graft_k")),
         count(when(!col("_graft_op").isin("u", "i", "ui", "d"),
           lit(1))),
-        min(col("_graft_k")), max(col("_graft_k"))).head()
+        min(col("_graft_k")), max(col("_graft_k")),
+        count(when(col("_graft_op").isin("i", "ui"), lit(1)))).head()
       val total = v.getLong(0)
       if (total == 0L) return MergeResult(0, 0L, 0L, -1L)
       require(v.getLong(1) == total,
@@ -1406,6 +1412,7 @@ object LakeMaintenance {
       require(v.getLong(3) == 0L,
         "unknown _graft_op in the merge changeset (u/i/ui/d)")
       val kLo = v.getLong(4); val kHi = v.getLong(5)
+      val nInsOps = v.getLong(6)
       // CHECK constraints (distributed — the changeset is unbounded):
       // a stored row violating any active constraint fails BEFORE any
       // file is written; NULL passes (the SQL CHECK rule)
@@ -1453,14 +1460,24 @@ object LakeMaintenance {
       // the pushed key range (review r15: a raw parquet read counted
       // DV-dead rows as matched, silently dropping an upsert of a
       // DV-deleted key). Catalyst picks the join strategy by size.
-      val probe = spark.read.format("graft-lake")
-        .option("path", root).option("asOf", snapV.toString)
-        .option("withFilePath", "true").load()
-        .where(col(keyCol) >= kLo && col(keyCol) <= kHi)
-        .select(col(keyCol).as("_graft_k"), col("_graft_file"))
-        .join(ds.select(col("_graft_k")), Seq("_graft_k"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // a caller that ALREADY scanned (key, file) provenance at this
+      // exact snapshot (the SQL UPDATE/DELETE predicate scan, the
+      // mixed-arm MERGE's routing probe — r17) hands the frame in
+      // instead of paying a second full table scan + join here; a
+      // stale hint (any concurrent commit since) is ignored and the
+      // probe is rebuilt at the pinned snapshot as before
+      val hinted = probeHint.exists(_._2 == snapV)
+      val probe = probeHint match {
+        case Some((p, pv)) if pv == snapV => p
+        case _ => spark.read.format("graft-lake")
+          .option("path", root).option("asOf", snapV.toString)
+          .option("withFilePath", "true").load()
+          .where(col(keyCol) >= kLo && col(keyCol) <= kHi)
+          .select(col(keyCol).as("_graft_k"), col("_graft_file"))
+          .join(ds.select(col("_graft_k")), Seq("_graft_k"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
       val touchedNames: Array[String] =
         probe.select(col("_graft_file")).distinct()
           .collect().map(_.getString(0)) // O(touched files) — metadata
@@ -1541,7 +1558,9 @@ object LakeMaintenance {
               .where(col("_graft_op").isin("i", "ui"))
               .select((col("_graft_k") +:
                 schema.fieldNames.map(col).toSeq): _*)
-          val nIns = insDf.count()
+          // zero insert ops (counted in the validation pass): skip the
+          // anti-join count and the write pass outright (r17)
+          val nIns = if (nInsOps == 0L) 0L else insDf.count()
           val bLeaves = spark.sparkContext.broadcast(
             schemaLeaves.toArray)
           val insMetas: Array[(String, Long, Long, Long, String, String)] =
@@ -1607,7 +1626,7 @@ object LakeMaintenance {
           MergeResult(metas.count(_.mode != 3), matchedCnt, nIns, ver,
             metas.map(_.deletedRows).sum)
         } finally taskOut.unpersist(false): Unit
-      } finally probe.unpersist(false): Unit
+      } finally if (!hinted) probe.unpersist(false): Unit
     } finally ds.unpersist(false): Unit
   }
 

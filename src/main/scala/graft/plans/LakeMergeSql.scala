@@ -530,6 +530,7 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
     val mixed = (deleteMatched || updateExprs.isDefined) &&
       insertExprs.isDefined && !(sameArms && !deleteMatched)
     var fence = -1L
+    var probeHint: Option[(org.apache.spark.sql.DataFrame, Long)] = None
     val changes: org.apache.spark.sql.DataFrame =
       if (sameArms && !deleteMatched)
         srcDf.select(shaped("ui", uCols): _*)
@@ -541,11 +542,21 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
         srcDf.select(shaped("i", iCols): _*)
       else {
         // mixed arms: one distributed matched-key probe at a pinned
-        // snapshot; the merge aborts if any candidate postdates it
+        // snapshot; the merge aborts if any candidate postdates it.
+        // r17: ONE file-provenance scan serves both the arm routing
+        // here and the merge's per-file probe (the hint is honored
+        // only while the merge resolves the same snapshot — any
+        // concurrent commit makes the merge rebuild its own probe)
         fence = TxLog.nextVersion(s"$root/log", s"$root/ckpt") - 1L
-        val tbl = spark.read.format("graft-lake")
-          .option("path", root).option("asOf", fence.toString).load()
-          .select(col(keyCol).as("_graft_k")).distinct()
+        val probe0 = spark.read.format("graft-lake")
+          .option("path", root).option("asOf", fence.toString)
+          .option("withFilePath", "true").load()
+          .select(col(keyCol).as("_graft_k"), col("_graft_file"))
+          .join(srcDf.select(col("_graft_k")), Seq("_graft_k"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        probeHint = Some((probe0, fence))
+        val tbl = probe0.select(col("_graft_k")).distinct()
         val m = srcDf.join(tbl, Seq("_graft_k"), "left_semi")
           .select(shaped(if (deleteMatched) "d" else "u",
             if (deleteMatched) nulls else uCols): _*)
@@ -553,9 +564,11 @@ case class LakeMergeIntoCommand(root: String, targetSchema: StructType,
           .select(shaped("i", iCols): _*)
         m.union(um)
       }
-    val r = LakeMaintenance.mergeDistributed(spark, root, changes,
-      keyCol, readVersion = fence)
-    Seq(Row(r.matched, r.deleted, r.inserted))
+    try {
+      val r = LakeMaintenance.mergeDistributed(spark, root, changes,
+        keyCol, readVersion = fence, probeHint = probeHint)
+      Seq(Row(r.matched, r.deleted, r.inserted))
+    } finally probeHint.foreach(_._1.unpersist(false))
   }
 }
 
@@ -614,13 +627,42 @@ case class LakeUpdateCommand(root: String, targetSchema: StructType,
     val rows = projDf.limit(bound + 1).collect()
     if (rows.length > bound) {
       import org.apache.spark.sql.functions.lit
+      // r17: re-run the predicate scan ONCE, through the connector's
+      // file-provenance face — the same matched rows now also carry
+      // _graft_file, so the merge's per-file probe is served from this
+      // scan instead of a second full table scan + join. The condition
+      // and row expressions are rebound onto the provenance relation
+      // by column name (the UPDATE target is the bare table — names
+      // are unique and _graft_file is reserved).
+      val scanDf = spark.read.format("graft-lake").option("path", root)
+        .option("asOf", scanVersion.toString)
+        .option("withFilePath", "true").load()
+      val scanPlan = scanDf.queryExecution.analyzed
+      val byName = scanPlan.output.map(a => a.name -> a).toMap
+      def rebind(e: Expression): Expression = e.transform {
+        case a: AttributeReference => byName.getOrElse(a.name, a)
+      }
+      val filtered2 = condition.map(c =>
+        Filter(rebind(c), scanPlan)).getOrElse(scanPlan)
+      val projList2: Seq[NamedExpression] =
+        (Alias(rebind(oldKey), "_graft_k")() +:
+          rowExprs.zipWithIndex.map { case (e, i) =>
+            Alias(rebind(e), s"_c$i")()
+          }) :+ byName("_graft_file")
       // persisted: the guard's two counts and the merge's own passes
       // must not re-run the predicate scan (review r15)
-      val changes = projDf.select(
+      val scanned = org.apache.spark.sql.graft.GraftSqlShims
+        .ofRows(spark, Project(projList2, filtered2))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changes = scanned.select(
         (org.apache.spark.sql.functions.col("_graft_k") +:
           lit("u") +:
           rowExprs.indices.map(i =>
             org.apache.spark.sql.functions.col(s"_c$i"))): _*)
+      val probe0 = scanned
+        .select(org.apache.spark.sql.functions.col("_graft_k"),
+          org.apache.spark.sql.functions.col("_graft_file"))
+        .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // the whole-key law, DISTRIBUTED: the table's occurrence
@@ -639,9 +681,13 @@ case class LakeUpdateCommand(root: String, targetSchema: StructType,
             "duplicated merge key — not expressible as a whole-key " +
             "rewrite")
         val res = LakeMaintenance.mergeDistributed(spark, root,
-          changes, keyCol, readVersion = scanVersion)
+          changes, keyCol, readVersion = scanVersion,
+          probeHint = Some((probe0, scanVersion)))
         return Seq(Row(res.matched))
-      } finally changes.unpersist(false): Unit
+      } finally {
+        probe0.unpersist(false): Unit
+        scanned.unpersist(false): Unit
+      }
     }
     if (rows.isEmpty) return Seq(Row(0L))
     val matched = rows.toSeq.map(_.getLong(0))

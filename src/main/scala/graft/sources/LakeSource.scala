@@ -678,13 +678,23 @@ final class LakeTable(val root: String, val asOf: Long,
         val matchedRows = df.where(cond).select(col(c).as("_graft_k"))
         val bounded = matchedRows.limit(bound + 1).collect()
         if (bounded.length > bound) {
+          // r17: the distributed branch re-runs the predicate scan
+          // ONCE through the connector's file-provenance face — the
+          // matched rows also carry _graft_file, so the merge's
+          // per-file probe is served from this scan instead of a
+          // second full table scan + join.
           // persisted: the guard's counts and the merge must not
           // re-run the predicate scan (review r15)
-          val m = matchedRows.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val m = spark.read.format("graft-lake").option("path", root)
+            .option("asOf", scanVersion.toString)
+            .option("withFilePath", "true").load()
+            .where(cond)
+            .select(col(c).as("_graft_k"), col("_graft_file"))
+            .persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val mCnt = m.count()
-            val keys0 = m.distinct()
+            val keys0 = m.select(col("_graft_k")).distinct()
             // the whole-key law, DISTRIBUTED: deleting ALL
             // occurrences of a duplicated key is expressible; a
             // predicate that SPLITS a key's occurrences is not
@@ -698,8 +708,13 @@ final class LakeTable(val root: String, val asOf: Long,
               lit(null).cast(f.dataType))
             val changes = keys0.select(
               (col("_graft_k") +: lit("d") +: nulls): _*)
-            graft.operators.LakeMaintenance.mergeDistributed(spark,
-              root, changes, c, readVersion = scanVersion): Unit
+            val probe0 = m.distinct().persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try
+              graft.operators.LakeMaintenance.mergeDistributed(spark,
+                root, changes, c, readVersion = scanVersion,
+                probeHint = Some((probe0, scanVersion))): Unit
+            finally probe0.unpersist(false): Unit
             return
           } finally m.unpersist(false): Unit
         }
