@@ -74,6 +74,11 @@ object Tables {
   def spread[T](ds: org.apache.spark.sql.Dataset[T])
       : org.apache.spark.sql.Dataset[T] = {
     val target = ds.sparkSession.sparkContext.defaultParallelism
+    // CONSTRAINT (ADVICE r16): `toRdd.getNumPartitions` plans AND — if
+    // the input contains an exchange or subquery under AQE — EXECUTES
+    // upstream query stages at build time. Every call site wraps a
+    // plain scan+project (exchange-free), where the probe is a pure
+    // metadata read; keep it that way — wrap scan-level inputs only.
     val planned = ds.queryExecution.toRdd.getNumPartitions
     if (target <= 1 || planned * 4 >= target) ds
     // hash on every column, not round-robin: a keyless repartition(n)

@@ -54,12 +54,20 @@ object GraphRank {
     val nodes = frac.select(col("u").as("node")).distinct().localCheckpoint()
     // the count is free: nodes is already localCheckpointed for the
     // iteration lineage, so this reads the checkpoint, not the graph
-    val smallGraph = nodes.count() <= broadcastMaxNodes
+    val nNodes = nodes.count()
+    val smallGraph = nNodes <= broadcastMaxNodes
     def hinted(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
-    val nn = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    // n_nodes rides as a LITERAL (r17): the old broadcast count frame
+    // was re-executed and re-broadcast by EVERY iteration — exchange
+    // reuse cannot cross the per-iteration localCheckpoint boundary,
+    // so 12 iterations paid 12 broadcast jobs for one already-known
+    // long. Division semantics are unchanged: Spark promoted the long
+    // count to double exactly as `.toDouble` does, so the quantized
+    // ranks are bit-identical.
+    val nn = lit(nNodes.toDouble)
     val oneMinusD = 1.0 - damping
-    var r = nodes.crossJoin(nn)
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
+    var r = nodes
+      .select(col("node"), (lit(1.0) / nn).as("r"))
     for (i <- 1 to iters) {
       val contrib = frac
         .join(hinted(r.withColumnRenamed("node", "u")), Seq("u"))
@@ -68,9 +76,8 @@ object GraphRank {
         .groupBy(col("v"))
         .agg((sum(col("c")).cast("double") / lit(q)).as("s"))
       val next = nodes.join(hinted(contrib), col("node") === col("v"), "left")
-        .crossJoin(nn)
         .select(col("node"),
-          (lit(oneMinusD) / col("n_nodes")
+          (lit(oneMinusD) / nn
             + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
       // truncate the RANK lineage too (r12 — the docstring claimed it,
       // the loop didn't do it: without this, iteration k's plan nests

@@ -16,7 +16,8 @@ object CoreQueries {
 
   val all: Map[String, Query] = Map(
 
-    // A1/A6 — partial+final hash agg; scan-pruned to 7 columns.
+    // A1/A6 — partial+final hash agg; scan-pruned to the 5 aggregated
+    // columns.
     "q01_pricing_agg" -> Query(
       // r16: project to the aggregated columns, then fan the narrow
       // scan out (single-row-group input = one-task scan; the decimal

@@ -465,13 +465,40 @@ object LlmQueries {
     * the MERGE. Returns v0's add lines. Bench calls this untimed via
     * the query's `prepare` hook; Verify and ad-hoc runs hit the same
     * memoization on first use. */
+  /** 48-bit md5 prefix of `dir` — MEMOIZED-fixture keys must not ride
+    * 32-bit String.hashCode (ADVICE r16: a hashCode collision between
+    * two data dirs would silently serve the first dir's memoized
+    * fixture to the second; md5 makes that practically impossible). */
+  private def dirMd5(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+
+  /** Delete a template tree on JVM exit (ADVICE r16: the data-file
+    * templates leaked one warehouse per application under tmpdir —
+    * repeated large-SF runs accumulated unbounded tmp usage). */
+  private val cleanupRegistered =
+    scala.collection.mutable.Set.empty[String]
+  private def deleteTreeOnExit(path: String): Unit =
+    cleanupRegistered.synchronized {
+      if (cleanupRegistered.add(path))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def del(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).toSeq.flatten.foreach(del)
+            f.delete(): Unit
+          }
+          del(new java.io.File(path))
+        }))
+    }
+
   private val lakemdLock = new Object
   private def lakemdTemplate(s: SparkSession, dir: String): Seq[String] =
     lakemdLock.synchronized {
       import s.implicits._
       val tpl = s"${System.getProperty("java.io.tmpdir")}/graft_lakemd_tpl_" +
-        s.sparkContext.applicationId + "_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        s.sparkContext.applicationId + "_" + dirMd5(dir)
+      deleteTreeOnExit(tpl)
       val marker = new java.io.File(s"$tpl/lines.txt")
       if (!marker.isFile) {
         def del(f: java.io.File): Unit = {
@@ -538,12 +565,11 @@ object LlmQueries {
       // would silently serve the first dir's MEMOIZED data to the
       // second (the per-run paths elsewhere only risk path reuse,
       // never a wrong memoized fixture).
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8"))
-        .take(6).map(b => f"$b%02x").mkString
+      val hex = dirMd5(dir)
       val cat = s"graft_c263t_$hex"
       val tpl = s"${System.getProperty("java.io.tmpdir")}/graft_sqlw263tpl_" +
         s.sparkContext.applicationId + "_" + hex
+      deleteTreeOnExit(tpl)
       val marker = new java.io.File(s"$tpl/done.txt")
       if (!marker.isFile) {
         sqlLakeReset(s, cat, tpl)
@@ -730,8 +756,8 @@ object LlmQueries {
       onePerCommit: Boolean): Option[String] = dlogTplLock.synchronized {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_dltpl_" +
       v + (if (onePerCommit) "c" else "") + "_" +
-      s.sparkContext.applicationId + "_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      s.sparkContext.applicationId + "_" + dirMd5(dir)
+    deleteTreeOnExit(base)
     val marker = new java.io.File(s"$base/done.txt")
     if (!marker.isFile) {
       def del(f: java.io.File): Unit = {
@@ -3346,8 +3372,7 @@ object LlmQueries {
       (s, dir) => {
         // per-run artifact path (the q142/q146 rule: no cross-run race)
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_ledger_" +
-          s.sparkContext.applicationId + "_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+          s.sparkContext.applicationId + "_" + dirMd5(dir)
         // r16: spread — both ledger arms tokenize/minhash map-side
         val d = Tables.spread(
           docs(s, dir).select(col("doc_id"), col("text")))
