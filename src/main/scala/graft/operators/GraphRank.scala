@@ -61,13 +61,17 @@ object GraphRank {
     // was re-executed and re-broadcast by EVERY iteration — exchange
     // reuse cannot cross the per-iteration localCheckpoint boundary,
     // so 12 iterations paid 12 broadcast jobs for one already-known
-    // long. Division semantics are unchanged: Spark promoted the long
-    // count to double exactly as `.toDouble` does, so the quantized
-    // ranks are bit-identical.
-    val nn = lit(nNodes.toDouble)
+    // long. The division happens on the DRIVER (same IEEE op Spark's
+    // Divide folds two double literals to, so ranks are bit-identical
+    // for any non-empty graph); the empty-graph divisor is clamped to
+    // 1 because under ANSI mode ConstantFolding evaluates x/0 into a
+    // DIVIDE_BY_ZERO error even when zero rows flow — the old count
+    // frame only dodged that by never evaluating on an empty frame,
+    // and with zero nodes no row ever carries the value anyway.
+    val safeN = if (nNodes == 0L) 1.0 else nNodes.toDouble
     val oneMinusD = 1.0 - damping
     var r = nodes
-      .select(col("node"), (lit(1.0) / nn).as("r"))
+      .select(col("node"), lit(1.0 / safeN).as("r"))
     for (i <- 1 to iters) {
       val contrib = frac
         .join(hinted(r.withColumnRenamed("node", "u")), Seq("u"))
@@ -77,7 +81,7 @@ object GraphRank {
         .agg((sum(col("c")).cast("double") / lit(q)).as("s"))
       val next = nodes.join(hinted(contrib), col("node") === col("v"), "left")
         .select(col("node"),
-          (lit(oneMinusD) / nn
+          (lit(oneMinusD / safeN)
             + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
       // truncate the RANK lineage too (r12 — the docstring claimed it,
       // the loop didn't do it: without this, iteration k's plan nests
