@@ -369,4 +369,46 @@ class LakeDistributedMergeSpec extends SparkSpec {
     asSet(lake(base)) shouldBe Set((1L, Some(5L), "u-dropped"),
       (2L, Some(6L), "kept"))
   }
+
+  test("probeHint (r17): a fresh hint at the merge's snapshot serves " +
+      "the per-file probe bit-identically; a STALE hint — any other " +
+      "version — is IGNORED and the probe is rebuilt internally") {
+    val upd = Seq((10L, Some(999L), "H"), (210L, Some(1L), "H2"))
+    val del = Seq(301L, 302L)
+    def run(base: String,
+        hint: Option[(DataFrame, Long)]): LakeMaintenance.MergeResult =
+      LakeMaintenance.mergeDistributed(spark, base,
+        changesOf(upd, Seq.empty, del, matchedOp = "u"), "doc_id",
+        probeHint = hint)
+    def probeOf(base: String, v: Long): DataFrame =
+      spark.read.format("graft-lake").option("path", base)
+        .option("asOf", v.toString).option("withFilePath", "true")
+        .load()
+        .select(col("doc_id").as("_graft_k"), col("_graft_file"))
+        .join((upd.map(_._1) ++ del).toDF("_graft_k"), Seq("_graft_k"))
+        .distinct()
+    // baseline: internal probe
+    val a = buildTable(4, 100)
+    val rA = run(a, None)
+    // fresh hint at the head snapshot: same counts, same bytes
+    val b = buildTable(4, 100)
+    val vB = TxLog.nextVersion(s"$b/log", s"$b/ckpt") - 1L
+    val rB = run(b, Some((probeOf(b, vB), vB)))
+    (rB.matched, rB.deleted, rB.inserted, rB.rewritten) shouldBe
+      ((rA.matched, rA.deleted, rA.inserted, rA.rewritten))
+    asSet(lake(b)) shouldBe asSet(lake(a))
+    digests(b) shouldBe digests(a)
+    // STALE hint: a version that is not the merge's snapshot, carrying
+    // a frame that would be WRONG if consulted (empty) — the merge
+    // must ignore it, rebuild its own probe, and produce the same
+    // result as the baseline
+    val c = buildTable(4, 100)
+    val vC = TxLog.nextVersion(s"$c/log", s"$c/ckpt") - 1L
+    val wrong = probeOf(c, vC).where(lit(false))
+    val rC = run(c, Some((wrong, vC - 1L)))
+    (rC.matched, rC.deleted, rC.inserted, rC.rewritten) shouldBe
+      ((rA.matched, rA.deleted, rA.inserted, rA.rewritten))
+    asSet(lake(c)) shouldBe asSet(lake(a))
+    digests(c) shouldBe digests(a)
+  }
 }
